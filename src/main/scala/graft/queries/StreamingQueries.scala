@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{OracleQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 streaming shapes, computed in batch mode over `events`
+  * so the DuckDB oracle can check them. The same windowing logic runs as a
+  * real Structured Streaming job in graft.streaming.EventStream (tested in
+  * EventStreamSpec); batch/stream parity is Spark's own guarantee for
+  * time-window aggregates.
+  *
+  * All window arithmetic is on exact integer epoch seconds (`ts_sec`) —
+  * never on floating epoch or sub-second timestamps — so both engines
+  * bucket identically.
+  */
+object StreamingQueries extends QueryModule {
+
+  private def q(name: String, sql: String)(run: (SparkSession, String) => DataFrame) =
+    OracleQuery(name, run, Some(sql))
+
+  val queries: Seq[OracleQuery] = Seq(
+    // ST1: tumbling 5-minute window count per event type.
+    q("q_st1_tumbling_count",
+      "SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((floor(col("ts_sec") / 300) * 300).cast("long").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("window_start", "event_type")
+    },
+    // ST2: sliding window (width 600s, slide 300s) sum — each event lands in
+    // two windows; DuckDB reproduces the expansion with a 2-way UNION ALL.
+    // value is a 2-decimal double → DECIMAL sum for order-independence.
+    q("q_st2_sliding_sum",
+      "SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS DOUBLE) AS sum_value FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events UNION ALL SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT) AS window_start, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events) GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val ev = Tables.events(s, d)
+      // window(ts, "600 seconds", "300 seconds") explodes to the same two
+      // buckets; we use it (the genuine streaming operator) and project the
+      // bucket start back to epoch seconds.
+      ev.groupBy(window(col("ts"), "600 seconds", "300 seconds").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("w.start").cast("long").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+    // ST3: watermark cutoff — keep only events within 1h of the max event
+    // time (what a 1h watermark would admit at end-of-stream), count kept.
+    q("q_st3_watermark_cutoff",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept FROM events WHERE CAST(floor(epoch(ts)) AS BIGINT) >= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 3600 FROM events) GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max(col("ts_sec")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("ts_sec") >= col("mx") - 3600)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("event_type")
+    }
+  )
+}
