@@ -1,0 +1,92 @@
+package graft.ingest
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The full refresh lifecycle (SURVEY.md §3.1): mark → load → sweep, recast
+  * as a tenant-scoped snapshot diff. No mutable `unverified` flag exists;
+  * the algebra below produces the identical final state:
+  *
+  *  - mark (refresh-vmware.cypher:23-31): all store nodes whose `tenant`
+  *    (= managedby) appears in the workbook are "marked"; all their incident
+  *    edges are dropped (edges are rebuilt by the load).
+  *  - load (:33-277): Ingest.run builds the batch's nodes/edges.
+  *  - sweep (:525-530): marked nodes not re-touched disappear — i.e. the
+  *    tenant's final node set IS the batch's tenant-scoped node set.
+  *
+  * Nodes without a managedby property (dimension nodes, pools, switches,
+  * disks, adapters… — see Ingest) are never marked in the reference and are
+  * upserted here, never deleted.
+  *
+  * Scale: the whole refresh is three hash-joins on id plus the ingest
+  * shuffles; at 100 TB the store is stored partitioned by label (nodes) /
+  * relType (edges) so per-label reads prune partitions, and the tenant
+  * filters push down to parquet.
+  */
+object Refresh {
+
+  val nodeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("label", StringType, nullable = false),
+    StructField("tenant", StringType, nullable = true),
+    StructField("key", StringType, nullable = true),
+    StructField("props", MapType(StringType, StringType), nullable = true)))
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("relType", StringType, nullable = false),
+    StructField("tenant", StringType, nullable = true),
+    StructField("props", MapType(StringType, StringType), nullable = true)))
+
+  final case class GraphStore(nodes: DataFrame, edges: DataFrame)
+
+  def emptyStore(spark: SparkSession): GraphStore = GraphStore(
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], nodeSchema),
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], edgeSchema))
+
+  /** One full refresh of `store` from a workbook. */
+  def refresh(store: GraphStore, wb: Workbook.Sheets): GraphStore = {
+    val batch = Ingest.run(wb, store.nodes, store.edges)
+    val tenants = wb("vCluster").select(col("VI SDK UUID").as("_t"))
+      .filter(col("_t").isNotNull).distinct()
+
+    // Mark: ids of all store nodes belonging to the workbook's tenants.
+    val marked = store.nodes
+      .join(tenants, store.nodes("tenant") === col("_t"), "left_semi")
+      .select("id")
+
+    // Nodes: other-tenant rows pass through; marked tenants are replaced by
+    // the batch (sweep = absence from the batch); global nodes upsert.
+    val otherTenantNodes = store.nodes.filter(col("tenant").isNotNull)
+      .join(tenants, store.nodes("tenant") === col("_t"), "left_anti")
+    val tenantNodes = batch.nodes.filter(col("tenant").isNotNull)
+    val globalNodes = Upsert.upsertNodes(
+      store.nodes.filter(col("tenant").isNull),
+      batch.nodes.filter(col("tenant").isNull),
+      keys = Seq("id"))
+    val nodes = otherTenantNodes.unionByName(tenantNodes).unionByName(globalNodes)
+
+    // Edges: mark drops every edge incident to a marked node; the load's
+    // edges win on key collision with survivors.
+    val survivors = store.edges
+      .join(marked.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(marked.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select(store.edges.columns.map(col).toSeq: _*)
+    val edges = Upsert.upsertEdges(survivors, batch.edges, Ingest.UndirectedRelTypes)
+
+    GraphStore(nodes, edges)
+  }
+
+  /** Persist partitioned for label/relType pruning at scale. */
+  def write(store: GraphStore, path: String): Unit = {
+    store.nodes.write.mode("overwrite").partitionBy("label").parquet(s"$path/nodes")
+    store.edges.write.mode("overwrite").partitionBy("relType").parquet(s"$path/edges")
+  }
+
+  def load(spark: SparkSession, path: String): GraphStore = GraphStore(
+    spark.read.parquet(s"$path/nodes").select(nodeSchema.fieldNames.map(col).toSeq: _*),
+    spark.read.parquet(s"$path/edges").select(edgeSchema.fieldNames.map(col).toSeq: _*))
+}
