@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries,
     ScalarFuncQueries,
     MutationQueries,
-    StreamingQueries)
+    StreamingQueries,
+    LlmOpsQueries)
 
   lazy val all: Seq[OracleQuery] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,82 @@
+package graft.llmops
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  *  - brute-force cosine top-k: the exact baseline — a broadcast cross
+  *    join (|Q|×|C| work). Right answer for small query sets; the recall
+  *    oracle for the approximate path.
+  *  - LSH top-k: BucketedRandomProjectionLSH over L2-normalized vectors
+  *    (cosine ≡ 1 − d²/2 on the unit sphere), seeded → deterministic.
+  *    Sub-quadratic: at 100 TB the corpus is bucketed once (fit +
+  *    transform, one pass) and each query probes its buckets only.
+  *
+  * Dot products run in DOUBLE via codegen'd higher-order functions —
+  * no UDF, stays inside WholeStageCodegen.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (self-matches by id
+    * excluded). Queries are broadcast — the corpus never shuffles.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Approximate top-k via random-hyperplane-ish bucketing: normalize to the
+    * unit sphere, bucket with BucketedRandomProjectionLSH, join on bucket
+    * collisions, exact cosine re-rank inside the candidate set.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketLength: Double = 0.5, numHashTables: Int = 8,
+      maxL2Dist: Double = 1.2): DataFrame = {
+    def normalized(df: DataFrame, prefix: String) = {
+      val n = l2norm(col(vecCol))
+      df.select(col(idCol).as(s"${prefix}id"),
+        array_to_vector(transform(col(vecCol), x => x.cast("double") / n))
+          .as(s"${prefix}vec"),
+        col(vecCol).as(s"${prefix}raw"))
+    }
+    val c = normalized(corpus, "c")
+    val q = normalized(queries, "q")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("cvec").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(c)
+    val joined = model.approxSimilarityJoin(
+        q.withColumnRenamed("qvec", "cvec"), c, maxL2Dist, "l2")
+      .select(col("datasetA.qid").as("qid"), col("datasetB.cid").as("cid"),
+        col("datasetA.qraw").as("qraw"), col("datasetB.craw").as("craw"))
+      .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    joined.withColumn("cos", cosine(col("qraw"), col("craw")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
+  }
+}

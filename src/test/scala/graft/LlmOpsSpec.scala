@@ -1,0 +1,97 @@
+package graft
+
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-ops operators: approximate paths validated against their exact
+  * counterparts (recall), language ID against real multilingual text,
+  * multimodal plumbing end-to-end with the stub codec.
+  */
+class LlmOpsSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, dir).cache()
+  private lazy val emb = Tables.embeddings(spark, dir).cache()
+
+  private lazy val exactPairs = Dedup
+    .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("corpus has planted near-duplicates (ground truth non-empty)") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("MinHash LSH recalls every exact Jaccard>=0.8 pair") {
+    val mh = Dedup.minHashPairs(docs, "doc_id", "text", maxJaccardDist = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exactPairs -- mh
+    assert(missed.isEmpty, s"minhash missed: $missed")
+    // and no wild overreach: candidates stay bounded.
+    assert(mh.size <= exactPairs.size * 10 + 20)
+  }
+
+  test("SimHash banding honors its guarantee: every pair with Hamming<=3 is found") {
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+    val truth = sigs.alias("x").join(sigs.alias("y"), col("x.doc") < col("y.doc"))
+      .withColumn("h", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .filter(col("h") <= 3)
+      .select(col("x.doc"), col("y.doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"missed: ${truth -- found}, extra: ${found -- truth}")
+    assert(truth.nonEmpty, "expected at least one near-identical pair at Hamming<=3")
+  }
+
+  test("SimHash is deterministic") {
+    val a = Dedup.simHash(docs, "doc_id", "text").orderBy("doc").collect().toSeq
+    val b = Dedup.simHash(docs, "doc_id", "text").orderBy("doc").collect().toSeq
+    assert(a == b)
+  }
+
+  test("LSH ANN top-k has high recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall $recall below 0.8")
+  }
+
+  test("language ID recovers real-language text") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun", "en"),
+      (2L, "der hund und die katze sind nicht in der küche mit den kindern", "de"),
+      (3L, "le chat est dans la maison et les enfants sont dans le jardin", "fr"),
+      (4L, "el perro y el gato están en la casa de la abuela por la tarde", "es"),
+      (5L, "zzzz qqqq xxxx wwww", "und")).toDF("doc_id", "text", "expected")
+    val pred = TextAnalysis.withLangId(samples)
+      .select("expected", "lang_pred").collect()
+    pred.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("quality metrics sane on a known string") {
+    import spark.implicits._
+    val df = Seq((1L, "The quick, brown fox!")).toDF("doc_id", "text")
+    val m = TextAnalysis.withQuality(df).collect().head
+    assert(m.getAs[Long]("n_chars") == 21)
+    assert(m.getAs[Long]("n_tokens") == 4)
+    assert(m.getAs[Long]("n_punct") == 2)    // comma + bang
+    assert(m.getAs[Long]("n_stopwords") == 1) // 'The'
+  }
+
+  test("multimodal stub pipeline: payload → metadata + features, deterministic") {
+    val media = Multimodal.payloadFrom(docs, "doc_id", "text")
+    val meta = Multimodal.withMetadata(media)
+    assert(meta.filter(col("byte_len") =!= length(col("payload"))).count() == 0)
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect().toSeq
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect().toSeq
+    assert(f1.map(_.media_id) == f2.map(_.media_id))
+    assert(f1.head.features.length == 8)
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    // feature values derive from payload bytes — nonzero for nonempty docs.
+    assert(f1.forall(f => f.byte_len == 0 || f.features.exists(_ != 0f)))
+  }
+}
