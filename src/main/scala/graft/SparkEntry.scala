@@ -17,7 +17,8 @@ object SparkEntry {
     ScalarFuncQueries,
     MutationQueries,
     StreamingQueries,
-    LlmOpsQueries)
+    LlmOpsQueries,
+    GraphQueries)
 
   lazy val all: Seq[OracleQuery] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,90 @@
+package graft.analytics
+
+import graft.ingest.Refresh.GraphStore
+import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Bulk graph analytics over the property-graph store via GraphX
+  * (SURVEY §2.11 / BASELINE.json "GraphX for analytics, not OLTP
+  * traversal"). The store's deterministic 64-bit node ids ARE the GraphX
+  * VertexIds — the bridge is two cheap projections, no re-keying shuffle.
+  *
+  * Scale notes: GraphX materializes the graph as RDDs outside Tungsten —
+  * build it once per analytics session, cache with MEMORY_AND_DISK, and
+  * checkpoint iterative results (PageRank) on long chains. Edge partitioning
+  * uses EdgePartition2D to bound replication at √P.
+  */
+object GraphAnalytics {
+
+  def toGraphX(store: GraphStore): GxGraph[String, String] = {
+    val vertices: RDD[(VertexId, String)] = store.nodes
+      .select(col("id"), col("label")).rdd
+      .map(r => (r.getLong(0), r.getString(1)))
+    val edges: RDD[GxEdge[String]] = store.edges
+      .select(col("src"), col("dst"), col("relType")).rdd
+      .map(r => GxEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+    GxGraph(vertices, edges, defaultVertexAttr = "",
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+  }
+
+  private def toDF(spark: SparkSession, rdd: RDD[(VertexId, Long)],
+      valueName: String): DataFrame = {
+    import spark.implicits._
+    rdd.toDF("id", valueName)
+  }
+
+  /** Per-node degree (undirected). */
+  def degrees(spark: SparkSession, g: GxGraph[String, String]): DataFrame =
+    toDF(spark, g.degrees.map { case (v, d) => (v, d.toLong) }, "degree")
+
+  /** Connected components (component = min vertex id in component). */
+  def connectedComponents(spark: SparkSession, g: GxGraph[String, String]): DataFrame =
+    toDF(spark, g.connectedComponents().vertices, "component")
+
+  def pageRank(spark: SparkSession, g: GxGraph[String, String],
+      iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    g.staticPageRank(iters).vertices.toDF("id", "rank")
+  }
+
+  /** Blast radius: all nodes within `maxHops` of `startIds` along the given
+    * relationship types, ignoring direction — e.g. "which VMs transitively
+    * depend on datastore X" via CONNECTED_DATASTORE/ON_DATASTORE/
+    * VDISK_FOR_VM. Iterative frontier expansion with DataFrame joins (each
+    * hop is one shuffle against the filtered edge set — no full-graph
+    * materialization, hop count bounded).
+    */
+  def blastRadius(store: GraphStore, startIds: DataFrame,
+      relTypes: Set[String], maxHops: Int = 4): DataFrame = {
+    val rel = store.edges.filter(col("relType").isInCollection(relTypes))
+    // Iterative joins: truncate lineage every hop (localCheckpoint) or the
+    // logical plan doubles per iteration and canonicalization blows the
+    // driver heap long before the data does.
+    val und = rel.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(rel.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().localCheckpoint(true)
+    var frontier = startIds.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var reached = frontier
+    var hop = 0
+    var grew = true
+    while (hop < maxHops && grew) {
+      hop += 1
+      val next = frontier.join(und, frontier("id") === und("a"))
+        .select(col("b").as("id")).distinct()
+        .join(reached.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint(true)
+      grew = next.count() > 0
+      reached = reached.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    reached.join(store.nodes, Seq("id"))
+      .select(col("id"), col("label"), col("key"), col("hops"))
+  }
+}

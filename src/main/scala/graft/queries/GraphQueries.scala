@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{OracleQuery, QueryModule, Tables}
+import graft.analytics.GraphAnalytics
+import graft.ingest.Refresh.GraphStore
+import graft.model.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bulk graph analytics over testdata-derived graphs, run through the REAL
+  * GraphX bridge and checked against relational oracles where the result
+  * is exactly computable in SQL (degrees, component counts). PageRank is
+  * iterative floating-point → rows-only, pinned in GraphAnalyticsSpec.
+  */
+object GraphQueries extends QueryModule {
+
+  private def q(name: String, sql: String)(run: (SparkSession, String) => DataFrame) =
+    OracleQuery(name, run, Some(sql))
+  private def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame) =
+    OracleQuery(name, run, None)
+
+  /** customer↔order bipartite graph as a GraphStore. */
+  private def customerOrderGraph(s: SparkSession, d: String): GraphStore = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val nodes = Graph.nodesFrom(c, "Customer", lit(null), Seq(col("c_custkey")),
+        Map("custkey" -> col("c_custkey")))
+      .unionByName(Graph.nodesFrom(o, "Order", lit(null), Seq(col("o_orderkey")),
+        Map("orderkey" -> col("o_orderkey"))))
+      .drop("_ord")
+    val edges = Graph.edgesFrom(o, "Order", Seq(col("o_orderkey")), "PLACED_BY",
+      "Customer", Seq(col("o_custkey")), lit(null)).drop("_ord")
+    GraphStore(nodes, edges)
+  }
+
+  private def nationRegionGraph(s: SparkSession, d: String): GraphStore = {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val nodes = Graph.nodesFrom(n, "Nation", lit(null), Seq(col("n_nationkey")),
+        Map("name" -> col("n_name")))
+      .unionByName(Graph.nodesFrom(r, "Region", lit(null), Seq(col("r_regionkey")),
+        Map("name" -> col("r_name"))))
+      .drop("_ord")
+    val edges = Graph.edgesFrom(n, "Nation", Seq(col("n_nationkey")), "IN_REGION",
+      "Region", Seq(col("n_regionkey")), lit(null)).drop("_ord")
+    GraphStore(nodes, edges)
+  }
+
+  val queries: Seq[OracleQuery] = Seq(
+    // GraphX degree of each customer vertex ≡ SQL order count (validates the
+    // id-preserving bridge numerically: zero-degree customers are absent
+    // from GraphX degrees, hence the inner-join-shaped oracle).
+    q("q_g_degree",
+      "SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS degree FROM orders GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val store = customerOrderGraph(s, d)
+      val g = GraphAnalytics.toGraphX(store)
+      val custIds = store.nodes.filter(col("label") === "Customer")
+        .select(col("id"), col("props")("custkey").cast("long").as("custkey"))
+      GraphAnalytics.degrees(s, g)
+        .join(custIds, Seq("id"))
+        .select(col("custkey"), col("degree"))
+        .orderBy("custkey")
+    },
+    // connected components of the nation-region forest = one per region.
+    q("q_g_components",
+      "SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_components FROM nation") { (s, d) =>
+      val g = GraphAnalytics.toGraphX(nationRegionGraph(s, d))
+      GraphAnalytics.connectedComponents(s, g)
+        .agg(countDistinct(col("component")).as("n_components"))
+    },
+    rowsOnly("q_g_pagerank") { (s, d) =>
+      val g = GraphAnalytics.toGraphX(nationRegionGraph(s, d))
+      GraphAnalytics.pageRank(s, g, iters = 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }
+  )
+}

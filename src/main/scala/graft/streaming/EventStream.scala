@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.10): windowed aggregates with
+  * watermarks over an event stream, plus foreachBatch feeding the engine's
+  * upsert kernel so the reference's batch mark-and-sweep becomes an
+  * incremental MERGE per micro-batch.
+  *
+  * The same transformations run in batch mode in StreamingQueries (that's
+  * the DuckDB-checked surface); Spark guarantees batch/stream parity for
+  * time-window aggregates, and EventStreamSpec pins it with MemoryStream.
+  */
+object EventStream {
+
+  /** Tumbling-window counts per event type with a watermark: late events
+    * beyond `lateness` are dropped, state is bounded (the 100 TB/continuous
+    * operation requirement — unbounded state is the streaming OOM).
+    */
+  def tumblingCounts(events: DataFrame, window: String = "5 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Sliding-window sums (width/slide), watermarked. */
+  def slidingSums(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes", lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Incremental refresh: each micro-batch upserts into the keyed state
+    * table via the same kernel the batch refresh uses (M1/M4). `apply`
+    * receives the post-upsert state so callers own persistence (parquet
+    * overwrite-by-partition in production; in-memory in tests).
+    */
+  def incrementalUpsert(
+      events: DataFrame, keys: Seq[String], orderCol: String,
+      initial: DataFrame, apply: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    var state = initial
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = Upsert.dedupeLastWriter(
+          batch.select(initial.columns.map(col).toSeq: _*), keys, Seq(orderCol))
+        state = Upsert.upsertNodes(state, deduped, keys).cache()
+        state.count() // materialize before the next micro-batch mutates lineage
+        apply(state)
+      }
+  }
+}

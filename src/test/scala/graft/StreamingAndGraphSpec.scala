@@ -1,0 +1,87 @@
+package graft
+
+import graft.analytics.GraphAnalytics
+import graft.fixtures.SyntheticWorkbook
+import graft.ingest.Refresh
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming parity + GraphX analytics over the fixture graph. */
+class StreamingAndGraphSpec extends SparkTestBase {
+
+  test("streaming tumbling counts match the batch computation (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val streamDf = mem.toDF()
+      .select(expr("timestamp_micros(_1 * 1000000)").as("ts"), col("_2").as("event_type"),
+        col("_3").as("value"))
+    val agg = EventStream.tumblingCounts(streamDf, window = "10 seconds", lateness = "0 seconds")
+    val query = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    val base = 1700000000L
+    mem.addData((base, "a", 1.0), (base + 3, "a", 2.0), (base + 11, "b", 3.0),
+      (base + 12, "a", 4.0), (base + 25, "b", 5.0), (base + 100, "a", 6.0))
+    query.processAllAvailable()
+    // watermark 0s + append mode: windows close once the watermark (max ts)
+    // passes window end → first three windows emitted, the base+100 window
+    // still open.
+    val rows = spark.table("tumbling")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    query.stop()
+    val expected = Set(
+      (base, "a", 2L), ((base / 10 * 10) + 10, "b", 1L), ((base / 10 * 10) + 10, "a", 1L),
+      ((base / 10 * 10) + 20, "b", 1L))
+    assert(rows == expected, s"got $rows")
+  }
+
+  test("foreachBatch incremental upsert converges to the batch upsert result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val streamDf = mem.toDF().select(col("_1").as("k"), col("_2").as("v"), col("_3").as("seq"))
+    val initial = Seq((1L, "init", 0L)).toDF("k", "v", "seq")
+    var last: org.apache.spark.sql.DataFrame = initial
+    val writer = EventStream.incrementalUpsert(streamDf, Seq("k"), "seq", initial,
+      st => last = st)
+    mem.addData((1L, "x", 1L), (2L, "y", 2L))
+    mem.addData((2L, "z", 3L), (3L, "w", 4L))
+    val q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    val state = last.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state == Seq((1L, "x"), (2L, "z"), (3L, "w")))
+  }
+
+  test("GraphX blast radius: VMs transitively on the shared datastore") {
+    val store = Refresh.refresh(
+      SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
+    val ds = store.nodes
+      .filter(col("label") === "Vdatastore" && col("props")("name") === "ds-shared-01")
+      .select("id")
+    val radius = GraphAnalytics.blastRadius(store, ds,
+      Set("CONNECTED_DATASTORE", "ON_DATASTORE", "VDISK_FOR_VM"), maxHops = 3)
+    val vms = radius.filter(col("label") === "Virtualmachine")
+      .select("key").collect().map(_.getString(0)).toSet
+    // both disks on ds-shared-01 belong to vm1 and vm2; vm3 is not affected.
+    assert(vms.map(_.split(graft.model.Graph.KeySep).head) == Set("vm-uuid-01", "vm-uuid-02"))
+    // hosts connected to the datastore are in the radius too.
+    val hosts = radius.filter(col("label") === "Vspherehost").count()
+    assert(hosts == 2)
+  }
+
+  test("GraphX pagerank: region hubs outrank leaf nations") {
+    val store = Refresh.refresh(
+      SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
+    val g = GraphAnalytics.toGraphX(store)
+    val pr = GraphAnalytics.pageRank(spark, g, iters = 5)
+    assert(pr.count() == store.nodes.count())
+    // deterministic across runs
+    val a = pr.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    val b = GraphAnalytics.pageRank(spark, GraphAnalytics.toGraphX(store), iters = 5)
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(a == b)
+  }
+}
