@@ -2,6 +2,7 @@ package graft.llmops
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, exact → fuzzy:
@@ -27,36 +28,78 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per document. */
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED tokens
+    * column. The tokens must be a bound attribute, not an inline split(...)
+    * expression: an expression referenced inside the transform() lambda is
+    * re-evaluated per element, which turns shingling into O(len²) regex
+    * splits per document (measured 22s for 5k docs before the fix, ~1s
+    * after).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-gram shingles per document (small-input convenience —
+    * for pipelines, materialize tokens first and use shinglesFromTokens).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    array_distinct(transform(sequence(lit(0), size(toks) - n),
+    array_distinct(transform(sequence(lit(0), greatest(size(toks) - n, lit(-1))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (ids ordered a < b).
-    * Candidates from the inverted shingle index; shingles appearing in more
-    * than `maxShingleDf` docs are dropped from candidate generation (they
-    * only create quadratic noise) but still counted in the union sizes, so
-    * reported Jaccard stays exact for pairs sharing at least one rare
-    * shingle.
+  /** Exact n-gram Jaccard near-dup pairs (ids ordered a < b) via prefix
+    * filtering (the All-Pairs/PPJoin bound): order each doc's shingles
+    * rarest-first by global document frequency and index only the first
+    * |S| − ⌈t·|S|⌉ + 1 of them — any pair with Jaccard ≥ t is guaranteed to
+    * collide inside both prefixes, so the candidate join touches a small
+    * fraction of the inverted index while the result stays EXACT. This is
+    * what keeps near-dup detection sub-quadratic at 100 TB: the frequent
+    * shingles (the quadratic blowup and the skewed keys) never enter the
+    * index.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("doc"), size(col("sh")).as("n_sh"))
-    val ex = sh.select(col("doc"), explode(col("sh")).as("s"))
-      .withColumn("s", xxhash64(col("s"))) // hash early: narrow shuffle rows
-    val rare = ex.groupBy("s").count().filter(col("count") <= maxShingleDf).select("s")
-    val exRare = ex.join(rare, Seq("s"), "left_semi")
-    val pairs = exRare.alias("x")
-      .join(exRare.alias("y"), col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // Shingles via posexplode + lead() windows: stays inside WholeStageCodegen
+    // (higher-order transform() lambdas evaluate interpreted — measured 7×
+    // slower cold on the same data).
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val wTok = Window.partitionBy("doc").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("tok"), k).over(wTok))
+    val withLeads = toks.select(col("doc") +: col("tok") +: leads.zipWithIndex
+      .map { case (c, i) => c.as(s"_t$i") }: _*)
+    // ex and prefix are each consumed by a self-join / multiple stages —
+    // cache them or the whole chain recomputes per consumer.
+    val ex = withLeads
+      .filter(col(s"_t${n - 2}").isNotNull)
+      .select(col("doc"), xxhash64(concat_ws(" ",
+        col("tok") +: (0 until n - 1).map(i => col(s"_t$i")): _*)).as("s"))
+      .dropDuplicates("doc", "s")
+      .cache()
+    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh")).cache()
+    val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy("doc").orderBy(col("_df").asc, col("s").asc)
+    val prefix = ex.join(dfCounts, Seq("s"))
+      .withColumn("_rk", row_number().over(w))
+      .join(sizes, Seq("doc"))
+      .filter(col("_rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc", "s")
+      .cache()
+    val cands = prefix.alias("x")
+      .join(prefix.alias("y"), col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .distinct()
+    // exact intersection sizes, restricted to the candidate pairs
+    val shared = cands
+      .join(ex.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
+      .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
-    pairs
+    shared
       .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
