@@ -17,6 +17,7 @@ object SparkEntry {
     ScalarFuncQueries,
     MutationQueries,
     StreamingQueries,
+    AdvancedQueries,
     LlmOpsQueries,
     GraphQueries)
 

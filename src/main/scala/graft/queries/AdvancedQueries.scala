@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{OracleQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation/window capabilities beyond the reference's own surface that
+  * SURVEY §2.4–§2.5 names as natively covered: rollup/cube/grouping sets,
+  * distinct aggregates, lag/rank windows, date-part extraction. Group-by
+  * columns in super-aggregate rows are coalesced to 'ALL' on both sides so
+  * NULL-ordering differences between engines can't bite.
+  */
+object AdvancedQueries extends QueryModule {
+
+  private def q(name: String, sql: String)(run: (SparkSession, String) => DataFrame) =
+    OracleQuery(name, run, Some(sql))
+
+  val queries: Seq[OracleQuery] = Seq(
+    q("q_a5_rollup",
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY 1, 2") { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+        .orderBy("status", "priority")
+    },
+    q("q_a6_cube",
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate)) ORDER BY 1, 2") { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("yr0", year(col("o_orderdate")).cast("string"))
+        .cube("o_orderstatus", "yr0")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("yr0"), lit("ALL")).as("yr"), col("n"))
+        .orderBy("status", "yr")
+    },
+    q("q_a7_grouping_sets",
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY 1, 2") { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n " +
+        "FROM orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) " +
+        "ORDER BY 1, 2")
+    },
+    q("q_a8_distinct_agg",
+      "SELECT l_returnflag AS flag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part FROM lineitem GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct("l_suppkey").as("n_supp"), countDistinct("l_partkey").as("n_part"))
+        .orderBy("flag")
+    },
+    q("q_w3_lag_lead",
+      "SELECT o_custkey, o_orderkey, CAST(coalesce(lag(o_orderkey) OVER w, -1) AS BIGINT) AS prev_order, CAST(coalesce(lead(o_orderkey) OVER w, -1) AS BIGINT) AS next_order FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) ORDER BY o_custkey, o_orderkey") { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lag("o_orderkey", 1).over(w), lit(-1L)).as("prev_order"),
+          coalesce(lead("o_orderkey", 1).over(w), lit(-1L)).as("next_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    q("q_w4_rank",
+      "SELECT o_custkey, o_orderkey, CAST(rank() OVER w AS BIGINT) AS rnk, CAST(dense_rank() OVER w AS BIGINT) AS drnk FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, o_orderkey") { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    q("q_f13_date_parts",
+      "SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("yr", "mo")
+    },
+    q("q_a9_minmax_avg",
+      "SELECT l_returnflag AS flag, CAST(min(l_quantity) AS BIGINT) AS min_qty, CAST(max(l_quantity) AS BIGINT) AS max_qty, CAST(avg(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS avg_qty FROM lineitem GROUP BY 1 ORDER BY 1") { (s, d) =>
+      // avg of integral values: sum exact in long → single division, both
+      // engines compute sum/count in one step — identical double.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(min(col("l_quantity")).cast("long").as("min_qty"),
+          max(col("l_quantity")).cast("long").as("max_qty"),
+          avg(col("l_quantity").cast("long")).as("avg_qty"))
+        .orderBy("flag")
+    }
+  )
+}
