@@ -52,6 +52,26 @@ object GraphAnalytics {
     g.staticPageRank(iters).vertices.toDF("id", "rank")
   }
 
+  /** Per-vertex triangle count. GraphX's implementation requires canonical
+    * edge orientation (srcId < dstId) and deduped edges — enforced here.
+    */
+  def triangleCount(spark: SparkSession, g: GxGraph[String, String]): DataFrame = {
+    val canonical = GxGraph(
+      g.vertices,
+      g.edges.map(e =>
+        if (e.srcId < e.dstId) e else GxEdge(e.dstId, e.srcId, e.attr))
+        .distinct())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    toDF(spark, canonical.triangleCount().vertices.map { case (v, t) => (v, t.toLong) },
+      "triangles")
+  }
+
+  /** Degree distribution summary — the quick health check on any graph. */
+  def degreeStats(spark: SparkSession, g: GxGraph[String, String]): DataFrame =
+    degrees(spark, g).agg(
+      min("degree").as("min_degree"), max("degree").as("max_degree"),
+      avg("degree").as("avg_degree"), count(lit(1)).as("n_vertices"))
+
   /** Blast radius: all nodes within `maxHops` of `startIds` along the given
     * relationship types, ignoring direction — e.g. "which VMs transitively
     * depend on datastore X" via CONNECTED_DATASTORE/ON_DATASTORE/

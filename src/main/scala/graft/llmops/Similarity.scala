@@ -46,6 +46,49 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold)
+    * — the exact quadratic baseline (broadcast self cross join). This is
+    * the oracle for the LSH path; at corpus scale use `lshCosinePairs`.
+    */
+  def cosinePairs(
+      df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Sub-quadratic cosine near-dup pairs: LSH bucket candidates + exact
+    * cosine verification. Recall vs `cosinePairs` asserted in LlmOpsSpec.
+    */
+  def lshCosinePairs(
+      df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketLength: Double = 0.5, numHashTables: Int = 8): DataFrame = {
+    // on the unit sphere cosine ≥ t ⇔ L2 ≤ sqrt(2 − 2t)
+    val maxL2 = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0))
+    val n = l2norm(col(vecCol))
+    val prepared = df.select(col(idCol).as("pid"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double") / n)).as("nvec"),
+      col(vecCol).as("raw"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("nvec").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(prepared)
+    model.approxSimilarityJoin(prepared, prepared, maxL2 + 1e-9, "l2")
+      .select(col("datasetA.pid").as("id_a"), col("datasetB.pid").as("id_b"),
+        col("datasetA.raw").as("ra"), col("datasetB.raw").as("rb"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("ra"), col("rb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Approximate top-k via random-hyperplane-ish bucketing: normalize to the
     * unit sphere, bucket with BucketedRandomProjectionLSH, join on bucket
     * collisions, exact cosine re-rank inside the candidate set.

@@ -68,6 +68,19 @@ object GraphQueries extends QueryModule {
       GraphAnalytics.connectedComponents(s, g)
         .agg(countDistinct(col("component")).as("n_components"))
     },
+    // degree distribution stats via GraphX ≡ SQL over the order counts
+    q("q_g_degree_stats",
+      "SELECT CAST(min(c) AS BIGINT) AS min_degree, CAST(max(c) AS BIGINT) AS max_degree, CAST(avg(CAST(c AS BIGINT)) AS DOUBLE) AS avg_degree, CAST(count(*) AS BIGINT) AS n_vertices FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)") { (s, d) =>
+      val store = customerOrderGraph(s, d)
+      val g = GraphAnalytics.toGraphX(store)
+      val custIds = store.nodes.filter(col("label") === "Customer").select("id")
+      GraphAnalytics.degrees(s, g)
+        .join(custIds, Seq("id"), "left_semi")
+        .agg(min("degree").cast("long").as("min_degree"),
+          max("degree").cast("long").as("max_degree"),
+          avg("degree").as("avg_degree"),
+          count(lit(1)).as("n_vertices"))
+    },
     rowsOnly("q_g_pagerank") { (s, d) =>
       val g = GraphAnalytics.toGraphX(nationRegionGraph(s, d))
       GraphAnalytics.pageRank(s, g, iters = 10)

@@ -86,6 +86,13 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("qid", "rn")
     },
 
+    // embedding-cosine near-dup pairs (exact baseline, LSH path rows-only)
+    q("q_x_dedup_embed_cosine",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb FROM e a JOIN e b USING (i) WHERE a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos FROM dots WHERE dot / (na * nb) >= 0.4 ORDER BY 1, 2") { (s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // approximate paths — deterministic but not SQL-expressible → rows-only;
     // recall vs the exact paths is asserted in DedupSpec / SimilaritySpec.
     rowsOnly("q_x_dedup_minhash") { (s, d) =>

@@ -58,6 +58,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ANN recall $recall below 0.8")
   }
 
+  test("LSH cosine pairs recall the exact cosine near-dups") {
+    val exact = Similarity.cosinePairs(emb, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshCosinePairs(emb, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected some pairs at cosine>=0.3")
+    // LSH candidates are verified with exact cosine → no false positives...
+    assert((approx -- exact).isEmpty)
+    // ...and recall stays high.
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"cosine-pair recall $recall below 0.8")
+  }
+
   test("language ID recovers real-language text") {
     import spark.implicits._
     val samples = Seq(

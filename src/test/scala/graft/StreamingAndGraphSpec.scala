@@ -72,6 +72,20 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(hosts == 2)
   }
 
+  test("GraphX triangle count finds the host-cluster-vcenter triangles") {
+    val store = Refresh.refresh(
+      SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
+    val g = GraphAnalytics.toGraphX(store)
+    // host—MEMBER_OF_CLUSTER→cluster, host—CONTROLLED_BY_VC—vc,
+    // cluster—CONTROLLED_BY_VC—vc close a triangle per host.
+    val total = GraphAnalytics.triangleCount(spark, g)
+      .agg(sum("triangles")).collect().head.getLong(0)
+    assert(total > 0, "expected host-cluster-vc triangles in the fixture graph")
+    val stats = GraphAnalytics.degreeStats(spark, g).collect().head
+    assert(stats.getAs[Long]("n_vertices") > 0)
+    assert(stats.getAs[Long]("max_degree") >= 10L) // the vCenter hub
+  }
+
   test("GraphX pagerank: region hubs outrank leaf nations") {
     val store = Refresh.refresh(
       SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
