@@ -80,6 +80,15 @@ object Refresh {
     GraphStore(nodes, edges)
   }
 
+  /** Truncate the store's lineage (eager localCheckpoint). Chained
+    * in-memory refreshes multiply the logical plan per round until Catalyst
+    * optimization itself OOMs (measured on a KB-sized store at 3 rounds) —
+    * in production the `write` parquet barrier plays this role; call this
+    * when chaining refreshes without writing.
+    */
+  def materialize(store: GraphStore): GraphStore =
+    GraphStore(store.nodes.localCheckpoint(true), store.edges.localCheckpoint(true))
+
   /** Persist partitioned for label/relType pruning at scale. */
   def write(store: GraphStore, path: String): Unit = {
     store.nodes.write.mode("overwrite").partitionBy("label").parquet(s"$path/nodes")

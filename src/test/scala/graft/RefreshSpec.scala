@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   */
 class RefreshSpec extends SparkTestBase {
 
-  private lazy val store1 = Refresh.refresh(
-    SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
+  // materialized: every test re-derives from store1, and chained refreshes
+  // need the lineage barrier (see Refresh.materialize).
+  private lazy val store1 = Refresh.materialize(Refresh.refresh(
+    SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark)))
   private lazy val nodes1 = store1.nodes.cache()
   private lazy val edges1 = store1.edges.cache()
 
@@ -135,6 +137,29 @@ class RefreshSpec extends SparkTestBase {
     assert(canon(nodes1).exceptAll(canon(store2.nodes)).count() == 0)
     assert(canon(store2.edges).exceptAll(canon(edges1)).count() == 0)
     assert(canon(edges1).exceptAll(canon(store2.edges)).count() == 0)
+  }
+
+  test("multi-tenant isolation: refreshing one vCenter never touches another") {
+    // Second tenant = the golden workbook under a different vCenter
+    // identity; load both, then age only tenant 1.
+    val wb2 = SyntheticWorkbook.golden(spark).map { case (name, df) =>
+      val retargeted = Seq(
+        "VI SDK UUID" -> "vc-uuid-0002",
+        "VI SDK Server" -> "vcenter02.acme.local")
+        .foldLeft(df) { case (d, (c, v)) =>
+          if (d.columns.contains(c)) d.withColumn(c, when(col(c).isNotNull, v)) else d
+        }
+      name -> retargeted
+    }
+    val both = Refresh.materialize(Refresh.refresh(store1, wb2))
+    val t2Count = both.nodes.filter(col("tenant") === "vc-uuid-0002").count()
+    assert(t2Count > 0)
+    val aged = Refresh.refresh(both, SyntheticWorkbook.aged(spark))
+    // tenant 1 shrank (host/vm swept)…
+    assert(aged.nodes.filter(col("tenant") === SyntheticWorkbook.Uid).count() <
+      both.nodes.filter(col("tenant") === SyntheticWorkbook.Uid).count())
+    // …tenant 2 is bit-for-bit untouched.
+    assert(aged.nodes.filter(col("tenant") === "vc-uuid-0002").count() == t2Count)
   }
 
   test("mark-and-sweep: aged workbook deletes the dropped host and VM (M7/M8)") {
