@@ -50,7 +50,15 @@ object Refresh {
   /** One full refresh of `store` from a workbook. */
   def refresh(store: GraphStore, wb: Workbook.Sheets): GraphStore = {
     val batch = Ingest.run(wb, store.nodes, store.edges)
+    // Marked tenants = the vCluster sheet's UUIDs ∪ every tenant the batch
+    // actually produced nodes for. An inconsistent workbook (a sheet carrying
+    // a VI SDK UUID absent from vCluster) would otherwise keep the store row
+    // through the anti-join AND union the identical batch row — a duplicate
+    // id that breaks the unique-(label,key) invariant. The union keeps both
+    // behaviors: empty-but-listed tenants still sweep to nothing (reference
+    // mark semantics), and batch-only tenants stay idempotent.
     val tenants = wb("vCluster").select(col("VI SDK UUID").as("_t"))
+      .unionByName(batch.nodes.select(col("tenant").as("_t")))
       .filter(col("_t").isNotNull).distinct()
 
     // Mark: ids of all store nodes belonging to the workbook's tenants.

@@ -46,8 +46,10 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    array_distinct(transform(sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (ids ordered a < b) via prefix
@@ -99,12 +101,18 @@ object Dedup {
       .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
-    shared
+    val result = shared
       .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // Materialize eagerly so the caches can be released before returning —
+    // a long-lived session calling this repeatedly must not accumulate
+    // storage memory (near-dup results are tiny vs their inputs).
+    val out = result.localCheckpoint(true)
+    prefix.unpersist(); sizes.unpersist(); ex.unpersist()
+    out
   }
 
   /** MinHash-LSH near-dup candidate pairs via Spark ML (seeded →

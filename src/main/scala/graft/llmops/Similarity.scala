@@ -79,10 +79,15 @@ object Similarity {
       bucketLength: Double = 0.5, numHashTables: Int = 8): DataFrame = {
     // on the unit sphere cosine ≥ t ⇔ L2 ≤ sqrt(2 − 2t)
     val maxL2 = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0))
-    val n = l2norm(col(vecCol))
-    val prepared = df.select(col(idCol).as("pid"),
-      array_to_vector(transform(col(vecCol), x => x.cast("double") / n)).as("nvec"),
-      col(vecCol).as("raw"))
+    // Materialize the norm as a bound attribute BEFORE the lambda: an inline
+    // l2norm(...) referenced inside transform() re-evaluates the full dot
+    // product per element — O(d²) per row, interpreted (SCALE.md).
+    val prepared = df
+      .select(col(idCol).as("pid"), col(vecCol).as("raw"),
+        l2norm(col(vecCol)).as("_n"))
+      .select(col("pid"),
+        array_to_vector(transform(col("raw"), x => x.cast("double") / col("_n"))).as("nvec"),
+        col("raw"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nvec").setOutputCol("__hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
@@ -107,11 +112,13 @@ object Similarity {
       bucketLength: Double = 0.5, numHashTables: Int = 8,
       maxL2Dist: Double = 1.2): DataFrame = {
     def normalized(df: DataFrame, prefix: String) = {
-      val n = l2norm(col(vecCol))
-      df.select(col(idCol).as(s"${prefix}id"),
-        array_to_vector(transform(col(vecCol), x => x.cast("double") / n))
-          .as(s"${prefix}vec"),
-        col(vecCol).as(s"${prefix}raw"))
+      // norm as a bound attribute first — see lshCosinePairs.
+      df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}raw"),
+          l2norm(col(vecCol)).as("_n"))
+        .select(col(s"${prefix}id"),
+          array_to_vector(transform(col(s"${prefix}raw"), x => x.cast("double") / col("_n")))
+            .as(s"${prefix}vec"),
+          col(s"${prefix}raw"))
     }
     val c = normalized(corpus, "c")
     val q = normalized(queries, "q")

@@ -53,16 +53,20 @@ object Upsert {
     require(incoming.columns.toSeq == cols, s"schema mismatch: $cols vs ${incoming.columns.toSeq}")
     val nonKey = cols.filterNot(keys.contains)
     val ex = existing.select(cols.map(c => col(c).as(s"__ex_$c")): _*)
+      .withColumn("__ex_present", lit(true))
     val inc = incoming
       .select(cols.map(col): _*)
       .withColumn("__inc_present", lit(true))
     val joinCond = keys.map(k => inc(k) <=> ex(s"__ex_$k")).reduce(_ && _)
     val joined = inc.join(ex, joinCond, "full_outer")
-    // Matched or insert → incoming value (except onCreateOnly); keep-only → existing.
+    // Matched or insert → incoming value (except onCreateOnly); keep-only →
+    // existing. Match is decided by a presence flag, NOT per-column
+    // isNotNull: Cypher ON CREATE SET leaves the property untouched on
+    // match even when the existing value is NULL.
     val out = keys.map(k => coalesce(col(k), col(s"__ex_$k")).as(k)) ++
       nonKey.map { c =>
         if (onCreateOnly.contains(c))
-          when(col("__inc_present") && col(s"__ex_$c").isNotNull, col(s"__ex_$c"))
+          when(col("__inc_present") && col("__ex_present"), col(s"__ex_$c"))
             .when(col("__inc_present"), col(c))
             .otherwise(col(s"__ex_$c")).as(c)
         else
@@ -123,11 +127,15 @@ object Upsert {
       if (onCreateOnly.isEmpty) incoming
       else {
         val keep = mine.select((keys ++ onCreateOnly).map(c => col(c).as(s"__old_$c")): _*)
+          .withColumn("__old_present", lit(true))
         val joinCond = keys.map(k => incoming(k) <=> keep(s"__old_$k")).reduce(_ && _)
         val cols = incoming.columns.toSeq
+        // presence flag, not coalesce: a matched row whose existing value is
+        // NULL keeps NULL (same ON CREATE SET law as upsertNodes).
         incoming.join(keep, joinCond, "left").select(
           cols.map { c =>
-            if (onCreateOnly.contains(c)) coalesce(col(s"__old_$c"), col(c)).as(c)
+            if (onCreateOnly.contains(c))
+              when(col("__old_present"), col(s"__old_$c")).otherwise(incoming(c)).as(c)
             else incoming(c)
           }: _*)
       }

@@ -107,4 +107,18 @@ class LlmOpsSpec extends SparkTestBase {
     // feature values derive from payload bytes — nonzero for nonempty docs.
     assert(f1.forall(f => f.byte_len == 0 || f.features.exists(_ != 0f)))
   }
+
+  test("shingles on documents shorter than n return empty, not an error") {
+    import spark.implicits._
+    val short = Seq("one two", "a", "", "alpha beta gamma").toDF("text")
+    val out = short.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == List(Nil, Nil, Nil, List("alpha beta gamma")))
+    // and shingles agrees with shinglesFromTokens on the same input
+    val viaTokens = short
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+      .select(Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == viaTokens)
+  }
 }

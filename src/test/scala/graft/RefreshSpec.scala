@@ -183,4 +183,19 @@ class RefreshSpec extends SparkTestBase {
     // snapshot for the surviving VM2 still present.
     assert(labelCount(aged.nodes)("Vsnapshot") == 1)
   }
+
+  test("inconsistent workbook (tenant absent from vCluster sheet) stays idempotent") {
+    // A workbook whose vCluster sheet is empty but whose other sheets still
+    // carry the VI SDK UUID: the marked-tenant set must include the batch's
+    // own tenants, or a second refresh duplicates every tenant node id.
+    val wb = SyntheticWorkbook.golden(spark)
+    val noCluster = wb.updated("vCluster", wb("vCluster").limit(0))
+    val s1 = Refresh.materialize(Refresh.refresh(SyntheticWorkbook.seededStore(spark), noCluster))
+    val s2 = Refresh.materialize(Refresh.refresh(s1, noCluster))
+    assert(s2.nodes.count() == s2.nodes.select("id").distinct().count(),
+      "duplicate node ids after second refresh")
+    assert(s2.nodes.count() == s1.nodes.count())
+    assert(canon(s2.nodes).exceptAll(canon(s1.nodes)).count() == 0)
+    assert(canon(s1.nodes).exceptAll(canon(s2.nodes)).count() == 0)
+  }
 }

@@ -107,4 +107,25 @@ class UpsertPropertySpec extends SparkTestBase {
       assert(pa == pb)
     }
   }
+
+  test("ON CREATE SET keeps a NULL existing value on match (Cypher law)") {
+    // A matched key whose existing onCreateOnly column is NULL must stay
+    // NULL — match is decided by key presence, never per-column isNotNull.
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k LONG, v STRING")
+    def mk(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val ex = mk(Seq((1L, null), (2L, "kept")))
+    val inc = mk(Seq((1L, "overwrite?"), (2L, "overwrite?"), (3L, "created")))
+    val out = Upsert.upsertNodes(ex, inc, Seq("k"), onCreateOnly = Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("kept"), 3L -> Some("created")))
+    // markSweepNodes obeys the same law for its tenant-scoped merge.
+    val swept = Upsert.markSweepNodes(
+      mk(Seq((1L, null), (2L, "kept"))).withColumn("tenant", lit("t1")),
+      mk(Seq((1L, "overwrite?"), (2L, "overwrite?"), (3L, "created"))).withColumn("tenant", lit("t1")),
+      Seq("k"), "tenant", "t1", onCreateOnly = Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(swept == Map(1L -> None, 2L -> Some("kept"), 3L -> Some("created")))
+  }
 }
