@@ -1,0 +1,75 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * sampling, train/valid/test splitting, and token-budget sharding.
+  *
+  * All decisions derive from PortableHash over a stable key — never from
+  * RNG state — so results are reproducible run-to-run, independent of
+  * partitioning and cluster size, and exactly checkable by a SQL oracle.
+  * Every operator is a narrow codegen'd projection/filter (the window in
+  * `tokenShards` is the one shuffle); at 100 TB they run at scan speed.
+  */
+object Corpus {
+
+  /** Keep ~pct% of rows, chosen by key hash — the deterministic,
+    * partition-invariant replacement for df.sample(). Same key → same
+    * decision on every run and every cluster.
+    */
+  def hashSample(keyCol: Column, pct: Int): Column = {
+    require(pct >= 0 && pct <= 100)
+    PortableHash.hash52(keyCol.cast("string")) % 100 < pct
+  }
+
+  /** Assign each row a split label by cumulative hash-bucket ranges out of
+    * 10_000 (e.g. Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)).
+    * Order matters (ranges are cumulative in the given order); weights must
+    * sum to ≤ 10_000, remainder falls into the last split.
+    */
+  def withSplit(df: DataFrame, keyCol: Column,
+      splits: Seq[(String, Int)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 10000)
+    val bucket = PortableHash.hash52(keyCol.cast("string")) % 10000
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = splits.init.zip(bounds.init).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), hi)) => acc.when(bucket < hi, lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn(outCol, expr)
+  }
+
+  /** Contiguous token-budget sharding: documents in `orderCol` order (a
+    * numeric, globally-ordering column) are streamed into shards of
+    * ~`budget` tokens (shard = the budget-multiple the document STARTS in —
+    * the standard contiguous-token-stream packing for pretraining).
+    *
+    * The global running sum is computed scalably in two passes instead of a
+    * single-partition global window: a parallel per-group cumsum
+    * (partitioned window over coarse `groupSize` buckets of the order
+    * column), plus a broadcast join against the tiny running-offset table of
+    * group totals. No stage ever funnels the full data through one
+    * partition.
+    */
+  def tokenShards(df: DataFrame, orderCol: Column, tokenCol: Column,
+      budget: Long, outCol: String = "shard",
+      groupSize: Long = 1L << 20): DataFrame = {
+    val g = floor(orderCol / groupSize).cast("long")
+    val inGroup = Window.partitionBy("__g").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = df.withColumn("__g", g)
+      .withColumn("__cum_in", sum(tokenCol).over(inGroup))
+    // tiny: one row per group — running offset of all PRIOR groups.
+    val offsets = withCum.groupBy("__g")
+      .agg(sum(tokenCol).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__g", "__off")
+    withCum.join(broadcast(offsets), Seq("__g"))
+      .withColumn(outCol,
+        floor((col("__off") + col("__cum_in") - tokenCol) / budget).cast("long"))
+      .drop("__g", "__cum_in", "__off")
+  }
+}

@@ -1,6 +1,5 @@
 package graft.llmops
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,26 +61,33 @@ object Dedup {
     * shingles (the quadratic blowup and the skewed keys) never enter the
     * index.
     */
-  def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Shingles via posexplode + lead() windows: stays inside WholeStageCodegen
-    // (higher-order transform() lambdas evaluate interpreted — measured 7×
-    // slower cold on the same data).
+  /** Distinct hashed word n-gram shingles per doc as rows (doc, s) —
+    * posexplode + lead() windows so shingling stays inside
+    * WholeStageCodegen (higher-order transform() lambdas evaluate
+    * interpreted — measured 7× slower cold on the same data).
+    */
+  private def hashedShingleRows(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      hashFn: Column => Column): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
     val wTok = Window.partitionBy("doc").orderBy("pos")
     val leads = (1 until n).map(k => lead(col("tok"), k).over(wTok))
     val withLeads = toks.select(col("doc") +: col("tok") +: leads.zipWithIndex
       .map { case (c, i) => c.as(s"_t$i") }: _*)
-    // ex and prefix are each consumed by a self-join / multiple stages —
-    // cache them or the whole chain recomputes per consumer.
-    val ex = withLeads
+    withLeads
       .filter(col(s"_t${n - 2}").isNotNull)
-      .select(col("doc"), xxhash64(concat_ws(" ",
+      .select(col("doc"), hashFn(concat_ws(" ",
         col("tok") +: (0 until n - 1).map(i => col(s"_t$i")): _*)).as("s"))
       .dropDuplicates("doc", "s")
-      .cache()
+  }
+
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // ex and prefix are each consumed by a self-join / multiple stages —
+    // cache them or the whole chain recomputes per consumer.
+    val ex = hashedShingleRows(df, idCol, textCol, n, xxhash64(_)).cache()
     val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh")).cache()
     val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("_df"))
     val w = Window.partitionBy("doc").orderBy(col("_df").asc, col("s").asc)
@@ -115,48 +121,83 @@ object Dedup {
     out
   }
 
-  /** MinHash-LSH near-dup candidate pairs via Spark ML (seeded →
-    * deterministic). Returns (id_a < id_b, jaccard_dist).
+  /** MinHash-LSH near-dup pairs — pure codegen'd DataFrame ops, no ML
+    * vector UDTs in the hot path. Shingles are hashed with the portable
+    * 52-bit hash, each of `numHashTables` fixed modular permutations takes
+    * a per-doc min (one groupBy with N min-aggs = one shuffle), candidates
+    * are pairs colliding on ANY signature slot (OR-amplification, the same
+    * scheme as Spark ML's MinHashLSH), and every candidate is verified by
+    * EXACT Jaccard over the hashed shingle sets. Deterministic end to end
+    * (hardcoded permutation constants), and — because every step is plain
+    * integer arithmetic on a hash both engines share — fully mirrored by a
+    * DuckDB oracle (LlmOpsQueries.minHashOracleSql).
+    *
+    * Returns (id_a < id_b, jaccard_dist = 1 − J) with J exact.
     */
   def minHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3): DataFrame = {
-    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__toks")
-      .setPattern("\\s+")
-    val ngram = new NGram().setN(n).setInputCol("__toks").setOutputCol("__ngrams")
-    val tf = new HashingTF().setInputCol("__ngrams").setOutputCol("__features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val featured = tf.transform(ngram.transform(tok.transform(df)))
-      .filter(size(col("__ngrams")) > 0)
-    val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, maxJaccardDist, "jaccard_dist")
-      .select(col(s"datasetA.$idCol").as("id_a"), col(s"datasetB.$idCol").as("id_b"),
-        round(col("jaccard_dist"), 6).as("jaccard_dist"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    require(numHashTables <= PortableHash.MinHashA.length,
+      s"at most ${PortableHash.MinHashA.length} hash tables supported")
+    val ex = hashedShingleRows(df, idCol, textCol, n, PortableHash.hash52).cache()
+    val sigAggs = (0 until numHashTables).map(i =>
+      min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
+    val sigs = ex.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = sigs.select(col("doc"),
+      posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
+        .as(Seq("band", "sig")))
+    val cands = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .distinct()
+    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val shared = cands
+      .join(ex.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
+      .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    val result = shared
+      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard_dist",
+        lit(1.0) - col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
+    val out = result.localCheckpoint(true)
+    ex.unpersist()
+    out
   }
 
-  /** 64-bit SimHash signature per document from whitespace-token hashes —
+  /** SimHash signature bit width — 52 (not 64) so the per-token hash and
+    * every bit of the signature are exactly reproducible in the DuckDB
+    * oracle (PortableHash).
+    */
+  val SimHashBits = 52
+  private val SimHashBands = 4
+  private val SimHashBandBits = SimHashBits / SimHashBands // 13
+
+  /** 52-bit SimHash signature per document from whitespace-token hashes —
     * built entirely from codegen'd expressions: explode tokens, per-bit
-    * ±1 majority vote, reassemble the sign bits.
+    * ±1 majority vote, reassemble the sign bits. Token multiplicity counts
+    * (no distinct — repeated tokens vote repeatedly, standard SimHash).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums: Seq[org.apache.spark.sql.Column] = (0 until 64).map { i =>
+      .withColumn("h", PortableHash.hash52(col("tok")))
+    val bitSums: Seq[org.apache.spark.sql.Column] = (0 until SimHashBits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
     }
     val voted = toks.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until SimHashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     voted.select(col("doc"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+  /** SimHash near-dup pairs: band the 52-bit signature into four 13-bit
     * blocks (any exact block match → candidate — guarantees recall of all
     * pairs with Hamming distance ≤ 3), then filter by true Hamming
     * distance.
@@ -165,9 +206,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val sigs = simHash(df, idCol, textCol)
     val banded = sigs.select(col("doc"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until SimHashBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))): _*))
+          shiftright(col("simhash"), b * SimHashBandBits)
+            .bitwiseAND((1L << SimHashBandBits) - 1).as("bkey"))): _*))
         .as("bb"))
       .select(col("doc"), col("simhash"), col("bb.band"), col("bb.bkey"))
     val cands = banded.alias("x")
@@ -178,7 +220,7 @@ object Dedup {
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .dropDuplicates("id_a", "id_b")
     cands
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

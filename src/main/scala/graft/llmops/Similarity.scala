@@ -102,6 +102,52 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic sign-LSH ANN top-k: `tables` hash tables of `bits`
+    * random-hyperplane sign bits each; a corpus row is a candidate for a
+    * query when their bit-buckets collide in ANY table; exact cosine
+    * re-ranks the candidates. Hyperplane components derive from
+    * PortableHash (md5) and are float32-exact, and FloatVectorDot
+    * accumulates in double ascending-index — so signatures, candidates and
+    * scores are reproducible value-for-value by a SQL oracle, unlike the
+    * seeded-gaussian ML path (`lshTopK`).
+    *
+    * Scale: the corpus is scanned once to signature it (tables×bits dots,
+    * all inside one codegen stage), the candidate join is an equi-join on
+    * (table, bucket), and only candidates reach the exact re-rank — the
+    * brute-force |Q|×|C| cross join never materializes. Tune `bits` up
+    * (sparser buckets) as the corpus grows; `tables` up for recall.
+    */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, tables: Int = 8, bits: Int = 8): DataFrame = {
+    import graft.llmops.PortableHash
+    def bucketCols(vec: Column): Seq[Column] = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val plane = typedLit((0 until dim).map(d =>
+          PortableHash.unitUniformJvm(s"$t:$j:$d")))
+        when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as(s"_bkt$t")
+    }
+    def signatures(df: DataFrame, prefix: String) = df
+      .select(col(idCol).as(s"${prefix}id") +: col(vecCol).as(s"${prefix}vec") +:
+        bucketCols(col(vecCol)): _*)
+      .select(col(s"${prefix}id"), col(s"${prefix}vec"),
+        posexplode(array((0 until tables).map(t => col(s"_bkt$t")): _*))
+          .as(Seq("t", "bkt")))
+    val c = signatures(corpus, "c")
+    val q = signatures(queries, "q")
+    val cands = q.join(c, Seq("t", "bkt"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid", "qvec", "cvec")
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cands.withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Approximate top-k via random-hyperplane-ish bucketing: normalize to the
     * unit sphere, bucket with BucketedRandomProjectionLSH, join on bucket
     * collisions, exact cosine re-rank inside the candidate set.

@@ -81,11 +81,29 @@ object GraphQueries extends QueryModule {
           avg("degree").as("avg_degree"),
           count(lit(1)).as("n_vertices"))
     },
-    rowsOnly("q_g_pagerank") { (s, d) =>
-      val g = GraphAnalytics.toGraphX(nationRegionGraph(s, d))
+    // GraphX static PageRank (10 iterations, resetProb 0.15, final ranks
+    // normalized to sum = |V|) replicated exactly by a recursive-CTE oracle:
+    // rank⁰ = 1, rankⁱ⁺¹(v) = 0.15 + 0.85·Σ rankⁱ(src)/outdeg(src). Keyed by
+    // (label, name) — the store's 64-bit ids are Spark-side hashes the
+    // oracle can't reproduce.
+    q("q_g_pagerank",
+      "WITH RECURSIVE " +
+        "verts AS (SELECT 'N' || n_nationkey AS vid, 'Nation' AS label, n_name AS name FROM nation UNION ALL SELECT 'R' || r_regionkey, 'Region', r_name FROM region), " +
+        "edges AS (SELECT 'N' || n_nationkey AS src, 'R' || n_regionkey AS dst FROM nation), " +
+        "od AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1), " +
+        "e2 AS (SELECT e.src, e.dst, 1.0 / od.deg AS w FROM edges e JOIN od USING (src) UNION ALL SELECT vid, vid, 0.0 FROM verts), " +
+        "ranks AS (SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS rank FROM verts UNION ALL SELECT r.iter + 1, e.dst, 0.15 + 0.85 * sum(r.rank * e.w) FROM ranks r JOIN e2 e ON e.src = r.vid WHERE r.iter < 10 GROUP BY 1, 2), " +
+        "fin AS (SELECT vid, rank FROM ranks WHERE iter = 10), " +
+        "norm AS (SELECT sum(rank) AS s, count(*) AS n FROM fin) " +
+        "SELECT v.label, v.name, round(f.rank * norm.n / norm.s, 6) AS rank FROM fin f JOIN verts v ON v.vid = f.vid, norm ORDER BY label, name") { (s, d) =>
+      val store = nationRegionGraph(s, d)
+      val g = GraphAnalytics.toGraphX(store)
+      val names = store.nodes.select(col("id"), col("label"),
+        col("props")("name").as("name"))
       GraphAnalytics.pageRank(s, g, iters = 10)
-        .select(col("id"), round(col("rank"), 6).as("rank"))
-        .orderBy("id")
+        .join(names, Seq("id"))
+        .select(col("label"), col("name"), round(col("rank"), 6).as("rank"))
+        .orderBy("label", "name")
     }
   )
 }

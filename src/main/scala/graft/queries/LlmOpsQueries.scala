@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{OracleQuery, QueryModule, Tables}
-import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,75 @@ object LlmOpsQueries extends QueryModule {
 
   private val stopwordSqlList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of Dedup.minHashPairs (H = 5 tables, n = 3, dist ≤ 0.3),
+    * built from the SAME PortableHash constants as the Spark side — the
+    * signatures, candidates and exact-Jaccard verification are replicated
+    * value-for-value, so this is a full hash-match oracle.
+    */
+  private val minHashOracleSql: String = {
+    import graft.llmops.PortableHash
+    val h = 5
+    val sigCols = (0 until h)
+      .map(i => s"min(${PortableHash.duckMinhashPerm("h", i)}) AS m$i").mkString(", ")
+    val sigList = (0 until h).map(i => s"m$i").mkString("[", ", ", "]")
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 3), " +
+      s"ex AS (SELECT DISTINCT doc_id, ${PortableHash.duckHash52("s")} AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), " +
+      s"sigs AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id), " +
+      s"banded AS (SELECT doc_id, b.band AS band, $sigList[b.band + 1] AS sig FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS band) b), " +
+      "cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM banded x JOIN banded y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1), " +
+      "shared AS (SELECT c.id_a, c.id_b, count(*) AS sh FROM cands c JOIN ex a ON a.doc_id = c.id_a JOIN ex b ON b.doc_id = c.id_b AND b.h = a.h GROUP BY 1, 2) " +
+      "SELECT s.id_a, s.id_b, round(1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh), 6) AS jaccard_dist " +
+      "FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id " +
+      "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3 ORDER BY 1, 2"
+  }
+
+  /** DuckDB mirror of Dedup.simHashPairs (52-bit portable signature, 4×13-bit
+    * bands, Hamming ≤ 10) — bit-for-bit identical votes and signatures.
+    */
+  private val simHashOracleSql: String = {
+    import graft.llmops.PortableHash
+    "WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents), " +
+      s"th AS (SELECT doc_id, ${PortableHash.duckHash52("t")} AS h FROM tok), " +
+      "votes AS (SELECT doc_id, b.b AS b, sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS v FROM th CROSS JOIN (SELECT unnest(generate_series(0, 51)) AS b) b GROUP BY 1, 2), " +
+      "sigs AS (SELECT doc_id, (sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sig FROM votes GROUP BY 1), " +
+      "banded AS (SELECT doc_id, sig, k.k AS band, (sig >> (13 * k.k)) & 8191 AS bkey FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k), " +
+      "cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sa, y.sig AS sb FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cands WHERE bit_count(xor(sa, sb)) <= 10 ORDER BY 1, 2"
+  }
+
+  /** DuckDB mirror of Similarity.annTopK (8 tables × 8 sign bits, dim 64,
+    * k = 5, queries = vec_id < 5): hyperplanes re-derived from md5, bucket
+    * signatures bit-for-bit, exact cosine re-rank.
+    */
+  private val annOracleSql: String = {
+    import graft.llmops.PortableHash
+    val r = PortableHash.duckUnitUniform("t.t || ':' || j.j || ':' || k.k")
+    "WITH planes AS (SELECT t.t AS t, j.j AS j, k.k AS k, " + r + " AS r " +
+      "FROM (SELECT unnest(generate_series(0, 7)) AS t) t, (SELECT unnest(generate_series(0, 7)) AS j) j, (SELECT unnest(generate_series(0, 63)) AS k) k), " +
+      "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+      "proj AS (SELECT e.vec_id, p.t, p.j, sum(e.v * p.r) AS s FROM e JOIN planes p ON p.k = e.i - 1 GROUP BY 1, 2, 3), " +
+      "buckets AS (SELECT vec_id, t, (sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bkt FROM proj GROUP BY 1, 2), " +
+      "cands AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid FROM buckets q JOIN buckets c ON q.t = c.t AND q.bkt = c.bkt WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id), " +
+      "dots AS (SELECT cd.qid, cd.cid, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS qn, sqrt(sum(b.v * b.v)) AS cn FROM cands cd JOIN e a ON a.vec_id = cd.qid JOIN e b ON b.vec_id = cd.cid AND b.i = a.i GROUP BY 1, 2), " +
+      "sims AS (SELECT qid, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM dots) " +
+      "SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= 5 ORDER BY qid, rn"
+  }
+
+  /** DuckDB mirror of TextAnalysis.withLangId — same profiles, same
+    * score-then-lang (descending) argmax tie-break.
+    */
+  private val langIdOracleSql: String = {
+    val scored = TextAnalysis.LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS DOUBLE) / len(toks) AS score FROM t"
+    }.mkString(" UNION ALL ")
+    "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents), " +
+      s"scores AS ($scored), " +
+      "best AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) " +
+      "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred, round(score, 6) AS lang_score FROM best WHERE rn = 1 ORDER BY doc_id"
+  }
 
   val queries: Seq[OracleQuery] = Seq(
     // exact dedup on raw content hash
@@ -93,24 +162,54 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
-    // approximate paths — deterministic but not SQL-expressible → rows-only;
-    // recall vs the exact paths is asserted in DedupSpec / SimilaritySpec.
-    rowsOnly("q_x_dedup_minhash") { (s, d) =>
+    // approximate dedup paths — PortableHash makes the full pipelines
+    // SQL-expressible, so these carry exact DuckDB oracles; recall vs the
+    // exact paths is additionally asserted in LlmOpsSpec.
+    q("q_x_dedup_minhash", minHashOracleSql) { (s, d) =>
       Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
-    rowsOnly("q_x_dedup_simhash") { (s, d) =>
+    q("q_x_dedup_simhash", simHashOracleSql) { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
         .orderBy("id_a", "id_b")
     },
-    rowsOnly("q_x_ann_lsh") { (s, d) =>
+    // deterministic sign-LSH ANN (the portable scale path; the ML-seeded
+    // lshTopK variant stays API-available and recall-tested in LlmOpsSpec)
+    q("q_x_ann_lsh", annOracleSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy("qid", "rn")
     },
-    rowsOnly("q_x_text_langid") { (s, d) =>
+    q("q_x_text_langid", langIdOracleSql) { (s, d) =>
       TextAnalysis.withLangId(Tables.documents(s, d))
         .select("doc_id", "lang_pred", "lang_score")
+        .orderBy("doc_id")
+    },
+    // corpus assembly: deterministic hash sampling — partition-invariant,
+    // reproducible, and exactly mirrored by the oracle (PortableHash).
+    q("q_x_sample_hash",
+      s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents WHERE ${graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")} % 100 < 10 ORDER BY doc_id") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      docs.filter(Corpus.hashSample(col("doc_id"), pct = 10))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    // train/valid/test split assignment by hash bucket (80/10/10)
+    q("q_x_split_assign",
+      s"SELECT split, CAST(count(*) AS BIGINT) AS n FROM (SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split FROM (SELECT ${graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")} % 10000 AS b FROM documents)) GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Corpus.withSplit(Tables.documents(s, d), col("doc_id"),
+        Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    },
+    // contiguous token-budget sharding (10k-token shards in doc_id order)
+    q("q_x_token_shards",
+      "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>
+      val withTok = Tables.documents(s, d)
+        .withColumn("n_tokens", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      Corpus.tokenShards(withTok, col("doc_id"), col("n_tokens"), budget = 10000L,
+          groupSize = 100L)
+        .select("doc_id", "n_tokens", "shard")
         .orderBy("doc_id")
     },
     rowsOnly("q_x_multimodal_features") { (s, d) =>

@@ -55,6 +55,22 @@ object StreamingQueries extends QueryModule {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("event_type")
+    },
+    // ST4: per-user session windows (5-minute gap) via the genuine
+    // session_window operator, on integer-second event time; the oracle is
+    // the classic gaps-and-islands formulation. Spark session semantics:
+    // an event extends the session iff it lands strictly inside
+    // [prev_ts, prev_ts + gap); session_end = last event + gap.
+    q("q_st4_session_window",
+      "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, CAST(value AS DECIMAL(18,2)) AS v FROM events), m AS (SELECT user_id, t, v, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 300 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, t, v, sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, min(t) AS session_start, max(t) + 300 AS session_end, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, session_start") { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsec", to_timestamp(col("ts_sec")))
+        .groupBy(col("user_id"), session_window(col("tsec"), "300 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+          col("w.end").cast("long").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
     }
   )
 }

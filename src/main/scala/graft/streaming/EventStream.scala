@@ -37,6 +37,20 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Per-user session windows (gap-based) with a watermark — the streaming
+    * sessionization operator. State per (user, open session) is bounded by
+    * the watermark: sessions older than `lateness` finalize and evict.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Incremental refresh: each micro-batch upserts into the keyed state
     * table via the same kernel the batch refresh uses (M1/M4). `apply`
     * receives the post-upsert state so callers own persistence (parquet

@@ -108,6 +108,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f1.forall(f => f.byte_len == 0 || f.features.exists(_ != 0f)))
   }
 
+  test("sign-LSH ANN (annTopK) is deterministic and recalls brute-force neighbors") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // few bits per table at this tiny SF — buckets stay populated; scale
+    // tuning (bits up with corpus size) is the operator's contract.
+    val approx = Similarity.annTopK(emb, queries, k = 5, bits = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"sign-LSH ANN recall $recall below 0.6")
+    val again = Similarity.annTopK(emb, queries, k = 5, bits = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == again, "annTopK not deterministic")
+  }
+
   test("shingles on documents shorter than n return empty, not an error") {
     import spark.implicits._
     val short = Seq("one two", "a", "", "alpha beta gamma").toDF("text")

@@ -37,6 +37,35 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(rows == expected, s"got $rows")
   }
 
+  test("streaming session windows (MemoryStream) match gap semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val streamDf = mem.toDF()
+      .select(expr("timestamp_micros(_1 * 1000000)").as("ts"), col("_2").as("user_id"),
+        col("_3").as("value"))
+    val agg = EventStream.sessionCounts(streamDf, gap = "10 seconds", lateness = "0 seconds")
+    val query = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val base = 1700000000L
+    // user 1: two sessions (gap 30s > 10s); user 2: one session; a final
+    // far-future event advances the watermark so earlier sessions close.
+    mem.addData((base, 1L, 1.0), (base + 5, 1L, 2.0), (base + 40, 1L, 3.0),
+      (base + 2, 2L, 4.0), (base + 500, 9L, 0.0))
+    query.processAllAvailable()
+    val rows = spark.table("sessions")
+      .select(col("session_start").cast("long"), col("session_end").cast("long"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    query.stop()
+    val expected = Set(
+      (base, base + 15, 1L, 2L, 3.0),          // events at base, base+5 merge
+      (base + 40, base + 50, 1L, 1L, 3.0),     // second session after the gap
+      (base + 2, base + 12, 2L, 1L, 4.0))
+    assert(rows == expected, s"got $rows")
+  }
+
   test("foreachBatch incremental upsert converges to the batch upsert result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
