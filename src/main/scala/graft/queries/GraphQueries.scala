@@ -8,16 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bulk graph analytics over testdata-derived graphs, run through the REAL
-  * GraphX bridge and checked against relational oracles where the result
-  * is exactly computable in SQL (degrees, component counts). PageRank is
-  * iterative floating-point → rows-only, pinned in GraphAnalyticsSpec.
+  * GraphX bridge and checked against relational oracles — including
+  * PageRank, whose 10 fixed iterations (plus GraphX's final sum = |V|
+  * normalization) are replicated exactly by a recursive-CTE oracle.
   */
 object GraphQueries extends QueryModule {
 
   private def q(name: String, sql: String)(run: (SparkSession, String) => DataFrame) =
     OracleQuery(name, run, Some(sql))
-  private def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame) =
-    OracleQuery(name, run, None)
 
   /** customer↔order bipartite graph as a GraphStore. */
   private def customerOrderGraph(s: SparkSession, d: String): GraphStore = {

@@ -6,16 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (SURVEY §2.11 north-star extensions)
-  * over the `documents` / `embeddings` tables. SQL-expressible operators
-  * carry a DuckDB oracle; the LSH/approximate paths are rows-only here and
-  * recall-tested against exact ground truth in DedupSpec/SimilaritySpec.
+  * over the `documents` / `embeddings` tables. EVERY query carries a DuckDB
+  * oracle — including the approximate paths (minhash / simhash / sign-LSH
+  * ANN / the multimodal float32 codec), whose decisions are made portable
+  * by PortableHash; the approximate paths are additionally recall-tested
+  * against exact ground truth in LlmOpsSpec.
   */
 object LlmOpsQueries extends QueryModule {
 
   private def q(name: String, sql: String)(run: (SparkSession, String) => DataFrame) =
     OracleQuery(name, run, Some(sql))
-  private def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame) =
-    OracleQuery(name, run, None)
 
   private val stopwordSqlList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -212,12 +212,20 @@ object LlmOpsQueries extends QueryModule {
         .select("doc_id", "n_tokens", "shard")
         .orderBy("doc_id")
     },
-    rowsOnly("q_x_multimodal_features") { (s, d) =>
+    // multimodal feature extraction through the real mapPartitions codec
+    // path. The stub codec's float32 accumulation is replicated bit-exactly
+    // in DuckDB (byte-wise hex walk + list_reduce float32 fold — verified
+    // identical over every doc, incl. the byte/255 double-rounding cases),
+    // so even this carries a full oracle. f0 rounds in DOUBLE on both sides.
+    q("q_x_multimodal_features",
+      "WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), " +
+        "b AS (SELECT doc_id, n, list_transform(generate_series(0, CAST((n + 7) // 8 AS BIGINT) - 1), i -> ('0x' || substr(hx, 16 * i + 1, 2))::BIGINT) AS bytes FROM h) " +
+        "SELECT doc_id AS media_id, CAST(n AS BIGINT) AS byte_len, round(CAST(list_reduce(list_prepend(CAST(0.0 AS FLOAT), bytes), (a, x) -> CAST(a + CAST(x / 255.0 AS FLOAT) AS FLOAT)) AS DOUBLE), 4) AS f0 FROM b ORDER BY media_id") { (s, d) =>
       Multimodal.extractFeatures(
         Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"))
         .toDF()
         .select(col("media_id"), col("byte_len"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
     }
   )
