@@ -58,11 +58,13 @@ object StreamingQueries extends QueryModule {
     },
     // ST4: per-user session windows (5-minute gap) via the genuine
     // session_window operator, on integer-second event time; the oracle is
-    // the classic gaps-and-islands formulation. Spark session semantics:
-    // an event extends the session iff it lands strictly inside
-    // [prev_ts, prev_ts + gap); session_end = last event + gap.
+    // the classic gaps-and-islands formulation. Spark session semantics are
+    // INCLUSIVE at the boundary: an event at exactly prev_ts + gap still
+    // extends the session (verified at sf0.1, where two exact-gap pairs
+    // exist), so a new session starts only when the gap is STRICTLY
+    // exceeded; session_end = last event + gap.
     q("q_st4_session_window",
-      "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, CAST(value AS DECIMAL(18,2)) AS v FROM events), m AS (SELECT user_id, t, v, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 300 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, t, v, sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, min(t) AS session_start, max(t) + 300 AS session_end, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, session_start") { (s, d) =>
+      "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, CAST(value AS DECIMAL(18,2)) AS v FROM events), m AS (SELECT user_id, t, v, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 300 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, t, v, sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, min(t) AS session_start, max(t) + 300 AS session_end, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value FROM s GROUP BY user_id, sid ORDER BY user_id, session_start") { (s, d) =>
       Tables.events(s, d)
         .withColumn("tsec", to_timestamp(col("ts_sec")))
         .groupBy(col("user_id"), session_window(col("tsec"), "300 seconds").as("w"))

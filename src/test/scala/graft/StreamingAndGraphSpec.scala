@@ -48,10 +48,12 @@ class StreamingAndGraphSpec extends SparkTestBase {
     val query = agg.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     val base = 1700000000L
-    // user 1: two sessions (gap 30s > 10s); user 2: one session; a final
-    // far-future event advances the watermark so earlier sessions close.
+    // user 1: two sessions (gap 30s > 10s); user 2: one session whose second
+    // event lands EXACTLY at the first session's end — Spark merges at the
+    // boundary (inclusive), same as the q_st4 oracle; a final far-future
+    // event advances the watermark so earlier sessions close.
     mem.addData((base, 1L, 1.0), (base + 5, 1L, 2.0), (base + 40, 1L, 3.0),
-      (base + 2, 2L, 4.0), (base + 500, 9L, 0.0))
+      (base + 2, 2L, 4.0), (base + 12, 2L, 5.0), (base + 500, 9L, 0.0))
     query.processAllAvailable()
     val rows = spark.table("sessions")
       .select(col("session_start").cast("long"), col("session_end").cast("long"),
@@ -62,7 +64,7 @@ class StreamingAndGraphSpec extends SparkTestBase {
     val expected = Set(
       (base, base + 15, 1L, 2L, 3.0),          // events at base, base+5 merge
       (base + 40, base + 50, 1L, 1L, 3.0),     // second session after the gap
-      (base + 2, base + 12, 2L, 1L, 4.0))
+      (base + 2, base + 22, 2L, 2L, 9.0))      // exact-boundary event merged
     assert(rows == expected, s"got $rows")
   }
 
