@@ -170,6 +170,30 @@ object Dedup {
     out
   }
 
+  /** Benchmark decontamination (the GPT-3/Pile n-gram collision rule):
+    * flag every training document sharing at least one word n-gram with any
+    * benchmark document. Returns one row per training doc with the count of
+    * its distinct shingles that collide (`n_hit`) and the flag.
+    *
+    * Scale: the benchmark shingle set is tiny next to the training corpus —
+    * a distinct-project that broadcasts; the whole check is one
+    * broadcast-semi-join-shaped pass over training shingles, no pair
+    * explosion.
+    */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
+    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+      .select("s").distinct()
+    val hits = trainSh.join(broadcast(benchSh), Seq("s"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n_hit"))
+    train.select(col(idCol).as("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SimHash signature bit width — 52 (not 64) so the per-token hash and
     * every bit of the signature are exactly reproducible in the DuckDB
     * oracle (PortableHash).

@@ -53,6 +53,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Per-document top-k TF-IDF terms (lowercased whitespace tokens,
+    * smoothed idf = ln((N+1)/(df+1)) + 1). Two shuffles: term-frequency
+    * groupBy and the per-doc top-k window; the document-frequency side and
+    * corpus size broadcast. Ranking ties (identical (tf, df) pairs produce
+    * bit-identical scores) break on the term string — deterministic, and
+    * exactly reproducible in SQL.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc"), col("rn"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Stopword-profile language ID. Scores each candidate language by the
     * fraction of tokens found in its function-word profile; argmax wins,
     * alphabetical tie-break, 'und' (undetermined) when no profile scores.

@@ -44,7 +44,41 @@ object GraphQueries extends QueryModule {
     GraphStore(nodes, edges)
   }
 
+  /** part↔supplier bipartite graph from distinct lineitem pairs. */
+  private def partSupplierGraph(s: SparkSession, d: String): GraphStore = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val nodes = Graph.nodesFrom(li.select("l_partkey").distinct(), "Part", lit(null),
+        Seq(col("l_partkey")), Map("k" -> col("l_partkey")))
+      .unionByName(Graph.nodesFrom(li.select("l_suppkey").distinct(), "Supplier",
+        lit(null), Seq(col("l_suppkey")), Map("k" -> col("l_suppkey"))))
+      .drop("_ord")
+    val edges = Graph.edgesFrom(li, "Part", Seq(col("l_partkey")), "SUPPLIES",
+      "Supplier", Seq(col("l_suppkey")), lit(null)).drop("_ord")
+    GraphStore(nodes, edges)
+  }
+
   val queries: Seq[OracleQuery] = Seq(
+    // iterative frontier expansion (blast radius) through the real
+    // operator: everything within 2 undirected hops of part 1 — its
+    // suppliers (hop 1) and every other part those suppliers supply
+    // (hop 2). The oracle states the same BFS as two set-difference joins.
+    q("q_g_blast_radius",
+      "WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), " +
+        "h1 AS (SELECT DISTINCT s FROM e WHERE p = 1), " +
+        "h2 AS (SELECT DISTINCT p FROM e JOIN h1 USING (s) WHERE p <> 1) " +
+        "SELECT * FROM (SELECT 'Part' AS label, CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS hops " +
+        "UNION ALL SELECT 'Supplier', s, 1 FROM h1 " +
+        "UNION ALL SELECT 'Part', p, 2 FROM h2) ORDER BY hops, label, k") { (s, d) =>
+      val store = partSupplierGraph(s, d)
+      val start = store.nodes
+        .filter(col("label") === "Part" && col("props")("k") === "1")
+        .select("id")
+      GraphAnalytics.blastRadius(store, start, Set("SUPPLIES"), maxHops = 2)
+        .join(store.nodes.select(col("id"), col("props")("k").cast("long").as("k")),
+          Seq("id"))
+        .select(col("label"), col("k"), col("hops").cast("long").as("hops"))
+        .orderBy("hops", "label", "k")
+    },
     // GraphX degree of each customer vertex ≡ SQL order count (validates the
     // id-preserving bridge numerically: zero-degree customers are absent
     // from GraphX degrees, hence the inner-join-shaped oracle).

@@ -185,6 +185,36 @@ object LlmOpsQueries extends QueryModule {
         .select("doc_id", "lang_pred", "lang_score")
         .orderBy("doc_id")
     },
+    // benchmark decontamination: train = even doc_ids, bench = odd; a train
+    // doc is contaminated if ANY of its 5-gram shingles appears in any
+    // bench doc (the GPT-3/Pile rule). n_hit counts its colliding shingles.
+    q("q_x_decontaminate",
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 5), " +
+        "bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 1), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hit FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 0) t WHERE s IN (SELECT s FROM bench) GROUP BY 1) " +
+        "SELECT d.doc_id AS doc, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, coalesce(h.n_hit, 0) > 0 AS contaminated " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5)
+        .orderBy("doc")
+    },
+
+    // per-doc top-3 TF-IDF terms (smoothed idf; ties break on the term —
+    // identical (tf, df) pairs yield bit-identical doubles on both engines)
+    q("q_x_tfidf_top_terms",
+      "WITH toks AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT t.doc_id, t.term, t.tf, d.df, t.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)) + 1) AS score FROM tf t JOIN dfc d USING (term), n), " +
+        "ranked AS (SELECT doc_id, term, tf, df, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored) " +
+        "SELECT doc_id AS doc, CAST(rn AS BIGINT) AS rn, term, tf, df, round(score, 6) AS score FROM ranked WHERE rn <= 3 ORDER BY doc, rn") { (s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc", "rn")
+    },
+
     // corpus assembly: deterministic hash sampling — partition-invariant,
     // reproducible, and exactly mirrored by the oracle (PortableHash).
     q("q_x_sample_hash",

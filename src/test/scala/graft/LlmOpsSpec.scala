@@ -123,6 +123,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(approx == again, "annTopK not deterministic")
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val bench = Seq((1L, "xx alpha beta gamma delta epsilon yy")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(0L -> (1L, true), 2L -> (0L, false), 4L -> (0L, false)))
+  }
+
   test("shingles on documents shorter than n return empty, not an error") {
     import spark.implicits._
     val short = Seq("one two", "a", "", "alpha beta gamma").toDF("text")
