@@ -129,20 +129,22 @@ object Similarity {
         when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as(s"_bkt$t")
     }
+    // norms materialize once per ROW before the candidate join — the
+    // re-rank then costs ONE dot per pair, not three.
     def signatures(df: DataFrame, prefix: String) = df
       .select(col(idCol).as(s"${prefix}id") +: col(vecCol).as(s"${prefix}vec") +:
-        bucketCols(col(vecCol)): _*)
-      .select(col(s"${prefix}id"), col(s"${prefix}vec"),
+        l2norm(col(vecCol)).as(s"${prefix}n") +: bucketCols(col(vecCol)): _*)
+      .select(col(s"${prefix}id"), col(s"${prefix}vec"), col(s"${prefix}n"),
         posexplode(array((0 until tables).map(t => col(s"_bkt$t")): _*))
           .as(Seq("t", "bkt")))
     val c = signatures(corpus, "c")
     val q = signatures(queries, "q")
     val cands = q.join(c, Seq("t", "bkt"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid", "qvec", "cvec")
+      .select("qid", "cid", "qvec", "cvec", "qn", "cn")
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    cands.withColumn("cos", cosine(col("qvec"), col("cvec")))
+    cands.withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
