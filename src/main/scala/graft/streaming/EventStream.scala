@@ -51,6 +51,42 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Exactly-once event dedup inside the watermark horizon: duplicate
+    * event_ids arriving within `lateness` of each other collapse to the
+    * first occurrence; state evicts with the watermark (bounded — the
+    * difference from a naive global dropDuplicates, whose state grows
+    * forever on an unbounded stream).
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via mapGroupsWithState: per-user running totals
+    * (event count + value sum) maintained across micro-batches — the
+    * escalation path for stateful logic the built-in window aggregates
+    * can't express. Update output mode; state is explicit and typed.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    final case class Totals(n: Long, sum: Double)
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Totals, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Totals]) =>
+          val prev = state.getOption.getOrElse(Totals(0L, 0.0))
+          var n = prev.n
+          var s = prev.sum
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update(Totals(n, s))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Incremental refresh: each micro-batch upserts into the keyed state
     * table via the same kernel the batch refresh uses (M1/M4). `apply`
     * receives the post-upsert state so callers own persistence (parquet
