@@ -5,6 +5,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
+/** Keyed state carried by [[EventStream.runningUserTotals]] across
+  * micro-batches. Top-level so Spark can derive a product `Encoder` for
+  * `mapGroupsWithState` (method-local case classes have no derivable
+  * encoder — the compiler cannot summon a `TypeTag` for them).
+  */
+final case class RunningTotals(n: Long, sum: Double)
+
 /** Structured Streaming surface (SURVEY §2.10): windowed aggregates with
   * watermarks over an event stream, plus foreachBatch feeding the engine's
   * upsert kernel so the reference's batch mark-and-sweep becomes an
@@ -70,18 +77,17 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
-    final case class Totals(n: Long, sum: Double)
     events.select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Totals, (Long, Long, Double)](
+      .mapGroupsWithState[RunningTotals, (Long, Long, Double)](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Totals]) =>
-          val prev = state.getOption.getOrElse(Totals(0L, 0.0))
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[RunningTotals]) =>
+          val prev = state.getOption.getOrElse(RunningTotals(0L, 0.0))
           var n = prev.n
           var s = prev.sum
           rows.foreach { r => n += 1; s += r._2 }
-          state.update(Totals(n, s))
+          state.update(RunningTotals(n, s))
           (user, n, s)
       }
       .toDF("user_id", "n_events", "sum_value")
@@ -102,8 +108,13 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val deduped = Upsert.dedupeLastWriter(
           batch.select(initial.columns.map(col).toSeq: _*), keys, Seq(orderCol))
+        val prev = state
         state = Upsert.upsertNodes(state, deduped, keys).cache()
         state.count() // materialize before the next micro-batch mutates lineage
+        // Release the previous micro-batch's cached state AFTER the new one is
+        // materialized (it reads from prev); without this, storage memory
+        // grows by one cached plan per batch forever on a continuous stream.
+        if (prev ne initial) prev.unpersist(blocking = false)
         apply(state)
       }
   }

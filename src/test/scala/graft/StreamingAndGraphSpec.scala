@@ -86,6 +86,48 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(state == Seq((1L, "x"), (2L, "z"), (3L, "w")))
   }
 
+  test("incremental upsert keeps cached state bounded across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val streamDf = mem.toDF().select(col("_1").as("k"), col("_2").as("v"), col("_3").as("seq"))
+    val initial = Seq((1L, "init", 0L)).toDF("k", "v", "seq")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    var cachedSeen = List.empty[Int]
+    val writer = EventStream.incrementalUpsert(streamDf, Seq("k"), "seq", initial,
+      _ => cachedSeen ::= (spark.sparkContext.getPersistentRDDs.size - before))
+    // three micro-batches: without the unpersist, each batch would add one
+    // cached plan and the count would climb 1, 2, 3.
+    mem.addData((1L, "a", 1L))
+    mem.addData((2L, "b", 2L))
+    mem.addData((3L, "c", 3L))
+    val q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(cachedSeen.nonEmpty && cachedSeen.forall(_ <= 2),
+      s"cached state per batch should stay bounded (prev+current), got ${cachedSeen.reverse}")
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val streamDf = mem.toDF().select(col("_1").as("user_id"), col("_2").as("value"))
+    val totals = EventStream.runningUserTotals(streamDf)
+    val query = totals.writeStream.format("memory").queryName("running_totals")
+      .outputMode("update").start()
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+    query.processAllAvailable()
+    mem.addData((1L, 4.0), (3L, 7.0))
+    query.processAllAvailable()
+    // update mode: latest row per user reflects the cross-batch running state.
+    val rows = spark.table("running_totals")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("sum_value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    query.stop()
+    assert(rows == Set((1L, 3L, 7.0), (2L, 1L, 10.0), (3L, 1L, 7.0)), s"got $rows")
+  }
+
   test("GraphX blast radius: VMs transitively on the shared datastore") {
     val store = Refresh.refresh(
       SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
