@@ -57,7 +57,49 @@ object GraphQueries extends QueryModule {
     GraphStore(nodes, edges)
   }
 
+  /** Supplier co-supply graph: suppliers linked iff they supply a common
+    * part (restricted to partkey % 10 = 0 so the projected graph stays
+    * sparse — the unrestricted co-supply projection of a bipartite graph
+    * densifies toward complete as SF grows, which is a property of THIS
+    * test projection, not of triangleCount itself).
+    */
+  private def coSupplyGraph(s: SparkSession, d: String): GraphStore = {
+    val ps = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val pairs = ps.alias("a").join(ps.alias("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("sa"), col("b.s").as("sb")).distinct()
+    val verts = Tables.lineitem(s, d).select(col("l_suppkey")).distinct()
+    val nodes = Graph.nodesFrom(verts, "Supplier", lit(null),
+      Seq(col("l_suppkey")), Map("k" -> col("l_suppkey"))).drop("_ord")
+    val edges = Graph.edgesFrom(pairs, "Supplier", Seq(col("sa")), "CO_SUPPLY",
+      "Supplier", Seq(col("sb")), lit(null)).drop("_ord")
+    GraphStore(nodes, edges)
+  }
+
   val queries: Seq[OracleQuery] = Seq(
+    // GraphX per-vertex triangle count over the co-supply graph ≡ a DuckDB
+    // 3-way self-join enumerating each triangle a<b<c once, then crediting
+    // all three corners; suppliers in no triangle report 0 (GraphX emits
+    // every vertex, hence the left-join-shaped oracle).
+    q("q_g_triangles",
+      "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s), " +
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), " +
+        "cnt AS (SELECT a AS s FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri), " +
+        "verts AS (SELECT DISTINCT l_suppkey AS s FROM lineitem) " +
+        "SELECT v.s AS suppkey, CAST(count(c.s) AS BIGINT) AS triangles " +
+        "FROM verts v LEFT JOIN cnt c ON c.s = v.s GROUP BY v.s ORDER BY suppkey") { (s, d) =>
+      val store = coSupplyGraph(s, d)
+      val g = GraphAnalytics.toGraphX(store)
+      val suppIds = store.nodes
+        .select(col("id"), col("props")("k").cast("long").as("suppkey"))
+      GraphAnalytics.triangleCount(s, g)
+        .join(suppIds, Seq("id"))
+        .select(col("suppkey"), col("triangles"))
+        .orderBy("suppkey")
+    },
     // iterative frontier expansion (blast radius) through the real
     // operator: everything within 2 undirected hops of part 1 — its
     // suppliers (hop 1) and every other part those suppliers supply
