@@ -55,8 +55,12 @@ object TextAnalysis {
 
   /** Per-document top-k TF-IDF terms (lowercased whitespace tokens,
     * smoothed idf = ln((N+1)/(df+1)) + 1). Two shuffles: term-frequency
-    * groupBy and the per-doc top-k window; the document-frequency side and
-    * corpus size broadcast. Ranking ties (identical (tf, df) pairs produce
+    * groupBy and the per-doc top-k window; only the 1-row corpus size
+    * broadcasts. The document-frequency table gets NO broadcast hint: its
+    * cardinality is the vocabulary, which at corpus scale is unbounded
+    * (hundreds of millions of terms at 100 TB) — AQE may still broadcast
+    * it at runtime when it measures small, but a forced hint would OOM the
+    * driver at scale. Ranking ties (identical (tf, df) pairs produce
     * bit-identical scores) break on the term string — deterministic, and
     * exactly reproducible in SQL.
     */
@@ -67,7 +71,7 @@ object TextAnalysis {
     val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfc), Seq("term"))
+    val scored = tf.join(dfc, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))

@@ -92,6 +92,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("tfidf term join degrades to a shuffle join when the vocabulary is large") {
+    // threshold -1 simulates a document-frequency table too big to
+    // broadcast (the vocabulary is unbounded at corpus scale): with no
+    // forced hint on dfc, the planner must fall back to a shuffle join.
+    // Only the 1-row corpus-size scalar keeps its (intentional) hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.llmops.TextAnalysis.tfidfTopTerms(
+        Tables.documents(spark, dir), "doc_id", "text")
+      val p = plan(df)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"term-df join must not be force-broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join on term:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("corpus sampling is a pushable narrow filter (no shuffle, no UDF)") {
     val df = Tables.documents(spark, dir)
       .filter(graft.llmops.Corpus.hashSample(col("doc_id"), 10))
