@@ -134,18 +134,37 @@ object Dedup {
     *
     * Returns (id_a < id_b, jaccard_dist = 1 − J) with J exact.
     */
+  /** Drop banded rows whose (band, key) bucket holds more than `cap` docs
+    * before the candidate self-join. A bucket of f docs emits f²/2 pairs —
+    * one pathological key (an empty-ish doc signature, a boilerplate
+    * shingle every page shares) turns the LSH join quadratic at 100 TB.
+    * Capping trades recall ONLY on pairs whose every collision is via a
+    * ubiquitous key, which at dedup thresholds are overwhelmingly false
+    * candidates anyway. Opt-in (None = exact LSH semantics, as oracled).
+    */
+  private[graft] def pruneFrequentBandKeys(
+      banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bf")).filter(col("_bf") > cap)
+      .select(keyCols.map(col): _*)
+    banded.join(hot, keyCols, "left_anti")
+  }
+
   def minHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3): DataFrame = {
+      maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
+      maxBandFreq: Option[Int] = None): DataFrame = {
     require(numHashTables <= PortableHash.MinHashA.length,
       s"at most ${PortableHash.MinHashA.length} hash tables supported")
     val ex = hashedShingleRows(df, idCol, textCol, n, PortableHash.hash52).cache()
     val sigAggs = (0 until numHashTables).map(i =>
       min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
     val sigs = ex.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
-    val banded = sigs.select(col("doc"),
+    val allBanded = sigs.select(col("doc"),
       posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
         .as(Seq("band", "sig")))
+    val banded = maxBandFreq.fold(allBanded)(
+      pruneFrequentBandKeys(allBanded, Seq("band", "sig"), _))
     val cands = banded.alias("x")
       .join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -227,15 +246,18 @@ object Dedup {
     * distance.
     */
   def simHashPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBandFreq: Option[Int] = None): DataFrame = {
     val sigs = simHash(df, idCol, textCol)
-    val banded = sigs.select(col("doc"), col("simhash"),
+    val allBanded = sigs.select(col("doc"), col("simhash"),
       explode(array((0 until SimHashBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * SimHashBandBits)
             .bitwiseAND((1L << SimHashBandBits) - 1).as("bkey"))): _*))
         .as("bb"))
       .select(col("doc"), col("simhash"), col("bb.band"), col("bb.bkey"))
+    val banded = maxBandFreq.fold(allBanded)(
+      pruneFrequentBandKeys(allBanded, Seq("band", "bkey"), _))
     val cands = banded.alias("x")
       .join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

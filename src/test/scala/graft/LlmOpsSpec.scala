@@ -42,6 +42,37 @@ class LlmOpsSpec extends SparkTestBase {
     assert(truth.nonEmpty, "expected at least one near-identical pair at Hamming<=3")
   }
 
+  test("band-key skew guard bounds candidates from a ubiquitous key") {
+    import spark.implicits._
+    // 100 docs collide on one planted hot band key (→ 4950 candidate pairs
+    // unguarded); two docs additionally share a rare key. Cap 10 must drop
+    // every hot-bucket row and keep the rare bucket intact.
+    val hot = (0L until 100L).map(d => (d, 0, 777L))
+    val rare = Seq((3L, 1, 42L), (7L, 1, 42L))
+    val banded = (hot ++ rare).toDF("doc", "band", "sig")
+    val pruned = Dedup.pruneFrequentBandKeys(banded, Seq("band", "sig"), cap = 10)
+    val kept = pruned.select("band", "sig").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(kept == Set((1, 42L)), s"expected only the rare bucket, got $kept")
+    assert(pruned.count() == 2)
+  }
+
+  test("minHash/simHash with a band-freq cap still recall rare-key pairs") {
+    // at the corpus's natural skew no bucket exceeds the cap, so capped and
+    // uncapped results are identical — the guard must be recall-neutral
+    // unless a bucket is actually pathological.
+    val capped = Dedup.minHashPairs(docs, "doc_id", "text", maxJaccardDist = 0.3,
+        maxBandFreq = Some(50))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exactPairs -- capped).isEmpty, s"capped minhash missed: ${exactPairs -- capped}")
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3,
+        maxBandFreq = Some(50))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simUncapped = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == simUncapped)
+  }
+
   test("SimHash is deterministic") {
     val a = Dedup.simHash(docs, "doc_id", "text").orderBy("doc").collect().toSeq
     val b = Dedup.simHash(docs, "doc_id", "text").orderBy("doc").collect().toSeq
