@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point: times every SparkEntry query at the given SF and
+  * prints ONE JSON line. Each query runs twice — the first (cold) timing
+  * includes plan analysis + codegen + JIT (~0.5 s/query on this box, see
+  * BASELINE.md), the second (warm) isolates the execution plan itself, so
+  * a plan regression can't hide under compilation noise. `value` stays the
+  * cold total for cross-round comparability; warm numbers ride alongside.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +20,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> (time(fn), time(fn)) // (cold, warm)
+    }
+    def fmt(sel: ((Double, Double)) => Double) = results
+      .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val cold = results.values.map(_._1).sum
+    val warm = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$cold,"unit":"sec","queries":${fmt(_._1)},""" +
+      s""""warm_total":$warm,"queries_warm":${fmt(_._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
