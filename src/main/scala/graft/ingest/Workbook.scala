@@ -92,6 +92,25 @@ object Workbook {
     loadDir(spark, dir, "csv",
       p => spark.read.option("header", "true").option("inferSchema", "false").csv(p))
 
+  /** Real `.xlsx` workbook — the reference's ACTUAL input (`apoc.load.xls`
+    * over an RVTools export, refresh-vmware.cypher:26). One file, one tab
+    * per sheet; tabs missing from a partial export load as empty frames,
+    * extra tabs are ignored, values arrive as nullable strings with the
+    * same header-row semantics as the CSV path. See [[Xlsx]] for the
+    * parser and its scale position (small driver-side config input).
+    */
+  def loadXlsx(spark: SparkSession, path: String): Sheets = {
+    val parsed: Map[String, (Seq[String], Seq[Seq[String]])] =
+      if (new java.io.File(path).exists) Xlsx.readWorkbook(path) else Map.empty
+    SheetNames.map { s =>
+      val df = parsed.get(s) match {
+        case Some((header, rows)) if header.nonEmpty => sheet(spark, header, rows)
+        case _ => withRowNo(empty(spark, SheetColumns(s)))
+      }
+      s -> df
+    }.toMap
+  }
+
   private def loadDir(spark: SparkSession, dir: String, ext: String,
       read: String => DataFrame): Sheets =
     SheetNames.map { s =>

@@ -70,6 +70,74 @@ class ViewsAndSourcesSpec extends SparkTestBase {
     assert(edgeCount(fromPq) == edgeCount(store))
   }
 
+  test("workbook round-trips through a real .xlsx file") {
+    val golden = SyntheticWorkbook.golden(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    val path = s"$tmp/rvtools.xlsx"
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.orderBy("_rowno").drop("_rowno").collect()
+        .map(_.toSeq.map { case s: String if s.nonEmpty => s; case _ => null }).toSeq
+    graft.fixtures.XlsxFixture.write(path, Workbook.SheetNames.map { s =>
+      (s, golden(s).drop("_rowno").columns.toSeq, rowsOf(golden(s)))
+    })
+    val loaded = Workbook.loadXlsx(spark, path)
+    // cell-exact: every sheet's header and ordered rows survive the trip.
+    Workbook.SheetNames.foreach { s =>
+      assert(loaded(s).drop("_rowno").columns.toSeq ==
+        golden(s).drop("_rowno").columns.toSeq, s"header mismatch in $s")
+      assert(rowsOf(loaded(s)) == rowsOf(golden(s)), s"rows mismatch in $s")
+    }
+    // and the refreshed graph is identical to the in-memory fixture's.
+    val fromXlsx = Refresh.refresh(SyntheticWorkbook.seededStore(spark), loaded)
+    val keys = fromXlsx.nodes.select("label", "key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val storeKeys = store.nodes.select("label", "key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keys == storeKeys)
+    assert(fromXlsx.edges.count() == store.edges.count())
+  }
+
+  test("xlsx reader handles booleans, rich-text runs, sparse cells, missing sheets") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx2").toString
+    val path = s"$tmp/edge.xlsx"
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val nsr = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(n: String, c: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/></Types>""")
+    part("_rels/.rels",
+      s"""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="$nsr/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      s"""<workbook xmlns="$ns" xmlns:r="$nsr"><sheets><sheet name="vCluster" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      s"""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="$nsr/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="$nsr/sharedStrings" Target="sharedStrings.xml"/></Relationships>""")
+    // rich-text run: two <r> fragments concatenate into one header string.
+    part("xl/sharedStrings.xml",
+      s"""<sst xmlns="$ns" count="3" uniqueCount="3"><si><r><t>VI SDK </t></r><r><t>UUID</t></r></si><si><t>Name</t></si><si><t>HA enabled</t></si></sst>""")
+    // row 2: boolean TRUE, sparse Name (missing cell); row 3: boolean FALSE.
+    part("xl/worksheets/sheet1.xml",
+      s"""<worksheet xmlns="$ns"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>uuid-1</t></is></c><c r="C2" t="b"><v>1</v></c></row>""" +
+        """<row r="3"><c r="A3" t="inlineStr"><is><t>uuid-2</t></is></c><c r="B3" t="inlineStr"><is><t>c2</t></is></c><c r="C3" t="b"><v>0</v></c></row>""" +
+        "</sheetData></worksheet>")
+    zos.close()
+    val sheets = Workbook.loadXlsx(spark, path)
+    val vc = sheets("vCluster").orderBy("_rowno").drop("_rowno")
+    assert(vc.columns.toSeq == Seq("VI SDK UUID", "Name", "HA enabled"))
+    val rows = vc.collect().map(_.toSeq).toSeq
+    assert(rows == Seq(Seq("uuid-1", null, "TRUE"), Seq("uuid-2", "c2", "FALSE")))
+    // the other 11 sheets are absent from the file → schema'd empty frames.
+    assert(sheets("vInfo").count() == 0)
+    assert(sheets("vInfo").columns.contains("VM UUID"))
+  }
+
   test("store persists partitioned and reloads identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
     Refresh.write(store, tmp)
