@@ -12,6 +12,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   */
 final case class RunningTotals(n: Long, sum: Double)
 
+/** Open-session state for [[EventStream.sessionizeWithTimeout]]: bounds of
+  * the in-progress session plus its running aggregates. Epoch millis, not
+  * Timestamp, so the state encoder stays a flat product of primitives.
+  */
+final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
 /** Structured Streaming surface (SURVEY §2.10): windowed aggregates with
   * watermarks over an event stream, plus foreachBatch feeding the engine's
   * upsert kernel so the reference's batch mark-and-sweep becomes an
@@ -91,6 +97,70 @@ object EventStream {
           (user, n, s)
       }
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState with event-time
+    * timeouts — the escalation path beyond the built-in `session_window`
+    * (which [[sessionCounts]] uses) for session logic the built-ins can't
+    * express (per-session running aggregates, custom close rules). A
+    * session closes two ways: a new event lands more than `gapSeconds`
+    * after the open session's end (gap close, emitted in-batch), or the
+    * watermark passes end + gap with no new event (timeout close — the
+    * eviction that keeps state bounded on a continuous stream; without it
+    * an idle user's open session would pin state forever). Append mode:
+    * each session is emitted exactly once, when it closes. Sessions still
+    * open when the stream ends are never emitted — by design, they aren't
+    * final. Emits (user_id, session start/end epoch ms of the FIRST/LAST
+    * EVENT, event count, value sum).
+    */
+  def sessionizeWithTimeout(events: DataFrame, gapSeconds: Long = 300,
+      lateness: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapMs = gapSeconds * 1000L
+    events.withWatermark("ts", lateness)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = (user, s.start, s.end, s.n, s.sum)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            // events within a micro-batch arrive unordered — sort before
+            // folding into sessions (bounded: one group, one batch).
+            val sorted = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
+            var open = state.getOption
+            val closed = List.newBuilder[(Long, Long, Long, Long, Double)]
+            sorted.foreach { case (t, v) =>
+              open match {
+                case Some(s) if t - s.end > gapMs =>
+                  closed += close(s)
+                  open = Some(OpenSession(t, t, 1L, v))
+                case Some(s) =>
+                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + v))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must sit strictly above the current watermark or
+              // Spark rejects it; the max() covers a session already older
+              // than the watermark (it then times out on the next trigger).
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value")
   }
 
   /** Incremental refresh: each micro-batch upserts into the keyed state

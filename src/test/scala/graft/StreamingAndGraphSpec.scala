@@ -128,6 +128,38 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(rows == Set((1L, 3L, 7.0), (2L, 1L, 10.0), (3L, 1L, 7.0)), s"got $rows")
   }
 
+  test("flatMapGroupsWithState sessionization closes by gap and by timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val streamDf = mem.toDF()
+      .select(expr("timestamp_micros(_1 * 1000000)").as("ts"), col("_2").as("user_id"),
+        col("_3").as("value"))
+    val sessions = EventStream.sessionizeWithTimeout(streamDf, gapSeconds = 10,
+      lateness = "0 seconds")
+    val query = sessions.writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    val base = 1700000000L
+    mem.addData((base, 1L, 1.0), (base + 5, 1L, 2.0)) // open session for user 1
+    query.processAllAvailable()
+    mem.addData((base + 40, 1L, 3.0)) // 35s > gap → closes [base, base+5] in-batch
+    query.processAllAvailable()
+    mem.addData((base + 500, 9L, 0.0)) // advances watermark far past base+50
+    query.processAllAvailable()
+    mem.addData((base + 600, 9L, 1.0)) // next trigger: user 1 times out; user 9 gap-closes
+    query.processAllAvailable()
+    val rows = spark.table("fmgws_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    query.stop()
+    val ms = base * 1000L
+    val expected = Set(
+      (1L, ms, ms + 5000L, 2L, 3.0),               // gap-closed
+      (1L, ms + 40000L, ms + 40000L, 1L, 3.0),     // timeout-closed (watermark eviction)
+      (9L, ms + 500000L, ms + 500000L, 1L, 0.0))   // gap-closed; base+600 session stays open
+    assert(rows == expected, s"got $rows")
+  }
+
   test("GraphX blast radius: VMs transitively on the shared datastore") {
     val store = Refresh.refresh(
       SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
