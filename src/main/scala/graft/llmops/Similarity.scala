@@ -150,6 +150,64 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path, the
+    * classic alternative to LSH bucketing: partition the corpus into
+    * `nlist` cells by nearest centroid, probe the `nprobe` cells nearest
+    * each query, exact-cosine re-rank inside the probed cells only.
+    *
+    * Centroids: callers with a trained quantizer pass `(cent_id, centvec)`
+    * via `centroids` (k-means via ML KMeans, product quantizer, whatever);
+    * the default takes the corpus rows with `id < nlist` — deterministic
+    * and exactly reproducible in SQL, which is what lets the WHOLE path be
+    * DuckDB-oracled (q_x_ann_ivf) rather than recall-tested only.
+    *
+    * Scale shape: centroids broadcast (nlist ≪ |C|); assignment is one
+    * broadcast nearest-centroid pass that aggregates with map-side combine
+    * (`max_by` partial agg — no window shuffle over |C|×nlist rows); the
+    * candidate join is an equi-join on cell id; only probed cells reach
+    * the exact re-rank. Expected candidate work per query ≈ nprobe/nlist
+    * of the corpus. Recall rises with `nprobe`; `nprobe = nlist` probes
+    * everything and equals brute force exactly (pinned in LlmOpsSpec).
+    * Ties (assignment and rank) break on lowest id — deterministic.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+        corpus.filter(col(idCol) < nlist)
+          .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
+      .select(col("cent_id"), col("centvec"), l2norm(col("centvec")).as("centn"))
+    def centScored(df: DataFrame, prefix: String) = df
+      .select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}vec"),
+        l2norm(col(vecCol)).as(s"${prefix}n"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dot(col(s"${prefix}vec"), col("centvec")) / (col(s"${prefix}n") * col("centn")))
+    // corpus → its single nearest cell: aggregate, not window — partial
+    // max_by combines map-side, so the full |C|×nlist frame never shuffles.
+    val assign = centScored(corpus, "c")
+      .groupBy("cid")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
+        first(col("cvec")).as("cvec"), first(col("cn")).as("cn"))
+    // queries → their nprobe nearest cells (queries are few; window is fine).
+    val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = centScored(queries, "q")
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qn"), col("cent_id").as("cell"))
+    // each corpus row lives in exactly one cell → at most one row per
+    // (qid, cid), no dedup needed.
+    val cands = probes.join(assign, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cands.withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Approximate top-k via random-hyperplane-ish bucketing: normalize to the
     * unit sphere, bucket with BucketedRandomProjectionLSH, join on bucket
     * collisions, exact cosine re-rank inside the candidate set.

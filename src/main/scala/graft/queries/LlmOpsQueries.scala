@@ -75,6 +75,24 @@ object LlmOpsQueries extends QueryModule {
       "SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= 5 ORDER BY qid, rn"
   }
 
+  /** DuckDB mirror of Similarity.ivfTopK (nlist = 16, nprobe = 4, k = 5,
+    * queries = vec_id < 5, default centroid rule vec_id < 16): nearest-cell
+    * assignment and probe ranking tie-break on lowest centroid id, exact
+    * cosine re-rank inside the probed cells.
+    */
+  private val ivfOracleSql: String =
+    "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+      "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+      "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
+      "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+      "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+      "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+      "probes AS (SELECT vec_id AS qid, cent_id AS cell FROM ranked WHERE rn <= 4 AND vec_id < 5), " +
+      "cands AS (SELECT p.qid, a.cid FROM probes p JOIN assign a USING (cell) WHERE a.cid <> p.qid), " +
+      "dots AS (SELECT cd.qid, cd.cid, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS qn, sqrt(sum(b.v * b.v)) AS cn FROM cands cd JOIN e a ON a.vec_id = cd.qid JOIN e b ON b.vec_id = cd.cid AND b.i = a.i GROUP BY 1, 2), " +
+      "sims AS (SELECT qid, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM dots) " +
+      "SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= 5 ORDER BY qid, rn"
+
   /** DuckDB mirror of TextAnalysis.withLangId — same profiles, same
     * score-then-lang (descending) argmax tie-break.
     */
@@ -178,6 +196,14 @@ object LlmOpsQueries extends QueryModule {
     q("q_x_ann_lsh", annOracleSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("qid", "rn")
+    },
+    // IVF coarse-quantizer ANN (the other classic scale path; deterministic
+    // default centroids keep it exactly SQL-reproducible)
+    q("q_x_ann_ivf", ivfOracleSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          nlist = 16, nprobe = 4)
         .orderBy("qid", "rn")
     },
     q("q_x_text_langid", langIdOracleSql) { (s, d) =>

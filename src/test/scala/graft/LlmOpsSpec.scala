@@ -89,6 +89,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ANN recall $recall below 0.8")
   }
 
+  test("IVF top-k with nprobe = nlist equals brute force exactly") {
+    val queries = emb.filter(col("vec_id") < 8)
+    // probing every cell degrades IVF to exhaustive search — results must
+    // match the brute-force baseline row for row.
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == exact, s"missing: ${exact -- ivf}, extra: ${ivf -- exact}")
+  }
+
+  test("IVF top-k at nprobe < nlist keeps useful recall and stays candidate-bounded") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(ivf.size <= exact.size) // ≤ k per query, by construction
+  }
+
   test("LSH cosine pairs recall the exact cosine near-dups") {
     val exact = Similarity.cosinePairs(emb, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
