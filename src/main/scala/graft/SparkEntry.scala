@@ -19,7 +19,8 @@ object SparkEntry {
     StreamingQueries,
     AdvancedQueries,
     LlmOpsQueries,
-    GraphQueries)
+    GraphQueries,
+    TemporalQueries)
 
   lazy val all: Seq[OracleQuery] = {
     val qs = modules.flatMap(_.queries)

@@ -110,6 +110,22 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("temporal joins avoid nested-loop plans") {
+    // asofJoin: one keyed window over a union — NO join node at all.
+    val asof = SparkEntry.queries("q_t_asof_join")(spark, dir)
+    val pAsof = plan(asof)
+    assert(!pAsof.contains("NestedLoop"), s"asof must not nested-loop:\n$pAsof")
+    assert(pAsof.contains("RunningWindowFunction") || pAsof.contains("Window"),
+      s"expected window-based asof plan:\n$pAsof")
+    // rangeJoin: binned EQUI-join — the naive inequality formulation would
+    // plan as BroadcastNestedLoopJoin (|L|×|R| at scale).
+    val range = SparkEntry.queries("q_t_range_join")(spark, dir)
+    val pRange = plan(range)
+    assert(!pRange.contains("NestedLoop"), s"range join must be an equi-join:\n$pRange")
+    assert(pRange.contains("BroadcastHashJoin") || pRange.contains("SortMergeJoin") ||
+      pRange.contains("ShuffledHashJoin"), s"expected hash/merge equi-join:\n$pRange")
+  }
+
   test("corpus sampling is a pushable narrow filter (no shuffle, no UDF)") {
     val df = Tables.documents(spark, dir)
       .filter(graft.llmops.Corpus.hashSample(col("doc_id"), 10))
