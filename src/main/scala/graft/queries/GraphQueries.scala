@@ -58,10 +58,13 @@ object GraphQueries extends QueryModule {
   }
 
   /** Supplier co-supply graph: suppliers linked iff they supply a common
-    * part (restricted to partkey % 10 = 0 so the projected graph stays
-    * sparse — the unrestricted co-supply projection of a bipartite graph
-    * densifies toward complete as SF grows, which is a property of THIS
-    * test projection, not of triangleCount itself).
+    * part. Two deterministic sparsifiers keep the projection honest as SF
+    * grows (the unrestricted co-supply projection of a bipartite graph
+    * densifies toward COMPLETE — at sf0.1 it reaches 82% density and 94M
+    * triangles, a property of the projection, not of triangleCount):
+    * partkey % 10 = 0 bounds the p-self-join intermediate, and a pair-hash
+    * keep of (31·u + v) % 10 = 0 thins edges to ~8% density with varied
+    * per-vertex triangle counts — integer-exact in both engines.
     */
   private def coSupplyGraph(s: SparkSession, d: String): GraphStore = {
     val ps = Tables.lineitem(s, d)
@@ -69,6 +72,7 @@ object GraphQueries extends QueryModule {
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     val pairs = ps.alias("a").join(ps.alias("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .filter((col("a.s") * 31 + col("b.s")) % 10 === 0)
       .select(col("a.s").as("sa"), col("b.s").as("sb")).distinct()
     val verts = Tables.lineitem(s, d).select(col("l_suppkey")).distinct()
     val nodes = Graph.nodesFrom(verts, "Supplier", lit(null),
@@ -85,7 +89,7 @@ object GraphQueries extends QueryModule {
     // every vertex, hence the left-join-shaped oracle).
     q("q_g_triangles",
       "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 10 = 0), " +
-        "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s), " +
+        "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s AND (a.s * 31 + b.s) % 10 = 0), " +
         "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), " +
         "cnt AS (SELECT a AS s FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri), " +
         "verts AS (SELECT DISTINCT l_suppkey AS s FROM lineitem) " +
