@@ -24,6 +24,26 @@ object Corpus {
     PortableHash.hash52(keyCol.cast("string")) % 100 < pct
   }
 
+  /** Per-stratum deterministic sampling — rebalance a corpus by keeping a
+    * different fraction of each stratum (the "downsample web crawl,
+    * upweight books, keep all code" move every pretraining mix needs).
+    * Rates are basis points out of 10_000 per stratum value; strata absent
+    * from the map fall back to `defaultBps`. Same hash-bucket mechanism as
+    * [[hashSample]]: keep iff hash(key) % 10000 < rate(stratum) —
+    * deterministic, partition-invariant, and a row kept at rate r stays
+    * kept at every rate ≥ r (nested samples, so raising a stratum's rate
+    * only ADDS documents — stable ablations).
+    */
+  def stratifiedSample(keyCol: Column, stratumCol: Column,
+      ratesBps: Map[String, Int], defaultBps: Int = 0): Column = {
+    require(ratesBps.nonEmpty && (ratesBps.values ++ Seq(defaultBps)).forall(r => r >= 0 && r <= 10000))
+    val bucket = PortableHash.hash52(keyCol.cast("string")) % 10000
+    val rate = ratesBps.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, r)) => acc.when(stratumCol === s, lit(r))
+    }.otherwise(lit(defaultBps))
+    bucket < rate
+  }
+
   /** Assign each row a split label by cumulative hash-bucket ranges out of
     * 10_000 (e.g. Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)).
     * Order matters (ranges are cumulative in the given order); weights must

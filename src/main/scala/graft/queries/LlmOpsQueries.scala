@@ -258,6 +258,21 @@ object LlmOpsQueries extends QueryModule {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")
     },
+    // per-stratum rebalancing: keep 100% of 'de', 25% of 'en', 5% of
+    // everything else — the corpus-mix move; nested hash buckets mean
+    // raising a rate only adds docs.
+    q("q_x_sample_stratified", {
+      val b = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)") + " % 10000"
+      "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM documents " +
+        s"WHERE $b < (CASE WHEN lang = 'de' THEN 10000 WHEN lang = 'en' THEN 2500 ELSE 500 END) " +
+        "GROUP BY lang ORDER BY lang"
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
+          Map("de" -> 10000, "en" -> 2500), defaultBps = 500))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
     // contiguous token-budget sharding (10k-token shards in doc_id order)
     q("q_x_token_shards",
       "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>

@@ -73,6 +73,28 @@ object StreamingQueries extends QueryModule {
         .select(col("user_id"), col("w.start").cast("long").as("session_start"),
           col("w.end").cast("long").as("session_end"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")
+    },
+    // ST5: stream-stream join (batch parity) — purchases within 10 minutes
+    // after a click by the same user, through the REAL correlate operator
+    // (watermark + time-range bound); µs precision on both sides.
+    q("q_st5_stream_join",
+      "SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id AS user_id, " +
+        "epoch_us(l.ts) AS click_ts_us, epoch_us(r.ts) AS purchase_ts_us " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND l.event_type = 'click' AND r.event_type = 'purchase' " +
+        "AND epoch_us(r.ts) >= epoch_us(l.ts) AND epoch_us(r.ts) < epoch_us(l.ts) + 600000000 " +
+        "ORDER BY 1, 2") { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_nanos div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_ts_us"))
+      graft.streaming.EventStream.correlate(clicks, purchases, "user_id", "10 minutes")
+        .select(col("click_id"), col("purchase_id"), col("l.user_id").as("user_id"),
+          col("click_ts_us"), col("purchase_ts_us"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 }

@@ -99,6 +99,26 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-stream inner join: right events landing within `[l.ts,
+    * l.ts + within)` of a left event with the same `key`. Both sides carry
+    * watermarks AND the join condition carries the time-range bound — the
+    * two things Spark needs to EVICT join state; an unbounded stream-stream
+    * join buffers both sides forever. Works identically in batch mode
+    * (watermarks are no-ops there), which is what the DuckDB oracle checks
+    * (q_st5_stream_join); the MemoryStream test covers the streaming path.
+    * Both inputs need `ts`; keep other column names disjoint and select
+    * with `l.`/`r.` qualifiers for the shared ones.
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String = "user_id",
+      within: String = "10 minutes", lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") < col("l.ts") + expr(s"interval $within"))
+  }
+
   /** Custom sessionization via flatMapGroupsWithState with event-time
     * timeouts — the escalation path beyond the built-in `session_window`
     * (which [[sessionCounts]] uses) for session logic the built-ins can't

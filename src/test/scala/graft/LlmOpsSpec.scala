@@ -73,6 +73,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(sim == simUncapped)
   }
 
+  test("stratified sampling is per-stratum, deterministic, and nested") {
+    import graft.llmops.Corpus
+    val kept = docs.filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
+      Map("en" -> 2500), defaultBps = 500))
+    val again = docs.filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
+      Map("en" -> 2500), defaultBps = 500))
+    assert(kept.select("doc_id").collect().toSeq == again.select("doc_id").collect().toSeq)
+    // a rate of 10000 keeps the whole stratum; 0 keeps none of it.
+    val all = docs.filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
+      Map("en" -> 10000), defaultBps = 0))
+    assert(all.filter(col("lang") === "en").count() == docs.filter(col("lang") === "en").count())
+    assert(all.filter(col("lang") =!= "en").count() == 0)
+    // nested: every doc kept at 2500 bps is kept at 5000 bps (ablation
+    // stability — raising a stratum's rate only adds documents).
+    val lo = docs.filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
+      Map("en" -> 2500), defaultBps = 0)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = docs.filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
+      Map("en" -> 5000), defaultBps = 0)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+  }
+
   test("SimHash is deterministic") {
     val a = Dedup.simHash(docs, "doc_id", "text").orderBy("doc").collect().toSeq
     val b = Dedup.simHash(docs, "doc_id", "text").orderBy("doc").collect().toSeq

@@ -160,6 +160,35 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(rows == expected, s"got $rows")
   }
 
+  test("stream-stream join correlates events within the time bound (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long)]
+    val base = 1700000000L
+    def toEv(m: MemoryStream[(Long, Long)], idCol: String) = m.toDF()
+      .select(expr("timestamp_micros(_1 * 1000000)").as("ts"), col("_2").as("user_id"))
+      .withColumn(idCol, col("user_id") * 1000 + unix_timestamp(col("ts")) % 1000)
+    val joined = EventStream.correlate(
+      toEv(clicks, "click_id"), toEv(purchases, "purchase_id"),
+      key = "user_id", within = "10 seconds", lateness = "0 seconds")
+      .select(col("l.user_id").as("user_id"), col("click_id"), col("purchase_id"))
+    val query = joined.writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    clicks.addData((base, 1L), (base + 100, 2L))
+    purchases.addData((base + 5, 1L), (base + 20, 1L), (base + 105, 2L))
+    query.processAllAvailable()
+    val rows = spark.table("correlated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    query.stop()
+    // user 1: purchase at +5 is inside [0, 10); +20 is not. user 2: +105
+    // inside [100, 110). Purchases never match other users' clicks.
+    val expected = Set(
+      (1L, 1L * 1000 + base % 1000, 1L * 1000 + (base + 5) % 1000),
+      (2L, 2L * 1000 + (base + 100) % 1000, 2L * 1000 + (base + 105) % 1000))
+    assert(rows == expected, s"got $rows")
+  }
+
   test("GraphX blast radius: VMs transitively on the shared datastore") {
     val store = Refresh.refresh(
       SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
