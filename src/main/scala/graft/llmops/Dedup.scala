@@ -194,18 +194,22 @@ object Dedup {
     * benchmark document. Returns one row per training doc with the count of
     * its distinct shingles that collide (`n_hit`) and the flag.
     *
-    * Scale: the benchmark shingle set is tiny next to the training corpus —
-    * a distinct-project that broadcasts; the whole check is one
-    * broadcast-semi-join-shaped pass over training shingles, no pair
-    * explosion.
+    * Scale: the benchmark shingle set is normally tiny next to the training
+    * corpus — a distinct-project that broadcasts, making the whole check
+    * one broadcast-semi-join-shaped pass over training shingles, no pair
+    * explosion. For a benchmark suite too large to broadcast (a deduped
+    * union of hundreds of eval sets), pass `broadcastBench = false`: the
+    * semi-join then shuffles on the shingle hash — one extra exchange,
+    * same result (regression-tested), no driver memory bound.
     */
   def decontaminate(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
+      n: Int = 5, broadcastBench: Boolean = true): DataFrame = {
     val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
-    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+    val benchSh0 = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
       .select("s").distinct()
-    val hits = trainSh.join(broadcast(benchSh), Seq("s"), "left_semi")
+    val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
+    val hits = trainSh.join(benchSh, Seq("s"), "left_semi")
       .groupBy("doc").agg(count(lit(1)).as("n_hit"))
     train.select(col(idCol).as("doc"))
       .join(hits, Seq("doc"), "left")

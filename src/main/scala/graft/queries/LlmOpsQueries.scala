@@ -273,6 +273,26 @@ object LlmOpsQueries extends QueryModule {
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
     },
+    // KMV distinct-count sketch (custom bounded-memory Aggregator): the
+    // k-min-of-distinct-hashes state is order-invariant, so the sketch —
+    // and hence the ESTIMATE — is deterministic and exactly mirrored by
+    // ORDER BY hash LIMIT k in DuckDB. Exact branch below k distinct
+    // (sf0.001 exercises it), estimator branch above (sf0.01+).
+    q("q_x_distinct_sketch", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(l_partkey AS VARCHAR)")
+      s"WITH hs AS (SELECT DISTINCT $h AS h FROM lineitem), " +
+        "k AS (SELECT h FROM hs ORDER BY h LIMIT 256), " +
+        "est AS (SELECT CASE WHEN (SELECT count(*) FROM k) < 256 THEN (SELECT CAST(count(*) AS DOUBLE) FROM k) " +
+        "ELSE CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / (SELECT max(h) FROM k) END AS e) " +
+        "SELECT round(e, 4) AS est_distinct, (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS exact_distinct FROM est"
+    }) { (s, d) =>
+      import graft.functions.KMinValues
+      Tables.lineitem(s, d)
+        .agg(KMinValues.sketch(col("l_partkey"), 256).as("kmv"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+        .select(round(KMinValues.estimate(col("kmv"), 256), 4).as("est_distinct"),
+          col("exact_distinct"))
+    },
     // contiguous token-budget sharding (10k-token shards in doc_id order)
     q("q_x_token_shards",
       "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>

@@ -209,6 +209,40 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out == Map(0L -> (1L, true), 2L -> (0L, false), 4L -> (0L, false)))
   }
 
+  test("KMV sketch is partition-invariant, exact below k, ~6% above") {
+    import graft.functions.KMinValues
+    val li = Tables.lineitem(spark, dir)
+    def sketchOf(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .agg(KMinValues.sketch(col("l_suppkey"), k).as("kmv"))
+      .select(col("kmv"), KMinValues.estimate(col("kmv"), k).as("est"))
+      .collect().head
+    // identical sketch under any partitioning (min-k is order-invariant).
+    val a = sketchOf(li.repartition(1), 64)
+    val b = sketchOf(li.repartition(13), 64)
+    assert(a.getSeq[Long](0) == b.getSeq[Long](0))
+    // exact when distinct < k.
+    val truth = li.select(countDistinct("l_suppkey")).collect().head.getLong(0)
+    val exact = sketchOf(li, 4096)
+    assert(exact.getDouble(1) == truth.toDouble)
+    // estimator branch: within 3/sqrt(k-2) of truth on l_orderkey (many
+    // distincts at every SF).
+    val k = 256
+    val many = li.agg(KMinValues.sketch(col("l_orderkey"), k).as("kmv"))
+      .select(KMinValues.estimate(col("kmv"), k).as("est")).collect().head.getDouble(0)
+    val trueOrders = li.select(countDistinct("l_orderkey")).collect().head.getLong(0)
+    val err = math.abs(many - trueOrders) / trueOrders
+    assert(trueOrders < k || err <= 3.0 / math.sqrt(k - 2), s"KMV err $err (est $many vs $trueOrders)")
+  }
+
+  test("decontamination shuffle path matches the broadcast path") {
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val bench = docs.filter(col("doc_id") % 2 === 1)
+    def run(bc: Boolean) = Dedup.decontaminate(train, bench, "doc_id", "text",
+        broadcastBench = bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(true) == run(false))
+  }
+
   test("shingles on documents shorter than n return empty, not an error") {
     import spark.implicits._
     val short = Seq("one two", "a", "", "alpha beta gamma").toDF("text")
