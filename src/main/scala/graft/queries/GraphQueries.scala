@@ -146,6 +146,27 @@ object GraphQueries extends QueryModule {
       GraphAnalytics.connectedComponents(s, g)
         .agg(countDistinct(col("component")).as("n_components"))
     },
+    // per-node component MEMBERSHIP (stronger than the count): GraphX's
+    // component ids are Spark-side hash mins the oracle can't reproduce, so
+    // each component is renamed to its alphabetically-first member — the
+    // exact member sets must then agree. A component here = a region plus
+    // its nations.
+    q("q_g_components_members",
+      "WITH comp AS (SELECT r.r_regionkey, least(r.r_name, min(n.n_name)) AS comp_name FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey GROUP BY r.r_regionkey, r.r_name) " +
+        "SELECT label, name, comp_name FROM (" +
+        "SELECT 'Nation' AS label, n.n_name AS name, c.comp_name FROM nation n JOIN comp c ON c.r_regionkey = n.n_regionkey " +
+        "UNION ALL SELECT 'Region', r.r_name, c.comp_name FROM region r JOIN comp c USING (r_regionkey)) " +
+        "ORDER BY label, name") { (s, d) =>
+      val store = nationRegionGraph(s, d)
+      val g = GraphAnalytics.toGraphX(store)
+      val names = store.nodes.select(col("id"), col("label"),
+        col("props")("name").as("name"))
+      val labeled = GraphAnalytics.connectedComponents(s, g).join(names, Seq("id"))
+      val rep = labeled.groupBy("component").agg(min("name").as("comp_name"))
+      labeled.join(rep, Seq("component"))
+        .select(col("label"), col("name"), col("comp_name"))
+        .orderBy("label", "name")
+    },
     // degree distribution stats via GraphX ≡ SQL over the order counts
     q("q_g_degree_stats",
       "SELECT CAST(min(c) AS BIGINT) AS min_degree, CAST(max(c) AS BIGINT) AS max_degree, CAST(avg(CAST(c AS BIGINT)) AS DOUBLE) AS avg_degree, CAST(count(*) AS BIGINT) AS n_vertices FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)") { (s, d) =>
