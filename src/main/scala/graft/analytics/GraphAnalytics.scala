@@ -66,6 +66,29 @@ object GraphAnalytics {
       "triangles")
   }
 
+  /** Shortest hop distances from every vertex to each landmark, undirected
+    * (edges symmetrized before the Pregel run — GraphX's ShortestPaths
+    * follows edge direction). Returns (id, landmark, dist); unreachable
+    * vertices emit no row for that landmark. Pregel message volume is
+    * |frontier|·|landmarks| per superstep and the run converges in
+    * diameter supersteps — the standard landmark-BFS scale shape.
+    */
+  def shortestPaths(spark: SparkSession, g: GxGraph[String, String],
+      landmarks: Seq[VertexId]): DataFrame = {
+    import spark.implicits._
+    val sym = GxGraph(
+      g.vertices,
+      g.edges.flatMap(e =>
+        Iterator(GxEdge(e.srcId, e.dstId, e.attr), GxEdge(e.dstId, e.srcId, e.attr)))
+        .distinct(),
+      defaultVertexAttr = "",
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    org.apache.spark.graphx.lib.ShortestPaths.run(sym, landmarks).vertices
+      .flatMap { case (v, spMap) => spMap.map { case (lm, d) => (v, lm, d.toLong) } }
+      .toDF("id", "landmark", "dist")
+  }
+
   /** Degree distribution summary — the quick health check on any graph. */
   def degreeStats(spark: SparkSession, g: GxGraph[String, String]): DataFrame =
     degrees(spark, g).agg(

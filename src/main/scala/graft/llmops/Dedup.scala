@@ -217,6 +217,58 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Resolve near-dup pairs into clusters: connected components over the
+    * pair graph by iterative min-label propagation, entirely in DataFrame
+    * joins. Returns one row per vertex appearing in any pair:
+    * (v, cluster) with cluster = the minimum vertex id in its component.
+    *
+    * Scale notes: each round is two shuffles (edge⋈label join + groupBy
+    * min) and convergence takes O(component diameter) rounds — near-dup
+    * components are near-cliques (every member resembles the survivor), so
+    * 2–3 rounds is typical regardless of corpus size. `localCheckpoint`
+    * per round truncates lineage, the same discipline as
+    * GraphAnalytics.blastRadius — without it the iterated plan doubles per
+    * round. For adversarial long-chain graphs the escalation is the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") or GraphX connectedComponents;
+    * `maxIters` bounds the worst case either way.
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val und = pairs.select(col(aCol).as("v"), col(bCol).as("u"))
+      .unionAll(pairs.select(col(bCol).as("v"), col(aCol).as("u")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("v")).distinct()
+      .withColumn("cluster", col("v")).localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      val nbrMin = und.join(labels.select(col("v").as("u"), col("cluster")), Seq("u"))
+        .groupBy("v").agg(min("cluster").as("_nbr_min"))
+      val next = labels.withColumnRenamed("cluster", "_prev")
+        .join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("_prev"),
+          least(col("_prev"), coalesce(col("_nbr_min"), col("_prev"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.filter(col("cluster") < col("_prev")).isEmpty
+      labels = next.select("v", "cluster")
+    }
+    labels
+  }
+
+  /** The dedup decision table: every document labeled with its cluster
+    * representative (itself when it collided with nothing) and the keep
+    * flag — the materialized form a pipeline joins against to drop
+    * near-dups. One broadcast-or-shuffle left join; the cluster table is
+    * |paired docs| rows, tiny next to the corpus.
+    */
+  def dedupSurvivors(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc"))
+      .join(clusters.select(col("v").as("doc"), col("cluster")), Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster"),
+        (coalesce(col("cluster"), col("doc")) === col("doc")).as("is_survivor"))
+
   /** SimHash signature bit width — 52 (not 64) so the per-token hash and
     * every bit of the signature are exactly reproducible in the DuckDB
     * oracle (PortableHash).

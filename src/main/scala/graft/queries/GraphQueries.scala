@@ -104,6 +104,34 @@ object GraphQueries extends QueryModule {
         .select(col("suppkey"), col("triangles"))
         .orderBy("suppkey")
     },
+    // single-landmark BFS through the real GraphX ShortestPaths Pregel run
+    // (undirected) over the co-supply graph, from the lowest-keyed supplier
+    // that has an edge. The oracle is a recursive-CTE BFS whose UNION
+    // dedup bounds the working set to (vertex, depth) pairs; min(d) per
+    // vertex = the hop distance. Unreachable suppliers emit no row in
+    // either engine. The d < 50 recursion cap is ≫ any possible diameter
+    // here (|V| ≤ 1000 at sf0.1, near-clique projection).
+    q("q_g_shortest_path",
+      "WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 10 = 0), " +
+        "e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s AND (a.s * 31 + b.s) % 10 = 0), " +
+        "und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), " +
+        "src AS (SELECT min(u) AS s0 FROM und), " +
+        "bfs AS (SELECT s0 AS v, 0 AS d FROM src UNION SELECT und.v, bfs.d + 1 FROM bfs JOIN und ON und.u = bfs.v WHERE bfs.d < 50) " +
+        "SELECT v AS suppkey, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY v ORDER BY suppkey") { (s, d) =>
+      val store = coSupplyGraph(s, d)
+      val suppIds = store.nodes
+        .select(col("id"), col("props")("k").cast("long").as("suppkey"))
+      val endpoints = store.edges.select(col("src").as("id"))
+        .unionAll(store.edges.select(col("dst").as("id"))).distinct()
+      // one driver scalar: the landmark vertex id (lowest suppkey with an edge)
+      val lm = endpoints.join(suppIds, Seq("id")).orderBy("suppkey")
+        .select("id").head.getLong(0)
+      val g = GraphAnalytics.toGraphX(store)
+      GraphAnalytics.shortestPaths(s, g, Seq(lm))
+        .join(suppIds, Seq("id"))
+        .select(col("suppkey"), col("dist"))
+        .orderBy("suppkey")
+    },
     // iterative frontier expansion (blast radius) through the real
     // operator: everything within 2 undirected hops of part 1 — its
     // suppliers (hop 1) and every other part those suppliers supply

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{OracleQuery, QueryModule, Tables}
-import graft.llmops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmops.{Corpus, Dedup, FuzzyMatch, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -190,6 +190,42 @@ object LlmOpsQueries extends QueryModule {
     q("q_x_dedup_simhash", simHashOracleSql) { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
         .orderBy("id_a", "id_b")
+    },
+    // end-to-end dedup decision table: minhash pairs → connected-component
+    // clusters (iterative min-label propagation) → per-document survivor
+    // flag. The oracle re-derives the SAME pairs (the minhash oracle as a
+    // derived table) and resolves components with a recursive reachability
+    // CTE — min reachable id ≡ the operator's min-label fixpoint.
+    q("q_x_dedup_clusters",
+      s"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($minHashOracleSql) mh), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v) " +
+        "SELECT d.doc_id AS doc, coalesce(c.cluster, d.doc_id) AS cluster, " +
+        "coalesce(c.cluster, d.doc_id) = d.doc_id AS is_survivor " +
+        "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      Dedup.dedupSurvivors(docs, "doc_id", clusters).orderBy("doc")
+    },
+    // blocked fuzzy matching (entity resolution): candidates share a
+    // 16-char prefix block, exact Levenshtein ≤ 1 decides — both engines
+    // implement the classic Levenshtein, so the oracle is exact.
+    q("q_x_fuzzy_match",
+      "SELECT a.s_suppkey AS l_id, b.s_suppkey AS r_id, a.s_name AS l_name, b.s_name AS r_name, " +
+        "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist " +
+        "FROM supplier a JOIN supplier b ON substring(a.s_name, 1, 16) = substring(b.s_name, 1, 16) AND a.s_suppkey < b.s_suppkey " +
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1 ORDER BY 1, 2") { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      FuzzyMatch.blockedLevenshtein(
+          sup.select(col("s_suppkey").as("l_id"), col("s_name").as("l_name")),
+          "l_id", "l_name",
+          sup.select(col("s_suppkey").as("r_id"), col("s_name").as("r_name")),
+          "r_id", "r_name",
+          name => substring(name, 1, 16), maxDist = 1)
+        .filter(col("l_id") < col("r_id"))
+        .orderBy("l_id", "r_id")
     },
     // deterministic sign-LSH ANN (the portable scale path; the ML-seeded
     // lshTopK variant stays API-available and recall-tested in LlmOpsSpec)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{OracleQuery, QueryModule, Tables}
-import graft.operators.Upsert
+import graft.operators.{SnapshotDiff, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -96,6 +96,32 @@ object MutationQueries extends QueryModule {
       Upsert.markSweepNodes(store, batch, keys = Seq("k"), tenantCol = "tenant", tenant = "t1")
         .select(col("k"), col("name"), col("tenant"))
         .orderBy("tenant", "k")
+    },
+    // M8 extension: snapshot diff (CDC between two refreshes) — per-customer
+    // order aggregates over two overlapping one-year-shifted windows, so all
+    // three change types occur AND overlap-only customers exercise the
+    // unchanged-row suppression. Dates compared at day granularity (the
+    // testdata timestamps are whole days; TIMESTAMP↔DATE is exact here).
+    q("q_m8_snapshot_diff",
+      "WITH o1 AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders, max(CAST(o_orderdate AS DATE)) AS last_date FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1), " +
+        "o2 AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders, max(CAST(o_orderdate AS DATE)) AS last_date FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1), " +
+        "j AS (SELECT coalesce(o1.custkey, o2.custkey) AS custkey, " +
+        "CASE WHEN o1.custkey IS NULL THEN 'added' WHEN o2.custkey IS NULL THEN 'removed' " +
+        "WHEN o1.n_orders IS DISTINCT FROM o2.n_orders OR o1.last_date IS DISTINCT FROM o2.last_date THEN 'changed' END AS change_type, " +
+        "o1.n_orders AS old_n_orders, o2.n_orders AS new_n_orders, o1.last_date AS old_last_date, o2.last_date AS new_last_date " +
+        "FROM o1 FULL JOIN o2 ON o1.custkey = o2.custkey) " +
+        "SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY custkey") { (s, d) =>
+      def snap(lo: String, hi: String): DataFrame =
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+            col("o_orderdate") < lit(hi).cast("timestamp"))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            max(to_date(col("o_orderdate"))).as("last_date"))
+      SnapshotDiff.diff(
+          snap("1996-01-01", "1998-01-01"), snap("1997-01-01", "1999-01-01"),
+          keys = Seq("custkey"), compareCols = Seq("n_orders", "last_date"))
+        .orderBy("custkey")
     }
   )
 }
