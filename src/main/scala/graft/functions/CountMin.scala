@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.llmops.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch as a pure-DataFrame pipeline — the mergeable frequency
+  * summary a 100 TB pipeline keeps instead of a full per-key count table
+  * (heavy-hitter detection, stopword discovery, join-size estimation).
+  *
+  * The sketch is a (d × w) counter grid, materialized as a DataFrame of
+  * (j, bucket, cnt) cells: row j hashes each key with PortableHash
+  * permutation j, so every counter — and therefore every estimate — is
+  * reproducible bit-for-bit in the DuckDB oracle. Building it is ONE
+  * shuffle (explode d cells per row, then groupBy with map-side partial
+  * aggregation keeps the shuffle at ≤ d·w rows per partition); sketches
+  * merge by unioning cell tables and re-summing, which is what makes the
+  * structure per-shard / per-day composable. Estimates overcount (never
+  * under): est(x) = min_j cell(j, h_j(x)), the classic CM guarantee
+  * (Cormode & Muthukrishnan, "An improved data stream summary").
+  */
+object CountMin {
+
+  require(PortableHash.MinHashA.length >= 4)
+
+  private def cells(key: Column, d: Int, w: Int): Column = {
+    val h = PortableHash.hash52(key.cast("string"))
+    array((0 until d).map(j =>
+      struct(lit(j).as("j"), (PortableHash.minhashPerm(h, j) % w).as("bucket"))): _*)
+  }
+
+  /** Build the sketch cell table (j, bucket, cnt) over `keyCol`.
+    * d ≤ 16 (the PortableHash permutation pool); w trades memory (d·w
+    * counters) against overcount (ε ≈ e/w of the total count).
+    */
+  def sketch(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 512): DataFrame =
+    df.select(explode(cells(col(keyCol), d, w)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketches built with the SAME (d, w): cells add. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point estimates for `probes.keyCol`: min over the d probed cells.
+    * The sketch side is ≤ d·w rows — broadcast it so probing is
+    * shuffle-free on the (usually much larger) probe side.
+    */
+  def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      d: Int = 4, w: Int = 512): DataFrame =
+    probes.select(col(keyCol), explode(cells(col(keyCol), d, w)).as("c"))
+      .select(col(keyCol), col("c.j").as("j"), col("c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}

@@ -314,6 +314,32 @@ object LlmOpsQueries extends QueryModule {
     // and hence the ESTIMATE — is deterministic and exactly mirrored by
     // ORDER BY hash LIMIT k in DuckDB. Exact branch below k distinct
     // (sf0.001 exercises it), estimator branch above (sf0.01+).
+    // count-min frequency sketch: the (d × w) counter grid is built with
+    // PortableHash permutations, so every counter and every min-probe
+    // estimate is replicated value-for-value in the oracle. Probes = the 20
+    // lexicographically-first distinct tokens (deterministic probe set).
+    q("q_x_cms_freq", {
+      import graft.llmops.PortableHash
+      val (dRows, w, p) = (4, 512, PortableHash.P)
+      val perms = (0 until dRows)
+        .map(j => s"($j, ${PortableHash.MinHashA(j)}, ${PortableHash.MinHashB(j)})")
+        .mkString(", ")
+      s"WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents), " +
+        s"th AS (SELECT t, ${PortableHash.duckHash52("t")} AS h FROM tok), " +
+        s"perm(j, a, b) AS (SELECT * FROM (VALUES $perms)), " +
+        s"sk AS (SELECT j, (a * (h % $p) + b) % $p % $w AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM th CROSS JOIN perm GROUP BY 1, 2), " +
+        s"probes AS (SELECT t, h FROM (SELECT DISTINCT t, h FROM th) ORDER BY t LIMIT 20), " +
+        s"pc AS (SELECT pr.t, perm.j, (perm.a * (pr.h % $p) + perm.b) % $p % $w AS bucket FROM probes pr CROSS JOIN perm) " +
+        "SELECT pc.t AS token, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est " +
+        "FROM pc LEFT JOIN sk ON sk.j = pc.j AND sk.bucket = pc.bucket GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      import graft.functions.CountMin
+      val toks = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " ")).as("token"))
+      val sk = CountMin.sketch(toks, "token", d = 4, w = 512)
+      val probes = toks.distinct().orderBy("token").limit(20)
+      CountMin.estimate(sk, probes, "token", d = 4, w = 512).orderBy("token")
+    },
     q("q_x_distinct_sketch", {
       val h = graft.llmops.PortableHash.duckHash52("CAST(l_partkey AS VARCHAR)")
       s"WITH hs AS (SELECT DISTINCT $h AS h FROM lineitem), " +

@@ -167,6 +167,20 @@ object RelationalQueries extends QueryModule {
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     },
+    // J9: skew-salted inner join through the real operator — result must be
+    // row-for-row the plain join (the oracle states the plain join; salting
+    // is a physical rewrite only).
+    q("q_j9_salted_join",
+      "SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val right = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      val left = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      graft.operators.SkewJoin.saltedInnerJoin(left, right, Seq("suppkey"), salts = 8)
+        .groupBy("suppkey")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("suppkey")
+    },
 
     // ---- A: aggregations (SURVEY §2.4) ----
     q("q_a1_distinct",
