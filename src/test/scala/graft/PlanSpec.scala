@@ -126,6 +126,32 @@ class PlanSpec extends SparkTestBase {
       pRange.contains("ShuffledHashJoin"), s"expected hash/merge equi-join:\n$pRange")
   }
 
+  test("parquet workbook ingest stays in codegen (no RDD round-trip, pruning intact)") {
+    import graft.ingest.Workbook
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowno").toString
+    // two part-files so the cross-file offset path is exercised.
+    spark.range(100).selectExpr(
+        "cast(id as string) as `VI SDK UUID`",
+        "cast(id as string) as `VI SDK Server`",
+        "concat('c', id) as `Name`")
+      .repartition(2).write.parquet(s"$tmp/vCluster.parquet")
+    val sheet = Workbook.loadParquetDir(spark, tmp)("vCluster")
+    val p = plan(sheet)
+    assert(!p.contains("ExistingRDD") && !p.contains("Scan rdd"),
+      s"workbook ingest must not round-trip through an RDD:\n$p")
+    assert(p.contains("Scan parquet"), s"expected a native parquet scan:\n$p")
+    // the offsets side is tiny (#files rows) and must broadcast.
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    // column pruning survives downstream of _rowno attachment: a 1-column
+    // projection reads only that column (+ the metadata struct the row
+    // index rides on — generated by the scan, zero I/O).
+    val pruned = plan(sheet.select("Name"))
+    assert(!pruned.contains("VI SDK UUID"), s"pruning lost through ingest:\n$pruned")
+    // _rowno is dense 0-based across files, like the old RDD path.
+    val rownos = sheet.select("_rowno").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rownos == (0L until 100L).toSeq, "expected dense 0-based _rowno")
+  }
+
   test("corpus sampling is a pushable narrow filter (no shuffle, no UDF)") {
     val df = Tables.documents(spark, dir)
       .filter(graft.llmops.Corpus.hashSample(col("doc_id"), 10))
