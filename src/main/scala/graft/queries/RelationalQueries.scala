@@ -176,7 +176,11 @@ object RelationalQueries extends QueryModule {
         .select(col("s_suppkey").as("suppkey"), col("s_name"))
       val left = Tables.lineitem(s, d)
         .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
-      graft.operators.SkewJoin.saltedInnerJoin(left, right, Seq("suppkey"), salts = 8)
+      // hotThreshold 600 ≈ the per-supplier lineitem mean at every TPC-H
+      // SF, so roughly half the keys go through the salted hot branch and
+      // half through the plain cold branch — both paths oracled.
+      graft.operators.SkewJoin.saltedInnerJoin(left, right, Seq("suppkey"),
+        salts = 8, hotThreshold = 600L)
         .groupBy("suppkey")
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("suppkey")

@@ -54,6 +54,37 @@ class SketchAndSkewSpec extends SparkTestBase {
     assert(salted == plain && salted.size == 7)
   }
 
+  test("saltedInnerJoin replicates the right side for hot keys only") {
+    import spark.implicits._
+    // k=1 is hot (3 left rows ≥ threshold 3); k=2, k=3 are cold.
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("k", "lv")
+    val right = Seq((1L, "X"), (1L, "Y"), (2L, "Z"), (4L, "W")).toDF("k", "rv")
+    val hot = left.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3).select("k")
+    val br = SkewJoin.split(left, right, Seq("k"), salts = 4, hotKeys = hot)
+    // only k=1's right rows enter the replicated branch; the cold branch
+    // keeps the rest un-replicated.
+    assert(br.rightHot.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    assert(br.rightCold.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    // the cold branch's plan must contain no explode (Generate) node —
+    // replication is confined to the hot branch.
+    val coldPlan = br.cold.queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("Generate"), s"cold path replicated right:\n$coldPlan")
+    assert(br.hot.queryExecution.executedPlan.toString.contains("Generate"))
+    // and the union is still row-identical to the plain join.
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(sorted(SkewJoin.saltedInnerJoin(left, right, Seq("k"), 4, hot)) ==
+      sorted(left.join(right, Seq("k"))))
+    // threshold high enough → no hot keys → no replication anywhere.
+    val none = SkewJoin.saltedInnerJoin(left, right, Seq("k"), salts = 4,
+      hotThreshold = Long.MaxValue)
+    assert(!none.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(sorted(none) == sorted(left.join(right, Seq("k"))))
+  }
+
   test("saltedInnerJoin degenerates to the plain join at salts = 1") {
     import spark.implicits._
     val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
