@@ -254,7 +254,87 @@ object Dedup {
       converged = next.filter(col("cluster") < col("_prev")).isEmpty
       labels = next.select("v", "cluster")
     }
+    // An unconverged exit would hand back plausible-looking but WRONG
+    // labels (a long chain's far end still carrying a non-minimal id).
+    // Fail loudly instead of silently: callers with genuinely deep
+    // components should use [[connectedComponentsStars]], whose round
+    // count is logarithmic in the component size.
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIters rounds — component " +
+        "diameter exceeds the label-propagation budget; use " +
+        "connectedComponentsStars for adversarial (long-chain) pair graphs")
     labels
+  }
+
+  /** Connected components by large-star / small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-graph escalation for
+    * [[resolveClusters]]. Label propagation needs O(diameter) rounds,
+    * which is fine for near-clique dedup components but pathological for
+    * chain-shaped graphs (transcription chains, near-dup ladders); the
+    * star alternation converges in O(log n) rounds regardless of shape
+    * because every round contracts tall trees toward their minimum.
+    *
+    * Same output contract as [[resolveClusters]]: one (v, cluster) row
+    * per vertex of the pair graph, cluster = component minimum. Each
+    * round is two grouped aggregations + two joins over the (shrinking)
+    * edge set; `localCheckpoint` truncates iterated lineage exactly as in
+    * the propagation loop.
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    // Canonical directed edge set: (u, v) with u > v, no self-loops.
+    var edges = pairs
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    val vertices = pairs.select(col(aCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("v"))).distinct().localCheckpoint(true)
+    var converged = false
+    var it = 0
+    // Cheap order-insensitive convergence fingerprint: (count, hash-XOR).
+    // XOR, not sum: ANSI mode makes a sum of 64-bit hashes overflow.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    while (!converged && it < maxIters) {
+      it += 1
+      // Large-star: group the undirected neighborhood by u; connect every
+      // strictly LARGER neighbor to m = min(neighborhood ∪ {u}).
+      val nbrs = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("m0"))
+        .select(col("u"), least(col("m0"), col("u")).as("m"))
+      val large = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // Small-star: on the canonical (u > v) orientation, connect every
+      // smaller neighbor (and u itself) to m = min of the small side.
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(sMins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // Unchanged edge set = fixed point of the round = disjoint stars.
+      val nfp = fingerprint(small)
+      converged = nfp == fp
+      fp = nfp
+      edges = small
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge in $maxIters rounds")
+    // At convergence the edge set is a disjoint union of stars: every
+    // non-root has exactly one edge (v, root). Roots label themselves.
+    val nonRoots = edges.select(col("u").as("v"), col("v").as("cluster"))
+    val roots = vertices.join(nonRoots.select("v"), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("cluster"))
+    nonRoots.unionAll(roots)
   }
 
   /** The dedup decision table: every document labeled with its cluster

@@ -209,6 +209,23 @@ object LlmOpsQueries extends QueryModule {
       val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
       Dedup.dedupSurvivors(docs, "doc_id", clusters).orderBy("doc")
     },
+    // Same component labeling through the adversarial-shape algorithm
+    // (large-star/small-star, O(log n) rounds on any graph shape) — the
+    // oracle is identical because connected components are
+    // implementation-independent.
+    q("q_x_dedup_clusters_stars",
+      s"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($minHashOracleSql) mh), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v) " +
+        "SELECT d.doc_id AS doc, coalesce(c.cluster, d.doc_id) AS cluster, " +
+        "coalesce(c.cluster, d.doc_id) = d.doc_id AS is_survivor " +
+        "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponentsStars(pairs, "id_a", "id_b")
+      Dedup.dedupSurvivors(docs, "doc_id", clusters).orderBy("doc")
+    },
     // blocked fuzzy matching (entity resolution): candidates share a
     // 16-char prefix block, exact Levenshtein ≤ 1 decides — both engines
     // implement the classic Levenshtein, so the oracle is exact.

@@ -76,6 +76,37 @@ class DiffMatchClusterSpec extends SparkTestBase {
       6L -> 6L, 7L -> 6L))
   }
 
+  test("resolveClusters fails loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    // 60-vertex path: diameter 59 ≫ the 20-round propagation budget. The
+    // old behavior returned plausible-looking but WRONG labels; now it
+    // throws and points at the star escalation.
+    val chain = (1L until 60L).map(i => (i, i + 1L)).toDF("a", "b")
+    val ex = intercept[IllegalStateException](
+      Dedup.resolveClusters(chain, "a", "b").collect())
+    assert(ex.getMessage.contains("connectedComponentsStars"))
+  }
+
+  test("connectedComponentsStars converges in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    val chain = (1L until 60L).map(i => (i, i + 1L)).toDF("a", "b")
+    // 12 rounds ≈ 2·log2(60) — a budget label propagation (O(diameter))
+    // could never meet; maxIters doubles as the complexity assertion.
+    val out = Dedup.connectedComponentsStars(chain, "a", "b", maxIters = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 60 && out.forall(_._2 == 1L))
+  }
+
+  test("connectedComponentsStars labels identically to resolveClusters") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (7L, 6L), (9L, 9L))
+      .toDF("a", "b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels(Dedup.connectedComponentsStars(pairs, "a", "b")) ==
+      labels(Dedup.resolveClusters(pairs, "a", "b")))
+  }
+
   test("dedupSurvivors flags exactly the cluster minima and singletons") {
     import spark.implicits._
     val docs = (1L to 8L).toDF("doc_id")
@@ -87,6 +118,19 @@ class DiffMatchClusterSpec extends SparkTestBase {
     assert(out.toSeq == Seq(
       (1L, 1L, true), (2L, 2L, true), (3L, 3L, true), (4L, 4L, true),
       (5L, 2L, false), (6L, 6L, true), (7L, 2L, false), (8L, 8L, true)))
+  }
+
+  test("shortestPathsFrom takes a distributed source frame (no driver scalar)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val g = GxGraph(
+      sc.parallelize(Seq((1L, ""), (2L, ""), (3L, ""), (4L, ""), (5L, ""))),
+      sc.parallelize(Seq(GxEdge(2L, 1L, ""), GxEdge(3L, 2L, ""), GxEdge(4L, 5L, ""))),
+      defaultVertexAttr = "")
+    val out = GraphAnalytics.shortestPathsFrom(spark, g, Seq(1L).toDF("id"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
   test("shortestPaths is undirected and omits unreachable vertices") {
