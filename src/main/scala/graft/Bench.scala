@@ -20,13 +20,23 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // NonFatal only: an OOM/JVM error must crash the run, not masquerade
+    // as a -1 entry. A cold failure records its message on stderr and
+    // skips the warm run (double-reporting one broken query as two -1s
+    // would mask the root cause).
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (time(fn), time(fn)) // (cold, warm)
+      val cold = time(name, fn)
+      name -> (cold, if (cold < 0) -1.0 else time(name, fn)) // (cold, warm)
     }
     def fmt(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")

@@ -138,7 +138,11 @@ object Xlsx {
             val raw = text.toString
             val value = cellType match {
               case "s" => raw.toIntOption.flatMap(shared.lift).orNull
-              case "b" => if (raw == "1" || raw.equalsIgnoreCase("true")) "TRUE" else "FALSE"
+              // a valueless boolean cell is absent, not FALSE — map the
+              // lexical form only when one exists.
+              case "b" =>
+                if (raw.isEmpty) null
+                else if (raw == "1" || raw.equalsIgnoreCase("true")) "TRUE" else "FALSE"
               case _ => raw // n, str, inlineStr, e — raw lexical form
             }
             if (value != null && value.nonEmpty) row(cellCol) = value
@@ -163,7 +167,11 @@ object Xlsx {
         val rows = sheetRows(zip, entry, shared).dropWhile(_.isEmpty)
         val parsed = rows match {
           case head +: data =>
-            val width = head.keys.max + 1
+            // width covers the widest DATA row too, not just the header —
+            // otherwise trailing unlabeled cells are silently truncated.
+            // Extra columns get synthetic _c<i> header names.
+            val width = (head.keys.max + 1) max
+              data.flatMap(_.keys.maxOption).map(_ + 1).maxOption.getOrElse(0)
             val header = (0 until width).map(i => head.getOrElse(i, s"_c$i"))
             val body = data.filter(_.nonEmpty)
               .map(m => (0 until width).map(i => m.getOrElse(i, null: String)))

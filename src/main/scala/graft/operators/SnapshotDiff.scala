@@ -28,6 +28,13 @@ object SnapshotDiff {
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
       keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    // Reserved internals — an input column shaped like one would silently
+    // corrupt the join/classification instead of failing fast.
+    val inCols = keys ++ compareCols
+    val resClash = inCols.filter(c => c.startsWith("_ok_") || c.startsWith("_nk_") ||
+      c == "_in_old" || c == "_in_new" || c == "change_type")
+    require(resClash.isEmpty,
+      s"key/compare columns collide with reserved diff internals: $resClash")
     val oldSel = oldSnap.select(
       keys.map(k => col(k).as(s"_ok_$k")) ++
         compareCols.map(c => col(c).as(s"old_$c")) :+

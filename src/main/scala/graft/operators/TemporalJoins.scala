@@ -46,6 +46,12 @@ object TemporalJoins {
     val clash = valCols.toSet & left.columns.toSet
     require(clash.isEmpty, s"right value columns collide with left: $clash")
     val rightTs = s"${tsCol}_right"
+    // Reserved internals: a caller frame already carrying them would
+    // silently corrupt the union/window instead of failing here.
+    val reserved = Set("__side", "__rv", "__m", rightTs)
+    val resClash = (left.columns.toSet | right.columns.toSet) & reserved
+    require(resClash.isEmpty,
+      s"inputs must not contain reserved asof columns: $resClash")
     val r = right
       .select(keys.map(col) :+ col(tsCol) :+
         struct(col(tsCol).as(rightTs) +: valCols.map(col): _*).as("__rv"): _*)
@@ -72,6 +78,8 @@ object TemporalJoins {
       right: DataFrame, startCol: String, endCol: String,
       binWidth: Long, keys: Seq[String] = Seq.empty): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "inputs must not contain the reserved column __bin")
     val lb = left.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
     val rb = right
       .filter(col(endCol) > col(startCol))

@@ -23,6 +23,18 @@ class ViewsAndSourcesSpec extends SparkTestBase {
     assert(GraphViews.clusters(store).filter(col("ha") === "True").count() == 1)
   }
 
+  test("typed Dataset views expose compile-checked fields with cast numerics") {
+    val vms = GraphViews.vmsTyped(store).collect()
+    assert(vms.length == 3)
+    val web = vms.find(_.name == "web01").get
+    assert(web.fqdn == "web01.acme.local" && web.cpus.exists(_ > 0))
+    // typed lambda on the Dataset — the point of the typed view.
+    assert(GraphViews.hostsTyped(store).filter(_.memoryMb.exists(_ > 0)).count() == 2)
+    val ds = GraphViews.datastoresTyped(store).collect()
+    assert(ds.forall(d => d.capacityMb.exists(_ > 0)))
+    assert(ds.map(_.name).sorted.toSeq == Seq("ds-local-01", "ds-shared-01"))
+  }
+
   test("snapshot report joins snapshots to their VMs") {
     val rep = GraphViews.snapshotReport(store).collect()
     assert(rep.length == 1)
@@ -120,19 +132,22 @@ class ViewsAndSourcesSpec extends SparkTestBase {
     // rich-text run: two <r> fragments concatenate into one header string.
     part("xl/sharedStrings.xml",
       s"""<sst xmlns="$ns" count="3" uniqueCount="3"><si><r><t>VI SDK </t></r><r><t>UUID</t></r></si><si><t>Name</t></si><si><t>HA enabled</t></si></sst>""")
-    // row 2: boolean TRUE, sparse Name (missing cell); row 3: boolean FALSE.
+    // row 2: boolean TRUE, sparse Name (missing cell), VALUELESS boolean
+    // in D (must stay absent, not become FALSE); row 3: boolean FALSE plus
+    // a data cell BEYOND the header width (must widen, not truncate).
     part("xl/worksheets/sheet1.xml",
       s"""<worksheet xmlns="$ns"><sheetData>""" +
         """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>""" +
-        """<row r="2"><c r="A2" t="inlineStr"><is><t>uuid-1</t></is></c><c r="C2" t="b"><v>1</v></c></row>""" +
-        """<row r="3"><c r="A3" t="inlineStr"><is><t>uuid-2</t></is></c><c r="B3" t="inlineStr"><is><t>c2</t></is></c><c r="C3" t="b"><v>0</v></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>uuid-1</t></is></c><c r="C2" t="b"><v>1</v></c><c r="D2" t="b"/></row>""" +
+        """<row r="3"><c r="A3" t="inlineStr"><is><t>uuid-2</t></is></c><c r="B3" t="inlineStr"><is><t>c2</t></is></c><c r="C3" t="b"><v>0</v></c><c r="D3" t="inlineStr"><is><t>extra</t></is></c></row>""" +
         "</sheetData></worksheet>")
     zos.close()
     val sheets = Workbook.loadXlsx(spark, path)
     val vc = sheets("vCluster").orderBy("_rowno").drop("_rowno")
-    assert(vc.columns.toSeq == Seq("VI SDK UUID", "Name", "HA enabled"))
+    assert(vc.columns.toSeq == Seq("VI SDK UUID", "Name", "HA enabled", "_c3"))
     val rows = vc.collect().map(_.toSeq).toSeq
-    assert(rows == Seq(Seq("uuid-1", null, "TRUE"), Seq("uuid-2", "c2", "FALSE")))
+    assert(rows == Seq(Seq("uuid-1", null, "TRUE", null),
+      Seq("uuid-2", "c2", "FALSE", "extra")))
     // the other 11 sheets are absent from the file → schema'd empty frames.
     assert(sheets("vInfo").count() == 0)
     assert(sheets("vInfo").columns.contains("VM UUID"))
