@@ -89,6 +89,38 @@ object GraphAnalytics {
       .toDF("id", "landmark", "dist")
   }
 
+  /** Single-source-set BFS with the sources supplied as a DataFrame of
+    * vertex ids — no driver-side scalar pull: the source set joins into
+    * the vertex initialization as an RDD, so a landmark derived from the
+    * data ("the lowest-keyed supplier with an edge") stays distributed
+    * end-to-end. Undirected like [[shortestPaths]]; returns (id, dist),
+    * unreachable vertices emit no row. Pregel min-distance, converging in
+    * diameter supersteps.
+    */
+  def shortestPathsFrom(spark: SparkSession, g: GxGraph[String, String],
+      sources: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.EdgeDirection
+    import spark.implicits._
+    val srcRdd: RDD[(VertexId, Long)] = sources
+      .select(col(sources.columns.head).cast("long")).as[Long].rdd.map(id => (id, 0L))
+    val sym = GxGraph(
+      g.vertices,
+      g.edges.flatMap(e =>
+        Iterator(GxEdge(e.srcId, e.dstId, e.attr), GxEdge(e.dstId, e.srcId, e.attr)))
+        .distinct(),
+      defaultVertexAttr = "",
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val init = sym.outerJoinVertices(srcRdd)((_, _, s) =>
+      s.fold(Long.MaxValue)(identity))
+    val res = init.pregel(Long.MaxValue, activeDirection = EdgeDirection.Out)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Long.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      math.min)
+    res.vertices.filter(_._2 != Long.MaxValue).toDF("id", "dist")
+  }
+
   /** Degree distribution summary — the quick health check on any graph. */
   def degreeStats(spark: SparkSession, g: GxGraph[String, String]): DataFrame =
     degrees(spark, g).agg(

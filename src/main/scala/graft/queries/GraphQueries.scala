@@ -123,11 +123,12 @@ object GraphQueries extends QueryModule {
         .select(col("id"), col("props")("k").cast("long").as("suppkey"))
       val endpoints = store.edges.select(col("src").as("id"))
         .unionAll(store.edges.select(col("dst").as("id"))).distinct()
-      // one driver scalar: the landmark vertex id (lowest suppkey with an edge)
+      // the landmark (lowest suppkey with an edge) stays a distributed
+      // 1-row frame — no .head scalar pulled to the driver.
       val lm = endpoints.join(suppIds, Seq("id")).orderBy("suppkey")
-        .select("id").head.getLong(0)
+        .limit(1).select("id")
       val g = GraphAnalytics.toGraphX(store)
-      GraphAnalytics.shortestPaths(s, g, Seq(lm))
+      GraphAnalytics.shortestPathsFrom(s, g, lm)
         .join(suppIds, Seq("id"))
         .select(col("suppkey"), col("dist"))
         .orderBy("suppkey")
