@@ -1,8 +1,24 @@
 package graft.views
 
 import graft.ingest.Refresh.GraphStore
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** Typed row for the VM hot entity (SURVEY §1.3) — numeric fields cast
+  * once here, Option for the reference's nullable string props. Top-level
+  * case class: Encoders need the TypeTag a method-local class lacks.
+  */
+final case class VmRow(id: Long, tenant: String, uuid: String, name: String,
+    fqdn: String, powerOn: String, cpus: Option[Int], memoryMb: Option[Long],
+    nics: Option[Int], disks: Option[Int])
+
+final case class HostRow(id: Long, tenant: String, objid: String, name: String,
+    cpu: Option[Int], cores: Option[Int], memoryMb: Option[Long],
+    vms: Option[Int])
+
+final case class DatastoreRow(id: Long, tenant: String, url: String,
+    name: String, capacityMb: Option[Long], inUseMb: Option[Long],
+    freeMb: Option[Long])
 
 /** Per-label DataFrame views of the property graph (SURVEY §7.1 step 5) and
   * the operational reports a user of the reference graph actually runs.
@@ -32,6 +48,41 @@ object GraphViews {
 
   def clusters(store: GraphStore): DataFrame =
     byLabel(store, "Vcentercluster", Seq("name", "ha", "drs", "cpu", "memory"))
+
+  /** Typed `Dataset[T]` views for the hot entities (SURVEY §1.3). The
+    * lift is one select over the per-label view — casts happen once at
+    * the boundary, downstream code gets compile-checked field access.
+    * Plans are identical to the DataFrame views (encoders are a
+    * schema-level mapping, not a row-by-row conversion), so the label
+    * partition pruning is preserved.
+    */
+  def vmsTyped(store: GraphStore): Dataset[VmRow] = {
+    val df = vms(store)
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("tenant"), col("uuid"), col("name"), col("fqdn"),
+      col("poweron").as("powerOn"), col("cpus").cast("int").as("cpus"),
+      col("memory").cast("long").as("memoryMb"),
+      col("nics").cast("int").as("nics"),
+      col("disks").cast("int").as("disks")).as[VmRow]
+  }
+
+  def hostsTyped(store: GraphStore): Dataset[HostRow] = {
+    val df = hosts(store)
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("tenant"), col("objid"), col("name"),
+      col("cpu").cast("int").as("cpu"), col("cores").cast("int").as("cores"),
+      col("memory").cast("long").as("memoryMb"),
+      col("vms").cast("int").as("vms")).as[HostRow]
+  }
+
+  def datastoresTyped(store: GraphStore): Dataset[DatastoreRow] = {
+    val df = datastores(store)
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("tenant"), col("url"), col("name"),
+      col("capacity").cast("long").as("capacityMb"),
+      col("inuse").cast("long").as("inUseMb"),
+      col("free").cast("long").as("freeMb")).as[DatastoreRow]
+  }
 
   /** Resolve one hop: (srcLabel)-[relType]->(dstLabel), either direction
     * for undirected types (stored canonicalized). Returns (srcId, dstId).
