@@ -208,4 +208,56 @@ object EventStream {
         apply(state)
       }
   }
+
+  /** [[incrementalUpsert]] with the state living in a BUCKETED parquet
+    * table instead of a cached in-memory frame — the production shape: the
+    * per-batch upsert join is shuffle-free on the state side (the table is
+    * bucketed on the keys; only the micro-batch — tiny by definition —
+    * shuffles to match), and a restart resumes from the last committed
+    * table instead of replaying.
+    *
+    * The state alternates between `<tablePrefix>_a` and `<tablePrefix>_b`
+    * (parquet can't overwrite a table mid-read; the A/B flip is the
+    * standard swap). Keys must be NON-NULL: the bucketed join uses plain
+    * key equality so Catalyst can match the bucket partitioning — see
+    * `Upsert.upsertNodes(nullSafeKeys = false)`. Each batch rewrites the
+    * state table (the price of parquet immutability); size `buckets` so a
+    * bucket ≈ one task at target scale.
+    *
+    * `apply` receives (post-upsert state, its upsert plan) — the plan ride-
+    * along lets tests assert the no-Exchange property on the real join.
+    */
+  def incrementalUpsertBucketed(
+      events: DataFrame, keys: Seq[String], orderCol: String,
+      initial: DataFrame, tablePrefix: String, buckets: Int = 8,
+      apply: (DataFrame, org.apache.spark.sql.execution.QueryExecution) => Unit =
+        (_, _) => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = initial.sparkSession
+    val cols = initial.columns.toSeq
+    def writeState(df: DataFrame, table: String): Unit = {
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(table)
+      // the A/B flip re-reads each table two batches after overwriting it;
+      // without an explicit refresh the catalog serves the PREVIOUS file
+      // listing and the scan dies on the deleted part files.
+      spark.catalog.refreshTable(table)
+    }
+    writeState(initial, s"${tablePrefix}_a")
+    var cur = "a"
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val state = spark.table(s"${tablePrefix}_$cur")
+        val deduped = Upsert.dedupeLastWriter(
+          batch.select(cols.map(col): _*), keys, Seq(orderCol))
+        val next = Upsert.upsertNodes(state, deduped, keys, nullSafeKeys = false)
+        val nextName = if (cur == "a") "b" else "a"
+        writeState(next, s"${tablePrefix}_$nextName")
+        cur = nextName
+        apply(spark.table(s"${tablePrefix}_$cur"), next.queryExecution)
+      }
+  }
 }

@@ -68,6 +68,57 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(rows == expected, s"got $rows")
   }
 
+  test("bucketed incremental upsert: ≥3 micro-batches, state side joins without Exchange") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the upsert join sits above an __ex_* rename Project, which hides the
+    // join from DisableUnnecessaryBucketedScan's benefit check — force the
+    // bucketed scan; alias-aware output partitioning does the rest.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val mem = MemoryStream[(Long, String, Long)]
+      val streamDf = mem.toDF()
+        .select(col("_1").as("k"), col("_2").as("v"), col("_3").as("seq"))
+      val initial = Seq((1L, "init", 0L)).toDF("k", "v", "seq")
+      var plans = List.empty[String]
+      var last: org.apache.spark.sql.DataFrame = null
+      val ckpt = java.nio.file.Files.createTempDirectory("inc_bkt_ckpt").toString
+      val writer = EventStream.incrementalUpsertBucketed(streamDf, Seq("k"), "seq",
+        initial, "inc_bkt_test", buckets = 4,
+        (st, qe) => { last = st; plans ::= qe.executedPlan.toString })
+        .option("checkpointLocation", ckpt)
+      // AvailableNow + checkpoint = the production incremental-batch shape:
+      // each run picks up only the data added since the last one.
+      def runOnce(): Unit = {
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
+      mem.addData((1L, "x", 1L)); runOnce()
+      mem.addData((2L, "y", 2L)); runOnce()
+      mem.addData((2L, "z", 3L), (3L, "w", 4L)); runOnce()
+      assert(plans.size >= 3, s"expected ≥3 micro-batches, got ${plans.size}")
+      plans.foreach { p =>
+        // the state side reads its bucket partitioning straight off the
+        // table — if it shuffled, 'Bucketed: true' would not appear and a
+        // second Exchange would.
+        assert(p.contains("Bucketed: true"), s"state scan not bucketed:\n$p")
+        val exchanges = "Exchange".r.findAllIn(p).size
+        assert(exchanges <= 2,
+          s"state side of the upsert join must not shuffle ($exchanges Exchanges):\n$p")
+      }
+      val state = last.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(state == Seq((1L, "x"), (2L, "z"), (3L, "w")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      spark.sql("DROP TABLE IF EXISTS inc_bkt_test_a")
+      spark.sql("DROP TABLE IF EXISTS inc_bkt_test_b")
+    }
+  }
+
   test("foreachBatch incremental upsert converges to the batch upsert result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
