@@ -132,6 +132,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ivf.size <= exact.size) // ≤ k per query, by construction
   }
 
+  test("IVF with trained ML KMeans centroids keeps high recall at nprobe=4") {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // the trained-quantizer path the scaladoc promises: ML KMeans centers
+    // flow through the `centroids` parameter. Trained with
+    // distanceMeasure=cosine (IVF probes by cosine; euclidean k-means
+    // carves cells by magnitude, a geometry the probe never looks at) and
+    // k = 10, the corpus's true label modality. Measured sweep on this
+    // corpus (k ∈ {10,16} × {euclidean,cosine} × nprobe ∈ {2,4,8}):
+    // cosine@k=10 dominates — 0.425/0.675/0.95 — because top-5
+    // neighborhoods here genuinely straddle cluster boundaries, so
+    // mid-nprobe recall is data-bounded for ANY 10-cell quantizer; the
+    // pins below are that measured frontier, not aspiration. (The
+    // deterministic id<nlist quantizer LOOKS better at nprobe=4 — 0.925 —
+    // only because queries vec_id<8 are themselves centroids, each
+    // probing its own Voronoi cell: a self-serving accident, not a better
+    // quantizer.)
+    val vecs = emb.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(10).setSeed(7L).setMaxIter(20)
+      .setDistanceMeasure("cosine").fit(vecs)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq.toDF("cent_id", "centvec")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int) = {
+      val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 10,
+          nprobe = nprobe, centroids = Some(centroids))
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2); val r4 = recallAt(4); val r8 = recallAt(8)
+    info(s"trained-centroid recall: @2=$r2 @4=$r4 @8=$r8")
+    assert(r2 <= r4 && r4 <= r8, s"recall must rise with nprobe: $r2/$r4/$r8")
+    assert(r4 >= 0.6, s"trained-centroid IVF recall@4 too low: $r4")
+    assert(r8 >= 0.9, s"trained-centroid IVF recall@8 too low: $r8")
+  }
+
   test("LSH cosine pairs recall the exact cosine near-dups") {
     val exact = Similarity.cosinePairs(emb, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
