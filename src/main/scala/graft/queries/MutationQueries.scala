@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.{OracleQuery, QueryModule, Tables}
+import graft.ingest.{Ingest, Refresh, Workbook}
 import graft.operators.{SnapshotDiff, Upsert}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +97,42 @@ object MutationQueries extends QueryModule {
       Upsert.markSweepNodes(store, batch, keys = Seq("k"), tenantCol = "tenant", tenant = "t1")
         .select(col("k"), col("name"), col("tenant"))
         .orderBy("tenant", "k")
+    },
+    // M5: edge properties through the REAL refresh path — a vInfo sheet
+    // derived from the customer table flows through Ingest.run (all 14
+    // statements), and the HW_VERSION edge (refresh-vmware.cypher:187,212)
+    // must carry its `upgradestatus` prop, readable back via the edge's
+    // endpoint nodes. The oracle states the same (vm, hwver, status)
+    // mapping directly over customer.
+    q("q_m5_edge_props",
+      "SELECT c_name AS vm, CAST(c_custkey % 3 + 17 AS BIGINT) AS hwver, c_mktsegment AS upgradestatus FROM customer WHERE c_custkey < 200 ORDER BY vm") { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_custkey") < 200)
+      val base: Map[String, org.apache.spark.sql.Column] = Map(
+        "VI SDK Server" -> lit("vc1"), "VI SDK UUID" -> lit("uid-graft"),
+        "VM UUID" -> concat(lit("u"), col("c_custkey")),
+        "VM" -> col("c_name"),
+        "HW version" -> (col("c_custkey") % 3 + 17).cast("string"),
+        "HW upgrade status" -> col("c_mktsegment"))
+      val vInfo = c.select(Workbook.SheetColumns("vInfo")
+        .map(cn => base.getOrElse(cn, lit(null).cast("string")).as(cn)) :+
+        col("c_custkey").cast("long").as("_rowno"): _*)
+      val wb: Workbook.Sheets = Workbook.SheetNames.map { n =>
+        n -> (if (n == "vInfo") vInfo
+              else Workbook.withRowNo(Workbook.empty(s, Workbook.SheetColumns(n))))
+      }.toMap
+      def emptyOf(schema: org.apache.spark.sql.types.StructType) =
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      val batch = Ingest.run(wb, emptyOf(Refresh.nodeSchema), emptyOf(Refresh.edgeSchema))
+      val vms = batch.nodes.filter(col("label") === "Virtualmachine")
+        .select(col("id").as("_vmid"), col("props")("name").as("vm"))
+      val hw = batch.nodes.filter(col("label") === "Vhwver")
+        .select(col("id").as("_hwid"), col("props")("name").cast("long").as("hwver"))
+      batch.edges.filter(col("relType") === "HW_VERSION")
+        .select(col("src"), col("dst"), col("props")("upgradestatus").as("upgradestatus"))
+        .join(vms, col("src") === col("_vmid"))
+        .join(hw, col("dst") === col("_hwid"))
+        .select("vm", "hwver", "upgradestatus")
+        .orderBy("vm")
     },
     // M8 extension: snapshot diff (CDC between two refreshes) — per-customer
     // order aggregates over two overlapping one-year-shifted windows, so all
