@@ -1,0 +1,129 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor stress harness (VERDICT r3 item 5): replicate the sf0.1
+  * tables `factor`× with key-space offsets (each replica is a disjoint
+  * key range, so joins/graphs grow with the data instead of collapsing
+  * into the original key domain), then time the iteration/join-heaviest
+  * queries at 1× and `factor`× and report the growth ratio. A
+  * sub-quadratic operator should grow ≈ linearly (ratio ≈ factor, modulo
+  * fixed overhead); a superlinear ratio flags a plan that would not
+  * survive the 100 TB scale-up.
+  *
+  * Text/embedding payloads replicate unchanged — replicas are exact
+  * near-dups, which is the dedup-heavy corpus shape the dedup operators
+  * exist for (and the worst realistic case for their candidate joins).
+  *
+  * Run: SPARK_GRAFT_CPUS=16 sbt 'runMain graft.tools.StressBench
+  *   /root/testdata/sf0.1 /tmp/graft_stress 10'
+  */
+object StressBench {
+
+  private val OffsetCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val StressQueries: Seq[String] = Seq(
+    "q_x_dedup_ngram_jaccard", "q_x_dedup_minhash", "q_x_dedup_simhash",
+    "q_x_dedup_clusters", "q_x_dedup_clusters_stars",
+    "q_x_ann_lsh", "q_x_ann_ivf",
+    "q_g_blast_radius", "q_g_triangles",
+    "q_t_asof_join", "q_x_tfidf_top_terms")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(1).getOrElse("/tmp/graft_stress")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaleTable(name: String, f: Int, outDir: String): Unit = {
+      val df = spark.read.parquet(s"$src/$name.parquet")
+      val scaled = OffsetCols.get(name).filter(_ => f > 1).map { ids =>
+        val rep = scaled0(df, ids, f)
+        // Documents get a per-replica vowel rotation: without it every
+        // replica is a near-dup of every other replica of the same doc,
+        // and the TRUE near-dup pair count grows quadratically in the
+        // factor — a genuine output explosion that would masquerade as a
+        // superlinear plan. Rotated replicas share almost no shingles, so
+        // pair growth stays ~linear and ratios stay interpretable.
+        val out =
+          if (name == "documents") {
+            val rots = (0 until 5).map(r => "aeiou".drop(r) + "aeiou".take(r))
+            rep.withColumn("text",
+              (1 until 5).foldLeft(when(col("_rep") % 5 === 0, col("text"))) {
+                (acc, r) =>
+                  acc.when(col("_rep") % 5 === r,
+                    translate(col("text"), "aeiou", rots(r)))
+              })
+          } else rep
+        out.drop("_rep")
+      }.getOrElse(df)
+      scaled.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+    // offset = (max+1) per id column → disjoint key ranges per replica;
+    // keeps `_rep` for payload perturbation, dropped by the caller.
+    def scaled0(df: DataFrame, ids: Seq[String], f: Int): DataFrame = {
+      val aggs = ids.map(c => max(col(c)).as(c))
+      val maxRow = df.agg(aggs.head, aggs.tail: _*).head()
+      val offsets = ids.zipWithIndex.map { case (c, i) => c -> (maxRow.getLong(i) + 1L) }.toMap
+      val rep = df.crossJoin(spark.range(f).select(col("id").as("_rep")))
+      ids.foldLeft(rep) { (acc, c) =>
+        acc.withColumn(c, col(c) + col("_rep") * offsets(c))
+      }
+    }
+
+    def buildDir(f: Int): String = {
+      val outDir = s"$outBase/f$f"
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        scaleTable(t, f, outDir)
+      }
+      outDir
+    }
+
+    def timeAll(dir: String): Map[String, Double] =
+      StressQueries.map { name =>
+        val t0 = System.nanoTime()
+        val n = try { SparkEntry.queries(name)(spark, dir).count() } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[stress] $name FAILED: ${e.getMessage}"); -1L
+        }
+        val sec = if (n < 0) -1.0 else (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[stress] $dir $name%-28s $sec%8.2f s ($n rows)")
+        name -> sec
+      }.toMap
+
+    val d1 = buildDir(1)
+    val dF = buildDir(factor)
+    val t1 = timeAll(d1)
+    val tF = timeAll(dF)
+    def fmt(m: Map[String, Double]) = StressQueries
+      .map(q => s"\"$q\":${m(q)}").mkString("{", ",", "}")
+    val ratios = StressQueries.map { q =>
+      val r = if (t1(q) > 0 && tF(q) > 0) tF(q) / t1(q) else -1.0
+      s"\"$q\":${math.round(r * 100) / 100.0}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress","factor":$factor,"t1":${fmt(t1)},""" +
+      s""""tf":${fmt(tF)},"ratio":$ratios}""")
+    spark.stop()
+  }
+}
