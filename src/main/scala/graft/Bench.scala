@@ -34,14 +34,17 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted run order: per-query timings stay comparable across rounds
+    // (map iteration order would shuffle which query pays the first-run
+    // JIT spike).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = time(name, fn)
       name -> (cold, if (cold < 0) -1.0 else time(name, fn)) // (cold, warm)
     }
     def fmt(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val cold = results.values.map(_._1).sum
-    val warm = results.values.map(_._2).sum
+    val cold = results.map(_._2._1).sum
+    val warm = results.map(_._2._2).sum
     println(s"""{"metric":"total","value":$cold,"unit":"sec","queries":${fmt(_._1)},""" +
       s""""warm_total":$warm,"queries_warm":${fmt(_._2)},"sf":"$sfDir"}""")
     spark.stop()
