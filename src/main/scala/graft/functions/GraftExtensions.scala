@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.graftfn.FloatVectorDot
+import org.apache.spark.sql.types.{BinaryType, LongType}
+
+/** SQL surface for the engine's custom expressions, wired the way a
+  * cluster enables it: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  * Registered functions:
+  *
+  *  - `graft_fdot(a, b)` — the codegen'd Array[Float] dot product
+  *    ([[org.apache.spark.sql.graftfn.FloatVectorDot]]), so pure-SQL
+  *    pipelines get the same 6× hot loop the Column API uses.
+  *  - `graft_hash52(s)` — [[graft.llmops.PortableHash.hash52]] as SQL;
+  *    expands to the same built-in tree (conv(substr(md5(s),1,13),16,10))
+  *    so it stays inside WholeStageCodegen and constant-folds on literals.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fdot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_fdot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_fdot(a, b) takes two array<float> args")
+        FloatVectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash52"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_hash52"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_hash52(s) takes one string arg")
+        Cast(
+          Conv(
+            Substring(Md5(Cast(children.head, BinaryType)), Literal(1), Literal(13)),
+            Literal(16), Literal(10)),
+          LongType)
+      }))
+  }
+}

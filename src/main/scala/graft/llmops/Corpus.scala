@@ -60,6 +60,52 @@ object Corpus {
     df.withColumn(outCol, expr)
   }
 
+  /** C4/RefinedWeb-style per-source quota cap: keep at most `quota`
+    * documents per source (domain), chosen deterministically as the
+    * `quota` smallest `hash52(key)` values (ties broken on the key string)
+    * — a stable uniform sample of each source, not "whatever arrived
+    * first".
+    *
+    * Skew is the scale hazard: a naive `Window.partitionBy(source)` funnels
+    * a hot domain's billions of rows through one partition. So this runs
+    * two phases: phase 1 ranks within (source, salt) — `salts` deterministic
+    * sub-partitions derived from the same hash — and keeps `quota` rows per
+    * salt, bounding every phase-2 partition to `salts × quota` rows no
+    * matter how hot the domain. Phase 1 keeps a superset of the final
+    * winners (each salt keeps its `quota` best, and the global top-`quota`
+    * contains at most `quota` from any salt), so the result is EXACTLY the
+    * single-window answer — which is what the SQL oracle states.
+    */
+  def sourceQuota(df: DataFrame, keyCol: Column, sourceCol: Column,
+      quota: Int, salts: Int = 16): DataFrame = {
+    require(quota > 0 && salts > 0)
+    val staged = df
+      .withColumn("__h", PortableHash.hash52(keyCol.cast("string")))
+      .withColumn("__k", keyCol.cast("string"))
+      .withColumn("__src", sourceCol)
+      .withColumn("__salt", pmod(col("__h"), lit(salts.toLong)))
+    val perSalt = Window.partitionBy("__src", "__salt")
+      .orderBy(col("__h"), col("__k"))
+    val perSource = Window.partitionBy("__src").orderBy(col("__h"), col("__k"))
+    staged
+      .withColumn("__r1", row_number().over(perSalt))
+      .filter(col("__r1") <= quota)
+      .withColumn("__rn", row_number().over(perSource))
+      .filter(col("__rn") <= quota)
+      .drop("__h", "__k", "__src", "__salt", "__r1", "__rn")
+  }
+
+  /** Source blocklist: drop every row whose source appears in `blocked`.
+    * Blocklists are curated (thousands of domains, not billions) →
+    * broadcast anti-join, no shuffle of the corpus side.
+    */
+  def withoutSources(df: DataFrame, sourceCol: Column,
+      blocked: DataFrame): DataFrame = {
+    val b = blocked.select(blocked.columns.head)
+      .withColumnRenamed(blocked.columns.head, "__blocked_src").distinct()
+    df.join(broadcast(b), sourceCol === col("__blocked_src"), "left_anti")
+  }
+
   /** Contiguous token-budget sharding: documents in `orderCol` order (a
     * numeric, globally-ordering column) are streamed into shards of
     * ~`budget` tokens (shard = the budget-multiple the document STARTS in —

@@ -83,6 +83,118 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  /** PII patterns — kept to syntax valid AND equivalent in both Java regex
+    * (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded
+    * repetition, non-capturing groups, \b word boundaries. Replacement
+    * order is load-bearing: emails first (they contain dots and digits),
+    * then IPv4 (digit groups ≤ 3 — can't collide with the long-digit-run
+    * rule), then bare digit runs ≥ 7 (phone/account/SSN shapes).
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val DigitRunRe: String = "\\b\\d{7,}\\b"
+
+  /** Scrub PII into typed placeholders. Pure chained codegen'd
+    * regexp_replace — runs at scan speed, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      DigitRunRe, "[NUM]")
+
+  /** Per-document PII hit counts plus the scrubbed text — the audit row a
+    * compliance pass wants next to every redaction.
+    */
+  def withPiiCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_digit_runs",
+        regexp_count(regexp_replace(regexp_replace(t, EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"), lit(DigitRunRe)).cast("long"))
+      .withColumn("redacted", redactPii(t))
+  }
+
+  /** Gopher-style word-n-gram repetition metrics (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * §A1.1): per document, the character fraction covered by the most
+    * frequent word n-gram and by all duplicated n-grams. High values mark
+    * boilerplate / template spam that exact and near-dup passes miss
+    * because the repetition is *within* one document.
+    *
+    * Shape: explode n-grams → groupBy (doc, gram) → groupBy doc — two
+    * shuffles, both keyed by doc(+gram), linear in corpus size (never the
+    * per-doc quadratic array-compare). Tie-break for the top gram is
+    * (count, gram) struct-max — deterministic and SQL-reproducible.
+    * Documents shorter than n tokens keep a row (zero fractions, null top
+    * gram) via the left join back to the base.
+    */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("doc"),
+      length(trim(col(textCol))).cast("long").as("n_chars"),
+      wsTokens(col(textCol)).as("toks"))
+    val grams = base.select(col("doc"), col("n_chars"),
+      explode(when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+        .otherwise(array())).as("gram"))
+    val perGram = grams.groupBy("doc", "gram")
+      .agg(count(lit(1)).as("cnt"), max("n_chars").as("n_chars"))
+    val perDoc = perGram.groupBy("doc").agg(
+      max(struct(col("cnt"), col("gram"))).as("top"),
+      sum(col("cnt")).as("n_grams"),
+      sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))).as("dup_chars"),
+      max("n_chars").as("nc"))
+    base.select("doc", "n_chars").distinct()
+      .join(perDoc.drop("nc"), Seq("doc"), "left")
+      .select(col("doc"), col("n_chars"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("top")("gram").as("top_gram"),
+        col("top")("cnt").as("top_count"),
+        coalesce(round(col("top")("cnt") * length(col("top")("gram"))
+          / col("n_chars"), 6), lit(0.0)).as("top_gram_char_frac"),
+        coalesce(round(col("dup_chars") / col("n_chars"), 6), lit(0.0))
+          .as("dup_gram_char_frac"))
+  }
+
+  /** Narrow (shuffle-free) lexical-diversity column: distinct tokens over
+    * total tokens (type-token ratio). Low values = repetitive text.
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+  }
+
+  /** Composite Gopher-style quality gate: every rule is an explicit column
+    * so downstream curation can report per-rule drop counts, and `reason`
+    * names the FIRST failing rule (deterministic CASE order). Thresholds
+    * are constructor-visible, not buried, because corpus curation tunes
+    * them per source.
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 5, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75): DataFrame = {
+    val rep = ngramRepetition(df, idCol, textCol, n = 2)
+      .select(col("doc"), col("dup_gram_char_frac"))
+    val q = withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text")))
+      .withColumn("type_token_ratio", typeTokenRatio(col("text")))
+      .join(rep, Seq("doc"))
+    q.select(col("doc"), col("n_tokens"), col("avg_token_len"),
+        col("type_token_ratio"), col("dup_gram_char_frac"),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("avg_token_len") < minAvgTokenLen, "short_tokens")
+          .when(col("avg_token_len") > maxAvgTokenLen, "long_tokens")
+          .when(col("type_token_ratio") < minTypeToken, "low_diversity")
+          .when(col("dup_gram_char_frac") > maxDupGramFrac, "repetitive")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+  }
+
   /** Stopword-profile language ID. Scores each candidate language by the
     * fraction of tokens found in its function-word profile; argmax wins,
     * alphabetical tie-break, 'und' (undetermined) when no profile scores.

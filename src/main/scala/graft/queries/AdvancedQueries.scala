@@ -86,6 +86,25 @@ object AdvancedQueries extends QueryModule {
           max(col("l_quantity")).cast("long").as("max_qty"),
           avg(col("l_quantity").cast("long")).as("avg_qty"))
         .orderBy("flag")
+    },
+    // incremental aggregate maintenance: history folded as per-key partial
+    // aggregates, delta batch merged WITHOUT re-reading history — must
+    // equal the from-scratch aggregate (the oracle). Prices scaled to
+    // cents so every sum is exact integer arithmetic.
+    q("q_a10_incremental_agg",
+      "SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents, CAST(min(cents) AS BIGINT) AS min_cents, CAST(max(cents) AS BIGINT) AS max_cents FROM (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) GROUP BY 1 ORDER BY 1") { (s, d) =>
+      import graft.operators.IncrementalAgg
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val history = o.filter(col("o_orderkey") % 3 =!= 0)
+      val delta = o.filter(col("o_orderkey") % 3 === 0)
+      IncrementalAgg.merge(
+          IncrementalAgg.partials(history, Seq("o_custkey"), "cents"),
+          IncrementalAgg.partials(delta, Seq("o_custkey"), "cents"),
+          Seq("o_custkey"))
+        .select(col("o_custkey"), col("cnt"), col("sum").as("sum_cents"),
+          col("min").as("min_cents"), col("max").as("max_cents"))
+        .orderBy("o_custkey")
     }
   )
 }

@@ -147,6 +147,87 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("fp")
     },
 
+    // Gopher-style within-document repetition: char fraction of the top
+    // word 2-gram and of all duplicated 2-grams (explode → two keyed
+    // aggregations — linear, never the per-doc quadratic array compare)
+    q("q_x_repetition_ngram",
+      "WITH t AS (SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t WHERE len(toks) >= 2), " +
+        "pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
+        "ranked AS (SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM pg), " +
+        "agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg GROUP BY 1) " +
+        "SELECT t.doc_id AS doc, t.n_chars, coalesce(a.n_grams, 0) AS n_grams, r.gram AS top_gram, CAST(r.cnt AS BIGINT) AS top_count, " +
+        "coalesce(round(CAST(r.cnt * length(r.gram) AS DOUBLE) / t.n_chars, 6), 0) AS top_gram_char_frac, " +
+        "coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac " +
+        "FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id LEFT JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1 ORDER BY doc") { (s, d) =>
+      TextAnalysis.ngramRepetition(Tables.documents(s, d), "doc_id", "text", n = 2)
+        .orderBy("doc")
+    },
+
+    // composite Gopher-style quality gate — every rule an explicit column,
+    // `reason` names the first failing rule, thresholds chosen to split
+    // the synthetic corpus non-trivially (each reason fires on some docs)
+    q("q_x_quality_gate",
+      "WITH t AS (SELECT doc_id, text, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t WHERE len(toks) >= 2), " +
+        "pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg GROUP BY 1), " +
+        "m AS (SELECT t.doc_id AS doc, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
+        "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
+        "coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac " +
+        "FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id) " +
+        "SELECT doc, n_tokens, avg_token_len, type_token_ratio, dup_gram_char_frac, " +
+        "CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN avg_token_len < 2.0 THEN 'short_tokens' WHEN avg_token_len > 5.0 THEN 'long_tokens' " +
+        "WHEN type_token_ratio < 0.35 THEN 'low_diversity' WHEN dup_gram_char_frac > 0.2 THEN 'repetitive' " +
+        "ELSE 'keep' END AS reason, " +
+        "CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN avg_token_len < 2.0 THEN 'short_tokens' WHEN avg_token_len > 5.0 THEN 'long_tokens' " +
+        "WHEN type_token_ratio < 0.35 THEN 'low_diversity' WHEN dup_gram_char_frac > 0.2 THEN 'repetitive' " +
+        "ELSE 'keep' END = 'keep' AS keep FROM m ORDER BY doc") { (s, d) =>
+      TextAnalysis.qualityGate(Tables.documents(s, d), "doc_id", "text",
+        minTokens = 20, maxAvgTokenLen = 5.0,
+        minTypeToken = 0.35, maxDupGramFrac = 0.2)
+        .orderBy("doc")
+    },
+
+    // PII scrub audit: the synthetic corpus carries no PII, so both engines
+    // append the SAME deterministic PII decorations (emails / IPv4 / digit
+    // runs keyed off doc_id) and must then agree on every hit count and on
+    // the md5 of the scrubbed text. Patterns are Java-regex/RE2 common
+    // syntax; digit runs are counted after the email+IP scrub on both
+    // sides (emails contain digits).
+    q("q_x_pii_redact", {
+      val aug = "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' " +
+        "WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 addr' " +
+        "WHEN doc_id % 11 = 0 THEN ' id 12345678901' ELSE '' END"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val num = "\\b\\d{7,}\\b"
+      s"WITH a AS (SELECT doc_id, $aug AS t FROM documents), " +
+        s"s AS (SELECT doc_id, t, regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g') AS noip FROM a) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(noip, '$num')) AS BIGINT) AS n_digit_runs, " +
+        s"md5(regexp_replace(noip, '$num', '[NUM]', 'g')) AS redacted_md5 FROM s ORDER BY doc_id"
+    }) { (s, d) =>
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".1 addr")))
+          .when(col("doc_id") % 11 === 0, lit(" id 12345678901"))
+          .otherwise(lit("")))
+      TextAnalysis.withPiiCounts(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_digit_runs"), md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
     // multimodal: binary payload metadata (bytes stand in for media blobs)
     q("q_x_multimodal_meta",
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 FROM documents ORDER BY media_id") { (s, d) =>
@@ -325,6 +406,29 @@ object LlmOpsQueries extends QueryModule {
           Map("de" -> 10000, "en" -> 2500), defaultBps = 500))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
+    },
+    // per-source quota cap (C4-style per-domain cap): at most 20 docs per
+    // source, the 20 smallest doc-hashes — a stable uniform sample of each
+    // source. The engine runs the two-phase salted ranking (hot domains
+    // bounded to salts×quota rows per partition); the oracle states the
+    // single-window definition the salting provably equals.
+    q("q_x_source_quota", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn FROM documents) WHERE rn <= 20 ORDER BY doc_id"
+    }) { (s, d) =>
+      Corpus.sourceQuota(Tables.documents(s, d), col("doc_id"), col("source"),
+          quota = 20, salts = 4)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+    // source blocklist: broadcast anti-join against a curated domain list
+    q("q_x_source_blocklist",
+      "SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents WHERE source NOT IN ('src1', 'src4', 'src7') GROUP BY 1 ORDER BY 1") { (s, d) =>
+      import s.implicits._
+      val blocked = Seq("src1", "src4", "src7").toDF("source")
+      Corpus.withoutSources(Tables.documents(s, d), col("source"), blocked)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
     },
     // KMV distinct-count sketch (custom bounded-memory Aggregator): the
     // k-min-of-distinct-hashes state is order-invariant, so the sketch —

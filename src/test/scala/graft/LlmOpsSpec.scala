@@ -209,6 +209,112 @@ class LlmOpsSpec extends SparkTestBase {
     assert(m.getAs[Long]("n_stopwords") == 1) // 'The'
   }
 
+  test("ngram repetition metrics hand-checked on crafted docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),   // "a b"×3, "b a"×2 — all grams duplicated
+      (2L, "x"),             // shorter than n — zero row survives
+      (3L, "p q r s")        // all grams unique
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.ngramRepetition(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc") -> r).toMap
+    assert(m(1L).getAs[Long]("n_grams") == 5)
+    assert(m(1L).getAs[String]("top_gram") == "a b")
+    assert(m(1L).getAs[Long]("top_count") == 3)
+    assert(m(1L).getAs[Double]("top_gram_char_frac") == 0.818182) // 3*3/11
+    assert(m(1L).getAs[Double]("dup_gram_char_frac") == 1.363636) // (9+6)/11 — overlap can exceed 1
+    assert(m(2L).getAs[Long]("n_grams") == 0)
+    assert(m(2L).isNullAt(m(2L).fieldIndex("top_gram")))
+    assert(m(2L).getAs[Double]("dup_gram_char_frac") == 0.0)
+    assert(m(3L).getAs[Double]("dup_gram_char_frac") == 0.0)
+    // count tie (all 1) breaks to the lexicographically largest gram.
+    assert(m(3L).getAs[String]("top_gram") == "r s")
+  }
+
+  test("quality gate: each rule fires on its crafted doc, first-fail wins") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten"),       // keep
+      (2L, "tiny doc"),                                               // too_short
+      (3L, Seq.fill(10)("a b").mkString(" ")),                        // short_tokens (avg 1)
+      (4L, Seq.fill(10)("extraordinarily magnanimous").mkString(" ")), // long_tokens
+      (5L, Seq.fill(12)("spam").mkString(" "))                        // low_diversity (ttr hits first)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(df, "doc_id", "text",
+      minTokens = 5, maxTokens = 100, minAvgTokenLen = 2.0,
+      maxAvgTokenLen = 12.0, minTypeToken = 0.3, maxDupGramFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[String]("reason")).toMap
+    assert(out == Map(1L -> "keep", 2L -> "too_short", 3L -> "short_tokens",
+      4L -> "long_tokens", 5L -> "low_diversity"))
+    // with diversity relaxed, the same spam doc falls through to the
+    // repetition rule — CASE order is part of the contract.
+    val rep = TextAnalysis.qualityGate(df.filter(col("doc_id") === 5L), "doc_id",
+      "text", minTokens = 5, minTypeToken = 0.0, maxDupGramFrac = 0.5)
+      .collect().head.getAs[String]("reason")
+    assert(rep == "repetitive")
+  }
+
+  test("sourceQuota: salted two-phase equals the single-window definition, any salt count") {
+    import graft.llmops.{Corpus, PortableHash}
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(PortableHash.hash52(col("doc_id").cast("string")),
+        col("doc_id").cast("string"))
+    val naive = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    for (salts <- Seq(1, 3, 16)) {
+      val got = Corpus.sourceQuota(docs, col("doc_id"), col("source"),
+        quota = 7, salts = salts).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"salts=$salts diverged from single-window")
+    }
+    // quota actually binds: no source exceeds it.
+    val capped = Corpus.sourceQuota(docs, col("doc_id"), col("source"), quota = 7)
+      .groupBy("source").count().agg(max("count")).collect().head.getLong(0)
+    assert(capped <= 7)
+  }
+
+  test("withoutSources drops exactly the blocked sources") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val blocked = Seq("src0", "src2").toDF("source")
+    val kept = Corpus.withoutSources(docs, col("source"), blocked)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val all = docs.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(kept == all -- Set("src0", "src2"))
+  }
+
+  test("PII redaction: emails, IPv4, digit runs — order prevents cross-rule bites") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org here"),
+      (2L, "host 192.168.1.254 up"),
+      (3L, "acct 12345678901 and 123456"),   // second run too short
+      (4L, "reach a1_b%c@x.io at 10.0.0.1 ref 99887766554")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiCounts(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"),
+          r.getAs[Long]("n_digit_runs")), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == ((1L, 0L, 0L)))
+    assert(out(1L)._2 == "mail [EMAIL] here")
+    assert(out(2L)._1 == ((0L, 1L, 0L)))
+    assert(out(2L)._2 == "host [IP] up")
+    assert(out(3L)._1 == ((0L, 0L, 1L)))
+    assert(out(3L)._2 == "acct [NUM] and 123456")
+    assert(out(4L)._1 == ((1L, 1L, 1L)))
+    assert(out(4L)._2 == "reach [EMAIL] at [IP] ref [NUM]")
+  }
+
+  test("type-token ratio is case-insensitive distinct over total") {
+    import spark.implicits._
+    val df = Seq((1L, "A a b")).toDF("doc_id", "text")
+    val v = df.select(TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
+      .collect().head.getDouble(0)
+    assert(v == 0.666667)
+  }
+
   test("multimodal stub pipeline: payload → metadata + features, deterministic") {
     val media = Multimodal.payloadFrom(docs, "doc_id", "text")
     val meta = Multimodal.withMetadata(media)
