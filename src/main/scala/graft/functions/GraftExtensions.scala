@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.graftfn.FloatVectorDot
+import org.apache.spark.sql.graftfn.{ByteVectorDot, FloatVectorDot}
 import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** SQL surface for the engine's custom expressions, wired the way a
@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   *  - `graft_fdot(a, b)` — the codegen'd Array[Float] dot product
   *    ([[org.apache.spark.sql.graftfn.FloatVectorDot]]), so pure-SQL
   *    pipelines get the same 6× hot loop the Column API uses.
+  *  - `graft_bdot(a, b)` — the integer Array[Byte] dot product over
+  *    int8-quantized vectors ([[org.apache.spark.sql.graftfn.ByteVectorDot]]).
   *  - `graft_hash52(s)` — [[graft.llmops.PortableHash.hash52]] as SQL;
   *    expands to the same built-in tree (conv(substr(md5(s),1,13),16,10))
   *    so it stays inside WholeStageCodegen and constant-folds on literals.
@@ -27,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_fdot(a, b) takes two array<float> args")
         FloatVectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bdot"),
+      new ExpressionInfo(classOf[ByteVectorDot].getName, "graft_bdot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_bdot(a, b) takes two array<tinyint> args")
+        ByteVectorDot(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hash52"),

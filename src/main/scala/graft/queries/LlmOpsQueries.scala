@@ -340,6 +340,46 @@ object LlmOpsQueries extends QueryModule {
           nlist = 16, nprobe = 4)
         .orderBy("qid", "rn")
     },
+    // int8 quantization audit: per-vector quantized checksum, scale, max
+    // reconstruction error — floor(x+0.5) on both engines, so the byte
+    // values are replicated exactly (DuckDB mirrors them as BIGINT).
+    q("q_x_quantize_int8",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, CASE WHEN max(abs(v)) = 0 THEN 1.0 ELSE 127.0 / max(abs(v)) END AS scale FROM e GROUP BY 1), " +
+        "q AS (SELECT e.vec_id, i, v, scale, CAST(floor(v * scale + 0.5) AS BIGINT) AS qv FROM e JOIN s USING (vec_id)) " +
+        "SELECT vec_id, CAST(sum(qv * i) AS BIGINT) AS qsum, round(any_value(scale), 6) AS scale, round(max(abs(v - qv / scale)), 6) AS max_err FROM q GROUP BY 1 ORDER BY vec_id") { (s, d) =>
+      import graft.llmops.Quantize
+      Quantize.quantized(Tables.embeddings(s, d))
+        .select(col("id"), col("scale"),
+          posexplode(arrays_zip(col("vec"), col("qvec"))))
+        .select(col("id"), col("scale"), (col("pos") + 1).as("i"),
+          col("col")("vec").cast("double").as("v"),
+          col("col")("qvec").cast("long").as("qv"))
+        .groupBy(col("id").as("vec_id"))
+        .agg(sum(col("qv") * col("i")).as("qsum"),
+          round(first("scale"), 6).as("scale"),
+          round(max(abs(col("v") - col("qv") / col("scale"))), 6).as("max_err"))
+        .orderBy("vec_id")
+    },
+    // int8 two-stage ANN: integer-dot candidate ranking over the
+    // 4x-compressed byte vectors (codegen'd ByteVectorDot), exact float
+    // re-rank of the top candFactor*k — the full two-stage decision is
+    // deterministic, so the oracle replicates the exact candidate cut.
+    q("q_x_ann_int8",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, CASE WHEN max(abs(v)) = 0 THEN 1.0 ELSE 127.0 / max(abs(v)) END AS scale FROM e GROUP BY 1), " +
+        "q AS (SELECT e.vec_id, i, v, CAST(floor(v * scale + 0.5) AS BIGINT) AS qv FROM e JOIN s USING (vec_id)), " +
+        "n AS (SELECT vec_id, sqrt(sum(qv * qv)) AS qnorm, sqrt(sum(v * v)) AS fnorm FROM q GROUP BY 1), " +
+        "d AS (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.qv * b.qv) AS qdot, sum(a.v * b.v) AS fdot FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id GROUP BY 1, 2), " +
+        "sc AS (SELECT qid, cid, qdot / (na.qnorm * nb.qnorm) AS qcos, fdot / (na.fnorm * nb.fnorm) AS cos FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.cid), " +
+        "cand AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS crn FROM sc), " +
+        "fin AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM cand WHERE crn <= 20) " +
+        "SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM fin WHERE rn <= 5 ORDER BY qid, rn") { (s, d) =>
+      import graft.llmops.Quantize
+      val emb = Tables.embeddings(s, d)
+      Quantize.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 5, candFactor = 4)
+        .orderBy("qid", "rn")
+    },
     q("q_x_text_langid", langIdOracleSql) { (s, d) =>
       TextAnalysis.withLangId(Tables.documents(s, d))
         .select("doc_id", "lang_pred", "lang_score")

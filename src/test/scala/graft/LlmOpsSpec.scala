@@ -328,6 +328,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f1.forall(f => f.byte_len == 0 || f.features.exists(_ != 0f)))
   }
 
+  test("int8 quantization: reconstruction error bounded by half a quantization step") {
+    import graft.llmops.Quantize
+    val z = Quantize.quantized(emb)
+      .select(col("id"), col("scale"),
+        posexplode(arrays_zip(col("vec"), col("qvec"))))
+      .select(col("scale"), col("col")("vec").cast("double").as("v"),
+        col("col")("qvec").cast("double").as("qv"))
+      .withColumn("err", abs(col("v") - col("qv") / col("scale")))
+      .withColumn("bound", lit(0.5000001) / col("scale"))
+    assert(z.filter(col("err") > col("bound")).count() == 0)
+    // and bytes stay inside the symmetric range.
+    val mx = Quantize.quantized(emb)
+      .select(array_max(transform(col("qvec"), b => abs(b.cast("int")))).as("m"))
+      .agg(max("m")).collect().head.getInt(0)
+    assert(mx <= 127)
+  }
+
+  test("int8 two-stage ANN keeps high recall vs exact brute force") {
+    import graft.llmops.Quantize
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Quantize.int8TopK(emb, queries, k = 5, candFactor = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 ANN recall $recall below 0.9")
+  }
+
   test("sign-LSH ANN (annTopK) is deterministic and recalls brute-force neighbors") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
