@@ -217,6 +217,59 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Decontamination through a Bloom-filter prefilter — the bounded-memory
+    * variant for benchmark suites too big to broadcast raw.
+    *
+    * `decontaminate` broadcasts the distinct bench shingles (or shuffles
+    * them with `broadcastBench = false`); both move O(|bench|) data. Here
+    * the bench side is folded into a Bloom bitset of `mBits` bits stored as
+    * ≤ `mBits/64` (word, bits) rows — **bounded by construction** (128 KiB
+    * of longs at 2^20 bits) no matter how many eval sets pile up. Train
+    * shingles probe `kProbes` positions (PortableHash permutation family,
+    * pmod-safe for signed xxhash64) against the broadcast word table; a
+    * shingle survives only if every probed bit is set. Bloom filters have
+    * no false negatives, so survivors ⊇ true hits, and the exact semi-join
+    * verify on the (ε·|train| + hits)-sized survivor set kills the false
+    * positives — the final frame is row-for-row IDENTICAL to
+    * `decontaminate` (same oracle), only the data movement changes.
+    */
+  def decontaminateBloom(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    require(kProbes >= 1 && kProbes <= PortableHash.MinHashA.length)
+    require(mBits >= 64)
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
+    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+      .select("s").distinct()
+    def pos(h: Column, j: Int): Column =
+      pmod(lit(PortableHash.MinHashA(j)) * pmod(h, lit(PortableHash.P))
+        + lit(PortableHash.MinHashB(j)), lit(PortableHash.P)) % mBits.toLong
+    def toWordMask(p: Column): Seq[Column] = Seq(
+      (p / 64).cast("long").as("w"),
+      call_function("shiftleft", lit(1L), (p % 64).cast("int")).as("m"))
+    val words = benchSh
+      .select(explode(array((0 until kProbes).map(j => pos(col("s"), j)): _*)).as("p"))
+      .select(toWordMask(col("p")): _*)
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+    val probed = trainSh.select(col("s")).distinct()
+      .select(col("s"),
+        posexplode(array((0 until kProbes).map(j => pos(col("s"), j)): _*)).as(Seq("j", "p")))
+      .select(col("s") +: col("j") +: toWordMask(col("p")): _*)
+      .join(broadcast(words), Seq("w"), "left")
+      .groupBy("s")
+      .agg(min(when(coalesce(col("bits").bitwiseAND(col("m")) =!= 0, lit(false)), 1)
+        .otherwise(0)).as("_all_set"))
+    val survivors = probed.filter(col("_all_set") === 1).select("s")
+    // exact verify over the tiny survivor set — false positives die here.
+    val verified = survivors.join(benchSh, Seq("s"), "left_semi")
+    val hits = trainSh.join(verified, Seq("s"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n_hit"))
+    train.select(col(idCol).as("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Resolve near-dup pairs into clusters: connected components over the
     * pair graph by iterative min-label propagation, entirely in DataFrame
     * joins. Returns one row per vertex appearing in any pair:

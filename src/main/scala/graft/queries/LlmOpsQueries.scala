@@ -261,6 +261,25 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // same decontamination decision through the Bloom-prefilter path: the
+    // bench side folds into a bounded 2^16-bit bitset (1 KiB of words
+    // broadcast, however large the suite), survivors get the exact verify
+    // — so the oracle is the SAME exact definition as q_x_decontaminate.
+    q("q_x_decon_bloom",
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 5), " +
+        "bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 1), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hit FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 0) t WHERE s IN (SELECT s FROM bench) GROUP BY 1) " +
+        "SELECT d.doc_id AS doc, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, coalesce(h.n_hit, 0) > 0 AS contaminated " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d LEFT JOIN hits h USING (doc_id) ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // 2^16 bits on purpose: real false-positive pressure at sf0.01+, so
+      // the verify stage is exercised, not vacuous.
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5, mBits = 1 << 16, kProbes = 4)
+        .orderBy("doc")
+    },
+
     // approximate dedup paths — PortableHash makes the full pipelines
     // SQL-expressible, so these carry exact DuckDB oracles; recall vs the
     // exact paths is additionally asserted in LlmOpsSpec.

@@ -383,6 +383,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out == Map(0L -> (1L, true), 2L -> (0L, false), 4L -> (0L, false)))
   }
 
+  test("bloom decontamination equals the exact path, even under heavy FP pressure") {
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val bench = docs.filter(col("doc_id") % 2 === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val exact = canon(Dedup.decontaminate(train, bench, "doc_id", "text", n = 5))
+    // a comfortable filter AND a saturated 256-bit one (most probes
+    // collide): false positives must die in the verify stage either way.
+    for (m <- Seq(1 << 16, 256)) {
+      val got = canon(Dedup.decontaminateBloom(train, bench, "doc_id", "text",
+        n = 5, mBits = m, kProbes = 4))
+      assert(got == exact, s"bloom path diverged at mBits=$m")
+    }
+  }
+
   test("KMV sketch is partition-invariant, exact below k, ~6% above") {
     import graft.functions.KMinValues
     val li = Tables.lineitem(spark, dir)
