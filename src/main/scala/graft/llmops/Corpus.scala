@@ -60,6 +60,35 @@ object Corpus {
     df.withColumn(outCol, expr)
   }
 
+  /** Sliding token-window chunking: split each document into chunks of
+    * `window` tokens starting every `stride` tokens (stride < window ⇒
+    * overlap — the long-context / RAG-indexing shape). One narrow
+    * `explode(sequence(...))` per row, codegen'd end to end: chunk count
+    * and boundaries derive arithmetically from the token count, so no
+    * shuffle and no per-token blowup (the chunk SLICE materializes, the
+    * token list does not explode row-per-token).
+    *
+    * Tail rule: a chunk starts at every stride multiple < n_tokens, so the
+    * final chunks may be shorter than `window`; every token lands in ≥ 1
+    * chunk.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1)
+    val t = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).as("doc"), t.as("_t"),
+      size(t).cast("long").as("_n"))
+    base
+      .select(col("doc"), col("_t"), col("_n"),
+        explode(sequence(lit(0L), floor((col("_n") - 1) / stride))).as("chunk"))
+      .select(col("doc"), col("chunk"),
+        (col("chunk") * stride + 1).as("start_tok"),
+        slice(col("_t"), (col("chunk") * stride + 1).cast("int"), lit(window)).as("_ct"))
+      .select(col("doc"), col("chunk"), col("start_tok"),
+        size(col("_ct")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("_ct"))).as("chunk_md5"))
+  }
+
   /** C4/RefinedWeb-style per-source quota cap: keep at most `quota`
     * documents per source (domain), chosen deterministically as the
     * `quota` smallest `hash52(key)` values (ties broken on the key string)

@@ -402,6 +402,31 @@ object Dedup {
       .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster"),
         (coalesce(col("cluster"), col("doc")) === col("doc")).as("is_survivor"))
 
+  /** Quality-aware survivor table: instead of "lowest id wins", the
+    * cluster's survivor is the member with the best `scoreCol` (ties on
+    * lowest id — deterministic, SQL-reproducible). This is the real-world
+    * dedup policy: keep the longest / highest-quality copy, drop the rest.
+    * One window over clusters only (cluster cardinality ≪ corpus), then a
+    * broadcastable survivor map joined back to every document.
+    */
+  def dedupSurvivorsBy(docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val member = clusters.select(col("v").as("doc"), col("cluster"))
+      .join(docs.select(col(idCol).as("doc"), col(scoreCol).as("_score")), Seq("doc"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("_score").desc, col("doc"))
+    val winners = member.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster"), col("doc").as("_winner"))
+    docs.select(col(idCol).as("doc"))
+      .join(clusters.select(col("v").as("doc"), col("cluster")), Seq("doc"), "left")
+      .join(winners, Seq("cluster"), "left")
+      .select(col("doc"),
+        coalesce(col("cluster"), col("doc")).as("cluster"),
+        coalesce(col("_winner"), col("doc")).as("survivor"),
+        (coalesce(col("_winner"), col("doc")) === col("doc")).as("is_survivor"))
+  }
+
   /** SimHash signature bit width — 52 (not 64) so the per-token hash and
     * every bit of the signature are exactly reproducible in the DuckDB
     * oracle (PortableHash).

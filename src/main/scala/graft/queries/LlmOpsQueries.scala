@@ -326,6 +326,39 @@ object LlmOpsQueries extends QueryModule {
       val clusters = Dedup.connectedComponentsStars(pairs, "id_a", "id_b")
       Dedup.dedupSurvivors(docs, "doc_id", clusters).orderBy("doc")
     },
+    // sliding token-window chunking (window 40, stride 30 — 10-token
+    // overlap): the long-context / RAG-indexing shape, arithmetic chunk
+    // boundaries, every token covered
+    q("q_x_token_chunks",
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // 30)) AS chunk FROM t) " +
+        "SELECT doc_id AS doc, chunk, CAST(chunk * 30 + 1 AS BIGINT) AS start_tok, " +
+        "CAST(len(list_slice(toks, chunk * 30 + 1, chunk * 30 + 40)) AS BIGINT) AS n_chunk_tokens, " +
+        "md5(array_to_string(list_slice(toks, chunk * 30 + 1, chunk * 30 + 40), ' ')) AS chunk_md5 " +
+        "FROM c ORDER BY doc, chunk") { (s, d) =>
+      Corpus.tokenChunks(Tables.documents(s, d), "doc_id", "text",
+          window = 40, stride = 30)
+        .orderBy("doc", "chunk")
+    },
+    // quality-aware survivor table: the cluster survivor is the LONGEST
+    // member (ties → lowest id), not the lowest id — the real dedup
+    // retention policy. Clusters come from the same minhash pair oracle.
+    q("q_x_dedup_survivors_quality",
+      s"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($minHashOracleSql) mh), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
+        "win AS (SELECT c.cluster, c.v AS w, row_number() OVER (PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.v) AS rn FROM comp c JOIN documents d ON d.doc_id = c.v) " +
+        "SELECT d.doc_id AS doc, coalesce(c.cluster, d.doc_id) AS cluster, " +
+        "coalesce(w.w, d.doc_id) AS survivor, coalesce(w.w, d.doc_id) = d.doc_id AS is_survivor " +
+        "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id " +
+        "LEFT JOIN (SELECT cluster, w FROM win WHERE rn = 1) w ON w.cluster = c.cluster ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      Dedup.dedupSurvivorsBy(docs, "doc_id", "n_chars", clusters).orderBy("doc")
+    },
+
     // blocked fuzzy matching (entity resolution): candidates share a
     // 16-char prefix block, exact Levenshtein ≤ 1 decides — both engines
     // implement the classic Levenshtein, so the oracle is exact.

@@ -383,6 +383,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out == Map(0L -> (1L, true), 2L -> (0L, false), 4L -> (0L, false)))
   }
 
+  test("token chunking: boundaries, overlap, and short-tail coverage hand-checked") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Corpus.tokenChunks(df, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("chunk"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens"))).toSet
+    // doc 1 (7 tokens): chunks at 1..4, 4..7, 7 — every token covered,
+    // one-token overlap between consecutive chunks.
+    assert(got == Set((1L, 0L, 1L, 4L), (1L, 1L, 4L, 4L), (1L, 2L, 7L, 1L),
+      (2L, 0L, 1L, 2L)))
+  }
+
+  test("quality-aware survivors keep the longest member, not the lowest id") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L)).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("v", "cluster")
+    val out = Dedup.dedupSurvivorsBy(docs, "doc_id", "n_chars", clusters)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[Long]("survivor"), r.getAs[Boolean]("is_survivor")))).toMap
+    // 2 and 3 tie on score 9 → lowest id (2) wins; 4 is unclustered → its
+    // own survivor.
+    assert(out == Map(1L -> ((2L, false)), 2L -> ((2L, true)),
+      3L -> ((2L, false)), 4L -> ((4L, true))))
+  }
+
   test("bloom decontamination equals the exact path, even under heavy FP pressure") {
     val train = docs.filter(col("doc_id") % 2 === 0)
     val bench = docs.filter(col("doc_id") % 2 === 1)
