@@ -161,4 +161,41 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"sampling must be codegen'd built-ins:\n$p")
   }
+
+  test("token chunking is a narrow generate — no shuffle, no UDF") {
+    val df = graft.llmops.Corpus.tokenChunks(
+      Tables.documents(spark, dir), "doc_id", "text", window = 40, stride = 30)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"chunking must be codegen'd built-ins:\n$p")
+  }
+
+  test("bloom decontamination probes via a broadcast of the bounded word table") {
+    val docs = Tables.documents(spark, dir)
+    val df = graft.llmops.Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", mBits = 1 << 16)
+    val p = plan(df)
+    // the probe join against the <= mBits/64-row word table must broadcast
+    // (the whole point: bounded driver state however large the benchmark
+    // suite), never sort-merge the corpus against it.
+    assert(p.contains("BroadcastHashJoin"), s"bloom probe join not broadcast:\n$p")
+  }
+
+  test("PII scrub is a narrow codegen'd projection") {
+    val df = graft.llmops.TextAnalysis.withPiiCounts(Tables.documents(spark, dir))
+      .select("doc_id", "n_emails", "redacted")
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(simple.contains("*("), s"no WholeStageCodegen span:\n$simple")
+    assert(!simple.contains("Exchange"), s"unexpected shuffle:\n$simple")
+  }
+
+  test("int8 ANN keeps the corpus un-shuffled: broadcast queries, windows only") {
+    val emb = Tables.embeddings(spark, dir)
+    val df = graft.llmops.Quantize.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for a join:\n$p")
+  }
 }
