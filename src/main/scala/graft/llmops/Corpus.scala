@@ -108,6 +108,9 @@ object Corpus {
   def sourceQuota(df: DataFrame, keyCol: Column, sourceCol: Column,
       quota: Int, salts: Int = 16): DataFrame = {
     require(quota > 0 && salts > 0)
+    val reserved = Seq("__h", "__k", "__src", "__salt", "__r1", "__rn")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry reserved columns ${reserved.mkString(", ")}")
     val staged = df
       .withColumn("__h", PortableHash.hash52(keyCol.cast("string")))
       .withColumn("__k", keyCol.cast("string"))

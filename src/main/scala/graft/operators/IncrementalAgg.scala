@@ -28,12 +28,15 @@ object IncrementalAgg {
   private val stateCols = Seq("cnt", "sum", "min", "max")
 
   /** Collapse a raw batch to per-key partials. */
-  def partials(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame =
+  def partials(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    require(!keyCols.exists(stateCols.contains),
+      s"key columns must not collide with partial columns $stateCols")
     df.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("cnt"),
       sum(col(valCol)).cast("long").as("sum"),
       min(col(valCol)).cast("long").as("min"),
       max(col(valCol)).cast("long").as("max"))
+  }
 
   /** Fold a delta's partials into the state. Both sides already hold one
     * row per key, so the union-then-reaggregate is a shuffle of state-size

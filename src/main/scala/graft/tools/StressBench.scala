@@ -37,7 +37,12 @@ object StressBench {
     "q_x_dedup_clusters", "q_x_dedup_clusters_stars",
     "q_x_ann_lsh", "q_x_ann_ivf",
     "q_g_blast_radius", "q_g_triangles",
-    "q_t_asof_join", "q_x_tfidf_top_terms")
+    "q_t_asof_join", "q_x_tfidf_top_terms",
+    // r4 additions: the gram-explode aggregations, the bounded-state bloom
+    // path, the compressed-ANN cross join, the salted quota window, and
+    // the survivor resolution stack.
+    "q_x_repetition_ngram", "q_x_quality_gate", "q_x_decon_bloom",
+    "q_x_ann_int8", "q_x_source_quota", "q_x_dedup_survivors_quality")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
