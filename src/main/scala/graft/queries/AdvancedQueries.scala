@@ -105,6 +105,23 @@ object AdvancedQueries extends QueryModule {
         .select(col("o_custkey"), col("cnt"), col("sum").as("sum_cents"),
           col("min").as("min_cents"), col("max").as("max_cents"))
         .orderBy("o_custkey")
+    },
+    // exact per-group quantiles by rank selection (lower quantile, no
+    // interpolation — always an actual data value, engine-portable):
+    // rank = floor((n-1)*p/100)+1 in ascending order, one shuffle.
+    q("q_a11_group_quantiles",
+      "WITH c AS (SELECT o_orderstatus AS status, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "r AS (SELECT status, cents, row_number() OVER (PARTITION BY status ORDER BY cents) AS rn, count(*) OVER (PARTITION BY status) AS cnt FROM c) " +
+        "SELECT status, CAST(max(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1 THEN cents END) AS BIGINT) AS p50, " +
+        "CAST(max(CASE WHEN rn = (cnt - 1) * 90 // 100 + 1 THEN cents END) AS BIGINT) AS p90, " +
+        "CAST(max(CASE WHEN rn = (cnt - 1) * 99 // 100 + 1 THEN cents END) AS BIGINT) AS p99 " +
+        "FROM r GROUP BY status ORDER BY status") { (s, d) =>
+      import graft.operators.Quantiles
+      val c = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Quantiles.perGroup(c, Seq("status"), "cents", Seq(50, 90, 99))
+        .orderBy("status")
     }
   )
 }
