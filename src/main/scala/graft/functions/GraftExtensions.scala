@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer: the composable double-form HOF dot product becomes the
+    // codegen'd expression automatically (see RewriteFloatDot).
+    ext.injectOptimizerRule(_ => RewriteFloatDot)
     ext.injectFunction((
       new FunctionIdentifier("graft_fdot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_fdot"),

@@ -209,6 +209,36 @@ object EventStream {
       }
   }
 
+  /** Streaming aggregate maintenance: each micro-batch collapses to
+    * per-key partials and folds into the running state via
+    * [[graft.operators.IncrementalAgg.merge]] — the same mergeable
+    * count/sum/min/max algebra the batch operator proves
+    * (`merge(partials(A), partials(B)) ≡ partials(A ∪ B)`), so after any
+    * number of micro-batches the state EQUALS the from-scratch batch
+    * aggregate (spec-asserted over ≥ 3 batches). State volume is one row
+    * per key; history never re-shuffles. Cache discipline mirrors
+    * [[incrementalUpsert]].
+    */
+  def incrementalAggregate(
+      events: DataFrame, keys: Seq[String], valCol: String,
+      initial: DataFrame, apply: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.IncrementalAgg
+    var state = initial
+    var first = true
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prev = state
+        state = IncrementalAgg.merge(
+          prev, IncrementalAgg.partials(batch, keys, valCol), keys).cache()
+        state.count() // materialize before the next micro-batch mutates lineage
+        if (!first) prev.unpersist(blocking = false)
+        first = false
+        apply(state)
+      }
+  }
+
   /** [[incrementalUpsert]] with the state living in a BUCKETED parquet
     * table instead of a cached in-memory frame — the production shape: the
     * per-batch upsert join is shuffle-free on the state side (the table is

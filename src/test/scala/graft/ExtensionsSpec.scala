@@ -25,6 +25,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(1) == 6.0) // common prefix only
   }
 
+  test("optimizer rewrites the double-form HOF dot product to FloatVectorDot") {
+    // a file-backed frame: a LocalRelation would be constant-evaluated by
+    // ConvertToLocalRelation before the rule could show its work.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val hof = emb.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (s, x) -> s + x) AS d")
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_fdot"),
+      s"HOF dot not rewritten to FloatVectorDot:\n$optimized")
+    // and the rewrite is bit-identical to the Column-API expression.
+    val direct = emb.select(
+      org.apache.spark.sql.graftfn.FloatVectorDot.fdot(col("a"), col("b")).as("d"))
+    assert(hof.collect().map(_.getDouble(0)).toSeq ==
+      direct.collect().map(_.getDouble(0)).toSeq)
+    // the all-float form rounds products to float32 — semantics differ, so
+    // the rule must NOT touch it.
+    val floatForm = emb.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) AS d")
+    assert(!floatForm.queryExecution.optimizedPlan.toString.contains("graft_fdot"),
+      "float-form HOF must not be rewritten (different rounding semantics)")
+  }
+
   test("graft_hash52 from SQL equals PortableHash on both engines' contract") {
     val rows = spark.sql(
       "SELECT graft_hash52('abc') AS h1, graft_hash52('') AS h2")

@@ -159,6 +159,30 @@ class StreamingAndGraphSpec extends SparkTestBase {
       s"cached state per batch should stay bounded (prev+current), got ${cachedSeen.reverse}")
   }
 
+  test("streaming incremental aggregate equals the from-scratch batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val streamDf = mem.toDF().select(col("_1").as("k"), col("_2").as("v"))
+    val initial = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("k", "cnt", "sum", "min", "max")
+    var last = initial
+    val writer = EventStream.incrementalAggregate(streamDf, Seq("k"), "v",
+      initial, st => last = st)
+    // three micro-batches with overlapping keys
+    mem.addData((1L, 10L), (2L, 5L))
+    mem.addData((1L, 1L), (3L, 7L))
+    mem.addData((2L, 20L), (1L, 4L))
+    val q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    val got = last.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // from-scratch over the union of all batches:
+    assert(got == Seq((1L, 3L, 15L, 1L, 10L), (2L, 2L, 25L, 5L, 20L),
+      (3L, 1L, 7L, 7L, 7L)))
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
