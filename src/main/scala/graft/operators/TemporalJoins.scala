@@ -40,7 +40,22 @@ object TemporalJoins {
     * VALUE inside a matched row is preserved rather than skipped past.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, tolerance: Option[Column] = None): DataFrame = {
+      tsCol: String, tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, keys, tsCol, tolerance, forward = false)
+
+  /** Mirror of [[asofJoin]] looking FORWARD: the single EARLIEST right row
+    * with `right.tsCol >= left.tsCol` per key (inclusive). The
+    * "next-event" staple: attach the next restock to every stock-out, the
+    * next deploy to every alert. Same one-shuffle tagged-union window,
+    * ordered descending so the running `last` sees the nearest future row.
+    * `tolerance` bounds how FAR AHEAD the match may be.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, keys, tsCol, tolerance, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, tolerance: Option[Column], forward: Boolean): DataFrame = {
     val valCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     require(valCols.nonEmpty, "right side carries no value columns")
     val clash = valCols.toSet & left.columns.toSet
@@ -57,14 +72,18 @@ object TemporalJoins {
         struct(col(tsCol).as(rightTs) +: valCols.map(col): _*).as("__rv"): _*)
       .withColumn("__side", lit(0))
     val l = left.withColumn("__side", lit(1))
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val staleness =
+      if (forward) (m: Column) => m(rightTs) - col(tsCol)
+      else (m: Column) => col(tsCol) - m(rightTs)
     val bounded = tolerance.fold(matched)(tol => matched.withColumn("__m",
-      when(col("__m").isNotNull && col(tsCol) - col("__m")(rightTs) <= tol, col("__m"))))
+      when(col("__m").isNotNull && staleness(col("__m")) <= tol, col("__m"))))
     bounded.select(left.columns.map(col) ++
       (rightTs +: valCols).map(c => col("__m")(c).as(c)): _*)
   }

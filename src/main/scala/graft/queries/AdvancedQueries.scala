@@ -69,6 +69,21 @@ object AdvancedQueries extends QueryModule {
           dense_rank().over(w).cast("long").as("drnk"))
         .orderBy("o_custkey", "o_orderkey")
     },
+    // RANGE frame (value-based, not row-based): per-user sum over the
+    // trailing 60 seconds of event time — peers at equal ts are all in
+    // frame, so the result is order-independent; values scaled to exact
+    // integers so no float accumulation order can bite.
+    q("q_w5_range_frame",
+      "SELECT event_id, user_id, ts_sec, CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_60s " +
+        "FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, CAST(round(value * 100) AS BIGINT) AS vc FROM events) ORDER BY event_id") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-59, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .withColumn("sum_60s", sum("vc").over(w))
+        .select("event_id", "user_id", "ts_sec", "sum_60s")
+        .orderBy("event_id")
+    },
     q("q_f13_date_parts",
       "SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
       Tables.orders(s, d)

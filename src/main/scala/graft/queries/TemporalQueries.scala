@@ -48,6 +48,29 @@ object TemporalQueries extends QueryModule {
           col("click_event_id"), col("ts_us_right").as("click_ts_us"), col("click_value"))
         .orderBy("event_id")
     },
+    // forward as-of: the NEXT click at-or-after each purchase — DuckDB's
+    // native ASOF with the inequality flipped; same dedup discipline for
+    // deterministic ties.
+    q("q_t_asof_forward",
+      "WITH clicks AS (SELECT * FROM (SELECT user_id, ts, event_id, value, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn FROM events WHERE event_type = 'click') WHERE rn = 1), " +
+        "purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') " +
+        "SELECT p.event_id AS event_id, p.user_id AS user_id, epoch_us(p.ts) AS ts_us, " +
+        "c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us, c.value AS click_value " +
+        "FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts >= p.ts " +
+        "ORDER BY event_id") { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_nanos div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = Upsert.dedupeLastWriter(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"),
+            col("event_id").as("click_event_id"), col("value").as("click_value")),
+        Seq("user_id", "ts_us"), Seq("click_event_id"))
+      TemporalJoins.asofJoinForward(purchases, clicks, Seq("user_id"), "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_event_id"), col("ts_us_right").as("click_ts_us"), col("click_value"))
+        .orderBy("event_id")
+    },
     // purchases inside the 10-minute window opened by each error of the
     // same user (half-open [err, err+600)). The engine bins the time axis
     // and equi-joins; the oracle is the plain inequality join.

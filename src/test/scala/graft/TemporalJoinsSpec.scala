@@ -43,6 +43,30 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(out.getAs[String]("v") == null)
   }
 
+  test("asofJoinForward attaches the earliest at-or-after right row per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 25L), (2L, 9L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 6L, "c")).toDF("k", "t", "v")
+    val out = TemporalJoins.asofJoinForward(left, right, Seq("k"), "t")
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Any]("t_right"), r.getString(3)))
+    // t=10 matches the EQUAL-ts right row (inclusive); t=25 has no future
+    // right → nulls, row survives; (2,9) looks ahead of c → nulls.
+    assert(out.toSeq == Seq((1L, 10L, 10L, "a"), (1L, 25L, null, null), (2L, 9L, null, null)))
+  }
+
+  test("asofJoinForward tolerance bounds how far ahead the match may be") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 105L, "x")).toDF("k", "t", "v")
+    val out = TemporalJoins.asofJoinForward(left, right, Seq("k"), "t",
+        tolerance = Some(lit(10L)))
+      .orderBy("t")
+      .collect().map(r => (r.getLong(1), r.getAs[Any]("v")))
+    // t=100 → 105 is 5 ahead (within 10); t=10 → 95 ahead (too far).
+    assert(out.toSeq == Seq((10L, null), (100L, "x")))
+  }
+
   test("rangeJoin honors half-open bounds and emits multi-bin pairs once") {
     import spark.implicits._
     val points = Seq((1L, 0L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 1999L))
