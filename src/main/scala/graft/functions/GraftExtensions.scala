@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.graftfn.{ByteVectorDot, FloatVectorDot}
+import org.apache.spark.sql.graftfn.{BitInterleave, ByteVectorDot, FloatVectorDot}
 import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** SQL surface for the engine's custom expressions, wired the way a
@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   *    pipelines get the same 6× hot loop the Column API uses.
   *  - `graft_bdot(a, b)` — the integer Array[Byte] dot product over
   *    int8-quantized vectors ([[org.apache.spark.sql.graftfn.ByteVectorDot]]).
+  *  - `graft_zorder(a, b)` — the Z-order (Morton) interleave of two
+  *    longs' low 32 bits, the multi-dimensional data-layout key
+  *    ([[org.apache.spark.sql.graftfn.BitInterleave]]).
   *  - `graft_hash52(s)` — [[graft.llmops.PortableHash.hash52]] as SQL;
   *    expands to the same built-in tree (conv(substr(md5(s),1,13),16,10))
   *    so it stays inside WholeStageCodegen and constant-folds on literals.
@@ -39,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_bdot(a, b) takes two array<tinyint> args")
         ByteVectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[BitInterleave].getName, "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_zorder(a, b) takes two bigint args")
+        BitInterleave(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hash52"),

@@ -121,6 +121,22 @@ object AdvancedQueries extends QueryModule {
           col("min").as("min_cents"), col("max").as("max_cents"))
         .orderBy("o_custkey")
     },
+    // Z-order (Morton) layout key: interleave two dimensions into one
+    // sort key so range-partitioned/sorted files serve min-max skipping
+    // on BOTH columns. The oracle states the same interleave as a 64-term
+    // shift/or (the composable form the custom expression replaces).
+    q("q_x_zorder_key", {
+      val zTerms = (0 until 32).flatMap(i => Seq(
+        s"(((o_custkey >> $i) & 1) << ${2 * i})",
+        s"(((o_orderkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"SELECT o_orderkey, o_custkey, CAST($zTerms AS BIGINT) AS z FROM orders ORDER BY o_orderkey"
+    }) { (s, d) =>
+      import org.apache.spark.sql.graftfn.BitInterleave
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          BitInterleave.zorder(col("o_custkey"), col("o_orderkey")).as("z"))
+        .orderBy("o_orderkey")
+    },
     // exact per-group quantiles by rank selection (lower quantile, no
     // interpolation — always an actual data value, engine-portable):
     // rank = floor((n-1)*p/100)+1 in ascending order, one shuffle.
