@@ -568,6 +568,28 @@ object LlmOpsQueries extends QueryModule {
         .select(round(KMinValues.estimate(col("kmv"), 256), 4).as("est_distinct"),
           col("exact_distinct"))
     },
+    // KMV per GROUP: the bounded sketch as a grouping aggregate — one row
+    // of ≤ k hashes per group, mergeable map-side; exact below k (k=64
+    // forces the estimator branch on the bigger groups at sf0.01+).
+    q("q_x_distinct_sketch_grouped", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(l_orderkey AS VARCHAR)")
+      s"WITH hs AS (SELECT DISTINCT l_returnflag AS flag, $h AS h FROM lineitem), " +
+        "r AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM hs), " +
+        "agg AS (SELECT flag, count(CASE WHEN rn <= 64 THEN 1 END) AS nk, max(CASE WHEN rn = 64 THEN h END) AS kth FROM r GROUP BY 1), " +
+        "ex AS (SELECT l_returnflag AS flag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct FROM lineitem GROUP BY 1) " +
+        "SELECT agg.flag AS flag, round(CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE) ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth END, 4) AS est_distinct, ex.exact_distinct " +
+        "FROM agg JOIN ex ON ex.flag = agg.flag ORDER BY flag"
+    }) { (s, d) =>
+      import graft.functions.KMinValues
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(KMinValues.sketch(col("l_orderkey"), 64).as("kmv"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+        .select(col("flag"),
+          round(KMinValues.estimate(col("kmv"), 64), 4).as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy("flag")
+    },
     // contiguous token-budget sharding (10k-token shards in doc_id order)
     q("q_x_token_shards",
       "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>
