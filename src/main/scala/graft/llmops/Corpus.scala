@@ -44,6 +44,17 @@ object Corpus {
     bucket < rate
   }
 
+  /** Per-ROW weighted sampling: keep each row with its own probability
+    * `weightBps/10000` (clamped), decided by the key hash — the
+    * quality-weighted corpus-mix move (keep high-quality docs with
+    * certainty, downweight the tail) with [[hashSample]]'s guarantees:
+    * deterministic, partition-invariant, and nested (raising a row's
+    * weight can only keep it; a kept row never drops).
+    */
+  def weightedSample(keyCol: Column, weightBps: Column): Column =
+    PortableHash.hash52(keyCol.cast("string")) % 10000 <
+      least(lit(10000), greatest(lit(0), weightBps))
+
   /** Assign each row a split label by cumulative hash-bucket ranges out of
     * 10_000 (e.g. Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)).
     * Order matters (ranges are cumulative in the given order); weights must

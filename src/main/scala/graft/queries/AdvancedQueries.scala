@@ -121,6 +121,26 @@ object AdvancedQueries extends QueryModule {
           col("min").as("min_cents"), col("max").as("max_cents"))
         .orderBy("o_custkey")
     },
+    // batch gap-sessionization (Q-W6): session boundaries where the
+    // per-user event gap exceeds 10 minutes, session ids by running sum of
+    // boundary flags — the batch twin of the streaming session window
+    // (q_st4), deterministic ties on (ts, event_id).
+    q("q_w6_session_assign",
+      "WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "d AS (SELECT user_id, event_id, ts_sec, CASE WHEN ts_sec - lag(ts_sec) OVER w > 600 OR lag(ts_sec) OVER w IS NULL THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)) " +
+        "SELECT user_id, event_id, ts_sec, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no " +
+        "FROM d ORDER BY user_id, ts_sec, event_id") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_sec"))
+        .withColumn("brk",
+          when(col("ts_sec") - lag("ts_sec", 1).over(w) > 600
+            || lag("ts_sec", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_no",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("user_id", "event_id", "ts_sec", "session_no")
+        .orderBy("user_id", "ts_sec", "event_id")
+    },
     // Z-order (Morton) layout key: interleave two dimensions into one
     // sort key so range-partitioned/sorted files serve min-max skipping
     // on BOTH columns. The oracle states the same interleave as a 64-term

@@ -499,6 +499,19 @@ object LlmOpsQueries extends QueryModule {
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
     },
+    // quality-weighted sampling: per-row keep probability from the doc's
+    // own length (30 bps per char, clamped) — deterministic, nested in
+    // the weight, decided by the same hash-bucket mechanism
+    q("q_x_sample_weighted", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      s"SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents WHERE $h % 10000 < least(10000, greatest(0, n_chars * 30)) ORDER BY doc_id"
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(Corpus.weightedSample(col("doc_id"), col("n_chars") * 30))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // per-source quota cap (C4-style per-domain cap): at most 20 docs per
     // source, the 20 smallest doc-hashes — a stable uniform sample of each
     // source. The engine runs the two-phase salted ranking (hot domains
