@@ -80,8 +80,9 @@ object Corpus {
     * token list does not explode row-per-token).
     *
     * Tail rule: a chunk starts at every stride multiple < n_tokens, so the
-    * final chunks may be shorter than `window`; every token lands in ≥ 1
-    * chunk.
+    * final chunks may be shorter than `window`. With `window >= stride`
+    * every token lands in ≥ 1 chunk (property-tested); `window < stride`
+    * deliberately SKIPS the tokens between chunks (sparse sampling).
     */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {

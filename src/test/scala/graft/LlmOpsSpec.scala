@@ -254,6 +254,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rep == "repetitive")
   }
 
+  test("weightedSample is nested in the weight and clamps out-of-range weights") {
+    import graft.llmops.Corpus
+    def kept(bps: org.apache.spark.sql.Column): Set[Long] = docs
+      .filter(Corpus.weightedSample(col("doc_id"), bps))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val low = kept(lit(2000))
+    val high = kept(lit(6000))
+    assert(low.subsetOf(high), "raising the weight must only ADD rows")
+    assert(low.nonEmpty && high.size > low.size)
+    assert(kept(lit(20000)) == kept(lit(10000)), "weights clamp at 10000")
+    assert(kept(lit(-5)).isEmpty, "negative weights clamp to keep-nothing")
+  }
+
   test("sourceQuota: salted two-phase equals the single-window definition, any salt count") {
     import graft.llmops.{Corpus, PortableHash}
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,89 @@
+package graft
+
+import graft.llmops.Corpus
+import graft.operators.{Quantiles, TemporalJoins}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based laws of the round-4 operators against driver-side
+  * reference implementations, fixed-seed deterministic (the
+  * UpsertPropertySpec pattern): random inputs catch the shapes
+  * hand-picked fixtures miss.
+  */
+class OperatorPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).map(i => g.pureApply(params, rng.Seed(1234L + i)))
+  }
+
+  test("asofJoin both directions equal the naive per-row reference on random frames") {
+    val leftGen = Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    val rightGen = Gen.listOfN(25, for {
+      k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 50L)
+      v <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    } yield (k, t, v))
+    samples(Gen.zip(leftGen, rightGen), 5).foreach { case (lRows, rRows0) =>
+      // unique (k, t) on the right: the operator's documented precondition.
+      val rRows = rRows0.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val left = lRows.toDF("k", "t")
+      val right = rRows.toDF("k", "t", "v")
+      val back = TemporalJoins.asofJoin(left, right, Seq("k"), "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getAs[String]("v"))).toMap
+      val fwd = TemporalJoins.asofJoinForward(left, right, Seq("k"), "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getAs[String]("v"))).toMap
+      lRows.distinct.foreach { case (k, t) =>
+        val befores = rRows.filter(r => r._1 == k && r._2 <= t)
+        val afters = rRows.filter(r => r._1 == k && r._2 >= t)
+        val wantBack = if (befores.isEmpty) None else Some(befores.maxBy(_._2)._3)
+        val wantFwd = if (afters.isEmpty) None else Some(afters.minBy(_._2)._3)
+        assert(back((k, t)) == wantBack, s"backward mismatch at ($k,$t)")
+        assert(fwd((k, t)) == wantFwd, s"forward mismatch at ($k,$t)")
+      }
+    }
+  }
+
+  test("tokenChunks covers every token exactly per the window/stride arithmetic") {
+    val docGen = for {
+      n <- Gen.choose(1, 40)
+      window <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, 12)
+    } yield (n, window, stride)
+    samples(docGen, 12).foreach { case (n, window, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = Corpus.tokenChunks(df, "doc_id", "text", window, stride)
+        .collect().map(r => (r.getAs[Long]("chunk"), r.getAs[Long]("start_tok"),
+          r.getAs[Long]("n_chunk_tokens")))
+      // chunk count is the closed-form, starts are stride multiples, and
+      // the union of [start, start+len) covers 1..n with no token missed.
+      assert(chunks.length == (n - 1) / stride + 1, s"n=$n w=$window s=$stride")
+      val covered = chunks.flatMap { case (_, st, len) => st until (st + len) }.toSet
+      assert(covered == (1L to n.toLong).toSet || window < stride &&
+        covered.subsetOf((1L to n.toLong).toSet),
+        s"coverage broken for n=$n w=$window s=$stride")
+      if (window >= stride) assert(covered == (1L to n.toLong).toSet)
+    }
+  }
+
+  test("perGroup quantiles equal the driver-side sorted-rank reference") {
+    val groupGen = Gen.listOfN(60, for {
+      g <- Gen.choose(0L, 3L); v <- Gen.choose(-100L, 100L)
+    } yield (g, v))
+    samples(groupGen, 5).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val got = Quantiles.perGroup(df, Seq("k"), "v", Seq(0, 25, 50, 75, 100))
+        .collect().map(r => r.getLong(0) ->
+          Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        val want = Seq(0, 25, 50, 75, 100)
+          .map(p => sorted(((sorted.size - 1) * p / 100.0).toInt))
+        assert(got(g) == want, s"group $g: got ${got(g)} want $want")
+      }
+    }
+  }
+}
