@@ -1,0 +1,56 @@
+package graft
+
+import graft.llmops.{Corpus, Dedup, Quantize, Similarity, TextAnalysis}
+import graft.operators.Quantiles
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the round-4 operators: empty frames and
+  * empty partners must produce empty (or identity) results, never throw —
+  * at 100 TB an empty partition/source is routine, not exceptional.
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def someDocs = Seq((1L, "a b c d e f"), (2L, "x y z w v u")).toDF("doc_id", "text")
+
+  test("text operators on an empty corpus return empty, not errors") {
+    assert(TextAnalysis.ngramRepetition(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.qualityGate(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.withPiiCounts(noDocs).count() == 0)
+    assert(Corpus.tokenChunks(noDocs, "doc_id", "text", 4, 3).count() == 0)
+    assert(Corpus.sourceQuota(noDocs.withColumn("source", lit("s")),
+      col("doc_id"), col("source"), quota = 5).count() == 0)
+  }
+
+  test("decontamination against an EMPTY benchmark flags nothing (both paths)") {
+    val exact = Dedup.decontaminate(someDocs, noDocs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val bloom = Dedup.decontaminateBloom(someDocs, noDocs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val want = Seq((1L, 0L, false), (2L, 0L, false))
+    assert(exact == want && bloom == want)
+  }
+
+  test("cluster resolution of zero pairs yields every doc its own survivor") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+    assert(clusters.count() == 0)
+    val surv = Dedup.dedupSurvivors(someDocs, "doc_id", clusters)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(surv == Set((1L, true), (2L, true)))
+  }
+
+  test("quantiles and int8 ANN tolerate empty inputs") {
+    val noVals = Seq.empty[(String, Long)].toDF("k", "v")
+    assert(Quantiles.perGroup(noVals, Seq("k"), "v", Seq(50)).count() == 0)
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Quantize.int8TopK(emb, noEmb, k = 3).count() == 0)
+    assert(Quantize.int8TopK(noEmb, emb, k = 3).count() == 0)
+    assert(Similarity.nearestCentroid(noEmb,
+      Similarity.centroidVectors(Similarity.labelCentroids(
+        emb.withColumn("label", lit(0))))).count() == 0)
+  }
+}
