@@ -53,4 +53,21 @@ object CountMin {
       .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Equi-join cardinality estimate from two sketches over the join key
+    * (same d, w): per row j, the inner product Σ_bucket aⱼᵦ·bⱼᵦ counts
+    * every true matching pair once plus hash-collision noise, so
+    * `min_j` of the row inner products is the classic never-undercount
+    * estimate of |A ⋈ B| (AMS/CM inner-product bound). Cost: the two
+    * ≤ d·w cell tables join on (j, bucket) — constant work however large
+    * A and B are. This is the planner move: decide broadcast vs shuffle
+    * vs salt BEFORE running a join, from per-shard sketches that merged
+    * for free.
+    */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("bucket"), col("cnt").as("_ca"))
+      .join(b.select(col("j"), col("bucket"), col("cnt").as("_cb")),
+        Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("_ca") * col("_cb")).as("_ip"))
+      .agg(min("_ip").cast("long").as("est_join_size"))
 }

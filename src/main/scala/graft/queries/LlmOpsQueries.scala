@@ -566,6 +566,30 @@ object LlmOpsQueries extends QueryModule {
       val probes = toks.distinct().orderBy("token").limit(20)
       CountMin.estimate(sk, probes, "token", d = 4, w = 512).orderBy("token")
     },
+    // CMS join-size estimation (the planner move: decide broadcast vs
+    // salt BEFORE running a join): min over rows of the sketch-pair inner
+    // product never undercounts |A join B|. Self-join on events.user_id =
+    // the quadratic-blowup detector. Constant d*w work at any data size.
+    q("q_x_cms_join_size", {
+      import graft.llmops.PortableHash
+      val (dRows, w, p) = (4, 512, PortableHash.P)
+      val perms = (0 until dRows)
+        .map(j => s"($j, ${PortableHash.MinHashA(j)}, ${PortableHash.MinHashB(j)})")
+        .mkString(", ")
+      s"WITH h AS (SELECT ${PortableHash.duckHash52("CAST(user_id AS VARCHAR)")} AS h FROM events), " +
+        s"perm(j, a, b) AS (SELECT * FROM (VALUES $perms)), " +
+        s"sk AS (SELECT j, (a * (h % $p) + b) % $p % $w AS bucket, count(*) AS cnt FROM h CROSS JOIN perm GROUP BY 1, 2), " +
+        "ip AS (SELECT a.j, sum(a.cnt * b.cnt) AS ip FROM sk a JOIN sk b ON a.j = b.j AND a.bucket = b.bucket GROUP BY 1), " +
+        "ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_join_size FROM (SELECT count(*) AS n FROM events GROUP BY user_id)) " +
+        "SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS est_join_size, ex.exact_join_size FROM ex"
+    }) { (s, d) =>
+      import graft.functions.CountMin
+      val users = Tables.events(s, d).select(col("user_id"))
+      val sk = CountMin.sketch(users, "user_id", d = 4, w = 512)
+      val exact = users.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).cast("long").as("exact_join_size"))
+      CountMin.joinSizeEstimate(sk, sk).crossJoin(exact)
+    },
     q("q_x_distinct_sketch", {
       val h = graft.llmops.PortableHash.duckHash52("CAST(l_partkey AS VARCHAR)")
       s"WITH hs AS (SELECT DISTINCT $h AS h FROM lineitem), " +

@@ -38,6 +38,23 @@ class SketchAndSkewSpec extends SparkTestBase {
     assert(merged == whole)
   }
 
+  test("CMS join-size estimate never undercounts and is tight on a clean grid") {
+    import graft.functions.CountMin
+    import spark.implicits._
+    // A: key k appears k times (k = 1..20); B: every key twice.
+    val a = (1L to 20L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("k")
+    val b = (1L to 20L).flatMap(k => Seq(k, k)).toDF("k")
+    val exact = (1L to 20L).map(k => k * 2).sum // Σ n_a(k)·n_b(k)
+    val est = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, "k", d = 4, w = 512),
+      CountMin.sketch(b, "k", d = 4, w = 512))
+      .collect().head.getLong(0)
+    assert(est >= exact, s"CM inner product must never undercount: $est < $exact")
+    // 40 distinct keys in 512 buckets: collisions are rare — estimate
+    // stays within 2x of truth.
+    assert(est <= exact * 2, s"estimate $est implausibly loose vs $exact")
+  }
+
   test("saltedInnerJoin is row-identical to the plain join, duplicates included") {
     import spark.implicits._
     val left = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
