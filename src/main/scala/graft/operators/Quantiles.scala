@@ -25,6 +25,10 @@ object Quantiles {
   def perGroup(df: DataFrame, keyCols: Seq[String], valCol: String,
       percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100))
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents would emit duplicate columns: $percents")
+    require(!df.columns.contains("_rn") && !df.columns.contains("_cnt"),
+      "input must not carry reserved columns _rn, _cnt")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(valCol))
     val wAll = Window.partitionBy(keyCols.map(col): _*)
     val ranked = df

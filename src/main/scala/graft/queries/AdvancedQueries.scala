@@ -121,6 +121,17 @@ object AdvancedQueries extends QueryModule {
           col("min").as("min_cents"), col("max").as("max_cents"))
         .orderBy("o_custkey")
     },
+    // global top-k by value with deterministic ties (Q-W7): Spark plans
+    // ORDER BY + LIMIT as TakeOrderedAndProject — per-partition top-k then
+    // a k-row merge on the driver, never a global sort.
+    q("q_w7_global_topk",
+      "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders ORDER BY cents DESC, o_orderkey LIMIT 50") { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(50)
+    },
     // batch gap-sessionization (Q-W6): session boundaries where the
     // per-user event gap exceeds 10 minutes, session ids by running sum of
     // boundary flags — the batch twin of the streaming session window

@@ -190,6 +190,11 @@ class PlanSpec extends SparkTestBase {
     assert(!simple.contains("Exchange"), s"unexpected shuffle:\n$simple")
   }
 
+  test("global top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan(SparkEntry.queries("q_w7_global_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
   test("int8 ANN keeps the corpus un-shuffled: broadcast queries, windows only") {
     val emb = Tables.embeddings(spark, dir)
     val df = graft.llmops.Quantize.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 5)
