@@ -217,6 +217,60 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Cross-corpus MinHash near-dup: the INCREMENTAL dedup shape — flag
+    * each document of a NEW batch that near-duplicates the EXISTING
+    * corpus, without ever self-joining either side. Same signatures,
+    * banding and exact-Jaccard verify as [[minHashPairs]] (and the same
+    * opt-in hot-bucket guard), but candidates pair strictly across the
+    * two inputs, so the work is |batch-bands ⋈ corpus-bands| — at 100 TB
+    * the corpus bands are computed once per refresh cycle and the daily
+    * batch probes them; yesterday's data never re-pairs with itself.
+    *
+    * Returns (batch_id, corpus_id, jaccard_dist), one row per verified
+    * cross pair.
+    */
+  def minHashPairsAcross(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
+      maxBandFreq: Option[Int] = None): DataFrame = {
+    require(numHashTables <= PortableHash.MinHashA.length)
+    val exC = hashedShingleRows(corpus, idCol, textCol, n, PortableHash.hash52).cache()
+    val exB = hashedShingleRows(batch, idCol, textCol, n, PortableHash.hash52).cache()
+    def sigsOf(ex: DataFrame): DataFrame = {
+      val aggs = (0 until numHashTables).map(i =>
+        min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
+      ex.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc"),
+          posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
+            .as(Seq("band", "sig")))
+    }
+    val bandedC = maxBandFreq.fold(sigsOf(exC))(
+      pruneFrequentBandKeys(sigsOf(exC), Seq("band", "sig"), _))
+    val bandedB = maxBandFreq.fold(sigsOf(exB))(
+      pruneFrequentBandKeys(sigsOf(exB), Seq("band", "sig"), _))
+    val cands = bandedB.select(col("doc").as("batch_id"), col("band"), col("sig"))
+      .join(bandedC.select(col("doc").as("corpus_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("batch_id", "corpus_id").distinct()
+    val sizesC = exC.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val sizesB = exB.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val shared = cands
+      .join(exB.select(col("doc").as("batch_id"), col("s")), Seq("batch_id"))
+      .join(exC.select(col("doc").as("corpus_id"), col("s")), Seq("corpus_id", "s"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("shared"))
+    val result = shared
+      .join(sizesB.select(col("doc").as("batch_id"), col("n_sh").as("nb")), Seq("batch_id"))
+      .join(sizesC.select(col("doc").as("corpus_id"), col("n_sh").as("nc")), Seq("corpus_id"))
+      .withColumn("jaccard_dist",
+        lit(1.0) - col("shared") / (col("nb") + col("nc") - col("shared")))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+    val out = result.localCheckpoint(true)
+    exC.unpersist(); exB.unpersist()
+    out
+  }
+
   /** Decontamination through a Bloom-filter prefilter — the bounded-memory
     * variant for benchmark suites too big to broadcast raw.
     *

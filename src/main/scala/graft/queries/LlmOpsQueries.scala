@@ -43,6 +43,27 @@ object LlmOpsQueries extends QueryModule {
       "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3 ORDER BY 1, 2"
   }
 
+  /** Cross-corpus variant of the minhash oracle: corpus = even doc_ids,
+    * batch = odd; candidates pair strictly across the sides.
+    */
+  private val minHashAcrossOracleSql: String = {
+    import graft.llmops.PortableHash
+    val h = 5
+    val sigCols = (0 until h)
+      .map(i => s"min(${PortableHash.duckMinhashPerm("h", i)}) AS m$i").mkString(", ")
+    val sigList = (0 until h).map(i => s"m$i").mkString("[", ", ", "]")
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 3), " +
+      s"ex AS (SELECT DISTINCT doc_id, ${PortableHash.duckHash52("s")} AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), " +
+      s"sigs AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id), " +
+      s"banded AS (SELECT doc_id, b.band AS band, $sigList[b.band + 1] AS sig FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS band) b), " +
+      "cands AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id FROM banded x JOIN banded y ON x.band = y.band AND x.sig = y.sig AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1), " +
+      "shared AS (SELECT c.batch_id, c.corpus_id, count(*) AS sh FROM cands c JOIN ex a ON a.doc_id = c.batch_id JOIN ex b ON b.doc_id = c.corpus_id AND b.h = a.h GROUP BY 1, 2) " +
+      "SELECT s.batch_id, s.corpus_id, round(1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh), 6) AS jaccard_dist " +
+      "FROM shared s JOIN sizes sa ON s.batch_id = sa.doc_id JOIN sizes sb ON s.corpus_id = sb.doc_id " +
+      "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3 ORDER BY 1, 2"
+  }
+
   /** DuckDB mirror of Dedup.simHashPairs (52-bit portable signature, 4×13-bit
     * bands, Hamming ≤ 10) — bit-for-bit identical votes and signatures.
     */
@@ -290,6 +311,16 @@ object LlmOpsQueries extends QueryModule {
     q("q_x_dedup_simhash", simHashOracleSql) { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
         .orderBy("id_a", "id_b")
+    },
+    // incremental dedup: a NEW batch (odd ids) probes the EXISTING corpus
+    // (even ids) — candidates pair strictly across, neither side
+    // self-joins. The production daily-refresh shape.
+    q("q_x_dedup_minhash_across", minHashAcrossOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.minHashPairsAcross(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
     },
     // end-to-end dedup decision table: minhash pairs → connected-component
     // clusters (iterative min-label propagation) → per-document survivor

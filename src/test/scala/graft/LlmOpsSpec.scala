@@ -29,6 +29,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(mh.size <= exactPairs.size * 10 + 20)
   }
 
+  test("cross-corpus minhash equals the cross-parity subset of the self-join") {
+    val self = Dedup.minHashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 2) != (b % 2) }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    val across = Dedup.minHashPairsAcross(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(across == self, s"across=$across self=$self")
+  }
+
   test("SimHash banding honors its guarantee: every pair with Hamming<=3 is found") {
     val sigs = Dedup.simHash(docs, "doc_id", "text")
     val truth = sigs.alias("x").join(sigs.alias("y"), col("x.doc") < col("y.doc"))
