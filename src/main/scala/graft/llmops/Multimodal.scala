@@ -49,6 +49,31 @@ object Multimodal {
     out
   }
 
+  /** Deterministic frame sampling over the raw payload: frames of
+    * `frameLen` bytes starting every `stride` bytes (stride < frameLen ⇒
+    * overlap), the video/audio analog of token-window chunking. All
+    * codegen'd built-ins — binary `substring` slices, no decode, no
+    * shuffle — so the sampler runs at scan speed and ships each frame to
+    * the (stubbed) codec as its own row. Same tail arithmetic as
+    * `Corpus.tokenChunks`: a frame starts at every stride multiple below
+    * `byte_len`; the final frames may be short.
+    */
+  def sampleFrames(media: DataFrame, frameLen: Int, stride: Int): DataFrame = {
+    require(frameLen >= 1 && stride >= 1)
+    val n = length(col("payload")).cast("long")
+    media
+      .select(col("media_id"), col("payload"), n.as("_n"),
+        explode(when(n >= 1,
+          sequence(lit(0L), floor((n - 1) / stride))).otherwise(array()))
+          .as("frame_no"))
+      .select(col("media_id"), col("frame_no"),
+        call_function("substring", col("payload"),
+          (col("frame_no") * stride + 1).cast("int"), lit(frameLen)).as("frame"))
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(hex(col("frame"))).as("frame_md5"))
+  }
+
   /** Partition-wise feature extraction over the typed Dataset — the shape a
     * real codec needs: per-partition init, iterator-in/iterator-out.
     */

@@ -682,6 +682,20 @@ object LlmOpsQueries extends QueryModule {
         .select("doc_id", "n_tokens", "shard")
         .orderBy("doc_id")
     },
+    // multimodal frame sampling: 16-byte frames every 12 bytes over the
+    // raw payload (overlapping) — the video/audio sampler shape, pure
+    // codegen'd binary slices, md5-fingerprinted per frame. The oracle
+    // walks the SAME bytes through the hex form (2 chars/byte).
+    q("q_x_multimodal_frames",
+      "WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), " +
+        "f AS (SELECT media_id, hx, unnest(generate_series(0, (n - 1) // 12)) AS frame_no FROM h WHERE n >= 1) " +
+        "SELECT media_id, frame_no, CAST(length(substr(hx, frame_no * 24 + 1, 32)) // 2 AS BIGINT) AS frame_bytes, " +
+        "md5(substr(hx, frame_no * 24 + 1, 32)) AS frame_md5 FROM f ORDER BY media_id, frame_no") { (s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"),
+          frameLen = 16, stride = 12)
+        .orderBy("media_id", "frame_no")
+    },
     // multimodal feature extraction through the real mapPartitions codec
     // path. The stub codec's float32 accumulation is replicated bit-exactly
     // in DuckDB (byte-wise hex walk + list_reduce float32 fold — verified

@@ -398,6 +398,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"int8 ANN recall $recall below 0.9")
   }
 
+  test("frame sampling slices the exact bytes with tokenChunks tail arithmetic") {
+    import spark.implicits._
+    val media = Multimodal.payloadFrom(
+      Seq((1L, "abcdefghij"), (2L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.sampleFrames(media, frameLen = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sortBy(t => (t._1, t._2))
+    // doc 1 (10 bytes): frames at 1..4, 4..7, 7..10, 10 — overlap 1 byte.
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(
+      (1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L), (2L, 0L, 1L)))
+    // byte-exactness: frame 1 of doc 1 is "defg".
+    val md5defg = java.security.MessageDigest.getInstance("MD5")
+      .digest("64656667".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1)._4 == md5defg)
+  }
+
   test("sign-LSH ANN (annTopK) is deterministic and recalls brute-force neighbors") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
