@@ -63,11 +63,22 @@ object CountMin {
     * A and B are. This is the planner move: decide broadcast vs shuffle
     * vs salt BEFORE running a join, from per-shard sketches that merged
     * for free.
+    *
+    * A row j whose two sketches share NO occupied bucket has inner
+    * product 0 — a legitimate (and tightest possible) estimate, so it
+    * must reach the min rather than vanish from the inner join. The j
+    * universe is recovered from the union of both cell tables and the
+    * per-j inner product left-joined against it with a 0 default; empty
+    * sketches estimate 0, not an all-NULL row.
     */
-  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("j"), col("bucket"), col("cnt").as("_ca"))
+  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val js = a.select("j").unionAll(b.select("j")).distinct()
+    val ip = a.select(col("j"), col("bucket"), col("cnt").as("_ca"))
       .join(b.select(col("j"), col("bucket"), col("cnt").as("_cb")),
         Seq("j", "bucket"))
       .groupBy("j").agg(sum(col("_ca") * col("_cb")).as("_ip"))
-      .agg(min("_ip").cast("long").as("est_join_size"))
+    js.join(ip, Seq("j"), "left")
+      .agg(coalesce(min(coalesce(col("_ip"), lit(0L))), lit(0L))
+        .cast("long").as("est_join_size"))
+  }
 }

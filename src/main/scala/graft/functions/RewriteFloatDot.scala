@@ -23,6 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * accumulation. The all-float form (`(x, y) -> x * y`) rounds each
   * product to float32 first and is NOT rewritten — an optimizer must
   * never change results.
+  *
+  * Ragged-array semantics (the one place the two forms diverge):
+  * `zip_with` pads the shorter array with nulls, so the HOF form returns
+  * NULL on unequal lengths, while FloatVectorDot dots the common prefix.
+  * The rewrite therefore emits
+  * `If(size(a) = size(b), graft_fdot(a, b), NULL)` — equal lengths take
+  * the codegen'd fast path, unequal lengths (and NULL arrays, for which
+  * `size` is NULL and `If` falls through) reproduce the HOF's NULL
+  * exactly. Null ELEMENTS inside equal-length arrays remain undefined by
+  * FloatVectorDot's dense-vector contract (see its scaladoc).
   */
 object RewriteFloatDot extends Rule[LogicalPlan] {
 
@@ -46,6 +56,9 @@ object RewriteFloatDot extends Rule[LogicalPlan] {
           isDoubleOf(px, x) && isDoubleOf(py, y) &&
           accRef.exprId == acc.exprId && elemRef.exprId == elem.exprId &&
           finBody.exprId == fin.exprId =>
-      FloatVectorDot(a, b)
+      // No re-fire risk: the ArrayAggregate node is consumed, not kept as
+      // the else branch.
+      If(EqualTo(Size(a), Size(b)), FloatVectorDot(a, b),
+        Literal(null, DoubleType))
   }
 }

@@ -142,12 +142,19 @@ object Corpus {
   /** Source blocklist: drop every row whose source appears in `blocked`.
     * Blocklists are curated (thousands of domains, not billions) →
     * broadcast anti-join, no shuffle of the corpus side.
+    *
+    * Null handling is SQL `NOT IN` semantics, matching the oracle: a NULL
+    * source is DROPPED (`null NOT IN (...)` is never true). Without the
+    * explicit isNotNull filter, `null === x` never matches so left_anti
+    * would silently KEEP null-source rows — a divergence from the
+    * documented contract that only shows up when null sources appear.
     */
   def withoutSources(df: DataFrame, sourceCol: Column,
       blocked: DataFrame): DataFrame = {
     val b = blocked.select(blocked.columns.head)
       .withColumnRenamed(blocked.columns.head, "__blocked_src").distinct()
-    df.join(broadcast(b), sourceCol === col("__blocked_src"), "left_anti")
+    df.filter(sourceCol.isNotNull)
+      .join(broadcast(b), sourceCol === col("__blocked_src"), "left_anti")
   }
 
   /** Contiguous token-budget sharding: documents in `orderCol` order (a

@@ -31,17 +31,26 @@ object Quantize {
     when(m === 0.0, lit(1.0)).otherwise(lit(127.0) / m)
   }
 
-  /** Quantize an Array[Float] column to Array[Byte]. */
-  def int8(vec: Column): Column =
-    transform(vec, v => floor(v.cast("double") * scaleOf(vec) + 0.5).cast("byte"))
+  /** Quantize an Array[Float] column to Array[Byte] with a precomputed
+    * per-row scale column. The scale MUST be computed once outside the
+    * lambda (as [[quantized]] does): `scaleOf` is an array_max scan, and
+    * re-deriving it per element inside the transform would make
+    * quantization O(d²) per row — in interpreted HOF evaluation, exactly
+    * the cost this package elsewhere avoids.
+    */
+  def int8(vec: Column, scale: Column): Column =
+    transform(vec, v => floor(v.cast("double") * scale + 0.5).cast("byte"))
 
   /** Corpus-side frame: (id, qvec, scale, + the original vector for exact
-    * re-ranking).
+    * re-ranking). Scale is materialized as its own column first so the
+    * per-element quantization does a single multiply.
     */
   def quantized(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      int8(col(vecCol)).as("qvec"), scaleOf(col(vecCol)).as("scale"))
+        scaleOf(col(vecCol)).as("scale"))
+      .select(col("id"), col("vec"),
+        int8(col("vec"), col("scale")).as("qvec"), col("scale"))
 
   /** Two-stage ANN: rank candidates by QUANTIZED cosine (integer dot over
     * byte arrays — the cheap pass that would scan the 4×-compressed corpus

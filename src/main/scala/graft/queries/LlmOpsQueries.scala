@@ -610,9 +610,13 @@ object LlmOpsQueries extends QueryModule {
       s"WITH h AS (SELECT ${PortableHash.duckHash52("CAST(user_id AS VARCHAR)")} AS h FROM events), " +
         s"perm(j, a, b) AS (SELECT * FROM (VALUES $perms)), " +
         s"sk AS (SELECT j, (a * (h % $p) + b) % $p % $w AS bucket, count(*) AS cnt FROM h CROSS JOIN perm GROUP BY 1, 2), " +
-        "ip AS (SELECT a.j, sum(a.cnt * b.cnt) AS ip FROM sk a JOIN sk b ON a.j = b.j AND a.bucket = b.bucket GROUP BY 1), " +
+        // per-j inner product over the j universe, missing j → 0 (a row
+        // whose sketches share no occupied bucket estimates 0, the
+        // tightest bound — it must reach the min, mirroring
+        // CountMin.joinSizeEstimate).
+        "ip AS (SELECT js.j, coalesce(sum(a.cnt * b.cnt), 0) AS ip FROM (SELECT DISTINCT j FROM sk) js LEFT JOIN sk a ON a.j = js.j LEFT JOIN sk b ON b.j = a.j AND b.bucket = a.bucket GROUP BY 1), " +
         "ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_join_size FROM (SELECT count(*) AS n FROM events GROUP BY user_id)) " +
-        "SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS est_join_size, ex.exact_join_size FROM ex"
+        "SELECT CAST(coalesce((SELECT min(ip) FROM ip), 0) AS BIGINT) AS est_join_size, ex.exact_join_size FROM ex"
     }) { (s, d) =>
       import graft.functions.CountMin
       val users = Tables.events(s, d).select(col("user_id"))

@@ -198,13 +198,14 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val deduped = Upsert.dedupeLastWriter(
           batch.select(initial.columns.map(col).toSeq: _*), keys, Seq(orderCol))
-        val prev = state
-        state = Upsert.upsertNodes(state, deduped, keys).cache()
-        state.count() // materialize before the next micro-batch mutates lineage
-        // Release the previous micro-batch's cached state AFTER the new one is
-        // materialized (it reads from prev); without this, storage memory
-        // grows by one cached plan per batch forever on a continuous stream.
-        if (prev ne initial) prev.unpersist(blocking = false)
+        // localCheckpoint (not cache+count): it materializes AND truncates
+        // lineage, so an evicted state block can never trigger recomputation
+        // through prior micro-batches' DataFrames (which are no longer
+        // valid once their batch ends). Superseded checkpoint blocks are
+        // released by the ContextCleaner when the old frame is unreachable —
+        // no per-batch unpersist bookkeeping. Same discipline as
+        // Dedup.resolveClusters' iteration.
+        state = Upsert.upsertNodes(state, deduped, keys).localCheckpoint(eager = true)
         apply(state)
       }
   }
@@ -224,17 +225,16 @@ object EventStream {
       initial: DataFrame, apply: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.IncrementalAgg
     var state = initial
-    var first = true
     events.writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prev = state
+        // localCheckpoint truncates lineage per batch (see
+        // incrementalUpsert's comment): eviction of a cached-only state
+        // block would otherwise recompute through prior micro-batch frames.
         state = IncrementalAgg.merge(
-          prev, IncrementalAgg.partials(batch, keys, valCol), keys).cache()
-        state.count() // materialize before the next micro-batch mutates lineage
-        if (!first) prev.unpersist(blocking = false)
-        first = false
+          state, IncrementalAgg.partials(batch, keys, valCol), keys)
+          .localCheckpoint(eager = true)
         apply(state)
       }
   }
