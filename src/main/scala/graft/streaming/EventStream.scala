@@ -239,55 +239,98 @@ object EventStream {
       }
   }
 
-  /** [[incrementalUpsert]] with the state living in a BUCKETED parquet
-    * table instead of a cached in-memory frame — the production shape: the
-    * per-batch upsert join is shuffle-free on the state side (the table is
-    * bucketed on the keys; only the micro-batch — tiny by definition —
-    * shuffles to match), and a restart resumes from the last committed
-    * table instead of replaying.
+  /** [[incrementalUpsert]] with the state living in a PARTITIONED +
+    * BUCKETED parquet table instead of a cached in-memory frame — the
+    * production shape, with per-batch I/O proportional to the DELTA, not
+    * the state:
     *
-    * The state alternates between `<tablePrefix>_a` and `<tablePrefix>_b`
-    * (parquet can't overwrite a table mid-read; the A/B flip is the
-    * standard swap). Keys must be NON-NULL: the bucketed join uses plain
-    * key equality so Catalyst can match the bucket partitioning — see
-    * `Upsert.upsertNodes(nullSafeKeys = false)`. Each batch rewrites the
-    * state table (the price of parquet immutability); size `buckets` so a
-    * bucket ≈ one task at target scale.
+    *   - `bucketBy(buckets, keys)` makes the per-batch upsert join
+    *     shuffle-free on the state side (only the micro-batch — tiny by
+    *     definition — shuffles to match the bucket layout);
+    *   - `partitionBy(__bucket)` with `__bucket = pmod(xxhash64(keys),
+    *     partitions)` makes the per-batch WRITE prunable: the micro-batch's
+    *     touched partition ids are a tiny distinct (≤ `partitions` values),
+    *     only those partitions are read for the upsert (partition pruning)
+    *     and only those are rewritten (dynamic partition overwrite).
+    *     Untouched partitions' files are never opened and never rewritten —
+    *     at a 100 TB state table a micro-batch touching 1% of partitions
+    *     reads and writes ~1 TB, not 100 TB. Size `partitions` so one
+    *     partition ≈ the I/O unit you accept re-writing per touched key
+    *     group (e.g. 4096 partitions at 100 TB ≈ 25 GB each); `buckets`
+    *     splits each partition into parallel tasks.
     *
-    * `apply` receives (post-upsert state, its upsert plan) — the plan ride-
-    * along lets tests assert the no-Exchange property on the real join.
+    * Bucketed scans group same-bucket files ACROSS selected partitions, so
+    * the scan's HashPartitioning(keys, buckets) — and with it the
+    * no-Exchange join — survives partition pruning.
+    *
+    * The upserted slice is `localCheckpoint`ed before the overwrite: the
+    * write must not re-scan the very partitions it is replacing, and the
+    * checkpoint also cuts per-batch lineage. Keys must be NON-NULL: the
+    * bucketed join uses plain key equality so Catalyst can match the
+    * bucket partitioning — see `Upsert.upsertNodes(nullSafeKeys = false)`.
+    * A restart resumes from the committed table instead of replaying.
+    *
+    * `apply` receives (post-upsert state, the upsert's plan) — the plan
+    * ride-along lets tests assert the no-Exchange property on the real
+    * join.
     */
   def incrementalUpsertBucketed(
       events: DataFrame, keys: Seq[String], orderCol: String,
       initial: DataFrame, tablePrefix: String, buckets: Int = 8,
+      partitions: Int = 16,
       apply: (DataFrame, org.apache.spark.sql.execution.QueryExecution) => Unit =
         (_, _) => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = initial.sparkSession
     val cols = initial.columns.toSeq
-    def writeState(df: DataFrame, table: String): Unit = {
-      df.write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .saveAsTable(table)
-      // the A/B flip re-reads each table two batches after overwriting it;
-      // without an explicit refresh the catalog serves the PREVIOUS file
-      // listing and the scan dies on the deleted part files.
-      spark.catalog.refreshTable(table)
-    }
-    writeState(initial, s"${tablePrefix}_a")
-    var cur = "a"
+    val table = s"${tablePrefix}_state"
+    def bucketId(df: DataFrame): DataFrame =
+      df.withColumn("__bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(partitions.toLong)).cast("int"))
+    bucketId(initial.select(cols.map(col): _*))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("__bucket")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+    val stateCols = spark.table(table).columns.toSeq // data cols, __bucket last
     events.writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val state = spark.table(s"${tablePrefix}_$cur")
-        val deduped = Upsert.dedupeLastWriter(
-          batch.select(cols.map(col): _*), keys, Seq(orderCol))
-        val next = Upsert.upsertNodes(state, deduped, keys, nullSafeKeys = false)
-        val nextName = if (cur == "a") "b" else "a"
-        writeState(next, s"${tablePrefix}_$nextName")
-        cur = nextName
-        apply(spark.table(s"${tablePrefix}_$cur"), next.queryExecution)
+        val deduped = bucketId(Upsert.dedupeLastWriter(
+          batch.select(cols.map(col): _*), keys, Seq(orderCol)))
+          .select(stateCols.map(col): _*)
+          .localCheckpoint(eager = true) // reused: touched-bucket scan + upsert
+        // tiny by construction: ≤ `partitions` distinct ids, from the
+        // already-materialized micro-batch — not a data collect.
+        val touched = deduped.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val slice = spark.table(table)
+          .where(col("__bucket").isin(touched.map(Int.box): _*))
+        val next = Upsert.upsertNodes(slice, deduped, keys, nullSafeKeys = false)
+        val plan = next.queryExecution
+        // materialize BEFORE the overwrite: the insert must not re-scan the
+        // partitions it is about to replace.
+        // dynamic mode: only partitions PRESENT in `materialized` — exactly
+        // the touched ids (upsert never drops a slice row) — are replaced.
+        // The conf must be set on the session that OWNS the written frame:
+        // foreachBatch executes on a CLONED session whose conf snapshot
+        // predates any set() on the outer session, and insertInto ignores
+        // the per-write partitionOverwriteMode option (verified empirically
+        // — a static overwrite here silently drops every untouched
+        // partition, i.e. loses state).
+        val materialized = next.localCheckpoint(eager = true)
+        val writeSession = materialized.sparkSession
+        val prevMode = writeSession.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          writeSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          materialized.select(stateCols.map(col): _*)
+            .write.mode("overwrite").insertInto(table)
+        } finally {
+          writeSession.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        }
+        spark.catalog.refreshTable(table)
+        apply(spark.table(table), plan)
       }
   }
 }

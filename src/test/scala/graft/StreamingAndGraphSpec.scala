@@ -88,7 +88,7 @@ class StreamingAndGraphSpec extends SparkTestBase {
       val ckpt = java.nio.file.Files.createTempDirectory("inc_bkt_ckpt").toString
       val writer = EventStream.incrementalUpsertBucketed(streamDf, Seq("k"), "seq",
         initial, "inc_bkt_test", buckets = 4,
-        (st, qe) => { last = st; plans ::= qe.executedPlan.toString })
+        apply = (st, qe) => { last = st; plans ::= qe.executedPlan.toString })
         .option("checkpointLocation", ckpt)
       // AvailableNow + checkpoint = the production incremental-batch shape:
       // each run picks up only the data added since the last one.
@@ -114,8 +114,78 @@ class StreamingAndGraphSpec extends SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
-      spark.sql("DROP TABLE IF EXISTS inc_bkt_test_a")
-      spark.sql("DROP TABLE IF EXISTS inc_bkt_test_b")
+      spark.sql("DROP TABLE IF EXISTS inc_bkt_test_state")
+    }
+  }
+
+  test("bucketed incremental upsert rewrites ONLY the touched partitions (O(delta) writes)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val partitions = 8
+    // derive each key's partition id with the SAME expression the operator
+    // uses — never hardcode hash values.
+    def bucketOf(k: Long): Int = Seq(k).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(partitions.toLong)).cast("int"))
+      .collect().head.getInt(0)
+    // two keys in DIFFERENT partitions: batch 2 updates only kB, so kA's
+    // partition must come through byte-identical.
+    val kA = 1L
+    val kB = (2L to 64L).find(bucketOf(_) != bucketOf(kA)).get
+    try {
+      val mem = MemoryStream[(Long, String, Long)]
+      val streamDf = mem.toDF()
+        .select(col("_1").as("k"), col("_2").as("v"), col("_3").as("seq"))
+      val initial = Seq((kA, "initA", 0L), (kB, "initB", 0L)).toDF("k", "v", "seq")
+      var last: org.apache.spark.sql.DataFrame = null
+      val ckpt = java.nio.file.Files.createTempDirectory("inc_prune_ckpt").toString
+      val writer = EventStream.incrementalUpsertBucketed(streamDf, Seq("k"), "seq",
+        initial, "inc_prune_test", buckets = 2, partitions = partitions,
+        apply = (st, _) => last = st)
+        .option("checkpointLocation", ckpt)
+      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+
+      // data-file fingerprints per partition directory: path → content hash.
+      val loc = java.nio.file.Paths.get(java.net.URI.create(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("inc_prune_test_state"))
+          .location.toString))
+      def fingerprint(): Map[String, Map[String, String]] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.startsWith("part-"))
+          .toList.groupBy(_.getParent.getFileName.toString)
+          .map { case (dir, files) =>
+            dir -> files.map { f =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              f.toString -> md.digest(java.nio.file.Files.readAllBytes(f))
+                .map("%02x".format(_)).mkString
+            }.toMap
+          }
+      }
+
+      mem.addData((kA, "x", 1L), (kB, "y", 2L)); runOnce()
+      val before = fingerprint()
+      val dirA = s"__bucket=${bucketOf(kA)}"
+      val dirB = s"__bucket=${bucketOf(kB)}"
+      assert(before.contains(dirA) && before.contains(dirB))
+
+      mem.addData((kB, "z", 3L)); runOnce() // touches ONLY kB's partition
+      val after = fingerprint()
+      // untouched partition: same files, same bytes — never rewritten.
+      assert(after(dirA) == before(dirA),
+        s"untouched partition $dirA was rewritten:\nbefore=${before(dirA)}\nafter=${after(dirA)}")
+      // touched partition: rewritten (file set or content differs).
+      assert(after(dirB) != before(dirB), s"touched partition $dirB was not rewritten")
+      // and per-batch write volume = the touched partition only.
+      assert((after.keySet - dirB).forall(d => after(d) == before(d)),
+        "a partition outside the touched set was rewritten")
+      // convergence: the table equals the batch-upsert answer.
+      val state = last.select("k", "v").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(state == Seq((kA, "x"), (kB, "z")).sortBy(_._1))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_prune_test_state")
     }
   }
 
