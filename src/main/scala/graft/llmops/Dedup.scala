@@ -324,6 +324,72 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Exact-substring dedup (duplicated-span removal, the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" modality):
+    * find maximal VERBATIM token spans of ≥ `minTokens` shared between two
+    * distinct documents — the memorization driver that whole-document
+    * MinHash/SimHash miss (a 300-token span shared by two otherwise
+    * different pages).
+    *
+    * Shingle-seed + diagonal-extend, never all-pairs:
+    *  1. positional width-`width` token shingles, fingerprinted with the
+    *     oracle-portable 52-bit hash (positions KEPT — unlike the Jaccard
+    *     path's distinct shingle sets, span recovery needs occurrences);
+    *  2. seed matches = fingerprint equi-join across distinct docs
+    *     (doc_a < doc_b) — the only join, and it is equi on the hash;
+    *  3. a shared span of L tokens yields L−width+1 seeds consecutive
+    *     along the diagonal pa−pb, so grouping by (a, b, diagonal) and
+    *     splitting runs where pa jumps (gaps-and-islands: island =
+    *     pa − row_number) merges seeds into MAXIMAL spans:
+    *     span_tokens = max(pa) − min(pa) + width.
+    *
+    * Ubiquitous fingerprints (site boilerplate — license headers,
+    * navigation strings) are dropped before the seed join when they occur
+    * more than `maxFpFreq` times: a fingerprint occurring f times seeds
+    * O(f²) pairs, the quadratic hot key at 100 TB. The cap is part of the
+    * operator's SEMANTICS (mirrored verbatim by the DuckDB oracle), not a
+    * silent truncation; spans whose every shingle is that common are
+    * boilerplate, not memorization risk.
+    *
+    * Returns (doc_a, doc_b, a_start, b_start, span_tokens), starts
+    * 0-based in token positions. Spans shorter than `width` are invisible
+    * by construction (standard for shingle seeding).
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minTokens: Int = 12, maxFpFreq: Int = 128): DataFrame = {
+    require(width >= 2, "width must be at least 2")
+    require(minTokens >= width, "minTokens below width is unobservable")
+    require(maxFpFreq >= 2, "maxFpFreq < 2 would drop every matchable seed")
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val wTok = Window.partitionBy("doc").orderBy("pos")
+    val leads = (1 until width).map(k => lead(col("tok"), k).over(wTok))
+    val withLeads = toks.select(col("doc") +: col("pos") +: col("tok") +:
+      leads.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }: _*)
+    val fps = withLeads
+      .filter(col(s"_t${width - 2}").isNotNull)
+      .select(col("doc"), col("pos"), PortableHash.hash52(concat_ws(" ",
+        col("tok") +: (0 until width - 1).map(i => col(s"_t$i")): _*)).as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("_f"))
+      .filter(col("_f") > maxFpFreq).select("fp")
+    val cool = fps.join(hot, Seq("fp"), "left_anti")
+    val seeds = cool.select(col("fp"), col("doc").as("doc_a"), col("pos").as("pa"))
+      .join(cool.select(col("fp"), col("doc").as("doc_b"), col("pos").as("pb")),
+        Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+    val wDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    seeds
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(wDiag))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (max(col("pa")) - min(col("pa")) + width).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start").cast("long").as("a_start"),
+        col("b_start").cast("long").as("b_start"),
+        col("span_tokens").cast("long").as("span_tokens"))
+  }
+
   /** Resolve near-dup pairs into clusters: connected components over the
     * pair graph by iterative min-label propagation, entirely in DataFrame
     * joins. Returns one row per vertex appearing in any pair:

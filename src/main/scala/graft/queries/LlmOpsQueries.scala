@@ -267,6 +267,30 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // exact-substring dedup (Lee et al. duplicated-span removal): maximal
+    // verbatim token spans >= 12 shared across distinct docs, from width-8
+    // shingle-fingerprint seeds merged along diagonals. The oracle states
+    // the same seed/diagonal/islands definition with the portable hash;
+    // DuckDB positions are 1-based, hence the -1 on the starts.
+    q("q_x_dedup_substring", {
+      val fp = graft.llmops.PortableHash.duckHash52(
+        "array_to_string(list_slice(t.toks, s.p, s.p + 7), ' ')")
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p FROM t WHERE len(toks) >= 8), " +
+        s"f0 AS (SELECT s.doc_id, s.p, $fp AS fp FROM sh s JOIN t ON t.doc_id = s.doc_id), " +
+        "cool AS (SELECT * FROM f0 WHERE fp IN (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128)), " +
+        "seeds AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id), " +
+        "runs AS (SELECT da, db, pa - pb AS diag, pa, pb, pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl FROM seeds) " +
+        "SELECT da AS doc_a, db AS doc_b, CAST(min(pa) - 1 AS BIGINT) AS a_start, " +
+        "CAST(min(pb) - 1 AS BIGINT) AS b_start, CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens " +
+        "FROM runs GROUP BY da, db, diag, isl HAVING max(pa) - min(pa) + 8 >= 12 " +
+        "ORDER BY doc_a, doc_b, a_start, b_start"
+    }) { (s, d) =>
+      Dedup.sharedSpans(Tables.documents(s, d), "doc_id", "text",
+        width = 8, minTokens = 12, maxFpFreq = 128)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    },
+
     // brute-force cosine top-k (queries = vec_id < 5, k = 5)
     q("q_x_embed_cosine_topk",
       "WITH q AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS qv FROM embeddings WHERE vec_id < 5), c AS (SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS cv FROM embeddings), dots AS (SELECT qid, cid, sum(qv * cv) AS dot, sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn FROM q JOIN c USING (i) GROUP BY qid, cid), sims AS (SELECT qid, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM dots WHERE qid <> cid) SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= 5 ORDER BY qid, rn") { (s, d) =>

@@ -211,6 +211,34 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("exact-substring dedup recovers a planted 300-token shared span (maximal, exact offsets)") {
+    import spark.implicits._
+    val shared = (0 until 300).map(i => s"w$i")
+    val doc1 = ((0 until 50).map(i => s"a$i") ++ shared ++ (0 until 5).map(i => s"z$i")).mkString(" ")
+    val doc2 = ((0 until 10).map(i => s"b$i") ++ shared ++ (0 until 7).map(i => s"y$i")).mkString(" ")
+    val doc3 = (0 until 100).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(df, "doc_id", "text", width = 8, minTokens = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ONE maximal span — not the 293 seed fragments — at the exact offsets.
+    assert(spans.toSeq == Seq((1L, 2L, 50L, 10L, 300L)))
+  }
+
+  test("substring dedup splits runs at diagonal gaps; spans below width stay invisible") {
+    import spark.implicits._
+    val s1 = (0 until 20).map(i => s"s$i")
+    val s2 = (0 until 20).map(i => s"u$i")
+    val tiny = (0 until 5).map(i => s"t$i") // < width: seeds can't exist
+    val doc1 = (s1 ++ (0 until 30).map(i => s"a$i") ++ s2 ++ tiny).mkString(" ")
+    val doc2 = (s1 ++ (0 until 11).map(i => s"b$i") ++ s2 ++
+      (0 until 3).map(i => s"c$i") ++ tiny).mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(df, "doc_id", "text", width = 8, minTokens = 8)
+      .orderBy("a_start").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((0L, 0L, 20L), (50L, 31L, 20L)))
+  }
+
   test("quality metrics sane on a known string") {
     import spark.implicits._
     val df = Seq((1L, "The quick, brown fox!")).toDF("doc_id", "text")
