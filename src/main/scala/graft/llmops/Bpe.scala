@@ -1,0 +1,136 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained byte-pair encoding: learn the top-K merge table from the
+  * corpus, then tokenize by replaying the merges — the learned-subword
+  * upgrade over the fixed heuristic in
+  * [[TextAnalysis]] (`bpeishTokens`), which this complements, not
+  * replaces.
+  *
+  * Training runs on the WORD-FREQUENCY table, not the corpus: BPE
+  * statistics are invariant to where a word occurs, so the classic
+  * formulation (Sennrich et al., "Neural Machine Translation of Rare
+  * Words with Subword Units") aggregates each distinct word once,
+  * weighted by its count. At 100 TB that table is the corpus'
+  * vocabulary — millions of rows, not billions of documents — and each
+  * of the K rounds is one pair-count groupBy over it plus a windowed
+  * rewrite, K bounded. The argmax pair per round is a 1-row driver
+  * action (the model itself is K rows — bounded by construction, like
+  * the convergence fingerprints in [[Dedup.resolveClusters]]).
+  *
+  * Everything is deterministic — ties break by (pair frequency DESC,
+  * left ASC, right ASC) — and every step is windows + integer
+  * arithmetic, so the full training loop is replayed value-for-value
+  * by the DuckDB oracle (unrolled K rounds; LlmOpsQueries.bpeRoundsSql).
+  *
+  * Greedy left-to-right merge application without recursion (the one
+  * subtle step, shared verbatim with the oracle): mark candidate
+  * positions where (s_i, s_i+1) = (l, r); consecutive candidates can
+  * only occur when l = r (else s_i+1 = r = l is a contradiction), and
+  * greedy consumes a run of them at even offsets from the run start —
+  * so group consecutive candidates into islands (i − running candidate
+  * count) and keep candidates whose offset from the island minimum is
+  * even. Kept positions emit the merged symbol; the position AFTER a
+  * kept one is consumed; everything else passes through.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String, pairFreq: Long)
+
+  /** (word, freq) vocabulary of a corpus — the training input. */
+  def wordVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbolization: one row per (word, position, character).
+    * Explicit substr per index, not split(word, "") — Java's split keeps
+    * a trailing empty string at limit −1, which DuckDB's does not.
+    */
+  def initialSyms(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("freq"),
+      posexplode(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as(Seq("i0", "s")))
+      .select(col("word"), col("freq"), (col("i0") + 1).cast("long").as("i"), col("s"))
+
+  /** The most frequent adjacent symbol pair, deterministic ties. */
+  private def bestPair(syms: DataFrame): Option[(String, String, Long)] = {
+    val w = Window.partitionBy("word").orderBy("i")
+    syms.withColumn("s2", lead(col("s"), 1).over(w))
+      .filter(col("s2").isNotNull)
+      .groupBy("s", "s2").agg(sum("freq").as("pf"))
+      .orderBy(col("pf").desc, col("s").asc, col("s2").asc)
+      .limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** One greedy merge pass of (l, r) over the position table — the
+    * island-parity rewrite described in the object scaladoc.
+    */
+  def mergeRound(syms: DataFrame, l: String, r: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("i")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIsl = Window.partitionBy("word", "isl")
+    syms
+      .withColumn("s2", lead(col("s"), 1).over(w))
+      .withColumn("cand", col("s2").isNotNull && col("s") === lit(l) && col("s2") === lit(r))
+      .withColumn("isl", when(col("cand"),
+        col("i") - sum(when(col("cand"), 1L).otherwise(0L)).over(run)))
+      .withColumn("keep", col("cand") &&
+        (col("i") - min(col("i")).over(wIsl)) % 2 === 0)
+      .withColumn("dropped", coalesce(lag(col("keep"), 1).over(w), lit(false)))
+      .filter(!col("dropped"))
+      .select(col("word"), col("freq"),
+        row_number().over(w).cast("long").as("i"),
+        when(col("keep"), lit(l + r)).otherwise(col("s")).as("s"))
+  }
+
+  /** Learn `k` merges from a (word, freq) vocabulary. Returns the merge
+    * table and the post-merge position table (word, freq, i, s). Stops
+    * early if the vocabulary exhausts (every word a single symbol).
+    */
+  def learnMerges(vocab: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    require(k >= 1)
+    var syms = initialSyms(vocab).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      bestPair(syms) match {
+        case Some((l, r, pf)) =>
+          merges += Merge(rank, l, r, pf)
+          syms = mergeRound(syms, l, r).localCheckpoint(true)
+          rank += 1
+        case None => exhausted = true
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** The learned merge table as a frame: (mrank, lhs, rhs, pair_freq) —
+    * `mrank`/`lhs`/`rhs`, not rank/left/right, which are SQL keywords in
+    * the oracle.
+    */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank.toLong, m.left, m.right, m.pairFreq))
+      .toDF("mrank", "lhs", "rhs", "pair_freq")
+  }
+
+  /** Tokenize a corpus with a learned merge table: per-word subword
+    * counts from the post-merge position table, joined back to the
+    * document word stream — the corpus itself never enters the K-round
+    * rewrite, only the vocabulary does.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      finalSyms: DataFrame): DataFrame = {
+    val perWord = finalSyms.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    df.select(col(idCol).as("doc"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .join(perWord, Seq("word"))
+      .groupBy("doc").agg(sum("n_syms").as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{OracleQuery, QueryModule, Tables}
-import graft.llmops.{Corpus, Dedup, FuzzyMatch, Multimodal, Similarity, TextAnalysis}
+import graft.llmops.{Bpe, Corpus, Dedup, FuzzyMatch, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,37 @@ object LlmOpsQueries extends QueryModule {
 
   private val stopwordSqlList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Merge count for the trained-BPE queries — small enough that the
+    * unrolled oracle stays tractable, large enough that merged symbols
+    * themselves re-merge (multi-character subwords appear).
+    */
+  private val BpeK = 8
+
+  /** Unrolled K-round BPE training as a DuckDB WITH-chain — replays
+    * [[graft.llmops.Bpe.learnMerges]] value-for-value (see Bpe's scaladoc
+    * for the island-parity greedy rewrite shared by both engines). Each
+    * round j: p=pairs, b=argmax pair (deterministic ties), c=candidates,
+    * d=islands of consecutive candidates, e=parity keep, f=consumed-drop,
+    * s(j+1)=rewritten positions. Callers append a final SELECT over s$k
+    * (positions) and/or b0..b{k−1} (the merge table).
+    */
+  private def bpeRoundsSql(k: Int): String = {
+    val base =
+      "v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) GROUP BY 1), " +
+        "s0p AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM v), " +
+        "s0 AS (SELECT word, freq, CAST(i AS BIGINT) AS i, substr(word, i, 1) AS s FROM s0p), "
+    val rounds = (0 until k).map { j =>
+      s"p$j AS (SELECT word, freq, i, s, lead(s) OVER (PARTITION BY word ORDER BY i) AS s2 FROM s$j), " +
+        s"b$j AS (SELECT s AS lhs, s2 AS rhs, CAST(sum(freq) AS BIGINT) AS pf FROM p$j WHERE s2 IS NOT NULL GROUP BY 1, 2 ORDER BY pf DESC, lhs, rhs LIMIT 1), " +
+        s"c$j AS (SELECT p.word, p.freq, p.i, p.s, (p.s2 IS NOT NULL AND p.s = b.lhs AND p.s2 = b.rhs) AS cand, b.lhs AS ml, b.rhs AS mr FROM p$j p CROSS JOIN b$j b), " +
+        s"d$j AS (SELECT *, CASE WHEN cand THEN i - sum(CASE WHEN cand THEN 1 ELSE 0 END) OVER (PARTITION BY word ORDER BY i ROWS UNBOUNDED PRECEDING) END AS isl FROM c$j), " +
+        s"e$j AS (SELECT *, cand AND ((i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0) AS keep FROM d$j), " +
+        s"f$j AS (SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY i), false) AS dropped FROM e$j), " +
+        s"s${j + 1} AS (SELECT word, freq, CAST(row_number() OVER (PARTITION BY word ORDER BY i) AS BIGINT) AS i, CASE WHEN keep THEN ml || mr ELSE s END AS s FROM f$j WHERE NOT dropped)"
+    }.mkString(", ")
+    "WITH " + base + rounds
+  }
 
   /** DuckDB mirror of Dedup.minHashPairs (H = 5 tables, n = 3, dist ≤ 0.3),
     * built from the SAME PortableHash constants as the Spark side — the
@@ -183,6 +214,34 @@ object LlmOpsQueries extends QueryModule {
         "FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id LEFT JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1 ORDER BY doc") { (s, d) =>
       TextAnalysis.ngramRepetition(Tables.documents(s, d), "doc_id", "text", n = 2)
         .orderBy("doc")
+    },
+
+    // trained BPE: the K-round learning loop REPLAYED in DuckDB (unrolled
+    // CTE chain, bpeRoundsSql) — merge table and tokenization both
+    // value-exact, not rows-only.
+    q("q_x_bpe_merges", {
+      val k = BpeK
+      bpeRoundsSql(k) + " " +
+        (0 until k).map(j =>
+          s"SELECT CAST(${j + 1} AS BIGINT) AS mrank, lhs, rhs, pf AS pair_freq FROM b$j")
+          .mkString(" UNION ALL ") +
+        " ORDER BY mrank"
+    }) { (s, d) =>
+      val vocab = Bpe.wordVocab(Tables.documents(s, d), "text")
+      val (merges, _) = Bpe.learnMerges(vocab, BpeK)
+      Bpe.mergeTable(s, merges).orderBy("mrank")
+    },
+    q("q_x_bpe_tokens", {
+      val k = BpeK
+      bpeRoundsSql(k) +
+        s", n AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms FROM s$k GROUP BY 1), " +
+        "dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) " +
+        "SELECT dw.doc_id AS doc, CAST(sum(n.n_syms) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_words FROM dw JOIN n USING (word) GROUP BY 1 ORDER BY doc"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, syms) = Bpe.learnMerges(Bpe.wordVocab(docs, "text"), BpeK)
+      Bpe.tokenCounts(docs, "doc_id", "text", syms).orderBy("doc")
     },
 
     // composite Gopher-style quality gate — every rule an explicit column,
