@@ -381,6 +381,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f1.forall(f => f.byte_len == 0 || f.features.exists(_ != 0f)))
   }
 
+  test("real image decode: synthetic PNG/BMP dimensions and channel means recovered") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int, format: String = "png"): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", png(4, 2, 0xFF0000)),          // pure red 4×2
+      (2L, "image", png(3, 3, 0x808080, "bmp")),   // mid gray 3×3 BMP
+      (3L, "image", "not an image".getBytes("UTF-8")), // corrupt → stub fallback
+      (4L, "text", "plain text stays stubbed".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r.features).toMap
+    // red 4×2: [w, h, meanR, meanG, meanB, meanLuma, lumaStd, aspect]
+    assert(f(1L)(0) == 4f && f(1L)(1) == 2f)
+    assert(f(1L)(2) == 1f && f(1L)(3) == 0f && f(1L)(4) == 0f)
+    assert(math.abs(f(1L)(5) - 0.299f) < 1e-6)   // luma of pure red
+    assert(f(1L)(6) == 0f)                        // constant image: zero std
+    assert(f(1L)(7) == 2f)                        // aspect 4/2
+    // gray BMP 3×3: all channels 128/255
+    assert(f(2L)(0) == 3f && f(2L)(1) == 3f)
+    assert(math.abs(f(2L)(2) - 128f / 255f) < 1e-6)
+    assert(math.abs(f(2L)(4) - 128f / 255f) < 1e-6)
+    // corrupt image payload and text kind both take the stub path.
+    assert(f(3L).sameElements(Multimodal.decodeStub("not an image".getBytes("UTF-8"))))
+    assert(f(4L).sameElements(Multimodal.decodeStub("plain text stays stubbed".getBytes("UTF-8"))))
+  }
+
   test("int8 quantization: reconstruction error bounded by half a quantization step") {
     import graft.llmops.Quantize
     val z = Quantize.quantized(emb)
