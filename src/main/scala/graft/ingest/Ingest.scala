@@ -151,7 +151,26 @@ object Ingest {
       stmtPartitions(wb("vPartition"), vcNames, vmSet),
       stmtSnapshots(wb("vSnapshot"), vcNames, vmSet))
 
-    assemble(parts.map(_._1).reduce(_ unionByName _), parts.map(_._2).reduce(_ unionByName _))
+    // Materialize the statement union ONCE (eager localCheckpoint) before
+    // assemble. Three effects, all measured on the q_m5 full-refresh chain:
+    // (1) the union of ~50 per-statement frames is a several-hundred-node
+    // logical plan, and every one of assemble's chained ops — plus every
+    // downstream consumer of the batch (Refresh reads batch.nodes at three
+    // points; q_m5 at three more) — re-analyzed or re-executed that whole
+    // DAG, so driver planning dominated the refresh (~5 s warm at sf0.1,
+    // > 2x the actual execution); with the barrier the tree collapses to a
+    // leaf. (2) The statements execute exactly once instead of once per
+    // consumer. (3) Lineage is cut, the same discipline Refresh.materialize
+    // already mandates for chained refreshes. The cost — eager execution of
+    // the batch at run() time — is the parquet-write barrier production
+    // refreshes pay anyway (see Refresh.write).
+    // Positional union, not unionByName: every builder emits the fixed
+    // (id, label, tenant, key, props, _ord) / (src, dst, relType, tenant,
+    // props, _ord) order via Graph.nodesFrom*/edgesFrom*, and positional
+    // union skips the per-call by-name resolution pass (26 calls here).
+    assemble(
+      parts.map(_._1).reduce(_ union _).localCheckpoint(true),
+      parts.map(_._2).reduce(_ union _).localCheckpoint(true))
   }
 
   /** Merge node/edge contributions: props are last-writer-wins per
