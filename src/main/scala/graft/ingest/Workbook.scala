@@ -151,11 +151,24 @@ object Workbook {
   /** CSV variant — `{header:true}` exactly like the reference's loader;
     * all columns arrive as nullable strings (inferSchema off by design:
     * the reference's typing is schema-on-read with explicit toInt casts).
+    *
+    * COMPAT-ONLY, not the production refresh path (PlanSpec pins both
+    * sides of this contract). CSVFileFormat does not expose
+    * `_metadata.row_index` in Spark 4.1 (only parquet overrides
+    * metadataSchemaFields with ROW_INDEX_FIELD), and no codegen
+    * replacement exists for a SPLITTABLE format: a split's starting row
+    * number cannot be derived declaratively (it needs the row counts of
+    * every earlier split of the same file — exactly what row_index
+    * provides for parquet and what zipWithIndex's extra job computes
+    * here). So this path keeps the RDD fallback: deterministic for the
+    * one-file-per-sheet workbook layout (splits of a single CSV file
+    * enumerate in offset order), but it forces an extra job and drops
+    * the scan out of WholeStageCodegen. A 100 TB ingest must land
+    * parquet — or any row-index-bearing format — and take
+    * [[loadParquetDir]]; a CSV-sourced bulk ingest would regress to the
+    * r3 zipWithIndex bottleneck by construction.
     */
   def loadCsvDir(spark: SparkSession, dir: String): Sheets =
-    // CSVFileFormat does not expose `_metadata.row_index` in Spark 4.1
-    // (only parquet overrides metadataSchemaFields with ROW_INDEX_FIELD),
-    // so the CSV compat path keeps the RDD row-number fallback.
     loadDir(spark, dir, "csv",
       p => spark.read.option("header", "true").option("inferSchema", "false").csv(p),
       codegenRowNo = false)

@@ -152,6 +152,28 @@ class PlanSpec extends SparkTestBase {
     assert(rownos == (0L until 100L).toSeq, "expected dense 0-based _rowno")
   }
 
+  test("CSV workbook path is compat-only: documented RDD fallback, file-order _rowno") {
+    import graft.ingest.Workbook
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val lines = "VI SDK UUID,VI SDK Server,Name" +:
+      (0 until 50).map(i => s"u$i,vc$i,c$i")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/vCluster.csv"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val sheet = Workbook.loadCsvDir(spark, tmp)("vCluster")
+    // Spark 4.1 exposes _metadata.row_index for parquet only, so CSV takes
+    // the RDD zipWithIndex fallback BY CONTRACT (Workbook.loadCsvDir
+    // scaladoc pins it as compat-only, never the production refresh path —
+    // which loadParquetDir's codegen assertion above covers).
+    val p = plan(sheet)
+    assert(p.contains("ExistingRDD") || p.contains("Scan rdd"),
+      s"CSV compat path is expected to take the documented RDD fallback:\n$p")
+    // single-file layout: _rowno follows file line order deterministically.
+    val got = sheet.select("Name", "_rowno").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((0 until 50).forall(i => got(s"c$i") == i.toLong),
+      s"CSV _rowno must follow file line order, got $got")
+  }
+
   test("corpus sampling is a pushable narrow filter (no shuffle, no UDF)") {
     val df = Tables.documents(spark, dir)
       .filter(graft.llmops.Corpus.hashSample(col("doc_id"), 10))
