@@ -1,7 +1,9 @@
 package graft.functions
 
 import graft.llmops.PortableHash
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch as a pure-DataFrame pipeline — the mergeable frequency
@@ -19,9 +21,84 @@ import org.apache.spark.sql.functions._
   * under): est(x) = min_j cell(j, h_j(x)), the classic CM guarantee
   * (Cormode & Muthukrishnan, "An improved data stream summary").
   */
+/** CMS as a PER-KEY fixed array column (d·w longs, row j at offsets
+  * [j·w, (j+1)·w)) — the state-column form of the (j, bucket, cnt) cell
+  * table, sized for one-sketch-per-group use (pick a small w; the default
+  * 4×64 is 2 KiB per key). Built from pre-hashed values; zero state is the
+  * empty array so untouched groups cost nothing. Addition is element-wise,
+  * so `merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)` holds EXACTLY (counter
+  * sums commute — the merge law IncrementalAggSpec asserts).
+  */
+class CountMinArrayAgg(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(d >= 1 && d <= PortableHash.MinHashA.length && w >= 1)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf0: Array[Long], h: Long): Array[Long] = {
+    val buf = if (buf0.isEmpty) new Array[Long](d * w) else buf0
+    var j = 0
+    while (j < d) {
+      // identical arithmetic to CountMin.cells / the DuckDB oracle:
+      // (a_j · (h mod P) + b_j) mod P mod w, all nonneg so % is safe.
+      val p = ((PortableHash.MinHashA(j) * (h % PortableHash.P) +
+        PortableHash.MinHashB(j)) % PortableHash.P % w).toInt
+      buf(j * w + p) += 1
+      j += 1
+    }
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = CountMin.addCells(a, b)
+  override def finish(buf: Array[Long]): Array[Long] =
+    if (buf.isEmpty) new Array[Long](d * w) else buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Merge ALREADY-BUILT per-key CMS arrays (element-wise add). */
+class CountMinMergeAgg(d: Int, w: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] =
+    CountMin.addCells(buf, if (in == null) Array.emptyLongArray else in)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = CountMin.addCells(a, b)
+  override def finish(buf: Array[Long]): Array[Long] =
+    if (buf.isEmpty) new Array[Long](d * w) else buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 object CountMin {
 
   require(PortableHash.MinHashA.length >= 4)
+
+  private[functions] def addCells(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length, s"CMS size mismatch: ${a.length} vs ${b.length}")
+      val out = new Array[Long](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+      out
+    }
+
+  /** Per-key CMS array over `c`'s values (see [[CountMinArrayAgg]]). */
+  def sketchArray(c: Column, d: Int = 4, w: Int = 64): Column =
+    udaf(new CountMinArrayAgg(d, w), org.apache.spark.sql.Encoders.scalaLong)
+      .apply(PortableHash.hash52(c.cast("string")))
+
+  /** Merge a column of per-key CMS arrays built with the same (d, w). */
+  def mergeArray(c: Column, d: Int = 4, w: Int = 64): Column =
+    udaf(new CountMinMergeAgg(d, w), ExpressionEncoder[Array[Long]]()).apply(c)
+
+  /** Point estimate for `key` from a per-key CMS array: min over the d
+    * probed cells — codegen'd element_at over the state column, the same
+    * never-undercount bound as [[estimate]]. element_at is 1-based.
+    */
+  def estimateArray(cms: Column, key: Column, d: Int = 4, w: Int = 64): Column = {
+    val h = PortableHash.hash52(key.cast("string"))
+    val probes = (0 until d).map { j =>
+      element_at(cms, ((PortableHash.minhashPerm(h, j) % w) + j * w + 1).cast("int"))
+    }
+    least(probes: _*)
+  }
 
   private def cells(key: Column, d: Int, w: Int): Column = {
     val h = PortableHash.hash52(key.cast("string"))

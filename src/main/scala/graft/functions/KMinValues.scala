@@ -62,6 +62,24 @@ class KMinValuesAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
+/** Merge ALREADY-BUILT KMV sketch columns (one array per input row) —
+  * the aggregate that lets a KMV state column ride the IncrementalAgg
+  * delta-fold path: reduce and merge are both the sorted-k-min merge, so
+  * `merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)` exactly (min-k of a
+  * set is order- and partition-invariant — spec-asserted as a merge
+  * law in IncrementalAggSpec).
+  */
+class KMinValuesMergeAgg(k: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  private val inner = new KMinValuesAgg(k)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] =
+    inner.merge(buf, if (in == null) Array.emptyLongArray else in)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 object KMinValues {
 
   /** The KMV sketch of `c`'s distinct values as an aggregate column:
@@ -70,6 +88,10 @@ object KMinValues {
   def sketch(c: Column, k: Int = 256): Column =
     udaf(new KMinValuesAgg(k), org.apache.spark.sql.Encoders.scalaLong)
       .apply(PortableHash.hash52(c.cast("string")))
+
+  /** Merge a column of KMV sketches built with the same k. */
+  def mergeSketch(c: Column, k: Int = 256): Column =
+    udaf(new KMinValuesMergeAgg(k), ExpressionEncoder[Array[Long]]()).apply(c)
 
   /** Distinct-count estimate from a sketch column: exact below k, else
     * (k−1) · 2⁵² / kth-min. The arithmetic shape mirrors the SQL oracle

@@ -121,6 +121,46 @@ object AdvancedQueries extends QueryModule {
           col("min").as("min_cents"), col("max").as("max_cents"))
         .orderBy("o_custkey")
     },
+    // incremental SKETCH state: KMV (distinct) and per-key CMS (frequency)
+    // ride the same delta-fold path as the scalar partials — the fold is
+    // provably ≡ from-scratch (IncrementalAggSpec merge law), so the
+    // oracle states the from-scratch definition with the portable hash.
+    q("q_a12_sketch_state", {
+      import graft.llmops.PortableHash
+      val (p, w, k) = (PortableHash.P, 64, 64)
+      val hp = PortableHash.duckHash52("CAST(l_partkey AS VARCHAR)")
+      val probeH = PortableHash.duckHash52("CAST(1 AS VARCHAR)")
+      val perms = (0 until 4)
+        .map(j => s"($j, ${PortableHash.MinHashA(j)}, ${PortableHash.MinHashB(j)})")
+        .mkString(", ")
+      s"WITH h AS (SELECT l_returnflag AS flag, $hp AS h FROM lineitem), " +
+        "hs AS (SELECT DISTINCT flag, h FROM h), " +
+        "r AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM hs), " +
+        s"agg AS (SELECT flag, count(CASE WHEN rn <= $k THEN 1 END) AS nk, max(CASE WHEN rn = $k THEN h END) AS kth FROM r GROUP BY 1), " +
+        s"perm(j, a, b) AS (SELECT * FROM (VALUES $perms)), " +
+        s"cells AS (SELECT flag, j, (a * (h % $p) + b) % $p % $w AS bucket, count(*) AS cnt FROM h CROSS JOIN perm GROUP BY 1, 2, 3), " +
+        s"probe AS (SELECT j, (a * ($probeH % $p) + b) % $p % $w AS bucket FROM perm), " +
+        "est AS (SELECT f.flag, min(coalesce(c2.cnt, 0)) AS ef FROM (SELECT DISTINCT flag FROM cells) f CROSS JOIN probe pr LEFT JOIN cells c2 ON c2.flag = f.flag AND c2.j = pr.j AND c2.bucket = pr.bucket GROUP BY 1), " +
+        "cnts AS (SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1) " +
+        s"SELECT cnts.flag, cnts.cnt, round(CASE WHEN nk < $k THEN CAST(nk AS DOUBLE) ELSE CAST(${k - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / kth END, 4) AS est_distinct, " +
+        "CAST(est.ef AS BIGINT) AS est_freq_p1 " +
+        "FROM cnts JOIN agg ON agg.flag = cnts.flag JOIN est ON est.flag = cnts.flag ORDER BY 1"
+    }) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      import graft.functions.{CountMin, KMinValues}
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_partkey"), col("l_orderkey"))
+      val hist = li.filter(col("l_orderkey") % 3 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 3 === 0)
+      IncrementalAgg.mergeWithSketches(
+          IncrementalAgg.partialsWithSketches(hist, Seq("flag"), "l_partkey", 64, 4, 64),
+          IncrementalAgg.partialsWithSketches(delta, Seq("flag"), "l_partkey", 64, 4, 64),
+          Seq("flag"), 64, 4, 64)
+        .select(col("flag"), col("cnt"),
+          round(KMinValues.estimate(col("kmv"), 64), 4).as("est_distinct"),
+          CountMin.estimateArray(col("cms"), lit(1L), 4, 64).as("est_freq_p1"))
+        .orderBy("flag")
+    },
     // global top-k by value with deterministic ties (Q-W7): Spark plans
     // ORDER BY + LIMIT as TakeOrderedAndProject — per-partition top-k then
     // a k-row merge on the driver, never a global sort.

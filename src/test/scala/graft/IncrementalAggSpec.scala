@@ -41,4 +41,53 @@ class IncrementalAggSpec extends SparkTestBase {
       IncrementalAgg.partials(b, Seq("o_custkey"), "v"), Seq("o_custkey")))
     assert(m == Seq((1L, 1L, 10L, 10L, 10L), (2L, 2L, 12L, 5L, 7L), (3L, 1L, 1L, 1L, 1L)))
   }
+
+  private def canonSketch(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, Seq[Long], Seq[Long])] =
+    df.select(col("o_custkey").cast("long"), col("cnt"), col("kmv"), col("cms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toSeq, r.getSeq[Long](3).toSeq))
+      .sortBy(_._1).toSeq
+
+  test("sketch merge law: merge(partials(A), partials(B)) ≡ partials(A ∪ B) bit-for-bit") {
+    // small k/w so the KMV estimator branch AND bucket collisions both
+    // occur; the law must hold as ARRAY EQUALITY, not estimate-tolerance.
+    val (k, d, w) = (16, 4, 32)
+    val o = Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val full = canonSketch(
+      IncrementalAgg.partialsWithSketches(o, Seq("o_custkey"), "cents", k, d, w))
+    val parts = (0 until 3).map(i =>
+      IncrementalAgg.partialsWithSketches(o.filter(col("o_orderkey") % 3 === i),
+        Seq("o_custkey"), "cents", k, d, w))
+    val leftFold = canonSketch(IncrementalAgg.mergeWithSketches(
+      IncrementalAgg.mergeWithSketches(parts(0), parts(1), Seq("o_custkey"), k, d, w),
+      parts(2), Seq("o_custkey"), k, d, w))
+    val otherOrder = canonSketch(IncrementalAgg.mergeWithSketches(
+      IncrementalAgg.mergeWithSketches(parts(2), parts(0), Seq("o_custkey"), k, d, w),
+      parts(1), Seq("o_custkey"), k, d, w))
+    assert(leftFold == full)
+    assert(otherOrder == full)
+  }
+
+  test("sketch state estimates match their definitions on a hand-built group") {
+    import graft.functions.{CountMin, KMinValues}
+    import spark.implicits._
+    // key 1: values 10,10,20 → distinct 2, freq(10) ≥ 2; key 2: empty side.
+    val a = Seq((1L, 10L), (1L, 10L)).toDF("o_custkey", "v")
+    val b = Seq((1L, 20L), (2L, 5L)).toDF("o_custkey", "v")
+    val st = IncrementalAgg.mergeWithSketches(
+      IncrementalAgg.partialsWithSketches(a, Seq("o_custkey"), "v", 16, 4, 32),
+      IncrementalAgg.partialsWithSketches(b, Seq("o_custkey"), "v", 16, 4, 32),
+      Seq("o_custkey"), 16, 4, 32)
+    val got = st.select(col("o_custkey"),
+        KMinValues.estimate(col("kmv"), 16).as("dv"),
+        CountMin.estimateArray(col("cms"), lit(10L), 4, 32).as("f10"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2.0, 2L)))   // exact branch below k; CMS never undercounts
+    assert(got(2L)._1 == 1.0)
+    // CMS of key 2 holds one value (5); probing 10 may collide (≥0), never negative.
+    assert(got(2L)._2 >= 0L)
+  }
 }
