@@ -116,6 +116,12 @@ object Similarity {
     * (table, bucket), and only candidates reach the exact re-rank — the
     * brute-force |Q|×|C| cross join never materializes. Tune `bits` up
     * (sparser buckets) as the corpus grows; `tables` up for recall.
+    *
+    * Positioning (AnnBench, BASELINE.md r5): sign buckets discriminate
+    * NEAR-IDENTICAL vectors well but recall mid-similarity neighbors
+    * poorly (recall@25 ≈ 0.45 at 10× sf0.1 with 8 tables, vs 0.99 for
+    * IVF at the same cost) — use this path for high-cosine near-dup
+    * candidate generation, and [[ivfTopK]] for top-k retrieval.
     */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -169,11 +175,16 @@ object Similarity {
     * of the corpus. Recall rises with `nprobe`; `nprobe = nlist` probes
     * everything and equals brute force exactly (pinned in LlmOpsSpec).
     * Ties (assignment and rank) break on lowest id — deterministic.
+    *
+    * `nprobe` defaults to 8 on the AnnBench evidence (BASELINE.md r5):
+    * recall@25 = 0.99 at 10× the sf0.1 corpus for the same warm cost as
+    * nprobe = 4 — probing is centroid-bounded, so the extra cells are
+    * cheap next to the fixed join overhead.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 16, nprobe: Int = 8,
       centroids: Option[DataFrame] = None): DataFrame = {
     val cent = centroids.getOrElse(
         corpus.filter(col(idCol) < nlist)
