@@ -239,6 +239,34 @@ object EventStream {
       }
   }
 
+  /** [[incrementalAggregate]] with SKETCH state columns: each micro-batch
+    * folds KMV distinct-count and per-key CMS frequency sketches alongside
+    * the scalar partials via
+    * [[graft.operators.IncrementalAgg.mergeWithSketches]] — the merge law
+    * (`merge(partials(A), partials(B)) ≡ partials(A ∪ B)`, array-exact,
+    * IncrementalAggSpec) extends to streams, so after any number of
+    * micro-batches the state EQUALS the from-scratch batch sketch
+    * (spec-asserted). State stays one bounded row per key
+    * (≤ k + d·w longs of sketch per key).
+    */
+  def incrementalAggregateWithSketches(
+      events: DataFrame, keys: Seq[String], valCol: String,
+      initial: DataFrame, apply: DataFrame => Unit,
+      k: Int = 256, d: Int = 4, w: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.IncrementalAgg
+    var state = initial
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = IncrementalAgg.mergeWithSketches(
+          state, IncrementalAgg.partialsWithSketches(batch, keys, valCol, k, d, w),
+          keys, k, d, w)
+          .localCheckpoint(eager = true)
+        apply(state)
+      }
+  }
+
   /** [[incrementalUpsert]] with the state living in a PARTITIONED +
     * BUCKETED parquet table instead of a cached in-memory frame — the
     * production shape, with per-batch I/O proportional to the DELTA, not

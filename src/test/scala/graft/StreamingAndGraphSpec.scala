@@ -253,6 +253,34 @@ class StreamingAndGraphSpec extends SparkTestBase {
       (3L, 1L, 7L, 7L, 7L)))
   }
 
+  test("streaming sketch-state fold equals the from-scratch batch sketches (array-exact)") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (k, d, w) = (8, 4, 16)
+    val mem = MemoryStream[(Long, Long)]
+    val streamDf = mem.toDF().select(col("_1").as("key"), col("_2").as("v"))
+    val initial = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      IncrementalAgg.partialsWithSketches(
+        Seq.empty[(Long, Long)].toDF("key", "v"), Seq("key"), "v", k, d, w).schema)
+    var last = initial
+    val writer = EventStream.incrementalAggregateWithSketches(streamDf, Seq("key"), "v",
+      initial, st => last = st, k, d, w)
+    val batches = Seq(
+      Seq((1L, 10L), (2L, 5L), (1L, 10L)),
+      Seq((1L, 7L), (3L, 2L)),
+      Seq((2L, 5L), (1L, 11L), (3L, 9L)))
+    batches.foreach(b => mem.addData(b: _*))
+    val q = writer.start(); q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("cnt"), col("kmv"), col("cms")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq, r.getSeq[Long](3).toSeq))
+        .sortBy(_._1).toSeq
+    val scratch = IncrementalAgg.partialsWithSketches(
+      batches.flatten.toDF("key", "v"), Seq("key"), "v", k, d, w)
+    assert(canon(last) == canon(scratch))
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
