@@ -390,6 +390,46 @@ object Dedup {
         col("span_tokens").cast("long").as("span_tokens"))
   }
 
+  /** Duplicated-span REMOVAL — the second half of Lee et al.: drop the
+    * shared spans found by [[sharedSpans]] from the HIGHER-id document of
+    * each pair (the lowest-id occurrence survives, mirroring the min-id
+    * survivor convention of the whole-document dedup paths; a document
+    * chained as the b-side of several pairs loses the union of its
+    * covered positions). Every document comes back — untouched ones with
+    * zero removals — as (doc, n_kept, n_removed, clean_text).
+    *
+    * Shape: spans explode to covered positions (bounded by span length),
+    * kept tokens are a left-anti equi-join on (doc, pos) — never a range
+    * join — and the text reassembles with one keyed aggregation
+    * (array_sort by position, then concat). Linear end to end on top of
+    * the seed join already bounded by sharedSpans.
+    */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minTokens: Int = 12, maxFpFreq: Int = 128): DataFrame = {
+    val spans = sharedSpans(df, idCol, textCol, width, minTokens, maxFpFreq)
+    val covered = spans
+      .select(col("doc_b").as("doc"),
+        explode(sequence(col("b_start"), col("b_start") + col("span_tokens") - 1))
+          .as("pos"))
+      .dropDuplicates("doc", "pos")
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = toks.join(covered, Seq("doc", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok"))).as("clean_text"))
+    df.select(col(idCol).as("doc"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_total"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Resolve near-dup pairs into clusters: connected components over the
     * pair graph by iterative min-label propagation, entirely in DataFrame
     * joins. Returns one row per vertex appearing in any pair:

@@ -127,6 +127,59 @@ object Multimodal {
         md5(hex(col("frame"))).as("frame_md5"))
   }
 
+  final case class MediaThumb(media_id: Long, kind: String,
+      thumb: Array[Byte], thumb_w: Int, thumb_h: Int)
+
+  /** Deterministic fit-inside resize of a decodable image payload:
+    * nearest-neighbor scaling (no AA, no interpolation — bit-stable
+    * across runs) to at most `maxDim` on the longer edge, re-encoded as
+    * PNG. None on undecodable bytes.
+    */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int)] = {
+    require(maxDim >= 1)
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val scale = maxDim.toDouble / math.max(im.getWidth, im.getHeight)
+      val tw = math.max(1, math.round(im.getWidth * scale).toInt)
+      val th = math.max(1, math.round(im.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(im, 0, 0, tw, th, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      (bos.toByteArray, tw, th)
+    }
+  }
+
+  /** Thumbnail generation over the media table — the resize stage of an
+    * image-pipeline (dedupe thumbs, embed thumbs, ship thumbs to
+    * labelers). Same mapPartitions shape as [[extractFeatures]]: payload
+    * bytes stay inside the partition, no wide shuffle. Non-image kinds
+    * and undecodable payloads emit an empty thumb with 0×0 dims — the
+    * caller filters or routes them, nothing throws at 100 TB.
+    */
+  def thumbnails(media: DataFrame, maxDim: Int = 64): Dataset[MediaThumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val t =
+            if (r.kind == "image") resizeImage(r.payload, maxDim) else None
+          t match {
+            case Some((bytes, w, h)) => MediaThumb(r.media_id, r.kind, bytes, w, h)
+            case None => MediaThumb(r.media_id, r.kind, Array.emptyByteArray, 0, 0)
+          }
+        }
+      }
+  }
+
   /** Partition-wise feature extraction over the typed Dataset — the shape a
     * real codec needs: per-partition init, iterator-in/iterator-out.
     * `kind = "image"` takes the real javax.imageio decode (stub fallback

@@ -20,6 +20,24 @@ object LlmOpsQueries extends QueryModule {
   private val stopwordSqlList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared CTE chain for the exact-substring queries: tokenized docs (t),
+    * width-8 positional shingle fingerprints with the ≤128 ubiquity cap
+    * (cool), cross-doc seed matches, diagonal islands, and the final
+    * maximal `spans` (da, db, a_start, b_start 0-based, span_tokens ≥ 12) —
+    * the verbatim DuckDB replay of Dedup.sharedSpans.
+    */
+  private val substringSpansSql: String = {
+    val fp = graft.llmops.PortableHash.duckHash52(
+      "array_to_string(list_slice(t.toks, s.p, s.p + 7), ' ')")
+    "t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p FROM t WHERE len(toks) >= 8), " +
+      s"f0 AS (SELECT s.doc_id, s.p, $fp AS fp FROM sh s JOIN t ON t.doc_id = s.doc_id), " +
+      "cool AS (SELECT * FROM f0 WHERE fp IN (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128)), " +
+      "seeds AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id), " +
+      "runs AS (SELECT da, db, pa - pb AS diag, pa, pb, pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl FROM seeds), " +
+      "spans AS (SELECT da, db, min(pa) - 1 AS a_start, min(pb) - 1 AS b_start, max(pa) - min(pa) + 8 AS span_tokens FROM runs GROUP BY da, db, diag, isl HAVING max(pa) - min(pa) + 8 >= 12)"
+  }
+
   /** Merge count for the trained-BPE queries — small enough that the
     * unrolled oracle stays tractable, large enough that merged symbols
     * themselves re-merge (multi-character subwords appear).
@@ -331,23 +349,35 @@ object LlmOpsQueries extends QueryModule {
     // shingle-fingerprint seeds merged along diagonals. The oracle states
     // the same seed/diagonal/islands definition with the portable hash;
     // DuckDB positions are 1-based, hence the -1 on the starts.
-    q("q_x_dedup_substring", {
-      val fp = graft.llmops.PortableHash.duckHash52(
-        "array_to_string(list_slice(t.toks, s.p, s.p + 7), ' ')")
-      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p FROM t WHERE len(toks) >= 8), " +
-        s"f0 AS (SELECT s.doc_id, s.p, $fp AS fp FROM sh s JOIN t ON t.doc_id = s.doc_id), " +
-        "cool AS (SELECT * FROM f0 WHERE fp IN (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128)), " +
-        "seeds AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id), " +
-        "runs AS (SELECT da, db, pa - pb AS diag, pa, pb, pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl FROM seeds) " +
-        "SELECT da AS doc_a, db AS doc_b, CAST(min(pa) - 1 AS BIGINT) AS a_start, " +
-        "CAST(min(pb) - 1 AS BIGINT) AS b_start, CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens " +
-        "FROM runs GROUP BY da, db, diag, isl HAVING max(pa) - min(pa) + 8 >= 12 " +
-        "ORDER BY doc_a, doc_b, a_start, b_start"
-    }) { (s, d) =>
+    q("q_x_dedup_substring",
+      "WITH " + substringSpansSql + " " +
+        "SELECT da AS doc_a, db AS doc_b, CAST(a_start AS BIGINT) AS a_start, " +
+        "CAST(b_start AS BIGINT) AS b_start, CAST(span_tokens AS BIGINT) AS span_tokens " +
+        "FROM spans ORDER BY doc_a, doc_b, a_start, b_start") { (s, d) =>
       Dedup.sharedSpans(Tables.documents(s, d), "doc_id", "text",
         width = 8, minTokens = 12, maxFpFreq = 128)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    },
+    // duplicated-span REMOVAL (the second half of Lee et al.): the b-side
+    // of each span loses its covered token positions (lowest-id occurrence
+    // survives); every doc returns with kept/removed counts + the md5 of
+    // the reassembled clean text.
+    q("q_x_dedup_substring_scrub",
+      "WITH " + substringSpansSql + ", " +
+        "cov AS (SELECT DISTINCT doc, pos FROM (SELECT db AS doc, b_start + unnest(generate_series(0, span_tokens - 1)) AS pos FROM spans)), " +
+        "pos2 AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i FROM t), " +
+        "tk AS (SELECT p.doc_id AS doc, CAST(p.i - 1 AS BIGINT) AS pos, t.toks[p.i] AS tok FROM pos2 p JOIN t ON t.doc_id = p.doc_id), " +
+        "kp AS (SELECT tk.doc, tk.pos, tk.tok FROM tk WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc = tk.doc AND cov.pos = tk.pos)), " +
+        "rb AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(tok, ' ' ORDER BY pos)) AS cmd5 FROM kp GROUP BY 1) " +
+        "SELECT t.doc_id AS doc, coalesce(rb.n_kept, 0) AS n_kept, " +
+        "CAST(len(t.toks) AS BIGINT) - coalesce(rb.n_kept, 0) AS n_removed, " +
+        "coalesce(rb.cmd5, md5('')) AS clean_md5 " +
+        "FROM t LEFT JOIN rb ON rb.doc = t.doc_id ORDER BY doc") { (s, d) =>
+      Dedup.removeSharedSpans(Tables.documents(s, d), "doc_id", "text",
+          width = 8, minTokens = 12, maxFpFreq = 128)
+        .select(col("doc"), col("n_kept"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc")
     },
 
     // brute-force cosine top-k (queries = vec_id < 5, k = 5)

@@ -239,6 +239,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(spans.toSeq == Seq((0L, 0L, 20L), (50L, 31L, 20L)))
   }
 
+  test("span removal scrubs the planted span from the higher-id doc only") {
+    import spark.implicits._
+    val shared = (0 until 300).map(i => s"w$i")
+    val doc1 = ((0 until 50).map(i => s"a$i") ++ shared ++ (0 until 5).map(i => s"z$i")).mkString(" ")
+    val doc2 = ((0 until 10).map(i => s"b$i") ++ shared ++ (0 until 7).map(i => s"y$i")).mkString(" ")
+    val doc3 = (0 until 100).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(df, "doc_id", "text", width = 8, minTokens = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((355L, 0L, doc1)))    // lowest-id occurrence survives intact
+    val doc2Clean = ((0 until 10).map(i => s"b$i") ++ (0 until 7).map(i => s"y$i")).mkString(" ")
+    assert(out(2L) == ((17L, 300L, doc2Clean))) // span excised, remainder stitched
+    assert(out(3L) == ((100L, 0L, doc3)))    // untouched doc passes through
+  }
+
   test("quality metrics sane on a known string") {
     import spark.implicits._
     val df = Seq((1L, "The quick, brown fox!")).toDF("doc_id", "text")
@@ -412,6 +428,32 @@ class LlmOpsSpec extends SparkTestBase {
     // corrupt image payload and text kind both take the stub path.
     assert(f(3L).sameElements(Multimodal.decodeStub("not an image".getBytes("UTF-8"))))
     assert(f(4L).sameElements(Multimodal.decodeStub("plain text stays stubbed".getBytes("UTF-8"))))
+  }
+
+  test("thumbnails: fit-inside resize preserves aspect and color; non-images pass through empty") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", png(8, 4, 0x00FF00)),   // green 8×4 → 4×2 at maxDim 4
+      (2L, "image", png(2, 2, 0x0000FF)),   // 2×2 → upscaled to 4×4
+      (3L, "text", "not an image".getBytes("UTF-8"))).toDF("media_id", "kind", "payload")
+    val t = Multimodal.thumbnails(media, maxDim = 4).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(t(1L).thumb_w == 4 && t(1L).thumb_h == 2)
+    assert(t(2L).thumb_w == 4 && t(2L).thumb_h == 4)
+    assert(t(3L).thumb_w == 0 && t(3L).thumb.isEmpty)
+    // re-decode the thumb: still pure green everywhere.
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t(1L).thumb))
+    assert(im.getWidth == 4 && im.getHeight == 2)
+    assert((for (y <- 0 until 2; x <- 0 until 4)
+      yield im.getRGB(x, y) & 0xFFFFFF).forall(_ == 0x00FF00))
   }
 
   test("int8 quantization: reconstruction error bounded by half a quantization step") {
