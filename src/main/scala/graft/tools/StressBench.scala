@@ -42,7 +42,12 @@ object StressBench {
     // path, the compressed-ANN cross join, the salted quota window, and
     // the survivor resolution stack.
     "q_x_repetition_ngram", "q_x_quality_gate", "q_x_decon_bloom",
-    "q_x_ann_int8", "q_x_source_quota", "q_x_dedup_survivors_quality")
+    "q_x_ann_int8", "q_x_source_quota", "q_x_dedup_survivors_quality",
+    // r5 additions: the positional-shingle seed join + islands merge (and
+    // its scrub), the K-round BPE training loop (vocab-bounded — should be
+    // near-flat in corpus size), and the sketch-state fold.
+    "q_x_dedup_substring", "q_x_dedup_substring_scrub", "q_x_bpe_tokens",
+    "q_a12_sketch_state")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
