@@ -55,21 +55,23 @@ object IncrementalAgg {
         min("min").as("min"), max("max").as("max"))
   }
 
-  private val sketchStateCols = stateCols ++ Seq("kmv", "cms")
+  private val sketchStateCols = stateCols ++ Seq("kmv", "cms", "qs")
 
   /** [[partials]] extended with SKETCH state columns: a KMV distinct-count
-    * sketch (`kmv`, ≤ k longs) and a per-key count-min array (`cms`, d·w
-    * longs) of the value column. Both are mergeable with the same law as
-    * the scalar algebra — KMV because min-k-of-distinct is set-union
-    * compatible, CMS because counters add — so incremental DISTINCT and
-    * FREQUENCY estimates ride the identical delta-fold path: state stays
-    * one bounded row per key, history never re-shuffles
+    * sketch (`kmv`, ≤ k longs), a per-key count-min array (`cms`, d·w
+    * longs), and a bottom-k value sample (`qs`, ≤ 2k longs — the
+    * distinct-value quantile state) of the value column. All three are
+    * mergeable with the same law as the scalar algebra — KMV and the
+    * sample because min-k-by-hash is set-union compatible, CMS because
+    * counters add — so incremental DISTINCT, FREQUENCY and QUANTILE
+    * estimates ride the identical delta-fold path: state stays one
+    * bounded row per key, history never re-shuffles
     * (merge(partials(A), partials(B)) ≡ partials(A ∪ B) is spec-asserted
     * for every column including the sketches).
     */
   def partialsWithSketches(df: DataFrame, keyCols: Seq[String], valCol: String,
       k: Int = 256, d: Int = 4, w: Int = 64): DataFrame = {
-    import graft.functions.{CountMin, KMinValues}
+    import graft.functions.{BottomKSample, CountMin, KMinValues}
     require(!keyCols.exists(sketchStateCols.contains),
       s"key columns must not collide with state columns $sketchStateCols")
     df.groupBy(keyCols.map(col): _*).agg(
@@ -78,13 +80,14 @@ object IncrementalAgg {
       min(col(valCol)).cast("long").as("min"),
       max(col(valCol)).cast("long").as("max"),
       KMinValues.sketch(col(valCol), k).as("kmv"),
-      CountMin.sketchArray(col(valCol), d, w).as("cms"))
+      CountMin.sketchArray(col(valCol), d, w).as("cms"),
+      BottomKSample.sample(col(valCol), k).as("qs"))
   }
 
   /** [[merge]] for sketch-carrying state (same (k, d, w) on both sides). */
   def mergeWithSketches(state: DataFrame, deltaPartials: DataFrame,
       keyCols: Seq[String], k: Int = 256, d: Int = 4, w: Int = 64): DataFrame = {
-    import graft.functions.{CountMin, KMinValues}
+    import graft.functions.{BottomKSample, CountMin, KMinValues}
     require(sketchStateCols.forall(state.columns.contains) &&
       sketchStateCols.forall(deltaPartials.columns.contains),
       s"both sides must carry state columns $sketchStateCols")
@@ -95,6 +98,7 @@ object IncrementalAgg {
       .agg(sum("cnt").as("cnt"), sum("sum").as("sum"),
         min("min").as("min"), max("max").as("max"),
         KMinValues.mergeSketch(col("kmv"), k).as("kmv"),
-        CountMin.mergeArray(col("cms"), d, w).as("cms"))
+        CountMin.mergeArray(col("cms"), d, w).as("cms"),
+        BottomKSample.mergeSample(col("qs"), k).as("qs"))
   }
 }

@@ -161,6 +161,39 @@ object AdvancedQueries extends QueryModule {
           CountMin.estimateArray(col("cms"), lit(1L), 4, 64).as("est_freq_p1"))
         .orderBy("flag")
     },
+    // distinct-value quantiles from the bottom-k-by-hash sample state
+    // (the third mergeable sketch; > k distinct partkeys per flag at
+    // sf0.01+ so the SAMPLED branch is exercised). The oracle replays the
+    // sample as ORDER BY hash LIMIT k, then the same lower-rank rule.
+    q("q_a13_quantile_sketch", {
+      import graft.llmops.PortableHash
+      val k = 64
+      val hp = PortableHash.duckHash52("CAST(l_partkey AS VARCHAR)")
+      s"WITH h AS (SELECT l_returnflag AS flag, $hp AS h, l_partkey AS v FROM lineitem), " +
+        "d AS (SELECT flag, h, min(v) AS v FROM h GROUP BY 1, 2), " +
+        "r AS (SELECT flag, h, v, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM d), " +
+        s"s AS (SELECT flag, v FROM r WHERE rn <= $k), " +
+        "q AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
+        "ranked AS (SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS vr FROM s) " +
+        "SELECT q.flag, CAST(max(CASE WHEN vr = (n - 1) * 50 // 100 + 1 THEN v END) AS BIGINT) AS p50_distinct, " +
+        "CAST(max(CASE WHEN vr = (n - 1) * 90 // 100 + 1 THEN v END) AS BIGINT) AS p90_distinct " +
+        "FROM ranked JOIN q ON q.flag = ranked.flag GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      import graft.functions.BottomKSample
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_partkey"), col("l_orderkey"))
+      val hist = li.filter(col("l_orderkey") % 3 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 3 === 0)
+      IncrementalAgg.mergeWithSketches(
+          IncrementalAgg.partialsWithSketches(hist, Seq("flag"), "l_partkey", 64, 4, 64),
+          IncrementalAgg.partialsWithSketches(delta, Seq("flag"), "l_partkey", 64, 4, 64),
+          Seq("flag"), 64, 4, 64)
+        .select(col("flag"),
+          BottomKSample.distinctQuantile(col("qs"), 50).as("p50_distinct"),
+          BottomKSample.distinctQuantile(col("qs"), 90).as("p90_distinct"))
+        .orderBy("flag")
+    },
     // global top-k by value with deterministic ties (Q-W7): Spark plans
     // ORDER BY + LIMIT as TakeOrderedAndProject — per-partition top-k then
     // a k-row merge on the driver, never a global sort.

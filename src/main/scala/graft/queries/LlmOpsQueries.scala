@@ -249,6 +249,21 @@ object LlmOpsQueries extends QueryModule {
       val (merges, _) = Bpe.learnMerges(vocab, BpeK)
       Bpe.mergeTable(s, merges).orderBy("mrank")
     },
+    // the learned segmentation itself, word by word — subwords in order.
+    q("q_x_bpe_subwords", {
+      val k = BpeK
+      bpeRoundsSql(k) + " " +
+        s"SELECT word, CAST(count(*) AS BIGINT) AS n_syms, string_agg(s, '|' ORDER BY i) AS subwords FROM s$k GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, syms) = Bpe.learnMerges(Bpe.wordVocab(docs, "text"), BpeK)
+      syms.groupBy("word")
+        .agg(count(lit(1)).as("n_syms"),
+          concat_ws("|", transform(
+            array_sort(collect_list(struct(col("i"), col("s")))),
+            e => e("s"))).as("subwords"))
+        .orderBy("word")
+    },
     q("q_x_bpe_tokens", {
       val k = BpeK
       bpeRoundsSql(k) +

@@ -43,11 +43,11 @@ class IncrementalAggSpec extends SparkTestBase {
   }
 
   private def canonSketch(df: org.apache.spark.sql.DataFrame)
-      : Seq[(Long, Long, Seq[Long], Seq[Long])] =
-    df.select(col("o_custkey").cast("long"), col("cnt"), col("kmv"), col("cms"))
+      : Seq[(Long, Long, Seq[Long], Seq[Long], Seq[Long])] =
+    df.select(col("o_custkey").cast("long"), col("cnt"), col("kmv"), col("cms"), col("qs"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        r.getSeq[Long](2).toSeq, r.getSeq[Long](3).toSeq))
+        r.getSeq[Long](2).toSeq, r.getSeq[Long](3).toSeq, r.getSeq[Long](4).toSeq))
       .sortBy(_._1).toSeq
 
   test("sketch merge law: merge(partials(A), partials(B)) ≡ partials(A ∪ B) bit-for-bit") {
@@ -89,5 +89,23 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(got(2L)._1 == 1.0)
     // CMS of key 2 holds one value (5); probing 10 may collide (≥0), never negative.
     assert(got(2L)._2 >= 0L)
+  }
+
+  test("bottom-k sample quantiles: exact below k, lower-rank rule, merge-stable") {
+    import graft.functions.BottomKSample
+    import spark.implicits._
+    // key 1 distinct values {5, 10, 20, 40}: p50 rank = floor(3·50/100)+1
+    // = 2 → 10; p100 → 40. Duplicates collapse (distinct-value semantics).
+    val a = Seq((1L, 10L), (1L, 10L), (1L, 5L)).toDF("o_custkey", "v")
+    val b = Seq((1L, 20L), (1L, 40L), (1L, 5L)).toDF("o_custkey", "v")
+    val st = IncrementalAgg.mergeWithSketches(
+      IncrementalAgg.partialsWithSketches(a, Seq("o_custkey"), "v", 16, 4, 32),
+      IncrementalAgg.partialsWithSketches(b, Seq("o_custkey"), "v", 16, 4, 32),
+      Seq("o_custkey"), 16, 4, 32)
+    val r = st.filter(col("o_custkey") === 1L).select(
+      BottomKSample.distinctQuantile(col("qs"), 50).as("p50"),
+      BottomKSample.distinctQuantile(col("qs"), 0).as("p0"),
+      BottomKSample.distinctQuantile(col("qs"), 100).as("p100")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 5L, 40L)))
   }
 }
