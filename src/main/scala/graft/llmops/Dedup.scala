@@ -355,21 +355,48 @@ object Dedup {
     * 0-based in token positions. Spans shorter than `width` are invisible
     * by construction (standard for shingle seeding).
     */
-  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
-      width: Int = 8, minTokens: Int = 12, maxFpFreq: Int = 128): DataFrame = {
-    require(width >= 2, "width must be at least 2")
-    require(minTokens >= width, "minTokens below width is unobservable")
-    require(maxFpFreq >= 2, "maxFpFreq < 2 would drop every matchable seed")
+  /** Positional width-n shingle fingerprints as (doc, pos, fp) rows —
+    * positions KEPT (unlike hashedShingleRows' distinct sets; span
+    * recovery needs every occurrence).
+    */
+  private def positionalFps(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
     val wTok = Window.partitionBy("doc").orderBy("pos")
     val leads = (1 until width).map(k => lead(col("tok"), k).over(wTok))
     val withLeads = toks.select(col("doc") +: col("pos") +: col("tok") +:
       leads.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }: _*)
-    val fps = withLeads
+    withLeads
       .filter(col(s"_t${width - 2}").isNotNull)
       .select(col("doc"), col("pos"), PortableHash.hash52(concat_ws(" ",
         col("tok") +: (0 until width - 1).map(i => col(s"_t$i")): _*)).as("fp"))
+  }
+
+  /** Merge cross-side seeds into maximal spans (gaps-and-islands along
+    * the pa−pb diagonal; see [[sharedSpans]]'s scaladoc).
+    */
+  private def seedsToSpans(seeds: DataFrame, aId: String, bId: String,
+      aStart: String, bStart: String, width: Int, minTokens: Int): DataFrame = {
+    val wDiag = Window.partitionBy(aId, bId, "diag").orderBy("pa")
+    seeds
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(wDiag))
+      .groupBy(aId, bId, "diag", "isl")
+      .agg(min("pa").as(aStart), min("pb").as(bStart),
+        (max(col("pa")) - min(col("pa")) + width).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col(aId), col(bId), col(aStart).cast("long").as(aStart),
+        col(bStart).cast("long").as(bStart),
+        col("span_tokens").cast("long").as("span_tokens"))
+  }
+
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minTokens: Int = 12, maxFpFreq: Int = 128): DataFrame = {
+    require(width >= 2, "width must be at least 2")
+    require(minTokens >= width, "minTokens below width is unobservable")
+    require(maxFpFreq >= 2, "maxFpFreq < 2 would drop every matchable seed")
+    val fps = positionalFps(df, idCol, textCol, width)
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("_f"))
       .filter(col("_f") > maxFpFreq).select("fp")
     val cool = fps.join(hot, Seq("fp"), "left_anti")
@@ -377,17 +404,37 @@ object Dedup {
       .join(cool.select(col("fp"), col("doc").as("doc_b"), col("pos").as("pb")),
         Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
-    val wDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    seeds
-      .withColumn("diag", col("pa") - col("pb"))
-      .withColumn("isl", col("pa") - row_number().over(wDiag))
-      .groupBy("doc_a", "doc_b", "diag", "isl")
-      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
-        (max(col("pa")) - min(col("pa")) + width).as("span_tokens"))
-      .filter(col("span_tokens") >= minTokens)
-      .select(col("doc_a"), col("doc_b"), col("a_start").cast("long").as("a_start"),
-        col("b_start").cast("long").as("b_start"),
-        col("span_tokens").cast("long").as("span_tokens"))
+    seedsToSpans(seeds, "doc_a", "doc_b", "a_start", "b_start", width, minTokens)
+  }
+
+  /** Cross-corpus [[sharedSpans]] — the incremental daily-ingest shape
+    * (the span analog of [[minHashPairsAcross]]): find verbatim spans a
+    * NEW batch shares with the standing CORPUS without ever pairing the
+    * corpus (or the batch) against itself. Seeds join strictly across
+    * the sides, so daily work is |batch fingerprints| probing the corpus
+    * index — the corpus is never self-joined again. The ubiquity cap
+    * counts occurrences over BOTH sides (boilerplate is boilerplate
+    * wherever it lives). Ids must be disjoint across sides (caller
+    * contract, same as minHashPairsAcross). Returns (batch_id,
+    * corpus_id, batch_start, corpus_start, span_tokens), 0-based.
+    */
+  def sharedSpansAcross(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      width: Int = 8, minTokens: Int = 12, maxFpFreq: Int = 128): DataFrame = {
+    require(width >= 2, "width must be at least 2")
+    require(minTokens >= width, "minTokens below width is unobservable")
+    require(maxFpFreq >= 2, "maxFpFreq < 2 would drop every matchable seed")
+    val bf = positionalFps(batch, idCol, textCol, width)
+    val cf = positionalFps(corpus, idCol, textCol, width)
+    val hot = bf.unionAll(cf).groupBy("fp").agg(count(lit(1)).as("_f"))
+      .filter(col("_f") > maxFpFreq).select("fp")
+    val seeds = bf.join(hot, Seq("fp"), "left_anti")
+      .select(col("fp"), col("doc").as("batch_id"), col("pos").as("pa"))
+      .join(cf.join(hot, Seq("fp"), "left_anti")
+        .select(col("fp"), col("doc").as("corpus_id"), col("pos").as("pb")),
+        Seq("fp"))
+    seedsToSpans(seeds, "batch_id", "corpus_id", "batch_start", "corpus_start",
+      width, minTokens)
   }
 
   /** Duplicated-span REMOVAL — the second half of Lee et al.: drop the

@@ -26,17 +26,20 @@ object LlmOpsQueries extends QueryModule {
     * maximal `spans` (da, db, a_start, b_start 0-based, span_tokens ≥ 12) —
     * the verbatim DuckDB replay of Dedup.sharedSpans.
     */
-  private val substringSpansSql: String = {
+  private val substringCoolSql: String = {
     val fp = graft.llmops.PortableHash.duckHash52(
       "array_to_string(list_slice(t.toks, s.p, s.p + 7), ' ')")
     "t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
       "sh AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p FROM t WHERE len(toks) >= 8), " +
       s"f0 AS (SELECT s.doc_id, s.p, $fp AS fp FROM sh s JOIN t ON t.doc_id = s.doc_id), " +
-      "cool AS (SELECT * FROM f0 WHERE fp IN (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128)), " +
+      "cool AS (SELECT * FROM f0 WHERE fp IN (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= 128))"
+  }
+
+  private val substringSpansSql: String =
+    substringCoolSql + ", " +
       "seeds AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id), " +
       "runs AS (SELECT da, db, pa - pb AS diag, pa, pb, pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl FROM seeds), " +
       "spans AS (SELECT da, db, min(pa) - 1 AS a_start, min(pb) - 1 AS b_start, max(pa) - min(pa) + 8 AS span_tokens FROM runs GROUP BY da, db, diag, isl HAVING max(pa) - min(pa) + 8 >= 12)"
-  }
 
   /** Merge count for the trained-BPE queries — small enough that the
     * unrolled oracle stays tractable, large enough that merged symbols
@@ -372,6 +375,24 @@ object LlmOpsQueries extends QueryModule {
       Dedup.sharedSpans(Tables.documents(s, d), "doc_id", "text",
         width = 8, minTokens = 12, maxFpFreq = 128)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    },
+    // cross-corpus substring dedup (the incremental daily-ingest shape):
+    // spans a NEW batch (even doc_ids) shares with the standing corpus
+    // (odd), seeds strictly across the sides — no self re-pairing. The
+    // ubiquity cap counts both sides jointly, same as the engine.
+    q("q_x_dedup_substring_across",
+      "WITH " + substringCoolSql + ", " +
+        "seeds2 AS (SELECT b.doc_id AS ba, c.doc_id AS ca, b.p AS pa, c.p AS pb FROM cool b JOIN cool c ON b.fp = c.fp AND b.doc_id % 2 = 0 AND c.doc_id % 2 = 1), " +
+        "runs2 AS (SELECT ba, ca, pa - pb AS diag, pa, pb, pa - row_number() OVER (PARTITION BY ba, ca, pa - pb ORDER BY pa) AS isl FROM seeds2) " +
+        "SELECT ba AS batch_id, ca AS corpus_id, CAST(min(pa) - 1 AS BIGINT) AS batch_start, " +
+        "CAST(min(pb) - 1 AS BIGINT) AS corpus_start, CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens " +
+        "FROM runs2 GROUP BY ba, ca, diag, isl HAVING max(pa) - min(pa) + 8 >= 12 " +
+        "ORDER BY batch_id, corpus_id, batch_start") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.sharedSpansAcross(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", width = 8, minTokens = 12, maxFpFreq = 128)
+        .orderBy("batch_id", "corpus_id", "batch_start")
     },
     // duplicated-span REMOVAL (the second half of Lee et al.): the b-side
     // of each span loses its covered token positions (lowest-id occurrence

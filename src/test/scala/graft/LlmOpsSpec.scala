@@ -239,6 +239,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(spans.toSeq == Seq((0L, 0L, 20L), (50L, 31L, 20L)))
   }
 
+  test("cross-corpus spans ≡ the cross-parity subset of the self-join spans") {
+    val self = Dedup.sharedSpans(docs, "doc_id", "text",
+      width = 8, minTokens = 12, maxFpFreq = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // self-join pairs are (a < b); re-orient to (batch=even, corpus=odd).
+    val expected = self.flatMap { case (a, b, as_, bs, n) =>
+      if (a % 2 == 0 && b % 2 == 1) Some((a, b, as_, bs, n))
+      else if (a % 2 == 1 && b % 2 == 0) Some((b, a, bs, as_, n))
+      else None
+    }.toSet
+    val across = Dedup.sharedSpansAcross(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", width = 8, minTokens = 12, maxFpFreq = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(across == expected, s"across=${across.size} expected=${expected.size}")
+  }
+
   test("span removal scrubs the planted span from the higher-id doc only") {
     import spark.implicits._
     val shared = (0 until 300).map(i => s"w$i")
