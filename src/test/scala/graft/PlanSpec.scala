@@ -152,6 +152,22 @@ class PlanSpec extends SparkTestBase {
     assert(rownos == (0L until 100L).toSeq, "expected dense 0-based _rowno")
   }
 
+  test("substring dedup plans: seed join is equi on the fingerprint, never a product") {
+    val docs = Tables.documents(spark, dir)
+    val spans = graft.llmops.Dedup.sharedSpans(docs, "doc_id", "text")
+    val p = plan(spans)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"span seeding must stay an equi-join on the shingle hash:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge seed join:\n$p")
+    // the scrub's covered-position removal is an anti equi-join, no range join.
+    val scrub = graft.llmops.Dedup.removeSharedSpans(docs, "doc_id", "text")
+    val ps = plan(scrub)
+    assert(!ps.contains("CartesianProduct") && !ps.contains("NestedLoopJoin"),
+      s"scrub must anti-join on (doc, pos), never a range/product join:\n$ps")
+    assert(ps.contains("LeftAnti"), s"expected an anti join in the scrub:\n$ps")
+  }
+
   test("CSV workbook path is compat-only: documented RDD fallback, file-order _rowno") {
     import graft.ingest.Workbook
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
