@@ -148,6 +148,41 @@ object CountMin {
     * per-j inner product left-joined against it with a 0 default; empty
     * sketches estimate 0, not an all-NULL row.
     */
+  /** EXACT φ = 1/k heavy hitters (every key with count·k > total), computed
+    * with a sketch-pruned shuffle: pass 1 builds the CMS over `keyCol`;
+    * pass 2 probes each occurrence against the broadcast j = 0 sketch row
+    * and drops it unless its bucket's count could clear the threshold,
+    * THEN runs the exact groupBy count + threshold filter on the
+    * survivors. The output is PROVABLY the exact answer: CMS never
+    * undercounts, so cnt₀(x) ≥ count(x) and no true heavy hitter is
+    * pruned — the final exact filter kills any collision-inflated
+    * impostors. (One probe row suffices for pruning; min-of-d only
+    * tightens an already-sound bound.)
+    *
+    * Why prune at all when groupBy already partial-aggregates map-side:
+    * the shuffle of a plain group-count carries one row per DISTINCT key
+    * per partition — at web scale the long tail of once-seen tokens IS
+    * the shuffle. The prune drops the tail before the exchange, so the
+    * shuffle carries only keys living in the ≤ w buckets that beat the
+    * threshold. The total `n` comes from the sketch itself (the j = 0 row
+    * sums to it) — no separate count pass.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+      w: Int = 512): DataFrame = {
+    require(k >= 1)
+    val sk0 = sketch(df, keyCol, d = 1, w = w)
+      .select(col("bucket").as("__b"), col("cnt").as("__c0"))
+    val total = sk0.agg(sum("__c0").as("__n"))
+    val h = PortableHash.hash52(col(keyCol).cast("string"))
+    df.select(col(keyCol), (PortableHash.minhashPerm(h, 0) % w).as("__b"))
+      .join(broadcast(sk0), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .filter(col("__c0") * k > col("__n"))
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"), first("__n").as("__n"))
+      .filter(col("cnt") * k > col("__n"))
+      .select(col(keyCol), col("cnt"))
+  }
+
   def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame = {
     val js = a.select("j").unionAll(b.select("j")).distinct()
     val ip = a.select(col("j"), col("bucket"), col("cnt").as("_ca"))

@@ -171,7 +171,22 @@ object Corpus {
     */
   def tokenShards(df: DataFrame, orderCol: Column, tokenCol: Column,
       budget: Long, outCol: String = "shard",
-      groupSize: Long = 1L << 20): DataFrame = {
+      groupSize: Long = 1L << 20): DataFrame =
+    withStreamOffset(df, orderCol, tokenCol, groupSize)
+      .withColumn(outCol, floor(col("__start") / budget).cast("long"))
+      .drop("__start")
+
+  /** Adds `__start` = the EXCLUSIVE prefix sum of `tokenCol` in `orderCol`
+    * order (the row's 0-based offset in the concatenated global token
+    * stream), computed scalably in two passes instead of a single-partition
+    * global window: a parallel per-group cumsum (partitioned window over
+    * coarse `groupSize` buckets of the order column) plus a broadcast join
+    * against the tiny running-offset table of group totals. No stage ever
+    * funnels the full data through one partition. Shared spine of
+    * [[tokenShards]] and [[packSequences]].
+    */
+  private def withStreamOffset(df: DataFrame, orderCol: Column,
+      tokenCol: Column, groupSize: Long): DataFrame = {
     val g = floor(orderCol / groupSize).cast("long")
     val inGroup = Window.partitionBy("__g").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -185,8 +200,92 @@ object Corpus {
           Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__g", "__off")
     withCum.join(broadcast(offsets), Seq("__g"))
-      .withColumn(outCol,
-        floor((col("__off") + col("__cum_in") - tokenCol) / budget).cast("long"))
+      .withColumn("__start", col("__off") + col("__cum_in") - tokenCol)
       .drop("__g", "__cum_in", "__off")
   }
+
+  /** GPT-style sequence packing (concatenate-then-split): the global token
+    * stream in `orderCol` order is cut into fixed `seqLen`-token training
+    * sequences, and documents SPAN sequence boundaries — unlike
+    * [[tokenShards]], which only assigns the shard a document STARTS in.
+    * Emits one row per (document × overlapped sequence) with the fragment
+    * geometry a packer needs: `seq` (sequence id), `start_in_seq` (the
+    * fragment's 0-based token offset inside the sequence), and
+    * `n_seq_tokens` (fragment length); rows with zero `tokenCol` vanish
+    * (they contribute no tokens to any sequence).
+    *
+    * Scale: the fragment fan-out per document is 1 + floor((start mod
+    * seqLen + n − 1) / seqLen) ≤ n/seqLen + 1 — a narrow codegen'd
+    * `explode(sequence(...))`, never per-token. The only shuffles are the
+    * two-pass prefix sum of [[withStreamOffset]]; at 100 TB the packing
+    * itself runs at scan speed and the output is exactly the input token
+    * volume re-keyed by sequence.
+    */
+  def packSequences(df: DataFrame, orderCol: Column, tokenCol: Column,
+      seqLen: Long, groupSize: Long = 1L << 20): DataFrame = {
+    require(seqLen >= 1)
+    val reserved = Seq("__start", "seq", "start_in_seq", "n_seq_tokens")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry reserved columns ${reserved.mkString(", ")}")
+    val off = col("__start")
+    val lo = greatest(off, col("seq") * seqLen)
+    withStreamOffset(df.filter(tokenCol >= 1), orderCol, tokenCol, groupSize)
+      .withColumn("seq", explode(sequence(
+        floor(off / seqLen).cast("long"),
+        floor((off + tokenCol - 1) / seqLen).cast("long"))))
+      .withColumn("start_in_seq", (lo - col("seq") * seqLen).cast("long"))
+      .withColumn("n_seq_tokens",
+        (least(off + tokenCol, (col("seq") + 1) * seqLen) - lo).cast("long"))
+      .drop("__start")
+  }
+
+  /** Temperature-smoothed mixture resampling (the multilingual-pretraining
+    * rebalance: sample stratum i with probability ∝ count_i^α, α = 1/2 —
+    * exponent smoothing flattens the head so low-resource strata keep a
+    * usable share). Returns the TINY per-stratum plan table
+    * (stratum, c, target, keep_bps): weight w_i = floor(√c_i · 10⁶),
+    * target_i = floor(budget · w_i / Σw), and a per-stratum keep rate in
+    * basis points. Apply it with [[mixSample]].
+    *
+    * α is fixed at 1/2 deliberately: `sqrt` is an IEEE-754
+    * correctly-rounded operation, so Spark and any SQL oracle compute
+    * bit-identical weights — general `pow` carries no such guarantee
+    * across libm implementations. Every other step is integer arithmetic
+    * or exactly-rounded double ops (cast, ×, ÷, floor), so the whole plan
+    * table is portable and hash-match checkable.
+    *
+    * Scale: one keyed count over the corpus (map-side partial agg), then
+    * all arithmetic happens on the strata-sized table; the corpus is never
+    * shuffled and the plan table broadcasts.
+    */
+  def temperatureMixPlan(df: DataFrame, stratumCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    val counts = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__w", floor(sqrt(col("c").cast("double")) * 1e6).cast("long"))
+    val totalW = counts.agg(sum("__w").as("__tw"))
+    counts.crossJoin(broadcast(totalW))
+      .withColumn("target", floor(lit(budget).cast("double") *
+        (col("__w").cast("double") / col("__tw").cast("double"))).cast("long"))
+      .withColumn("keep_bps", least(lit(10000L),
+        floor(lit(10000.0) * col("target").cast("double") /
+          col("c").cast("double"))).cast("long"))
+      .drop("__w", "__tw")
+  }
+
+  /** Apply a [[temperatureMixPlan]]: keep each row iff its key hash lands
+    * under its stratum's keep rate — the same deterministic,
+    * partition-invariant, nested hash-bucket decision as [[hashSample]].
+    * The plan side is strata-sized → broadcast join, no corpus shuffle.
+    */
+  def mixSample(df: DataFrame, keyCol: Column, stratumCol: Column,
+      plan: DataFrame): DataFrame =
+    // plan columns take reserved names so a corpus column named "stratum"
+    // or "keep_bps" can't collide with the join/filter references.
+    df.join(broadcast(plan.select(col("stratum").as("__mix_stratum"),
+        col("keep_bps").as("__mix_bps"))),
+        stratumCol === col("__mix_stratum"))
+      .filter(PortableHash.hash52(keyCol.cast("string")) % 10000 < col("__mix_bps"))
+      .drop("__mix_stratum", "__mix_bps")
 }

@@ -826,6 +826,84 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("flag")
     },
     // contiguous token-budget sharding (10k-token shards in doc_id order)
+    // GPT-style sequence packing (concat-then-split, 128-token sequences
+    // in doc_id order): documents SPAN sequence boundaries, one row per
+    // (doc × overlapped sequence) with the fragment geometry. The oracle
+    // replays the exclusive prefix sum + span arithmetic directly.
+    q("q_x_pack_sequences",
+      "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM d), " +
+        "f AS (SELECT doc_id, n, off, unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq FROM c WHERE n >= 1) " +
+        "SELECT doc_id, CAST(seq AS BIGINT) AS seq, " +
+        "CAST(greatest(off, seq * 128) - seq * 128 AS BIGINT) AS start_in_seq, " +
+        "CAST(least(off + n, (seq + 1) * 128) - greatest(off, seq * 128) AS BIGINT) AS n_seq_tokens " +
+        "FROM f ORDER BY doc_id, seq") { (s, d) =>
+      val withTok = Tables.documents(s, d)
+        .withColumn("n_tokens", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      Corpus.packSequences(withTok, col("doc_id"), col("n_tokens"),
+          seqLen = 128L, groupSize = 100L)
+        .select("doc_id", "seq", "start_in_seq", "n_seq_tokens")
+        .orderBy("doc_id", "seq")
+    },
+    // per-sequence packing stats: how many documents and tokens each
+    // training sequence holds (the last sequence's shortfall = padding
+    // waste). Derived from the same packing output — groupBy seq.
+    q("q_x_pack_stats",
+      "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM d), " +
+        "f AS (SELECT doc_id, n, off, unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq FROM c WHERE n >= 1), " +
+        "g AS (SELECT seq, least(off + n, (seq + 1) * 128) - greatest(off, seq * 128) AS nt FROM f) " +
+        "SELECT CAST(seq AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nt) AS BIGINT) AS n_seq_tokens FROM g GROUP BY seq ORDER BY seq") { (s, d) =>
+      val withTok = Tables.documents(s, d)
+        .withColumn("n_tokens", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      Corpus.packSequences(withTok, col("doc_id"), col("n_tokens"),
+          seqLen = 128L, groupSize = 100L)
+        .groupBy("seq")
+        .agg(count(lit(1)).as("n_docs"), sum("n_seq_tokens").as("n_seq_tokens"))
+        .orderBy("seq")
+    },
+    // temperature-smoothed mixture resampling (α = 1/2 exponent smoothing
+    // over the skewed lang distribution, budget 300): the tiny plan table
+    // (counts → √-weights → integer targets → keep_bps) joins back
+    // broadcast and the same hash-bucket rule decides each row. All
+    // arithmetic is integer or exactly-rounded IEEE double (sqrt, ×, ÷,
+    // floor) — bit-identical across engines, full hash-match oracle.
+    q("q_x_source_mix", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1), " +
+        "w AS (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM c), " +
+        "t AS (SELECT lang, c, CAST(floor(300.0 * (CAST(w AS DOUBLE) / CAST((SELECT CAST(sum(w) AS BIGINT) FROM w) AS DOUBLE))) AS BIGINT) AS target FROM w), " +
+        "p AS (SELECT lang, c, target, least(10000, CAST(floor(10000.0 * CAST(target AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT)) AS keep_bps FROM t), " +
+        s"kept AS (SELECT d.lang FROM documents d JOIN p ON p.lang = d.lang WHERE $h % 10000 < p.keep_bps) " +
+        "SELECT p.lang AS lang, p.c AS c, p.target AS target, p.keep_bps AS keep_bps, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM kept k WHERE k.lang = p.lang) AS n_kept " +
+        "FROM p ORDER BY lang"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val plan = Corpus.temperatureMixPlan(docs, col("lang"), budget = 300L)
+      val kept = Corpus.mixSample(docs, col("doc_id"), col("lang"), plan)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      plan.join(kept, plan("stratum") === kept("lang"), "left")
+        .select(plan("stratum").as("lang"), col("c"), col("target"),
+          col("keep_bps"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+    // exact 1/k heavy hitters with a sketch-pruned shuffle (k = 64 over
+    // the token stream): the CMS j=0 row prunes the long tail BEFORE the
+    // exchange; CMS never undercounts, so the exact threshold filter on
+    // the survivors provably equals the plain two-agg oracle below.
+    q("q_x_heavy_hitters",
+      "WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM tok), " +
+        "c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1) " +
+        "SELECT token, CAST(c AS BIGINT) AS cnt FROM c, n WHERE c * 64 > n ORDER BY cnt DESC, token") { (s, d) =>
+      import graft.functions.CountMin
+      val toks = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " ")).as("token"))
+      CountMin.heavyHitters(toks, "token", k = 64)
+        .orderBy(col("cnt").desc, col("token"))
+    },
     q("q_x_token_shards",
       "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>
       val withTok = Tables.documents(s, d)

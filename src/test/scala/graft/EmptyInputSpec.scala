@@ -53,4 +53,29 @@ class EmptyInputSpec extends SparkTestBase {
       Similarity.centroidVectors(Similarity.labelCentroids(
         emb.withColumn("label", lit(0))))).count() == 0)
   }
+
+  test("packing, mixture and heavy hitters tolerate empty and zero-token inputs") {
+    val noToks = Seq.empty[(Long, Long)].toDF("doc", "n_tokens")
+    assert(Corpus.packSequences(noToks, col("doc"), col("n_tokens"), 8L).count() == 0)
+    // all-zero token counts: nothing to pack, nothing thrown.
+    val zeroToks = Seq((1L, 0L), (2L, 0L)).toDF("doc", "n_tokens")
+    assert(Corpus.packSequences(zeroToks, col("doc"), col("n_tokens"), 8L).count() == 0)
+    val noStrata = Seq.empty[(String, String)].toDF("k", "st")
+    val plan = Corpus.temperatureMixPlan(noStrata, col("st"), budget = 100L)
+    assert(plan.count() == 0)
+    assert(Corpus.mixSample(noStrata, col("k"), col("st"), plan).count() == 0)
+    // budget 0 keeps nothing but still emits the full plan table.
+    val docs = Seq(("a", "s1"), ("b", "s2")).toDF("k", "st")
+    val zeroPlan = Corpus.temperatureMixPlan(docs, col("st"), budget = 0L)
+    assert(zeroPlan.count() == 2)
+    assert(Corpus.mixSample(docs, col("k"), col("st"), zeroPlan).count() == 0)
+    import graft.functions.CountMin
+    val noTokens = Seq.empty[Tuple1[String]].toDF("token")
+    assert(CountMin.heavyHitters(noTokens, "token", k = 4).count() == 0)
+    // a single repeated token is the 100% heavy hitter at any k.
+    val one = Seq.fill(5)(Tuple1("x")).toDF("token")
+    val hh = CountMin.heavyHitters(one, "token", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == Seq(("x", 5L)))
+  }
 }

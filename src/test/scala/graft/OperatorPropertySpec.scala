@@ -69,6 +69,88 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("packSequences fragments equal the driver-side stream walk; tokens conserved") {
+    val caseGen = for {
+      seqLen <- Gen.choose(1L, 20L)
+      ns <- Gen.listOfN(30, Gen.choose(0L, 50L))
+    } yield (seqLen, ns)
+    samples(caseGen, 8).foreach { case (seqLen, ns) =>
+      val rows = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val df = rows.toDF("doc", "n_tokens")
+      val got = Corpus.packSequences(df, col("doc"), col("n_tokens"), seqLen,
+          groupSize = 7L)
+        .select("doc", "seq", "start_in_seq", "n_seq_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // reference: walk the concatenated stream doc by doc.
+      var off = 0L
+      val want = rows.flatMap { case (doc, n) =>
+        val frags = if (n < 1) Seq.empty else
+          (off / seqLen to (off + n - 1) / seqLen).map { seq =>
+            val lo = math.max(off, seq * seqLen)
+            (doc, seq, lo - seq * seqLen,
+              math.min(off + n, (seq + 1) * seqLen) - lo)
+          }
+        off += n
+        frags
+      }.toSet
+      assert(got == want, s"seqLen=$seqLen ns=$ns")
+      // conservation: every token lands in exactly one fragment, and no
+      // sequence overflows its budget.
+      val bySeq = want.groupBy(_._2).values
+      assert(bySeq.forall(_.toSeq.map(_._4).sum <= seqLen))
+      assert(want.toSeq.map(_._4).sum == ns.sum)
+    }
+  }
+
+  test("temperatureMixPlan targets fit the budget; mixSample is the hash rule and nests") {
+    val caseGen = for {
+      budget <- Gen.choose(0L, 200L)
+      counts <- Gen.listOfN(4, Gen.choose(1, 60))
+    } yield (budget, counts)
+    samples(caseGen, 6).foreach { case (budget, counts) =>
+      val rows = counts.zipWithIndex.flatMap { case (c, s) =>
+        (0 until c).map(i => (s"s$s-$i", s"st$s"))
+      }
+      val df = rows.toDF("k", "stratum")
+      val plan = Corpus.temperatureMixPlan(df, col("stratum"), budget)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(plan.values.map(_._2).sum <= budget, s"targets exceed budget $budget")
+      assert(plan.values.forall { case (_, _, bps) => bps >= 0 && bps <= 10000 })
+      val planDf = Corpus.temperatureMixPlan(df, col("stratum"), budget)
+      val kept = Corpus.mixSample(df, col("k"), col("stratum"), planDf)
+        .select("k").collect().map(_.getString(0)).toSet
+      val want = rows.filter { case (k, st) =>
+        graft.llmops.PortableHash.hash52Jvm(k) % 10000 < plan(st)._3
+      }.map(_._1).toSet
+      assert(kept == want)
+      // nested: doubling the budget can only ADD rows (stable ablations).
+      val plan2 = Corpus.temperatureMixPlan(df, col("stratum"), budget * 2)
+      val kept2 = Corpus.mixSample(df, col("k"), col("stratum"), plan2)
+        .select("k").collect().map(_.getString(0)).toSet
+      assert(kept.subsetOf(kept2), "raising the budget dropped rows")
+    }
+  }
+
+  test("heavyHitters equals the exact two-agg answer for every k") {
+    import graft.functions.CountMin
+    val tokGen = Gen.listOfN(400, Gen.frequency(
+      5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      2 -> Gen.choose(0, 80).map(i => s"tail$i")))
+    samples(tokGen, 4).foreach { toks =>
+      val df = toks.map(Tuple1(_)).toDF("token")
+      Seq(2, 8, 64).foreach { k =>
+        val got = CountMin.heavyHitters(df, "token", k, w = 32)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val n = toks.size
+        val want = toks.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter { case (_, c) => c * k > n }.toMap
+        assert(got == want, s"k=$k")
+      }
+    }
+  }
+
   test("perGroup quantiles equal the driver-side sorted-rank reference") {
     val groupGen = Gen.listOfN(60, for {
       g <- Gen.choose(0L, 3L); v <- Gen.choose(-100L, 100L)

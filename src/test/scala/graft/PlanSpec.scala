@@ -168,6 +168,20 @@ class PlanSpec extends SparkTestBase {
     assert(ps.contains("LeftAnti"), s"expected an anti join in the scrub:\n$ps")
   }
 
+  test("heavy-hitter prune and mix-sample plans: broadcast-only small sides") {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(explode(split(trim(col("text")), " ")).as("token"))
+    val hh = plan(graft.functions.CountMin.heavyHitters(toks, "token", k = 64))
+    assert(hh.contains("BroadcastHashJoin") || hh.contains("BroadcastNestedLoopJoin"),
+      s"sketch and total must broadcast, never shuffle the token stream:\n$hh")
+    assert(!hh.contains("CartesianProduct") && !hh.contains("SortMergeJoin"),
+      s"no shuffled join may touch the occurrence stream:\n$hh")
+    val mixPlan = graft.llmops.Corpus.temperatureMixPlan(docs, col("lang"), 300L)
+    val mixed = plan(graft.llmops.Corpus.mixSample(docs, col("doc_id"), col("lang"), mixPlan))
+    assert(mixed.contains("BroadcastHashJoin") && !mixed.contains("SortMergeJoin"),
+      s"the strata plan table must broadcast onto the un-shuffled corpus:\n$mixed")
+  }
+
   test("CSV workbook path is compat-only: documented RDD fallback, file-order _rowno") {
     import graft.ingest.Workbook
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
