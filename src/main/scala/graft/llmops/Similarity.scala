@@ -287,4 +287,50 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("id"), col("label").as("pred"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its single nearest
+    * centroid cell, then run exact cosine only WITHIN each cell and keep
+    * pairs with `cos ≥ threshold`. Emits (id_a, id_b, cell, cos) with
+    * id_a < id_b. The cell assignment reuses [[ivfTopK]]'s shape —
+    * broadcast centroids, map-side `max_by` (ties → lowest cent_id), the
+    * corpus never shuffles to get its cell — and the pair stage is an
+    * equi-join on `cell`, so candidate work is Σ|cell|² (bounded by the
+    * coarse quantizer), never the |C|² all-pairs of [[cosinePairs]].
+    *
+    * This is deliberately the recall/cost midpoint between the exact
+    * quadratic baseline and banded LSH: within-cell recall is exact, and
+    * cross-cell near-dups are the accepted loss (the paper's finding:
+    * semantic duplicates co-locate in embedding space, so nearest-cell
+    * partitioning keeps almost all of them). Recall vs [[cosinePairs]] is
+    * spec-asserted; a 100 TB corpus pays one broadcast scan for
+    * assignment plus one cell-keyed shuffle.
+    */
+  def semDedupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+        corpus.filter(col(idCol) < nlist)
+          .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
+      .select(col("cent_id"), col("centvec"), l2norm(col("centvec")).as("centn"))
+    // norms as bound attributes BEFORE the join (see cosinePairs).
+    val scored = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        l2norm(col(vecCol)).as("cn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dot(col("cvec"), col("centvec")) / (col("cn") * col("centn")))
+    val assign = scored.groupBy("cid")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
+        first(col("cvec")).as("cvec"), first(col("cn")).as("cn"))
+    val a = assign.select(col("cell"), col("cid").as("id_a"),
+      col("cvec").as("va"), col("cn").as("na"))
+    val b = assign.select(col("cell"), col("cid").as("id_b"),
+      col("cvec").as("vb"), col("cn").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cell"), round(col("cos"), 6).as("cos"))
+  }
 }

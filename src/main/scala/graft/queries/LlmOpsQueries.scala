@@ -889,6 +889,51 @@ object LlmOpsQueries extends QueryModule {
           col("keep_bps"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("lang")
     },
+    // temperature mixture WITH REPLACEMENT (budget 600 > several strata
+    // counts, so tail langs genuinely upsample — copy_checksum > 0 proves
+    // multi-copy rows): per-row copies = cb/10000 guaranteed + one more by
+    // the hash rule. Same all-integer/exact-double arithmetic as
+    // q_x_source_mix → full hash-match oracle.
+    q("q_x_source_mix_upsample", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1), " +
+        "w AS (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM c), " +
+        "t AS (SELECT lang, c, CAST(floor(600.0 * (CAST(w AS DOUBLE) / CAST((SELECT CAST(sum(w) AS BIGINT) FROM w) AS DOUBLE))) AS BIGINT) AS target FROM w), " +
+        "r AS (SELECT d.doc_id, d.lang, t.c, t.target, CAST(floor(10000.0 * CAST(t.target AS DOUBLE) / CAST(t.c AS DOUBLE)) AS BIGINT) AS cb FROM documents d JOIN t ON t.lang = d.lang), " +
+        s"n AS (SELECT doc_id, lang, c, target, cb // 10000 + CASE WHEN $h % 10000 < cb % 10000 THEN 1 ELSE 0 END AS nc FROM r) " +
+        "SELECT lang, any_value(c) AS c, any_value(target) AS target, " +
+        "CAST(sum(nc) AS BIGINT) AS n_emitted, CAST(sum(nc * (nc - 1) // 2) AS BIGINT) AS copy_checksum " +
+        "FROM n GROUP BY lang ORDER BY lang"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val plan = Corpus.temperatureMixPlan(docs, col("lang"), budget = 600L)
+      Corpus.mixResample(docs, col("doc_id"), col("lang"), plan)
+        .join(plan.select(col("stratum"), col("c"), col("target")),
+          col("lang") === col("stratum"))
+        .groupBy("lang")
+        .agg(first("c").as("c"), first("target").as("target"),
+          count(lit(1)).as("n_emitted"), sum("copy").as("copy_checksum"))
+        .orderBy("lang")
+    },
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pairs found only
+    // WITHIN nearest-centroid cells — the equi-join-on-cell scale shape.
+    // Same deterministic centroid rule (vec_id < 16) and tie-breaks as
+    // q_x_ann_ivf, so the oracle replays assignment + within-cell cosine.
+    q("q_x_semdedup",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
+        "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+        "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+        "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+        "pairs AS (SELECT x.cid AS id_a, y.cid AS id_b, x.cell AS cell FROM assign x JOIN assign y ON x.cell = y.cell AND x.cid < y.cid), " +
+        "dots AS (SELECT p.id_a, p.id_b, p.cell, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b AND b.i = a.i GROUP BY 1, 2, 3) " +
+        "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, round(dot / (na * nb), 6) AS cos " +
+        "FROM dots WHERE dot / (na * nb) >= 0.4 ORDER BY 1, 2") { (s, d) =>
+      Similarity.semDedupPairs(Tables.embeddings(s, d), threshold = 0.4,
+          nlist = 16)
+        .orderBy("id_a", "id_b")
+    },
     // exact 1/k heavy hitters with a sketch-pruned shuffle (k = 64 over
     // the token stream): the CMS j=0 row prunes the long tail BEFORE the
     // exchange; CMS never undercounts, so the exact threshold filter on

@@ -47,7 +47,13 @@ object StressBench {
     // its scrub), the K-round BPE training loop (vocab-bounded — should be
     // near-flat in corpus size), and the sketch-state fold.
     "q_x_dedup_substring", "q_x_dedup_substring_scrub", "q_x_bpe_tokens",
-    "q_a12_sketch_state")
+    "q_a12_sketch_state",
+    // r5 batch 2: the packing prefix-sum spine, the sketch-pruned
+    // heavy-hitter shuffle, cell-bounded SemDeDup (worst case: replicas
+    // are exact semantic dups, so cells fill with true pairs), and the
+    // upsampling fan-out.
+    "q_x_pack_sequences", "q_x_heavy_hitters", "q_x_semdedup",
+    "q_x_source_mix_upsample")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

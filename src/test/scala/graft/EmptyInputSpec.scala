@@ -78,4 +78,19 @@ class EmptyInputSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(hh == Seq(("x", 5L)))
   }
+
+  test("semDedupPairs and mixResample tolerate empty and degenerate inputs") {
+    import graft.llmops.Similarity
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedupPairs(noVecs, threshold = 0.5).count() == 0)
+    // a single vector has no pair, whatever cell it lands in.
+    val oneVec = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semDedupPairs(oneVec, threshold = -1.0).count() == 0)
+    val docs = Seq(("a", "s1"), ("b", "s2")).toDF("k", "st")
+    val zeroPlan = Corpus.temperatureMixPlan(docs, col("st"), budget = 0L)
+    assert(Corpus.mixResample(docs, col("k"), col("st"), zeroPlan).count() == 0)
+    val empty = Seq.empty[(String, String)].toDF("k", "st")
+    val emptyPlan = Corpus.temperatureMixPlan(empty, col("st"), budget = 10L)
+    assert(Corpus.mixResample(empty, col("k"), col("st"), emptyPlan).count() == 0)
+  }
 }

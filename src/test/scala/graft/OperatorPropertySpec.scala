@@ -133,6 +133,81 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("semDedupPairs equals the driver-side assign-then-pair reference") {
+    import graft.llmops.Similarity
+    val vecGen = Gen.listOfN(14, Gen.listOfN(4,
+      Gen.choose(-1.0, 1.0).map(_.toFloat)))
+    samples(vecGen, 6).foreach { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val df = rows.toDF("vec_id", "embedding")
+      val nlist = 3
+      val tau = 0.2
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      val cents = rows.filter(_._1 < nlist)
+      val cell = rows.map { case (id, v) =>
+        id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .minBy { case (cid, c) => (-c, cid) }._1
+      }.toMap
+      val want = (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia < ib && cell(ia) == cell(ib) && cos(va, vb) >= tau
+      } yield (ia, ib, cell(ia))).toSet
+      val got = Similarity.semDedupPairs(df, threshold = tau, nlist = nlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"vecs=${rows.map(_._1)}")
+      // subset of the exact quadratic baseline at the same threshold —
+      // the only loss is cross-cell pairs, never a wrong pair.
+      val allPairs = Similarity.cosinePairs(df, threshold = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.map(p => (p._1, p._2)).subsetOf(allPairs))
+    }
+  }
+
+  test("mixResample replays the copy rule exactly and is monotone in the budget") {
+    val caseGen = for {
+      budget <- Gen.choose(0L, 300L)
+      counts <- Gen.listOfN(3, Gen.choose(1, 40))
+    } yield (budget, counts)
+    samples(caseGen, 6).foreach { case (budget, counts) =>
+      val rows = counts.zipWithIndex.flatMap { case (c, s) =>
+        (0 until c).map(i => (s"s$s-$i", s"st$s"))
+      }
+      val df = rows.toDF("k", "stratum")
+      def emitted(b: Long): Map[String, Long] = {
+        val plan = Corpus.temperatureMixPlan(df, col("stratum"), b)
+        Corpus.mixResample(df, col("k"), col("stratum"), plan)
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val got = emitted(budget)
+      // driver replay of the plan arithmetic and per-row copy rule.
+      val plan = Corpus.temperatureMixPlan(df, col("stratum"), budget)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = rows.flatMap { case (k, st) =>
+        val (c, target) = plan(st)
+        val cb = math.floor(10000.0 * target / c).toLong
+        val n = cb / 10000 +
+          (if (graft.llmops.PortableHash.hash52Jvm(k) % 10000 < cb % 10000) 1L else 0L)
+        if (n >= 1) Some(k -> n) else None
+      }.toMap
+      assert(got == want, s"budget=$budget counts=$counts")
+      // per-stratum emitted totals land within one-per-row of the target.
+      plan.foreach { case (st, (c, target)) =>
+        val n = rows.filter(_._2 == st).map(r => got.getOrElse(r._1, 0L)).sum
+        assert(math.abs(n - target) <= c, s"stratum $st: emitted $n target $target")
+      }
+      // doubling the budget never reduces any row's copy count.
+      val got2 = emitted(budget * 2)
+      assert(rows.forall { case (k, _) =>
+        got2.getOrElse(k, 0L) >= got.getOrElse(k, 0L) }, "copies shrank")
+    }
+  }
+
   test("heavyHitters equals the exact two-agg answer for every k") {
     import graft.functions.CountMin
     val tokGen = Gen.listOfN(400, Gen.frequency(

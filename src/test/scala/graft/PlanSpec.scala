@@ -180,6 +180,24 @@ class PlanSpec extends SparkTestBase {
     val mixed = plan(graft.llmops.Corpus.mixSample(docs, col("doc_id"), col("lang"), mixPlan))
     assert(mixed.contains("BroadcastHashJoin") && !mixed.contains("SortMergeJoin"),
       s"the strata plan table must broadcast onto the un-shuffled corpus:\n$mixed")
+    // upsampling: same broadcast plan side; the fan-out is a narrow
+    // Generate (explode), never a shuffle of the corpus.
+    val up = plan(graft.llmops.Corpus.mixResample(docs, col("doc_id"), col("lang"), mixPlan))
+    assert(up.contains("BroadcastHashJoin") && !up.contains("SortMergeJoin"),
+      s"upsample plan must broadcast the plan table:\n$up")
+    assert(up.contains("Generate"), s"expected the explode fan-out:\n$up")
+  }
+
+  test("semDedup plan: broadcast centroids for assignment, equi-join on cell for pairs") {
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(graft.llmops.Similarity.semDedupPairs(emb, threshold = 0.4, nlist = 16))
+    // centroid scoring must broadcast (BroadcastNestedLoopJoin from the
+    // bounded crossJoin); the pair stage must be an equi-join on cell —
+    // never a cartesian product over the corpus.
+    assert(!p.contains("CartesianProduct"),
+      s"semDedup must never go all-pairs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast to the corpus scan:\n$p")
   }
 
   test("CSV workbook path is compat-only: documented RDD fallback, file-order _rowno") {
