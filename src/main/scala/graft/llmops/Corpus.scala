@@ -310,6 +310,41 @@ object Corpus {
     * `10000.0·target` is exact for any target < 2⁴⁹, far beyond a row
     * budget.
     */
+  /** Deterministic global training order: rank every row by
+    * (hash52(key), key) — a pseudo-random but fully reproducible
+    * permutation of the corpus, the "shuffle the data before sharding /
+    * curriculum" step every training run needs. `outCol` is the dense
+    * 0-based position; feed it to [[tokenShards]] or [[packSequences]]
+    * as the order column to get shuffled shards. `keyCol` must be unique
+    * (it is the tie-break that makes the order total).
+    *
+    * Scale: the classic two-pass global rank — hash52 is uniform on
+    * [0, 2⁵²), so fixed-width hash buckets are balanced by construction:
+    * within-bucket rank is a PARTITIONED window (never a single-partition
+    * global window), bucket offsets are an nBuckets-row cumulative table
+    * broadcast back. Same spine as [[withStreamOffset]], keyed by the
+    * hash instead of a given numeric order.
+    */
+  def trainingOrder(df: DataFrame, keyCol: Column, outCol: String = "ord",
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1)
+    val reserved = Seq("__h", "__g", "__rn", "__off", outCol)
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry reserved columns ${reserved.mkString(", ")}")
+    val width = math.max(1L, (1L << 52) / nBuckets)
+    val withG = df.withColumn("__h", PortableHash.hash52(keyCol.cast("string")))
+      .withColumn("__g", floor(col("__h") / width).cast("long"))
+    val inB = Window.partitionBy("__g").orderBy(col("__h"), keyCol)
+    val offsets = withG.groupBy("__g").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__g", "__off")
+    withG.withColumn("__rn", row_number().over(inB).cast("long"))
+      .join(broadcast(offsets), Seq("__g"))
+      .withColumn(outCol, col("__off") + col("__rn") - 1)
+      .drop("__h", "__g", "__rn", "__off")
+  }
+
   def mixResample(df: DataFrame, keyCol: Column, stratumCol: Column,
       plan: DataFrame): DataFrame = {
     require(!df.columns.contains("copy"),

@@ -217,6 +217,41 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Fractional decontamination (the graded FLAN/PaLM-style rule): a
+    * training document is contaminated iff MORE THAN `maxOverlap` of its
+    * distinct n-gram shingles appear anywhere in the benchmark suite —
+    * the binary any-hit rule of [[decontaminate]] is too aggressive on
+    * incidental shared phrases; the overlap FRACTION separates verbatim
+    * leakage from common n-grams. Returns one row per training doc:
+    * (doc, n_shingles, n_hit, overlap_frac, contaminated). Docs shorter
+    * than n tokens have no shingles and score 0.
+    *
+    * Scale: identical shape to [[decontaminate]] — one pass over
+    * training shingles against the broadcast (or shuffled, see
+    * `broadcastBench`) benchmark set; the extra per-doc denominator
+    * rides the same aggregation, so the fraction costs nothing more.
+    */
+  def contaminationScore(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, maxOverlap: Double = 0.1,
+      broadcastBench: Boolean = true): DataFrame = {
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
+    val benchSh0 = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+      .select("s").distinct().withColumn("__hit", lit(1))
+    val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
+    val perDoc = trainSh.join(benchSh, Seq("s"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+    val frac = col("n_hit").cast("double") / col("n_shingles").cast("double")
+    train.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(frac, lit(0.0)), 6).as("overlap_frac"),
+        coalesce(frac > maxOverlap, lit(false)).as("contaminated"))
+  }
+
   /** Cross-corpus MinHash near-dup: the INCREMENTAL dedup shape — flag
     * each document of a NEW batch that near-duplicates the EXISTING
     * corpus, without ever self-joining either side. Same signatures,

@@ -166,6 +166,22 @@ object LlmOpsQueries extends QueryModule {
       "sims AS (SELECT qid, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM dots) " +
       "SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= 5 ORDER BY qid, rn"
 
+  /** DuckDB mirror of Similarity.semDedupPairs (nlist = 16, τ = 0.4,
+    * default centroid rule vec_id < 16): nearest-cell assignment exactly
+    * as ivfOracleSql, then exact cosine restricted to within-cell pairs.
+    */
+  private val semDedupOracleSql: String =
+    "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+      "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+      "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
+      "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+      "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+      "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+      "cpairs AS (SELECT x.cid AS id_a, y.cid AS id_b, x.cell AS cell FROM assign x JOIN assign y ON x.cell = y.cell AND x.cid < y.cid), " +
+      "cdots2 AS (SELECT p.id_a, p.id_b, p.cell, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb FROM cpairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b AND b.i = a.i GROUP BY 1, 2, 3) " +
+      "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, round(dot / (na * nb), 6) AS cos " +
+      "FROM cdots2 WHERE dot / (na * nb) >= 0.4"
+
   /** DuckDB mirror of TextAnalysis.withLangId — same profiles, same
     * score-then-lang (descending) argmax tie-break.
     */
@@ -920,19 +936,29 @@ object LlmOpsQueries extends QueryModule {
     // Same deterministic centroid rule (vec_id < 16) and tie-breaks as
     // q_x_ann_ivf, so the oracle replays assignment + within-cell cosine.
     q("q_x_semdedup",
-      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
-        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
-        "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
-        "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
-        "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
-        "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
-        "pairs AS (SELECT x.cid AS id_a, y.cid AS id_b, x.cell AS cell FROM assign x JOIN assign y ON x.cell = y.cell AND x.cid < y.cid), " +
-        "dots AS (SELECT p.id_a, p.id_b, p.cell, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e b ON b.vec_id = p.id_b AND b.i = a.i GROUP BY 1, 2, 3) " +
-        "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, round(dot / (na * nb), 6) AS cos " +
-        "FROM dots WHERE dot / (na * nb) >= 0.4 ORDER BY 1, 2") { (s, d) =>
+      s"SELECT id_a, id_b, cell, cos FROM ($semDedupOracleSql) sd ORDER BY 1, 2") { (s, d) =>
       Similarity.semDedupPairs(Tables.embeddings(s, d), threshold = 0.4,
           nlist = 16)
         .orderBy("id_a", "id_b")
+    },
+    // end-to-end semantic dedup: SemDeDup pairs → connected components →
+    // per-vector survivor flag, the same decision-table shape as
+    // q_x_dedup_clusters but over the embedding space. The oracle feeds
+    // the pair oracle above into the same recursive reachability CTE.
+    q("q_x_semdedup_survivors",
+      s"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($semDedupOracleSql) sd), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v) " +
+        "SELECT e.vec_id AS doc, coalesce(c.cluster, e.vec_id) AS cluster, " +
+        "coalesce(c.cluster, e.vec_id) = e.vec_id AS is_survivor " +
+        "FROM embeddings e LEFT JOIN comp c ON c.v = e.vec_id ORDER BY doc") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.semDedupPairs(emb, threshold = 0.4, nlist = 16)
+      val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      Dedup.dedupSurvivors(emb.withColumnRenamed("vec_id", "doc_id"),
+          "doc_id", clusters)
+        .orderBy("doc")
     },
     // exact 1/k heavy hitters with a sketch-pruned shuffle (k = 64 over
     // the token stream): the CMS j=0 row prunes the long tail BEFORE the
@@ -948,6 +974,41 @@ object LlmOpsQueries extends QueryModule {
         .select(explode(split(trim(col("text")), " ")).as("token"))
       CountMin.heavyHitters(toks, "token", k = 64)
         .orderBy(col("cnt").desc, col("token"))
+    },
+    // graded decontamination: overlap FRACTION of each training doc's
+    // distinct 5-gram shingles against the benchmark set, contaminated
+    // iff frac > 0.1 — the FLAN/PaLM-style rule that separates verbatim
+    // leakage from incidental shared phrases. Same even/odd split and
+    // shingle definition as q_x_decontaminate.
+    q("q_x_contamination_frac",
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 5), " +
+        "bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 1), " +
+        "tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 0), " +
+        "agg AS (SELECT doc_id, count(*) AS n_sh, count(CASE WHEN s IN (SELECT s FROM bench) THEN 1 END) AS n_hit FROM tr GROUP BY 1) " +
+        "SELECT d.doc_id AS doc, CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_shingles, " +
+        "CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit, " +
+        "round(coalesce(CAST(a.n_hit AS DOUBLE) / a.n_sh, 0), 6) AS overlap_frac, " +
+        "coalesce(CAST(a.n_hit AS DOUBLE) / a.n_sh > 0.1, false) AS contaminated " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d " +
+        "LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationScore(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5, maxOverlap = 0.1)
+        .orderBy("doc")
+    },
+    // deterministic global shuffle order (the pre-sharding corpus
+    // shuffle): rank by (hash52(doc_id), doc_id) via the two-pass
+    // partitioned-window + broadcast-offsets global rank — the oracle is
+    // the single global window DuckDB can afford at oracle scale.
+    q("q_x_shuffle_order", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      s"SELECT doc_id, CAST(row_number() OVER (ORDER BY $h, doc_id) - 1 AS BIGINT) AS ord " +
+        "FROM documents ORDER BY doc_id"
+    }) { (s, d) =>
+      Corpus.trainingOrder(Tables.documents(s, d), col("doc_id"))
+        .select("doc_id", "ord")
+        .orderBy("doc_id")
     },
     q("q_x_token_shards",
       "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>

@@ -92,5 +92,11 @@ class EmptyInputSpec extends SparkTestBase {
     val empty = Seq.empty[(String, String)].toDF("k", "st")
     val emptyPlan = Corpus.temperatureMixPlan(empty, col("st"), budget = 10L)
     assert(Corpus.mixResample(empty, col("k"), col("st"), emptyPlan).count() == 0)
+    assert(Corpus.trainingOrder(
+      Seq.empty[Tuple1[Long]].toDF("k"), col("k")).count() == 0)
+    // a single row gets ord 0 whatever bucket its hash lands in.
+    val oneRow = Corpus.trainingOrder(Seq(Tuple1(7L)).toDF("k"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(oneRow == Seq((7L, 0L)))
   }
 }

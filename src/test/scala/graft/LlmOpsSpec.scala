@@ -562,6 +562,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out == Map(0L -> (1L, true), 2L -> (0L, false), 4L -> (0L, false)))
   }
 
+  test("contamination fraction grades overlap and agrees with the binary rule at 0") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five six"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val bench = Seq((1L, "xx alpha beta gamma delta epsilon yy")).toDF("doc_id", "text")
+    // doc 0 has 3 shingles, exactly 1 shared → frac 1/3: above 0.3, not 0.4.
+    val out = Dedup.contaminationScore(train, bench, "doc_id", "text",
+        n = 5, maxOverlap = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out == Map(0L -> ((3L, 1L, 0.333333, true)),
+      2L -> ((2L, 0L, 0.0, false)), 4L -> ((0L, 0L, 0.0, false))))
+    val strict = Dedup.contaminationScore(train, bench, "doc_id", "text",
+        n = 5, maxOverlap = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(strict == Map(0L -> false, 2L -> false, 4L -> false))
+    // at maxOverlap = 0 the graded rule degenerates to the binary any-hit
+    // rule — same flags as decontaminate on the real corpus split.
+    val tr = docs.filter(col("doc_id") % 2 === 0)
+    val be = docs.filter(col("doc_id") % 2 === 1)
+    val graded = Dedup.contaminationScore(tr, be, "doc_id", "text", n = 5,
+        maxOverlap = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val binary = Dedup.decontaminate(tr, be, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(graded == binary)
+  }
+
   test("token chunking: boundaries, overlap, and short-tail coverage hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._

@@ -208,6 +208,23 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("trainingOrder is the exact hash-sort permutation at every bucket count") {
+    val keyGen = Gen.listOfN(50, Gen.choose(0L, 100000L)).map(_.distinct)
+    samples(keyGen, 5).foreach { keys =>
+      val df = keys.map(Tuple1(_)).toDF("k")
+      val want = keys.sortBy(k =>
+          (graft.llmops.PortableHash.hash52Jvm(k.toString), k))
+        .zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+      // bucket counts from degenerate (1 = one giant bucket) to sparse
+      // (far more buckets than rows): the rank must never change.
+      Seq(1, 16, 1024).foreach { nb =>
+        val got = Corpus.trainingOrder(df, col("k"), nBuckets = nb)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"nBuckets=$nb keys=${keys.take(5)}...")
+      }
+    }
+  }
+
   test("heavyHitters equals the exact two-agg answer for every k") {
     import graft.functions.CountMin
     val tokGen = Gen.listOfN(400, Gen.frequency(

@@ -188,6 +188,17 @@ class PlanSpec extends SparkTestBase {
     assert(up.contains("Generate"), s"expected the explode fan-out:\n$up")
   }
 
+  test("trainingOrder plan: partitioned windows only, offsets broadcast") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(graft.llmops.Corpus.trainingOrder(docs, col("doc_id")))
+    // the data-bearing window is partitioned by hash bucket; the only
+    // unpartitioned window runs over the nBuckets-row offsets table,
+    // which must come back via broadcast — the corpus never funnels
+    // through one partition.
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"bucket offsets must broadcast onto the ranked corpus:\n$p")
+  }
+
   test("semDedup plan: broadcast centroids for assignment, equi-join on cell for pairs") {
     val emb = Tables.embeddings(spark, dir)
     val p = plan(graft.llmops.Similarity.semDedupPairs(emb, threshold = 0.4, nlist = 16))
