@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -52,6 +53,48 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * local fingerprinting scheme): hash every token k-gram, slide a
+    * w-gram window, and select each window's minimum hash (ties → the
+    * LEFTMOST position, deterministic). Guarantees: any shared token run
+    * of length ≥ w + k − 1 between two documents produces at least one
+    * IDENTICAL selected (fingerprint, offset-invariant) — the local
+    * analog of [[fingerprint]], which only catches whole-document dups.
+    * Expected density ≈ 2/(w+1) of grams, so output is a small fraction
+    * of the corpus. Documents with fewer than w grams contribute their
+    * single global minimum; fewer than k tokens → no fingerprints.
+    * Returns distinct (doc, pos, fp).
+    *
+    * Scale: one pass — the gram hashes and both window aggregates ride
+    * the SAME per-doc sort (one Exchange + sort, three window functions,
+    * no join); the final distinct is a fraction-of-corpus shuffle. Never
+    * quadratic, never a cross join; matching fingerprints downstream is
+    * an equi-join on fp exactly like the substring-dedup seed join.
+    */
+  def winnowing(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(wsTokens(col(textCol))).as(Seq("pos", "tok")))
+    val wTok = Window.partitionBy("doc").orderBy("pos")
+    val leads = (1 until k).map(i => lead(col("tok"), i).over(wTok).as(s"_t$i"))
+    val grams = toks.select(col("doc") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(if (k == 1) lit(true) else col(s"_t${k - 1}").isNotNull)
+      .select(col("doc"), col("pos"), PortableHash.hash52(concat_ws(" ",
+        col("tok") +: (1 until k).map(i => col(s"_t$i")): _*)).as("h"))
+    val frame = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__mn", min(struct(col("h"), col("pos"))).over(frame))
+      .withColumn("__cnt", count(lit(1)).over(frame))
+      // valid window starts: full w-gram windows, plus the single
+      // truncated window at pos 0 when the doc has fewer than w grams.
+      .filter(col("__cnt") === w || (col("pos") === 0 && col("__cnt") < w))
+      .select(col("doc"), col("__mn")("pos").cast("long").as("pos"),
+        col("__mn")("h").as("fp"))
+      .distinct()
+  }
 
   /** Per-document top-k TF-IDF terms (lowercased whitespace tokens,
     * smoothed idf = ln((N+1)/(df+1)) + 1). Two shuffles: term-frequency

@@ -236,6 +236,27 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("fp")
     },
 
+    // winnowing local fingerprints (MOSS, k=3-gram hashes, w=4 windows,
+    // leftmost-min tie-break): any shared token run >= w+k-1 yields an
+    // identical selected fingerprint. The oracle states the same
+    // window-min definition via a start/gram join.
+    q("q_x_winnow_fingerprints", {
+      val h = graft.llmops.PortableHash.duckHash52(
+        "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")
+      "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks FROM t WHERE len(toks) >= 3), " +
+        s"gh AS (SELECT doc_id, i - 1 AS pos, $h AS h FROM g), " +
+        "m AS (SELECT doc_id, count(*) AS m FROM gh GROUP BY 1), " +
+        "starts AS (SELECT gh.doc_id, gh.pos AS s FROM gh JOIN m USING (doc_id) WHERE gh.pos <= m.m - 4 OR (gh.pos = 0 AND m.m < 4)), " +
+        "j AS (SELECT st.doc_id, st.s, gh.pos, gh.h FROM starts st JOIN gh ON gh.doc_id = st.doc_id AND gh.pos BETWEEN st.s AND st.s + 3), " +
+        "mn AS (SELECT doc_id, s, min(h) AS mh FROM j GROUP BY 1, 2), " +
+        "sel AS (SELECT j.doc_id, j.s, mn.mh, min(j.pos) AS pos FROM j JOIN mn ON mn.doc_id = j.doc_id AND mn.s = j.s AND j.h = mn.mh GROUP BY 1, 2, 3) " +
+        "SELECT DISTINCT doc_id AS doc, CAST(pos AS BIGINT) AS pos, mh AS fp FROM sel ORDER BY doc, pos"
+    }) { (s, d) =>
+      TextAnalysis.winnowing(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy("doc", "pos")
+    },
     // Gopher-style within-document repetition: char fraction of the top
     // word 2-gram and of all duplicated 2-grams (explode → two keyed
     // aggregations — linear, never the per-doc quadratic array compare)

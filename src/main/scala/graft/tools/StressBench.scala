@@ -53,7 +53,11 @@ object StressBench {
     // are exact semantic dups, so cells fill with true pairs), and the
     // upsampling fan-out.
     "q_x_pack_sequences", "q_x_heavy_hitters", "q_x_semdedup",
-    "q_x_source_mix_upsample")
+    "q_x_source_mix_upsample",
+    // r5 batch 3: the two-pass global rank, the cell-bounded dedup
+    // end-to-end (pairs + CC + survivors), and the graded
+    // decontamination pass.
+    "q_x_shuffle_order", "q_x_semdedup_survivors", "q_x_contamination_frac")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -98,5 +98,15 @@ class EmptyInputSpec extends SparkTestBase {
     val oneRow = Corpus.trainingOrder(Seq(Tuple1(7L)).toDF("k"), col("k"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(oneRow == Seq((7L, 0L)))
+    // winnowing: no docs / docs shorter than k → no fingerprints; a doc
+    // with fewer than w grams still yields its single global minimum.
+    import graft.llmops.TextAnalysis
+    assert(TextAnalysis.winnowing(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+    assert(TextAnalysis.winnowing(
+      Seq((1L, "just two")).toDF("doc_id", "text"), "doc_id", "text", k = 3).count() == 0)
+    assert(TextAnalysis.winnowing(
+      Seq((1L, "one two three four")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, w = 4).count() == 1)
   }
 }

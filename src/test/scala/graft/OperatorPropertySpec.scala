@@ -225,6 +225,39 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("winnowing equals the window-min reference; shared runs share a fingerprint") {
+    import graft.llmops.{PortableHash, TextAnalysis}
+    val docGen = Gen.zip(Gen.choose(0, 30), Gen.choose(0, 30))
+    samples(docGen, 6).foreach { case (n1, n2) =>
+      // a shared run of exactly w + k - 1 = 6 tokens at different offsets:
+      // the winnowing guarantee says both docs select its window-min gram.
+      val shared = (0 until 6).map(i => s"sh$i")
+      val d1 = ((0 until n1).map(i => s"a$i") ++ shared).mkString(" ")
+      val d2 = (shared ++ (0 until n2).map(i => s"b$i")).mkString(" ")
+      val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val got = TextAnalysis.winnowing(df, "doc_id", "text", k = 3, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def ref(doc: Long, toks: Seq[String]): Set[(Long, Long, Long)] = {
+        val grams = toks.sliding(3).filter(_.size == 3).zipWithIndex
+          .map { case (g, p) => (p.toLong, PortableHash.hash52Jvm(g.mkString(" "))) }
+          .toSeq
+        if (grams.isEmpty) Set.empty
+        else {
+          val starts = if (grams.size < 4) Seq(0) else 0 to (grams.size - 4)
+          starts.map { s =>
+            val (p, h) = grams.slice(s, s + 4).minBy { case (p, h) => (h, p) }
+            (doc, p, h)
+          }.toSet
+        }
+      }
+      val want = ref(1L, d1.split(" ").toSeq) ++ ref(2L, d2.split(" ").toSeq)
+      assert(got == want, s"n1=$n1 n2=$n2")
+      val f1 = got.collect { case (1L, _, f) => f }
+      val f2 = got.collect { case (2L, _, f) => f }
+      assert(f1.intersect(f2).nonEmpty, "shared run produced no common fingerprint")
+    }
+  }
+
   test("heavyHitters equals the exact two-agg answer for every k") {
     import graft.functions.CountMin
     val tokGen = Gen.listOfN(400, Gen.frequency(
