@@ -323,7 +323,10 @@ object Corpus {
     * within-bucket rank is a PARTITIONED window (never a single-partition
     * global window), bucket offsets are an nBuckets-row cumulative table
     * broadcast back. Same spine as [[withStreamOffset]], keyed by the
-    * hash instead of a given numeric order.
+    * hash instead of a given numeric order. Size `nBuckets` ≈
+    * rows / target-partition-rows: each bucket is one window partition,
+    * so the default 1024 is right up to ~10⁹ rows; a 100 TB corpus wants
+    * 10⁵–10⁶ buckets (the offset table stays trivially broadcastable).
     */
   def trainingOrder(df: DataFrame, keyCol: Column, outCol: String = "ord",
       nBuckets: Int = 1024): DataFrame = {

@@ -305,6 +305,12 @@ object Similarity {
     * partitioning keeps almost all of them). Recall vs [[cosinePairs]] is
     * spec-asserted; a 100 TB corpus pays one broadcast scan for
     * assignment plus one cell-keyed shuffle.
+    *
+    * SIZE THE QUANTIZER: `nlist` must grow with the corpus — Σ|cell|² is
+    * only sub-quadratic while cells stay bounded, so pick nlist ≈
+    * |C| / desired-cell-size (the paper uses ~100k clusters for
+    * web-scale corpora; 16 here is oracle-scale). Pass trained centroids
+    * for real data, exactly as [[ivfTopK]] does.
     */
   def semDedupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
