@@ -71,6 +71,37 @@ object Corpus {
     df.withColumn(outCol, expr)
   }
 
+  /** Leakage-safe split: assign train/valid/test by the document's
+    * near-duplicate CLUSTER label, not by the document itself, so two
+    * near-duplicates can never straddle a split boundary — the classic
+    * eval-contamination bug ([[withSplit]] hashes each doc independently,
+    * so a 0.9-Jaccard twin of a training document lands in test 20% of
+    * the time). `clusters` is the `(v, cluster)` labeling from
+    * [[Dedup.resolveClusters]] / [[Dedup.connectedComponentsStars]];
+    * documents absent from it are singletons and fall back to their own
+    * key — the same hash mechanism, so with an empty cluster table this
+    * degrades exactly to [[withSplit]].
+    *
+    * The effective split key is exposed as `split_key` so downstream
+    * audits can verify the no-straddle invariant with one groupBy.
+    *
+    * Scale: one equi-join corpus⋈clusters (the cluster table has at most
+    * one row per PAIRED document — usually far smaller than the corpus,
+    * often broadcastable), then the split decision is the same codegen'd
+    * hash expression as [[withSplit]]. No window, no driver state.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      splits: Seq[(String, Int)], outCol: String = "split"): DataFrame = {
+    require(!docs.columns.contains("split_key") && !docs.columns.contains("__lscl"),
+      "leakageSafeSplit reserves columns split_key and __lscl")
+    val eff = docs
+      .join(clusters.select(col("v").as(idCol), col("cluster").as("__lscl")),
+        Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("__lscl"), col(idCol)))
+      .drop("__lscl")
+    withSplit(eff, col("split_key"), splits, outCol)
+  }
+
   /** Sliding token-window chunking: split each document into chunks of
     * `window` tokens starting every `stride` tokens (stride < window ⇒
     * overlap — the long-context / RAG-indexing shape). One narrow

@@ -693,6 +693,28 @@ object LlmOpsQueries extends QueryModule {
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
+    // leakage-safe split: the split key is the near-dup CLUSTER label
+    // (minhash pairs → connected components), so near-duplicate documents
+    // can never straddle train/test — the eval-contamination guard a
+    // per-document hash split lacks. The oracle re-derives the same
+    // clusters (recursive reachability CTE, as in q_x_dedup_clusters) and
+    // applies the same hash-bucket CASE over the cluster key.
+    q("q_x_split_leakage_safe",
+      s"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($minHashOracleSql) mh), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
+        "eff AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS split_key FROM documents d LEFT JOIN comp c ON c.v = d.doc_id) " +
+        "SELECT doc_id, split_key, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split " +
+        s"FROM (SELECT doc_id, split_key, ${graft.llmops.PortableHash.duckHash52("CAST(split_key AS VARCHAR)")} % 10000 AS b FROM eff) ORDER BY doc_id") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      Corpus.leakageSafeSplit(docs.select("doc_id"), "doc_id", clusters,
+          Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    },
     // train/valid/test split assignment by hash bucket (80/10/10)
     q("q_x_split_assign",
       s"SELECT split, CAST(count(*) AS BIGINT) AS n FROM (SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split FROM (SELECT ${graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")} % 10000 AS b FROM documents)) GROUP BY 1 ORDER BY 1") { (s, d) =>

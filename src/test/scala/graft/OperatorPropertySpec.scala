@@ -225,6 +225,36 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("leakageSafeSplit never straddles a cluster and degrades to withSplit") {
+    val splits = Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)
+    val docs = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    // docs 0..49 grouped into clusters of 5 (rep = floor(v/5)*5), the rest
+    // singletons — mixes multi-member clusters with the fallback path.
+    val clusters = (0L until 50L).map(v => (v, v - v % 5)).toDF("v", "cluster")
+    val out = Corpus.leakageSafeSplit(docs, "doc_id", clusters, splits)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 200)
+    rows.foreach { case (doc, key, split) =>
+      val expectKey = if (doc < 50) doc - doc % 5 else doc
+      assert(key == expectKey, s"doc=$doc")
+      val b = graft.llmops.PortableHash.hash52Jvm(expectKey.toString) % 10000
+      val want = if (b < 8000) "train" else if (b < 9000) "valid" else "test"
+      assert(split == want, s"doc=$doc")
+    }
+    // the audit invariant: one split per split_key, so cluster members
+    // (sharing a key) can never straddle a boundary
+    assert(out.groupBy("split_key").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).isEmpty)
+    // empty cluster table ⇒ exactly withSplit
+    val degen = Corpus.leakageSafeSplit(docs, "doc_id",
+        Seq.empty[(Long, Long)].toDF("v", "cluster"), splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = Corpus.withSplit(docs, col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(degen == plain)
+  }
+
   test("winnowing equals the window-min reference; shared runs share a fingerprint") {
     import graft.llmops.{PortableHash, TextAnalysis}
     val docGen = Gen.zip(Gen.choose(0, 30), Gen.choose(0, 30))
