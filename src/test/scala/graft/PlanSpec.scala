@@ -188,6 +188,21 @@ class PlanSpec extends SparkTestBase {
     assert(up.contains("Generate"), s"expected the explode fan-out:\n$up")
   }
 
+  test("leakageSafeSplit plan: cluster table broadcasts, corpus never shuffles") {
+    val docs = Tables.documents(spark, dir)
+    // a realistic dedup output: far fewer rows than the corpus — the
+    // optimizer must broadcast it onto the un-shuffled corpus and keep
+    // the split decision a codegen'd projection.
+    val clusters = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("v"), (col("doc_id") - col("doc_id") % 20).as("cluster"))
+    val p = plan(graft.llmops.Corpus.leakageSafeSplit(docs.select("doc_id"),
+      "doc_id", clusters, Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"cluster labels must broadcast onto the corpus:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"the corpus side must not shuffle for the split join:\n$p")
+  }
+
   test("trainingOrder plan: partitioned windows only, offsets broadcast") {
     val docs = Tables.documents(spark, dir)
     val p = plan(graft.llmops.Corpus.trainingOrder(docs, col("doc_id")))
