@@ -168,9 +168,22 @@ object Ingest {
     // (id, label, tenant, key, props, _ord) / (src, dst, relType, tenant,
     // props, _ord) order via Graph.nodesFrom*/edgesFrom*, and positional
     // union skips the per-call by-name resolution pass (26 calls here).
+    // Positional union is only safe when every builder really did emit the
+    // canonical order — node/edge columns are mostly same-typed strings, so
+    // a misordered frame would misalign SILENTLY. One cheap name check per
+    // frame turns that data corruption into a loud error.
+    def checked(frames: Seq[DataFrame], what: String): DataFrame = {
+      val canon = frames.head.columns.toSeq
+      frames.foreach { f =>
+        require(f.columns.toSeq == canon,
+          s"$what builder emitted columns ${f.columns.mkString("(", ",", ")")}; " +
+            s"positional union requires the canonical ${canon.mkString("(", ",", ")")}")
+      }
+      frames.reduce(_ union _)
+    }
     assemble(
-      parts.map(_._1).reduce(_ union _).localCheckpoint(true),
-      parts.map(_._2).reduce(_ union _).localCheckpoint(true))
+      checked(parts.map(_._1), "node").localCheckpoint(true),
+      checked(parts.map(_._2), "edge").localCheckpoint(true))
   }
 
   /** Merge node/edge contributions: props are last-writer-wins per

@@ -320,27 +320,6 @@ object Corpus {
       .filter(PortableHash.hash52(keyCol.cast("string")) % 10000 < col("__mix_bps"))
       .drop("__mix_stratum", "__mix_bps")
 
-  /** Apply a [[temperatureMixPlan]] WITH REPLACEMENT (upsampling): where
-    * [[mixSample]] can only keep or drop (targets above a stratum's count
-    * are clamped by `keep_bps ≤ 10000`), this emits each row
-    * `floor(cb/10000)` times plus one more iff `hash(key) % 10000 <
-    * cb % 10000`, where `cb = floor(10000·target/c)` is the stratum's
-    * copy rate in basis points (> 10000 ⇒ guaranteed repetition) — the
-    * "epoch low-resource languages more than once" move of every
-    * multilingual pretraining mix. Output gains a 0-based `copy` index
-    * column; per-stratum emitted count is within one per row of `target`.
-    *
-    * Determinism and nesting carry over from [[hashSample]]: the decision
-    * is the key hash, never RNG, so results are partition-invariant, and
-    * a bigger budget (target is monotone in it) can only raise `cb` and
-    * therefore per-row copy counts — existing copies never vanish.
-    *
-    * Scale: the plan side is strata-sized → broadcast join; the fan-out
-    * is a narrow codegen'd `explode(sequence(...))` bounded by
-    * `cb/10000 + 1` per row — no shuffle anywhere. Exact-double safety:
-    * `10000.0·target` is exact for any target < 2⁴⁹, far beyond a row
-    * budget.
-    */
   /** Deterministic global training order: rank every row by
     * (hash52(key), key) — a pseudo-random but fully reproducible
     * permutation of the corpus, the "shuffle the data before sharding /
@@ -379,6 +358,27 @@ object Corpus {
       .drop("__h", "__g", "__rn", "__off")
   }
 
+  /** Apply a [[temperatureMixPlan]] WITH REPLACEMENT (upsampling): where
+    * [[mixSample]] can only keep or drop (targets above a stratum's count
+    * are clamped by `keep_bps ≤ 10000`), this emits each row
+    * `floor(cb/10000)` times plus one more iff `hash(key) % 10000 <
+    * cb % 10000`, where `cb = floor(10000·target/c)` is the stratum's
+    * copy rate in basis points (> 10000 ⇒ guaranteed repetition) — the
+    * "epoch low-resource languages more than once" move of every
+    * multilingual pretraining mix. Output gains a 0-based `copy` index
+    * column; per-stratum emitted count is within one per row of `target`.
+    *
+    * Determinism and nesting carry over from [[hashSample]]: the decision
+    * is the key hash, never RNG, so results are partition-invariant, and
+    * a bigger budget (target is monotone in it) can only raise `cb` and
+    * therefore per-row copy counts — existing copies never vanish.
+    *
+    * Scale: the plan side is strata-sized → broadcast join; the fan-out
+    * is a narrow codegen'd `explode(sequence(...))` bounded by
+    * `cb/10000 + 1` per row — no shuffle anywhere. Exact-double safety:
+    * `10000.0·target` is exact for any target < 2⁴⁹, far beyond a row
+    * budget.
+    */
   def mixResample(df: DataFrame, keyCol: Column, stratumCol: Column,
       plan: DataFrame): DataFrame = {
     require(!df.columns.contains("copy"),

@@ -83,7 +83,7 @@ object LlmOpsQueries extends QueryModule {
     val sigCols = (0 until h)
       .map(i => s"min(${PortableHash.duckMinhashPerm("h", i)}) AS m$i").mkString(", ")
     val sigList = (0 until h).map(i => s"m$i").mkString("[", ", ", "]")
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 3), " +
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) WHERE len(t) >= 3), " +
       s"ex AS (SELECT DISTINCT doc_id, ${PortableHash.duckHash52("s")} AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), " +
       s"sigs AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id), " +
       s"banded AS (SELECT doc_id, b.band AS band, $sigList[b.band + 1] AS sig FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS band) b), " +
@@ -104,7 +104,7 @@ object LlmOpsQueries extends QueryModule {
     val sigCols = (0 until h)
       .map(i => s"min(${PortableHash.duckMinhashPerm("h", i)}) AS m$i").mkString(", ")
     val sigList = (0 until h).map(i => s"m$i").mkString("[", ", ", "]")
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 3), " +
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) WHERE len(t) >= 3), " +
       s"ex AS (SELECT DISTINCT doc_id, ${PortableHash.duckHash52("s")} AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), " +
       s"sigs AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id), " +
       s"banded AS (SELECT doc_id, b.band AS band, $sigList[b.band + 1] AS sig FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS band) b), " +
@@ -121,7 +121,7 @@ object LlmOpsQueries extends QueryModule {
     */
   private val simHashOracleSql: String = {
     import graft.llmops.PortableHash
-    "WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents), " +
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents), " +
       s"th AS (SELECT doc_id, ${PortableHash.duckHash52("t")} AS h FROM tok), " +
       "votes AS (SELECT doc_id, b.b AS b, sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS v FROM th CROSS JOIN (SELECT unnest(generate_series(0, 51)) AS b) b GROUP BY 1, 2), " +
       "sigs AS (SELECT doc_id, (sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sig FROM votes GROUP BY 1), " +
@@ -190,7 +190,7 @@ object LlmOpsQueries extends QueryModule {
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
       s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS DOUBLE) / len(toks) AS score FROM t"
     }.mkString(" UNION ALL ")
-    "WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents), " +
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
       s"scores AS ($scored), " +
       "best AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) " +
       "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred, round(score, 6) AS lang_score FROM best WHERE rn = 1 ORDER BY doc_id"
@@ -243,7 +243,7 @@ object LlmOpsQueries extends QueryModule {
     q("q_x_winnow_fingerprints", {
       val h = graft.llmops.PortableHash.duckHash52(
         "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")
-      "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents), " +
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
         "g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks FROM t WHERE len(toks) >= 3), " +
         s"gh AS (SELECT doc_id, i - 1 AS pos, $h AS h FROM g), " +
         "m AS (SELECT doc_id, count(*) AS m FROM gh GROUP BY 1), " +
@@ -391,7 +391,7 @@ object LlmOpsQueries extends QueryModule {
 
     // exact n-gram Jaccard near-dup pairs (threshold catches the planted dups)
     q("q_x_dedup_ngram_jaccard",
-      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 3), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh) SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8 ORDER BY 1, 2") { (s, d) =>
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) WHERE len(t) >= 3), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh) SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8 ORDER BY 1, 2") { (s, d) =>
       // the oracle states the quadratic definition; the engine runs the
       // prefix-filtered exact algorithm — results must be identical.
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -473,7 +473,7 @@ object LlmOpsQueries extends QueryModule {
     // broadcast, however large the suite), survivors get the exact verify
     // — so the oracle is the SAME exact definition as q_x_decontaminate.
     q("q_x_decon_bloom",
-      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 5), " +
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) WHERE len(t) >= 5), " +
         "bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 1), " +
         "hits AS (SELECT doc_id, count(*) AS n_hit FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 0) t WHERE s IN (SELECT s FROM bench) GROUP BY 1) " +
         "SELECT d.doc_id AS doc, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, coalesce(h.n_hit, 0) > 0 AS contaminated " +
@@ -658,7 +658,7 @@ object LlmOpsQueries extends QueryModule {
     // doc is contaminated if ANY of its 5-gram shingles appears in any
     // bench doc (the GPT-3/Pile rule). n_hit counts its colliding shingles.
     q("q_x_decontaminate",
-      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 5), " +
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) WHERE len(t) >= 5), " +
         "bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 1), " +
         "hits AS (SELECT doc_id, count(*) AS n_hit FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 0) t WHERE s IN (SELECT s FROM bench) GROUP BY 1) " +
         "SELECT d.doc_id AS doc, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, coalesce(h.n_hit, 0) > 0 AS contaminated " +
@@ -673,7 +673,7 @@ object LlmOpsQueries extends QueryModule {
     // per-doc top-3 TF-IDF terms (smoothed idf; ties break on the term —
     // identical (tf, df) pairs yield bit-identical doubles on both engines)
     q("q_x_tfidf_top_terms",
-      "WITH toks AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term FROM documents), " +
+      "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
         "dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
         "n AS (SELECT count(*) AS n_docs FROM documents), " +
@@ -789,7 +789,7 @@ object LlmOpsQueries extends QueryModule {
       val perms = (0 until dRows)
         .map(j => s"($j, ${PortableHash.MinHashA(j)}, ${PortableHash.MinHashB(j)})")
         .mkString(", ")
-      s"WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents), " +
+      s"WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents), " +
         s"th AS (SELECT t, ${PortableHash.duckHash52("t")} AS h FROM tok), " +
         s"perm(j, a, b) AS (SELECT * FROM (VALUES $perms)), " +
         s"sk AS (SELECT j, (a * (h % $p) + b) % $p % $w AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM th CROSS JOIN perm GROUP BY 1, 2), " +
@@ -890,7 +890,7 @@ object LlmOpsQueries extends QueryModule {
     // (doc × overlapped sequence) with the fragment geometry. The oracle
     // replays the exclusive prefix sum + span arithmetic directly.
     q("q_x_pack_sequences",
-      "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n FROM documents), " +
+      "WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents), " +
         "c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM d), " +
         "f AS (SELECT doc_id, n, off, unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq FROM c WHERE n >= 1) " +
         "SELECT doc_id, CAST(seq AS BIGINT) AS seq, " +
@@ -908,7 +908,7 @@ object LlmOpsQueries extends QueryModule {
     // training sequence holds (the last sequence's shortfall = padding
     // waste). Derived from the same packing output — groupBy seq.
     q("q_x_pack_stats",
-      "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n FROM documents), " +
+      "WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents), " +
         "c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM d), " +
         "f AS (SELECT doc_id, n, off, unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq FROM c WHERE n >= 1), " +
         "g AS (SELECT seq, least(off + n, (seq + 1) * 128) - greatest(off, seq * 128) AS nt FROM f) " +
@@ -1008,7 +1008,7 @@ object LlmOpsQueries extends QueryModule {
     // exchange; CMS never undercounts, so the exact threshold filter on
     // the survivors provably equals the plain two-agg oracle below.
     q("q_x_heavy_hitters",
-      "WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents), " +
+      "WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents), " +
         "n AS (SELECT count(*) AS n FROM tok), " +
         "c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1) " +
         "SELECT token, CAST(c AS BIGINT) AS cnt FROM c, n WHERE c * 64 > n ORDER BY cnt DESC, token") { (s, d) =>
@@ -1024,7 +1024,7 @@ object LlmOpsQueries extends QueryModule {
     // leakage from incidental shared phrases. Same even/odd split and
     // shingle definition as q_x_decontaminate.
     q("q_x_contamination_frac",
-      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) WHERE len(t) >= 5), " +
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) WHERE len(t) >= 5), " +
         "bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 1), " +
         "tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 2 = 0), " +
         "agg AS (SELECT doc_id, count(*) AS n_sh, count(CASE WHEN s IN (SELECT s FROM bench) THEN 1 END) AS n_hit FROM tr GROUP BY 1) " +
@@ -1054,7 +1054,7 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc_id")
     },
     q("q_x_token_shards",
-      "WITH d AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>
+      "WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(floor((cum - n_tokens) / 10000) AS BIGINT) AS shard FROM c ORDER BY doc_id") { (s, d) =>
       val withTok = Tables.documents(s, d)
         .withColumn("n_tokens", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
       Corpus.tokenShards(withTok, col("doc_id"), col("n_tokens"), budget = 10000L,

@@ -296,7 +296,12 @@ object EventStream {
     * checkpoint also cuts per-batch lineage. Keys must be NON-NULL: the
     * bucketed join uses plain key equality so Catalyst can match the
     * bucket partitioning — see `Upsert.upsertNodes(nullSafeKeys = false)`.
-    * A restart resumes from the committed table instead of replaying.
+    * The state table is created from `initial` only when ABSENT. When it
+    * already exists (a restart after a crash, or the next incremental run)
+    * the committed table IS the resumed state and `initial` is ignored —
+    * paired with the streaming checkpoint (which skips already-processed
+    * batches), a restart neither replays nor clobbers committed upserts.
+    * Drop the table to start fresh.
     *
     * `apply` receives (post-upsert state, the upsert's plan) — the plan
     * ride-along lets tests assert the no-Exchange property on the real
@@ -314,12 +319,17 @@ object EventStream {
     def bucketId(df: DataFrame): DataFrame =
       df.withColumn("__bucket",
         pmod(xxhash64(keys.map(col): _*), lit(partitions.toLong)).cast("int"))
-    bucketId(initial.select(cols.map(col): _*))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("__bucket")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    // Create-if-absent: an existing table is committed state from a prior
+    // run — overwriting it with `initial` while the checkpoint skips the
+    // already-processed batches would silently lose their upserts.
+    if (!spark.catalog.tableExists(table)) {
+      bucketId(initial.select(cols.map(col): _*))
+        .write.format("parquet")
+        .partitionBy("__bucket")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(table)
+    }
     val stateCols = spark.table(table).columns.toSeq // data cols, __bucket last
     events.writeStream
       .outputMode(OutputMode.Update())

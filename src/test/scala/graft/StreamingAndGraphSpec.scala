@@ -189,6 +189,41 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed incremental upsert: a restart resumes committed state, not `initial`") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val mem = MemoryStream[(Long, String, Long)]
+      val streamDf = mem.toDF()
+        .select(col("_1").as("k"), col("_2").as("v"), col("_3").as("seq"))
+      val ckpt = java.nio.file.Files.createTempDirectory("inc_restart_ckpt").toString
+      var last: org.apache.spark.sql.DataFrame = null
+      def mkWriter(initial: org.apache.spark.sql.DataFrame) =
+        EventStream.incrementalUpsertBucketed(streamDf, Seq("k"), "seq",
+          initial, "inc_restart_test", buckets = 2,
+          apply = (st, _) => last = st)
+          .option("checkpointLocation", ckpt)
+      def runOnce(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+        val q = w.start(); q.processAllAvailable(); q.stop()
+      }
+      // run 1: fresh table, upsert lands.
+      mem.addData((1L, "x", 1L))
+      runOnce(mkWriter(Seq((1L, "init", 0L)).toDF("k", "v", "seq")))
+      // "crash + restart": a NEW writer on the same prefix + checkpoint,
+      // with a DIFFERENT initial. The checkpoint skips batch 0, so if the
+      // builder overwrote the table with this initial, (1,"x") would be
+      // lost. Create-if-absent must resume the committed table instead.
+      mem.addData((2L, "y", 2L))
+      runOnce(mkWriter(Seq((1L, "WRONG", 0L)).toDF("k", "v", "seq")))
+      val state = last.select("k", "v").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(state == Seq((1L, "x"), (2L, "y")),
+        s"restart clobbered committed state: $state")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_restart_test_state")
+    }
+  }
+
   test("foreachBatch incremental upsert converges to the batch upsert result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
