@@ -133,4 +133,33 @@ object Bpe {
       .groupBy("doc").agg(sum("n_syms").as("n_bpe_tokens"),
         count(lit(1)).as("n_words"))
   }
+
+  /** Tokenizer-fairness audit: per-group (language, source) subword
+    * FERTILITY — BPE tokens emitted per word — and the single-token word
+    * rate. The standard multilingual-tokenizer health check: a group
+    * whose fertility is 2× another's pays 2× the sequence length (and
+    * effectively 2× the compute) for the same text, the classic
+    * under-served-language signal; `single_rate` is the share of word
+    * occurrences the vocabulary covers whole.
+    *
+    * Same shape as [[tokenCounts]] — the corpus word stream joins the
+    * per-word symbol counts (vocabulary-sized, usually broadcast by AQE)
+    * and aggregates by group instead of doc: one narrow pass over the
+    * corpus, one tiny result. Ratios round to 6 dp for engine-portable
+    * comparison; counts stay exact.
+    */
+  def fertility(df: DataFrame, textCol: String, groupCol: String,
+      finalSyms: DataFrame): DataFrame = {
+    val perWord = finalSyms.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    df.select(col(groupCol).as("grp"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .join(perWord, Seq("word"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_subwords"),
+        sum(when(col("n_syms") === 1, 1L).otherwise(0L)).as("n_whole_words"))
+      .select(col("grp"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_whole_words").cast("double") / col("n_words"), 6).as("single_rate"))
+  }
 }

@@ -316,6 +316,59 @@ object LlmOpsQueries extends QueryModule {
       val (_, syms) = Bpe.learnMerges(Bpe.wordVocab(docs, "text"), BpeK)
       Bpe.tokenCounts(docs, "doc_id", "text", syms).orderBy("doc")
     },
+    // tokenizer-fairness audit: per-language subword fertility (BPE
+    // tokens per word) + whole-word coverage rate from the same learned
+    // merge table — the oracle replays the K training rounds and
+    // aggregates the corpus word stream by lang.
+    q("q_x_bpe_fertility", {
+      val k = BpeK
+      bpeRoundsSql(k) +
+        s", n AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms FROM s$k GROUP BY 1), " +
+        "dw AS (SELECT lang AS grp, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) " +
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_subwords, " +
+        "round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS fertility, " +
+        "round(CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS single_rate " +
+        "FROM dw JOIN n USING (word) GROUP BY 1 ORDER BY grp"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, syms) = Bpe.learnMerges(Bpe.wordVocab(docs, "text"), BpeK)
+      Bpe.fertility(docs, "text", "lang", syms).orderBy("grp")
+    },
+
+    // inverted index: per-term document frequency, corpus tf, and the
+    // doc-ordered posting list serialized "doc:tf,..." (flat string —
+    // engine-portable). The synthetic corpus' vocabulary is small and
+    // every term is corpus-wide, so the df cap stays wide open here; the
+    // cap semantics are pinned by RetrievalSpec on planted data.
+    q("q_x_inverted_index",
+      "WITH tf AS (SELECT t AS term, doc_id AS doc, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents) GROUP BY 1, 2) " +
+        "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf, " +
+        "string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings " +
+        "FROM tf GROUP BY term ORDER BY term") { (s, d) =>
+      graft.llmops.Retrieval.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("term")
+    },
+    // tf-scored conjunctive top-k retrieval: queries are 3-token prefixes
+    // of every 50th document, score = sum of tf over matched query terms,
+    // require >= 2 distinct terms matched, rank (score DESC, doc ASC).
+    q("q_x_search_topk",
+      "WITH tf AS (SELECT t AS term, doc_id AS doc, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents) GROUP BY 1, 2), " +
+        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3) AS qt FROM documents WHERE doc_id % 50 = 0), " +
+        "qt AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q), " +
+        "sc AS (SELECT qid, doc, CAST(sum(tf) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_matched " +
+        "FROM qt JOIN tf USING (term) GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc) " +
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, doc, score, n_matched FROM r WHERE rank <= 5 ORDER BY qid, rank") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
+      graft.llmops.Retrieval.searchTopK(docs, "doc_id", "text",
+          queries, "qid", "qtext", k = 5, minMatch = 2)
+        .orderBy("qid", "rank")
+    },
 
     // composite Gopher-style quality gate — every rule an explicit column,
     // `reason` names the first failing rule, thresholds chosen to split
