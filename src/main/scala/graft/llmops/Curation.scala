@@ -1,0 +1,120 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full curation pipeline as ONE auditable operator: every document
+  * gets a verdict row naming the FIRST stage that dropped it (or `kept`)
+  * — the decision ledger a data-governance review asks for ("why is this
+  * document in/out of the training set?"), and the shape every serious
+  * pretraining pipeline ends up hand-rolling.
+  *
+  * Stage order is the conventional cheap-to-expensive cascade, and each
+  * stage sees only the survivors of the previous one (a near-duplicate
+  * of a quality-rejected document is NOT a dup — its twin is already
+  * gone):
+  *
+  *   1. `blocked_source` — curated source/domain blocklist
+  *      ([[Corpus.withoutSources]] semantics: NULL source is blocked);
+  *   2. `quality`        — the Gopher-style composite gate
+  *      ([[TextAnalysis.qualityGate]]; the gate's reason is surfaced in
+  *      `quality_reason`);
+  *   3. `exact_dup`      — content-hash dedup, min-id survivor
+  *      ([[Dedup.exact]] rule);
+  *   4. `near_dup`       — MinHash-LSH pairs → connected components →
+  *      min-id survivor ([[Dedup.minHashPairs]] + [[Dedup.resolveClusters]]);
+  *   5. `contaminated`   — benchmark n-gram collision
+  *      ([[Dedup.decontaminate]], any-hit rule);
+  *   6. `quota`          — per-source cap ([[Corpus.sourceQuota]],
+  *      deterministic smallest-hash winners).
+  *
+  * Scale: the cascade is exactly as expensive as its parts — each stage
+  * is one pass over ITS survivor set, the expensive stages (minhash,
+  * decontamination) run on the already-thinned corpus, and the ledger
+  * assembly joins doc-id-sized marker frames (not text) back onto the
+  * input. For a chained 100 TB run, checkpoint the survivor frame
+  * between stages exactly like `Refresh.materialize` — the operator
+  * keeps lineage pure so the caller owns that policy. Determinism is
+  * inherited: every stage's decision is hash- or min-id-based, never
+  * RNG, so the ledger is reproducible row for row (and DuckDB-oracled
+  * end to end as `q_x_curation_ledger`).
+  *
+  * `bench` must carry `idCol` and `textCol`; `blockedSources`' first
+  * column is the blocklist.
+  */
+object Curation {
+
+  def ledger(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      bench: DataFrame, blockedSources: DataFrame, quota: Int,
+      minTokens: Long = 5, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75,
+      contamN: Int = 5, maxJaccardDist: Double = 0.3,
+      quotaSalts: Int = 16): DataFrame = {
+    require(quota > 0)
+    val d0 = docs.select(col(idCol).as("doc"), col(textCol).as("text"),
+      col(sourceCol).as("source"))
+
+    // 1. blocklist — broadcast; NULL source blocked (NOT IN semantics).
+    val b = broadcast(blockedSources
+      .select(col(blockedSources.columns.head).cast("string").as("__bsrc")).distinct())
+    val flagged = d0.join(b, col("source") === col("__bsrc"), "left")
+      .withColumn("__blocked", col("__bsrc").isNotNull || col("source").isNull)
+      .drop("__bsrc")
+    val alive1 = flagged.filter(!col("__blocked")).select("doc", "text", "source")
+
+    // 2. quality gate over blocklist survivors.
+    val qreasons = TextAnalysis.qualityGate(alive1, "doc", "text",
+        minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+        minTypeToken, maxDupGramFrac)
+      .select(col("doc"), col("reason").as("quality_reason"))
+    val alive2 = alive1.join(
+      qreasons.filter(col("quality_reason") === "keep").select("doc"),
+      Seq("doc"), "left_semi")
+
+    // 3. exact dedup — min-id survivor per content hash.
+    val exFail = alive2.select(col("doc"), md5(col("text")).as("__h"))
+      .withColumn("__keep", min("doc").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+      .filter(col("doc") =!= col("__keep")).select("doc")
+    val alive3 = alive2.join(exFail, Seq("doc"), "left_anti")
+
+    // 4. near-dup dedup among exact survivors.
+    val pairs = Dedup.minHashPairs(alive3, "doc", "text", maxJaccardDist)
+    val ndFail = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      .filter(col("cluster") =!= col("v")).select(col("v").as("doc"))
+    val alive4 = alive3.join(ndFail, Seq("doc"), "left_anti")
+
+    // 5. benchmark decontamination among dedup survivors.
+    val contamFail = Dedup.decontaminate(alive4,
+        bench.select(col(idCol).as("doc"), col(textCol).as("text")),
+        "doc", "text", contamN)
+      .filter(col("contaminated")).select("doc")
+    val alive5 = alive4.join(contamFail, Seq("doc"), "left_anti")
+
+    // 6. per-source quota among everything that survived.
+    val quotaKeep = Corpus.sourceQuota(alive5.select("doc", "source"),
+        col("doc"), col("source"), quota, quotaSalts)
+      .select(col("doc"), lit(true).as("__qk"))
+
+    // Ledger assembly: doc-id-sized markers join back onto the corpus;
+    // CASE order = stage order, so each doc reports its FIRST failure.
+    flagged.select("doc", "source", "__blocked")
+      .join(qreasons, Seq("doc"), "left")
+      .join(exFail.withColumn("__ex", lit(true)), Seq("doc"), "left")
+      .join(ndFail.withColumn("__nd", lit(true)), Seq("doc"), "left")
+      .join(contamFail.withColumn("__ct", lit(true)), Seq("doc"), "left")
+      .join(quotaKeep, Seq("doc"), "left")
+      .select(col("doc"), col("source"),
+        when(col("__blocked"), "blocked_source")
+          .when(col("quality_reason") =!= "keep", "quality")
+          .when(col("__ex"), "exact_dup")
+          .when(col("__nd"), "near_dup")
+          .when(col("__ct"), "contaminated")
+          .when(col("__qk").isNull, "quota")
+          .otherwise("kept").as("stage"),
+        when(!col("__blocked") && col("quality_reason") =!= "keep",
+          col("quality_reason")).as("quality_reason"))
+      .withColumn("kept", col("stage") === "kept")
+  }
+}

@@ -20,6 +20,30 @@ object LlmOpsQueries extends QueryModule {
   private val stopwordSqlList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB mirror of TextAnalysis.qualityGate at the thresholds the
+    * oracled queries use (minTokens 20, avgTokenLen ≤ 5.0, TTR ≥ 0.35,
+    * dupGramFrac ≤ 0.2), parameterized over the input relation so the
+    * same fragment serves the standalone gate and the curation cascade.
+    */
+  private def qualityGateSqlOver(rel: String): String = {
+    val reasonCase =
+      "CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN avg_token_len < 2.0 THEN 'short_tokens' WHEN avg_token_len > 5.0 THEN 'long_tokens' " +
+        "WHEN type_token_ratio < 0.35 THEN 'low_diversity' WHEN dup_gram_char_frac > 0.2 THEN 'repetitive' " +
+        "ELSE 'keep' END"
+    s"WITH t AS (SELECT doc_id, text, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $rel), " +
+      "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t WHERE len(toks) >= 2), " +
+      "pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
+      "agg AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg GROUP BY 1), " +
+      "m AS (SELECT t.doc_id AS doc, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
+      "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
+      "coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac " +
+      "FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id) " +
+      "SELECT doc, n_tokens, avg_token_len, type_token_ratio, dup_gram_char_frac, " +
+      s"$reasonCase AS reason, $reasonCase = 'keep' AS keep FROM m"
+  }
+
   /** Shared CTE chain for the exact-substring queries: tokenized docs (t),
     * width-8 positional shingle fingerprints with the ≤128 ubiquity cap
     * (cool), cross-doc seed matches, diagonal islands, and the final
@@ -77,13 +101,13 @@ object LlmOpsQueries extends QueryModule {
     * signatures, candidates and exact-Jaccard verification are replicated
     * value-for-value, so this is a full hash-match oracle.
     */
-  private val minHashOracleSql: String = {
+  private def minHashSqlOver(rel: String): String = {
     import graft.llmops.PortableHash
     val h = 5
     val sigCols = (0 until h)
       .map(i => s"min(${PortableHash.duckMinhashPerm("h", i)}) AS m$i").mkString(", ")
     val sigList = (0 until h).map(i => s"m$i").mkString("[", ", ", "]")
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) WHERE len(t) >= 3), " +
+    s"WITH sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $rel) WHERE len(t) >= 3), " +
       s"ex AS (SELECT DISTINCT doc_id, ${PortableHash.duckHash52("s")} AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), " +
       s"sigs AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id), " +
       s"banded AS (SELECT doc_id, b.band AS band, $sigList[b.band + 1] AS sig FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS band) b), " +
@@ -94,6 +118,8 @@ object LlmOpsQueries extends QueryModule {
       "FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id " +
       "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3 ORDER BY 1, 2"
   }
+
+  private val minHashOracleSql: String = minHashSqlOver("documents")
 
   /** Cross-corpus variant of the minhash oracle: corpus = even doc_ids,
     * batch = odd; candidates pair strictly across the sides.
@@ -374,24 +400,7 @@ object LlmOpsQueries extends QueryModule {
     // `reason` names the first failing rule, thresholds chosen to split
     // the synthetic corpus non-trivially (each reason fires on some docs)
     q("q_x_quality_gate",
-      "WITH t AS (SELECT doc_id, text, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
-        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t WHERE len(toks) >= 2), " +
-        "pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
-        "agg AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg GROUP BY 1), " +
-        "m AS (SELECT t.doc_id AS doc, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
-        "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
-        "coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac " +
-        "FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id) " +
-        "SELECT doc, n_tokens, avg_token_len, type_token_ratio, dup_gram_char_frac, " +
-        "CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' " +
-        "WHEN avg_token_len < 2.0 THEN 'short_tokens' WHEN avg_token_len > 5.0 THEN 'long_tokens' " +
-        "WHEN type_token_ratio < 0.35 THEN 'low_diversity' WHEN dup_gram_char_frac > 0.2 THEN 'repetitive' " +
-        "ELSE 'keep' END AS reason, " +
-        "CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' " +
-        "WHEN avg_token_len < 2.0 THEN 'short_tokens' WHEN avg_token_len > 5.0 THEN 'long_tokens' " +
-        "WHEN type_token_ratio < 0.35 THEN 'low_diversity' WHEN dup_gram_char_frac > 0.2 THEN 'repetitive' " +
-        "ELSE 'keep' END = 'keep' AS keep FROM m ORDER BY doc") { (s, d) =>
+      qualityGateSqlOver("documents") + " ORDER BY doc") { (s, d) =>
       TextAnalysis.qualityGate(Tables.documents(s, d), "doc_id", "text",
         minTokens = 20, maxAvgTokenLen = 5.0,
         minTypeToken = 0.35, maxDupGramFrac = 0.2)
@@ -768,6 +777,60 @@ object LlmOpsQueries extends QueryModule {
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy("doc_id")
     },
+    // end-to-end curation ledger: the full blocklist → quality → exact-dup
+    // → near-dup → decontamination → quota cascade with first-failing-stage
+    // attribution per document. Corpus = doc_id % 7 <> 0, benchmark suite =
+    // the rest, blocklist = {src3, src7}, quota 15/source. The oracle
+    // replays every stage over the shrinking survivor set: the quality CASE,
+    // md5 min-id dedup, the full minhash pipeline + recursive-reachability
+    // components over stage-3 survivors, the 5-gram collision rule, and the
+    // smallest-hash quota rank.
+    q("q_x_curation_ledger", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      val fiveGram = "list_distinct(list_transform(generate_series(1, len(t) - 4), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+      "WITH RECURSIVE corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0), " +
+        "bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0), " +
+        "c1 AS (SELECT *, source IS NULL OR source IN ('src3', 'src7') AS blocked FROM corpus), " +
+        "alive1 AS (SELECT doc_id, text, source FROM c1 WHERE NOT blocked), " +
+        s"qg AS (SELECT doc, reason FROM (${qualityGateSqlOver("alive1")}) qgq), " +
+        "alive2 AS (SELECT a.* FROM alive1 a JOIN qg ON qg.doc = a.doc_id AND qg.reason = 'keep'), " +
+        "exf AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM alive2) x WHERE doc_id <> keep_id), " +
+        "alive3 AS (SELECT a.* FROM alive2 a WHERE a.doc_id NOT IN (SELECT doc_id FROM exf)), " +
+        s"mh AS (SELECT id_a, id_b FROM (${minHashSqlOver("alive3")}) mhq), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM mh UNION ALL SELECT id_b, id_a FROM mh), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
+        "ndf AS (SELECT v AS doc_id FROM comp WHERE cluster <> v), " +
+        "alive4 AS (SELECT a.* FROM alive3 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ndf)), " +
+        s"bsh AS (SELECT DISTINCT unnest(sh) AS s FROM (SELECT $fiveGram AS sh FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM bench) bt WHERE len(t) >= 5) bs), " +
+        s"csh AS (SELECT doc_id, unnest(sh) AS s FROM (SELECT doc_id, $fiveGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM alive4) ct WHERE len(t) >= 5) cs), " +
+        "ctf AS (SELECT DISTINCT doc_id FROM csh WHERE s IN (SELECT s FROM bsh)), " +
+        "alive5 AS (SELECT a.* FROM alive4 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ctf)), " +
+        s"qk AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn FROM alive5) qr WHERE rn <= 15), " +
+        "led AS (SELECT c1.doc_id AS doc, c1.source, " +
+        "CASE WHEN c1.blocked THEN 'blocked_source' " +
+        "WHEN qg.reason IS NOT NULL AND qg.reason <> 'keep' THEN 'quality' " +
+        "WHEN c1.doc_id IN (SELECT doc_id FROM exf) THEN 'exact_dup' " +
+        "WHEN c1.doc_id IN (SELECT doc_id FROM ndf) THEN 'near_dup' " +
+        "WHEN c1.doc_id IN (SELECT doc_id FROM ctf) THEN 'contaminated' " +
+        "WHEN c1.doc_id NOT IN (SELECT doc_id FROM qk) THEN 'quota' " +
+        "ELSE 'kept' END AS stage, " +
+        "CASE WHEN NOT c1.blocked AND qg.reason <> 'keep' THEN qg.reason END AS quality_reason " +
+        "FROM c1 LEFT JOIN qg ON qg.doc = c1.doc_id) " +
+        "SELECT doc, source, stage, quality_reason, stage = 'kept' AS kept FROM led ORDER BY doc"
+    }) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      graft.llmops.Curation.ledger(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", "source",
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text"),
+          Seq("src3", "src7").toDF("source"), quota = 15,
+          minTokens = 20, maxAvgTokenLen = 5.0,
+          minTypeToken = 0.35, maxDupGramFrac = 0.2)
+        .orderBy("doc")
+    },
+
     // train/valid/test split assignment by hash bucket (80/10/10)
     q("q_x_split_assign",
       s"SELECT split, CAST(count(*) AS BIGINT) AS n FROM (SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split FROM (SELECT ${graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")} % 10000 AS b FROM documents)) GROUP BY 1 ORDER BY 1") { (s, d) =>
