@@ -271,29 +271,51 @@ object Dedup {
     require(numHashTables <= PortableHash.MinHashA.length)
     val exC = hashedShingleRows(corpus, idCol, textCol, n, PortableHash.hash52).cache()
     val exB = hashedShingleRows(batch, idCol, textCol, n, PortableHash.hash52).cache()
-    def sigsOf(ex: DataFrame): DataFrame = {
-      val aggs = (0 until numHashTables).map(i =>
-        min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
-      ex.groupBy("doc").agg(aggs.head, aggs.tail: _*)
-        .select(col("doc"),
-          posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
-            .as(Seq("band", "sig")))
-    }
-    val bandedC = maxBandFreq.fold(sigsOf(exC))(
-      pruneFrequentBandKeys(sigsOf(exC), Seq("band", "sig"), _))
-    val bandedB = maxBandFreq.fold(sigsOf(exB))(
-      pruneFrequentBandKeys(sigsOf(exB), Seq("band", "sig"), _))
+    val bandedC = maxBandFreq.fold(bandRows(exC, numHashTables))(
+      pruneFrequentBandKeys(bandRows(exC, numHashTables), Seq("band", "sig"), _))
+    val bandedB = maxBandFreq.fold(bandRows(exB, numHashTables))(
+      pruneFrequentBandKeys(bandRows(exB, numHashTables), Seq("band", "sig"), _))
     val cands = bandedB.select(col("doc").as("batch_id"), col("band"), col("sig"))
       .join(bandedC.select(col("doc").as("corpus_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("batch_id", "corpus_id").distinct()
+    val result = verifyCrossPairs(cands, exB, exC, maxJaccardDist)
+    val out = result.localCheckpoint(true)
+    exC.unpersist(); exB.unpersist()
+    out
+  }
+
+  /** Distinct portable-hash shingle rows (doc, s) — the index unit shared
+    * by the minhash family and the incremental/streaming dedup state.
+    */
+  private[graft] def portableShingleRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    hashedShingleRows(df, idCol, textCol, n, PortableHash.hash52)
+
+  /** Banded minhash signature rows (doc, band, sig) from shingle rows —
+    * one groupBy with the N min-aggs, then a narrow posexplode.
+    */
+  private[graft] def bandRows(ex: DataFrame, numHashTables: Int): DataFrame = {
+    val aggs = (0 until numHashTables).map(i =>
+      min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
+    ex.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"),
+        posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
+          .as(Seq("band", "sig")))
+  }
+
+  /** Exact-Jaccard verification of cross-side candidate pairs given both
+    * sides' shingle rows; returns (batch_id, corpus_id, jaccard_dist).
+    */
+  private[graft] def verifyCrossPairs(cands: DataFrame, exB: DataFrame,
+      exC: DataFrame, maxJaccardDist: Double): DataFrame = {
     val sizesC = exC.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val sizesB = exB.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val shared = cands
       .join(exB.select(col("doc").as("batch_id"), col("s")), Seq("batch_id"))
       .join(exC.select(col("doc").as("corpus_id"), col("s")), Seq("corpus_id", "s"))
       .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("shared"))
-    val result = shared
+    shared
       .join(sizesB.select(col("doc").as("batch_id"), col("n_sh").as("nb")), Seq("batch_id"))
       .join(sizesC.select(col("doc").as("corpus_id"), col("n_sh").as("nc")), Seq("corpus_id"))
       .withColumn("jaccard_dist",
@@ -301,9 +323,51 @@ object Dedup {
       .filter(col("jaccard_dist") <= maxJaccardDist)
       .select(col("batch_id"), col("corpus_id"),
         round(col("jaccard_dist"), 6).as("jaccard_dist"))
-    val out = result.localCheckpoint(true)
-    exC.unpersist(); exB.unpersist()
-    out
+  }
+
+  /** One greedy incremental-dedup step — the shared core of the daily
+    * batch refresh and [[graft.streaming.EventStream.dedupStream]]:
+    * deduplicate `batch` WITHIN itself (minhash pairs → components →
+    * min-id survivor), then drop every within-batch survivor that
+    * near-duplicates the standing corpus INDEX (`corpusShingles` /
+    * `corpusBands`, the (doc, s) and (doc, band, sig) frames of all
+    * previously accepted documents). Returns the accepted (doc, text)
+    * rows. Empty index frames degrade to pure within-batch dedup —
+    * batch one of a fresh corpus.
+    *
+    * Greedy semantics (the production arrival-order contract): earlier
+    * batches always win; within a batch the min id wins its cluster. A
+    * document whose only near-dup was itself dropped by the cross probe
+    * still loses — its cluster elected one survivor and only that
+    * survivor got probed. That is the standard streaming-dedup
+    * approximation; the alternative (re-electing after the probe) would
+    * need an extra round trip per batch for a case that at dedup
+    * thresholds means the batch carried 3+ mutual near-dups.
+    *
+    * Scale: within-batch work is minhash on the DELTA only; the cross
+    * probe is one equi-join of the batch's bands against the index bands
+    * (never a text rescan of the corpus), and the exact verify touches
+    * only candidate ids' shingle rows. O(|batch|) + probe — yesterday's
+    * corpus never re-pairs with itself.
+    */
+  def incrementalDedupStep(batch: DataFrame, idCol: String, textCol: String,
+      corpusShingles: DataFrame, corpusBands: DataFrame,
+      maxJaccardDist: Double = 0.3, numHashTables: Int = 5,
+      n: Int = 3): DataFrame = {
+    val b0 = batch.select(col(idCol).as("doc"), col(textCol).as("text"))
+    val inPairs = minHashPairs(b0, "doc", "text", maxJaccardDist, numHashTables, n)
+    val inFail = resolveClusters(inPairs, "id_a", "id_b")
+      .filter(col("cluster") =!= col("v")).select(col("v").as("doc"))
+    val b1 = b0.join(inFail, Seq("doc"), "left_anti")
+    val exB = portableShingleRows(b1, "doc", "text", n).localCheckpoint(true)
+    val cands = bandRows(exB, numHashTables)
+      .select(col("doc").as("batch_id"), col("band"), col("sig"))
+      .join(corpusBands.select(col("doc").as("corpus_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("batch_id", "corpus_id").distinct()
+    val crossFail = verifyCrossPairs(cands, exB, corpusShingles, maxJaccardDist)
+      .select(col("batch_id").as("doc")).distinct()
+    b1.join(crossFail, Seq("doc"), "left_anti")
   }
 
   /** Decontamination through a Bloom-filter prefilter — the bounded-memory

@@ -142,6 +142,30 @@ object LlmOpsQueries extends QueryModule {
       "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3 ORDER BY 1, 2"
   }
 
+  /** Cross-side minhash pairs parameterized over both relations (each must
+    * expose doc_id + text): the incremental-step fragment — batch bands
+    * probe corpus bands, exact-Jaccard verify, dist ≤ 0.3.
+    */
+  private def minHashAcrossSqlOver(corpusRel: String, batchRel: String): String = {
+    import graft.llmops.PortableHash
+    val h = 5
+    val sigCols = (0 until h)
+      .map(i => s"min(${PortableHash.duckMinhashPerm("h", i)}) AS m$i").mkString(", ")
+    val sigList = (0 until h).map(i => s"m$i").mkString("[", ", ", "]")
+    def side(tag: String, rel: String) =
+      s"sh$tag AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $rel) s$tag WHERE len(t) >= 3), " +
+        s"ex$tag AS (SELECT DISTINCT doc_id, ${PortableHash.duckHash52("s")} AS h FROM (SELECT doc_id, unnest(shingles) AS s FROM sh$tag) u$tag), " +
+        s"sig$tag AS (SELECT doc_id, $sigCols FROM ex$tag GROUP BY doc_id), " +
+        s"band$tag AS (SELECT doc_id, b.band AS band, $sigList[b.band + 1] AS sig FROM sig$tag CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS band) b)"
+    "WITH " + side("c", corpusRel) + ", " + side("b", batchRel) + ", " +
+      "cands AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id FROM bandb x JOIN bandc y ON x.band = y.band AND x.sig = y.sig), " +
+      "sizec AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY 1), " +
+      "sizeb AS (SELECT doc_id, count(*) AS n FROM exb GROUP BY 1), " +
+      "shared AS (SELECT c.batch_id, c.corpus_id, count(*) AS sh FROM cands c JOIN exb a ON a.doc_id = c.batch_id JOIN exc b ON b.doc_id = c.corpus_id AND b.h = a.h GROUP BY 1, 2) " +
+      "SELECT s.batch_id, s.corpus_id FROM shared s JOIN sizeb sa ON s.batch_id = sa.doc_id JOIN sizec sb ON s.corpus_id = sb.doc_id " +
+      "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3"
+  }
+
   /** DuckDB mirror of Dedup.simHashPairs (52-bit portable signature, 4×13-bit
     * bands, Hamming ≤ 10) — bit-for-bit identical votes and signatures.
     */
@@ -570,6 +594,43 @@ object LlmOpsQueries extends QueryModule {
         "doc_id", "text")
         .orderBy("batch_id", "corpus_id")
     },
+    // two-day incremental dedup replay (the batch twin of
+    // EventStream.dedupStream, greedy arrival order): day 1 = odd ids
+    // dedups within itself, day 2 = even ids dedups within itself then
+    // probes day 1's accepted index. The oracle replays both days'
+    // component elections and the cross probe.
+    q("q_x_dedup_stream", {
+      def comp(tag: String, pairsRel: String) =
+        s"u$tag AS (SELECT id_a AS u, id_b AS v FROM $pairsRel UNION ALL SELECT id_b, id_a FROM $pairsRel), " +
+          s"r$tag AS (SELECT u AS v, u AS r FROM u$tag UNION SELECT u$tag.v, r$tag.r FROM r$tag JOIN u$tag ON u$tag.u = r$tag.v), " +
+          s"c$tag AS (SELECT v, min(r) AS cluster FROM r$tag GROUP BY v)"
+      "WITH RECURSIVE odd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), " +
+        "even AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), " +
+        s"p1 AS (SELECT id_a, id_b FROM (${minHashSqlOver("odd")}) q1), " +
+        comp("1", "p1") + ", " +
+        "s1 AS (SELECT o.doc_id, o.text FROM odd o LEFT JOIN c1 ON c1.v = o.doc_id WHERE coalesce(c1.cluster, o.doc_id) = o.doc_id), " +
+        s"p2 AS (SELECT id_a, id_b FROM (${minHashSqlOver("even")}) q2), " +
+        comp("2", "p2") + ", " +
+        "w2 AS (SELECT e.doc_id, e.text FROM even e LEFT JOIN c2 ON c2.v = e.doc_id WHERE coalesce(c2.cluster, e.doc_id) = e.doc_id), " +
+        s"x AS (SELECT DISTINCT batch_id FROM (${minHashAcrossSqlOver("s1", "w2")}) qx), " +
+        "s2 AS (SELECT * FROM w2 WHERE doc_id NOT IN (SELECT batch_id FROM x)) " +
+        "SELECT doc_id AS doc, CAST(1 AS BIGINT) AS day, md5(text) AS content_md5 FROM s1 " +
+        "UNION ALL SELECT doc_id, 2, md5(text) FROM s2 ORDER BY doc"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val day1 = Dedup.incrementalDedupStep(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        Dedup.portableShingleRows(docs.limit(0), "doc_id", "text", 3),
+        Dedup.bandRows(Dedup.portableShingleRows(docs.limit(0), "doc_id", "text", 3), 5))
+      val ex1 = Dedup.portableShingleRows(day1, "doc", "text", 3).localCheckpoint(true)
+      val day2 = Dedup.incrementalDedupStep(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        ex1, Dedup.bandRows(ex1, 5))
+      day1.select(col("doc"), lit(1L).as("day"), md5(col("text")).as("content_md5"))
+        .unionAll(day2.select(col("doc"), lit(2L).as("day"), md5(col("text")).as("content_md5")))
+        .orderBy("doc")
+    },
+
     // end-to-end dedup decision table: minhash pairs → connected-component
     // clusters (iterative min-label propagation) → per-document survivor
     // flag. The oracle re-derives the SAME pairs (the minhash oracle as a

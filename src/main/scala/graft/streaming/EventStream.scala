@@ -371,4 +371,62 @@ object EventStream {
         apply(spark.table(table), plan)
       }
   }
+
+  /** Streaming incremental near-dup dedup: every micro-batch of new
+    * documents runs [[graft.llmops.Dedup.incrementalDedupStep]] against
+    * the persisted corpus INDEX and appends its accepted documents (plus
+    * their index rows) — the continuous-ingest twin of the daily
+    * cross-corpus dedup, with greedy arrival-order semantics.
+    *
+    * State = three append-only tables: `{prefix}_docs` (doc, text),
+    * `{prefix}_shingles` (doc, s), `{prefix}_bands` (doc, band, sig) —
+    * created empty when absent, resumed when present (same restart
+    * contract as [[incrementalUpsertBucketed]]). Per-batch I/O is
+    * O(|batch|) work + one equi-join probe of the batch's bands against
+    * the index and APPEND-only writes of the survivors' rows; the corpus
+    * text is never rescanned and never rewritten. At 100 TB, lay the
+    * bands table out bucketed by (band, sig) and the shingles table by
+    * doc so the probe and the verify prune instead of scanning — the
+    * append-only contract is what makes that layout maintainable.
+    */
+  def dedupStream(newDocs: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, maxJaccardDist: Double = 0.3,
+      numHashTables: Int = 5, n: Int = 3,
+      apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val spark = newDocs.sparkSession
+    val idType = newDocs.schema(idCol).dataType
+    val (docsT, shT, bandT) =
+      (s"${tablePrefix}_docs", s"${tablePrefix}_shingles", s"${tablePrefix}_bands")
+    def createIfAbsent(table: String, schema: StructType): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.format("parquet").saveAsTable(table)
+      }
+    createIfAbsent(docsT, StructType(Seq(
+      StructField("doc", idType), StructField("text", StringType))))
+    createIfAbsent(shT, StructType(Seq(
+      StructField("doc", idType), StructField("s", LongType))))
+    createIfAbsent(bandT, StructType(Seq(
+      StructField("doc", idType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    newDocs.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val survivors = graft.llmops.Dedup.incrementalDedupStep(
+            batch, idCol, textCol, sess.table(shT), sess.table(bandT),
+            maxJaccardDist, numHashTables, n)
+          .localCheckpoint(eager = true)
+        val ex = graft.llmops.Dedup.portableShingleRows(
+          survivors, "doc", "text", n).localCheckpoint(eager = true)
+        survivors.write.mode("append").saveAsTable(docsT)
+        ex.write.mode("append").saveAsTable(shT)
+        graft.llmops.Dedup.bandRows(ex, numHashTables)
+          .write.mode("append").saveAsTable(bandT)
+        Seq(docsT, shT, bandT).foreach(sess.catalog.refreshTable)
+        apply(sess.table(docsT))
+      }
+  }
 }

@@ -224,6 +224,43 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("dedupStream: greedy cross-batch near-dup dedup over the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    val uniqueB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val uniqueC = "red orange yellow green blue indigo violet maroon cyan teal"
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val streamDf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      var lastDocs: org.apache.spark.sql.DataFrame = null
+      val ckpt = java.nio.file.Files.createTempDirectory("dedup_stream_ckpt").toString
+      val writer = EventStream.dedupStream(streamDf, "doc_id", "text",
+          "dedup_stream_test", apply = st => lastDocs = st)
+        .option("checkpointLocation", ckpt)
+      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      // batch 1: 2 near-dups 1 (last token differs), 3 is unique.
+      mem.addData((1L, base + " twenty"), (2L, base + " twentyone"),
+        (3L, uniqueB))
+      runOnce()
+      assert(lastDocs.select("doc").as[Long].collect().toSet == Set(1L, 3L))
+      // batch 2: 4 near-dups the ACCEPTED 1 (cross probe), 7 near-dups 6
+      // within the batch; only 6 survives.
+      mem.addData((4L, base + " twentytwo"), (6L, uniqueC),
+        (7L, uniqueC.replace("teal", "navy")))
+      runOnce()
+      assert(lastDocs.select("doc").as[Long].collect().toSet == Set(1L, 3L, 6L))
+      // the index grew only by the survivors: 3 docs × 5 bands.
+      assert(spark.table("dedup_stream_test_bands").count() == 15L)
+      assert(spark.table("dedup_stream_test_shingles").select("doc")
+        .distinct().as[Long].collect().toSet == Set(1L, 3L, 6L))
+    } finally {
+      Seq("docs", "shingles", "bands").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS dedup_stream_test_$t"))
+    }
+  }
+
   test("foreachBatch incremental upsert converges to the batch upsert result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
