@@ -1,0 +1,103 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data selection by hashed n-gram importance — the DSIR shape (Xie et
+  * al., "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023): score every raw document by how much its hashed n-gram
+  * profile looks like a small TARGET corpus (the domain you want more of)
+  * versus the raw corpus itself, then keep the top of the ranking.
+  *
+  * Faithful to DSIR's structure — hashed n-gram features, add-one
+  * smoothed bucket models for target and raw, per-document accumulation
+  * over feature occurrences — with ONE deliberate substitution: the
+  * per-bucket log-probability-ratio `ln(p_t[b]/p_r[b])` becomes the
+  * SCALED INTEGER probability ratio `floor(SCALE · p_t[b]/p_r[b])`, and
+  * documents aggregate the MEAN bucket weight instead of the sum of
+  * logs. Why: a float `ln` differs in the last ulp across libm
+  * implementations and a float SUM depends on partition order — either
+  * would break the engine's value-exact oracle contract. The integer
+  * form keeps the same "which buckets does the target over-represent"
+  * signal, is monotone per bucket in the true ratio, and makes the whole
+  * pipeline deterministic and engine-portable. (The substitution is NOT
+  * order-equivalent to DSIR's log-sum — a document dominated by one
+  * extreme bucket ranks higher here than under the log — documented, not
+  * hidden.)
+  *
+  * Scale: both bucket-count aggregations are one groupBy each (buckets,
+  * not vocabulary — `nBuckets` rows out); the weight table is
+  * nBuckets-sized and BROADCASTS; scoring is one narrow pass over raw
+  * gram occurrences. Nothing quadratic, nothing driver-side. Count
+  * arithmetic is long-ranged for corpora up to ~10¹² grams per side
+  * (guarded by require) — beyond that, lift the weight expression to
+  * DECIMAL(38,0); every operation used (×, DIV, floor) is exact there
+  * too.
+  */
+object Selection {
+
+  /** Per-bucket integer importance weights from target vs raw gram
+    * counts: `w[b] = floor(scale · (c_t[b]+1)·(N_r+B) / ((c_r[b]+1)·(N_t+B)))`
+    * — the add-one-smoothed probability ratio, scaled to an exact long.
+    * Buckets unseen in BOTH corpora get weight `scale` (ratio 1) only if
+    * probed; the table contains every bucket seen in either corpus.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 2, nBuckets: Int = 8192, scale: Long = 1000000L): DataFrame = {
+    require(n >= 1 && nBuckets >= 1 && scale >= 1)
+    def buckets(df: DataFrame): DataFrame =
+      Dedup.portableShingleRows(df, idCol, textCol, n)
+        .select(pmod(col("s"), lit(nBuckets.toLong)).as("bucket"))
+    // distinct-per-doc shingles (the minhash index unit) keep a spammy
+    // document from dominating a bucket — same robustness choice DSIR's
+    // hashed features make by construction.
+    val cr = buckets(raw).groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val ct = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val nr = cr.agg(sum("c_r")).first().getLong(0)
+    val nt = ct.agg(coalesce(sum("c_t"), lit(0L))).first().getLong(0)
+    require(nr < (1L << 40) && nt < (1L << 40),
+      "gram counts beyond 2^40 need the DECIMAL(38,0) weight form")
+    cr.join(ct, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+      // integer DIV, not double division: products stay in long range
+      // (guarded above) and both engines' integer division is exact, so
+      // the weights carry no float at all.
+      .withColumn("__num", lit(scale) * (col("c_t") + lit(1L)) * lit(nr + nBuckets))
+      .withColumn("__den", (col("c_r") + lit(1L)) * lit(nt + nBuckets))
+      .withColumn("w", expr("__num DIV __den"))
+      .drop("__num", "__den")
+  }
+
+  /** Score raw documents against a weight table: mean bucket weight over
+    * the document's distinct hashed n-grams, as an exact integer
+    * (`floor(Σw / n_grams)`). Docs with no grams score 0. The weight
+    * table broadcasts; the corpus never shuffles except the per-doc agg.
+    */
+  def importanceScores(raw: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, n: Int = 2, nBuckets: Int = 8192): DataFrame = {
+    val grams = Dedup.portableShingleRows(raw, idCol, textCol, n)
+      .select(col("doc"), pmod(col("s"), lit(nBuckets.toLong)).as("bucket"))
+    val scored = grams
+      .join(broadcast(weights.select(col("bucket"), col("w"))), Seq("bucket"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"), sum("w").as("w_sum"))
+      .withColumn("score", expr("w_sum DIV n_grams"))
+    raw.select(col(idCol).as("doc"))
+      .join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Keep documents scoring at least `minScore` — with `scale` = 10⁶ in
+    * the weight table, `minScore = 1000000` keeps documents whose mean
+    * bucket ratio favors the target. Deterministic; nested in the
+    * threshold (lowering it only adds documents).
+    */
+  def selectByImportance(scored: DataFrame, minScore: Long): DataFrame =
+    scored.filter(col("score") >= minScore)
+}

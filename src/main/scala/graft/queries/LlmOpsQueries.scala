@@ -594,6 +594,40 @@ object LlmOpsQueries extends QueryModule {
         "doc_id", "text")
         .orderBy("batch_id", "corpus_id")
     },
+    // DSIR-inspired importance scoring: hashed 2-gram bucket models for
+    // target (source = src1) vs raw, per-bucket scaled-integer add-one
+    // probability ratio, per-doc mean bucket weight — all integer
+    // arithmetic (DIV, never float), so the oracle is value-exact.
+    q("q_x_importance_scores", {
+      val h = graft.llmops.PortableHash.duckHash52("s")
+      val twoGram = "list_distinct(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))"
+      s"WITH rsh AS (SELECT DISTINCT doc_id, $h AS hh FROM (SELECT doc_id, unnest(sh) AS s FROM " +
+        s"(SELECT doc_id, $twoGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) rt WHERE len(t) >= 2) r0) r1), " +
+        "rb AS (SELECT doc_id, hh % 8192 AS bucket FROM rsh), " +
+        s"tsh AS (SELECT DISTINCT doc_id, $h AS hh FROM (SELECT doc_id, unnest(sh) AS s FROM " +
+        s"(SELECT doc_id, $twoGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE source = 'src1') tt WHERE len(t) >= 2) t0) t1), " +
+        "tb AS (SELECT doc_id, hh % 8192 AS bucket FROM tsh), " +
+        "cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM rb GROUP BY 1), " +
+        "ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t FROM tb GROUP BY 1), " +
+        "tot AS (SELECT (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS nr, (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) FROM ct) AS nt), " +
+        "w AS (SELECT coalesce(cr.bucket, ct.bucket) AS bucket, " +
+        "CAST((1000000 * (coalesce(ct.c_t, 0) + 1) * (tot.nr + 8192)) // ((coalesce(cr.c_r, 0) + 1) * (tot.nt + 8192)) AS BIGINT) AS w " +
+        "FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot), " +
+        "sc AS (SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(w.w) AS BIGINT) AS w_sum FROM rb JOIN w ON w.bucket = rb.bucket GROUP BY 1) " +
+        "SELECT d.doc_id AS doc, coalesce(sc.n_grams, 0) AS n_grams, coalesce(sc.w_sum, 0) AS w_sum, " +
+        "CAST(coalesce(sc.w_sum // sc.n_grams, 0) AS BIGINT) AS score " +
+        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY doc"
+    }) { (s, d) =>
+      import graft.llmops.Selection
+      val docs = Tables.documents(s, d)
+      val w = Selection.importanceWeights(docs,
+        docs.filter(col("source") === "src1"), "doc_id", "text",
+        n = 2, nBuckets = 8192)
+      Selection.importanceScores(docs, "doc_id", "text", w,
+          n = 2, nBuckets = 8192)
+        .orderBy("doc")
+    },
+
     // two-day incremental dedup replay (the batch twin of
     // EventStream.dedupStream, greedy arrival order): day 1 = odd ids
     // dedups within itself, day 2 = even ids dedups within itself then

@@ -1,0 +1,66 @@
+package graft
+
+import graft.llmops.Selection
+import org.apache.spark.sql.functions._
+
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // raw = two dialects; target = the "cats" dialect only.
+  private val raw = Seq(
+    (1L, "cats purr softly cats nap daily"),
+    (2L, "cats chase mice cats purr softly"),
+    (3L, "trucks haul gravel trucks idle loudly"),
+    (4L, "trucks brake hard gravel roads crumble"),
+    (5L, "x") // single token: no 2-grams
+  ).toDF("doc_id", "text")
+  private val target = raw.filter(col("doc_id") <= 2L)
+
+  private def scored = {
+    val w = Selection.importanceWeights(raw, target, "doc_id", "text",
+      n = 2, nBuckets = 1024)
+    Selection.importanceScores(raw, "doc_id", "text", w, n = 2, nBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+  }
+
+  test("target-dialect documents outscore disjoint-vocabulary ones") {
+    val s = scored
+    assert(Seq(1L, 2L).map(s(_)._2).min > Seq(3L, 4L).map(s(_)._2).max,
+      s"target docs must outrank: $s")
+    assert(s(5L) == ((0L, 0L))) // no grams -> zero, not a missing row
+    assert(s.size == 5)
+  }
+
+  test("weights are the exact scaled integer ratio (hand check)") {
+    // one-doc corpora with a single shared gram: c_r = c_t = 1 for that
+    // bucket, nr = nt = 1, so w = 10^6 * 2 * (1+B) / (2 * (1+B)) = 10^6.
+    val one = Seq((1L, "a b")).toDF("doc_id", "text")
+    val w = Selection.importanceWeights(one, one, "doc_id", "text",
+      n = 2, nBuckets = 1024)
+      .select("c_r", "c_t", "w").collect()
+    assert(w.length == 1)
+    assert(w.head.getLong(0) == 1L && w.head.getLong(1) == 1L)
+    assert(w.head.getLong(2) == 1000000L)
+  }
+
+  test("selectByImportance is nested in the threshold") {
+    val w = Selection.importanceWeights(raw, target, "doc_id", "text",
+      n = 2, nBuckets = 1024)
+    val sc = Selection.importanceScores(raw, "doc_id", "text", w,
+      n = 2, nBuckets = 1024)
+    val strict = Selection.selectByImportance(sc, 1000000L)
+      .select("doc").as[Long].collect().toSet
+    val loose = Selection.selectByImportance(sc, 1L)
+      .select("doc").as[Long].collect().toSet
+    assert(strict.subsetOf(loose))
+    assert(strict.nonEmpty && strict.forall(Set(1L, 2L)))
+  }
+
+  test("weight table broadcasts in the scoring plan") {
+    val w = Selection.importanceWeights(raw, target, "doc_id", "text",
+      n = 2, nBuckets = 1024)
+    val plan = Selection.importanceScores(raw, "doc_id", "text", w,
+      n = 2, nBuckets = 1024).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+  }
+}
