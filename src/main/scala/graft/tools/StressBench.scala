@@ -60,10 +60,11 @@ object StressBench {
     "q_x_shuffle_order", "q_x_semdedup_survivors", "q_x_contamination_frac",
     // r6: the inverted-index build (posting lists grow with df — the
     // replicated corpus is its worst case), the broadcast-probe search,
-    // the full curation cascade, and the two-day incremental dedup replay
-    // (replicas are exact cross-day dups: maximal cross-probe pressure).
+    // the full curation cascade, the two-day incremental dedup replay
+    // (same-rotation replicas straddle the odd/even day split: real
+    // cross-probe pressure), and the importance-scoring pass.
     "q_x_inverted_index", "q_x_search_topk", "q_x_curation_ledger",
-    "q_x_dedup_stream")
+    "q_x_dedup_stream", "q_x_importance_scores")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
