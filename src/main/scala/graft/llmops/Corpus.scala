@@ -397,4 +397,42 @@ object Corpus {
       .withColumn("copy", explode(sequence(lit(0L), col("__mix_n") - 1)))
       .drop("__mix_stratum", "__mix_c", "__mix_target", "__mix_n")
   }
+
+  /** Per-source corpus report card — the "data card" table a dataset
+    * release ships: document and token counts, mean and exact
+    * p50/p90/p99 document lengths ([[graft.operators.Quantiles]] rank
+    * rule — always an actual value, engine-portable), and the
+    * within-source exact-duplicate count (min-id survivor rule, the
+    * [[Dedup.exact]] semantics scoped per source). Everything is integer
+    * arithmetic (`DIV` for the mean) so the whole card is value-exact
+    * under the oracle.
+    *
+    * Scale: one pass computes tokens + content hash, the dup window and
+    * the quantile rank window both partition by source (the quantile
+    * window shares ONE exchange with its groupBy, as Quantiles pins),
+    * and the output is sources-sized. Skewed sources are the caveat at
+    * 100 TB — a single source holding half the corpus funnels through
+    * one partition in the rank window; for that shape run the card per
+    * source-shard and merge, or accept the sketch-grade KMV/CMS numbers
+    * instead.
+    */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(sourceCol).as("source"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
+      md5(col(textCol)).as("__h"))
+    val withKeep = base.withColumn("__keep",
+      min("doc").over(Window.partitionBy("source", "__h")))
+    val stats = withKeep.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      expr("sum(n_tokens) DIV count(1)").as("avg_tokens"),
+      sum(when(col("doc") =!= col("__keep"), 1L).otherwise(0L)).as("n_exact_dups"),
+      countDistinct("__h").as("n_distinct"))
+    stats.join(
+      graft.operators.Quantiles.perGroup(
+        base.select("source", "n_tokens"), Seq("source"), "n_tokens",
+        Seq(50, 90, 99)),
+      Seq("source"))
+  }
 }

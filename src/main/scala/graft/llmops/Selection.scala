@@ -100,4 +100,66 @@ object Selection {
     */
   def selectByImportance(scored: DataFrame, minScore: Long): DataFrame =
     scored.filter(col("score") >= minScore)
+
+  /** Keep EXACTLY `floor(n · keepBps / 10000)` documents — the top of the
+    * (score DESC, doc ASC) ranking — without a global sort and without a
+    * single-partition window (the resampling half of the DSIR shape,
+    * with a budget instead of a threshold).
+    *
+    * Two phases, both scalable:
+    *   1. per-score counts (a groupBy — distinct-scores-sized, ≪ corpus)
+    *      get a top-down cumulative count via the bucketed two-pass
+    *      cumsum (`score DIV width` groups: partitioned in-group window
+    *      + broadcast per-group offsets) — even all-distinct scores
+    *      never funnel through one partition;
+    *   2. every row whose score clears the full-group threshold enters
+    *      outright (one broadcast scalar compare); rows AT the boundary
+    *      score rank by doc ASC within that single score group — a
+    *      window over one tie group, bounded by the tie count — and
+    *      fill the remainder.
+    *
+    * The corpus-size count and the two 1-row threshold frames are the
+    * same bounded driver/broadcast actions the engine's other budgeted
+    * operators use. Deterministic, and nested in `keepBps`: a bigger
+    * budget only adds documents (the ranking is fixed).
+    */
+  def topShare(scored: DataFrame, keepBps: Int,
+      groupWidth: Long = 1L << 20): DataFrame = {
+    require(keepBps >= 0 && keepBps <= 10000)
+    require(groupWidth >= 1)
+    val n = scored.count()
+    val k = n * keepBps / 10000
+    if (k == 0) return scored.limit(0)
+    val counts = scored.groupBy("score").agg(count(lit(1)).as("__c"))
+      .withColumn("__g", expr(s"score DIV $groupWidth"))
+    val inG = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__g").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // per-group offsets: one row per score bucket — tiny, broadcast back.
+    val offsets = counts.groupBy("__g").agg(sum("__c").as("__gc"))
+      .withColumn("__off", coalesce(sum("__gc").over(offW), lit(0L)))
+      .select("__g", "__off")
+    val cum = counts
+      .withColumn("__cumIn", sum("__c").over(inG))
+      .join(broadcast(offsets), Seq("__g"))
+      .withColumn("__cum", col("__cumIn") + col("__off")) // rows at-or-above this score
+    // smallest score whose whole group fits inside k (null if none).
+    val tFull = cum.filter(col("__cum") <= k).agg(min("score").as("__tfull"))
+    // the one score group straddling the budget (empty if k lands on a
+    // group boundary), with how many of its ties still fit.
+    val boundary = cum.filter(col("__cum") > k && col("__cum") - col("__c") < k)
+      .select(col("score").as("__tb"), (lit(k) - (col("__cum") - col("__c"))).as("__need"))
+    val fullIn = scored.crossJoin(broadcast(tFull))
+      .filter(col("score") >= col("__tfull")).drop("__tfull")
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy("score").orderBy(col("doc").asc)
+    val boundaryIn = scored.join(broadcast(boundary), col("score") === col("__tb"))
+      .withColumn("__rn", row_number().over(tieW))
+      .filter(col("__rn") <= col("__need"))
+      .drop("__tb", "__need", "__rn")
+    fullIn.unionByName(boundaryIn)
+  }
 }

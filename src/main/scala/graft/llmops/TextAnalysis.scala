@@ -54,6 +54,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** CCNet-style text normalization — the canonicalization every robust
+    * dedup/matching key starts from: lowercase, trim, optionally strip
+    * punctuation and map every digit to 0 (so "Call 555-1234!" and
+    * "call 555 5678" collide), then collapse whitespace runs to one
+    * space. Order is load-bearing: punctuation stripping can create
+    * double spaces, so the collapse comes LAST. Pure codegen'd
+    * regexp_replace chain (patterns in Java-regex/RE2-common syntax,
+    * same contract as the PII rules) — runs at scan speed, and feeding
+    * it to [[fingerprint]]'s md5 gives the noise-robust dedup key.
+    */
+  def normalize(text: Column, stripPunct: Boolean = true,
+      digitsToZero: Boolean = true): Column = {
+    val lowered = lower(trim(text))
+    val p = if (stripPunct) regexp_replace(lowered, PunctClass, "") else lowered
+    val d = if (digitsToZero) regexp_replace(p, "[0-9]", "0") else p
+    regexp_replace(d, "\\s+", " ")
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * local fingerprinting scheme): hash every token k-gram, slide a
     * w-gram window, and select each window's minimum hash (ties → the

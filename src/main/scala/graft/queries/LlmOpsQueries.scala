@@ -142,6 +142,31 @@ object LlmOpsQueries extends QueryModule {
       "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3 ORDER BY 1, 2"
   }
 
+  /** DuckDB mirror of the Selection.importanceWeights/importanceScores
+    * pipeline (target = src1, 2-grams, 8192 buckets, scale 10⁶) — shared
+    * by the scoring query and the top-share selection replay.
+    */
+  private val importanceScoresSql: String = {
+    val h = graft.llmops.PortableHash.duckHash52("s")
+    val twoGram = "list_distinct(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))"
+    s"WITH rsh AS (SELECT DISTINCT doc_id, $h AS hh FROM (SELECT doc_id, unnest(sh) AS s FROM " +
+      s"(SELECT doc_id, $twoGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) rt WHERE len(t) >= 2) r0) r1), " +
+      "rb AS (SELECT doc_id, hh % 8192 AS bucket FROM rsh), " +
+      s"tsh AS (SELECT DISTINCT doc_id, $h AS hh FROM (SELECT doc_id, unnest(sh) AS s FROM " +
+      s"(SELECT doc_id, $twoGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE source = 'src1') tt WHERE len(t) >= 2) t0) t1), " +
+      "tb AS (SELECT doc_id, hh % 8192 AS bucket FROM tsh), " +
+      "cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM rb GROUP BY 1), " +
+      "ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t FROM tb GROUP BY 1), " +
+      "tot AS (SELECT (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS nr, (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) FROM ct) AS nt), " +
+      "w AS (SELECT coalesce(cr.bucket, ct.bucket) AS bucket, " +
+      "CAST((1000000 * (coalesce(ct.c_t, 0) + 1) * (tot.nr + 8192)) // ((coalesce(cr.c_r, 0) + 1) * (tot.nt + 8192)) AS BIGINT) AS w " +
+      "FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot), " +
+      "sc AS (SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(w.w) AS BIGINT) AS w_sum FROM rb JOIN w ON w.bucket = rb.bucket GROUP BY 1) " +
+      "SELECT d.doc_id AS doc, coalesce(sc.n_grams, 0) AS n_grams, coalesce(sc.w_sum, 0) AS w_sum, " +
+      "CAST(coalesce(sc.w_sum // sc.n_grams, 0) AS BIGINT) AS score " +
+      "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+  }
+
   /** Cross-side minhash pairs parameterized over both relations (each must
     * expose doc_id + text): the incremental-step fragment — batch bands
     * probe corpus bands, exact-Jaccard verify, dist ≤ 0.3.
@@ -598,26 +623,8 @@ object LlmOpsQueries extends QueryModule {
     // target (source = src1) vs raw, per-bucket scaled-integer add-one
     // probability ratio, per-doc mean bucket weight — all integer
     // arithmetic (DIV, never float), so the oracle is value-exact.
-    q("q_x_importance_scores", {
-      val h = graft.llmops.PortableHash.duckHash52("s")
-      val twoGram = "list_distinct(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))"
-      s"WITH rsh AS (SELECT DISTINCT doc_id, $h AS hh FROM (SELECT doc_id, unnest(sh) AS s FROM " +
-        s"(SELECT doc_id, $twoGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) rt WHERE len(t) >= 2) r0) r1), " +
-        "rb AS (SELECT doc_id, hh % 8192 AS bucket FROM rsh), " +
-        s"tsh AS (SELECT DISTINCT doc_id, $h AS hh FROM (SELECT doc_id, unnest(sh) AS s FROM " +
-        s"(SELECT doc_id, $twoGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE source = 'src1') tt WHERE len(t) >= 2) t0) t1), " +
-        "tb AS (SELECT doc_id, hh % 8192 AS bucket FROM tsh), " +
-        "cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM rb GROUP BY 1), " +
-        "ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t FROM tb GROUP BY 1), " +
-        "tot AS (SELECT (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS nr, (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) FROM ct) AS nt), " +
-        "w AS (SELECT coalesce(cr.bucket, ct.bucket) AS bucket, " +
-        "CAST((1000000 * (coalesce(ct.c_t, 0) + 1) * (tot.nr + 8192)) // ((coalesce(cr.c_r, 0) + 1) * (tot.nt + 8192)) AS BIGINT) AS w " +
-        "FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot), " +
-        "sc AS (SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(w.w) AS BIGINT) AS w_sum FROM rb JOIN w ON w.bucket = rb.bucket GROUP BY 1) " +
-        "SELECT d.doc_id AS doc, coalesce(sc.n_grams, 0) AS n_grams, coalesce(sc.w_sum, 0) AS w_sum, " +
-        "CAST(coalesce(sc.w_sum // sc.n_grams, 0) AS BIGINT) AS score " +
-        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY doc"
-    }) { (s, d) =>
+    q("q_x_importance_scores",
+      importanceScoresSql + " ORDER BY doc") { (s, d) =>
       import graft.llmops.Selection
       val docs = Tables.documents(s, d)
       val w = Selection.importanceWeights(docs,
@@ -626,6 +633,64 @@ object LlmOpsQueries extends QueryModule {
       Selection.importanceScores(docs, "doc_id", "text", w,
           n = 2, nBuckets = 8192)
         .orderBy("doc")
+    },
+
+    // exact top-share selection over the importance scores: keep exactly
+    // floor(n·25%) docs by (score DESC, doc ASC). The oracle is the naive
+    // global rank; the engine runs the two-phase bucketed-cumsum +
+    // boundary-tie-rank plan (equality is the point).
+    q("q_x_selection_topshare",
+      s"WITH scores AS ($importanceScoresSql), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc) AS rn, count(*) OVER () AS n FROM scores) " +
+        "SELECT doc, n_grams, w_sum, score FROM r WHERE rn <= n * 2500 // 10000 ORDER BY doc") { (s, d) =>
+      import graft.llmops.Selection
+      val docs = Tables.documents(s, d)
+      val w = Selection.importanceWeights(docs,
+        docs.filter(col("source") === "src1"), "doc_id", "text",
+        n = 2, nBuckets = 8192)
+      val scored = Selection.importanceScores(docs, "doc_id", "text", w,
+        n = 2, nBuckets = 8192)
+      Selection.topShare(scored, keepBps = 2500).orderBy("doc")
+    },
+
+    // CCNet-style normalization: lowercase, strip punctuation, digits→0,
+    // collapse whitespace. The synthetic corpus is already clean, so both
+    // engines append the SAME deterministic decorations (the PII-oracle
+    // pattern) and must agree on the normalized text and its md5.
+    q("q_x_text_normalize", {
+      val aug = "text || CASE WHEN doc_id % 3 = 0 THEN '  Call 555-1234, NOW!' " +
+        "WHEN doc_id % 3 = 1 THEN ' (Room 42); ok' ELSE '' END"
+      val punct = "[.,;:!?''\"()\\-]"
+      s"SELECT doc_id AS doc, regexp_replace(regexp_replace(regexp_replace(lower(trim($aug)), '$punct', '', 'g'), '[0-9]', '0', 'g'), '\\s+', ' ', 'g') AS norm, " +
+        s"md5(regexp_replace(regexp_replace(regexp_replace(lower(trim($aug)), '$punct', '', 'g'), '[0-9]', '0', 'g'), '\\s+', ' ', 'g')) AS norm_md5 " +
+        "FROM documents ORDER BY doc"
+    }) { (s, d) =>
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, "  Call 555-1234, NOW!")
+          .when(col("doc_id") % 3 === 1, " (Room 42); ok")
+          .otherwise(""))
+      val norm = TextAnalysis.normalize(aug)
+      Tables.documents(s, d)
+        .select(col("doc_id").as("doc"), norm.as("norm"), md5(norm).as("norm_md5"))
+        .orderBy("doc")
+    },
+
+    // per-source data card: doc/token counts, integer mean, exact
+    // p50/p90/p99 lengths (rank rule), within-source exact-dup counts.
+    q("q_x_data_card",
+      "WITH b AS (SELECT doc_id AS doc, source, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, md5(text) AS h FROM documents), " +
+        "k AS (SELECT *, min(doc) OVER (PARTITION BY source, h) AS keep FROM b), " +
+        "st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens, " +
+        "CAST(sum(CASE WHEN doc <> keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups, " +
+        "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct FROM k GROUP BY 1), " +
+        "r AS (SELECT source, n_tokens, row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn, count(*) OVER (PARTITION BY source) AS cnt FROM b), " +
+        "qs AS (SELECT source, CAST(max(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1 THEN n_tokens END) AS BIGINT) AS p50, " +
+        "CAST(max(CASE WHEN rn = (cnt - 1) * 90 // 100 + 1 THEN n_tokens END) AS BIGINT) AS p90, " +
+        "CAST(max(CASE WHEN rn = (cnt - 1) * 99 // 100 + 1 THEN n_tokens END) AS BIGINT) AS p99 FROM r GROUP BY 1) " +
+        "SELECT st.*, qs.p50, qs.p90, qs.p99 FROM st JOIN qs USING (source) ORDER BY source") { (s, d) =>
+      Corpus.dataCard(Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy("source")
     },
 
     // two-day incremental dedup replay (the batch twin of

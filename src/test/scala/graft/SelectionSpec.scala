@@ -56,6 +56,32 @@ class SelectionSpec extends SparkTestBase {
     assert(strict.nonEmpty && strict.forall(Set(1L, 2L)))
   }
 
+  test("topShare keeps exactly floor(n*bps/10000), equals the naive ranking") {
+    // 40 docs, many tied scores (score = doc % 4 style ties via repetition)
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "cats purr softly cats" else if (i % 4 == 1)
+        "cats purr loudly here" else "trucks haul gravel roads")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 4 === 0)
+    val w = Selection.importanceWeights(docs, target, "doc_id", "text",
+      n = 2, nBuckets = 512)
+    val scored = Selection.importanceScores(docs, "doc_id", "text", w,
+      n = 2, nBuckets = 512).localCheckpoint(true)
+    val n = scored.count()
+    for (bps <- Seq(1000, 2500, 5000, 9999, 10000)) {
+      val got = Selection.topShare(scored, bps)
+        .select("doc").as[Long].collect().toSet
+      val expected = scored.orderBy(col("score").desc, col("doc").asc)
+        .limit((n * bps / 10000).toInt).select("doc").as[Long].collect().toSet
+      assert(got == expected, s"bps=$bps")
+      assert(got.size == (n * bps / 10000).toInt, s"bps=$bps size")
+    }
+    // nesting: a bigger budget only adds documents
+    val s25 = Selection.topShare(scored, 2500).select("doc").as[Long].collect().toSet
+    val s50 = Selection.topShare(scored, 5000).select("doc").as[Long].collect().toSet
+    assert(s25.subsetOf(s50))
+    assert(Selection.topShare(scored, 0).count() == 0L)
+  }
+
   test("weight table broadcasts in the scoring plan") {
     val w = Selection.importanceWeights(raw, target, "doc_id", "text",
       n = 2, nBuckets = 1024)
