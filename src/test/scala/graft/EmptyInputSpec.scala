@@ -109,4 +109,42 @@ class EmptyInputSpec extends SparkTestBase {
       Seq((1L, "one two three four")).toDF("doc_id", "text"),
       "doc_id", "text", k = 3, w = 4).count() == 1)
   }
+
+  test("r6 operators tolerate empty inputs") {
+    import graft.llmops.{Curation, Retrieval, Selection}
+    // retrieval: empty corpus / empty query set
+    assert(Retrieval.invertedIndex(noDocs, "doc_id", "text").count() == 0)
+    assert(Retrieval.searchTopK(someDocs, "doc_id", "text",
+      Seq.empty[(Long, String)].toDF("qid", "qtext"), "qid", "qtext").count() == 0)
+    assert(Retrieval.searchTopK(noDocs, "doc_id", "text",
+      Seq((1L, "a b")).toDF("qid", "qtext"), "qid", "qtext").count() == 0)
+    // incremental dedup: empty batch against a real index, and vice versa
+    val ex = Dedup.portableShingleRows(someDocs, "doc_id", "text", 3)
+    assert(Dedup.incrementalDedupStep(noDocs, "doc_id", "text",
+      ex, Dedup.bandRows(ex, 5)).count() == 0)
+    val emptyEx = Dedup.portableShingleRows(noDocs, "doc_id", "text", 3)
+    assert(Dedup.incrementalDedupStep(someDocs, "doc_id", "text",
+      emptyEx, Dedup.bandRows(emptyEx, 5)).count() == 2)
+    // curation: an empty corpus yields an empty ledger
+    val noSrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Curation.ledger(noSrc, "doc_id", "text", "source",
+      noDocs, Seq("x").toDF("source"), quota = 5).count() == 0)
+    // selection: empty raw corpus scores nothing; empty target still
+    // yields a usable (uniform add-one) weight table
+    val wEmptyTarget = Selection.importanceWeights(someDocs, noDocs,
+      "doc_id", "text", n = 2, nBuckets = 64)
+    assert(Selection.importanceScores(someDocs, "doc_id", "text",
+      wEmptyTarget, n = 2, nBuckets = 64).count() == 2)
+    assert(Selection.topShare(
+      Selection.importanceScores(noDocs, "doc_id", "text", wEmptyTarget,
+        n = 2, nBuckets = 64), keepBps = 5000).count() == 0)
+    // data card of an empty corpus is an empty card
+    assert(Corpus.dataCard(noSrc, "doc_id", "text", "source").count() == 0)
+    // normalize degenerate strings
+    val norm = Seq((1L, "   "), (2L, "A.B-C 12 3")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "")
+    assert(norm(2L) == "abc 00 0")
+  }
 }
