@@ -83,4 +83,79 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc"), col("score"), col("n_matched"))
   }
+
+  /** Exact phrase search: a document matches where ALL the phrase's
+    * tokens occur at CONSECUTIVE positions. One join does every phrase
+    * at once: query tokens explode with their in-phrase offset `i`,
+    * document tokens with their position, and the equi-join on the term
+    * emits (qid, doc, start = pos − i) — a full phrase occurrence is
+    * exactly a start where the match count equals the phrase length
+    * (document positions are unique, so no double-counting). Returns one
+    * row per (qid, doc) with the occurrence count and first position.
+    *
+    * Scale: the query side broadcasts; the document side is the same
+    * positional token stream the winnowing/substring operators scan —
+    * one narrow pass, one aggregation keyed by (qid, doc, start).
+    * Single-token phrases degrade to a plain term lookup.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.wsTokens(lower(col(textCol)))).as(Seq("pos", "term")))
+    val qt = queries.select(col(qidCol).as("qid"),
+        posexplode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as(Seq("i", "term")))
+    val qlen = qt.groupBy("qid").agg(count(lit(1)).as("__m"))
+    val starts = dt.join(broadcast(qt), Seq("term"))
+      .select(col("qid"), col("doc"), (col("pos") - col("i")).as("start"))
+      .groupBy("qid", "doc", "start").agg(count(lit(1)).as("__hit"))
+    starts.join(broadcast(qlen), Seq("qid"))
+      .filter(col("__hit") === col("__m") && col("start") >= 0)
+      .groupBy("qid", "doc")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min("start").cast("long").as("first_pos"))
+  }
+
+  /** BM25 top-k — the standard probabilistic re-rank over the same
+    * candidate set as [[searchTopK]] (k1 = 1.2, b = 0.75):
+    * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`,
+    * `w(t, d) = idf · tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen))`.
+    *
+    * Float discipline (what makes this oracle-checkable): every input to
+    * the formula is an exact integer (tf, df, N, doc/corpus token
+    * counts), so both engines feed `ln` identical arguments; the
+    * per-(query, doc) sum spans at most |query| terms, so any
+    * partial-aggregation order difference is bounded by a few ulps —
+    * absorbed by the 6 dp rounding, the same argument the tfidf oracle
+    * has relied on since r3. Ranking ties break on doc id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1)
+    val tf = termFreqs(docs, idCol, textCol)
+    val lens = docs.select(col(idCol).as("doc"),
+      size(TextAnalysis.wsTokens(lower(col(textCol)))).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val weighted = tf.join(broadcast(qterms), Seq("term"))
+      .join(dfc, Seq("term"))
+      .join(lens, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("__tfn",
+        col("tf") * lit(k1 + 1) / (col("tf") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl") * col("n_docs") / col("total_dl"))))
+      .withColumn("__w", col("__idf") * col("__tfn"))
+    val scored = weighted.groupBy("qid", "doc")
+      .agg(sum("__w").as("__score"), count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy("qid").orderBy(col("__score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc"),
+        round(col("__score"), 6).as("score"), col("n_matched"))
+  }
 }

@@ -57,6 +57,34 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L)) // equal scores -> lowest ids, capped at k=2
   }
 
+  test("phraseSearch finds consecutive-token occurrences only") {
+    val pdocs = Seq(
+      (1L, "the quick brown fox jumps the quick brown dog"),
+      (2L, "quick the brown fox"), // all terms present, never consecutive
+      (3L, "the quick brown")
+    ).toDF("doc_id", "text")
+    val queries = Seq((9L, "the quick brown")).toDF("qid", "qtext")
+    val got = Retrieval.phraseSearch(pdocs, "doc_id", "text",
+        queries, "qid", "qtext")
+      .orderBy("doc")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc1 matches twice (pos 0 and 5), doc2 never, doc3 once at 0.
+    assert(got == Seq((1L, 2L, 0L), (3L, 1L, 0L)))
+  }
+
+  test("bm25TopK: rarer terms dominate, scores are finite and ranked desc") {
+    val queries = Seq((10L, "spark unique")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // doc4 holds the rare term ("unique", df=1) -> outranks the df=2
+    // "spark" docs despite matching one term.
+    assert(got.head._1 == 4L, s"got $got")
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    assert(got.forall(x => !x._2.isNaN && !x._2.isInfinite))
+  }
+
   test("searchTopK plan: query terms broadcast, top-k window partitioned by qid") {
     val queries = Seq((10L, "spark shuffle")).toDF("qid", "qtext")
     val plan = Retrieval.searchTopK(docs, "doc_id", "text",
