@@ -372,6 +372,57 @@ object EventStream {
       }
   }
 
+  /** Streaming per-source data card: the [[graft.llmops.Corpus.dataCard]]
+    * report maintained incrementally across micro-batches of documents.
+    * State is ONE bounded row per source — exact doc/token counts ride
+    * the scalar delta-fold algebra, the distinct-CONTENT estimate is a
+    * mergeable KMV sketch over the text hash (exact below k distinct),
+    * and the doc-length p50 is the bottom-k DISTINCT-VALUE quantile
+    * sample ([[graft.functions.BottomKSample]] semantics — loudly
+    * different from the batch card's exact per-occurrence quantile,
+    * which is not mergeable). `apply` receives the derived card after
+    * every batch: (source, n_docs, n_tokens, avg_tokens, est_distinct,
+    * p50_distinct_est).
+    *
+    * Scale: per-batch work is one groupBy over the delta; the fold
+    * touches sources-sized state only. The same merge law as
+    * [[incrementalAggregate]] — `merge(partials(A), partials(B)) ≡
+    * partials(A ∪ B)` — makes the card identical however the stream is
+    * batched (spec-asserted against the one-batch card).
+    */
+  def dataCardStream(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, k: Int = 256,
+      apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.{BottomKSample, KMinValues}
+    import graft.llmops.PortableHash
+    var state: DataFrame = null
+    def partials(batch: DataFrame): DataFrame =
+      batch.select(col(sourceCol).as("source"),
+          size(split(trim(col(textCol)), "\\s+")).cast("long").as("__nt"),
+          PortableHash.hash52(col(textCol)).as("__h"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+          KMinValues.sketch(col("__h"), k).as("kmv"),
+          BottomKSample.sample(col("__nt"), k).as("qs"))
+    def mergeCards(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionAll(b).groupBy("source").agg(
+        sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        KMinValues.mergeSketch(col("kmv"), k).as("kmv"),
+        BottomKSample.mergeSample(col("qs"), k).as("qs"))
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val p = partials(batch)
+        state = (if (state == null) p else mergeCards(state, p))
+          .localCheckpoint(eager = true)
+        apply(state.select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens DIV n_docs").as("avg_tokens"),
+          KMinValues.estimate(col("kmv"), k).as("est_distinct"),
+          BottomKSample.distinctQuantile(col("qs"), 50).as("p50_distinct_est")))
+      }
+  }
+
   /** Streaming incremental near-dup dedup: every micro-batch of new
     * documents runs [[graft.llmops.Dedup.incrementalDedupStep]] against
     * the persisted corpus INDEX and appends its accepted documents (plus

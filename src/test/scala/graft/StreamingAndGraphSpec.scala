@@ -261,6 +261,37 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("dataCardStream: card is batch-split-invariant and exact below k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "a b c", "s1"), // dup content
+      (4L, "w x y z", "s2"), (5L, "p q", "s2"))
+    def runSplit(batches: Seq[Seq[(Long, String, String)]]): Map[String, (Long, Long, Long, Double, Long)] = {
+      val mem = MemoryStream[(Long, String, String)]
+      val streamDf = mem.toDF()
+        .select(col("_1").as("doc_id"), col("_2").as("text"), col("_3").as("source"))
+      var last: org.apache.spark.sql.DataFrame = null
+      val ckpt = java.nio.file.Files.createTempDirectory("card_ckpt").toString
+      val writer = EventStream.dataCardStream(streamDf, "doc_id", "text",
+          "source", k = 64, apply = st => last = st)
+        .option("checkpointLocation", ckpt)
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
+      last.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    }
+    val oneShot = runSplit(Seq(rows))
+    val threeWay = runSplit(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)))
+    assert(oneShot == threeWay, s"card not batch-invariant:\n$oneShot\n$threeWay")
+    // exact values below k: s1 = 3 docs, 8 tokens, 2 distinct contents,
+    // distinct token-lengths {2, 3} -> p50 (lower rank) = 2.
+    assert(oneShot("s1") == ((3L, 8L, 2L, 2.0, 2L)))
+    assert(oneShot("s2") == ((2L, 6L, 3L, 2.0, 2L)))
+  }
+
   test("foreachBatch incremental upsert converges to the batch upsert result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
