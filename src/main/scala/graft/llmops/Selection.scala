@@ -127,10 +127,14 @@ object Selection {
       groupWidth: Long = 1L << 20): DataFrame = {
     require(keepBps >= 0 && keepBps <= 10000)
     require(groupWidth >= 1)
-    val n = scored.count()
+    // four consumers hang off `scored` (the count, the score histogram,
+    // the full-group filter, the boundary ranking) — materialize once or
+    // its lineage executes once per consumer.
+    val sc = scored.localCheckpoint(true)
+    val n = sc.count()
     val k = n * keepBps / 10000
-    if (k == 0) return scored.limit(0)
-    val counts = scored.groupBy("score").agg(count(lit(1)).as("__c"))
+    if (k == 0) return sc.limit(0)
+    val counts = sc.groupBy("score").agg(count(lit(1)).as("__c"))
       .withColumn("__g", expr(s"score DIV $groupWidth"))
     val inG = org.apache.spark.sql.expressions.Window
       .partitionBy("__g").orderBy(col("score").desc)
@@ -152,11 +156,11 @@ object Selection {
     // group boundary), with how many of its ties still fit.
     val boundary = cum.filter(col("__cum") > k && col("__cum") - col("__c") < k)
       .select(col("score").as("__tb"), (lit(k) - (col("__cum") - col("__c"))).as("__need"))
-    val fullIn = scored.crossJoin(broadcast(tFull))
+    val fullIn = sc.crossJoin(broadcast(tFull))
       .filter(col("score") >= col("__tfull")).drop("__tfull")
     val tieW = org.apache.spark.sql.expressions.Window
       .partitionBy("score").orderBy(col("doc").asc)
-    val boundaryIn = scored.join(broadcast(boundary), col("score") === col("__tb"))
+    val boundaryIn = sc.join(broadcast(boundary), col("score") === col("__tb"))
       .withColumn("__rn", row_number().over(tieW))
       .filter(col("__rn") <= col("__need"))
       .drop("__tb", "__need", "__rn")

@@ -430,14 +430,14 @@ object LlmOpsQueries extends QueryModule {
     q("q_x_search_topk",
       "WITH tf AS (SELECT t AS term, doc_id AS doc, CAST(count(*) AS BIGINT) AS tf " +
         "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents) GROUP BY 1, 2), " +
-        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3) AS qt FROM documents WHERE doc_id % 50 = 0), " +
+        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3) AS qt FROM documents WHERE doc_id % 50 = 0 AND doc_id < 10000), " +
         "qt AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q), " +
         "sc AS (SELECT qid, doc, CAST(sum(tf) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_matched " +
         "FROM qt JOIN tf USING (term) GROUP BY 1, 2 HAVING count(*) >= 2), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc) " +
         "SELECT qid, CAST(rank AS BIGINT) AS rank, doc, score, n_matched FROM r WHERE rank <= 5 ORDER BY qid, rank") { (s, d) =>
       val docs = Tables.documents(s, d)
-      val queries = docs.filter(col("doc_id") % 50 === 0)
+      val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000) // fixed query workload: corpus scales, benchmark queries do not (see StressBench)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
       graft.llmops.Retrieval.searchTopK(docs, "doc_id", "text",
@@ -943,7 +943,7 @@ object LlmOpsQueries extends QueryModule {
     // is a start whose match count equals the phrase length.
     q("q_x_phrase_search",
       "WITH dt AS (SELECT doc_id AS doc, i - 1 AS pos, t[i] AS term FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents) d0 CROSS JOIN unnest(generate_series(1, len(t))) u(i)), " +
-        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 2, 4) AS qt FROM documents WHERE doc_id % 50 = 0), " +
+        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 2, 4) AS qt FROM documents WHERE doc_id % 50 = 0 AND doc_id < 10000), " +
         "qt AS (SELECT qid, i - 1 AS i, qt[i] AS term FROM q CROSS JOIN unnest(generate_series(1, len(qt))) u(i)), " +
         "m AS (SELECT qid, CAST(count(*) AS BIGINT) AS m FROM qt GROUP BY 1), " +
         "st AS (SELECT qt.qid, dt.doc, dt.pos - qt.i AS start, count(*) AS hit FROM dt JOIN qt ON dt.term = qt.term GROUP BY 1, 2, 3), " +
@@ -951,7 +951,7 @@ object LlmOpsQueries extends QueryModule {
         "SELECT qid, doc, CAST(count(*) AS BIGINT) AS n_occurrences, CAST(min(start) AS BIGINT) AS first_pos " +
         "FROM f GROUP BY 1, 2 ORDER BY qid, doc") { (s, d) =>
       val docs = Tables.documents(s, d)
-      val queries = docs.filter(col("doc_id") % 50 === 0)
+      val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000) // fixed query workload: corpus scales, benchmark queries do not (see StressBench)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 2, 3)).as("qtext"))
       graft.llmops.Retrieval.phraseSearch(docs, "doc_id", "text",
@@ -967,7 +967,7 @@ object LlmOpsQueries extends QueryModule {
         "lens AS (SELECT doc_id AS doc, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl FROM documents), " +
         "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM lens), " +
         "dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
-        "q AS (SELECT DISTINCT doc_id AS qid, unnest(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3)) AS term FROM documents WHERE doc_id % 50 = 0), " +
+        "q AS (SELECT DISTINCT doc_id AS qid, unnest(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3)) AS term FROM documents WHERE doc_id % 50 = 0 AND doc_id < 10000), " +
         "wt AS (SELECT q.qid, tf.doc, ln((st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1) * " +
         "(tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl * st.n_docs / st.total_dl))) AS w " +
         "FROM tf JOIN q ON q.term = tf.term JOIN dfc ON dfc.term = tf.term JOIN lens ON lens.doc = tf.doc CROSS JOIN st), " +
@@ -975,7 +975,7 @@ object LlmOpsQueries extends QueryModule {
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc) " +
         "SELECT qid, CAST(rank AS BIGINT) AS rank, doc, round(score, 6) AS score, n_matched FROM r WHERE rank <= 5 ORDER BY qid, rank") { (s, d) =>
       val docs = Tables.documents(s, d)
-      val queries = docs.filter(col("doc_id") % 50 === 0)
+      val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000) // fixed query workload: corpus scales, benchmark queries do not (see StressBench)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
       graft.llmops.Retrieval.bm25TopK(docs, "doc_id", "text",
