@@ -73,17 +73,23 @@ object Selection {
 
   /** Score raw documents against a weight table: mean bucket weight over
     * the document's distinct hashed n-grams, as an exact integer
-    * (`floor(Σw / n_grams)`). Docs with no grams score 0. The weight
-    * table broadcasts; the corpus never shuffles except the per-doc agg.
+    * (`floor(Σw / n_grams)`). Docs with no grams score 0. A gram whose
+    * bucket is ABSENT from the table (scoring documents the weights were
+    * not trained on) weighs `defaultW` — ratio 1 at the default scale —
+    * rather than silently dropping out of both the sum and the
+    * denominator. The weight table broadcasts; the corpus never shuffles
+    * except the per-doc agg.
     */
   def importanceScores(raw: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, n: Int = 2, nBuckets: Int = 8192): DataFrame = {
+      weights: DataFrame, n: Int = 2, nBuckets: Int = 8192,
+      defaultW: Long = 1000000L): DataFrame = {
     val grams = Dedup.portableShingleRows(raw, idCol, textCol, n)
       .select(col("doc"), pmod(col("s"), lit(nBuckets.toLong)).as("bucket"))
     val scored = grams
-      .join(broadcast(weights.select(col("bucket"), col("w"))), Seq("bucket"))
+      .join(broadcast(weights.select(col("bucket"), col("w"))), Seq("bucket"), "left")
       .groupBy("doc")
-      .agg(count(lit(1)).as("n_grams"), sum("w").as("w_sum"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("w"), lit(defaultW))).as("w_sum"))
       .withColumn("score", expr("w_sum DIV n_grams"))
     raw.select(col(idCol).as("doc"))
       .join(scored, Seq("doc"), "left")

@@ -299,4 +299,41 @@ class PlanSpec extends SparkTestBase {
       s"query side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for a join:\n$p")
   }
+
+  test("retrieval probes broadcast the query side, never a cartesian") {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    for (df <- Seq(
+        graft.llmops.Retrieval.searchTopK(docs, "doc_id", "text", queries, "qid", "qtext"),
+        graft.llmops.Retrieval.phraseSearch(docs, "doc_id", "text", queries, "qid", "qtext"),
+        graft.llmops.Retrieval.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext"))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in retrieval plan:\n$p")
+    }
+  }
+
+  test("curation ledger assembly: blocklist broadcast, no cartesian anywhere") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val df = graft.llmops.Curation.ledger(
+      docs, "doc_id", "text", "source",
+      docs.limit(3).select("doc_id", "text"),
+      Seq("srcX").toDF("source"), quota = 50)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"marker joins not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ledger plan:\n$p")
+  }
+
+  test("importance scoring: weight table broadcast, corpus aggregates map-side") {
+    val docs = Tables.documents(spark, dir)
+    val w = graft.llmops.Selection.importanceWeights(
+      docs, docs.limit(5), "doc_id", "text", n = 2, nBuckets = 256)
+    val p = plan(graft.llmops.Selection.importanceScores(
+      docs, "doc_id", "text", w, n = 2, nBuckets = 256))
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc agg must partial-aggregate map-side:\n$p")
+  }
 }

@@ -43,6 +43,18 @@ class SelectionSpec extends SparkTestBase {
     assert(w.head.getLong(2) == 1000000L)
   }
 
+  test("unseen-bucket grams weigh defaultW instead of dropping out") {
+    // weights trained on `raw`; score a NEW doc with fully unseen vocab.
+    val w = Selection.importanceWeights(raw, target, "doc_id", "text",
+      n = 2, nBuckets = 1024)
+    val novel = Seq((99L, "zzz yyy xxx www")).toDF("doc_id", "text")
+    val s = Selection.importanceScores(novel, "doc_id", "text", w,
+      n = 2, nBuckets = 1024)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    assert(s._1 == 3L)          // 3 bigrams counted, not dropped
+    assert(s._2 == 1000000L)    // all-default mean = ratio 1
+  }
+
   test("selectByImportance is nested in the threshold") {
     val w = Selection.importanceWeights(raw, target, "doc_id", "text",
       n = 2, nBuckets = 1024)
