@@ -116,20 +116,25 @@ object Corpus {
     * deliberately SKIPS the tokens between chunks (sparse sampling).
     */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
-      window: Int, stride: Int): DataFrame = {
+      window: Int, stride: Int, keepText: Boolean = false): DataFrame = {
     require(window >= 1 && stride >= 1)
     val t = split(trim(col(textCol)), "\\s+")
     val base = df.select(col(idCol).as("doc"), t.as("_t"),
       size(t).cast("long").as("_n"))
-    base
+    val sliced = base
       .select(col("doc"), col("_t"), col("_n"),
         explode(sequence(lit(0L), floor((col("_n") - 1) / stride))).as("chunk"))
       .select(col("doc"), col("chunk"),
         (col("chunk") * stride + 1).as("start_tok"),
         slice(col("_t"), (col("chunk") * stride + 1).cast("int"), lit(window)).as("_ct"))
-      .select(col("doc"), col("chunk"), col("start_tok"),
-        size(col("_ct")).cast("long").as("n_chunk_tokens"),
-        md5(concat_ws(" ", col("_ct"))).as("chunk_md5"))
+    // keepText materializes the chunk string itself — the RAG-indexing
+    // shape (feed chunks to Retrieval/embedding); off by default so the
+    // metadata-only path never pays the token-volume duplication.
+    val tail =
+      if (keepText) Seq(concat_ws(" ", col("_ct")).as("chunk_text")) else Nil
+    sliced.select(Seq(col("doc"), col("chunk"), col("start_tok"),
+      size(col("_ct")).cast("long").as("n_chunk_tokens"),
+      md5(concat_ws(" ", col("_ct"))).as("chunk_md5")) ++ tail: _*)
   }
 
   /** C4/RefinedWeb-style per-source quota cap: keep at most `quota`

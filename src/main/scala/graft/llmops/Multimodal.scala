@@ -127,6 +127,43 @@ object Multimodal {
         md5(hex(col("frame"))).as("frame_md5"))
   }
 
+  /** Binary near-dup pairs: two payloads are near-duplicates when their
+    * sampled-frame fingerprint SETS overlap — n-gram Jaccard transplanted
+    * to the byte domain (the re-encoded/re-muxed copy detector: container
+    * metadata changes, the sampled content frames largely do not). Exact
+    * Jaccard over distinct `frame_md5` sets at the given sampling;
+    * returns (id_a < id_b, jaccard ≥ threshold).
+    *
+    * Scale: candidate generation is the inverted equi-join on the
+    * fingerprint (only payloads SHARING a frame ever pair — never
+    * all-pairs), per-payload fingerprint counts are bounded by
+    * payload_bytes / stride, and a ubiquitous frame (a black video lead-in
+    * shared by everything) is the same skew hazard as a boilerplate
+    * shingle — cap it upstream by filtering high-df fingerprints exactly
+    * like [[Dedup.pruneFrequentBandKeys]] if the corpus has one.
+    */
+  def frameJaccardPairs(media: DataFrame, frameLen: Int = 16,
+      stride: Int = 12, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val fr = sampleFrames(media, frameLen, stride)
+      .select(col("media_id").as("doc"), col("frame_md5").as("s"))
+      .distinct().cache()
+    val sizes = fr.groupBy("doc").agg(count(lit(1)).as("n"))
+    val shared = fr.alias("x")
+      .join(fr.alias("y"), col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    fr.unpersist()
+    out
+  }
+
   final case class MediaThumb(media_id: Long, kind: String,
       thumb: Array[Byte], thumb_w: Int, thumb_h: Int)
 

@@ -983,6 +983,51 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // binary near-dup: payloads whose sampled-frame fingerprint sets
+    // overlap ≥ 0.8 Jaccard (the re-encoded-copy detector; at this
+    // threshold on this corpus the pairs are the exact-duplicate
+    // payloads at J = 1.0, which is the point — byte-identical content
+    // pairs regardless of container framing).
+    q("q_x_multimodal_dedup",
+      "WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), " +
+        "f AS (SELECT DISTINCT media_id, md5(substr(hx, frame_no * 24 + 1, 32)) AS fp FROM " +
+        "(SELECT media_id, hx, unnest(generate_series(0, (n - 1) // 12)) AS frame_no FROM h WHERE n >= 1) fr), " +
+        "sz AS (SELECT media_id, count(*) AS n FROM f GROUP BY 1), " +
+        "sh AS (SELECT x.media_id AS id_a, y.media_id AS id_b, count(*) AS shared FROM f x JOIN f y ON x.fp = y.fp AND x.media_id < y.media_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard " +
+        "FROM sh JOIN sz sa ON sa.media_id = id_a JOIN sz sb ON sb.media_id = id_b " +
+        "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8 ORDER BY 1, 2") { (s, d) =>
+      Multimodal.frameJaccardPairs(
+          Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"),
+          frameLen = 16, stride = 12, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // RAG chunk retrieval: the search surface at chunk granularity —
+    // tokenChunks(keepText) feeds searchTopK, chunk key = doc·1000+chunk.
+    // The top hit for each query is a CHUNK, the retrieval unit a RAG
+    // pipeline actually feeds the model.
+    q("q_x_rag_chunk_search",
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, i AS chunk, list_slice(toks, i * 24 + 1, i * 24 + 32) AS ct FROM t CROSS JOIN unnest(generate_series(0, (len(toks) - 1) // 24)) u(i)), " +
+        "tf AS (SELECT doc_id * 1000 + chunk AS ckey, term, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, chunk, unnest(ct) AS term FROM c) e GROUP BY 1, 2), " +
+        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3) AS qt FROM documents WHERE doc_id % 50 = 0 AND doc_id < 10000), " +
+        "qt AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q), " +
+        "sc AS (SELECT qid, ckey AS doc, CAST(sum(tf) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_matched FROM qt JOIN tf USING (term) GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc) " +
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, doc, score, n_matched FROM r WHERE rank <= 5 ORDER BY qid, rank") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val chunks = Corpus.tokenChunks(docs, "doc_id", "text",
+          window = 32, stride = 24, keepText = true)
+        .withColumn("chunk_key", col("doc") * 1000 + col("chunk"))
+      val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
+      graft.llmops.Retrieval.searchTopK(chunks, "chunk_key", "chunk_text",
+          queries, "qid", "qtext", k = 5, minMatch = 2)
+        .orderBy("qid", "rank")
+    },
+
     // end-to-end curation ledger: the full blocklist → quality → exact-dup
     // → near-dup → decontamination → quota cascade with first-failing-stage
     // attribution per document. Corpus = doc_id % 7 <> 0, benchmark suite =

@@ -415,6 +415,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f1.forall(f => f.byte_len == 0 || f.features.exists(_ != 0f)))
   }
 
+  test("frameJaccardPairs: shared-prefix payloads pair, disjoint ones never") {
+    import spark.implicits._
+    val a = "AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHHIIIIJJJJKKKKLLLL" // 48 bytes
+    val rows = Seq(
+      (1L, a),
+      (2L, a + "MMMMNNNNOOOO"), // same 48-byte prefix + 12 more
+      (3L, "zzzzyyyyxxxxwwwwvvvvuuuuttttssssrrrrqqqqppppoooo")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.payloadFrom(rows, "doc_id", "text")
+    // frames at 0/12/24/36(/48): docs 1-2 share the three full prefix
+    // frames, frame@36 differs (12-byte tail vs 16-byte), doc 3 shares
+    // nothing. J(1,2) = 3 / (4 + 5 - 3) = 0.5.
+    val pairs = Multimodal.frameJaccardPairs(media, frameLen = 16,
+        stride = 12, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0.5)))
+    // exact-duplicate payloads score 1.0
+    val dup = Multimodal.payloadFrom(
+      Seq((7L, a), (8L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    val d = Multimodal.frameJaccardPairs(dup, 16, 12, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(d == Seq((7L, 8L, 1.0)))
+  }
+
   test("real image decode: synthetic PNG/BMP dimensions and channel means recovered") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int, format: String = "png"): Array[Byte] = {
