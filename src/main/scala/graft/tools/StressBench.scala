@@ -65,7 +65,8 @@ object StressBench {
     // cross-probe pressure), and the importance-scoring pass.
     "q_x_inverted_index", "q_x_search_topk", "q_x_curation_ledger",
     "q_x_dedup_stream", "q_x_importance_scores", "q_x_search_bm25",
-    "q_x_phrase_search", "q_x_selection_topshare", "q_x_data_card")
+    "q_x_phrase_search", "q_x_selection_topshare", "q_x_data_card",
+    "q_x_multimodal_dedup", "q_x_rag_chunk_search")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
