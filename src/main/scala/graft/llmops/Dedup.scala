@@ -386,35 +386,50 @@ object Dedup {
     * positives — the final frame is row-for-row IDENTICAL to
     * `decontaminate` (same oracle), only the data movement changes.
     */
-  def decontaminateBloom(
-      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+  private def bloomPos(h: Column, j: Int, mBits: Int): Column =
+    pmod(lit(PortableHash.MinHashA(j)) * pmod(h, lit(PortableHash.P))
+      + lit(PortableHash.MinHashB(j)), lit(PortableHash.P)) % mBits.toLong
+
+  private def bloomWordMask(p: Column): Seq[Column] = Seq(
+    (p / 64).cast("long").as("w"),
+    call_function("shiftleft", lit(1L), (p % 64).cast("int")).as("m"))
+
+  /** The bench side's Bloom bitset as ≤ mBits/64 (word, bits) rows from a
+    * distinct shingle frame (column `s`). `bit_or`-mergeable: the word
+    * table of bench A ∪ B is the merged word tables of A and B — which is
+    * what makes the state incrementally maintainable
+    * ([[graft.streaming.EventStream.decontaminationStream]]).
+    */
+  private[graft] def bloomWordTable(shingles: DataFrame, mBits: Int,
+      kProbes: Int): DataFrame =
+    shingles
+      .select(explode(array((0 until kProbes).map(j => bloomPos(col("s"), j, mBits)): _*)).as("p"))
+      .select(bloomWordMask(col("p")): _*)
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+
+  /** [[decontaminateBloom]] against ALREADY-BUILT state: the bench
+    * shingle frame (for the exact verify) and its Bloom word table. The
+    * probe/verify/aggregate pipeline shared by the one-shot and the
+    * streamed shapes.
+    */
+  private[graft] def decontaminateBloomWith(
+      train: DataFrame, idCol: String, textCol: String,
+      benchShingles: DataFrame, words: DataFrame,
+      n: Int, mBits: Int, kProbes: Int): DataFrame = {
     require(kProbes >= 1 && kProbes <= PortableHash.MinHashA.length)
     require(mBits >= 64)
     val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
-    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
-      .select("s").distinct()
-    def pos(h: Column, j: Int): Column =
-      pmod(lit(PortableHash.MinHashA(j)) * pmod(h, lit(PortableHash.P))
-        + lit(PortableHash.MinHashB(j)), lit(PortableHash.P)) % mBits.toLong
-    def toWordMask(p: Column): Seq[Column] = Seq(
-      (p / 64).cast("long").as("w"),
-      call_function("shiftleft", lit(1L), (p % 64).cast("int")).as("m"))
-    val words = benchSh
-      .select(explode(array((0 until kProbes).map(j => pos(col("s"), j)): _*)).as("p"))
-      .select(toWordMask(col("p")): _*)
-      .groupBy("w").agg(bit_or(col("m")).as("bits"))
     val probed = trainSh.select(col("s")).distinct()
       .select(col("s"),
-        posexplode(array((0 until kProbes).map(j => pos(col("s"), j)): _*)).as(Seq("j", "p")))
-      .select(col("s") +: col("j") +: toWordMask(col("p")): _*)
+        posexplode(array((0 until kProbes).map(j => bloomPos(col("s"), j, mBits)): _*)).as(Seq("j", "p")))
+      .select(col("s") +: col("j") +: bloomWordMask(col("p")): _*)
       .join(broadcast(words), Seq("w"), "left")
       .groupBy("s")
       .agg(min(when(coalesce(col("bits").bitwiseAND(col("m")) =!= 0, lit(false)), 1)
         .otherwise(0)).as("_all_set"))
     val survivors = probed.filter(col("_all_set") === 1).select("s")
     // exact verify over the tiny survivor set — false positives die here.
-    val verified = survivors.join(benchSh, Seq("s"), "left_semi")
+    val verified = survivors.join(benchShingles, Seq("s"), "left_semi")
     val hits = trainSh.join(verified, Seq("s"), "left_semi")
       .groupBy("doc").agg(count(lit(1)).as("n_hit"))
     train.select(col(idCol).as("doc"))
@@ -422,6 +437,23 @@ object Dedup {
       .select(col("doc"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
+
+  def decontaminateBloom(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+      .select("s").distinct()
+    decontaminateBloomWith(train, idCol, textCol, benchSh,
+      bloomWordTable(benchSh, mBits, kProbes), n, mBits, kProbes)
+  }
+
+  /** Distinct xxhash64 shingle rows — the decontamination index unit
+    * (the bloom family hashes with xxhash64, unlike the minhash family's
+    * PortableHash).
+    */
+  private[graft] def xxShingleRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    hashedShingleRows(df, idCol, textCol, n, xxhash64(_))
 
   /** Exact-substring dedup (duplicated-span removal, the Lee et al.
     * "Deduplicating Training Data Makes Language Models Better" modality):

@@ -423,6 +423,71 @@ object EventStream {
       }
   }
 
+  /** Streaming decontamination state: eval suites ARRIVE over time (a new
+    * benchmark lands, the blocklist of exam questions grows), and the
+    * guard has to incorporate them without rebuilding from scratch. Each
+    * micro-batch of BENCHMARK documents appends its new distinct shingles
+    * to `{prefix}_bench_shingles` (the exact-verify index) and bit_or-
+    * merges its Bloom words into `{prefix}_bloom` — which stays ≤
+    * mBits/64 rows by construction, so the per-batch rewrite of that
+    * table is BOUNDED (128 KiB of longs at 2²⁰ bits) no matter how many
+    * suites accumulate. Training frames are then checked any time with
+    * [[decontaminateAgainstState]], which is row-for-row identical to a
+    * from-scratch [[graft.llmops.Dedup.decontaminateBloom]] over the
+    * union of every streamed batch (spec-asserted). Same create-if-absent
+    * restart contract as [[dedupStream]].
+    */
+  def decontaminationStream(benchDocs: DataFrame, idCol: String,
+      textCol: String, tablePrefix: String, n: Int = 5,
+      mBits: Int = 1 << 20, kProbes: Int = 4,
+      apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val spark = benchDocs.sparkSession
+    val (shT, blT) = (s"${tablePrefix}_bench_shingles", s"${tablePrefix}_bloom")
+    def createIfAbsent(table: String, schema: StructType): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.format("parquet").saveAsTable(table)
+      }
+    createIfAbsent(shT, StructType(Seq(StructField("s", LongType))))
+    createIfAbsent(blT, StructType(Seq(
+      StructField("w", LongType), StructField("bits", LongType))))
+    benchDocs.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        // only genuinely NEW shingles enter the index (append-only dedup).
+        val fresh = graft.llmops.Dedup.xxShingleRows(batch, idCol, textCol, n)
+          .select("s").distinct()
+          .join(sess.table(shT), Seq("s"), "left_anti")
+          .localCheckpoint(eager = true)
+        // merged word table: bounded at mBits/64 rows — materialize BEFORE
+        // overwriting the table it reads.
+        val merged = sess.table(blT)
+          .unionAll(graft.llmops.Dedup.bloomWordTable(fresh, mBits, kProbes))
+          .groupBy("w").agg(bit_or(col("bits")).as("bits"))
+          .localCheckpoint(eager = true)
+        fresh.write.mode("append").saveAsTable(shT)
+        merged.write.mode("overwrite").saveAsTable(blT)
+        Seq(shT, blT).foreach(sess.catalog.refreshTable)
+        apply(sess.table(blT))
+      }
+  }
+
+  /** Check a training frame against the [[decontaminationStream]] state:
+    * identical semantics to a one-shot `decontaminateBloom` over every
+    * benchmark document streamed so far.
+    */
+  def decontaminateAgainstState(train: DataFrame, idCol: String,
+      textCol: String, tablePrefix: String, n: Int = 5,
+      mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    val spark = train.sparkSession
+    graft.llmops.Dedup.decontaminateBloomWith(train, idCol, textCol,
+      spark.table(s"${tablePrefix}_bench_shingles"),
+      spark.table(s"${tablePrefix}_bloom"), n, mBits, kProbes)
+  }
+
   /** Streaming incremental near-dup dedup: every micro-batch of new
     * documents runs [[graft.llmops.Dedup.incrementalDedupStep]] against
     * the persisted corpus INDEX and appends its accepted documents (plus

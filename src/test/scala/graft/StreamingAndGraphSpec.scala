@@ -292,6 +292,48 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(oneShot("s2") == ((2L, 6L, 3L, 2.0, 2L)))
   }
 
+  test("decontaminationStream: streamed state ≡ from-scratch bloom decontamination") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench1 = Seq((101L, "alpha beta gamma delta epsilon zeta"))
+    val bench2 = Seq((102L, "one two three four five six seven"))
+    val train = Seq(
+      (1L, "warmup alpha beta gamma delta epsilon end"), // hits suite 1
+      (2L, "lead in one two three four five out"),       // hits suite 2
+      (3L, "totally unrelated training content here")
+    ).toDF("doc_id", "text")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val streamDf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val ckpt = java.nio.file.Files.createTempDirectory("decon_stream_ckpt").toString
+      val writer = EventStream.decontaminationStream(streamDf, "doc_id", "text",
+          "decon_stream_test", mBits = 1 << 16)
+        .option("checkpointLocation", ckpt)
+      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      mem.addData(bench1: _*); runOnce()
+      mem.addData(bench2: _*); runOnce()
+      val streamed = EventStream.decontaminateAgainstState(train, "doc_id", "text",
+          "decon_stream_test", mBits = 1 << 16)
+        .orderBy("doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val oneShot = graft.llmops.Dedup.decontaminateBloom(train,
+          (bench1 ++ bench2).toDF("doc_id", "text"), "doc_id", "text",
+          mBits = 1 << 16)
+        .orderBy("doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(streamed == oneShot, s"streamed state diverges:\n$streamed\n$oneShot")
+      assert(streamed.map(_._3) == Seq(true, true, false))
+      // the bloom table stays bounded; re-streaming suite 1 adds nothing.
+      assert(spark.table("decon_stream_test_bloom").count() <= (1L << 16) / 64)
+      val before = spark.table("decon_stream_test_bench_shingles").count()
+      mem.addData(bench1: _*); runOnce()
+      assert(spark.table("decon_stream_test_bench_shingles").count() == before)
+    } finally {
+      Seq("bench_shingles", "bloom").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS decon_stream_test_$t"))
+    }
+  }
+
   test("foreachBatch incremental upsert converges to the batch upsert result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
