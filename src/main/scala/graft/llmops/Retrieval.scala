@@ -45,7 +45,16 @@ object Retrieval {
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long = Long.MaxValue): DataFrame =
-    termFreqs(df, idCol, textCol)
+    indexFromPostings(termFreqs(df, idCol, textCol), maxDf)
+
+  /** The per-term aggregation stage of [[invertedIndex]], over an
+    * already-built (term, doc, tf) posting frame — shared with the
+    * streamed index, whose postings accumulate in a table
+    * ([[graft.streaming.EventStream.indexStream]]).
+    */
+  def indexFromPostings(postings: DataFrame,
+      maxDf: Long = Long.MaxValue): DataFrame =
+    postings
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
         concat_ws(",", transform(
@@ -68,13 +77,22 @@ object Retrieval {
     */
   def searchTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 5, minMatch: Int = 1): DataFrame =
+    searchPostings(termFreqs(docs, idCol, textCol),
+      queries, qidCol, qtextCol, k, minMatch)
+
+  /** [[searchTopK]]'s probe/score/rank stages over an already-built
+    * (term, doc, tf) posting frame — a materialized index table serves
+    * queries without re-tokenizing the corpus.
+    */
+  def searchPostings(postings: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 5, minMatch: Int = 1): DataFrame = {
     require(k >= 1 && minMatch >= 1)
-    val tf = termFreqs(docs, idCol, textCol)
     val qterms = queries.select(col(qidCol).as("qid"),
         explode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as("term"))
       .distinct()
-    val scored = tf.join(broadcast(qterms), Seq("term"))
+    val scored = postings.join(broadcast(qterms), Seq("term"))
       .groupBy("qid", "doc")
       .agg(sum("tf").as("score"), count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatch)

@@ -423,6 +423,55 @@ object EventStream {
       }
   }
 
+  /** Streaming inverted-index maintenance: each micro-batch of NEW
+    * documents appends its (term, doc, tf) posting rows to
+    * `{prefix}_postings` — term frequencies are per-document facts, so
+    * index maintenance for arriving documents is pure APPEND, O(batch
+    * tokens) per batch, no read-modify-write of existing postings.
+    * Serve queries any time with [[searchIndexState]] (identical to
+    * [[graft.llmops.Retrieval.searchTopK]] over every document streamed
+    * so far — spec-asserted) or materialize the per-term summary with
+    * `Retrieval.indexFromPostings(spark.table(...))`. Same
+    * create-if-absent restart contract as [[dedupStream]]; document ids
+    * must be new each batch (the same arrival contract). At 100 TB,
+    * bucket the postings table by term so probes prune instead of
+    * scanning.
+    */
+  def indexStream(docs: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String,
+      apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val table = s"${tablePrefix}_postings"
+    if (!spark.catalog.tableExists(table)) {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("term", StringType),
+            StructField("doc", docs.schema(idCol).dataType),
+            StructField("tf", LongType))))
+        .write.format("parquet").saveAsTable(table)
+    }
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        graft.llmops.Retrieval.termFreqs(batch, idCol, textCol)
+          .select("term", "doc", "tf")
+          .write.mode("append").saveAsTable(table)
+        sess.catalog.refreshTable(table)
+        apply(sess.table(table))
+      }
+  }
+
+  /** Query the [[indexStream]] state: identical results to a one-shot
+    * `searchTopK` over every document streamed so far.
+    */
+  def searchIndexState(queries: DataFrame, qidCol: String, qtextCol: String,
+      tablePrefix: String, k: Int = 5, minMatch: Int = 1): DataFrame =
+    graft.llmops.Retrieval.searchPostings(
+      queries.sparkSession.table(s"${tablePrefix}_postings"),
+      queries, qidCol, qtextCol, k, minMatch)
+
   /** Streaming decontamination state: eval suites ARRIVE over time (a new
     * benchmark lands, the blocklist of exam questions grows), and the
     * guard has to incorporate them without rebuilding from scratch. Each

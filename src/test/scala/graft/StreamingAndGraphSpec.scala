@@ -292,6 +292,43 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(oneShot("s2") == ((2L, 6L, 3L, 2.0, 2L)))
   }
 
+  test("indexStream: streamed postings serve searches ≡ one-shot searchTopK") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, "spark shuffle join spark"), (2L, "spark scan filter"))
+    val b2 = Seq((3L, "join shuffle shuffle"), (4L, "unique term here"))
+    val queries = Seq((10L, "spark shuffle")).toDF("qid", "qtext")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val streamDf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val ckpt = java.nio.file.Files.createTempDirectory("idx_stream_ckpt").toString
+      val writer = EventStream.indexStream(streamDf, "doc_id", "text", "idx_stream_test")
+        .option("checkpointLocation", ckpt)
+      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      mem.addData(b1: _*); runOnce()
+      mem.addData(b2: _*); runOnce()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val streamed = rows(EventStream.searchIndexState(queries, "qid", "qtext",
+        "idx_stream_test"))
+      val oneShot = rows(graft.llmops.Retrieval.searchTopK(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+        queries, "qid", "qtext"))
+      assert(streamed == oneShot && streamed.nonEmpty,
+        s"streamed index diverges:\n$streamed\n$oneShot")
+      // the per-term summary from the table matches the batch index.
+      val idxT = graft.llmops.Retrieval.indexFromPostings(
+        spark.table("idx_stream_test_postings"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+      val idxB = graft.llmops.Retrieval.invertedIndex(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+      assert(idxT == idxB)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS idx_stream_test_postings")
+    }
+  }
+
   test("decontaminationStream: streamed state ≡ from-scratch bloom decontamination") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
