@@ -423,6 +423,156 @@ object EventStream {
       }
   }
 
+  /** The FULL curation cascade as a continuous-ingest stream — the
+    * production shape of [[graft.llmops.Curation.ledger]]: every
+    * micro-batch of new documents runs blocklist → quality gate →
+    * within-batch exact dedup → near-dup (within batch AND against the
+    * accepted corpus index, the [[dedupStream]] probe) → decontamination
+    * against the [[decontaminationStream]] state → incremental per-source
+    * quota, appends the accepted documents (plus their dedup index rows)
+    * to the corpus tables, and appends one verdict row per input document
+    * to `{prefix}_ledger` — the governance trail accumulates with the
+    * corpus.
+    *
+    * Stage semantics vs the batch ledger, stated where they differ:
+    *   - `near_dup` covers both within-batch cluster losers and
+    *     accepted-corpus near-dups (one label — the batch operator
+    *     separates exact/near only within one corpus snapshot);
+    *   - `quota` is ARRIVAL-ORDER greedy (first `quota` accepted docs per
+    *     source across the stream's lifetime, doc-id order within a
+    *     batch), not the batch operator's smallest-hash sample — a stream
+    *     cannot un-accept yesterday's documents; counts persist in
+    *     `{prefix}_source_counts`;
+    *   - decontamination state is whatever the companion
+    *     [[decontaminationStream]] (same prefix) has absorbed so far —
+    *     absent/empty state degrades the stage to a no-op.
+    *
+    * Per-batch work: the gate + md5 + minhash on the DELTA, one bands
+    * probe, one bloom probe, all writes append-only except the bounded
+    * source-counts and bloom tables. Restart resumes every table
+    * (create-if-absent).
+    */
+  def curationStream(newDocs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, blockedSources: Seq[String], quota: Int,
+      tablePrefix: String,
+      minTokens: Long = 5, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75,
+      maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
+      contamN: Int = 5, mBits: Int = 1 << 20, kProbes: Int = 4,
+      apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    import graft.llmops.{Dedup, TextAnalysis}
+    val spark = newDocs.sparkSession
+    val idType = newDocs.schema(idCol).dataType
+    val (docsT, shT, bandT) =
+      (s"${tablePrefix}_docs", s"${tablePrefix}_shingles", s"${tablePrefix}_bands")
+    val (ledgerT, countsT) = (s"${tablePrefix}_ledger", s"${tablePrefix}_source_counts")
+    val (benchShT, bloomT) = (s"${tablePrefix}_bench_shingles", s"${tablePrefix}_bloom")
+    def createIfAbsent(table: String, schema: StructType): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.format("parquet").saveAsTable(table)
+      }
+    createIfAbsent(docsT, StructType(Seq(
+      StructField("doc", idType), StructField("text", StringType),
+      StructField("source", StringType))))
+    createIfAbsent(shT, StructType(Seq(
+      StructField("doc", idType), StructField("s", LongType))))
+    createIfAbsent(bandT, StructType(Seq(
+      StructField("doc", idType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    createIfAbsent(ledgerT, StructType(Seq(
+      StructField("doc", idType), StructField("source", StringType),
+      StructField("stage", StringType), StructField("quality_reason", StringType),
+      StructField("kept", BooleanType))))
+    createIfAbsent(countsT, StructType(Seq(
+      StructField("source", StringType), StructField("n", LongType))))
+    createIfAbsent(benchShT, StructType(Seq(StructField("s", LongType))))
+    createIfAbsent(bloomT, StructType(Seq(
+      StructField("w", LongType), StructField("bits", LongType))))
+    newDocs.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val b0 = batch.select(col(idCol).as("doc"), col(textCol).as("text"),
+          col(sourceCol).cast("string").as("source")).localCheckpoint(true)
+        // 1. blocklist (literal set — blocklists are driver-sized).
+        val blockedSet = b0.filter(col("source").isNull ||
+          col("source").isin(blockedSources.map(x => x: Any): _*)).select("doc")
+        val alive1 = b0.join(blockedSet, Seq("doc"), "left_anti").localCheckpoint(true)
+        // 2. quality gate.
+        val qreasons = TextAnalysis.qualityGate(alive1, "doc", "text",
+            minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+            minTypeToken, maxDupGramFrac)
+          .select(col("doc"), col("reason")).localCheckpoint(true)
+        val alive2 = alive1.join(
+          qreasons.filter(col("reason") === "keep").select("doc"), Seq("doc"), "left_semi")
+        // 3. within-batch exact dedup (min-id survivor).
+        val exFail = alive2.select(col("doc"), md5(col("text")).as("__h"))
+          .withColumn("__keep", min("doc").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+          .filter(col("doc") =!= col("__keep")).select("doc")
+        val alive3 = alive2.join(exFail, Seq("doc"), "left_anti").localCheckpoint(true)
+        // 4. near-dup: within batch + against the accepted-corpus index.
+        val ndSurvive = Dedup.incrementalDedupStep(alive3, "doc", "text",
+          sess.table(shT), sess.table(bandT), maxJaccardDist, numHashTables, n)
+          .select("doc")
+        val ndFail = alive3.select("doc").join(ndSurvive, Seq("doc"), "left_anti")
+        val alive4 = alive3.join(ndSurvive, Seq("doc"), "left_semi").localCheckpoint(true)
+        // 5. decontamination against the streamed bench state.
+        val ctFail = Dedup.decontaminateBloomWith(alive4, "doc", "text",
+            sess.table(benchShT), sess.table(bloomT), contamN, mBits, kProbes)
+          .filter(col("contaminated")).select("doc").localCheckpoint(true)
+        val alive5 = alive4.join(ctFail, Seq("doc"), "left_anti")
+        // 6. incremental per-source quota: lifetime-accepted counts +
+        // arrival rank (doc-id order within the batch).
+        val ranked = alive5.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("source").orderBy("doc")).cast("long"))
+          .join(sess.table(countsT).withColumnRenamed("n", "__sofar"), Seq("source"), "left")
+          .withColumn("__sofar", coalesce(col("__sofar"), lit(0L)))
+        val accepted = ranked.filter(col("__sofar") + col("__rn") <= quota)
+          .select("doc", "text", "source").localCheckpoint(true)
+        val quotaFail = alive5.select("doc")
+          .join(accepted.select("doc"), Seq("doc"), "left_anti")
+        // ledger rows for EVERY input doc, first failing stage wins.
+        val ledger = b0.select("doc", "source")
+          .join(blockedSet.withColumn("__b", lit(true)), Seq("doc"), "left")
+          .join(qreasons.withColumnRenamed("reason", "__q"), Seq("doc"), "left")
+          .join(exFail.withColumn("__ex", lit(true)), Seq("doc"), "left")
+          .join(ndFail.withColumn("__nd", lit(true)), Seq("doc"), "left")
+          .join(ctFail.withColumn("__ct", lit(true)), Seq("doc"), "left")
+          .join(quotaFail.withColumn("__qt", lit(true)), Seq("doc"), "left")
+          .select(col("doc"), col("source"),
+            when(col("__b"), "blocked_source")
+              .when(col("__q") =!= "keep", "quality")
+              .when(col("__ex"), "exact_dup")
+              .when(col("__nd"), "near_dup")
+              .when(col("__ct"), "contaminated")
+              .when(col("__qt"), "quota")
+              .otherwise("kept").as("stage"),
+            when(col("__b").isNull && col("__q") =!= "keep", col("__q"))
+              .as("quality_reason"))
+          .withColumn("kept", col("stage") === "kept")
+          .localCheckpoint(true)
+        // state updates: corpus + index append, counts merge, ledger append.
+        accepted.write.mode("append").saveAsTable(docsT)
+        val ex = Dedup.portableShingleRows(accepted, "doc", "text", n)
+          .localCheckpoint(true)
+        ex.write.mode("append").saveAsTable(shT)
+        Dedup.bandRows(ex, numHashTables).write.mode("append").saveAsTable(bandT)
+        val newCounts = sess.table(countsT)
+          .unionAll(accepted.groupBy("source").agg(count(lit(1)).as("n")))
+          .groupBy("source").agg(sum("n").as("n")).localCheckpoint(true)
+        newCounts.write.mode("overwrite").saveAsTable(countsT)
+        ledger.write.mode("append").saveAsTable(ledgerT)
+        Seq(docsT, shT, bandT, countsT, ledgerT).foreach(sess.catalog.refreshTable)
+        apply(sess.table(ledgerT))
+      }
+  }
+
   /** Streaming inverted-index maintenance: each micro-batch of NEW
     * documents appends its (term, doc, tf) posting rows to
     * `{prefix}_postings` — term frequencies are per-document facts, so

@@ -329,6 +329,71 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("curationStream: continuous cascade with cross-batch dedup, decon state, lifetime quota") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    val prefix = "cur_stream_test"
+    try {
+      // pre-stream one benchmark suite into the SAME prefix's decon state.
+      val benchMem = MemoryStream[(Long, String)]
+      val benchDf = benchMem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val benchCkpt = java.nio.file.Files.createTempDirectory("cur_bench_ckpt").toString
+      val benchWriter = EventStream.decontaminationStream(benchDf, "doc_id", "text",
+          prefix, mBits = 1 << 16)
+        .option("checkpointLocation", benchCkpt)
+      benchMem.addData((900L, "prefix gamma delta epsilon zeta ends suffix tokens"))
+      locally { val q = benchWriter.start(); q.processAllAvailable(); q.stop() }
+
+      val mem = MemoryStream[(Long, String, String)]
+      val streamDf = mem.toDF().select(col("_1").as("doc_id"),
+        col("_2").as("text"), col("_3").as("source"))
+      var ledger: org.apache.spark.sql.DataFrame = null
+      val ckpt = java.nio.file.Files.createTempDirectory("cur_stream_ckpt").toString
+      val writer = EventStream.curationStream(streamDf, "doc_id", "text", "source",
+          blockedSources = Seq("badsrc"), quota = 2, tablePrefix = prefix,
+          mBits = 1 << 16, apply = l => ledger = l)
+        .option("checkpointLocation", ckpt)
+      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      // batch 1: kept / quality / blocked / exact-dup.
+      mem.addData(
+        (1L, base + " twenty", "s1"),
+        (2L, "tiny doc", "s1"),
+        (3L, "whatever content this is here", "badsrc"),
+        (4L, base + " twenty", "s1"))
+      runOnce()
+      // batch 2: near-dup vs ACCEPTED corpus / contaminated / quota
+      // (lifetime count: doc 1 already holds one of s1's 2 slots).
+      mem.addData(
+        (5L, base + " twentyone", "s1"),
+        (6L, "warmup words then gamma delta epsilon zeta ends here okay", "s2"),
+        (7L, "alpha bravo charlie delta echo foxtrot golf", "s1"),
+        (8L, "red orange yellow green blue indigo violet", "s1"))
+      runOnce()
+      val led = ledger.collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(4))).toMap
+      assert(led(1L) == (("kept", true)))
+      assert(led(2L) == (("quality", false)))
+      assert(led(3L) == (("blocked_source", false)))
+      assert(led(4L) == (("exact_dup", false)))
+      assert(led(5L) == (("near_dup", false)), s"got ${led(5L)}")
+      assert(led(6L) == (("contaminated", false)))
+      assert(led(7L) == (("kept", true)))
+      assert(led(8L) == (("quota", false)), s"got ${led(8L)}")
+      assert(led.size == 8)
+      // corpus tables hold exactly the kept docs + their index rows.
+      assert(spark.table(s"${prefix}_docs").select("doc").as[Long]
+        .collect().toSet == Set(1L, 7L))
+      assert(spark.table(s"${prefix}_source_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("s1" -> 2L))
+    } finally {
+      Seq("docs", "shingles", "bands", "ledger", "source_counts",
+        "bench_shingles", "bloom").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    }
+  }
+
   test("decontaminationStream: streamed state ≡ from-scratch bloom decontamination") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
