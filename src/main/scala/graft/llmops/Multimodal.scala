@@ -137,22 +137,50 @@ object Multimodal {
     * Scale: candidate generation is the inverted equi-join on the
     * fingerprint (only payloads SHARING a frame ever pair — never
     * all-pairs), per-payload fingerprint counts are bounded by
-    * payload_bytes / stride, and a ubiquitous frame (a black video lead-in
-    * shared by everything) is the same skew hazard as a boilerplate
-    * shingle — cap it upstream by filtering high-df fingerprints exactly
-    * like [[Dedup.pruneFrequentBandKeys]] if the corpus has one.
+    * payload_bytes / stride, and `maxDf` (DEFAULT ON) is the skew
+    * defense: a fingerprint shared by d payloads emits d²/2 candidate
+    * rows, so one ubiquitous frame — a black video lead-in shared by the
+    * whole corpus — is quadratic without a cap. Fingerprints above the
+    * cap are excluded from CANDIDATE GENERATION only (the
+    * [[Retrieval.invertedIndex]] stop-term move); the Jaccard itself
+    * stays EXACT over the full fingerprint sets — shared above-cap
+    * frames are counted back per candidate pair through the bounded
+    * hot-postings join, and the denominators always use full set sizes.
+    * The only semantic loss: a pair sharing NOTHING below the cap is
+    * never considered — at a df cap of 100k, exactly the pairs whose
+    * entire overlap is corpus-wide boilerplate, which near-dup detection
+    * wants to ignore anyway (same argument as
+    * [[Dedup.pruneFrequentBandKeys]]).
     */
   def frameJaccardPairs(media: DataFrame, frameLen: Int = 16,
-      stride: Int = 12, threshold: Double = 0.8): DataFrame = {
+      stride: Int = 12, threshold: Double = 0.8,
+      maxDf: Long = 100000L): DataFrame = {
     require(threshold > 0 && threshold <= 1)
+    require(maxDf >= 1)
     val fr = sampleFrames(media, frameLen, stride)
       .select(col("media_id").as("doc"), col("frame_md5").as("s"))
       .distinct().cache()
     val sizes = fr.groupBy("doc").agg(count(lit(1)).as("n"))
-    val shared = fr.alias("x")
-      .join(fr.alias("y"), col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
+    val hot = fr.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("s").cache()
+    val cool = fr.join(hot, Seq("s"), "left_anti")
+    // candidates + their below-cap overlap in one pass: the self-join is
+    // bounded by maxDf²/2 rows per fingerprint.
+    val sharedCool = cool.alias("x")
+      .join(cool.alias("y"), col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_cool"))
+    // exact correction: above-cap frames shared by each CANDIDATE pair —
+    // bounded by |candidates| × hot-frames-per-doc, never d² over the
+    // hot fingerprint's full posting list.
+    val hotFr = fr.join(hot, Seq("s"), "left_semi")
+    val sharedHot = sharedCool.select("id_a", "id_b")
+      .join(hotFr.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
+      .join(hotFr.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_hot"))
+    val shared = sharedCool
+      .join(sharedHot, Seq("id_a", "id_b"), "left")
+      .withColumn("shared", col("shared_cool") + coalesce(col("shared_hot"), lit(0L)))
     val out = shared
       .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
@@ -160,7 +188,7 @@ object Multimodal {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint(true)
-    fr.unpersist()
+    fr.unpersist(); hot.unpersist()
     out
   }
 

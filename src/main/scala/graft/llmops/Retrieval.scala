@@ -77,21 +77,43 @@ object Retrieval {
     */
   def searchTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int = 5, minMatch: Int = 1): DataFrame =
+      k: Int = 5, minMatch: Int = 1, maxDf: Long = Long.MaxValue): DataFrame =
     searchPostings(termFreqs(docs, idCol, textCol),
-      queries, qidCol, qtextCol, k, minMatch)
+      queries, qidCol, qtextCol, k, minMatch, maxDf)
 
   /** [[searchTopK]]'s probe/score/rank stages over an already-built
     * (term, doc, tf) posting frame — a materialized index table serves
     * queries without re-tokenizing the corpus.
+    *
+    * `maxDf` (default: off) is the stop-term guard for the probe: a query
+    * containing "the" would otherwise drag that term's O(corpus) posting
+    * rows through the join and the per-(qid, doc) aggregation for zero
+    * selectivity. With a cap, QUERY terms whose document frequency
+    * exceeds `maxDf` are dropped BEFORE the probe — the anti-join runs on
+    * the broadcast-sized query-term table against the per-term df summary,
+    * so the stop term's posting rows never enter the candidate join at
+    * all. Scoring then sums only the surviving terms (the same semantics
+    * change [[invertedIndex]]'s cap makes, documented there). The summary
+    * here is one aggregation pass over the postings; a serving deployment
+    * maintains it as its own table (one row per term) and passes the cap
+    * against that instead of recomputing — the aggregation is the only
+    * O(postings) step, and it is exactly the frame
+    * [[indexFromPostings]] already materializes.
     */
   def searchPostings(postings: DataFrame,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int = 5, minMatch: Int = 1): DataFrame = {
+      k: Int = 5, minMatch: Int = 1, maxDf: Long = Long.MaxValue): DataFrame = {
     require(k >= 1 && minMatch >= 1)
-    val qterms = queries.select(col(qidCol).as("qid"),
+    val qtermsAll = queries.select(col(qidCol).as("qid"),
         explode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as("term"))
       .distinct()
+    val qterms =
+      if (maxDf == Long.MaxValue) qtermsAll
+      else {
+        val hot = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("term")
+        qtermsAll.join(hot, Seq("term"), "left_anti")
+      }
     val scored = postings.join(broadcast(qterms), Seq("term"))
       .groupBy("qid", "doc")
       .agg(sum("tf").as("score"), count(lit(1)).as("n_matched"))
@@ -175,5 +197,52 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc"),
         round(col("__score"), 6).as("score"), col("n_matched"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists — the hybrid
+    * retrieval join (lexical BM25 + vector ANN is the production pair):
+    * RRF(d) = Σ over lists containing d of 1/(c + rank_list(d)), the
+    * standard rank-only fusion (Cormack et al., SIGIR 2009) that needs no
+    * score calibration between heterogeneous rankers.
+    *
+    * Integer-exact form (the engine's oracle discipline): instead of the
+    * float sum, score = Σ `L DIV (c + rank)` where
+    * `L = Π_{r=1..maxRank}(c + r)` — L is divisible by every admissible
+    * denominator, so each contribution is an exact integer and the
+    * ranking is IDENTICAL to float RRF restricted to ranks ≤ `maxRank`
+    * (positive scaling preserves order; no rounding anywhere). `maxRank`
+    * stays small so L fits a long (`require`d); rank ties break on doc
+    * ASC.
+    *
+    * Inputs are (qid, doc, rank) frames — rename upstream columns to
+    * match (e.g. ANN's `cid`/`rn`). Rows ranked beyond `maxRank` are
+    * ignored. Scale: both inputs are top-k lists — |queries|·k rows —
+    * so the fusion is a full-outer equi-join plus one per-qid window
+    * over already-tiny frames; the heavy lifting happened in the
+    * upstream retrievers.
+    */
+  def fuseTopK(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+      maxRank: Int = 10): DataFrame = {
+    require(k >= 1 && c >= 0 && maxRank >= 1)
+    val lBig = (1 to maxRank).map(r => BigInt(c + r)).product
+    require(lBig.isValidLong,
+      s"Π(c+r) for r=1..$maxRank overflows long — lower maxRank or c")
+    val l = lBig.toLong
+    def side(df: DataFrame, rankName: String): DataFrame =
+      df.select(col("qid"), col("doc"), col("rank").cast("long").as(rankName))
+        .filter(col(rankName) <= maxRank)
+    val joined = side(a, "rank_a").join(side(b, "rank_b"),
+      Seq("qid", "doc"), "full_outer")
+    // DIV is Catalyst's IntegralDivide — exact on longs; a side that did
+    // not rank the doc contributes 0 through the coalesce.
+    val withScore = joined
+      .withColumn("score",
+        coalesce(expr(s"$l DIV (${c.toLong} + rank_a)"), lit(0L)) +
+          coalesce(expr(s"$l DIV (${c.toLong} + rank_b)"), lit(0L)))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc").asc)
+    withScore.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc"), col("score"),
+        col("rank_a"), col("rank_b"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data selection by hashed n-gram importance — the DSIR shape (Xie et
@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   * not vocabulary — `nBuckets` rows out); the weight table is
   * nBuckets-sized and BROADCASTS; scoring is one narrow pass over raw
   * gram occurrences. Nothing quadratic, nothing driver-side. Count
-  * arithmetic is long-ranged for corpora up to ~10¹² grams per side
-  * (guarded by require) — beyond that, lift the weight expression to
-  * DECIMAL(38,0); every operation used (×, DIV, floor) is exact there
-  * too.
+  * arithmetic runs in plain longs for corpora up to ~10¹² grams per
+  * side and AUTOMATICALLY lifts to DECIMAL(38,0) beyond that
+  * ([[importanceWeightsFromCounts]]) — every operation used (×, DIV)
+  * is exact in both forms, so the weights stay value-identical across
+  * engines at any corpus size.
   */
 object Selection {
 
@@ -56,19 +57,55 @@ object Selection {
     val ct = buckets(target).groupBy("bucket").agg(count(lit(1)).as("c_t"))
     val nr = cr.agg(sum("c_r")).first().getLong(0)
     val nt = ct.agg(coalesce(sum("c_t"), lit(0L))).first().getLong(0)
-    require(nr < (1L << 40) && nt < (1L << 40),
-      "gram counts beyond 2^40 need the DECIMAL(38,0) weight form")
-    cr.join(ct, Seq("bucket"), "full_outer")
-      .select(col("bucket"),
-        coalesce(col("c_r"), lit(0L)).as("c_r"),
-        coalesce(col("c_t"), lit(0L)).as("c_t"))
-      // integer DIV, not double division: products stay in long range
-      // (guarded above) and both engines' integer division is exact, so
-      // the weights carry no float at all.
-      .withColumn("__num", lit(scale) * (col("c_t") + lit(1L)) * lit(nr + nBuckets))
-      .withColumn("__den", (col("c_r") + lit(1L)) * lit(nt + nBuckets))
-      .withColumn("w", expr("__num DIV __den"))
-      .drop("__num", "__den")
+    importanceWeightsFromCounts(
+      cr.join(ct, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("c_r"), lit(0L)).as("c_r"),
+          coalesce(col("c_t"), lit(0L)).as("c_t")),
+      nr, nt, nBuckets, scale)
+  }
+
+  /** The weight arithmetic of [[importanceWeights]] over an already-built
+    * per-bucket count frame (bucket, c_r, c_t) — split out so the 100 TB
+    * count range is testable without generating 2^40 gram rows.
+    *
+    * Two exact integer forms, chosen by the totals:
+    *   - long path (both totals < 2^40): `scale·(c_t+1)·(nr+B)` stays
+    *     under 2^63 for the default 10^6 scale, so plain long DIV;
+    *   - DECIMAL(38,0) path (either total ≥ 2^40): operands lift to
+    *     decimal before the products — `scale·(c_t+1)·(nr+B)` at
+    *     corpus scale is ~10^6·10^13·10^14 ≈ 10^33 < 10^38, inside
+    *     DECIMAL(38,0), and Catalyst's IntegralDivide on decimals is
+    *     exact (as is DuckDB's HUGEINT `//`), so the weights stay
+    *     value-identical across engines with no float anywhere.
+    * Both paths emit the same long-typed `w` (the RATIO is always
+    * small — bounded by scale·(c_t+1), with c_t ≤ nt per bucket — even
+    * when the intermediate products are not).
+    */
+  def importanceWeightsFromCounts(counts: DataFrame, nr: Long, nt: Long,
+      nBuckets: Int, scale: Long = 1000000L): DataFrame = {
+    require(nr >= 0 && nt >= 0 && nBuckets >= 1 && scale >= 1)
+    require(nr <= Long.MaxValue - nBuckets && nt <= Long.MaxValue - nBuckets)
+    val longSafe = nr < (1L << 40) && nt < (1L << 40)
+    val base = counts.select(col("bucket"), col("c_r"), col("c_t"))
+    val weighted =
+      if (longSafe)
+        // integer DIV, not double division: products stay in long range
+        // (guarded above) and both engines' integer division is exact, so
+        // the weights carry no float at all.
+        base
+          .withColumn("__num", lit(scale) * (col("c_t") + lit(1L)) * lit(nr + nBuckets))
+          .withColumn("__den", (col("c_r") + lit(1L)) * lit(nt + nBuckets))
+          .withColumn("w", expr("__num DIV __den"))
+      else {
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        base
+          .withColumn("__num",
+            dec(lit(scale)) * dec(col("c_t") + lit(1L)) * dec(lit(nr + nBuckets)))
+          .withColumn("__den", dec(col("c_r") + lit(1L)) * dec(lit(nt + nBuckets)))
+          .withColumn("w", expr("__num DIV __den").cast("long"))
+      }
+    weighted.drop("__num", "__den")
   }
 
   /** Score raw documents against a weight table: mean bucket weight over

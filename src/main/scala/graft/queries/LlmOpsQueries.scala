@@ -635,6 +635,28 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc")
     },
 
+    // DECIMAL(38,0) importance-weight form: per-bucket counts scaled past
+    // 2^40 total grams (the 100 TB corpus range, synthesized by shifting
+    // real per-bucket aggregates) take the decimal arithmetic branch —
+    // DuckDB replays it in HUGEINT, both exact, so w is value-identical.
+    q("q_x_importance_weights_decimal",
+      "WITH c AS (SELECT doc_id % 64 AS bucket, CAST(sum(n_chars) * 268435456 AS BIGINT) AS c_r, " +
+        "CAST(count(*) * 8589934592 AS BIGINT) AS c_t FROM documents GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS nr, CAST(sum(c_t) AS BIGINT) AS nt FROM c) " +
+        "SELECT bucket, c_r, c_t, CAST(CAST(1000000 AS HUGEINT) * (CAST(c_t AS HUGEINT) + 1) * (CAST(tot.nr AS HUGEINT) + 64) " +
+        "// ((CAST(c_r AS HUGEINT) + 1) * (CAST(tot.nt AS HUGEINT) + 64)) AS BIGINT) AS w " +
+        "FROM c CROSS JOIN tot ORDER BY bucket") { (s, d) =>
+      import graft.llmops.Selection
+      val counts = Tables.documents(s, d)
+        .groupBy((col("doc_id") % 64).as("bucket"))
+        .agg((sum("n_chars") * lit(1L << 28)).as("c_r"),
+          (count(lit(1)) * lit(1L << 33)).as("c_t"))
+      val nr = counts.agg(sum("c_r")).first().getLong(0)
+      val nt = counts.agg(sum("c_t")).first().getLong(0)
+      Selection.importanceWeightsFromCounts(counts, nr, nt, nBuckets = 64)
+        .orderBy("bucket")
+    },
+
     // exact top-share selection over the importance scores: keep exactly
     // floor(n·25%) docs by (score DESC, doc ASC). The oracle is the naive
     // global rank; the engine runs the two-phase bucketed-cumsum +
@@ -980,6 +1002,47 @@ object LlmOpsQueries extends QueryModule {
           concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
       graft.llmops.Retrieval.bm25TopK(docs, "doc_id", "text",
           queries, "qid", "qtext", k = 5)
+        .orderBy("qid", "rank")
+    },
+    // hybrid retrieval: RRF fusion of the BM25 top-5 (lexical, over
+    // documents text) and the sign-LSH ANN top-5 (vector, over the
+    // embeddings table — vec_id shares the doc_id space) for queries
+    // 0..4. Integer-exact RRF: score = Σ L // (60 + rank) with
+    // L = Π_{r=1..10}(60+r) — order-identical to float 1/(60+rank) and
+    // value-exact in both engines.
+    q("q_x_search_hybrid", {
+      val l = (1 to 10).map(r => BigInt(60 + r)).product.toLong
+      "WITH htf AS (SELECT t AS term, doc_id AS doc, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents) GROUP BY 1, 2), " +
+        "hlens AS (SELECT doc_id AS doc, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl FROM documents), " +
+        "hst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM hlens), " +
+        "hdfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM htf GROUP BY 1), " +
+        "hq AS (SELECT DISTINCT doc_id AS qid, unnest(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3)) AS term FROM documents WHERE doc_id < 5), " +
+        "hwt AS (SELECT hq.qid, htf.doc, ln((hst.n_docs - hdfc.df + 0.5) / (hdfc.df + 0.5) + 1) * " +
+        "(htf.tf * 2.2 / (htf.tf + 1.2 * (1 - 0.75 + 0.75 * hlens.dl * hst.n_docs / hst.total_dl))) AS w " +
+        "FROM htf JOIN hq ON hq.term = htf.term JOIN hdfc ON hdfc.term = htf.term JOIN hlens ON hlens.doc = htf.doc CROSS JOIN hst), " +
+        "hsc AS (SELECT qid, doc, sum(w) AS score FROM hwt GROUP BY 1, 2), " +
+        "hr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM hsc), " +
+        "bm AS (SELECT qid, doc, CAST(rank AS BIGINT) AS rank FROM hr WHERE rank <= 5), " +
+        s"ann AS (SELECT qid, cid AS doc, rn AS rank FROM ($annOracleSql) a0), " +
+        "u AS (SELECT coalesce(bm.qid, ann.qid) AS qid, coalesce(bm.doc, ann.doc) AS doc, " +
+        "bm.rank AS rank_a, ann.rank AS rank_b FROM bm FULL OUTER JOIN ann ON ann.qid = bm.qid AND ann.doc = bm.doc), " +
+        s"fsc AS (SELECT qid, doc, coalesce($l // (60 + rank_a), 0) + coalesce($l // (60 + rank_b), 0) AS score, rank_a, rank_b FROM u), " +
+        "fr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM fsc) " +
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, doc, CAST(score AS BIGINT) AS score, rank_a, rank_b " +
+        "FROM fr WHERE rank <= 5 ORDER BY qid, rank"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
+      val bm = graft.llmops.Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "qid", "qtext", k = 5)
+        .select("qid", "doc", "rank")
+      val ann = Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .select(col("qid"), col("cid").as("doc"), col("rn").as("rank"))
+      graft.llmops.Retrieval.fuseTopK(bm, ann, k = 5)
         .orderBy("qid", "rank")
     },
 

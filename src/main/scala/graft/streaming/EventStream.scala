@@ -389,13 +389,25 @@ object EventStream {
     * [[incrementalAggregate]] — `merge(partials(A), partials(B)) ≡
     * partials(A ∪ B)` — makes the card identical however the stream is
     * batched (spec-asserted against the one-batch card).
+    *
+    * RESTART-SAFE: the per-source partials persist to a
+    * `{prefix}_card` table (create-on-first-batch, resumed when
+    * present — the [[dedupStream]] contract), so a crash between
+    * batches loses nothing: the streaming checkpoint skips the
+    * already-processed batches AND their counts are already in the
+    * table. The table is bounded at one row per source (scalars +
+    * two ≤ k-length sketch arrays), so the per-batch overwrite is
+    * sources-sized I/O — the merged frame is `localCheckpoint`ed
+    * before the overwrite because it reads the very table it
+    * replaces (the [[decontaminationStream]] bloom-table
+    * discipline). Drop the table to start a fresh card.
     */
   def dataCardStream(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, k: Int = 256,
+      sourceCol: String, tablePrefix: String, k: Int = 256,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.functions.{BottomKSample, KMinValues}
     import graft.llmops.PortableHash
-    var state: DataFrame = null
+    val table = s"${tablePrefix}_card"
     def partials(batch: DataFrame): DataFrame =
       batch.select(col(sourceCol).as("source"),
           size(split(trim(col(textCol)), "\\s+")).cast("long").as("__nt"),
@@ -413,13 +425,21 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
         val p = partials(batch)
-        state = (if (state == null) p else mergeCards(state, p))
-          .localCheckpoint(eager = true)
-        apply(state.select(col("source"), col("n_docs"), col("n_tokens"),
-          expr("n_tokens DIV n_docs").as("avg_tokens"),
-          KMinValues.estimate(col("kmv"), k).as("est_distinct"),
-          BottomKSample.distinctQuantile(col("qs"), 50).as("p50_distinct_est")))
+        if (!sess.catalog.tableExists(table)) {
+          p.write.format("parquet").saveAsTable(table)
+        } else {
+          val merged = mergeCards(sess.table(table), p)
+            .localCheckpoint(eager = true)
+          merged.write.mode("overwrite").saveAsTable(table)
+        }
+        sess.catalog.refreshTable(table)
+        apply(sess.table(table)
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens DIV n_docs").as("avg_tokens"),
+            KMinValues.estimate(col("kmv"), k).as("est_distinct"),
+            BottomKSample.distinctQuantile(col("qs"), 50).as("p50_distinct_est")))
       }
   }
 
@@ -583,12 +603,17 @@ object EventStream {
     * so far — spec-asserted) or materialize the per-term summary with
     * `Retrieval.indexFromPostings(spark.table(...))`. Same
     * create-if-absent restart contract as [[dedupStream]]; document ids
-    * must be new each batch (the same arrival contract). At 100 TB,
-    * bucket the postings table by term so probes prune instead of
-    * scanning.
+    * must be new each batch (the same arrival contract).
+    *
+    * The postings table is BUCKETED by term (`stateBuckets`): the scan
+    * carries HashPartitioning(term), so the per-term summary
+    * ([[graft.llmops.Retrieval.indexFromPostings]]) aggregates with NO
+    * Exchange (PlanSpec pins it), and a term-keyed probe co-locates
+    * with the state without shuffling it. Appends carry the same bucket
+    * spec — the layout survives any number of micro-batches.
     */
   def indexStream(docs: DataFrame, idCol: String, textCol: String,
-      tablePrefix: String,
+      tablePrefix: String, stateBuckets: Int = 8,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val spark = docs.sparkSession
@@ -598,7 +623,9 @@ object EventStream {
           StructType(Seq(StructField("term", StringType),
             StructField("doc", docs.schema(idCol).dataType),
             StructField("tf", LongType))))
-        .write.format("parquet").saveAsTable(table)
+        .write.format("parquet")
+        .bucketBy(stateBuckets, "term").sortBy("term")
+        .saveAsTable(table)
     }
     docs.writeStream
       .outputMode(OutputMode.Update())
@@ -607,20 +634,27 @@ object EventStream {
         val sess = batch.sparkSession
         graft.llmops.Retrieval.termFreqs(batch, idCol, textCol)
           .select("term", "doc", "tf")
-          .write.mode("append").saveAsTable(table)
+          .write.mode("append")
+          .bucketBy(stateBuckets, "term").sortBy("term")
+          .saveAsTable(table)
         sess.catalog.refreshTable(table)
         apply(sess.table(table))
       }
   }
 
   /** Query the [[indexStream]] state: identical results to a one-shot
-    * `searchTopK` over every document streamed so far.
+    * `searchTopK` over every document streamed so far. `maxDf` threads
+    * through to [[graft.llmops.Retrieval.searchPostings]]'s stop-term
+    * guard: query terms above the df cap are dropped against the per-term
+    * summary BEFORE the probe, so a stop-term query never drags its
+    * O(corpus) posting rows through the candidate join.
     */
   def searchIndexState(queries: DataFrame, qidCol: String, qtextCol: String,
-      tablePrefix: String, k: Int = 5, minMatch: Int = 1): DataFrame =
+      tablePrefix: String, k: Int = 5, minMatch: Int = 1,
+      maxDf: Long = Long.MaxValue): DataFrame =
     graft.llmops.Retrieval.searchPostings(
       queries.sparkSession.table(s"${tablePrefix}_postings"),
-      queries, qidCol, qtextCol, k, minMatch)
+      queries, qidCol, qtextCol, k, minMatch, maxDf)
 
   /** Streaming decontamination state: eval suites ARRIVE over time (a new
     * benchmark lands, the blocklist of exam questions grows), and the
@@ -699,24 +733,37 @@ object EventStream {
     * contract as [[incrementalUpsertBucketed]]). Per-batch I/O is
     * O(|batch|) work + one equi-join probe of the batch's bands against
     * the index and APPEND-only writes of the survivors' rows; the corpus
-    * text is never rescanned and never rewritten. At 100 TB, lay the
-    * bands table out bucketed by (band, sig) and the shingles table by
-    * doc so the probe and the verify prune instead of scanning — the
-    * append-only contract is what makes that layout maintainable.
+    * text is never rescanned and never rewritten.
+    *
+    * The bands table is BUCKETED by (band, sig) — the probe's join keys —
+    * so the scan comes up with HashPartitioning(band, sig) and the
+    * per-batch probe joins WITHOUT an Exchange on the state side (only
+    * the micro-batch's bands, tiny by definition, shuffle to match;
+    * PlanSpec pins it). Appends carry the same bucket spec — a bucketed
+    * scan groups same-bucket files across appends, so the layout
+    * survives any number of micro-batches; this is the documented
+    * 100 TB layout made the default. `stateBuckets` sizes it (per-bucket
+    * state ≈ |corpus|·H/buckets band rows).
     */
   def dedupStream(newDocs: DataFrame, idCol: String, textCol: String,
       tablePrefix: String, maxJaccardDist: Double = 0.3,
-      numHashTables: Int = 5, n: Int = 3,
+      numHashTables: Int = 5, n: Int = 3, stateBuckets: Int = 8,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val spark = newDocs.sparkSession
     val idType = newDocs.schema(idCol).dataType
     val (docsT, shT, bandT) =
       (s"${tablePrefix}_docs", s"${tablePrefix}_shingles", s"${tablePrefix}_bands")
-    def createIfAbsent(table: String, schema: StructType): Unit =
+    def createIfAbsent(table: String, schema: StructType,
+        bucketCols: Seq[String] = Nil): Unit =
       if (!spark.catalog.tableExists(table)) {
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-          .write.format("parquet").saveAsTable(table)
+        val w = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.format("parquet")
+        (if (bucketCols.isEmpty) w
+         else w.bucketBy(stateBuckets, bucketCols.head, bucketCols.tail: _*)
+           .sortBy(bucketCols.head, bucketCols.tail: _*))
+          .saveAsTable(table)
       }
     createIfAbsent(docsT, StructType(Seq(
       StructField("doc", idType), StructField("text", StringType))))
@@ -724,7 +771,7 @@ object EventStream {
       StructField("doc", idType), StructField("s", LongType))))
     createIfAbsent(bandT, StructType(Seq(
       StructField("doc", idType), StructField("band", IntegerType),
-      StructField("sig", LongType))))
+      StructField("sig", LongType))), Seq("band", "sig"))
     newDocs.writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
@@ -739,7 +786,9 @@ object EventStream {
         survivors.write.mode("append").saveAsTable(docsT)
         ex.write.mode("append").saveAsTable(shT)
         graft.llmops.Dedup.bandRows(ex, numHashTables)
-          .write.mode("append").saveAsTable(bandT)
+          .write.mode("append")
+          .bucketBy(stateBuckets, "band", "sig").sortBy("band", "sig")
+          .saveAsTable(bandT)
         Seq(docsT, shT, bandT).foreach(sess.catalog.refreshTable)
         apply(sess.table(docsT))
       }

@@ -439,6 +439,37 @@ class LlmOpsSpec extends SparkTestBase {
     assert(d == Seq((7L, 8L, 1.0)))
   }
 
+  test("frameJaccardPairs maxDf: planted ubiquitous frame never generates candidates") {
+    import spark.implicits._
+    // every payload opens with the same 16-byte "black lead-in" frame;
+    // tails are pairwise-distinct. frameLen=16, stride=16 → frame 0 is
+    // the shared fingerprint (df = n), the rest are df = 1.
+    val lead = "LEADLEADLEADLEAD"
+    val rows = (1L to 12L).map(i => (i, lead + f"tail$i%012d" + f"xtra$i%012d"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.payloadFrom(rows, "doc_id", "text")
+    // cap below the lead frame's df: the only shared fingerprint is
+    // excluded from candidate generation, so NO pair is ever emitted —
+    // the d²/2 blowup the cap exists to prevent.
+    val capped = Multimodal.frameJaccardPairs(media, frameLen = 16,
+      stride = 16, threshold = 0.01, maxDf = 4)
+    assert(capped.count() == 0L)
+    // two true near-dups (identical tails) still pair under the cap, and
+    // the Jaccard is EXACT over the FULL sets — the shared lead frame
+    // counts back into the numerator through the hot-postings join:
+    // docs 21/22 share all 3 frames (lead + 2 tail) → J = 1.0 even
+    // though the lead fingerprint (df = 13 > 4... df counts distinct
+    // docs: lead df = 14 here) is above the cap.
+    val withDup = rows.unionByName(
+      Seq((21L, lead + "same-tail-aaaaaa" + "same-tail-bbbbbb"),
+        (22L, lead + "same-tail-aaaaaa" + "same-tail-bbbbbb")).toDF("doc_id", "text"))
+    val pairs = Multimodal.frameJaccardPairs(
+        Multimodal.payloadFrom(withDup, "doc_id", "text"),
+        frameLen = 16, stride = 16, threshold = 0.9, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((21L, 22L, 1.0)))
+  }
+
   test("real image decode: synthetic PNG/BMP dimensions and channel means recovered") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int, format: String = "png"): Array[Byte] = {

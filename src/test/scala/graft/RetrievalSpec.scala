@@ -85,6 +85,54 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.forall(x => !x._2.isNaN && !x._2.isInfinite))
   }
 
+  test("searchPostings maxDf: stop-term query terms are dropped before the probe") {
+    // "the" is in every doc (df=4 > cap); "unique" is selective (df=1).
+    val corpus = Seq(
+      (1L, "the unique word"), (2L, "the other words"),
+      (3L, "the more text"), (4L, "the final doc")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "the unique")).toDF("qid", "qtext")
+    val capped = Retrieval.searchTopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, minMatch = 1, maxDf = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // only "unique" survives the cap: one hit, score 1, n_matched 1 —
+    // the stop term's 4 posting rows never became candidates.
+    assert(capped == Seq((1L, 1L, 1L)))
+    // a query of ONLY stop terms probes nothing at all.
+    val onlyStop = Retrieval.searchTopK(corpus, "doc_id", "text",
+      Seq((11L, "the")).toDF("qid", "qtext"), "qid", "qtext",
+      k = 5, minMatch = 1, maxDf = 2)
+    assert(onlyStop.count() == 0L)
+    // cap off: identical to the historical semantics (all terms score).
+    val uncapped = Retrieval.searchTopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, minMatch = 1)
+      .orderBy("rank").select("doc").as[Long].collect().toSeq
+    assert(uncapped == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("fuseTopK: integer RRF ranking, missing-side zero, doc-asc ties") {
+    val c = 60
+    val l = (1 to 10).map(r => (c + r).toLong).product
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "doc", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "doc", "rank")
+    val got = Retrieval.fuseTopK(a, b, k = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // doc20 rides both lists: L/62 + L/61; doc10 = L/61 beats doc30 = L/62.
+    assert(got == Seq(
+      (20L, l / 62 + l / 61), (10L, l / 61), (30L, l / 62)))
+    // equal scores break on doc ASC: two rank-1 singletons tie exactly.
+    val ta = Seq((1L, 10L, 1L)).toDF("qid", "doc", "rank")
+    val tb = Seq((1L, 5L, 1L)).toDF("qid", "doc", "rank")
+    val tie = Retrieval.fuseTopK(ta, tb, k = 5)
+      .orderBy("rank").select("doc").as[Long].collect().toSeq
+    assert(tie == Seq(5L, 10L))
+    // rows ranked beyond maxRank are ignored entirely.
+    val deep = Seq((1L, 99L, 11L)).toDF("qid", "doc", "rank")
+    assert(Retrieval.fuseTopK(deep, tb, k = 5)
+      .select("doc").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("searchTopK plan: query terms broadcast, top-k window partitioned by qid") {
     val queries = Seq((10L, "spark shuffle")).toDF("qid", "qtext")
     val plan = Retrieval.searchTopK(docs, "doc_id", "text",

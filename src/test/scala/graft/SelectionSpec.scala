@@ -94,6 +94,41 @@ class SelectionSpec extends SparkTestBase {
     assert(Selection.topShare(scored, 0).count() == 0L)
   }
 
+  test("DECIMAL path: weights beyond 2^40 totals match BigInt arithmetic exactly") {
+    import graft.llmops.Selection
+    val scale = 1000000L
+    val b = 64
+    // per-bucket counts in the 2^41..2^45 range — the long path's
+    // num = scale·(c_t+1)·(nr+B) would overflow at ~2^63; the decimal
+    // branch must stay exact.
+    val counts = Seq(
+      (0L, 3L << 41, 5L << 40),
+      (1L, 7L << 40, 1L << 43),
+      (2L, 0L, 9L << 41),
+      (3L, 11L << 42, 0L)
+    ).toDF("bucket", "c_r", "c_t")
+    val nr = (3L << 41) + (7L << 40) + (11L << 42)
+    val nt = (5L << 40) + (1L << 43) + (9L << 41)
+    val got = Selection.importanceWeightsFromCounts(counts, nr, nt, b, scale)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    def expect(cr: Long, ct: Long): Long =
+      ((BigInt(scale) * (BigInt(ct) + 1) * (BigInt(nr) + b)) /
+        ((BigInt(cr) + 1) * (BigInt(nt) + b))).toLong
+    assert(got == Map(
+      0L -> expect(3L << 41, 5L << 40), 1L -> expect(7L << 40, 1L << 43),
+      2L -> expect(0L, 9L << 41), 3L -> expect(11L << 42, 0L)))
+    // the long path (small totals) and decimal path agree on shared ground:
+    // same per-bucket counts, totals scaled down into long-safe range.
+    val small = Seq((0L, 300L, 500L), (1L, 700L, 80L)).toDF("bucket", "c_r", "c_t")
+    val lw = Selection.importanceWeightsFromCounts(small, 1000L, 580L, b, scale)
+      .orderBy("bucket").select("w").as[Long].collect().toSeq
+    def expectS(cr: Long, ct: Long): Long =
+      ((BigInt(scale) * (BigInt(ct) + 1) * (1000L + b)) /
+        ((BigInt(cr) + 1) * (580L + b))).toLong
+    assert(lw == Seq(expectS(300L, 500L), expectS(700L, 80L)))
+  }
+
   test("weight table broadcasts in the scoring plan") {
     val w = Selection.importanceWeights(raw, target, "doc_id", "text",
       n = 2, nBuckets = 1024)

@@ -255,37 +255,64 @@ class StreamingAndGraphSpec extends SparkTestBase {
       assert(spark.table("dedup_stream_test_bands").count() == 15L)
       assert(spark.table("dedup_stream_test_shingles").select("doc")
         .distinct().as[Long].collect().toSet == Set(1L, 3L, 6L))
+      // layout pin: the bands state table (created by batch 1, appended by
+      // batch 2) is bucketed by the probe's join keys — a band-key probe
+      // scans it "Bucketed: true" and shuffles ONLY the probe side.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val batchBands = Seq((100L, 0, 42L), (100L, 1, 7L))
+          .toDF("doc", "band", "sig")
+          .select(col("doc").as("batch_id"), col("band"), col("sig"))
+        val probe = batchBands.join(
+          spark.table("dedup_stream_test_bands")
+            .select(col("doc").as("corpus_id"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        val p = probe.queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), s"bands scan not bucketed:\n$p")
+        assert("Exchange".r.findAllIn(p).size <= 1,
+          s"state side of the probe join must not shuffle:\n$p")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      }
     } finally {
       Seq("docs", "shingles", "bands").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS dedup_stream_test_$t"))
     }
   }
 
-  test("dataCardStream: card is batch-split-invariant and exact below k") {
+  test("dataCardStream: card is batch-split-invariant, restart-safe, exact below k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
       (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "a b c", "s1"), // dup content
       (4L, "w x y z", "s2"), (5L, "p q", "s2"))
-    def runSplit(batches: Seq[Seq[(Long, String, String)]]): Map[String, (Long, Long, Long, Double, Long)] = {
+    def runSplit(batches: Seq[Seq[(Long, String, String)]],
+        prefix: String): Map[String, (Long, Long, Long, Double, Long)] = try {
       val mem = MemoryStream[(Long, String, String)]
       val streamDf = mem.toDF()
         .select(col("_1").as("doc_id"), col("_2").as("text"), col("_3").as("source"))
       var last: org.apache.spark.sql.DataFrame = null
       val ckpt = java.nio.file.Files.createTempDirectory("card_ckpt").toString
-      val writer = EventStream.dataCardStream(streamDf, "doc_id", "text",
-          "source", k = 64, apply = st => last = st)
-        .option("checkpointLocation", ckpt)
       batches.foreach { b =>
         mem.addData(b: _*)
+        // a FRESH writer per batch: nothing survives in driver memory
+        // between runs — only the persisted {prefix}_card table and the
+        // streaming checkpoint, i.e. every batch boundary IS a restart.
+        val writer = EventStream.dataCardStream(streamDf, "doc_id", "text",
+            "source", prefix, k = 64, apply = st => last = st)
+          .option("checkpointLocation", ckpt)
         val q = writer.start(); q.processAllAvailable(); q.stop()
       }
       last.collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
-    }
-    val oneShot = runSplit(Seq(rows))
-    val threeWay = runSplit(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)))
-    assert(oneShot == threeWay, s"card not batch-invariant:\n$oneShot\n$threeWay")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${prefix}_card")
+    val oneShot = runSplit(Seq(rows), "card_one")
+    val threeWay = runSplit(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)), "card_three")
+    assert(oneShot == threeWay, s"card not batch/restart-invariant:\n$oneShot\n$threeWay")
     // exact values below k: s1 = 3 docs, 8 tokens, 2 distinct contents,
     // distinct token-lengths {2, 3} -> p50 (lower rank) = 2.
     assert(oneShot("s1") == ((3L, 8L, 2L, 2.0, 2L)))
@@ -324,6 +351,20 @@ class StreamingAndGraphSpec extends SparkTestBase {
         (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
       assert(idxT == idxB)
+      // layout pin: the postings table (created batch 1, appended batch 2)
+      // is bucketed by term — the per-term summary aggregates straight off
+      // the scan's HashPartitioning(term), with NO Exchange anywhere.
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val p = graft.llmops.Retrieval.indexFromPostings(
+          spark.table("idx_stream_test_postings"))
+          .queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), s"postings scan not bucketed:\n$p")
+        assert(!p.contains("Exchange"),
+          s"per-term summary over bucketed postings must not shuffle:\n$p")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
     } finally {
       spark.sql("DROP TABLE IF EXISTS idx_stream_test_postings")
     }
