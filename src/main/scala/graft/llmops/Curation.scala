@@ -124,4 +124,104 @@ object Curation {
           col("quality_reason")).as("quality_reason"))
       .withColumn("kept", col("stage") === "kept")
   }
+
+  /** One micro-batch of the STREAMING curation cascade — the shared core
+    * of [[graft.streaming.EventStream.curationStream]] and its batch-mode
+    * replay oracle (`q_x_curation_stream`): the stream's foreachBatch
+    * calls exactly this, so the oracle's two-day replay covers the SAME
+    * code path the continuous pipeline runs.
+    *
+    * Inputs: `b0` is the micro-batch as (doc, text, source); the state
+    * frames are the accepted corpus' near-dup index (`corpusShingles`
+    * (doc, s) / `corpusBands` (doc, band, sig)), the lifetime per-source
+    * accepted counts (`sourceCounts` (source, n)), and the
+    * decontamination state (`benchShingles` (s) + `bloomWords`
+    * (w, bits)); empty frames degrade each stage to a no-op (batch one
+    * of a fresh corpus). Returns (accepted (doc, text, source), ledger
+    * (doc, source, stage, quality_reason, kept)), both eagerly
+    * checkpointed — six marker frames hang off the cascade (the batch
+    * [[ledger]] discipline).
+    *
+    * Stage semantics vs the batch ledger, where they differ:
+    *   - `near_dup` covers both within-batch cluster losers and
+    *     accepted-corpus near-dups ([[Dedup.incrementalDedupStep]]'s
+    *     greedy arrival-order contract);
+    *   - `quota` is ARRIVAL-ORDER greedy: lifetime count so far plus
+    *     doc-id rank within the batch, capped at `quota` — a stream
+    *     cannot un-accept yesterday's documents (the batch operator's
+    *     smallest-hash sample would).
+    */
+  def curationStep(b0: DataFrame,
+      corpusShingles: DataFrame, corpusBands: DataFrame,
+      sourceCounts: DataFrame,
+      benchShingles: DataFrame, bloomWords: DataFrame,
+      blockedSources: Seq[String], quota: Int,
+      minTokens: Long = 5, maxTokens: Long = 100000,
+      minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+      minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75,
+      maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
+      contamN: Int = 5, mBits: Int = 1 << 20,
+      kProbes: Int = 4): (DataFrame, DataFrame) = {
+    require(quota > 0)
+    // 1. blocklist (literal set — blocklists are driver-sized).
+    val blockedSet = b0.filter(col("source").isNull ||
+      col("source").isin(blockedSources.map(x => x: Any): _*)).select("doc")
+    val alive1 = b0.join(blockedSet, Seq("doc"), "left_anti").localCheckpoint(true)
+    // 2. quality gate.
+    val qreasons = TextAnalysis.qualityGate(alive1, "doc", "text",
+        minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+        minTypeToken, maxDupGramFrac)
+      .select(col("doc"), col("reason")).localCheckpoint(true)
+    val alive2 = alive1.join(
+      qreasons.filter(col("reason") === "keep").select("doc"), Seq("doc"), "left_semi")
+    // 3. within-batch exact dedup (min-id survivor).
+    val exFail = alive2.select(col("doc"), md5(col("text")).as("__h"))
+      .withColumn("__keep", min("doc").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+      .filter(col("doc") =!= col("__keep")).select("doc")
+    val alive3 = alive2.join(exFail, Seq("doc"), "left_anti").localCheckpoint(true)
+    // 4. near-dup: within batch + against the accepted-corpus index.
+    val ndSurvive = Dedup.incrementalDedupStep(alive3, "doc", "text",
+      corpusShingles, corpusBands, maxJaccardDist, numHashTables, n)
+      .select("doc")
+    val ndFail = alive3.select("doc").join(ndSurvive, Seq("doc"), "left_anti")
+    val alive4 = alive3.join(ndSurvive, Seq("doc"), "left_semi").localCheckpoint(true)
+    // 5. decontamination against the streamed bench state.
+    val ctFail = Dedup.decontaminateBloomWith(alive4, "doc", "text",
+        benchShingles, bloomWords, contamN, mBits, kProbes)
+      .filter(col("contaminated")).select("doc").localCheckpoint(true)
+    val alive5 = alive4.join(ctFail, Seq("doc"), "left_anti")
+    // 6. incremental per-source quota: lifetime-accepted counts +
+    // arrival rank (doc-id order within the batch).
+    val ranked = alive5.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc")).cast("long"))
+      .join(sourceCounts.withColumnRenamed("n", "__sofar"), Seq("source"), "left")
+      .withColumn("__sofar", coalesce(col("__sofar"), lit(0L)))
+    val accepted = ranked.filter(col("__sofar") + col("__rn") <= quota)
+      .select("doc", "text", "source").localCheckpoint(true)
+    val quotaFail = alive5.select("doc")
+      .join(accepted.select("doc"), Seq("doc"), "left_anti")
+    // ledger rows for EVERY input doc, first failing stage wins.
+    val ledger = b0.select("doc", "source")
+      .join(blockedSet.withColumn("__b", lit(true)), Seq("doc"), "left")
+      .join(qreasons.withColumnRenamed("reason", "__q"), Seq("doc"), "left")
+      .join(exFail.withColumn("__ex", lit(true)), Seq("doc"), "left")
+      .join(ndFail.withColumn("__nd", lit(true)), Seq("doc"), "left")
+      .join(ctFail.withColumn("__ct", lit(true)), Seq("doc"), "left")
+      .join(quotaFail.withColumn("__qt", lit(true)), Seq("doc"), "left")
+      .select(col("doc"), col("source"),
+        when(col("__b"), "blocked_source")
+          .when(col("__q") =!= "keep", "quality")
+          .when(col("__ex"), "exact_dup")
+          .when(col("__nd"), "near_dup")
+          .when(col("__ct"), "contaminated")
+          .when(col("__qt"), "quota")
+          .otherwise("kept").as("stage"),
+        when(col("__b").isNull && col("__q") =!= "keep", col("__q"))
+          .as("quality_reason"))
+      .withColumn("kept", col("stage") === "kept")
+      .localCheckpoint(true)
+    (accepted, ledger)
+  }
 }

@@ -35,10 +35,11 @@ object Multimodal {
       .withColumn("sha256", sha2(col("payload"), 256))
 
   /** STUB decoder — deterministic fake "features" derived from payload
-    * bytes, used for kinds with no in-JVM codec (audio/video). A real
-    * implementation would decode the media and run a feature extractor
-    * here; the signature (bytes → fixed-size Float vector) is the
-    * contract. Images take the REAL decode path below.
+    * bytes, used for kinds with no in-JVM codec (video, compressed
+    * audio). A real implementation would decode the media and run a
+    * feature extractor here; the signature (bytes → fixed-size Float
+    * vector) is the contract. Images take the REAL decode path below
+    * ([[decodeImage]]); WAV/PCM audio takes [[decodeWav]].
     */
   def decodeStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
     val out = new Array[Float](dims)
@@ -101,6 +102,74 @@ object Multimodal {
       out
     }
   }
+
+  /** REAL audio decode — a dependency-free RIFF/WAVE PCM parse (the
+    * [[decodeImage]] precedent: in-JDK only, corrupt or non-WAV bytes
+    * return None and the caller degrades to the stub). Handles the
+    * canonical uncompressed layouts: format code 1 (integer PCM) at 8 or
+    * 16 bits per sample, any channel count/rate, chunks in any order.
+    * Emits sample-stat features over all channels interleaved:
+    *
+    *   [n_channels, sample_rate, n_frames (per-channel samples),
+    *    mean amplitude, RMS, min, max, duration seconds]
+    *
+    * amplitudes normalized to [-1, 1] (8-bit is unsigned midpoint-128,
+    * 16-bit signed little-endian), truncated/zero-padded to `dims`.
+    * Like the image path, the loop is per-payload CPU inside
+    * mapPartitions — no effect on plan shape or shuffle volume.
+    */
+  def decodeWav(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (payload.length < 44 || str4(0) != "RIFF" || str4(8) != "WAVE") None
+      else {
+        var off = 12
+        var fmt: Option[(Int, Int, Int, Int)] = None // (code, ch, rate, bits)
+        var data: Option[(Int, Int)] = None          // (offset, len)
+        while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+          val id = str4(off)
+          val sz = bb.getInt(off + 4)
+          if (sz < 0 || off + 8 + sz > payload.length) return None
+          if (id == "fmt " && sz >= 16)
+            fmt = Some((bb.getShort(off + 8) & 0xFFFF, bb.getShort(off + 10) & 0xFFFF,
+              bb.getInt(off + 12), bb.getShort(off + 22) & 0xFFFF))
+          else if (id == "data") data = Some((off + 8, sz))
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        for {
+          (code, ch, rate, bits) <- fmt
+          (dOff, dLen) <- data
+          if code == 1 && (bits == 8 || bits == 16) && ch >= 1 && rate > 0
+        } yield {
+          val bytesPer = bits / 8
+          val n = dLen / bytesPer
+          var sum = 0.0; var sum2 = 0.0
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          var i = 0
+          while (i < n) {
+            val v =
+              if (bits == 8) ((payload(dOff + i) & 0xFF) - 128) / 128.0
+              else bb.getShort(dOff + i * 2) / 32768.0
+            sum += v; sum2 += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val frames = n / ch
+          val feats =
+            if (n == 0) Array(ch.toFloat, rate.toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+            else Array(ch.toFloat, rate.toFloat, frames.toFloat,
+              (sum / n).toFloat, math.sqrt(sum2 / n).toFloat,
+              mn.toFloat, mx.toFloat, frames.toFloat / rate)
+          val out = new Array[Float](dims)
+          feats.take(dims).copyToArray(out)
+          out
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic frame sampling over the raw payload: frames of
     * `frameLen` bytes starting every `stride` bytes (stride < frameLen ⇒
@@ -247,8 +316,10 @@ object Multimodal {
 
   /** Partition-wise feature extraction over the typed Dataset — the shape a
     * real codec needs: per-partition init, iterator-in/iterator-out.
-    * `kind = "image"` takes the real javax.imageio decode (stub fallback
-    * on undecodable bytes); other kinds take the stub.
+    * `kind = "image"` takes the real javax.imageio decode, `kind =
+    * "audio"` the real WAV/PCM parse (both with stub fallback on
+    * undecodable bytes — a corrupt payload degrades instead of killing
+    * the task); other kinds take the stub.
     */
   def extractFeatures(media: DataFrame, dims: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -257,10 +328,11 @@ object Multimodal {
       .mapPartitions { rows =>
         // real codecs initialize their native context HERE, once.
         rows.map { r =>
-          val feats =
-            if (r.kind == "image")
-              decodeImage(r.payload, dims).getOrElse(decodeStub(r.payload, dims))
-            else decodeStub(r.payload, dims)
+          val feats = (r.kind match {
+            case "image" => decodeImage(r.payload, dims)
+            case "audio" => decodeWav(r.payload, dims)
+            case _ => None
+          }).getOrElse(decodeStub(r.payload, dims))
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, feats)
         }
       }

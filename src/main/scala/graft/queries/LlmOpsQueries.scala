@@ -71,6 +71,15 @@ object LlmOpsQueries extends QueryModule {
     */
   private val BpeK = 8
 
+  /** Planted common text for q_x_curation_stream's exact-dup/cross-dup
+    * docs (doc_id % 100 = 13): 24 distinct words, avg token length
+    * 98/24 ≈ 4.1 — passes every quality-gate rule, so the dedup stages
+    * (not the gate) decide its fate.
+    */
+  private val PlantedDupText =
+    "the quick brown fox jumps over a lazy dog while seven wise cats " +
+      "watch four tiny birds sing under warm amber light at dawn"
+
   /** Unrolled K-round BPE training as a DuckDB WITH-chain — replays
     * [[graft.llmops.Bpe.learnMerges]] value-for-value (see Bpe's scaladoc
     * for the island-parity greedy rewrite shared by both engines). Each
@@ -1142,6 +1151,128 @@ object LlmOpsQueries extends QueryModule {
           Seq("src3", "src7").toDF("source"), quota = 15,
           minTokens = 20, maxAvgTokenLen = 5.0,
           minTypeToken = 0.35, maxDupGramFrac = 0.2)
+        .orderBy("doc")
+    },
+
+    // two-day replay of the STREAMING curation cascade (the batch twin of
+    // EventStream.curationStream — Curation.curationStep is the literal
+    // shared code path): day 1 = doc_id % 40 < 20 through the 7-stage
+    // cascade against empty state, day 2 = the rest against day 1's
+    // accepted index + lifetime source counts. The %40 split puts every
+    // source in BOTH days, so day-1 winners consume quota slots that DENY
+    // day-2 arrivals (quota 8; src=doc_id%20 means a parity split would
+    // never cross). Docs with doc_id % 100 = 13 get a planted common
+    // text (both engines, the q_x_text_normalize pattern): 13/213/413
+    // land in day 1 (13 survives, 213/413 exact_dup), 113/313 in day 2
+    // (313 exact_dup; 113 survives within-batch then dies as a
+    // CROSS-BATCH near-dup of accepted 13) — so every one of the seven
+    // stage labels fires, on both sides of the stream boundary. The
+    // oracle replays both days' gate/dedup/component elections, day 2's
+    // cross probe, exact 5-gram decontamination (≡ the bloom path after
+    // its exact verify), and the carried-over arrival-order quota.
+    q("q_x_curation_stream", {
+      val fiveGram = "list_distinct(list_transform(generate_series(1, len(t) - 4), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+      // every non-recursive CTE is MATERIALIZED: the survivor chain is
+      // referenced from multiple downstream stages AND the ledger's
+      // membership subqueries — inlined, DuckDB re-evaluates the whole
+      // upstream cascade (gate + minhash) per reference, which turns a
+      // seconds-long oracle into a runaway.
+      def dayChain(tag: String, batchRel: String): String = {
+        val (c, a1, qg, a2, exf, a3) =
+          (s"c$tag", s"a${tag}1", s"qg$tag", s"a${tag}2", s"exf$tag", s"a${tag}3")
+        s"$c AS MATERIALIZED (SELECT *, source IS NULL OR source IN ('src3', 'src7') AS blocked FROM $batchRel), " +
+          s"$a1 AS MATERIALIZED (SELECT doc_id, text, source FROM $c WHERE NOT blocked), " +
+          s"$qg AS MATERIALIZED (SELECT doc, reason FROM (${qualityGateSqlOver(a1)}) qq$tag), " +
+          s"$a2 AS MATERIALIZED (SELECT a.* FROM $a1 a JOIN $qg ON $qg.doc = a.doc_id AND $qg.reason = 'keep'), " +
+          s"$exf AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM $a2) x$tag WHERE doc_id <> keep_id), " +
+          s"$a3 AS MATERIALIZED (SELECT a.* FROM $a2 a WHERE a.doc_id NOT IN (SELECT doc_id FROM $exf))"
+      }
+      def comp(tag: String, pairsRel: String): String =
+        s"u$tag AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM $pairsRel UNION ALL SELECT id_b, id_a FROM $pairsRel), " +
+          s"r$tag AS (SELECT u AS v, u AS r FROM u$tag UNION SELECT u$tag.v, r$tag.r FROM r$tag JOIN u$tag ON u$tag.u = r$tag.v), " +
+          s"cc$tag AS MATERIALIZED (SELECT v, min(r) AS cluster FROM r$tag GROUP BY v)"
+      def decon(tag: String, aliveRel: String): String =
+        s"csh$tag AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM (SELECT doc_id, $fiveGram AS sh FROM " +
+          s"(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $aliveRel) ct$tag WHERE len(t) >= 5) cs$tag), " +
+          s"ctf$tag AS MATERIALIZED (SELECT DISTINCT doc_id FROM csh$tag WHERE s IN (SELECT s FROM bsh))"
+      def led(tag: String): String =
+        s"led$tag AS (SELECT c$tag.doc_id AS doc, c$tag.source, " +
+          s"CASE WHEN c$tag.blocked THEN 'blocked_source' " +
+          s"WHEN qg$tag.reason IS NOT NULL AND qg$tag.reason <> 'keep' THEN 'quality' " +
+          s"WHEN c$tag.doc_id IN (SELECT doc_id FROM exf$tag) THEN 'exact_dup' " +
+          s"WHEN c$tag.doc_id IN (SELECT doc_id FROM ndf$tag) THEN 'near_dup' " +
+          s"WHEN c$tag.doc_id IN (SELECT doc_id FROM ctf$tag) THEN 'contaminated' " +
+          s"WHEN c$tag.doc_id NOT IN (SELECT doc_id FROM qk$tag) THEN 'quota' " +
+          s"ELSE 'kept' END AS stage, " +
+          s"CASE WHEN NOT c$tag.blocked AND qg$tag.reason <> 'keep' THEN qg$tag.reason END AS quality_reason " +
+          s"FROM c$tag LEFT JOIN qg$tag ON qg$tag.doc = c$tag.doc_id)"
+      "WITH RECURSIVE corpus AS MATERIALIZED (SELECT doc_id, " +
+        s"CASE WHEN doc_id % 100 = 13 THEN '$PlantedDupText' ELSE text END AS text, " +
+        "CAST(source AS VARCHAR) AS source FROM documents WHERE doc_id % 7 <> 0), " +
+        "bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0), " +
+        s"bsh AS MATERIALIZED (SELECT DISTINCT unnest(sh) AS s FROM (SELECT $fiveGram AS sh FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM bench) bt WHERE len(t) >= 5) bs), " +
+        "bat1 AS MATERIALIZED (SELECT * FROM corpus WHERE doc_id % 40 < 20), " +
+        "bat2 AS MATERIALIZED (SELECT * FROM corpus WHERE doc_id % 40 >= 20), " +
+        // day 1: blocklist → gate → exact → within-batch near-dup →
+        // decon → quota (empty prior state).
+        dayChain("1", "bat1") + ", " +
+        s"mh1 AS MATERIALIZED (SELECT id_a, id_b FROM (${minHashSqlOver("a13")}) m1), " +
+        comp("1", "mh1") + ", " +
+        "ndf1 AS MATERIALIZED (SELECT v AS doc_id FROM cc1 WHERE cluster <> v), " +
+        "a14 AS MATERIALIZED (SELECT a.* FROM a13 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ndf1)), " +
+        decon("1", "a14") + ", " +
+        "a15 AS MATERIALIZED (SELECT a.* FROM a14 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ctf1)), " +
+        "qk1 AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM a15) qr1 WHERE rn <= 8), " +
+        "s1 AS MATERIALIZED (SELECT a.* FROM a15 a WHERE a.doc_id IN (SELECT doc_id FROM qk1)), " +
+        led("1") + ", " +
+        // day 2: same chain, near-dup = within-batch losers ∪ the cross
+        // probe of within-survivors against day 1's ACCEPTED docs, quota
+        // offset by day 1's per-source accepted counts.
+        dayChain("2", "bat2") + ", " +
+        s"mh2 AS MATERIALIZED (SELECT id_a, id_b FROM (${minHashSqlOver("a23")}) m2), " +
+        comp("2", "mh2") + ", " +
+        "ndw2 AS MATERIALIZED (SELECT v AS doc_id FROM cc2 WHERE cluster <> v), " +
+        "w2 AS MATERIALIZED (SELECT a.* FROM a23 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ndw2)), " +
+        s"x2 AS MATERIALIZED (SELECT DISTINCT batch_id AS doc_id FROM (${minHashAcrossSqlOver("s1", "w2")}) qx2), " +
+        "ndf2 AS MATERIALIZED (SELECT doc_id FROM ndw2 UNION SELECT doc_id FROM x2), " +
+        "a24 AS MATERIALIZED (SELECT a.* FROM a23 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ndf2)), " +
+        decon("2", "a24") + ", " +
+        "a25 AS MATERIALIZED (SELECT a.* FROM a24 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ctf2)), " +
+        "sofar AS MATERIALIZED (SELECT source, count(*) AS n FROM s1 GROUP BY 1), " +
+        "qk2 AS MATERIALIZED (SELECT doc_id FROM (SELECT a.doc_id, a.source, row_number() OVER (PARTITION BY a.source ORDER BY a.doc_id) AS rn FROM a25 a) qr2 " +
+        "LEFT JOIN sofar ON sofar.source = qr2.source WHERE coalesce(sofar.n, 0) + qr2.rn <= 8), " +
+        led("2") + " " +
+        "SELECT doc, CAST(1 AS BIGINT) AS day, source, stage, quality_reason, stage = 'kept' AS kept FROM led1 " +
+        "UNION ALL SELECT doc, 2, source, stage, quality_reason, stage = 'kept' FROM led2 ORDER BY doc"
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.llmops.Curation
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("doc"),
+          when(col("doc_id") % 100 === 13, PlantedDupText)
+            .otherwise(col("text")).as("text"),
+          col("source").cast("string").as("source"))
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+      val benchSh = Dedup.xxShingleRows(bench, "doc_id", "text", 5)
+        .select("s").distinct().localCheckpoint(true)
+      val words = Dedup.bloomWordTable(benchSh, 1 << 20, 4).localCheckpoint(true)
+      def day(batch: org.apache.spark.sql.DataFrame,
+          sh: org.apache.spark.sql.DataFrame,
+          counts: org.apache.spark.sql.DataFrame) =
+        Curation.curationStep(batch, sh, Dedup.bandRows(sh, 5), counts,
+          benchSh, words, Seq("src3", "src7"), quota = 8,
+          minTokens = 20, maxAvgTokenLen = 5.0,
+          minTypeToken = 0.35, maxDupGramFrac = 0.2)
+      val emptySh = Dedup.portableShingleRows(corpus.limit(0), "doc", "text", 3)
+      val (acc1, led1) = day(corpus.filter(col("doc") % 40 < 20),
+        emptySh, Seq.empty[(String, Long)].toDF("source", "n"))
+      val ex1 = Dedup.portableShingleRows(acc1, "doc", "text", 3).localCheckpoint(true)
+      val (_, led2) = day(corpus.filter(col("doc") % 40 >= 20),
+        ex1, acc1.groupBy("source").agg(count(lit(1)).as("n")))
+      led1.withColumn("day", lit(1L))
+        .unionByName(led2.withColumn("day", lit(2L)))
         .orderBy("doc")
     },
 

@@ -470,7 +470,12 @@ object EventStream {
     * Per-batch work: the gate + md5 + minhash on the DELTA, one bands
     * probe, one bloom probe, all writes append-only except the bounded
     * source-counts and bloom tables. Restart resumes every table
-    * (create-if-absent).
+    * (create-if-absent). The per-batch cascade itself is
+    * [[graft.llmops.Curation.curationStep]] — shared with the
+    * `q_x_curation_stream` batch-replay oracle, so the stream's stage
+    * semantics are DuckDB-checked end to end. The bands table is
+    * bucketed by (band, sig) like [[dedupStream]]'s, so the probe never
+    * shuffles the accumulated index.
     */
   def curationStream(newDocs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, blockedSources: Seq[String], quota: Int,
@@ -480,19 +485,26 @@ object EventStream {
       minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75,
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
       contamN: Int = 5, mBits: Int = 1 << 20, kProbes: Int = 4,
+      stateBuckets: Int = 8,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
-    import graft.llmops.{Dedup, TextAnalysis}
+    import graft.llmops.Dedup
     val spark = newDocs.sparkSession
     val idType = newDocs.schema(idCol).dataType
     val (docsT, shT, bandT) =
       (s"${tablePrefix}_docs", s"${tablePrefix}_shingles", s"${tablePrefix}_bands")
     val (ledgerT, countsT) = (s"${tablePrefix}_ledger", s"${tablePrefix}_source_counts")
     val (benchShT, bloomT) = (s"${tablePrefix}_bench_shingles", s"${tablePrefix}_bloom")
-    def createIfAbsent(table: String, schema: StructType): Unit =
+    def createIfAbsent(table: String, schema: StructType,
+        bucketCols: Seq[String] = Nil): Unit =
       if (!spark.catalog.tableExists(table)) {
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-          .write.format("parquet").saveAsTable(table)
+        val w = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .write.format("parquet")
+        (if (bucketCols.isEmpty) w
+         else w.bucketBy(stateBuckets, bucketCols.head, bucketCols.tail: _*)
+           .sortBy(bucketCols.head, bucketCols.tail: _*))
+          .saveAsTable(table)
       }
     createIfAbsent(docsT, StructType(Seq(
       StructField("doc", idType), StructField("text", StringType),
@@ -501,7 +513,7 @@ object EventStream {
       StructField("doc", idType), StructField("s", LongType))))
     createIfAbsent(bandT, StructType(Seq(
       StructField("doc", idType), StructField("band", IntegerType),
-      StructField("sig", LongType))))
+      StructField("sig", LongType))), Seq("band", "sig"))
     createIfAbsent(ledgerT, StructType(Seq(
       StructField("doc", idType), StructField("source", StringType),
       StructField("stage", StringType), StructField("quality_reason", StringType),
@@ -518,71 +530,21 @@ object EventStream {
         val sess = batch.sparkSession
         val b0 = batch.select(col(idCol).as("doc"), col(textCol).as("text"),
           col(sourceCol).cast("string").as("source")).localCheckpoint(true)
-        // 1. blocklist (literal set — blocklists are driver-sized).
-        val blockedSet = b0.filter(col("source").isNull ||
-          col("source").isin(blockedSources.map(x => x: Any): _*)).select("doc")
-        val alive1 = b0.join(blockedSet, Seq("doc"), "left_anti").localCheckpoint(true)
-        // 2. quality gate.
-        val qreasons = TextAnalysis.qualityGate(alive1, "doc", "text",
-            minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
-            minTypeToken, maxDupGramFrac)
-          .select(col("doc"), col("reason")).localCheckpoint(true)
-        val alive2 = alive1.join(
-          qreasons.filter(col("reason") === "keep").select("doc"), Seq("doc"), "left_semi")
-        // 3. within-batch exact dedup (min-id survivor).
-        val exFail = alive2.select(col("doc"), md5(col("text")).as("__h"))
-          .withColumn("__keep", min("doc").over(
-            org.apache.spark.sql.expressions.Window.partitionBy("__h")))
-          .filter(col("doc") =!= col("__keep")).select("doc")
-        val alive3 = alive2.join(exFail, Seq("doc"), "left_anti").localCheckpoint(true)
-        // 4. near-dup: within batch + against the accepted-corpus index.
-        val ndSurvive = Dedup.incrementalDedupStep(alive3, "doc", "text",
-          sess.table(shT), sess.table(bandT), maxJaccardDist, numHashTables, n)
-          .select("doc")
-        val ndFail = alive3.select("doc").join(ndSurvive, Seq("doc"), "left_anti")
-        val alive4 = alive3.join(ndSurvive, Seq("doc"), "left_semi").localCheckpoint(true)
-        // 5. decontamination against the streamed bench state.
-        val ctFail = Dedup.decontaminateBloomWith(alive4, "doc", "text",
-            sess.table(benchShT), sess.table(bloomT), contamN, mBits, kProbes)
-          .filter(col("contaminated")).select("doc").localCheckpoint(true)
-        val alive5 = alive4.join(ctFail, Seq("doc"), "left_anti")
-        // 6. incremental per-source quota: lifetime-accepted counts +
-        // arrival rank (doc-id order within the batch).
-        val ranked = alive5.withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("source").orderBy("doc")).cast("long"))
-          .join(sess.table(countsT).withColumnRenamed("n", "__sofar"), Seq("source"), "left")
-          .withColumn("__sofar", coalesce(col("__sofar"), lit(0L)))
-        val accepted = ranked.filter(col("__sofar") + col("__rn") <= quota)
-          .select("doc", "text", "source").localCheckpoint(true)
-        val quotaFail = alive5.select("doc")
-          .join(accepted.select("doc"), Seq("doc"), "left_anti")
-        // ledger rows for EVERY input doc, first failing stage wins.
-        val ledger = b0.select("doc", "source")
-          .join(blockedSet.withColumn("__b", lit(true)), Seq("doc"), "left")
-          .join(qreasons.withColumnRenamed("reason", "__q"), Seq("doc"), "left")
-          .join(exFail.withColumn("__ex", lit(true)), Seq("doc"), "left")
-          .join(ndFail.withColumn("__nd", lit(true)), Seq("doc"), "left")
-          .join(ctFail.withColumn("__ct", lit(true)), Seq("doc"), "left")
-          .join(quotaFail.withColumn("__qt", lit(true)), Seq("doc"), "left")
-          .select(col("doc"), col("source"),
-            when(col("__b"), "blocked_source")
-              .when(col("__q") =!= "keep", "quality")
-              .when(col("__ex"), "exact_dup")
-              .when(col("__nd"), "near_dup")
-              .when(col("__ct"), "contaminated")
-              .when(col("__qt"), "quota")
-              .otherwise("kept").as("stage"),
-            when(col("__b").isNull && col("__q") =!= "keep", col("__q"))
-              .as("quality_reason"))
-          .withColumn("kept", col("stage") === "kept")
-          .localCheckpoint(true)
+        val (accepted, ledger) = graft.llmops.Curation.curationStep(b0,
+          sess.table(shT), sess.table(bandT), sess.table(countsT),
+          sess.table(benchShT), sess.table(bloomT),
+          blockedSources, quota, minTokens, maxTokens, minAvgTokenLen,
+          maxAvgTokenLen, minTypeToken, maxDupGramFrac, maxJaccardDist,
+          numHashTables, n, contamN, mBits, kProbes)
         // state updates: corpus + index append, counts merge, ledger append.
         accepted.write.mode("append").saveAsTable(docsT)
         val ex = Dedup.portableShingleRows(accepted, "doc", "text", n)
           .localCheckpoint(true)
         ex.write.mode("append").saveAsTable(shT)
-        Dedup.bandRows(ex, numHashTables).write.mode("append").saveAsTable(bandT)
+        Dedup.bandRows(ex, numHashTables)
+          .write.mode("append")
+          .bucketBy(stateBuckets, "band", "sig").sortBy("band", "sig")
+          .saveAsTable(bandT)
         val newCounts = sess.table(countsT)
           .unionAll(accepted.groupBy("source").agg(count(lit(1)).as("n")))
           .groupBy("source").agg(sum("n").as("n")).localCheckpoint(true)

@@ -503,6 +503,58 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f(4L).sameElements(Multimodal.decodeStub("plain text stays stubbed".getBytes("UTF-8"))))
   }
 
+  test("real WAV decode: synthetic PCM sample stats recovered exactly; corrupt bytes stub") {
+    import spark.implicits._
+    def wav(ch: Int, rate: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort)
+        .putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    def s16(vals: Short*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putShort)
+      bb.array()
+    }
+    // mono 16-bit @8 kHz: [0, +0.5, -0.5, 32767/32768]
+    val mono = wav(1, 8000, 16, s16(0, 16384, -16384, 32767))
+    // stereo 8-bit @4 kHz: unsigned bytes [128, 255, 0, 128] →
+    // [0, 127/128, -1, 0]; 4 samples / 2 channels = 2 frames.
+    val stereo = wav(2, 4000, 8, Array[Byte](128.toByte, 255.toByte, 0, 128.toByte))
+    val junk = "RIFFnot really a wav".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "audio", mono), (2L, "audio", stereo), (3L, "audio", junk),
+      (4L, "video", mono) // wrong kind: stays stubbed even for valid WAV bytes
+    ).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r.features).toMap
+    // mono: [ch, rate, frames, mean, rms, min, max, dur]
+    val m = Seq(0.0, 16384 / 32768.0, -16384 / 32768.0, 32767 / 32768.0)
+    assert(f(1L)(0) == 1f && f(1L)(1) == 8000f && f(1L)(2) == 4f)
+    assert(math.abs(f(1L)(3) - (m.sum / 4)) < 1e-7)
+    assert(math.abs(f(1L)(4) - math.sqrt(m.map(x => x * x).sum / 4)) < 1e-7)
+    assert(f(1L)(5) == -0.5f && f(1L)(6) == (32767 / 32768.0).toFloat)
+    assert(math.abs(f(1L)(7) - 4f / 8000f) < 1e-9)
+    // stereo 8-bit
+    val st = Seq(0.0, 127 / 128.0, -1.0, 0.0)
+    assert(f(2L)(0) == 2f && f(2L)(1) == 4000f && f(2L)(2) == 2f)
+    assert(math.abs(f(2L)(3) - (st.sum / 4)) < 1e-7)
+    assert(f(2L)(5) == -1f && f(2L)(6) == (127 / 128.0).toFloat)
+    assert(math.abs(f(2L)(7) - 2f / 4000f) < 1e-9)
+    // corrupt audio bytes and non-audio kinds take the stub path.
+    assert(f(3L).sameElements(Multimodal.decodeStub(junk)))
+    assert(f(4L).sameElements(Multimodal.decodeStub(mono)))
+    // direct parse: truncated data chunk rejects instead of over-reading.
+    assert(Multimodal.decodeWav(mono.dropRight(2)).isEmpty)
+  }
+
   test("thumbnails: fit-inside resize preserves aspect and color; non-images pass through empty") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
