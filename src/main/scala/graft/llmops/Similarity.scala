@@ -187,30 +187,64 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 8,
       centroids: Option[DataFrame] = None): DataFrame = {
     val cent = centroids.getOrElse(
-        corpus.filter(col(idCol) < nlist)
-          .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
+      corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
+    ivfProbe(assignCells(corpus, cent, idCol, vecCol), cent,
+      queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** Nearest-centroid cell assignment as (cell, cid, cvec, cn) rows — the
+    * shared stage of [[ivfTopK]], [[semDedupPairs]], and the streaming
+    * vector index ([[graft.streaming.EventStream.annIndexStream]]):
+    * centroids broadcast, one pass, and the nearest cell comes from an
+    * AGGREGATE (map-side-combining `max_by`, ties → lowest cent_id), not
+    * a window — the |C|×nlist scored frame never shuffles. Per-vector and
+    * deterministic, so assignment is BATCH-INVARIANT: assigning a corpus
+    * in any number of slices and unioning equals assigning it at once —
+    * what makes the cell table maintainable by pure append.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids
       .select(col("cent_id"), col("centvec"), l2norm(col("centvec")).as("centn"))
-    def centScored(df: DataFrame, prefix: String) = df
-      .select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}vec"),
-        l2norm(col(vecCol)).as(s"${prefix}n"))
+    corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        l2norm(col(vecCol)).as("cn"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos",
-        dot(col(s"${prefix}vec"), col("centvec")) / (col(s"${prefix}n") * col("centn")))
-    // corpus → its single nearest cell: aggregate, not window — partial
-    // max_by combines map-side, so the full |C|×nlist frame never shuffles.
-    val assign = centScored(corpus, "c")
+        dot(col("cvec"), col("centvec")) / (col("cn") * col("centn")))
       .groupBy("cid")
       .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
         first(col("cvec")).as("cvec"), first(col("cn")).as("cn"))
+      .select("cell", "cid", "cvec", "cn")
+  }
+
+  /** [[ivfTopK]]'s probe/re-rank stages over an ALREADY-ASSIGNED cell
+    * table — a materialized (or streamed) index serves queries without
+    * re-assigning the corpus: queries pick their `nprobe` nearest cells
+    * (broadcast centroids + a queries-sized window), candidates come from
+    * the equi-join on `cell`, exact cosine re-ranks inside probed cells
+    * only.
+    */
+  def ivfProbe(cells: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids
+      .select(col("cent_id"), col("centvec"), l2norm(col("centvec")).as("centn"))
     // queries → their nprobe nearest cells (queries are few; window is fine).
     val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
-    val probes = centScored(queries, "q")
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        l2norm(col(vecCol)).as("qn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dot(col("qvec"), col("centvec")) / (col("qn") * col("centn")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qvec"), col("qn"), col("cent_id").as("cell"))
     // each corpus row lives in exactly one cell → at most one row per
     // (qid, cid), no dedup needed.
-    val cands = probes.join(assign, Seq("cell"))
+    val cands = probes.join(cells, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     cands.withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
@@ -316,19 +350,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = 16, centroids: Option[DataFrame] = None): DataFrame = {
     val cent = centroids.getOrElse(
-        corpus.filter(col(idCol) < nlist)
-          .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
-      .select(col("cent_id"), col("centvec"), l2norm(col("centvec")).as("centn"))
-    // norms as bound attributes BEFORE the join (see cosinePairs).
-    val scored = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        l2norm(col(vecCol)).as("cn"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        dot(col("cvec"), col("centvec")) / (col("cn") * col("centn")))
-    val assign = scored.groupBy("cid")
-      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
-        first(col("cvec")).as("cvec"), first(col("cn")).as("cn"))
+      corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
+    val assign = assignCells(corpus, cent, idCol, vecCol)
     val a = assign.select(col("cell"), col("cid").as("id_a"),
       col("cvec").as("va"), col("cn").as("na"))
     val b = assign.select(col("cell"), col("cid").as("id_b"),

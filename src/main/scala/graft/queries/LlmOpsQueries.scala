@@ -862,6 +862,22 @@ object LlmOpsQueries extends QueryModule {
           nlist = 16, nprobe = 4)
         .orderBy("qid", "rn")
     },
+    // streaming IVF index replay (the batch twin of
+    // EventStream.annIndexStream): cell assignment is per-vector and
+    // deterministic, so appending two half-corpus assignment slices IS
+    // the streamed cells table after two micro-batches — and the probe
+    // over that union must equal the one-shot ivfTopK, which is exactly
+    // what the (unchanged) IVF oracle states.
+    q("q_x_ann_ivf_stream", ivfOracleSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+      val cells = Similarity.assignCells(emb.filter(col("vec_id") % 2 === 0), cent)
+        .unionByName(Similarity.assignCells(emb.filter(col("vec_id") % 2 === 1), cent))
+      Similarity.ivfProbe(cells, cent, emb.filter(col("vec_id") < 5),
+          k = 5, nprobe = 4)
+        .orderBy("qid", "rn")
+    },
     // int8 quantization audit: per-vector quantized checksum, scale, max
     // reconstruction error — floor(x+0.5) on both engines, so the byte
     // values are replicated exactly (DuckDB mirrors them as BIGINT).

@@ -618,6 +618,74 @@ object EventStream {
       queries.sparkSession.table(s"${tablePrefix}_postings"),
       queries, qidCol, qtextCol, k, minMatch, maxDf)
 
+  /** Streaming vector (IVF) index — the fourth streaming index alongside
+    * the keyword ([[indexStream]]), near-dup ([[dedupStream]]) and
+    * decontamination ([[decontaminationStream]]) state: embeddings ARRIVE
+    * over time and the ANN serving index has to absorb them without a
+    * corpus rebuild. Nearest-centroid cell assignment is per-vector and
+    * deterministic ([[graft.llmops.Similarity.assignCells]] — batch-
+    * invariant by construction), so index maintenance is pure APPEND of
+    * the batch's (cell, cid, cvec, cn) rows; the quantizer itself is
+    * FROZEN at stream creation (`{prefix}_centroids`, created from
+    * `centroids` only when absent — re-training the quantizer is a
+    * rebuild, not a stream operation, exactly like production IVF
+    * deployments). Serve any time with [[annIndexState]] ≡ a one-shot
+    * [[graft.llmops.Similarity.ivfTopK]] with the same centroids over
+    * every vector streamed so far (spec-asserted).
+    *
+    * The cells table is BUCKETED by cell: the probe's equi-join reads
+    * HashPartitioning(cell) straight off the scan, so queries never
+    * shuffle the accumulated index (only the broadcast-sized probe list
+    * moves; plan-pinned). Same create-if-absent restart contract as
+    * [[dedupStream]]; vector ids must be new each batch.
+    */
+  def annIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, tablePrefix: String, stateBuckets: Int = 8,
+      apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val spark = vecs.sparkSession
+    val (centT, cellT) = (s"${tablePrefix}_centroids", s"${tablePrefix}_cells")
+    if (!spark.catalog.tableExists(centT)) {
+      centroids.select(col("cent_id"), col("centvec"))
+        .write.format("parquet").saveAsTable(centT)
+    }
+    if (!spark.catalog.tableExists(cellT)) {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("cell", centroids.schema("cent_id").dataType),
+            StructField("cid", vecs.schema(idCol).dataType),
+            StructField("cvec", vecs.schema(vecCol).dataType),
+            StructField("cn", DoubleType))))
+        .write.format("parquet")
+        .bucketBy(stateBuckets, "cell").sortBy("cell")
+        .saveAsTable(cellT)
+    }
+    vecs.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        graft.llmops.Similarity.assignCells(batch, sess.table(centT), idCol, vecCol)
+          .write.mode("append")
+          .bucketBy(stateBuckets, "cell").sortBy("cell")
+          .saveAsTable(cellT)
+        sess.catalog.refreshTable(cellT)
+        apply(sess.table(cellT))
+      }
+  }
+
+  /** Query the [[annIndexStream]] state: identical results to a one-shot
+    * `ivfTopK` (same frozen centroids) over every vector streamed so far.
+    */
+  def annIndexState(queries: DataFrame, tablePrefix: String, k: Int,
+      nprobe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    graft.llmops.Similarity.ivfProbe(
+      spark.table(s"${tablePrefix}_cells"), spark.table(s"${tablePrefix}_centroids"),
+      queries, k, nprobe, idCol, vecCol)
+  }
+
   /** Streaming decontamination state: eval suites ARRIVE over time (a new
     * benchmark lands, the blocklist of exam questions grows), and the
     * guard has to incorporate them without rebuilding from scratch. Each

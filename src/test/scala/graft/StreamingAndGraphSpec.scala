@@ -370,6 +370,54 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("annIndexStream: streamed cells serve ANN ≡ one-shot ivfTopK; bucketed probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 12 vectors in 3 rough directions; centroids = the first 3.
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val all = Seq(
+      1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0), 3L -> v(0, 0, 1, 0),
+      4L -> v(0.9f, 0.1f, 0, 0), 5L -> v(0.1f, 0.9f, 0, 0), 6L -> v(0, 0.1f, 0.9f, 0),
+      7L -> v(0.8f, 0.2f, 0, 0), 8L -> v(0.2f, 0.8f, 0.1f, 0), 9L -> v(0, 0, 0.8f, 0.2f),
+      10L -> v(0.7f, 0, 0.3f, 0), 11L -> v(0.3f, 0.7f, 0, 0), 12L -> v(0, 0.3f, 0.7f, 0))
+    val corpus = all.toDF("vec_id", "embedding")
+    val cent = corpus.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    val queries = corpus.filter(col("vec_id") isin (4L, 9L))
+    try {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val streamDf = mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+      val ckpt = java.nio.file.Files.createTempDirectory("ann_stream_ckpt").toString
+      val writer = EventStream.annIndexStream(streamDf, "vec_id", "embedding",
+          cent, "ann_stream_test")
+        .option("checkpointLocation", ckpt)
+      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      mem.addData(all.take(6): _*); runOnce()
+      mem.addData(all.drop(6): _*); runOnce()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("qid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val streamed = rows(EventStream.annIndexState(queries, "ann_stream_test",
+        k = 3, nprobe = 2))
+      val oneShot = rows(graft.llmops.Similarity.ivfTopK(corpus, queries,
+        k = 3, nprobe = 2, centroids = Some(cent)))
+      assert(streamed == oneShot && streamed.nonEmpty,
+        s"streamed ANN diverges:\n$streamed\n$oneShot")
+      // layout pin: the cells table (created empty, appended twice) is
+      // bucketed by cell — the probe joins without shuffling the state.
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val p = EventStream.annIndexState(queries, "ann_stream_test", k = 3, nprobe = 2)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), s"cells scan not bucketed:\n$p")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    } finally {
+      Seq("centroids", "cells").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ann_stream_test_$t"))
+    }
+  }
+
   test("curationStream: continuous cascade with cross-batch dedup, decon state, lifetime quota") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
