@@ -363,4 +363,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cell"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Cross-corpus SemDeDup — the embedding analog of
+    * [[Dedup.minHashPairsAcross]]'s shape: semantic near-dup pairs
+    * between a NEW batch and a REFERENCE corpus (today's crawl against
+    * the standing training set), found only within shared nearest-
+    * centroid cells. Both sides assign against the SAME centroid table
+    * ([[assignCells]] each — one broadcast pass per side, the reference
+    * side reusable/materializable across batches), candidates come from
+    * the equi-join on cell, exact cosine decides. Emits
+    * (batch_id, corpus_id, cell, cos ≥ threshold). Candidate work is
+    * Σ|batch cell|·|corpus cell| — never |B|×|C| — and cross-cell
+    * near-dups are the same accepted SemDeDup loss as the self-join
+    * variant. Size `nlist` with the corpus exactly as [[semDedupPairs]]
+    * documents.
+    */
+  def semDedupAcross(batch: DataFrame, corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: DataFrame): DataFrame = {
+    val b = assignCells(batch, centroids, idCol, vecCol)
+      .select(col("cell"), col("cid").as("batch_id"),
+        col("cvec").as("vb"), col("cn").as("nb"))
+    val c = assignCells(corpus, centroids, idCol, vecCol)
+      .select(col("cell"), col("cid").as("corpus_id"),
+        col("cvec").as("vc"), col("cn").as("nc"))
+    b.join(c, Seq("cell"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .withColumn("cos", dot(col("vb"), col("vc")) / (col("nb") * col("nc")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("cell"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

@@ -1561,6 +1561,32 @@ object LlmOpsQueries extends QueryModule {
           nlist = 16)
         .orderBy("id_a", "id_b")
     },
+    // cross-corpus SemDeDup: today's batch (odd vec_ids) against the
+    // standing corpus (even vec_ids), both assigned against the SAME
+    // frozen centroids — the embedding analog of the cross-corpus
+    // minhash probe. The oracle assigns everything at once (assignment
+    // is per-vector, so one-shot ≡ per-side) and takes the cross-parity
+    // within-cell pairs.
+    q("q_x_semdedup_across",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
+        "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+        "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+        "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+        "xp AS (SELECT b.cid AS batch_id, c.cid AS corpus_id, b.cell FROM assign b JOIN assign c ON c.cell = b.cell AND b.cid % 2 = 1 AND c.cid % 2 = 0), " +
+        "d2 AS (SELECT p.batch_id, p.corpus_id, p.cell, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb " +
+        "FROM xp p JOIN e a ON a.vec_id = p.batch_id JOIN e b ON b.vec_id = p.corpus_id AND b.i = a.i GROUP BY 1, 2, 3) " +
+        "SELECT batch_id, corpus_id, CAST(cell AS BIGINT) AS cell, round(dot / (na * nb), 6) AS cos " +
+        "FROM d2 WHERE dot / (na * nb) >= 0.4 ORDER BY 1, 2") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+      Similarity.semDedupAcross(
+          emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
+          threshold = 0.4, centroids = cent)
+        .orderBy("batch_id", "corpus_id")
+    },
     // end-to-end semantic dedup: SemDeDup pairs → connected components →
     // per-vector survivor flag, the same decision-table shape as
     // q_x_dedup_clusters but over the embedding space. The oracle feeds

@@ -66,7 +66,14 @@ object StressBench {
     "q_x_inverted_index", "q_x_search_topk", "q_x_curation_ledger",
     "q_x_dedup_stream", "q_x_importance_scores", "q_x_search_bm25",
     "q_x_phrase_search", "q_x_selection_topshare", "q_x_data_card",
-    "q_x_multimodal_dedup", "q_x_rag_chunk_search")
+    "q_x_multimodal_dedup", "q_x_rag_chunk_search",
+    // r8: the two-day streaming-curation replay (the heaviest composed
+    // pipeline — replicas straddle the %40 day split), RRF fusion (tiny
+    // by construction — its inputs are top-k lists), the streamed-IVF
+    // assignment-union replay, and the cross-corpus embedding probe
+    // (replicas are exact semantic dups of their originals: worst case).
+    "q_x_curation_stream", "q_x_search_hybrid", "q_x_ann_ivf_stream",
+    "q_x_semdedup_across")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

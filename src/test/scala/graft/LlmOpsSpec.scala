@@ -41,6 +41,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(across == self, s"across=$across self=$self")
   }
 
+  test("semDedupAcross equals the cross-parity subset of the self-join pairs") {
+    import graft.llmops.Similarity
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    // self-join pairs restricted to cross-parity, oriented (odd=batch,
+    // even=corpus) — must equal the two-sided operator exactly (same
+    // frozen centroids, same cells, same cosine).
+    val self = Similarity.semDedupPairs(emb, threshold = 0.4, nlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 2) != (b % 2) }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    val across = Similarity.semDedupAcross(
+        emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
+        threshold = 0.4, centroids = cent)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(across == self, s"across=$across self=$self")
+  }
+
   test("SimHash banding honors its guarantee: every pair with Hamming<=3 is found") {
     val sigs = Dedup.simHash(docs, "doc_id", "text")
     val truth = sigs.alias("x").join(sigs.alias("y"), col("x.doc") < col("y.doc"))
