@@ -440,4 +440,28 @@ object Corpus {
         Seq(50, 90, 99)),
       Seq("source"))
   }
+
+  /** Release manifest for a sharded corpus: one row per shard with exact
+    * doc/token counts and an ORDER-INVARIANT content checksum — the
+    * `bit_xor` of each member's 52-bit portable hash of `"id:text"`.
+    * Two manifests agree iff the shards hold the same row SETS,
+    * regardless of row order, partitioning, or file layout — so
+    * verifying a re-run, a migration, or a replica is a shards-sized
+    * manifest compare, never a data diff. (xor is commutative,
+    * associative and self-inverse: any single-row difference flips the
+    * checksum; a pair of byte-identical rows cancels, which ids make
+    * impossible here.) One aggregation, shards-sized output, and
+    * incrementally maintainable: xor-folding a new batch's rows into
+    * the stored manifest equals recomputing it — the same merge-law
+    * contract as the streaming cards.
+    */
+  def shardManifest(df: DataFrame, shardCol: Column, idCol: String,
+      textCol: String): DataFrame =
+    df.select(shardCol.as("shard"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__nt"),
+        PortableHash.hash52(
+          concat(col(idCol).cast("string"), lit(":"), col(textCol))).as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        expr("bit_xor(__h)").as("content_xor"))
 }

@@ -1665,6 +1665,24 @@ object LlmOpsQueries extends QueryModule {
         .select("doc_id", "n_tokens", "shard")
         .orderBy("doc_id")
     },
+    // shard release manifest over the token-budget shards: exact per-shard
+    // doc/token counts + the order-invariant xor-of-hash52("id:text")
+    // content checksum — the audit table a corpus release ships with.
+    q("q_x_shard_manifest", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR) || ':' || text")
+      "WITH t AS (SELECT doc_id, text, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt FROM documents), " +
+        "c AS (SELECT doc_id, text, nt, sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t), " +
+        "sh AS (SELECT doc_id, text, nt, CAST(floor((cum - nt) / 10000) AS BIGINT) AS shard FROM c) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+        s"CAST(bit_xor($h) AS BIGINT) AS content_xor FROM sh GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      val withTok = Tables.documents(s, d)
+        .withColumn("n_tokens", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      val sharded = Corpus.tokenShards(withTok, col("doc_id"), col("n_tokens"),
+        budget = 10000L, groupSize = 100L)
+      Corpus.shardManifest(sharded, col("shard"), "doc_id", "text")
+        .orderBy("shard")
+    },
     // multimodal frame sampling: 16-byte frames every 12 bytes over the
     // raw payload (overlapping) — the video/audio sampler shape, pure
     // codegen'd binary slices, md5-fingerprinted per frame. The oracle

@@ -18,6 +18,25 @@ class OperatorPropertySpec extends SparkTestBase {
     (0 until n).map(i => g.pureApply(params, rng.Seed(1234L + i)))
   }
 
+  test("shardManifest checksum is order/partition-invariant and row-sensitive") {
+    val df = Seq((1L, "a b c", 0L), (2L, "d e", 0L), (3L, "f g h i", 1L))
+      .toDF("doc_id", "text", "shard")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Corpus.shardManifest(d, col("shard"), "doc_id", "text")
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = m(df)
+    assert(base.map(x => (x._1, x._2, x._3)) == Seq((0L, 2L, 5L), (1L, 1L, 4L)))
+    // the checksum sees SETS: reorder + repartition changes nothing.
+    assert(m(df.orderBy(col("doc_id").desc).repartition(7)) == base)
+    // one changed row flips ITS shard's checksum and no other column.
+    val changed = Seq((1L, "a b x", 0L), (2L, "d e", 0L), (3L, "f g h i", 1L))
+      .toDF("doc_id", "text", "shard")
+    val cm = m(changed)
+    assert(cm(0)._4 != base(0)._4 && cm(1)._4 == base(1)._4)
+    assert(cm.map(x => (x._1, x._2, x._3)) == base.map(x => (x._1, x._2, x._3)))
+  }
+
   test("asofJoin both directions equal the naive per-row reference on random frames") {
     val leftGen = Gen.listOfN(40, for {
       k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 50L)
