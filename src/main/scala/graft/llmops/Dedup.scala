@@ -608,6 +608,46 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Duplicated-LINE removal — the C4/CCNet boilerplate scrub (Raffel et
+    * al. 2020 drop repeated lines; CCNet dedups at paragraph hashes):
+    * lines whose hash occurs in at least `minDf` DISTINCT documents
+    * (nav bars, cookie banners, footers — the line-level twin of the
+    * span scrub above, catching short verbatim repeats that never reach
+    * the span minimum) are deleted from every document; surviving lines
+    * reassemble in original order. Emits (doc, clean_text, n_lines_kept,
+    * n_lines_removed).
+    *
+    * Scale: one explode to (doc, pos, line); the df count runs over
+    * DISTINCT (doc, line-hash) so a line repeated inside one document
+    * counts once; the hot-line set is small by definition (boilerplate)
+    * and anti-joins against the line stream; reassembly is one keyed
+    * aggregation bounded by document length. `delim` is a regex
+    * (default newline).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 3, delim: String = "\n"): DataFrame = {
+    require(minDf >= 2)
+    val lines = df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+      .withColumn("h", PortableHash.hash52(col("line")))
+    val hot = lines.select("doc", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("h")
+    val kept = lines.join(hot, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy("doc")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line"))).as("clean_text"))
+    df.select(col(idCol).as("doc"),
+        size(split(col(textCol), delim)).cast("long").as("__n"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"))
+  }
+
   /** Resolve near-dup pairs into clusters: connected components over the
     * pair graph by iterative min-label propagation, entirely in DataFrame
     * joins. Returns one row per vertex appearing in any pair:

@@ -1665,6 +1665,34 @@ object LlmOpsQueries extends QueryModule {
         .select("doc_id", "n_tokens", "shard")
         .orderBy("doc_id")
     },
+    // duplicated-line removal (the C4/CCNet boilerplate scrub): the flat
+    // synthetic corpus has no newlines, so both engines plant the SAME
+    // deterministic line structure (the q_x_text_normalize decoration
+    // pattern) — a nav line + footer on every doc (df = N → removed), a
+    // subscribe line on every 5th (df = N/5 → removed), a rare line on 2
+    // docs (df = 2 < minDf 3 → KEPT), unique bodies kept.
+    q("q_x_dedup_lines", {
+      val h = graft.llmops.PortableHash.duckHash52("line")
+      "WITH aug AS (SELECT doc_id, 'nav menu home about' || chr(10) || text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'subscribe newsletter now' ELSE '' END || " +
+        "CASE WHEN doc_id % 250 = 1 THEN chr(10) || 'rare promo line' ELSE '' END || " +
+        "chr(10) || 'footer contact terms' AS text FROM documents), " +
+        "l AS (SELECT doc_id, generate_subscripts(ln, 1) AS pos, unnest(ln) AS line FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM aug) s0), " +
+        s"hot AS (SELECT h FROM (SELECT DISTINCT doc_id, $h AS h FROM l) dl GROUP BY h HAVING count(*) >= 3), " +
+        s"k AS (SELECT doc_id, pos, line FROM l WHERE $h NOT IN (SELECT h FROM hot)), " +
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY 1) " +
+        "SELECT a.doc_id AS doc, coalesce(r.clean_text, '') AS clean_text, coalesce(r.n_lines_kept, 0) AS n_lines_kept, " +
+        "CAST(len(string_split(a.text, chr(10))) - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed " +
+        "FROM aug a LEFT JOIN r ON r.doc_id = a.doc_id ORDER BY doc"
+    }) { (s, d) =>
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("nav menu home about\n"), col("text"),
+          when(col("doc_id") % 5 === 0, "\nsubscribe newsletter now").otherwise(""),
+          when(col("doc_id") % 250 === 1, "\nrare promo line").otherwise(""),
+          lit("\nfooter contact terms")).as("text"))
+      Dedup.dedupLines(aug, "doc_id", "text", minDf = 3)
+        .orderBy("doc")
+    },
     // shard release manifest over the token-budget shards: exact per-shard
     // doc/token counts + the order-invariant xor-of-hash52("id:text")
     // content checksum — the audit table a corpus release ships with.

@@ -41,6 +41,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(across == self, s"across=$across self=$self")
   }
 
+  test("dedupLines removes lines in >= minDf docs, keeps order and rare lines") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "boiler\nalpha\nboiler2"),
+      (2L, "boiler\nbeta\nboiler2"),
+      (3L, "boiler\ngamma\nboiler2\nrare"),
+      (4L, "delta\nrare")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text", minDf = 3)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // boiler/boiler2 hit 3 docs → scrubbed everywhere; "rare" hits only
+    // 2 (< minDf) → kept; line order survives reassembly.
+    assert(out == Seq(
+      (1L, "alpha", 1L, 2L),
+      (2L, "beta", 1L, 2L),
+      (3L, "gamma\nrare", 2L, 2L),
+      (4L, "delta\nrare", 2L, 0L)))
+    // a doc-internal repeat counts ONCE toward df: two docs each
+    // repeating a line keep it at df = 2.
+    val rep = Seq((7L, "x\nx\nbody"), (8L, "x\nother")).toDF("doc_id", "text")
+    val kept = Dedup.dedupLines(rep, "doc_id", "text", minDf = 3)
+      .orderBy("doc").collect().map(_.getString(1)).toSeq
+    assert(kept == Seq("x\nx\nbody", "x\nother"))
+  }
+
   test("semDedupAcross equals the cross-parity subset of the self-join pairs") {
     import graft.llmops.Similarity
     val cent = emb.filter(col("vec_id") < 16)
