@@ -72,6 +72,58 @@ object TextAnalysis {
     regexp_replace(d, "\\s+", " ")
   }
 
+  /** HTML → text extraction — the step BEFORE every curation stage when
+    * the corpus is a raw crawl (CCNet/C4 run on extracted text, not
+    * markup): drop `<script>`/`<style>` payloads WITH their content
+    * (executable/style text is never training text), strip comments and
+    * all remaining tags, decode the six ubiquitous character entities,
+    * collapse whitespace. Order is load-bearing: script/style/comment
+    * blocks go first (their CONTENT must vanish, so the generic
+    * tag-stripper must not see their tags), entity decode AFTER tag
+    * removal (decoding `&lt;script&gt;` earlier would fabricate tags),
+    * collapse last. Pure codegen'd regexp_replace chain — `(?is)` flags
+    * and lazy quantifiers sit in the Java-regex/RE2-common subset, so
+    * the transform is replicated verbatim by the DuckDB oracle — and
+    * runs at scan speed; no parse tree, which is the point: a real
+    * crawl's HTML is too broken for a strict parser at 100 TB, and
+    * regex extraction is what the production pipelines (CCNet's
+    * WET-style extraction) actually do.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // entity patterns are metachar-free literals shared VERBATIM with the
+    // DuckDB oracle (no \Q\E quoting — RE2 lacks it); amp decodes LAST so
+    // "&amp;lt;" stays the text "&lt;" instead of fabricating a tag.
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Extracted URLs as an array column — the input to domain blocklists,
+    * URL-level dedup, and link-density quality signals (a page that is
+    * mostly links is navigation, not prose). The pattern is deliberately
+    * simple and shared verbatim with the oracle: `https?://` followed by
+    * host/path characters, stopping at whitespace or closing
+    * punctuation.
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[A-Za-z0-9._~:/?#\\[\\]@!$&'*+,;=%()-]+"), lit(0))
+
+  /** Registrable-host extraction from a URL string: the text between
+    * `://` and the first `/`, `?`, `#`, or `:` (port), lowercased — the
+    * per-domain key `Corpus.sourceQuota`/`withoutSources` cap and block
+    * on when the corpus carries URLs instead of curated source labels.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#:]+)", 1))
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * local fingerprinting scheme): hash every token k-gram, slide a
     * w-gram window, and select each window's minimum hash (ties → the

@@ -1665,6 +1665,48 @@ object LlmOpsQueries extends QueryModule {
         .select("doc_id", "n_tokens", "shard")
         .orderBy("doc_id")
     },
+    // HTML → text extraction + URL/host harvesting: the crawl-ingest
+    // front door. Both engines wrap the flat corpus in the SAME planted
+    // markup (script/style payloads, a comment, entities incl. the
+    // decode-order trap &lt;tasty&gt;, a tag-attribute URL and a bare
+    // URL), strip it with the identical regexp chain, and extract URLs
+    // from the RAW markup (the href lives in a tag the stripper deletes).
+    q("q_x_text_strip_html", {
+      val deco1 = "'<div class=\"x\"><script>var a=1;</script><style>.c{}</style><!--note--><p>'"
+      val deco2 = "'</p><p>Fish &amp; Chips &lt;tasty&gt;</p> <a href=\"https://example.com/p?q=1&amp;r=2\">link</a> visit https://sub.test.org/page now</div>'"
+      val urlRe = "https?://[A-Za-z0-9._~:/?#\\[\\]@!$&''*+,;=%()-]+"
+      // the identical replace chain as TextAnalysis.stripHtml, folded
+      // programmatically (hand-nesting 11 calls invites paren bugs).
+      val steps = Seq(
+        "'(?is)<script\\b[^>]*>.*?</script>'" -> "' '",
+        "'(?is)<style\\b[^>]*>.*?</style>'" -> "' '",
+        "'(?s)<!--.*?-->'" -> "' '",
+        "'<[^>]+>'" -> "' '",
+        "'&lt;'" -> "'<'", "'&gt;'" -> "'>'", "'&quot;'" -> "'\"'",
+        "'&#39;'" -> "''''", "'&nbsp;'" -> "' '", "'&amp;'" -> "'&'",
+        "'\\s+'" -> "' '")
+      val chain = "trim(" + steps.foldLeft("aug") { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, $pat, $rep, 'g')"
+      } + ")"
+      s"WITH a0 AS (SELECT doc_id, $deco1 || text || $deco2 AS aug FROM documents), " +
+        s"u AS (SELECT doc_id, aug, regexp_extract_all(aug, '$urlRe') AS urls FROM a0) " +
+        s"SELECT doc_id AS doc, $chain AS clean_text, CAST(len(urls) AS BIGINT) AS n_urls, " +
+        "array_to_string(urls, ',') AS urls, " +
+        "array_to_string(list_transform(urls, x -> lower(regexp_extract(x, '^[a-zA-Z]+://([^/?#:]+)', 1))), ',') AS hosts " +
+        "FROM u ORDER BY doc"
+    }) { (s, d) =>
+      val aug = concat(
+        lit("<div class=\"x\"><script>var a=1;</script><style>.c{}</style><!--note--><p>"),
+        col("text"),
+        lit("</p><p>Fish &amp; Chips &lt;tasty&gt;</p> <a href=\"https://example.com/p?q=1&amp;r=2\">link</a> visit https://sub.test.org/page now</div>"))
+      val urls = TextAnalysis.extractUrls(aug)
+      Tables.documents(s, d).select(col("doc_id").as("doc"),
+          TextAnalysis.stripHtml(aug).as("clean_text"),
+          size(urls).cast("long").as("n_urls"),
+          concat_ws(",", urls).as("urls"),
+          concat_ws(",", transform(urls, u => TextAnalysis.urlHost(u))).as("hosts"))
+        .orderBy("doc")
+    },
     // duplicated-line removal (the C4/CCNet boilerplate scrub): the flat
     // synthetic corpus has no newlines, so both engines plant the SAME
     // deterministic line structure (the q_x_text_normalize decoration

@@ -41,6 +41,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(across == self, s"across=$across self=$self")
   }
 
+  test("stripHtml: block content dies, entities decode after tags, URLs harvest") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<script>evil()</script><p>hi</p>"),
+      (2L, "<style>.x{}</style>a <!-- note --> b"),
+      // decode-order trap: &lt;b&gt; must survive as TEXT "<b>", not be
+      // stripped as a tag.
+      (3L, "<p>a &lt;b&gt; c &amp; d &#39;e&#39;</p>"),
+      (4L, "see https://a.b/c and <a href=\"http://d.e/f?g=1\">go</a>")
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), TextAnalysis.stripHtml(col("t")).as("c"),
+        TextAnalysis.extractUrls(col("t")).as("u"))
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getSeq[String](2))).toSeq
+    assert(got(0)._1 == "hi")
+    assert(got(1)._1 == "a b")
+    assert(got(2)._1 == "a <b> c & d 'e'")
+    assert(got(3)._1 == "see https://a.b/c and go")
+    // URLs extract from the RAW markup — the href URL counts too.
+    assert(got(3)._2 == Seq("https://a.b/c", "http://d.e/f?g=1\">go</a>".takeWhile(_ != '"')))
+    val host = rows.sparkSession.range(1)
+      .select(TextAnalysis.urlHost(lit("https://Sub.Example.COM:8080/p?x=1")).as("h"))
+      .head().getString(0)
+    assert(host == "sub.example.com")
+  }
+
   test("dedupLines removes lines in >= minDf docs, keeps order and rare lines") {
     import spark.implicits._
     val df = Seq(
