@@ -314,6 +314,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("stripHtml + URL harvest run in ONE codegen stage off the scan: no shuffle, no UDF") {
+    val df = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.llmops.TextAnalysis.stripHtml(col("text")).as("clean"),
+        graft.llmops.TextAnalysis.extractUrls(col("text")).as("urls"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"pure map must not shuffle:\n$p")
+    assert(p.contains("[codegen id : 1]") && !p.contains("[codegen id : 2]"),
+      s"extraction must be ONE whole-stage-codegen stage:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"no UDFs allowed in the extraction path:\n$p")
+  }
+
+  test("fuseTopK: rank windows partition by qid, no cartesian, inputs join on (qid, doc)") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "doc", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "doc", "rank")
+    val p = plan(graft.llmops.Retrieval.fuseTopK(a, b, k = 5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fusion must join on keys:\n$p")
+    assert(p.contains("row_number"), s"expected the per-qid rank window:\n$p")
+  }
+
   test("curation ledger assembly: blocklist broadcast, no cartesian anywhere") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
