@@ -73,7 +73,10 @@ object StressBench {
     // assignment-union replay, and the cross-corpus embedding probe
     // (replicas are exact semantic dups of their originals: worst case).
     "q_x_curation_stream", "q_x_search_hybrid", "q_x_ann_ivf_stream",
-    "q_x_semdedup_across")
+    "q_x_semdedup_across",
+    // r8 batch 2: all three are single-aggregation / pure-map passes and
+    // should scale ~linearly — included so a regression can't hide.
+    "q_x_shard_manifest", "q_x_dedup_lines", "q_x_text_strip_html")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
