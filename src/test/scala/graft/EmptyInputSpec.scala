@@ -147,4 +147,40 @@ class EmptyInputSpec extends SparkTestBase {
     assert(norm(1L) == "")
     assert(norm(2L) == "abc 00 0")
   }
+
+  test("r8 operators tolerate empty and degenerate inputs") {
+    import graft.llmops.Retrieval
+    // RRF fusion: an empty side degrades to the other list's ranking; two
+    // empty sides fuse to nothing.
+    val noRanks = Seq.empty[(Long, Long, Long)].toDF("qid", "doc", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "doc", "rank")
+    assert(Retrieval.fuseTopK(noRanks, b, k = 5)
+      .orderBy("rank").select("doc").as[Long].collect().toSeq == Seq(20L, 30L))
+    assert(Retrieval.fuseTopK(noRanks, noRanks, k = 5).count() == 0)
+    // line scrub: empty corpus → empty; single doc can never hit minDf.
+    assert(Dedup.dedupLines(noDocs, "doc_id", "text").count() == 0)
+    val one = Dedup.dedupLines(Seq((1L, "a\nb")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(one.getString(1) == "a\nb" && one.getLong(3) == 0L)
+    // shard manifest: empty input → empty manifest.
+    assert(Corpus.shardManifest(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "shard"),
+      col("shard"), "doc_id", "text").count() == 0)
+    // html strip: tag-free text passes through (modulo whitespace), pure
+    // markup strips to empty, no-URL text harvests an empty array.
+    val stripped = Seq((1L, "plain  text"), (2L, "<p><b></b></p>"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.stripHtml(col("t")).as("c"),
+        TextAnalysis.extractUrls(col("t")).as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getSeq[String](2).size)).toMap
+    assert(stripped(1L) == (("plain text", 0)))
+    assert(stripped(2L) == (("", 0)))
+    // cross-corpus semdedup: an empty batch probes nothing.
+    val cent = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("cent_id", "centvec")
+    assert(Similarity.semDedupAcross(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      Seq((5L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+      threshold = 0.5, centroids = cent).count() == 0)
+  }
 }
