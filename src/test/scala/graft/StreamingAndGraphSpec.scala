@@ -236,10 +236,14 @@ class StreamingAndGraphSpec extends SparkTestBase {
       val streamDf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
       var lastDocs: org.apache.spark.sql.DataFrame = null
       val ckpt = java.nio.file.Files.createTempDirectory("dedup_stream_ckpt").toString
-      val writer = EventStream.dedupStream(streamDf, "doc_id", "text",
-          "dedup_stream_test", apply = st => lastDocs = st)
-        .option("checkpointLocation", ckpt)
-      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      // fresh writer per run: the index lives entirely in the prefix
+      // tables, so each batch boundary doubles as a restart proof.
+      def runOnce(): Unit = {
+        val writer = EventStream.dedupStream(streamDf, "doc_id", "text",
+            "dedup_stream_test", apply = st => lastDocs = st)
+          .option("checkpointLocation", ckpt)
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
       // batch 1: 2 near-dups 1 (last token differs), 3 is unique.
       mem.addData((1L, base + " twenty"), (2L, base + " twentyone"),
         (3L, uniqueB))
@@ -329,9 +333,12 @@ class StreamingAndGraphSpec extends SparkTestBase {
       val mem = MemoryStream[(Long, String)]
       val streamDf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
       val ckpt = java.nio.file.Files.createTempDirectory("idx_stream_ckpt").toString
-      val writer = EventStream.indexStream(streamDf, "doc_id", "text", "idx_stream_test")
-        .option("checkpointLocation", ckpt)
-      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      // fresh writer per run — each batch boundary is a restart proof.
+      def runOnce(): Unit = {
+        val writer = EventStream.indexStream(streamDf, "doc_id", "text", "idx_stream_test")
+          .option("checkpointLocation", ckpt)
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
       mem.addData(b1: _*); runOnce()
       mem.addData(b2: _*); runOnce()
       def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
@@ -388,10 +395,14 @@ class StreamingAndGraphSpec extends SparkTestBase {
       val mem = MemoryStream[(Long, Array[Float])]
       val streamDf = mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
       val ckpt = java.nio.file.Files.createTempDirectory("ann_stream_ckpt").toString
-      val writer = EventStream.annIndexStream(streamDf, "vec_id", "embedding",
-          cent, "ann_stream_test")
-        .option("checkpointLocation", ckpt)
-      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      // fresh writer per run — each batch boundary is a restart proof
+      // (the frozen centroid table must also survive and not re-create).
+      def runOnce(): Unit = {
+        val writer = EventStream.annIndexStream(streamDf, "vec_id", "embedding",
+            cent, "ann_stream_test")
+          .option("checkpointLocation", ckpt)
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
       mem.addData(all.take(6): _*); runOnce()
       mem.addData(all.drop(6): _*); runOnce()
       def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("qid", "rn").collect()
@@ -440,11 +451,17 @@ class StreamingAndGraphSpec extends SparkTestBase {
         col("_2").as("text"), col("_3").as("source"))
       var ledger: org.apache.spark.sql.DataFrame = null
       val ckpt = java.nio.file.Files.createTempDirectory("cur_stream_ckpt").toString
-      val writer = EventStream.curationStream(streamDf, "doc_id", "text", "source",
-          blockedSources = Seq("badsrc"), quota = 2, tablePrefix = prefix,
-          mBits = 1 << 16, apply = l => ledger = l)
-        .option("checkpointLocation", ckpt)
-      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      // a FRESH writer per run: every state the cascade needs (corpus,
+      // index, counts, decon, ledger) lives in the prefix tables, so each
+      // batch boundary doubles as a RESTART proof — nothing survives in
+      // driver memory between runs except the checkpoint offsets.
+      def runOnce(): Unit = {
+        val writer = EventStream.curationStream(streamDf, "doc_id", "text", "source",
+            blockedSources = Seq("badsrc"), quota = 2, tablePrefix = prefix,
+            mBits = 1 << 16, apply = l => ledger = l)
+          .option("checkpointLocation", ckpt)
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
       // batch 1: kept / quality / blocked / exact-dup.
       mem.addData(
         (1L, base + " twenty", "s1"),
@@ -497,10 +514,13 @@ class StreamingAndGraphSpec extends SparkTestBase {
       val mem = MemoryStream[(Long, String)]
       val streamDf = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
       val ckpt = java.nio.file.Files.createTempDirectory("decon_stream_ckpt").toString
-      val writer = EventStream.decontaminationStream(streamDf, "doc_id", "text",
-          "decon_stream_test", mBits = 1 << 16)
-        .option("checkpointLocation", ckpt)
-      def runOnce(): Unit = { val q = writer.start(); q.processAllAvailable(); q.stop() }
+      // fresh writer per run — each batch boundary is a restart proof.
+      def runOnce(): Unit = {
+        val writer = EventStream.decontaminationStream(streamDf, "doc_id", "text",
+            "decon_stream_test", mBits = 1 << 16)
+          .option("checkpointLocation", ckpt)
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
       mem.addData(bench1: _*); runOnce()
       mem.addData(bench2: _*); runOnce()
       val streamed = EventStream.decontaminateAgainstState(train, "doc_id", "text",
