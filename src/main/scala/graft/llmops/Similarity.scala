@@ -378,6 +378,86 @@ object Similarity {
     * variant. Size `nlist` with the corpus exactly as [[semDedupPairs]]
     * documents.
     */
+  /** Integer-exact Lloyd k-means over QUANTIZED embeddings — the trained
+    * coarse quantizer behind [[ivfTopK]] / [[semDedupPairs]] / the
+    * streaming vector index, built so training itself is engine-portable
+    * and value-reproducible (the existing centroid story trains nothing:
+    * the default quantizer is "rows with id < nlist").
+    *
+    * Float Lloyd iterations are NOT reproducible across engines: cell
+    * means are partition-order-dependent float sums, and a last-ulp
+    * centroid wiggle flips assignments at the next iteration, cascading.
+    * So every quantity here is an exact integer:
+    *   - vectors quantize ONCE to longs, `floor(x·scale + 0.5)` — `scale`
+    *     a power of two, so the multiply is a float-exponent shift, exact
+    *     for every input float;
+    *   - assignment minimizes squared Euclidean distance via the integer
+    *     key `|c|² − 2·(q·c)` (the `|q|²` term is constant per row), a
+    *     codegen'd [[org.apache.spark.sql.graftfn.LongVectorDot]] per
+    *     (row, centroid), ties → lowest cent_id;
+    *   - the update is an element-wise truncating integer mean
+    *     (`sum div n` — JVM long division ≡ DuckDB `//`, both toward
+    *     zero); empty cells keep their previous centroid.
+    *
+    * Scale shape: centroids broadcast every pass (nlist·dim longs); the
+    * corpus is SCANNED once per iteration but never shuffled for
+    * assignment (map-side `min_by` partial agg); the mean's
+    * groupBy(cell, dim) combines map-side, so the shuffle carries
+    * ≤ partitions × nlist × dim partial rows, not the corpus. Only the
+    * nlist-row centroid table localCheckpoints between iterations
+    * (lineage truncation — the [[graft.llmops.Dedup.resolveClusters]]
+    * discipline). Seeds: the `nlist` lowest-id rows
+    * (TakeOrderedAndProject — never a global sort).
+    *
+    * Returns (cent_id, c: Array[Long]) — feed [[centroidsToFloat]] to
+    * probe with the standard float-vector operators.
+    */
+  def kmeansQuantized(corpus: DataFrame, nlist: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.graftfn.LongVectorDot.ldot
+    require(nlist >= 1 && iters >= 0 && scale >= 1)
+    require((scale & (scale - 1)) == 0, "scale must be a power of two (exact float multiply)")
+    val qv = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("long")).as("q"))
+    var cent = qv.orderBy("cid").limit(nlist)
+      .select(col("cid").as("cent_id"), col("q").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // |c|² on the tiny centroid table — the interpreted HOF is fine here;
+      // the per-(row, centroid) hot path below stays codegen'd.
+      val cm = cent.withColumn("m",
+        aggregate(transform(col("c"), x => x * x), lit(0L), (a, x) => a + x))
+      val assigned = qv.crossJoin(broadcast(cm))
+        .withColumn("key", col("m") - lit(2L) * ldot(col("q"), col("c")))
+        .groupBy("cid")
+        .agg(min_by(col("cent_id"), struct(col("key"), col("cent_id"))).as("cell"),
+          first(col("q")).as("q"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cval", expr("s div n"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+          s => s("cval")).as("cnew"))
+      cent = cent.join(means, cent("cent_id") === means("cell"), "left")
+        .select(col("cent_id"), coalesce(col("cnew"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** [[kmeansQuantized]] centroids as (cent_id, centvec: Array[Float]) for
+    * the float-vector probe operators. Exact: components stay < 2^24 and
+    * `scale` is a power of two, so the dequantizing divide and the
+    * double→float cast both round nothing.
+    */
+  def centroidsToFloat(cent: DataFrame, scale: Long = 1L << 16): DataFrame =
+    cent.select(col("cent_id"),
+      transform(col("c"), x => (x.cast("double") / scale).cast("float")).as("centvec"))
+
   def semDedupAcross(batch: DataFrame, corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: DataFrame): DataFrame = {

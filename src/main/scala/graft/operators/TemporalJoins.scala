@@ -110,4 +110,44 @@ object TemporalJoins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: pair every left interval `[lStart, lEnd)` with
+    * every right interval `[rStart, rEnd)` that OVERLAPS it (shares at
+    * least one instant: `lStart < rEnd AND rStart < lEnd`), optionally
+    * also equi-matching on `keys` — the interval×interval sibling of the
+    * point-in-interval [[rangeJoin]] ("which maintenance windows collided
+    * with which incident windows"). Degenerate intervals (end <= start)
+    * match nothing. Columns of both sides pass through (caller keeps
+    * names disjoint apart from `keys`).
+    *
+    * Implementation: BOTH sides explode to the bins they cover and
+    * equi-join on bin (never the inequality join Spark would plan as a
+    * NestedLoop). An overlapping pair shares every bin their overlap
+    * region covers — to emit it exactly once WITHOUT a dedup shuffle, a
+    * pair is kept only in the bin that contains the overlap's first
+    * instant, `greatest(lStart, rStart)`: that instant lies in both
+    * sides' covered ranges by definition, so exactly one surviving copy
+    * exists. Explode factor = interval length / binWidth per side; size
+    * `binWidth` ≈ the mean interval length, exactly as [[rangeJoin]].
+    */
+  def intervalJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binWidth: Long, keys: Seq[String] = Seq.empty): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "inputs must not contain the reserved column __bin")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bin", explode(sequence(
+        floor(col(s) / binWidth).cast("long"),
+        // end is exclusive: the last covered bin holds end - 1.
+        floor((col(e) - 1) / binWidth).cast("long"))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("__bin") ++ keys)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      // emit-once: only the bin holding the overlap's first instant keeps
+      // the pair (that bin is covered by both sides, so it exists).
+      .filter(col("__bin") ===
+        floor(greatest(col(lStart), col(rStart)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -266,6 +266,32 @@ object LlmOpsQueries extends QueryModule {
       "SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, round(dot / (na * nb), 6) AS cos " +
       "FROM cdots2 WHERE dot / (na * nb) >= 0.4"
 
+  /** DuckDB replay of Similarity.kmeansQuantized — the `iters` Lloyd
+    * rounds unrolled as a WITH-chain (the bpeRoundsSql precedent). Every
+    * quantity is an exact integer on both engines: quantization multiplies
+    * by a power of two (a float-exponent shift — exact), assignment
+    * minimizes the integer key |c|² − 2·(q·c) with ties to the lowest
+    * cent_id, and the centroid update is the truncating integer mean
+    * (DuckDB `//` ≡ Spark `div` ≡ JVM long division, toward zero).
+    * Empty cells keep their previous centroid via the left join.
+    */
+  private def kmeansSql(nlist: Int, iters: Int, scale: Long, dim: Int): String = {
+    val base =
+      s"qv AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale.0 + 0.5) AS BIGINT)) AS q FROM embeddings), " +
+        s"c0 AS (SELECT cid AS cent_id, q AS c FROM qv ORDER BY cid LIMIT $nlist)"
+    val rounds = (0 until iters).map { j =>
+      s"m$j AS (SELECT cent_id, c, list_sum(list_transform(c, x -> x * x)) AS m FROM c$j), " +
+        s"s$j AS (SELECT v.cid, v.q, m.cent_id, m.m - 2 * list_sum(list_transform(generate_series(1, len(v.q)), i -> v.q[i] * m.c[i])) AS key FROM qv v CROSS JOIN m$j m), " +
+        s"a$j AS (SELECT cid, q, cent_id AS cell FROM (SELECT *, row_number() OVER (PARTITION BY cid ORDER BY key, cent_id) AS rn FROM s$j) WHERE rn = 1), " +
+        s"u$j AS (SELECT cell, i.i AS i, CAST(sum(q[i.i]) // count(*) AS BIGINT) AS cval FROM a$j CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) i GROUP BY 1, 2), " +
+        s"n$j AS (SELECT cell, list(cval ORDER BY i) AS c FROM u$j GROUP BY 1), " +
+        s"c${j + 1} AS (SELECT o.cent_id, coalesce(n.c, o.c) AS c FROM c$j o LEFT JOIN n$j n ON n.cell = o.cent_id)"
+    }.mkString(", ")
+    s"WITH $base, $rounds " +
+      s"SELECT cent_id, CAST(i.i AS BIGINT) AS i, CAST(c[i.i] AS BIGINT) AS c " +
+      s"FROM c$iters CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) i ORDER BY cent_id, i"
+  }
+
   /** DuckDB mirror of TextAnalysis.withLangId — same profiles, same
     * score-then-lang (descending) argmax tie-break.
     */
@@ -877,6 +903,16 @@ object LlmOpsQueries extends QueryModule {
       Similarity.ivfProbe(cells, cent, emb.filter(col("vec_id") < 5),
           k = 5, nprobe = 4)
         .orderBy("qid", "rn")
+    },
+    // trained coarse quantizer: 2 integer-exact Lloyd rounds (nlist = 8)
+    // over 2^16-quantized embeddings — centroids hash-match the unrolled
+    // DuckDB replay component for component (see kmeansSql).
+    q("q_x_kmeans_centroids", kmeansSql(nlist = 8, iters = 2, scale = 65536L, dim = 64)) { (s, d) =>
+      Similarity.kmeansQuantized(Tables.embeddings(s, d), nlist = 8, iters = 2)
+        .select(col("cent_id"), posexplode(col("c")).as(Seq("pos", "cv")))
+        .select(col("cent_id"), (col("pos") + 1).cast("long").as("i"),
+          col("cv").as("c"))
+        .orderBy("cent_id", "i")
     },
     // int8 quantization audit: per-vector quantized checksum, scale, max
     // reconstruction error — floor(x+0.5) on both engines, so the byte

@@ -93,6 +93,32 @@ object TemporalQueries extends QueryModule {
         .select(col("purchase_id"), col("error_id"), col("user_id"),
           col("p_ts"), col("err_start"))
         .orderBy("purchase_id", "error_id")
+    },
+    // interval×interval: each error opens a 10-minute incident window,
+    // each click a 5-minute activity window; pair the windows of the SAME
+    // user that overlap. The engine bins both axes and equi-joins with
+    // the emit-once first-overlap-bin rule; the oracle is the plain
+    // inequality overlap join.
+    q("q_t_interval_join",
+      "SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id AS user_id, " +
+        "CAST(floor(epoch(e.ts)) AS BIGINT) AS err_start, CAST(floor(epoch(c.ts)) AS BIGINT) AS click_start " +
+        "FROM events e JOIN events c ON e.user_id = c.user_id " +
+        "AND e.event_type = 'error' AND c.event_type = 'click' " +
+        "AND CAST(floor(epoch(e.ts)) AS BIGINT) < CAST(floor(epoch(c.ts)) AS BIGINT) + 300 " +
+        "AND CAST(floor(epoch(c.ts)) AS BIGINT) < CAST(floor(epoch(e.ts)) AS BIGINT) + 600 " +
+        "ORDER BY 1, 2") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts_sec").as("err_start"), (col("ts_sec") + 600).as("err_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_sec").as("click_start"), (col("ts_sec") + 300).as("click_end"))
+      TemporalJoins.intervalJoin(errors, "err_start", "err_end",
+          clicks, "click_start", "click_end", binWidth = 600, keys = Seq("user_id"))
+        .select(col("error_id"), col("click_id"), col("user_id"),
+          col("err_start"), col("click_start"))
+        .orderBy("error_id", "click_id")
     }
   )
 }

@@ -844,6 +844,64 @@ class LlmOpsSpec extends SparkTestBase {
     assert(run(true) == run(false))
   }
 
+  test("kmeans: integer Lloyd rounds hand-checked, incl. negative truncating means") {
+    import spark.implicits._
+    // 1-D vectors, two obvious clusters around -1.0 and +1.0; scale 4 →
+    // quantized values -5, -3, 3, 5. Seeds (2 lowest ids): -5 and -3.
+    val vecs = Seq(
+      (0L, Seq(-1.25f)), (1L, Seq(-0.75f)), (2L, Seq(0.75f)), (3L, Seq(1.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansQuantized(vecs, nlist = 2, iters = 1, scale = 4L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    // Assignment vs seeds c0=-5, c1=-3: -5→c0; -3→c1; 3,5→c1 (closer to -3).
+    // Updates: cell0 mean = -5; cell1 mean = (-3+3+5) div 3 = 5 div 3 = 1
+    // (truncating, positive). Seeds are cent_id 0 and 1.
+    assert(out == Map(0L -> List(-5L), 1L -> List(1L)))
+    // Negative truncating mean: nlist = 1 pools members -5, -3, 0 →
+    // -8 div 3 = -2 (toward zero — floor would give -3). This pins
+    // JVM div ≡ DuckDB // semantics on the update step.
+    val neg = Seq((0L, Seq(-1.25f)), (1L, Seq(-0.75f)), (2L, Seq(0.0f)))
+      .toDF("vec_id", "embedding")
+    val negOut = Similarity.kmeansQuantized(neg, nlist = 1, iters = 1, scale = 4L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(negOut == Map(0L -> List(-2L)))
+  }
+
+  test("kmeans: iters=0 returns the seeds; empty cells keep their centroid") {
+    import spark.implicits._
+    val vecs = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 1.0f)), (12L, Seq(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansQuantized(vecs, nlist = 2, iters = 0, scale = 4L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(seeds == Map(10L -> List(4L, 0L), 11L -> List(0L, 4L)))
+    // an outlier-free far seed: give nlist = 3 over the same 3 rows, then
+    // one iteration — every seed is its own nearest (12 joins 10's cell);
+    // cell 11 is a singleton and cell 12's seed attracts nothing after 12
+    // moves... construct directly: seed 12 = (4, 0) quantized? vec 12 is
+    // (1.0, 0.1) → (4, 0) at scale 4 — identical key to seed 10's cell ⇒
+    // ties to the LOWEST cent_id, so cell 12 goes EMPTY and must keep its
+    // seed value verbatim.
+    val out = Similarity.kmeansQuantized(vecs, nlist = 3, iters = 1, scale = 4L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(out(12L) == List(4L, 0L), "empty cell must retain its previous centroid")
+    assert(out(10L) == List(4L, 0L)) // mean of (4,0) and (4,0)
+    assert(out(11L) == List(0L, 4L))
+  }
+
+  test("kmeans centroids feed ivfTopK: nprobe=nlist equals brute force") {
+    val e120 = emb.limit(120)
+    val cent = Similarity.centroidsToFloat(
+      Similarity.kmeansQuantized(e120, nlist = 6, iters = 2))
+    val queries = e120.filter(col("vec_id") < 4)
+    val ivf = Similarity.ivfTopK(e120, queries, k = 5, nlist = 6, nprobe = 6,
+        centroids = Some(cent))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(e120, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == bf)
+  }
+
   test("shingles on documents shorter than n return empty, not an error") {
     import spark.implicits._
     val short = Seq("one two", "a", "", "alpha beta gamma").toDF("text")

@@ -83,6 +83,34 @@ class TemporalJoinsSpec extends SparkTestBase {
       (1L, 200L), (2L, 200L), (3L, 200L), (4L, 200L), (5L, 200L)))
   }
 
+  test("intervalJoin pairs overlapping intervals exactly once, half-open") {
+    import spark.implicits._
+    // [0, 100) spans many 7-wide bins; every overlapping partner must
+    // still emerge exactly once. [10, 20) vs [20, 30) touch only at the
+    // excluded endpoint → no pair. [50, 50) is degenerate.
+    val left = Seq((1L, 0L, 100L), (2L, 10L, 20L), (3L, 200L, 210L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 90L, 300L), (20L, 20L, 30L), (30L, 50L, 50L),
+        (40L, 0L, 1000L))
+      .toDF("rid", "rs", "re")
+    val out = TemporalJoins.intervalJoin(left, "ls", "le", right, "rs", "re",
+        binWidth = 7)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, "pairs must be emitted exactly once")
+    assert(out.toSet == Set((1L, 10L), (1L, 20L), (1L, 40L),
+      (2L, 40L), (3L, 10L), (3L, 40L)))
+  }
+
+  test("intervalJoin with keys restricts pairs to equal keys") {
+    import spark.implicits._
+    val left = Seq((1L, 0L, 50L, 10L), (2L, 0L, 50L, 20L)).toDF("lid", "ls", "le", "u")
+    val right = Seq((9L, 40L, 60L, 10L)).toDF("rid", "rs", "re", "u")
+    val out = TemporalJoins.intervalJoin(left, "ls", "le", right, "rs", "re",
+        binWidth = 100, keys = Seq("u"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 9L)))
+  }
+
   test("rangeJoin with keys co-partitions by key and bin") {
     import spark.implicits._
     val points = Seq((1L, 15L, 10L), (2L, 15L, 20L)).toDF("pid", "p", "u")
