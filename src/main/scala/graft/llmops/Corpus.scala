@@ -137,6 +137,48 @@ object Corpus {
       md5(concat_ws(" ", col("_ct"))).as("chunk_md5")) ++ tail: _*)
   }
 
+  /** Sentence-boundary chunking — the RAG-indexing shape that never cuts
+    * mid-sentence: each document splits into sentences (a boundary after
+    * `[.!?]` + whitespace; the final unterminated sentence counts too),
+    * and whole sentences group greedily into chunks by the
+    * [[tokenShards]] rule at document scope: a sentence joins chunk
+    * `floor(tokens_before_it / budget)`. Chunks hold whole sentences, so
+    * they run `budget` ± one straddling sentence — the same "the unit
+    * starts in its budget-multiple" semantics tokenShards gives shards.
+    *
+    * Emits one row per (doc, chunk): `start_sent` (1-based index of the
+    * chunk's first sentence), `n_sentences`, `n_chunk_tokens`, and
+    * `chunk_md5` over the space-joined sentence text (pass
+    * `keepText = true` for the text itself — the [[tokenChunks]]
+    * contract). The sentence split is a codegen'd regexp in the
+    * Java-regex/RE2-common subset (no lookbehind), replicated verbatim by
+    * the SQL oracle; per-doc windows only — documents are bounded, the
+    * corpus never funnels through a global window.
+    */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, keepText: Boolean = false): DataFrame = {
+    require(budget >= 1)
+    val sep = "\u0001"
+    val sents = split(
+      regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep), sep)
+    val exploded = df
+      .select(col(idCol).as("doc"), posexplode(sents).as(Seq("pos", "sent")))
+      .withColumn("ntok", size(split(trim(col("sent")), "\\s+")).cast("long"))
+    val w = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = exploded
+      .withColumn("chunk",
+        floor(coalesce(sum(col("ntok")).over(w), lit(0L)) / budget).cast("long"))
+    val ordered = array_sort(collect_list(struct(col("pos"), col("sent"))))
+    val text = concat_ws(" ", transform(ordered, s => s("sent")))
+    val tail = if (keepText) Seq(text.as("chunk_text")) else Nil
+    val aggs = Seq(count(lit(1)).as("n_sentences"),
+      sum(col("ntok")).as("n_chunk_tokens"),
+      md5(text).as("chunk_md5")) ++ tail
+    chunked.groupBy("doc", "chunk")
+      .agg((min(col("pos")) + 1).cast("long").as("start_sent"), aggs: _*)
+  }
+
   /** C4/RefinedWeb-style per-source quota cap: keep at most `quota`
     * documents per source (domain), chosen deterministically as the
     * `quota` smallest `hash52(key)` values (ties broken on the key string)

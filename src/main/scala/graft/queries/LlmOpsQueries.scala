@@ -275,7 +275,7 @@ object LlmOpsQueries extends QueryModule {
     * (DuckDB `//` ≡ Spark `div` ≡ JVM long division, toward zero).
     * Empty cells keep their previous centroid via the left join.
     */
-  private def kmeansSql(nlist: Int, iters: Int, scale: Long, dim: Int): String = {
+  private def kmeansRoundsSql(nlist: Int, iters: Int, scale: Long, dim: Int): String = {
     val base =
       s"qv AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale.0 + 0.5) AS BIGINT)) AS q FROM embeddings), " +
         s"c0 AS (SELECT cid AS cent_id, q AS c FROM qv ORDER BY cid LIMIT $nlist)"
@@ -287,10 +287,36 @@ object LlmOpsQueries extends QueryModule {
         s"n$j AS (SELECT cell, list(cval ORDER BY i) AS c FROM u$j GROUP BY 1), " +
         s"c${j + 1} AS (SELECT o.cent_id, coalesce(n.c, o.c) AS c FROM c$j o LEFT JOIN n$j n ON n.cell = o.cent_id)"
     }.mkString(", ")
-    s"WITH $base, $rounds " +
+    s"$base, $rounds"
+  }
+
+  private def kmeansSql(nlist: Int, iters: Int, scale: Long, dim: Int): String =
+    s"WITH ${kmeansRoundsSql(nlist, iters, scale, dim)} " +
       s"SELECT cent_id, CAST(i.i AS BIGINT) AS i, CAST(c[i.i] AS BIGINT) AS c " +
       s"FROM c$iters CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) i ORDER BY cent_id, i"
-  }
+
+  /** End-to-end trained-quantizer retrieval: the kmeansRoundsSql chain
+    * trains the centroids, they dequantize exactly (c / 2^16 — a
+    * float-exponent shift), and the standard IVF probe replay
+    * (ivfOracleSql's shape) serves the top-k over them. nlist = 8,
+    * nprobe = 4, k = 5, queries = vec_id < 5.
+    */
+  private def trainedIvfSql(nlist: Int, iters: Int, scale: Long, dim: Int,
+      nprobe: Int, k: Int): String =
+    s"WITH ${kmeansRoundsSql(nlist, iters, scale, dim)}, " +
+      s"ce AS (SELECT cent_id, i.i AS i, CAST(c[i.i] AS DOUBLE) / $scale.0 AS v FROM c$iters CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) i), " +
+      "cen AS (SELECT cent_id, sqrt(sum(v * v)) AS n FROM ce GROUP BY 1), " +
+      "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+      "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+      "cdots AS (SELECT e.vec_id, ce.cent_id, sum(e.v * ce.v) AS dot FROM e JOIN ce ON ce.i = e.i GROUP BY 1, 2), " +
+      "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN cen b ON b.cent_id = d.cent_id), " +
+      "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+      "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+      s"probes AS (SELECT vec_id AS qid, cent_id AS cell FROM ranked WHERE rn <= $nprobe AND vec_id < 5), " +
+      "cands AS (SELECT p.qid, a.cid FROM probes p JOIN assign a USING (cell) WHERE a.cid <> p.qid), " +
+      "dots AS (SELECT cd.qid, cd.cid, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS qn, sqrt(sum(b.v * b.v)) AS cn FROM cands cd JOIN e a ON a.vec_id = cd.qid JOIN e b ON b.vec_id = cd.cid AND b.i = a.i GROUP BY 1, 2), " +
+      "sims AS (SELECT qid, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM dots) " +
+      s"SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= $k ORDER BY qid, rn"
 
   /** DuckDB mirror of TextAnalysis.withLangId — same profiles, same
     * score-then-lang (descending) argmax tie-break.
@@ -750,6 +776,32 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // mergeable occurrence-quantile state: per-source n_chars histograms
+    // (g = 16, B = 256) built from the two doc-id parities SEPARATELY and
+    // merged — the incremental path — then exact g-granular p50/p90/p99
+    // extracted; the oracle computes the same granulated rank rule from
+    // scratch, so the merge law is hash-checked, not just spec-asserted.
+    q("q_x_occurrence_quantiles",
+      "WITH b AS (SELECT source, least(greatest(n_chars, 0) // 16, 255) AS idx FROM documents), " +
+        "g AS (SELECT source, idx, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), " +
+        "c AS (SELECT source, idx, cnt, sum(cnt) OVER (PARTITION BY source ORDER BY idx) AS cum, sum(cnt) OVER (PARTITION BY source) AS n FROM g) " +
+        "SELECT source, CAST(any_value(n) AS BIGINT) AS n, " +
+        "CAST(min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN idx * 16 END) AS BIGINT) AS p50, " +
+        "CAST(min(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN idx * 16 END) AS BIGINT) AS p90, " +
+        "CAST(min(CASE WHEN cum >= (n - 1) * 99 // 100 + 1 THEN idx * 16 END) AS BIGINT) AS p99 " +
+        "FROM c GROUP BY source ORDER BY source") { (s, d) =>
+      import graft.functions.LongHistogram
+      val docs = Tables.documents(s, d)
+      def part(f: DataFrame) = f.groupBy("source")
+        .agg(LongHistogram.sketch(col("n_chars")).as("hist"))
+      val merged = part(docs.filter(col("doc_id") % 2 === 0))
+        .unionByName(part(docs.filter(col("doc_id") % 2 === 1)))
+        .groupBy("source")
+        .agg(LongHistogram.mergeSketch(col("hist")).as("hist"))
+      LongHistogram.quantiles(merged, Seq("source"), "hist", Seq(50, 90, 99))
+        .orderBy("source")
+    },
+
     // two-day incremental dedup replay (the batch twin of
     // EventStream.dedupStream, greedy arrival order): day 1 = odd ids
     // dedups within itself, day 2 = even ids dedups within itself then
@@ -836,6 +888,21 @@ object LlmOpsQueries extends QueryModule {
           window = 40, stride = 30)
         .orderBy("doc", "chunk")
     },
+    // sentence-boundary chunking (budget 40): whole sentences group
+    // greedily by the tokenShards rule at doc scope — a sentence joins
+    // chunk floor(tokens_before/budget); never cuts mid-sentence.
+    q("q_x_sentence_chunks",
+      "WITH t AS (SELECT doc_id, str_split(regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS sents FROM documents), " +
+        "s AS (SELECT doc_id, generate_subscripts(sents, 1) AS pos, unnest(sents) AS sent FROM t), " +
+        "n AS (SELECT doc_id, pos, sent, CAST(len(regexp_split_to_array(trim(sent), '\\s+')) AS BIGINT) AS ntok FROM s), " +
+        "c AS (SELECT doc_id, pos, sent, ntok, CAST(coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 40 AS BIGINT) AS chunk FROM n) " +
+        "SELECT doc_id AS doc, chunk, CAST(min(pos) AS BIGINT) AS start_sent, " +
+        "CAST(count(*) AS BIGINT) AS n_sentences, CAST(sum(ntok) AS BIGINT) AS n_chunk_tokens, " +
+        "md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5 " +
+        "FROM c GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      Corpus.sentenceChunks(Tables.documents(s, d), "doc_id", "text", budget = 40)
+        .orderBy("doc", "chunk")
+    },
     // quality-aware survivor table: the cluster survivor is the LONGEST
     // member (ties → lowest id), not the lowest id — the real dedup
     // retention policy. Clusters come from the same minhash pair oracle.
@@ -913,6 +980,19 @@ object LlmOpsQueries extends QueryModule {
         .select(col("cent_id"), (col("pos") + 1).cast("long").as("i"),
           col("cv").as("c"))
         .orderBy("cent_id", "i")
+    },
+    // trained-quantizer IVF end to end: the kmeans chain trains the
+    // centroids, exact dequantization hands them to the standard probe —
+    // training, assignment, probing and re-rank all replayed by one oracle.
+    q("q_x_ann_ivf_trained",
+      trainedIvfSql(nlist = 8, iters = 2, scale = 65536L, dim = 64,
+        nprobe = 4, k = 5)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cent = Similarity.centroidsToFloat(
+        Similarity.kmeansQuantized(emb, nlist = 8, iters = 2))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          nlist = 8, nprobe = 4, centroids = Some(cent))
+        .orderBy("qid", "rn")
     },
     // int8 quantization audit: per-vector quantized checksum, scale, max
     // reconstruction error — floor(x+0.5) on both engines, so the byte

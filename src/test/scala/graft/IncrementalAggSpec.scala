@@ -108,4 +108,46 @@ class IncrementalAggSpec extends SparkTestBase {
       BottomKSample.distinctQuantile(col("qs"), 100).as("p100")).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 5L, 40L)))
   }
+
+  test("histogram state: merge law exact for any split; clamp and rank rule hand-checked") {
+    import graft.functions.LongHistogram
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    def hist(f: org.apache.spark.sql.DataFrame) = f.groupBy("source")
+      .agg(LongHistogram.sketch(col("n_chars"), 64, 32L).as("hist"))
+    val full = hist(docs).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    val merged = (0 until 3).map(i => hist(docs.filter(col("doc_id") % 3 === i)))
+      .reduce(_ unionByName _)
+      .groupBy("source").agg(LongHistogram.mergeSketch(col("hist"), 64).as("hist"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    assert(merged == full, "merge(hist(A), hist(B), hist(C)) must equal hist(A ∪ B ∪ C)")
+    // clamp + rank rule on a hand-built group: g = 10, B = 4 → buckets
+    // [0,10) [10,20) [20,30) [30,∞). Values: -5 clamps to bucket 0;
+    // 35 and 99 clamp INTO the last bucket. n = 6.
+    val vals = Seq(-5L, 3L, 12L, 25L, 35L, 99L).map(("k", _)).toDF("k", "v")
+    val st = vals.groupBy("k").agg(LongHistogram.sketch(col("v"), 4, 10L).as("hist"))
+    val q = LongHistogram.quantiles(st, Seq("k"), "hist", Seq(0, 50, 100), 10L)
+      .collect().head
+    // hist = [2, 1, 1, 2]; ranks: p0 → 1 → bucket 0 → 0; p50 → (5*50)div100+1
+    // = 3 → bucket 1 → 10; p100 → 6 → bucket 3 → 30 (the clamp floor).
+    assert((q.getAs[Long]("n"), q.getAs[Long]("p0"), q.getAs[Long]("p50"),
+      q.getAs[Long]("p100")) == ((6L, 0L, 10L, 30L)))
+  }
+
+  test("histogram quantiles at granularity 1 equal the exact per-group rank quantiles") {
+    import graft.operators.Quantiles
+    val docs = Tables.documents(spark, dir)
+      .filter(col("n_chars") < 1023) // inside the un-clamped domain
+    val st = docs.groupBy("source")
+      .agg(graft.functions.LongHistogram.sketch(col("n_chars"), 1024, 1L).as("hist"))
+    val viaHist = graft.functions.LongHistogram
+      .quantiles(st, Seq("source"), "hist", Seq(50, 90, 99), 1L)
+      .select("source", "p50", "p90", "p99").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = Quantiles.perGroup(docs, Seq("source"), "n_chars", Seq(50, 90, 99))
+      .select("source", "p50", "p90", "p99").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaHist == exact)
+  }
 }

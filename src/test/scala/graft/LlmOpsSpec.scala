@@ -782,6 +782,37 @@ class LlmOpsSpec extends SparkTestBase {
       (2L, 0L, 1L, 2L)))
   }
 
+  test("sentence chunking: boundaries, straddle rule, unterminated tail hand-checked") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    // doc 1: sentences of 3 / 4 / 2 tokens. budget 4 → s1 starts at tok 0
+    // (chunk 0), s2 at 3 (chunk 0 — straddles past the budget, whole
+    // sentences never cut), s3 at 7 (chunk 1). The last "sentence" has no
+    // terminator and still counts. doc 2: "!" then "?" boundaries.
+    val df = Seq(
+      (1L, "a b one. c d e two! tail here"),
+      (2L, "x! y? z.")).toDF("doc_id", "text")
+    val got = Corpus.sentenceChunks(df, "doc_id", "text", budget = 4, keepText = true)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("chunk"),
+        r.getAs[Long]("start_sent"), r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text"))).toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 2L, 7L, "a b one. c d e two!"),
+      (1L, 1L, 3L, 1L, 2L, "tail here"),
+      (2L, 0L, 1L, 3L, 3L, "x! y? z.")))
+    // conservation: every sentence lands in exactly one chunk — total
+    // sentence and token counts are preserved across chunks.
+    val chunks = Corpus.sentenceChunks(docs, "doc_id", "text", budget = 25)
+    val totals = chunks.agg(sum("n_sentences"), sum("n_chunk_tokens"))
+      .collect().head
+    val direct = docs.select(
+        explode(split(regexp_replace(trim(col("text")), "([.!?])\\s+", "$1\u0001"), "\u0001")).as("s"))
+      .agg(count(lit(1)), sum(size(split(trim(col("s")), "\\s+"))))
+      .collect().head
+    assert(totals.getLong(0) == direct.getLong(0))
+    assert(totals.getLong(1) == direct.getLong(1))
+  }
+
   test("quality-aware survivors keep the longest member, not the lowest id") {
     import spark.implicits._
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L)).toDF("doc_id", "n_chars")
