@@ -92,6 +92,27 @@ object LongHistogram {
     * per key, so the explode + per-key running sum here shuffles
     * keys × B narrow rows — report-sized, never corpus-sized.
     */
+  /** Scalar form of [[quantiles]] for report projections: the p-th exact
+    * g-granular occurrence quantile straight from one histogram column,
+    * given the group's total occurrence count `n` (the reports carry it
+    * already — n_docs). Same lower-rank rule; NULL when n = 0. Runs an
+    * interpreted HOF fold over B elements per ROW — report-sized frames
+    * only (one row per source/key), never the corpus.
+    */
+  def quantileCol(hist: Column, n: Column, p: Int, granularity: Long = 16): Column = {
+    require(p >= 0 && p <= 100)
+    val rank = ((n - lit(1L)) * lit(p.toLong) / lit(100L)).cast("long") + lit(1L)
+    val z = struct(lit(0L).as("cum"), lit(-1L).as("ans"), lit(0L).as("i"))
+    val folded = aggregate(hist, z, (acc, x) => {
+      val cum = acc("cum") + x
+      struct(cum.as("cum"),
+        when(acc("ans") === -1L && cum >= rank, acc("i"))
+          .otherwise(acc("ans")).as("ans"),
+        (acc("i") + lit(1L)).as("i"))
+    })
+    when(n > 0 && folded("ans") >= 0, folded("ans") * granularity)
+  }
+
   def quantiles(df: DataFrame, keyCols: Seq[String], histCol: String,
       ps: Seq[Int], granularity: Long = 16): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100))

@@ -377,12 +377,14 @@ object EventStream {
     * State is ONE bounded row per source — exact doc/token counts ride
     * the scalar delta-fold algebra, the distinct-CONTENT estimate is a
     * mergeable KMV sketch over the text hash (exact below k distinct),
-    * and the doc-length p50 is the bottom-k DISTINCT-VALUE quantile
-    * sample ([[graft.functions.BottomKSample]] semantics — loudly
-    * different from the batch card's exact per-occurrence quantile,
-    * which is not mergeable). `apply` receives the derived card after
-    * every batch: (source, n_docs, n_tokens, avg_tokens, est_distinct,
-    * p50_distinct_est).
+    * and doc-length p50 comes in BOTH mergeable forms: the bottom-k
+    * DISTINCT-VALUE sample ([[graft.functions.BottomKSample]] semantics)
+    * and the `histGranularity`-granular EXACT OCCURRENCE quantile from a
+    * bounded count histogram ([[graft.functions.LongHistogram]] — the
+    * batch card's per-occurrence semantics, exact to within g−1 for
+    * lengths under histBuckets·g). `apply` receives the derived card
+    * after every batch: (source, n_docs, n_tokens, avg_tokens,
+    * est_distinct, p50_distinct_est, p50_tokens).
     *
     * Scale: per-batch work is one groupBy over the delta; the fold
     * touches sources-sized state only. The same merge law as
@@ -404,8 +406,9 @@ object EventStream {
     */
   def dataCardStream(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, tablePrefix: String, k: Int = 256,
+      histBuckets: Int = 256, histGranularity: Long = 16,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.functions.{BottomKSample, KMinValues}
+    import graft.functions.{BottomKSample, KMinValues, LongHistogram}
     import graft.llmops.PortableHash
     val table = s"${tablePrefix}_card"
     def partials(batch: DataFrame): DataFrame =
@@ -415,12 +418,14 @@ object EventStream {
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
           KMinValues.sketch(col("__h"), k).as("kmv"),
-          BottomKSample.sample(col("__nt"), k).as("qs"))
+          BottomKSample.sample(col("__nt"), k).as("qs"),
+          LongHistogram.sketch(col("__nt"), histBuckets, histGranularity).as("hist"))
     def mergeCards(a: DataFrame, b: DataFrame): DataFrame =
       a.unionAll(b).groupBy("source").agg(
         sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
         KMinValues.mergeSketch(col("kmv"), k).as("kmv"),
-        BottomKSample.mergeSample(col("qs"), k).as("qs"))
+        BottomKSample.mergeSample(col("qs"), k).as("qs"),
+        LongHistogram.mergeSketch(col("hist"), histBuckets).as("hist"))
     docs.writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
@@ -439,7 +444,9 @@ object EventStream {
           .select(col("source"), col("n_docs"), col("n_tokens"),
             expr("n_tokens DIV n_docs").as("avg_tokens"),
             KMinValues.estimate(col("kmv"), k).as("est_distinct"),
-            BottomKSample.distinctQuantile(col("qs"), 50).as("p50_distinct_est")))
+            BottomKSample.distinctQuantile(col("qs"), 50).as("p50_distinct_est"),
+            graft.functions.LongHistogram.quantileCol(
+              col("hist"), col("n_docs"), 50, histGranularity).as("p50_tokens")))
       }
   }
 
@@ -822,5 +829,42 @@ object EventStream {
         Seq(docsT, shT, bandT).foreach(sess.catalog.refreshTable)
         apply(sess.table(docsT))
       }
+  }
+
+  /** Compact a streaming state table in place — the small-files antidote
+    * every append-per-micro-batch table eventually needs: a year of
+    * 5-minute batches is ~100k appends, and at 100 TB a probe that opens
+    * 100k parquet footers per bucket spends its time in metadata, not
+    * data. Rewrites the table's current contents as ONE file set (for a
+    * bucketed table, exactly `buckets` files via a repartition on the
+    * bucket columns — Spark's repartition hash IS the bucket hash, so
+    * every task writes exactly its one bucket file; unbucketed tables
+    * coalesce to `targetFiles`).
+    *
+    * Contents and layout are preserved exactly: same rows, same bucket
+    * spec (appends continue to carry it — [[dedupStream]]'s contract),
+    * and the no-Exchange probe plan is unchanged (spec-pinned). The
+    * data is eagerly localCheckpointed before the overwrite — the
+    * [[curationStream]] counts-table discipline — so the table being
+    * read is never the table being written. Run it BETWEEN batches (the
+    * foreachBatch cadence guarantees no batch is mid-flight); a crash
+    * during the overwrite is the one non-atomic window, the same window
+    * every `mode("overwrite")` state rewrite in this file accepts.
+    */
+  def compactStateTable(spark: org.apache.spark.sql.SparkSession, table: String,
+      bucketCols: Seq[String] = Nil, buckets: Int = 8,
+      targetFiles: Int = 1): Unit = {
+    require(buckets >= 1 && targetFiles >= 1)
+    val data = spark.table(table).localCheckpoint(eager = true)
+    val w =
+      if (bucketCols.isEmpty)
+        data.coalesce(targetFiles).write.mode("overwrite").format("parquet")
+      else
+        data.repartition(buckets, bucketCols.map(col): _*)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+    w.saveAsTable(table)
+    spark.catalog.refreshTable(table)
   }
 }

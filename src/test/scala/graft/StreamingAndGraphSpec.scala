@@ -288,6 +288,67 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("compactStateTable: rows and bucketed no-Exchange probe survive, files collapse") {
+    import spark.implicits._
+    def tableFiles(t: String): Seq[java.io.File] = {
+      val loc = new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter(col("col_name") === "Location").select("data_type").head().getString(0))
+      new java.io.File(loc.getPath).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    }
+    try {
+      // 6 bucketed appends → ≥ 6 file groups; rows planted across buckets.
+      (0 until 6).foreach { i =>
+        (0 until 10).map(j => (i * 10L + j, j % 3, i * 100L + j))
+          .toDF("doc", "band", "sig")
+          .write.mode("append").format("parquet")
+          .bucketBy(4, "band", "sig").sortBy("band", "sig")
+          .saveAsTable("compact_test_bands")
+      }
+      val before = spark.table("compact_test_bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(tableFiles("compact_test_bands").size >= 6)
+      EventStream.compactStateTable(spark, "compact_test_bands",
+        bucketCols = Seq("band", "sig"), buckets = 4)
+      val after = spark.table("compact_test_bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(after == before, "compaction must preserve rows exactly")
+      assert(tableFiles("compact_test_bands").size <= 4,
+        "bucketed compaction must leave at most one file per bucket")
+      // the probe plan is unchanged: bucketed scan, only the probe side
+      // shuffles.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val probe = Seq((1L, 0, 1L)).toDF("batch_id", "band", "sig")
+          .join(spark.table("compact_test_bands"), Seq("band", "sig"))
+        val p = probe.queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), s"compacted scan not bucketed:\n$p")
+        assert("Exchange".r.findAllIn(p).size <= 1,
+          s"state side must still join without an Exchange:\n$p")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      }
+      // unbucketed table → a single file.
+      (0 until 5).foreach { i =>
+        Seq((i.toLong, s"t$i")).toDF("doc", "text")
+          .write.mode("append").format("parquet").saveAsTable("compact_test_docs")
+      }
+      val docsBefore = spark.table("compact_test_docs")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      EventStream.compactStateTable(spark, "compact_test_docs")
+      assert(spark.table("compact_test_docs")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == docsBefore)
+      assert(tableFiles("compact_test_docs").size == 1)
+    } finally {
+      Seq("compact_test_bands", "compact_test_docs").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("dataCardStream: card is batch-split-invariant, restart-safe, exact below k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -295,7 +356,7 @@ class StreamingAndGraphSpec extends SparkTestBase {
       (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "a b c", "s1"), // dup content
       (4L, "w x y z", "s2"), (5L, "p q", "s2"))
     def runSplit(batches: Seq[Seq[(Long, String, String)]],
-        prefix: String): Map[String, (Long, Long, Long, Double, Long)] = try {
+        prefix: String): Map[String, (Long, Long, Long, Double, Long, Long)] = try {
       val mem = MemoryStream[(Long, String, String)]
       val streamDf = mem.toDF()
         .select(col("_1").as("doc_id"), col("_2").as("text"), col("_3").as("source"))
@@ -307,20 +368,24 @@ class StreamingAndGraphSpec extends SparkTestBase {
         // between runs — only the persisted {prefix}_card table and the
         // streaming checkpoint, i.e. every batch boundary IS a restart.
         val writer = EventStream.dataCardStream(streamDf, "doc_id", "text",
-            "source", prefix, k = 64, apply = st => last = st)
+            "source", prefix, k = 64, histBuckets = 32, histGranularity = 1L,
+            apply = st => last = st)
           .option("checkpointLocation", ckpt)
         val q = writer.start(); q.processAllAvailable(); q.stop()
       }
       last.collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getLong(6))).toMap
     } finally spark.sql(s"DROP TABLE IF EXISTS ${prefix}_card")
     val oneShot = runSplit(Seq(rows), "card_one")
     val threeWay = runSplit(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)), "card_three")
     assert(oneShot == threeWay, s"card not batch/restart-invariant:\n$oneShot\n$threeWay")
     // exact values below k: s1 = 3 docs, 8 tokens, 2 distinct contents,
-    // distinct token-lengths {2, 3} -> p50 (lower rank) = 2.
-    assert(oneShot("s1") == ((3L, 8L, 2L, 2.0, 2L)))
-    assert(oneShot("s2") == ((2L, 6L, 3L, 2.0, 2L)))
+    // distinct token-lengths {2, 3} -> distinct p50 (lower rank) = 2, but
+    // OCCURRENCE lengths [3, 2, 3] -> rank 2 of the sorted multiset = 3
+    // (the histogram path at g = 1 distinguishes the two semantics).
+    assert(oneShot("s1") == ((3L, 8L, 2L, 2.0, 2L, 3L)))
+    assert(oneShot("s2") == ((2L, 6L, 3L, 2.0, 2L, 2L)))
   }
 
   test("indexStream: streamed postings serve searches ≡ one-shot searchTopK") {
