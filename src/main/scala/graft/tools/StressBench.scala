@@ -76,7 +76,15 @@ object StressBench {
     "q_x_semdedup_across",
     // r8 batch 2: all three are single-aggregation / pure-map passes and
     // should scale ~linearly — included so a regression can't hide.
-    "q_x_shard_manifest", "q_x_dedup_lines", "q_x_text_strip_html")
+    "q_x_shard_manifest", "q_x_dedup_lines", "q_x_text_strip_html",
+    // r8 batch 3: the iterative integer Lloyd rounds (per-iteration work
+    // is a broadcast scan + a cells×dim-bounded shuffle — should be
+    // ~linear), the trained quantizer serving IVF end to end, the binned
+    // interval×interval join (explode factor fixed by binWidth), sentence
+    // chunking (per-doc windows), and the per-source histogram fold
+    // (state bounded at sources×B).
+    "q_x_kmeans_centroids", "q_x_ann_ivf_trained", "q_t_interval_join",
+    "q_x_sentence_chunks", "q_x_occurrence_quantiles")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
