@@ -314,6 +314,118 @@ object Multimodal {
       }
   }
 
+  /** Perceptual average-hash (aHash) of a decodable image payload: the
+    * 64-bit signature that survives RE-ENCODING — the frame-fingerprint
+    * near-dup path ([[frameJaccardPairs]]) catches byte-identical copies,
+    * but a JPEG re-save of the same picture shares zero byte frames;
+    * pixels, not bytes, are the invariant. Bit b = i·8+j is set when the
+    * mean luma of grid cell (i, j) of the 8×8 block partition EXCEEDS the
+    * mean of the 64 cell means (strict — ties to 0).
+    *
+    * Every quantity is an exact integer, so the hash is bit-stable across
+    * runs and machines: per-pixel luma = 299·r + 587·g + 114·b (scaled by
+    * 1000, never divided), cell mean = truncating integer division, grid
+    * boundaries by integer floor with a ≥ 1-pixel guarantee (images
+    * smaller than 8×8 still hash). None on undecodable bytes — the
+    * [[decodeImage]] degrade contract.
+    */
+  def imageAHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val cellMeans = new Array[Long](64)
+      var i = 0
+      while (i < 8) {
+        val y0 = (i.toLong * h / 8).toInt
+        val y1 = math.max(((i + 1).toLong * h / 8).toInt, y0 + 1).min(h).max(y0 + 1)
+        var j = 0
+        while (j < 8) {
+          val x0 = (j.toLong * w / 8).toInt
+          val x1 = math.max(((j + 1).toLong * w / 8).toInt, x0 + 1).min(w).max(x0 + 1)
+          var s = 0L; var n = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = im.getRGB(x, y)
+              s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+                114L * (rgb & 0xFF)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cellMeans(i * 8 + j) = if (n == 0) 0L else s / n
+          j += 1
+        }
+        i += 1
+      }
+      val avg = cellMeans.sum / 64
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (cellMeans(b) > avg) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+  }
+
+  /** (media_id, ahash) for every DECODABLE image payload — undecodable or
+    * non-image rows drop here (route them via [[extractFeatures]]'s stub
+    * path if they need accounting). Same mapPartitions codec boundary as
+    * the other image stages: per-payload CPU, no plan/shuffle impact.
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.kind == "image") imageAHash(r.payload).map(h => (r.media_id, h))
+          else None
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Visual near-duplicate pairs by aHash Hamming distance — the
+    * re-encoded-copy detector, banded exactly like
+    * [[Dedup.simHashPairs]]: the 64-bit hash splits into 8 × 8-bit
+    * bands, candidates collide in ≥ 1 band (pigeonhole: every pair with
+    * Hamming ≤ 7 is GUARANTEED a collision — size maxHamming within
+    * that), exact `bit_count(xor)` decides. Never all-pairs; the same
+    * `maxBandFreq` guard as the text twin bounds a pathological band
+    * bucket (all-black thumbnails share one hash).
+    */
+  def imageHashPairs(media: DataFrame, maxHamming: Int = 6,
+      maxBandFreq: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "banding guarantees recall only to Hamming 7 (8 bands x 8 bits)")
+    val bandBits = 8
+    val sigs = imageHashes(media)
+    val allBanded = sigs.select(col("media_id").as("doc"), col("ahash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * bandBits)
+            .bitwiseAND((1L << bandBits) - 1).as("bkey"))): _*))
+        .as("bb"))
+      .select(col("doc"), col("ahash"), col("bb.band"), col("bb.bkey"))
+    val banded = maxBandFreq.fold(allBanded)(
+      Dedup.pruneFrequentBandKeys(allBanded, Seq("band", "bkey"), _))
+    banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Partition-wise feature extraction over the typed Dataset — the shape a
     * real codec needs: per-partition init, iterator-in/iterator-out.
     * `kind = "image"` takes the real javax.imageio decode, `kind =

@@ -415,38 +415,52 @@ object Similarity {
   def kmeansQuantized(corpus: DataFrame, nlist: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scale: Long = 1L << 16): DataFrame = {
-    import org.apache.spark.sql.graftfn.LongVectorDot.ldot
     require(nlist >= 1 && iters >= 0 && scale >= 1)
     require((scale & (scale - 1)) == 0, "scale must be a power of two (exact float multiply)")
-    val qv = corpus.select(col(idCol).as("cid"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * scale + lit(0.5)).cast("long")).as("q"))
+    val qv = kmeansQuantize(corpus, idCol, vecCol, scale)
     var cent = qv.orderBy("cid").limit(nlist)
       .select(col("cid").as("cent_id"), col("q").as("c"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      // |c|² on the tiny centroid table — the interpreted HOF is fine here;
-      // the per-(row, centroid) hot path below stays codegen'd.
-      val cm = cent.withColumn("m",
-        aggregate(transform(col("c"), x => x * x), lit(0L), (a, x) => a + x))
-      val assigned = qv.crossJoin(broadcast(cm))
-        .withColumn("key", col("m") - lit(2L) * ldot(col("q"), col("c")))
-        .groupBy("cid")
-        .agg(min_by(col("cent_id"), struct(col("key"), col("cent_id"))).as("cell"),
-          first(col("q")).as("q"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cval", expr("s div n"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
-          s => s("cval")).as("cnew"))
-      cent = cent.join(means, cent("cent_id") === means("cell"), "left")
-        .select(col("cent_id"), coalesce(col("cnew"), col("c")).as("c"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters)
+      cent = kmeansRound(qv, cent).localCheckpoint()
     cent
+  }
+
+  /** The quantization pass shared by [[kmeansQuantized]]'s seed and
+    * iteration stages: (cid, q: Array[Long]).
+    */
+  def kmeansQuantize(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", scale: Long = 1L << 16): DataFrame =
+    corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("long")).as("q"))
+
+  /** ONE Lloyd round over quantized vectors `qv` (cid, q) and the current
+    * centroid table (cent_id, c) → the updated centroid table. Exposed
+    * un-checkpointed so PlanSpec can pin the round's physical plan;
+    * [[kmeansQuantized]] loops it with lineage truncation between rounds.
+    */
+  def kmeansRound(qv: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftfn.LongVectorDot.ldot
+    // |c|² on the tiny centroid table — the interpreted HOF is fine here;
+    // the per-(row, centroid) hot path below stays codegen'd.
+    val cm = cent.withColumn("m",
+      aggregate(transform(col("c"), x => x * x), lit(0L), (a, x) => a + x))
+    val assigned = qv.crossJoin(broadcast(cm))
+      .withColumn("key", col("m") - lit(2L) * ldot(col("q"), col("c")))
+      .groupBy("cid")
+      .agg(min_by(col("cent_id"), struct(col("key"), col("cent_id"))).as("cell"),
+        first(col("q")).as("q"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cval", expr("s div n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        s => s("cval")).as("cnew"))
+    cent.join(means, cent("cent_id") === means("cell"), "left")
+      .select(col("cent_id"), coalesce(col("cnew"), col("c")).as("c"))
   }
 
   /** [[kmeansQuantized]] centroids as (cent_id, centvec: Array[Float]) for

@@ -875,6 +875,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(run(true) == run(false))
   }
 
+  test("aHash: half-split image gives the known hash; re-encode invariant; pairs band-found") {
+    import spark.implicits._
+    def img(w: Int, h: Int, fill: (Int, Int) => Int,
+        format: String = "png"): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    // left half black, right half white → cells j<4 mean 0, j>=4 mean
+    // 255000; avg = 127500 → bit i*8+j set iff j>=4 → 0xF0 per row byte.
+    val split = img(64, 64, (x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    assert(Multimodal.imageAHash(split).contains(0xF0F0F0F0F0F0F0F0L))
+    // the same picture re-encoded as BMP: identical pixels → identical
+    // hash (the invariant byte-frame dedup can't give).
+    val splitBmp = img(64, 64, (x, _) => if (x < 32) 0x000000 else 0xFFFFFF, "bmp")
+    assert(Multimodal.imageAHash(splitBmp).contains(0xF0F0F0F0F0F0F0F0L))
+    // a lightly-vandalized copy (one corner cell brightened) lands within
+    // a small Hamming distance; the inverse image is far.
+    val nearDup = img(64, 64, (x, y) =>
+      if (x < 8 && y < 8) 0xFFFFFF else if (x < 32) 0x000000 else 0xFFFFFF)
+    val inverse = img(64, 64, (x, _) => if (x < 32) 0xFFFFFF else 0x000000)
+    val media = Seq(
+      (1L, "image", split), (2L, "image", splitBmp), (3L, "image", nearDup),
+      (4L, "image", inverse), (5L, "image", Array[Byte](1, 2, 3)), // corrupt
+      (6L, "audio", split)) // wrong kind: excluded even with decodable bytes
+      .toDF("media_id", "kind", "payload")
+    val hashes = Multimodal.imageHashes(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L),
+      "corrupt payloads and non-image kinds must drop, decodable images hash")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) <= 2)
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(4L)) >= 32)
+    val pairs = Multimodal.imageHashPairs(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the three near-dup pairs, got $pairs")
+  }
+
   test("kmeans: integer Lloyd rounds hand-checked, incl. negative truncating means") {
     import spark.implicits._
     // 1-D vectors, two obvious clusters around -1.0 and +1.0; scale 4 →

@@ -359,4 +359,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-doc agg must partial-aggregate map-side:\n$p")
   }
+
+  test("interval join: binned equi-join, never a nested loop") {
+    val iv = SparkEntry.queries("q_t_interval_join")(spark, dir)
+    val p = plan(iv)
+    assert(!p.contains("NestedLoop"), s"interval join must be an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected hash/merge equi-join:\n$p")
+  }
+
+  test("kmeans round: centroids broadcast, corpus aggregates map-side, no cartesian") {
+    import graft.llmops.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val qv = Similarity.kmeansQuantize(emb)
+    val cent = qv.orderBy("cid").limit(4)
+      .select(col("cid").as("cent_id"), col("q").as("c"))
+    val p = plan(Similarity.kmeansRound(qv, cent))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_min") ||
+      p.contains("partial_sum"), s"assignment must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in kmeans round plan:\n$p")
+  }
 }
