@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
@@ -194,6 +195,57 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"),
         length(col("frame")).cast("long").as("frame_bytes"),
         md5(hex(col("frame"))).as("frame_md5"))
+  }
+
+  /** Content-defined chunking (CDC): cut each payload at positions where
+    * the `window`-byte window ENDING there has
+    * `hash52(hex(window)) % 2^maskBits == 0` — the dedup-storage move
+    * ([[sampleFrames]]' fixed-stride frames all SHIFT after one inserted
+    * byte; content-defined boundaries re-align, so identical regions in
+    * two payloads yield identical interior chunks at ANY offset). Mean
+    * chunk size ≈ 2^maskBits bytes; the payload end is always a
+    * boundary, so every byte lands in exactly one chunk. Emits
+    * (media_id, chunk_no, start_byte (1-based), chunk_bytes, chunk_md5);
+    * downstream block-level dedup is a groupBy on chunk_md5.
+    *
+    * Deliberately the PURE content-defined form: the min/max chunk-size
+    * clamp of FastCDC-style chunkers suppresses boundaries relative to
+    * the PREVIOUS boundary — a sequential scan, not a per-position
+    * predicate — so it doesn't parallelize as a dataflow; tune
+    * `maskBits` instead. Cost honesty: one row per payload byte, each
+    * hashing a `window`-byte hex slice (O(n·w) md5 work) — exactly what
+    * makes every boundary decision replayable by the SQL oracle; a
+    * production hot path would swap in a gear-hash rolling expression
+    * (same boundaries contract, one multiply-add per byte).
+    */
+  def cdcChunks(media: DataFrame, window: Int = 8,
+      maskBits: Int = 6): DataFrame = {
+    require(window >= 1 && maskBits >= 0 && maskBits < 52)
+    val n = length(col("payload")).cast("long")
+    val base = media.select(col("media_id"), col("payload"), n.as("_n"))
+      .filter(col("_n") >= 1)
+    val pos = base.select(col("media_id"), col("payload"), col("_n"),
+      explode(when(col("_n") >= window,
+        sequence(lit(window.toLong), col("_n"))).otherwise(array())).as("p"))
+    val hits = pos.filter(
+      pmod(PortableHash.hash52(hex(call_function("substring", col("payload"),
+        (col("p") - window + 1).cast("int"), lit(window)))),
+        lit(1L << maskBits)) === 0)
+      .select(col("media_id"), col("p"))
+    val ends = hits
+      .unionByName(base.select(col("media_id"), col("_n").as("p")))
+      .distinct()
+    val w = Window.partitionBy("media_id").orderBy("p")
+    ends
+      .withColumn("s0", coalesce(lag(col("p"), 1).over(w), lit(0L)))
+      .withColumn("chunk_no", (row_number().over(w) - 1).cast("long"))
+      .join(base.select(col("media_id"), col("payload")), Seq("media_id"))
+      .select(col("media_id"), col("chunk_no"),
+        (col("s0") + 1).as("start_byte"),
+        (col("p") - col("s0")).as("chunk_bytes"),
+        md5(hex(call_function("substring", col("payload"),
+          (col("s0") + 1).cast("int"), (col("p") - col("s0")).cast("int"))))
+          .as("chunk_md5"))
   }
 
   /** Binary near-dup pairs: two payloads are near-duplicates when their

@@ -1883,6 +1883,26 @@ object LlmOpsQueries extends QueryModule {
           frameLen = 16, stride = 12)
         .orderBy("media_id", "frame_no")
     },
+    // content-defined chunking (window 8, mask 2^6): every boundary
+    // decision is a PortableHash of the window's hex — the oracle replays
+    // positions, hits, lag ranges and chunk hashes verbatim on the same
+    // hex walk as the frames oracle.
+    q("q_x_multimodal_cdc", {
+      val hit = graft.llmops.PortableHash.duckHash52("substr(hx, (p - 8) * 2 + 1, 16)")
+      "WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+        "pos AS (SELECT media_id, hx, n, unnest(generate_series(8, n)) AS p FROM h WHERE n >= 8), " +
+        s"hits AS (SELECT media_id, p FROM pos WHERE $hit % 64 = 0), " +
+        "ends AS (SELECT DISTINCT media_id, p FROM (SELECT media_id, p FROM hits UNION ALL SELECT media_id, n AS p FROM h WHERE n >= 1)), " +
+        "ch AS (SELECT e.media_id, e.p, coalesce(lag(e.p) OVER (PARTITION BY e.media_id ORDER BY e.p), 0) AS s0, row_number() OVER (PARTITION BY e.media_id ORDER BY e.p) - 1 AS chunk_no FROM ends e) " +
+        "SELECT ch.media_id, CAST(chunk_no AS BIGINT) AS chunk_no, CAST(s0 + 1 AS BIGINT) AS start_byte, " +
+        "CAST(ch.p - s0 AS BIGINT) AS chunk_bytes, md5(substr(h.hx, CAST(s0 * 2 + 1 AS INT), CAST((ch.p - s0) * 2 AS INT))) AS chunk_md5 " +
+        "FROM ch JOIN h ON h.media_id = ch.media_id ORDER BY 1, 2"
+    }) { (s, d) =>
+      Multimodal.cdcChunks(
+          Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"),
+          window = 8, maskBits = 6)
+        .orderBy("media_id", "chunk_no")
+    },
     // multimodal feature extraction through the real mapPartitions codec
     // path. The stub codec's float32 accumulation is replicated bit-exactly
     // in DuckDB (byte-wise hex walk + list_reduce float32 fold — verified

@@ -875,6 +875,45 @@ class LlmOpsSpec extends SparkTestBase {
     assert(run(true) == run(false))
   }
 
+  test("cdcChunks: every byte in exactly one chunk; boundaries re-align after insertion") {
+    import spark.implicits._
+    // non-repeating deterministic bytes (an md5 stream) — repetitive text
+    // would let shifted fixed-stride frames coincidentally match.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base: Array[Byte] = (0 until 60).flatMap(i =>
+      md.digest(s"blk$i".getBytes("UTF-8")).toSeq).toArray
+    val media = Seq((1L, "bin", base),
+        (2L, "bin", Array[Byte](120, 121, 122) ++ base))
+      .toDF("media_id", "kind", "payload")
+    val chunks = Multimodal.cdcChunks(media, window = 8, maskBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // conservation + contiguity per payload: chunks tile [1, n] exactly.
+    for ((id, n) <- Seq((1L, base.length.toLong), (2L, base.length.toLong + 3L))) {
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.map(_._4).sum == n, s"payload $id: chunks must cover every byte")
+      assert(cs.head._3 == 1L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, "chunks must be contiguous")
+        case _ =>
+      }
+    }
+    // the CDC property: after a 3-byte prefix insertion the interior
+    // boundaries re-align on content, so the two payloads share most
+    // chunk hashes — while every fixed-stride frame shifts (zero shared
+    // full-length frames).
+    val h1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 & h2).size >= 3,
+      s"expected re-aligned shared chunks, got ${(h1 & h2).size}")
+    val fr = Multimodal.sampleFrames(media, frameLen = 16, stride = 16)
+      .filter(col("frame_bytes") === 16)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val f1 = fr.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fr.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).isEmpty, "fixed-stride frames all shift after the insertion")
+  }
+
   test("aHash: half-split image gives the known hash; re-encode invariant; pairs band-found") {
     import spark.implicits._
     def img(w: Int, h: Int, fill: (Int, Int) => Int,
