@@ -235,6 +235,13 @@ object Multimodal {
     val ends = hits
       .unionByName(base.select(col("media_id"), col("_n").as("p")))
       .distinct()
+    chunksFromEnds(base, ends)
+  }
+
+  /** Shared chunk assembly of the CDC family: boundary END positions →
+    * (chunk_no, start, bytes, md5) via one per-payload lag window.
+    */
+  private def chunksFromEnds(base: DataFrame, ends: DataFrame): DataFrame = {
     val w = Window.partitionBy("media_id").orderBy("p")
     ends
       .withColumn("s0", coalesce(lag(col("p"), 1).over(w), lit(0L)))
@@ -247,6 +254,45 @@ object Multimodal {
           (col("s0") + 1).cast("int"), (col("p") - col("s0")).cast("int"))))
           .as("chunk_md5"))
   }
+
+  /** [[cdcChunks]] on the O(n) rolling gear hash — the production CDC
+    * path: boundary positions come from ONE codegen'd pass per payload
+    * ([[org.apache.spark.sql.graftfn.GearBoundaries]] — an add-shift per
+    * byte) instead of an md5 of every window (O(n·w)). Different hash ⇒
+    * different (equally content-defined) boundaries than [[cdcChunks]];
+    * same insertion-robustness property, same output shape, same
+    * downstream `chunk_md5` groupBy. Mean chunk ≈ 2^maskBits bytes;
+    * still fully SQL-oracle-replayable (the gear recurrence telescopes
+    * to an m-term windowed sum — see the expression's scaladoc).
+    */
+  def cdcChunksGear(media: DataFrame, maskBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graftfn.GearBoundaries.gearBoundaries
+    require(maskBits >= 1 && maskBits <= 52)
+    val n = length(col("payload")).cast("long")
+    val base = media.select(col("media_id"), col("payload"), n.as("_n"))
+      .filter(col("_n") >= 1)
+    val ends = base.select(col("media_id"),
+      explode(array_union(gearBoundaries(col("payload"), maskBits),
+        array(col("_n")))).as("p"))
+    chunksFromEnds(base, ends)
+  }
+
+  /** The block-dedup KPI over a [[cdcChunks]]/[[cdcChunksGear]] table:
+    * how much storage does chunk-level dedup save. One aggregation pass:
+    * total vs distinct chunk counts and bytes (a duplicated chunk's bytes
+    * count once — min length per md5 is exact because equal md5 ⇒ equal
+    * bytes at this granularity), plus the saving in integer basis points
+    * (`DIV` — engine-portable, no float).
+    */
+  def cdcDedupStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("__n"), min("chunk_bytes").as("__b"))
+      .agg(sum("__n").as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("__n") * col("__b")).as("total_bytes"),
+        sum("__b").as("unique_bytes"))
+      .withColumn("saved_bps",
+        expr("(total_bytes - unique_bytes) * 10000 DIV total_bytes"))
 
   /** Binary near-dup pairs: two payloads are near-duplicates when their
     * sampled-frame fingerprint SETS overlap — n-gram Jaccard transplanted

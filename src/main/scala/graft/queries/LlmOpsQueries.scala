@@ -1903,6 +1903,48 @@ object LlmOpsQueries extends QueryModule {
           window = 8, maskBits = 6)
         .orderBy("media_id", "chunk_no")
     },
+    // gear-hash CDC (mask 2^6): the O(n) rolling recurrence telescopes to
+    // a 6-term windowed sum mod 64 (bytes older than maskBits shift out
+    // of the mask), so the oracle states every boundary as exact integer
+    // arithmetic over the hex byte walk — no rolling state needed.
+    q("q_x_multimodal_cdc_gear", {
+      val bval = "('0x' || substr(hx, (p - k.k - 1) * 2 + 1, 2))::BIGINT"
+      val g = graft.llmops.PortableHash.duckHash52(s"'gear:' || CAST($bval AS VARCHAR)")
+      "WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+        "pos AS (SELECT media_id, hx, n, unnest(generate_series(1, n)) AS p FROM h WHERE n >= 1), " +
+        s"terms AS (SELECT media_id, p, ($g % ((1::BIGINT) << (6 - k.k))) * ((1::BIGINT) << k.k) AS t " +
+        "FROM pos CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) k WHERE k.k < least(6, p)), " +
+        "hits AS (SELECT media_id, p FROM terms GROUP BY 1, 2 HAVING sum(t) % 64 = 0), " +
+        "ends AS (SELECT DISTINCT media_id, p FROM (SELECT media_id, p FROM hits UNION ALL SELECT media_id, n AS p FROM h WHERE n >= 1)), " +
+        "ch AS (SELECT e.media_id, e.p, coalesce(lag(e.p) OVER (PARTITION BY e.media_id ORDER BY e.p), 0) AS s0, row_number() OVER (PARTITION BY e.media_id ORDER BY e.p) - 1 AS chunk_no FROM ends e) " +
+        "SELECT ch.media_id, CAST(chunk_no AS BIGINT) AS chunk_no, CAST(s0 + 1 AS BIGINT) AS start_byte, " +
+        "CAST(ch.p - s0 AS BIGINT) AS chunk_bytes, md5(substr(h.hx, CAST(s0 * 2 + 1 AS INT), CAST((ch.p - s0) * 2 AS INT))) AS chunk_md5 " +
+        "FROM ch JOIN h ON h.media_id = ch.media_id ORDER BY 1, 2"
+    }) { (s, d) =>
+      Multimodal.cdcChunksGear(
+          Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"),
+          maskBits = 6)
+        .orderBy("media_id", "chunk_no")
+    },
+    // block-dedup KPI: chunk-level storage saving over the md5-CDC chunk
+    // table — total vs distinct chunks/bytes, saving in integer bps.
+    q("q_x_cdc_dedup_ratio", {
+      val hit = graft.llmops.PortableHash.duckHash52("substr(hx, (p - 8) * 2 + 1, 16)")
+      "WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents), " +
+        "pos AS (SELECT media_id, hx, n, unnest(generate_series(8, n)) AS p FROM h WHERE n >= 8), " +
+        s"hits AS (SELECT media_id, p FROM pos WHERE $hit % 64 = 0), " +
+        "ends AS (SELECT DISTINCT media_id, p FROM (SELECT media_id, p FROM hits UNION ALL SELECT media_id, n AS p FROM h WHERE n >= 1)), " +
+        "ch AS (SELECT e.media_id, e.p, coalesce(lag(e.p) OVER (PARTITION BY e.media_id ORDER BY e.p), 0) AS s0 FROM ends e), " +
+        "chunks AS (SELECT ch.media_id, CAST(ch.p - s0 AS BIGINT) AS chunk_bytes, md5(substr(h.hx, CAST(s0 * 2 + 1 AS INT), CAST((ch.p - s0) * 2 AS INT))) AS chunk_md5 FROM ch JOIN h ON h.media_id = ch.media_id), " +
+        "per AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS cn, CAST(min(chunk_bytes) AS BIGINT) AS cb FROM chunks GROUP BY 1) " +
+        "SELECT CAST(sum(cn) AS BIGINT) AS n_chunks, CAST(count(*) AS BIGINT) AS n_unique_chunks, " +
+        "CAST(sum(cn * cb) AS BIGINT) AS total_bytes, CAST(sum(cb) AS BIGINT) AS unique_bytes, " +
+        "CAST((sum(cn * cb) - sum(cb)) * 10000 // sum(cn * cb) AS BIGINT) AS saved_bps FROM per"
+    }) { (s, d) =>
+      Multimodal.cdcDedupStats(Multimodal.cdcChunks(
+        Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"),
+        window = 8, maskBits = 6))
+    },
     // multimodal feature extraction through the real mapPartitions codec
     // path. The stub codec's float32 accumulation is replicated bit-exactly
     // in DuckDB (byte-wise hex walk + list_reduce float32 fold — verified

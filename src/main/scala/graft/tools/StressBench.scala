@@ -86,8 +86,9 @@ object StressBench {
     "q_x_kmeans_centroids", "q_x_ann_ivf_trained", "q_t_interval_join",
     "q_x_sentence_chunks", "q_x_occurrence_quantiles",
     // CDC is the deliberate O(n·w) hasher — its stress row is the
-    // regression tripwire for the per-byte explode.
-    "q_x_multimodal_cdc")
+    // regression tripwire for the per-byte explode; the gear form should
+    // hold a visible edge over it at every factor.
+    "q_x_multimodal_cdc", "q_x_multimodal_cdc_gear")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

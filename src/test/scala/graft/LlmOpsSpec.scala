@@ -914,6 +914,57 @@ class LlmOpsSpec extends SparkTestBase {
     assert((f1 & f2).isEmpty, "fixed-stride frames all shift after the insertion")
   }
 
+  test("gear CDC: expression matches the JVM recurrence; insertion re-aligns; stats hand-check") {
+    import org.apache.spark.sql.graftfn.GearBoundaries
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base: Array[Byte] = (0 until 60).flatMap(i =>
+      md.digest(s"gearblk$i".getBytes("UTF-8")).toSeq).toArray
+    // the expression's boundaries equal a straight JVM replay of the
+    // h = ((h<<1) + G[b]) & mask recurrence.
+    def jvmBoundaries(bytes: Array[Byte], m: Int): Seq[Long] = {
+      val mask = (1L << m) - 1
+      var h = 0L
+      bytes.zipWithIndex.flatMap { case (b, i) =>
+        h = ((h << 1) + GearBoundaries.Gear(b & 0xFF)) & mask
+        if (h == 0L) Some(i + 1L) else None
+      }.toSeq
+    }
+    val got = Seq(Tuple1(base)).toDF("payload")
+      .select(GearBoundaries.gearBoundaries(col("payload"), 6).as("b"))
+      .head().getSeq[Long](0).toList
+    assert(got == jvmBoundaries(base, 6).toList && got.nonEmpty)
+    // same insertion-robustness as the md5 path: shifted payload shares
+    // interior chunks.
+    val media = Seq((1L, "bin", base),
+        (2L, "bin", Array[Byte](1, 2, 3) ++ base))
+      .toDF("media_id", "kind", "payload")
+    val chunks = Multimodal.cdcChunksGear(media, maskBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    for (id <- Seq(1L, 2L))
+      assert(chunks.filter(_._1 == id).map(_._2).sum ==
+        base.length + (if (id == 2L) 3 else 0), "chunks must tile the payload")
+    val h1 = chunks.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).size >= 3, s"gear boundaries must re-align, shared=${(h1 & h2).size}")
+    // dedup stats on planted duplication: two identical payloads and one
+    // distinct → every chunk of the twin dedups away.
+    val twin = Seq((1L, "bin", base), (2L, "bin", base),
+        (3L, "bin", md.digest("other".getBytes("UTF-8"))))
+      .toDF("media_id", "kind", "payload")
+    val st = Multimodal.cdcDedupStats(Multimodal.cdcChunksGear(twin, maskBits = 4))
+      .collect().head
+    val (nc, nu, tb, ub) = (st.getAs[Long]("n_chunks"), st.getAs[Long]("n_unique_chunks"),
+      st.getAs[Long]("total_bytes"), st.getAs[Long]("unique_bytes"))
+    assert(tb == 2L * base.length + 16)
+    // the twin's every chunk dedups against payload 1, so unique bytes
+    // are AT MOST one copy + the distinct doc (strictly less if short
+    // chunks also repeat within the base payload — they may).
+    assert(ub <= base.length + 16 && ub > 0)
+    assert(nc > nu && st.getAs[Long]("saved_bps") ==
+      (tb - ub) * 10000 / tb)
+  }
+
   test("aHash: half-split image gives the known hash; re-encode invariant; pairs band-found") {
     import spark.implicits._
     def img(w: Int, h: Int, fill: (Int, Int) => Int,
