@@ -156,6 +156,53 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Multi-probe sign-LSH ANN top-k — [[annTopK]] with the standard
+    * recall fix for its documented weakness (AnnBench: recall@25 ≈ 0.45
+    * at mid-similarity): each QUERY probes its own bucket plus every
+    * bucket at Hamming distance 1 (the `bits` one-bit flips) in each
+    * table — a near-miss on one hyperplane no longer loses the
+    * candidate. Corpus signatures, storage and the exact re-rank are
+    * UNCHANGED (the corpus is never re-bucketed — multi-probe is purely
+    * query-side fan-out, (1 + bits)× probe rows on the tiny query side),
+    * which is exactly why production systems prefer it over adding
+    * tables: recall rises at zero index cost. Deterministic like the
+    * base path, so the oracle replays the probe expansion verbatim.
+    */
+  def annTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, tables: Int = 8, bits: Int = 8): DataFrame = {
+    import graft.llmops.PortableHash
+    def bucketCols(vec: Column): Seq[Column] = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val plane = typedLit((0 until dim).map(d =>
+          PortableHash.unitUniformJvm(s"$t:$j:$d")))
+        when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as(s"_bkt$t")
+    }
+    def signatures(df: DataFrame, prefix: String) = df
+      .select(col(idCol).as(s"${prefix}id") +: col(vecCol).as(s"${prefix}vec") +:
+        l2norm(col(vecCol)).as(s"${prefix}n") +: bucketCols(col(vecCol)): _*)
+      .select(col(s"${prefix}id"), col(s"${prefix}vec"), col(s"${prefix}n"),
+        posexplode(array((0 until tables).map(t => col(s"_bkt$t")): _*))
+          .as(Seq("t", "bkt")))
+    val c = signatures(corpus, "c")
+    // query-side fan-out: the exact bucket plus its `bits` one-bit flips.
+    val q = signatures(queries, "q")
+      .select(col("qid"), col("qvec"), col("qn"), col("t"),
+        explode(array(col("bkt") +: (0 until bits).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+    val cands = q.join(c, Seq("t", "bkt"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid", "qvec", "cvec", "qn", "cn")
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cands.withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path, the
     * classic alternative to LSH bucketing: partition the corpus into
     * `nlist` cells by nearest centroid, probe the `nprobe` cells nearest

@@ -124,6 +124,33 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#:]+)", 1))
 
+  /** Canonical URL — the crawl-dedup key: two spellings of the same page
+    * must collide BEFORE content ever downloads (the cheapest dedup in
+    * the whole pipeline). The canonicalization, in load-bearing order:
+    * fragment drops (never sent to the server); tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`, `msclkid`) drop with their delimiter —
+    * a leading `&` left where `?` stood is repaired, a dangling `?`/`&`
+    * trims; default ports (`:80` http, `:443` https) drop; scheme + host
+    * lowercase (path/query stay case-sensitive per RFC 3986); one
+    * trailing `/` trims. A pure codegen'd regexp chain in the
+    * Java-regex/RE2-common subset (no lookarounds — the stripHtml
+    * discipline), replicated verbatim by the oracle.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*", "")
+    val fixQ = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val noDangle = regexp_replace(fixQ, "[?&]+$", "")
+    // lowercase BEFORE the port strip so `HTTPS://…:443` matches too.
+    val lowered = concat(
+      lower(regexp_extract(noDangle, "^([^/?#]*://[^/?#]*)", 1)),
+      regexp_replace(noDangle, "^[^/?#]*://[^/?#]*", ""))
+    val noP80 = regexp_replace(lowered, "^(http://[^/:?#]*):80(/|$)", "$1$2")
+    val noP443 = regexp_replace(noP80, "^(https://[^/:?#]*):443(/|$)", "$1$2")
+    regexp_replace(noP443, "/$", "")
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * local fingerprinting scheme): hash every token k-gram, slide a
     * w-gram window, and select each window's minimum hash (ties → the

@@ -232,6 +232,26 @@ object LlmOpsQueries extends QueryModule {
       "SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= 5 ORDER BY qid, rn"
   }
 
+  /** Multi-probe variant of annOracleSql: each query additionally probes
+    * the `bits` one-bit-flipped buckets per table (xor with 0 = the exact
+    * bucket); corpus bucketing and re-rank identical.
+    */
+  private val annMultiProbeOracleSql: String = {
+    import graft.llmops.PortableHash
+    val r = PortableHash.duckUnitUniform("t.t || ':' || j.j || ':' || k.k")
+    val flips = (Seq(0L) ++ (0 until 8).map(j => 1L << j)).mkString("[", ", ", "]")
+    "WITH planes AS (SELECT t.t AS t, j.j AS j, k.k AS k, " + r + " AS r " +
+      "FROM (SELECT unnest(generate_series(0, 7)) AS t) t, (SELECT unnest(generate_series(0, 7)) AS j) j, (SELECT unnest(generate_series(0, 63)) AS k) k), " +
+      "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+      "proj AS (SELECT e.vec_id, p.t, p.j, sum(e.v * p.r) AS s FROM e JOIN planes p ON p.k = e.i - 1 GROUP BY 1, 2, 3), " +
+      "buckets AS (SELECT vec_id, t, (sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bkt FROM proj GROUP BY 1, 2), " +
+      s"qprobes AS (SELECT vec_id, t, xor(bkt, f.f) AS bkt FROM buckets CROSS JOIN (SELECT unnest($flips) AS f) f WHERE vec_id < 5), " +
+      "cands AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid FROM qprobes q JOIN buckets c ON q.t = c.t AND q.bkt = c.bkt WHERE c.vec_id <> q.vec_id), " +
+      "dots AS (SELECT cd.qid, cd.cid, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS qn, sqrt(sum(b.v * b.v)) AS cn FROM cands cd JOIN e a ON a.vec_id = cd.qid JOIN e b ON b.vec_id = cd.cid AND b.i = a.i GROUP BY 1, 2), " +
+      "sims AS (SELECT qid, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM dots) " +
+      "SELECT qid, cid, CAST(rn AS BIGINT) AS rn, round(cos, 6) AS cos FROM sims WHERE rn <= 5 ORDER BY qid, rn"
+  }
+
   /** DuckDB mirror of Similarity.ivfTopK (nlist = 16, nprobe = 4, k = 5,
     * queries = vec_id < 5, default centroid rule vec_id < 16): nearest-cell
     * assignment and probe ranking tie-break on lowest centroid id, exact
@@ -945,6 +965,14 @@ object LlmOpsQueries extends QueryModule {
     q("q_x_ann_lsh", annOracleSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("qid", "rn")
+    },
+    // multi-probe sign-LSH: query-side 1-bit-flip fan-out, corpus index
+    // unchanged — the zero-index-cost recall lift (recall gain vs the
+    // single-probe path is additionally spec-asserted)
+    q("q_x_ann_multiprobe", annMultiProbeOracleSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopKMultiProbe(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy("qid", "rn")
     },
     // IVF coarse-quantizer ANN (the other classic scale path; deterministic
@@ -1821,6 +1849,41 @@ object LlmOpsQueries extends QueryModule {
           size(urls).cast("long").as("n_urls"),
           concat_ws(",", urls).as("urls"),
           concat_ws(",", transform(urls, u => TextAnalysis.urlHost(u))).as("hosts"))
+        .orderBy("doc")
+    },
+    // URL canonicalization — the crawl-dedup key: both engines build the
+    // SAME planted URL per doc (cycling through uppercase scheme/host,
+    // default ports, tracking params in first and middle position,
+    // fragments, trailing slashes) and canonicalize with the identical
+    // regexp chain.
+    q("q_x_url_canonical", {
+      val url = "CASE doc_id % 4 " +
+        "WHEN 0 THEN 'HTTPS://Ex' || (doc_id % 3) || '.COM:443/Path' || (doc_id % 7) || '/?utm_source=tr&q=' || doc_id || '&utm_campaign=x#frag' " +
+        "WHEN 1 THEN 'http://EX' || (doc_id % 3) || '.com:80/a?utm_x=' || doc_id " +
+        "WHEN 2 THEN 'https://site' || (doc_id % 3) || '.org/p/' " +
+        "ELSE 'http://Host' || (doc_id % 3) || '.net?fbclid=xyz&keep=' || doc_id || '#top' END"
+      val steps = Seq(
+        "'#.*$'" -> "''",
+        "'[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*'" -> "''",
+        "'^([^?&]*)&'" -> "'\\1?'",
+        "'[?&]+$'" -> "''")
+      val cleaned = steps.foldLeft("url") { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, $pat, $rep, 'g')"
+      }
+      val lowered = s"lower(regexp_extract($cleaned, '^([^/?#]*://[^/?#]*)', 1)) || " +
+        s"regexp_replace($cleaned, '^[^/?#]*://[^/?#]*', '')"
+      val ports = s"regexp_replace(regexp_replace($lowered, '^(http://[^/:?#]*):80(/|$$)', '\\1\\2'), '^(https://[^/:?#]*):443(/|$$)', '\\1\\2')"
+      s"WITH u AS (SELECT doc_id, $url AS url FROM documents) " +
+        s"SELECT doc_id AS doc, url, regexp_replace($ports, '/$$', '') AS canon FROM u ORDER BY doc"
+    }) { (s, d) =>
+      val url = expr("CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN concat('HTTPS://Ex', CAST(doc_id % 3 AS STRING), '.COM:443/Path', CAST(doc_id % 7 AS STRING), '/?utm_source=tr&q=', CAST(doc_id AS STRING), '&utm_campaign=x#frag') " +
+        "WHEN 1 THEN concat('http://EX', CAST(doc_id % 3 AS STRING), '.com:80/a?utm_x=', CAST(doc_id AS STRING)) " +
+        "WHEN 2 THEN concat('https://site', CAST(doc_id % 3 AS STRING), '.org/p/') " +
+        "ELSE concat('http://Host', CAST(doc_id % 3 AS STRING), '.net?fbclid=xyz&keep=', CAST(doc_id AS STRING), '#top') END")
+      Tables.documents(s, d)
+        .select(col("doc_id").as("doc"), url.as("url"),
+          TextAnalysis.canonicalUrl(url).as("canon"))
         .orderBy("doc")
     },
     // duplicated-line removal (the C4/CCNet boilerplate scrub): the flat

@@ -88,7 +88,10 @@ object StressBench {
     // CDC is the deliberate O(n·w) hasher — its stress row is the
     // regression tripwire for the per-byte explode; the gear form should
     // hold a visible edge over it at every factor.
-    "q_x_multimodal_cdc", "q_x_multimodal_cdc_gear")
+    "q_x_multimodal_cdc", "q_x_multimodal_cdc_gear",
+    // multi-probe fans out (1+bits)x on the query side ONLY — its ratio
+    // should track q_x_ann_lsh's, not blow past it.
+    "q_x_ann_multiprobe")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -67,6 +67,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(host == "sub.example.com")
   }
 
+  test("canonicalUrl: each rule hand-checked, path case preserved") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, default https port, tracking mid-query,
+      // fragment; path case preserved.
+      ("HTTPS://Sub.EX.com:443/KeepCase?q=1&utm_source=x&r=2#frag",
+        "https://sub.ex.com/KeepCase?q=1&r=2"),
+      // tracking first → the orphaned & is repaired to ?.
+      ("http://a.com/p?utm_x=1&keep=2", "http://a.com/p?keep=2"),
+      // ALL params tracking → dangling ? trims entirely.
+      ("http://a.com/p?utm_x=1&gclid=2", "http://a.com/p"),
+      // :80 strips for http at end-of-host and before the path.
+      ("http://A.com:80", "http://a.com"),
+      ("http://A.com:80/x", "http://a.com/x"),
+      // non-default port survives; fbclid dies; trailing slash trims.
+      ("https://b.io:8443/x/?fbclid=z", "https://b.io:8443/x"),
+      ("https://c.org/", "https://c.org"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("dedupLines removes lines in >= minDf docs, keeps order and rare lines") {
     import spark.implicits._
     val df = Seq(
@@ -725,6 +748,25 @@ class LlmOpsSpec extends SparkTestBase {
     val again = Similarity.annTopK(emb, queries, k = 5, bits = 4)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx == again, "annTopK not deterministic")
+  }
+
+  test("multi-probe sign-LSH: candidate superset of the single-probe path, recall rises") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(res: Set[(Long, Long)]) = (exact intersect res).size.toDouble / exact.size
+    val single = Similarity.annTopK(emb, queries, k = 5, bits = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.annTopKMultiProbe(emb, queries, k = 5, bits = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the probe set strictly contains the exact bucket, so the candidate
+    // pool is a superset — top-k recall vs ground truth can only rise.
+    assert(recallOf(multi) >= recallOf(single),
+      s"multi-probe recall ${recallOf(multi)} < single ${recallOf(single)}")
+    // at 8 bits the single path is bucket-starved at this SF — the flips
+    // must deliver a real lift, not a tie.
+    assert(recallOf(multi) >= 0.5 && recallOf(multi) > recallOf(single),
+      s"expected a strict lift: multi ${recallOf(multi)} single ${recallOf(single)}")
   }
 
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
