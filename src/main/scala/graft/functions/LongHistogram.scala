@@ -44,6 +44,34 @@ class LongHistogramAgg(buckets: Int, granularity: Long)
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
+/** WEIGHTED histogram: each (value, weight) occurrence adds `weight` to
+  * the value's bucket — the "median TOKEN's document length" form (an
+  * unweighted histogram answers "the median DOCUMENT's length"; compute
+  * budgeting usually wants the former — half the corpus volume, not half
+  * the document count). Same state shape, same exact merge law, same
+  * extraction: [[LongHistogram.quantiles]]/[[LongHistogram.quantileCol]]
+  * read it with n = the WEIGHT total. Negative weights are rejected (a
+  * count histogram has no anti-occurrences).
+  */
+class LongHistogramWeightedAgg(buckets: Int, granularity: Long)
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+  require(buckets >= 1 && granularity >= 1)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf0: Array[Long], vw: (Long, Long)): Array[Long] = {
+    require(vw._2 >= 0, s"negative weight ${vw._2}")
+    val buf = if (buf0.isEmpty) new Array[Long](buckets) else buf0
+    val idx = math.min(math.max(vw._1, 0L) / granularity, buckets - 1L).toInt
+    buf(idx) += vw._2
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    LongHistogram.addDense(a, b)
+  override def finish(buf: Array[Long]): Array[Long] =
+    if (buf.isEmpty) new Array[Long](buckets) else buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 /** Merge ALREADY-BUILT histograms (element-wise add; same B both sides). */
 class LongHistogramMergeAgg(buckets: Int)
     extends Aggregator[Array[Long], Array[Long], Array[Long]] {
@@ -79,6 +107,15 @@ object LongHistogram {
   /** Merge a column of histograms built with the same (buckets, granularity). */
   def mergeSketch(c: Column, buckets: Int = 256): Column =
     udaf(new LongHistogramMergeAgg(buckets), ExpressionEncoder[Array[Long]]()).apply(c)
+
+  /** Per-key WEIGHTED histogram state over (value, weight) pairs. */
+  def sketchWeighted(value: Column, weight: Column, buckets: Int = 256,
+      granularity: Long = 16): Column =
+    udaf(new LongHistogramWeightedAgg(buckets, granularity),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .apply(value.cast("long"), weight.cast("long"))
 
   /** Exact g-granular occurrence quantiles from the state: for each
     * requested percentile p, the rank rule is [[graft.operators.Quantiles]]'

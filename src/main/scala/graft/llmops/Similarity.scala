@@ -156,6 +156,57 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Contrastive triplet mining — the training-data operator for
+    * embedding models (retrieval/rerankers train on (anchor, positive,
+    * negative) triples, and the NEGATIVE selection is what makes or
+    * breaks them): per anchor, the top-`kPos` cosine neighbors are
+    * positives, ranks kPos+1..kPos+mHard are HARD negatives (near the
+    * anchor but not nearest — the informative ones), and `rRand` random
+    * negatives come from the remainder by smallest
+    * `hash52(anchor:cand)` — deterministic, partition-invariant, no RNG
+    * (the [[Corpus.hashSample]] discipline), so the whole mining run is
+    * reproducible and SQL-oracle-checkable.
+    *
+    * Emits (anchor, cand, role, rank, cos): rank is the cosine rank for
+    * positives/hard negatives and kPos+mHard+hash-rank for random
+    * negatives. Scale shape: anchors broadcast against the corpus (the
+    * [[bruteForceTopK]] exactness baseline — swap the scored frame for
+    * [[ivfTopK]] candidates at 100 TB, same downstream windows); the
+    * role windows partition per anchor.
+    */
+  def mineTriplets(corpus: DataFrame, anchors: DataFrame,
+      kPos: Int = 3, mHard: Int = 3, rRand: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kPos >= 1 && mHard >= 0 && rRand >= 0)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      l2norm(col(vecCol)).as("cn"))
+    val q = anchors.select(col(idCol).as("anchor"), col(vecCol).as("qvec"),
+      l2norm(col(vecCol)).as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("anchor") =!= col("cid"))
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+    val wCos = Window.partitionBy("anchor").orderBy(col("cos").desc, col("cid"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .select("anchor", "cid", "rn", "cos")
+    val near = ranked.filter(col("rn") <= kPos + mHard)
+      .withColumn("role",
+        when(col("rn") <= kPos, lit("positive")).otherwise(lit("hard_negative")))
+    val wHash = Window.partitionBy("anchor")
+      .orderBy(PortableHash.hash52(
+        concat(col("anchor").cast("string"), lit(":"), col("cid").cast("string"))),
+        col("cid"))
+    val rand = ranked.filter(col("rn") > kPos + mHard)
+      .withColumn("hrn", row_number().over(wHash).cast("long"))
+      .filter(col("hrn") <= rRand)
+      .select(col("anchor"), col("cid"),
+        (lit(kPos + mHard.toLong) + col("hrn")).as("rn"), col("cos"))
+      .withColumn("role", lit("random_negative"))
+    near.unionByName(rand)
+      .select(col("anchor"), col("cid").as("cand"), col("role"),
+        col("rn").as("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Multi-probe sign-LSH ANN top-k — [[annTopK]] with the standard
     * recall fix for its documented weakness (AnnBench: recall@25 ≈ 0.45
     * at mid-similarity): each QUERY probes its own bucket plus every

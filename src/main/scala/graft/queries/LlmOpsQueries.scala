@@ -822,6 +822,31 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // token-WEIGHTED occurrence quantiles: each doc's n_chars bucket
+    // accumulates its token count — "half the corpus VOLUME sits in docs
+    // shorter than p50", the compute-budgeting form; state again built
+    // from the two parities and merged.
+    q("q_x_weighted_quantiles",
+      "WITH b AS (SELECT source, least(greatest(n_chars, 0) // 16, 255) AS idx, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w FROM documents), " +
+        "g AS (SELECT source, idx, CAST(sum(w) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), " +
+        "c AS (SELECT source, idx, cnt, sum(cnt) OVER (PARTITION BY source ORDER BY idx) AS cum, sum(cnt) OVER (PARTITION BY source) AS n FROM g) " +
+        "SELECT source, CAST(any_value(n) AS BIGINT) AS n, " +
+        "CAST(min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN idx * 16 END) AS BIGINT) AS p50, " +
+        "CAST(min(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN idx * 16 END) AS BIGINT) AS p90 " +
+        "FROM c GROUP BY source ORDER BY source") { (s, d) =>
+      import graft.functions.LongHistogram
+      val docs = Tables.documents(s, d)
+        .withColumn("__w", size(split(trim(col("text")), "\\s+")).cast("long"))
+      def part(f: DataFrame) = f.groupBy("source")
+        .agg(LongHistogram.sketchWeighted(col("n_chars"), col("__w")).as("hist"))
+      val merged = part(docs.filter(col("doc_id") % 2 === 0))
+        .unionByName(part(docs.filter(col("doc_id") % 2 === 1)))
+        .groupBy("source")
+        .agg(LongHistogram.mergeSketch(col("hist")).as("hist"))
+      LongHistogram.quantiles(merged, Seq("source"), "hist", Seq(50, 90))
+        .orderBy("source")
+    },
+
     // two-day incremental dedup replay (the batch twin of
     // EventStream.dedupStream, greedy arrival order): day 1 = odd ids
     // dedups within itself, day 2 = even ids dedups within itself then
@@ -966,6 +991,27 @@ object LlmOpsQueries extends QueryModule {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy("qid", "rn")
+    },
+    // contrastive triplet mining (anchors = vec_id < 4, 3 positives, 3
+    // hard negatives, 2 hash-picked random negatives) — the embedding-
+    // model training-data operator; roles, ranks and the deterministic
+    // random pick all replayed by the oracle.
+    q("q_x_mine_triplets", {
+      val h = graft.llmops.PortableHash.duckHash52(
+        "CAST(anchor AS VARCHAR) || ':' || CAST(cid AS VARCHAR)")
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "d AS (SELECT a.vec_id AS anchor, b.vec_id AS cid, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS qn, sqrt(sum(b.v * b.v)) AS cn FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 4 AND b.vec_id <> a.vec_id GROUP BY 1, 2), " +
+        "r AS (SELECT anchor, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY anchor ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM d), " +
+        "near AS (SELECT anchor, cid, rn, cos, CASE WHEN rn <= 3 THEN 'positive' ELSE 'hard_negative' END AS role FROM r WHERE rn <= 6), " +
+        s"rest AS (SELECT anchor, cid, cos, row_number() OVER (PARTITION BY anchor ORDER BY $h, cid) AS hrn FROM r WHERE rn > 6), " +
+        "rand AS (SELECT anchor, cid, 6 + hrn AS rn, cos, 'random_negative' AS role FROM rest WHERE hrn <= 2) " +
+        "SELECT anchor, cid AS cand, role, CAST(rn AS BIGINT) AS rank, round(cos, 6) AS cos " +
+        "FROM (SELECT * FROM near UNION ALL SELECT anchor, cid, rn, cos, role FROM rand) ORDER BY anchor, rank"
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mineTriplets(emb, emb.filter(col("vec_id") < 4),
+          kPos = 3, mHard = 3, rRand = 2)
+        .orderBy("anchor", "rank")
     },
     // multi-probe sign-LSH: query-side 1-bit-flip fan-out, corpus index
     // unchanged — the zero-index-cost recall lift (recall gain vs the

@@ -135,6 +135,35 @@ class IncrementalAggSpec extends SparkTestBase {
       q.getAs[Long]("p100")) == ((6L, 0L, 10L, 30L)))
   }
 
+  test("weighted histogram: weights accumulate, merge law holds, differs from unweighted") {
+    import graft.functions.LongHistogram
+    import spark.implicits._
+    // values 10 (weight 1) and 30 (weight 9): the unweighted median is
+    // rank 1 of {10, 30} → 10, the weighted median is the 5th of 10
+    // weight units → 30.
+    val vw = Seq(("k", 10L, 1L), ("k", 30L, 9L)).toDF("k", "v", "w")
+    val st = vw.groupBy("k")
+      .agg(LongHistogram.sketchWeighted(col("v"), col("w"), 8, 10L).as("hist"))
+    val q = LongHistogram.quantiles(st, Seq("k"), "hist", Seq(50), 10L).collect().head
+    assert((q.getAs[Long]("n"), q.getAs[Long]("p50")) == ((10L, 30L)))
+    val stU = vw.groupBy("k")
+      .agg(LongHistogram.sketch(col("v"), 8, 10L).as("hist"))
+    val qU = LongHistogram.quantiles(stU, Seq("k"), "hist", Seq(50), 10L).collect().head
+    assert(qU.getAs[Long]("p50") == 10L)
+    // merge law on real data: 3-way split of token-weighted n_chars.
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__w", size(split(trim(col("text")), "\\s+")).cast("long"))
+    def hist(f: org.apache.spark.sql.DataFrame) = f.groupBy("source")
+      .agg(LongHistogram.sketchWeighted(col("n_chars"), col("__w"), 64, 32L).as("hist"))
+    val full = hist(docs).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    val merged = (0 until 3).map(i => hist(docs.filter(col("doc_id") % 3 === i)))
+      .reduce(_ unionByName _)
+      .groupBy("source").agg(LongHistogram.mergeSketch(col("hist"), 64).as("hist"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    assert(merged == full)
+  }
+
   test("histogram quantiles at granularity 1 equal the exact per-group rank quantiles") {
     import graft.operators.Quantiles
     val docs = Tables.documents(spark, dir)

@@ -769,6 +769,30 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected a strict lift: multi ${recallOf(multi)} single ${recallOf(single)}")
   }
 
+  test("triplet mining: roles partition the rank space, counts exact, deterministic") {
+    val anchors = emb.filter(col("vec_id") < 3)
+    val out = Similarity.mineTriplets(emb, anchors, kPos = 2, mHard = 3, rRand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // exact counts per anchor and role.
+    for (a <- Seq(0L, 1L, 2L)) {
+      val mine = out.filter(_._1 == a)
+      assert(mine.count(_._3 == "positive") == 2)
+      assert(mine.count(_._3 == "hard_negative") == 3)
+      assert(mine.count(_._3 == "random_negative") == 2)
+      // positives are ranks 1-2, hard 3-5, random 6-7; no anchor self-pair.
+      assert(mine.filter(_._3 == "positive").map(_._4).sorted.toSeq == Seq(1L, 2L))
+      assert(mine.filter(_._3 == "hard_negative").map(_._4).sorted.toSeq == Seq(3L, 4L, 5L))
+      assert(mine.filter(_._3 == "random_negative").map(_._4).sorted.toSeq == Seq(6L, 7L))
+      assert(!mine.exists(_._2 == a))
+      // a random negative is never also a positive/hard (disjoint cands).
+      assert(mine.map(_._2).distinct.length == mine.length)
+    }
+    // determinism: the hash-picked randoms repeat exactly.
+    val again = Similarity.mineTriplets(emb, anchors, kPos = 2, mHard = 3, rRand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val train = Seq(
