@@ -162,4 +162,50 @@ object GraphAnalytics {
     reached.join(store.nodes, Seq("id"))
       .select(col("id"), col("label"), col("key"), col("hops"))
   }
+
+  /** Community detection by DETERMINISTIC synchronous label propagation
+    * (Raghavan et al. 2007, made reproducible): every vertex starts as
+    * its own label; each round, every vertex adopts its neighbors' most
+    * frequent label with ties broken to the SMALLEST label — the two
+    * places stock LPA is nondeterministic (random vertex order, random
+    * tie pick) both pinned, so `iters` rounds produce one well-defined
+    * answer any engine can replay (GraphX's own LPA keeps hash-map tie
+    * order — not oracle-checkable).
+    *
+    * DataFrame-native rather than Pregel: per round ONE edge⋈labels
+    * equi-join plus a map-side-combining (vertex, label) count and a
+    * `min_by` argmax — two shuffles bounded by |E| and |V|·distinct-
+    * neighbor-labels; the labels table localCheckpoints between rounds
+    * (the [[blastRadius]] lineage discipline). Synchronous LPA can
+    * 2-cycle on bipartite structure — callers pick `iters` (and see the
+    * spec's oscillation pin); labels after round t are the full state,
+    * so convergence checks are a one-line diff of successive rounds.
+    *
+    * `edges` are undirected pairs (symmetrized + deduped here);
+    * vertices = edge endpoints (isolated vertices have no neighbors to
+    * vote — add them downstream as their own singleton communities).
+    * Returns (v, community).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0)
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    val verts = und.select(col("u").as("vtx")).distinct()
+    var labels = verts.select(col("vtx"), col("vtx").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("vtx").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val next = counts.groupBy(col("u"))
+        .agg(min_by(col("lbl"), struct(-col("cnt"), col("lbl"))).as("newLbl"))
+      labels = verts.join(next, verts("vtx") === next("u"), "left")
+        .select(col("vtx"), coalesce(col("newLbl"), col("vtx")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("vtx").as("v"), col("lbl").as("community"))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSONL corpus I/O — the interchange format LLM corpora actually ship in
+  * (one JSON object per line, usually gzip parts). The reference's ingest
+  * surface is spreadsheets ([[Workbook]]); a training-data engine also
+  * has to EXCHANGE corpora with the outside world, and at 100 TB that
+  * means: never die on a torn line (a crawler flush mid-object is
+  * guaranteed somewhere in a billion lines), quarantine it with enough
+  * context to debug, and write shard-partitioned compressed parts any
+  * other engine can read (the interop oracle reads our parts back with
+  * DuckDB's JSON reader and hash-matches).
+  */
+object Jsonl {
+
+  /** The reserved corrupt-capture column. */
+  private val CorruptCol = "__corrupt"
+
+  /** Read a JSONL file/directory with corrupt-line quarantine: returns
+    * (good, quarantine) where `good` carries the parsed columns and
+    * `quarantine` one `raw_line` string column. PERMISSIVE parse — a
+    * torn/invalid line lands in the quarantine, it never kills the job.
+    *
+    * `schema`: pass the expected schema for production reads (one pass,
+    * no inference job, missing fields null — the schema-on-read
+    * contract); None infers from the data (a second pass over the
+    * files — fine interactively, not on 100 TB).
+    *
+    * The parsed frame is CACHED before the good/quarantine split:
+    * Spark refuses a filter on only the corrupt-capture column of a
+    * streaming-parsed relation (internal-column pushdown limitation),
+    * and the two consumers would otherwise re-parse the files twice
+    * anyway.
+    */
+  def read(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): (DataFrame, DataFrame) = {
+    val dataSchema = schema.getOrElse(spark.read.json(path).schema)
+    require(!dataSchema.fieldNames.contains(CorruptCol),
+      s"schema must not contain reserved column $CorruptCol")
+    val full = StructType(dataSchema.fields :+ StructField(CorruptCol, StringType))
+    val parsed = spark.read
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .cache()
+    val good = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val quarantine = parsed.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    (good, quarantine)
+  }
+
+  /** Write a frame as compressed JSONL parts, optionally partitioned by
+    * `shardCol` (one directory per shard — the release layout
+    * [[graft.llmops.Corpus.tokenShards]] + `shardManifest` describe).
+    * Gzip by default: splittable-read doesn't matter for line-sized
+    * objects consumed part-per-task, and every downstream tool speaks it.
+    */
+  def write(df: DataFrame, path: String, shardCol: Option[String] = None,
+      compression: String = "gzip"): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("compression", compression)
+    shardCol.fold(w)(c => w.partitionBy(c)).json(path)
+  }
+}

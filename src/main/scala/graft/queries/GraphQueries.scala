@@ -104,6 +104,35 @@ object GraphQueries extends QueryModule {
         .select(col("suppkey"), col("triangles"))
         .orderBy("suppkey")
     },
+    // deterministic synchronous label propagation (3 rounds) over the
+    // co-supply edges: start = own key, adopt the most frequent neighbor
+    // label, ties → smallest — both nondeterminism sources of stock LPA
+    // pinned, so the oracle unrolls the rounds verbatim.
+    q("q_g_communities", {
+      val base =
+        "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 10 = 0), " +
+          "pr AS (SELECT DISTINCT a.s AS sa, b.s AS sb FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s AND (a.s * 31 + b.s) % 10 = 0), " +
+          "e AS (SELECT sa AS u, sb AS v FROM pr UNION SELECT sb, sa FROM pr), " +
+          "vt AS (SELECT DISTINCT u AS vtx FROM e), " +
+          "l0 AS (SELECT vtx, vtx AS lbl FROM vt)"
+      val rounds = (0 until 3).map { j =>
+        s"c$j AS (SELECT e.u AS vtx, l.lbl, count(*) AS cnt FROM e JOIN l$j l ON l.vtx = e.v GROUP BY 1, 2), " +
+          s"n$j AS (SELECT vtx, lbl FROM (SELECT vtx, lbl, row_number() OVER (PARTITION BY vtx ORDER BY cnt DESC, lbl) AS rn FROM c$j) x WHERE rn = 1), " +
+          s"l${j + 1} AS (SELECT vt.vtx, coalesce(n.lbl, vt.vtx) AS lbl FROM vt LEFT JOIN n$j n USING (vtx))"
+      }.mkString(", ")
+      s"$base, $rounds SELECT vtx AS suppkey, lbl AS community FROM l3 ORDER BY 1"
+    }) { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val pairs = ps.alias("a").join(ps.alias("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .filter((col("a.sk") * 31 + col("b.sk")) % 10 === 0)
+        .select(col("a.sk").as("sa"), col("b.sk").as("sb")).distinct()
+      GraphAnalytics.labelPropagation(pairs, "sa", "sb", iters = 3)
+        .select(col("v").as("suppkey"), col("community"))
+        .orderBy("suppkey")
+    },
     // single-landmark BFS through the real GraphX ShortestPaths Pregel run
     // (undirected) over the co-supply graph, from the lowest-keyed supplier
     // that has an edge. The oracle is a recursive-CTE BFS whose UNION

@@ -822,6 +822,33 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // JSONL interop round trip: Spark WRITES the corpus as gzip JSONL
+    // parts, reads them back through the quarantine-capable reader, and
+    // the ORACLE reads the very same parts with DuckDB's JSON reader —
+    // a genuine cross-engine format check (per-source counts + an
+    // order-invariant xor checksum of id:text must hash-match).
+    q("q_x_jsonl_interop", {
+      val h = graft.llmops.PortableHash.duckHash52(
+        "CAST(doc_id AS VARCHAR) || ':' || text")
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(bit_xor($h) AS BIGINT) AS checksum " +
+        "FROM read_json_auto('/tmp/graft_jsonl_interop/*.json.gz') " +
+        "GROUP BY source ORDER BY source"
+    }) { (s, d) =>
+      import graft.ingest.Jsonl
+      import graft.llmops.PortableHash
+      val path = "/tmp/graft_jsonl_interop"
+      Jsonl.write(Tables.documents(s, d)
+        .select("doc_id", "text", "source").coalesce(4), path)
+      val (good, quarantine) = Jsonl.read(s, path)
+      require(quarantine.isEmpty, "self-written JSONL must parse cleanly")
+      good.select(col("source"),
+          PortableHash.hash52(concat(col("doc_id").cast("string"), lit(":"),
+            col("text"))).as("__h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("checksum"))
+        .orderBy("source")
+    },
     // token-WEIGHTED occurrence quantiles: each doc's n_chars bucket
     // accumulates its token count — "half the corpus VOLUME sits in docs
     // shorter than p50", the compute-budgeting form; state again built

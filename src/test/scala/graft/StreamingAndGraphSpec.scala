@@ -349,6 +349,29 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("labelPropagation: two cliques resolve to their min labels; bipartite 2-cycle pinned") {
+    import spark.implicits._
+    // two 4-cliques {1..4} and {10..13} joined by one bridge 4–10: after
+    // a few rounds each clique carries its minimum label, and the bridge
+    // does not merge them (each endpoint's clique majority wins 3:1).
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))).toDF("a", "b")
+    val out = GraphAnalytics.labelPropagation(edges, "a", "b", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L), s"clique 1 labels: $out")
+    assert(Seq(10L, 11L, 12L, 13L).forall(out(_) == 10L), s"clique 2 labels: $out")
+    // the documented synchronous-LPA oscillation: an isolated pair swaps
+    // labels every round — odd iters → swapped, even iters → back.
+    val pair = Seq((7L, 8L)).toDF("a", "b")
+    val odd = GraphAnalytics.labelPropagation(pair, "a", "b", iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(odd == Map(7L -> 8L, 8L -> 7L))
+    val even = GraphAnalytics.labelPropagation(pair, "a", "b", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(even == Map(7L -> 7L, 8L -> 8L))
+  }
+
   test("dataCardStream: card is batch-split-invariant, restart-safe, exact below k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

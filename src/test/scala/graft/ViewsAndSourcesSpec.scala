@@ -165,4 +165,37 @@ class ViewsAndSourcesSpec extends SparkTestBase {
     assert(labelDirs.contains("label=Virtualmachine"))
     assert(back.nodes.filter(col("label") === "Vspherehost").count() == 2)
   }
+
+  test("Jsonl: corrupt lines quarantine, clean lines parse, shards round-trip") {
+    import graft.ingest.Jsonl
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    // hand-written file with a torn line and a type-consistent good set.
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha", "shard": 0}""",
+      """{"doc_id": 2, "text": "beta", "shard": 0}""",
+      """{"doc_id": 3, "text": "gam""", // torn mid-object: must quarantine
+      """{"doc_id": 4, "text": "delta", "shard": 1}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType)))
+    val (good, bad) = Jsonl.read(spark, dir, Some(schema))
+    assert(good.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    val q = bad.as[String].collect()
+    assert(q.length == 1 && q.head.contains("gam"), s"quarantine: ${q.toSeq}")
+    // shard-partitioned gzip write → directory per shard, DuckDB-readable
+    // layout, round-trips through the schema-less (inferring) read.
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_out").toString
+    Jsonl.write(good, out, shardCol = Some("shard"))
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(shardDirs == Set("shard=0", "shard=1"))
+    val (back, none) = Jsonl.read(spark, out)
+    assert(none.isEmpty)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
 }
