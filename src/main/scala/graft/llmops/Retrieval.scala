@@ -245,4 +245,54 @@ object Retrieval {
       .select(col("qid"), col("rank"), col("doc"), col("score"),
         col("rank_a"), col("rank_b"))
   }
+
+  /** Best-window snippet extraction — the last stage of the retrieval
+    * stack (index → search → rank → SHOW the user why this document
+    * matched): for each (qid, doc) candidate pair, find the `window`-token
+    * span holding the MOST query-term occurrences (match lowercased, the
+    * search-side tokenization; snippet text keeps the original casing)
+    * and emit (qid, doc, start_tok 1-based, n_hits, snippet). Ties break
+    * to the EARLIEST window; pairs whose document contains no query term
+    * emit nothing (can't happen for [[searchTopK]] output — minMatch ≥ 1).
+    *
+    * The optimal window can always be anchored AT a hit (sliding right
+    * until its first hit reaches the start never lowers the count), so
+    * candidates are hit positions only: per pair, hits self-join within
+    * [p, p+window) and argmax — work is Σ hits², with hits bounded by
+    * per-doc query-term occurrences, not document length. Scale: the
+    * pair and query tables are top-k-sized; only the position explode
+    * touches the candidate documents (never the whole corpus — the
+    * pairs semi-join prunes the scan).
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, queries: DataFrame, qidCol: String, qtextCol: String,
+      window: Int = 8): DataFrame = {
+    require(window >= 1)
+    val cand = pairs.select(col("qid"), col("doc"))
+    val candDocs = docs
+      .select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .join(cand.select("doc").distinct(), Seq("doc"), "left_semi")
+    val toks = candDocs.select(col("doc"),
+      posexplode(TextAnalysis.wsTokens(lower(col("__text")))).as(Seq("pos", "tok")))
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val hits = cand.join(qterms, Seq("qid"))
+      .join(toks, col("term") === col("tok") && cand("doc") === toks("doc"))
+      .select(col("qid"), cand("doc").as("doc"), col("pos"))
+    val counts = hits.alias("a").join(hits.alias("b"),
+        col("a.qid") === col("b.qid") && col("a.doc") === col("b.doc") &&
+          col("b.pos") >= col("a.pos") && col("b.pos") < col("a.pos") + window)
+      .groupBy(col("a.qid").as("qid"), col("a.doc").as("doc"), col("a.pos").as("pos"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("qid", "doc").orderBy(col("n_hits").desc, col("pos"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(candDocs.select(col("doc"),
+        split(trim(col("__text")), "\\s+").as("__ot")), Seq("doc"))
+      .select(col("qid"), col("doc"), (col("pos") + 1).cast("long").as("start_tok"),
+        col("n_hits"),
+        concat_ws(" ", slice(col("__ot"), (col("pos") + 1).cast("int"),
+          lit(window))).as("snippet"))
+  }
 }

@@ -526,6 +526,36 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // snippet extraction over the top-3 keyword results (window 8): the
+    // best query-term window per (query, doc), earliest on ties — the
+    // oracle replays the search chain then the anchored-window argmax.
+    q("q_x_search_snippets",
+      "WITH tf AS (SELECT t AS term, doc_id AS doc, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents) GROUP BY 1, 2), " +
+        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3) AS qt FROM documents WHERE doc_id % 50 = 0 AND doc_id < 10000), " +
+        "qt AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q), " +
+        "sc AS (SELECT qid, doc, CAST(sum(tf) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_matched " +
+        "FROM qt JOIN tf USING (term) GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "pairs AS (SELECT qid, doc FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc) rr WHERE rank <= 3), " +
+        "toks AS (SELECT doc_id AS doc, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS tok FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents) tt), " +
+        "hits AS (SELECT p.qid, p.doc, t.pos FROM pairs p JOIN qt ON qt.qid = p.qid JOIN toks t ON t.doc = p.doc AND t.tok = qt.term), " +
+        "cnts AS (SELECT a.qid, a.doc, a.pos, CAST(count(*) AS BIGINT) AS n_hits FROM hits a JOIN hits b ON b.qid = a.qid AND b.doc = a.doc AND b.pos >= a.pos AND b.pos < a.pos + 8 GROUP BY 1, 2, 3), " +
+        "best AS (SELECT qid, doc, pos, n_hits FROM (SELECT *, row_number() OVER (PARTITION BY qid, doc ORDER BY n_hits DESC, pos) AS rn FROM cnts) bb WHERE rn = 1), " +
+        "orig AS (SELECT doc_id AS doc, regexp_split_to_array(trim(text), '\\s+') AS ot FROM documents) " +
+        "SELECT qid, best.doc, CAST(pos + 1 AS BIGINT) AS start_tok, n_hits, " +
+        "array_to_string(list_slice(ot, CAST(pos + 1 AS INT), CAST(pos + 8 AS INT)), ' ') AS snippet " +
+        "FROM best JOIN orig ON orig.doc = best.doc ORDER BY qid, best.doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
+      val pairs = graft.llmops.Retrieval.searchTopK(docs, "doc_id", "text",
+          queries, "qid", "qtext", k = 3, minMatch = 2)
+        .select("qid", "doc")
+      graft.llmops.Retrieval.snippets(docs, "doc_id", "text",
+          pairs, queries, "qid", "qtext", window = 8)
+        .orderBy("qid", "doc")
+    },
     // composite Gopher-style quality gate — every rule an explicit column,
     // `reason` names the first failing rule, thresholds chosen to split
     // the synthetic corpus non-trivially (each reason fires on some docs)

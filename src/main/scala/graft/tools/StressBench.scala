@@ -91,12 +91,25 @@ object StressBench {
     "q_x_multimodal_cdc", "q_x_multimodal_cdc_gear",
     // multi-probe fans out (1+bits)x on the query side ONLY — its ratio
     // should track q_x_ann_lsh's, not blow past it.
-    "q_x_ann_multiprobe")
+    "q_x_ann_multiprobe",
+    // r8 batch 4: LPA's per-round joins grow with |E| (the co-supply
+    // projection densifies — its sparsifiers bound it), triplet mining is
+    // the anchored brute-force shape (linear in corpus at fixed anchors),
+    // URL canonicalization and the weighted-histogram fold are pure
+    // map / bounded-state passes.
+    "q_g_communities", "q_x_mine_triplets", "q_x_url_canonical",
+    "q_x_weighted_quantiles", "q_x_search_snippets")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(1).getOrElse("/tmp/graft_stress")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated name substrings — stress only the
+    // matching queries (the Verify local-iteration aid).
+    val selected = args.lift(3).map(_.split(",").toSeq) match {
+      case Some(pats) => StressQueries.filter(n => pats.exists(n.contains))
+      case None => StressQueries
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -155,7 +168,7 @@ object StressBench {
     }
 
     def timeAll(dir: String): Map[String, Double] =
-      StressQueries.map { name =>
+      selected.map { name =>
         val t0 = System.nanoTime()
         val n = try { SparkEntry.queries(name)(spark, dir).count() } catch {
           case scala.util.control.NonFatal(e) =>
@@ -170,9 +183,9 @@ object StressBench {
     val dF = buildDir(factor)
     val t1 = timeAll(d1)
     val tF = timeAll(dF)
-    def fmt(m: Map[String, Double]) = StressQueries
+    def fmt(m: Map[String, Double]) = selected
       .map(q => s"\"$q\":${m(q)}").mkString("{", ",", "}")
-    val ratios = StressQueries.map { q =>
+    val ratios = selected.map { q =>
       val r = if (t1(q) > 0 && tF(q) > 0) tF(q) / t1(q) else -1.0
       s"\"$q\":${math.round(r * 100) / 100.0}"
     }.mkString("{", ",", "}")

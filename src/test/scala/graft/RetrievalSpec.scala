@@ -133,6 +133,31 @@ class RetrievalSpec extends SparkTestBase {
       .select("doc").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("snippets: densest window wins, ties earliest, original casing kept") {
+    // hits at positions 0, 5, 6, 7 (0-based) for terms {red, blue}: the
+    // window of 4 anchored at pos 5 holds 3 hits (best); pos 0 holds 1.
+    val sd = Seq(
+      (1L, "Red x y z w Blue RED blue tail tail2"),
+      (2L, "nothing matches here"))
+      .toDF("doc_id", "text")
+    val queries = Seq((9L, "red blue")).toDF("qid", "qtext")
+    val pairs = Seq((9L, 1L), (9L, 2L)).toDF("qid", "doc")
+    val out = Retrieval.snippets(sd, "doc_id", "text", pairs, queries,
+        "qid", "qtext", window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // doc 2 has no hits → no row; doc 1's best window starts at token 6
+    // (1-based), 3 hits, snippet keeps the ORIGINAL mixed casing.
+    assert(out.toSeq == Seq((9L, 1L, 6L, 3L, "Blue RED blue tail")))
+    // tie-break: two equally dense windows → the earliest start wins.
+    val tie = Seq((3L, "red a red b red c")).toDF("doc_id", "text")
+    val tiePairs = Seq((9L, 3L)).toDF("qid", "doc")
+    val tieOut = Retrieval.snippets(tie, "doc_id", "text", tiePairs, queries,
+        "qid", "qtext", window = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(tieOut == Seq((1L, 2L))) // [red a red] and [red b red] tie → first
+  }
+
   test("searchTopK plan: query terms broadcast, top-k window partitioned by qid") {
     val queries = Seq((10L, "spark shuffle")).toDF("qid", "qtext")
     val plan = Retrieval.searchTopK(docs, "doc_id", "text",
