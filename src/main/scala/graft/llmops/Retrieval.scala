@@ -114,6 +114,17 @@ object Retrieval {
           .filter(col("__df") > maxDf).select("term")
         qtermsAll.join(hot, Seq("term"), "left_anti")
       }
+    searchTerms(postings, qterms, k, minMatch)
+  }
+
+  /** The probe/score/rank core over an explicit (qid, term) table — the
+    * composition point [[expandedSearch]] feeds augmented term sets
+    * through; [[searchPostings]] delegates here after tokenizing and
+    * stop-term-capping.
+    */
+  def searchTerms(postings: DataFrame, qterms: DataFrame,
+      k: Int = 5, minMatch: Int = 1): DataFrame = {
+    require(k >= 1 && minMatch >= 1)
     val scored = postings.join(broadcast(qterms), Seq("term"))
       .groupBy("qid", "doc")
       .agg(sum("tf").as("score"), count(lit(1)).as("n_matched"))
@@ -122,6 +133,45 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc"), col("score"), col("n_matched"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape in exact
+    * integer arithmetic): run the initial keyword search, assume its top
+    * `fbDocs` results are relevant, harvest the `fbTerms` most frequent
+    * terms across them (summed tf, ties → term ASC, the original query's
+    * terms excluded from the harvest), ADD those terms to the query, and
+    * rescore — the classic vocabulary-mismatch fix ("car" retrieves
+    * documents that only ever say "automobile" because the feedback docs
+    * say both). Two search passes, both the broadcast-probe shape; the
+    * harvest is one aggregation over fbDocs×terms rows (top-k-bounded).
+    * Fully deterministic — tf-weighted with integer ties, no smoothing
+    * floats — so the whole two-stage run is SQL-replayable. Emits the
+    * final ranking (same schema as [[searchTopK]]; `n_matched` counts
+    * ORIGINAL + expansion terms).
+    */
+  def expandedSearch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 5, minMatch: Int = 1,
+      fbDocs: Int = 3, fbTerms: Int = 2): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0)
+    val postings = termFreqs(docs, idCol, textCol).localCheckpoint(true)
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val fb = searchTerms(postings, qterms, k = fbDocs, minMatch = minMatch)
+      .select("qid", "doc")
+    // harvest: per query, the fbTerms highest summed-tf terms across the
+    // feedback docs, original terms excluded.
+    val origTerms = qterms.select(col("qid").as("__oqid"), col("term").as("__orig"))
+    val harvested = fb.join(postings, Seq("doc"))
+      .join(origTerms,
+        col("qid") === col("__oqid") && col("term") === col("__orig"), "left_anti")
+      .groupBy("qid", "term").agg(sum("tf").as("__tf"))
+    val wH = Window.partitionBy("qid").orderBy(col("__tf").desc, col("term"))
+    val expansion = harvested.withColumn("__hr", row_number().over(wH))
+      .filter(col("__hr") <= fbTerms)
+      .select("qid", "term")
+    searchTerms(postings, qterms.unionByName(expansion).distinct(), k, minMatch)
   }
 
   /** Exact phrase search: a document matches where ALL the phrase's

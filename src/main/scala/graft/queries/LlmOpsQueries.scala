@@ -526,6 +526,31 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // pseudo-relevance-feedback expansion (fbDocs 3, fbTerms 2): top
+    // feedback docs donate their 2 heaviest non-query terms, the
+    // augmented query rescored — both passes + the harvest replayed.
+    q("q_x_search_expanded",
+      "WITH tf AS (SELECT t AS term, doc_id AS doc, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents) GROUP BY 1, 2), " +
+        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3) AS qt FROM documents WHERE doc_id % 50 = 0 AND doc_id < 10000), " +
+        "qt AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q), " +
+        "sc1 AS (SELECT qid, doc, CAST(sum(tf) AS BIGINT) AS score FROM qt JOIN tf USING (term) GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "fb AS (SELECT qid, doc FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc1) f WHERE rank <= 3), " +
+        "harv AS (SELECT f.qid, tf.term, CAST(sum(tf.tf) AS BIGINT) AS htf FROM fb f JOIN tf ON tf.doc = f.doc " +
+        "WHERE NOT EXISTS (SELECT 1 FROM qt WHERE qt.qid = f.qid AND qt.term = tf.term) GROUP BY 1, 2), " +
+        "ex AS (SELECT qid, term FROM (SELECT qid, term, row_number() OVER (PARTITION BY qid ORDER BY htf DESC, term) AS hr FROM harv) h WHERE hr <= 2), " +
+        "qt2 AS (SELECT qid, term FROM qt UNION SELECT qid, term FROM ex), " +
+        "sc2 AS (SELECT qid, doc, CAST(sum(tf) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_matched FROM qt2 JOIN tf USING (term) GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, doc, score, n_matched FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc2) r WHERE rank <= 5 ORDER BY qid, rank") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
+      graft.llmops.Retrieval.expandedSearch(docs, "doc_id", "text",
+          queries, "qid", "qtext", k = 5, minMatch = 2, fbDocs = 3, fbTerms = 2)
+        .orderBy("qid", "rank")
+    },
     // snippet extraction over the top-3 keyword results (window 8): the
     // best query-term window per (query, doc), earliest on ties — the
     // oracle replays the search chain then the anchored-window argmax.
@@ -1041,6 +1066,20 @@ object LlmOpsQueries extends QueryModule {
           name => substring(name, 1, 16), maxDist = 1)
         .filter(col("l_id") < col("r_id"))
         .orderBy("l_id", "r_id")
+    },
+    // sorted-neighborhood ER blocking (window 4, lev ≤ 2) over supplier
+    // names: the sliding window catches near-keys that never agree on an
+    // exact block key; the oracle ranks globally and takes the plain
+    // inequality window join.
+    q("q_x_fuzzy_sorted_neighborhood",
+      "WITH s AS (SELECT s_suppkey AS id, s_name AS name, row_number() OVER (ORDER BY s_name, s_suppkey) - 1 AS r FROM supplier), " +
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b, b.r - a.r AS rank_gap FROM s a JOIN s b ON b.r > a.r AND b.r <= a.r + 4) " +
+        "SELECT id_a, id_b, name_a, name_b, CAST(rank_gap AS BIGINT) AS rank_gap, " +
+        "CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist FROM p " +
+        "WHERE levenshtein(name_a, name_b) <= 2 ORDER BY 1, 2") { (s, d) =>
+      FuzzyMatch.sortedNeighborhood(Tables.supplier(s, d), "s_suppkey", "s_name",
+          identity, window = 4, maxDist = 2)
+        .orderBy("id_a", "id_b")
     },
     // deterministic sign-LSH ANN (the portable scale path; the ML-seeded
     // lshTopK variant stays API-available and recall-tested in LlmOpsSpec)

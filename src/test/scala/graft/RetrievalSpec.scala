@@ -158,6 +158,57 @@ class RetrievalSpec extends SparkTestBase {
     assert(tieOut == Seq((1L, 2L))) // [red a red] and [red b red] tie → first
   }
 
+  test("expandedSearch: feedback terms retrieve the vocabulary-mismatch doc") {
+    // d2 never says "car" — only the expansion can surface it.
+    val vocab = Seq(
+      (1L, "car automobile automobile"),
+      (2L, "automobile automobile automobile engine"),
+      (3L, "car engine")).toDF("doc_id", "text")
+    val queries = Seq((9L, "car")).toDF("qid", "qtext")
+    val plain = Retrieval.searchTopK(vocab, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .select("doc").as[Long].collect().toSet
+    assert(plain == Set(1L, 3L), "the un-expanded query cannot see doc 2")
+    val expanded = Retrieval.expandedSearch(vocab, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, fbDocs = 2, fbTerms = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // feedback docs {1, 3} donate {automobile: 2, engine: 1}; doc 2 then
+    // scores 3 + 1 = 4 and ranks FIRST.
+    assert(expanded.head == ((2L, 4L)), s"got $expanded")
+    assert(expanded.map(_._1).toSet == Set(1L, 2L, 3L))
+    // fbTerms = 0 degrades exactly to the plain search.
+    val zero = Retrieval.expandedSearch(vocab, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, fbDocs = 2, fbTerms = 0)
+      .select("doc").as[Long].collect().toSet
+    assert(zero == plain)
+  }
+
+  test("sortedNeighborhood: window pairs only, exact-once, catches block-straddlers") {
+    import graft.llmops.FuzzyMatch
+    // names that sort adjacently but share NO 4-char prefix block:
+    // "azzz" and "baaa" — prefix blocking misses them, the window pairs
+    // them with lev 4.
+    val recs = Seq((1L, "azzz"), (2L, "baaa"), (3L, "bzzz"), (4L, "zzzz"))
+      .toDF("rid", "rname")
+    val out = FuzzyMatch.sortedNeighborhood(recs, "rid", "rname",
+        identity, window = 1, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    // sort order: azzz(1) baaa(2) bzzz(3) zzzz(4); window 1 → only
+    // adjacent pairs; each exactly once.
+    assert(out.map(t => (t._1, t._2)).toSeq.sorted ==
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(out.forall(_._3 == 1L), "window 1 means rank_gap 1 everywhere")
+    val prefixBlocked = FuzzyMatch.blockedLevenshtein(
+        recs.select(col("rid").as("l_id"), col("rname").as("l_name")), "l_id", "l_name",
+        recs.select(col("rid").as("r_id"), col("rname").as("r_name")), "r_id", "r_name",
+        n => substring(n, 1, 1), maxDist = 4)
+      .filter(col("l_id") < col("r_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!prefixBlocked.contains((1L, 2L)),
+      "prefix blocking must miss the boundary pair the window catches")
+  }
+
   test("searchTopK plan: query terms broadcast, top-k window partitioned by qid") {
     val queries = Seq((10L, "spark shuffle")).toDF("qid", "qtext")
     val plan = Retrieval.searchTopK(docs, "doc_id", "text",
