@@ -186,6 +186,48 @@ object GraphAnalytics {
     * vote — add them downstream as their own singleton communities).
     * Returns (v, community).
     */
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * vertex whose CURRENT degree (within the surviving subgraph) is
+    * below `k` until none remains — the classic graph-quality trim
+    * (spam/bot rings and weakly-attached tendrils peel away; what
+    * survives is the densely-knit core). Returns the surviving vertices
+    * with their in-core degree; an empty frame when no k-core exists.
+    *
+    * Runs to the FIXPOINT (a round that deletes nothing), bounded by
+    * `maxRounds` — non-convergence within the bound throws loudly (the
+    * [[graft.llmops.Dedup.resolveClusters]] discipline) rather than
+    * returning a half-peeled graph. Convergence is ≤ |V| rounds in
+    * theory, a handful in practice (each round is one degree aggregation
+    * + one semi-join over the shrinking edge set, checkpointed — the
+    * per-round cost DROPS as the graph peels). Because the fixpoint is
+    * stable, an oracle may replay MORE rounds than the engine needed:
+    * extra rounds are no-ops — which is what lets a fixed-unroll SQL
+    * replay hash-match a data-dependent iteration count.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      round += 1
+      val keep = und.groupBy("u").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("u").localCheckpoint(true)
+      val pruned = und
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      stable = pruned.count() == und.count()
+      und = pruned
+    }
+    require(stable, s"k-core did not converge within $maxRounds rounds")
+    und.groupBy(col("u").as("v")).agg(count(lit(1)).as("core_degree"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 0)

@@ -104,6 +104,32 @@ object GraphQueries extends QueryModule {
         .select(col("suppkey"), col("triangles"))
         .orderBy("suppkey")
     },
+    // k-core peeling (k = 4) over the co-supply edges: the engine runs to
+    // the data-dependent fixpoint; the oracle unrolls 6 rounds — extra
+    // rounds past convergence are no-ops, so the two agree exactly.
+    q("q_g_kcore", {
+      val base =
+        "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 10 = 0), " +
+          "pr AS (SELECT DISTINCT a.s AS sa, b.s AS sb FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s AND (a.s * 31 + b.s) % 10 = 0), " +
+          "e0 AS (SELECT sa AS u, sb AS v FROM pr UNION SELECT sb, sa FROM pr)"
+      val rounds = (0 until 6).map { j =>
+        s"d$j AS (SELECT u, count(*) AS d FROM e$j GROUP BY 1), " +
+          s"k$j AS (SELECT u FROM d$j WHERE d >= 4), " +
+          s"e${j + 1} AS (SELECT e.u, e.v FROM e$j e WHERE e.u IN (SELECT u FROM k$j) AND e.v IN (SELECT u FROM k$j))"
+      }.mkString(", ")
+      s"$base, $rounds SELECT u AS suppkey, CAST(count(*) AS BIGINT) AS core_degree FROM e6 GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 10 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val pairs = ps.alias("a").join(ps.alias("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .filter((col("a.sk") * 31 + col("b.sk")) % 10 === 0)
+        .select(col("a.sk").as("sa"), col("b.sk").as("sb")).distinct()
+      GraphAnalytics.kCore(pairs, "sa", "sb", k = 4)
+        .select(col("v").as("suppkey"), col("core_degree"))
+        .orderBy("suppkey")
+    },
     // deterministic synchronous label propagation (3 rounds) over the
     // co-supply edges: start = own key, adopt the most frequent neighbor
     // label, ties → smallest — both nondeterminism sources of stock LPA

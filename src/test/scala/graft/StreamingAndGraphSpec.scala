@@ -372,6 +372,24 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(even == Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("kCore: tendrils peel, the dense core survives with in-core degrees") {
+    import spark.implicits._
+    // a 4-clique (every vertex degree 3) with a pendant chain 4–20–21:
+    // the 3-core is exactly the clique; the chain peels in two rounds
+    // (21 first, then 20 — its degree DROPS when 21 leaves).
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ Seq((4L, 20L), (20L, 21L)))
+      .toDF("a", "b")
+    val core3 = GraphAnalytics.kCore(edges, "a", "b", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be the clique with degree 3: $core3")
+    // k above the densest core → empty, not an error.
+    assert(GraphAnalytics.kCore(edges, "a", "b", k = 4).count() == 0L)
+    // k = 1 keeps everything (every vertex has an edge).
+    assert(GraphAnalytics.kCore(edges, "a", "b", k = 1).count() == 6L)
+  }
+
   test("dataCardStream: card is batch-split-invariant, restart-safe, exact below k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
