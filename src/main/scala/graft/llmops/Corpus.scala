@@ -102,6 +102,27 @@ object Corpus {
     withSplit(eff, col("split_key"), splits, outCol)
   }
 
+  /** Split-leakage AUDIT — the one-query governance check
+    * [[leakageSafeSplit]] exists to pass: given per-document split labels
+    * and a near-duplicate pair table, count the pairs whose endpoints
+    * landed in DIFFERENT splits (each such pair is an eval-contamination
+    * path). One row: (n_pairs, n_straddling) — zero straddling is the
+    * acceptance bar for a leakage-safe split; a per-doc hash split fails
+    * it by construction (~2·p·(1−p) of pairs). Two broadcast-sized label
+    * joins; pairs missing a label are excluded (count both sides or fix
+    * the label table first).
+    */
+  def splitLeakageAudit(splits: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    pairs
+      .join(splits.select(col(idCol).as("__ida"), col(splitCol).as("__sa")),
+        col(aCol) === col("__ida"))
+      .join(splits.select(col(idCol).as("__idb"), col(splitCol).as("__sb")),
+        col(bCol) === col("__idb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)), lit(0L))
+          .as("n_straddling"))
+
   /** Sliding token-window chunking: split each document into chunks of
     * `window` tokens starting every `stride` tokens (stride < window ⇒
     * overlap — the long-context / RAG-indexing shape). One narrow

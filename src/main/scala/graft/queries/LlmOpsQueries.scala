@@ -1270,6 +1270,39 @@ object LlmOpsQueries extends QueryModule {
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy("doc_id")
     },
+    // split-leakage audit over BOTH split modes: the naive per-doc hash
+    // split leaks near-dup pairs across the boundary, the cluster-keyed
+    // split must audit to ZERO straddling — both counted exactly.
+    q("q_x_split_leakage_audit", {
+      val hDoc = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      val hKey = graft.llmops.PortableHash.duckHash52("CAST(split_key AS VARCHAR)")
+      s"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($minHashOracleSql) mh), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
+        "eff AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS split_key FROM documents d LEFT JOIN comp c ON c.v = d.doc_id), " +
+        s"safe AS (SELECT doc_id, CASE WHEN $hKey % 10000 < 8000 THEN 'train' WHEN $hKey % 10000 < 9000 THEN 'valid' ELSE 'test' END AS split FROM eff), " +
+        s"naive AS (SELECT doc_id, CASE WHEN $hDoc % 10000 < 8000 THEN 'train' WHEN $hDoc % 10000 < 9000 THEN 'valid' ELSE 'test' END AS split FROM documents), " +
+        "aud AS (SELECT 'leakage_safe' AS mode, CAST(count(*) AS BIGINT) AS n_pairs, CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_straddling " +
+        "FROM pairs p JOIN safe a ON a.doc_id = p.id_a JOIN safe b ON b.doc_id = p.id_b " +
+        "UNION ALL SELECT 'naive', CAST(count(*) AS BIGINT), CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "FROM pairs p JOIN naive a ON a.doc_id = p.id_a JOIN naive b ON b.doc_id = p.id_b) " +
+        "SELECT mode, n_pairs, n_straddling FROM aud ORDER BY mode"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text").localCheckpoint(true)
+      val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      val splits3 = Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)
+      val naive = Corpus.withSplit(docs.select("doc_id"), col("doc_id"), splits3)
+      val safe = Corpus.leakageSafeSplit(docs.select("doc_id"), "doc_id",
+        clusters, splits3)
+      Corpus.splitLeakageAudit(safe, "doc_id", "split", pairs)
+        .withColumn("mode", lit("leakage_safe"))
+        .unionByName(Corpus.splitLeakageAudit(naive, "doc_id", "split", pairs)
+          .withColumn("mode", lit("naive")))
+        .select(col("mode"), col("n_pairs"), col("n_straddling"))
+        .orderBy("mode")
+    },
     // exact phrase search: every 50th doc's tokens 2..4 as the phrase (so
     // the source doc matches at start 1, and repeated phrases elsewhere
     // count too); one term-join emits candidate starts, a full occurrence

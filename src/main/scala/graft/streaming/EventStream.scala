@@ -851,6 +851,28 @@ object EventStream {
     * during the overwrite is the one non-atomic window, the same window
     * every `mode("overwrite")` state rewrite in this file accepts.
     */
+  /** [[compactStateTable]] behind a fragmentation policy: compact only
+    * when the table's data-file count exceeds `maxFiles` (the per-batch
+    * append cadence decides how fast that accrues). Returns whether a
+    * compaction ran — call it from the foreachBatch tail (or a
+    * maintenance cron) and the state table self-heals without an
+    * operator remembering to. The file count comes from the catalog's
+    * table location — one directory listing, no data read.
+    */
+  def compactIfFragmented(spark: org.apache.spark.sql.SparkSession, table: String,
+      bucketCols: Seq[String] = Nil, buckets: Int = 8,
+      maxFiles: Int = 64): Boolean = {
+    val loc = new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location").select("data_type")
+      .head().getString(0))
+    val files = Option(new java.io.File(loc.getPath).listFiles())
+      .map(_.count(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))).getOrElse(0)
+    val fragmented = files > maxFiles
+    if (fragmented) compactStateTable(spark, table, bucketCols, buckets)
+    fragmented
+  }
+
   def compactStateTable(spark: org.apache.spark.sql.SparkSession, table: String,
       bucketCols: Seq[String] = Nil, buckets: Int = 8,
       targetFiles: Int = 1): Unit = {

@@ -67,6 +67,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(host == "sub.example.com")
   }
 
+  test("splitLeakageAudit: straddling pairs counted, unlabeled pairs excluded") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val labels = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"))
+      .toDF("doc_id", "split")
+    // (1,2) straddles; (3,4) doesn't; (4,9) has an unlabeled endpoint →
+    // excluded from both counts.
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 9L)).toDF("id_a", "id_b")
+    val r = Corpus.splitLeakageAudit(labels, "doc_id", "split", pairs)
+      .collect().head
+    assert((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_straddling")) == ((2L, 1L)))
+    // empty pair table → (0, 0), not an empty frame.
+    val e = Corpus.splitLeakageAudit(labels, "doc_id", "split",
+        pairs.filter(lit(false)))
+      .collect().head
+    assert((e.getAs[Long]("n_pairs"), e.getAs[Long]("n_straddling")) == ((0L, 0L)))
+  }
+
   test("canonicalUrl: each rule hand-checked, path case preserved") {
     import spark.implicits._
     val cases = Seq(

@@ -339,7 +339,12 @@ class StreamingAndGraphSpec extends SparkTestBase {
       }
       val docsBefore = spark.table("compact_test_docs")
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-      EventStream.compactStateTable(spark, "compact_test_docs")
+      // the policy wrapper: below the threshold it declines, above it runs.
+      assert(!EventStream.compactIfFragmented(spark, "compact_test_docs",
+        maxFiles = 100))
+      assert(tableFiles("compact_test_docs").size >= 5, "decline must not rewrite")
+      assert(EventStream.compactIfFragmented(spark, "compact_test_docs",
+        maxFiles = 2))
       assert(spark.table("compact_test_docs")
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == docsBefore)
       assert(tableFiles("compact_test_docs").size == 1)
