@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer: the composable double-form HOF dot product becomes the
     // codegen'd expression automatically (see RewriteFloatDot).
     ext.injectOptimizerRule(_ => RewriteFloatDot)
+    // optimizer: `levenshtein(a, b) <= k` filters gain the free
+    // length-difference prefilter (see RewriteLevenshteinBound).
+    ext.injectOptimizerRule(_ => RewriteLevenshteinBound)
     ext.injectFunction((
       new FunctionIdentifier("graft_fdot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_fdot"),

@@ -113,6 +113,9 @@ object StressBench {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
+      // the engine's SQL surface + optimizer rules, enabled the way a
+      // cluster deployment would (same as SparkTestBase).
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

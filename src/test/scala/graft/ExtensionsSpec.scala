@@ -49,6 +49,35 @@ class ExtensionsSpec extends SparkTestBase {
       "float-form HOF must not be rewritten (different rounding semantics)")
   }
 
+  test("levenshtein filters gain the length-difference prefilter, results unchanged") {
+    import spark.implicits._
+    // range-based (NOT a local Seq — ConvertToLocalRelation would fold the
+    // whole plan away before the rule could be observed).
+    val df = spark.range(5).selectExpr("id",
+      "concat('str', id) AS a",
+      "CASE WHEN id = 1 THEN concat('str', id) " +         // dist 0
+        "WHEN id = 2 THEN concat('str', id, 'q') " +        // dist 1
+        "WHEN id = 4 THEN CAST(NULL AS STRING) " +          // null → drops
+        "ELSE repeat('z', 20) END AS b")                    // far (guard kills)
+    val filtered = df.filter(levenshtein(col("a"), col("b")).cast("long") <= 2L)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    // the guard is present, before the expensive call, exactly once
+    // (aliases inline under collapsed projections — match on shape).
+    assert(opt.contains("abs((length(") || opt.contains("abs((length("),
+      s"length prefilter not injected:\n$opt")
+    assert("levenshtein".r.findAllIn(opt).size == 1,
+      s"the original predicate must survive once:\n$opt")
+    assert("abs\\(".r.findAllIn(opt).size == 1,
+      s"rule must be idempotent (one guard):\n$opt")
+    // results are exactly the unguarded semantics: ids 1 (dist 0) and 2
+    // (dist 1) pass; 0 and 3 are far; the null row drops.
+    assert(filtered.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the strict form rewrites too.
+    val strict = df.filter(levenshtein(col("a"), col("b")) < 1)
+    assert(strict.queryExecution.optimizedPlan.toString.contains("abs("))
+    assert(strict.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("graft_hash52 from SQL equals PortableHash on both engines' contract") {
     val rows = spark.sql(
       "SELECT graft_hash52('abc') AS h1, graft_hash52('') AS h2")
