@@ -157,6 +157,21 @@ object Dedup {
     require(numHashTables <= PortableHash.MinHashA.length,
       s"at most ${PortableHash.MinHashA.length} hash tables supported")
     val ex = hashedShingleRows(df, idCol, textCol, n, PortableHash.hash52).cache()
+    val out = pairsFromElementRows(ex, maxJaccardDist, numHashTables, maxBandFreq)
+    ex.unpersist()
+    out
+  }
+
+  /** The shared minhash pair pipeline over an element-row frame (doc, s):
+    * signature minima per permutation, OR-amplified banding (+ the
+    * optional band-skew guard), and the exact set-Jaccard verify. Used by
+    * [[minHashPairs]] (distinct shingle hashes) and
+    * [[weightedMinHashPairs]] (capped-multiset expansion — the SAME set
+    * machinery computes the weighted Jaccard there, because expanded
+    * copies share their copy indices up to the pairwise minimum).
+    */
+  private def pairsFromElementRows(ex: DataFrame, maxJaccardDist: Double,
+      numHashTables: Int, maxBandFreq: Option[Int]): DataFrame = {
     val sigAggs = (0 until numHashTables).map(i =>
       min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
     val sigs = ex.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
@@ -177,14 +192,52 @@ object Dedup {
       .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
-    val result = shared
+    shared
       .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .withColumn("jaccard_dist",
         lit(1.0) - col("shared") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard_dist") <= maxJaccardDist)
       .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
-    val out = result.localCheckpoint(true)
+      .localCheckpoint(true)
+  }
+
+  /** WEIGHTED-Jaccard near-dup pairs — plain Jaccard treats a shingle
+    * occurring once and fifty times identically, so a document that
+    * repeats one paragraph all over looks like a near-dup of anything
+    * sharing that paragraph. Weighted Jaccard
+    * `J_w = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b)` (with per-shingle tf
+    * capped at `weightCap` — the BM25-style saturation that stops one
+    * runaway phrase from dominating) weighs repetition honestly — and it
+    * reduces EXACTLY to set Jaccard over the capped-multiset expansion
+    * (shingle s with tf t becomes elements s#1..s#min(t, cap): two docs
+    * share copies 1..min of each shingle, so set-intersection = Σ min and
+    * set-union = Σ max). The whole existing minhash machinery — portable
+    * signatures, banding, skew guard, exact verify — then runs UNCHANGED
+    * on the expanded elements; expansion multiplies element rows by at
+    * most `weightCap`.
+    */
+  def weightedMinHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
+      weightCap: Int = 3, maxBandFreq: Option[Int] = None): DataFrame = {
+    require(weightCap >= 1)
+    require(numHashTables <= PortableHash.MinHashA.length,
+      s"at most ${PortableHash.MinHashA.length} hash tables supported")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val raw = df.select(col(idCol).as("doc"),
+      explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val ex = raw.groupBy("doc", "g").agg(count(lit(1)).as("tf"))
+      .select(col("doc"),
+        explode(sequence(lit(1L), least(col("tf"), lit(weightCap.toLong)))).as("i"),
+        col("g"))
+      .select(col("doc"), PortableHash.hash52(
+        concat(col("g"), lit("#"), col("i").cast("string"))).as("s"))
+      .cache()
+    val out = pairsFromElementRows(ex, maxJaccardDist, numHashTables, maxBandFreq)
     ex.unpersist()
     out
   }

@@ -130,6 +130,32 @@ object LlmOpsQueries extends QueryModule {
 
   private val minHashOracleSql: String = minHashSqlOver("documents")
 
+  /** DuckDB mirror of Dedup.weightedMinHashPairs (cap 3, H = 5, n = 3,
+    * dist ≤ 0.3): NON-distinct shingles with counts, capped-multiset
+    * expansion hashed with the copy index, then the identical
+    * signature/band/verify chain as the unweighted oracle.
+    */
+  private val weightedMinHashOracleSql: String = {
+    import graft.llmops.PortableHash
+    val h = 5
+    val sigCols = (0 until h)
+      .map(i => s"min(${PortableHash.duckMinhashPerm("h", i)}) AS m$i").mkString(", ")
+    val sigList = (0 until h).map(i => s"m$i").mkString("[", ", ", "]")
+    val eh = PortableHash.duckHash52("g || '#' || CAST(i AS VARCHAR)")
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), " +
+      "g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM t WHERE len(t) >= 3), " +
+      "wtf AS (SELECT doc_id, g, count(*) AS tf FROM g0 GROUP BY 1, 2), " +
+      s"ex AS (SELECT doc_id, $eh AS h FROM (SELECT doc_id, g, unnest(generate_series(1, least(tf, 3))) AS i FROM wtf)), " +
+      s"sigs AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id), " +
+      s"banded AS (SELECT doc_id, b.band AS band, $sigList[b.band + 1] AS sig FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${h - 1})) AS band) b), " +
+      "cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM banded x JOIN banded y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1), " +
+      "shared AS (SELECT c.id_a, c.id_b, count(*) AS sh FROM cands c JOIN ex a ON a.doc_id = c.id_a JOIN ex b ON b.doc_id = c.id_b AND b.h = a.h GROUP BY 1, 2) " +
+      "SELECT s.id_a, s.id_b, round(1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh), 6) AS jaccard_dist " +
+      "FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id " +
+      "WHERE 1 - CAST(s.sh AS DOUBLE) / (sa.n + sb.n - s.sh) <= 0.3 ORDER BY 1, 2"
+  }
+
   /** Cross-corpus variant of the minhash oracle: corpus = even doc_ids,
     * batch = odd; candidates pair strictly across the sides.
     */
@@ -739,6 +765,13 @@ object LlmOpsQueries extends QueryModule {
     // exact paths is additionally asserted in LlmOpsSpec.
     q("q_x_dedup_minhash", minHashOracleSql) { (s, d) =>
       Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    // weighted-Jaccard near-dup (tf capped at 3): repetition counts —
+    // Σ min(tf)/Σ max(tf) via the exact capped-multiset expansion, same
+    // minhash machinery over the expanded elements.
+    q("q_x_dedup_minhash_weighted", weightedMinHashOracleSql) { (s, d) =>
+      Dedup.weightedMinHashPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
     q("q_x_dedup_simhash", simHashOracleSql) { (s, d) =>

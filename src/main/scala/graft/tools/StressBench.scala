@@ -99,7 +99,10 @@ object StressBench {
     // map / bounded-state passes.
     "q_g_communities", "q_x_mine_triplets", "q_x_url_canonical",
     "q_x_weighted_quantiles", "q_x_search_snippets",
-    "q_x_search_expanded", "q_x_fuzzy_sorted_neighborhood", "q_g_kcore")
+    "q_x_search_expanded", "q_x_fuzzy_sorted_neighborhood", "q_g_kcore",
+    // the capped-multiset expansion multiplies element rows by <= cap —
+    // its ratio should track q_x_dedup_minhash's.
+    "q_x_dedup_minhash_weighted")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

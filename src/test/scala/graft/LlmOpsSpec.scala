@@ -29,6 +29,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(mh.size <= exactPairs.size * 10 + 20)
   }
 
+  test("weighted minhash: repetition counts; cap 1 degrades to plain Jaccard") {
+    import spark.implicits._
+    // A cycles one 6-token period 5x, B covers the same period once: the
+    // DISTINCT shingle sets are identical (plain Jaccard = 1) but the
+    // multisets differ 3:1 after the cap — weighted must reject the pair.
+    val period = "one two three four five six"
+    val rep = Seq(
+      (1L, (period + " ") * 4 + period),
+      (2L, period + " one two")).toDF("doc_id", "text")
+    val plain = Dedup.minHashPairs(rep, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(plain == Seq((1L, 2L, 0.0)), s"plain sees identical sets: $plain")
+    val weighted = Dedup.weightedMinHashPairs(rep, "doc_id", "text")
+      .collect()
+    assert(weighted.isEmpty,
+      "weighted Jaccard must reject the repetition-skewed pair")
+    // weightCap = 1 is exactly the distinct-set semantics.
+    val w1 = Dedup.weightedMinHashPairs(docs, "doc_id", "text", weightCap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p1 = Dedup.minHashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(w1 == p1, "cap 1 must equal the unweighted pipeline exactly")
+  }
+
   test("cross-corpus minhash equals the cross-parity subset of the self-join") {
     val self = Dedup.minHashPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
