@@ -53,6 +53,32 @@ object Jsonl {
     (good, quarantine)
   }
 
+  /** STREAMING JSONL ingestion — files LAND in a directory (the crawler /
+    * vendor-drop reality) and the pipeline absorbs each new file as a
+    * micro-batch: feed the result straight into
+    * [[graft.streaming.EventStream.indexStream]] /
+    * `curationStream` / `dedupStream`. A schema is mandatory (streams
+    * cannot infer), and the corrupt-capture column comes back AS A
+    * COLUMN (`corrupt_line`, null for clean rows): a stream cannot be
+    * split into two cached branches the way [[read]] splits, so the
+    * caller routes inside its foreachBatch —
+    * `batch.filter('corrupt_line.isNull)` onward,
+    * `batch.filter('corrupt_line.isNotNull)` to the quarantine table.
+    * Torn lines still never kill the job.
+    */
+  def readStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not contain reserved column $CorruptCol")
+    val full = StructType(schema.fields :+ StructField(CorruptCol, StringType))
+    spark.readStream
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .withColumnRenamed(CorruptCol, "corrupt_line")
+  }
+
   /** Write a frame as compressed JSONL parts, optionally partitioned by
     * `shardCol` (one directory per shard — the release layout
     * [[graft.llmops.Corpus.tokenShards]] + `shardManifest` describe).

@@ -434,6 +434,47 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(oneShot("s2") == ((2L, 6L, 3L, 2.0, 2L, 2L)))
   }
 
+  test("Jsonl.readStream: landed files absorb per batch, torn lines route, restart resumes") {
+    import graft.ingest.Jsonl
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("jsonl_stream_ckpt").toString
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val good = scala.collection.mutable.ArrayBuffer[Long]()
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    // a FRESH writer per run — the checkpoint alone decides what is new.
+    def runOnce(): Unit = {
+      val q = Jsonl.readStream(spark, dir, schema).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          good ++= b.filter(col("corrupt_line").isNull)
+            .select("doc_id").as[Long].collect()
+          bad ++= b.filter(col("corrupt_line").isNotNull)
+            .select("corrupt_line").as[String].collect()
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    drop("day1.json", Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 2, "text": "be""", // torn mid-object
+      """{"doc_id": 3, "text": "gamma"}"""))
+    runOnce()
+    assert(good.sorted.toSeq == Seq(1L, 3L))
+    assert(bad.length == 1 && bad.head.contains("be"))
+    // a new file lands; a restarted reader absorbs ONLY it.
+    drop("day2.json", Seq("""{"doc_id": 4, "text": "delta"}"""))
+    runOnce()
+    assert(good.sorted.toSeq == Seq(1L, 3L, 4L), s"got $good")
+    assert(bad.length == 1)
+  }
+
   test("indexStream: streamed postings serve searches ≡ one-shot searchTopK") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
