@@ -552,6 +552,32 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // RAG retrieval at SENTENCE-chunk granularity: sentenceChunks
+    // (budget 30, keepText) feeds searchTopK — the never-cut-mid-sentence
+    // serving unit; chunk key = doc·1000+chunk (the rag_chunk precedent).
+    q("q_x_rag_sentence_search",
+      "WITH t AS (SELECT doc_id, str_split(regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS sents FROM documents), " +
+        "s AS (SELECT doc_id, generate_subscripts(sents, 1) AS pos, unnest(sents) AS sent FROM t), " +
+        "n AS (SELECT doc_id, pos, sent, CAST(len(regexp_split_to_array(trim(sent), '\\s+')) AS BIGINT) AS ntok FROM s), " +
+        "c AS (SELECT doc_id, pos, sent, CAST(coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 30 AS BIGINT) AS chunk FROM n), " +
+        "ct AS (SELECT doc_id * 1000 + chunk AS ckey, string_agg(sent, ' ' ORDER BY pos) AS ctext FROM c GROUP BY 1), " +
+        "tf AS (SELECT term, ckey AS doc, CAST(count(*) AS BIGINT) AS tf FROM (SELECT ckey, unnest(regexp_split_to_array(trim(lower(ctext)), '\\s+')) AS term FROM ct) e GROUP BY 1, 2), " +
+        "q AS (SELECT doc_id AS qid, list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 3) AS qt FROM documents WHERE doc_id % 50 = 0 AND doc_id < 10000), " +
+        "qt AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q), " +
+        "sc AS (SELECT qid, doc, CAST(sum(tf) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_matched FROM qt JOIN tf USING (term) GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, doc, score, n_matched FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank FROM sc) r WHERE rank <= 5 ORDER BY qid, rank") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val chunks = Corpus.sentenceChunks(docs, "doc_id", "text",
+          budget = 30, keepText = true)
+        .withColumn("chunk_key", col("doc") * 1000 + col("chunk"))
+      val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.wsTokens(lower(col("text"))), 1, 3)).as("qtext"))
+      graft.llmops.Retrieval.searchTopK(chunks, "chunk_key", "chunk_text",
+          queries, "qid", "qtext", k = 5, minMatch = 2)
+        .orderBy("qid", "rank")
+    },
     // pseudo-relevance-feedback expansion (fbDocs 3, fbTerms 2): top
     // feedback docs donate their 2 heaviest non-query terms, the
     // augmented query rescored — both passes + the harvest replayed.

@@ -101,8 +101,9 @@ object StressBench {
     "q_x_weighted_quantiles", "q_x_search_snippets",
     "q_x_search_expanded", "q_x_fuzzy_sorted_neighborhood", "q_g_kcore",
     // the capped-multiset expansion multiplies element rows by <= cap —
-    // its ratio should track q_x_dedup_minhash's.
-    "q_x_dedup_minhash_weighted")
+    // its ratio should track q_x_dedup_minhash's (times the same
+    // true-pair output explosion: identical replicas all pair).
+    "q_x_dedup_minhash_weighted", "q_x_rag_sentence_search")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
