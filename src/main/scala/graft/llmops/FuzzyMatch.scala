@@ -39,6 +39,67 @@ object FuzzyMatch {
         col("_lname").as(leftName), col("_rname").as(rightName), col("dist"))
   }
 
+  /** Character-trigram similarity pairs (the pg_trgm method — the third
+    * classic fuzzy matcher alongside edit distance and the sorted window):
+    * two names match when the Jaccard of their padded character-trigram
+    * sets reaches `threshold`. Unlike Levenshtein it is transposition-
+    * and word-order-tolerant ("ACME Corp" ~ "Corp ACME"), and unlike the
+    * window it needs no sort key. Names pad with leading/trailing `_` (2
+    * front, 1 back — the pg_trgm convention, so 1-char names still emit
+    * trigrams and word starts weigh double).
+    *
+    * Candidates come from the inverted equi-join on shared trigrams
+    * (never all-pairs — the [[graft.llmops.Dedup.ngramJaccardPairs]]
+    * shape at character granularity); per-name trigram counts are
+    * bounded by name length, and exact set Jaccard verifies. Emits
+    * (id_a < id_b, jaccard).
+    */
+  def charTrigramPairs(df: DataFrame, idCol: String, nameCol: String,
+      threshold: Double = 0.4, maxDf: Long = 10000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    require(maxDf >= 1)
+    val padded = concat(lit("__"), lower(col(nameCol)), lit("_"))
+    val ex = df.select(col(idCol).as("doc"), padded.as("__p"))
+      .select(col("doc"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(__p) - 2), i -> substring(__p, i, 3))")))
+          .as("g"))
+      .cache()
+    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n"))
+    // the [[graft.llmops.Multimodal.frameJaccardPairs]] skew defense: a
+    // corpus-wide naming convention ("Supplier#000…") makes its prefix
+    // trigrams ubiquitous and the raw inverted join d²-quadratic — grams
+    // above `maxDf` are excluded from CANDIDATE GENERATION only, then
+    // counted back per candidate pair so the Jaccard stays EXACT over the
+    // full sets; pairs overlapping solely in boilerplate grams are the
+    // accepted loss.
+    val hot = ex.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("g").cache()
+    val cool = ex.join(hot, Seq("g"), "left_anti")
+    val sharedCool = cool.alias("x").join(cool.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .agg(count(lit(1)).as("shared_cool"))
+    val hotByDoc = ex.join(broadcast(hot), Seq("g"), "left_semi")
+    val hotShared = sharedCool.select("id_a", "id_b")
+      .join(hotByDoc.select(col("doc").as("id_a"), col("g")), Seq("id_a"))
+      .join(hotByDoc.select(col("doc").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_hot"))
+    val out = sharedCool
+      .join(hotShared, Seq("id_a", "id_b"), "left")
+      .withColumn("shared",
+        col("shared_cool") + coalesce(col("shared_hot"), lit(0L)))
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    ex.unpersist(); hot.unpersist()
+    out
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the OTHER
     * classic ER blocker: sort by a key, compare each record only with its
     * `window` successors in the sort order. Where [[blockedLevenshtein]]

@@ -156,6 +156,32 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rn"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Johnson-Lindenstrauss random projection — dimensionality reduction
+    * without training: project each embedding onto `outDim` fixed
+    * pseudo-random hyperplanes (the [[annTopK]] plane machinery:
+    * PortableHash-derived, float32-exact components, so every projected
+    * value is reproducible in SQL). JL: pairwise inner products and
+    * distances are approximately preserved at outDim = O(log n / ε²) —
+    * the cheap pre-step before brute-force/IVF when 4× fewer dimensions
+    * buys 4× the vectors per executor and 4× less shuffle, with the
+    * exact re-rank running on the ORIGINAL vectors as usual (the
+    * [[graft.llmops.Quantize]] two-stage discipline, trading dimensions
+    * instead of precision). One narrow codegen pass — outDim dots per
+    * row, no shuffle. Returns (id, proj: array<double> rounded to 6 dp —
+    * the float-discipline that keeps it hash-matchable).
+    */
+  def randomProject(df: DataFrame, outDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    require(outDim >= 1)
+    val comps = (0 until outDim).map { j =>
+      val plane = typedLit((0 until dim).map(d =>
+        PortableHash.unitUniformJvm(s"proj:$j:$d")))
+      round(dot(col(vecCol), plane), 6)
+    }
+    df.select(col(idCol).as("id"), array(comps: _*).as("proj"))
+  }
+
   /** Contrastive triplet mining — the training-data operator for
     * embedding models (retrieval/rerankers train on (anchor, positive,
     * negative) triples, and the NEGATIVE selection is what makes or

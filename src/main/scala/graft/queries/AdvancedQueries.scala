@@ -194,6 +194,25 @@ object AdvancedQueries extends QueryModule {
           BottomKSample.distinctQuantile(col("qs"), 90).as("p90_distinct"))
         .orderBy("flag")
     },
+    // exact per-group MODE (most frequent value, ties → smallest): a
+    // two-stage aggregation — count per (group, value) with map-side
+    // combine, then a combining max_by argmax — never a per-group window
+    // over raw rows; the scalable form of the "typical value" report.
+    q("q_a14_group_mode",
+      "WITH c AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2) " +
+        "SELECT flag, qty AS mode_qty, cnt AS mode_count FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY flag ORDER BY cnt DESC, qty) AS rn FROM c) r WHERE rn = 1 ORDER BY flag") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("flag")
+        .agg(max_by(struct(col("qty"), col("cnt")),
+          struct(col("cnt"), -col("qty"))).as("m"))
+        .select(col("flag"), col("m.qty").as("mode_qty"),
+          col("m.cnt").as("mode_count"))
+        .orderBy("flag")
+    },
     // global top-k by value with deterministic ties (Q-W7): Spark plans
     // ORDER BY + LIMIT as TakeOrderedAndProject — per-partition top-k then
     // a k-row merge on the driver, never a global sort.

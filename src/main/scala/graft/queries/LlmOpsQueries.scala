@@ -1126,6 +1126,22 @@ object LlmOpsQueries extends QueryModule {
         .filter(col("l_id") < col("r_id"))
         .orderBy("l_id", "r_id")
     },
+    // character-trigram similarity (pg_trgm padding, τ = 0.5) over part
+    // names: word-order-tolerant fuzzy matching; the default df cap is a
+    // documented no-op at this scale, so the oracle is the plain
+    // inverted-join + exact-Jaccard chain.
+    q("q_x_fuzzy_trigram",
+      "WITH p AS (SELECT p_partkey AS id, '__' || lower(p_name) || '_' AS pd FROM part), " +
+        "ex AS (SELECT DISTINCT id, substr(pd, CAST(i AS INT), 3) AS g FROM (SELECT id, pd, unnest(generate_series(1, length(pd) - 2)) AS i FROM p) e0), " +
+        "sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY 1), " +
+        "sh AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS s FROM ex x JOIN ex y ON x.g = y.g AND x.id < y.id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(CAST(s AS DOUBLE) / (sa.n + sb.n - s), 6) AS jaccard " +
+        "FROM sh JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b " +
+        "WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.5 ORDER BY 1, 2") { (s, d) =>
+      FuzzyMatch.charTrigramPairs(Tables.part(s, d), "p_partkey", "p_name",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
     // sorted-neighborhood ER blocking (window 4, lev ≤ 2) over supplier
     // names: the sliding window catches near-keys that never agree on an
     // exact block key; the oracle ranks globally and takes the plain
@@ -1199,6 +1215,21 @@ object LlmOpsQueries extends QueryModule {
       Similarity.ivfProbe(cells, cent, emb.filter(col("vec_id") < 5),
           k = 5, nprobe = 4)
         .orderBy("qid", "rn")
+    },
+    // JL random projection (64 → 16 dims): PortableHash-derived float32-
+    // exact planes, double dots rounded 6 dp — every component replayed.
+    q("q_x_random_projection", {
+      val r = graft.llmops.PortableHash.duckUnitUniform("'proj:' || j.j || ':' || k.k")
+      "WITH planes AS (SELECT j.j AS j, k.k AS k, " + r + " AS r " +
+        "FROM (SELECT unnest(generate_series(0, 15)) AS j) j, (SELECT unnest(generate_series(0, 63)) AS k) k), " +
+        "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings) " +
+        "SELECT e.vec_id AS id, CAST(p.j AS BIGINT) AS j, round(sum(e.v * p.r), 6) AS c " +
+        "FROM e JOIN planes p ON p.k = e.i - 1 GROUP BY 1, 2 ORDER BY 1, 2"
+    }) { (s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), outDim = 16)
+        .select(col("id"), posexplode(col("proj")).as(Seq("j", "c")))
+        .select(col("id"), col("j").cast("long").as("j"), col("c"))
+        .orderBy("id", "j")
     },
     // trained coarse quantizer: 2 integer-exact Lloyd rounds (nlist = 8)
     // over 2^16-quantized embeddings — centroids hash-match the unrolled

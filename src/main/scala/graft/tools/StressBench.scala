@@ -103,7 +103,10 @@ object StressBench {
     // the capped-multiset expansion multiplies element rows by <= cap —
     // its ratio should track q_x_dedup_minhash's (times the same
     // true-pair output explosion: identical replicas all pair).
-    "q_x_dedup_minhash_weighted", "q_x_rag_sentence_search")
+    "q_x_dedup_minhash_weighted", "q_x_rag_sentence_search",
+    // trigram matching carries the df cap (prefix-convention quadratic
+    // otherwise); projection and mode are narrow/two-stage passes.
+    "q_x_fuzzy_trigram", "q_x_random_projection", "q_a14_group_mode")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

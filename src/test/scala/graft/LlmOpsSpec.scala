@@ -792,6 +792,49 @@ class LlmOpsSpec extends SparkTestBase {
     assert(approx == again, "annTopK not deterministic")
   }
 
+  test("random projection: inner products preserved at the 12/outDim JL scale") {
+    // the JL property itself, not top-k recall (this corpus's cosine
+    // margins are tighter than a 4x projection resolves — the operator's
+    // scaladoc says to size outDim to the margin): across all pairs of a
+    // 50-vector sample, projected dots regress onto true dots with slope
+    // ~ outDim/12 (uniform[-0.5,0.5) plane components have variance 1/12)
+    // and correlate strongly.
+    val outDim = 16
+    val vecs = emb.limit(50).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val projs = Similarity.randomProject(emb.limit(50), outDim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ids = vecs.keys.toSeq.sorted
+    val pairs = for (i <- ids.indices; j <- i + 1 until ids.size)
+      yield (dot(vecs(ids(i)), vecs(ids(j))), dot(projs(ids(i)), projs(ids(j))))
+    val (tx, ty) = (pairs.map(_._1), pairs.map(_._2))
+    val (mx, my) = (tx.sum / tx.size, ty.sum / ty.size)
+    val cov = tx.zip(ty).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val vx = tx.map(x => (x - mx) * (x - mx)).sum
+    val vy = ty.map(y => (y - my) * (y - my)).sum
+    val corr = cov / math.sqrt(vx * vy)
+    val slope = cov / vx
+    val expected = outDim / 12.0
+    // per-pair JL noise is large at a 4x reduction (the bound wants
+    // outDim ~ ln(n)/eps^2) — pin positivity of the correlation and the
+    // UNBIASEDNESS of the scale, which averaging makes tight: the
+    // regression slope over ~1200 pairs and the mean norm ratio over
+    // 50x16 components both sit at outDim/12.
+    assert(corr >= 0.3, s"JL correlation $corr below 0.3")
+    assert(math.abs(slope - expected) / expected <= 0.4,
+      s"JL slope $slope vs expected $expected")
+    val normRatio = ids.map(i =>
+      dot(projs(i), projs(i)) / dot(vecs(i), vecs(i))).sum / ids.size
+    assert(math.abs(normRatio - expected) / expected <= 0.25,
+      s"mean norm ratio $normRatio vs expected $expected")
+    // determinism: fixed planes -> identical projection on a second run.
+    val again = Similarity.randomProject(emb.limit(50), outDim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(again == projs.map { case (k, v) => k -> v.toList })
+  }
+
   test("multi-probe sign-LSH: candidate superset of the single-probe path, recall rises") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)

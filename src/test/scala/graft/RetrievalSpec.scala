@@ -184,6 +184,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(zero == plain)
   }
 
+  test("charTrigramPairs: word-order tolerant; boilerplate-only overlap drops, Jaccard stays exact") {
+    import graft.llmops.FuzzyMatch
+    // word-order tolerance: high trigram overlap despite a large edit
+    // distance; the unrelated name pairs with neither.
+    val names = Seq((1L, "acme corp"), (2L, "corp acme"),
+        (3L, "totally different ltd")).toDF("rid", "rname")
+    val basic = FuzzyMatch.charTrigramPairs(names, "rid", "rname", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(basic == Set((1L, 2L)), s"got $basic")
+    // df cap: 20 names share only their boilerplate prefix grams; with
+    // the cap those pairs (whose entire overlap is boilerplate) drop,
+    // while a pair ALSO sharing rare grams survives with its Jaccard
+    // EXACT — hot grams counted back into the numerator.
+    val herd = (0L until 20L).map(i => (i + 10L, f"xx$i%02d"))
+    val special = Seq((100L, "xx55a"), (101L, "xx55b"))
+    val capped = FuzzyMatch.charTrigramPairs(
+        (herd ++ special).toDF("rid", "rname"), "rid", "rname",
+        threshold = 0.3, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.map(t => (t._1, t._2)).toSet == Set((100L, 101L)),
+      s"only the rare-gram pair may survive the cap: ${capped.toSeq}")
+    // padded "__xx55a_"/"__xx55b_": 6 grams each, 4 shared (2 hot + 2
+    // cool) → 4 / 8 = 0.5 exactly.
+    assert(capped.head._3 == 0.5)
+  }
+
   test("sortedNeighborhood: window pairs only, exact-once, catches block-straddlers") {
     import graft.llmops.FuzzyMatch
     // names that sort adjacently but share NO 4-char prefix block:
