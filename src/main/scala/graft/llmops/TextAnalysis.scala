@@ -29,6 +29,29 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "as", "by")
 
+  /** Encoding-quality metrics — the mojibake detector (CCNet drops
+    * encoding-mangled documents before anything else looks at them): a
+    * crawl that guessed the charset wrong litters the text with U+FFFD
+    * replacement characters and control bytes. Counts both and their
+    * combined ratio — all codegen'd length arithmetic, no per-char UDF.
+    * Gate on `bad_char_ratio` upstream of the quality gate; a few
+    * scattered replacements are survivable, a saturated doc is garbage.
+    */
+  def withEncodingQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nRepl = (length(t) -
+      length(regexp_replace(t, "�", ""))).cast("long")
+    // C0 controls except tab/newline/carriage-return.
+    val nCtrl = (length(t) -
+      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+      .cast("long")
+    df.withColumn("n_replacement", nRepl)
+      .withColumn("n_control", nCtrl)
+      .withColumn("bad_char_ratio",
+        when(length(t) > 0,
+          round((nRepl + nCtrl) / length(t).cast("double"), 6)).otherwise(lit(0.0)))
+  }
+
   /** Length / punctuation / stopword quality metrics per document. */
   def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

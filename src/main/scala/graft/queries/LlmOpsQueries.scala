@@ -2116,6 +2116,26 @@ object LlmOpsQueries extends QueryModule {
           concat_ws(",", transform(urls, u => TextAnalysis.urlHost(u))).as("hosts"))
         .orderBy("doc")
     },
+    // encoding quality (mojibake detection): both engines decorate every
+    // 3rd doc with U+FFFD replacements or a control byte (tab excluded by
+    // the C0-minus-whitespace class) and count identically.
+    q("q_x_text_encoding",
+      "WITH a AS (SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 0 THEN '�ab�' WHEN 1 THEN chr(1) || chr(9) ELSE '' END AS t FROM documents), " +
+        "m AS (SELECT doc_id, t, CAST(length(t) - length(replace(t, '�', '')) AS BIGINT) AS n_replacement, " +
+        "CAST(length(t) - length(regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT) AS n_control FROM a) " +
+        "SELECT doc_id AS doc, n_replacement, n_control, " +
+        "round(CAST(n_replacement + n_control AS DOUBLE) / length(t), 6) AS bad_char_ratio " +
+        "FROM m ORDER BY doc") { (s, d) =>
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("�ab�"))
+          .when(col("doc_id") % 3 === 1, lit("\u0001\t"))
+          .otherwise(lit("")))
+      TextAnalysis.withEncodingQuality(
+          Tables.documents(s, d).select(col("doc_id").as("doc"), aug.as("text")))
+        .select("doc", "n_replacement", "n_control", "bad_char_ratio")
+        .orderBy("doc")
+    },
     // URL canonicalization — the crawl-dedup key: both engines build the
     // SAME planted URL per doc (cycling through uppercase scheme/host,
     // default ports, tracking params in first and middle position,

@@ -109,6 +109,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert((e.getAs[Long]("n_pairs"), e.getAs[Long]("n_straddling")) == ((0L, 0L)))
   }
 
+  test("encoding quality: replacements and controls count, whitespace controls don't") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clean text"),
+      (2L, "bad � here ��"),
+      (3L, "ctl but\ttab\nnewline\rcr fine"),
+      (4L, "")).toDF("doc", "text")
+    val out = TextAnalysis.withEncodingQuality(rows)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((0L, 0L, 0.0)))
+    assert(out(2L)._1 == 3L && out(2L)._2 == 0L)
+    // tab/newline/CR are NOT mojibake; the two C0 controls are.
+    assert(out(3L) == ((0L, 2L,
+      math.rint(2.0 / "ctl but\ttab\nnewline\rcr fine".length * 1e6) / 1e6)))
+    assert(out(4L) == ((0L, 0L, 0.0)), "empty text must not divide by zero")
+  }
+
   test("canonicalUrl: each rule hand-checked, path case preserved") {
     import spark.implicits._
     val cases = Seq(
