@@ -1126,19 +1126,23 @@ object LlmOpsQueries extends QueryModule {
         .filter(col("l_id") < col("r_id"))
         .orderBy("l_id", "r_id")
     },
-    // character-trigram similarity (pg_trgm padding, τ = 0.5) over part
-    // names: word-order-tolerant fuzzy matching; the default df cap is a
-    // documented no-op at this scale, so the oracle is the plain
-    // inverted-join + exact-Jaccard chain.
+    // character-trigram similarity (pg_trgm padding, τ = 0.5) over a
+    // FIXED-id-range slice of part names (TPC-H draws them from ~92 color
+    // words — the unrestricted match set is quadratically self-similar at
+    // any threshold, measured 4.1M pairs at sf0.1; the fixed range is the
+    // fixed-workload discipline the search queries use, so corpus growth
+    // does not grow the match set). Default df cap is a documented no-op
+    // here, so the oracle is the plain inverted-join + exact-Jaccard chain.
     q("q_x_fuzzy_trigram",
-      "WITH p AS (SELECT p_partkey AS id, '__' || lower(p_name) || '_' AS pd FROM part), " +
+      "WITH p AS (SELECT p_partkey AS id, '__' || lower(p_name) || '_' AS pd FROM part WHERE p_partkey < 2000), " +
         "ex AS (SELECT DISTINCT id, substr(pd, CAST(i AS INT), 3) AS g FROM (SELECT id, pd, unnest(generate_series(1, length(pd) - 2)) AS i FROM p) e0), " +
         "sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY 1), " +
         "sh AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS s FROM ex x JOIN ex y ON x.g = y.g AND x.id < y.id GROUP BY 1, 2) " +
         "SELECT id_a, id_b, round(CAST(s AS DOUBLE) / (sa.n + sb.n - s), 6) AS jaccard " +
         "FROM sh JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b " +
         "WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.5 ORDER BY 1, 2") { (s, d) =>
-      FuzzyMatch.charTrigramPairs(Tables.part(s, d), "p_partkey", "p_name",
+      FuzzyMatch.charTrigramPairs(
+          Tables.part(s, d).filter(col("p_partkey") < 2000), "p_partkey", "p_name",
           threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
