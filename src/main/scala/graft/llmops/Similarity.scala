@@ -195,10 +195,13 @@ object Similarity {
     *
     * Emits (anchor, cand, role, rank, cos): rank is the cosine rank for
     * positives/hard negatives and kPos+mHard+hash-rank for random
-    * negatives. Scale shape: anchors broadcast against the corpus (the
-    * [[bruteForceTopK]] exactness baseline — swap the scored frame for
-    * [[ivfTopK]] candidates at 100 TB, same downstream windows); the
-    * role windows partition per anchor.
+    * negatives. Scale shape: anchors broadcast against the corpus — the
+    * EXACT baseline, |A|×|C| scored rows plus per-anchor windows over
+    * the whole corpus. That is the right plan for evaluation-sized
+    * corpora only; at corpus scale use [[mineTripletsIvf]], which scores
+    * only centroid-probed candidates and draws random negatives from
+    * bounded per-cell pools (parity with this path at nprobe = nlist is
+    * spec-pinned).
     */
   def mineTriplets(corpus: DataFrame, anchors: DataFrame,
       kPos: Int = 3, mHard: Int = 3, rRand: Int = 2,
@@ -228,6 +231,96 @@ object Similarity {
       .select(col("anchor"), col("cid"),
         (lit(kPos + mHard.toLong) + col("hrn")).as("rn"), col("cos"))
       .withColumn("role", lit("random_negative"))
+    near.unionByName(rand)
+      .select(col("anchor"), col("cid").as("cand"), col("role"),
+        col("rn").as("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-backed contrastive triplet mining — [[mineTriplets]]'s
+    * semantics on the coarse-quantizer scale plan, so mining survives a
+    * corpus the brute-force path cannot touch:
+    *
+    *   - positives / hard negatives: each anchor probes its `nprobe`
+    *     nearest centroid cells (the [[ivfProbe]] probe stage), cosine
+    *     ranks ONLY the candidates inside probed cells — per-anchor
+    *     candidate work is ≈ (nprobe/nlist)·|C|, bounded by sizing the
+    *     quantizer with the corpus (the [[semDedupPairs]] contract:
+    *     nlist ≈ |C| / desired-cell-size), never |A|×|C|;
+    *   - random negatives: hash-picked from the COMPLEMENT cells (the
+    *     nlist − nprobe cells the anchor did not probe — far-from-anchor
+    *     by construction, which is what "random" negative means), drawn
+    *     from a bounded per-cell pool of `poolPerCell` rows (smallest
+    *     `hash52("pool:" + cid)` within each cell — anchor-independent,
+    *     so the pool is computed once, nlist × poolPerCell rows total)
+    *     and ranked per anchor by `hash52(anchor + ":" + cid)` exactly
+    *     like the brute-force path. Ranks continue at kPos + mHard + 1.
+    *
+    * Every stage is deterministic (assignment ties → lowest cent_id,
+    * rank ties → lowest cid, hash picks are RNG-free), so the whole run
+    * — assignment, probing, ranking, pooling, picking — replays in SQL
+    * (q_x_mine_triplets_ivf). At `nprobe = nlist` the probed candidate
+    * set is the entire corpus and positives/hard negatives equal
+    * [[mineTriplets]] exactly (spec-pinned); the complement is then
+    * empty, so request `rRand` only with nprobe < nlist.
+    *
+    * The per-cell pool window partitions by cell — bounded by cell size
+    * under the quantizer-sizing contract, the same bound that makes
+    * SemDeDup's Σ|cell|² sub-quadratic.
+    */
+  def mineTripletsIvf(corpus: DataFrame, anchors: DataFrame,
+      kPos: Int = 3, mHard: Int = 3, rRand: Int = 2,
+      nlist: Int = 16, nprobe: Int = 8, poolPerCell: Int = 8,
+      centroids: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kPos >= 1 && mHard >= 0 && rRand >= 0)
+    require(nprobe >= 1 && nprobe <= nlist && poolPerCell >= 1)
+    val cent0 = centroids.getOrElse(
+      corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
+    val cent = cent0.select(col("cent_id"), col("centvec"),
+      l2norm(col("centvec")).as("centn"))
+    val cells = assignCells(corpus, cent0, idCol, vecCol)
+    // anchors × centroids is |A|·nlist rows — tiny; rank once, slice twice.
+    val wProbe = Window.partitionBy("anchor").orderBy(col("ccos").desc, col("cent_id"))
+    val probeRank = anchors
+      .select(col(idCol).as("anchor"), col(vecCol).as("qvec"),
+        l2norm(col(vecCol)).as("qn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dot(col("qvec"), col("centvec")) / (col("qn") * col("centn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .select(col("anchor"), col("qvec"), col("qn"),
+        col("cent_id").as("cell"), col("prn"))
+    val probed = probeRank.filter(col("prn") <= nprobe).drop("prn")
+    val scored = probed.join(cells, Seq("cell"))
+      .filter(col("anchor") =!= col("cid"))
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+    val wCos = Window.partitionBy("anchor").orderBy(col("cos").desc, col("cid"))
+    val near = scored
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .filter(col("rn") <= kPos + mHard)
+      .withColumn("role",
+        when(col("rn") <= kPos, lit("positive")).otherwise(lit("hard_negative")))
+      .select("anchor", "cid", "role", "rn", "cos")
+    // per-cell bounded pool, anchor-independent → computed once.
+    val wPool = Window.partitionBy("cell").orderBy(
+      PortableHash.hash52(concat(lit("pool:"), col("cid").cast("string"))),
+      col("cid"))
+    val pool = cells
+      .withColumn("pn", row_number().over(wPool))
+      .filter(col("pn") <= poolPerCell)
+      .select("cell", "cid", "cvec", "cn")
+    val unprobed = probeRank.filter(col("prn") > nprobe).drop("prn")
+    val wHash = Window.partitionBy("anchor").orderBy(
+      PortableHash.hash52(concat(col("anchor").cast("string"), lit(":"),
+        col("cid").cast("string"))), col("cid"))
+    val rand = unprobed.join(pool, Seq("cell"))
+      .filter(col("anchor") =!= col("cid"))
+      .withColumn("hrn", row_number().over(wHash).cast("long"))
+      .filter(col("hrn") <= rRand)
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")))
+      .select(col("anchor"), col("cid"), lit("random_negative").as("role"),
+        (lit((kPos + mHard).toLong) + col("hrn")).as("rn"), col("cos"))
     near.unionByName(rand)
       .select(col("anchor"), col("cid").as("cand"), col("role"),
         col("rn").as("rank"), round(col("cos"), 6).as("cos"))

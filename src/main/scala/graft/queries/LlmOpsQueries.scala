@@ -1188,6 +1188,41 @@ object LlmOpsQueries extends QueryModule {
           kPos = 3, mHard = 3, rRand = 2)
         .orderBy("anchor", "rank")
     },
+    // IVF-backed triplet mining (the scale plan: nlist = 16, nprobe = 4,
+    // per-cell pool 8): positives/hard negatives rank only probed-cell
+    // candidates, random negatives hash-pick from bounded pools in the
+    // 12 complement cells — assignment, probing, pooling and both hash
+    // picks all replayed by the oracle.
+    q("q_x_mine_triplets_ivf", {
+      val hPool = graft.llmops.PortableHash.duckHash52("'pool:' || CAST(cid AS VARCHAR)")
+      val hPick = graft.llmops.PortableHash.duckHash52(
+        "CAST(anchor AS VARCHAR) || ':' || CAST(cid AS VARCHAR)")
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
+        "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+        "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+        "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+        "probes AS (SELECT vec_id AS anchor, cent_id AS cell FROM ranked WHERE rn <= 4 AND vec_id < 4), " +
+        "unprobed AS (SELECT vec_id AS anchor, cent_id AS cell FROM ranked WHERE rn > 4 AND vec_id < 4), " +
+        "cands AS (SELECT p.anchor, a.cid FROM probes p JOIN assign a USING (cell) WHERE a.cid <> p.anchor), " +
+        "dots AS (SELECT cd.anchor, cd.cid, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS qn, sqrt(sum(b.v * b.v)) AS cn FROM cands cd JOIN e a ON a.vec_id = cd.anchor JOIN e b ON b.vec_id = cd.cid AND b.i = a.i GROUP BY 1, 2), " +
+        "r AS (SELECT anchor, cid, dot / (qn * cn) AS cos, row_number() OVER (PARTITION BY anchor ORDER BY dot / (qn * cn) DESC, cid) AS rn FROM dots), " +
+        "near AS (SELECT anchor, cid, rn, cos, CASE WHEN rn <= 3 THEN 'positive' ELSE 'hard_negative' END AS role FROM r WHERE rn <= 6), " +
+        s"pool AS (SELECT cell, cid FROM (SELECT cell, cid, row_number() OVER (PARTITION BY cell ORDER BY $hPool, cid) AS pn FROM assign) p0 WHERE pn <= 8), " +
+        "rp AS (SELECT u.anchor, p.cid FROM unprobed u JOIN pool p USING (cell) WHERE p.cid <> u.anchor), " +
+        s"rh AS (SELECT anchor, cid, row_number() OVER (PARTITION BY anchor ORDER BY $hPick, cid) AS hrn FROM rp), " +
+        "rpick AS (SELECT anchor, cid, hrn FROM rh WHERE hrn <= 2), " +
+        "rdots AS (SELECT rp.anchor, rp.cid, rp.hrn, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS qn, sqrt(sum(b.v * b.v)) AS cn FROM rpick rp JOIN e a ON a.vec_id = rp.anchor JOIN e b ON b.vec_id = rp.cid AND b.i = a.i GROUP BY 1, 2, 3), " +
+        "rand AS (SELECT anchor, cid, 6 + hrn AS rn, dot / (qn * cn) AS cos, 'random_negative' AS role FROM rdots) " +
+        "SELECT anchor, cid AS cand, role, CAST(rn AS BIGINT) AS rank, round(cos, 6) AS cos " +
+        "FROM (SELECT anchor, cid, rn, cos, role FROM near UNION ALL SELECT anchor, cid, rn, cos, role FROM rand) ORDER BY anchor, rank, cand"
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mineTripletsIvf(emb, emb.filter(col("vec_id") < 4),
+          kPos = 3, mHard = 3, rRand = 2, nlist = 16, nprobe = 4, poolPerCell = 8)
+        .orderBy("anchor", "rank", "cand")
+    },
     // multi-probe sign-LSH: query-side 1-bit-flip fan-out, corpus index
     // unchanged — the zero-index-cost recall lift (recall gain vs the
     // single-probe path is additionally spec-asserted)

@@ -896,6 +896,45 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("IVF triplet mining: brute-force parity at nprobe = nlist, bounded candidates below it") {
+    val anchors = emb.filter(col("vec_id") < 3)
+    // nprobe = nlist probes every cell → the candidate set is the whole
+    // corpus and positives/hard negatives MUST equal the exact path.
+    val exact = Similarity.mineTriplets(emb, anchors, kPos = 2, mHard = 3, rRand = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    val full = Similarity.mineTripletsIvf(emb, anchors, kPos = 2, mHard = 3,
+        rRand = 0, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(full == exact, s"nprobe=nlist must reproduce brute force; diff=${(full diff exact) ++ (exact diff full)}")
+    // nprobe < nlist: role counts exact, randoms come from COMPLEMENT
+    // cells only (never probed ones), no anchor self-pair, deterministic.
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    val cellOf = Similarity.assignCells(emb, cent)
+      .select("cid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Similarity.mineTripletsIvf(emb, anchors, kPos = 2, mHard = 3,
+        rRand = 2, nlist = 8, nprobe = 3, poolPerCell = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    for (a <- Seq(0L, 1L, 2L)) {
+      val mine = out.filter(_._1 == a)
+      assert(mine.count(_._3 == "positive") == 2)
+      assert(mine.count(_._3 == "hard_negative") == 3)
+      assert(mine.count(_._3 == "random_negative") == 2)
+      assert(!mine.exists(_._2 == a))
+      assert(mine.map(_._2).distinct.length == mine.length)
+      // near cands sit in probed cells; randoms sit in complement cells —
+      // the two cell sets are disjoint by construction.
+      val nearCells = mine.filter(m => m._3 != "random_negative").map(m => cellOf(m._2)).toSet
+      val randCells = mine.filter(_._3 == "random_negative").map(m => cellOf(m._2)).toSet
+      assert((nearCells intersect randCells).isEmpty,
+        s"anchor $a: random negatives leaked into probed cells ($nearCells vs $randCells)")
+    }
+    val again = Similarity.mineTripletsIvf(emb, anchors, kPos = 2, mHard = 3,
+        rRand = 2, nlist = 8, nprobe = 3, poolPerCell = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val train = Seq(
