@@ -27,26 +27,43 @@ object Jsonl {
     * `schema`: pass the expected schema for production reads (one pass,
     * no inference job, missing fields null — the schema-on-read
     * contract); None infers from the data (a second pass over the
-    * files — fine interactively, not on 100 TB).
+    * files — fine interactively, not on 100 TB). Inference with any
+    * malformed line present appends Spark's SESSION default
+    * corrupt-record column (`spark.sql.columnNameOfCorruptRecord`,
+    * normally `_corrupt_record`) to the inferred schema; it is dropped
+    * here — otherwise it rides along as a mostly-null data column in
+    * `good`, duplicating the quarantine — and both it and `__corrupt`
+    * are reserved names an explicit schema must not use.
     *
-    * The parsed frame is CACHED before the good/quarantine split:
-    * Spark refuses a filter on only the corrupt-capture column of a
-    * streaming-parsed relation (internal-column pushdown limitation),
-    * and the two consumers would otherwise re-parse the files twice
-    * anyway.
+    * The parsed frame is materialized ONCE (eager localCheckpoint)
+    * before the good/quarantine split: Spark refuses a filter on only
+    * the corrupt-capture column of a streaming-parsed relation
+    * (internal-column pushdown limitation), and the two consumers would
+    * otherwise re-parse the files twice anyway. localCheckpoint, not
+    * cache: no pinned storage entry to leak across repeated corpus
+    * reads in one session — the blocks are released by the
+    * ContextCleaner as soon as the returned frames become unreachable,
+    * with no unpersist bookkeeping for the caller. The materialization
+    * is corpus-sized: at the 100 TB end, read shard directories
+    * individually (the release layout [[write]] produces) rather than
+    * the whole corpus in one call.
     */
   def read(spark: SparkSession, path: String,
       schema: Option[StructType] = None): (DataFrame, DataFrame) = {
-    val dataSchema = schema.getOrElse(spark.read.json(path).schema)
-    require(!dataSchema.fieldNames.contains(CorruptCol),
-      s"schema must not contain reserved column $CorruptCol")
+    val sessionCorrupt =
+      spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    val dataSchema = schema.getOrElse(StructType(
+      spark.read.json(path).schema.fields.filterNot(_.name == sessionCorrupt)))
+    Seq(CorruptCol, sessionCorrupt).foreach(reserved =>
+      require(!dataSchema.fieldNames.contains(reserved),
+        s"schema must not contain reserved column $reserved"))
     val full = StructType(dataSchema.fields :+ StructField(CorruptCol, StringType))
     val parsed = spark.read
       .schema(full)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
-      .cache()
+      .localCheckpoint(true)
     val good = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val quarantine = parsed.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))

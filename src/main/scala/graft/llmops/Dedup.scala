@@ -140,7 +140,8 @@ object Dedup {
     * shingle every page shares) turns the LSH join quadratic at 100 TB.
     * Capping trades recall ONLY on pairs whose every collision is via a
     * ubiquitous key, which at dedup thresholds are overwhelmingly false
-    * candidates anyway. Opt-in (None = exact LSH semantics, as oracled).
+    * candidates anyway. DEFAULT ON at [[DefaultMaxBandFreq]] across the
+    * banded family (pass None for exact LSH semantics).
     */
   private[graft] def pruneFrequentBandKeys(
       banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
@@ -150,10 +151,31 @@ object Dedup {
     banded.join(hot, keyCols, "left_anti")
   }
 
+  /** The default band-skew cap, ON for every banded pair generator
+    * (minhash / weighted / cross-corpus / simhash / image-aHash). Set
+    * high enough that triggering it is itself the evidence: a bucket of
+    * >100k docs sharing one signature minimum (or simhash block) is a
+    * DEGENERATE key — empty-ish documents, an all-black thumbnail, a
+    * boilerplate header the whole crawl shares — and its 5×10⁹+
+    * candidate pairs would dominate the run before anyone read the
+    * scaladoc. The recall loss is confined to pairs whose EVERY
+    * colliding band is that ubiquitous (a true near-dup pair at dedup
+    * thresholds collides on a discriminative band with probability
+    * 1 − (1 − J^r)^(bands−hot), ≈ 1 when J is near 1 and only a minority
+    * of bands are degenerate) — unlike [[graft.llmops.Multimodal
+    * .frameJaccardPairs]]'s maxDf cap there is no exact count-back, so
+    * the loss is documented rather than repaired. Pass
+    * `maxBandFreq = None` to get uncapped exact-LSH semantics, or a
+    * lower cap to trade recall for bounded candidates on known-skewed
+    * data. A no-op below 100k docs per bucket — every existing oracle
+    * runs orders of magnitude under it.
+    */
+  val DefaultMaxBandFreq: Option[Int] = Some(100000)
+
   def minHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
-      maxBandFreq: Option[Int] = None): DataFrame = {
+      maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
     require(numHashTables <= PortableHash.MinHashA.length,
       s"at most ${PortableHash.MinHashA.length} hash tables supported")
     val ex = hashedShingleRows(df, idCol, textCol, n, PortableHash.hash52).cache()
@@ -220,7 +242,8 @@ object Dedup {
   def weightedMinHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
-      weightCap: Int = 3, maxBandFreq: Option[Int] = None): DataFrame = {
+      weightCap: Int = 3,
+      maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
     require(weightCap >= 1)
     require(numHashTables <= PortableHash.MinHashA.length,
       s"at most ${PortableHash.MinHashA.length} hash tables supported")
@@ -309,7 +332,7 @@ object Dedup {
     * each document of a NEW batch that near-duplicates the EXISTING
     * corpus, without ever self-joining either side. Same signatures,
     * banding and exact-Jaccard verify as [[minHashPairs]] (and the same
-    * opt-in hot-bucket guard), but candidates pair strictly across the
+    * default-on hot-bucket guard), but candidates pair strictly across the
     * two inputs, so the work is |batch-bands ⋈ corpus-bands| — at 100 TB
     * the corpus bands are computed once per refresh cycle and the daily
     * batch probes them; yesterday's data never re-pairs with itself.
@@ -320,7 +343,7 @@ object Dedup {
   def minHashPairsAcross(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
-      maxBandFreq: Option[Int] = None): DataFrame = {
+      maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
     require(numHashTables <= PortableHash.MinHashA.length)
     val exC = hashedShingleRows(corpus, idCol, textCol, n, PortableHash.hash52).cache()
     val exB = hashedShingleRows(batch, idCol, textCol, n, PortableHash.hash52).cache()
@@ -892,7 +915,7 @@ object Dedup {
     */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      maxBandFreq: Option[Int] = None): DataFrame = {
+      maxBandFreq: Option[Int] = Dedup.DefaultMaxBandFreq): DataFrame = {
     val sigs = simHash(df, idCol, textCol)
     val allBanded = sigs.select(col("doc"), col("simhash"),
       explode(array((0 until SimHashBands).map(b =>

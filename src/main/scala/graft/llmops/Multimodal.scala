@@ -36,11 +36,12 @@ object Multimodal {
       .withColumn("sha256", sha2(col("payload"), 256))
 
   /** STUB decoder — deterministic fake "features" derived from payload
-    * bytes, used for kinds with no in-JVM codec (video, compressed
-    * audio). A real implementation would decode the media and run a
+    * bytes, used for kinds with no in-JVM codec (compressed audio/video
+    * codecs). A real implementation would decode the media and run a
     * feature extractor here; the signature (bytes → fixed-size Float
     * vector) is the contract. Images take the REAL decode path below
-    * ([[decodeImage]]); WAV/PCM audio takes [[decodeWav]].
+    * ([[decodeImage]]); WAV/PCM audio takes [[decodeWav]]; uncompressed
+    * AVI video takes [[decodeAvi]].
     */
   def decodeStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
     val out = new Array[Float](dims)
@@ -171,6 +172,159 @@ object Multimodal {
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A decoded uncompressed AVI: dimensions, the frame interval in
+    * microseconds (0 when the header omits it), and the raw DIB frame
+    * payloads in stream order.
+    */
+  final case class AviVideo(width: Int, height: Int, microSecPerFrame: Int,
+      frames: Vector[Array[Byte]])
+
+  /** REAL video decode — a dependency-free uncompressed-AVI (RIFF) frame
+    * extractor, completing the modality story ([[decodeImage]] /
+    * [[decodeWav]] precedents: in-JDK only, anything undecodable returns
+    * None and the caller degrades to the stub). Walks the RIFF chunk
+    * tree exactly like the WAV walk, recursing into LIST chunks: `avih`
+    * supplies width/height/frame-interval, and every `##db`/`##dc`
+    * stream chunk (uncompressed DIB / raw frame data) inside `LIST movi`
+    * becomes a frame. Compressed codecs parse as frames of undecodable
+    * bytes — [[videoFrameHashes]] then skips them (its per-frame DIB
+    * check), features fall back to the stub; a torn chunk ends the walk
+    * with whatever parsed before it.
+    */
+  def decodeAvi(payload: Array[Byte]): Option[AviVideo] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (payload.length < 24 || str4(0) != "RIFF" || str4(8) != "AVI ") None
+      else {
+        var header: Option[(Int, Int, Int)] = None // (w, h, usPerFrame)
+        val frames = Vector.newBuilder[Array[Byte]]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          var torn = false
+          while (!torn && off + 8 <= end) {
+            val id = str4(off)
+            val sz = bb.getInt(off + 4)
+            if (sz < 0 || off + 8 + sz > end) torn = true
+            else {
+              if (id == "LIST" && sz >= 4) walk(off + 12, off + 8 + sz)
+              else if (id == "avih" && sz >= 40)
+                header = Some((bb.getInt(off + 8 + 32), bb.getInt(off + 8 + 36),
+                  bb.getInt(off + 8)))
+              else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                  (id.substring(2) == "db" || id.substring(2) == "dc"))
+                frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
+              off += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
+          }
+        }
+        walk(12, payload.length)
+        header.collect { case (w, h, us) if w >= 1 && h >= 1 =>
+          AviVideo(w, h, math.max(us, 0), frames.result())
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One 24-bit bottom-up DIB frame (the uncompressed-AVI payload format:
+    * BGR byte triples, rows padded to 4 bytes, last row first) as a
+    * BufferedImage — None when the byte count doesn't match the
+    * dimensions (a compressed frame, a torn chunk).
+    */
+  private def dibFrameImage(w: Int, h: Int,
+      data: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (w < 1 || h < 1 || data.length < rowSize * h) None
+    else {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val b = data(row + x * 3) & 0xFF
+          val g = data(row + x * 3 + 1) & 0xFF
+          val r = data(row + x * 3 + 2) & 0xFF
+          im.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      Some(im)
+    }
+  }
+
+  /** Video feature vector from a decoded AVI — the [[decodeImage]] /
+    * [[decodeWav]] stat shape:
+    *
+    *   [width, height, n_frames, fps, mean luma, luma stddev,
+    *    aspect ratio, duration seconds]
+    *
+    * luma stats pool over every decodable frame's pixels (normalized to
+    * [0, 1]); fps/duration are 0 when the header omits the frame
+    * interval. None when the payload isn't an AVI or no frame decodes.
+    */
+  def decodeAviFeatures(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
+    decodeAvi(payload).flatMap { v =>
+      val imgs = v.frames.flatMap(dibFrameImage(v.width, v.height, _))
+      if (imgs.isEmpty) None
+      else {
+        var sl = 0.0; var sl2 = 0.0; var n = 0L
+        imgs.foreach { im =>
+          var y = 0
+          while (y < im.getHeight) {
+            var x = 0
+            while (x < im.getWidth) {
+              val rgb = im.getRGB(x, y)
+              val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)
+              sl += lum; sl2 += lum * lum; n += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+        val meanL = sl / n
+        val varL = math.max(0.0, sl2 / n - meanL * meanL)
+        val fps = if (v.microSecPerFrame > 0) 1e6 / v.microSecPerFrame else 0.0
+        val feats = Array(v.width.toFloat, v.height.toFloat, imgs.size.toFloat,
+          fps.toFloat, (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+          v.width.toFloat / v.height,
+          (if (fps > 0) imgs.size / fps else 0.0).toFloat)
+        val out = new Array[Float](dims)
+        feats.take(dims).copyToArray(out)
+        Some(out)
+      }
+    }
+
+  /** Per-frame perceptual hashes of `kind = "video"` rows:
+    * (media_id, frame_no, ahash) for every decodable DIB frame — the
+    * SAME 8×8 grid hash as still images, so a video frame and a still of
+    * the same picture pair up, and the rows feed [[hashBandedPairs]] on
+    * (media_id·2^20 + frame_no or any composed id) exactly like
+    * [[imageHashes]] output does. Undecodable payloads and
+    * compressed/torn frames drop — the degrade contract. mapPartitions
+    * codec boundary: per-payload CPU, no plan or shuffle impact.
+    */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.kind != "video") Iterator.empty
+          else decodeAvi(r.payload).iterator.flatMap { v =>
+            v.frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+              dibFrameImage(v.width, v.height, f)
+                .map(im => (r.media_id, i.toLong, aHashOfImage(im)))
+            }
+          }
+        }
+      }.toDF("media_id", "frame_no", "ahash")
+  }
 
   /** Deterministic frame sampling over the raw payload: frames of
     * `frameLen` bytes starting every `stride` bytes (stride < frameLen ⇒
@@ -431,44 +585,51 @@ object Multimodal {
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }
-    img.map { im =>
-      val w = im.getWidth
-      val h = im.getHeight
-      val cellMeans = new Array[Long](64)
-      var i = 0
-      while (i < 8) {
-        val y0 = (i.toLong * h / 8).toInt
-        val y1 = math.max(((i + 1).toLong * h / 8).toInt, y0 + 1).min(h).max(y0 + 1)
-        var j = 0
-        while (j < 8) {
-          val x0 = (j.toLong * w / 8).toInt
-          val x1 = math.max(((j + 1).toLong * w / 8).toInt, x0 + 1).min(w).max(x0 + 1)
-          var s = 0L; var n = 0L
-          var y = y0
-          while (y < math.min(y1, h)) {
-            var x = x0
-            while (x < math.min(x1, w)) {
-              val rgb = im.getRGB(x, y)
-              s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
-                114L * (rgb & 0xFF)
-              n += 1; x += 1
-            }
-            y += 1
+    img.map(aHashOfImage)
+  }
+
+  /** The 8×8 grid aHash over an already-decoded image — shared by
+    * [[imageAHash]] (encoded payloads) and [[videoFrameHashes]] (decoded
+    * AVI frames), so a video frame and a still of the same picture hash
+    * identically.
+    */
+  private def aHashOfImage(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val cellMeans = new Array[Long](64)
+    var i = 0
+    while (i < 8) {
+      val y0 = (i.toLong * h / 8).toInt
+      val y1 = math.max(((i + 1).toLong * h / 8).toInt, y0 + 1).min(h).max(y0 + 1)
+      var j = 0
+      while (j < 8) {
+        val x0 = (j.toLong * w / 8).toInt
+        val x1 = math.max(((j + 1).toLong * w / 8).toInt, x0 + 1).min(w).max(x0 + 1)
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = im.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            n += 1; x += 1
           }
-          cellMeans(i * 8 + j) = if (n == 0) 0L else s / n
-          j += 1
+          y += 1
         }
-        i += 1
+        cellMeans(i * 8 + j) = if (n == 0) 0L else s / n
+        j += 1
       }
-      val avg = cellMeans.sum / 64
-      var hash = 0L
-      var b = 0
-      while (b < 64) {
-        if (cellMeans(b) > avg) hash |= (1L << b)
-        b += 1
-      }
-      hash
+      i += 1
     }
+    val avg = cellMeans.sum / 64
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (cellMeans(b) > avg) hash |= (1L << b)
+      b += 1
+    }
+    hash
   }
 
   /** (media_id, ahash) for every DECODABLE image payload — undecodable or
@@ -498,15 +659,27 @@ object Multimodal {
     * bucket (all-black thumbnails share one hash).
     */
   def imageHashPairs(media: DataFrame, maxHamming: Int = 6,
-      maxBandFreq: Option[Int] = None): DataFrame = {
+      maxBandFreq: Option[Int] = Dedup.DefaultMaxBandFreq): DataFrame =
+    hashBandedPairs(imageHashes(media), maxHamming, maxBandFreq)
+
+  /** The banding + exact-Hamming-verify half of [[imageHashPairs]],
+    * exposed over an ALREADY-COMPUTED 64-bit signature table
+    * (`idCol`, `hashCol`) — the decode half is JVM-only, but this half is
+    * pure integer arithmetic, so planting known signatures makes the
+    * band → collide → verify chain value-exact in SQL
+    * (q_x_multimodal_ahash_pairs) and lets specs drive the skew guard
+    * with synthetic hot buckets.
+    */
+  def hashBandedPairs(sigs: DataFrame, maxHamming: Int = 6,
+      maxBandFreq: Option[Int] = Dedup.DefaultMaxBandFreq,
+      idCol: String = "media_id", hashCol: String = "ahash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "banding guarantees recall only to Hamming 7 (8 bands x 8 bits)")
     val bandBits = 8
-    val sigs = imageHashes(media)
-    val allBanded = sigs.select(col("media_id").as("doc"), col("ahash"),
+    val allBanded = sigs.select(col(idCol).as("doc"), col(hashCol).as("ahash"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("ahash"), b * bandBits)
+          shiftrightunsigned(col(hashCol), b * bandBits)
             .bitwiseAND((1L << bandBits) - 1).as("bkey"))): _*))
         .as("bb"))
       .select(col("doc"), col("ahash"), col("bb.band"), col("bb.bkey"))
@@ -527,9 +700,10 @@ object Multimodal {
   /** Partition-wise feature extraction over the typed Dataset — the shape a
     * real codec needs: per-partition init, iterator-in/iterator-out.
     * `kind = "image"` takes the real javax.imageio decode, `kind =
-    * "audio"` the real WAV/PCM parse (both with stub fallback on
-    * undecodable bytes — a corrupt payload degrades instead of killing
-    * the task); other kinds take the stub.
+    * "audio"` the real WAV/PCM parse, `kind = "video"` the real
+    * uncompressed-AVI walk (all with stub fallback on undecodable
+    * bytes — a corrupt payload degrades instead of killing the task);
+    * other kinds take the stub.
     */
   def extractFeatures(media: DataFrame, dims: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -541,6 +715,7 @@ object Multimodal {
           val feats = (r.kind match {
             case "image" => decodeImage(r.payload, dims)
             case "audio" => decodeWav(r.payload, dims)
+            case "video" => decodeAviFeatures(r.payload, dims)
             case _ => None
           }).getOrElse(decodeStub(r.payload, dims))
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, feats)

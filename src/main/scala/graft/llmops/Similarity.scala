@@ -436,6 +436,48 @@ object Similarity {
       .select("cell", "cid", "cvec", "cn")
   }
 
+  /** Quantizer drift report over an (already-assigned or streamed) IVF
+    * cell table — the operational gauge for the FROZEN-quantizer contract
+    * of [[graft.streaming.EventStream.annIndexStream]]: the stream
+    * assigns arriving vectors against centroids fixed at creation, which
+    * is correct, but nothing else says WHEN the frozen quantizer has
+    * drifted off the data. One row per CENTROID (empty cells included —
+    * they are wasted probes):
+    *
+    *   - `n`: cell occupancy;
+    *   - `occ_ratio`: n · nlist / total — 1.0 is perfectly balanced;
+    *     the max over cells is the skew ratio;
+    *   - `mean_cdist`: mean exact cosine distance (1 − cos) of the
+    *     cell's vectors to their centroid (null for empty cells).
+    *
+    * REBUILD HEURISTIC, stated so operators don't have to invent one:
+    * retrain the quantizer (and rebuild the cells table) when
+    * max(occ_ratio) exceeds ~4 — a cell holding 4× its share makes
+    * nprobe coverage effectively ¼ of nominal and its probe cost 4× —
+    * or when the occupancy-weighted mean of `mean_cdist` has risen
+    * materially (≳ 2×) over the value recorded at training time:
+    * vectors far from every centroid mean the data moved and recall is
+    * silently decaying. Cost: one broadcast join + two bounded
+    * aggregations over the cells table — cheap enough for a daily cron.
+    */
+  def cellStats(cells: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col("cent_id").as("cell"), col("centvec"),
+      l2norm(col("centvec")).as("centn"))
+    val per = cells.join(broadcast(cent), Seq("cell"))
+      .withColumn("cdist",
+        lit(1.0) - dot(col("cvec"), col("centvec")) / (col("cn") * col("centn")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg("cdist").as("md"))
+    val nlist = broadcast(cent.agg(count(lit(1)).as("nlist")))
+    val total = broadcast(per.agg(sum("n").as("total")))
+    cent.select("cell").join(per, Seq("cell"), "left")
+      .crossJoin(nlist).crossJoin(total)
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)) * col("nlist") / col("total"), 6)
+          .as("occ_ratio"),
+        round(col("md"), 6).as("mean_cdist"))
+  }
+
   /** [[ivfTopK]]'s probe/re-rank stages over an ALREADY-ASSIGNED cell
     * table — a materialized (or streamed) index serves queries without
     * re-assigning the corpus: queries pick their `nprobe` nearest cells

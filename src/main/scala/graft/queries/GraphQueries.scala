@@ -105,19 +105,29 @@ object GraphQueries extends QueryModule {
         .orderBy("suppkey")
     },
     // k-core peeling (k = 4) over the co-supply edges: the engine runs to
-    // the data-dependent fixpoint; the oracle unrolls 6 rounds — extra
-    // rounds past convergence are no-ops, so the two agree exactly.
+    // the data-dependent fixpoint (maxRounds 30); the oracle unrolls 16
+    // rounds — extra rounds past convergence are no-ops by construction
+    // (peeling a fixpoint removes nothing), so the two agree exactly.
+    // Measured convergence at sf0.01 is round ≤ 4 and at sf0.1 round ≤ 5;
+    // 16 leaves an order-of-magnitude margin so a data-scale or
+    // sparsifier change cannot silently turn a real no-change into an
+    // oracle mismatch that reads like an engine bug.
     q("q_g_kcore", {
+      val unroll = 16
       val base =
         "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 10 = 0), " +
           "pr AS (SELECT DISTINCT a.s AS sa, b.s AS sb FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s AND (a.s * 31 + b.s) % 10 = 0), " +
           "e0 AS (SELECT sa AS u, sb AS v FROM pr UNION SELECT sb, sa FROM pr)"
-      val rounds = (0 until 6).map { j =>
-        s"d$j AS (SELECT u, count(*) AS d FROM e$j GROUP BY 1), " +
-          s"k$j AS (SELECT u FROM d$j WHERE d >= 4), " +
-          s"e${j + 1} AS (SELECT e.u, e.v FROM e$j e WHERE e.u IN (SELECT u FROM k$j) AND e.v IN (SELECT u FROM k$j))"
+      // AS MATERIALIZED: each e_{j+1} references e_j three times, so
+      // default CTE inlining would expand 3^unroll copies of the base
+      // scan (measured: "too many open files" at 16 rounds); forcing
+      // materialization keeps the replay linear in the unroll depth.
+      val rounds = (0 until unroll).map { j =>
+        s"d$j AS MATERIALIZED (SELECT u, count(*) AS d FROM e$j GROUP BY 1), " +
+          s"k$j AS MATERIALIZED (SELECT u FROM d$j WHERE d >= 4), " +
+          s"e${j + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$j e WHERE e.u IN (SELECT u FROM k$j) AND e.v IN (SELECT u FROM k$j))"
       }.mkString(", ")
-      s"$base, $rounds SELECT u AS suppkey, CAST(count(*) AS BIGINT) AS core_degree FROM e6 GROUP BY 1 ORDER BY 1"
+      s"$base, $rounds SELECT u AS suppkey, CAST(count(*) AS BIGINT) AS core_degree FROM e$unroll GROUP BY 1 ORDER BY 1"
     }) { (s, d) =>
       val ps = Tables.lineitem(s, d)
         .filter(col("l_partkey") % 10 === 0)

@@ -1255,6 +1255,33 @@ object LlmOpsQueries extends QueryModule {
           k = 5, nprobe = 4)
         .orderBy("qid", "rn")
     },
+    // IVF quantizer drift report over the assigned cells (nlist = 16,
+    // default centroid rule): occupancy, skew ratio and mean
+    // cosine-distance-to-centroid per centroid, empty cells included —
+    // the rebuild gauge for the frozen streaming quantizer. Assignment
+    // replays exactly as in the IVF oracle; the stats are one grouped
+    // aggregate over it.
+    q("q_x_ivf_cell_stats",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
+        "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+        "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+        "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+        "dist AS (SELECT a.cid, a.cell, 1 - s.ccos AS cdist FROM assign a JOIN cscore s ON s.vec_id = a.cid AND s.cent_id = a.cell), " +
+        "per AS (SELECT cell, count(*) AS n, avg(cdist) AS md FROM dist GROUP BY 1), " +
+        "tot AS (SELECT sum(n) AS total FROM per), " +
+        "cents AS (SELECT vec_id AS cell FROM embeddings WHERE vec_id < 16) " +
+        "SELECT c.cell, CAST(coalesce(p.n, 0) AS BIGINT) AS n, " +
+        "round(coalesce(p.n, 0) * 16 / t.total, 6) AS occ_ratio, " +
+        "round(p.md, 6) AS mean_cdist " +
+        "FROM cents c LEFT JOIN per p USING (cell) CROSS JOIN tot t ORDER BY c.cell") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+      Similarity.cellStats(Similarity.assignCells(emb, cent), cent)
+        .orderBy("cell")
+    },
     // JL random projection (64 → 16 dims): PortableHash-derived float32-
     // exact planes, double dots rounded 6 dp — every component replayed.
     q("q_x_random_projection", {
@@ -2269,6 +2296,28 @@ object LlmOpsQueries extends QueryModule {
           Multimodal.payloadFrom(Tables.documents(s, d), "doc_id", "text"),
           frameLen = 16, stride = 12)
         .orderBy("media_id", "frame_no")
+    },
+    // perceptual-hash banding end to end over PLANTED 64-bit signatures
+    // (the decode half is JVM-only; the banding half is pure integer
+    // arithmetic): sig = hash52(lang)·2^11 xor (doc_id mod 4) — full
+    // 63-bit spread (no degenerate always-zero band), same-lang docs sit
+    // at Hamming ≤ 2, cross-lang effectively far. The oracle replays
+    // band split → collision → exact bit_count verify. Fixed id slice =
+    // the fixed-workload discipline (q_x_fuzzy_trigram).
+    q("q_x_multimodal_ahash_pairs", {
+      val h = graft.llmops.PortableHash.duckHash52("lang")
+      s"WITH sigs AS (SELECT doc_id AS doc, xor($h * 2048, doc_id % 4) AS ahash FROM documents WHERE doc_id < 200), " +
+        "b AS (SELECT doc, ahash, band, (ahash >> (band * 8)) & 255 AS bkey FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band) bands), " +
+        "cand AS (SELECT DISTINCT x.doc AS id_a, y.doc AS id_b, x.ahash AS ha, y.ahash AS hb FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY 1, 2"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val sigs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"),
+          (PortableHash.hash52(col("lang")) * lit(2048L))
+            .bitwiseXOR(col("doc_id") % 4).as("ahash"))
+      Multimodal.hashBandedPairs(sigs, maxHamming = 6)
+        .orderBy("id_a", "id_b")
     },
     // content-defined chunking (window 8, mask 2^6): every boundary
     // decision is a PortableHash of the window's hex — the oracle replays

@@ -432,12 +432,16 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
         val p = partials(batch)
+        // one row per source → one file per overwrite: the card table is
+        // bounded and replaced whole each batch, so it never fragments —
+        // coalesce(1) keeps it from scattering its handful of rows across
+        // shuffle-partition-many tiny files instead.
         if (!sess.catalog.tableExists(table)) {
-          p.write.format("parquet").saveAsTable(table)
+          p.coalesce(1).write.format("parquet").saveAsTable(table)
         } else {
           val merged = mergeCards(sess.table(table), p)
             .localCheckpoint(eager = true)
-          merged.write.mode("overwrite").saveAsTable(table)
+          merged.coalesce(1).write.mode("overwrite").saveAsTable(table)
         }
         sess.catalog.refreshTable(table)
         apply(sess.table(table)
@@ -492,7 +496,7 @@ object EventStream {
       minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75,
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
       contamN: Int = 5, mBits: Int = 1 << 20, kProbes: Int = 4,
-      stateBuckets: Int = 8,
+      stateBuckets: Int = 8, maxStateFiles: Int = 64,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     import graft.llmops.Dedup
@@ -558,6 +562,10 @@ object EventStream {
         newCounts.write.mode("overwrite").saveAsTable(countsT)
         ledger.write.mode("append").saveAsTable(ledgerT)
         Seq(docsT, shT, bandT, countsT, ledgerT).foreach(sess.catalog.refreshTable)
+        // counts/bloom are bounded overwrite-per-batch tables — they never
+        // fragment; bench_shingles is the decontaminationStream's to heal.
+        selfHeal(sess, maxStateFiles, stateBuckets,
+          Seq(bandT -> Seq("band", "sig")), Seq(docsT, shT, ledgerT))
         apply(sess.table(ledgerT))
       }
   }
@@ -582,7 +590,7 @@ object EventStream {
     * spec — the layout survives any number of micro-batches.
     */
   def indexStream(docs: DataFrame, idCol: String, textCol: String,
-      tablePrefix: String, stateBuckets: Int = 8,
+      tablePrefix: String, stateBuckets: Int = 8, maxStateFiles: Int = 64,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val spark = docs.sparkSession
@@ -607,6 +615,8 @@ object EventStream {
           .bucketBy(stateBuckets, "term").sortBy("term")
           .saveAsTable(table)
         sess.catalog.refreshTable(table)
+        selfHeal(sess, maxStateFiles, stateBuckets,
+          Seq(table -> Seq("term")), Nil)
         apply(sess.table(table))
       }
   }
@@ -648,6 +658,7 @@ object EventStream {
     */
   def annIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, tablePrefix: String, stateBuckets: Int = 8,
+      maxStateFiles: Int = 64,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val spark = vecs.sparkSession
@@ -677,6 +688,8 @@ object EventStream {
           .bucketBy(stateBuckets, "cell").sortBy("cell")
           .saveAsTable(cellT)
         sess.catalog.refreshTable(cellT)
+        selfHeal(sess, maxStateFiles, stateBuckets,
+          Seq(cellT -> Seq("cell")), Nil)
         apply(sess.table(cellT))
       }
   }
@@ -709,7 +722,7 @@ object EventStream {
     */
   def decontaminationStream(benchDocs: DataFrame, idCol: String,
       textCol: String, tablePrefix: String, n: Int = 5,
-      mBits: Int = 1 << 20, kProbes: Int = 4,
+      mBits: Int = 1 << 20, kProbes: Int = 4, maxStateFiles: Int = 64,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val spark = benchDocs.sparkSession
@@ -741,6 +754,9 @@ object EventStream {
         fresh.write.mode("append").saveAsTable(shT)
         merged.write.mode("overwrite").saveAsTable(blT)
         Seq(shT, blT).foreach(sess.catalog.refreshTable)
+        // bloom is a bounded overwrite-per-batch table; only the appending
+        // shingle index fragments.
+        selfHeal(sess, maxStateFiles, 8, Nil, Seq(shT))
         apply(sess.table(blT))
       }
   }
@@ -785,6 +801,7 @@ object EventStream {
   def dedupStream(newDocs: DataFrame, idCol: String, textCol: String,
       tablePrefix: String, maxJaccardDist: Double = 0.3,
       numHashTables: Int = 5, n: Int = 3, stateBuckets: Int = 8,
+      maxStateFiles: Int = 64,
       apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val spark = newDocs.sparkSession
@@ -827,6 +844,8 @@ object EventStream {
           .bucketBy(stateBuckets, "band", "sig").sortBy("band", "sig")
           .saveAsTable(bandT)
         Seq(docsT, shT, bandT).foreach(sess.catalog.refreshTable)
+        selfHeal(sess, maxStateFiles, stateBuckets,
+          Seq(bandT -> Seq("band", "sig")), Seq(docsT, shT))
         apply(sess.table(docsT))
       }
   }
@@ -854,22 +873,32 @@ object EventStream {
   /** [[compactStateTable]] behind a fragmentation policy: compact only
     * when the table's data-file count exceeds `maxFiles` (the per-batch
     * append cadence decides how fast that accrues). Returns whether a
-    * compaction ran — call it from the foreachBatch tail (or a
-    * maintenance cron) and the state table self-heals without an
-    * operator remembering to. The file count comes from the catalog's
-    * table location — one directory listing, no data read.
+    * compaction ran — every stream in this file calls it from its
+    * foreachBatch tail ([[selfHeal]]), so the state tables self-heal
+    * without an operator remembering to. The file count comes from a
+    * RECURSIVE Hadoop FileSystem listing of the catalog's table location
+    * — scheme-agnostic (file:, hdfs:, s3a:, nested/partitioned layouts
+    * all count correctly; a bare java.io.File walk would silently report
+    * 0 on any non-local filesystem), no data read.
     */
   def compactIfFragmented(spark: org.apache.spark.sql.SparkSession, table: String,
       bucketCols: Seq[String] = Nil, buckets: Int = 8,
-      maxFiles: Int = 64): Boolean = {
+      maxFiles: Int = 64, targetFiles: Int = 1): Boolean = {
     val loc = new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location").select("data_type")
       .head().getString(0))
-    val files = Option(new java.io.File(loc.getPath).listFiles())
-      .map(_.count(f => f.isFile && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_"))).getOrElse(0)
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0
+    if (fs.exists(path)) {
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith(".") && !name.startsWith("_")) files += 1
+      }
+    }
     val fragmented = files > maxFiles
-    if (fragmented) compactStateTable(spark, table, bucketCols, buckets)
+    if (fragmented) compactStateTable(spark, table, bucketCols, buckets, targetFiles)
     fragmented
   }
 
@@ -888,5 +917,35 @@ object EventStream {
           .sortBy(bucketCols.head, bucketCols.tail: _*)
     w.saveAsTable(table)
     spark.catalog.refreshTable(table)
+  }
+
+  /** The foreachBatch-tail maintenance every appending stream shares:
+    * apply the [[compactIfFragmented]] policy to each append-only state
+    * table. Bucketed tables compact to one file per bucket (layout and
+    * no-Exchange probe plan preserved — spec-pinned); unbucketed tables
+    * compact to `buckets` files (NOT 1 — a corpus-sized docs table still
+    * wants parallel readers).
+    *
+    * COST MODEL, stated honestly: a triggered compaction rewrites the
+    * TABLE'S CURRENT CONTENTS, so on tables that grow with the corpus
+    * (docs/shingles/ledger) each trigger is O(table) I/O — with ~f new
+    * files per batch the policy fires every ~maxFiles/f batches, i.e.
+    * amortized O(table·f/maxFiles) per batch. Size `maxFiles` UP as the
+    * table grows (or disable with Int.MaxValue and run
+    * [[compactStateTable]] from a maintenance cron in quiet hours — the
+    * knob every stream exposes as `maxStateFiles`); the bounded tables
+    * (bands/postings/cells at fixed corpus, counts/bloom by
+    * construction) are cheap at any cadence. Size-tiered merging (only
+    * rewrite small files into medium ones) is the known next step if a
+    * deployment needs sub-O(table) triggers.
+    */
+  private def selfHeal(sess: org.apache.spark.sql.SparkSession,
+      maxFiles: Int, buckets: Int,
+      bucketed: Seq[(String, Seq[String])], plain: Seq[String]): Unit = {
+    bucketed.foreach { case (t, bc) =>
+      compactIfFragmented(sess, t, bc, buckets, maxFiles) }
+    plain.foreach(t =>
+      compactIfFragmented(sess, t, Nil, buckets, maxFiles,
+        targetFiles = buckets))
   }
 }

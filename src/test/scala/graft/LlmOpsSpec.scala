@@ -238,6 +238,56 @@ class LlmOpsSpec extends SparkTestBase {
     assert(sim == simUncapped)
   }
 
+  test("band-skew guard is DEFAULT-ON and bounds candidates in every banded generator") {
+    import spark.implicits._
+    // the default is on, and high enough to be a no-op at oracle scale.
+    assert(Dedup.DefaultMaxBandFreq.exists(_ >= 10000))
+    // planted pathology: 30 clones of one text (every band bucket freq 30)
+    // plus one near-dup pair of unique docs (bucket freq 2). With the cap
+    // below the clone count every generator must drop ALL clone pairs
+    // (their only evidence is ubiquitous buckets) and keep the rare pair.
+    val cloneText = "zero one two three four five six seven eight nine ten eleven"
+    val uniqA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    // identical text: the pair survives every generator's verify stage, so
+    // any loss can only come from the guard — which must not fire on a
+    // freq-2 bucket.
+    val uniqB = uniqA
+    val corpus = ((0L until 30L).map(d => (d, cloneText)) ++
+      Seq((100L, uniqA), (101L, uniqB))).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = pairsOf(Dedup.minHashPairs(corpus, "doc_id", "text",
+      maxJaccardDist = 0.3, maxBandFreq = Some(10)))
+    assert(mh == Set((100L, 101L)), s"minhash: $mh")
+    val wmh = pairsOf(Dedup.weightedMinHashPairs(corpus, "doc_id", "text",
+      maxJaccardDist = 0.3, maxBandFreq = Some(10)))
+    assert(wmh == Set((100L, 101L)), s"weighted: $wmh")
+    val sh = pairsOf(Dedup.simHashPairs(corpus, "doc_id", "text",
+      maxHamming = 3, maxBandFreq = Some(10)))
+    assert(sh == Set((100L, 101L)), s"simhash: $sh")
+    // cross-corpus: clones on both sides prune away, the unique pair stays.
+    val batch = ((200L until 230L).map(d => (d, cloneText)) ++ Seq((300L, uniqB)))
+      .toDF("doc_id", "text")
+    val across = Dedup.minHashPairsAcross(
+        corpus.filter(col("doc_id") =!= 101L), batch, "doc_id", "text",
+        maxJaccardDist = 0.3, maxBandFreq = Some(10))
+      .select("corpus_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(across == Set((100L, 300L)), s"across: $across")
+    // image-hash banding over planted signatures: 30 identical hashes
+    // (all 8 buckets hot) + one Hamming-1 pair of uniques.
+    val sigs = ((0L until 30L).map(d => (d, 0x1234567890abcdL)) ++
+      Seq((100L, 0x0fedcba987654321L), (101L, 0x0fedcba987654320L)))
+      .toDF("media_id", "ahash")
+    val ih = pairsOf(graft.llmops.Multimodal.hashBandedPairs(sigs,
+      maxHamming = 6, maxBandFreq = Some(10)))
+    assert(ih == Set((100L, 101L)), s"imagehash: $ih")
+    // and with the default cap (a no-op here) the clone pairs come back —
+    // the guard only fires on genuinely-hot buckets.
+    assert(pairsOf(Dedup.minHashPairs(corpus, "doc_id", "text",
+      maxJaccardDist = 0.3)).size == 30 * 29 / 2 + 1)
+  }
+
   test("stratified sampling is per-stratum, deterministic, and nested") {
     import graft.llmops.Corpus
     val kept = docs.filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
@@ -896,6 +946,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("cellStats: occupancy, skew ratio, centroid distance; empty cells reported") {
+    import spark.implicits._
+    val cent = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(-1f, -1f)))
+      .toDF("cent_id", "centvec")
+    val vecs = Seq(
+      (10L, Array(1f, 0.1f)), (11L, Array(1f, -0.1f)), (12L, Array(0.9f, 0f)),
+      (13L, Array(0.1f, 1f))).toDF("vec_id", "embedding")
+    val stats = Similarity.cellStats(Similarity.assignCells(vecs, cent), cent)
+      .orderBy("cell").collect()
+    // cell 0 holds 3 vectors, cell 1 holds 1, cell 2 is empty (and still
+    // reported — an empty cell is a wasted probe the operator should see).
+    assert(stats.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 3L), (1L, 1L), (2L, 0L)))
+    val occ = stats.map(_.getDouble(2))
+    assert(math.abs(occ(0) - 2.25) < 1e-9 && math.abs(occ(1) - 0.75) < 1e-9 &&
+      occ(2) == 0.0, s"occ ratios: ${occ.toSeq}")
+    assert(stats(2).isNullAt(3), "empty cell must report null mean_cdist")
+    val d1 = stats(1).getDouble(3)
+    assert(d1 > 0 && d1 < 0.1, s"cell-1 mean distance: $d1")
+    assert(stats(0).getDouble(3) > 0)
+  }
+
   test("IVF triplet mining: brute-force parity at nprobe = nlist, bounded candidates below it") {
     val anchors = emb.filter(col("vec_id") < 3)
     // nprobe = nlist probes every cell → the candidate set is the whole
@@ -1212,6 +1284,77 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
       s"expected the three near-dup pairs, got $pairs")
+  }
+
+  test("real AVI decode: exact frame stats, frame hashes match stills, corrupt degrades") {
+    import spark.implicits._
+    val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+    def dib(w: Int, h: Int, fill: (Int, Int) => Int): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val data = new Array[Byte](rowSize * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = fill(x, y)
+        val row = (h - 1 - y) * rowSize // bottom-up
+        data(row + x * 3) = (rgb & 0xFF).toByte
+        data(row + x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
+        data(row + x * 3 + 2) = ((rgb >> 16) & 0xFF).toByte
+      }
+      data
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1)).order(LE)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ bodies.flatten)
+    def avi(w: Int, h: Int, usPerFrame: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = java.nio.ByteBuffer.allocate(56).order(LE)
+      avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h) // dwWidth @32, dwHeight @36
+      chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+        list("hdrl", chunk("avih", avih.array())) ++
+        list("movi", frames.map(f => chunk("00db", f)): _*))
+    }
+    val split = dib(64, 64, (x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val inverse = dib(64, 64, (x, _) => if (x < 32) 0xFFFFFF else 0x000000)
+    val vid = avi(64, 64, 40000, Seq(split, inverse)) // 25 fps
+    // direct parse: exact dims, frame interval, frame count and bytes.
+    val v = Multimodal.decodeAvi(vid).get
+    assert(v.width == 64 && v.height == 64 && v.microSecPerFrame == 40000)
+    assert(v.frames.size == 2 && v.frames(0).sameElements(split))
+    // frame hashes: the SAME grid hash as the still-image path — frame 0
+    // reproduces the known half-split signature from the aHash spec.
+    val media = Seq(
+      (1L, "video", vid),
+      (2L, "video", "RIFFnot an avi really".getBytes("UTF-8")), // corrupt
+      (3L, "image", vid) // wrong kind: excluded even with decodable bytes
+    ).toDF("media_id", "kind", "payload")
+    val hashes = Multimodal.videoFrameHashes(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.map(h => (h._1, h._2)).toSet == Set((1L, 0L), (1L, 1L)),
+      s"only the decodable video's frames hash: ${hashes.toSeq}")
+    val byFrame = hashes.map(h => h._2 -> h._3).toMap
+    assert(byFrame(0L) == 0xF0F0F0F0F0F0F0F0L)
+    assert(java.lang.Long.bitCount(byFrame(0L) ^ byFrame(1L)) >= 32)
+    // features: real decode for kind=video, stub for corrupt bytes.
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r.features).toMap
+    assert(f(1L)(0) == 64f && f(1L)(1) == 64f && f(1L)(2) == 2f && f(1L)(3) == 25f)
+    assert(math.abs(f(1L)(4) - 0.5f) < 1e-3, s"mean luma: ${f(1L)(4)}") // half black/half white
+    assert(math.abs(f(1L)(7) - 2f / 25f) < 1e-6) // duration
+    assert(f(2L).sameElements(Multimodal.decodeStub("RIFFnot an avi really".getBytes("UTF-8"))))
+    // torn movi chunk: the walk keeps the parsed header, drops the frames.
+    val torn = Multimodal.decodeAvi(vid.dropRight(2))
+    assert(torn.exists(_.frames.isEmpty))
+    // a frame whose byte count can't be 24bpp DIB (a compressed codec)
+    // is skipped by the hash path, not fatal.
+    val mixed = avi(64, 64, 40000, Seq(split, Array[Byte](1, 2, 3)))
+    val mh = Multimodal.videoFrameHashes(
+        Seq((9L, "video", mixed)).toDF("media_id", "kind", "payload"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(mh.toSeq == Seq((0L, 0xF0F0F0F0F0F0F0F0L)))
   }
 
   test("kmeans: integer Lloyd rounds hand-checked, incl. negative truncating means") {

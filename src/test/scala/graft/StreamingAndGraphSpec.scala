@@ -288,6 +288,95 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("selfHeal wiring: dedupStream state files stay bounded across ≥3 compaction cycles, results unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tableFiles(t: String): Int = {
+      val loc = new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter(col("col_name") === "Location").select("data_type").head().getString(0))
+      Option(new java.io.File(loc.getPath).listFiles())
+        .map(_.count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))).getOrElse(0)
+    }
+    try {
+      val memA = MemoryStream[(Long, String)]
+      val memB = MemoryStream[(Long, String)]
+      val dfA = memA.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val dfB = memB.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val ckptA = java.nio.file.Files.createTempDirectory("heal_a_ckpt").toString
+      val ckptB = java.nio.file.Files.createTempDirectory("heal_b_ckpt").toString
+      // post-batch (= post-heal) file counts of the bucketed bands table
+      // and the plain shingles table, recorded through the wired tail.
+      val bandFiles = scala.collection.mutable.ArrayBuffer[Int]()
+      val shFiles = scala.collection.mutable.ArrayBuffer[Int]()
+      def runHealed(): Unit = {
+        val w = EventStream.dedupStream(dfA, "doc_id", "text", "heal_test",
+            stateBuckets = 2, maxStateFiles = 3, apply = _ => {
+              bandFiles += tableFiles("heal_test_bands")
+              shFiles += tableFiles("heal_test_shingles")
+            })
+          .option("checkpointLocation", ckptA)
+        val q = w.start(); q.processAllAvailable(); q.stop()
+      }
+      def runRef(): Unit = {
+        val w = EventStream.dedupStream(dfB, "doc_id", "text", "heal_ref",
+            stateBuckets = 2, maxStateFiles = Int.MaxValue)
+          .option("checkpointLocation", ckptB)
+        val q = w.start(); q.processAllAvailable(); q.stop()
+      }
+      // 12 one-doc batches of mutually-unique docs: the index grows every
+      // batch, so appends accrue files until the wired policy (maxFiles 3)
+      // compacts — several full decline→trigger cycles across the run.
+      (0 until 12).foreach { i =>
+        val text = (0 until 10).map(j => s"tok${i}x$j").mkString(" ")
+        memA.addData((i.toLong, text)); runHealed()
+        memB.addData((i.toLong, text)); runRef()
+      }
+      // bounded: a post-heal count is ≤ maxFiles right after a trigger
+      // (compaction leaves ≤ buckets files) and ≤ maxFiles + one batch's
+      // appends otherwise — never the monotone growth of the ref run.
+      assert(bandFiles.max <= 8 && shFiles.max <= 8,
+        s"file counts not bounded: bands=$bandFiles shingles=$shFiles")
+      assert(tableFiles("heal_ref_bands") > bandFiles.last &&
+        tableFiles("heal_ref_shingles") > shFiles.last,
+        "the unhealed reference run should have strictly more files")
+      // ≥ 3 compaction cycles actually ran: each trigger collapses the
+      // count, visible as a strict decrease in the post-batch series.
+      def cycles(xs: Seq[Int]) = xs.sliding(2).count(p => p(1) < p(0))
+      assert(cycles(bandFiles.toSeq) + cycles(shFiles.toSeq) >= 3,
+        s"expected ≥3 compaction cycles: bands=$bandFiles shingles=$shFiles")
+      // results identical to the never-compacted run, table by table.
+      def rows(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+      assert(rows("heal_test_docs") == rows("heal_ref_docs"))
+      assert(rows("heal_test_shingles") == rows("heal_ref_shingles"))
+      assert(rows("heal_test_bands") == rows("heal_ref_bands"))
+      // after multiple compactions the probe plan is still the bucketed
+      // no-Exchange join.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val probe = Seq((100L, 0, 42L)).toDF("batch_id", "band", "sig")
+          .join(spark.table("heal_test_bands")
+            .select(col("doc").as("corpus_id"), col("band"), col("sig")),
+            Seq("band", "sig"))
+        val p = probe.queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), s"healed scan not bucketed:\n$p")
+        assert("Exchange".r.findAllIn(p).size <= 1,
+          s"state side must still join without an Exchange:\n$p")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      }
+    } finally {
+      Seq("docs", "shingles", "bands").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS heal_test_$t")
+        spark.sql(s"DROP TABLE IF EXISTS heal_ref_$t")
+      }
+    }
+  }
+
   test("compactStateTable: rows and bucketed no-Exchange probe survive, files collapse") {
     import spark.implicits._
     def tableFiles(t: String): Seq[java.io.File] = {

@@ -187,6 +187,14 @@ class ViewsAndSourcesSpec extends SparkTestBase {
     assert(good.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
     val q = bad.as[String].collect()
     assert(q.length == 1 && q.head.contains("gam"), s"quarantine: ${q.toSeq}")
+    // the INFERRING read over the same torn-line dir must not leak
+    // Spark's session corrupt-record column as a data column in `good` —
+    // quarantine info lives in the quarantine frame only.
+    val (goodInf, badInf) = Jsonl.read(spark, dir)
+    assert(!goodInf.columns.contains("_corrupt_record"),
+      s"inferred schema leaked _corrupt_record: ${goodInf.columns.toSeq}")
+    assert(goodInf.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(badInf.count() == 1)
     // shard-partitioned gzip write → directory per shard, DuckDB-readable
     // layout, round-trips through the schema-less (inferring) read.
     val out = java.nio.file.Files.createTempDirectory("graft_jsonl_out").toString
