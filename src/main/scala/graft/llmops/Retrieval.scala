@@ -148,25 +148,64 @@ object Retrieval {
     * floats — so the whole two-stage run is SQL-replayable. Emits the
     * final ranking (same schema as [[searchTopK]]; `n_matched` counts
     * ORIGINAL + expansion terms).
+    *
+    * DEFAULTS ARE EVIDENCE (tools/SearchBench, BASELINE.md r8 table —
+    * planted graded relevance with an expansion-only grade, stop-heavy
+    * queries, tf-spam distractors, 1× and 10×): without the df cap,
+    * recall@10 is 0.000 at both scales (the first pass ranks by stop
+    * terms, the harvest amplifies them); capped, fbDocs=5/fbTerms=3
+    * reaches recall 1.000 / MRR 1.000 — the only system in the sweep to
+    * retrieve the expansion-only grade — while fbDocs=3 drops MRR to
+    * 0.25 because the tf-scored FIRST pass lets tf-spam into a 3-doc
+    * feedback set (size fbDocs past the spam depth you expect). Hence
+    * fbDocs = 5, fbTerms = 3 as defaults, and USE the cap in production.
     */
   def expandedSearch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 5, minMatch: Int = 1,
-      fbDocs: Int = 3, fbTerms: Int = 2): DataFrame = {
+      fbDocs: Int = 5, fbTerms: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     require(fbDocs >= 1 && fbTerms >= 0)
     val postings = termFreqs(docs, idCol, textCol).localCheckpoint(true)
-    val qterms = queries.select(col(qidCol).as("qid"),
+    val qtermsAll = queries.select(col(qidCol).as("qid"),
         explode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as("term"))
       .distinct()
+    // the searchPostings stop-term guard, and here it is LOAD-BEARING for
+    // quality, not just cost: feedback docs are the top-fbDocs of the
+    // FIRST pass, so a stop-heavy query without the cap harvests its
+    // expansion terms from stop-word-ranked noise and the second pass
+    // amplifies the noise (SearchBench measures exactly this collapse —
+    // recall 0.0 uncapped vs the capped path reaching the
+    // expansion-only grade).
+    val qterms =
+      if (maxDf == Long.MaxValue) qtermsAll
+      else {
+        val hot = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("term")
+        qtermsAll.join(hot, Seq("term"), "left_anti")
+      }
     val fb = searchTerms(postings, qterms, k = fbDocs, minMatch = minMatch)
       .select("qid", "doc")
     // harvest: per query, the fbTerms highest summed-tf terms across the
-    // feedback docs, original terms excluded.
+    // feedback docs, original terms excluded — and the df cap applies to
+    // the HARVEST too: feedback docs contain ordinary prose around their
+    // topical terms, so without the cap the highest-tf harvested terms
+    // are corpus-ubiquitous words that re-pollute the second pass with
+    // exactly the noise the first-pass cap removed (RM3 implementations
+    // weight the feedback model by idf for the same reason; the cap is
+    // the integer-exact form of that floor).
     val origTerms = qterms.select(col("qid").as("__oqid"), col("term").as("__orig"))
-    val harvested = fb.join(postings, Seq("doc"))
+    val fromFb = fb.join(postings, Seq("doc"))
       .join(origTerms,
         col("qid") === col("__oqid") && col("term") === col("__orig"), "left_anti")
-      .groupBy("qid", "term").agg(sum("tf").as("__tf"))
+    val fbCapped =
+      if (maxDf == Long.MaxValue) fromFb
+      else {
+        val hot = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("term")
+        fromFb.join(hot, Seq("term"), "left_anti")
+      }
+    val harvested = fbCapped.groupBy("qid", "term").agg(sum("tf").as("__tf"))
     val wH = Window.partitionBy("qid").orderBy(col("__tf").desc, col("term"))
     val expansion = harvested.withColumn("__hr", row_number().over(wH))
       .filter(col("__hr") <= fbTerms)
@@ -206,7 +245,13 @@ object Retrieval {
   }
 
   /** BM25 top-k — the standard probabilistic re-rank over the same
-    * candidate set as [[searchTopK]] (k1 = 1.2, b = 0.75):
+    * candidate set as [[searchTopK]] (k1 = 1.2, b = 0.75 — measured on
+    * the robust plateau by tools/SearchBench, BASELINE.md r8: every grid
+    * point from (0.9, 0.4) to (2.0, 0.75) to the b extremes scores
+    * recall@10 0.800 / MRR 1.000 on the planted benchmark at 1× and 10×
+    * while raw tf drops to MRR 0.25 under tf-spam — saturation is what
+    * earns BM25 its keep; the literature defaults sit mid-plateau and
+    * stay):
     * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`,
     * `w(t, d) = idf · tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen))`.
     *
@@ -266,7 +311,11 @@ object Retrieval {
     *
     * Inputs are (qid, doc, rank) frames — rename upstream columns to
     * match (e.g. ANN's `cid`/`rn`). Rows ranked beyond `maxRank` are
-    * ignored. Scale: both inputs are top-k lists — |queries|·k rows —
+    * ignored. `c = 60` is Cormack et al.'s constant, and SearchBench
+    * (BASELINE.md r8) measures the fusion flat across c ∈ {10, 30, 60}
+    * on the planted benchmark (recall 0.800 / MRR 1.000 everywhere) —
+    * the choice is not load-bearing; c = 100 at maxRank = 10 would
+    * overflow the integer-exact scale (the `require` above). Scale: both inputs are top-k lists — |queries|·k rows —
     * so the fusion is a full-outer equi-join plus one per-qid window
     * over already-tiny frames; the heavy lifting happened in the
     * upstream retrievers.

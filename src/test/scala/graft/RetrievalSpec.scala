@@ -184,6 +184,26 @@ class RetrievalSpec extends SparkTestBase {
     assert(zero == plain)
   }
 
+  test("expandedSearch df cap guards both the first pass and the harvest") {
+    val docs = Seq(
+      (1L, "the rare gem"), (2L, "the gem jewel"), (3L, "the jewel stone"),
+      (4L, "the the the"), (5L, "the filler words")).toDF("doc_id", "text")
+    val queries = Seq((9L, "the rare")).toDF("qid", "qtext")
+    // cap 4 < df("the") = 5: the stop term leaves the query AND the
+    // harvest — feedback doc 1 donates "gem" (df 2), never "the".
+    val capped = Retrieval.expandedSearch(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, fbDocs = 1, fbTerms = 1, maxDf = 4)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(capped == Seq(1L, 2L), s"got $capped")
+    // uncapped: the stop term rules the first pass, the all-stop doc
+    // ranks first, and there is nothing useful to harvest from it — the
+    // SearchBench collapse in miniature.
+    val uncapped = Retrieval.expandedSearch(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, fbDocs = 1, fbTerms = 1)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(uncapped.head == 4L, s"got $uncapped")
+  }
+
   test("charTrigramPairs: word-order tolerant; boilerplate-only overlap drops, Jaccard stays exact") {
     import graft.llmops.FuzzyMatch
     // word-order tolerance: high trigram overlap despite a large edit
