@@ -527,4 +527,53 @@ object Corpus {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
         expr("bit_xor(__h)").as("content_xor"))
+
+  /** Population-stability-index drift report between two corpus
+    * snapshots over a non-negative numeric column (doc token counts,
+    * quality scores scaled to integers — any gauge the pipeline already
+    * computes): bin both sides into `bins` fixed-width buckets of
+    * `granularity` (values past the last edge clamp into it — the
+    * [[graft.functions.LongHistogram]] bucketing), Laplace-smooth the
+    * bin shares (+1 per bin, so an empty bin contributes a finite,
+    * stable penalty instead of a division by zero), and emit one row
+    * per bin with both shares and the PSI contribution
+    * `(p − q)·ln(p/q)`. Σ contrib is the PSI: the industry reading is
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 act — for a training
+    * pipeline, "act" means yesterday's mixture/quality calibration no
+    * longer describes today's crawl (re-fit the gate thresholds,
+    * re-check the source mix) — the distribution-level companion to
+    * [[graft.llmops.Similarity.cellStats]]'s embedding-space drift
+    * gauge.
+    *
+    * Scale: two map-side-combining groupBys over the snapshots plus a
+    * bins-sized assembly join — no shuffle carries data rows. Every
+    * quantity is integer counts → one ln per bin, rounded 6 dp (the
+    * tfidf/BM25 float discipline), so the whole report is
+    * SQL-replayable (q_x_corpus_drift_psi).
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, valCol: String,
+      granularity: Long = 16, bins: Int = 32): DataFrame = {
+    require(granularity >= 1 && bins >= 2)
+    // integer div (DuckDB `//`), non-negative by the greatest-clamp.
+    def binned(df: DataFrame, n: String) =
+      df.select(least(
+          expr(s"greatest(cast($valCol as bigint), 0) div $granularity"),
+          lit(bins - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    val allBins = a.sparkSession.range(bins).select(col("id").as("bin"))
+    val na = binned(a, "na")
+    val nb = binned(b, "nb")
+    val totals = broadcast(na.agg(sum("na").as("ta"))
+      .crossJoin(nb.agg(sum("nb").as("tb"))))
+    val p = (col("na") + 1) / (col("ta") + bins)
+    val q = (col("nb") + 1) / (col("tb") + bins)
+    allBins.join(na, Seq("bin"), "left").join(nb, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .crossJoin(totals)
+      .select(col("bin"), col("na"), col("nb"),
+        round(p, 6).as("p"), round(q, 6).as("q"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+  }
 }

@@ -228,16 +228,24 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** One 24-bit bottom-up DIB frame (the uncompressed-AVI payload format:
-    * BGR byte triples, rows padded to 4 bytes, last row first) as a
-    * BufferedImage — None when the byte count doesn't match the
-    * dimensions (a compressed frame, a torn chunk).
+  /** One AVI frame as a BufferedImage: a 24-bit bottom-up DIB (BGR byte
+    * triples, rows padded to 4 bytes, last row first — the uncompressed
+    * layout) when the byte count matches the dimensions, otherwise an
+    * MJPEG attempt — Motion-JPEG frames are plain JPEG images, which
+    * `javax.imageio` decodes in-JDK, so MJPEG AVIs (the most common
+    * "compressed" AVI in the wild) decode for real too. None when
+    * neither parses (a genuinely compressed codec, a torn chunk).
     */
-  private def dibFrameImage(w: Int, h: Int,
+  private def aviFrameImage(w: Int, h: Int,
       data: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     val rowSize = ((w * 3 + 3) / 4) * 4
-    if (w < 1 || h < 1 || data.length < rowSize * h) None
-    else {
+    if (w < 1 || h < 1 || data.length < rowSize * h) {
+      // not a full DIB: JFIF/JPEG frames start 0xFF 0xD8.
+      if (data.length >= 2 && (data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    } else {
       val im = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -269,7 +277,7 @@ object Multimodal {
     */
   def decodeAviFeatures(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
     decodeAvi(payload).flatMap { v =>
-      val imgs = v.frames.flatMap(dibFrameImage(v.width, v.height, _))
+      val imgs = v.frames.flatMap(aviFrameImage(v.width, v.height, _))
       if (imgs.isEmpty) None
       else {
         var sl = 0.0; var sl2 = 0.0; var n = 0L
@@ -318,7 +326,7 @@ object Multimodal {
           if (r.kind != "video") Iterator.empty
           else decodeAvi(r.payload).iterator.flatMap { v =>
             v.frames.iterator.zipWithIndex.flatMap { case (f, i) =>
-              dibFrameImage(v.width, v.height, f)
+              aviFrameImage(v.width, v.height, f)
                 .map(im => (r.media_id, i.toLong, aHashOfImage(im)))
             }
           }

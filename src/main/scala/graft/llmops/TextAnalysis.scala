@@ -385,4 +385,110 @@ object TextAnalysis {
         when(best("score") > 0, best("lang")).otherwise(lit("und")))
       .withColumn("lang_score", round(best("score"), 6))
   }
+
+  /** Unigram language-model quality score — the perplexity-proxy
+    * selection signal (CCNet scores crawl text against a reference LM
+    * and keeps the low-perplexity head; a full KenLM needs model files
+    * this container doesn't have, but the unigram version captures the
+    * same "does this look like the reference corpus" gradient and is
+    * exactly SQL-replayable): per document, the mean negative log
+    * probability of its tokens under Laplace-smoothed REFERENCE unigram
+    * stats, `p(t) = (count_ref(t) + 1) / (T + V)` with T = reference
+    * token count and V = reference distinct-token count (so
+    * out-of-vocabulary tokens get the finite floor 1/(T+V), not −∞).
+    * LOW avg_nll = fluent/ordinary under the reference; HIGH = rare
+    * vocabulary, mojibake, gibberish — gate on a quantile of it like
+    * the other quality metrics. `reference` defaults to the corpus
+    * itself (self-scoring flags each document's distance from the
+    * corpus norm).
+    *
+    * Scale: one reference aggregation (broadcastable: V rows), one
+    * token explode + broadcast join + per-doc mean over the scored
+    * corpus — no corpus-sized shuffle beyond the per-doc groupBy. One
+    * ln per distinct (doc, term) row; mean rounded 6 dp (the tfidf
+    * float discipline).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      reference: Option[DataFrame] = None,
+      refTextCol: String = "text"): DataFrame = {
+    val refToks = reference.getOrElse(df.select(col(textCol).as(refTextCol)))
+      .select(explode(wsTokens(lower(col(refTextCol)))).as("term"))
+    val freqs = refToks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val totals = broadcast(freqs.agg(
+      sum("cnt").as("t_tokens"), count(lit(1)).as("v_distinct")))
+    val toks = df.select(col(idCol).as("doc"),
+      explode(wsTokens(lower(col(textCol)))).as("term"))
+    toks.join(broadcast(freqs), Seq("term"), "left")
+      .crossJoin(totals)
+      .withColumn("__nll",
+        -log((coalesce(col("cnt"), lit(0L)) + 1) /
+          (col("t_tokens") + col("v_distinct"))))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), round(avg("__nll"), 6).as("avg_nll"))
+  }
+
+  /** Candidate payment-card numbers: 13–19 digits with optional single
+    * space/dash separators, word-bounded. A REGEX ONLY FINDS CANDIDATES —
+    * digit runs of card length are everywhere (order ids, timestamps
+    * joined by dashes), so redacting on the regex alone destroys
+    * non-PII; the Luhn checksum is what separates real card numbers
+    * (issuers generate them Luhn-valid precisely so typos are
+    * detectable) from arbitrary digit runs.
+    */
+  val CardCandidateRe: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn audit of every card-number candidate: (doc, cand, n_digits,
+    * luhn_valid). The checksum is pure integer arithmetic over exploded
+    * digit rows — double every second digit from the right, subtract 9
+    * when it exceeds 9, valid iff the sum ≡ 0 (mod 10) and the digit
+    * count is card-length — so the WHOLE decision is replayed by the
+    * DuckDB oracle (q_x_pii_luhn). Shape: regexp candidates explode per
+    * doc (rare — bounded by PII density, not text length), digits
+    * explode per candidate (≤ 19 rows), one groupBy back.
+    */
+  def luhnCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = df.select(col(idCol).as("doc"),
+        explode(regexp_extract_all(col(textCol), lit(CardCandidateRe), lit(0)))
+          .as("cand"))
+      .withColumn("ds", regexp_replace(col("cand"), "[^0-9]", ""))
+      .withColumn("n", length(col("ds")).cast("long"))
+    cands
+      .select(col("doc"), col("cand"), col("n"),
+        // Spark split keeps the trailing empty match (limit −1
+        // semantics) — drop it before the digit cast.
+        posexplode(filter(split(col("ds"), "(?!^)"), ch => ch =!= ""))
+          .as(Seq("pos", "ch")))
+      .withColumn("d", col("ch").cast("long"))
+      .withColumn("w",
+        when(((col("n") - 1 - col("pos")) % 2) === 1,
+          col("d") * 2 - when(col("d") >= 5, 9).otherwise(0))
+          .otherwise(col("d")))
+      .groupBy("doc", "cand", "n")
+      .agg(sum("w").as("s"))
+      .select(col("doc"), col("cand"), col("n").as("n_digits"),
+        (col("s") % 10 === 0 && col("n").between(13, 19)).as("luhn_valid"))
+  }
+
+  /** Scrub Luhn-VALID card numbers to `[CARD]` — the two-stage PII pass
+    * [[redactPii]]'s pure-regex stages can't be (validity isn't
+    * regular): [[luhnCards]] decides, then each document folds its
+    * sorted valid candidates through `replace` (array_sort makes the
+    * fold order deterministic; candidates are exact substrings, so
+    * replace scrubs every occurrence). Emits (doc, n_cards = distinct
+    * valid numbers, redacted). Run BEFORE [[redactPii]] in a combined
+    * pass — its `[NUM]` stage would otherwise eat contiguous card
+    * digits before validation sees them.
+    */
+  def redactCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val valid = luhnCards(df, idCol, textCol)
+      .filter(col("luhn_valid"))
+      .groupBy("doc").agg(array_sort(collect_set(col("cand"))).as("cards"))
+    df.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .join(valid, Seq("doc"), "left")
+      .withColumn("cards",
+        coalesce(col("cards"), array().cast("array<string>")))
+      .select(col("doc"), size(col("cards")).cast("long").as("n_cards"),
+        aggregate(col("cards"), col("text"),
+          (acc, c) => replace(acc, c, lit("[CARD]"))).as("redacted"))
+  }
 }

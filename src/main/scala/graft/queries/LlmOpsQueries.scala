@@ -680,6 +680,73 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Luhn card-number audit: planted candidates (one Luhn-valid test
+    // number, one with a broken check digit) — the regex finds both, the
+    // integer checksum separates them, and the oracle replays every digit
+    // weight. The redaction FOLD is spec-pinned (LlmOpsSpec) — the
+    // decision logic is what the oracle owns.
+    q("q_x_pii_luhn", {
+      val aug = "text || CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111 ok' " +
+        "WHEN doc_id % 7 = 0 THEN ' pay 4111-1111-1111-1112 no' ELSE '' END"
+      val re = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+      s"WITH a AS (SELECT doc_id AS doc, $aug AS t FROM documents), " +
+        s"c AS (SELECT doc, unnest(regexp_extract_all(t, '$re')) AS cand FROM a), " +
+        "ds AS (SELECT doc, cand, regexp_replace(cand, '[^0-9]', '', 'g') AS d FROM c), " +
+        "dig AS (SELECT doc, cand, length(d) AS n, unnest(generate_series(1, length(d))) AS i, d FROM ds), " +
+        "w AS (SELECT doc, cand, n, CAST(substr(d, CAST(i AS INT), 1) AS BIGINT) AS dv, (n - i) % 2 AS odd FROM dig), " +
+        "sums AS (SELECT doc, cand, n, sum(CASE WHEN odd = 1 THEN dv * 2 - CASE WHEN dv >= 5 THEN 9 ELSE 0 END ELSE dv END) AS s FROM w GROUP BY 1, 2, 3) " +
+        "SELECT doc, cand, CAST(n AS BIGINT) AS n_digits, (s % 10 = 0 AND n BETWEEN 13 AND 19) AS luhn_valid " +
+        "FROM sums ORDER BY doc, cand"
+    }) { (s, d) =>
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" card 4111 1111 1111 1111 ok"))
+          .when(col("doc_id") % 7 === 0, lit(" pay 4111-1111-1111-1112 no"))
+          .otherwise(lit("")))
+      TextAnalysis.luhnCards(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+          "doc_id", "text")
+        .orderBy("doc", "cand")
+    },
+    // unigram-LM quality (the CCNet perplexity-proxy gradient): mean
+    // negative log probability under Laplace-smoothed corpus unigram
+    // stats — self-scored, so every count and both totals replay.
+    q("q_x_quality_unigram_nll",
+      "WITH toks AS (SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "fr AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1), " +
+        "tot AS (SELECT sum(cnt) AS t, count(*) AS v FROM fr) " +
+        "SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(avg(-ln((coalesce(fr.cnt, 0) + 1) / CAST(tot.t + tot.v AS DOUBLE))), 6) AS avg_nll " +
+        "FROM toks LEFT JOIN fr USING (term) CROSS JOIN tot GROUP BY doc ORDER BY doc") { (s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc")
+    },
+    // PSI corpus-drift report: snapshot A = even docs' token counts,
+    // snapshot B = odd docs' counts HALVED (a planted length-collapse
+    // drift) — binning, Laplace shares and every per-bin contribution
+    // replay exactly; Σ psi_contrib is the drift verdict.
+    q("q_x_corpus_drift_psi",
+      "WITH ta AS (SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS v FROM documents WHERE doc_id % 2 = 0), " +
+        "tb AS (SELECT len(regexp_split_to_array(trim(text), '\\s+')) // 2 AS v FROM documents WHERE doc_id % 2 = 1), " +
+        "ga AS (SELECT least(greatest(CAST(v AS BIGINT), 0) // 16, 31) AS bin, count(*) AS na FROM ta GROUP BY 1), " +
+        "gb AS (SELECT least(greatest(CAST(v AS BIGINT), 0) // 16, 31) AS bin, count(*) AS nb FROM tb GROUP BY 1), " +
+        "tot AS (SELECT (SELECT sum(na) FROM ga) AS tan, (SELECT sum(nb) FROM gb) AS tbn), " +
+        "bins AS (SELECT unnest(generate_series(0, 31)) AS bin) " +
+        "SELECT CAST(b.bin AS BIGINT) AS bin, CAST(coalesce(ga.na, 0) AS BIGINT) AS na, CAST(coalesce(gb.nb, 0) AS BIGINT) AS nb, " +
+        "round((coalesce(ga.na, 0) + 1) / CAST(t.tan + 32 AS DOUBLE), 6) AS p, " +
+        "round((coalesce(gb.nb, 0) + 1) / CAST(t.tbn + 32 AS DOUBLE), 6) AS q, " +
+        "round(((coalesce(ga.na, 0) + 1) / CAST(t.tan + 32 AS DOUBLE) - (coalesce(gb.nb, 0) + 1) / CAST(t.tbn + 32 AS DOUBLE)) * " +
+        "ln(((coalesce(ga.na, 0) + 1) / CAST(t.tan + 32 AS DOUBLE)) / ((coalesce(gb.nb, 0) + 1) / CAST(t.tbn + 32 AS DOUBLE))), 6) AS psi_contrib " +
+        "FROM bins b LEFT JOIN ga ON ga.bin = b.bin LEFT JOIN gb ON gb.bin = b.bin CROSS JOIN tot t ORDER BY bin") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nt = size(split(trim(col("text")), "\\s+")).cast("long")
+      Corpus.psiDrift(
+          docs.filter(col("doc_id") % 2 === 0).select(nt.as("v")),
+          docs.filter(col("doc_id") % 2 === 1).select(nt.as("v0"))
+            .select(expr("v0 div 2").as("v")),
+          "v")
+        .orderBy("bin")
+    },
+
     // multimodal: binary payload metadata (bytes stand in for media blobs)
     q("q_x_multimodal_meta",
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 FROM documents ORDER BY media_id") { (s, d) =>
@@ -1808,6 +1875,33 @@ object LlmOpsQueries extends QueryModule {
     // source. The engine runs the two-phase salted ranking (hot domains
     // bounded to salts×quota rows per partition); the oracle states the
     // single-window definition the salting provably equals.
+    // topic-balanced quota — semantic diversity sampling by composition:
+    // assign embeddings to nearest-centroid topic cells (the SemDeDup
+    // quantizer shape), then cap each TOPIC at a quota with the standard
+    // smallest-hash rule — "at most q documents per semantic cluster",
+    // the embedding-space analog of the per-source quota (a corpus
+    // balanced by domain can still be lopsided by topic). Assignment and
+    // rank both replay.
+    q("q_x_topic_balanced_quota", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(cid AS VARCHAR)")
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 8 GROUP BY 1, 2), " +
+        "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+        "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+        "assign AS (SELECT vec_id AS cid, cent_id AS cell FROM ranked WHERE rn = 1), " +
+        s"qr AS (SELECT cell, cid, row_number() OVER (PARTITION BY cell ORDER BY $h, CAST(cid AS VARCHAR)) AS qn FROM assign) " +
+        "SELECT CAST(cell AS BIGINT) AS cell, cid FROM qr WHERE qn <= 10 ORDER BY cell, cid"
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+      Corpus.sourceQuota(
+          Similarity.assignCells(emb, cent).select(col("cell"), col("cid")),
+          col("cid"), col("cell"), quota = 10, salts = 4)
+        .select(col("cell"), col("cid"))
+        .orderBy("cell", "cid")
+    },
     q("q_x_source_quota", {
       val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
       s"SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn FROM documents) WHERE rn <= 20 ORDER BY doc_id"

@@ -288,6 +288,77 @@ class LlmOpsSpec extends SparkTestBase {
       maxJaccardDist = 0.3)).size == 30 * 29 / 2 + 1)
   }
 
+  test("psiDrift: identical snapshots score ~0, a planted shift scores high, empty bins reported") {
+    import spark.implicits._
+    import graft.llmops.Corpus
+    val aVals = (Seq.fill(50)(10L) ++ Seq.fill(50)(40L)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // identical distributions → every contribution ~0 (only Laplace dust).
+    val same = Corpus.psiDrift(aVals, aVals, "v", granularity = 16, bins = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(5))).toMap
+    assert(same.size == 4 && same.values.forall(math.abs(_) < 1e-9), s"$same")
+    // planted shift: everything moves to the top bin → large positive +
+    // large positive contributions on both moved-from and moved-to bins.
+    val bVals = Seq.fill(100)(60L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val drift = Corpus.psiDrift(aVals, bVals, "v", granularity = 16, bins = 4)
+      .orderBy("bin").collect()
+    val psi = drift.map(_.getDouble(5)).sum
+    assert(psi > 0.25, s"planted full shift must cross the act threshold: $psi")
+    // counts land in the right bins; untouched bins are present with 0s.
+    assert(drift.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 50L, 0L), (1L, 0L, 0L), (2L, 50L, 0L), (3L, 0L, 100L)))
+  }
+
+  test("unigramLogProb: rare-vocabulary docs score higher NLL; reference scoring works") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rareword common"),
+      (3L, "weird tokens only here")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(out.map(_._2) == List(4L, 4L, 4L))
+    // the all-common doc is most "ordinary"; the all-rare doc least.
+    assert(out(0)._3 < out(1)._3 && out(1)._3 < out(2)._3, s"$out")
+    // scoring against an external reference: tokens absent from the
+    // reference get the OOV floor, present ones score by reference counts.
+    val ref = Seq(Tuple1("common common common")).toDF("text")
+    val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text",
+        reference = Some(ref))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // ref: T=3, V=1 → p(common) = 4/4 = 1 (nll 0), OOV = 1/4.
+    assert(scored(1L) == 0.0)
+    assert(math.abs(scored(3L) - (-math.log(0.25))) < 1e-6)
+  }
+
+  test("Luhn cards: valid numbers redact, invalid and short digit runs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4111 1111 1111 1111 today"),      // valid Visa test number
+      (2L, "ref 4111-1111-1111-1112 invalid"),    // broken check digit
+      (3L, "order 123456789012 is only 12 digits"),
+      (4L, "two cards 4111111111111111 and 5500 0000 0000 0004 here"),
+      (5L, "no digits at all")).toDF("doc_id", "text")
+    val audit = TextAnalysis.luhnCards(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3))).toSet
+    assert(audit == Set(
+      (1L, "4111 1111 1111 1111", true),
+      (2L, "4111-1111-1111-1112", false),
+      (4L, "4111111111111111", true),
+      (4L, "5500 0000 0000 0004", true)), s"audit: $audit")
+    val red = TextAnalysis.redactCards(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+      .sortBy(_._1)
+    assert(red(0) == ((1L, 1L, "pay [CARD] today")))
+    // invalid number: NOT redacted — the checksum is the point.
+    assert(red(1) == ((2L, 0L, "ref 4111-1111-1111-1112 invalid")))
+    assert(red(2)._2 == 0L)
+    assert(red(3) == ((4L, 2L, "two cards [CARD] and [CARD] here")))
+    assert(red(4) == ((5L, 0L, "no digits at all")))
+  }
+
   test("stratified sampling is per-stratum, deterministic, and nested") {
     import graft.llmops.Corpus
     val kept = docs.filter(Corpus.stratifiedSample(col("doc_id"), col("lang"),
@@ -1348,13 +1419,32 @@ class LlmOpsSpec extends SparkTestBase {
     // torn movi chunk: the walk keeps the parsed header, drops the frames.
     val torn = Multimodal.decodeAvi(vid.dropRight(2))
     assert(torn.exists(_.frames.isEmpty))
-    // a frame whose byte count can't be 24bpp DIB (a compressed codec)
-    // is skipped by the hash path, not fatal.
+    // a frame whose bytes are neither a full DIB nor JPEG (a genuinely
+    // compressed codec) is skipped by the hash path, not fatal.
     val mixed = avi(64, 64, 40000, Seq(split, Array[Byte](1, 2, 3)))
     val mh = Multimodal.videoFrameHashes(
         Seq((9L, "video", mixed)).toDF("media_id", "kind", "payload"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(mh.toSeq == Seq((0L, 0xF0F0F0F0F0F0F0F0L)))
+    // MJPEG: a JPEG frame chunk decodes for real (in-JDK ImageIO) — the
+    // lossy re-encode lands within a small Hamming distance of the exact
+    // DIB signature, which is exactly the re-encoded-copy story.
+    val jpegFrame = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        im.setRGB(x, y, if (x < 32) 0x000000 else 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = avi(64, 64, 40000, Seq(jpegFrame))
+    val jh = Multimodal.videoFrameHashes(
+        Seq((8L, "video", mjpeg)).toDF("media_id", "kind", "payload"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(jh.length == 1 &&
+      java.lang.Long.bitCount(jh.head._2 ^ 0xF0F0F0F0F0F0F0F0L) <= 4,
+      s"MJPEG frame hash too far: ${jh.toSeq}")
   }
 
   test("kmeans: integer Lloyd rounds hand-checked, incl. negative truncating means") {

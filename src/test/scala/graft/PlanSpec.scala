@@ -381,4 +381,50 @@ class PlanSpec extends SparkTestBase {
       p.contains("partial_sum"), s"assignment must partial-aggregate map-side:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in kmeans round plan:\n$p")
   }
+
+  test("mineTripletsIvf: candidates equi-join on cell, never an anchors x corpus product") {
+    import graft.llmops.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(Similarity.mineTripletsIvf(emb, emb.filter(col("vec_id") < 3),
+      nlist = 8, nprobe = 2, poolPerCell = 4))
+    // the only products are the broadcast anchor x centroid probes
+    // (|A| x nlist — bounded by the quantizer, not the corpus).
+    assert(!p.contains("CartesianProduct"), s"unbounded product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"probed-cell candidates must come from an equi-join on cell:\n$p")
+  }
+
+  test("cellStats: centroid join broadcasts, per-cell stats partial-aggregate map-side") {
+    import graft.llmops.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    val p = plan(Similarity.cellStats(Similarity.assignCells(emb, cent), cent))
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      s"per-cell stats must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cellStats:\n$p")
+  }
+
+  test("psiDrift: both snapshots aggregate map-side, totals broadcast, no data-row shuffle join") {
+    import graft.llmops.Corpus
+    val docs = Tables.documents(spark, dir)
+    val nt = size(split(trim(col("text")), "\\s+")).cast("long")
+    val p = plan(Corpus.psiDrift(
+      docs.filter(col("doc_id") % 2 === 0).select(nt.as("v")),
+      docs.filter(col("doc_id") % 2 === 1).select(nt.as("v")), "v"))
+    assert(p.contains("partial_count"), s"binning must partial-aggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row totals must broadcast:\n$p")
+  }
+
+  test("unigramLogProb: reference freqs broadcast, corpus never shuffles to score") {
+    import graft.llmops.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    val p = plan(TextAnalysis.unigramLogProb(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"reference freqs must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      s"per-doc NLL must partial-aggregate:\n$p")
+  }
 }
