@@ -576,4 +576,35 @@ object Corpus {
         round(p, 6).as("p"), round(q, 6).as("q"),
         round((p - q) * log(p / q), 6).as("psi_contrib"))
   }
+
+  /** [[psiDrift]] over ALREADY-BUILT per-key histogram state — the form
+    * the STREAMING reports need: [[graft.streaming.EventStream
+    * .dataCardStream]] persists one bounded
+    * [[graft.functions.LongHistogram]] per source, so drift against a
+    * frozen reference snapshot is one join of two bounded state tables —
+    * no corpus rescan, ever. Emits (key, n_a, n_b, psi) with the same
+    * Laplace-smoothed Σ(p−q)·ln(p/q) and the same 0.1/0.25 thresholds;
+    * keys present in only one side are omitted (no basis for a
+    * comparison). Work is keys × buckets rows — monitoring-cheap at any
+    * corpus size, which is the point: the expensive part (the
+    * histogram) was already paid incrementally by the stream.
+    */
+  def psiFromHistograms(a: DataFrame, b: DataFrame, keyCol: String,
+      histCol: String = "hist"): DataFrame = {
+    val j = a.select(col(keyCol).as("key"), col(histCol).as("ha"))
+      .join(b.select(col(keyCol).as("key"), col(histCol).as("hb")), Seq("key"))
+    val rows = j.select(col("key"),
+        posexplode(arrays_zip(col("ha"), col("hb"))).as(Seq("bin", "z")))
+      .select(col("key"), col("bin"),
+        col("z")("ha").as("na"), col("z")("hb").as("nb"))
+    val tot = rows.groupBy("key")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"), count(lit(1)).as("nbins"))
+    val p = (col("na") + 1) / (col("ta") + col("nbins"))
+    val q = (col("nb") + 1) / (col("tb") + col("nbins"))
+    rows.join(tot, Seq("key"))
+      .withColumn("__contrib", (p - q) * log(p / q))
+      .groupBy("key")
+      .agg(first("ta").as("n_a"), first("tb").as("n_b"),
+        round(sum("__contrib"), 6).as("psi"))
+  }
 }

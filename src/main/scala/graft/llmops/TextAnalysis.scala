@@ -427,6 +427,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), round(avg("__nll"), 6).as("avg_nll"))
   }
 
+  /** Data-derived quality-gate thresholds — the operational answer to a
+    * [[graft.llmops.Corpus.psiDrift]] "act" verdict (the scaladoc there
+    * says re-fit the gate when the corpus moved; this is the re-fit):
+    * instead of hand-tuned constants, recommend thresholds at corpus
+    * quantiles of the gate's own metrics —
+    *
+    *   min_tokens = p05(n_tokens), max_tokens = p99(n_tokens),
+    *   max_avg_token_len = p95, min_type_token = p05,
+    *   max_dup_gram_frac = p95
+    *
+    * — i.e. a refreshed gate that trims the same tail MASS after drift
+    * as before it. One row out. Quantiles come from the exact bounded
+    * occurrence histograms ([[graft.functions.LongHistogram]] — the
+    * data-card machinery): ratio metrics scale ×10⁶ to longs
+    * (`floor(x·10⁶ + 0.5)` — deterministic on the already-6dp-rounded
+    * doubles both engines share), and each threshold is the LOWER EDGE
+    * of its rank's bucket, exact to granularity − 1 (tokens: 16;
+    * ratios: 4096 ≈ 0.004; avg token length: 65536 ≈ 0.066 — threshold
+    * precision, stated). Scale: the metric pass is the gate's own
+    * linear chain; the histogram fold is one map-side-combining global
+    * aggregate; nothing corpus-sized shuffles.
+    */
+  def gateThresholds(df: DataFrame, idCol: String, textCol: String,
+      tokenGranularity: Long = 16): DataFrame = {
+    import graft.functions.LongHistogram
+    def scaled(c: Column): Column = floor(c * 1000000L + lit(0.5)).cast("long")
+    val rep = ngramRepetition(df, idCol, textCol, n = 2)
+      .select(col("doc"), col("dup_gram_char_frac"))
+    val m = withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text")))
+      .withColumn("type_token_ratio", typeTokenRatio(col("text")))
+      .join(rep, Seq("doc"))
+      .select(col("n_tokens"),
+        scaled(col("avg_token_len")).as("atl"),
+        scaled(col("type_token_ratio")).as("ttr"),
+        scaled(col("dup_gram_char_frac")).as("dgf"))
+    m.agg(count(lit(1)).as("n_docs"),
+        LongHistogram.sketch(col("n_tokens"), 256, tokenGranularity).as("h_nt"),
+        LongHistogram.sketch(col("atl"), 256, 65536L).as("h_atl"),
+        LongHistogram.sketch(col("ttr"), 256, 4096L).as("h_ttr"),
+        LongHistogram.sketch(col("dgf"), 256, 4096L).as("h_dgf"))
+      .select(col("n_docs"),
+        LongHistogram.quantileCol(col("h_nt"), col("n_docs"), 5, tokenGranularity)
+          .as("min_tokens"),
+        LongHistogram.quantileCol(col("h_nt"), col("n_docs"), 99, tokenGranularity)
+          .as("max_tokens"),
+        round(LongHistogram.quantileCol(col("h_atl"), col("n_docs"), 95, 65536L)
+          / 1000000.0, 6).as("max_avg_token_len"),
+        round(LongHistogram.quantileCol(col("h_ttr"), col("n_docs"), 5, 4096L)
+          / 1000000.0, 6).as("min_type_token"),
+        round(LongHistogram.quantileCol(col("h_dgf"), col("n_docs"), 95, 4096L)
+          / 1000000.0, 6).as("max_dup_gram_frac"))
+  }
+
   /** Candidate payment-card numbers: 13–19 digits with optional single
     * space/dash separators, word-bounded. A REGEX ONLY FINDS CANDIDATES —
     * digit runs of card length are everywhere (order ids, timestamps

@@ -680,6 +680,39 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // data-derived gate thresholds (the psiDrift "act" re-fit): quantiles
+    // of the gate's own metrics from exact occurrence histograms — the
+    // metric chain is the quality-gate fragment, the histogram/cum/rank
+    // replay is the occurrence-quantiles oracle shape, per metric.
+    q("q_x_gate_thresholds", {
+      def hist(tag: String, c: String, g: Long) =
+        s"b$tag AS (SELECT least(greatest($c, 0) // $g, 255) AS idx, count(*) AS cnt FROM s GROUP BY 1), " +
+          s"c$tag AS (SELECT idx, sum(cnt) OVER (ORDER BY idx) AS cum FROM b$tag)"
+      def qOf(tag: String, p: Int, g: Long) =
+        s"(SELECT min(CASE WHEN cum >= (n_docs - 1) * $p // 100 + 1 THEN idx * $g END) FROM c$tag CROSS JOIN n)"
+      "WITH t AS (SELECT doc_id, text, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t WHERE len(toks) >= 2), " +
+        "pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg GROUP BY 1), " +
+        "m AS (SELECT t.doc_id AS doc, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
+        "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
+        "coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac " +
+        "FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id), " +
+        "s AS (SELECT n_tokens, CAST(floor(avg_token_len * 1000000 + 0.5) AS BIGINT) AS atl, " +
+        "CAST(floor(type_token_ratio * 1000000 + 0.5) AS BIGINT) AS ttr, " +
+        "CAST(floor(dup_gram_char_frac * 1000000 + 0.5) AS BIGINT) AS dgf FROM m), " +
+        "n AS (SELECT count(*) AS n_docs FROM s), " +
+        hist("nt", "n_tokens", 16) + ", " + hist("atl", "atl", 65536L) + ", " +
+        hist("ttr", "ttr", 4096L) + ", " + hist("dgf", "dgf", 4096L) + " " +
+        s"SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(${qOf("nt", 5, 16)} AS BIGINT) AS min_tokens, " +
+        s"CAST(${qOf("nt", 99, 16)} AS BIGINT) AS max_tokens, " +
+        s"round(${qOf("atl", 95, 65536L)} / 1000000.0, 6) AS max_avg_token_len, " +
+        s"round(${qOf("ttr", 5, 4096L)} / 1000000.0, 6) AS min_type_token, " +
+        s"round(${qOf("dgf", 95, 4096L)} / 1000000.0, 6) AS max_dup_gram_frac FROM n"
+    }) { (s, d) =>
+      TextAnalysis.gateThresholds(Tables.documents(s, d), "doc_id", "text")
+    },
     // Luhn card-number audit: planted candidates (one Luhn-valid test
     // number, one with a broken check digit) — the regex finds both, the
     // integer checksum separates them, and the oracle replays every digit
@@ -745,6 +778,35 @@ object LlmOpsQueries extends QueryModule {
             .select(expr("v0 div 2").as("v")),
           "v")
         .orderBy("bin")
+    },
+
+    // histogram-state PSI (the dataCardDrift batch replay): per-source
+    // drift between two bounded LongHistogram cards — snapshot B's
+    // lengths halved (planted drift); binning, Laplace shares and the
+    // per-source Σ contribution all replay.
+    q("q_x_card_drift_psi",
+      "WITH ba AS (SELECT source, least(greatest(n_chars, 0) // 16, 255) AS bin FROM documents WHERE doc_id % 2 = 0), " +
+        "ga AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM ba GROUP BY 1, 2), " +
+        "bb AS (SELECT source, least(greatest(n_chars // 2, 0) // 16, 255) AS bin FROM documents WHERE doc_id % 2 = 1), " +
+        "gb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY 1, 2), " +
+        "keys AS (SELECT DISTINCT source FROM ba INTERSECT SELECT DISTINCT source FROM bb), " +
+        "grid AS (SELECT k.source, b.bin FROM keys k CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bin) b), " +
+        "r AS (SELECT g.source, g.bin, coalesce(ga.c, 0) AS na, coalesce(gb.c, 0) AS nb FROM grid g LEFT JOIN ga ON ga.source = g.source AND ga.bin = g.bin LEFT JOIN gb ON gb.source = g.source AND gb.bin = g.bin), " +
+        "t AS (SELECT source, sum(na) AS ta, sum(nb) AS tb FROM r GROUP BY 1) " +
+        "SELECT r.source, CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b, " +
+        "round(sum(((r.na + 1) / CAST(t.ta + 256 AS DOUBLE) - (r.nb + 1) / CAST(t.tb + 256 AS DOUBLE)) * " +
+        "ln(((r.na + 1) / CAST(t.ta + 256 AS DOUBLE)) / ((r.nb + 1) / CAST(t.tb + 256 AS DOUBLE)))), 6) AS psi " +
+        "FROM r JOIN t USING (source) GROUP BY r.source, t.ta, t.tb ORDER BY source") { (s, d) =>
+      import graft.functions.LongHistogram
+      val docs = Tables.documents(s, d)
+      def card(f: DataFrame, v: org.apache.spark.sql.Column) = f.groupBy("source")
+        .agg(LongHistogram.sketch(v, 256, 16).as("hist"))
+      Corpus.psiFromHistograms(
+          card(docs.filter(col("doc_id") % 2 === 0), col("n_chars")),
+          card(docs.filter(col("doc_id") % 2 === 1), expr("n_chars div 2")),
+          "source")
+        .withColumnRenamed("key", "source")
+        .orderBy("source")
     },
 
     // multimodal: binary payload metadata (bytes stand in for media blobs)

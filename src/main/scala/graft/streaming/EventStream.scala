@@ -454,6 +454,28 @@ object EventStream {
       }
   }
 
+  /** Drift probe over the LIVE [[dataCardStream]] state: PSI of each
+    * source's current doc-length histogram against a frozen REFERENCE
+    * card snapshot (persist `spark.table("{prefix}_card")` at
+    * calibration time — the quality gate's thresholds, the mixture
+    * weights and the quota sizes were all fit to THAT distribution).
+    * One bounded-state join ([[graft.llmops.Corpus.psiFromHistograms]]),
+    * no corpus rescan: the histograms were paid for incrementally by the
+    * stream. Read it on a monitoring cadence; a source crossing the
+    * PSI 0.25 threshold is the "act" signal — re-fit the gate
+    * ([[graft.llmops.TextAnalysis.gateThresholds]]) and re-check the
+    * mixture for that source.
+    */
+  def dataCardDrift(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, reference: DataFrame): DataFrame = {
+    // the stream overwrites the card per micro-batch on ITS session —
+    // drop any stale file listing this (monitoring) session cached.
+    spark.catalog.refreshTable(s"${tablePrefix}_card")
+    graft.llmops.Corpus.psiFromHistograms(
+        spark.table(s"${tablePrefix}_card"), reference, "source")
+      .withColumnRenamed("key", "source")
+  }
+
   /** The FULL curation cascade as a continuous-ingest stream — the
     * production shape of [[graft.llmops.Curation.ledger]]: every
     * micro-batch of new documents runs blocklist → quality gate →

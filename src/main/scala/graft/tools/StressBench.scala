@@ -106,7 +106,16 @@ object StressBench {
     "q_x_dedup_minhash_weighted", "q_x_rag_sentence_search",
     // trigram matching carries the df cap (prefix-convention quadratic
     // otherwise); projection and mode are narrow/two-stage passes.
-    "q_x_fuzzy_trigram", "q_x_random_projection", "q_a14_group_mode")
+    "q_x_fuzzy_trigram", "q_x_random_projection", "q_a14_group_mode",
+    // r8 additions: IVF-probed triplet mining (candidate work must track
+    // nprobe/nlist of the corpus), planted-signature aHash banding, the
+    // cellStats/psi drift reports (bounded aggregates — should be ~flat),
+    // Luhn audit + unigram NLL (narrow passes + one broadcast join), and
+    // the topic-quota composition (assignment + windowed rank).
+    "q_x_mine_triplets_ivf", "q_x_multimodal_ahash_pairs",
+    "q_x_ivf_cell_stats", "q_x_pii_luhn", "q_x_quality_unigram_nll",
+    "q_x_corpus_drift_psi", "q_x_topic_balanced_quota",
+    "q_x_gate_thresholds")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

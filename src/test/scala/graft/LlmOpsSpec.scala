@@ -288,6 +288,32 @@ class LlmOpsSpec extends SparkTestBase {
       maxJaccardDist = 0.3)).size == 30 * 29 / 2 + 1)
   }
 
+  test("gateThresholds: quantile edges land where the planted metric mass sits") {
+    import spark.implicits._
+    // 100 docs of 40 distinct tokens, one 4-token runt, one monster of
+    // 2000 tokens: p05(n_tokens) catches the head bucket, p99 the tail.
+    val word = (i: Int) => s"w$i"
+    val normal = (1L to 100L).map(i =>
+      (i, (0 until 40).map(j => word((i.toInt * 40 + j) % 997)).mkString(" ")))
+    val runt = Seq((200L, "a b c d"))
+    val monster = Seq((300L, (0 until 2000).map(j => word(j % 997)).mkString(" ")))
+    val docs = (normal ++ runt ++ monster).toDF("doc_id", "text")
+    val t = TextAnalysis.gateThresholds(docs, "doc_id", "text").collect().head
+    assert(t.getAs[Long]("n_docs") == 102L)
+    // p05 of n_tokens: bucket edge at/below 40 but above the runt's 4.
+    val minTok = t.getAs[Long]("min_tokens")
+    assert(minTok >= 16L && minTok <= 40L, s"min_tokens: $minTok")
+    // p99 rank (101 of 102) still lands in the 40-token mass; the single
+    // monster sits past it — the gate trims the extreme tail only.
+    val maxTok = t.getAs[Long]("max_tokens")
+    assert(maxTok >= 32L && maxTok < 2000L, s"max_tokens: $maxTok")
+    // ratio thresholds come back on the 0..1 scale with bucket precision.
+    val ttr = t.getAs[Double]("min_type_token")
+    assert(ttr >= 0.0 && ttr <= 1.0, s"min_type_token: $ttr")
+    val dgf = t.getAs[Double]("max_dup_gram_frac")
+    assert(dgf >= 0.0 && dgf <= 1.0, s"max_dup_gram_frac: $dgf")
+  }
+
   test("psiDrift: identical snapshots score ~0, a planted shift scores high, empty bins reported") {
     import spark.implicits._
     import graft.llmops.Corpus

@@ -523,6 +523,44 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(oneShot("s2") == ((2L, 6L, 3L, 2.0, 2L, 2L)))
   }
 
+  test("dataCardDrift: zero against itself, fires on a shifted live card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val mem = MemoryStream[(Long, String, String)]
+      val streamDf = mem.toDF()
+        .select(col("_1").as("doc_id"), col("_2").as("text"), col("_3").as("source"))
+      val ckpt = java.nio.file.Files.createTempDirectory("drift_ckpt").toString
+      def runOnce(): Unit = {
+        val w = EventStream.dataCardStream(streamDf, "doc_id", "text",
+            "source", "drift_test", k = 64, histBuckets = 32,
+            histGranularity = 1L)
+          .option("checkpointLocation", ckpt)
+        val q = w.start(); q.processAllAvailable(); q.stop()
+      }
+      // calibration batch: long docs.
+      mem.addData((1L, "a b c d e f g h", "s1"), (2L, "i j k l m n o p", "s1"))
+      runOnce()
+      // freeze the reference AS OF calibration (localCheckpoint: the live
+      // table will be overwritten by the next batch).
+      val reference = spark.table("drift_test_card").localCheckpoint(true)
+      // self-comparison: identical histograms → PSI exactly 0.
+      val self = EventStream.dataCardDrift(spark, "drift_test", reference)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(self("s1") == 0.0, s"self drift: $self")
+      // drifted batch: a flood of short docs shifts the length histogram.
+      mem.addData((3L, "x", "s1"), (4L, "y", "s1"), (5L, "z", "s1"),
+        (6L, "w", "s1"), (7L, "v", "s1"), (8L, "u", "s1"))
+      runOnce()
+      val drift = EventStream.dataCardDrift(spark, "drift_test", reference)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .head
+      // live card now holds all 8 docs; reference froze at 2.
+      assert(drift._2 == 8L && drift._3 == 2L, s"counts: $drift")
+      assert(drift._4 > 0.25, s"planted shift must cross the act threshold: $drift")
+    } finally spark.sql("DROP TABLE IF EXISTS drift_test_card")
+  }
+
   test("Jsonl.readStream: landed files absorb per batch, torn lines route, restart resumes") {
     import graft.ingest.Jsonl
     import spark.implicits._
