@@ -5,11 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
-  * with typed metadata alongside (SURVEY §2.11). The Spark-side shape —
-  * schema, partition-wise batch iteration, feature-vector output — is real
-  * and tested; only the codec call is stubbed (image/audio libraries are
-  * not in this container) behind `decodeStub`, which any real decoder
-  * (JNI, ONNX runtime, subprocess) can replace without touching the plan.
+  * with typed metadata alongside (SURVEY §2.11). All three modalities
+  * decode FOR REAL with in-JDK code only: images via javax.imageio
+  * ([[decodeImage]] — PNG/BMP/GIF/JPEG), audio via the RIFF/WAVE PCM
+  * parse ([[decodeWav]]), video via the uncompressed-AVI/MJPEG RIFF walk
+  * ([[decodeAvi]]); only codecs with no in-JDK decoder (compressed
+  * audio, non-MJPEG video codecs) fall to the deterministic
+  * [[decodeStub]], which any real decoder (JNI, ONNX runtime,
+  * subprocess) can replace without touching the plan.
   *
   * Scale notes: payload bytes never reach a wide shuffle — metadata is
   * computed scan-side; feature extraction is mapPartitions (one codec
