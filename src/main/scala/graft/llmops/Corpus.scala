@@ -563,8 +563,11 @@ object Corpus {
     val allBins = a.sparkSession.range(bins).select(col("id").as("bin"))
     val na = binned(a, "na")
     val nb = binned(b, "nb")
-    val totals = broadcast(na.agg(sum("na").as("ta"))
-      .crossJoin(nb.agg(sum("nb").as("tb"))))
+    // coalesce: sum over an EMPTY snapshot is NULL — an empty side must
+    // degrade to the all-Laplace uniform (PSI 0 vs another empty), not
+    // null-poison every share.
+    val totals = broadcast(na.agg(coalesce(sum("na"), lit(0L)).as("ta"))
+      .crossJoin(nb.agg(coalesce(sum("nb"), lit(0L)).as("tb"))))
     val p = (col("na") + 1) / (col("ta") + bins)
     val q = (col("nb") + 1) / (col("tb") + bins)
     allBins.join(na, Seq("bin"), "left").join(nb, Seq("bin"), "left")

@@ -478,6 +478,40 @@ object Similarity {
         round(col("md"), 6).as("mean_cdist"))
   }
 
+  /** Embedding-space health report — one row of corpus-level gauges for
+    * the representation the similarity/dedup family depends on:
+    *
+    *   - `n`, `dim`;
+    *   - `mean_norm`: average vector L2 norm (a collapsing or exploding
+    *     norm distribution breaks cosine thresholds calibrated earlier);
+    *   - `center_norm`: L2 norm of the MEAN vector;
+    *   - `anisotropy` = center_norm / mean_norm ∈ [0, 1]: ≈ 0 for a
+    *     centered, direction-diverse corpus; → 1 when every embedding
+    *     points the same way — the classic embedding-collapse /
+    *     common-direction pathology (Ethayarajh 2019) that silently
+    *     inflates every cosine similarity and ruins threshold-based
+    *     near-dup decisions. Track it per model version; a jump is the
+    *     re-embed signal, the representation-level sibling of
+    *     [[cellStats]]'s quantizer drift.
+    *
+    * Scale: one explode + a dim-keyed aggregate (dim rows) + one narrow
+    * norm aggregate — no corpus-sized shuffle.
+    */
+  def embeddingStats(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val e = df.select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("i"), col("v").cast("double").as("v"))
+    val center = e.groupBy("i").agg(avg("v").as("m"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("center_norm"),
+        count(lit(1)).as("dim"))
+    val norms = df.select(l2norm(col(vecCol)).as("nrm"))
+      .agg(count(lit(1)).as("n"), avg("nrm").as("mn"))
+    norms.crossJoin(broadcast(center))
+      .select(col("n"), col("dim"),
+        round(col("mn"), 6).as("mean_norm"),
+        round(col("center_norm"), 6).as("center_norm"),
+        round(col("center_norm") / col("mn"), 6).as("anisotropy"))
+  }
+
   /** [[ivfTopK]]'s probe/re-rank stages over an ALREADY-ASSIGNED cell
     * table — a materialized (or streamed) index serves queries without
     * re-assigning the corpus: queries pick their `nprobe` nearest cells

@@ -480,6 +480,48 @@ object TextAnalysis {
           / 1000000.0, 6).as("max_dup_gram_frac"))
   }
 
+  /** Zipf head fit — the corpus-naturalness gauge: natural language's
+    * rank-frequency curve is close to a power law with slope ≈ −1
+    * (Zipf), and a corpus whose head slope is far from it is telling
+    * you something is wrong with the DATA, not the pipeline — template
+    * spam flattens the head (slope → 0), boilerplate floods steepen
+    * it, OCR noise fattens the tail into the head. Least-squares of
+    * ln(frequency) on ln(rank) over the TOP `k` terms (the standard
+    * practice: the tail always bends away from the power law, and the
+    * head is where the health signal lives), emitting one row
+    * (n_terms = fitted terms, slope, intercept, r2).
+    *
+    * Scale: the term count aggregates map-side; the top-k cut is
+    * `orderBy(...).limit(k)` — planned as TakeOrderedAndProject
+    * (per-partition top-k + a k-row driver merge, never a global sort
+    * — the q_w7 discipline), and the rank window runs over ≤ k rows.
+    * Ties order by term ASC — deterministic, SQL-replayable.
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 1000): DataFrame = {
+    require(k >= 2)
+    val tf = df.select(explode(wsTokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term")).limit(k)
+    val w = Window.orderBy(col("f").desc, col("term"))
+    val xy = tf.withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("v"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("v").as("n_terms"),
+        round(((col("sxy") - col("sx") * col("sy") / col("v")) /
+          (col("sxx") - col("sx") * col("sx") / col("v"))), 6).as("slope"),
+        round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("v")) /
+          (col("sxx") - col("sx") * col("sx") / col("v")) * col("sx")) / col("v"), 6)
+          .as("intercept"),
+        round(pow(col("sxy") - col("sx") * col("sy") / col("v"), 2) /
+          ((col("sxx") - col("sx") * col("sx") / col("v")) *
+            (col("syy") - col("sy") * col("sy") / col("v"))), 6).as("r2"))
+  }
+
   /** Candidate payment-card numbers: 13–19 digits with optional single
     * space/dash separators, word-bounded. A REGEX ONLY FINDS CANDIDATES —
     * digit runs of card length are everywhere (order ids, timestamps

@@ -680,6 +680,33 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // embedding-space health: norm distribution + anisotropy (the
+    // embedding-collapse gauge) — per-dim means, the mean-vector norm and
+    // the ratio all replay.
+    q("q_x_embedding_stats",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "dims AS (SELECT i, avg(v) AS m FROM e GROUP BY 1), " +
+        "c AS (SELECT sqrt(sum(m * m)) AS center_norm, count(*) AS dim FROM dims), " +
+        "nn AS (SELECT count(*) AS n, avg(nrm) AS mn FROM (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1) t) " +
+        "SELECT CAST(nn.n AS BIGINT) AS n, CAST(c.dim AS BIGINT) AS dim, round(nn.mn, 6) AS mean_norm, " +
+        "round(c.center_norm, 6) AS center_norm, round(c.center_norm / nn.mn, 6) AS anisotropy " +
+        "FROM nn CROSS JOIN c") { (s, d) =>
+      Similarity.embeddingStats(Tables.embeddings(s, d))
+    },
+    // Zipf head fit (corpus-naturalness gauge): top-k rank-frequency
+    // least squares — term counts, the deterministic top-k cut, both ln
+    // transforms and every fit sum replay.
+    q("q_x_zipf_fit",
+      "WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1), " +
+        "top AS (SELECT term, f FROM tf ORDER BY f DESC, term LIMIT 1000), " +
+        "xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM top), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS v, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM xy) " +
+        "SELECT v AS n_terms, round((sxy - sx * sy / v) / (sxx - sx * sx / v), 6) AS slope, " +
+        "round((sy - (sxy - sx * sy / v) / (sxx - sx * sx / v) * sx) / v, 6) AS intercept, " +
+        "round(pow(sxy - sx * sy / v, 2) / ((sxx - sx * sx / v) * (syy - sy * sy / v)), 6) AS r2 FROM s") { (s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), "doc_id", "text", k = 1000)
+    },
     // data-derived gate thresholds (the psiDrift "act" re-fit): quantiles
     // of the gate's own metrics from exact occurrence histograms — the
     // metric chain is the quality-gate fragment, the histogram/cum/rank
@@ -783,11 +810,14 @@ object LlmOpsQueries extends QueryModule {
     // histogram-state PSI (the dataCardDrift batch replay): per-source
     // drift between two bounded LongHistogram cards — snapshot B's
     // lengths halved (planted drift); binning, Laplace shares and the
-    // per-source Σ contribution all replay.
+    // per-source Σ contribution all replay. The split alternates BLOCKS
+    // of 20 ids (source = doc_id % 20, so a plain parity split would
+    // give the two snapshots DISJOINT sources and a degenerate empty
+    // comparison — every source must live on both sides).
     q("q_x_card_drift_psi",
-      "WITH ba AS (SELECT source, least(greatest(n_chars, 0) // 16, 255) AS bin FROM documents WHERE doc_id % 2 = 0), " +
+      "WITH ba AS (SELECT source, least(greatest(n_chars, 0) // 16, 255) AS bin FROM documents WHERE (doc_id // 20) % 2 = 0), " +
         "ga AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM ba GROUP BY 1, 2), " +
-        "bb AS (SELECT source, least(greatest(n_chars // 2, 0) // 16, 255) AS bin FROM documents WHERE doc_id % 2 = 1), " +
+        "bb AS (SELECT source, least(greatest(n_chars // 2, 0) // 16, 255) AS bin FROM documents WHERE (doc_id // 20) % 2 = 1), " +
         "gb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY 1, 2), " +
         "keys AS (SELECT DISTINCT source FROM ba INTERSECT SELECT DISTINCT source FROM bb), " +
         "grid AS (SELECT k.source, b.bin FROM keys k CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bin) b), " +
@@ -802,8 +832,8 @@ object LlmOpsQueries extends QueryModule {
       def card(f: DataFrame, v: org.apache.spark.sql.Column) = f.groupBy("source")
         .agg(LongHistogram.sketch(v, 256, 16).as("hist"))
       Corpus.psiFromHistograms(
-          card(docs.filter(col("doc_id") % 2 === 0), col("n_chars")),
-          card(docs.filter(col("doc_id") % 2 === 1), expr("n_chars div 2")),
+          card(docs.filter(expr("(doc_id div 20) % 2 = 0")), col("n_chars")),
+          card(docs.filter(expr("(doc_id div 20) % 2 = 1")), expr("n_chars div 2")),
           "source")
         .withColumnRenamed("key", "source")
         .orderBy("source")

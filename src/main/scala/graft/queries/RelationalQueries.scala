@@ -145,10 +145,15 @@ object RelationalQueries extends QueryModule {
         .select("nation_a", "nation_b")
         .orderBy("nation_a", "nation_b")
     },
+    // MERGE match-phase anti-join against a BATCH SLICE (orders with
+    // orderkey ≡ 0 mod 4): the unfiltered version is vacuously empty on
+    // this data (every customer has orders — a 0 = 0 oracle match proves
+    // nothing), the slice leaves real survivors at every SF.
     q("q_j7a_anti_join",
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey") { (s, d) =>
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderkey % 4 = 0) ORDER BY c_custkey") { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_orderkey") % 4 === 0),
+          col("o_custkey") === col("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
@@ -159,13 +164,17 @@ object RelationalQueries extends QueryModule {
         .agg(count(lit(1)).as("n"))
     },
     q("q_j8_sweep_anti",
-      "SELECT s_suppkey, s_name FROM supplier WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey) ORDER BY s_suppkey") { (s, d) =>
-      // The sweep (M8) is exactly this anti-join: rows of the store no batch
-      // row touched.
-      Tables.supplier(s, d)
-        .join(Tables.lineitem(s, d), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+      "SELECT p_partkey, p_name FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49) ORDER BY p_partkey") { (s, d) =>
+      // The sweep (M8) is exactly this anti-join: rows of the store no
+      // batch row touched. The batch is the high-quantity lineitem slice —
+      // suppliers are densely covered by ANY slice on this data (a plain
+      // supplier sweep is vacuously empty, proving nothing), parts are
+      // not: ~11k survive at sf0.1.
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 49),
+          col("l_partkey") === col("p_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
     },
     // J9: skew-salted inner join through the real operator — result must be
     // row-for-row the plain join (the oracle states the plain join; salting

@@ -115,7 +115,8 @@ object StressBench {
     "q_x_mine_triplets_ivf", "q_x_multimodal_ahash_pairs",
     "q_x_ivf_cell_stats", "q_x_pii_luhn", "q_x_quality_unigram_nll",
     "q_x_corpus_drift_psi", "q_x_topic_balanced_quota",
-    "q_x_gate_thresholds")
+    "q_x_gate_thresholds", "q_x_card_drift_psi", "q_x_embedding_stats",
+    "q_x_zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

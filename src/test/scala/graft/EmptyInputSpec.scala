@@ -54,6 +54,45 @@ class EmptyInputSpec extends SparkTestBase {
         emb.withColumn("label", lit(0))))).count() == 0)
   }
 
+  test("r8 operators tolerate empty inputs: drift, NLL, Luhn, thresholds, triplets, cellStats") {
+    val noVals = Seq.empty[(Long, Long)].toDF("id", "v")
+    // psiDrift of two empty snapshots: every bin present, counts zero,
+    // Laplace shares equal → contributions exactly 0.
+    val psi = Corpus.psiDrift(noVals, noVals, "v", granularity = 16, bins = 4)
+      .collect()
+    assert(psi.length == 4 && psi.forall(r => r.getLong(1) == 0L &&
+      r.getDouble(5) == 0.0))
+    assert(Corpus.psiFromHistograms(
+      Seq.empty[(String, Array[Long])].toDF("source", "hist"),
+      Seq.empty[(String, Array[Long])].toDF("source", "hist"), "source")
+      .count() == 0)
+    // NLL / Luhn / card scrub on an empty corpus: empty out, no throw.
+    assert(TextAnalysis.unigramLogProb(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.luhnCards(noDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.redactCards(noDocs, "doc_id", "text").count() == 0)
+    // redactCards with matches nowhere: rows pass through unredacted.
+    val red = TextAnalysis.redactCards(someDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(red.forall(_._1 == 0L) && red.map(_._2).toSet ==
+      Set("a b c d e f", "x y z w v u"))
+    // gateThresholds on an empty corpus: one row, zero docs, null/zero
+    // thresholds — never a crash (the monitoring cron runs on day 0 too).
+    val t = TextAnalysis.gateThresholds(noDocs, "doc_id", "text").collect()
+    assert(t.length == 1 && t.head.getAs[Long]("n_docs") == 0L)
+    // IVF triplets / cellStats with an empty corpus or no anchors.
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.mineTripletsIvf(emb, noEmb, kPos = 1, mHard = 1,
+      rRand = 1, nlist = 2, nprobe = 1).count() == 0)
+    val cent = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    // empty corpus: every centroid still reports (n = 0, null distance).
+    val cs = Similarity.cellStats(Similarity.assignCells(noEmb, cent), cent)
+      .collect()
+    assert(cs.length == 2 && cs.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+  }
+
   test("packing, mixture and heavy hitters tolerate empty and zero-token inputs") {
     val noToks = Seq.empty[(Long, Long)].toDF("doc", "n_tokens")
     assert(Corpus.packSequences(noToks, col("doc"), col("n_tokens"), 8L).count() == 0)

@@ -288,6 +288,39 @@ class LlmOpsSpec extends SparkTestBase {
       maxJaccardDist = 0.3)).size == 30 * 29 / 2 + 1)
   }
 
+  test("embeddingStats: anisotropy 0 when centered, 1 when collapsed") {
+    import spark.implicits._
+    val sym = Seq((1L, Array(1f, 0f)), (2L, Array(-1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, -1f))).toDF("vec_id", "embedding")
+    val s = Similarity.embeddingStats(sym).collect().head
+    assert(s.getLong(0) == 4L && s.getLong(1) == 2L)
+    assert(s.getDouble(2) == 1.0) // unit norms
+    assert(s.getDouble(4) == 0.0) // perfectly centered: no common direction
+    val collapsed = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Similarity.embeddingStats(collapsed).collect().head
+    assert(c.getDouble(4) == 1.0, s"collapsed corpus must read anisotropy 1: $c")
+  }
+
+  test("zipfFit: a planted power law recovers slope ≈ −1 with r² near 1") {
+    import spark.implicits._
+    // freq(rank r) ≈ 1000/r — a genuine Zipf head.
+    val text = (1 to 50).flatMap { r =>
+      Seq.fill(math.max(1, math.round(1000.0 / r).toInt))(s"w$r")
+    }.mkString(" ")
+    val fit = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "doc_id",
+      "text", k = 40).collect().head
+    assert(fit.getLong(0) == 40L)
+    assert(math.abs(fit.getDouble(1) + 1.0) < 0.1, s"slope: ${fit.getDouble(1)}")
+    assert(fit.getDouble(3) > 0.98, s"r2: ${fit.getDouble(3)}")
+    // a flat (template-spam-like) corpus reads slope ≈ 0 — the gauge's
+    // other end.
+    val flat = (1 to 30).flatMap(r => Seq.fill(100)(s"f$r")).mkString(" ")
+    val flatFit = TextAnalysis.zipfFit(Seq((1L, flat)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 30).collect().head
+    assert(flatFit.getDouble(1) == 0.0, s"flat slope: $flatFit")
+  }
+
   test("gateThresholds: quantile edges land where the planted metric mass sits") {
     import spark.implicits._
     // 100 docs of 40 distinct tokens, one 4-token runt, one monster of
