@@ -31,7 +31,7 @@ case class Crc32C(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"org.apache.spark.sql.graftfn.Crc32C.of($c)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Crc32C =
+  override protected def withNewChildInternal(newChild: Expression): Crc32C =
     copy(child = newChild)
 }
 
@@ -72,7 +72,7 @@ case class TfRecordFrame(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"org.apache.spark.sql.graftfn.TfRecordFrame.frame($c)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): TfRecordFrame =
+  override protected def withNewChildInternal(newChild: Expression): TfRecordFrame =
     copy(child = newChild)
 }
 
