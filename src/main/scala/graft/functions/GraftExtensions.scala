@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.graftfn.{BitInterleave, ByteVectorDot, FloatVectorDot}
+import org.apache.spark.sql.graftfn.{BitInterleave, ByteVectorDot, Crc32C, FloatVectorDot, TfRecordFrame}
 import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** SQL surface for the engine's custom expressions, wired the way a
@@ -22,6 +22,12 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   *  - `graft_hash52(s)` — [[graft.llmops.PortableHash.hash52]] as SQL;
   *    expands to the same built-in tree (conv(substr(md5(s),1,13),16,10))
   *    so it stays inside WholeStageCodegen and constant-folds on literals.
+  *  - `graft_crc32c(b)` — CRC32C (Castagnoli) of a binary column as an
+  *    unsigned 32-bit long ([[org.apache.spark.sql.graftfn.Crc32C]]); the
+  *    checksum TFRecord framing requires (built-in `crc32` is IEEE).
+  *  - `graft_tfrecord_frame(b)` — one TFRecord frame (length + masked
+  *    crc + payload + masked crc) around a binary payload
+  *    ([[org.apache.spark.sql.graftfn.TfRecordFrame]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -63,6 +69,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Substring(Md5(Cast(children.head, BinaryType)), Literal(1), Literal(13)),
             Literal(16), Literal(10)),
           LongType)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_crc32c"),
+      new ExpressionInfo(classOf[Crc32C].getName, "graft_crc32c"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_crc32c(b) takes one binary arg")
+        Crc32C(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tfrecord_frame"),
+      new ExpressionInfo(classOf[TfRecordFrame].getName, "graft_tfrecord_frame"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_tfrecord_frame(b) takes one binary arg")
+        TfRecordFrame(children.head)
       }))
   }
 }

@@ -2582,6 +2582,55 @@ object LlmOpsQueries extends QueryModule {
         .select(col("media_id"), col("byte_len"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
+    },
+
+    // TFRecord framing, oracled CROSS-ENGINE: Spark emits real frame
+    // BYTES through the codegen'd TfRecordFrame expression and re-reads
+    // the length field and both masked CRC32C guards out of those bytes
+    // (LE byte-swap via hex + conv); DuckDB recomputes CRC32C from first
+    // principles — a bit-serial list_reduce fold of the reflected
+    // Castagnoli polynomial (0x82F63B78 = 2197175160) over the payload's
+    // bits, then the TFRecord mask ((c >>> 15 | c << 17) + 0xa282ead8)
+    // in pure integer arithmetic. Payload lengths vary 1..32 via a
+    // doc_id-dependent md5 prefix, so the length framing is exercised
+    // across values, not one constant. The canonical check value
+    // crc32c("123456789") = 0xE3069283 is additionally spec-pinned.
+    q("q_x_tfrecord_frame", {
+      def crcBits(bytesList: String) =
+        "xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), " +
+          s"flatten(list_transform($bytesList, " +
+          "y -> [(y>>0)&1, (y>>1)&1, (y>>2)&1, (y>>3)&1, (y>>4)&1, (y>>5)&1, (y>>6)&1, (y>>7)&1]))), " +
+          "(acc, b) -> xor(acc >> 1, xor(acc & 1, b) * 2197175160)), 4294967295)"
+      def mask(c: String) =
+        s"CAST((((($c >> 15) | (($c * 131072) & 4294967295)) + 2726488792) & 4294967295) AS BIGINT)"
+      "WITH p AS (SELECT doc_id, substr(md5(text), 1, CAST(1 + doc_id % 32 AS INT)) AS payload FROM documents), " +
+        "c AS (SELECT doc_id, CAST(length(payload) AS BIGINT) AS plen, " +
+        crcBits("list_transform(string_split(payload, ''), ch -> CAST(ascii(ch) AS BIGINT))") + " AS pcrc, " +
+        crcBits("[CAST(length(payload) AS BIGINT), 0, 0, 0, 0, 0, 0, 0]") + " AS lcrc FROM p) " +
+        "SELECT doc_id, plen, 16 + plen AS frame_len, plen AS len_field, " +
+        s"${mask("lcrc")} AS len_crc_masked, ${mask("pcrc")} AS payload_crc_masked " +
+        "FROM c ORDER BY doc_id"
+    }) { (s, d) =>
+      import org.apache.spark.sql.graftfn.TfRecordFrame
+      // LE uint from n bytes of a binary slice: hex, byte-swap, conv.
+      def le(hexExpr: String, nBytes: Int) = {
+        val parts = (nBytes - 1 to 0 by -1)
+          .map(i => s"substr($hexExpr, ${2 * i + 1}, 2)")
+        s"CAST(conv(concat(${parts.mkString(", ")}), 16, 10) AS BIGINT)"
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("substring(md5(text), 1, CAST(1 + doc_id % 32 AS INT))").as("payload"))
+        .withColumn("frame",
+          TfRecordFrame.tfRecordFrame(expr("encode(payload, 'UTF-8')")))
+        .withColumn("plen", length(col("payload")).cast("long"))
+        .select(col("doc_id"), col("plen"),
+          length(col("frame")).cast("long").as("frame_len"),
+          expr(le("hex(substring(frame, 1, 8))", 8)).as("len_field"),
+          expr(le("hex(substring(frame, 9, 4))", 4)).as("len_crc_masked"),
+          expr(le("hex(substring(frame, CAST(13 + plen AS INT), 4))", 4))
+            .as("payload_crc_masked"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -116,7 +116,10 @@ object StressBench {
     "q_x_ivf_cell_stats", "q_x_pii_luhn", "q_x_quality_unigram_nll",
     "q_x_corpus_drift_psi", "q_x_topic_balanced_quota",
     "q_x_gate_thresholds", "q_x_card_drift_psi", "q_x_embedding_stats",
-    "q_x_zipf_fit")
+    "q_x_zipf_fit",
+    // r9: TFRecord framing is a pure codegen'd map pass (one CRC32C per
+    // payload byte) — must scale linearly with corpus bytes.
+    "q_x_tfrecord_frame")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
