@@ -47,6 +47,15 @@ object Jsonl {
     * is corpus-sized: at the 100 TB end, read shard directories
     * individually (the release layout [[write]] produces) rather than
     * the whole corpus in one call.
+    *
+    * FAULT-TOLERANCE TRADE (explicit): localCheckpoint truncates lineage
+    * WITHOUT replication — lose an executor holding checkpoint blocks
+    * and the read fails (cache() would transparently recompute; a
+    * reliable `sparkContext.setCheckpointDir` checkpoint would survive).
+    * That is the right default for the shard-at-a-time ingest cadence
+    * above (a failed shard read re-runs one bounded call); for a
+    * long-lived multi-stage job over one giant read, either re-read per
+    * stage or copy the parse to a reliable store first.
     */
   def read(spark: SparkSession, path: String,
       schema: Option[StructType] = None): (DataFrame, DataFrame) = {

@@ -148,8 +148,31 @@ object Dedup {
     val hot = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_bf")).filter(col("_bf") > cap)
       .select(keyCols.map(col): _*)
-    banded.join(hot, keyCols, "left_anti")
+    // The cap firing must be OBSERVABLE — dropped pairs leave no trace in
+    // the output, so silent recall loss would be undetectable. `observe`
+    // plants a CollectMetrics node on the hot-key side, surfaced as
+    // `graft_band_prune_N` → pruned_band_keys through the standard
+    // QueryExecutionListener / observedMetrics channel (spec-pinned).
+    // The EAGER localCheckpoint right after it is load-bearing twice
+    // over: (1) delivery — the downstream candidate self-join duplicates
+    // this subtree, and AQE's stage handling silently drops observed
+    // metrics from duplicated subtrees (found empirically; a metric on a
+    // once-referenced, own-action frame always delivers); (2) planning —
+    // the anti-join's build side becomes a materialized known-tiny
+    // relation (hot keys only, usually empty), so it broadcasts on exact
+    // size instead of an estimate. Cost: the hot-key aggregate runs as
+    // its own small job over the (cached) element rows.
+    val obs = hot.observe(
+      s"graft_band_prune_${Dedup.pruneObsId.incrementAndGet()}",
+      count(lit(1)).as("pruned_band_keys"))
+      .localCheckpoint(true)
+    banded.join(obs, keyCols, "left_anti")
   }
+
+  /** Unique observation names per plan ([[pruneFrequentBandKeys]]) — Spark
+    * rejects a reused observation name inside one query.
+    */
+  private val pruneObsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** The default band-skew cap, ON for every banded pair generator
     * (minhash / weighted / cross-corpus / simhash / image-aHash). Set
@@ -164,7 +187,10 @@ object Dedup {
     * 1 − (1 − J^r)^(bands−hot), ≈ 1 when J is near 1 and only a minority
     * of bands are degenerate) — unlike [[graft.llmops.Multimodal
     * .frameJaccardPairs]]'s maxDf cap there is no exact count-back, so
-    * the loss is documented rather than repaired. Pass
+    * the loss is documented rather than repaired — and OBSERVABLE: every
+    * capped run emits a `graft_band_prune_N` observation
+    * (pruned_band_keys; > 0 == the cap fired) at zero extra cost, so a
+    * monitoring pipeline sees the recall trade the moment it happens. Pass
     * `maxBandFreq = None` to get uncapped exact-LSH semantics, or a
     * lower cap to trade recall for bounded candidates on known-skewed
     * data. A no-op below 100k docs per bucket — every existing oracle

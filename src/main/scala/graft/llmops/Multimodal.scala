@@ -205,7 +205,11 @@ object Multimodal {
       else {
         var header: Option[(Int, Int, Int)] = None // (w, h, usPerFrame)
         val frames = Vector.newBuilder[Array[Byte]]
-        def walk(start: Int, end: Int): Unit = {
+        // depth-capped: a crafted payload of nothing but nested 12-byte
+        // LISTs must degrade (deeper nests skipped), never overflow the
+        // stack — real AVIs nest 2-3 levels; StackOverflowError is not
+        // NonFatal, so the recursion itself has to be bounded.
+        def walk(start: Int, end: Int, depth: Int): Unit = {
           var off = start
           var torn = false
           while (!torn && off + 8 <= end) {
@@ -213,7 +217,9 @@ object Multimodal {
             val sz = bb.getInt(off + 4)
             if (sz < 0 || off + 8 + sz > end) torn = true
             else {
-              if (id == "LIST" && sz >= 4) walk(off + 12, off + 8 + sz)
+              if (id == "LIST" && sz >= 4) {
+                if (depth < 32) walk(off + 12, off + 8 + sz, depth + 1)
+              }
               else if (id == "avih" && sz >= 40)
                 header = Some((bb.getInt(off + 8 + 32), bb.getInt(off + 8 + 36),
                   bb.getInt(off + 8)))
@@ -224,8 +230,12 @@ object Multimodal {
             }
           }
         }
-        walk(12, payload.length)
-        header.collect { case (w, h, us) if w >= 1 && h >= 1 =>
+        walk(12, payload.length, 0)
+        // dims bounded: header ints are attacker-controlled — cap each
+        // axis and total pixels (16M ≈ one 64 MB int buffer) so the
+        // downstream frame allocation can't Int-overflow or OOM a task.
+        header.collect { case (w, h, us) if w >= 1 && h >= 1 &&
+            w <= 16384 && h <= 16384 && w.toLong * h <= (1L << 24) =>
           AviVideo(w, h, math.max(us, 0), frames.result())
         }
       }
@@ -241,14 +251,19 @@ object Multimodal {
     */
   private def aviFrameImage(w: Int, h: Int,
       data: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (w < 1 || h < 1 || data.length < rowSize * h) {
+    // size math in Long + [[decodeAvi]]'s dim caps: no Int overflow can
+    // route a garbage-header frame into the DIB allocation below.
+    val dimsSane = w >= 1 && h >= 1 && w <= 16384 && h <= 16384 &&
+      w.toLong * h <= (1L << 24)
+    val rowSize = if (dimsSane) ((w * 3 + 3) / 4) * 4 else 0
+    if (!dimsSane || data.length.toLong < rowSize.toLong * h) {
       // not a full DIB: JFIF/JPEG frames start 0xFF 0xD8.
       if (data.length >= 2 && (data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
         catch { case scala.util.control.NonFatal(_) => None }
       else None
-    } else {
+    } else try {
+      // same degrade-instead-of-kill guard as the MJPEG branch
       val im = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -265,7 +280,7 @@ object Multimodal {
         y += 1
       }
       Some(im)
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Video feature vector from a decoded AVI — the [[decodeImage]] /

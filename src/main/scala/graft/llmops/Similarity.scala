@@ -765,6 +765,34 @@ object Similarity {
     cent.select(col("cent_id"),
       transform(col("c"), x => (x.cast("double") / scale).cast("float")).as("centvec"))
 
+  /** Quantizer REBUILD — the remediation [[cellStats]]' drift heuristic
+    * calls for (max occ_ratio ≳ 4, or occupancy-weighted mean_cdist ≳ 2×
+    * its training-time value): re-train the coarse quantizer on the
+    * CURRENT accumulated vectors and re-assign every one of them. Input
+    * is an (already-assigned or streamed) cell table — the old cell
+    * labels are discarded; only (cid, cvec) feed the rebuild. Returns
+    * (newCentroids (cent_id, centvec), newCells (cell, cid, cvec, cn)) —
+    * by construction, [[ivfProbe]] over them ≡ a one-shot [[ivfTopK]]
+    * with the new quantizer over the same vectors (the parity
+    * q_x_ann_ivf_rebuild states cross-engine). The corpus snapshot is
+    * eagerly checkpointed ONCE: it feeds both the Lloyd iterations and
+    * the re-assignment, and — in [[graft.streaming.EventStream
+    * .rebuildQuantizer]] — must be pinned before the live state tables
+    * it came from are swapped out underneath it.
+    *
+    * Scale: exactly [[kmeansQuantized]] (broadcast centroids, map-side
+    * partial aggs, no corpus shuffle per round) plus one
+    * [[assignCells]] pass.
+    */
+  def rebuildQuantizer(cells: DataFrame, nlist: Int, iters: Int,
+      scale: Long = 1L << 16): (DataFrame, DataFrame) = {
+    val corpus = cells.select(col("cid"), col("cvec")).localCheckpoint(true)
+    val cent = centroidsToFloat(
+      kmeansQuantized(corpus, nlist, iters, idCol = "cid", vecCol = "cvec",
+        scale), scale)
+    (cent, assignCells(corpus, cent, idCol = "cid", vecCol = "cvec"))
+  }
+
   def semDedupAcross(batch: DataFrame, corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: DataFrame): DataFrame = {

@@ -1414,6 +1414,28 @@ object LlmOpsQueries extends QueryModule {
           k = 5, nprobe = 4)
         .orderBy("qid", "rn")
     },
+    // quantizer REBUILD parity: vectors accumulate under a DRIFTED/naive
+    // initial quantizer (the two-slice streamed-cells union, initial
+    // centroids = vec_id < 16), then Similarity.rebuildQuantizer
+    // re-trains (2 integer-exact Lloyd rounds, nlist = 8) on the
+    // accumulated vectors and re-assigns — and the probe over the rebuilt
+    // state must equal a one-shot trained-quantizer ivfTopK, which is
+    // exactly the (unchanged) trained-IVF oracle. The initial quantizer
+    // drops out of the replay entirely — the point of a rebuild.
+    q("q_x_ann_ivf_rebuild",
+      trainedIvfSql(nlist = 8, iters = 2, scale = 65536L, dim = 64,
+        nprobe = 4, k = 5)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cent0 = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+      val streamed = Similarity.assignCells(emb.filter(col("vec_id") % 2 === 0), cent0)
+        .unionByName(Similarity.assignCells(emb.filter(col("vec_id") % 2 === 1), cent0))
+      val (newCent, newCells) =
+        Similarity.rebuildQuantizer(streamed, nlist = 8, iters = 2)
+      Similarity.ivfProbe(newCells, newCent, emb.filter(col("vec_id") < 5),
+          k = 5, nprobe = 4)
+        .orderBy("qid", "rn")
+    },
     // IVF quantizer drift report over the assigned cells (nlist = 16,
     // default centroid rule): occupancy, skew ratio and mean
     // cosine-distance-to-centroid per centroid, empty cells included —

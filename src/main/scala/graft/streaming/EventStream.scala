@@ -652,10 +652,16 @@ object EventStream {
     */
   def searchIndexState(queries: DataFrame, qidCol: String, qtextCol: String,
       tablePrefix: String, k: Int = 5, minMatch: Int = 1,
-      maxDf: Long = Long.MaxValue): DataFrame =
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    // the stream appends on ITS session — drop any stale file listing
+    // this (reader) session cached between batches (the dataCardDrift
+    // discipline; a reader that touched the table once would otherwise
+    // serve the old snapshot forever).
+    queries.sparkSession.catalog.refreshTable(s"${tablePrefix}_postings")
     graft.llmops.Retrieval.searchPostings(
       queries.sparkSession.table(s"${tablePrefix}_postings"),
       queries, qidCol, qtextCol, k, minMatch, maxDf)
+  }
 
   /** Streaming vector (IVF) index — the fourth streaming index alongside
     * the keyword ([[indexStream]]), near-dup ([[dedupStream]]) and
@@ -716,6 +722,51 @@ object EventStream {
       }
   }
 
+  /** REBUILD the [[annIndexStream]] quantizer in place — the remediation
+    * path [[graft.llmops.Similarity.cellStats]]'s drift heuristic has
+    * been pointing at with no operator to execute it: re-train on every
+    * vector streamed so far, re-assign the whole cells table, and swap
+    * both state tables so the stream and every [[annIndexState]] reader
+    * pick the new quantizer up transparently ([[annIndexStream]] reads
+    * `{prefix}_centroids` fresh each micro-batch, so post-rebuild
+    * appends assign against the NEW centroids with no stream restart).
+    *
+    * Swap discipline: the new centroids/cells are STAGED as fully
+    * written `__rebuild` tables first — the expensive, failable work
+    * happens while the live tables still serve; the swap itself is two
+    * metadata ops per table (DROP + RENAME), no data rewrite. A crash
+    * before the swap leaves the live state untouched (stale `__rebuild`
+    * leftovers are reclaimed on the next run); the swap window itself is
+    * metadata-small. `stateBuckets` must match the stream's (the rebuilt
+    * cells table keeps the bucketed-by-cell layout the probe's
+    * no-Exchange plan depends on).
+    *
+    * Returns the new centroid table (cent_id, centvec).
+    */
+  def rebuildQuantizer(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, nlist: Int, iters: Int,
+      stateBuckets: Int = 8): DataFrame = {
+    val (centT, cellT) = (s"${tablePrefix}_centroids", s"${tablePrefix}_cells")
+    val (centS, cellS) = (s"${centT}__rebuild", s"${cellT}__rebuild")
+    // checkpointed inside rebuildQuantizer BEFORE any table mutation
+    val (newCent, newCells) =
+      graft.llmops.Similarity.rebuildQuantizer(spark.table(cellT), nlist, iters)
+    spark.sql(s"DROP TABLE IF EXISTS $centS")
+    spark.sql(s"DROP TABLE IF EXISTS $cellS")
+    newCent.write.format("parquet").saveAsTable(centS)
+    newCells.repartition(stateBuckets, col("cell"))
+      .write.format("parquet")
+      .bucketBy(stateBuckets, "cell").sortBy("cell")
+      .saveAsTable(cellS)
+    spark.sql(s"DROP TABLE $centT")
+    spark.sql(s"ALTER TABLE $centS RENAME TO $centT")
+    spark.sql(s"DROP TABLE $cellT")
+    spark.sql(s"ALTER TABLE $cellS RENAME TO $cellT")
+    spark.catalog.refreshTable(centT)
+    spark.catalog.refreshTable(cellT)
+    spark.table(centT)
+  }
+
   /** Query the [[annIndexStream]] state: identical results to a one-shot
     * `ivfTopK` (same frozen centroids) over every vector streamed so far.
     */
@@ -723,6 +774,11 @@ object EventStream {
       nprobe: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
+    // reader-side staleness guard (the dataCardDrift discipline): the
+    // stream appends — and [[rebuildQuantizer]] SWAPS — these tables on
+    // other sessions; a reader that cached a listing must re-list.
+    spark.catalog.refreshTable(s"${tablePrefix}_cells")
+    spark.catalog.refreshTable(s"${tablePrefix}_centroids")
     graft.llmops.Similarity.ivfProbe(
       spark.table(s"${tablePrefix}_cells"), spark.table(s"${tablePrefix}_centroids"),
       queries, k, nprobe, idCol, vecCol)
@@ -791,6 +847,9 @@ object EventStream {
       textCol: String, tablePrefix: String, n: Int = 5,
       mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
     val spark = train.sparkSession
+    // reader-side staleness guard (the dataCardDrift discipline).
+    spark.catalog.refreshTable(s"${tablePrefix}_bench_shingles")
+    spark.catalog.refreshTable(s"${tablePrefix}_bloom")
     graft.llmops.Dedup.decontaminateBloomWith(train, idCol, textCol,
       spark.table(s"${tablePrefix}_bench_shingles"),
       spark.table(s"${tablePrefix}_bloom"), n, mBits, kProbes)
@@ -911,12 +970,23 @@ object EventStream {
       .head().getString(0))
     val path = new org.apache.hadoop.fs.Path(loc)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a file counts only if NO path component below the table root is
+    // hidden ('.'/'_' prefix): contents of _temporary (an in-flight
+    // writer's staging tree) or _spark_metadata would otherwise inflate
+    // the count and trigger spurious O(table) compaction rewrites.
+    val rootDepth = path.depth()
     var files = 0
     if (fs.exists(path)) {
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
-        val name = it.next().getPath.getName
-        if (!name.startsWith(".") && !name.startsWith("_")) files += 1
+        var p = it.next().getPath
+        var visible = true
+        while (p != null && p.depth() > rootDepth) {
+          val n = p.getName
+          if (n.startsWith(".") || n.startsWith("_")) visible = false
+          p = p.getParent
+        }
+        if (visible) files += 1
       }
     }
     val fragmented = files > maxFiles

@@ -118,8 +118,9 @@ object StressBench {
     "q_x_gate_thresholds", "q_x_card_drift_psi", "q_x_embedding_stats",
     "q_x_zipf_fit",
     // r9: TFRecord framing is a pure codegen'd map pass (one CRC32C per
-    // payload byte) — must scale linearly with corpus bytes.
-    "q_x_tfrecord_frame")
+    // payload byte) — must scale linearly with corpus bytes; the rebuild
+    // is kmeans training + one assignment pass — linear per round.
+    "q_x_tfrecord_frame", "q_x_ann_ivf_rebuild")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

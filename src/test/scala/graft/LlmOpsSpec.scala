@@ -1577,4 +1577,51 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().map(_.getSeq[String](0).toList).toList
     assert(out == viaTokens)
   }
+
+  test("band-skew cap firing is OBSERVABLE: graft_band_prune metric reports pruned keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val pruned = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_band_prune_"))
+            pruned.add(row.getLong(row.fieldIndex("pruned_band_keys")))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 5 identical docs: every (band, sig) bucket holds 5 > cap 2 —
+      // every band key prunes, the pair output empties, and the metric
+      // must SAY so (silent recall loss is the failure mode under test).
+      val docs = (1 to 5).map(i =>
+        (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      val capped = graft.llmops.Dedup.minHashPairs(docs, "doc_id", "text",
+        maxBandFreq = Some(2))
+      assert(capped.isEmpty, "all-degenerate buckets must prune to zero pairs")
+      // observed-metric delivery is async on the listener bus — poll.
+      val deadline = System.currentTimeMillis() + 20000
+      while (pruned.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val seen = pruned.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(seen.nonEmpty && seen.max > 0L,
+        s"cap fired but no graft_band_prune observation reported it: ${seen.toList}")
+      // under-cap run: metric reports 0 pruned keys, pairs intact.
+      pruned.clear()
+      val uncapped = graft.llmops.Dedup.minHashPairs(docs, "doc_id", "text",
+        maxBandFreq = Some(100))
+      assert(uncapped.count() == 10L, "5 identical docs pair completely under the cap")
+      val deadline2 = System.currentTimeMillis() + 20000
+      while (pruned.isEmpty && System.currentTimeMillis() < deadline2)
+        Thread.sleep(100)
+      val seen2 = pruned.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(seen2.nonEmpty && seen2.forall(_ == 0L),
+        s"under-cap run must observe zero pruned keys: ${seen2.toList}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

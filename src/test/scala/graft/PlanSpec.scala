@@ -427,4 +427,95 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_avg"),
       s"per-doc NLL must partial-aggregate:\n$p")
   }
+
+  /** MEASURED input cardinality of every UNPARTITIONED window in a plan —
+    * not the narrated bound, the executed one: run the frame, walk the
+    * finalized adaptive plan, and for each WindowExec with an empty
+    * partitionSpec read numOutputRows off the nearest descendant that
+    * reports it (its Sort child doesn't; the aggregate/exchange below
+    * does). Returns one count per unpartitioned window; fails the test
+    * if a window reports no metric (better loud than unpinned).
+    */
+  private def unpartitionedWindowInputs(df: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.collect() // finalize AQE + populate metrics
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case q: QueryStageExec        => q +: expand(q.plan)
+      case other                    => other +: other.children.flatMap(expand)
+    }
+    def firstRowMetric(p: SparkPlan): Option[Long] =
+      expand(p).flatMap(n => n.metrics.get("numOutputRows").map(_.value))
+        .headOption
+    expand(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        firstRowMetric(w.child).getOrElse(
+          fail(s"unpartitioned window without a readable input metric:\n$w"))
+    }
+  }
+
+  test("unpartitioned windows run over BOUNDED frames only — measured, not narrated") {
+    val docs = Tables.documents(spark, dir)
+
+    // zipfFit: the global rank window sees exactly the top-k term cut.
+    val k = 37
+    val zf = graft.llmops.TextAnalysis.zipfFit(docs, "doc_id", "text", k = k)
+    val zfIn = unpartitionedWindowInputs(zf)
+    assert(zfIn.nonEmpty && zfIn.forall(_ <= k),
+      s"zipfFit window input exceeded k=$k: $zfIn")
+
+    // tokenShards / packSequences prefix-sum spine: the running-offset
+    // window sees one row per coarse order-group, never the corpus.
+    val groupSize = 64L
+    val nGroups = docs.select((floor(col("doc_id") / groupSize)).cast("long"))
+      .distinct().count()
+    val ts = graft.llmops.Corpus.tokenShards(docs, col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long"), budget = 5000L,
+      groupSize = groupSize)
+    val tsIn = unpartitionedWindowInputs(ts)
+    assert(tsIn.nonEmpty && tsIn.forall(_ <= nGroups),
+      s"prefix-sum window input exceeded $nGroups groups: $tsIn")
+
+    // trainingOrder: the only unpartitioned window is the per-bucket
+    // offsets table — ≤ nBuckets rows regardless of corpus size.
+    val to = graft.llmops.Corpus.trainingOrder(docs, col("doc_id"),
+      nBuckets = 32)
+    val toIn = unpartitionedWindowInputs(to)
+    assert(toIn.nonEmpty && toIn.forall(_ <= 32L),
+      s"trainingOrder window input exceeded nBuckets=32: $toIn")
+
+    // sortedNeighborhood: its offsets window runs INSIDE the operator's
+    // eager localCheckpoint (the __pid determinism discipline), so the
+    // serving plan must contain NO unpartitioned window at all — and the
+    // internal window's input is an aggregate keyed on
+    // spark_partition_id(), whose cardinality is the staged frame's
+    // partition count by construction; pin that premise directly.
+    import spark.implicits._
+    val names = (0 until 300).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val sn = graft.llmops.FuzzyMatch.sortedNeighborhood(names, "id", "name",
+      identity, window = 2, maxDist = 3)
+    val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    assert(unpartitionedWindowInputs(sn).isEmpty,
+      "sortedNeighborhood serving plan must carry no unpartitioned window")
+    val stagedParts = names
+      .select(col("id"), col("name"), col("name").as("__sk"))
+      .repartitionByRange(col("__sk"), col("id"))
+      .rdd.getNumPartitions.toLong
+    assert(stagedParts <= maxParts,
+      s"staged range partitioning exceeded $maxParts: $stagedParts")
+
+    // workbook ingest: the cross-file offset window sees one row per FILE.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowno_pin").toString
+    spark.range(500).selectExpr(
+        "cast(id as string) as `VI SDK UUID`",
+        "cast(id as string) as `VI SDK Server`",
+        "concat('c', id) as `Name`")
+      .repartition(3).write.parquet(s"$tmp/vCluster.parquet")
+    val sheet = graft.ingest.Workbook.loadParquetDir(spark, tmp)("vCluster")
+    val wbIn = unpartitionedWindowInputs(sheet)
+    assert(wbIn.nonEmpty && wbIn.forall(_ <= 3L),
+      s"workbook offset window input exceeded 3 files: $wbIn")
+  }
 }

@@ -708,6 +708,93 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("rebuildQuantizer: drifted stream re-trains, swaps state atomically, keeps serving") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    // data spans 3 directions but the stream starts with a BAD 2-centroid
+    // quantizer (both centroids in the x/y plane): the z-direction
+    // vectors pile into whichever cell is least-wrong — drift by
+    // construction, visible in cellStats.
+    val all = Seq(
+      1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0), 3L -> v(0, 0, 1, 0),
+      4L -> v(0.9f, 0.1f, 0, 0), 5L -> v(0.1f, 0.9f, 0, 0), 6L -> v(0, 0.1f, 0.9f, 0),
+      7L -> v(0.8f, 0.2f, 0, 0), 8L -> v(0.2f, 0.8f, 0.1f, 0), 9L -> v(0, 0, 0.8f, 0.2f),
+      10L -> v(0.7f, 0, 0.3f, 0), 11L -> v(0.3f, 0.7f, 0, 0), 12L -> v(0, 0.3f, 0.7f, 0))
+    val corpus = all.toDF("vec_id", "embedding")
+    val cent0 = corpus.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    val queries = corpus.filter(col("vec_id") isin (4L, 9L))
+    val prefix = "ann_rebuild_test"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def weightedCdist(prefix: String): Double = {
+      val st = graft.llmops.Similarity.cellStats(
+        spark.table(s"${prefix}_cells"), spark.table(s"${prefix}_centroids"))
+        .na.fill(0.0, Seq("mean_cdist")).collect()
+      val tot = st.map(_.getAs[Long]("n")).sum.toDouble
+      st.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_cdist")).sum / tot
+    }
+    try {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val streamDf = mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+      val ckpt = java.nio.file.Files.createTempDirectory("ann_rebuild_ckpt").toString
+      def runOnce(): Unit = {
+        val writer = EventStream.annIndexStream(streamDf, "vec_id", "embedding",
+            cent0, prefix)
+          .option("checkpointLocation", ckpt)
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
+      mem.addData(all.take(6): _*); runOnce()
+      mem.addData(all.drop(6).take(5): _*); runOnce()
+      val cdistBefore = weightedCdist(prefix)
+      // REBUILD: 3 centroids, 2 Lloyd rounds, trained on the 11 streamed
+      val newCent = EventStream.rebuildQuantizer(spark, prefix, nlist = 3, iters = 2)
+      // 1) training parity: table centroids ≡ a direct kmeansQuantized
+      //    over the same vectors (same seeds-by-lowest-id, same rounds)
+      val direct = graft.llmops.Similarity.centroidsToFloat(
+        graft.llmops.Similarity.kmeansQuantized(
+          corpus.filter(col("vec_id") <= 11), nlist = 3, iters = 2))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+      val fromTable = newCent.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+      assert(fromTable == direct, s"rebuilt centroids diverge:\n$fromTable\n$direct")
+      // 2) serving parity: state probe ≡ one-shot ivfTopK with the new
+      //    quantizer over every vector streamed so far
+      val served = rows(EventStream.annIndexState(queries, prefix, k = 3, nprobe = 2))
+      val oneShot = rows(graft.llmops.Similarity.ivfTopK(
+        corpus.filter(col("vec_id") <= 11), queries, k = 3, nprobe = 2,
+        centroids = Some(spark.table(s"${prefix}_centroids"))))
+      assert(served == oneShot && served.nonEmpty,
+        s"post-rebuild state diverges:\n$served\n$oneShot")
+      // 3) the rebuild actually remediated the drift
+      assert(weightedCdist(prefix) < cdistBefore,
+        s"rebuild did not reduce weighted mean_cdist ($cdistBefore)")
+      // 4) layout preserved: the swapped-in cells table still bucketed —
+      //    the probe's no-shuffle plan survives the rebuild
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val p = EventStream.annIndexState(queries, prefix, k = 3, nprobe = 2)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"), s"rebuilt cells scan not bucketed:\n$p")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      // 5) the stream keeps going WITHOUT restart ceremony: the next
+      //    batch assigns against the NEW centroids (annIndexStream reads
+      //    the centroid table per batch), parity still exact
+      mem.addData(all.drop(11): _*); runOnce()
+      val served2 = rows(EventStream.annIndexState(queries, prefix, k = 3, nprobe = 2))
+      val oneShot2 = rows(graft.llmops.Similarity.ivfTopK(corpus, queries,
+        k = 3, nprobe = 2, centroids = Some(spark.table(s"${prefix}_centroids"))))
+      assert(served2 == oneShot2 && served2.nonEmpty,
+        s"post-rebuild append diverges:\n$served2\n$oneShot2")
+    } finally {
+      Seq("centroids", "cells", "centroids__rebuild", "cells__rebuild").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    }
+  }
+
   test("curationStream: continuous cascade with cross-batch dedup, decon state, lifetime quota") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
