@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.graftfn.{BitInterleave, ByteVectorDot, Crc32C, FloatVectorDot, TfRecordFrame}
+import org.apache.spark.sql.graftfn.{BitInterleave, ByteVectorDot, Crc32C, FloatVectorDot, TfExampleEncode, TfRecordFrame}
 import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** SQL surface for the engine's custom expressions, wired the way a
@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   *  - `graft_tfrecord_frame(b)` — one TFRecord frame (length + masked
   *    crc + payload + masked crc) around a binary payload
   *    ([[org.apache.spark.sql.graftfn.TfRecordFrame]]).
+  *  - `graft_tf_example(struct)` — a `tf.train.Example` protobuf of the
+  *    struct's fields ([[org.apache.spark.sql.graftfn.TfExampleEncode]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -83,6 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_tfrecord_frame(b) takes one binary arg")
         TfRecordFrame(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tf_example"),
+      new ExpressionInfo(classOf[TfExampleEncode].getName, "graft_tf_example"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_tf_example(struct) takes one struct arg")
+        TfExampleEncode(children.head)
       }))
   }
 }

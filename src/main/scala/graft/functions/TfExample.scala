@@ -1,0 +1,208 @@
+// Hosted inside the org.apache.spark.sql namespace: AbstractDataType and
+// classic.ExpressionUtils are private[sql] — the FloatVectorDot pattern.
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** `tf.train.Example` protobuf encoding of a STRUCT column — the record
+  * format `tf.data.TFRecordDataset` + `tf.io.parse_example` actually
+  * consume (a TFRecord shard of raw text is readable; a shard of Example
+  * protos is TRAINING-READY: named features, int64 token ids, float
+  * embeddings). Dependency-free: the wire format is assembled directly
+  * (proto3 encoding is varint tags + length-delimited submessages — a
+  * page of arithmetic, not a library).
+  *
+  * Field mapping, by struct-field Spark type:
+  *
+  *   - string / binary        → `bytes_list` with one value
+  *   - long / int             → `int64_list` with one value
+  *   - array&lt;long&gt;            → `int64_list` (token ids — THE case)
+  *   - float / double         → `float_list` with one value (float32)
+  *   - array&lt;float&gt;           → `float_list` (embeddings)
+  *
+  * Features are emitted in SORTED field-name order — the TF runtime does
+  * not care (map semantics) but the engine's output must be byte-
+  * deterministic for the oracle/manifest discipline. Null struct fields
+  * are SKIPPED (an absent feature, the tf.Example idiom for missing);
+  * a null struct row encodes to null.
+  *
+  * Layout (check values spec-pinned; composition oracled in
+  * q_x_tfexample):
+  *
+  *   Example    = tag 0x0A, len, Features
+  *   Features   = per feature: tag 0x0A, len, MapEntry
+  *   MapEntry   = 0x0A, len, name-utf8, 0x12, len, Feature
+  *   Feature    = 0x0A BytesList | 0x12 FloatList | 0x1A Int64List
+  *   BytesList  = per value: 0x0A, varint len, bytes
+  *   FloatList  = 0x0A, varint len, packed float32 LE
+  *   Int64List  = 0x0A, varint len, packed varints
+  *
+  * Evaluated via one reference-object call from both the interpreted and
+  * generated path (the standard complex-type expression shape — stays
+  * inside the WholeStageCodegen stage, one virtual call per row).
+  */
+case class TfExampleEncode(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case s: StructType =>
+      val bad = s.fields.filterNot(f => TfExampleEncode.supported(f.dataType))
+      if (bad.isEmpty)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unsupported tf.Example feature types: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tf_example expects a struct, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_tf_example"
+
+  private lazy val schema = child.dataType.asInstanceOf[StructType]
+  // sorted feature order, precomputed once per expression instance
+  private lazy val order: Array[Int] =
+    schema.fields.zipWithIndex.sortBy(_._1.name).map(_._2).toArray
+
+  /** Called from both eval paths via a reference object. */
+  def encodeRow(row: InternalRow): Array[Byte] =
+    TfExampleEncode.encode(schema, order, row)
+
+  override def nullSafeEval(input: Any): Any =
+    encodeRow(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tfExampleEnc", this,
+      classOf[TfExampleEncode].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.encodeRow($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TfExampleEncode =
+    copy(child = newChild)
+}
+
+object TfExampleEncode {
+
+  private[graftfn] def supported(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | LongType | IntegerType |
+         FloatType | DoubleType => true
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) |
+         ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def varintLen(v0: Long): Int = {
+    var v = v0; var n = 1
+    while ((v & ~0x7FL) != 0) { v >>>= 7; n += 1 }
+    n
+  }
+
+  private final class Buf(initial: Int) {
+    var a = new Array[Byte](initial)
+    var n = 0
+    private def ensure(k: Int): Unit =
+      if (n + k > a.length) a = java.util.Arrays.copyOf(a, math.max(a.length * 2, n + k))
+    def byte(b: Int): Unit = { ensure(1); a(n) = b.toByte; n += 1 }
+    def varint(v0: Long): Unit = {
+      ensure(10); var v = v0
+      while ((v & ~0x7FL) != 0) { a(n) = ((v & 0x7F) | 0x80).toByte; n += 1; v >>>= 7 }
+      a(n) = v.toByte; n += 1
+    }
+    def bytes(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, a, n, b.length); n += b.length }
+    def floatLE(f: Float): Unit = {
+      ensure(4); val bits = java.lang.Float.floatToIntBits(f)
+      a(n) = bits.toByte; a(n + 1) = (bits >> 8).toByte
+      a(n + 2) = (bits >> 16).toByte; a(n + 3) = (bits >> 24).toByte
+      n += 4
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** One Feature submessage body for field i of `row`, or null to skip. */
+  private def featureBytes(dt: DataType, row: InternalRow, i: Int): Array[Byte] = {
+    val b = new Buf(32)
+    dt match {
+      case StringType =>
+        val v = row.getUTF8String(i).getBytes
+        // Feature{bytes_list{value: v}}: 0x0A len [0x0A len v]
+        b.byte(0x0A); b.varint(varintLen(v.length) + 1 + v.length)
+        b.byte(0x0A); b.varint(v.length); b.bytes(v)
+      case BinaryType =>
+        val v = row.getBinary(i)
+        b.byte(0x0A); b.varint(varintLen(v.length) + 1 + v.length)
+        b.byte(0x0A); b.varint(v.length); b.bytes(v)
+      case LongType | IntegerType =>
+        val v = if (dt == LongType) row.getLong(i) else row.getInt(i).toLong
+        // Feature{int64_list{value: [v]}}: 0x1A len [0x0A len varint(v)]
+        val pl = varintLen(v)
+        b.byte(0x1A); b.varint(pl + 1 + varintLen(pl))
+        b.byte(0x0A); b.varint(pl); b.varint(v)
+      case ArrayType(et @ (LongType | IntegerType), _) =>
+        val arr = row.getArray(i)
+        var pl = 0
+        var k = 0
+        while (k < arr.numElements()) {
+          pl += varintLen(if (et == LongType) arr.getLong(k) else arr.getInt(k).toLong)
+          k += 1
+        }
+        b.byte(0x1A); b.varint(pl + 1 + varintLen(pl))
+        b.byte(0x0A); b.varint(pl)
+        k = 0
+        while (k < arr.numElements()) {
+          b.varint(if (et == LongType) arr.getLong(k) else arr.getInt(k).toLong)
+          k += 1
+        }
+      case FloatType | DoubleType =>
+        val v = if (dt == FloatType) row.getFloat(i) else row.getDouble(i).toFloat
+        // Feature{float_list{value: [v]}}: 0x12 len [0x0A len packed]
+        b.byte(0x12); b.varint(4 + 1 + 1)
+        b.byte(0x0A); b.varint(4); b.floatLE(v)
+      case ArrayType(et @ (FloatType | DoubleType), _) =>
+        val arr = row.getArray(i)
+        val pl = 4 * arr.numElements()
+        b.byte(0x12); b.varint(pl + 1 + varintLen(pl))
+        b.byte(0x0A); b.varint(pl)
+        var k = 0
+        while (k < arr.numElements()) {
+          b.floatLE(if (et == FloatType) arr.getFloat(k) else arr.getDouble(k).toFloat)
+          k += 1
+        }
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    b.result()
+  }
+
+  def encode(schema: StructType, order: Array[Int], row: InternalRow): Array[Byte] = {
+    val features = new Buf(64)
+    var j = 0
+    while (j < order.length) {
+      val i = order(j)
+      if (!row.isNullAt(i)) {
+        val name = schema.fields(i).name.getBytes("UTF-8")
+        val feat = featureBytes(schema.fields(i).dataType, row, i)
+        // MapEntry = 0x0A len name, 0x12 len feat
+        val entryLen = 1 + varintLen(name.length) + name.length +
+          1 + varintLen(feat.length) + feat.length
+        features.byte(0x0A); features.varint(entryLen)
+        features.byte(0x0A); features.varint(name.length); features.bytes(name)
+        features.byte(0x12); features.varint(feat.length); features.bytes(feat)
+      }
+      j += 1
+    }
+    val fb = features.result()
+    val out = new Buf(fb.length + 8)
+    // Example = 0x0A len Features
+    out.byte(0x0A); out.varint(fb.length); out.bytes(fb)
+    out.result()
+  }
+
+  def tfExample(c: Column): Column =
+    ExpressionUtils.column(TfExampleEncode(ExpressionUtils.expression(c)))
+}

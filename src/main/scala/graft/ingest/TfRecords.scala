@@ -95,6 +95,21 @@ object TfRecords {
     org.apache.spark.sql.types.StructField("n_bytes",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
+  /** The TRAINING-READY export: every column of `df` becomes a named
+    * `tf.train.Example` feature ([[org.apache.spark.sql.graftfn
+    * .TfExampleEncode]]'s type mapping — string/binary → bytes,
+    * long/array&lt;long&gt; → int64 (token ids), float/array&lt;float&gt; → float
+    * (embeddings)), each Example is TFRecord-framed, and the shards land
+    * under `dir` exactly as [[write]] lays them out —
+    * `tf.data.TFRecordDataset(files).map(tf.io.parse_example)` consumes
+    * the result unchanged.
+    */
+  def writeExamples(df: DataFrame, dir: String, shards: Int): DataFrame =
+    write(
+      df.select(org.apache.spark.sql.graftfn.TfExampleEncode.tfExample(
+        struct(df.columns.map(col): _*)).as("example")),
+      col("example"), dir, shards)
+
   /** Read TFRecord shards back as one binary `payload` row per record,
     * with `file` and 0-based `rec_idx` provenance. Both CRCs of every
     * frame are VERIFIED; a torn tail or corrupt frame does not kill the

@@ -450,24 +450,41 @@ object TextAnalysis {
     * aggregate; nothing corpus-sized shuffles.
     */
   def gateThresholds(df: DataFrame, idCol: String, textCol: String,
-      tokenGranularity: Long = 16): DataFrame = {
+      tokenGranularity: Long = 16): DataFrame =
+    gateThresholdsGrouped(df, idCol, textCol, None, tokenGranularity)
+
+  /** [[gateThresholds]] PER SOURCE — one thresholds row per source, the
+    * shape the drift-driven re-fit ([[refitGateOnDrift]]) selects from:
+    * after a source drifts, only THAT source's gate needs new numbers.
+    * Identical metric chain and histogram machinery, grouped.
+    */
+  def gateThresholdsBySource(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, tokenGranularity: Long = 16): DataFrame =
+    gateThresholdsGrouped(df, idCol, textCol, Some(sourceCol), tokenGranularity)
+
+  private def gateThresholdsGrouped(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: Option[String],
+      tokenGranularity: Long): DataFrame = {
     import graft.functions.LongHistogram
     def scaled(c: Column): Column = floor(c * 1000000L + lit(0.5)).cast("long")
     val rep = ngramRepetition(df, idCol, textCol, n = 2)
       .select(col("doc"), col("dup_gram_char_frac"))
-    val m = withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text")))
+    val m = withQuality(df.select(
+        col(idCol).as("doc") +: col(textCol).as("text") +:
+          sourceCol.map(col).toSeq: _*))
       .withColumn("type_token_ratio", typeTokenRatio(col("text")))
       .join(rep, Seq("doc"))
-      .select(col("n_tokens"),
+      .select(sourceCol.map(col).toSeq ++ Seq(col("n_tokens"),
         scaled(col("avg_token_len")).as("atl"),
         scaled(col("type_token_ratio")).as("ttr"),
-        scaled(col("dup_gram_char_frac")).as("dgf"))
-    m.agg(count(lit(1)).as("n_docs"),
+        scaled(col("dup_gram_char_frac")).as("dgf")): _*)
+    val grouped = sourceCol.fold(m.groupBy())(c => m.groupBy(c))
+    grouped.agg(count(lit(1)).as("n_docs"),
         LongHistogram.sketch(col("n_tokens"), 256, tokenGranularity).as("h_nt"),
         LongHistogram.sketch(col("atl"), 256, 65536L).as("h_atl"),
         LongHistogram.sketch(col("ttr"), 256, 4096L).as("h_ttr"),
         LongHistogram.sketch(col("dgf"), 256, 4096L).as("h_dgf"))
-      .select(col("n_docs"),
+      .select(sourceCol.map(col).toSeq ++ Seq(col("n_docs"),
         LongHistogram.quantileCol(col("h_nt"), col("n_docs"), 5, tokenGranularity)
           .as("min_tokens"),
         LongHistogram.quantileCol(col("h_nt"), col("n_docs"), 99, tokenGranularity)
@@ -477,7 +494,48 @@ object TextAnalysis {
         round(LongHistogram.quantileCol(col("h_ttr"), col("n_docs"), 5, 4096L)
           / 1000000.0, 6).as("min_type_token"),
         round(LongHistogram.quantileCol(col("h_dgf"), col("n_docs"), 95, 4096L)
-          / 1000000.0, 6).as("max_dup_gram_frac"))
+          / 1000000.0, 6).as("max_dup_gram_frac")): _*)
+  }
+
+  /** The drift→re-fit composition — the operator that closes the loop
+    * [[graft.llmops.Corpus.psiDrift]] / `EventStream.dataCardDrift`
+    * document ("PSI > 0.25 → re-fit the gate") but nothing executed:
+    * sources whose PSI crossed `psiAct` get gate thresholds RE-FIT from
+    * the current corpus ([[gateThresholdsBySource]] — the same tail-mass
+    * quantile rule as calibration time); undrifted sources keep their
+    * reference (calibration-time) thresholds unchanged. One row per
+    * source: (source, psi, refit, n_docs, min_tokens, max_tokens,
+    * max_avg_token_len, min_type_token, max_dup_gram_frac).
+    *
+    * `drift` is any frame carrying (sourceCol, psi) — the
+    * `psiFromHistograms` / `dataCardDrift` output verbatim; `reference`
+    * carries a [[gateThresholdsBySource]]-shaped row per source.
+    * Sources present in the drift report but absent from the current
+    * corpus keep reference numbers with null re-fit inputs guarded by
+    * the refit flag requiring current rows.
+    *
+    * Scale: drift and both threshold tables are sources-sized; the only
+    * corpus pass is the grouped metric chain + one map-side histogram
+    * fold — exactly one gateThresholds-shaped job regardless of how
+    * many sources drifted.
+    */
+  def refitGateOnDrift(current: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, drift: DataFrame, reference: DataFrame,
+      psiAct: Double = 0.25, tokenGranularity: Long = 16): DataFrame = {
+    val thr = Seq("n_docs", "min_tokens", "max_tokens", "max_avg_token_len",
+      "min_type_token", "max_dup_gram_frac")
+    val cur = gateThresholdsBySource(current, idCol, textCol, sourceCol,
+        tokenGranularity)
+      .select(col(sourceCol) +: thr.map(c => col(c).as(s"__new_$c")): _*)
+    val ref = reference
+      .select(col(sourceCol) +: thr.map(c => col(c).as(s"__ref_$c")): _*)
+    drift.select(col(sourceCol), col("psi"))
+      .join(ref, Seq(sourceCol), "left")
+      .join(cur, Seq(sourceCol), "left")
+      .withColumn("refit",
+        col("psi") >= psiAct && col(s"__new_${thr.head}").isNotNull)
+      .select(col(sourceCol) +: col("psi") +: col("refit") +: thr.map(c =>
+        when(col("refit"), col(s"__new_$c")).otherwise(col(s"__ref_$c")).as(c)): _*)
   }
 
   /** Zipf head fit — the corpus-naturalness gauge: natural language's

@@ -740,6 +740,91 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       TextAnalysis.gateThresholds(Tables.documents(s, d), "doc_id", "text")
     },
+    // drift→re-fit COMPOSED: the operator psiDrift/dataCardDrift have
+    // been pointing at ("PSI crossed → re-fit the gate") executed end to
+    // end. Two corpus halves (the div-20 split that keeps every source on
+    // both sides); the current half's text is TRUNCATED for three sources
+    // (planted drift) — their per-source PSI over the n_tokens histograms
+    // crosses the act threshold (0.1 here: sf0.01 has ~12 docs/source/
+    // half, so the +256 Laplace smoothing compresses PSI well below the
+    // industry 0.25; separation planted ≥ 0.13 vs background ≤ 0.04) and
+    // ONLY those sources' gate thresholds re-fit from the current
+    // corpus; the rest keep their calibration-time numbers verbatim. The
+    // oracle replays the whole loop: histograms, smoothed PSI, BOTH
+    // per-source threshold fits, and the selection.
+    q("q_x_gate_refit", {
+      def gateBySourceSql(rel: String, p: String): String = {
+        def hist(tag: String, c: String, g: Long) =
+          s"b$tag$p AS (SELECT source, least(greatest($c, 0) // $g, 255) AS idx, count(*) AS cnt FROM s$p GROUP BY 1, 2), " +
+            s"c$tag$p AS (SELECT source, idx, sum(cnt) OVER (PARTITION BY source ORDER BY idx) AS cum FROM b$tag$p)"
+        def qcte(tag: String, name: String, pct: Int, g: Long) =
+          s"q$name$p AS (SELECT c.source, min(CASE WHEN cum >= (n_docs - 1) * $pct // 100 + 1 THEN idx * $g END) AS v " +
+            s"FROM c$tag$p c JOIN n$p USING (source) GROUP BY 1)"
+        s"t$p AS (SELECT doc_id, text, source, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $rel), " +
+          s"g$p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t$p WHERE len(toks) >= 2), " +
+          s"pg$p AS (SELECT doc_id, gram, count(*) AS cnt FROM g$p GROUP BY 1, 2), " +
+          s"agg$p AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg$p GROUP BY 1), " +
+          s"m$p AS (SELECT t.source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+          "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
+          "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
+          s"coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac FROM t$p t LEFT JOIN agg$p a ON a.doc_id = t.doc_id), " +
+          s"s$p AS (SELECT source, n_tokens, CAST(floor(avg_token_len * 1000000 + 0.5) AS BIGINT) AS atl, " +
+          "CAST(floor(type_token_ratio * 1000000 + 0.5) AS BIGINT) AS ttr, " +
+          s"CAST(floor(dup_gram_char_frac * 1000000 + 0.5) AS BIGINT) AS dgf FROM m$p), " +
+          s"n$p AS (SELECT source, count(*) AS n_docs FROM s$p GROUP BY 1), " +
+          hist("nt", "n_tokens", 16) + ", " + hist("atl", "atl", 65536L) + ", " +
+          hist("ttr", "ttr", 4096L) + ", " + hist("dgf", "dgf", 4096L) + ", " +
+          qcte("nt", "nt5", 5, 16) + ", " + qcte("nt", "nt99", 99, 16) + ", " +
+          qcte("atl", "atl95", 95, 65536L) + ", " + qcte("ttr", "ttr5", 5, 4096L) + ", " +
+          qcte("dgf", "dgf95", 95, 4096L) + ", " +
+          s"thr$p AS (SELECT n$p.source, CAST(n_docs AS BIGINT) AS n_docs, " +
+          s"CAST(qnt5$p.v AS BIGINT) AS min_tokens, CAST(qnt99$p.v AS BIGINT) AS max_tokens, " +
+          s"round(qatl95$p.v / 1000000.0, 6) AS max_avg_token_len, " +
+          s"round(qttr5$p.v / 1000000.0, 6) AS min_type_token, " +
+          s"round(qdgf95$p.v / 1000000.0, 6) AS max_dup_gram_frac " +
+          s"FROM n$p JOIN qnt5$p USING (source) JOIN qnt99$p USING (source) " +
+          s"JOIN qatl95$p USING (source) JOIN qttr5$p USING (source) JOIN qdgf95$p USING (source))"
+      }
+      "WITH refd AS (SELECT doc_id, text, source FROM documents WHERE (doc_id // 20) % 2 = 0), " +
+        "curd AS (SELECT doc_id, CASE WHEN source IN ('src0', 'src1', 'src2') THEN substr(text, 1, 12) ELSE text END AS text, source FROM documents WHERE (doc_id // 20) % 2 = 1), " +
+        "ba AS (SELECT source, least(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 0) // 16, 255) AS bin FROM refd), " +
+        "ga AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM ba GROUP BY 1, 2), " +
+        "bb AS (SELECT source, least(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 0) // 16, 255) AS bin FROM curd), " +
+        "gb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY 1, 2), " +
+        "keys AS (SELECT DISTINCT source FROM ba INTERSECT SELECT DISTINCT source FROM bb), " +
+        "grid AS (SELECT k.source, b.bin FROM keys k CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bin) b), " +
+        "r AS (SELECT g.source, g.bin, coalesce(ga.c, 0) AS na, coalesce(gb.c, 0) AS nb FROM grid g LEFT JOIN ga ON ga.source = g.source AND ga.bin = g.bin LEFT JOIN gb ON gb.source = g.source AND gb.bin = g.bin), " +
+        "tt AS (SELECT source, sum(na) AS ta, sum(nb) AS tb FROM r GROUP BY 1), " +
+        "psi AS (SELECT r.source, round(sum(((r.na + 1) / CAST(tt.ta + 256 AS DOUBLE) - (r.nb + 1) / CAST(tt.tb + 256 AS DOUBLE)) * " +
+        "ln(((r.na + 1) / CAST(tt.ta + 256 AS DOUBLE)) / ((r.nb + 1) / CAST(tt.tb + 256 AS DOUBLE)))), 6) AS psi " +
+        "FROM r JOIN tt USING (source) GROUP BY r.source), " +
+        gateBySourceSql("refd", "R") + ", " + gateBySourceSql("curd", "C") + " " +
+        "SELECT p.source, p.psi, (p.psi >= 0.1 AND c.source IS NOT NULL) AS refit, " +
+        "CASE WHEN p.psi >= 0.1 AND c.source IS NOT NULL THEN c.n_docs ELSE r.n_docs END AS n_docs, " +
+        "CASE WHEN p.psi >= 0.1 AND c.source IS NOT NULL THEN c.min_tokens ELSE r.min_tokens END AS min_tokens, " +
+        "CASE WHEN p.psi >= 0.1 AND c.source IS NOT NULL THEN c.max_tokens ELSE r.max_tokens END AS max_tokens, " +
+        "CASE WHEN p.psi >= 0.1 AND c.source IS NOT NULL THEN c.max_avg_token_len ELSE r.max_avg_token_len END AS max_avg_token_len, " +
+        "CASE WHEN p.psi >= 0.1 AND c.source IS NOT NULL THEN c.min_type_token ELSE r.min_type_token END AS min_type_token, " +
+        "CASE WHEN p.psi >= 0.1 AND c.source IS NOT NULL THEN c.max_dup_gram_frac ELSE r.max_dup_gram_frac END AS max_dup_gram_frac " +
+        "FROM psi p LEFT JOIN thrR r USING (source) LEFT JOIN thrC c USING (source) ORDER BY p.source"
+    }) { (s, d) =>
+      import graft.functions.LongHistogram
+      val docs = Tables.documents(s, d)
+      val refDocs = docs.filter(expr("(doc_id div 20) % 2 = 0"))
+      val curDocs = docs.filter(expr("(doc_id div 20) % 2 = 1"))
+        .withColumn("text",
+          when(col("source").isin("src0", "src1", "src2"),
+            expr("substring(text, 1, 12)")).otherwise(col("text")))
+      def hist(f: DataFrame) = f.groupBy("source")
+        .agg(LongHistogram.sketch(
+          size(split(trim(col("text")), "\\s+")).cast("long"), 256, 16).as("hist"))
+      val drift = Corpus.psiFromHistograms(hist(refDocs), hist(curDocs), "source")
+        .withColumnRenamed("key", "source")
+      val ref = TextAnalysis.gateThresholdsBySource(refDocs, "doc_id", "text", "source")
+      TextAnalysis.refitGateOnDrift(curDocs, "doc_id", "text", "source",
+          drift, ref, psiAct = 0.1)
+        .orderBy("source")
+    },
     // Luhn card-number audit: planted candidates (one Luhn-valid test
     // number, one with a broken check digit) — the regex finds both, the
     // integer checksum separates them, and the oracle replays every digit
@@ -2635,6 +2720,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import org.apache.spark.sql.graftfn.TfRecordFrame
       // LE uint from n bytes of a binary slice: hex, byte-swap, conv.
+      // (q_x_tfexample below replays the proto layer over these frames'
+      // sibling payloads.)
       def le(hexExpr: String, nBytes: Int) = {
         val parts = (nBytes - 1 to 0 by -1)
           .map(i => s"substr($hexExpr, ${2 * i + 1}, 2)")
@@ -2652,6 +2739,43 @@ object LlmOpsQueries extends QueryModule {
           expr(le("hex(substring(frame, 9, 4))", 4)).as("len_crc_masked"),
           expr(le("hex(substring(frame, CAST(13 + plen AS INT), 4))", 4))
             .as("payload_crc_masked"))
+        .orderBy("doc_id")
+    },
+
+    // tf.train.Example proto encoding, oracled CROSS-ENGINE: Spark emits
+    // the real Example bytes through the TfExampleEncode expression
+    // (features: "id" int64 = doc_id — a 1- or 2-byte varint — and "t"
+    // bytes = an md5 prefix of doc_id-dependent length 1..16); DuckDB
+    // ASSEMBLES the exact proto hex from first principles — varint
+    // arithmetic, nested length-delimited framing (BytesList/Int64List →
+    // Feature → MapEntry → Features → Example), sorted feature order.
+    // Every submessage length here stays < 128 (single-byte varints) by
+    // construction; the multi-byte length/negative/packed-float cases
+    // are byte-pinned in TfExampleSpec against an independent parser.
+    q("q_x_tfexample",
+      "WITH p AS (SELECT doc_id, substr(md5(text), 1, CAST(1 + doc_id % 16 AS INT)) AS payload FROM documents), " +
+        "c AS (SELECT doc_id, lower(hex(encode(payload))) AS ph, length(payload) AS pl, " +
+        "CASE WHEN doc_id < 128 THEN lpad(lower(to_hex(doc_id)), 2, '0') " +
+        "ELSE lpad(lower(to_hex((doc_id % 128) + 128)), 2, '0') || lpad(lower(to_hex(doc_id // 128)), 2, '0') END AS vid FROM p), " +
+        "f AS (SELECT doc_id, pl, ph, vid, length(vid) // 2 AS pli FROM c), " +
+        "asm AS (SELECT doc_id, " +
+        // entry for "id": 0a 02 "id" 12 len(feat) feat, feat = 1a len 0a len vid
+        "'0a' || lpad(lower(to_hex(10 + pli)), 2, '0') || '0a' || '02' || '6964' || '12' || lpad(lower(to_hex(4 + pli)), 2, '0') || " +
+        "'1a' || lpad(lower(to_hex(2 + pli)), 2, '0') || '0a' || lpad(lower(to_hex(pli)), 2, '0') || vid AS entry_id, " +
+        // entry for "t": 0a 01 "t" 12 len(feat) feat, feat = 0a len 0a len payload
+        "'0a' || lpad(lower(to_hex(9 + pl)), 2, '0') || '0a' || '01' || '74' || '12' || lpad(lower(to_hex(4 + pl)), 2, '0') || " +
+        "'0a' || lpad(lower(to_hex(2 + pl)), 2, '0') || '0a' || lpad(lower(to_hex(pl)), 2, '0') || ph AS entry_t, " +
+        "pli, pl FROM f) " +
+        "SELECT doc_id, '0a' || lpad(lower(to_hex(23 + pli + pl)), 2, '0') || entry_id || entry_t AS ex_hex, " +
+        "CAST(25 + pli + pl AS BIGINT) AS ex_len FROM asm ORDER BY doc_id") { (s, d) =>
+      import org.apache.spark.sql.graftfn.TfExampleEncode
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("substring(md5(text), 1, CAST(1 + doc_id % 16 AS INT))").as("payload"))
+        .withColumn("ex", TfExampleEncode.tfExample(
+          struct(col("doc_id").as("id"), col("payload").as("t"))))
+        .select(col("doc_id"), lower(hex(col("ex"))).as("ex_hex"),
+          length(col("ex")).cast("long").as("ex_len"))
         .orderBy("doc_id")
     }
   )

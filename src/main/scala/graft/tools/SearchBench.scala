@@ -87,6 +87,52 @@ object SearchBench {
       .map(t => (t.toLong, s"${tw(t, 0)} ${tw(t, 1)} ${tw(t, 2)} spark value"))
       .toDF("qid", "qtext")
 
+    // ---- semantic lane: deterministic planted embeddings ----
+    // Topic t's direction d_t and per-doc noise n_id are PortableHash-
+    // derived unit-uniform vectors (dim 64) — reproducible, no RNG. The
+    // semantic structure is the inverse of the keyword one:
+    //   grades 0, 1, 4   → 1.0·d_t + 0.2·n  (semantically STRONG; grade 4
+    //                      is the keyword-unreachable doc — the lane that
+    //                      must find it)
+    //   grades 2, 3      → 0.35·d_t + 0.9·n (semantically WEAK — only
+    //                      keyword search ranks them; max-of-background
+    //                      noise outranks them at 5k+ docs)
+    //   distractors      → 0.8·d_t + 0.5·n  (near-topic spam IS close in
+    //                      embedding space — the honest failure mode)
+    //   background       → pure n.
+    // So ANN alone tops out near 3/5 recall, BM25 at 4/5 (no grade 4),
+    // and BM25+ANN fusion is the only system that can reach 1.0 — the
+    // hybrid-search thesis, measured. The semantic index is the 1× set
+    // (embeddings don't replicate with the keyword distractor factor:
+    // a semantic index grows with the corpus, not with tf-spam volume).
+    val dim = 64
+    def unitVec(key: String): Array[Float] =
+      Array.tabulate(dim)(kk => graft.llmops.PortableHash.unitUniformJvm(s"$key:$kk"))
+    def mix(t: Int, id: Long, wT: Float, wN: Float): Array[Float] = {
+      val d = unitVec(s"sbtopic:$t"); val n = unitVec(s"sbdoc:$id")
+      Array.tabulate(dim)(kk => wT * d(kk) + wN * n(kk))
+    }
+    val plantedEmb = relRows.map { case (id, _) =>
+      val t = ((id - 10000000L) / 5).toInt
+      val j = ((id - 10000000L) % 5).toInt
+      val (wT, wN) = if (j == 2 || j == 3) (0.35f, 0.9f) else (1.0f, 0.2f)
+      (id, mix(t, id, wT, wN))
+    } ++ nearRows.map { case (id, _) =>
+      (id, mix(((id - 11000000L) / 10).toInt, id, 0.8f, 0.5f))
+    }
+    val bgIds = base.select("doc_id").collect().map(_.getLong(0))
+    val embCorpus = (bgIds.toSeq.map(id => (id, unitVec(s"sbdoc:$id"))) ++ plantedEmb)
+      .toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val qEmb = (0 until topics).map(t => (t.toLong, unitVec(s"sbtopic:$t")))
+      .toDF("vec_id", "embedding")
+    def annRank(df: DataFrame): DataFrame =
+      df.select(col("qid"), col("cid").as("doc"), col("rn").as("rank"))
+    def annBrute = annRank(graft.llmops.Similarity.bruteForceTopK(
+      embCorpus, qEmb, k))
+    def annIvf = annRank(graft.llmops.Similarity.ivfTopK(
+      embCorpus, qEmb, k, nlist = 16, nprobe = 8))
+
     def buildCorpus(f: Int): DataFrame = {
       val bg =
         if (f <= 1) base
@@ -134,7 +180,16 @@ object SearchBench {
         Run("expanded", "fb=3,2 capped", exp(3, 2)),
         Run("expanded", "fb=5,3 capped", exp(5, 3)),
         Run("expanded", "fb=3,2 nocap", Retrieval.expandedSearch(corpus, "doc_id",
-          "text", queries, "qid", "qtext", k, fbDocs = 3, fbTerms = 2)))
+          "text", queries, "qid", "qtext", k, fbDocs = 3, fbTerms = 2)),
+        // the ANN-vs-BM25 lanes: each alone is partial BY CONSTRUCTION
+        // (semantic misses grades 2-3, keyword misses grade 4); the
+        // cross-modal fusion is the only path to full recall.
+        Run("ann", "cos brute", annBrute),
+        Run("ann", "ivf nprobe=8", annIvf),
+        Run("hybrid-ann", "bm25+cos c=60",
+          Retrieval.fuseTopK(bm(1.2, 0.75), annBrute, k, c = 60)),
+        Run("hybrid-ann", "bm25+ivf c=60",
+          Retrieval.fuseTopK(bm(1.2, 0.75), annIvf, k, c = 60)))
       (runs ++ runs2).map { r =>
         r.result.count() // cold pass: JIT + plan; timing below is warm
         val t0 = System.nanoTime()

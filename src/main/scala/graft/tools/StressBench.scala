@@ -120,7 +120,12 @@ object StressBench {
     // r9: TFRecord framing is a pure codegen'd map pass (one CRC32C per
     // payload byte) — must scale linearly with corpus bytes; the rebuild
     // is kmeans training + one assignment pass — linear per round.
-    "q_x_tfrecord_frame", "q_x_ann_ivf_rebuild")
+    "q_x_tfrecord_frame", "q_x_ann_ivf_rebuild",
+    // the composed drift→re-fit loop: two gate-metric passes + bounded
+    // per-source histogram folds — must track 2× the gate_thresholds line.
+    "q_x_gate_refit",
+    // proto encoding is a pure codegen'd map pass — linear in corpus bytes.
+    "q_x_tfexample")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1578,6 +1578,48 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out == viaTokens)
   }
 
+  test("refitGateOnDrift: drifted sources re-fit from current corpus, others keep reference verbatim") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    def mkDocs(collapse: Boolean) = (0 until 120).map { i =>
+      val src = s"s${i % 3}"
+      val body =
+        if (collapse && src == "s0") "tiny doc"
+        else ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * (2 + i % 4)).trim
+      (i.toLong, body, src)
+    }.toDF("doc_id", "text", "source")
+    val refDocs = mkDocs(collapse = false)
+    val curDocs = mkDocs(collapse = true)
+    val reference = TextAnalysis.gateThresholdsBySource(refDocs, "doc_id", "text", "source")
+    // drift frame: s0 crossed, s1 below, s9 reported-but-absent from current
+    val drift = Seq(("s0", 0.41), ("s1", 0.02), ("s9", 0.9)).toDF("source", "psi")
+    val out = TextAnalysis.refitGateOnDrift(curDocs, "doc_id", "text", "source",
+      drift, reference).collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("s0", "s1", "s9"))
+    assert(out("s0").getAs[Boolean]("refit"))
+    assert(!out("s1").getAs[Boolean]("refit"))
+    // absent-from-current source cannot re-fit even above threshold
+    assert(!out("s9").getAs[Boolean]("refit"))
+    val refRows = reference.collect().map(r => r.getAs[String]("source") -> r).toMap
+    // undrifted source: reference thresholds VERBATIM
+    Seq("n_docs", "min_tokens", "max_tokens").foreach(c =>
+      assert(out("s1").getAs[Long](c) == refRows("s1").getAs[Long](c), c))
+    // drifted source: thresholds came from the CURRENT (collapsed) corpus
+    val curRows = TextAnalysis.gateThresholdsBySource(curDocs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    Seq("min_tokens", "max_tokens").foreach(c =>
+      assert(out("s0").getAs[Long](c) == curRows("s0").getAs[Long](c), c))
+    assert(out("s0").getAs[Long]("max_tokens") <
+      refRows("s0").getAs[Long]("max_tokens"),
+      "collapsed source must re-fit to smaller token thresholds")
+    // per-source ≡ global when restricted to one source
+    val g = TextAnalysis.gateThresholds(
+      refDocs.filter(col("source") === "s2"), "doc_id", "text").head()
+    val bySrc = refRows("s2")
+    Seq("n_docs", "min_tokens", "max_tokens").foreach(c =>
+      assert(g.getAs[Long](c) == bySrc.getAs[Long](c), c))
+  }
+
   test("band-skew cap firing is OBSERVABLE: graft_band_prune metric reports pruned keys") {
     import spark.implicits._
     import org.apache.spark.sql.execution.QueryExecution

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfn.TfExampleEncode
+
+/** tf.train.Example encoding: byte-pinned check values, a round trip
+  * through a minimal independent proto parser (varints, packed lists,
+  * float32 LE, negative int64s), null/sort semantics, the SQL surface,
+  * and the composed writeExamples shard export. The nesting/varint
+  * composition is additionally oracled cross-engine (q_x_tfexample).
+  */
+class TfExampleSpec extends SparkTestBase {
+
+  private def enc(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+    df.select(TfExampleEncode.tfExample(struct(df.columns.map(col): _*)))
+      .head().getAs[Array[Byte]](0)
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  // ---- minimal independent tf.Example parser (test-only) ----
+  private def varint(b: Array[Byte], p0: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var p = p0
+    while ((b(p) & 0x80) != 0) { v |= (b(p) & 0x7FL) << shift; shift += 7; p += 1 }
+    (v | ((b(p) & 0x7FL) << shift), p + 1)
+  }
+  private def fields(b: Array[Byte], from: Int, to: Int): Seq[(Int, Array[Byte])] = {
+    var p = from
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    while (p < to) {
+      val (tag, p1) = varint(b, p)
+      require((tag & 7) == 2, s"only length-delimited fields expected, got tag $tag")
+      val (len, p2) = varint(b, p1)
+      out += (((tag >> 3).toInt, java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)))
+      p = p2 + len.toInt
+    }
+    out.result()
+  }
+  /** Example bytes → feature name → decoded value. */
+  private def parse(b: Array[Byte]): Map[String, Any] = {
+    val Seq((1, features)) = fields(b, 0, b.length)
+    fields(features, 0, features.length).map { case (1, entry) =>
+      val fs = fields(entry, 0, entry.length).toMap
+      val name = new String(fs(1), "UTF-8")
+      val Seq((kind, list)) = fields(fs(2), 0, fs(2).length)
+      val value = kind match {
+        case 1 => // BytesList: repeated length-delimited
+          fields(list, 0, list.length).map(e => new String(e._2, "UTF-8"))
+        case 3 => // Int64List: one packed field
+          val Seq((1, packed)) = fields(list, 0, list.length)
+          var p = 0
+          val vs = Seq.newBuilder[Long]
+          while (p < packed.length) { val (v, p2) = varint(packed, p); vs += v; p = p2 }
+          vs.result()
+        case 2 => // FloatList: one packed field
+          val Seq((1, packed)) = fields(list, 0, list.length)
+          packed.grouped(4).map { g =>
+            java.lang.Float.intBitsToFloat(
+              (g(0) & 0xFF) | ((g(1) & 0xFF) << 8) | ((g(2) & 0xFF) << 16) | ((g(3) & 0xFF) << 24))
+          }.toSeq
+      }
+      name -> value
+    }.toMap
+  }
+
+  test("byte-pinned check values: bytes feature and multi-byte-varint int64 feature") {
+    import spark.implicits._
+    // {"text": "abc"} — hand-assembled expected bytes
+    assert(hex(enc(Seq(("abc")).toDF("text"))) ===
+      "0a110a0f0a0474657874" + "1207" + "0a050a03616263")
+    // {"v": 300} — varint(300) = AC 02
+    assert(hex(enc(Seq((300L)).toDF("v"))) ===
+      "0a0d0a0b0a0176" + "1206" + "1a040a02ac02")
+  }
+
+  test("round trip through an independent parser: all types, negatives, arrays") {
+    import spark.implicits._
+    val df = Seq((7L, "hello", Seq(1L, -2L, 300L), Seq(1.5f, -0.25f), 2.5f))
+      .toDF("id", "t", "toks", "emb", "w")
+    val m = parse(enc(df))
+    assert(m("id") === Seq(7L))
+    assert(m("t") === Seq("hello"))
+    // negative int64 encodes as 10-byte varint two's complement
+    assert(m("toks").asInstanceOf[Seq[Long]] === Seq(1L, -2L, 300L))
+    assert(m("emb") === Seq(1.5f, -0.25f))
+    assert(m("w") === Seq(2.5f))
+  }
+
+  test("null fields are skipped; features sort by name regardless of struct order") {
+    import spark.implicits._
+    val m = parse(enc(
+      Seq(("z-val", null: java.lang.Long, "a-val")).toDF("zfield", "gone", "afield")))
+    assert(m.keySet === Set("zfield", "afield"))
+    // sorted emission: afield's entry precedes zfield's in the raw bytes
+    val raw = hex(enc(Seq(("z", "a")).toDF("zf", "af")))
+    assert(raw.indexOf(hex("af".getBytes)) < raw.indexOf(hex("zf".getBytes)))
+  }
+
+  test("SQL surface + unsupported type rejected at analysis") {
+    val r = spark.sql(
+      "SELECT graft_tf_example(named_struct('text', 'abc')) AS e").head()
+    assert(hex(r.getAs[Array[Byte]](0)).startsWith("0a110a0f0a0474657874"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_tf_example(named_struct('m', map('a', 1)))").head()
+    }
+    assert(err.getMessage.toLowerCase.contains("tf_example") ||
+      err.getMessage.toLowerCase.contains("datatype") ||
+      err.getMessage.toLowerCase.contains("unsupported"))
+  }
+
+  test("writeExamples: sharded tf.data-ready export round-trips") {
+    import spark.implicits._
+    import graft.ingest.TfRecords
+    val dir = java.nio.file.Files.createTempDirectory("tfex").toString
+    val docs = (0 until 64).map(i => (i.toLong, s"doc-$i", Seq(i.toLong, i + 1L)))
+      .toDF("id", "t", "toks")
+    val manifest = TfRecords.writeExamples(docs, dir, shards = 2)
+    assert(manifest.agg(sum("n_records")).head().getLong(0) === 64L)
+    val back = TfRecords.read(spark, dir)
+    assert(back.where(!col("ok")).isEmpty)
+    val decoded = back.select("payload").collect()
+      .map(r => parse(r.getAs[Array[Byte]](0)))
+    assert(decoded.length === 64)
+    val ids = decoded.map(_("id").asInstanceOf[Seq[Long]].head).toSet
+    assert(ids === (0L until 64L).toSet)
+    val one = decoded.find(_("id") == Seq(5L)).get
+    assert(one("t") === Seq("doc-5"))
+    assert(one("toks") === Seq(5L, 6L))
+  }
+}
