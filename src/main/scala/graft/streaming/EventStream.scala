@@ -743,6 +743,57 @@ object EventStream {
     *
     * Returns the new centroid table (cent_id, centvec).
     */
+  /** The AUTOMATED rebuild trigger — [[graft.llmops.Similarity.cellStats]]'
+    * documented heuristic, executed instead of narrated: reads the live
+    * cell/centroid state, computes max occupancy skew and the occupancy-
+    * weighted mean cosine distance, compares against the CALIBRATION
+    * snapshot stored in `{prefix}_quantizer_meta`, and — when
+    * `max(occ_ratio) ≥ maxSkew` or `weighted mean_cdist ≥ cdistFactor ×
+    * calibration` — runs [[rebuildQuantizer]] and re-seeds the
+    * calibration row from the rebuilt state. The first call seeds the
+    * meta table and never rebuilds (there is no baseline to drift
+    * from). Returns whether a rebuild ran. Run it on the same
+    * monitoring cadence as [[dataCardDrift]]; cost when nothing fires
+    * is one cellStats pass (broadcast join + bounded aggs).
+    */
+  def maybeRebuild(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, nlist: Int, iters: Int, stateBuckets: Int = 8,
+      maxSkew: Double = 4.0, cdistFactor: Double = 2.0): Boolean = {
+    import spark.implicits._
+    val metaT = s"${tablePrefix}_quantizer_meta"
+    def gauges(): (Double, Double) = {
+      spark.catalog.refreshTable(s"${tablePrefix}_cells")
+      spark.catalog.refreshTable(s"${tablePrefix}_centroids")
+      val st = graft.llmops.Similarity.cellStats(
+          spark.table(s"${tablePrefix}_cells"),
+          spark.table(s"${tablePrefix}_centroids"))
+        .na.fill(0.0, Seq("mean_cdist")).collect()
+      val tot = math.max(1L, st.map(_.getAs[Long]("n")).sum).toDouble
+      (st.map(_.getAs[Double]("occ_ratio")).foldLeft(0.0)(math.max),
+        st.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_cdist")).sum / tot)
+    }
+    def seed(wCdist: Double): Unit =
+      Seq(wCdist).toDF("calib_w_cdist")
+        .write.mode("overwrite").format("parquet").saveAsTable(metaT)
+    val (skew, wCdist) = gauges()
+    if (!spark.catalog.tableExists(metaT)) {
+      seed(wCdist)
+      false
+    } else {
+      spark.catalog.refreshTable(metaT)
+      val calib = spark.table(metaT).head().getDouble(0)
+      // a zero calibration (perfect initial assignment) drifts at the
+      // first nonzero distance — the epsilon floor keeps the ratio form.
+      val fire = skew >= maxSkew ||
+        wCdist >= cdistFactor * math.max(calib, 1e-12)
+      if (fire) {
+        rebuildQuantizer(spark, tablePrefix, nlist, iters, stateBuckets)
+        seed(gauges()._2)
+      }
+      fire
+    }
+  }
+
   def rebuildQuantizer(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String, nlist: Int, iters: Int,
       stateBuckets: Int = 8): DataFrame = {

@@ -795,6 +795,62 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("maybeRebuild: seeds calibration, stays quiet while stable, fires exactly on drift") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val aligned = Seq(
+      1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0),
+      3L -> v(0.95f, 0.05f, 0, 0), 4L -> v(0.05f, 0.95f, 0, 0),
+      5L -> v(0.9f, 0.1f, 0, 0), 6L -> v(0.1f, 0.9f, 0, 0))
+    val drifted = Seq(
+      7L -> v(0, 0.05f, 0.95f, 0), 8L -> v(0, 0, 0.9f, 0.1f),
+      9L -> v(0.05f, 0, 0.95f, 0), 10L -> v(0, 0.1f, 0.9f, 0))
+    val corpus = (aligned ++ drifted).toDF("vec_id", "embedding")
+    val cent0 = corpus.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    val prefix = "ann_auto_test"
+    try {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val streamDf = mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+      val ckpt = java.nio.file.Files.createTempDirectory("ann_auto_ckpt").toString
+      def runOnce(): Unit = {
+        val w = EventStream.annIndexStream(streamDf, "vec_id", "embedding", cent0, prefix)
+          .option("checkpointLocation", ckpt)
+        val q = w.start(); q.processAllAvailable(); q.stop()
+      }
+      mem.addData(aligned: _*); runOnce()
+      // first call SEEDS — never rebuilds, meta row appears
+      assert(!EventStream.maybeRebuild(spark, prefix, nlist = 3, iters = 2))
+      assert(spark.catalog.tableExists(s"${prefix}_quantizer_meta"))
+      val calib0 = spark.table(s"${prefix}_quantizer_meta").head().getDouble(0)
+      // stable state: quiet
+      assert(!EventStream.maybeRebuild(spark, prefix, nlist = 3, iters = 2))
+      // drift arrives: the z-direction batch inflates weighted mean_cdist
+      mem.addData(drifted: _*); runOnce()
+      assert(EventStream.maybeRebuild(spark, prefix, nlist = 3, iters = 2),
+        "drifted state must trigger the rebuild")
+      // rebuild really ran: 3 centroids now, serving parity holds
+      assert(spark.table(s"${prefix}_centroids").count() === 3L)
+      val queries = corpus.filter(col("vec_id") isin (5L, 8L))
+      val served = EventStream.annIndexState(queries, prefix, k = 3, nprobe = 2)
+        .orderBy("qid", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val oneShot = graft.llmops.Similarity.ivfTopK(corpus, queries, k = 3,
+          nprobe = 2, centroids = Some(spark.table(s"${prefix}_centroids")))
+        .orderBy("qid", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(served == oneShot && served.nonEmpty)
+      // calibration re-seeded from the rebuilt (healthy) state: quiet again
+      val calib1 = spark.table(s"${prefix}_quantizer_meta").head().getDouble(0)
+      assert(calib1 !== calib0)
+      assert(!EventStream.maybeRebuild(spark, prefix, nlist = 3, iters = 2),
+        "freshly rebuilt state must not re-trigger")
+    } finally {
+      Seq("centroids", "cells", "centroids__rebuild", "cells__rebuild",
+        "quantizer_meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    }
+  }
+
   test("curationStream: continuous cascade with cross-batch dedup, decon state, lifetime quota") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
