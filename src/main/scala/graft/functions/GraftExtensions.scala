@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
-import org.apache.spark.sql.graftfn.{BitInterleave, ByteVectorDot, Crc32C, FloatVectorDot, TfExampleEncode, TfRecordFrame}
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.graftfn.{BitInterleave, ByteVectorDot, Crc32C, FloatVectorDot, TfExampleDecode, TfExampleEncode, TfRecordFrame}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 
 /** SQL surface for the engine's custom expressions, wired the way a
   * cluster enables it: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -92,6 +92,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_tf_example(struct) takes one struct arg")
         TfExampleEncode(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tf_example_decode"),
+      new ExpressionInfo(classOf[TfExampleDecode].getName, "graft_tf_example_decode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_tf_example_decode(bytes, 'name TYPE, ...') takes bytes + a DDL string literal")
+        val ddl = children(1) match {
+          case Literal(s, StringType) if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_tf_example_decode: schema must be a string literal")
+        }
+        TfExampleDecode(children.head, StructType.fromDDL(ddl))
       }))
   }
 }

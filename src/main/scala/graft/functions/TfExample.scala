@@ -206,3 +206,158 @@ object TfExampleEncode {
   def tfExample(c: Column): Column =
     ExpressionUtils.column(TfExampleEncode(ExpressionUtils.expression(c)))
 }
+
+/** The DECODE direction — `tf.train.Example` bytes (ours or any other
+  * producer's) back to a typed struct, so foreign tf.data corpora ingest
+  * through the same engine: pass the expected feature schema (the
+  * [[TfExampleEncode]] type mapping — string/binary ← bytes_list,
+  * long/array&lt;long&gt; ← int64_list, float/array&lt;float&gt; ← float_list).
+  * Missing features and kind mismatches decode to null FIELDS; torn or
+  * non-Example bytes decode to a null ROW — never a killed task (the
+  * quarantine discipline). Scalar targets take the list's FIRST value
+  * (the tf.Example convention for singletons).
+  */
+case class TfExampleDecode(child: Expression, schema: StructType)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val badIn = child.dataType != BinaryType
+    val bad = schema.fields.filterNot(f => TfExampleDecode.supported(f.dataType))
+    if (badIn)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tf_example_decode expects binary input, got ${child.dataType.simpleString}")
+    else if (bad.nonEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unsupported tf.Example feature types: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tf_example_decode"
+
+  def decodeBytes(bytes: Array[Byte]): InternalRow =
+    TfExampleDecode.decode(schema, bytes)
+
+  override def nullSafeEval(input: Any): Any =
+    decodeBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tfExampleDec", this,
+      classOf[TfExampleDecode].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = $ref.decodeBytes($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TfExampleDecode =
+    copy(child = newChild)
+}
+
+object TfExampleDecode {
+
+  private[graftfn] def supported(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | LongType | FloatType => true
+    case ArrayType(LongType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def varint(b: Array[Byte], p0: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var p = p0
+    while ((b(p) & 0x80) != 0) {
+      v |= (b(p) & 0x7FL) << shift; shift += 7; p += 1
+    }
+    (v | ((b(p) & 0x7FL) << shift), p + 1)
+  }
+
+  /** Length-delimited fields of a message range as (fieldNo, from, to). */
+  private def fields(b: Array[Byte], from: Int, to: Int): List[(Int, Int, Int)] = {
+    var p = from
+    var out = List.empty[(Int, Int, Int)]
+    while (p < to) {
+      val (tag, p1) = varint(b, p)
+      if ((tag & 7) != 2) throw new IllegalArgumentException("non-LEN field")
+      val (len, p2) = varint(b, p1)
+      if (len < 0 || p2 + len > to) throw new IllegalArgumentException("torn")
+      out = ((tag >> 3).toInt, p2, p2 + len.toInt) :: out
+      p = p2 + len.toInt
+    }
+    out.reverse
+  }
+
+  /** null on any structural failure — the degrade contract. */
+  def decode(schema: StructType, bytes: Array[Byte]): InternalRow =
+    try {
+      val out = new Array[Any](schema.length)
+      val idx = schema.fieldNames.zipWithIndex.toMap
+      for {
+        (1, f0, f1) <- fields(bytes, 0, bytes.length) // Example.features
+        (1, e0, e1) <- fields(bytes, f0, f1)          // Features.feature entries
+      } {
+        var name: String = null
+        var feat: (Int, Int) = null
+        fields(bytes, e0, e1).foreach {
+          case (1, n0, n1) => name = new String(bytes, n0, n1 - n0, "UTF-8")
+          case (2, v0, v1) => feat = (v0, v1)
+          case _ => ()
+        }
+        if (name != null && feat != null) idx.get(name).foreach { i =>
+          out(i) = decodeFeature(schema.fields(i).dataType, bytes, feat._1, feat._2)
+        }
+      }
+      InternalRow.fromSeq(out.toIndexedSeq)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private def decodeFeature(dt: DataType, b: Array[Byte],
+      from: Int, to: Int): Any = {
+    // Feature = exactly one of bytes_list(1) / float_list(2) / int64_list(3)
+    val lists = fields(b, from, to)
+    if (lists.isEmpty) return null
+    val (kind, l0, l1) = lists.head
+    (dt, kind) match {
+      case (StringType, 1) =>
+        fields(b, l0, l1).headOption.collect { case (1, v0, v1) =>
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(b, v0, v1))
+        }.orNull
+      case (BinaryType, 1) =>
+        fields(b, l0, l1).headOption.collect { case (1, v0, v1) =>
+          java.util.Arrays.copyOfRange(b, v0, v1)
+        }.orNull
+      case (LongType, 3) =>
+        packedLongs(b, l0, l1).headOption.map(Long.box).orNull
+      case (ArrayType(LongType, _), 3) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          packedLongs(b, l0, l1).toArray)
+      case (FloatType, 2) =>
+        packedFloats(b, l0, l1).headOption.map(Float.box).orNull
+      case (ArrayType(FloatType, _), 2) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          packedFloats(b, l0, l1).toArray)
+      case _ => null // kind mismatch → null field
+    }
+  }
+
+  private def packedLongs(b: Array[Byte], l0: Int, l1: Int): Seq[Long] =
+    fields(b, l0, l1).headOption.collect { case (1, p0, p1) =>
+      var p = p0
+      val out = Seq.newBuilder[Long]
+      while (p < p1) { val (v, p2) = varint(b, p); out += v; p = p2 }
+      out.result()
+    }.getOrElse(Seq.empty)
+
+  private def packedFloats(b: Array[Byte], l0: Int, l1: Int): Seq[Float] =
+    fields(b, l0, l1).headOption.collect { case (1, p0, p1) =>
+      (p0 until p1 by 4).map { p =>
+        java.lang.Float.intBitsToFloat(
+          (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+            ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24))
+      }
+    }.getOrElse(Seq.empty)
+
+  def tfExampleDecode(c: Column, schema: StructType): Column =
+    ExpressionUtils.column(TfExampleDecode(ExpressionUtils.expression(c), schema))
+}

@@ -137,6 +137,58 @@ object TfRecords {
       .toDF("file", "rec_idx", "payload", "ok")
   }
 
+  /** Read a directory of `tf.train.Example` TFRecord shards (ours via
+    * [[writeExamples]], or any other producer's) back as TYPED rows:
+    * crc-verified frames decode through
+    * [[org.apache.spark.sql.graftfn.TfExampleDecode]] against the
+    * expected feature `schema`. `ok = false` marks both torn frames and
+    * undecodable Examples (null payload/fields) — quarantine, never a
+    * kill.
+    */
+  def readExamples(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withEx = read(spark, dir).withColumn("example",
+      org.apache.spark.sql.graftfn.TfExampleDecode.tfExampleDecode(
+        col("payload"), schema))
+    withEx.select(Seq(col("file"), col("rec_idx"),
+      (col("ok") && col("example").isNotNull).as("ok")) ++
+        schema.fieldNames.toSeq.map(f => col(s"example.$f")): _*)
+  }
+
+  /** STREAMING TFRecord ingestion — shard files LAND in a directory (a
+    * vendor drop, another pipeline's [[write]] output syncing in) and
+    * each new file is absorbed as a micro-batch: the [[Jsonl.readStream]]
+    * contract in TFRecord form. Same row shape and crc-verifying
+    * quarantine semantics as [[read]] (`ok = false` rows instead of
+    * killed jobs); feed the result into any foreachBatch state stream.
+    * One whole shard materializes per task (binaryFile semantics — the
+    * shard size the producer chose is the memory bound).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.tfrecord")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseFrames(bytes).map {
+          case (idx, Some(payload)) => (path, idx, payload, true)
+          case (idx, None)          => (path, idx, null: Array[Byte], false)
+        }
+      }
+      .toDF("file", "rec_idx", "payload", "ok")
+  }
+
   /** Parse a concatenation of TFRecord frames; stops at the first
     * torn/corrupt frame, emitting `(idx, None)` for it.
     */

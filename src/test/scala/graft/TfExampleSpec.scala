@@ -107,6 +107,93 @@ class TfExampleSpec extends SparkTestBase {
       err.getMessage.toLowerCase.contains("unsupported"))
   }
 
+  test("TfExampleDecode: encode∘decode is the identity; missing/mismatched features null; garbage -> null row") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.TfExampleDecode
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType),
+      StructField("toks", ArrayType(LongType)),
+      StructField("emb", ArrayType(FloatType))))
+    val df = Seq((7L, "hello", Seq(1L, 300L), Seq(1.5f, -0.25f)))
+      .toDF("id", "t", "toks", "emb")
+    val back = df
+      .select(TfExampleEncode.tfExample(struct(df.columns.map(col): _*)).as("e"))
+      .select(TfExampleDecode.tfExampleDecode(col("e"), schema).as("d"))
+      .select("d.*").head()
+    assert(back.getLong(0) === 7L)
+    assert(back.getString(1) === "hello")
+    assert(back.getSeq[Long](2) === Seq(1L, 300L))
+    assert(back.getSeq[Float](3) === Seq(1.5f, -0.25f))
+    // missing feature ("extra") and kind mismatch ("t" as long) → null fields
+    val lenient = StructType(Seq(
+      StructField("t", LongType), StructField("extra", StringType),
+      StructField("id", LongType)))
+    val l = df
+      .select(TfExampleEncode.tfExample(struct(df.columns.map(col): _*)).as("e"))
+      .select(TfExampleDecode.tfExampleDecode(col("e"), lenient).as("d"))
+      .select("d.*").head()
+    assert(l.isNullAt(0) && l.isNullAt(1) && l.getLong(2) === 7L)
+    // garbage bytes → null row, not an exception
+    val g = Seq(Array[Byte](1, 2, 3)).toDF("b")
+      .select(TfExampleDecode.tfExampleDecode(col("b"), schema).as("d"))
+      .head()
+    assert(g.isNullAt(0))
+    // pure-SQL round trip via the registered functions
+    val s = spark.sql(
+      "SELECT graft_tf_example_decode(graft_tf_example(named_struct('id', 42L, 't', 'x')), 'id BIGINT, t STRING') AS d")
+      .select("d.*").head()
+    assert(s.getLong(0) === 42L && s.getString(1) === "x")
+  }
+
+  test("readStream + readExamples: landed shards absorb as micro-batches, typed decode round-trips") {
+    import spark.implicits._
+    import graft.ingest.TfRecords
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    val land = java.nio.file.Files.createTempDirectory("tfland").toString
+    def drop(tag: String, ids: Range): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tfdrop").toString
+      TfRecords.writeExamples(
+        ids.map(i => (i.toLong, s"doc-$i")).toDF("id", "t"), tmp, shards = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp, "part-00000.tfrecord"),
+        java.nio.file.Paths.get(land, s"drop-$tag.tfrecord"))
+    }
+    drop("a", 0 until 10)
+    val ckpt = java.nio.file.Files.createTempDirectory("tfland_ckpt").toString
+    val got = scala.collection.mutable.Set[Long]()
+    def runOnce(): Unit = {
+      val q = TfRecords.readStream(spark, land).writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.where(col("ok"))
+            .withColumn("d", org.apache.spark.sql.graftfn.TfExampleDecode
+              .tfExampleDecode(col("payload"), schema))
+            .select("d.id").collect().foreach(r => got.synchronized {
+              got += r.getLong(0)
+            })
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(got.toSet === (0L until 10L).toSet)
+    drop("b", 10 until 15) // a second vendor drop lands
+    runOnce()
+    assert(got.toSet === (0L until 15L).toSet)
+    // typed batch read over the same landing dir
+    val typed = TfRecords.readExamples(spark, land, schema)
+    assert(typed.where(!col("ok")).isEmpty)
+    assert(typed.select("id").collect().map(_.getLong(0)).toSet ===
+      (0L until 15L).toSet)
+    assert(typed.where(col("id") === 3L).select("t").head().getString(0) === "doc-3")
+  }
+
   test("writeExamples: sharded tf.data-ready export round-trips") {
     import spark.implicits._
     import graft.ingest.TfRecords
