@@ -36,7 +36,17 @@ object TfRecords {
     * (round-robin, so shards balance regardless of upstream skew).
     */
   def write(df: DataFrame, payloadCol: Column, dir: String,
-      shards: Int): DataFrame = {
+      shards: Int): DataFrame = write(df, payloadCol, dir, shards, gzip = false)
+
+  /** `gzip = true` compresses each shard as a whole-file gzip stream —
+    * exactly what `tf.data.TFRecordDataset(files,
+    * compression_type="GZIP")` expects (TFRecord compression is
+    * file-level, not per-record), shards named `part-NNNNN.tfrecord.gz`.
+    * At 100 TB the framing-over-text corpus compresses several-fold —
+    * egress and storage cost, not CPU, dominate a release.
+    */
+  def write(df: DataFrame, payloadCol: Column, dir: String,
+      shards: Int, gzip: Boolean): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
     val spark = df.sparkSession
     val framed = df
@@ -53,10 +63,11 @@ object TfRecords {
     // Materialized NOW (the collect is shards-sized manifest rows, never
     // data) so the write happens eagerly and exactly once, not on each
     // later consumption of the manifest.
+    val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
     val manifestRows = framed.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = new Configuration()
-      val finalPath = new Path(dir, f"part-$pid%05d.tfrecord")
-      val tmpPath = new Path(dir, f".part-$pid%05d.tfrecord.tmp")
+      val finalPath = new Path(dir, f"part-$pid%05d$ext")
+      val tmpPath = new Path(dir, f".part-$pid%05d$ext.tmp")
       // Private FS instance with client-side checksumming off: the shard
       // dir is a release artifact other tools list and read — no Hadoop
       // `.crc` sidecars in it (the frames carry their own CRC32C guards).
@@ -67,7 +78,9 @@ object TfRecords {
       try {
         pfs.setWriteChecksum(false)
         pfs.setVerifyChecksum(false)
-        val os = pfs.create(tmpPath, true)
+        val raw = pfs.create(tmpPath, true)
+        val os: java.io.OutputStream =
+          if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw
         var n = 0L
         var bytes = 0L
         try {
@@ -104,11 +117,29 @@ object TfRecords {
     * `tf.data.TFRecordDataset(files).map(tf.io.parse_example)` consumes
     * the result unchanged.
     */
-  def writeExamples(df: DataFrame, dir: String, shards: Int): DataFrame =
+  def writeExamples(df: DataFrame, dir: String, shards: Int,
+      gzip: Boolean = false): DataFrame =
     write(
       df.select(org.apache.spark.sql.graftfn.TfExampleEncode.tfExample(
         struct(df.columns.map(col): _*)).as("example")),
-      col("example"), dir, shards)
+      col("example"), dir, shards, gzip)
+
+  /** Whole-file gunzip when the shard name says so — plain shards pass
+    * through. Corrupt gzip degrades to an empty byte array, which the
+    * frame parser reports as an empty file (0 records) rather than a
+    * killed task.
+    */
+  private def maybeGunzip(path: String, bytes: Array[Byte]): Array[Byte] =
+    if (!path.endsWith(".gz")) bytes
+    else try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 1 << 16)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](1 << 16)
+      var k = in.read(buf)
+      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      out.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
 
   /** Read TFRecord shards back as one binary `payload` row per record,
     * with `file` and 0-based `rec_idx` provenance. Both CRCs of every
@@ -124,12 +155,12 @@ object TfRecords {
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord")
+      .option("pathGlobFilter", "*.tfrecord*")
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        parseFrames(bytes).map {
+        parseFrames(maybeGunzip(path, bytes)).map {
           case (idx, Some(payload)) => (path, idx, payload, true)
           case (idx, None)          => (path, idx, null: Array[Byte], false)
         }
@@ -167,7 +198,7 @@ object TfRecords {
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord")
+      .option("pathGlobFilter", "*.tfrecord*")
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType),
@@ -181,7 +212,7 @@ object TfRecords {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        parseFrames(bytes).map {
+        parseFrames(maybeGunzip(path, bytes)).map {
           case (idx, Some(payload)) => (path, idx, payload, true)
           case (idx, None)          => (path, idx, null: Array[Byte], false)
         }

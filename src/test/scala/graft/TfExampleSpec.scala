@@ -194,6 +194,44 @@ class TfExampleSpec extends SparkTestBase {
     assert(typed.where(col("id") === 3L).select("t").head().getString(0) === "doc-3")
   }
 
+  test("gzip shards: compressed export round-trips, compresses, corrupt gz degrades to empty") {
+    import spark.implicits._
+    import graft.ingest.TfRecords
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    val docs = (0 until 200).map(i => (i.toLong, ("lorem ipsum " * 40) + i))
+      .toDF("id", "t")
+    val plain = java.nio.file.Files.createTempDirectory("tfgz-plain").toString
+    val gz = java.nio.file.Files.createTempDirectory("tfgz").toString
+    val mPlain = TfRecords.writeExamples(docs, plain, shards = 2)
+    val mGz = TfRecords.writeExamples(docs, gz, shards = 2, gzip = true)
+    // manifest counts record-level bytes identically; files named .gz
+    assert(mGz.agg(sum("n_records")).head().getLong(0) === 200L)
+    assert(mGz.select("file").collect().forall(_.getString(0).endsWith(".tfrecord.gz")))
+    // the repetitive corpus must actually compress on disk
+    def dirBytes(d: String) =
+      new java.io.File(d).listFiles().filter(_.getName.contains("tfrecord"))
+        .map(_.length()).sum
+    assert(dirBytes(gz) < dirBytes(plain) / 2,
+      s"gzip shards did not compress: ${dirBytes(gz)} vs ${dirBytes(plain)}")
+    // typed read decompresses transparently
+    val typed = TfRecords.readExamples(spark, gz, schema)
+    assert(typed.where(!col("ok")).isEmpty)
+    assert(typed.select("id").collect().map(_.getLong(0)).toSet === (0L until 200L).toSet)
+    // corrupt gzip stream → that shard degrades to 0 records, no kill;
+    // the untouched shard still serves all of its records
+    val f = new java.io.File(gz).listFiles().filter(_.getName.endsWith(".gz")).head
+    val raw = java.nio.file.Files.readAllBytes(f.toPath)
+    raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x7).toByte
+    java.nio.file.Files.write(f.toPath, raw)
+    val corruptedCount = mGz.collect()
+      .find(_.getAs[String]("file").endsWith(f.getName))
+      .get.getAs[Long]("n_records")
+    val after = TfRecords.read(spark, gz)
+    assert(after.where(col("ok")).count() === 200L - corruptedCount)
+  }
+
   test("writeExamples: sharded tf.data-ready export round-trips") {
     import spark.implicits._
     import graft.ingest.TfRecords
