@@ -70,6 +70,87 @@ object TextAnalysis {
           / col("n_tokens"), 6))
   }
 
+  /** Gopher-style structural quality rules (Rae et al. 2021, table A1 —
+    * the published filter set the whole field reuses): the doc-shape
+    * pathologies [[qualityGate]]'s lexical metrics don't see —
+    * bullet-point listings, ellipsis-spam link farms, symbol soup,
+    * non-alphabetic token floods, stopword-free keyword stuffing. One
+    * row per doc with every gauge plus the keep/reason verdict at the
+    * published thresholds (parameterized):
+    *
+    *   - `n_tokens` ∈ [minTokens, maxTokens] (50..100k published)
+    *   - `mean_word_len` ∈ [3, 10]
+    *   - `symbol_ratio` ≤ 0.1 — '#' characters plus ellipses ("..."/…)
+    *     per token
+    *   - `bullet_line_frac` ≤ 0.9 — non-blank lines starting -, * or •
+    *   - `ellipsis_line_frac` ≤ 0.3 — non-blank lines ending in an
+    *     ellipsis
+    *   - `alpha_word_frac` ≥ 0.8 — tokens containing ≥ 1 ASCII letter
+    *   - `n_stop_hits` ≥ 2 — distinct [[Stopwords]] present
+    *
+    * Precedence is the listed order; `reason` names the FIRST failing
+    * rule (the quality-gate contract). Pure codegen'd split/regexp
+    * arithmetic — runs at scan speed, every gauge 6-dp-rounded and
+    * SQL-replayable (q_x_gopher_rules).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50, maxTokens: Long = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = wsTokens(t)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val sw = array(Stopwords.map(lit): _*)
+    val nTokens = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    df.select(col(idCol).as("doc"),
+        nTokens.as("n_tokens"),
+        round(aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x)
+          / nTokens, 6).as("mean_word_len"),
+        round((length(t) - length(regexp_replace(t, "#", "")) +
+          size(regexp_extract_all(t, lit("\\.\\.\\.|…"), lit(0))))
+          / nTokens.cast("double"), 6).as("symbol_ratio"),
+        round(size(filter(lines, l => l.rlike("^[-*•]")))
+          / nLines.cast("double"), 6).as("bullet_line_frac"),
+        round(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+          / nLines.cast("double"), 6).as("ellipsis_line_frac"),
+        round(size(filter(toks, x => x.rlike("[A-Za-z]")))
+          / nTokens.cast("double"), 6).as("alpha_word_frac"),
+        size(array_intersect(array_distinct(transform(toks, x => lower(x))), sw))
+          .cast("long").as("n_stop_hits"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("mean_word_len") < 3.0, "short_words")
+          .when(col("mean_word_len") > 10.0, "long_words")
+          .when(col("symbol_ratio") > 0.1, "symbol_soup")
+          .when(col("bullet_line_frac") > 0.9, "bullet_listing")
+          .when(col("ellipsis_line_frac") > 0.3, "ellipsis_spam")
+          .when(col("alpha_word_frac") < 0.8, "non_alpha")
+          .when(col("n_stop_hits") < 2, "no_stopwords")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+  }
+
+  /** Vocabulary export — the tokenizer/embedding-training artifact: the
+    * top `size` terms by collection frequency (ties by term), each with
+    * a STABLE id = its rank, collection tf and document df. `minDf`
+    * drops hapax noise before the cut. The top cut plans as
+    * TakeOrderedAndProject (never a global sort) and the id window runs
+    * over ≤ `size` rows — the zipfFit discipline.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 1 << 15, minDf: Long = 1): DataFrame = {
+    require(size >= 1 && minDf >= 1)
+    val terms = df.select(col(idCol).as("doc"),
+        explode(wsTokens(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc").as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("term")).limit(size)
+    val w = Window.orderBy(col("tf").desc, col("term"))
+    terms.withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .select("id", "term", "tf", "df")
+  }
+
   /** Canonical document fingerprint: md5 over lowercased,
     * whitespace-collapsed text — the exact-dedup key that survives
     * formatting noise.
@@ -425,6 +506,53 @@ object TextAnalysis {
           (col("t_tokens") + col("v_distinct"))))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_tokens"), round(avg("__nll"), 6).as("avg_nll"))
+  }
+
+  /** Bigram-LM quality score — the next rung of the CCNet
+    * perplexity-proxy ladder above [[unigramLogProb]]: per-doc mean
+    * negative log probability of each adjacent token PAIR under a
+    * Laplace-smoothed reference bigram model,
+    * `P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)` — word-order-sensitive,
+    * so shuffled or template-stitched text scores high where a unigram
+    * model (orderless by construction) cannot tell it from prose.
+    * Reference = any corpus (default self); unseen contexts get the
+    * finite `1 / V` floor. Docs with fewer than two tokens carry no
+    * pairs and drop out (mirror of the oracle's `len(toks) >= 2`).
+    *
+    * Scale: unlike the unigram table, the BIGRAM table grows with the
+    * corpus (the tfidf lesson — [[tfidfTopTerms]]' scaladoc) — so the
+    * pair join is a plain shuffle equi-join on the gram, never a forced
+    * broadcast; the unigram-context table and the V total still
+    * broadcast. Returns (doc, n_pairs, avg_nll).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      reference: Option[DataFrame] = None,
+      refTextCol: String = "text"): DataFrame = {
+    def gramRows(f: DataFrame, tcol: String, keep: Seq[Column],
+        keepNames: Seq[String]): DataFrame =
+      f.select(keep :+ wsTokens(lower(col(tcol))).as("__toks"): _*)
+        .filter(size(col("__toks")) >= 2)
+        .select(keepNames.map(col) :+ posexplode(expr(
+          "transform(sequence(0, size(__toks) - 2), i -> struct(__toks[i] as w1, concat(__toks[i], ' ', __toks[i + 1]) as gram))"))
+          .as(Seq("__p", "__g")): _*)
+        .select(keepNames.map(col) :+ col("__g.w1").as("w1") :+
+          col("__g.gram").as("gram"): _*)
+    val refDf = reference.getOrElse(df.select(col(textCol).as(refTextCol)))
+    val refGrams = gramRows(refDf, refTextCol, Nil, Nil)
+    val cb = refGrams.groupBy("gram").agg(count(lit(1)).as("cb"))
+    val cu = refDf
+      .select(explode(wsTokens(lower(col(refTextCol)))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = broadcast(cu.agg(count(lit(1)).as("v_distinct")))
+    gramRows(df, textCol, Seq(col(idCol).as("doc")), Seq("doc"))
+      .join(cb, Seq("gram"), "left")
+      .join(broadcast(cu), Seq("w1"), "left")
+      .crossJoin(v)
+      .withColumn("__nll",
+        -log((coalesce(col("cb"), lit(0L)) + 1) /
+          (coalesce(col("cu"), lit(0L)) + col("v_distinct"))))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_pairs"), round(avg("__nll"), 6).as("avg_nll"))
   }
 
   /** Data-derived quality-gate thresholds — the operational answer to a

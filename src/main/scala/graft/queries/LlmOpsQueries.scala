@@ -825,6 +825,82 @@ object LlmOpsQueries extends QueryModule {
           drift, ref, psiAct = 0.1)
         .orderBy("source")
     },
+    // bigram-LM quality (word-order-sensitive rung above the unigram
+    // NLL): Laplace-smoothed P(w2|w1) with all-token context counts,
+    // self-reference — counts, smoothing and the per-doc mean replayed.
+    q("q_x_quality_bigram_nll",
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "gr AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS gram " +
+        "FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 2), " +
+        "cb AS (SELECT gram, count(*) AS cb FROM gr GROUP BY 1), " +
+        "cu AS (SELECT w1, count(*) AS cu FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1), " +
+        "v AS (SELECT count(*) AS vd FROM cu) " +
+        "SELECT gr.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(avg(-ln((coalesce(cb.cb, 0) + 1) / CAST(coalesce(cu.cu, 0) + v.vd AS DOUBLE))), 6) AS avg_nll " +
+        "FROM gr LEFT JOIN cb USING (gram) LEFT JOIN cu USING (w1) CROSS JOIN v " +
+        "GROUP BY gr.doc_id ORDER BY doc") { (s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc")
+    },
+    // Gopher structural rules over an augmented corpus: planted bullet
+    // listings, ellipsis-spam tails and symbol soup (the CASE augmentation
+    // is identical on both engines, the pii_luhn pattern), every gauge
+    // and the precedence verdict replayed per document.
+    q("q_x_gopher_rules", {
+      val sw = graft.llmops.TextAnalysis.Stopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      "WITH a AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 23 = 0 THEN '- the apple of banana' || chr(10) || '- the cherry of date' || chr(10) || '- the fig of grape' " +
+        "WHEN doc_id % 11 = 0 THEN '- item one' || chr(10) || '- item two' || chr(10) || text " +
+        "WHEN doc_id % 13 = 0 THEN text || chr(10) || 'read more...' || chr(10) || 'click here...' " +
+        "WHEN doc_id % 17 = 0 THEN text || ' ### ## #' ELSE text END AS t FROM documents), " +
+        "m AS (SELECT doc_id AS doc, regexp_split_to_array(trim(t), '\\s+') AS toks, " +
+        "list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines, t FROM a), " +
+        "g AS (SELECT doc, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len, " +
+        "round((length(t) - length(replace(t, '#', '')) + len(regexp_extract_all(t, '\\.\\.\\.|…'))) / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio, " +
+        "round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_frac, " +
+        "round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_frac, " +
+        "round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(toks) AS DOUBLE), 6) AS alpha_word_frac, " +
+        s"CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), $sw)) AS BIGINT) AS n_stop_hits FROM m) " +
+        "SELECT *, CASE WHEN n_tokens < 5 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN mean_word_len < 3.0 THEN 'short_words' WHEN mean_word_len > 10.0 THEN 'long_words' " +
+        "WHEN symbol_ratio > 0.1 THEN 'symbol_soup' WHEN bullet_line_frac > 0.9 THEN 'bullet_listing' " +
+        "WHEN ellipsis_line_frac > 0.3 THEN 'ellipsis_spam' WHEN alpha_word_frac < 0.8 THEN 'non_alpha' " +
+        "WHEN n_stop_hits < 2 THEN 'no_stopwords' ELSE 'keep' END AS reason, " +
+        "CASE WHEN n_tokens < 5 THEN 'too_short' WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN mean_word_len < 3.0 THEN 'short_words' WHEN mean_word_len > 10.0 THEN 'long_words' " +
+        "WHEN symbol_ratio > 0.1 THEN 'symbol_soup' WHEN bullet_line_frac > 0.9 THEN 'bullet_listing' " +
+        "WHEN ellipsis_line_frac > 0.3 THEN 'ellipsis_spam' WHEN alpha_word_frac < 0.8 THEN 'non_alpha' " +
+        "WHEN n_stop_hits < 2 THEN 'no_stopwords' ELSE 'keep' END = 'keep' AS keep " +
+        "FROM g ORDER BY doc"
+    }) { (s, d) =>
+      val aug = when(col("doc_id") % 23 === 0,
+          lit("- the apple of banana\n- the cherry of date\n- the fig of grape"))
+        .when(col("doc_id") % 11 === 0,
+          concat(lit("- item one\n- item two\n"), col("text")))
+        .when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit("\nread more...\nclick here...")))
+        .when(col("doc_id") % 17 === 0, concat(col("text"), lit(" ### ## #")))
+        .otherwise(col("text"))
+      TextAnalysis.gopherRules(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+          "doc_id", "text", minTokens = 5)
+        .orderBy("doc")
+    },
+    // vocabulary export: top-200 terms by collection frequency with
+    // stable rank ids, df >= 2 — the tokenizer/embedding artifact.
+    q("q_x_vocab_export",
+      "WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc) AS BIGINT) AS df " +
+        "FROM (SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents) " +
+        "GROUP BY term HAVING count(DISTINCT doc) >= 2), " +
+        "cut AS (SELECT * FROM tf ORDER BY tf DESC, term LIMIT 200) " +
+        "SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) - 1 AS BIGINT) AS id, term, tf, df " +
+        "FROM cut ORDER BY id") { (s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text",
+          size = 200, minDf = 2)
+        .orderBy("id")
+    },
     // Luhn card-number audit: planted candidates (one Luhn-valid test
     // number, one with a broken check digit) — the regex finds both, the
     // integer checksum separates them, and the oracle replays every digit

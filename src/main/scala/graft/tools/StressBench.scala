@@ -125,7 +125,13 @@ object StressBench {
     // per-source histogram folds — must track 2× the gate_thresholds line.
     "q_x_gate_refit",
     // proto encoding is a pure codegen'd map pass — linear in corpus bytes.
-    "q_x_tfexample")
+    "q_x_tfexample",
+    // structural rules are one codegen'd projection; vocab is one agg +
+    // a TakeOrderedAndProject cut.
+    "q_x_gopher_rules", "q_x_vocab_export",
+    // the bigram table grows with the corpus — the shuffle-join path is
+    // exactly what the stress row watches.
+    "q_x_quality_bigram_nll")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

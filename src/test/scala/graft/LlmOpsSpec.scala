@@ -1620,6 +1620,55 @@ class LlmOpsSpec extends SparkTestBase {
       assert(g.getAs[Long](c) == bySrc.getAs[Long](c), c))
   }
 
+  test("bigramLogProb: word order matters — scrambled text scores higher than prose the unigram model can't separate") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    val prose = "the cat sat on the mat and the dog sat on the rug"
+    // same multiset of tokens, order destroyed: unigram NLL identical by
+    // construction, bigram NLL must rise.
+    val scrambled = "mat the and on rug dog the sat cat the on sat the"
+    val reference = (0 until 50).map(i => (i.toLong, prose)).toDF("doc_id", "text")
+    val probe = Seq((100L, prose), (101L, scrambled)).toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(probe, "doc_id", "text",
+        reference = Some(reference))
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Double]("avg_nll")).toMap
+    assert(bi(100L) < bi(101L),
+      s"bigram NLL must separate order: ${bi(100L)} vs ${bi(101L)}")
+    val uni = TextAnalysis.unigramLogProb(probe, "doc_id", "text",
+        reference = Some(reference))
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Double]("avg_nll")).toMap
+    assert(math.abs(uni(100L) - uni(101L)) < 1e-9,
+      "unigram NLL is orderless on a permuted doc — the gap bigram closes")
+    // sub-2-token docs carry no pairs and drop out
+    val tiny = TextAnalysis.bigramLogProb(
+      Seq((1L, "one")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(tiny.isEmpty)
+  }
+
+  test("gopherRules: planted structural pathologies hit their rules; vocabulary ids stable") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    val docs = Seq(
+      (1L, "- the apple of banana\n- the cherry of date\n- the fig of grape"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (3L, "the quick brown fox jumps over the lazy dog again\nread much more of this great offer today..."),
+      (4L, "the price is ### and ### more ### of ### hash ### signs ### here"),
+      (5L, "short the"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[String]("reason")).toMap
+    assert(out(1L) === "bullet_listing")
+    assert(out(2L) === "keep")
+    assert(out(3L) === "ellipsis_spam")
+    assert(out(4L) === "symbol_soup")
+    assert(out(5L) === "too_short")
+    val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", size = 4, minDf = 2)
+      .collect()
+    assert(vocab.map(_.getAs[Long]("id")).toSeq == (0L until vocab.length))
+    assert(vocab.forall(_.getAs[Long]("df") >= 2L))
+    assert(vocab.head.getAs[String]("term") === "the") // highest tf
+  }
+
   test("band-skew cap firing is OBSERVABLE: graft_band_prune metric reports pruned keys") {
     import spark.implicits._
     import org.apache.spark.sql.execution.QueryExecution
