@@ -1,0 +1,73 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The one-call RELEASE composer — the user story every operator in this
+  * package exists for, executed end to end: raw documents in, a complete
+  * training-data release directory out. Pure composition of the oracled
+  * parts (nothing new is computed here — that is the point):
+  *
+  *   1. [[Curation.ledger]] — blocklist → quality gate → exact dedup →
+  *      near-dup components → benchmark decontamination → per-source
+  *      quota; the per-document verdict trail ships WITH the release.
+  *   2. Deterministic train/valid/test split ([[Corpus.withSplit]]) of
+  *      the SURVIVORS — the curation stage already removed near-dup
+  *      clusters, so the cluster-straddle path [[Corpus.leakageSafeSplit]]
+  *      guards is closed by construction (each cluster has one survivor;
+  *      a singleton cannot straddle).
+  *   3. Per-split `tf.train.Example` TFRecord shards
+  *      ([[graft.ingest.TfRecords.writeExamples]], gzip) — the artifact
+  *      a `tf.data` input pipeline consumes unchanged.
+  *   4. The governance sidecars, as parquet: the curation ledger
+  *      (`_ledger`), the per-source data card over the released corpus
+  *      (`_card`, [[Corpus.dataCard]]), and the per-split release
+  *      manifest (`_manifest`, the [[Corpus.shardManifest]] shape keyed
+  *      by split: exact doc/token counts + the order-invariant
+  *      content checksum a replica verifies against).
+  *
+  * Layout under `dir`:
+  * {{{
+  *   train/part-NNNNN.tfrecord.gz   valid/...   test/...
+  *   _ledger (parquet)   _card (parquet)   _manifest (parquet)
+  * }}}
+  *
+  * Returns the manifest (split, n_docs, n_tokens, content_xor) — the
+  * shards-sized receipt. Scale: the survivors frame is checkpointed ONCE
+  * and every downstream consumer (splits, shards, card, manifest) reads
+  * that materialization; everything else is the component operators'
+  * own documented shapes.
+  */
+object Release {
+
+  def release(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, bench: DataFrame, blockedSources: DataFrame,
+      dir: String, quota: Int, shards: Int = 4, gzip: Boolean = true,
+      splits: Seq[(String, Int)] =
+        Seq("train" -> 9800, "valid" -> 100, "test" -> 100)): DataFrame = {
+    require(shards >= 1 && splits.nonEmpty)
+    val led = Curation.ledger(docs, idCol, textCol, sourceCol, bench,
+      blockedSources, quota).localCheckpoint(true)
+    led.write.mode("overwrite").parquet(s"$dir/_ledger")
+    val kept = docs
+      .select(col(idCol).as("doc"), col(textCol).as("text"),
+        col(sourceCol).as("source"))
+      .join(led.filter(col("kept")).select("doc"), Seq("doc"))
+      .localCheckpoint(true)
+    val assigned = Corpus.withSplit(kept, col("doc"), splits)
+    splits.foreach { case (name, _) =>
+      graft.ingest.TfRecords.writeExamples(
+        assigned.filter(col("split") === name)
+          .select(col("doc").as("id"), col("text").as("t"),
+            col("source").as("src")),
+        s"$dir/$name", shards, gzip)
+    }
+    Corpus.dataCard(kept, "doc", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/_card")
+    val manifest = Corpus.shardManifest(assigned, col("split"), "doc", "text")
+      .withColumnRenamed("shard", "split")
+      .localCheckpoint(true)
+    manifest.write.mode("overwrite").parquet(s"$dir/_manifest")
+    manifest
+  }
+}
