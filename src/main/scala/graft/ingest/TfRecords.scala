@@ -134,7 +134,10 @@ object TfRecords {
     else try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      // size hint saturates: bytes.length * 4 overflows Int past 512 MB,
+      // and a negative hint would throw — read as "corrupt" silently.
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, (Int.MaxValue - 16).toLong).toInt)
       val buf = new Array[Byte](1 << 16)
       var k = in.read(buf)
       while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
