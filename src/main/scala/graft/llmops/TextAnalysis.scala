@@ -210,6 +210,38 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Markdown → text extraction — the [[stripHtml]] sibling for the
+    * other ubiquitous crawl format (GitHub/docs corpora are markdown):
+    * fenced code blocks are REMOVED with their content (code is not
+    * prose — the script/style precedent), inline code/links/images keep
+    * their text, header/blockquote/list/emphasis/hr markers strip.
+    * Order is load-bearing: fences first (their content must not be
+    * text-processed), inline code before links (a code span may contain
+    * brackets), images before links (the image pattern is the link
+    * pattern plus `!`), emphasis before list markers (`* item` is a
+    * list, `*word*` emphasis — the emphasis pattern requires a closing
+    * marker on the same line), hr last among the line rules. Only
+    * `__strong__` underscores strip — single `_` stays, so snake_case
+    * identifiers survive. Newlines are PRESERVED (the line structure
+    * feeds [[gopherRules]]); only space/tab runs collapse. Pure
+    * codegen'd regexp chain in the Java-regex/RE2-common subset —
+    * replicated verbatim by the oracle (q_x_text_strip_markdown).
+    */
+  def stripMarkdown(text: Column): Column = {
+    val noFence = regexp_replace(text, "(?s)```.*?```", " ")
+    val noInline = regexp_replace(noFence, "`([^`]*)`", "$1")
+    val noImg = regexp_replace(noInline, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHead = regexp_replace(noLink, "(?m)^#{1,6}[ \\t]*", "")
+    val noBold = regexp_replace(noHead, "\\*{1,3}([^*\\n]+)\\*{1,3}", "$1")
+    val noUnder = regexp_replace(noBold, "__([^_\\n]+)__", "$1")
+    val noQuote = regexp_replace(noUnder, "(?m)^>[ \\t]?", "")
+    val noList = regexp_replace(noQuote,
+      "(?m)^[ \\t]*([-*+]|[0-9]+\\.)[ \\t]+", "")
+    val noHr = regexp_replace(noList, "(?m)^[-*_][-*_ \\t]{2,}$", "")
+    trim(regexp_replace(noHr, "[ \\t]+", " "))
+  }
+
   /** Extracted URLs as an array column — the input to domain blocklists,
     * URL-level dedup, and link-density quality signals (a page that is
     * mostly links is navigation, not prose). The pattern is deliberately

@@ -825,6 +825,42 @@ object LlmOpsQueries extends QueryModule {
           drift, ref, psiAct = 0.1)
         .orderBy("source")
     },
+    // markdown → text extraction: the identical regexp chain replayed in
+    // DuckDB (capture-group replacements \1 vs Spark $1, flags 'g') over
+    // a planted-markdown augmentation — fences vanish WITH content,
+    // links/emphasis keep text, snake_case survives.
+    q("q_x_text_strip_markdown", {
+      val steps = Seq(
+        "'(?s)```.*?```'" -> "' '",
+        "'`([^`]*)`'" -> "'\\1'",
+        "'!\\[([^\\]]*)\\]\\([^)]*\\)'" -> "'\\1'",
+        "'\\[([^\\]]*)\\]\\([^)]*\\)'" -> "'\\1'",
+        "'(?m)^#{1,6}[ \\t]*'" -> "''",
+        "'\\*{1,3}([^*\\n]+)\\*{1,3}'" -> "'\\1'",
+        "'__([^_\\n]+)__'" -> "'\\1'",
+        "'(?m)^>[ \\t]?'" -> "''",
+        "'(?m)^[ \\t]*([-*+]|[0-9]+\\.)[ \\t]+'" -> "''",
+        "'(?m)^[-*_][-*_ \\t]{2,}$'" -> "''")
+      val inner = steps.foldLeft("aug") { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, $pat, $rep, 'g')"
+      }
+      // both engines' default trim strips SPACES only — matching Spark.
+      val cleaned = s"trim(regexp_replace($inner, '[ \\t]+', ' ', 'g'))"
+      "WITH a0 AS (SELECT doc_id, '# Title' || chr(10) || " +
+        "'**bold** and snake_case and [link text](https://x.y/z) plus `code span`' || chr(10) || " +
+        "'```' || chr(10) || 'hidden fence code' || chr(10) || '```' || chr(10) || " +
+        "'> quoted line' || chr(10) || '- item one' || chr(10) || '1. item two' || chr(10) || '---' || chr(10) || text AS aug " +
+        "FROM documents) " +
+        s"SELECT doc_id AS doc, $cleaned AS clean_text FROM a0 ORDER BY doc"
+    }) { (s, d) =>
+      val aug = concat(lit("# Title\n" +
+        "**bold** and snake_case and [link text](https://x.y/z) plus `code span`\n" +
+        "```\nhidden fence code\n```\n" +
+        "> quoted line\n- item one\n1. item two\n---\n"), col("text"))
+      Tables.documents(s, d).select(col("doc_id").as("doc"),
+          TextAnalysis.stripMarkdown(aug).as("clean_text"))
+        .orderBy("doc")
+    },
     // bigram-LM quality (word-order-sensitive rung above the unigram
     // NLL): Laplace-smoothed P(w2|w1) with all-token context counts,
     // self-reference — counts, smoothing and the per-doc mean replayed.

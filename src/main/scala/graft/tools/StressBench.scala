@@ -131,7 +131,9 @@ object StressBench {
     "q_x_gopher_rules", "q_x_vocab_export",
     // the bigram table grows with the corpus — the shuffle-join path is
     // exactly what the stress row watches.
-    "q_x_quality_bigram_nll")
+    "q_x_quality_bigram_nll",
+    // one codegen'd regexp chain — scan-speed like strip_html.
+    "q_x_text_strip_markdown")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1620,6 +1620,27 @@ class LlmOpsSpec extends SparkTestBase {
       assert(g.getAs[Long](c) == bySrc.getAs[Long](c), c))
   }
 
+  test("stripMarkdown: fences vanish with content, text survives markers, snake_case intact") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    val md = "## Head\nsee [the docs](http://d) and ![alt text](img.png)\n" +
+      "```\nSECRET = 42\n```\nuse `my_func` on snake_case_name\n" +
+      "> note here\n* bullet\n2. numbered\n***\n**bold** _solo_ __strong__"
+    val out = Seq(md).toDF("text")
+      .select(TextAnalysis.stripMarkdown(col("text")).as("t"))
+      .head().getString(0)
+    assert(!out.contains("SECRET"), "fenced code content must vanish")
+    assert(out.contains("the docs") && !out.contains("http://d"))
+    assert(out.contains("alt text") && !out.contains("img.png"))
+    assert(out.contains("my_func") && out.contains("snake_case_name"))
+    assert(out.contains("note here") && !out.contains(">"))
+    assert(out.contains("bullet") && out.contains("numbered"))
+    assert(out.contains("bold") && !out.contains("**"))
+    assert(out.contains("_solo_"), "single underscores are not emphasis")
+    assert(out.contains("strong") && !out.contains("__"))
+    assert(!out.contains("## ") && out.contains("Head"))
+  }
+
   test("bigramLogProb: word order matters — scrambled text scores higher than prose the unigram model can't separate") {
     import spark.implicits._
     import graft.llmops.TextAnalysis
