@@ -224,4 +224,20 @@ object Curation {
       .localCheckpoint(true)
     (accepted, ledger)
   }
+
+  /** Per-source attrition roll-up of a [[ledger]] (or
+    * [[curationStep]] ledger) — where the documents AND the tokens went,
+    * by (source, stage): the one-look governance answer to "why is this
+    * source under-represented in the release" and the denominator for
+    * mixture re-planning after curation. One ledger⋈token-counts join +
+    * a map-side-combining aggregate; output is sources × stages rows.
+    */
+  def attrition(ledgerDf: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    ledgerDf
+      .join(docs.select(col(idCol).as("doc"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__nt")),
+        Seq("doc"))
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
 }

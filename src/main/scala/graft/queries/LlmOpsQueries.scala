@@ -378,6 +378,45 @@ object LlmOpsQueries extends QueryModule {
       "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred, round(score, 6) AS lang_score FROM best WHERE rn = 1 ORDER BY doc_id"
   }
 
+  /** The full curation-cascade CTE chain (… → `led`), shared by the
+    * ledger oracle and its per-source attrition roll-up. Callers prefix
+    * `WITH RECURSIVE ` and select from `led`.
+    */
+  private def curationLedgerCtes: String = {
+    val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+    val fiveGram = "list_distinct(list_transform(generate_series(1, len(t) - 4), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+    "corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0), " +
+      "bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0), " +
+      "c1 AS (SELECT *, source IS NULL OR source IN ('src3', 'src7') AS blocked FROM corpus), " +
+      "alive1 AS (SELECT doc_id, text, source FROM c1 WHERE NOT blocked), " +
+      s"qg AS (SELECT doc, reason FROM (${qualityGateSqlOver("alive1")}) qgq), " +
+      "alive2 AS (SELECT a.* FROM alive1 a JOIN qg ON qg.doc = a.doc_id AND qg.reason = 'keep'), " +
+      "exf AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM alive2) x WHERE doc_id <> keep_id), " +
+      "alive3 AS (SELECT a.* FROM alive2 a WHERE a.doc_id NOT IN (SELECT doc_id FROM exf)), " +
+      s"mh AS (SELECT id_a, id_b FROM (${minHashSqlOver("alive3")}) mhq), " +
+      "und AS (SELECT id_a AS u, id_b AS v FROM mh UNION ALL SELECT id_b, id_a FROM mh), " +
+      "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+      "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
+      "ndf AS (SELECT v AS doc_id FROM comp WHERE cluster <> v), " +
+      "alive4 AS (SELECT a.* FROM alive3 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ndf)), " +
+      s"bsh AS (SELECT DISTINCT unnest(sh) AS s FROM (SELECT $fiveGram AS sh FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM bench) bt WHERE len(t) >= 5) bs), " +
+      s"csh AS (SELECT doc_id, unnest(sh) AS s FROM (SELECT doc_id, $fiveGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM alive4) ct WHERE len(t) >= 5) cs), " +
+      "ctf AS (SELECT DISTINCT doc_id FROM csh WHERE s IN (SELECT s FROM bsh)), " +
+      "alive5 AS (SELECT a.* FROM alive4 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ctf)), " +
+      s"qk AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn FROM alive5) qr WHERE rn <= 15), " +
+      "led AS (SELECT c1.doc_id AS doc, c1.source, " +
+      "CASE WHEN c1.blocked THEN 'blocked_source' " +
+      "WHEN qg.reason IS NOT NULL AND qg.reason <> 'keep' THEN 'quality' " +
+      "WHEN c1.doc_id IN (SELECT doc_id FROM exf) THEN 'exact_dup' " +
+      "WHEN c1.doc_id IN (SELECT doc_id FROM ndf) THEN 'near_dup' " +
+      "WHEN c1.doc_id IN (SELECT doc_id FROM ctf) THEN 'contaminated' " +
+      "WHEN c1.doc_id NOT IN (SELECT doc_id FROM qk) THEN 'quota' " +
+      "ELSE 'kept' END AS stage, " +
+      "CASE WHEN NOT c1.blocked AND qg.reason <> 'keep' THEN qg.reason END AS quality_reason " +
+      "FROM c1 LEFT JOIN qg ON qg.doc = c1.doc_id)"
+  }
+
   val queries: Seq[OracleQuery] = Seq(
     // exact dedup on raw content hash
     q("q_x_dedup_exact",
@@ -1977,41 +2016,9 @@ object LlmOpsQueries extends QueryModule {
     // md5 min-id dedup, the full minhash pipeline + recursive-reachability
     // components over stage-3 survivors, the 5-gram collision rule, and the
     // smallest-hash quota rank.
-    q("q_x_curation_ledger", {
-      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
-      val fiveGram = "list_distinct(list_transform(generate_series(1, len(t) - 4), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
-      "WITH RECURSIVE corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0), " +
-        "bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0), " +
-        "c1 AS (SELECT *, source IS NULL OR source IN ('src3', 'src7') AS blocked FROM corpus), " +
-        "alive1 AS (SELECT doc_id, text, source FROM c1 WHERE NOT blocked), " +
-        s"qg AS (SELECT doc, reason FROM (${qualityGateSqlOver("alive1")}) qgq), " +
-        "alive2 AS (SELECT a.* FROM alive1 a JOIN qg ON qg.doc = a.doc_id AND qg.reason = 'keep'), " +
-        "exf AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM alive2) x WHERE doc_id <> keep_id), " +
-        "alive3 AS (SELECT a.* FROM alive2 a WHERE a.doc_id NOT IN (SELECT doc_id FROM exf)), " +
-        s"mh AS (SELECT id_a, id_b FROM (${minHashSqlOver("alive3")}) mhq), " +
-        "und AS (SELECT id_a AS u, id_b AS v FROM mh UNION ALL SELECT id_b, id_a FROM mh), " +
-        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
-        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
-        "ndf AS (SELECT v AS doc_id FROM comp WHERE cluster <> v), " +
-        "alive4 AS (SELECT a.* FROM alive3 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ndf)), " +
-        s"bsh AS (SELECT DISTINCT unnest(sh) AS s FROM (SELECT $fiveGram AS sh FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM bench) bt WHERE len(t) >= 5) bs), " +
-        s"csh AS (SELECT doc_id, unnest(sh) AS s FROM (SELECT doc_id, $fiveGram AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM alive4) ct WHERE len(t) >= 5) cs), " +
-        "ctf AS (SELECT DISTINCT doc_id FROM csh WHERE s IN (SELECT s FROM bsh)), " +
-        "alive5 AS (SELECT a.* FROM alive4 a WHERE a.doc_id NOT IN (SELECT doc_id FROM ctf)), " +
-        s"qk AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn FROM alive5) qr WHERE rn <= 15), " +
-        "led AS (SELECT c1.doc_id AS doc, c1.source, " +
-        "CASE WHEN c1.blocked THEN 'blocked_source' " +
-        "WHEN qg.reason IS NOT NULL AND qg.reason <> 'keep' THEN 'quality' " +
-        "WHEN c1.doc_id IN (SELECT doc_id FROM exf) THEN 'exact_dup' " +
-        "WHEN c1.doc_id IN (SELECT doc_id FROM ndf) THEN 'near_dup' " +
-        "WHEN c1.doc_id IN (SELECT doc_id FROM ctf) THEN 'contaminated' " +
-        "WHEN c1.doc_id NOT IN (SELECT doc_id FROM qk) THEN 'quota' " +
-        "ELSE 'kept' END AS stage, " +
-        "CASE WHEN NOT c1.blocked AND qg.reason <> 'keep' THEN qg.reason END AS quality_reason " +
-        "FROM c1 LEFT JOIN qg ON qg.doc = c1.doc_id) " +
-        "SELECT doc, source, stage, quality_reason, stage = 'kept' AS kept FROM led ORDER BY doc"
-    }) { (s, d) =>
+    q("q_x_curation_ledger",
+      "WITH RECURSIVE " + curationLedgerCtes +
+        " SELECT doc, source, stage, quality_reason, stage = 'kept' AS kept FROM led ORDER BY doc") { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
       graft.llmops.Curation.ledger(
@@ -2021,6 +2028,26 @@ object LlmOpsQueries extends QueryModule {
           minTokens = 20, maxAvgTokenLen = 5.0,
           minTypeToken = 0.35, maxDupGramFrac = 0.2)
         .orderBy("doc")
+    },
+    // per-source attrition roll-up of the SAME ledger chain: where the
+    // documents and the TOKENS went, by source and stage — the one-look
+    // governance answer to "why is src5 under-represented".
+    q("q_x_curation_attrition",
+      "WITH RECURSIVE " + curationLedgerCtes + ", " +
+        "toks AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt FROM documents WHERE doc_id % 7 <> 0) " +
+        "SELECT led.source, led.stage, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks.nt) AS BIGINT) AS n_tokens " +
+        "FROM led JOIN toks ON toks.doc_id = led.doc GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+      val led = graft.llmops.Curation.ledger(
+        docs, "doc_id", "text", "source",
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select("doc_id", "text"),
+        Seq("src3", "src7").toDF("source"), quota = 15,
+        minTokens = 20, maxAvgTokenLen = 5.0,
+        minTypeToken = 0.35, maxDupGramFrac = 0.2)
+      graft.llmops.Curation.attrition(led, docs, "doc_id", "text")
+        .orderBy("source", "stage")
     },
 
     // two-day replay of the STREAMING curation cascade (the batch twin of

@@ -133,7 +133,9 @@ object StressBench {
     // exactly what the stress row watches.
     "q_x_quality_bigram_nll",
     // one codegen'd regexp chain — scan-speed like strip_html.
-    "q_x_text_strip_markdown")
+    "q_x_text_strip_markdown",
+    // ledger join + bounded roll-up — must track the ledger line.
+    "q_x_curation_attrition")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -289,6 +289,11 @@ class PlanSpec extends SparkTestBase {
   test("global top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan(SparkEntry.queries("q_w7_global_topk")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    // vocabulary's top-V cut carries the same discipline
+    val pv = plan(graft.llmops.TextAnalysis.vocabulary(
+      Tables.documents(spark, dir), "doc_id", "text", size = 100))
+    assert(pv.contains("TakeOrderedAndProject"),
+      s"vocabulary cut must be top-k, not a global sort:\n$pv")
   }
 
   test("int8 ANN keeps the corpus un-shuffled: broadcast queries, windows only") {
