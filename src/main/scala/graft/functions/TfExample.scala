@@ -265,47 +265,79 @@ object TfExampleDecode {
     case _ => false
   }
 
-  private def varint(b: Array[Byte], p0: Int): (Long, Int) = {
+  /** Bounded varint: never reads at or past `limit` (a varint running off
+    * the end of its enclosing message is "torn", not a peek into the next
+    * field's bytes).
+    */
+  private def varint(b: Array[Byte], p0: Int, limit: Int): (Long, Int) = {
     var v = 0L; var shift = 0; var p = p0
+    if (p >= limit) throw new IllegalArgumentException("torn varint")
     while ((b(p) & 0x80) != 0) {
       v |= (b(p) & 0x7FL) << shift; shift += 7; p += 1
+      if (p >= limit) throw new IllegalArgumentException("torn varint")
     }
     (v | ((b(p) & 0x7FL) << shift), p + 1)
   }
 
-  /** Length-delimited fields of a message range as (fieldNo, from, to). */
-  private def fields(b: Array[Byte], from: Int, to: Int): List[(Int, Int, Int)] = {
+  /** Fields of a message range as (fieldNo, wireType, from, to): for LEN
+    * the payload range, for VARINT the varint's own bytes, for
+    * fixed32/fixed64 the 4/8 value bytes. ALL proto3 wire types are
+    * walked — a conforming parser must accept an UNPACKED repeated
+    * int64/float list (one wire-type-0/5 entry per value) even where the
+    * schema says packed — so a foreign producer's unpacked lists land
+    * here as repeated field-1 entries, not as a structural failure.
+    * Only the deprecated group wire types (3/4) are rejected.
+    */
+  private def fields(b: Array[Byte], from: Int, to: Int): List[(Int, Int, Int, Int)] = {
     var p = from
-    var out = List.empty[(Int, Int, Int)]
+    var out = List.empty[(Int, Int, Int, Int)]
     while (p < to) {
-      val (tag, p1) = varint(b, p)
-      if ((tag & 7) != 2) throw new IllegalArgumentException("non-LEN field")
-      val (len, p2) = varint(b, p1)
-      if (len < 0 || p2 + len > to) throw new IllegalArgumentException("torn")
-      out = ((tag >> 3).toInt, p2, p2 + len.toInt) :: out
-      p = p2 + len.toInt
+      val (tag, p1) = varint(b, p, to)
+      val no = (tag >>> 3).toInt
+      (tag & 7).toInt match {
+        case 0 =>
+          val (_, p2) = varint(b, p1, to)
+          out = ((no, 0, p1, p2)) :: out; p = p2
+        case 1 =>
+          if (p1 + 8 > to) throw new IllegalArgumentException("torn")
+          out = ((no, 1, p1, p1 + 8)) :: out; p = p1 + 8
+        case 2 =>
+          val (len, p2) = varint(b, p1, to)
+          if (len < 0 || len > to - p2) throw new IllegalArgumentException("torn")
+          out = ((no, 2, p2, p2 + len.toInt)) :: out; p = p2 + len.toInt
+        case 5 =>
+          if (p1 + 4 > to) throw new IllegalArgumentException("torn")
+          out = ((no, 5, p1, p1 + 4)) :: out; p = p1 + 4
+        case wt => throw new IllegalArgumentException(s"group wire type $wt")
+      }
     }
     out.reverse
   }
 
-  /** null on any structural failure — the degrade contract. */
+  /** null ROW on structural failure of the Example envelope; null FIELD
+    * when one feature's body fails (or kind-mismatches) while its
+    * siblings decode — the per-feature degrade contract for foreign
+    * producers.
+    */
   def decode(schema: StructType, bytes: Array[Byte]): InternalRow =
     try {
       val out = new Array[Any](schema.length)
       val idx = schema.fieldNames.zipWithIndex.toMap
       for {
-        (1, f0, f1) <- fields(bytes, 0, bytes.length) // Example.features
-        (1, e0, e1) <- fields(bytes, f0, f1)          // Features.feature entries
+        (1, 2, f0, f1) <- fields(bytes, 0, bytes.length) // Example.features
+        (1, 2, e0, e1) <- fields(bytes, f0, f1)          // Features.feature entries
       } {
         var name: String = null
         var feat: (Int, Int) = null
         fields(bytes, e0, e1).foreach {
-          case (1, n0, n1) => name = new String(bytes, n0, n1 - n0, "UTF-8")
-          case (2, v0, v1) => feat = (v0, v1)
+          case (1, 2, n0, n1) => name = new String(bytes, n0, n1 - n0, "UTF-8")
+          case (2, 2, v0, v1) => feat = (v0, v1)
           case _ => ()
         }
         if (name != null && feat != null) idx.get(name).foreach { i =>
-          out(i) = decodeFeature(schema.fields(i).dataType, bytes, feat._1, feat._2)
+          out(i) =
+            try decodeFeature(schema.fields(i).dataType, bytes, feat._1, feat._2)
+            catch { case scala.util.control.NonFatal(_) => null }
         }
       }
       InternalRow.fromSeq(out.toIndexedSeq)
@@ -313,50 +345,74 @@ object TfExampleDecode {
 
   private def decodeFeature(dt: DataType, b: Array[Byte],
       from: Int, to: Int): Any = {
-    // Feature = exactly one of bytes_list(1) / float_list(2) / int64_list(3)
+    // Feature = exactly one of bytes_list(1) / float_list(2) / int64_list(3);
+    // the oneof members are messages, so the kind entry itself must be LEN.
     val lists = fields(b, from, to)
     if (lists.isEmpty) return null
-    val (kind, l0, l1) = lists.head
+    val (kind, wt, l0, l1) = lists.head
+    if (wt != 2) return null
     (dt, kind) match {
       case (StringType, 1) =>
-        fields(b, l0, l1).headOption.collect { case (1, v0, v1) =>
+        fields(b, l0, l1).headOption.collect { case (1, 2, v0, v1) =>
           org.apache.spark.unsafe.types.UTF8String.fromBytes(
             java.util.Arrays.copyOfRange(b, v0, v1))
         }.orNull
       case (BinaryType, 1) =>
-        fields(b, l0, l1).headOption.collect { case (1, v0, v1) =>
+        fields(b, l0, l1).headOption.collect { case (1, 2, v0, v1) =>
           java.util.Arrays.copyOfRange(b, v0, v1)
         }.orNull
       case (LongType, 3) =>
-        packedLongs(b, l0, l1).headOption.map(Long.box).orNull
+        listLongs(b, l0, l1).headOption.map(Long.box).orNull
       case (ArrayType(LongType, _), 3) =>
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          packedLongs(b, l0, l1).toArray)
+          listLongs(b, l0, l1).toArray)
       case (FloatType, 2) =>
-        packedFloats(b, l0, l1).headOption.map(Float.box).orNull
+        listFloats(b, l0, l1).headOption.map(Float.box).orNull
       case (ArrayType(FloatType, _), 2) =>
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          packedFloats(b, l0, l1).toArray)
+          listFloats(b, l0, l1).toArray)
       case _ => null // kind mismatch → null field
     }
   }
 
-  private def packedLongs(b: Array[Byte], l0: Int, l1: Int): Seq[Long] =
-    fields(b, l0, l1).headOption.collect { case (1, p0, p1) =>
-      var p = p0
-      val out = Seq.newBuilder[Long]
-      while (p < p1) { val (v, p2) = varint(b, p); out += v; p = p2 }
-      out.result()
-    }.getOrElse(Seq.empty)
+  /** Int64List body: packed (LEN of varints) and unpacked (one wire-type-0
+    * entry per value) field-1 entries both accepted, concatenated in wire
+    * order — proto parsers must accept either encoding of a repeated
+    * scalar, and mixed entries concatenate.
+    */
+  private def listLongs(b: Array[Byte], l0: Int, l1: Int): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    fields(b, l0, l1).foreach {
+      case (1, 2, p0, p1) =>
+        var p = p0
+        while (p < p1) { val (v, p2) = varint(b, p, p1); out += v; p = p2 }
+      case (1, 0, p0, p1) => out += varint(b, p0, p1)._1
+      case _ => ()
+    }
+    out.result()
+  }
 
-  private def packedFloats(b: Array[Byte], l0: Int, l1: Int): Seq[Float] =
-    fields(b, l0, l1).headOption.collect { case (1, p0, p1) =>
-      (p0 until p1 by 4).map { p =>
-        java.lang.Float.intBitsToFloat(
-          (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
-            ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24))
-      }
-    }.getOrElse(Seq.empty)
+  /** FloatList body: packed field-1 entries must be a whole number of
+    * float32s — a truncated body fails the feature (→ null field) rather
+    * than fabricating a garbage trailing value from adjacent bytes;
+    * unpacked wire-type-5 entries are one float each.
+    */
+  private def listFloats(b: Array[Byte], l0: Int, l1: Int): Seq[Float] = {
+    def f(p: Int): Float = java.lang.Float.intBitsToFloat(
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+        ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24))
+    val out = Seq.newBuilder[Float]
+    fields(b, l0, l1).foreach {
+      case (1, 2, p0, p1) =>
+        if ((p1 - p0) % 4 != 0)
+          throw new IllegalArgumentException("truncated packed float list")
+        var p = p0
+        while (p < p1) { out += f(p); p += 4 }
+      case (1, 5, p0, _) => out += f(p0)
+      case _ => ()
+    }
+    out.result()
+  }
 
   def tfExampleDecode(c: Column, schema: StructType): Column =
     ExpressionUtils.column(TfExampleDecode(ExpressionUtils.expression(c), schema))

@@ -1,6 +1,5 @@
 package graft.ingest
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,18 +55,27 @@ object TfRecords {
     val out = new Path(dir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(out)
-    // Executors rebuild a Configuration from defaults: correct for
-    // file:// and any FS resolvable from the cluster's default config
-    // (the standard deployment); custom per-job FS credentials would
-    // need a serialized conf broadcast instead.
+    // The driver's live Hadoop conf rides a broadcast to executors (the
+    // HadoopRDD discipline) so per-job FS credentials — object-store
+    // keys set on this session — reach the shard writer.
     // Materialized NOW (the collect is shards-sized manifest rows, never
     // data) so the write happens eagerly and exactly once, not on each
     // later consumption of the manifest.
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
     val manifestRows = framed.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val conf = new Configuration()
+      val conf = confBc.value.value
       val finalPath = new Path(dir, f"part-$pid%05d$ext")
-      val tmpPath = new Path(dir, f".part-$pid%05d$ext.tmp")
+      // Attempt-unique tmp name: a speculative twin or zombie retry of
+      // this partition writes its OWN file — two attempts can never
+      // interleave into one tmp — and only the attempt that finishes
+      // renames its file into place (hidden ".":  no file index or glob
+      // ever lists a leftover loser).
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmpPath = new Path(dir, f".part-$pid%05d$ext.tmp-a$attempt")
       // Private FS instance with client-side checksumming off: the shard
       // dir is a release artifact other tools list and read — no Hadoop
       // `.crc` sidecars in it (the frames carry their own CRC32C guards).
@@ -125,12 +133,14 @@ object TfRecords {
       col("example"), dir, shards, gzip)
 
   /** Whole-file gunzip when the shard name says so — plain shards pass
-    * through. Corrupt gzip degrades to an empty byte array, which the
-    * frame parser reports as an empty file (0 records) rather than a
-    * killed task.
+    * through. Corrupt gzip returns None, which the readers surface as ONE
+    * `ok = false` quarantine row for the shard — symmetric with plain
+    * shards, where a torn frame emits an observable failed row; a whole
+    * corrupt shard must never be silently indistinguishable from an
+    * empty one.
     */
-  private def maybeGunzip(path: String, bytes: Array[Byte]): Array[Byte] =
-    if (!path.endsWith(".gz")) bytes
+  private def maybeGunzip(path: String, bytes: Array[Byte]): Option[Array[Byte]] =
+    if (!path.endsWith(".gz")) Some(bytes)
     else try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 1 << 16)
@@ -141,8 +151,22 @@ object TfRecords {
       val buf = new Array[Byte](1 << 16)
       var k = in.read(buf)
       while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
-      out.toByteArray
-    } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One quarantine-aware row iterator per shard: decompress (a corrupt
+    * gzip shard is one failed row at rec_idx 0), then frame-parse (a torn
+    * frame is a failed row at its index).
+    */
+  private def shardRows(path: String, bytes: Array[Byte])
+      : Iterator[(String, Long, Array[Byte], Boolean)] =
+    maybeGunzip(path, bytes) match {
+      case Some(raw) => parseFrames(raw).map {
+        case (idx, Some(payload)) => (path, idx, payload, true)
+        case (idx, None)          => (path, idx, null: Array[Byte], false)
+      }
+      case None => Iterator((path, 0L, null: Array[Byte], false))
+    }
 
   /** Read TFRecord shards back as one binary `payload` row per record,
     * with `file` and 0-based `rec_idx` provenance. Both CRCs of every
@@ -162,12 +186,7 @@ object TfRecords {
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        parseFrames(maybeGunzip(path, bytes)).map {
-          case (idx, Some(payload)) => (path, idx, payload, true)
-          case (idx, None)          => (path, idx, null: Array[Byte], false)
-        }
-      }
+      .flatMap { case (path, bytes) => shardRows(path, bytes) }
       .toDF("file", "rec_idx", "payload", "ok")
   }
 
@@ -214,12 +233,7 @@ object TfRecords {
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        parseFrames(maybeGunzip(path, bytes)).map {
-          case (idx, Some(payload)) => (path, idx, payload, true)
-          case (idx, None)          => (path, idx, null: Array[Byte], false)
-        }
-      }
+      .flatMap { case (path, bytes) => shardRows(path, bytes) }
       .toDF("file", "rec_idx", "payload", "ok")
   }
 

@@ -194,7 +194,46 @@ class TfExampleSpec extends SparkTestBase {
     assert(typed.where(col("id") === 3L).select("t").head().getString(0) === "doc-3")
   }
 
-  test("gzip shards: compressed export round-trips, compresses, corrupt gz degrades to empty") {
+  test("foreign producers: unpacked repeated int64/float lists decode; truncated packed floats null only their field") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftfn.TfExampleDecode
+    import org.apache.spark.sql.types._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def feature(name: String, featBody: Array[Byte]): Array[Byte] = {
+      val n = name.getBytes("UTF-8")
+      val entry = b(0x0A, n.length) ++ n ++ b(0x12, featBody.length) ++ featBody
+      b(0x0A, entry.length) ++ entry
+    }
+    // Int64List with UNPACKED values [3, 300]: wire-type-0 entry per value —
+    // legal proto3 a conforming parser must accept even for packed fields.
+    val toks = b(0x1A, 5, 0x08, 3, 0x08, 0xAC, 0x02)
+    // FloatList with one UNPACKED wire-type-5 value 1.5f (LE 00 00 C0 3F)
+    val emb = b(0x12, 5, 0x0D, 0x00, 0x00, 0xC0, 0x3F)
+    val t = b(0x0A, 4, 0x0A, 2, 'a', 'b')
+    val schema = StructType(Seq(
+      StructField("toks", ArrayType(LongType)),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("t", StringType)))
+    def decode(feats: Array[Byte]) = {
+      val ex = b(0x0A, feats.length) ++ feats
+      Seq(ex).toDF("e")
+        .select(TfExampleDecode.tfExampleDecode(col("e"), schema).as("d"))
+        .select("d.*").head()
+    }
+    val r = decode(feature("toks", toks) ++ feature("emb", emb) ++ feature("t", t))
+    assert(r.getSeq[Long](0) === Seq(3L, 300L))
+    assert(r.getSeq[Float](1) === Seq(1.5f))
+    assert(r.getString(2) === "ab")
+    // truncated packed FloatList (6 bytes, not a whole number of float32s)
+    // → that FIELD nulls; siblings decode — never a null row or a kill
+    val badEmb = b(0x12, 8, 0x0A, 6, 1, 2, 3, 4, 5, 6)
+    val r2 = decode(feature("emb", badEmb) ++ feature("t", t))
+    assert(r2.isNullAt(1), "truncated packed float list must null its own field")
+    assert(r2.getString(2) === "ab", "siblings of a failed feature must survive")
+    assert(r2.isNullAt(0))
+  }
+
+  test("gzip shards: compressed export round-trips, compresses, corrupt gz quarantines observably") {
     import spark.implicits._
     import graft.ingest.TfRecords
     import org.apache.spark.sql.types._
@@ -219,8 +258,10 @@ class TfExampleSpec extends SparkTestBase {
     val typed = TfRecords.readExamples(spark, gz, schema)
     assert(typed.where(!col("ok")).isEmpty)
     assert(typed.select("id").collect().map(_.getLong(0)).toSet === (0L until 200L).toSet)
-    // corrupt gzip stream → that shard degrades to 0 records, no kill;
-    // the untouched shard still serves all of its records
+    // corrupt gzip stream → that shard's records drop AND the loss is
+    // OBSERVABLE: at least one ok=false quarantine row names the shard
+    // (symmetric with plain-shard torn frames), no killed task, and the
+    // untouched shard still serves all of its records
     val f = new java.io.File(gz).listFiles().filter(_.getName.endsWith(".gz")).head
     val raw = java.nio.file.Files.readAllBytes(f.toPath)
     raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x7).toByte
@@ -230,6 +271,10 @@ class TfExampleSpec extends SparkTestBase {
       .get.getAs[Long]("n_records")
     val after = TfRecords.read(spark, gz)
     assert(after.where(col("ok")).count() === 200L - corruptedCount)
+    val quarantined = after.where(!col("ok")).collect()
+    assert(quarantined.nonEmpty, "corrupt gzip shard must emit a quarantine row")
+    assert(quarantined.forall(_.getAs[String]("file").endsWith(f.getName)))
+    assert(quarantined.forall(r => r.isNullAt(r.fieldIndex("payload"))))
   }
 
   test("writeExamples: sharded tf.data-ready export round-trips") {

@@ -105,4 +105,35 @@ class TfRecordsSpec extends SparkTestBase {
     assert(parsed.head._2.map(new String(_, "UTF-8")) === Some("abc"))
     assert(parsed(1)._2 === None)
   }
+
+  test("session Hadoop conf reaches executor-side shard writers (object-store credential path)") {
+    import spark.implicits._
+    // A scheme only THIS SESSION's conf can resolve: if the writer rebuilt
+    // a default Configuration() on executors (the pre-r10 behavior), the
+    // task would die with "No FileSystem for scheme: graftfake" — the
+    // exact failure shape of per-job object-store credentials not
+    // propagating. The broadcast SerializableConfiguration makes it land.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfake.impl", classOf[GraftFakeFs].getName)
+    try {
+      val dir = Files.createTempDirectory("tfrec-fakefs").toString
+      val docs = (0 until 20).map(i => (i.toLong, s"doc-$i")).toDF("id", "text")
+      val manifest =
+        TfRecords.write(docs, col("text"), "graftfake://" + dir, shards = 2)
+      assert(manifest.collect().map(_.getAs[Long]("n_records")).sum === 20L)
+      // the bytes really landed (read back through the plain local path)
+      val back = TfRecords.read(spark, dir)
+      assert(back.where(!col("ok")).isEmpty)
+      assert(back.count() === 20L)
+    } finally spark.sparkContext.hadoopConfiguration.unset("fs.graftfake.impl")
+  }
+}
+
+/** A local FS under a session-private scheme — resolvable ONLY through the
+  * session's Hadoop conf, never from defaults (the credential-propagation
+  * probe above).
+  */
+class GraftFakeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfake"
+  override def getUri: java.net.URI = java.net.URI.create("graftfake:///")
 }
