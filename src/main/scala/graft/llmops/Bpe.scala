@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,10 +125,11 @@ object Bpe {
     * rewrite, only the vocabulary does.
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
-      finalSyms: DataFrame): DataFrame = {
+      finalSyms: DataFrame,
+      tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
     val perWord = finalSyms.groupBy("word").agg(count(lit(1)).as("n_syms"))
     df.select(col(idCol).as("doc"),
-        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+        explode(tokens(col(textCol))).as("word"))
       .join(perWord, Seq("word"))
       .groupBy("doc").agg(sum("n_syms").as("n_bpe_tokens"),
         count(lit(1)).as("n_words"))
@@ -149,10 +150,11 @@ object Bpe {
     * comparison; counts stay exact.
     */
   def fertility(df: DataFrame, textCol: String, groupCol: String,
-      finalSyms: DataFrame): DataFrame = {
+      finalSyms: DataFrame,
+      tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
     val perWord = finalSyms.groupBy("word").agg(count(lit(1)).as("n_syms"))
     df.select(col(groupCol).as("grp"),
-        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+        explode(tokens(col(textCol))).as("word"))
       .join(perWord, Seq("word"))
       .groupBy("grp").agg(
         count(lit(1)).as("n_words"),

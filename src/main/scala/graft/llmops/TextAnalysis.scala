@@ -52,10 +52,14 @@ object TextAnalysis {
           round((nRepl + nCtrl) / length(t).cast("double"), 6)).otherwise(lit(0.0)))
   }
 
-  /** Length / punctuation / stopword quality metrics per document. */
-  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+  /** Length / punctuation / stopword quality metrics per document.
+    * `tokens` picks the tokenization unit — [[wsTokens]] (default) or
+    * [[scriptTokens]] for mixed-script corpora.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text",
+      tokens: Column => Column = wsTokens): DataFrame = {
     val t = col(textCol)
-    val toks = wsTokens(t)
+    val toks = tokens(t)
     val sw = array(Stopwords.map(lit): _*)
     df.withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_tokens", size(toks).cast("long"))
@@ -94,9 +98,10 @@ object TextAnalysis {
     * SQL-replayable (q_x_gopher_rules).
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Long = 50, maxTokens: Long = 100000): DataFrame = {
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      tokens: Column => Column = wsTokens): DataFrame = {
     val t = col(textCol)
-    val toks = wsTokens(t)
+    val toks = tokens(t)
     val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
     val sw = array(Stopwords.map(lit): _*)
     val nTokens = size(toks).cast("long")
@@ -138,10 +143,11 @@ object TextAnalysis {
     * over ≤ `size` rows — the zipfFit discipline.
     */
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
-      size: Int = 1 << 15, minDf: Long = 1): DataFrame = {
+      size: Int = 1 << 15, minDf: Long = 1,
+      tokens: Column => Column = wsTokens): DataFrame = {
     require(size >= 1 && minDf >= 1)
     val terms = df.select(col(idCol).as("doc"),
-        explode(wsTokens(lower(col(textCol)))).as("term"))
+        explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("tf"), countDistinct("doc").as("df"))
       .filter(col("df") >= minDf)
@@ -408,10 +414,10 @@ object TextAnalysis {
     * gram) via the left join back to the base.
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2): DataFrame = {
+      n: Int = 2, tokens: Column => Column = wsTokens): DataFrame = {
     val base = df.select(col(idCol).as("doc"),
       length(trim(col(textCol))).cast("long").as("n_chars"),
-      wsTokens(col(textCol)).as("toks"))
+      tokens(col(textCol)).as("toks"))
     val grams = base.select(col("doc"), col("n_chars"),
       explode(when(size(col("toks")) >= n,
         transform(sequence(lit(0), size(col("toks")) - n),
@@ -439,8 +445,9 @@ object TextAnalysis {
   /** Narrow (shuffle-free) lexical-diversity column: distinct tokens over
     * total tokens (type-token ratio). Low values = repetitive text.
     */
-  def typeTokenRatio(text: Column): Column = {
-    val toks = wsTokens(lower(text))
+  def typeTokenRatio(text: Column,
+      tokens: Column => Column = wsTokens): Column = {
+    val toks = tokens(lower(text))
     round(size(array_distinct(toks)).cast("double") / size(toks), 6)
   }
 
@@ -453,11 +460,16 @@ object TextAnalysis {
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Long = 5, maxTokens: Long = 100000,
       minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
-      minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75): DataFrame = {
-    val rep = ngramRepetition(df, idCol, textCol, n = 2)
+      minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75,
+      tokens: Column => Column = wsTokens): DataFrame = {
+    // tokens threads through every sub-gauge; with [[scriptTokens]] on a
+    // CJK corpus, retune the length thresholds (per-char tokens have
+    // avg_token_len 1) — the gate's units are the tokenizer's units.
+    val rep = ngramRepetition(df, idCol, textCol, n = 2, tokens = tokens)
       .select(col("doc"), col("dup_gram_char_frac"))
-    val q = withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text")))
-      .withColumn("type_token_ratio", typeTokenRatio(col("text")))
+    val q = withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text")),
+        tokens = tokens)
+      .withColumn("type_token_ratio", typeTokenRatio(col("text"), tokens))
       .join(rep, Seq("doc"))
     q.select(col("doc"), col("n_tokens"), col("avg_token_len"),
         col("type_token_ratio"), col("dup_gram_char_frac"),
@@ -499,6 +511,218 @@ object TextAnalysis {
       .withColumn("lang_score", round(best("score"), 6))
   }
 
+  // ---------------------------------------------------------------------
+  // Script-aware tokenization + language ID — the non-Latin half of the
+  // text stack. A Chinese/Japanese/Thai document has no spaces, so every
+  // whitespace-token gauge reads it as ~one token per line; these
+  // operators give the same pipeline honest units for the scripts where
+  // whitespace is not the word delimiter.
+  // ---------------------------------------------------------------------
+
+  /** Codepoint ranges of scripts conventionally written WITHOUT word
+    * spaces, as `\x{...}` character-class ranges — the one script-property
+    * syntax Java regex and RE2 share, so every pattern built from this
+    * replays VERBATIM in the DuckDB oracle (`\p{IsHan}` vs `\p{Han}` do
+    * not): Han (unified + ext-A + compatibility), Hiragana/Katakana (+
+    * phonetic extensions), Thai, Lao, Myanmar, Khmer.
+    */
+  val NoSpaceScriptRanges: String =
+    "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}" + // Han
+      "\\x{3040}-\\x{30FF}\\x{31F0}-\\x{31FF}" +                  // Kana
+      "\\x{0E00}-\\x{0E7F}" +                                     // Thai
+      "\\x{0E80}-\\x{0EFF}" +                                     // Lao
+      "\\x{1000}-\\x{109F}" +                                     // Myanmar
+      "\\x{1780}-\\x{17FF}"                                       // Khmer
+
+  /** Script-aware tokenization: each no-space-script character is its own
+    * token (the standard character-tokenization baseline for CJK — what
+    * MT metrics and BERT-era tokenizers do), everything else splits on
+    * whitespace exactly like [[wsTokens]]. Pass this as the `tokens`
+    * parameter of [[withQuality]] / [[gopherRules]] / [[qualityGate]] /
+    * [[unigramLogProb]] / [[vocabulary]] (and [[Bpe.fertility]]) to give
+    * mixed-script corpora sane per-document units — under [[wsTokens]] a
+    * 500-character Chinese paragraph is ONE "token", which breaks every
+    * length/diversity/mixture gauge downstream. One codegen'd
+    * regexp_extract_all, no shuffle; empty/blank text yields an empty
+    * array (wsTokens' split keeps one "" — prefer size()=0 semantics
+    * here).
+    */
+  def scriptTokens(text: Column): Column =
+    regexp_extract_all(text,
+      lit(s"[$NoSpaceScriptRanges]|[^\\s$NoSpaceScriptRanges]+"), lit(0))
+
+  /** Per-script letter ranges for [[withScriptMix]] / [[withLangIdScript]]
+    * — same portable `\x{...}` syntax. `latin` spans ASCII letters plus
+    * Latin-1/Extended-A/B (the European diacritics).
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "han" -> "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}",
+    "kana" -> "\\x{3040}-\\x{30FF}\\x{31F0}-\\x{31FF}",
+    "hangul" -> "\\x{1100}-\\x{11FF}\\x{3130}-\\x{318F}\\x{AC00}-\\x{D7AF}",
+    "thai" -> "\\x{0E00}-\\x{0E7F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "hebrew" -> "\\x{0590}-\\x{05FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}")
+
+  /** Data-card script gauge: per-document letter count and per-script
+    * character fractions (`script_latin`, `script_han`, …, 6 dp, 0 when
+    * the document has no letters). Pure codegen'd length arithmetic —
+    * scan speed, no shuffle.
+    */
+  def withScriptMix(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(r: String): Column =
+      (length(t) - length(regexp_replace(t, s"[$r]", ""))).cast("long")
+    val nLetters = ScriptRanges.map { case (_, r) => cnt(r) }.reduce(_ + _)
+    ScriptRanges.foldLeft(df.withColumn("n_letters", nLetters)) {
+      case (acc, (name, r)) =>
+        acc.withColumn(s"script_$name",
+          when(col("n_letters") > 0,
+            round(cnt(r) / col("n_letters").cast("double"), 6))
+            .otherwise(lit(0.0)))
+    }
+  }
+
+  /** [[LangProfiles]] plus Portuguese and Dutch — the function-word
+    * fallback set for Latin-script text under [[withLangIdScript]].
+    */
+  val LangProfilesExt: Map[String, Seq[String]] = LangProfiles ++ Map(
+    "pt" -> Seq("o", "os", "as", "de", "do", "da", "em", "um", "uma", "que", "para", "não"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "dat", "niet", "met", "voor", "zijn", "op"))
+
+  /** Script-gated language ID — the web-scale front line [[withLangId]]
+    * lacks: non-Latin scripts identify by their codepoint ranges at scan
+    * speed (a Thai document needs no word list to be Thai), Latin-script
+    * text falls back to the function-word argmax over
+    * [[LangProfilesExt]]. Decision ladder (first hit wins, each branch a
+    * deterministic threshold on per-script letter fractions):
+    *
+    *   - no letters → `und`
+    *   - kana ≥ 5% and kana+han ≥ 50% → `ja` (Japanese mixes kanji with
+    *     kana; han-dominance alone would misread it as Chinese)
+    *   - a single non-Latin script ≥ 50% → its language (han→zh,
+    *     hangul→ko, thai→th, cyrillic→ru, arabic→ar, greek→el, hebrew→he,
+    *     devanagari→hi — the dominant-language-per-script web convention)
+    *   - any function-word profile scores > 0 → profile argmax
+    *   - otherwise `und`
+    *
+    * `lang_score` is the winning fraction (script or profile), 6 dp.
+    * Everything is codegen'd length/array arithmetic on one row — scan
+    * speed at 100 TB, and exactly SQL-replayable (q_x_text_langid_script).
+    */
+  def withLangIdScript(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(r: String): Column =
+      (length(t) - length(regexp_replace(t, s"[$r]", ""))).cast("long")
+    val counts = ScriptRanges.map { case (n, r) => n -> cnt(r) }.toMap
+    val nLetters = counts.values.reduce(_ + _)
+    def frac(n: String): Column = counts(n) / nLetters.cast("double")
+    val toks = wsTokens(lower(t))
+    val scored = LangProfilesExt.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val profile = array(words.map(lit): _*)
+      struct((size(filter(toks, x => array_contains(profile, x))) / size(toks)).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    def pick(sc: Column, lang: String): Column =
+      struct(sc.cast("double").as("score"), lit(lang).as("lang"))
+    val scriptLangs = Seq("han" -> "zh", "hangul" -> "ko", "thai" -> "th",
+      "cyrillic" -> "ru", "arabic" -> "ar", "greek" -> "el",
+      "hebrew" -> "he", "devanagari" -> "hi")
+    val afterJa = scriptLangs.foldLeft(
+      when(nLetters === 0, pick(lit(0.0), "und"))
+        .when(frac("kana") >= 0.05 && (frac("kana") + frac("han")) >= 0.5,
+          pick(frac("kana") + frac("han"), "ja"))) {
+      case (acc, (script, lang)) =>
+        acc.when(frac(script) >= 0.5, pick(frac(script), lang))
+    }
+    val decision = afterJa
+      .when(best("score") > 0, best)
+      .otherwise(pick(lit(0.0), "und"))
+    df.withColumn("lang_pred", decision("lang"))
+      .withColumn("lang_score", round(decision("score"), 6))
+  }
+
+  /** Lower-cased, whitespace-collapsed character n-grams of `text` — the
+    * Cavnar–Trenkle (1994) n-gram-categorization unit (grams cross word
+    * boundaries through a single space; no edge padding). Empty when the
+    * text is shorter than n.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = regexp_replace(lower(text), "\\s+", " ")
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** FIT half of the trainable char-n-gram language identifier: from a
+    * LABELED corpus (`langCol`, `textCol`), the `topK` most frequent
+    * character n-grams per language — (lang, gram, rank, cnt), rank 1 =
+    * most frequent, ties by gram. This is the n-gram-profile method
+    * langid has used since Cavnar–Trenkle; unlike the function-word
+    * tables it needs no hand-curated lists and covers ANY script.
+    *
+    * Scale: fit on a labeled SAMPLE (thousands of docs per language
+    * saturate the top-K profile), not the full corpus — the per-lang
+    * window sorts that language's distinct grams. The profile table is
+    * langs × topK rows: broadcast-sized by construction.
+    */
+  def charNgramProfiles(labeled: DataFrame, langCol: String, textCol: String,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    val counts = labeled
+      .select(col(langCol).as("lang"), explode(charNgrams(col(textCol), n)).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** SCORE half: classify each document against [[charNgramProfiles]]
+    * output. Score(doc, lang) = the fraction of the document's char
+    * n-gram OCCURRENCES that appear in that language's profile (coverage
+    * — the orderless simplification of Cavnar–Trenkle's rank distance;
+    * at profile topK ≥ 50 the coverage argmax separates real languages
+    * cleanly); argmax wins, ties to the alphabetically-first language,
+    * `und` when the document has no grams or nothing matched.
+    *
+    * Scale: only the first `maxChars` characters are scored — language
+    * is a property of the prefix, so the per-char gram explode is
+    * bounded at maxChars−n+1 rows per document regardless of document
+    * size; the profile join is a broadcast (langs × topK rows); the
+    * argmax window partitions BY DOC over ≤ |langs| rows. Returns (doc,
+    * lang_pred, lang_score, n_grams).
+    *
+    * `minScore` is the confidence floor: a winning coverage below it
+    * predicts `und` (score still reported) — out-of-domain gibberish
+    * matches every profile a little and one of them spuriously argmaxes;
+    * measured on the oracle fixtures, real languages score ≥ 0.25 and
+    * gibberish ≤ 0.15, so 0.2 separates them.
+    */
+  def langIdByNgram(df: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, n: Int = 3, maxChars: Int = 1000,
+      minScore: Double = 0.2): DataFrame = {
+    val docGrams = df.select(col(idCol).as("doc"),
+      explode(charNgrams(col(textCol).substr(lit(1), lit(maxChars)), n)).as("gram"))
+    val nGrams = docGrams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    val hits = docGrams
+      .join(broadcast(profiles.select("lang", "gram")), Seq("gram"))
+      .groupBy("doc", "lang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc").orderBy(col("hits").desc, col("lang"))
+    val best = hits.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val cov = col("hits") / col("n_grams").cast("double")
+    df.select(col(idCol).as("doc")).distinct()
+      .join(nGrams, Seq("doc"), "left")
+      .join(best, Seq("doc"), "left")
+      .select(col("doc"),
+        when(cov >= minScore, col("lang")).otherwise(lit("und")).as("lang_pred"),
+        coalesce(round(cov, 6), lit(0.0)).as("lang_score"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+  }
+
   /** Unigram language-model quality score — the perplexity-proxy
     * selection signal (CCNet scores crawl text against a reference LM
     * and keeps the low-perplexity head; a full KenLM needs model files
@@ -523,14 +747,15 @@ object TextAnalysis {
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
       reference: Option[DataFrame] = None,
-      refTextCol: String = "text"): DataFrame = {
+      refTextCol: String = "text",
+      tokens: Column => Column = wsTokens): DataFrame = {
     val refToks = reference.getOrElse(df.select(col(textCol).as(refTextCol)))
-      .select(explode(wsTokens(lower(col(refTextCol)))).as("term"))
+      .select(explode(tokens(lower(col(refTextCol)))).as("term"))
     val freqs = refToks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val totals = broadcast(freqs.agg(
       sum("cnt").as("t_tokens"), count(lit(1)).as("v_distinct")))
     val toks = df.select(col(idCol).as("doc"),
-      explode(wsTokens(lower(col(textCol)))).as("term"))
+      explode(tokens(lower(col(textCol)))).as("term"))
     toks.join(broadcast(freqs), Seq("term"), "left")
       .crossJoin(totals)
       .withColumn("__nll",

@@ -378,6 +378,93 @@ object LlmOpsQueries extends QueryModule {
       "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred, round(score, 6) AS lang_score FROM best WHERE rn = 1 ORDER BY doc_id"
   }
 
+  /** Planted multi-script sentences (no apostrophes — they ride inside
+    * single-quoted SQL literals verbatim) keyed by `doc_id % 28` bucket:
+    * the CJK/Thai/Cyrillic/… fixtures the script-aware operators are
+    * oracled over. Buckets 0–8 are script-identified languages, 9–12
+    * exercise the Latin function-word fallback (fr/de/pt/nl).
+    */
+  private val scriptAug: Seq[(Int, String)] = Seq(
+    0 -> "机器学习模型需要大量高质量的训练数据才能表现良好",
+    1 -> "これはテストです機械学習のデータ",
+    2 -> "การเรียนรู้ของเครื่องต้องการข้อมูลจำนวนมาก",
+    3 -> "기계 학습 모델은 데이터 품질이 중요합니다",
+    4 -> "машинное обучение требует большого количества данных",
+    5 -> "التعلم الآلي يتطلب بيانات عالية الجودة",
+    6 -> "η μηχανικη μαθηση απαιτει δεδομενα",
+    7 -> "למידת מכונה דורשת נתונים רבים",
+    8 -> "मशीन लर्निंग को बहुत डेटा चाहिए",
+    9 -> "le renard brun saute par dessus le chien et court vers la maison dans le jardin",
+    10 -> "der schnelle fuchs springt über den faulen hund und läuft zu dem haus mit der katze",
+    11 -> "o modelo de dados que temos para um projeto não responde do jeito que era",
+    12 -> "de man heeft een huis en hij gaat met de fiets van het werk naar huis niet met de auto")
+
+  private def scriptAugSql: String =
+    "CASE " + scriptAug.map { case (k, s) =>
+      s"WHEN doc_id % 28 = $k THEN '$s'"
+    }.mkString(" ") + " ELSE text END"
+
+  private def scriptAugCol: org.apache.spark.sql.Column =
+    scriptAug.foldRight(col("text")) { case ((k, s), acc) =>
+      when(col("doc_id") % 28 === k, lit(s)).otherwise(acc)
+    }
+
+  /** DuckDB replay of TextAnalysis.withLangIdScript — per-script letter
+    * counts from the SAME `\x{...}` character classes (the one script
+    * syntax both regex engines share), the identical decision ladder,
+    * and the function-word argmax over LangProfilesExt.
+    */
+  private val langIdScriptOracleSql: String = {
+    val ranges = TextAnalysis.ScriptRanges
+    def cnt(r: String) = s"length(t) - length(regexp_replace(t, '[$r]', '', 'g'))"
+    val cntCols = ranges.map { case (n2, r) => s"${cnt(r)} AS c_$n2" }.mkString(", ")
+    val nLetters = ranges.map { case (n2, _) => s"c_$n2" }.mkString(" + ")
+    def frac(n2: String) = s"(c_$n2 / CAST(n_letters AS DOUBLE))"
+    val scored = TextAnalysis.LangProfilesExt.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS DOUBLE) / len(toks) AS score FROM tok"
+    }.mkString(" UNION ALL ")
+    val scriptLangs = Seq("han" -> "zh", "hangul" -> "ko", "thai" -> "th",
+      "cyrillic" -> "ru", "arabic" -> "ar", "greek" -> "el",
+      "hebrew" -> "he", "devanagari" -> "hi")
+    val jaCond = s"${frac("kana")} >= 0.05 AND (${frac("kana")} + ${frac("han")}) >= 0.5"
+    val predCase = s"CASE WHEN n_letters = 0 THEN 'und' WHEN $jaCond THEN 'ja' " +
+      scriptLangs.map { case (sc, lg) => s"WHEN ${frac(sc)} >= 0.5 THEN '$lg'" }.mkString(" ") +
+      " WHEN b.score > 0 THEN b.lang ELSE 'und' END"
+    val scoreCase = s"CASE WHEN n_letters = 0 THEN 0.0 WHEN $jaCond THEN ${frac("kana")} + ${frac("han")} " +
+      scriptLangs.map { case (sc, _) => s"WHEN ${frac(sc)} >= 0.5 THEN ${frac(sc)}" }.mkString(" ") +
+      " WHEN b.score > 0 THEN b.score ELSE 0.0 END"
+    s"WITH a AS (SELECT doc_id, $scriptAugSql AS t FROM documents), " +
+      s"m AS (SELECT doc_id, t, $cntCols FROM a), " +
+      s"f AS (SELECT *, $nLetters AS n_letters FROM m), " +
+      "tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\\s+') AS toks FROM a), " +
+      s"scores AS ($scored), " +
+      "best AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) " +
+      s"SELECT f.doc_id AS doc, $predCase AS lang_pred, round($scoreCase, 6) AS lang_score " +
+      "FROM f JOIN best b ON b.doc_id = f.doc_id AND b.rn = 1 ORDER BY doc"
+  }
+
+  /** Labeled training sentences for the char-n-gram language-ID fit
+    * (Cavnar–Trenkle profiles) and the held-out test sentences planted
+    * into `documents` (`doc_id % 12` buckets 1–5) — DIFFERENT sentences
+    * from the training ones, so the oracle exercises generalization, not
+    * memorization. No apostrophes (SQL literals).
+    */
+  private val ngramTrain: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog and the dog runs to the house with the cat in the garden while the sun shines over the trees",
+    "de" -> "der schnelle braune fuchs springt über den faulen hund und der hund läuft zu dem haus mit der katze im garten während die sonne über den bäumen scheint",
+    "fr" -> "le renard brun rapide saute par dessus le chien paresseux et le chien court vers la maison avec le chat dans le jardin pendant que le soleil brille",
+    "es" -> "el rápido zorro marrón salta sobre el perro perezoso y el perro corre hacia la casa con el gato en el jardín mientras el sol brilla sobre los árboles",
+    "ru" -> "быстрая коричневая лиса прыгает через ленивую собаку и собака бежит к дому с кошкой в саду пока солнце светит над деревьями",
+    "zh" -> "敏捷的棕色狐狸跳过懒惰的狗然后狗跑到房子里和猫一起在花园里玩耍太阳照在树上机器学习模型需要数据")
+
+  private val ngramAug: Seq[(Int, String)] = Seq(
+    1 -> "собака бежит через сад к дому и лиса прыгает над деревом",
+    2 -> "der hund läuft zu dem haus und der fuchs springt über den garten",
+    3 -> "le chien court vers la maison et le renard saute dans le jardin",
+    4 -> "el perro corre hacia la casa y el zorro salta en el jardín",
+    5 -> "狐狸跳过懒狗然后跑到花园的房子里学习数据模型")
+
   /** The full curation-cascade CTE chain (… → `led`), shared by the
     * ledger oracle and its per-source attrition roll-up. Callers prefix
     * `WITH RECURSIVE ` and select from `led`.
@@ -2916,6 +3003,79 @@ object LlmOpsQueries extends QueryModule {
         .select(col("doc_id"), lower(hex(col("ex"))).as("ex_hex"),
           length(col("ex")).cast("long").as("ex_len"))
         .orderBy("doc_id")
+    },
+    // script-aware tokenization: the identical [per-CJK-char | ws-run]
+    // regexp replayed in DuckDB over planted multi-script text — a
+    // Chinese paragraph that is ONE whitespace token becomes per-char
+    // units, and avg_token_len (threaded through withQuality) is gauged
+    // in the same units on both engines.
+    q("q_x_text_script_tokens", {
+      val ns = TextAnalysis.NoSpaceScriptRanges
+      s"WITH a AS (SELECT doc_id, $scriptAugSql AS t FROM documents), " +
+        "s AS (SELECT doc_id AS doc, len(regexp_split_to_array(trim(t), '\\s+')) AS n_ws, " +
+        s"regexp_extract_all(t, '[$ns]|[^\\s$ns]+') AS st FROM a) " +
+        "SELECT doc, CAST(n_ws AS BIGINT) AS n_tokens_ws, CAST(len(st) AS BIGINT) AS n_tokens, " +
+        "round(CAST(list_sum(list_transform(st, x -> length(x))) AS DOUBLE) / len(st), 6) AS avg_token_len " +
+        "FROM s ORDER BY doc"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), scriptAugCol.as("text"))
+      TextAnalysis.withQuality(docs, "text", TextAnalysis.scriptTokens)
+        .select(col("doc_id").as("doc"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens_ws"),
+          col("n_tokens"), col("avg_token_len"))
+        .orderBy("doc")
+    },
+    // script-gated language ID: per-script letter fractions from the
+    // shared \x{...} classes, the ja/zh kana disambiguation, the ≥0.5
+    // dominant-script ladder and the LangProfilesExt function-word
+    // fallback — the whole decision replayed branch for branch.
+    q("q_x_text_langid_script", langIdScriptOracleSql) { (s, d) =>
+      TextAnalysis.withLangIdScript(
+          Tables.documents(s, d).select(col("doc_id"), scriptAugCol.as("text")))
+        .select(col("doc_id").as("doc"), col("lang_pred"), col("lang_score"))
+        .orderBy("doc")
+    },
+    // trainable char-trigram language ID (Cavnar–Trenkle profiles): fit
+    // top-50 trigrams per language on the labeled training sentences,
+    // score HELD-OUT planted sentences by profile coverage — fit, join,
+    // argmax and the und-degrade all replayed.
+    q("q_x_text_langid_ngram", {
+      val values = ngramTrain.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+      val aug = "CASE " + ngramAug.map { case (k, s) =>
+        s"WHEN doc_id % 12 = $k THEN '$s'"
+      }.mkString(" ") + " ELSE text END"
+      def grams(src: String, keyAs: String) =
+        s"SELECT $keyAs, unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, CAST(i AS INT), 3))) AS gram " +
+          s"FROM $src WHERE length(t) >= 3"
+      s"WITH lab AS (SELECT * FROM (VALUES $values) AS v(lang, txt)), " +
+        "lt AS (SELECT lang, regexp_replace(lower(txt), '\\s+', ' ', 'g') AS t FROM lab), " +
+        s"lg AS (${grams("lt", "lang")}), " +
+        "pc AS (SELECT lang, gram, count(*) AS cnt FROM lg GROUP BY 1, 2), " +
+        "prof AS (SELECT lang, gram FROM (SELECT lang, gram, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS r FROM pc) pr WHERE r <= 50), " +
+        s"docs AS (SELECT doc_id AS doc, substr($aug, 1, 1000) AS txt FROM documents), " +
+        "dt AS (SELECT doc, regexp_replace(lower(txt), '\\s+', ' ', 'g') AS t FROM docs), " +
+        s"dg AS (${grams("dt", "doc")}), " +
+        "ng AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_grams FROM dg GROUP BY 1), " +
+        "hits AS (SELECT doc, lang, count(*) AS hits FROM dg JOIN prof USING (gram) GROUP BY 1, 2), " +
+        "best AS (SELECT doc, lang, hits, row_number() OVER (PARTITION BY doc ORDER BY hits DESC, lang) AS rn FROM hits) " +
+        "SELECT d.doc, CASE WHEN b.hits / CAST(n.n_grams AS DOUBLE) >= 0.2 THEN b.lang ELSE 'und' END AS lang_pred, " +
+        "coalesce(round(b.hits / CAST(n.n_grams AS DOUBLE), 6), 0.0) AS lang_score, " +
+        "coalesce(n.n_grams, 0) AS n_grams " +
+        "FROM (SELECT doc FROM docs) d LEFT JOIN ng n USING (doc) " +
+        "LEFT JOIN best b ON b.doc = d.doc AND b.rn = 1 ORDER BY d.doc"
+    }) { (s, d) =>
+      import s.implicits._
+      val labeled = ngramTrain.toDF("lang", "txt")
+      val profiles = TextAnalysis.charNgramProfiles(labeled, "lang", "txt",
+        n = 3, topK = 50)
+      val aug = ngramAug.foldRight(col("text")) { case ((k, t), acc) =>
+        when(col("doc_id") % 12 === k, lit(t)).otherwise(acc)
+      }
+      TextAnalysis.langIdByNgram(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+          "doc_id", "text", profiles, n = 3, maxChars = 1000)
+        .orderBy("doc")
     }
   )
 }

@@ -135,7 +135,12 @@ object StressBench {
     // one codegen'd regexp chain — scan-speed like strip_html.
     "q_x_text_strip_markdown",
     // ledger join + bounded roll-up — must track the ledger line.
-    "q_x_curation_attrition")
+    "q_x_curation_attrition",
+    // r10 script-aware text stack: script tokens + script langid are pure
+    // codegen'd regexp projections (scan speed); the ngram langid explodes
+    // a BOUNDED 1000-char prefix per doc and broadcast-joins a fixed
+    // profile — all three must scale linearly with docs.
+    "q_x_text_script_tokens", "q_x_text_langid_script", "q_x_text_langid_ngram")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

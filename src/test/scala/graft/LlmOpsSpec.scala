@@ -1736,4 +1736,58 @@ class LlmOpsSpec extends SparkTestBase {
         s"under-cap run must observe zero pruned keys: ${seen2.toList}")
     } finally spark.listenerManager.unregister(listener)
   }
+  test("script-aware text stack: CJK gauges sane, ja/zh disambiguation, ngram langid confidence floor") {
+    import spark.implicits._
+    val zh = "机器学习模型需要大量高质量的训练数据才能表现良好"  // 24 Han chars, no spaces
+    val ja = "これはテストです機械学習のデータ"                  // kana + kanji
+    val en = "machine learning models need a lot of high quality training data"
+    val mixed = Seq((0L, zh), (1L, ja), (2L, en)).toDF("doc_id", "text")
+
+    // Under wsTokens the Chinese doc is ONE token; under scriptTokens it
+    // is per-char — every length gauge downstream changes units with it.
+    val ws = TextAnalysis.withQuality(mixed, "text")
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val st = TextAnalysis.withQuality(mixed, "text", TextAnalysis.scriptTokens)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(ws(0L) === 1L, "whitespace tokenization reads the zh doc as one token")
+    assert(st(0L) === zh.length.toLong, "script tokenization is per-char for Han")
+    assert(st(1L) === ja.length.toLong)
+    assert(st(2L) === ws(2L), "Latin text tokenizes identically under both")
+
+    // blank text: scriptTokens yields an EMPTY array (wsTokens keeps [""]).
+    val blank = Seq(("", 0)).toDF("text", "k")
+      .select(size(TextAnalysis.scriptTokens(col("text")))).head().getInt(0)
+    assert(blank === 0)
+
+    // script-gated langid: kana presence separates ja from zh; Latin text
+    // falls back to the function-word profiles; empty text is und.
+    val lang = TextAnalysis.withLangIdScript(
+        Seq((0L, zh), (1L, ja), (2L, en), (3L, "")).toDF("doc_id", "text"))
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(lang === Map(0L -> "zh", 1L -> "ja", 2L -> "en", 3L -> "und"))
+
+    // gopherRules with scriptTokens: the zh doc's n_tokens is per-char
+    // (the rule VERDICT may still be non_alpha — English-published
+    // thresholds — but the UNITS are no longer one-token-per-doc).
+    val gr = TextAnalysis.gopherRules(mixed, "doc_id", "text",
+        minTokens = 5, tokens = TextAnalysis.scriptTokens)
+      .select("doc", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(gr(0L) === zh.length.toLong)
+
+    // char-ngram langid: trained profiles classify held-out sentences;
+    // gibberish falls below the confidence floor -> und with its score.
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and runs to the house with the cat"),
+      ("zh", "敏捷的棕色狐狸跳过懒惰的狗然后跑到房子里和猫一起玩耍学习数据")).toDF("lang", "txt")
+    val prof = TextAnalysis.charNgramProfiles(train, "lang", "txt", n = 3, topK = 50)
+    val scoredocs = Seq(
+      (0L, "the dog runs over the house and the fox jumps in the garden"),
+      (1L, "狐狸跳过狗然后到花园里学习模型"),
+      (2L, "zzq xvk wqj pfft grbl nnk vvx")).toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdByNgram(scoredocs, "doc_id", "text", prof)
+      .select("doc", "lang_pred").as[(Long, String)].collect().toMap
+    assert(pred(0L) === "en")
+    assert(pred(1L) === "zh")
+    assert(pred(2L) === "und", "gibberish must fall below the confidence floor")
+  }
 }

@@ -511,6 +511,15 @@ class PlanSpec extends SparkTestBase {
     assert(stagedParts <= maxParts,
       s"staged range partitioning exceeded $maxParts: $stagedParts")
 
+    // vocabulary: the stable-id window runs over the ≤ size-row top cut,
+    // never the term universe.
+    val vocabSize = 41
+    val vb = graft.llmops.TextAnalysis.vocabulary(docs, "doc_id", "text",
+      size = vocabSize, minDf = 2)
+    val vbIn = unpartitionedWindowInputs(vb)
+    assert(vbIn.nonEmpty && vbIn.forall(_ <= vocabSize.toLong),
+      s"vocabulary id window input exceeded size=$vocabSize: $vbIn")
+
     // workbook ingest: the cross-file offset window sees one row per FILE.
     val tmp = java.nio.file.Files.createTempDirectory("graft_rowno_pin").toString
     spark.range(500).selectExpr(
