@@ -1,7 +1,6 @@
 package graft.ingest
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftfn.{Crc32C, TfRecordFrame}
 
@@ -47,74 +46,17 @@ object TfRecords {
   def write(df: DataFrame, payloadCol: Column, dir: String,
       shards: Int, gzip: Boolean): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
-    val spark = df.sparkSession
     val framed = df
       .select(TfRecordFrame.tfRecordFrame(payloadCol.cast("binary")).as("frame"))
       .where(col("frame").isNotNull) // null payloads have no framable bytes
       .repartition(shards)
-    val out = new Path(dir)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(out)
-    // The driver's live Hadoop conf rides a broadcast to executors (the
-    // HadoopRDD discipline) so per-job FS credentials — object-store
-    // keys set on this session — reach the shard writer.
-    // Materialized NOW (the collect is shards-sized manifest rows, never
-    // data) so the write happens eagerly and exactly once, not on each
-    // later consumption of the manifest.
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
-    val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
-    val manifestRows = framed.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val conf = confBc.value.value
-      val finalPath = new Path(dir, f"part-$pid%05d$ext")
-      // Attempt-unique tmp name: a speculative twin or zombie retry of
-      // this partition writes its OWN file — two attempts can never
-      // interleave into one tmp — and only the attempt that finishes
-      // renames its file into place (hidden ".":  no file index or glob
-      // ever lists a leftover loser).
-      val attempt = Option(org.apache.spark.TaskContext.get())
-        .map(_.taskAttemptId()).getOrElse(0L)
-      val tmpPath = new Path(dir, f".part-$pid%05d$ext.tmp-a$attempt")
-      // Private FS instance with client-side checksumming off: the shard
-      // dir is a release artifact other tools list and read — no Hadoop
-      // `.crc` sidecars in it (the frames carry their own CRC32C guards).
-      // newInstance (not the JVM-cached get) so the flag can't leak into
-      // unrelated writers.
-      val pfs = org.apache.hadoop.fs.FileSystem.newInstance(
-        finalPath.toUri, conf)
-      try {
-        pfs.setWriteChecksum(false)
-        pfs.setVerifyChecksum(false)
-        val raw = pfs.create(tmpPath, true)
-        val os: java.io.OutputStream =
-          if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw
-        var n = 0L
-        var bytes = 0L
-        try {
-          it.foreach { row =>
-            val b = row.getAs[Array[Byte]](0)
-            os.write(b)
-            n += 1
-            bytes += b.length
-          }
-        } finally os.close()
-        pfs.delete(finalPath, false)
-        require(pfs.rename(tmpPath, finalPath), s"rename failed: $finalPath")
-        Iterator(Row(finalPath.toString, n, bytes))
-      } finally pfs.close()
-    }.collect()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(manifestRows.toIndexedSeq, 1), statsSchema)
+    // The durability plumbing (attempt-unique tmp + rename, broadcast
+    // session conf, no-crc-sidecar FS, eager shards-sized manifest) is
+    // the shared [[ShardSink]].
+    ShardSink.write(framed, dir, if (gzip) ".tfrecord.gz" else ".tfrecord",
+      raw => if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw,
+      (os, b) => os.write(b))
   }
-
-  private val statsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("file",
-      org.apache.spark.sql.types.StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("n_records",
-      org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("n_bytes",
-      org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** The TRAINING-READY export: every column of `df` becomes a named
     * `tf.train.Example` feature ([[org.apache.spark.sql.graftfn

@@ -3076,6 +3076,88 @@ object LlmOpsQueries extends QueryModule {
           Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
           "doc_id", "text", profiles, n = 3, maxChars = 1000)
         .orderBy("doc")
+    },
+    // WARC interop round trip: Spark WRITES the corpus as member-per-
+    // record warc.gz crawl shards, reads them back through the
+    // quarantine-capable parser, re-derives each record's source from its
+    // WARC-Target-URI and aggregates; the ORACLE computes the identical
+    // per-source counts + order-invariant uri:text checksum + payload
+    // byte sum STRAIGHT from the table — any record the format layer
+    // loses, tears or mutates breaks the hash (the q_x_jsonl_interop
+    // precedent, for the format DuckDB cannot read itself).
+    q("q_x_warc_interop", {
+      val h = graft.llmops.PortableHash.duckHash52(
+        "'https://ex.test/' || source || '/' || CAST(doc_id AS VARCHAR) || ':' || text")
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(bit_xor($h) AS BIGINT) AS checksum, " +
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes " +
+        "FROM documents GROUP BY source ORDER BY source"
+    }) { (s, d) =>
+      import graft.ingest.Warc
+      import graft.llmops.PortableHash
+      val path = "/tmp/graft_warc_interop"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      val docs = Tables.documents(s, d).select(
+        concat(lit("https://ex.test/"), col("source"), lit("/"),
+          col("doc_id").cast("string")).as("uri"),
+        col("text"))
+      Warc.write(docs, col("uri"), col("text"), path, shards = 4)
+      val back = Warc.read(s, path)
+      require(back.where(!col("ok")).isEmpty, "self-written WARC must parse cleanly")
+      back.select(
+          regexp_extract(col("target_uri"), "ex\\.test/([^/]+)/", 1).as("source"),
+          length(col("payload")).cast("long").as("__n"),
+          PortableHash.hash52(concat(col("target_uri"), lit(":"),
+            col("payload").cast("string"))).as("__h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("checksum"),
+          sum("__n").as("n_bytes"))
+        .orderBy("source")
+    },
+    // the crawl FRONT DOOR composed end to end: documents wrapped as
+    // HTTP responses inside WARC response records (the Common Crawl
+    // shape), written as member-per-record warc.gz, read back, HTTP body
+    // extracted, HTML stripped, host derived from WARC-Target-URI. The
+    // oracle computes clean_text/host STRAIGHT from the table with the
+    // identical stripHtml regexp chain — the whole WARC+HTTP layer must
+    // be lossless for every row to match.
+    q("q_x_warc_front_door", {
+      val steps = Seq(
+        "'(?is)<script\\b[^>]*>.*?</script>'" -> "' '",
+        "'(?is)<style\\b[^>]*>.*?</style>'" -> "' '",
+        "'(?s)<!--.*?-->'" -> "' '",
+        "'<[^>]+>'" -> "' '",
+        "'&lt;'" -> "'<'", "'&gt;'" -> "'>'", "'&quot;'" -> "'\"'",
+        "'&#39;'" -> "''''", "'&nbsp;'" -> "' '", "'&amp;'" -> "'&'",
+        "'\\s+'" -> "' '")
+      val chain = "trim(" + steps.foldLeft("html") { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, $pat, $rep, 'g')"
+      } + ")"
+      "WITH a AS (SELECT doc_id, source, '<html><body><p>' || text || '</p></body></html>' AS html FROM documents) " +
+        "SELECT doc_id AS doc, " +
+        "lower(regexp_extract('https://ex.test/' || source || '/' || CAST(doc_id AS VARCHAR), '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host, " +
+        s"$chain AS clean_text FROM a ORDER BY doc"
+    }) { (s, d) =>
+      import graft.ingest.Warc
+      val path = "/tmp/graft_warc_front"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      val docs = Tables.documents(s, d).select(
+        concat(lit("https://ex.test/"), col("source"), lit("/"),
+          col("doc_id").cast("string")).as("uri"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>"),
+          col("text"), lit("</p></body></html>")).as("payload"))
+      Warc.write(docs, col("uri"), col("payload"), path, shards = 4,
+        warcType = lit("response"),
+        contentType = lit("application/http;msgtype=response"))
+      val back = Warc.read(s, path)
+      require(back.where(!col("ok")).isEmpty, "self-written WARC must parse cleanly")
+      back.select(
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long").as("doc"),
+          TextAnalysis.urlHost(col("target_uri")).as("host"),
+          TextAnalysis.stripHtml(Warc.httpBodyText(col("payload"))).as("clean_text"))
+        .orderBy("doc")
     }
   )
 }

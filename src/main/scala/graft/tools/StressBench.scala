@@ -140,7 +140,12 @@ object StressBench {
     // codegen'd regexp projections (scan speed); the ngram langid explodes
     // a BOUNDED 1000-char prefix per doc and broadcast-joins a fixed
     // profile — all three must scale linearly with docs.
-    "q_x_text_script_tokens", "q_x_text_langid_script", "q_x_text_langid_ngram")
+    "q_x_text_script_tokens", "q_x_text_langid_script", "q_x_text_langid_ngram",
+    // WARC write+read round trips: one codegen'd record-assembly pass, a
+    // shards-shuffle, distributed member-per-record gzip out and one
+    // whole-shard parse per task back — must scale linearly in corpus
+    // bytes like the tfrecord line.
+    "q_x_warc_interop", "q_x_warc_front_door")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
