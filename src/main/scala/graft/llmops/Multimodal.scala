@@ -123,7 +123,12 @@ object Multimodal {
     * Like the image path, the loop is per-payload CPU inside
     * mapPartitions — no effect on plan shape or shuffle volume.
     */
-  def decodeWav(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
+  /** The RIFF/WAVE chunk walk shared by [[decodeWav]], [[wavMonoSamples]]
+    * and [[audioEnvelopeHash]]: locates fmt/data, admits only integer PCM
+    * (format code 1) at 8 or 16 bits. Returns (channels, rate, bits,
+    * dataOffset, dataLen); None on anything else — the degrade contract.
+    */
+  private def wavPcm(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
     try {
       val bb = java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -148,7 +153,16 @@ object Multimodal {
           (code, ch, rate, bits) <- fmt
           (dOff, dLen) <- data
           if code == 1 && (bits == 8 || bits == 16) && ch >= 1 && rate > 0
-        } yield {
+        } yield (ch, rate, bits, dOff, dLen)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def decodeWav(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      wavPcm(payload).map { case (ch, rate, bits, dOff, dLen) =>
+        {
           val bytesPer = bits / 8
           val n = dLen / bytesPer
           var sum = 0.0; var sum2 = 0.0
@@ -175,6 +189,105 @@ object Multimodal {
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Channel-averaged PCM samples in [-1, 1] from a decodable WAV — the
+    * raw material of [[audioEnvelopeHash]]. Interleaved channels average
+    * per frame (gain-preserving mono downmix); None on undecodable bytes.
+    */
+  def wavMonoSamples(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      wavPcm(payload).map { case (ch, _, bits, dOff, dLen) =>
+        val n = dLen / (bits / 8)
+        val frames = n / ch
+        val out = new Array[Float](frames)
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val i = f * ch + c
+            acc +=
+              (if (bits == 8) ((payload(dOff + i) & 0xFF) - 128) / 128.0
+               else bb.getShort(dOff + i * 2) / 32768.0)
+            c += 1
+          }
+          out(f) = (acc / ch).toFloat
+          f += 1
+        }
+        out
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit PERCEPTUAL audio signature — the [[imageAHash]] sibling for
+    * sound, completing the re-encode-invariant near-dup matrix (text
+    * minhash ✓, image aHash ✓, video frame-hashes ✓, audio was bytes
+    * only): the decoded mono PCM stream splits into 64 equal-TIME
+    * segments, each segment's mean-square energy is measured, and bit s
+    * sets when segment s is louder than the average segment — the aHash
+    * threshold trick on the loudness envelope.
+    *
+    * Why those invariances hold: a volume change multiplies every
+    * segment energy AND their mean by the same factor (bits unmoved); a
+    * resample keeps segment boundaries time-proportional (the envelope
+    * SHAPE is what is hashed); an 8↔16-bit re-encode adds quantization
+    * noise orders below envelope structure. A re-encoded copy of the
+    * same recording therefore lands within a few Hamming bits while its
+    * BYTES share nothing — the case [[cdcChunks]]/[[sampleFrames]] can
+    * never pair. None on undecodable or sample-less audio; silence (a
+    * flat envelope) hashes to 0.
+    */
+  def audioEnvelopeHash(payload: Array[Byte]): Option[Long] =
+    wavMonoSamples(payload).filter(_.nonEmpty).map { s =>
+      val n = s.length
+      val e = new Array[Double](64)
+      var seg = 0
+      while (seg < 64) {
+        val from = (seg.toLong * n / 64).toInt
+        val to = ((seg + 1).toLong * n / 64).toInt
+        var acc = 0.0
+        var i = from
+        while (i < to) { acc += s(i).toDouble * s(i); i += 1 }
+        e(seg) = if (to > from) acc / (to - from) else 0.0
+        seg += 1
+      }
+      val mean = e.sum / 64
+      var h = 0L
+      var b = 0
+      while (b < 64) { if (e(b) > mean) h |= 1L << b; b += 1 }
+      h
+    }
+
+  /** (media_id, ahash) for every DECODABLE audio payload — the
+    * [[imageHashes]] twin (same column names, so the shared banding half
+    * serves both). Per-payload CPU inside mapPartitions; no plan or
+    * shuffle impact.
+    */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.kind == "audio") audioEnvelopeHash(r.payload).map(h => (r.media_id, h))
+          else None
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Acoustic near-duplicate pairs by envelope-hash Hamming distance —
+    * the re-encoded-recording detector, banded through the SAME
+    * [[hashBandedPairs]] machinery as images (8 × 8-bit bands, pigeonhole
+    * recall to Hamming 7, exact bit_count verify, hot-band guard). The
+    * banding half is oracled over planted signatures
+    * (q_x_multimodal_audio_pairs); the decode half is spec-pinned
+    * (square-wave envelopes with hand-computed hashes, 8↔16-bit /
+    * volume / resample invariance).
+    */
+  def audioHashPairs(media: DataFrame, maxHamming: Int = 6,
+      maxBandFreq: Option[Int] = Dedup.DefaultMaxBandFreq): DataFrame =
+    hashBandedPairs(audioHashes(media), maxHamming, maxBandFreq)
 
   /** A decoded uncompressed AVI: dimensions, the frame interval in
     * microseconds (0 when the header omits it), and the raw DIB frame

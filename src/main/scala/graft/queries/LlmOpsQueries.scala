@@ -3158,6 +3158,28 @@ object LlmOpsQueries extends QueryModule {
           TextAnalysis.urlHost(col("target_uri")).as("host"),
           TextAnalysis.stripHtml(Warc.httpBodyText(col("payload"))).as("clean_text"))
         .orderBy("doc")
+    },
+    // acoustic near-dup banding end to end over PLANTED envelope
+    // signatures (the decode half — square-wave envelopes, re-encode
+    // invariance — is spec-pinned in LlmOpsSpec; this is the
+    // q_x_multimodal_ahash_pairs discipline for the audio lane): sig =
+    // hash52('aud:' || lang)·2^11 xor (doc_id mod 8), same-recording
+    // re-encodes sit at Hamming ≤ 3, cross-recording effectively far;
+    // band split → collision → exact bit_count verify at maxHamming 5.
+    q("q_x_multimodal_audio_pairs", {
+      val h = graft.llmops.PortableHash.duckHash52("'aud:' || lang")
+      s"WITH sigs AS (SELECT doc_id AS doc, xor($h * 2048, doc_id % 8) AS ahash FROM documents WHERE doc_id < 160), " +
+        "b AS (SELECT doc, ahash, band, (ahash >> (band * 8)) & 255 AS bkey FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band) bands), " +
+        "cand AS (SELECT DISTINCT x.doc AS id_a, y.doc AS id_b, x.ahash AS ha, y.ahash AS hb FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand WHERE bit_count(xor(ha, hb)) <= 5 ORDER BY 1, 2"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val sigs = Tables.documents(s, d).filter(col("doc_id") < 160)
+        .select(col("doc_id").as("media_id"),
+          (PortableHash.hash52(concat(lit("aud:"), col("lang"))) * lit(2048L))
+            .bitwiseXOR(col("doc_id") % 8).as("ahash"))
+      Multimodal.hashBandedPairs(sigs, maxHamming = 5)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -145,7 +145,10 @@ object StressBench {
     // shards-shuffle, distributed member-per-record gzip out and one
     // whole-shard parse per task back — must scale linearly in corpus
     // bytes like the tfrecord line.
-    "q_x_warc_interop", "q_x_warc_front_door")
+    "q_x_warc_interop", "q_x_warc_front_door",
+    // audio envelope banding rides the shared hashBandedPairs machinery —
+    // the stress row watches the same banded-join scaling as the image lane.
+    "q_x_multimodal_audio_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1790,4 +1790,85 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pred(1L) === "zh")
     assert(pred(2L) === "und", "gibberish must fall below the confidence floor")
   }
+
+  test("audio envelope hash: hand-computed square-wave bits; volume/bit-depth/resample invariant; pairs band-found") {
+    import spark.implicits._
+    def wav(ch: Int, rate: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort)
+        .putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    // 64 segments x segLen samples: even segments carry a +/-amp square
+    // wave (energy amp^2), odd segments silence (energy 0) -> mean
+    // energy amp^2/2 -> exactly the even bits set: 0x5555555555555555.
+    def squareWave16(amp: Short, segLen: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64 * segLen * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (seg <- 0 until 64; i <- 0 until segLen)
+        bb.putShort(if (seg % 2 == 0) (if (i % 2 == 0) amp else (-amp).toShort) else 0)
+      bb.array()
+    }
+    def squareWave8(amp: Int, segLen: Int): Array[Byte] =
+      (for (seg <- 0 until 64; i <- 0 until segLen) yield
+        (if (seg % 2 == 0) (if (i % 2 == 0) 128 + amp else 128 - amp) else 128).toByte
+      ).toArray
+
+    val original = wav(1, 8000, 16, squareWave16(16384, 100))
+    val expected = 0x5555555555555555L
+    assert(Multimodal.audioEnvelopeHash(original) === Some(expected))
+
+    // volume re-encode (half gain), bit-depth re-encode (8-bit), and a
+    // 2:1 "resample" (half the samples per segment) all land on the SAME
+    // envelope hash — their bytes share nothing with the original.
+    val quiet = wav(1, 8000, 16, squareWave16(8192, 100))
+    val eightBit = wav(1, 8000, 8, squareWave8(64, 100))
+    val resampled = wav(1, 4000, 16, squareWave16(16384, 50))
+    assert(Multimodal.audioEnvelopeHash(quiet) === Some(expected))
+    assert(Multimodal.audioEnvelopeHash(eightBit) === Some(expected))
+    assert(Multimodal.audioEnvelopeHash(resampled) === Some(expected))
+
+    // a different recording (odd segments loud) is the complement.
+    def inverse16(segLen: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64 * segLen * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (seg <- 0 until 64; i <- 0 until segLen)
+        bb.putShort(if (seg % 2 == 1) (if (i % 2 == 0) 16384 else -16384).toShort else 0)
+      bb.array()
+    }
+    val other = wav(1, 8000, 16, inverse16(100))
+    assert(Multimodal.audioEnvelopeHash(other) === Some(0xAAAAAAAAAAAAAAAAL))
+
+    // stereo downmix preserves the envelope; silence hashes to 0; junk absent.
+    def interleave(d: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(d.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val src = java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      while (src.remaining() >= 2) { val v = src.getShort; bb.putShort(v); bb.putShort(v) }
+      bb.array()
+    }
+    assert(Multimodal.audioEnvelopeHash(wav(2, 8000, 16, interleave(squareWave16(16384, 100))))
+      === Some(expected))
+    assert(Multimodal.audioEnvelopeHash(wav(1, 8000, 16, new Array[Byte](12800)))
+      === Some(0L))
+    assert(Multimodal.audioEnvelopeHash("RIFFnot audio".getBytes("UTF-8")).isEmpty)
+
+    // end to end: the re-encodes pair with the original via the shared
+    // banded machinery; the complement recording pairs with nothing.
+    val media = Seq(
+      (0L, "audio", original), (1L, "audio", quiet), (2L, "audio", eightBit),
+      (3L, "audio", resampled), (4L, "audio", other),
+      (5L, "audio", "RIFFjunk".getBytes("UTF-8")),
+      (6L, "text", original) // wrong kind: not hashed
+    ).toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.audioHashPairs(media, maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
