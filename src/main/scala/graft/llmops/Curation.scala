@@ -46,13 +46,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** `fittedThresholds`: when present (the
+    * [[TextAnalysis.gateThresholdsBySource]] / refit row shape), stage 2
+    * runs [[TextAnalysis.qualityGateFitted]] with per-source data-fitted
+    * thresholds instead of the scalar constants — the drifted-re-release
+    * path composed end to end.
+    */
   def ledger(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
       bench: DataFrame, blockedSources: DataFrame, quota: Int,
       minTokens: Long = 5, maxTokens: Long = 100000,
       minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
       minTypeToken: Double = 0.2, maxDupGramFrac: Double = 0.75,
       contamN: Int = 5, maxJaccardDist: Double = 0.3,
-      quotaSalts: Int = 16): DataFrame = {
+      quotaSalts: Int = 16,
+      fittedThresholds: Option[DataFrame] = None): DataFrame = {
     require(quota > 0)
     val d0 = docs.select(col(idCol).as("doc"), col(textCol).as("text"),
       col(sourceCol).as("source"))
@@ -66,10 +73,13 @@ object Curation {
     val alive1 = flagged.filter(!col("__blocked")).select("doc", "text", "source")
       .localCheckpoint(true)
 
-    // 2. quality gate over blocklist survivors.
-    val qreasons = TextAnalysis.qualityGate(alive1, "doc", "text",
-        minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
-        minTypeToken, maxDupGramFrac)
+    // 2. quality gate over blocklist survivors — scalar constants, or
+    // the per-source fitted thresholds when the caller re-fit after drift.
+    val qreasons = fittedThresholds.fold(
+        TextAnalysis.qualityGate(alive1, "doc", "text",
+          minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+          minTypeToken, maxDupGramFrac))(thr =>
+        TextAnalysis.qualityGateFitted(alive1, "doc", "text", "source", thr))
       .select(col("doc"), col("reason").as("quality_reason"))
       .localCheckpoint(true)
     val alive2 = alive1.join(

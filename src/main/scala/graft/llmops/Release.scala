@@ -20,16 +20,18 @@ import org.apache.spark.sql.functions._
   *      ([[graft.ingest.TfRecords.writeExamples]], gzip) — the artifact
   *      a `tf.data` input pipeline consumes unchanged.
   *   4. The governance sidecars, as parquet: the curation ledger
-  *      (`_ledger`), the per-source data card over the released corpus
-  *      (`_card`, [[Corpus.dataCard]]), and the per-split release
-  *      manifest (`_manifest`, the [[Corpus.shardManifest]] shape keyed
-  *      by split: exact doc/token counts + the order-invariant
-  *      content checksum a replica verifies against).
+  *      (`_ledger`), its per-(source, stage) doc/token attrition roll-up
+  *      (`_attrition`, [[Curation.attrition]]), the per-source data card
+  *      over the released corpus (`_card`, [[Corpus.dataCard]]), and the
+  *      per-split release manifest (`_manifest`, the
+  *      [[Corpus.shardManifest]] shape keyed by split: exact doc/token
+  *      counts + the order-invariant content checksum a replica
+  *      verifies against).
   *
   * Layout under `dir`:
   * {{{
   *   train/part-NNNNN.tfrecord.gz   valid/...   test/...
-  *   _ledger (parquet)   _card (parquet)   _manifest (parquet)
+  *   _ledger   _attrition   _card   _manifest   (parquet)
   * }}}
   *
   * Returns the manifest (split, n_docs, n_tokens, content_xor) — the
@@ -40,15 +42,27 @@ import org.apache.spark.sql.functions._
   */
 object Release {
 
+  /** `gateThresholds`: pre-fit per-source gate thresholds (the
+    * [[TextAnalysis.gateThresholdsBySource]] / [[TextAnalysis.refitGateOnDrift]]
+    * row shape, keyed by a `source`-named column) — pass the refit output
+    * here and the drifted re-release runs the re-fit gate instead of the
+    * scalar constants, end to end.
+    */
   def release(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, bench: DataFrame, blockedSources: DataFrame,
       dir: String, quota: Int, shards: Int = 4, gzip: Boolean = true,
       splits: Seq[(String, Int)] =
-        Seq("train" -> 9800, "valid" -> 100, "test" -> 100)): DataFrame = {
+        Seq("train" -> 9800, "valid" -> 100, "test" -> 100),
+      gateThresholds: Option[DataFrame] = None): DataFrame = {
     require(shards >= 1 && splits.nonEmpty)
     val led = Curation.ledger(docs, idCol, textCol, sourceCol, bench,
-      blockedSources, quota).localCheckpoint(true)
+      blockedSources, quota, fittedThresholds = gateThresholds)
+      .localCheckpoint(true)
     led.write.mode("overwrite").parquet(s"$dir/_ledger")
+    // governance sidecar #4: the per-(source, stage) doc/token attrition
+    // roll-up — "where did this source's tokens go" ships WITH the release.
+    Curation.attrition(led, docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$dir/_attrition")
     val kept = docs
       .select(col(idCol).as("doc"), col(textCol).as("text"),
         col(sourceCol).as("source"))

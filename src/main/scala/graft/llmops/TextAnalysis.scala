@@ -483,6 +483,47 @@ object TextAnalysis {
       .withColumn("keep", col("reason") === "keep")
   }
 
+  /** [[qualityGate]] driven by DATA-FITTED per-source thresholds — the
+    * [[gateThresholdsBySource]] / [[refitGateOnDrift]] row shape
+    * (source, min_tokens, max_tokens, max_avg_token_len, min_type_token,
+    * max_dup_gram_frac) — instead of constructor constants: the gate a
+    * drifted re-release actually runs after the re-fit. Rule set follows
+    * the FITTED thresholds (no short_tokens rule — the fit publishes
+    * only the upper token-length quantile), precedence unchanged; a
+    * source with no thresholds row keeps (no fitted rule ⇒ no drop —
+    * the refit contract is per-source opt-in). Same metric chain and
+    * scale shape as [[qualityGate]]; the thresholds table is
+    * sources-sized and broadcasts.
+    */
+  def qualityGateFitted(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, thresholds: DataFrame,
+      tokens: Column => Column = wsTokens): DataFrame = {
+    val rep = ngramRepetition(df, idCol, textCol, n = 2, tokens = tokens)
+      .select(col("doc"), col("dup_gram_char_frac"))
+    val thr = broadcast(thresholds.select(col(sourceCol).as("source"),
+      col("min_tokens"), col("max_tokens"), col("max_avg_token_len"),
+      col("min_type_token"), col("max_dup_gram_frac")))
+    qualityGateMetricJoin(df, idCol, textCol, sourceCol, rep, tokens)
+      .join(thr, Seq("source"), "left")
+      .select(col("doc"), col("source"), col("n_tokens"), col("avg_token_len"),
+        col("type_token_ratio"), col("dup_gram_char_frac"),
+        when(col("n_tokens") < col("min_tokens"), "too_short")
+          .when(col("n_tokens") > col("max_tokens"), "too_long")
+          .when(col("avg_token_len") > col("max_avg_token_len"), "long_tokens")
+          .when(col("type_token_ratio") < col("min_type_token"), "low_diversity")
+          .when(col("dup_gram_char_frac") > col("max_dup_gram_frac"), "repetitive")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+  }
+
+  private def qualityGateMetricJoin(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, rep: DataFrame,
+      tokens: Column => Column): DataFrame =
+    withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text"),
+        col(sourceCol).as("source")), "text", tokens)
+      .withColumn("type_token_ratio", typeTokenRatio(col("text"), tokens))
+      .join(rep, Seq("doc"))
+
   /** Stopword-profile language ID. Scores each candidate language by the
     * fraction of tokens found in its function-word profile; argmax wins,
     * alphabetical tie-break, 'und' (undetermined) when no profile scores.

@@ -378,6 +378,39 @@ object LlmOpsQueries extends QueryModule {
       "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred, round(score, 6) AS lang_score FROM best WHERE rn = 1 ORDER BY doc_id"
   }
 
+  private def gateBySourceSql(rel: String, p: String): String = {
+    def hist(tag: String, c: String, g: Long) =
+      s"b$tag$p AS (SELECT source, least(greatest($c, 0) // $g, 255) AS idx, count(*) AS cnt FROM s$p GROUP BY 1, 2), " +
+        s"c$tag$p AS (SELECT source, idx, sum(cnt) OVER (PARTITION BY source ORDER BY idx) AS cum FROM b$tag$p)"
+    def qcte(tag: String, name: String, pct: Int, g: Long) =
+      s"q$name$p AS (SELECT c.source, min(CASE WHEN cum >= (n_docs - 1) * $pct // 100 + 1 THEN idx * $g END) AS v " +
+        s"FROM c$tag$p c JOIN n$p USING (source) GROUP BY 1)"
+    s"t$p AS (SELECT doc_id, text, source, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $rel), " +
+      s"g$p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t$p WHERE len(toks) >= 2), " +
+      s"pg$p AS (SELECT doc_id, gram, count(*) AS cnt FROM g$p GROUP BY 1, 2), " +
+      s"agg$p AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg$p GROUP BY 1), " +
+      s"m$p AS (SELECT t.source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
+      "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
+      s"coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac FROM t$p t LEFT JOIN agg$p a ON a.doc_id = t.doc_id), " +
+      s"s$p AS (SELECT source, n_tokens, CAST(floor(avg_token_len * 1000000 + 0.5) AS BIGINT) AS atl, " +
+      "CAST(floor(type_token_ratio * 1000000 + 0.5) AS BIGINT) AS ttr, " +
+      s"CAST(floor(dup_gram_char_frac * 1000000 + 0.5) AS BIGINT) AS dgf FROM m$p), " +
+      s"n$p AS (SELECT source, count(*) AS n_docs FROM s$p GROUP BY 1), " +
+      hist("nt", "n_tokens", 16) + ", " + hist("atl", "atl", 65536L) + ", " +
+      hist("ttr", "ttr", 4096L) + ", " + hist("dgf", "dgf", 4096L) + ", " +
+      qcte("nt", "nt5", 5, 16) + ", " + qcte("nt", "nt99", 99, 16) + ", " +
+      qcte("atl", "atl95", 95, 65536L) + ", " + qcte("ttr", "ttr5", 5, 4096L) + ", " +
+      qcte("dgf", "dgf95", 95, 4096L) + ", " +
+      s"thr$p AS (SELECT n$p.source, CAST(n_docs AS BIGINT) AS n_docs, " +
+      s"CAST(qnt5$p.v AS BIGINT) AS min_tokens, CAST(qnt99$p.v AS BIGINT) AS max_tokens, " +
+      s"round(qatl95$p.v / 1000000.0, 6) AS max_avg_token_len, " +
+      s"round(qttr5$p.v / 1000000.0, 6) AS min_type_token, " +
+      s"round(qdgf95$p.v / 1000000.0, 6) AS max_dup_gram_frac " +
+      s"FROM n$p JOIN qnt5$p USING (source) JOIN qnt99$p USING (source) " +
+      s"JOIN qatl95$p USING (source) JOIN qttr5$p USING (source) JOIN qdgf95$p USING (source))"
+  }
+
   /** Planted multi-script sentences (no apostrophes — they ride inside
     * single-quoted SQL literals verbatim) keyed by `doc_id % 28` bucket:
     * the CJK/Thai/Cyrillic/… fixtures the script-aware operators are
@@ -879,38 +912,6 @@ object LlmOpsQueries extends QueryModule {
     // oracle replays the whole loop: histograms, smoothed PSI, BOTH
     // per-source threshold fits, and the selection.
     q("q_x_gate_refit", {
-      def gateBySourceSql(rel: String, p: String): String = {
-        def hist(tag: String, c: String, g: Long) =
-          s"b$tag$p AS (SELECT source, least(greatest($c, 0) // $g, 255) AS idx, count(*) AS cnt FROM s$p GROUP BY 1, 2), " +
-            s"c$tag$p AS (SELECT source, idx, sum(cnt) OVER (PARTITION BY source ORDER BY idx) AS cum FROM b$tag$p)"
-        def qcte(tag: String, name: String, pct: Int, g: Long) =
-          s"q$name$p AS (SELECT c.source, min(CASE WHEN cum >= (n_docs - 1) * $pct // 100 + 1 THEN idx * $g END) AS v " +
-            s"FROM c$tag$p c JOIN n$p USING (source) GROUP BY 1)"
-        s"t$p AS (SELECT doc_id, text, source, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $rel), " +
-          s"g$p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t$p WHERE len(toks) >= 2), " +
-          s"pg$p AS (SELECT doc_id, gram, count(*) AS cnt FROM g$p GROUP BY 1, 2), " +
-          s"agg$p AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pg$p GROUP BY 1), " +
-          s"m$p AS (SELECT t.source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-          "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
-          "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
-          s"coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac FROM t$p t LEFT JOIN agg$p a ON a.doc_id = t.doc_id), " +
-          s"s$p AS (SELECT source, n_tokens, CAST(floor(avg_token_len * 1000000 + 0.5) AS BIGINT) AS atl, " +
-          "CAST(floor(type_token_ratio * 1000000 + 0.5) AS BIGINT) AS ttr, " +
-          s"CAST(floor(dup_gram_char_frac * 1000000 + 0.5) AS BIGINT) AS dgf FROM m$p), " +
-          s"n$p AS (SELECT source, count(*) AS n_docs FROM s$p GROUP BY 1), " +
-          hist("nt", "n_tokens", 16) + ", " + hist("atl", "atl", 65536L) + ", " +
-          hist("ttr", "ttr", 4096L) + ", " + hist("dgf", "dgf", 4096L) + ", " +
-          qcte("nt", "nt5", 5, 16) + ", " + qcte("nt", "nt99", 99, 16) + ", " +
-          qcte("atl", "atl95", 95, 65536L) + ", " + qcte("ttr", "ttr5", 5, 4096L) + ", " +
-          qcte("dgf", "dgf95", 95, 4096L) + ", " +
-          s"thr$p AS (SELECT n$p.source, CAST(n_docs AS BIGINT) AS n_docs, " +
-          s"CAST(qnt5$p.v AS BIGINT) AS min_tokens, CAST(qnt99$p.v AS BIGINT) AS max_tokens, " +
-          s"round(qatl95$p.v / 1000000.0, 6) AS max_avg_token_len, " +
-          s"round(qttr5$p.v / 1000000.0, 6) AS min_type_token, " +
-          s"round(qdgf95$p.v / 1000000.0, 6) AS max_dup_gram_frac " +
-          s"FROM n$p JOIN qnt5$p USING (source) JOIN qnt99$p USING (source) " +
-          s"JOIN qatl95$p USING (source) JOIN qttr5$p USING (source) JOIN qdgf95$p USING (source))"
-      }
       "WITH refd AS (SELECT doc_id, text, source FROM documents WHERE (doc_id // 20) % 2 = 0), " +
         "curd AS (SELECT doc_id, CASE WHEN source IN ('src0', 'src1', 'src2') THEN substr(text, 1, 12) ELSE text END AS text, source FROM documents WHERE (doc_id // 20) % 2 = 1), " +
         "ba AS (SELECT source, least(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 0) // 16, 255) AS bin FROM refd), " +
@@ -3180,6 +3181,42 @@ object LlmOpsQueries extends QueryModule {
             .bitwiseXOR(col("doc_id") % 8).as("ahash"))
       Multimodal.hashBandedPairs(sigs, maxHamming = 5)
         .orderBy("id_a", "id_b")
+    },
+    // the fitted gate APPLIED (the other half of q_x_gate_refit, which
+    // only fits): per-source thresholds fitted on the even half are run
+    // against the odd half (src0-2 docs truncated so too_short fires);
+    // every metric, the per-source threshold join and the fitted CASE —
+    // including the no-thresholds-row → keep opt-in contract — replay.
+    q("q_x_gate_fitted_apply", {
+      "WITH refd AS (SELECT doc_id, text, source FROM documents WHERE (doc_id // 20) % 2 = 0), " +
+        "curd AS (SELECT doc_id, CASE WHEN source IN ('src0', 'src1', 'src2') THEN substr(text, 1, 12) ELSE text END AS text, source FROM documents WHERE (doc_id // 20) % 2 = 1), " +
+        gateBySourceSql("refd", "R") + ", " +
+        "tX AS (SELECT doc_id, text, source, CAST(length(trim(text)) AS BIGINT) AS n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks FROM curd), " +
+        "gX AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tX WHERE len(toks) >= 2), " +
+        "pgX AS (SELECT doc_id, gram, count(*) AS cnt FROM gX GROUP BY 1, 2), " +
+        "aggX AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars FROM pgX GROUP BY 1), " +
+        "mX AS (SELECT t.doc_id AS doc, t.source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len, " +
+        "round(CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks), 6) AS type_token_ratio, " +
+        "coalesce(round(CAST(a.dup_chars AS DOUBLE) / t.n_chars, 6), 0) AS dup_gram_char_frac " +
+        "FROM tX t LEFT JOIN aggX a ON a.doc_id = t.doc_id), " +
+        "v AS (SELECT m.doc, m.source, m.n_tokens, m.avg_token_len, m.type_token_ratio, m.dup_gram_char_frac, " +
+        "CASE WHEN m.n_tokens < t.min_tokens THEN 'too_short' WHEN m.n_tokens > t.max_tokens THEN 'too_long' " +
+        "WHEN m.avg_token_len > t.max_avg_token_len THEN 'long_tokens' " +
+        "WHEN m.type_token_ratio < t.min_type_token THEN 'low_diversity' " +
+        "WHEN m.dup_gram_char_frac > t.max_dup_gram_frac THEN 'repetitive' ELSE 'keep' END AS reason " +
+        "FROM mX m LEFT JOIN thrR t USING (source)) " +
+        "SELECT *, reason = 'keep' AS keep FROM v ORDER BY doc"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val refDocs = docs.filter(expr("(doc_id div 20) % 2 = 0"))
+      val curDocs = docs.filter(expr("(doc_id div 20) % 2 = 1"))
+        .withColumn("text",
+          when(col("source").isin("src0", "src1", "src2"),
+            expr("substring(text, 1, 12)")).otherwise(col("text")))
+      val thr = TextAnalysis.gateThresholdsBySource(refDocs, "doc_id", "text", "source")
+      TextAnalysis.qualityGateFitted(curDocs, "doc_id", "text", "source", thr)
+        .orderBy("doc")
     }
   )
 }

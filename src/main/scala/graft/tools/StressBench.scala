@@ -148,7 +148,10 @@ object StressBench {
     "q_x_warc_interop", "q_x_warc_front_door",
     // audio envelope banding rides the shared hashBandedPairs machinery —
     // the stress row watches the same banded-join scaling as the image lane.
-    "q_x_multimodal_audio_pairs")
+    "q_x_multimodal_audio_pairs",
+    // fitted-gate application: one gate-metric pass + a sources-sized
+    // broadcast threshold join — must track the gate_thresholds line.
+    "q_x_gate_fitted_apply")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

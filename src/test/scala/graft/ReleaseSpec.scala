@@ -82,5 +82,49 @@ class ReleaseSpec extends SparkTestBase {
     val card = spark.read.parquet(s"$dir/_card")
     assert(card.select("source").collect().map(_.getString(0)).toSet ===
       Set("s0", "s1", "s2", "s3"))
+
+    // attrition sidecar: the per-(source, stage) roll-up agrees with the
+    // ledger row for row — every planted pathology shows up as its
+    // source's stage line, doc counts sum to the corpus.
+    val attr = spark.read.parquet(s"$dir/_attrition")
+    def attrDocs(src: String, stage: String): Long =
+      attr.filter(col("source") === src && col("stage") === stage)
+        .select("n_docs").collect().map(_.getLong(0)).sum
+    assert(attrDocs("badsrc", "blocked_source") === 1L)
+    assert(attrDocs("s1", "exact_dup") === 1L)
+    assert(attrDocs("s2", "contaminated") === 1L)
+    assert(attr.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    assert(attr.filter(col("stage") === "kept")
+      .agg(sum("n_docs")).head().getLong(0) === keptIds.size.toLong)
+  }
+
+  test("release with pre-fit gate thresholds: the drifted source runs its fitted gate, others keep") {
+    import spark.implicits._
+    // sA docs are 8 tokens, sB docs 20 tokens; every doc passes the
+    // default scalar gate. Fitted thresholds for sB alone cap max_tokens
+    // at 10 -> the whole of sB drops as quality/too_long while sA (no
+    // thresholds row: per-source opt-in) is untouched.
+    def t(i: Int, n: Int) = (0 until n).map(k => s"w${(i * 7 + k * 3) % 23}x$k").mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, t(i, 8), "sA")) ++
+      (100 until 120).map(i => (i.toLong, t(i, 20), "sB"))).toDF("doc_id", "text", "source")
+    val bench = Seq((1L, "nothing shared here at all ok")).toDF("doc_id", "text")
+    val none = Seq.empty[String].toDF("src")
+    val thr = Seq(("sB", 2L, 10L, 99.0, 0.0, 1.0))
+      .toDF("source", "min_tokens", "max_tokens", "max_avg_token_len",
+        "min_type_token", "max_dup_gram_frac")
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_fit").toString
+    Release.release(docs, "doc_id", "text", "source", bench, none, dir,
+      quota = 1000, shards = 1, gateThresholds = Some(thr))
+    val ledger = spark.read.parquet(s"$dir/_ledger")
+    val byStage = ledger.groupBy("source", "stage").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byStage(("sB", "quality")) === 20L, s"fitted gate must drop sB: $byStage")
+    assert(byStage(("sA", "kept")) === 20L, "unfitted source keeps (opt-in contract)")
+    assert(ledger.filter(col("source") === "sB")
+      .select("quality_reason").collect().forall(_.getString(0) === "too_long"))
+    // the attrition sidecar reports the drop where governance looks for it
+    val attr = spark.read.parquet(s"$dir/_attrition")
+    assert(attr.filter(col("source") === "sB" && col("stage") === "quality")
+      .head().getAs[Long]("n_docs") === 20L)
   }
 }
