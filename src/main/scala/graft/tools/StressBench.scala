@@ -151,7 +151,10 @@ object StressBench {
     "q_x_multimodal_audio_pairs",
     // fitted-gate application: one gate-metric pass + a sources-sized
     // broadcast threshold join — must track the gate_thresholds line.
-    "q_x_gate_fitted_apply")
+    "q_x_gate_fitted_apply",
+    // langid→mixture composition: the langid projection + a strata-sized
+    // plan + one hash-bucket sampling pass — linear like source_mix.
+    "q_x_mixture_by_langid")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
