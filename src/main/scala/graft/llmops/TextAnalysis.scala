@@ -293,6 +293,44 @@ object TextAnalysis {
     regexp_replace(noP443, "/$", "")
   }
 
+  /** Domain-blocklist filtering — the C4/RefinedWeb "bad domains"
+    * curation step ([[graft.llmops.Curation]]'s source blocklist, at URL
+    * granularity): a URL is blocked when its host OR ANY PARENT DOMAIN
+    * is listed — blocking `spam.test` must catch `cdn.eu.spam.test`
+    * (exact-host matching misses the crawl's subdomain farms), while
+    * `spamtest.org` must NOT match (label-suffix, never substring).
+    *
+    * Suffix matching stays an EQUI-join: each host explodes into its
+    * label suffixes (`a.b.spam.test` → a.b.spam.test, b.spam.test,
+    * spam.test, test), the blocklist broadcasts, longest matched suffix
+    * wins as `blocked_by`. The explode is capped at the `maxLabels`
+    * SHORTEST suffixes (from the tail — blocklists list short domains,
+    * and an adversarial 1000-label host must not 1000× its rows);
+    * blocklist entries with more than `maxLabels` labels never match,
+    * stated. Returns df + (host, blocked, blocked_by — null when kept).
+    * Unparseable URLs keep (the empty host has no dotted labels matching
+    * any listed domain).
+    */
+  def hostBlocklist(df: DataFrame, idCol: String, urlCol: String,
+      blocked: DataFrame, maxLabels: Int = 8): DataFrame = {
+    val base = df.withColumn("host", urlHost(col(urlCol)))
+    val labels = split(col("host"), "\\.")
+    val sfx = base.select(col(idCol).as("__doc"), explode(
+        transform(
+          sequence(greatest(lit(1), size(labels) - (maxLabels - 1)), size(labels)),
+          i => array_join(slice(labels, i, size(labels)), ".")))
+      .as("__sfx"))
+    val b = broadcast(blocked
+      .select(lower(col(blocked.columns.head).cast("string")).as("__b")).distinct())
+    val hits = sfx.join(b, col("__sfx") === col("__b"))
+      .groupBy("__doc")
+      .agg(max(struct(length(col("__sfx")).as("l"), col("__sfx").as("s"))).as("__m"))
+      .select(col("__doc"), col("__m.s").as("blocked_by"))
+    base.join(hits, base(idCol) === hits("__doc"), "left")
+      .drop("__doc")
+      .withColumn("blocked", col("blocked_by").isNotNull)
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * local fingerprinting scheme): hash every token k-gram, slide a
     * w-gram window, and select each window's minimum hash (ties → the
@@ -846,10 +884,11 @@ object TextAnalysis {
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
       reference: Option[DataFrame] = None,
-      refTextCol: String = "text"): DataFrame = {
+      refTextCol: String = "text",
+      tokens: Column => Column = wsTokens): DataFrame = {
     def gramRows(f: DataFrame, tcol: String, keep: Seq[Column],
         keepNames: Seq[String]): DataFrame =
-      f.select(keep :+ wsTokens(lower(col(tcol))).as("__toks"): _*)
+      f.select(keep :+ tokens(lower(col(tcol))).as("__toks"): _*)
         .filter(size(col("__toks")) >= 2)
         .select(keepNames.map(col) :+ posexplode(expr(
           "transform(sequence(0, size(__toks) - 2), i -> struct(__toks[i] as w1, concat(__toks[i], ' ', __toks[i + 1]) as gram))"))
@@ -860,7 +899,7 @@ object TextAnalysis {
     val refGrams = gramRows(refDf, refTextCol, Nil, Nil)
     val cb = refGrams.groupBy("gram").agg(count(lit(1)).as("cb"))
     val cu = refDf
-      .select(explode(wsTokens(lower(col(refTextCol)))).as("w1"))
+      .select(explode(tokens(lower(col(refTextCol)))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
     val v = broadcast(cu.agg(count(lit(1)).as("v_distinct")))
     gramRows(df, textCol, Seq(col(idCol).as("doc")), Seq("doc"))

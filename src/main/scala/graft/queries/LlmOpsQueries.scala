@@ -3250,6 +3250,43 @@ object LlmOpsQueries extends QueryModule {
         .select(plan("stratum").as("lang"), col("c"), col("target"),
           col("keep_bps"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("lang")
+    },
+    // domain blocklist (the C4/RefinedWeb bad-domains step): host-suffix
+    // EQUI-join over planted URLs — a listed parent domain catches its
+    // subdomain farm (sub.ads.example.net), a lookalike host
+    // (spamtest.org) does NOT match (label-suffix, never substring), the
+    // longest matched suffix reports as blocked_by. The oracle replays
+    // host extraction, the tail-capped suffix explode and the argmax.
+    q("q_x_url_host_blocklist", {
+      val urlCase = "CASE WHEN doc_id % 5 = 0 THEN 'https://cdn.' || source || '.spam.test/page/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN doc_id % 5 = 1 THEN 'https://ads.example.net/x' " +
+        "WHEN doc_id % 5 = 2 THEN 'https://sub.ads.example.net/y?q=1' " +
+        "WHEN doc_id % 5 = 3 THEN 'https://good.example.org/' || source " +
+        "ELSE 'https://spamtest.org/z' END"
+      s"WITH u AS (SELECT doc_id AS doc, $urlCase AS url FROM documents), " +
+        "h AS (SELECT doc, url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host FROM u), " +
+        "bl AS (SELECT * FROM (VALUES ('spam.test'), ('ads.example.net')) v(b)), " +
+        "sx AS (SELECT doc, unnest(list_transform(generate_series(greatest(1, len(labels) - 7), len(labels)), i -> array_to_string(list_slice(labels, i, len(labels)), '.'))) AS sfx " +
+        "FROM (SELECT doc, string_split(host, '.') AS labels FROM h)), " +
+        "hits AS (SELECT doc, arg_max(sfx, length(sfx)) AS blocked_by FROM sx JOIN bl ON sx.sfx = bl.b GROUP BY doc) " +
+        "SELECT h.doc, h.host, (t.blocked_by IS NOT NULL) AS blocked, t.blocked_by " +
+        "FROM h LEFT JOIN hits t USING (doc) ORDER BY doc"
+    }) { (s, d) =>
+      import s.implicits._
+      val urls = when(col("doc_id") % 5 === 0,
+          concat(lit("https://cdn."), col("source"), lit(".spam.test/page/"),
+            col("doc_id").cast("string")))
+        .when(col("doc_id") % 5 === 1, lit("https://ads.example.net/x"))
+        .when(col("doc_id") % 5 === 2, lit("https://sub.ads.example.net/y?q=1"))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://good.example.org/"), col("source")))
+        .otherwise(lit("https://spamtest.org/z"))
+      val blocked = Seq("spam.test", "ads.example.net").toDF("domain")
+      TextAnalysis.hostBlocklist(
+          Tables.documents(s, d).select(col("doc_id").as("doc"), urls.as("url")),
+          "doc", "url", blocked)
+        .select("doc", "host", "blocked", "blocked_by")
+        .orderBy("doc")
     }
   )
 }

@@ -154,7 +154,9 @@ object StressBench {
     "q_x_gate_fitted_apply",
     // langid→mixture composition: the langid projection + a strata-sized
     // plan + one hash-bucket sampling pass — linear like source_mix.
-    "q_x_mixture_by_langid")
+    "q_x_mixture_by_langid",
+    // domain blocklist: ≤8-suffix explode + broadcast equi-join — linear.
+    "q_x_url_host_blocklist")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

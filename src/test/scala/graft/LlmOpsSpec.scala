@@ -1871,4 +1871,34 @@ class LlmOpsSpec extends SparkTestBase {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
   }
+  test("hostBlocklist: parent-domain suffix matching, lookalike miss, label cap, unparseable keeps") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    val deep = "https://" + ("x." * 40) + "spam.test/deep" // 42 labels: spam.test beyond the 8-suffix tail? no - tail keeps the SHORTEST 8 suffixes, spam.test is among them
+    val urls = Seq(
+      (0L, "https://cdn.eu.spam.test/a"),        // parent domain listed
+      (1L, "https://spamtest.org/b"),            // lookalike: label-suffix only
+      (2L, "https://ADS.Example.NET/c"),         // case-insensitive host
+      (3L, "not a url at all"),                  // unparseable -> keeps
+      (4L, deep),                                // adversarial label farm
+      (5L, "https://deep.block.spam.test/e")     // two listed suffixes: longest wins
+    ).toDF("doc", "url")
+    val blocked = Seq("spam.test", "ads.example.net", "block.spam.test").toDF("d")
+    val r = TextAnalysis.hostBlocklist(urls, "doc", "url", blocked)
+      .select("doc", "blocked", "blocked_by").collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(1), x.getString(2))).toMap
+    assert(r(0L) === ((true, "spam.test")))
+    assert(r(1L) === ((false, null)))
+    assert(r(2L) === ((true, "ads.example.net")))
+    assert(r(3L) === ((false, null)))
+    assert(r(4L) === ((true, "spam.test")), "tail-capped explode still sees short listed domains")
+    assert(r(5L) === ((true, "block.spam.test")), "longest matched suffix reports")
+    // the cap bounds the explode: a 42-label host contributes <= 8 suffix rows
+    val nSfx = urls.filter(col("doc") === 4L)
+      .select(explode(transform(
+        sequence(greatest(lit(1), size(split(TextAnalysis.urlHost(col("url")), "\\.")) - 7),
+          size(split(TextAnalysis.urlHost(col("url")), "\\."))),
+        i => i))).count()
+    assert(nSfx === 8L)
+  }
 }
