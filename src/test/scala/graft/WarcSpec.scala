@@ -155,4 +155,51 @@ class WarcSpec extends SparkTestBase {
     runOnce()
     assert(got.toSet === (0 until 12).map(i => s"https://ex.test/$i").toSet)
   }
+
+  test("streaming front door composed: landed crawl responses -> HTTP body -> stripHtml -> quality gauges") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    val land = Files.createTempDirectory("warc-front-land").toString
+    def drop(tag: String, ids: Range): Unit = {
+      val tmp = Files.createTempDirectory("warc-front-drop").toString
+      val docs = ids.map { i =>
+        val words = (0 until 10).map(k => s"w${(i + k) % 7}token$k").mkString(" ")
+        (s"https://ex.test/$i",
+          s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>$words</p></body></html>")
+      }.toDF("uri", "payload")
+      Warc.write(docs, col("uri"), col("payload"), tmp, shards = 1,
+        warcType = lit("response"),
+        contentType = lit("application/http;msgtype=response"))
+      Files.move(Paths.get(tmp, "part-00000.warc.gz"),
+        Paths.get(land, s"drop-$tag.warc.gz"))
+    }
+    drop("a", 0 until 6)
+    val ckpt = Files.createTempDirectory("warc-front-ckpt").toString
+    val tokens = new java.util.concurrent.atomic.AtomicLong(0)
+    val docsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Unit = {
+      val q = Warc.readStream(spark, land).writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val clean = batch.where(col("ok")).select(
+            col("target_uri").as("doc"),
+            TextAnalysis.stripHtml(Warc.httpBodyText(col("payload"))).as("text"))
+          val agg = TextAnalysis.withQuality(clean, "text")
+            .agg(count(lit(1)), sum("n_tokens")).head()
+          docsSeen.addAndGet(agg.getLong(0))
+          if (!agg.isNullAt(1)) tokens.addAndGet(agg.getLong(1))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(docsSeen.get() === 6L && tokens.get() === 60L)
+    drop("b", 6 until 10) // the next crawl batch lands
+    runOnce()
+    assert(docsSeen.get() === 10L && tokens.get() === 100L,
+      "each landed shard contributes exactly its stripped-token mass once")
+  }
 }
