@@ -727,15 +727,33 @@ object Dedup {
     * (default newline).
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      minDf: Long = 3, delim: String = "\n"): DataFrame = {
+      minDf: Long = 3, delim: String = "\n"): DataFrame =
+    dedupLinesGrouped(df, idCol, textCol, None, minDf, delim)
+
+  /** [[dedupLines]] scoped PER GROUP (pass the host/site column) — the
+    * RefinedWeb-style boilerplate rule: a nav bar on every page of ONE
+    * site is boilerplate even when it is globally rare, and a line that
+    * happens to recur across unrelated sites (a common quote) is NOT —
+    * so the df count and the deletion both key on (group, line). Same
+    * row shape out; the hot set is (group, h)-keyed and the anti-join
+    * becomes a two-key equi-join — still never corpus-quadratic.
+    */
+  def dedupLinesBy(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDf: Long = 3, delim: String = "\n"): DataFrame =
+    dedupLinesGrouped(df, idCol, textCol, Some(groupCol), minDf, delim)
+
+  private def dedupLinesGrouped(df: DataFrame, idCol: String, textCol: String,
+      groupCol: Option[String], minDf: Long, delim: String): DataFrame = {
     require(minDf >= 2)
-    val lines = df.select(col(idCol).as("doc"),
+    val gkey = groupCol.map(g => lower(coalesce(col(g).cast("string"), lit(""))))
+      .getOrElse(lit(""))
+    val lines = df.select(col(idCol).as("doc"), gkey.as("__g"),
         posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
       .withColumn("h", PortableHash.hash52(col("line")))
-    val hot = lines.select("doc", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf).select("h")
-    val kept = lines.join(hot, Seq("h"), "left_anti")
+    val hot = lines.select("doc", "__g", "h").distinct()
+      .groupBy("__g", "h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__g", "h")
+    val kept = lines.join(hot, Seq("__g", "h"), "left_anti")
     val rebuilt = kept.groupBy("doc")
       .agg(count(lit(1)).as("n_lines_kept"),
         concat_ws("\n", transform(

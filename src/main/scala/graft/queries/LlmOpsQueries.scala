@@ -2788,6 +2788,32 @@ object LlmOpsQueries extends QueryModule {
       Dedup.dedupLines(aug, "doc_id", "text", minDf = 3)
         .orderBy("doc")
     },
+    // PER-SITE boilerplate removal (the RefinedWeb rule): each source's
+    // banner (df=25 within its source) is deleted, while the planted
+    // cross-source quote (~2 docs per source, 40 globally) SURVIVES —
+    // global dedup_lines at the same minDf would delete it; the fixture
+    // proves the grouping is load-bearing, and the oracle replays the
+    // (source, line-hash) df count and two-key anti-join.
+    q("q_x_dedup_lines_host", {
+      val h = graft.llmops.PortableHash.duckHash52("line")
+      "WITH aug AS (SELECT doc_id, source, 'banner of ' || source || chr(10) || text || " +
+        "CASE WHEN (doc_id // 20) % 13 = 0 THEN chr(10) || 'globally common quote' ELSE '' END AS text FROM documents), " +
+        "l AS (SELECT doc_id, source, generate_subscripts(ln, 1) AS pos, unnest(ln) AS line FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ln FROM aug) s0), " +
+        s"lh AS (SELECT doc_id, source, pos, line, $h AS h FROM l), " +
+        "hot AS (SELECT source, h FROM (SELECT DISTINCT doc_id, source, h FROM lh) dl GROUP BY source, h HAVING count(*) >= 3), " +
+        "k AS (SELECT lh.doc_id, lh.pos, lh.line FROM lh LEFT JOIN hot ON hot.source = lh.source AND hot.h = lh.h WHERE hot.h IS NULL), " +
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY 1) " +
+        "SELECT a.doc_id AS doc, coalesce(r.clean_text, '') AS clean_text, coalesce(r.n_lines_kept, 0) AS n_lines_kept, " +
+        "CAST(len(string_split(a.text, chr(10))) - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed " +
+        "FROM aug a LEFT JOIN r ON r.doc_id = a.doc_id ORDER BY doc"
+    }) { (s, d) =>
+      val aug = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(lit("banner of "), col("source"), lit("\n"), col("text"),
+          when(expr("(doc_id div 20) % 13 = 0"), "\nglobally common quote")
+            .otherwise("")).as("text"))
+      Dedup.dedupLinesBy(aug, "doc_id", "text", "source", minDf = 3)
+        .orderBy("doc")
+    },
     // shard release manifest over the token-budget shards: exact per-shard
     // doc/token counts + the order-invariant xor-of-hash52("id:text")
     // content checksum — the audit table a corpus release ships with.

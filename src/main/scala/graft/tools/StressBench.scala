@@ -156,7 +156,10 @@ object StressBench {
     // plan + one hash-bucket sampling pass — linear like source_mix.
     "q_x_mixture_by_langid",
     // domain blocklist: ≤8-suffix explode + broadcast equi-join — linear.
-    "q_x_url_host_blocklist")
+    "q_x_url_host_blocklist",
+    // per-site boilerplate: (group, line-hash) df count + two-key
+    // anti-join — tracks the global dedup_lines line.
+    "q_x_dedup_lines_host")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
