@@ -3102,8 +3102,12 @@ object LlmOpsQueries extends QueryModule {
       val aug = ngramAug.foldRight(col("text")) { case ((k, t), acc) =>
         when(col("doc_id") % 12 === k, lit(t)).otherwise(acc)
       }
+      // explicit-count repartition: the per-char gram explode otherwise
+      // inherits the scan's one-file partitioning and builds the whole
+      // gram stream on a single core (the mixture_by_langid lesson).
       TextAnalysis.langIdByNgram(
-          Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text"))
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
           "doc_id", "text", profiles, n = 3, maxChars = 1000)
         .orderBy("doc")
     },
