@@ -358,10 +358,30 @@ object Corpus {
     * shuffled and the plan table broadcasts.
     */
   def temperatureMixPlan(df: DataFrame, stratumCol: Column,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    temperatureMixPlanOver(df, stratumCol, lit(1L), budget)
+
+  /** [[temperatureMixPlan]] with per-row WEIGHTS — the budget a training
+    * run actually allocates is TOKENS, not documents (a stratum of long
+    * documents holds more training mass per doc than a stratum of
+    * tweets; a doc-count mixture silently over-samples the short
+    * stratum). `c` becomes the stratum's total weight (token mass),
+    * `target` a token target, and `keep_bps` the keep rate that hits the
+    * token target IN EXPECTATION under the same per-key hash-bucket
+    * decision ([[mixSample]] unchanged — keep/drop stays per DOCUMENT;
+    * with weight 1 this is exactly the doc-count plan, which delegates
+    * here). Same integer/exactly-rounded-double arithmetic → the plan
+    * table stays hash-match oracle-checkable.
+    */
+  def temperatureMixPlanWeighted(df: DataFrame, stratumCol: Column,
+      weightCol: Column, budget: Long): DataFrame =
+    temperatureMixPlanOver(df, stratumCol, weightCol, budget)
+
+  private def temperatureMixPlanOver(df: DataFrame, stratumCol: Column,
+      weightCol: Column, budget: Long): DataFrame = {
     require(budget >= 0)
     val counts = df.groupBy(stratumCol.as("stratum"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(weightCol.cast("long")).as("c"))
       .withColumn("__w", floor(sqrt(col("c").cast("double")) * 1e6).cast("long"))
     val totalW = counts.agg(sum("__w").as("__tw"))
     counts.crossJoin(broadcast(totalW))

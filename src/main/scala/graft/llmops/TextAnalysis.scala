@@ -665,6 +665,33 @@ object TextAnalysis {
     }
   }
 
+  /** Per-GROUP script mix — the data-card gauge for multilingual
+    * corpora: one row per group (source/shard/day) with total letters
+    * and each script's character share. Aggregates INTEGER per-document
+    * counts and divides once (never an avg of rounded per-doc fractions
+    * — partial-agg order would flip low bits, the DECIMAL discipline),
+    * so the 6-dp result is engine-exact. Map-side-combining aggregate;
+    * nothing corpus-sized shuffles.
+    */
+  def scriptMixBySource(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(r: String): Column =
+      (length(t) - length(regexp_replace(t, s"[$r]", ""))).cast("long")
+    val agged = df.groupBy(col(groupCol).as("source"))
+      .agg(ScriptRanges.map { case (n2, r) => sum(cnt(r)).as(s"c_$n2") }.head,
+        ScriptRanges.tail.map { case (n2, r) => sum(cnt(r)).as(s"c_$n2") }: _*)
+    val nLetters = ScriptRanges.map { case (n2, _) => col(s"c_$n2") }.reduce(_ + _)
+    ScriptRanges.foldLeft(agged.withColumn("n_letters", nLetters)) {
+      case (acc, (n2, _)) =>
+        acc.withColumn(s"script_$n2",
+          when(col("n_letters") > 0,
+            round(col(s"c_$n2") / col("n_letters").cast("double"), 6))
+            .otherwise(lit(0.0)))
+    }.select(col("source") +: col("n_letters") +:
+      ScriptRanges.map { case (n2, _) => col(s"script_$n2") }: _*)
+  }
+
   /** [[LangProfiles]] plus Portuguese and Dutch — the function-word
     * fallback set for Latin-script text under [[withLangIdScript]].
     */

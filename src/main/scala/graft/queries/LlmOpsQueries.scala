@@ -2788,6 +2788,60 @@ object LlmOpsQueries extends QueryModule {
       Dedup.dedupLines(aug, "doc_id", "text", minDf = 3)
         .orderBy("doc")
     },
+    // per-source SCRIPT-MIX data card over the multi-script corpus:
+    // integer per-doc script counts summed per source, one division at
+    // the end (the DECIMAL discipline — never an avg of rounded per-doc
+    // fractions) — every \x{...} class and the share arithmetic replay.
+    q("q_x_card_script_mix", {
+      def cnt(r: String) = s"length(t) - length(regexp_replace(t, '[$r]', '', 'g'))"
+      val sums = TextAnalysis.ScriptRanges.map { case (n2, r) =>
+        s"CAST(sum(${cnt(r)}) AS BIGINT) AS c_$n2" }.mkString(", ")
+      val nl = TextAnalysis.ScriptRanges.map { case (n2, _) => s"c_$n2" }.mkString(" + ")
+      val shares = TextAnalysis.ScriptRanges.map { case (n2, _) =>
+        s"CASE WHEN n_letters > 0 THEN round(c_$n2 / CAST(n_letters AS DOUBLE), 6) ELSE 0.0 END AS script_$n2"
+      }.mkString(", ")
+      s"WITH a AS (SELECT doc_id, source, $scriptAugSql AS t FROM documents), " +
+        s"g AS (SELECT source, $sums FROM a GROUP BY 1), " +
+        s"n AS (SELECT *, $nl AS n_letters FROM g) " +
+        s"SELECT source, CAST(n_letters AS BIGINT) AS n_letters, $shares FROM n ORDER BY source"
+    }) { (s, d) =>
+      TextAnalysis.scriptMixBySource(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), scriptAugCol.as("text")),
+          "text", "source")
+        .orderBy("source")
+    },
+    // TOKEN-weighted temperature mixture: the budget a training run
+    // actually allocates is tokens — a doc-count plan over-samples the
+    // short stratum. c/target become token masses, keep stays per-doc
+    // (hash-bucket), and the kept TOKEN mass is reported against the
+    // target; every weight/target/bps step replays integer-exactly.
+    q("q_x_source_mix_tokens", {
+      val h = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR)")
+      "WITH d AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt FROM documents), " +
+        "c AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS c FROM d GROUP BY 1), " +
+        "w AS (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM c), " +
+        "t AS (SELECT lang, c, CAST(floor(30000.0 * (CAST(w AS DOUBLE) / CAST((SELECT CAST(sum(w) AS BIGINT) FROM w) AS DOUBLE))) AS BIGINT) AS target FROM w), " +
+        "p AS (SELECT lang, c, target, least(10000, CAST(floor(10000.0 * CAST(target AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT)) AS keep_bps FROM t), " +
+        s"kept AS (SELECT d.lang, d.nt FROM d JOIN p ON p.lang = d.lang WHERE $h % 10000 < p.keep_bps) " +
+        "SELECT p.lang AS lang, p.c AS c, p.target AS target, p.keep_bps AS keep_bps, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM kept k WHERE k.lang = p.lang) AS n_kept, " +
+        "(SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM kept k WHERE k.lang = p.lang) AS tokens_kept " +
+        "FROM p ORDER BY lang"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("nt", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      val plan = Corpus.temperatureMixPlanWeighted(docs, col("lang"), col("nt"),
+        budget = 30000L)
+      val kept = Corpus.mixSample(docs, col("doc_id"), col("lang"), plan)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum("nt").as("tokens_kept"))
+      plan.join(kept, plan("stratum") === kept("lang"), "left")
+        .select(plan("stratum").as("lang"), col("c"), col("target"),
+          col("keep_bps"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+        .orderBy("lang")
+    },
     // PER-SITE boilerplate removal (the RefinedWeb rule): each source's
     // banner (df=25 within its source) is deleted, while the planted
     // cross-source quote (~2 docs per source, 40 globally) SURVIVES —

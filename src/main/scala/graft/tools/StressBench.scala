@@ -159,7 +159,9 @@ object StressBench {
     "q_x_url_host_blocklist",
     // per-site boilerplate: (group, line-hash) df count + two-key
     // anti-join — tracks the global dedup_lines line.
-    "q_x_dedup_lines_host")
+    "q_x_dedup_lines_host",
+    // token-weighted mixture + script-mix card: one keyed agg each.
+    "q_x_source_mix_tokens", "q_x_card_script_mix")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
