@@ -156,6 +156,40 @@ class WarcSpec extends SparkTestBase {
     assert(got.toSet === (0 until 12).map(i => s"https://ex.test/$i").toSet)
   }
 
+  test("fuzz: arbitrary corruption never kills a read — a prefix parses, the rest quarantines") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warc-fuzz").toString
+    Warc.write((0 until 30).map(i => (s"https://ex.test/$i", s"payload body $i"))
+        .toDF("uri", "text"),
+      col("uri"), col("text"), dir, shards = 1, gzip = false)
+    val clean = Files.readAllBytes(Paths.get(dir, "part-00000.warc"))
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible fuzz
+    (0 until 60).foreach { trial =>
+      val bytes = clean.clone()
+      val mode = trial % 3
+      if (mode == 0) { // flip 1-4 random bytes
+        (0 to rnd.nextInt(4)).foreach { _ =>
+          val p = rnd.nextInt(bytes.length)
+          bytes(p) = (bytes(p) ^ (1 + rnd.nextInt(255))).toByte
+        }
+      }
+      val cut = if (mode == 1) rnd.nextInt(bytes.length) else bytes.length
+      val junk = if (mode == 2) {
+        val j = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(j); j
+      } else Array.emptyByteArray
+      val fuzzDir = Files.createTempDirectory(s"warc-fuzz-$trial").toString
+      Files.write(Paths.get(fuzzDir, "f.warc"), bytes.take(cut) ++ junk)
+      // must not throw; every emitted row is either a parsed record or a
+      // quarantine marker, and ok rows carry non-null payloads
+      val rows = Warc.read(spark, fuzzDir).collect()
+      assert(rows.forall(r =>
+        !r.getAs[Boolean]("ok") || r.getAs[Array[Byte]]("payload") != null),
+        s"trial $trial emitted an ok row without payload")
+      assert(rows.count(!_.getAs[Boolean]("ok")) <= 1,
+        s"trial $trial: parse stops at the FIRST bad record, one marker")
+    }
+  }
+
   test("streaming front door composed: landed crawl responses -> HTTP body -> stripHtml -> quality gauges") {
     import spark.implicits._
     import graft.llmops.TextAnalysis
