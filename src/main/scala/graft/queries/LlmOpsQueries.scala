@@ -540,6 +540,24 @@ object LlmOpsQueries extends QueryModule {
       "FROM c1 LEFT JOIN qg ON qg.doc = c1.doc_id)"
   }
 
+  /** Documents spread to session parallelism for the banded-signature
+    * pipelines (minhash/weighted/simhash/substring shingling and the
+    * stream variant) — they shuffle anyway, so the explicit-count
+    * repartition (AQE never coalesces those) adds nothing at deployment
+    * scale where the corpus arrives in thousands of splits, while
+    * locally the one-file scan would otherwise run the whole signature
+    * stage on a single core. MEASURED per query, not assumed: weighted
+    * 5.1→2.2 s warm, substring 2.7→1.4, simhash 2.0→1.6, stream
+    * 9.6→8.9 keep it; the curation cascade, component resolution and
+    * the small-fan queries measured neutral-to-worse (the cascade's own
+    * checkpoints already re-balance) and keep the bare table, as do the
+    * narrow scan-speed queries whose no-Exchange plan pins are the real
+    * scale property.
+    */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(
+      s.sparkContext.defaultParallelism, col("doc_id"))
+
   val queries: Seq[OracleQuery] = Seq(
     // exact dedup on raw content hash
     q("q_x_dedup_exact",
@@ -1194,7 +1212,7 @@ object LlmOpsQueries extends QueryModule {
         "SELECT da AS doc_a, db AS doc_b, CAST(a_start AS BIGINT) AS a_start, " +
         "CAST(b_start AS BIGINT) AS b_start, CAST(span_tokens AS BIGINT) AS span_tokens " +
         "FROM spans ORDER BY doc_a, doc_b, a_start, b_start") { (s, d) =>
-      Dedup.sharedSpans(Tables.documents(s, d), "doc_id", "text",
+      Dedup.sharedSpans(docsSpread(s, d), "doc_id", "text",
         width = 8, minTokens = 12, maxFpFreq = 128)
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     },
@@ -1231,7 +1249,7 @@ object LlmOpsQueries extends QueryModule {
         "CAST(len(t.toks) AS BIGINT) - coalesce(rb.n_kept, 0) AS n_removed, " +
         "coalesce(rb.cmd5, md5('')) AS clean_md5 " +
         "FROM t LEFT JOIN rb ON rb.doc = t.doc_id ORDER BY doc") { (s, d) =>
-      Dedup.removeSharedSpans(Tables.documents(s, d), "doc_id", "text",
+      Dedup.removeSharedSpans(docsSpread(s, d), "doc_id", "text",
           width = 8, minTokens = 12, maxFpFreq = 128)
         .select(col("doc"), col("n_kept"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
@@ -1276,18 +1294,18 @@ object LlmOpsQueries extends QueryModule {
     // SQL-expressible, so these carry exact DuckDB oracles; recall vs the
     // exact paths is additionally asserted in LlmOpsSpec.
     q("q_x_dedup_minhash", minHashOracleSql) { (s, d) =>
-      Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text")
+      Dedup.minHashPairs(docsSpread(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
     // weighted-Jaccard near-dup (tf capped at 3): repetition counts —
     // Σ min(tf)/Σ max(tf) via the exact capped-multiset expansion, same
     // minhash machinery over the expanded elements.
     q("q_x_dedup_minhash_weighted", weightedMinHashOracleSql) { (s, d) =>
-      Dedup.weightedMinHashPairs(Tables.documents(s, d), "doc_id", "text")
+      Dedup.weightedMinHashPairs(docsSpread(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
     q("q_x_dedup_simhash", simHashOracleSql) { (s, d) =>
-      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)
+      Dedup.simHashPairs(docsSpread(s, d), "doc_id", "text", maxHamming = 10)
         .orderBy("id_a", "id_b")
     },
     // incremental dedup: a NEW batch (odd ids) probes the EXISTING corpus
@@ -1497,7 +1515,7 @@ object LlmOpsQueries extends QueryModule {
         "SELECT doc_id AS doc, CAST(1 AS BIGINT) AS day, md5(text) AS content_md5 FROM s1 " +
         "UNION ALL SELECT doc_id, 2, md5(text) FROM s2 ORDER BY doc"
     }) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = docsSpread(s, d)
       val day1 = Dedup.incrementalDedupStep(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         Dedup.portableShingleRows(docs.limit(0), "doc_id", "text", 3),
