@@ -175,16 +175,34 @@ object Corpus {
     * Java-regex/RE2-common subset (no lookbehind), replicated verbatim by
     * the SQL oracle; per-doc windows only — documents are bounded, the
     * corpus never funnels through a global window.
+    *
+    * `cjkAware = true` adds the non-Latin half of the contract: a
+    * boundary ALSO falls after the fullwidth terminators 。！？ with no
+    * whitespace requirement (CJK prose has none — without this a Chinese
+    * document is ONE sentence and the chunker degenerates to whole-doc
+    * units), empty segments from a terminator at end-of-string are
+    * dropped (`start_sent` still indexes the original split positions),
+    * and the token budget is gauged in [[TextAnalysis.scriptTokens]]
+    * units so a per-char CJK sentence weighs its character count, not 1.
+    * Latin documents behave identically in both modes.
     */
   def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, keepText: Boolean = false): DataFrame = {
+      budget: Long, keepText: Boolean = false,
+      cjkAware: Boolean = false): DataFrame = {
     require(budget >= 1)
     val sep = "\u0001"
-    val sents = split(
-      regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep), sep)
-    val exploded = df
+    val base = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep)
+    val marked =
+      if (cjkAware) regexp_replace(base, "([。！？])", "$1" + sep) else base
+    val sents = split(marked, sep)
+    val explodedAll = df
       .select(col(idCol).as("doc"), posexplode(sents).as(Seq("pos", "sent")))
-      .withColumn("ntok", size(split(trim(col("sent")), "\\s+")).cast("long"))
+    val kept =
+      if (cjkAware) explodedAll.filter(trim(col("sent")) =!= "") else explodedAll
+    val ntok =
+      if (cjkAware) size(TextAnalysis.scriptTokens(col("sent"))).cast("long")
+      else size(split(trim(col("sent")), "\\s+")).cast("long")
+    val exploded = kept.withColumn("ntok", ntok)
     val w = Window.partitionBy("doc").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val chunked = exploded

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{OracleQuery, QueryModule, Tables}
-import graft.llmops.{Bpe, Corpus, Dedup, FuzzyMatch, Multimodal, Similarity, TextAnalysis}
+import graft.llmops.{Bpe, Classify, Corpus, Dedup, FuzzyMatch, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -3403,6 +3403,191 @@ object LlmOpsQueries extends QueryModule {
           "doc", "url", blocked)
         .select("doc", "host", "blocked", "blocked_by")
         .orderBy("doc")
+    },
+
+    // Trainable quality classifier (the fastText-filter role): hashed
+    // bag-of-words features, 3 batch-perceptron rounds on a labeled
+    // quarter of the corpus ((doc_id // 20) % 4 = 0 — within-source
+    // variation, so every source appears in training), then corpus-wide
+    // margins. The synthetic corpus draws every doc from ONE shared
+    // ~30-word vocabulary, so class-correlated vocabulary is PLANTED
+    // (marker tails on the label split — without them no linear
+    // bag-of-words model can separate anything here). All-integer
+    // updates replay as an unrolled WITH chain: round 1 from w = 0 is
+    // the class-difference vector; rounds 2-3 find ZERO misclassified
+    // (the markers separate immediately) and exercise the fixed-point
+    // path — margins split cleanly positive/negative by class.
+    q("q_x_quality_classifier", perceptronSql(dim = 1024, rounds = 3)) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 20 < 10, lit(GoodMark))
+          .otherwise(lit(BadMark))).as("text"))
+      val feats = Classify.hashedFeatures(docs, "doc_id", "text", dim = 1024)
+      val labels = docs.filter(expr("(doc_id div 20) % 4 = 0"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 < 10, lit(1L)).otherwise(lit(-1L)).as("label"))
+      val w = Classify.trainPerceptron(feats, labels, "doc_id", rounds = 3)
+      Classify.scorePerceptron(docs, feats, w, "doc_id").orderBy("doc_id")
+    },
+
+    // CJK-aware sentence chunking: fullwidth terminators 。！？ split
+    // with no whitespace requirement, end-of-string empties drop, and
+    // the chunk budget is gauged in scriptTokens units (a per-char CJK
+    // sentence weighs its characters). Two planted CJK paragraphs ride
+    // the corpus; every Latin document replays the [.!?]\s+ path
+    // identically through the same cjkAware operator.
+    q("q_x_sentence_chunks_cjk", {
+      val ns = TextAnalysis.NoSpaceScriptRanges
+      "WITH a AS (SELECT doc_id, CASE WHEN doc_id % 28 = 0 THEN '" + CjkPara0 +
+        "' WHEN doc_id % 28 = 1 THEN '" + CjkPara1 + "' ELSE text END AS t FROM documents), " +
+        "t AS (SELECT doc_id, str_split(regexp_replace(regexp_replace(trim(t), '([.!?])\\s+', '\\1' || chr(1), 'g'), '([。！？])', '\\1' || chr(1), 'g'), chr(1)) AS sents FROM a), " +
+        "s AS (SELECT doc_id, generate_subscripts(sents, 1) AS pos, unnest(sents) AS sent FROM t), " +
+        "f AS (SELECT * FROM s WHERE trim(sent) <> ''), " +
+        s"n AS (SELECT doc_id, pos, sent, CAST(len(regexp_extract_all(sent, '[$ns]|[^\\s$ns]+')) AS BIGINT) AS ntok FROM f), " +
+        "c AS (SELECT doc_id, pos, sent, ntok, CAST(coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 40 AS BIGINT) AS chunk FROM n) " +
+        "SELECT doc_id AS doc, chunk, CAST(min(pos) AS BIGINT) AS start_sent, " +
+        "CAST(count(*) AS BIGINT) AS n_sentences, CAST(sum(ntok) AS BIGINT) AS n_chunk_tokens, " +
+        "md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5 " +
+        "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 28 === 0, lit(CjkPara0))
+          .when(col("doc_id") % 28 === 1, lit(CjkPara1))
+          .otherwise(col("text")).as("text"))
+      Corpus.sentenceChunks(docs, "doc_id", "text", budget = 40, cjkAware = true)
+        .orderBy("doc", "chunk")
+    },
+
+    // Gate distillation (the FineWeb-Edu pattern at heuristic scale):
+    // the EXPENSIVE labeler — here the bigram-repetition quality gate —
+    // labels only the even half; the AVERAGED perceptron distills those
+    // labels into a linear model; the held-out odd half gets the CHEAP
+    // classifier and the confusion matrix vs the gate's own verdict
+    // measures the transfer. A planted spam-farm stratum (doc_id % 5 =
+    // 2 — both parities — repetitive, low-TTR, distinctive vocabulary)
+    // is the LEARNABLE part of the reject class; the rest of the
+    // synthetic corpus shares one vocabulary, so its gate verdicts are
+    // bag-of-words-inseparable by construction and fall to the majority
+    // side. Expected shape: every planted spam doc rejected, natural
+    // rejects majority-keep. The averaged weights matter: the final
+    // round's weights ALTERNATE all-reject/learned by round parity on
+    // this non-separable data, the round-sum is stable. At 100 TB this
+    // is the only way a costly labeler (an LLM judge, a slow heuristic
+    // cascade) reaches the whole corpus: label a slice, distill, score
+    // everything at scan speed.
+    q("q_x_classifier_distill", distillSql(dim = 1024, rounds = 6)) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 2, lit(SpamText))
+          .otherwise(col("text")).as("text"))
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      def gateLabels(df: DataFrame) =
+        TextAnalysis.qualityGate(df, "doc_id", "text",
+            minTokens = 20, maxTokens = 100000, minAvgTokenLen = 2.0,
+            maxAvgTokenLen = 5.0, minTypeToken = 0.35, maxDupGramFrac = 0.2)
+          .select(col("doc").as("doc_id"),
+            when(col("keep"), lit(1L)).otherwise(lit(-1L)).as("label"))
+      val w = Classify.trainPerceptron(
+        Classify.hashedFeatures(even, "doc_id", "text", dim = 1024),
+        gateLabels(even), "doc_id", rounds = 6, averaged = true)
+      Classify.scorePerceptron(odd,
+          Classify.hashedFeatures(odd, "doc_id", "text", dim = 1024), w, "doc_id")
+        .join(gateLabels(odd).withColumnRenamed("label", "gate_label"), "doc_id")
+        .groupBy("gate_label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("gate_label", "pred")
     }
   )
+
+  // Planted-fixture vocabulary (defs, not vals — see CjkPara note).
+  // Markers repeat 3×: a single occurrence loses to the shared-
+  // vocabulary count noise in the round-1 class-difference weights
+  // (measured: 1× diverges, 3× separates in round 1).
+  private def GoodMark =
+    " quality prose essay quality prose essay quality prose essay"
+  private def BadMark =
+    " casino jackpot spin casino jackpot spin casino jackpot spin"
+  private def SpamText =
+    "casino jackpot spin win bonus casino jackpot spin win bonus " +
+      "casino jackpot spin win bonus casino jackpot spin win bonus " +
+      "casino jackpot spin win bonus"
+
+  // defs, not vals: the query list (declared above) interpolates these
+  // into its oracle SQL at OBJECT-INIT time — a val declared below the
+  // list would still be null when the string is built.
+  private def CjkPara0 =
+    "机器学习需要大量数据。数据质量决定模型表现！为什么呢？因为训练集里的噪声会直接进入模型。所以清洗数据很重要。"
+  private def CjkPara1 =
+    "これはテストです。機械学習のデータが必要です！本当ですか？はい。データの品質が大切です。"
+
+  /** DuckDB replay of the batch-perceptron training loop, unrolled:
+    * w1 is the round-1 class-difference vector (every doc misclassified
+    * at w = 0), each subsequent round is margin → misclassified-set →
+    * per-feat delta → weight fold. Weight CTEs are MATERIALIZED (each is
+    * referenced by the next round's margin AND fold — default inlining
+    * would re-expand the whole prior chain per reference).
+    */
+  /** The w1..wN training-round CTE list (no WITH, no trailing comma),
+    * over a feature CTE `$f` (doc_id, feat, cnt) and a label CTE `$l`
+    * (doc_id, label ±1): w1 is the round-1 class-difference vector,
+    * each later round is margin → misclassified set → per-feat fold.
+    */
+  private def perceptronRoundsSql(rounds: Int, f: String, l: String,
+      averaged: Boolean = false): String = {
+    val sb = new StringBuilder
+    sb ++= s"w1 AS MATERIALIZED (SELECT feat, sum(label * cnt) AS w FROM $f JOIN $l USING (doc_id) GROUP BY 1)"
+    if (averaged) sb ++= ", ws1 AS (SELECT feat, w FROM w1)"
+    for (r <- 2 to rounds) {
+      val p = r - 1
+      sb ++= s", m$r AS (SELECT $l.doc_id, $l.label, coalesce(sum($f.cnt * w$p.w), 0) AS margin " +
+        s"FROM $l LEFT JOIN $f USING (doc_id) LEFT JOIN w$p USING (feat) GROUP BY 1, 2)"
+      sb ++= s", d$r AS (SELECT $f.feat, sum(m.label * $f.cnt) AS d FROM m$r m JOIN $f USING (doc_id) " +
+        s"WHERE m.label * m.margin <= 0 GROUP BY 1)"
+      sb ++= s", w$r AS MATERIALIZED (SELECT w$p.feat, w$p.w + coalesce(d$r.d, 0) AS w FROM w$p LEFT JOIN d$r USING (feat))"
+      if (averaged)
+        sb ++= s", ws$r AS MATERIALIZED (SELECT ws$p.feat, ws$p.w + w$r.w AS w FROM ws$p JOIN w$r USING (feat))"
+    }
+    sb.toString
+  }
+
+  private def hashedFeatSql(name: String, dim: Int, rel: String): String = {
+    val h = graft.llmops.PortableHash.duckHash52("tok")
+    s"$name AS MATERIALIZED (SELECT doc_id, $h % $dim AS feat, count(*) AS cnt FROM " +
+      s"(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM $rel) t$name " +
+      "WHERE tok <> '' GROUP BY 1, 2)"
+  }
+
+  private def perceptronSql(dim: Int, rounds: Int): String = {
+    val marked = "(SELECT doc_id, text || CASE WHEN doc_id % 20 < 10 THEN '" +
+      GoodMark + "' ELSE '" + BadMark + "' END AS text FROM documents) da"
+    "WITH " + hashedFeatSql("f", dim, marked) + ", " +
+      "l AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 20 < 10 THEN 1 ELSE -1 END AS label FROM documents WHERE (doc_id // 20) % 4 = 0), " +
+      perceptronRoundsSql(rounds, "f", "l") + ", " +
+      s"s AS (SELECT doc.doc_id, coalesce(sum(f.cnt * w$rounds.w), 0) AS margin " +
+      s"FROM documents doc LEFT JOIN f USING (doc_id) LEFT JOIN w$rounds USING (feat) GROUP BY 1) " +
+      "SELECT doc_id, CAST(margin AS BIGINT) AS margin, " +
+      "CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred FROM s ORDER BY doc_id"
+  }
+
+  /** Distillation transfer oracle: gate labels on the even half (spam
+    * stratum planted on both halves), the same unrolled training chain
+    * with the averaged-weight (ws) ladder, confusion of learned pred vs
+    * gate verdict on the held-out odd half.
+    */
+  private def distillSql(dim: Int, rounds: Int): String = {
+    def planted(parity: Int, alias: String) =
+      s"(SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN '$SpamText' ELSE text END AS text " +
+        s"FROM documents WHERE doc_id % 2 = $parity) $alias"
+    def gateLabels(name: String, parity: Int) =
+      s"$name AS MATERIALIZED (SELECT doc AS doc_id, CASE WHEN keep THEN 1 ELSE -1 END AS label FROM " +
+        s"(${qualityGateSqlOver(planted(parity, s"dd$parity"))}) gg$parity)"
+    "WITH " + hashedFeatSql("f", dim, planted(0, "de")) + ", " +
+      gateLabels("l", 0) + ", " +
+      perceptronRoundsSql(rounds, "f", "l", averaged = true) + ", " +
+      hashedFeatSql("fo", dim, planted(1, "dq")) + ", " +
+      gateLabels("lo", 1) + ", " +
+      s"sc AS (SELECT d.doc_id, coalesce(sum(fo.cnt * ws$rounds.w), 0) AS margin " +
+      s"FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d LEFT JOIN fo USING (doc_id) LEFT JOIN ws$rounds USING (feat) GROUP BY 1) " +
+      "SELECT CAST(lo.label AS BIGINT) AS gate_label, " +
+      "CAST(CASE WHEN sc.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred, " +
+      "CAST(count(*) AS BIGINT) AS n FROM sc JOIN lo USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2"
+  }
 }

@@ -161,7 +161,15 @@ object StressBench {
     // anti-join — tracks the global dedup_lines line.
     "q_x_dedup_lines_host",
     // token-weighted mixture + script-mix card: one keyed agg each.
-    "q_x_source_mix_tokens", "q_x_card_script_mix")
+    "q_x_source_mix_tokens", "q_x_card_script_mix",
+    // perceptron classifier: K bounded rounds over the labeled quarter
+    // (two linear shuffles each, dim-capped broadcast weights) + one
+    // corpus-wide scoring pass.
+    "q_x_quality_classifier",
+    // CJK sentence chunking: per-doc regexp split + bounded window.
+    "q_x_sentence_chunks_cjk",
+    // distillation: gate cascade ×2 halves + 2 training rounds.
+    "q_x_classifier_distill")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1223,6 +1223,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(totals.getLong(1) == direct.getLong(1))
   }
 
+  test("cjk-aware sentence chunking: fullwidth boundaries, script-token budget, Latin unchanged") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    // doc 1: three CJK sentences of 5 / 4 / 3 script-tokens (per-char
+    // units, terminators count as their own run token); the trailing ？
+    // at end-of-string leaves an empty segment that must DROP. budget 5:
+    // s1 (5 tok before: 0) → chunk 0, s2 (before: 5) → chunk 1, s3
+    // (before: 9) → chunk 1. doc 2: Latin text must behave exactly as
+    // the default mode.
+    val df = Seq(
+      (1L, "机器学习。数据好！为何？"),
+      (2L, "a b one. c d e two! tail here")).toDF("doc_id", "text")
+    val got = Corpus.sentenceChunks(df, "doc_id", "text", budget = 5,
+        keepText = true, cjkAware = true)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("chunk"),
+        r.getAs[Long]("start_sent"), r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text"))).toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 1L, 5L, "机器学习。"),
+      (1L, 1L, 2L, 2L, 7L, "数据好！ 为何？"),
+      (2L, 0L, 1L, 2L, 7L, "a b one. c d e two!"),
+      (2L, 1L, 3L, 1L, 2L, "tail here")))
+    // default mode on the same CJK doc: one sentence, one chunk — the
+    // degeneration cjkAware exists to fix.
+    val flat = Corpus.sentenceChunks(df.filter(col("doc_id") === 1L),
+        "doc_id", "text", budget = 5)
+      .collect().map(r => (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_chunk_tokens")))
+    assert(flat.toSeq == Seq((1L, 1L)))
+  }
+
   test("quality-aware survivors keep the longest member, not the lowest id") {
     import spark.implicits._
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L)).toDF("doc_id", "n_chars")
