@@ -32,6 +32,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   train/part-NNNNN.tfrecord.gz   valid/...   test/...
   *   _ledger   _attrition   _card   _manifest   (parquet)
+  *   _classifier                    (parquet, when a classifier gates)
   * }}}
   *
   * Returns the manifest (split, n_docs, n_tokens, content_xor) — the
@@ -47,13 +48,28 @@ object Release {
     * row shape, keyed by a `source`-named column) — pass the refit output
     * here and the drifted re-release runs the re-fit gate instead of the
     * scalar constants, end to end.
+    *
+    * `classifier`: a trained [[Classify.trainPerceptron]] weight table
+    * (feat, w). When present, the release adds MODEL-BASED selection on
+    * top of the rule cascade — the FineWeb-Edu shape: the rule ledger
+    * curates, then every curation survivor is scored at scan speed
+    * ([[Classify.scorePerceptron]], `classifierDim` must match the dim
+    * the weights were trained at) and only `pred = +1` docs ship. The
+    * per-doc scores of ALL curation survivors (kept and
+    * classifier-rejected alike) land in a fifth sidecar `_classifier`
+    * (doc, margin, pred) — the governance trail for the model's
+    * verdicts, symmetric with the ledger's for the rules. The ledger
+    * itself is untouched: rule verdicts and model verdicts are separate
+    * records with separate provenance.
     */
   def release(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, bench: DataFrame, blockedSources: DataFrame,
       dir: String, quota: Int, shards: Int = 4, gzip: Boolean = true,
       splits: Seq[(String, Int)] =
         Seq("train" -> 9800, "valid" -> 100, "test" -> 100),
-      gateThresholds: Option[DataFrame] = None): DataFrame = {
+      gateThresholds: Option[DataFrame] = None,
+      classifier: Option[DataFrame] = None,
+      classifierDim: Int = 1024): DataFrame = {
     require(shards >= 1 && splits.nonEmpty)
     val led = Curation.ledger(docs, idCol, textCol, sourceCol, bench,
       blockedSources, quota, fittedThresholds = gateThresholds)
@@ -63,11 +79,20 @@ object Release {
     // roll-up — "where did this source's tokens go" ships WITH the release.
     Curation.attrition(led, docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$dir/_attrition")
-    val kept = docs
+    val survivors = docs
       .select(col(idCol).as("doc"), col(textCol).as("text"),
         col(sourceCol).as("source"))
       .join(led.filter(col("kept")).select("doc"), Seq("doc"))
       .localCheckpoint(true)
+    val kept = classifier.fold(survivors) { w =>
+      val scores = Classify.scorePerceptron(survivors,
+          Classify.hashedFeatures(survivors, "doc", "text", classifierDim),
+          w, "doc")
+        .localCheckpoint(true)
+      scores.write.mode("overwrite").parquet(s"$dir/_classifier")
+      survivors.join(scores.filter(col("pred") > 0).select("doc"), Seq("doc"))
+        .localCheckpoint(true)
+    }
     val assigned = Corpus.withSplit(kept, col("doc"), splits)
     splits.foreach { case (name, _) =>
       graft.ingest.TfRecords.writeExamples(

@@ -127,4 +127,61 @@ class ReleaseSpec extends SparkTestBase {
     assert(attr.filter(col("source") === "sB" && col("stage") === "quality")
       .head().getAs[Long]("n_docs") === 20L)
   }
+
+  test("classifier-gated release: spam the rule cascade misses is caught, _classifier sidecar records it") {
+    import graft.llmops.Classify
+    import spark.implicits._
+    // Shared-pool vocabulary (i + k² mod 23 — neighboring docs overlap
+    // ~3 of 8 tokens, far under the near-dup threshold) so the learned
+    // weights GENERALIZE to held-out docs; spam docs append a doubled
+    // marker tail that sails through every rule gate (14 tokens, TTR
+    // 0.79, dup-gram frac ~0.57 < 0.75) — exactly the doc class only a
+    // learned filter catches.
+    val pool = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi")
+    def base(i: Int) = (0 until 8).map(k => pool((i + k * k) % 23)).mkString(" ")
+    val spamTail = " casino jackpot spin casino jackpot spin"
+    val good = (0 until 20).map(i => (i.toLong, base(i), s"s${i % 2}"))
+    val spam = (100 until 106).map(i => (i.toLong, base(i % 23) + spamTail, s"s${i % 2}"))
+    val docs = (good ++ spam).toDF("doc_id", "text", "source")
+    // labels: half of each class (the slice an expensive labeler covered)
+    val labeled = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), when(col("doc_id") < 100, 1L).otherwise(-1L).as("label"))
+    val w = Classify.trainPerceptron(
+      Classify.hashedFeatures(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dim = 256),
+      labeled, "doc_id", rounds = 3, averaged = true)
+
+    val bench = Seq((1L, "nothing shared here at all ok")).toDF("doc_id", "text")
+    val none = Seq.empty[String].toDF("src")
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_clf").toString
+    val manifest = Release.release(docs, "doc_id", "text", "source", bench,
+      none, dir, quota = 1000, shards = 1,
+      classifier = Some(w), classifierDim = 256)
+
+    // the rule cascade keeps everything — spam passes every gate
+    val ledger = spark.read.parquet(s"$dir/_ledger")
+    assert(ledger.filter(col("kept")).count() === 26L,
+      "every doc must survive the rule cascade for the test to bite")
+    // the classifier sidecar scores ALL rule survivors; every spam doc
+    // (trained AND held-out) rejects, every good doc keeps
+    val clf = spark.read.parquet(s"$dir/_classifier")
+    assert(clf.count() === 26L)
+    val preds = clf.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (100L until 106L).foreach(i => assert(preds(i) === -1L, s"spam $i must reject"))
+    (0L until 20L).foreach(i => assert(preds(i) === 1L, s"good $i must keep"))
+    // shipped release = rule survivors minus classifier rejects
+    val m = manifest.collect().map(r =>
+      r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(m.values.sum === 20L)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType), StructField("src", StringType)))
+    val shipped = m.keys.toSeq.flatMap { s =>
+      graft.ingest.TfRecords.readExamples(spark, s"$dir/$s", schema)
+        .select("id").collect().map(_.getLong(0))
+    }.toSet
+    assert(shipped === (0L until 20L).toSet, "no spam doc ships")
+  }
 }
