@@ -648,4 +648,46 @@ object Corpus {
       .agg(first("ta").as("n_a"), first("tb").as("n_b"),
         round(sum("__contrib"), 6).as("psi"))
   }
+
+  /** Curriculum phase assignment — the difficulty-ordered training
+    * schedule (easy-first curriculum / hard-last annealing): documents
+    * split into `phases` roughly-equal cohorts by a difficulty score
+    * (pass e.g. [[TextAnalysis.unigramLogProb]]'s `avg_nll`), each doc
+    * gets its phase plus a deterministic `order_key` so "sort by
+    * (phase, order_key)" IS the training order — shuffled within a
+    * phase, ordered across phases.
+    *
+    * Scale: a global `ntile` would funnel 100 TB of rows through ONE
+    * unpartitioned window — instead the quantile split runs on a
+    * BOUNDED histogram (the [[TextAnalysis.gateThresholdsBySource]] /
+    * weighted-quantiles discipline): `bin = floor(score · binScale)`
+    * (an exactly-rounded float multiply + floor, portable across
+    * engines — no engine-dependent rounding), one map-side-combinable
+    * count per bin (≤ `maxBin` rows), the cumulative window runs over
+    * the ≤ maxBin-row histogram only, and the phase of a bin is
+    * `(cum_before · phases) // total` — every doc in a bin shares its
+    * phase, so cohort sizes are equal up to one bin's population
+    * (tighten `binScale` for finer boundaries; the histogram stays
+    * bounded). The corpus itself is touched by exactly one aggregation
+    * and one broadcast join.
+    */
+  def curriculumPhases(scored: DataFrame, idCol: String, scoreCol: String,
+      phases: Int, binScale: Long = 1024, maxBin: Long = 1L << 15): DataFrame = {
+    require(phases >= 1 && binScale >= 1 && maxBin >= 1)
+    val bin = least(greatest(floor(col(scoreCol) * binScale), lit(0L)),
+      lit(maxBin)).cast("long")
+    val withBin = scored.select(col(idCol), col(scoreCol), bin.as("bin"))
+    val hist = withBin.groupBy("bin").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val totRow = hist.agg(sum("n")).first()
+    val tot = if (totRow.isNullAt(0)) 1L else totRow.getLong(0) // 1: empty in, empty out
+    val phased = hist
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("phase", expr(s"(cum_before * $phases) div ${tot}L"))
+      .select("bin", "phase")
+    withBin.join(broadcast(phased), Seq("bin"))
+      .select(col(idCol), col(scoreCol), col("bin"), col("phase"),
+        PortableHash.hash52(concat(col(idCol).cast("string"), lit(":cur")))
+          .as("order_key"))
+  }
 }

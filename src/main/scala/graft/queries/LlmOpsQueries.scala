@@ -3457,6 +3457,31 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc", "chunk")
     },
 
+    // Curriculum phase assignment: unigram-NLL difficulty -> 3 cohorts
+    // via the BOUNDED-histogram quantile split (bin = floor(score*1024),
+    // cum window over <=32k bins, phase = cum_before*phases // total) +
+    // the hash order key that makes sort-by-(phase, order_key) the
+    // training order. The NLL chain is the q_x_quality_unigram_nll
+    // fragment verbatim; everything after it is integer/exactly-rounded.
+    q("q_x_curriculum_phases", {
+      val ok = graft.llmops.PortableHash.duckHash52("CAST(doc AS VARCHAR) || ':cur'")
+      "WITH toks AS (SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "fr AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1), " +
+        "tot AS (SELECT sum(cnt) AS t, count(*) AS v FROM fr), " +
+        "nll AS (SELECT doc, round(avg(-ln((coalesce(fr.cnt, 0) + 1) / CAST(tot.t + tot.v AS DOUBLE))), 6) AS avg_nll " +
+        "FROM toks LEFT JOIN fr USING (term) CROSS JOIN tot GROUP BY doc), " +
+        "b AS (SELECT doc, avg_nll, CAST(least(greatest(floor(avg_nll * 1024), 0), 32768) AS BIGINT) AS bin FROM nll), " +
+        "h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1), " +
+        "c AS (SELECT bin, coalesce(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM h), " +
+        "p AS (SELECT bin, CAST((cum_before * 3) // t.n AS BIGINT) AS phase FROM c CROSS JOIN (SELECT count(*) AS n FROM b) t) " +
+        s"SELECT b.doc, b.avg_nll, b.bin, p.phase, $ok AS order_key " +
+        "FROM b JOIN p USING (bin) ORDER BY doc"
+    }) { (s, d) =>
+      val nll = TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select("doc", "avg_nll")
+      Corpus.curriculumPhases(nll, "doc", "avg_nll", phases = 3).orderBy("doc")
+    },
+
     // Gate distillation (the FineWeb-Edu pattern at heuristic scale):
     // the EXPENSIVE labeler — here the bigram-repetition quality gate —
     // labels only the even half; the AVERAGED perceptron distills those

@@ -169,7 +169,9 @@ object StressBench {
     // CJK sentence chunking: per-doc regexp split + bounded window.
     "q_x_sentence_chunks_cjk",
     // distillation: gate cascade ×2 halves + 2 training rounds.
-    "q_x_classifier_distill")
+    "q_x_classifier_distill",
+    // curriculum: NLL pass + bounded-histogram split + broadcast join.
+    "q_x_curriculum_phases")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

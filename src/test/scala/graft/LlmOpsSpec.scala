@@ -1253,6 +1253,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(flat.toSeq == Seq((1L, 1L)))
   }
 
+  test("curriculum phases: bounded-histogram quantile split hand-checked") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    // bins: 4 docs at bin 0, 2 at bin 10, 3 at bin 20 (total 9, phases
+    // 3). cum_before: 0 / 4 / 6 -> phase = cum*3//9 = 0 / 1 / 2. Docs
+    // in one bin share a phase (cohorts 4/2/3 — equal up to a bin).
+    val scored = (Seq.fill(4)(0.0005) ++ Seq.fill(2)(0.0102) ++ Seq.fill(3)(0.0199))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = Corpus.curriculumPhases(scored.toDF("doc", "s"), "doc", "s", phases = 3)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("phase"))).toMap
+    assert((0L to 3L).forall(got(_) == (0L, 0L)))
+    assert((4L to 5L).forall(got(_) == (10L, 1L)))
+    assert((6L to 8L).forall(got(_) == (20L, 2L)))
+    // clamps: negative scores -> bin 0, huge -> maxBin; empty in, empty out
+    val clamped = Corpus.curriculumPhases(
+      Seq((1L, -5.0), (2L, 1e9)).toDF("doc", "s"), "doc", "s", phases = 2)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("bin")).toMap
+    assert(clamped(1L) === 0L && clamped(2L) === 32768L)
+    assert(Corpus.curriculumPhases(
+      Seq.empty[(Long, Double)].toDF("doc", "s"), "doc", "s", phases = 3)
+      .count() === 0L)
+    // order_key is a deterministic per-doc hash: stable across runs
+    val k1 = Corpus.curriculumPhases(scored.toDF("doc", "s"), "doc", "s", 3)
+      .select("doc", "order_key").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1 === got.keys.map(d => d -> graft.llmops.PortableHash.hash52Jvm(s"$d:cur")).toMap)
+  }
+
   test("quality-aware survivors keep the longest member, not the lowest id") {
     import spark.implicits._
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L)).toDF("doc_id", "n_chars")

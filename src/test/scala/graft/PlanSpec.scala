@@ -511,6 +511,18 @@ class PlanSpec extends SparkTestBase {
     assert(stagedParts <= maxParts,
       s"staged range partitioning exceeded $maxParts: $stagedParts")
 
+    // curriculumPhases: the cumulative window runs over the score
+    // HISTOGRAM (≤ distinct-bin rows), never the corpus.
+    val scoredDocs = docs.select(col("doc_id").as("doc"),
+      (length(col("text")) / lit(1000.0)).as("s"))
+    val nBins = scoredDocs
+      .select(least(greatest(floor(col("s") * 1024), lit(0L)), lit(32768L)))
+      .distinct().count()
+    val cp = graft.llmops.Corpus.curriculumPhases(scoredDocs, "doc", "s", phases = 3)
+    val cpIn = unpartitionedWindowInputs(cp)
+    assert(cpIn.nonEmpty && cpIn.forall(_ <= nBins),
+      s"curriculum window input exceeded $nBins bins: $cpIn")
+
     // vocabulary: the stable-id window runs over the ≤ size-row top cut,
     // never the term universe.
     val vocabSize = 41
