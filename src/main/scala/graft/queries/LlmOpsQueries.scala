@@ -3457,6 +3457,28 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc", "chunk")
     },
 
+    // pHash banded pairs: the DCT-hash twin of q_x_multimodal_ahash_
+    // pairs — same 8×8-bit banding machinery over planted signatures
+    // (same-source docs share a base signature, low bits spread by
+    // (doc_id % 4)·9 → within-source Hamming ≤ 4, cross-source far).
+    // The DCT decode half is spec-pinned (re-encode/resize exactness,
+    // gamma invariance, mean-threshold rationale).
+    q("q_x_multimodal_phash_pairs", {
+      val h = graft.llmops.PortableHash.duckHash52("'ph:' || source")
+      s"WITH sigs AS (SELECT doc_id AS doc, xor($h * 2048, (doc_id % 4) * 9) AS ahash FROM documents WHERE doc_id < 120), " +
+        "b AS (SELECT doc, ahash, band, (ahash >> (band * 8)) & 255 AS bkey FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band) bands), " +
+        "cand AS (SELECT DISTINCT x.doc AS id_a, y.doc AS id_b, x.ahash AS ha, y.ahash AS hb FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY 1, 2"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val sigs = Tables.documents(s, d).filter(col("doc_id") < 120)
+        .select(col("doc_id").as("media_id"),
+          (PortableHash.hash52(concat(lit("ph:"), col("source"))) * lit(2048L))
+            .bitwiseXOR((col("doc_id") % 4) * 9).as("ahash"))
+      Multimodal.hashBandedPairs(sigs, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
     // Curriculum phase assignment: unigram-NLL difficulty -> 3 cohorts
     // via the BOUNDED-histogram quantile split (bin = floor(score*1024),
     // cum window over <=32k bins, phase = cum_before*phases // total) +

@@ -171,7 +171,9 @@ object StressBench {
     // distillation: gate cascade ×2 halves + 2 training rounds.
     "q_x_classifier_distill",
     // curriculum: NLL pass + bounded-histogram split + broadcast join.
-    "q_x_curriculum_phases")
+    "q_x_curriculum_phases",
+    // pHash banding: the shared banded-pairs machinery, planted sigs.
+    "q_x_multimodal_phash_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

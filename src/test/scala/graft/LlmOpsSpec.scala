@@ -836,6 +836,58 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f(4L).sameElements(Multimodal.decodeStub("plain text stays stubbed".getBytes("UTF-8"))))
   }
 
+  test("pHash: re-encode/resize exact invariance, gamma robustness, discrimination, banded pairs") {
+    import spark.implicits._
+    def img(w: Int, h: Int, format: String)(gray: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = math.max(0, math.min(255, gray(x, y)))
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val grad = (x: Int, _: Int) => x * 4
+    val gradV = (_: Int, y: Int) => y * 4
+    val checker = (x: Int, y: Int) => if (((x / 8) + (y / 8)) % 2 == 0) 32 else 224
+    val gamma = (x: Int, y: Int) => {
+      val p = grad(x, y) / 255.0; (math.pow(p, 2.2) * 255.0).round.toInt
+    }
+    val hGrad = Multimodal.imagePHash(img(64, 64, "png")(grad)).get
+    // (a) re-encode invariance: BMP of the same pixels hashes identically
+    assert(Multimodal.imagePHash(img(64, 64, "bmp")(grad)).get === hGrad)
+    // (b) resize invariance: 2× nearest upscale -> same block means -> same hash
+    assert(Multimodal.imagePHash(
+      img(128, 128, "png")((x, y) => grad(x / 2, y / 2))).get === hGrad)
+    // (c) gamma robustness: the nonlinear remap stays NEAR (low-frequency
+    // structure preserved); (d) distinct patterns are FAR
+    val hGamma = Multimodal.imagePHash(img(64, 64, "png")(gamma)).get
+    val hChecker = Multimodal.imagePHash(img(64, 64, "png")(checker)).get
+    val hGradV = Multimodal.imagePHash(img(64, 64, "png")(gradV)).get
+    assert(hamming(hGrad, hGamma) <= 6, s"gamma drifted ${hamming(hGrad, hGamma)}")
+    assert(hamming(hGrad, hChecker) >= 14, s"checker too close ${hamming(hGrad, hChecker)}")
+    // the transpose shares the zero-plateau bits (measured Hamming 8) —
+    // what matters is that it stays ABOVE the pairing threshold
+    assert(hamming(hGrad, hGradV) > 6, s"vertical too close ${hamming(hGrad, hGradV)}")
+    // (e) flat image: all AC coefficients 0 -> hash exactly 0
+    assert(Multimodal.imagePHash(img(64, 64, "png")((_, _) => 77)).get === 0L)
+    // corrupt payload degrades to None, never throws
+    assert(Multimodal.imagePHash("not an image".getBytes("UTF-8")).isEmpty)
+    // (f) end to end: the banded pair surfaces the gamma-edited copy
+    // of the gradient and nothing pairs with the checkerboard
+    val media = Seq(
+      (1L, "image", img(64, 64, "png")(grad)),
+      (2L, "image", img(64, 64, "png")(gamma)),
+      (3L, "image", img(64, 64, "png")(checker)),
+      (4L, "text", "nope".getBytes("UTF-8"))).toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.imagePHashPairs(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("real WAV decode: synthetic PCM sample stats recovered exactly; corrupt bytes stub") {
     import spark.implicits._
     def wav(ch: Int, rate: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
