@@ -250,4 +250,36 @@ object Curation {
         Seq("doc"))
       .groupBy("source", "stage")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+
+  /** Governance diff between two curation runs' ledgers — the
+    * release-to-release answer to "what changed, and why": every
+    * document classifies as
+    *   `added`     — only in B (new upstream data),
+    *   `removed`   — only in A (data withdrawn upstream),
+    *   `regressed` — kept by A, dropped by B (`stage_b` says why),
+    *   `recovered` — dropped by A, kept by B,
+    *   `restaged`  — dropped by both but at a different stage (a rule
+    *                 or threshold change moved the verdict earlier or
+    *                 later in the cascade),
+    *   `same`      — identical verdict.
+    * Inputs are two [[ledger]]-shaped frames (doc, source, stage, …).
+    * Scale: ONE full-outer equi-join on doc over two narrow
+    * corpus-sized frames plus a codegen'd CASE — nothing quadratic;
+    * roll up per (source, change) downstream with a map-side agg.
+    */
+  def ledgerDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val la = a.select(col("doc"), col("source").as("__sa"),
+      col("stage").as("stage_a"))
+    val lb = b.select(col("doc"), col("source").as("__sb"),
+      col("stage").as("stage_b"))
+    la.join(lb, Seq("doc"), "full_outer")
+      .select(col("doc"), coalesce(col("__sb"), col("__sa")).as("source"),
+        col("stage_a"), col("stage_b"),
+        when(col("stage_a").isNull, "added")
+          .when(col("stage_b").isNull, "removed")
+          .when(col("stage_a") === "kept" && col("stage_b") =!= "kept", "regressed")
+          .when(col("stage_a") =!= "kept" && col("stage_b") === "kept", "recovered")
+          .when(col("stage_a") =!= col("stage_b"), "restaged")
+          .otherwise("same").as("change"))
+  }
 }

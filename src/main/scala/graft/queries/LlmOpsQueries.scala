@@ -3457,6 +3457,36 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc", "chunk")
     },
 
+    // Ledger diff: the release-to-release governance answer. Planted
+    // ledger pair exercises all six change classes (doc_id % 11 = 3
+    // absent from A -> added; % 13 = 5 absent from B -> removed;
+    // % 9 = 0 quality->contaminated restaged, = 1 near_dup->kept
+    // recovered, = 2 kept->quality regressed; else same). The real
+    // two-cascade composition is spec-validated (CurationSpec) — the
+    // oracle pins the join/classification arithmetic exactly.
+    q("q_x_ledger_diff",
+      "WITH la AS (SELECT doc_id AS doc, source, CASE WHEN doc_id % 9 = 0 THEN 'quality' WHEN doc_id % 9 = 1 THEN 'near_dup' ELSE 'kept' END AS stage_a FROM documents WHERE doc_id % 11 <> 3), " +
+        "lb AS (SELECT doc_id AS doc, source, CASE WHEN doc_id % 9 = 2 THEN 'quality' WHEN doc_id % 9 = 0 THEN 'contaminated' ELSE 'kept' END AS stage_b FROM documents WHERE doc_id % 13 <> 5), " +
+        "j AS (SELECT coalesce(la.doc, lb.doc) AS doc, coalesce(lb.source, la.source) AS source, stage_a, stage_b FROM la FULL OUTER JOIN lb ON la.doc = lb.doc) " +
+        "SELECT doc, source, stage_a, stage_b, CASE WHEN stage_a IS NULL THEN 'added' " +
+        "WHEN stage_b IS NULL THEN 'removed' WHEN stage_a = 'kept' AND stage_b <> 'kept' THEN 'regressed' " +
+        "WHEN stage_a <> 'kept' AND stage_b = 'kept' THEN 'recovered' WHEN stage_a <> stage_b THEN 'restaged' " +
+        "ELSE 'same' END AS change FROM j ORDER BY doc") { (s, d) =>
+      import graft.llmops.Curation
+      val docs = Tables.documents(s, d)
+      val la = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id").as("doc"), col("source"),
+          when(col("doc_id") % 9 === 0, "quality")
+            .when(col("doc_id") % 9 === 1, "near_dup")
+            .otherwise("kept").as("stage"))
+      val lb = docs.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id").as("doc"), col("source"),
+          when(col("doc_id") % 9 === 2, "quality")
+            .when(col("doc_id") % 9 === 0, "contaminated")
+            .otherwise("kept").as("stage"))
+      Curation.ledgerDiff(la, lb).orderBy("doc")
+    },
+
     // pHash banded pairs: the DCT-hash twin of q_x_multimodal_ahash_
     // pairs — same 8×8-bit banding machinery over planted signatures
     // (same-source docs share a base signature, low bits spread by

@@ -173,7 +173,9 @@ object StressBench {
     // curriculum: NLL pass + bounded-histogram split + broadcast join.
     "q_x_curriculum_phases",
     // pHash banding: the shared banded-pairs machinery, planted sigs.
-    "q_x_multimodal_phash_pairs")
+    "q_x_multimodal_phash_pairs",
+    // ledger diff: one full-outer equi-join + codegen'd CASE.
+    "q_x_ledger_diff")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -74,4 +74,39 @@ class CurationSpec extends SparkTestBase {
     assert(led(7L) == "kept")    // no bench, no contamination
     assert(Seq(8L, 9L, 10L).forall(led(_) == "kept")) // quota wide open
   }
+
+  test("ledger diff across two real cascade runs classifies every planted mutation") {
+    // corpus B mutates A one class at a time: doc 3 truncated (its
+    // exact-dup partner 4 thereby recovers), doc 7 truncated so it
+    // drops EARLIER in the cascade, doc 9 withdrawn, doc 11 new.
+    // quota = 5 on both runs keeps the quota stage out of the picture
+    // so every change is the planted one.
+    val corpusB = Seq(
+      (1L, "tiny", "badsrc"),
+      (2L, "tiny doc", "good"),
+      (3L, "now small", "good"), // kept in A -> quality in B: regressed
+      (4L, "alpha bravo charlie delta echo foxtrot golf hotel", "good"), // dup partner gone: recovered
+      (5L, "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty", "good"),
+      (6L, "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twentyone", "good"),
+      (7L, "ct tiny", "good"), // contaminated in A -> quality in B: restaged
+      (8L, "red orange yellow green blue indigo violet", "quotasrc"),
+      (10L, "january february march april may june july august", "quotasrc"),
+      (11L, "brand new clean document with plenty distinct tokens", "good")
+    ).toDF("doc_id", "text", "source")
+    def led(c: org.apache.spark.sql.DataFrame) =
+      Curation.ledger(c, "doc_id", "text", "source", bench, blocked, quota = 5)
+    val diff = Curation.ledgerDiff(led(corpus), led(corpusB))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), Option(r.getString(3)), r.getString(4))).toMap
+    assert(diff(3L) === ((Some("kept"), Some("quality"), "regressed")))
+    assert(diff(4L) === ((Some("exact_dup"), Some("kept"), "recovered")))
+    assert(diff(7L) === ((Some("contaminated"), Some("quality"), "restaged")))
+    assert(diff(9L) === ((Some("kept"), None, "removed")))
+    assert(diff(11L) === ((None, Some("kept"), "added")))
+    assert(Seq(1L, 2L, 5L, 6L, 8L, 10L).forall(diff(_)._3 == "same"),
+      s"unmutated docs must diff as same: $diff")
+    assert(diff.size === 11)
+  }
 }
