@@ -690,4 +690,41 @@ object Corpus {
         PortableHash.hash52(concat(col(idCol).cast("string"), lit(":cur")))
           .as("order_key"))
   }
+
+  /** Token-level LOSS MASK aligned into the [[packSequences]] layout —
+    * the "redact, then don't train on the placeholder" contract: a
+    * trainer must not compute loss on `[EMAIL]`/`[IP]`/`[NUM]`
+    * redaction tokens (they are synthetic markers, not language), and
+    * the mask has to be addressed in PACKED coordinates because that is
+    * what the training loop sees. Feed the REDACTED text (e.g.
+    * [[TextAnalysis.withPiiCounts]]'s `redacted`); every token becomes
+    * one row with its global packed position: `seq` and `pos_in_seq`
+    * are exactly the [[packSequences]] geometry for the same
+    * (order, token-count) stream — `seq·seqLen + pos_in_seq` is the
+    * token's global stream offset — and `loss_mask` is 0 when the token
+    * carries a placeholder (adjacent punctuation included: the match is
+    * find-anywhere), 1 otherwise.
+    *
+    * Scale: the same two-pass prefix-sum spine as packSequences (the
+    * running-offset window sees one row per coarse order-group, never
+    * the corpus) plus one posexplode — linear in corpus tokens, which
+    * is the output's own size; no other shuffle.
+    */
+  def packedLossMask(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, groupSize: Long = 1L << 20,
+      maskRe: String = "\\[(EMAIL|IP|NUM)\\]"): DataFrame = {
+    require(seqLen >= 1)
+    val withN = df
+      .select(col(idCol).as("doc"),
+        TextAnalysis.wsTokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") >= 1)
+    withStreamOffset(withN, col("doc"), col("__n"), groupSize)
+      .select(col("doc"), col("__start"),
+        posexplode(col("__toks")).as(Seq("tok_idx", "token")))
+      .select(col("doc"), col("tok_idx").cast("long").as("tok_idx"),
+        expr(s"(__start + tok_idx) div ${seqLen}L").as("seq"),
+        ((col("__start") + col("tok_idx")) % seqLen).as("pos_in_seq"),
+        when(col("token").rlike(maskRe), 0L).otherwise(1L).as("loss_mask"))
+  }
 }

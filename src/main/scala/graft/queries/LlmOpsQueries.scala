@@ -3457,6 +3457,44 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc", "chunk")
     },
 
+    // Packed loss mask: redacted text -> per-token packed coordinates
+    // + loss_mask 0 on [EMAIL]/[IP]/[NUM] placeholder tokens. The PII
+    // chain is q_x_pii_redact's fragment, the offset spine is
+    // q_x_pack_sequences' prefix sum, the mask is a find-anywhere
+    // regexp — one row per corpus token, all integer positions.
+    q("q_x_packed_loss_mask", {
+      val aug = "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' " +
+        "WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 addr' " +
+        "WHEN doc_id % 11 = 0 THEN ' id 12345678901' ELSE '' END"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val num = "\\b\\d{7,}\\b"
+      s"WITH a AS (SELECT doc_id, $aug AS t FROM documents), " +
+        s"s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$num', '[NUM]', 'g') AS red FROM a), " +
+        "d AS (SELECT doc_id, regexp_split_to_array(trim(red), '\\s+') AS toks FROM s), " +
+        "c AS (SELECT doc_id, toks, len(toks) AS n, CAST(sum(len(toks)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len(toks) AS BIGINT) AS off FROM d), " +
+        "f AS (SELECT doc_id, off, unnest(toks) AS token, generate_subscripts(toks, 1) - 1 AS tok_idx FROM c WHERE n >= 1) " +
+        "SELECT doc_id AS doc, CAST(tok_idx AS BIGINT) AS tok_idx, " +
+        "CAST((off + tok_idx) // 128 AS BIGINT) AS seq, CAST((off + tok_idx) % 128 AS BIGINT) AS pos_in_seq, " +
+        "CAST(CASE WHEN regexp_matches(token, '\\[(EMAIL|IP|NUM)\\]') THEN 0 ELSE 1 END AS BIGINT) AS loss_mask " +
+        "FROM f ORDER BY doc, tok_idx"
+    }) { (s, d) =>
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".1 addr")))
+          .when(col("doc_id") % 11 === 0, lit(" id 12345678901"))
+          .otherwise(lit("")))
+      val red = TextAnalysis.withPiiCounts(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")))
+        .select(col("doc_id"), col("redacted").as("text"))
+      Corpus.packedLossMask(red, "doc_id", "text", seqLen = 128, groupSize = 100)
+        .orderBy("doc", "tok_idx")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

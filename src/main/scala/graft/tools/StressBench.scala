@@ -175,7 +175,9 @@ object StressBench {
     // pHash banding: the shared banded-pairs machinery, planted sigs.
     "q_x_multimodal_phash_pairs",
     // ledger diff: one full-outer equi-join + codegen'd CASE.
-    "q_x_ledger_diff")
+    "q_x_ledger_diff",
+    // packed loss mask: PII chain + prefix-sum spine + posexplode.
+    "q_x_packed_loss_mask")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -888,6 +888,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("pHash fuzz: seeded payload corruption never kills — decode or None, no exception") {
+    val im = new java.awt.image.BufferedImage(48, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 48) im.setRGB(x, y, (x * 5) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val clean = bos.toByteArray
+    val rnd = new scala.util.Random(7) // fixed seed: reproducible fuzz
+    (0 until 60).foreach { trial =>
+      val bytes = clean.clone()
+      trial % 3 match {
+        case 0 => (0 to rnd.nextInt(6)).foreach { _ =>
+          val p = rnd.nextInt(bytes.length)
+          bytes(p) = (bytes(p) ^ (1 + rnd.nextInt(255))).toByte
+        }
+        case 1 => ()
+        case 2 => ()
+      }
+      val cut = if (trial % 3 == 1) rnd.nextInt(bytes.length) else bytes.length
+      val junk = if (trial % 3 == 2) {
+        val j = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(j); j
+      } else Array.emptyByteArray
+      // must not throw: either a hash or None — the degrade contract
+      val r = Multimodal.imagePHash(bytes.take(cut) ++ junk)
+      assert(r.isEmpty || r.isDefined) // shape only; no exception is the assertion
+    }
+  }
+
   test("real WAV decode: synthetic PCM sample stats recovered exactly; corrupt bytes stub") {
     import spark.implicits._
     def wav(ch: Int, rate: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
@@ -1303,6 +1331,27 @@ class LlmOpsSpec extends SparkTestBase {
         "doc_id", "text", budget = 5)
       .collect().map(r => (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_chunk_tokens")))
     assert(flat.toSeq == Seq((1L, 1L)))
+  }
+
+  test("packed loss mask: placeholder tokens drop from the loss at packed coordinates") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    // doc 1: 3 tokens (one masked, punctuation attached), doc 2: 4
+    // tokens. seqLen 4: doc 2 straddles the sequence boundary.
+    val df = Seq(
+      (1L, "hello [EMAIL], world"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Corpus.packedLossMask(df, "doc_id", "text", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 0L, 0L, 0L, 1L), (1L, 1L, 0L, 1L, 0L), (1L, 2L, 0L, 2L, 1L),
+      (2L, 0L, 0L, 3L, 1L), (2L, 1L, 1L, 0L, 1L),
+      (2L, 2L, 1L, 1L, 1L), (2L, 3L, 1L, 2L, 1L)))
+    // alignment invariant: seq*seqLen + pos_in_seq is the global stream
+    // offset — contiguous over the whole corpus
+    val offs = got.toSeq.map(t => t._3 * 4 + t._4).sorted
+    assert(offs === (0L until 7L))
   }
 
   test("curriculum phases: bounded-histogram quantile split hand-checked") {

@@ -523,6 +523,14 @@ class PlanSpec extends SparkTestBase {
     assert(cpIn.nonEmpty && cpIn.forall(_ <= nBins),
       s"curriculum window input exceeded $nBins bins: $cpIn")
 
+    // packedLossMask: same prefix-sum spine as tokenShards — the only
+    // unpartitioned window is the coarse-group offsets table.
+    val plm = graft.llmops.Corpus.packedLossMask(docs, "doc_id", "text",
+      seqLen = 128, groupSize = groupSize)
+    val plmIn = unpartitionedWindowInputs(plm)
+    assert(plmIn.nonEmpty && plmIn.forall(_ <= nGroups),
+      s"packedLossMask window input exceeded $nGroups groups: $plmIn")
+
     // vocabulary: the stable-id window runs over the ≤ size-row top cut,
     // never the term universe.
     val vocabSize = 41
