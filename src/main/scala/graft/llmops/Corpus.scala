@@ -727,4 +727,53 @@ object Corpus {
         ((col("__start") + col("tok_idx")) % seqLen).as("pos_in_seq"),
         when(col("token").rlike(maskRe), 0L).otherwise(1L).as("loss_mask"))
   }
+
+  /** Chat-template SFT rendering with an ASSISTANT-ONLY loss mask — the
+    * instruction-tuning data-prep step: multi-turn conversations
+    * `(conv, turn_idx, role, content)` render through a deterministic
+    * template (`<|role|>` marker, the turn's whitespace tokens, an
+    * `<|end|>` terminator per turn) into one row per rendered token with
+    * its conversation-global `pos` and `loss_mask` — 1 ONLY on assistant
+    * content tokens and the assistant's own `<|end|>` (the model must
+    * learn to stop), 0 on every prompt token, role marker, and
+    * non-assistant turn. This is the supervised-fine-tuning contract:
+    * gradient flows through responses, never through prompts — training
+    * on user tokens teaches the model to imitate users. The per-token
+    * shape (rather than a rendered string) keeps role↔token alignment
+    * exact and feeds [[packedLossMask]]-style packing directly: group by
+    * `conv`, sum tokens, and the [[packSequences]] spine takes over.
+    *
+    * Scale: the only windows are PARTITIONED BY conversation (turn
+    * ordering + intra-conversation prefix sum — bounded by turns per
+    * conversation, never the corpus); the explode emits exactly the
+    * output's own size. One shuffle on `conv`, nothing global.
+    */
+  def chatSftTokens(turns: DataFrame, convCol: String, turnCol: String,
+      roleCol: String, textCol: String,
+      assistantRole: String = "assistant"): DataFrame = {
+    val isA = when(col(roleCol) === assistantRole, 1L).otherwise(0L)
+    val contentToks = TextAnalysis.wsTokens(col(textCol))
+    // per-turn rendered token array: role marker, content, terminator
+    val turnToks = concat(
+      array(concat(lit("<|"), col(roleCol), lit("|>"))),
+      contentToks,
+      array(lit("<|end|>")))
+    val perTurn = turns.select(
+      col(convCol).cast("long").as("conv"),
+      col(turnCol).cast("long").as("turn_idx"),
+      col(roleCol).as("role"),
+      turnToks.as("__toks"), isA.as("__isa"))
+    val w = Window.partitionBy("conv").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perTurn
+      .withColumn("__off",
+        coalesce(sum(size(col("__toks")).cast("long")).over(w), lit(0L)))
+      .select(col("conv"), col("turn_idx"), col("role"), col("__off"),
+        col("__isa"), posexplode(col("__toks")).as(Seq("__p", "token")))
+      .select(col("conv"), col("turn_idx"), col("role"),
+        (col("__off") + col("__p")).as("pos"), col("token"),
+        // the role marker (position 0 in its turn) never trains; content
+        // and the terminator train iff the turn is the assistant's
+        when(col("__p") === 0, 0L).otherwise(col("__isa")).as("loss_mask"))
+  }
 }

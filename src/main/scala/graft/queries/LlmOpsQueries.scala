@@ -3495,6 +3495,32 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc", "tok_idx")
     },
 
+    // Chat SFT tokens: documents fold into 4-turn conversations with
+    // alternating user/assistant roles; the template renders each turn
+    // as <|role|> tokens... <|end|> and the mask trains ONLY assistant
+    // content + its terminator. All windows partitioned by conv.
+    q("q_x_chat_sft_tokens",
+      "WITH t AS (SELECT doc_id // 4 AS conv, doc_id % 4 AS turn_idx, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+        "substr(text, 1, 120) AS content FROM documents), " +
+        "w AS (SELECT conv, turn_idx, role, " +
+        "list_concat(list_concat(['<|' || role || '|>'], regexp_split_to_array(trim(content), '\\s+')), ['<|end|>']) AS toks, " +
+        "CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS isa FROM t), " +
+        "o AS (SELECT *, CAST(coalesce(sum(len(toks)) OVER (PARTITION BY conv ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS turn_off FROM w), " +
+        "f AS (SELECT conv, turn_idx, role, turn_off, isa, unnest(toks) AS token, generate_subscripts(toks, 1) - 1 AS p FROM o) " +
+        "SELECT CAST(conv AS BIGINT) AS conv, CAST(turn_idx AS BIGINT) AS turn_idx, role, " +
+        "CAST(turn_off + p AS BIGINT) AS pos, token, " +
+        "CAST(CASE WHEN p = 0 THEN 0 ELSE isa END AS BIGINT) AS loss_mask " +
+        "FROM f ORDER BY conv, pos") { (s, d) =>
+      val turns = Tables.documents(s, d).select(
+        expr("doc_id div 4").as("conv"),
+        (col("doc_id") % 4).as("turn_idx"),
+        when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+        substring(col("text"), 1, 120).as("content"))
+      Corpus.chatSftTokens(turns, "conv", "turn_idx", "role", "content")
+        .orderBy("conv", "pos")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

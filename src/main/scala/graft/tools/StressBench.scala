@@ -177,7 +177,9 @@ object StressBench {
     // ledger diff: one full-outer equi-join + codegen'd CASE.
     "q_x_ledger_diff",
     // packed loss mask: PII chain + prefix-sum spine + posexplode.
-    "q_x_packed_loss_mask")
+    "q_x_packed_loss_mask",
+    // chat SFT: conv-partitioned windows + template explode.
+    "q_x_chat_sft_tokens")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1354,6 +1354,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(offs === (0L until 7L))
   }
 
+  test("chat SFT tokens: assistant-only mask, markers never train, positions contiguous") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "user", "hi there"),
+      (1L, 1L, "assistant", "hello friend"),
+      (1L, 2L, "user", "bye")).toDF("conv", "turn_idx", "role", "content")
+    val got = Corpus.chatSftTokens(turns, "conv", "turn_idx", "role", "content")
+      .orderBy("pos")
+      .collect().map(r => (r.getLong(3), r.getString(4), r.getLong(5)))
+    // turn 0: <|user|> hi there <|end|>  — all mask 0
+    // turn 1: <|assistant|> hello friend <|end|> — content+end mask 1, marker 0
+    // turn 2: <|user|> bye <|end|> — all mask 0
+    assert(got.toSeq === Seq(
+      (0L, "<|user|>", 0L), (1L, "hi", 0L), (2L, "there", 0L), (3L, "<|end|>", 0L),
+      (4L, "<|assistant|>", 0L), (5L, "hello", 1L), (6L, "friend", 1L), (7L, "<|end|>", 1L),
+      (8L, "<|user|>", 0L), (9L, "bye", 0L), (10L, "<|end|>", 0L)))
+    // positions are a contiguous 0..n-1 render of the conversation
+    assert(got.map(_._1).toSeq === (0L until 11L))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
