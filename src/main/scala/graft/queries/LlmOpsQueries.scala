@@ -3521,6 +3521,30 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("conv", "pos")
     },
 
+    // FIM transform: a deterministic half of the corpus re-renders in
+    // PSM sentinel order from two hash-derived token cuts; the other
+    // half passes through byte-identical. Pure projection, no shuffle.
+    q("q_x_fim_transform", {
+      val selH = graft.llmops.PortableHash.duckHash52(
+        "CAST(doc_id AS VARCHAR) || ':fim'")
+      val c1H = graft.llmops.PortableHash.duckHash52(
+        "CAST(doc_id AS VARCHAR) || ':fimc1'")
+      val c2H = graft.llmops.PortableHash.duckHash52(
+        "CAST(doc_id AS VARCHAR) || ':fimc2'")
+      "WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        s"c AS (SELECT doc_id, text, toks, len(toks) AS n, $selH % 10000 AS selv, " +
+        s"$c1H % (len(toks) + 1) AS c1, $c2H % (len(toks) + 1) AS c2 FROM t), " +
+        "s AS (SELECT doc_id, text, toks, n, CASE WHEN selv < 5000 THEN 1 ELSE 0 END AS fim, " +
+        "least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc, CAST(fim AS BIGINT) AS fim, " +
+        "CASE WHEN fim = 1 THEN array_to_string(['<|fim_prefix|>'] || toks[1:lo] || ['<|fim_suffix|>'] || toks[hi+1:n] || ['<|fim_middle|>'] || toks[lo+1:hi], ' ') " +
+        "ELSE text END AS text FROM s ORDER BY doc"
+    }) { (s, d) =>
+      Corpus.fimTransform(Tables.documents(s, d), "doc_id", "text",
+          fimBps = 5000)
+        .orderBy("doc")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

@@ -179,7 +179,9 @@ object StressBench {
     // packed loss mask: PII chain + prefix-sum spine + posexplode.
     "q_x_packed_loss_mask",
     // chat SFT: conv-partitioned windows + template explode.
-    "q_x_chat_sft_tokens")
+    "q_x_chat_sft_tokens",
+    // FIM: pure per-row projection — the no-shuffle control lane.
+    "q_x_fim_transform")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

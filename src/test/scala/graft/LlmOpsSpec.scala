@@ -1375,6 +1375,41 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq === (0L until 11L))
   }
 
+  test("FIM transform: PSM render reconstructs the document; pass-through is byte-identical") {
+    import graft.llmops.{Corpus, PortableHash}
+    import spark.implicits._
+    val df = Seq((7L, "a b c d e"), (8L, "x y z")).toDF("doc_id", "text")
+    // fimBps=10000: every doc transforms — check the render algebra
+    val rows = Corpus.fimTransform(df, "doc_id", "text", fimBps = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.foreach { case (doc, fim, text) =>
+      assert(fim === 1L)
+      // sentinels appear exactly once, in PSM order
+      val pi = text.indexOf("<|fim_prefix|>")
+      val si = text.indexOf("<|fim_suffix|>")
+      val mi = text.indexOf("<|fim_middle|>")
+      assert(pi === 0 && si > pi && mi > si)
+      // reassembling prefix+middle+suffix recovers the original tokens
+      val p = text.substring(pi + 14, si).trim
+      val sfx = text.substring(si + 14, mi).trim
+      val m = text.substring(mi + 14).trim
+      val orig = if (doc == 7L) "a b c d e" else "x y z"
+      val rejoin = Seq(p, m, sfx).filter(_.nonEmpty).mkString(" ")
+      assert(rejoin === orig, s"doc $doc: $text")
+      // cuts match the declared hash arithmetic
+      val n = orig.split(" ").length
+      val c1 = PortableHash.hash52Jvm(s"$doc:fimc1") % (n + 1)
+      val c2 = PortableHash.hash52Jvm(s"$doc:fimc2") % (n + 1)
+      val (lo, hi) = (math.min(c1, c2).toInt, math.max(c1, c2).toInt)
+      assert(p === orig.split(" ").take(lo).mkString(" "))
+      assert(m === orig.split(" ").slice(lo, hi).mkString(" "))
+    }
+    // fimBps=0: everything passes through byte-identical
+    val none = Corpus.fimTransform(df, "doc_id", "text", fimBps = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(none === Set((7L, 0L, "a b c d e"), (8L, 0L, "x y z")))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
