@@ -266,6 +266,49 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#:]+)", 1))
 
+  /** Anchor-link extraction — the crawl-frontier / host-authority input:
+    * every `<a ... href="...">` in raw HTML becomes one row with the link
+    * resolved against the page's base URL and classified by destination
+    * host. Feeds three consumers: the crawl frontier (new URLs to fetch),
+    * the host link graph (group by `(src_host, dst_host)` → PageRank /
+    * k-core over hosts — the classic crawl-quality authority signal), and
+    * link-shape quality gauges (`internal` share separates navigation
+    * from citation).
+    *
+    * Resolution is deliberately minimal and stated: absolute
+    * (`scheme://…`) links pass through; protocol-relative (`//host/…`)
+    * take the base scheme; root-relative (`/path`) take the base
+    * scheme+host; everything else (`mailto:`, `javascript:`,
+    * path-relative `a/b.html`) DROPS — path-relative resolution needs
+    * RFC 3986 dot-segment normalization, which is not regular, and crawl
+    * link graphs lose nothing host-level by skipping it (a path-relative
+    * link is by construction internal). Quoted hrefs only (unquoted
+    * attribute syntax is rare and ambiguous to delimit).
+    *
+    * Scale: a codegen'd regexp extract + explode — output-sized, no
+    * shuffle; the host-graph aggregation downstream is one map-side
+    * combinable groupBy on a low-cardinality key.
+    */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol),
+      lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
+    val sch = regexp_extract(col(baseUrlCol), "^([a-zA-Z]+)://", 1)
+    df.select(col(idCol).as("doc"), urlHost(col(baseUrlCol)).as("src_host"),
+        sch.as("__sch"), explode(hrefs).as("link"))
+      .withColumn("url",
+        when(col("link").rlike("^[a-zA-Z]+://"), col("link"))
+          .when(col("link").startsWith("//"),
+            concat(col("__sch"), lit(":"), col("link")))
+          .when(col("link").startsWith("/"),
+            concat(col("__sch"), lit("://"), col("src_host"), col("link")))
+          .otherwise(lit(null)))
+      .filter(col("url").isNotNull)
+      .select(col("doc"), col("src_host"), col("link"), col("url"),
+        urlHost(col("url")).as("dst_host"),
+        (urlHost(col("url")) === col("src_host")).cast("long").as("internal"))
+  }
+
   /** Canonical URL — the crawl-dedup key: two spellings of the same page
     * must collide BEFORE content ever downloads (the cheapest dedup in
     * the whole pipeline). The canonicalization, in load-bearing order:

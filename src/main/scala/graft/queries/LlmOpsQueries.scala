@@ -3545,6 +3545,56 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc")
     },
 
+    // Link extraction -> host graph: both engines build the same planted
+    // HTML (absolute, root-relative, protocol-relative, mailto anchors;
+    // double- and single-quoted, case-varied), extract with the identical
+    // regex, resolve against the base URL, and aggregate to host edges.
+    q("q_x_link_host_graph", {
+      val html = "'<html><body><p>' || text || '</p>' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"https://ext' || (doc_id % 5) || '.example/p' || (doc_id % 11) || '\">x</a>' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 1 THEN '<A HREF=''/local/page'' class=y>z</A>' ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 2 THEN '<a href=\"//cdn' || (doc_id % 3) || '.example/asset\">c</a>' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 3 THEN '<a href=\"mailto:a@b.example\">m</a>' ELSE '' END || " +
+        "'</body></html>'"
+      "WITH h AS (SELECT doc_id, " + html + " AS html, " +
+        "'https://src' || (doc_id % 7) || '.example/index.html' AS base FROM documents), " +
+        "l AS (SELECT doc_id, lower(regexp_extract(base, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS src_host, " +
+        "regexp_extract(base, '^([a-zA-Z]+)://', 1) AS sch, " +
+        "unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)) AS lnk FROM h), " +
+        "r AS (SELECT doc_id, src_host, CASE " +
+        "WHEN regexp_matches(lnk, '^[a-zA-Z]+://') THEN lnk " +
+        "WHEN lnk LIKE '//%' THEN sch || ':' || lnk " +
+        "WHEN lnk LIKE '/%' THEN sch || '://' || src_host || lnk " +
+        "ELSE NULL END AS url FROM l), " +
+        "e AS (SELECT doc_id, src_host, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS dst_host FROM r WHERE url IS NOT NULL) " +
+        "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        "FROM e GROUP BY 1, 2 ORDER BY 1, 2"
+    }) { (s, d) =>
+      val did = col("doc_id")
+      val html = concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+        when(did % 3 === 0, concat(lit("<a href=\"https://ext"),
+          (did % 5).cast("string"), lit(".example/p"),
+          (did % 11).cast("string"), lit("\">x</a>"))).otherwise(lit("")),
+        when(did % 4 === 1, lit("<A HREF='/local/page' class=y>z</A>"))
+          .otherwise(lit("")),
+        when(did % 6 === 2, concat(lit("<a href=\"//cdn"),
+          (did % 3).cast("string"), lit(".example/asset\">c</a>")))
+          .otherwise(lit("")),
+        when(did % 7 === 3, lit("<a href=\"mailto:a@b.example\">m</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val base = concat(lit("https://src"), (did % 7).cast("string"),
+        lit(".example/index.html"))
+      TextAnalysis.extractLinks(
+          Tables.documents(s, d).select(did, html.as("html"), base.as("base")),
+          "doc_id", "html", "base")
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc")).as("n_docs"))
+        .orderBy("src_host", "dst_host")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

@@ -181,7 +181,9 @@ object StressBench {
     // chat SFT: conv-partitioned windows + template explode.
     "q_x_chat_sft_tokens",
     // FIM: pure per-row projection — the no-shuffle control lane.
-    "q_x_fim_transform")
+    "q_x_fim_transform",
+    // link graph: regexp explode + low-cardinality host-edge agg.
+    "q_x_link_host_graph")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

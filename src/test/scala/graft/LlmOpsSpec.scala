@@ -1410,6 +1410,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(none === Set((7L, 0L, "a b c d e"), (8L, 0L, "x y z")))
   }
 
+  test("link extraction: resolution branches, quote styles, drops — hand-checked") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val html = """<html><a href="https://other.example/p?q=1">abs</a>
+      |<A HREF='/rel/page'>root-rel</A>
+      |<a class=x href="//cdn.example/a.js">proto-rel</a>
+      |<a href="mailto:a@b.c">mail</a>
+      |<a href="sub/page.html">path-rel drops</a>
+      |<a href=unquoted.html>unquoted drops</a>
+      |<span href="https://notanchor.example/x">not an anchor</span></html>""".stripMargin
+    val df = Seq((1L, html, "HTTPS://Src.Example:8080/dir/index.html"))
+      .toDF("doc_id", "html", "base")
+    val got = TextAnalysis.extractLinks(df, "doc_id", "html", "base")
+      .collect().map(r => (r.getString(3), r.getString(4), r.getLong(5))).toSet
+    assert(got === Set(
+      ("https://other.example/p?q=1", "other.example", 0L),
+      ("HTTPS://src.example/rel/page", "src.example", 1L),
+      ("HTTPS://cdn.example/a.js", "cdn.example", 0L)))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
