@@ -266,6 +266,53 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#:]+)", 1))
 
+  /** StarCoder/BigCode-style CODE quality gauges + gate — the structural
+    * filters for source-code corpora, where [[gopherRules]]' prose shape
+    * tests (stopwords, mean word length) are exactly wrong: code keeps or
+    * drops on LINE geometry and character mix. Per document: `n_lines`,
+    * `max_line` (minified/data blobs ship kilobyte lines), `avg_line`
+    * (integer DIV — generated tables run wide everywhere), `alnum_bps`
+    * (alphanumeric chars per 10k — binary/encoded soup scores near 0),
+    * and an `autogen` flag (the "auto-generated / do not edit" header
+    * convention — training on generator output teaches the generator,
+    * not the language). `reason` names the FIRST failing rule (the
+    * gopherRules cascade convention), `keep` is the gate. All counts are
+    * integers and the thresholds compare integers, so the gate is
+    * exactly portable across engines.
+    *
+    * Scale: per-row codegen'd string/array expressions — no shuffle, no
+    * window, scan speed at 100 TB.
+    */
+  def codeQuality(df: DataFrame, idCol: String, textCol: String,
+      maxLineLen: Long = 1000, maxAvgLineLen: Long = 100,
+      minAlnumBps: Long = 2500): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).as("doc"), t.as("__t"),
+        split(t, "\n").as("__lines"))
+      .select(col("doc"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        array_max(transform(col("__lines"), l => length(l).cast("long")))
+          .as("max_line"),
+        aggregate(transform(col("__lines"), l => length(l).cast("long")),
+          lit(0L), (a, x) => a + x).as("__tot"),
+        length(col("__t")).cast("long").as("__len"),
+        length(regexp_replace(col("__t"), "[^A-Za-z0-9]", "")).cast("long")
+          .as("__alnum"),
+        col("__t").rlike("(?i)auto-?generated|generated by|do not edit")
+          .cast("long").as("autogen"))
+      .withColumn("avg_line", expr("__tot div n_lines"))
+      .withColumn("alnum_bps", expr("(__alnum * 10000) div greatest(__len, 1L)"))
+      .withColumn("reason",
+        when(col("autogen") === 1L, "autogenerated")
+          .when(col("max_line") > maxLineLen, "long_line")
+          .when(col("avg_line") > maxAvgLineLen, "wide_lines")
+          .when(col("alnum_bps") < minAlnumBps, "binary_soup")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc", "n_lines", "max_line", "avg_line", "alnum_bps",
+        "autogen", "reason", "keep")
+  }
+
   /** Anchor-link extraction — the crawl-frontier / host-authority input:
     * every `<a ... href="...">` in raw HTML becomes one row with the link
     * resolved against the page's base URL and classified by destination

@@ -3595,6 +3595,43 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("src_host", "dst_host")
     },
 
+    // Code quality: planted line structure trips each rule class —
+    // a 1200-char minified line, an auto-generated header, a
+    // punctuation-soup line; integer gauges gate exactly on both engines.
+    q("q_x_code_quality",
+      "WITH a AS (SELECT doc_id, CASE WHEN doc_id % 8 = 2 THEN substr(text, 1, 40) || chr(10) || repeat('{};=', 60) " +
+        "ELSE substr(text, 1, 60) || chr(10) || text || " +
+        "CASE WHEN doc_id % 9 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END || " +
+        "CASE WHEN doc_id % 10 = 1 THEN chr(10) || '// Auto-Generated; DO NOT EDIT' ELSE '' END END AS t FROM documents), " +
+        "g AS (SELECT doc_id, CAST(len(str_split(t, chr(10))) AS BIGINT) AS n_lines, " +
+        "CAST(list_max(list_transform(str_split(t, chr(10)), l -> length(l))) AS BIGINT) AS max_line, " +
+        "CAST(list_sum(list_transform(str_split(t, chr(10)), l -> length(l))) AS BIGINT) AS tot, " +
+        "CAST(length(t) AS BIGINT) AS n, " +
+        "CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS alnum, " +
+        "CAST(CASE WHEN regexp_matches(t, '(?i)auto-?generated|generated by|do not edit') THEN 1 ELSE 0 END AS BIGINT) AS autogen FROM a), " +
+        "r AS (SELECT doc_id, n_lines, max_line, tot // n_lines AS avg_line, " +
+        "(alnum * 10000) // greatest(n, 1) AS alnum_bps, autogen FROM g) " +
+        "SELECT doc_id AS doc, n_lines, max_line, avg_line, alnum_bps, autogen, " +
+        "CASE WHEN autogen = 1 THEN 'autogenerated' WHEN max_line > 1000 THEN 'long_line' " +
+        "WHEN avg_line > 300 THEN 'wide_lines' WHEN alnum_bps < 2500 THEN 'binary_soup' " +
+        "ELSE 'keep' END AS reason, " +
+        "(autogen = 0 AND max_line <= 1000 AND avg_line <= 300 AND alnum_bps >= 2500) AS keep " +
+        "FROM r ORDER BY doc") { (s, d) =>
+      val did = col("doc_id")
+      val aug = when(did % 8 === 2,
+        concat(substring(col("text"), 1, 40), lit("\n"),
+          expr("repeat('{};=', 60)")))
+        .otherwise(concat(substring(col("text"), 1, 60), lit("\n"), col("text"),
+          when(did % 9 === 0, concat(lit("\n"), expr("repeat('x', 1200)")))
+            .otherwise(lit("")),
+          when(did % 10 === 1, lit("\n// Auto-Generated; DO NOT EDIT"))
+            .otherwise(lit(""))))
+      TextAnalysis.codeQuality(
+          Tables.documents(s, d).select(did, aug.as("text")),
+          "doc_id", "text", maxAvgLineLen = 300)
+        .orderBy("doc")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

@@ -183,7 +183,9 @@ object StressBench {
     // FIM: pure per-row projection — the no-shuffle control lane.
     "q_x_fim_transform",
     // link graph: regexp explode + low-cardinality host-edge agg.
-    "q_x_link_host_graph")
+    "q_x_link_host_graph",
+    // code quality: per-row line-geometry gauges, no shuffle.
+    "q_x_code_quality")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

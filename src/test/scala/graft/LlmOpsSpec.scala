@@ -1430,6 +1430,31 @@ class LlmOpsSpec extends SparkTestBase {
       ("HTTPS://cdn.example/a.js", "cdn.example", 0L)))
   }
 
+  test("code quality: gauges integer-exact, cascade order, each rule trips") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "val x = 1\nval y = 2"),                       // keep
+      (2L, "short\n" + "m" * 1200),                       // long_line
+      (3L, ("a" * 150 + "\n") * 3 + "a" * 150),           // wide_lines (avg 150)
+      (4L, "{};=+!@#$%\n{};=+!@#$%"),                     // binary_soup (0 alnum)
+      (5L, "// AUTO-GENERATED file\nval x = 1"),          // autogenerated
+      (6L, "x" * 1500 + "\n// do not edit")               // autogen wins over long_line
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeQuality(df, "doc_id", "text",
+        maxLineLen = 1000, maxAvgLineLen = 100, minAlnumBps = 2500)
+      .collect().map(r => r.getLong(0) -> ((r.getString(6), r.getBoolean(7)))).toMap
+    assert(got === Map(1L -> ("keep", true), 2L -> ("long_line", false),
+      3L -> ("wide_lines", false), 4L -> ("binary_soup", false),
+      5L -> ("autogenerated", false), 6L -> ("autogenerated", false)))
+    // gauge arithmetic on doc 1: lines 9+9 chars, len 19, alnum 10
+    // (v,a,l,x,1 per line)
+    val r1 = TextAnalysis.codeQuality(df.filter($"doc_id" === 1), "doc_id", "text")
+      .select("n_lines", "max_line", "avg_line", "alnum_bps").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ===
+      ((2L, 9L, 9L, 10L * 10000L / 19L)))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
