@@ -777,6 +777,54 @@ object Corpus {
         when(col("__p") === 0, 0L).otherwise(col("__isa")).as("loss_mask"))
   }
 
+  /** Data-constrained repetition plan (Muennighoff et al. 2023,
+    * arXiv:2305.16264 — repeating data up to ~4 epochs costs almost
+    * nothing; beyond that returns decay rapidly): takes a mixture PLAN
+    * table (`stratum, c, target` — [[temperatureMixPlanWeighted]]'s
+    * output, c = available tokens, target = wanted tokens) and answers
+    * "how many EPOCHS of each stratum does this budget imply, and where
+    * does the repetition cap bind?" Strata whose target exceeds
+    * `maxEpochs·c` are CAPPED at it; the capped excess redistributes in
+    * one pass to uncapped strata proportional to their availability
+    * (re-capped — a stratum can't blow its own ceiling on the bonus),
+    * and any budget still unplaced after the pass reports as per-row
+    * `shortfall` rather than silently vanishing (one pass is stated:
+    * full water-filling takes ≤ #strata rounds, and the residual after
+    * one round is already second-order; the user sees it in the column).
+    * `epochs_bps` = tokens·10⁴/c is the per-stratum repetition factor
+    * the paper's guidance applies to.
+    *
+    * All arithmetic is integer with the excess product lifted to
+    * DECIMAL(38,0) (the [[Selection]] discipline — `excess·c` at 100 TB
+    * token counts overflows a long; IntegralDivide on decimals is exact
+    * on both engines). Scale: every frame here is plan-table-sized
+    * (#strata rows); the corpus is never touched.
+    */
+  def epochsPlan(plan: DataFrame, maxEpochs: Long = 4): DataFrame = {
+    require(maxEpochs >= 1)
+    val cap = col("c") * maxEpochs
+    val base = plan.select(col("stratum"), col("c"), col("target"),
+      least(col("target"), cap).as("__t0"),
+      (col("target") > cap).cast("long").as("capped"))
+    val excess = base.agg(
+      coalesce(sum(col("target") - col("__t0")), lit(0L)).as("__ex"))
+    val uncapped = base.filter(col("capped") === 0L)
+      .agg(coalesce(sum("c"), lit(0L)).as("__uc"))
+    base.crossJoin(broadcast(excess)).crossJoin(broadcast(uncapped))
+      .withColumn("__bonus",
+        when(col("capped") === 0L && col("__uc") > 0L,
+          expr("CAST((CAST(__ex AS DECIMAL(38,0)) * c) div __uc AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("tokens",
+        least(col("__t0") + col("__bonus"), col("c") * maxEpochs))
+      .withColumn("epochs_bps", expr("(tokens * 10000) div greatest(c, 1L)"))
+      .withColumn("shortfall",
+        sum(col("target") - col("tokens")).over(
+          Window.partitionBy(lit(1)))) // plan-table-sized window, stated
+      .select("stratum", "c", "target", "tokens", "epochs_bps", "capped",
+        "shortfall")
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, arXiv:2207.14255)
     * — the code-model data augmentation: a deterministic `fimBps`/10000
     * fraction of documents is re-rendered for INFILLING training by

@@ -3632,6 +3632,32 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc")
     },
 
+    // Epochs plan: the weighted mixture at 3x the corpus token mass
+    // forces repetition; sqrt-smoothing pushes low-resource langs past
+    // the 4-epoch cap, the capped excess redistributes one pass, the
+    // residual reports as shortfall. All integer, DECIMAL-lifted product.
+    q("q_x_epochs_plan",
+      "WITH d AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt FROM documents), " +
+        "c AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS c FROM d GROUP BY 1), " +
+        "w AS (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM c), " +
+        "t AS (SELECT lang, c, CAST(floor(90000.0 * (CAST(w AS DOUBLE) / CAST((SELECT CAST(sum(w) AS BIGINT) FROM w) AS DOUBLE))) AS BIGINT) AS target FROM w), " +
+        "b AS (SELECT lang AS stratum, c, target, least(target, c * 4) AS t0, CASE WHEN target > c * 4 THEN 1 ELSE 0 END AS capped FROM t), " +
+        "e AS (SELECT CAST(coalesce(sum(target - t0), 0) AS BIGINT) AS ex FROM b), " +
+        "u AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS uc FROM b WHERE capped = 0), " +
+        "f AS (SELECT stratum, c, target, t0, capped, " +
+        "CASE WHEN capped = 0 AND (SELECT uc FROM u) > 0 THEN CAST((CAST((SELECT ex FROM e) AS HUGEINT) * c) // (SELECT uc FROM u) AS BIGINT) ELSE 0 END AS bonus FROM b), " +
+        "g AS (SELECT stratum, c, target, least(t0 + bonus, c * 4) AS tokens, capped FROM f) " +
+        "SELECT stratum, c, target, tokens, (tokens * 10000) // greatest(c, 1) AS epochs_bps, " +
+        "CAST(capped AS BIGINT) AS capped, " +
+        "(SELECT CAST(sum(target - tokens) AS BIGINT) FROM g) AS shortfall " +
+        "FROM g ORDER BY stratum") { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("nt", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      val plan = Corpus.temperatureMixPlanWeighted(docs, col("lang"), col("nt"),
+        budget = 90000L)
+      Corpus.epochsPlan(plan, maxEpochs = 4).orderBy("stratum")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

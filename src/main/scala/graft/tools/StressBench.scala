@@ -185,7 +185,9 @@ object StressBench {
     // link graph: regexp explode + low-cardinality host-edge agg.
     "q_x_link_host_graph",
     // code quality: per-row line-geometry gauges, no shuffle.
-    "q_x_code_quality")
+    "q_x_code_quality",
+    // epochs plan: corpus-touching count + plan-table arithmetic.
+    "q_x_epochs_plan")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

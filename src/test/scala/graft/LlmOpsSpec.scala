@@ -1455,6 +1455,32 @@ class LlmOpsSpec extends SparkTestBase {
       ((2L, 9L, 9L, 10L * 10000L / 19L)))
   }
 
+  test("epochs plan: cap, one-pass redistribution, re-cap, shortfall — hand-checked") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    // a: wants 10 epochs of 10 -> capped at 40, excess 60
+    // b: wants 50 of 100 -> bonus 60*100//150 = 40 -> 90 (under cap 400)
+    // c: wants 60 of 50 -> bonus 60*50//150 = 20 -> 80, re-capped? cap
+    //    is 200 -> 80 stands. shortfall = (100+50+60) - (40+90+80) = 0
+    val plan = Seq(("a", 10L, 100L), ("b", 100L, 50L), ("c", 50L, 60L))
+      .toDF("stratum", "c", "target")
+    val got = Corpus.epochsPlan(plan, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === Map(
+      "a" -> ((40L, 40000L, 1L, 0L)),
+      "b" -> ((90L, 9000L, 0L, 0L)),
+      "c" -> ((80L, 16000L, 0L, 0L))))
+    // re-cap binds: tiny uncapped stratum cannot blow its own ceiling
+    val plan2 = Seq(("a", 10L, 1000L), ("b", 5L, 1L)).toDF("stratum", "c", "target")
+    val got2 = Corpus.epochsPlan(plan2, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(6)))).toMap
+    // a capped at 40 (excess 960); b bonus 960*5//5=960 -> re-cap at 20
+    // shortfall = (1000+1) - (40+20) = 941
+    assert(got2 === Map("a" -> ((40L, 941L)), "b" -> ((20L, 941L))))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
