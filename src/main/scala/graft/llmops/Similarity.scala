@@ -809,4 +809,56 @@ object Similarity {
       .select(col("batch_id"), col("corpus_id"), col("cell"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the CCMatrix/LASER parallel-corpus recipe): two
+    * embedding sides (language A documents, language B documents) pair
+    * where the RATIO margin
+    * `cos(x,y) / ((avgK_B(x) + avgK_A(y)) / 2)` — cosine normalized by
+    * each endpoint's mean similarity to its k nearest cross-side
+    * neighbours — exceeds `marginThreshold` AND the pair is each side's
+    * MUTUAL best by margin. Raw cosine alone over-pairs hub vectors
+    * (points close to everything); the margin divides that hubness out,
+    * which is why it, not cosine, is the published mining criterion.
+    *
+    * This is the exact quadratic definition (broadcast right side, the
+    * [[bruteForceTopK]] discipline) — the oracle and the correct answer
+    * for evaluation slices. At 100 TB-side scale, generate candidates
+    * with [[ivfProbe]]/[[annTopK]] first and feed the survivors here as
+    * the (then small) sides — margin + mutuality only ever need each
+    * candidate's k-neighbourhood, which the probe already bounds.
+    */
+  def mineBitext(left: DataFrame, right: DataFrame, k: Int,
+      marginThreshold: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1)
+    val a = left.select(col(idCol).as("aid"), col(vecCol).as("av"),
+      l2norm(col(vecCol)).as("an"))
+    val b = right.select(col(idCol).as("bid"), col(vecCol).as("bv"),
+      l2norm(col(vecCol)).as("bn"))
+    val scored = a.crossJoin(broadcast(b))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select("aid", "bid", "cos")
+    val ranked = scored
+      .withColumn("ra", row_number().over(
+        Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("bid").orderBy(col("cos").desc, col("aid"))))
+    val avgA = ranked.filter(col("ra") <= k)
+      .groupBy("aid").agg(avg("cos").as("avg_a"))
+    val avgB = ranked.filter(col("rb") <= k)
+      .groupBy("bid").agg(avg("cos").as("avg_b"))
+    ranked.filter(col("ra") <= k || col("rb") <= k)
+      .join(avgA, Seq("aid")).join(avgB, Seq("bid"))
+      .withColumn("margin",
+        col("cos") / ((col("avg_a") + col("avg_b")) / 2))
+      .withColumn("ba", row_number().over(
+        Window.partitionBy("aid").orderBy(col("margin").desc, col("bid"))))
+      .withColumn("bb", row_number().over(
+        Window.partitionBy("bid").orderBy(col("margin").desc, col("aid"))))
+      .filter(col("ba") === 1 && col("bb") === 1 &&
+        col("margin") >= marginThreshold)
+      .select(col("aid"), col("bid"), round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+  }
 }

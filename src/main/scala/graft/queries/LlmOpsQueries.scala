@@ -3658,6 +3658,34 @@ object LlmOpsQueries extends QueryModule {
       Corpus.epochsPlan(plan, maxEpochs = 4).orderBy("stratum")
     },
 
+    // Bitext mining: embeddings split by vec_id parity into two "language
+    // sides"; ratio-margin (cos / mean-kNN-cos both directions), mutual
+    // best by margin, threshold 1.0. Oracle replays the full quadratic
+    // definition with double math + round(6).
+    q("q_x_bitext_mining",
+      "WITH a AS (SELECT vec_id AS aid, embedding FROM embeddings WHERE vec_id % 2 = 0), " +
+        "b AS (SELECT vec_id AS bid, embedding FROM embeddings WHERE vec_id % 2 = 1), " +
+        "ax AS (SELECT aid, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM a), " +
+        "bx AS (SELECT bid, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM b), " +
+        "dots AS (SELECT aid, bid, sum(ax.v * bx.v) AS dot, sqrt(sum(ax.v * ax.v)) AS an, sqrt(sum(bx.v * bx.v)) AS bn FROM ax JOIN bx USING (i) GROUP BY aid, bid), " +
+        "s AS (SELECT aid, bid, dot / (an * bn) AS cos FROM dots), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS ra, " +
+        "row_number() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rb FROM s), " +
+        "aa AS (SELECT aid, avg(cos) AS avg_a FROM r WHERE ra <= 4 GROUP BY 1), " +
+        "ab AS (SELECT bid, avg(cos) AS avg_b FROM r WHERE rb <= 4 GROUP BY 1), " +
+        "m AS (SELECT r.aid, r.bid, r.cos, r.cos / ((aa.avg_a + ab.avg_b) / 2) AS margin FROM r JOIN aa ON aa.aid = r.aid JOIN ab ON ab.bid = r.bid WHERE r.ra <= 4 OR r.rb <= 4), " +
+        "mb AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY margin DESC, bid) AS ba, " +
+        "row_number() OVER (PARTITION BY bid ORDER BY margin DESC, aid) AS bb FROM m) " +
+        "SELECT aid, bid, round(cos, 6) AS cos, round(margin, 6) AS margin " +
+        "FROM mb WHERE ba = 1 AND bb = 1 AND margin >= 1.0 ORDER BY aid") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mineBitext(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          k = 4, marginThreshold = 1.0)
+        .orderBy("aid")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

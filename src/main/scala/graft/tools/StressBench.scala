@@ -187,7 +187,9 @@ object StressBench {
     // code quality: per-row line-geometry gauges, no shuffle.
     "q_x_code_quality",
     // epochs plan: corpus-touching count + plan-table arithmetic.
-    "q_x_epochs_plan")
+    "q_x_epochs_plan",
+    // bitext mining: broadcast cross side + margin windows.
+    "q_x_bitext_mining")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

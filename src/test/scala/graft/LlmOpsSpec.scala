@@ -1481,6 +1481,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got2 === Map("a" -> ((40L, 941L)), "b" -> ((20L, 941L))))
   }
 
+  test("bitext mining: mutual-best margin pairs; the hub vector stays unpaired") {
+    import graft.llmops.Similarity
+    import spark.implicits._
+    val left = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val right = Seq(
+      (11L, Array(0.9f, 0.1f, 0.0f)),   // the true match of 0
+      (13L, Array(0.1f, 0.9f, 0.0f)),   // the true match of 1
+      (15L, Array(0.6f, 0.6f, 0.1f))    // hub: close to BOTH left vectors
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mineBitext(left, right, k = 2, marginThreshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // mutual bests are the true matches; the hub never wins a margin race
+    assert(got.map(t => (t._1, t._2)).toSet === Set((0L, 11L), (1L, 13L)))
+    // hand margin: cos(0,11)=.9939, avg_a(0)=(.9939+.7024)/2, avg_b(11)=
+    // (.9939+.1104)/2 -> margin ~1.42
+    got.foreach { case (_, _, m) => assert(m > 1.40 && m < 1.44) }
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
