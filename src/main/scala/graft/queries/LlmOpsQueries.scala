@@ -3686,6 +3686,50 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("aid")
     },
 
+    // Bloom seen-set: crawl A's URLs build the filter (mBits sized SMALL
+    // so the false-positive class is populated and observable); crawl B
+    // probes with half-seen/half-new URLs; the accounting proves no
+    // false negatives and counts the FPs exactly on both engines.
+    q("q_x_bloom_seen_set", {
+      import graft.llmops.PortableHash
+      val (kh, m, p) = (4, 2048, PortableHash.P)
+      val perms = (0 until kh)
+        .map(j => s"($j, ${PortableHash.MinHashA(j)}, ${PortableHash.MinHashB(j)})")
+        .mkString(", ")
+      val ha = PortableHash.duckHash52("url")
+      "WITH a AS (SELECT 'https://site' || (doc_id % 40) || '.example/page' || doc_id AS url FROM documents), " +
+        "b AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'https://site' || (doc_id % 40) || '.example/page' || doc_id " +
+        "ELSE 'https://site' || (doc_id % 40) || '.example/new' || doc_id END AS url, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS truly_seen FROM documents), " +
+        s"perm(j, pa, pb) AS (SELECT * FROM (VALUES $perms)), " +
+        s"ah AS (SELECT $ha AS h FROM a), " +
+        s"abits AS (SELECT DISTINCT ((pa * (h % $p) + pb) % $p % $m) AS pos FROM ah CROSS JOIN perm), " +
+        "words AS (SELECT pos // 32 AS wi, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word FROM abits GROUP BY 1), " +
+        s"bh AS (SELECT url, truly_seen, $ha AS h FROM b), " +
+        s"probe AS (SELECT url, truly_seen, ((pa * (h % $p) + pb) % $p % $m) AS pos FROM bh CROSS JOIN perm), " +
+        "hits AS (SELECT url, truly_seen, min(CASE WHEN (coalesce(w.word, 0) & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0 THEN 1 ELSE 0 END) AS mc " +
+        "FROM probe LEFT JOIN words w ON w.wi = pos // 32 GROUP BY 1, 2) " +
+        "SELECT truly_seen, (mc = 1) AS might_contain, CAST(count(*) AS BIGINT) AS n " +
+        "FROM hits GROUP BY 1, 2 ORDER BY 1, 2"
+    }) { (s, d) =>
+      import graft.functions.Bloom
+      val did = col("doc_id")
+      val aUrl = concat(lit("https://site"), (did % 40).cast("string"),
+        lit(".example/page"), did.cast("string"))
+      val a = Tables.documents(s, d).select(aUrl.as("url"))
+      val b = Tables.documents(s, d).select(
+        when(did % 2 === 0, aUrl)
+          .otherwise(concat(lit("https://site"), (did % 40).cast("string"),
+            lit(".example/new"), did.cast("string"))).as("url"),
+        when(did % 2 === 0, 1L).otherwise(0L).as("truly_seen"))
+      val bloom = Bloom.build(a, "url", mBits = 2048, k = 4)
+      Bloom.mightContain(bloom, b.select("url"), "url", mBits = 2048, k = 4)
+        .join(b, Seq("url"))
+        .groupBy("truly_seen", "might_contain")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("truly_seen", "might_contain")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

@@ -189,7 +189,9 @@ object StressBench {
     // epochs plan: corpus-touching count + plan-table arithmetic.
     "q_x_epochs_plan",
     // bitext mining: broadcast cross side + margin windows.
-    "q_x_bitext_mining")
+    "q_x_bitext_mining",
+    // bloom seen-set: explode + bounded word-table agg + broadcast probe.
+    "q_x_bloom_seen_set")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

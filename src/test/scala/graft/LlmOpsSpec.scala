@@ -1501,6 +1501,28 @@ class LlmOpsSpec extends SparkTestBase {
     got.foreach { case (_, _, m) => assert(m > 1.40 && m < 1.44) }
   }
 
+  test("Bloom seen-set: no false negatives ever; merge law bloom(A)|bloom(B) = bloom(A u B)") {
+    import graft.functions.Bloom
+    import spark.implicits._
+    val a = (0 until 40).map(i => s"https://a.example/$i").toDF("url")
+    val b = (40 until 80).map(i => s"https://b.example/$i").toDF("url")
+    val m = 512L
+    // law 1: every inserted key probes positive (zero false negatives)
+    val ba = Bloom.build(a, "url", mBits = m, k = 4)
+    val fn = Bloom.mightContain(ba, a, "url", mBits = m, k = 4)
+      .filter(!col("might_contain")).count()
+    assert(fn === 0L)
+    // law 2: merge is the union filter, word for word
+    val merged = Bloom.merge(ba, Bloom.build(b, "url", mBits = m, k = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val union = Bloom.build(a.unionAll(b), "url", mBits = m, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === union)
+    // masks are 32-bit words: every word fits in [0, 2^32)
+    assert(union.forall { case (wi, w) => wi >= 0 && wi < m / 32 &&
+      w >= 0 && w < (1L << 32) })
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
