@@ -266,6 +266,57 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#:]+)", 1))
 
+  /** Intra-document REPETITION gauges — completing Gopher's repetition
+    * family (Rae et al. 2021, Table A1) alongside [[ngramRepetition]]
+    * (which covers the top/duplicated n-gram CHAR fractions) and
+    * [[gopherRules]] (document shape). Per doc:
+    *   - `dup_line_bps`: fraction of lines that are repeats of another
+    *     line in the SAME document (Gopher's duplicate-line fraction —
+    *     [[Dedup.dedupLines]] is the cross-document form) — computed per
+    *     ROW from the line array, no shuffle;
+    *   - `max_run`: longest run of the SAME consecutive token (stutter /
+    *     generation-loop detector), one `aggregate` struct fold over the
+    *     token array — no shuffle, no window;
+    *   - `token_entropy`: Shannon entropy (nats) of the token
+    *     distribution in the stable form `ln n − (Σ c·ln c)/n` —
+    *     repetitive text scores low even when no single n-gram
+    *     dominates; rounded to 6 (the NLL-gauge ln-portability
+    *     discipline).
+    * The only shuffle is the entropy's doc-keyed token count,
+    * map-side combinable and output-bounded.
+    */
+  def repetitionGauges(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc"),
+        wsTokens(col(textCol)).as("__toks"),
+        split(col(textCol), "\n").as("__lines"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    // per-row gauges: line dups and the max same-token run (struct fold)
+    val perRow = base.select(col("doc"), col("__toks"), col("__n"),
+      expr("((size(__lines) - size(array_distinct(__lines))) * 10000L) div size(__lines)")
+        .as("dup_line_bps"),
+      aggregate(col("__toks"),
+        struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+        (acc, x) => {
+          val cur = when(x === acc("prev"), acc("cur") + 1L).otherwise(1L)
+          struct(x.as("prev"), cur.as("cur"),
+            greatest(acc("best"), cur).as("best"))
+        }, acc => acc("best")).as("max_run"))
+    // token entropy: -sum p ln p over the per-doc token distribution
+    val entropy = perRow
+      .select(col("doc"), explode(col("__toks")).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc").agg(sum("c").as("__nt"),
+        sum(col("c") * log(col("c"))).as("__clnc"))
+      .select(col("doc"), round(
+        log(col("__nt")) - col("__clnc") / col("__nt"), 6)
+        .as("token_entropy"))
+    perRow.join(entropy, Seq("doc"), "left")
+      .select(col("doc"), col("__n").as("n_tokens"), col("dup_line_bps"),
+        col("max_run"), coalesce(col("token_entropy"), lit(0.0))
+          .as("token_entropy"))
+  }
+
   /** StarCoder/BigCode-style CODE quality gauges + gate — the structural
     * filters for source-code corpora, where [[gopherRules]]' prose shape
     * tests (stopwords, mean word length) are exactly wrong: code keeps or

@@ -3730,6 +3730,32 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("truly_seen", "might_contain")
     },
 
+    // Repetition gauges: planted stutter run (4x spam -> top bigram +
+    // max_run) and duplicated nav line (dup_line 1/3); entropy replays
+    // in the ln(n) - sum(c ln c)/n stable form on both engines.
+    q("q_x_repetition_gauges",
+      "WITH a AS (SELECT doc_id, CASE WHEN doc_id % 7 = 1 THEN 'nav' || chr(10) || 'nav' || chr(10) || text " +
+        "ELSE 'header' || chr(10) || text END || " +
+        "CASE WHEN doc_id % 6 = 0 THEN ' spam spam spam spam' ELSE '' END AS t FROM documents), " +
+        "tok AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS i, unnest(tk) AS tok, len(tk) AS n FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS tk FROM a) s), " +
+        "lines AS (SELECT doc_id, CAST(((len(ln) - len(list_distinct(ln))) * 10000) // len(ln) AS BIGINT) AS dup_line_bps FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM a) s), " +
+        "runs AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM (SELECT doc_id, tok, grp, count(*) AS rl FROM (SELECT doc_id, i, tok, i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp FROM tok) s GROUP BY 1, 2, 3) s2 GROUP BY 1), " +
+        "ent AS (SELECT doc_id, round(ln(n) - clnc / n, 6) AS token_entropy FROM (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, sum(c * ln(c)) AS clnc FROM (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2) s GROUP BY 1) s2), " +
+        "nt AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens FROM tok GROUP BY 1) " +
+        "SELECT nt.doc_id AS doc, nt.n_tokens, lines.dup_line_bps, " +
+        "runs.max_run, ent.token_entropy " +
+        "FROM nt JOIN lines USING (doc_id) JOIN runs USING (doc_id) JOIN ent USING (doc_id) ORDER BY doc") { (s, d) =>
+      val did = col("doc_id")
+      val aug = concat(
+        when(did % 7 === 1, concat(lit("nav\nnav\n"), col("text")))
+          .otherwise(concat(lit("header\n"), col("text"))),
+        when(did % 6 === 0, lit(" spam spam spam spam")).otherwise(lit("")))
+      TextAnalysis.repetitionGauges(
+          Tables.documents(s, d).select(did, aug.as("text")),
+          "doc_id", "text")
+        .orderBy("doc")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

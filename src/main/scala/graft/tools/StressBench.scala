@@ -191,7 +191,9 @@ object StressBench {
     // bitext mining: broadcast cross side + margin windows.
     "q_x_bitext_mining",
     // bloom seen-set: explode + bounded word-table agg + broadcast probe.
-    "q_x_bloom_seen_set")
+    "q_x_bloom_seen_set",
+    // repetition gauges: per-row folds + one doc-keyed token count.
+    "q_x_repetition_gauges")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

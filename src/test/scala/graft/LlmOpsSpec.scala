@@ -1523,6 +1523,25 @@ class LlmOpsSpec extends SparkTestBase {
       w >= 0 && w < (1L << 32) })
   }
 
+  test("repetition gauges: dup lines, max token run, entropy — hand-checked") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "go go go stop go"),            // run 3; entropy of {go:4, stop:1}
+      (2L, "nav\nbody text\nnav\nend")     // 1 of 4 lines is a repeat
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionGauges(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val h1 = math.log(5) - (4 * math.log(4) + 1 * math.log(1)) / 5.0
+    assert(got(1L)._1 === 5L)                       // n_tokens
+    assert(got(1L)._2 === 0L)                       // one line, no dups
+    assert(got(1L)._3 === 3L)                       // go go go
+    assert(math.abs(got(1L)._4 - h1) < 1e-6)
+    assert(got(2L)._2 === 2500L)                    // 1/4 lines duplicated
+    assert(got(2L)._3 === 1L)                       // no token run
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
