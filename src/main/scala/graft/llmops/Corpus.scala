@@ -810,7 +810,7 @@ object Corpus {
       coalesce(sum(col("target") - col("__t0")), lit(0L)).as("__ex"))
     val uncapped = base.filter(col("capped") === 0L)
       .agg(coalesce(sum("c"), lit(0L)).as("__uc"))
-    base.crossJoin(broadcast(excess)).crossJoin(broadcast(uncapped))
+    val placed = base.crossJoin(broadcast(excess)).crossJoin(broadcast(uncapped))
       .withColumn("__bonus",
         when(col("capped") === 0L && col("__uc") > 0L,
           expr("CAST((CAST(__ex AS DECIMAL(38,0)) * c) div __uc AS BIGINT)"))
@@ -818,9 +818,10 @@ object Corpus {
       .withColumn("tokens",
         least(col("__t0") + col("__bonus"), col("c") * maxEpochs))
       .withColumn("epochs_bps", expr("(tokens * 10000) div greatest(c, 1L)"))
-      .withColumn("shortfall",
-        sum(col("target") - col("tokens")).over(
-          Window.partitionBy(lit(1)))) // plan-table-sized window, stated
+    // shortfall as a broadcast scalar, not a window — the whole operator
+    // carries zero windows (PlanSpec-pinned)
+    placed.crossJoin(broadcast(placed.agg(
+        coalesce(sum(col("target") - col("tokens")), lit(0L)).as("shortfall"))))
       .select("stratum", "c", "target", "tokens", "epochs_bps", "capped",
         "shortfall")
   }

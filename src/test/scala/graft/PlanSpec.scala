@@ -531,6 +531,29 @@ class PlanSpec extends SparkTestBase {
     assert(plmIn.nonEmpty && plmIn.forall(_ <= nGroups),
       s"packedLossMask window input exceeded $nGroups groups: $plmIn")
 
+    // chatSftTokens / mineBitext / repetitionGauges / epochsPlan: every
+    // window is PARTITIONED (conv / side ids / none at all) — the
+    // unpartitioned-window set must be empty.
+    val turns = docs.select(expr("doc_id div 4").as("conv"),
+      (col("doc_id") % 4).as("turn_idx"), lit("user").as("role"),
+      substring(col("text"), 1, 40).as("content"))
+    assert(unpartitionedWindowInputs(graft.llmops.Corpus.chatSftTokens(
+      turns, "conv", "turn_idx", "role", "content")).isEmpty,
+      "chatSftTokens must carry no unpartitioned window")
+    val emb = Tables.embeddings(spark, dir)
+    assert(unpartitionedWindowInputs(graft.llmops.Similarity.mineBitext(
+      emb.filter(col("vec_id") % 2 === 0).limit(40),
+      emb.filter(col("vec_id") % 2 === 1).limit(40), k = 3)).isEmpty,
+      "mineBitext windows are side-partitioned")
+    assert(unpartitionedWindowInputs(graft.llmops.TextAnalysis
+      .repetitionGauges(docs, "doc_id", "text")).isEmpty,
+      "repetitionGauges must carry no unpartitioned window")
+    val mixPlan = graft.llmops.Corpus.temperatureMixPlan(docs,
+      col("lang"), budget = 3000L)
+    assert(unpartitionedWindowInputs(graft.llmops.Corpus.epochsPlan(
+      mixPlan)).isEmpty,
+      "epochsPlan carries zero windows (shortfall is a broadcast scalar)")
+
     // vocabulary: the stable-id window runs over the ≤ size-row top cut,
     // never the term universe.
     val vocabSize = 41
