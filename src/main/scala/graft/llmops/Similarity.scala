@@ -839,6 +839,16 @@ object Similarity {
     val scored = a.crossJoin(broadcast(b))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .select("aid", "bid", "cos")
+    marginMutual(scored, k, marginThreshold)
+  }
+
+  /** The margin + mutual-best core shared by [[mineBitext]] (exact pair
+    * universe) and [[mineBitextIvf]] (IVF candidate universe): kNN
+    * averages per side, ratio margin, each side's argmax, keep mutual
+    * pairs over threshold. Every window is side-partitioned.
+    */
+  private def marginMutual(scored: DataFrame, k: Int,
+      marginThreshold: Double): DataFrame = {
     val ranked = scored
       .withColumn("ra", row_number().over(
         Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))))
@@ -860,5 +870,55 @@ object Similarity {
         col("margin") >= marginThreshold)
       .select(col("aid"), col("bid"), round(col("cos"), 6).as("cos"),
         round(col("margin"), 6).as("margin"))
+  }
+
+  /** [[mineBitext]]'s 100 TB form — the quadratic pair universe replaced
+    * by IVF candidates (the [[mineTripletsIvf]] discipline): both sides
+    * assign to the SAME coarse centroids; a pair is a candidate when
+    * either endpoint's `nprobe` nearest cells contain the other's cell
+    * (probing BOTH directions keeps the backward kNN average honest).
+    * The margin/mutual machinery then runs identically on the candidate
+    * set — kNN averages are over candidates, the stated approximation
+    * (spec measures pair recall vs the exact miner). Candidate volume is
+    * bounded by nprobe × cell occupancy instead of |A|·|B|; the stress
+    * lane rides this variant, the exact one is the oracle.
+    */
+  def mineBitextIvf(left: DataFrame, right: DataFrame, k: Int,
+      marginThreshold: Double = 1.0, nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val cent0 = centroids.getOrElse(
+      left.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("centvec")))
+    val aCells = assignCells(left, cent0, idCol, vecCol)
+      .select(col("cell"), col("cid").as("aid"), col("cvec").as("av"),
+        col("cn").as("an"))
+    val bCells = assignCells(right, cent0, idCol, vecCol)
+      .select(col("cell"), col("cid").as("bid"), col("cvec").as("bv"),
+        col("cn").as("bn"))
+    val cent = cent0.select(col("cent_id"), col("centvec"),
+      l2norm(col("centvec")).as("centn"))
+    def probeCells(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), col(vecCol).as("__v"),
+        l2norm(col(vecCol)).as("__n"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dot(col("__v"), col("centvec")) / (col("__n") * col("centn")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(outId).orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("prn") <= nprobe)
+      .select(col(outId), col("cent_id").as("cell"))
+    val cands = probeCells(left, "aid").join(bCells, Seq("cell"))
+      .select("aid", "bid")
+      .unionAll(probeCells(right, "bid").join(aCells, Seq("cell"))
+        .select("aid", "bid"))
+      .distinct()
+    val scored = cands
+      .join(aCells.select("aid", "av", "an"), Seq("aid"))
+      .join(bCells.select("bid", "bv", "bn"), Seq("bid"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select("aid", "bid", "cos")
+    marginMutual(scored, k, marginThreshold)
   }
 }

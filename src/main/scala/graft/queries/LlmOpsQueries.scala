@@ -3686,6 +3686,41 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("aid")
     },
 
+    // Bitext mining, IVF form (the scale path the stress lane rides):
+    // both sides assign to the left side's first-8 centroids; candidates
+    // are both directions' nprobe cell probes; the identical margin
+    // machinery runs on the candidate set. Oracle replays assignment,
+    // probes, candidate union and margins end to end.
+    q("q_x_bitext_mining_ivf",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "cd AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id % 2 = 0 AND c.vec_id < 16 GROUP BY 1, 2), " +
+        "cs AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cd d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+        "rk AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cs), " +
+        "acell AS (SELECT vec_id AS aid, cent_id AS cell FROM rk WHERE rn = 1 AND vec_id % 2 = 0), " +
+        "bcell AS (SELECT vec_id AS bid, cent_id AS cell FROM rk WHERE rn = 1 AND vec_id % 2 = 1), " +
+        "aprobe AS (SELECT vec_id AS aid, cent_id AS cell FROM rk WHERE rn <= 4 AND vec_id % 2 = 0), " +
+        "bprobe AS (SELECT vec_id AS bid, cent_id AS cell FROM rk WHERE rn <= 4 AND vec_id % 2 = 1), " +
+        "cand AS (SELECT DISTINCT aid, bid FROM (SELECT p.aid, b.bid FROM aprobe p JOIN bcell b USING (cell) UNION ALL SELECT a.aid, p.bid FROM bprobe p JOIN acell a USING (cell))), " +
+        "dots AS (SELECT cn.aid, cn.bid, sum(a.v * b.v) AS dot, sqrt(sum(a.v * a.v)) AS an, sqrt(sum(b.v * b.v)) AS bn FROM cand cn JOIN e a ON a.vec_id = cn.aid JOIN e b ON b.vec_id = cn.bid AND b.i = a.i GROUP BY 1, 2), " +
+        "s AS (SELECT aid, bid, dot / (an * bn) AS cos FROM dots), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS ra, " +
+        "row_number() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rb FROM s), " +
+        "aa AS (SELECT aid, avg(cos) AS avg_a FROM r WHERE ra <= 4 GROUP BY 1), " +
+        "ab AS (SELECT bid, avg(cos) AS avg_b FROM r WHERE rb <= 4 GROUP BY 1), " +
+        "m AS (SELECT r.aid, r.bid, r.cos, r.cos / ((aa.avg_a + ab.avg_b) / 2) AS margin FROM r JOIN aa ON aa.aid = r.aid JOIN ab ON ab.bid = r.bid WHERE r.ra <= 4 OR r.rb <= 4), " +
+        "mb AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY margin DESC, bid) AS ba, " +
+        "row_number() OVER (PARTITION BY bid ORDER BY margin DESC, aid) AS bb FROM m) " +
+        "SELECT aid, bid, round(cos, 6) AS cos, round(margin, 6) AS margin " +
+        "FROM mb WHERE ba = 1 AND bb = 1 AND margin >= 1.0 ORDER BY aid") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mineBitextIvf(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          k = 4, marginThreshold = 1.0, nlist = 16, nprobe = 4)
+        .orderBy("aid")
+    },
+
     // Bloom seen-set: crawl A's URLs build the filter (mBits sized SMALL
     // so the false-positive class is populated and observable); crawl B
     // probes with half-seen/half-new URLs; the accounting proves no
