@@ -454,6 +454,48 @@ object EventStream {
       }
   }
 
+  /** Continuous crawl SEEN-SET maintenance — the streaming home of
+    * [[graft.functions.Bloom]] (the sixth maintained state alongside
+    * keyword / near-dup / decontamination / ANN / data-card): each
+    * micro-batch of arriving URLs is first PROBED against the current
+    * filter (`apply` receives (url, might_contain) — `false` is a
+    * definitely-new URL the frontier should fetch; `true` is maybe-seen,
+    * skip or verify), then OR-merged into the persisted
+    * `{prefix}_seen_bloom` word table. Probe-before-merge is the
+    * contract: a URL appearing twice WITHIN one batch is not flagged
+    * (within-batch exact dedup is a separate, cheaper step); a URL from
+    * any PRIOR batch always is (the filter has no false negatives).
+    *
+    * Scale: the state table is ≤ mBits/32 rows however many URLs ever
+    * arrive — it broadcasts in the probe and overwrites WHOLE per batch
+    * (the [[dataCardStream]] bounded-state discipline: coalesce(1), no
+    * fragmentation, no compaction needed, restart resumes
+    * create-if-absent). Merge ≡ build-of-union exactly (OR commutes), so
+    * the stream state equals the one-shot batch filter at every point —
+    * the parity the spec pins.
+    */
+  def bloomSeenStream(urls: DataFrame, urlCol: String, tablePrefix: String,
+      mBits: Long = 1L << 20, k: Int = 4,
+      apply: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Bloom
+    val table = s"${tablePrefix}_seen_bloom"
+    urls.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val delta = Bloom.build(batch, urlCol, mBits, k)
+        val state =
+          if (sess.catalog.tableExists(table)) sess.table(table)
+          else delta.limit(0) // empty filter: everything probes new
+        apply(Bloom.mightContain(state, batch, urlCol, mBits, k))
+        val merged = Bloom.merge(state, delta).localCheckpoint(eager = true)
+        merged.coalesce(1).write.mode("overwrite").format("parquet")
+          .saveAsTable(table)
+        sess.catalog.refreshTable(table)
+      }
+  }
+
   /** Drift probe over the LIVE [[dataCardStream]] state: PSI of each
     * source's current doc-length histogram against a frozen REFERENCE
     * card snapshot (persist `spark.table("{prefix}_card")` at

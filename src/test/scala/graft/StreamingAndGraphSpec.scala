@@ -1171,6 +1171,48 @@ class StreamingAndGraphSpec extends SparkTestBase {
     assert(stats.getAs[Long]("max_degree") >= 10L) // the vCenter hub
   }
 
+  test("bloom seen-set stream: probe-before-merge routing + state ≡ one-shot batch filter") {
+    import spark.implicits._
+    import graft.functions.Bloom
+    import graft.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val mem = MemoryStream[String]
+      val probed = scala.collection.mutable.ArrayBuffer[Map[String, Boolean]]()
+      val ckpt = java.nio.file.Files.createTempDirectory("bloom_ckpt").toString
+      def runOnce(): Unit = {
+        val q = EventStream.bloomSeenStream(mem.toDF().toDF("url"), "url",
+            tablePrefix = "bloom_stream_test", mBits = 1L << 16, k = 4,
+            apply = df => probed += df.collect()
+              .map(r => r.getString(0) -> r.getBoolean(1)).toMap)
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      // drop 1: three fresh URLs — all definitely-new
+      mem.addData("https://a.example/1", "https://a.example/2", "https://b.example/3")
+      runOnce()
+      // drop 2: one re-crawl of drop 1, two fresh (restart resumes state)
+      mem.addData("https://a.example/2", "https://c.example/4", "https://c.example/5")
+      runOnce()
+      assert(probed.size === 2)
+      assert(probed(0).values.forall(_ == false), s"first drop must be all-new: ${probed(0)}")
+      // mBits 2^16 over 6 keys: FP probability ~0 — exact routing expected
+      assert(probed(1) === Map("https://a.example/2" -> true,
+        "https://c.example/4" -> false, "https://c.example/5" -> false))
+      // state parity: streamed state ≡ one-shot filter over everything seen
+      spark.catalog.refreshTable("bloom_stream_test_seen_bloom")
+      val state = spark.table("bloom_stream_test_seen_bloom")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val oneShot = Bloom.build(
+          Seq("https://a.example/1", "https://a.example/2", "https://b.example/3",
+            "https://c.example/4", "https://c.example/5").toDF("url"),
+          "url", mBits = 1L << 16, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(state === oneShot)
+    } finally spark.sql("DROP TABLE IF EXISTS bloom_stream_test_seen_bloom")
+  }
+
   test("GraphX pagerank: region hubs outrank leaf nations") {
     val store = Refresh.refresh(
       SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
