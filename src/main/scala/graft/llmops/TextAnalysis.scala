@@ -266,6 +266,27 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#:]+)", 1))
 
+  /** Unicode NFC canonicalization (see
+    * [[org.apache.spark.sql.graftfn.NfcNormalize]] — codegen'd, fast-path
+    * copy-free on already-normalized text): run BEFORE any byte-keyed
+    * operator (exact dedup md5, MinHash shingles, PII regexes, BPE) or
+    * decomposed/precomposed spellings of one word count as different
+    * content.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftfn.NfcNormalize.nfc(text)
+
+  /** Invisible-character scrub — zero-width space/joiner/non-joiner,
+    * word-joiner, BOM-as-ZWNBSP, soft hyphen: characters that render as
+    * nothing but split tokens, break dedup keys, and are a classic spam
+    * cloaking trick (zero-width stuffing defeats naive word filters).
+    * A single codegen'd character-class regexp, shared verbatim with the
+    * oracle (`\x{...}` is the Java-regex/RE2 common subset).
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]", "")
+
   /** Intra-document REPETITION gauges — completing Gopher's repetition
     * family (Rae et al. 2021, Table A1) alongside [[ngramRepetition]]
     * (which covers the top/duplicated n-gram CHAR fractions) and

@@ -3791,6 +3791,36 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc")
     },
 
+    // Unicode normalization: planted decomposed accents (NFC composes,
+    // length drops) + zero-width stuffing and soft hyphens (strip) —
+    // DuckDB's nfc_normalize vs the codegen'd Normalizer expression,
+    // value-exact including the md5 of the cleaned text.
+    q("q_x_unicode_normalize",
+      "WITH a AS (SELECT doc_id, text || CASE doc_id % 4 " +
+        "WHEN 0 THEN ' cafe' || chr(769) || ' clich' || chr(233) " +
+        "WHEN 1 THEN ' ze' || chr(8203) || 'ro wi' || chr(8204) || 'dth' " +
+        "WHEN 2 THEN ' so' || chr(173) || 'ft a' || chr(768) || 'grave' " +
+        "ELSE '' END AS t FROM documents), " +
+        "n AS (SELECT doc_id, length(t) AS n_before, " +
+        "regexp_replace(nfc_normalize(t), '[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]', '', 'g') AS clean FROM a) " +
+        "SELECT doc_id AS doc, CAST(n_before AS BIGINT) AS n_before, " +
+        "CAST(length(clean) AS BIGINT) AS n_after, md5(clean) AS clean_md5 " +
+        "FROM n ORDER BY doc") { (s, d) =>
+      val did = col("doc_id")
+      val aug = concat(col("text"),
+        when(did % 4 === 0, lit(" café cliché"))
+          .when(did % 4 === 1, lit(" ze​ro wi‌dth"))
+          .when(did % 4 === 2, lit(" so­ft àgrave"))
+          .otherwise(lit("")))
+      val clean = TextAnalysis.stripInvisible(
+        TextAnalysis.nfcNormalize(aug))
+      Tables.documents(s, d)
+        .select(did.as("doc"), length(aug).cast("long").as("n_before"),
+          length(clean).cast("long").as("n_after"),
+          md5(clean).as("clean_md5"))
+        .orderBy("doc")
+    },
+
     // Ledger diff: the release-to-release governance answer. Planted
     // ledger pair exercises all six change classes (doc_id % 11 = 3
     // absent from A -> added; % 13 = 5 absent from B -> removed;

@@ -196,7 +196,9 @@ object StressBench {
     // bloom seen-set: explode + bounded word-table agg + broadcast probe.
     "q_x_bloom_seen_set",
     // repetition gauges: per-row folds + one doc-keyed token count.
-    "q_x_repetition_gauges")
+    "q_x_repetition_gauges",
+    // unicode normalize: codegen'd expression + regexp, no shuffle.
+    "q_x_unicode_normalize")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

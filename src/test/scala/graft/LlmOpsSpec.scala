@@ -1563,6 +1563,29 @@ class LlmOpsSpec extends SparkTestBase {
       s"IVF pair recall collapsed: ${(part & exact).size}/${exact.size}")
   }
 
+  test("NFC normalize + invisible scrub: composition, idempotence, token healing") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "café"),                 // decomposed -> composes to café
+      (2L, "café"),                  // already NFC -> unchanged
+      (3L, "ze​ro­ wi‌dth⁠ x﻿"), // invisibles
+      (4L, "plain ascii")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.stripInvisible(
+          TextAnalysis.nfcNormalize(col("text"))).as("clean"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === "café")       // composed, length 4
+    assert(out(1L) === out(2L))           // the two spellings now COLLIDE
+    assert(out(3L) === "zero width x")    // renders-as-nothing chars gone
+    assert(out(4L) === "plain ascii")
+    // idempotence: normalizing the normalized output is the identity
+    val again = Seq((1L, out(1L))).toDF("doc_id", "text")
+      .select(TextAnalysis.stripInvisible(
+        TextAnalysis.nfcNormalize(col("text")))).collect()(0).getString(0)
+    assert(again === out(1L))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
