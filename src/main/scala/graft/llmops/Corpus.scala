@@ -728,6 +728,37 @@ object Corpus {
         when(col("token").rlike(maskRe), 0L).otherwise(1L).as("loss_mask"))
   }
 
+  /** Maps ANY per-token frame into the [[packSequences]] geometry — the
+    * generalization [[packedLossMask]] special-cases for redacted text:
+    * given one row per token with a unit ORDER key (`orderCol` — the
+    * document/conversation the token belongs to) and the token's 0-based
+    * position within that unit (`posCol`), emit `seq` and `pos_in_seq`
+    * for the concatenated global stream in orderCol order. Every other
+    * input column passes through, so a [[chatSftTokens]] frame arrives
+    * with its `loss_mask`/`role` and leaves as the exact artifact an SFT
+    * trainer consumes: packed coordinates + mask, one row per token.
+    *
+    * Scale: unit token counts are one map-side-combinable groupBy on the
+    * order key; the running offset is the [[packSequences]] two-pass
+    * prefix-sum spine (coarse-group window, never the corpus); the final
+    * join is keyed on the order key. Linear in the input, which is
+    * already token-sized.
+    */
+  def packTokens(perToken: DataFrame, orderCol: String, posCol: String,
+      seqLen: Long, groupSize: Long = 1L << 20): DataFrame = {
+    require(seqLen >= 1)
+    val counts = perToken.groupBy(col(orderCol))
+      .agg(count(lit(1)).as("__n"))
+    val offsets = withStreamOffset(counts, col(orderCol), col("__n"), groupSize)
+      .select(col(orderCol), col("__start"))
+    perToken.join(offsets, Seq(orderCol))
+      .withColumn("seq",
+        expr(s"(__start + $posCol) div ${seqLen}L"))
+      .withColumn("pos_in_seq",
+        (col("__start") + col(posCol)) % seqLen)
+      .drop("__start")
+  }
+
   /** Chat-template SFT rendering with an ASSISTANT-ONLY loss mask — the
     * instruction-tuning data-prep step: multi-turn conversations
     * `(conv, turn_idx, role, content)` render through a deterministic

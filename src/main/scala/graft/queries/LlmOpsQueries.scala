@@ -554,6 +554,27 @@ object LlmOpsQueries extends QueryModule {
     * narrow scan-speed queries whose no-Exchange plan pins are the real
     * scale property.
     */
+  /** Shared chat-SFT fixture: docs fold into 4-turn conversations with
+    * alternating roles; `f` = one row per rendered template token with
+    * its turn offset (q_x_chat_sft_tokens + q_x_sft_packed).
+    */
+  private val chatSftCtes: String =
+    "t AS (SELECT doc_id // 4 AS conv, doc_id % 4 AS turn_idx, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+      "substr(text, 1, 120) AS content FROM documents), " +
+      "w AS (SELECT conv, turn_idx, role, " +
+      "list_concat(list_concat(['<|' || role || '|>'], regexp_split_to_array(trim(content), '\\s+')), ['<|end|>']) AS toks, " +
+      "CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS isa FROM t), " +
+      "o AS (SELECT *, CAST(coalesce(sum(len(toks)) OVER (PARTITION BY conv ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS turn_off FROM w), " +
+      "f AS (SELECT conv, turn_idx, role, turn_off, isa, unnest(toks) AS token, generate_subscripts(toks, 1) - 1 AS p FROM o)"
+
+  private def chatTurns(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      expr("doc_id div 4").as("conv"),
+      (col("doc_id") % 4).as("turn_idx"),
+      when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+      substring(col("text"), 1, 120).as("content"))
+
   private def docsSpread(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).repartition(
       s.sparkContext.defaultParallelism, col("doc_id"))
@@ -3500,24 +3521,33 @@ object LlmOpsQueries extends QueryModule {
     // as <|role|> tokens... <|end|> and the mask trains ONLY assistant
     // content + its terminator. All windows partitioned by conv.
     q("q_x_chat_sft_tokens",
-      "WITH t AS (SELECT doc_id // 4 AS conv, doc_id % 4 AS turn_idx, " +
-        "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
-        "substr(text, 1, 120) AS content FROM documents), " +
-        "w AS (SELECT conv, turn_idx, role, " +
-        "list_concat(list_concat(['<|' || role || '|>'], regexp_split_to_array(trim(content), '\\s+')), ['<|end|>']) AS toks, " +
-        "CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS isa FROM t), " +
-        "o AS (SELECT *, CAST(coalesce(sum(len(toks)) OVER (PARTITION BY conv ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS turn_off FROM w), " +
-        "f AS (SELECT conv, turn_idx, role, turn_off, isa, unnest(toks) AS token, generate_subscripts(toks, 1) - 1 AS p FROM o) " +
+      s"WITH $chatSftCtes " +
         "SELECT CAST(conv AS BIGINT) AS conv, CAST(turn_idx AS BIGINT) AS turn_idx, role, " +
         "CAST(turn_off + p AS BIGINT) AS pos, token, " +
         "CAST(CASE WHEN p = 0 THEN 0 ELSE isa END AS BIGINT) AS loss_mask " +
         "FROM f ORDER BY conv, pos") { (s, d) =>
-      val turns = Tables.documents(s, d).select(
-        expr("doc_id div 4").as("conv"),
-        (col("doc_id") % 4).as("turn_idx"),
-        when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
-        substring(col("text"), 1, 120).as("content"))
-      Corpus.chatSftTokens(turns, "conv", "turn_idx", "role", "content")
+      Corpus.chatSftTokens(chatTurns(s, d), "conv", "turn_idx", "role", "content")
+        .orderBy("conv", "pos")
+    },
+
+    // SFT packing: the chat tokens land in packSequences coordinates —
+    // the artifact the trainer consumes (seq, pos_in_seq, loss_mask per
+    // token); the oracle threads the template render through the same
+    // conv-count prefix sum.
+    q("q_x_sft_packed",
+      s"WITH $chatSftCtes, " +
+        "pt AS (SELECT CAST(conv AS BIGINT) AS conv, CAST(turn_off + p AS BIGINT) AS pos, " +
+        "CAST(CASE WHEN p = 0 THEN 0 ELSE isa END AS BIGINT) AS loss_mask FROM f), " +
+        "cn AS (SELECT conv, count(*) AS n FROM pt GROUP BY 1), " +
+        "co AS (SELECT conv, CAST(sum(n) OVER (ORDER BY conv ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM cn) " +
+        "SELECT pt.conv, pt.pos, pt.loss_mask, " +
+        "CAST((co.off + pt.pos) // 128 AS BIGINT) AS seq, " +
+        "CAST((co.off + pt.pos) % 128 AS BIGINT) AS pos_in_seq " +
+        "FROM pt JOIN co USING (conv) ORDER BY conv, pos") { (s, d) =>
+      val perTok = Corpus.chatSftTokens(chatTurns(s, d),
+        "conv", "turn_idx", "role", "content")
+      Corpus.packTokens(perTok, "conv", "pos", seqLen = 128, groupSize = 100)
+        .select("conv", "pos", "loss_mask", "seq", "pos_in_seq")
         .orderBy("conv", "pos")
     },
 

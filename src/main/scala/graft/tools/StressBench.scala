@@ -198,7 +198,9 @@ object StressBench {
     // repetition gauges: per-row folds + one doc-keyed token count.
     "q_x_repetition_gauges",
     // unicode normalize: codegen'd expression + regexp, no shuffle.
-    "q_x_unicode_normalize")
+    "q_x_unicode_normalize",
+    // SFT packing: chat render + count + prefix-sum spine + keyed join.
+    "q_x_sft_packed")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1586,6 +1586,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(again === out(1L))
   }
 
+  test("packTokens: any per-token frame lands in packSequences coordinates, columns pass through") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val perTok = Seq(
+      (10L, 0L, "a", 1L), (10L, 1L, "b", 0L), (10L, 2L, "c", 1L),
+      (20L, 0L, "x", 1L), (20L, 1L, "y", 1L)).toDF("unit", "p", "tok", "m")
+    val got = Corpus.packTokens(perTok, "unit", "p", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // unit 10 occupies stream 0..2, unit 20 occupies 3..4 (straddles seq 0/1)
+    assert(got === Set(
+      (10L, 0L, "a", 1L, 0L, 0L), (10L, 1L, "b", 0L, 0L, 1L),
+      (10L, 2L, "c", 1L, 0L, 2L),
+      (20L, 0L, "x", 1L, 0L, 3L), (20L, 1L, "y", 1L, 1L, 0L)))
+    // the alignment invariant: seq*seqLen + pos_in_seq is contiguous
+    assert(got.toSeq.map(t => t._5 * 4 + t._6).sorted === (0L until 5L))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._

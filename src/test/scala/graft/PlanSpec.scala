@@ -554,6 +554,15 @@ class PlanSpec extends SparkTestBase {
       mixPlan)).isEmpty,
       "epochsPlan carries zero windows (shortfall is a broadcast scalar)")
 
+    // packTokens: the offsets spine is the only unpartitioned window and
+    // it sees one row per coarse order-group of the UNIT table.
+    val perTok = docs.select(col("doc_id").as("unit"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("p", "tok")))
+    val pkIn = unpartitionedWindowInputs(graft.llmops.Corpus.packTokens(
+      perTok, "unit", "p", seqLen = 128, groupSize = groupSize))
+    assert(pkIn.nonEmpty && pkIn.forall(_ <= nGroups),
+      s"packTokens window input exceeded $nGroups groups: $pkIn")
+
     // vocabulary: the stable-id window runs over the ≤ size-row top cut,
     // never the term universe.
     val vocabSize = 41
