@@ -728,6 +728,47 @@ object Corpus {
         when(col("token").rlike(maskRe), 0L).otherwise(1L).as("loss_mask"))
   }
 
+  /** Length-bucketed DYNAMIC BATCHING — the padding-minimizing batch
+    * assignment for models trained on whole (un-packed) examples, where
+    * every batch pads to its longest member: documents group into length
+    * buckets (`bucket = min(n_tokens / granularity, maxBucket)` — like
+    * lengths batch together, so padding ≈ granularity instead of
+    * max-doc-length), and within a bucket consecutive documents fill
+    * token-budget batches (`batch = running_tokens div batchTokens`,
+    * deterministic in id order). Emits (doc, n_tokens, bucket, batch) —
+    * group by (bucket, batch) for the padding audit: `max·count − sum`
+    * IS the pad-token bill the bucketing exists to shrink.
+    *
+    * Scale: the per-bucket running token sum is the [[packSequences]]
+    * two-pass spine GENERALIZED to a composite key — the in-group window
+    * partitions by (bucket, coarse id-group), the offsets table is one
+    * row per (bucket, group) with its window PARTITIONED by bucket, and
+    * the join back broadcasts. No stage funnels a bucket (which can hold
+    * most of the corpus) through one partition.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokenCol: Column,
+      batchTokens: Long, granularity: Long = 64, maxBucket: Long = 1024,
+      groupSize: Long = 1L << 20): DataFrame = {
+    require(batchTokens >= 1 && granularity >= 1 && maxBucket >= 0)
+    val base = df.select(col(idCol).as("doc"), tokenCol.cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        least(expr("n_tokens div " + granularity + "L"), lit(maxBucket)))
+      .withColumn("__g", expr(s"doc div ${groupSize}L"))
+    val inGroup = Window.partitionBy("bucket", "__g").orderBy("doc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = base.withColumn("__cum_in", sum("n_tokens").over(inGroup))
+    val offsets = withCum.groupBy("bucket", "__g")
+      .agg(sum("n_tokens").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(
+        Window.partitionBy("bucket").orderBy("__g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "__g", "__off")
+    withCum.join(broadcast(offsets), Seq("bucket", "__g"))
+      .withColumn("__start", col("__off") + col("__cum_in") - col("n_tokens"))
+      .withColumn("batch", expr(s"__start div ${batchTokens}L"))
+      .select("doc", "n_tokens", "bucket", "batch")
+  }
+
   /** Maps ANY per-token frame into the [[packSequences]] geometry — the
     * generalization [[packedLossMask]] special-cases for redacted text:
     * given one row per token with a unit ORDER key (`orderCol` — the

@@ -3551,6 +3551,29 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("conv", "pos")
     },
 
+    // Length-bucketed dynamic batching + the padding audit it exists
+    // for: per (bucket, batch) the pad bill is max·count − sum. The
+    // oracle replays the composite-key two-pass prefix sum verbatim.
+    q("q_x_length_batches",
+      "WITH d AS (SELECT doc_id AS doc, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n FROM documents), " +
+        "b AS (SELECT doc, n, least(n // 8, 16) AS bucket, doc // 100 AS g FROM d), " +
+        "c AS (SELECT *, sum(n) OVER (PARTITION BY bucket, g ORDER BY doc ROWS UNBOUNDED PRECEDING) AS cum FROM b), " +
+        "o AS (SELECT bucket, g, sum(n) AS tot FROM c GROUP BY 1, 2), " +
+        "o2 AS (SELECT bucket, g, CAST(coalesce(sum(tot) OVER (PARTITION BY bucket ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM o), " +
+        "f AS (SELECT c.doc, c.n, c.bucket, CAST((o2.off + c.cum - c.n) // 600 AS BIGINT) AS batch FROM c JOIN o2 ON o2.bucket = c.bucket AND o2.g = c.g) " +
+        "SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens, " +
+        "CAST(max(n) * count(*) - sum(n) AS BIGINT) AS pad_tokens " +
+        "FROM f GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Corpus.lengthBucketBatches(docs, "doc_id",
+          size(TextAnalysis.wsTokens(col("text"))), batchTokens = 600,
+          granularity = 8, maxBucket = 16, groupSize = 100)
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+          (max("n_tokens") * count(lit(1)) - sum("n_tokens")).as("pad_tokens"))
+        .orderBy("bucket", "batch")
+    },
+
     // FIM transform: a deterministic half of the corpus re-renders in
     // PSM sentinel order from two hash-derived token cuts; the other
     // half passes through byte-identical. Pure projection, no shuffle.

@@ -200,7 +200,9 @@ object StressBench {
     // unicode normalize: codegen'd expression + regexp, no shuffle.
     "q_x_unicode_normalize",
     // SFT packing: chat render + count + prefix-sum spine + keyed join.
-    "q_x_sft_packed")
+    "q_x_sft_packed",
+    // length batching: composite-key prefix sum + bounded offsets join.
+    "q_x_length_batches")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

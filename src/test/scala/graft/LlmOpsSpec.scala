@@ -1604,6 +1604,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.toSeq.map(t => t._5 * 4 + t._6).sorted === (0L until 5L))
   }
 
+  test("length-bucketed batching: hand-checked assignment; bucketing shrinks the pad bill") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 12L), (3L, 100L), (4L, 11L), (5L, 95L))
+      .toDF("doc_id", "nt")
+    val got = Corpus.lengthBucketBatches(df, "doc_id", col("nt"),
+        batchTokens = 25, granularity = 64, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // bucket 0 (short): docs 1,2,4 START at 0,10,22 -> all batch 0
+    // bucket 1 (long): docs 3,5 start at 0,100 -> batches 0 and 100//25=4
+    assert(got === Set((1L, 0L, 0L), (2L, 0L, 0L), (4L, 0L, 0L),
+      (3L, 1L, 0L), (5L, 1L, 4L)))
+    // the headline claim: like-lengths batching pads less than id-order
+    def padBill(granularity: Long): Long = {
+      val docs = Tables.documents(spark, dir)
+      Corpus.lengthBucketBatches(docs, "doc_id",
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          batchTokens = 600, granularity = granularity, maxBucket = 16)
+        .groupBy("bucket", "batch")
+        .agg((max("n_tokens") * count(lit(1)) - sum("n_tokens")).as("pad"))
+        .agg(sum("pad")).collect()(0).getLong(0)
+    }
+    val bucketed = padBill(8)
+    val unbucketed = padBill(100000) // everything lands in bucket 0
+    assert(bucketed < unbucketed,
+      s"bucketing must shrink padding: $bucketed !< $unbucketed")
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
