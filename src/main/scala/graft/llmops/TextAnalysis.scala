@@ -808,6 +808,40 @@ object TextAnalysis {
     "hebrew" -> "\\x{0590}-\\x{05FF}",
     "devanagari" -> "\\x{0900}-\\x{097F}")
 
+  /** Code-switching SEGMENTS — consecutive same-script token runs, the
+    * structural view [[withScriptMix]]'s per-doc fractions can't give:
+    * "40% Han characters" is one number for both a bilingual article
+    * (two long runs) and keyword-stuffed spam (Han sprinkled every few
+    * words) — segment count and lengths separate them, locate embedded
+    * code/quotes for extraction, and tell the RAG chunker where language
+    * flips. Tokens come from [[scriptTokens]] (CJK-aware: no-space
+    * scripts tokenize per character); each token takes the FIRST
+    * [[ScriptRanges]] class matching any of its characters (priority =
+    * declaration order, `other` when none — a mixed token follows its
+    * first script, stated); runs found by the gaps-and-islands window.
+    * One row per (doc, segment): script, token count, start position.
+    *
+    * Scale: explode + two windows PARTITIONED BY doc (bounded by doc
+    * length) + one output-sized groupBy. No global state.
+    */
+  def scriptSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scriptOf = ScriptRanges.foldLeft(when(lit(false), "x")) {
+      case (acc, (name, r)) => acc.when(col("token").rlike(s"[$r]"), name)
+    }.otherwise("other")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    df.select(col(idCol).as("doc"),
+        posexplode(scriptTokens(col(textCol))).as(Seq("pos", "token")))
+      .withColumn("script", scriptOf)
+      .withColumn("__chg",
+        when(lag("script", 1).over(w).isNull ||
+          lag("script", 1).over(w) =!= col("script"), 1L).otherwise(0L))
+      .withColumn("seg",
+        sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .groupBy("doc", "seg", "script")
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).cast("long").as("start_pos"))
+  }
+
   /** Data-card script gauge: per-document letter count and per-script
     * character fractions (`script_latin`, `script_han`, …, 6 dp, 0 when
     * the document has no letters). Pure codegen'd length arithmetic —

@@ -3574,6 +3574,38 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("bucket", "batch")
     },
 
+    // Script segments: planted Han / Cyrillic / Kana insertions create
+    // code-switch runs; the oracle replays CJK-aware tokenization, the
+    // priority CASE over the shared ranges, and the islands windows.
+    q("q_x_script_segments", {
+      val ns = TextAnalysis.NoSpaceScriptRanges
+      val caseSql = "CASE " + TextAnalysis.ScriptRanges.map { case (n2, r) =>
+        s"WHEN regexp_matches(token, '[$r]') THEN '$n2'"
+      }.mkString(" ") + " ELSE 'other' END"
+      "WITH a AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 5 = 0 THEN ' ' || chr(27721) || chr(23383) || chr(25991) || ' more' " +
+        "WHEN doc_id % 7 = 2 THEN ' ' || repeat(chr(1087), 6) || ' ' || repeat(chr(1084), 3) " +
+        "WHEN doc_id % 9 = 4 THEN ' ' || repeat(chr(12371), 4) ELSE '' END AS t FROM documents), " +
+        s"tok AS (SELECT doc_id AS doc, generate_subscripts(st, 1) - 1 AS pos, unnest(st) AS token FROM (SELECT doc_id, regexp_extract_all(t, '[$ns]|[^\\s$ns]+') AS st FROM a) s), " +
+        s"sc AS (SELECT doc, pos, $caseSql AS script FROM tok), " +
+        "ch AS (SELECT *, CASE WHEN lag(script) OVER (PARTITION BY doc ORDER BY pos) IS DISTINCT FROM script THEN 1 ELSE 0 END AS chg FROM sc), " +
+        "sg AS (SELECT doc, pos, script, CAST(sum(chg) OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg FROM ch) " +
+        "SELECT doc, seg, script, CAST(count(*) AS BIGINT) AS n_tokens, CAST(min(pos) AS BIGINT) AS start_pos " +
+        "FROM sg GROUP BY 1, 2, 3 ORDER BY doc, seg"
+    }) { (s, d) =>
+      val did = col("doc_id")
+      val aug = concat(col("text"),
+        when(did % 5 === 0, lit(" 汉字文 more"))
+          .when(did % 7 === 2,
+            lit(" " + "п" * 6 + " " + "м" * 3))
+          .when(did % 9 === 4, lit(" " + "こ" * 4))
+          .otherwise(lit("")))
+      TextAnalysis.scriptSegments(
+          Tables.documents(s, d).select(did, aug.as("text")),
+          "doc_id", "text")
+        .orderBy("doc", "seg")
+    },
+
     // FIM transform: a deterministic half of the corpus re-renders in
     // PSM sentinel order from two hash-derived token cuts; the other
     // half passes through byte-identical. Pure projection, no shuffle.

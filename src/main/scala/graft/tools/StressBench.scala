@@ -202,7 +202,9 @@ object StressBench {
     // SFT packing: chat render + count + prefix-sum spine + keyed join.
     "q_x_sft_packed",
     // length batching: composite-key prefix sum + bounded offsets join.
-    "q_x_length_batches")
+    "q_x_length_batches",
+    // script segments: explode + doc-partitioned islands windows.
+    "q_x_script_segments")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1632,6 +1632,19 @@ class LlmOpsSpec extends SparkTestBase {
       s"bucketing must shrink padding: $bucketed !< $unbucketed")
   }
 
+  test("script segments: gaps-and-islands over CJK-aware tokens — hand-checked") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    // "hello world 汉字 again": latin run (2 tokens), han run (2 per-char
+    // tokens), latin run (1) — the doc-fraction view cannot see the flip
+    val df = Seq((1L, "hello world 汉字 again")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptSegments(df, "doc_id", "text")
+      .orderBy("seg")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, "latin", 2L, 0L), (1L, "han", 2L, 2L), (2L, "latin", 1L, 4L)))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
