@@ -808,6 +808,32 @@ object TextAnalysis {
     "hebrew" -> "\\x{0590}-\\x{05FF}",
     "devanagari" -> "\\x{0900}-\\x{097F}")
 
+  /** Domain-level quality prior — the RefinedWeb policy layer above any
+    * per-document gate: template farms and SEO spam sites produce pages
+    * that INDIVIDUALLY squeak past document gates at some rate, but the
+    * site's keep-rate is the stronger signal — a host whose documents
+    * mostly fail is flagged WHOLE (future pages from it can be dropped at
+    * the URL stage, before download). Takes any boolean verdict column
+    * (`gopherRules.keep`, `codeQuality.keep`, a fitted gate — decoupled
+    * on purpose: the policy is per-gate). Per host: `n_docs`, `n_keep`,
+    * integer `keep_bps`, and `flagged` = keep rate below `minKeepBps`
+    * with at least `minDocs` of evidence (one bad page must not damn a
+    * domain).
+    *
+    * Scale: host extraction is a codegen'd regexp; the aggregation is one
+    * map-side-combinable groupBy on host — output is host-cardinality,
+    * broadcastable back into [[hostBlocklist]]-style URL-stage filtering.
+    */
+  def hostQualityPrior(df: DataFrame, urlCol: String, keepCol: String,
+      minDocs: Long = 3, minKeepBps: Long = 5000): DataFrame =
+    df.select(urlHost(col(urlCol)).as("host"),
+        col(keepCol).cast("long").as("__k"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum("__k").as("n_keep"))
+      .withColumn("keep_bps", expr("(n_keep * 10000) div n_docs"))
+      .withColumn("flagged",
+        col("n_docs") >= minDocs && col("keep_bps") < minKeepBps)
+
   /** Code-switching SEGMENTS — consecutive same-script token runs, the
     * structural view [[withScriptMix]]'s per-doc fractions can't give:
     * "40% Han characters" is one number for both a bilingual article

@@ -3606,6 +3606,40 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc", "seg")
     },
 
+    // Host quality prior: sites 0-7 ship binary soup on 3 of 4 pages ->
+    // keep rate 2500 bps, flagged whole; clean sites keep 10000. The
+    // oracle replays the codeQuality gate then the per-host roll-up.
+    q("q_x_host_quality_prior",
+      "WITH a AS (SELECT doc_id, CASE WHEN doc_id % 40 < 8 AND (doc_id // 40) % 4 <> 0 " +
+        "THEN substr(text, 1, 40) || chr(10) || repeat('{};=', 60) " +
+        "ELSE 'ok line' || chr(10) || substr(text, 1, 200) END AS t FROM documents), " +
+        "g AS (SELECT doc_id, CAST(list_max(list_transform(str_split(t, chr(10)), l -> length(l))) AS BIGINT) AS max_line, " +
+        "CAST(list_sum(list_transform(str_split(t, chr(10)), l -> length(l))) AS BIGINT) // CAST(len(str_split(t, chr(10))) AS BIGINT) AS avg_line, " +
+        "(CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) * 10000) // greatest(CAST(length(t) AS BIGINT), 1) AS alnum_bps, " +
+        "CASE WHEN regexp_matches(t, '(?i)auto-?generated|generated by|do not edit') THEN 1 ELSE 0 END AS autogen FROM a), " +
+        "k AS (SELECT doc_id, (autogen = 0 AND max_line <= 1000 AND avg_line <= 300 AND alnum_bps >= 2500) AS keep FROM g), " +
+        "h AS (SELECT 'site' || (doc_id % 40) || '.example' AS host, CASE WHEN keep THEN 1 ELSE 0 END AS kk FROM k) " +
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(kk) AS BIGINT) AS n_keep, " +
+        "(CAST(sum(kk) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) AS keep_bps, " +
+        "(count(*) >= 3 AND (CAST(sum(kk) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) < 5000) AS flagged " +
+        "FROM h GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val did = col("doc_id")
+      val aug = when(did % 40 < 8 && expr("(doc_id div 40) % 4") =!= 0,
+          concat(substring(col("text"), 1, 40), lit("\n"),
+            expr("repeat('{};=', 60)")))
+        .otherwise(concat(lit("ok line\n"), substring(col("text"), 1, 200)))
+      val url = concat(lit("https://site"), (did % 40).cast("string"),
+        lit(".example/p"), did.cast("string"))
+      val gated = TextAnalysis.codeQuality(
+          Tables.documents(s, d).select(did, aug.as("text")),
+          "doc_id", "text", maxAvgLineLen = 300)
+        .join(Tables.documents(s, d).select(did.as("doc"), url.as("url")),
+          Seq("doc"))
+      TextAnalysis.hostQualityPrior(gated, "url", "keep",
+          minDocs = 3, minKeepBps = 5000)
+        .orderBy("host")
+    },
+
     // FIM transform: a deterministic half of the corpus re-renders in
     // PSM sentinel order from two hash-derived token cuts; the other
     // half passes through byte-identical. Pure projection, no shuffle.

@@ -204,7 +204,9 @@ object StressBench {
     // length batching: composite-key prefix sum + bounded offsets join.
     "q_x_length_batches",
     // script segments: explode + doc-partitioned islands windows.
-    "q_x_script_segments")
+    "q_x_script_segments",
+    // host prior: gate pass + one host-keyed map-side roll-up.
+    "q_x_host_quality_prior")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1645,6 +1645,28 @@ class LlmOpsSpec extends SparkTestBase {
       (0L, "latin", 2L, 0L), (1L, "han", 2L, 2L), (2L, "latin", 1L, 4L)))
   }
 
+  test("host quality prior: keep-rate roll-up, min-evidence guard — hand-checked") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      // spam.example: 1 of 4 keeps -> 2500 bps, flagged
+      ("https://spam.example/1", false), ("https://spam.example/2", false),
+      ("https://spam.example/3", false), ("https://spam.example/4", true),
+      // good.example: 3 of 4 keeps -> 7500 bps, not flagged
+      ("https://good.example/1", true), ("https://good.example/2", true),
+      ("https://good.example/3", true), ("https://good.example/4", false),
+      // tiny.example: 100% fail but only 2 docs -> min-evidence guard holds
+      ("https://tiny.example/1", false), ("https://tiny.example/2", false)
+    ).toDF("url", "keep")
+    val got = TextAnalysis.hostQualityPrior(df, "url", "keep",
+        minDocs = 3, minKeepBps = 5000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("spam.example") === ((4L, 1L, 2500L, true)))
+    assert(got("good.example") === ((4L, 3L, 7500L, false)))
+    assert(got("tiny.example") === ((2L, 0L, 0L, false))) // too little evidence
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
