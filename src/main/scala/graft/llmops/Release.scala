@@ -109,4 +109,42 @@ object Release {
     manifest.write.mode("overwrite").parquet(s"$dir/_manifest")
     manifest
   }
+
+  /** The HUMAN-readable dataset card — the `README.md` a release ships
+    * next to the parquet sidecars (the Datasheets-for-Datasets practice:
+    * the audience for a data card is a person, not a query engine).
+    * Renders [[Corpus.dataCard]]'s per-source table as one deterministic
+    * markdown document: title, a source×gauges table sorted by source,
+    * and a totals line. Returns one row — (`card_md5`, `n_chars`,
+    * `markdown`) — so two replicas can verify they shipped the same card
+    * by hash alone.
+    *
+    * Scale: the card table is source-cardinality (bounded), so the one
+    * `collect_list` here aggregates a handful of pre-rendered lines —
+    * the corpus itself was only ever touched by dataCard's own
+    * documented shapes.
+    */
+  def cardMarkdown(card: DataFrame,
+      title: String = "Corpus data card"): DataFrame = {
+    val cols = Seq("source", "n_docs", "n_tokens", "avg_tokens",
+      "n_exact_dups", "n_distinct", "p50", "p90", "p99")
+    val line = concat(lit("| "),
+      concat_ws(" | ", cols.map(c => col(c).cast("string")): _*), lit(" |"))
+    val header =
+      s"# $title\n\n" +
+        "| source | docs | tokens | avg_tokens | exact_dups | distinct | p50 | p90 | p99 |\n" +
+        "|---|---|---|---|---|---|---|---|---|\n"
+    card.select(line.as("l"), col("source"), col("n_docs"), col("n_tokens"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("source"), col("l")))),
+          x => x("l")).as("__lines"),
+        sum("n_docs").as("__d"), sum("n_tokens").as("__t"),
+        count(lit(1)).as("__s"))
+      .select(concat(lit(header), array_join(col("__lines"), "\n"),
+        lit("\n\nTotals: "), col("__d").cast("string"), lit(" docs, "),
+        col("__t").cast("string"), lit(" tokens across "),
+        col("__s").cast("string"), lit(" sources.")).as("markdown"))
+      .select(md5(col("markdown")).as("card_md5"),
+        length(col("markdown")).cast("long").as("n_chars"), col("markdown"))
+  }
 }

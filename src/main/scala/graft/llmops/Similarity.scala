@@ -880,8 +880,12 @@ object Similarity {
     * The margin/mutual machinery then runs identically on the candidate
     * set — kNN averages are over candidates, the stated approximation
     * (spec measures pair recall vs the exact miner). Candidate volume is
-    * bounded by nprobe × cell occupancy instead of |A|·|B|; the stress
-    * lane rides this variant, the exact one is the oracle.
+    * nprobe × cell occupancy per query — which is only sub-quadratic if
+    * `nlist` GROWS with the corpus: size it for constant occupancy
+    * (`nlist ≈ |left| / 16`) and the volume is LINEAR; a fixed nlist
+    * merely divides the quadratic constant by nlist/nprobe (measured:
+    * 63.5× → 14× at 10× data before the occupancy rule, ~linear after).
+    * The stress lane rides this variant, the exact one is the oracle.
     */
   def mineBitextIvf(left: DataFrame, right: DataFrame, k: Int,
       marginThreshold: Double = 1.0, nlist: Int = 16, nprobe: Int = 4,

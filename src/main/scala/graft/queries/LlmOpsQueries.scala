@@ -1435,6 +1435,32 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // Rendered data card: the whole markdown README compared as a VALUE
+    // (plus md5/length) — both engines build the identical document from
+    // the identical card chain.
+    q("q_x_card_markdown",
+      "WITH b AS (SELECT doc_id AS doc, source, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, md5(text) AS h FROM documents), " +
+        "k AS (SELECT *, min(doc) OVER (PARTITION BY source, h) AS keep FROM b), " +
+        "st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens, " +
+        "CAST(sum(CASE WHEN doc <> keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups, " +
+        "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct FROM k GROUP BY 1), " +
+        "r AS (SELECT source, n_tokens, row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn, count(*) OVER (PARTITION BY source) AS cnt FROM b), " +
+        "qs AS (SELECT source, CAST(max(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1 THEN n_tokens END) AS BIGINT) AS p50, " +
+        "CAST(max(CASE WHEN rn = (cnt - 1) * 90 // 100 + 1 THEN n_tokens END) AS BIGINT) AS p90, " +
+        "CAST(max(CASE WHEN rn = (cnt - 1) * 99 // 100 + 1 THEN n_tokens END) AS BIGINT) AS p99 FROM r GROUP BY 1), " +
+        "j AS (SELECT st.*, qs.p50, qs.p90, qs.p99 FROM st JOIN qs USING (source)), " +
+        "line AS (SELECT source, n_docs, n_tokens, '| ' || source || ' | ' || n_docs || ' | ' || n_tokens || ' | ' || avg_tokens || ' | ' || n_exact_dups || ' | ' || n_distinct || ' | ' || p50 || ' | ' || p90 || ' | ' || p99 || ' |' AS l FROM j), " +
+        "md AS (SELECT '# Corpus data card' || chr(10) || chr(10) || " +
+        "'| source | docs | tokens | avg_tokens | exact_dups | distinct | p50 | p90 | p99 |' || chr(10) || " +
+        "'|---|---|---|---|---|---|---|---|---|' || chr(10) || " +
+        "string_agg(l, chr(10) ORDER BY source) || " +
+        "chr(10) || chr(10) || 'Totals: ' || sum(n_docs) || ' docs, ' || sum(n_tokens) || ' tokens across ' || count(*) || ' sources.' AS markdown FROM line) " +
+        "SELECT md5(markdown) AS card_md5, CAST(length(markdown) AS BIGINT) AS n_chars, markdown FROM md") { (s, d) =>
+      graft.llmops.Release.cardMarkdown(
+        Corpus.dataCard(Tables.documents(s, d), "doc_id", "text", "source"))
+    },
+
     // mergeable occurrence-quantile state: per-source n_chars histograms
     // (g = 16, B = 256) built from the two doc-id parities SEPARATELY and
     // merged — the incremental path — then exact g-granular p50/p90/p99
@@ -3813,7 +3839,8 @@ object LlmOpsQueries extends QueryModule {
     q("q_x_bitext_mining_ivf",
       "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
         "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
-        "cd AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id % 2 = 0 AND c.vec_id < 16 GROUP BY 1, 2), " +
+        "nl AS (SELECT greatest(16, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) // 16) AS v), " +
+        "cd AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id % 2 = 0 AND c.vec_id < (SELECT v FROM nl) GROUP BY 1, 2), " +
         "cs AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cd d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
         "rk AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cs), " +
         "acell AS (SELECT vec_id AS aid, cent_id AS cell FROM rk WHERE rn = 1 AND vec_id % 2 = 0), " +
@@ -3833,10 +3860,14 @@ object LlmOpsQueries extends QueryModule {
         "SELECT aid, bid, round(cos, 6) AS cos, round(margin, 6) AS margin " +
         "FROM mb WHERE ba = 1 AND bb = 1 AND margin >= 1.0 ORDER BY aid") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      Similarity.mineBitextIvf(
-          emb.filter(col("vec_id") % 2 === 0),
+      val left = emb.filter(col("vec_id") % 2 === 0)
+      // constant cell occupancy (~16): nlist grows with the corpus so the
+      // candidate volume stays LINEAR — a fixed nlist only divides the
+      // quadratic constant (measured: 14x at 10x before this rule)
+      val nlist = math.max(16L, left.count() / 16).toInt
+      Similarity.mineBitextIvf(left,
           emb.filter(col("vec_id") % 2 === 1),
-          k = 4, marginThreshold = 1.0, nlist = 16, nprobe = 4)
+          k = 4, marginThreshold = 1.0, nlist = nlist, nprobe = 4)
         .orderBy("aid")
     },
 

@@ -206,7 +206,9 @@ object StressBench {
     // script segments: explode + doc-partitioned islands windows.
     "q_x_script_segments",
     // host prior: gate pass + one host-keyed map-side roll-up.
-    "q_x_host_quality_prior")
+    "q_x_host_quality_prior",
+    // card markdown: dataCard + one bounded collect_list render.
+    "q_x_card_markdown")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1667,6 +1667,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got("tiny.example") === ((2L, 0L, 0L, false))) // too little evidence
   }
 
+  test("card markdown: deterministic render, sorted rows, totals line") {
+    import graft.llmops.{Corpus, Release}
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s2"), (2L, "d e", "s1"), (3L, "f g h i", "s1"))
+      .toDF("doc_id", "text", "source")
+    val md = Release.cardMarkdown(
+        Corpus.dataCard(docs, "doc_id", "text", "source"), "Test card")
+      .collect()(0)
+    val text = md.getString(2)
+    assert(md.getString(0).length === 32)               // md5 hex
+    assert(md.getLong(1) === text.length.toLong)
+    assert(text.startsWith("# Test card\n\n| source |"))
+    // rows sorted by source; totals correct
+    val s1 = text.indexOf("| s1 | 2 | 6 |")
+    val s2 = text.indexOf("| s2 | 1 | 3 |")
+    assert(s1 >= 0 && s2 > s1, text)
+    assert(text.endsWith("Totals: 3 docs, 9 tokens across 2 sources."))
+    // render is a pure function of the card: re-render hashes identically
+    val again = Release.cardMarkdown(
+      Corpus.dataCard(docs, "doc_id", "text", "source"), "Test card")
+      .collect()(0).getString(0)
+    assert(again === md.getString(0))
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
