@@ -3666,6 +3666,50 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("host")
     },
 
+    // The detect->act loop for domains: hosts the quality prior flags
+    // BECOME the URL blocklist, and the next crawl's pages from those
+    // hosts (subdomains included — the suffix join) block before
+    // download. Per-source counts close the loop observably.
+    q("q_x_host_prior_blocklist",
+      "WITH a AS (SELECT doc_id, CASE WHEN doc_id % 40 < 8 AND (doc_id // 40) % 4 <> 0 " +
+        "THEN substr(text, 1, 40) || chr(10) || repeat('{};=', 60) " +
+        "ELSE 'ok line' || chr(10) || substr(text, 1, 200) END AS t FROM documents), " +
+        "g AS (SELECT doc_id, CAST(list_max(list_transform(str_split(t, chr(10)), l -> length(l))) AS BIGINT) AS max_line, " +
+        "CAST(list_sum(list_transform(str_split(t, chr(10)), l -> length(l))) AS BIGINT) // CAST(len(str_split(t, chr(10))) AS BIGINT) AS avg_line, " +
+        "(CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) * 10000) // greatest(CAST(length(t) AS BIGINT), 1) AS alnum_bps, " +
+        "CASE WHEN regexp_matches(t, '(?i)auto-?generated|generated by|do not edit') THEN 1 ELSE 0 END AS autogen FROM a), " +
+        "k AS (SELECT doc_id, (autogen = 0 AND max_line <= 1000 AND avg_line <= 300 AND alnum_bps >= 2500) AS keep FROM g), " +
+        "h AS (SELECT 'site' || (doc_id % 40) || '.example' AS host, CASE WHEN keep THEN 1 ELSE 0 END AS kk FROM k), " +
+        "fl AS (SELECT host FROM h GROUP BY host HAVING count(*) >= 3 AND (CAST(sum(kk) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) < 5000), " +
+        // next crawl: a www subdomain spelling of every site — suffix
+        // matching must still catch the flagged parents
+        "nxt AS (SELECT doc_id, 'www.site' || (doc_id % 40) || '.example' AS host2 FROM documents) " +
+        "SELECT CAST(sum(CASE WHEN fl.host IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
+        "CAST(sum(CASE WHEN fl.host IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_passed " +
+        "FROM nxt LEFT JOIN fl ON nxt.host2 = 'www.' || fl.host") { (s, d) =>
+      val did = col("doc_id")
+      val aug = when(did % 40 < 8 && expr("(doc_id div 40) % 4") =!= 0,
+          concat(substring(col("text"), 1, 40), lit("\n"),
+            expr("repeat('{};=', 60)")))
+        .otherwise(concat(lit("ok line\n"), substring(col("text"), 1, 200)))
+      val url = concat(lit("https://site"), (did % 40).cast("string"),
+        lit(".example/p"), did.cast("string"))
+      val gated = TextAnalysis.codeQuality(
+          Tables.documents(s, d).select(did, aug.as("text")),
+          "doc_id", "text", maxAvgLineLen = 300)
+        .join(Tables.documents(s, d).select(did.as("doc"), url.as("url")),
+          Seq("doc"))
+      val blockDomains = TextAnalysis.hostQualityPrior(gated, "url", "keep",
+          minDocs = 3, minKeepBps = 5000)
+        .filter(col("flagged")).select(col("host").as("domain"))
+      val nextCrawl = Tables.documents(s, d).select(did.as("doc_id"),
+        concat(lit("https://www.site"), (did % 40).cast("string"),
+          lit(".example/q"), did.cast("string")).as("url"))
+      TextAnalysis.hostBlocklist(nextCrawl, "doc_id", "url", blockDomains)
+        .agg(sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(col("blocked"), 0L).otherwise(1L)).as("n_passed"))
+    },
+
     // FIM transform: a deterministic half of the corpus re-renders in
     // PSM sentinel order from two hash-derived token cuts; the other
     // half passes through byte-identical. Pure projection, no shuffle.

@@ -208,7 +208,9 @@ object StressBench {
     // host prior: gate pass + one host-keyed map-side roll-up.
     "q_x_host_quality_prior",
     // card markdown: dataCard + one bounded collect_list render.
-    "q_x_card_markdown")
+    "q_x_card_markdown",
+    // prior->blocklist loop: gate + roll-up + broadcast suffix join.
+    "q_x_host_prior_blocklist")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
