@@ -1162,6 +1162,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pairs"), round(avg("__nll"), 6).as("avg_nll"))
   }
 
+  /** Interpolated (Jelinek–Mercer) LM quality score — the smoothing rung
+    * that completes the NLL ladder: [[unigramLogProb]] is orderless,
+    * [[bigramLogProb]] is order-sensitive but brittle on unseen contexts
+    * (every novel pair bottoms out at the Laplace floor, so legitimate
+    * rare prose and garbage look alike); the standard fix is backoff —
+    * `P = λ·P_bi(w2|w1) + (1−λ)·P_uni(w2)` — where an unseen pair still
+    * earns credit for a plausible w2. λ defaults to 0.75, an exactly
+    * representable double so the interpolation arithmetic (one multiply
+    * each, one add — all correctly rounded) is bit-identical across
+    * engines; both component models keep their Laplace forms. Per-doc
+    * mean NLL over adjacent pairs, rounded 6 (the ladder's discipline).
+    *
+    * Scale: the bigram count join is a plain shuffle equi-join (the
+    * table grows with the corpus — the tfidf lesson, never broadcast);
+    * unigram counts and V broadcast; everything else is the gram explode,
+    * linear in corpus tokens.
+    */
+  def interpolatedLogProb(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75,
+      reference: Option[DataFrame] = None,
+      refTextCol: String = "text",
+      tokens: Column => Column = wsTokens): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0)
+    def gramRows(f: DataFrame, tcol: String, keep: Seq[Column],
+        keepNames: Seq[String]): DataFrame =
+      f.select(keep :+ tokens(lower(col(tcol))).as("__toks"): _*)
+        .filter(size(col("__toks")) >= 2)
+        .select(keepNames.map(col) :+ posexplode(expr(
+          "transform(sequence(0, size(__toks) - 2), i -> struct(__toks[i] as w1, __toks[i + 1] as w2, concat(__toks[i], ' ', __toks[i + 1]) as gram))"))
+          .as(Seq("__p", "__g")): _*)
+        .select(keepNames.map(col) :+ col("__g.w1").as("w1") :+
+          col("__g.w2").as("w2") :+ col("__g.gram").as("gram"): _*)
+    val refDf = reference.getOrElse(df.select(col(textCol).as(refTextCol)))
+    val cb = gramRows(refDf, refTextCol, Nil, Nil)
+      .groupBy("gram").agg(count(lit(1)).as("cb"))
+    val cu = refDf
+      .select(explode(tokens(lower(col(refTextCol)))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val totals = broadcast(cu.agg(
+      sum("cu").as("t_tokens"), count(lit(1)).as("v_distinct")))
+    val cuW2 = cu.select(col("w1").as("w2"), col("cu").as("cu2"))
+    gramRows(df, textCol, Seq(col(idCol).as("doc")), Seq("doc"))
+      .join(cb, Seq("gram"), "left")
+      .join(broadcast(cu), Seq("w1"), "left")
+      .join(broadcast(cuW2), Seq("w2"), "left")
+      .crossJoin(totals)
+      .withColumn("__pb",
+        (coalesce(col("cb"), lit(0L)) + 1) /
+          (coalesce(col("cu"), lit(0L)) + col("v_distinct")))
+      .withColumn("__pu",
+        (coalesce(col("cu2"), lit(0L)) + 1) /
+          (col("t_tokens") + col("v_distinct")))
+      .withColumn("__nll",
+        -log(lit(lambda) * col("__pb") + lit(1.0 - lambda) * col("__pu")))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_pairs"), round(avg("__nll"), 6).as("avg_nll"))
+  }
+
   /** Data-derived quality-gate thresholds — the operational answer to a
     * [[graft.llmops.Corpus.psiDrift]] "act" verdict (the scaladoc there
     * says re-fit the gate when the corpus moved; this is the re-fit):

@@ -1047,6 +1047,28 @@ object LlmOpsQueries extends QueryModule {
       TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc")
     },
+
+    // Interpolated (Jelinek-Mercer) NLL: lambda*P_bi + (1-lambda)*P_uni
+    // with lambda = 0.75 (exact double) — an unseen pair still earns
+    // credit for a plausible second word; both Laplace components and
+    // the mix replay arithmetic-identically.
+    q("q_x_quality_interp_nll",
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "gr AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i] || ' ' || toks[i+1] AS gram " +
+        "FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 2), " +
+        "cb AS (SELECT gram, count(*) AS cb FROM gr GROUP BY 1), " +
+        "cu AS (SELECT w1, count(*) AS cu FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1), " +
+        "v AS (SELECT CAST(sum(cu) AS BIGINT) AS tt, count(*) AS vd FROM cu), " +
+        "cu2 AS (SELECT w1 AS w2, cu AS cu2 FROM cu) " +
+        "SELECT gr.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(avg(-ln(0.75 * ((coalesce(cb.cb, 0) + 1) / CAST(coalesce(cu.cu, 0) + v.vd AS DOUBLE)) + " +
+        "0.25 * ((coalesce(cu2.cu2, 0) + 1) / CAST(v.tt + v.vd AS DOUBLE)))), 6) AS avg_nll " +
+        "FROM gr LEFT JOIN cb USING (gram) LEFT JOIN cu USING (w1) LEFT JOIN cu2 USING (w2) CROSS JOIN v " +
+        "GROUP BY gr.doc_id ORDER BY doc") { (s, d) =>
+      TextAnalysis.interpolatedLogProb(Tables.documents(s, d), "doc_id",
+          "text", lambda = 0.75)
+        .orderBy("doc")
+    },
     // Gopher structural rules over an augmented corpus: planted bullet
     // listings, ellipsis-spam tails and symbol soup (the CASE augmentation
     // is identical on both engines, the pii_luhn pattern), every gauge

@@ -210,7 +210,9 @@ object StressBench {
     // card markdown: dataCard + one bounded collect_list render.
     "q_x_card_markdown",
     // prior->blocklist loop: gate + roll-up + broadcast suffix join.
-    "q_x_host_prior_blocklist")
+    "q_x_host_prior_blocklist",
+    // interpolated NLL: gram explode + one shuffle bigram join.
+    "q_x_quality_interp_nll")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

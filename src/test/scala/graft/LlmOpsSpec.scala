@@ -1692,6 +1692,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(again === md.getString(0))
   }
 
+  test("interpolated NLL: unseen pairs separate by w2 plausibility where pure bigram cannot") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val ref = Seq(("the cat sat on the mat the end"))
+      .toDF("text") // "the" is frequent, everything else rare
+    val probes = Seq(
+      (1L, "green the"),   // unseen pair, PLAUSIBLE second word
+      (2L, "green zzz"))   // unseen pair, unseen second word
+      .toDF("doc_id", "text")
+    def nll(f: org.apache.spark.sql.DataFrame) = f
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val interp = nll(TextAnalysis.interpolatedLogProb(probes, "doc_id",
+      "text", lambda = 0.75, reference = Some(ref)))
+    val bigram = nll(TextAnalysis.bigramLogProb(probes, "doc_id", "text",
+      reference = Some(ref)))
+    // pure bigram: both pairs unseen, same context count -> identical NLL
+    assert(math.abs(bigram(1L) - bigram(2L)) < 1e-9, bigram.toString)
+    // interpolation: the frequent "the" earns unigram credit
+    assert(interp(1L) < interp(2L) - 0.1, interp.toString)
+  }
+
   test("curriculum phases: bounded-histogram quantile split hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
