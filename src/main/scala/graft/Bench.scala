@@ -9,7 +9,21 @@ import org.apache.spark.sql.SparkSession
   * cold total for cross-round comparability; warm numbers ride alongside.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 where unavailable).
+    * Recorded at start AND end of the run so a future reader can
+    * adjudicate drift without re-running: external host load arriving
+    * mid-run inflates per-query lines non-uniformly (the recorded
+    * contention signature), and a total from a loaded box is an upper
+    * bound, not a regression.
+    */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -49,7 +63,8 @@ object Bench {
     val cold = results.map(_._2._1).sum
     val warm = results.map(_._2._2).sum
     println(s"""{"metric":"total","value":$cold,"unit":"sec","queries":${fmt(_._1)},""" +
-      s""""warm_total":$warm,"queries_warm":${fmt(_._2)},"sf":"$sfDir"}""")
+      s""""warm_total":$warm,"queries_warm":${fmt(_._2)},"sf":"$sfDir",""" +
+      s""""load_start":$loadStart,"load_end":${loadAvg()}}""")
     spark.stop()
   }
 }

@@ -48,11 +48,17 @@ object Bloom {
   private def wordMask(pos: Column): (Column, Column) =
     (shiftright(pos, 5), expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
 
-  /** Build the (word_idx, word) filter table over `keyCol`. */
+  /** Build the (word_idx, word) filter table over `keyCol`. NULL keys are
+    * NOT keys and are ignored (explicitly filtered, not silently dropped
+    * by a null hash): the filter tracks the non-null key set only, and
+    * [[mightContain]] mirrors the contract by answering `false` for a
+    * null probe — the no-false-negative law is over non-null keys.
+    */
   def build(df: DataFrame, keyCol: String, mBits: Long = 1L << 16,
       k: Int = 4): DataFrame = {
     val (wi, mask) = wordMask(col("pos"))
-    df.select(explode(positions(col(keyCol), mBits, k)).as("pos"))
+    df.where(col(keyCol).isNotNull)
+      .select(explode(positions(col(keyCol), mBits, k)).as("pos"))
       .select(wi.as("word_idx"), mask.as("__m"))
       .groupBy("word_idx").agg(expr("bit_or(__m)").as("word"))
   }
@@ -63,11 +69,14 @@ object Bloom {
 
   /** Per-probe-key membership: true = maybe seen (false-positive rate
     * applies), false = DEFINITELY never seen (the side dedup acts on).
+    * One output row per DISTINCT probe key, null included: a null probe
+    * answers `false` (nulls are never keys — [[build]] ignores them), so
+    * consumers joining the verdict back never see fewer rows than keys.
     */
   def mightContain(bloom: DataFrame, probes: DataFrame, keyCol: String,
       mBits: Long = 1L << 16, k: Int = 4): DataFrame = {
     val (wi, mask) = wordMask(col("pos"))
-    probes
+    val answered = probes.where(col(keyCol).isNotNull)
       .select(col(keyCol), explode(positions(col(keyCol), mBits, k)).as("pos"))
       .select(col(keyCol), wi.as("word_idx"), mask.as("__m"))
       .join(broadcast(bloom), Seq("word_idx"), "left")
@@ -76,5 +85,9 @@ object Bloom {
           .otherwise(0L))
       .groupBy(keyCol)
       .agg((min("__hit") === 1L).as("might_contain"))
+    val nullRow = probes.where(col(keyCol).isNull)
+      .select(col(keyCol)).distinct()
+      .withColumn("might_contain", lit(false))
+    answered.unionByName(nullRow)
   }
 }

@@ -74,12 +74,61 @@ object Warc {
       .repartition(shards)
     ShardSink.write(framed, dir, if (gzip) ".warc.gz" else ".warc",
       identity,
-      if (gzip) { (os, b) =>
-        // one gzip member per record: finish() seals the member without
-        // closing the shard stream, members concatenate.
-        val g = new java.util.zip.GZIPOutputStream(os, 1 << 16)
-        g.write(b); g.finish()
-      } else { (os, b) => os.write(b) })
+      if (gzip) new GzipMemberWriter else { (os, b) => os.write(b) })
+  }
+
+  /** Per-record gzip member writer sharing ONE native Deflater per shard
+    * task. A fresh `GZIPOutputStream` per record holds ~256 KB of native
+    * zlib state (plus the heap buffer) that `finish()` does NOT release —
+    * only `close()`/GC's cleaner does — so a shard of millions of records
+    * churns/balloons native memory past container RSS limits. This writer
+    * allocates the Deflater lazily on first record, `reset()`s it between
+    * members, writes the RFC 1952 member framing itself (header with
+    * MTIME=0 — deterministic shards, data never the wall clock — then the
+    * raw-deflate body and the CRC32 + ISIZE trailer: byte-for-byte what
+    * `GZIPOutputStream` emits for the same input), and `end()`s the
+    * native state deterministically at task completion. Closures
+    * deserialize per task, so each shard task owns exactly one Deflater.
+    */
+  private final class GzipMemberWriter
+      extends ((java.io.OutputStream, Array[Byte]) => Unit) with Serializable {
+    @transient private var deflater: java.util.zip.Deflater = _
+    @transient private var crc: java.util.zip.CRC32 = _
+    @transient private var buf: Array[Byte] = _
+    private def intLE(os: java.io.OutputStream, v: Long): Unit = {
+      os.write((v & 0xff).toInt); os.write(((v >> 8) & 0xff).toInt)
+      os.write(((v >> 16) & 0xff).toInt); os.write(((v >> 24) & 0xff).toInt)
+    }
+    def apply(os: java.io.OutputStream, b: Array[Byte]): Unit = {
+      if (deflater == null) {
+        deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        crc = new java.util.zip.CRC32()
+        buf = new Array[Byte](1 << 16)
+        val d = deflater
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => d.end()))
+      }
+      deflater.reset(); crc.reset()
+      os.write(GzipMemberWriter.Header)
+      deflater.setInput(b); deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) os.write(buf, 0, n)
+      }
+      crc.update(b)
+      intLE(os, crc.getValue)
+      intLE(os, b.length.toLong)
+    }
+  }
+
+  private object GzipMemberWriter {
+    // magic, CM=8 (deflate), FLG=0, MTIME=0, XFL=0, OS=0xFF (unknown) —
+    // the exact header the JDK's GZIPOutputStream writes (OS moved from
+    // 0 to the spec-correct 255 in modern JDKs; the byte-identity spec
+    // pins whichever this JVM ships).
+    val Header: Array[Byte] =
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
   }
 
   // ------------------------------------------------------------------

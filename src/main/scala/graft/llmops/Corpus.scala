@@ -302,6 +302,21 @@ object Corpus {
     * funnels the full data through one partition. Shared spine of
     * [[tokenShards]] and [[packSequences]].
     */
+  /** The stream-offset spine derives its coarse group via integer
+    * division of the ORDER key — a non-numeric key would implicit-cast
+    * to null, and a later equi-join on the null group would silently
+    * drop every row (an empty result instead of an error). Operators
+    * that take the key by NAME check it here; Column-typed entry points
+    * ([[tokenShards]]/[[packSequences]]) document the contract instead.
+    */
+  private def requireNumericKey(df: DataFrame, colName: String, op: String): Unit = {
+    val dt = df.schema(colName).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op: column '$colName' must be numeric (got ${dt.simpleString}) — " +
+        "the coarse-group spine divides it; a string id would cast to null " +
+        "and silently drop all rows")
+  }
+
   private def withStreamOffset(df: DataFrame, orderCol: Column,
       tokenCol: Column, groupSize: Long): DataFrame = {
     val g = floor(orderCol / groupSize).cast("long")
@@ -679,11 +694,16 @@ object Corpus {
     val withBin = scored.select(col(idCol), col(scoreCol), bin.as("bin"))
     val hist = withBin.groupBy("bin").agg(count(lit(1)).as("n"))
     val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    val totRow = hist.agg(sum("n")).first()
-    val tot = if (totRow.isNullAt(0)) 1L else totRow.getLong(0) // 1: empty in, empty out
+    // the corpus total rides a broadcast scalar (the epochsPlan shortfall
+    // pattern), NOT a driver-side .first(): constructing the operator
+    // triggers zero jobs and the plan stays lazily composable. coalesce
+    // to 1 keeps the div defined on an empty histogram (empty in, empty
+    // out — there are no rows for the phase to apply to).
+    val totF = hist.agg(coalesce(sum("n"), lit(1L)).as("__tot"))
     val phased = hist
       .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
-      .withColumn("phase", expr(s"(cum_before * $phases) div ${tot}L"))
+      .crossJoin(broadcast(totF))
+      .withColumn("phase", expr(s"(cum_before * $phases) div __tot"))
       .select("bin", "phase")
     withBin.join(broadcast(phased), Seq("bin"))
       .select(col(idCol), col(scoreCol), col("bin"), col("phase"),
@@ -714,6 +734,7 @@ object Corpus {
       seqLen: Long, groupSize: Long = 1L << 20,
       maskRe: String = "\\[(EMAIL|IP|NUM)\\]"): DataFrame = {
     require(seqLen >= 1)
+    requireNumericKey(df, idCol, "packedLossMask")
     val withN = df
       .select(col(idCol).as("doc"),
         TextAnalysis.wsTokens(col(textCol)).as("__toks"))
@@ -750,6 +771,7 @@ object Corpus {
       batchTokens: Long, granularity: Long = 64, maxBucket: Long = 1024,
       groupSize: Long = 1L << 20): DataFrame = {
     require(batchTokens >= 1 && granularity >= 1 && maxBucket >= 0)
+    requireNumericKey(df, idCol, "lengthBucketBatches")
     val base = df.select(col(idCol).as("doc"), tokenCol.cast("long").as("n_tokens"))
       .withColumn("bucket",
         least(expr("n_tokens div " + granularity + "L"), lit(maxBucket)))
@@ -788,6 +810,7 @@ object Corpus {
   def packTokens(perToken: DataFrame, orderCol: String, posCol: String,
       seqLen: Long, groupSize: Long = 1L << 20): DataFrame = {
     require(seqLen >= 1)
+    requireNumericKey(perToken, orderCol, "packTokens")
     val counts = perToken.groupBy(col(orderCol))
       .agg(count(lit(1)).as("__n"))
     val offsets = withStreamOffset(counts, col(orderCol), col("__n"), groupSize)
@@ -938,5 +961,84 @@ object Corpus {
             array(lit("<|fim_middle|>")),
             slice(col("__t"), col("__lo") + 1, col("__hi") - col("__lo")))))
           .otherwise(col("__orig")).as("text"))
+  }
+
+  /** Preference-pair (DPO/RLHF) assembly — the post-training artifact the
+    * SFT surface ([[chatSftTokens]] → [[packTokens]]) feeds into: from a
+    * table of SCORED responses (one row per (prompt, response) with a
+    * preference score — human ratings, a reward model, or
+    * [[Classify.scoreHashed]]), build (prompt, chosen, rejected) rows.
+    * The pairing rule is deterministic and order-free: per prompt,
+    * responses rank by (score DESC, response id ASC) and the i-th best
+    * pairs with the i-th worst, i ≤ `maxPairsPerPrompt`, stopping before
+    * the ranks cross (a response never pairs with itself; with 2 or 3
+    * responses only one pair exists). A pair survives only if
+    *
+    *   - the preference is STRICT and wide enough: `chosen_score −
+    *     rejected_score ≥ minMargin` and > 0 (equal scores teach
+    *     nothing — DPO's loss is undefined on ties);
+    *   - chosen and rejected are not near-identical: token-set Jaccard
+    *     (distinct lowercased whitespace tokens) must be strictly below
+    *     `maxPairJaccardBps`/10000 — a pair whose two sides say the same
+    *     thing carries no preference signal, and byte-identical twins
+    *     (Jaccard 1) are the degenerate case. Integer cross-multiply, no
+    *     float division, so the decision is engine-portable.
+    *
+    * Emits (prompt_id, prompt, pair_rank, chosen_id, chosen,
+    * rejected_id, rejected, margin, pair_jac_bps). Downstream, split
+    * assignment MUST key on the prompt (or its near-dup cluster —
+    * [[leakageSafeSplit]]), never the pair row: a chosen/rejected twin
+    * straddling train/eval is the same contamination class the split
+    * audit exists for, and prompt decontamination against eval suites
+    * ([[Dedup.decontaminate]] / the streamed bench state) composes on
+    * the `prompt` column.
+    *
+    * Scale: two row_number windows PARTITIONED by prompt (bounded by
+    * responses-per-prompt, never global), one equi-join on (prompt,
+    * rank), and a codegen'd per-pair Jaccard over the two token arrays —
+    * no corpus-wide window, no driver state.
+    */
+  def preferencePairs(responses: DataFrame, promptIdCol: String,
+      promptCol: String, respIdCol: String, respCol: String,
+      scoreCol: String, minMargin: Double = 0.0, maxPairsPerPrompt: Int = 1,
+      maxPairJaccardBps: Int = 9000): DataFrame = {
+    require(maxPairsPerPrompt >= 1, "maxPairsPerPrompt must be >= 1")
+    require(maxPairJaccardBps >= 0 && maxPairJaccardBps <= 10000,
+      "maxPairJaccardBps must be in [0, 10000]")
+    val ranked = responses
+      .select(col(promptIdCol).as("prompt_id"), col(promptCol).as("prompt"),
+        col(respIdCol).as("resp_id"), col(respCol).as("resp"),
+        col(scoreCol).as("score"))
+      .withColumn("__rb", row_number().over(
+        Window.partitionBy("prompt_id").orderBy(col("score").desc, col("resp_id").asc)))
+      .withColumn("__rw", row_number().over(
+        Window.partitionBy("prompt_id").orderBy(col("score").asc, col("resp_id").desc)))
+    val chosen = ranked.filter(col("__rb") <= maxPairsPerPrompt)
+      .select(col("prompt_id"), col("prompt"), col("__rb").as("pair_rank"),
+        col("resp_id").as("chosen_id"), col("resp").as("chosen"),
+        col("score").as("chosen_score"), col("__rw").as("__crw"))
+    val rejected = ranked.filter(col("__rw") <= maxPairsPerPrompt)
+      .select(col("prompt_id"), col("__rw").as("pair_rank"),
+        col("resp_id").as("rejected_id"), col("resp").as("rejected"),
+        col("score").as("rejected_score"))
+    val ct = array_distinct(transform(
+      TextAnalysis.wsTokens(col("chosen")), x => lower(x)))
+    val rt = array_distinct(transform(
+      TextAnalysis.wsTokens(col("rejected")), x => lower(x)))
+    val inter = size(array_intersect(ct, rt)).cast("long")
+    val uni = size(array_union(ct, rt)).cast("long")
+    chosen.join(rejected, Seq("prompt_id", "pair_rank"))
+      // ranks must not cross: the i-th best must still sit strictly above
+      // the i-th worst (pair_rank < its own rank-from-the-bottom), else
+      // the pair would reuse a response or invert the preference.
+      .filter(col("pair_rank") < col("__crw"))
+      .filter(col("chosen_score") > col("rejected_score") &&
+        (col("chosen_score") - col("rejected_score")) >= minMargin)
+      .withColumn("__i", inter).withColumn("__u", uni)
+      .filter(col("__i") * 10000L < col("__u") * maxPairJaccardBps)
+      .select(col("prompt_id"), col("prompt"), col("pair_rank").cast("long").as("pair_rank"),
+        col("chosen_id"), col("chosen"), col("rejected_id"), col("rejected"),
+        (col("chosen_score") - col("rejected_score")).as("margin"),
+        expr("__i * 10000 div __u").as("pair_jac_bps"))
   }
 }

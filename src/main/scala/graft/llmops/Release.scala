@@ -138,7 +138,11 @@ object Release {
       .agg(
         transform(array_sort(collect_list(struct(col("source"), col("l")))),
           x => x("l")).as("__lines"),
-        sum("n_docs").as("__d"), sum("n_tokens").as("__t"),
+        // sums coalesce to 0 on an EMPTY card: sum() over zero rows is
+        // null, and "Totals: null docs" would still carry a valid md5 —
+        // a replica hash-compare must not pass on a degenerate card.
+        coalesce(sum("n_docs"), lit(0L)).as("__d"),
+        coalesce(sum("n_tokens"), lit(0L)).as("__t"),
         count(lit(1)).as("__s"))
       .select(concat(lit(header), array_join(col("__lines"), "\n"),
         lit("\n\nTotals: "), col("__d").cast("string"), lit(" docs, "),

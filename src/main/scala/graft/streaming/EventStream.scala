@@ -484,6 +484,13 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
+        // SELF-DESCRIBING state: a filter's bit positions are a function
+        // of (mBits, k) — probing or merging with different parameters
+        // yields silent FALSE NEGATIVES (wrong bit positions), violating
+        // the filter's one law with no detection. The state stamps its
+        // parameters in `{prefix}_seen_bloom_meta` (the quantizer_meta
+        // precedent); every later batch and every probe verifies first.
+        verifyBloomMeta(sess, tablePrefix, mBits, k, seedIfAbsent = true)
         val delta = Bloom.build(batch, urlCol, mBits, k)
         val state =
           if (sess.catalog.tableExists(table)) sess.table(table)
@@ -494,6 +501,49 @@ object EventStream {
           .saveAsTable(table)
         sess.catalog.refreshTable(table)
       }
+  }
+
+  /** Probe the [[bloomSeenStream]] state WITHOUT re-supplying (mBits, k):
+    * the parameters come from the state's own meta table, so a reader
+    * cannot mismatch them (the foot-gun a bare [[graft.functions.Bloom
+    * .mightContain]] call with default parameters would be — different
+    * bit positions, silent false negatives). Throws if the state has no
+    * meta stamp (pre-self-description state or wrong prefix).
+    */
+  def bloomSeenProbe(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, probes: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.Bloom
+    val metaT = s"${tablePrefix}_seen_bloom_meta"
+    require(spark.catalog.tableExists(metaT),
+      s"no bloom meta table $metaT — the seen-set state is unstamped or the prefix is wrong")
+    spark.catalog.refreshTable(metaT)
+    spark.catalog.refreshTable(s"${tablePrefix}_seen_bloom")
+    val m = spark.table(metaT).head()
+    Bloom.mightContain(spark.table(s"${tablePrefix}_seen_bloom"), probes,
+      keyCol, m.getAs[Long]("m_bits"), m.getAs[Int]("k"))
+  }
+
+  /** Require the stamped (mBits, k) to equal the caller's; seed the stamp
+    * on first contact when asked. A mismatch THROWS — wrong parameters
+    * must never reach a probe or merge.
+    */
+  private def verifyBloomMeta(sess: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, mBits: Long, k: Int, seedIfAbsent: Boolean): Unit = {
+    import sess.implicits._
+    val metaT = s"${tablePrefix}_seen_bloom_meta"
+    if (sess.catalog.tableExists(metaT)) {
+      sess.catalog.refreshTable(metaT)
+      val m = sess.table(metaT).head()
+      val (sm, sk) = (m.getAs[Long]("m_bits"), m.getAs[Int]("k"))
+      require(sm == mBits && sk == k,
+        s"bloom parameter mismatch for $tablePrefix: state is (mBits=$sm, k=$sk), " +
+          s"caller passed (mBits=$mBits, k=$k) — probing/merging across parameters " +
+          "produces silent false negatives")
+    } else if (seedIfAbsent) {
+      Seq((mBits, k)).toDF("m_bits", "k")
+        .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(metaT)
+      sess.catalog.refreshTable(metaT)
+    }
   }
 
   /** Drift probe over the LIVE [[dataCardStream]] state: PSI of each

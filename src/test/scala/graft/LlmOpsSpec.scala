@@ -1523,6 +1523,25 @@ class LlmOpsSpec extends SparkTestBase {
       w >= 0 && w < (1L << 32) })
   }
 
+  test("Bloom: null keys ignored by build, answer false on probe — one row per distinct key kept") {
+    import graft.functions.Bloom
+    import spark.implicits._
+    val withNull = Seq(Option("https://a.example/1"), None, Option("https://a.example/2"))
+      .toDF("url")
+    val f = Bloom.build(withNull, "url", mBits = 512L, k = 4)
+    // a null key contributes NO words: state ≡ the null-free build
+    val clean = Bloom.build(withNull.where(col("url").isNotNull), "url", 512L, 4)
+    assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      clean.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // probe keeps row parity: one verdict per distinct key INCLUDING null,
+    // and null answers false (nulls are never keys)
+    val got = Bloom.mightContain(f, withNull, "url", 512L, 4).collect()
+      .map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(got.size === 3)
+    assert(got(Option("https://a.example/1")) && got(Option("https://a.example/2")))
+    assert(!got(None))
+  }
+
   test("repetition gauges: dup lines, max token run, entropy — hand-checked") {
     import graft.llmops.TextAnalysis
     import spark.implicits._

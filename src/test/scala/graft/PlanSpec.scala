@@ -523,6 +523,16 @@ class PlanSpec extends SparkTestBase {
     assert(cpIn.nonEmpty && cpIn.forall(_ <= nBins),
       s"curriculum window input exceeded $nBins bins: $cpIn")
 
+    // curriculumPhases triggers ZERO jobs at construction: the corpus
+    // total rides a broadcast scalar, not a driver-side .first(). A
+    // score column that THROWS on evaluation proves laziness — the old
+    // eager total would have evaluated it right here.
+    val boom = udf((s: Double) =>
+      { if (s < Double.MaxValue) throw new IllegalStateException("evaluated at construction"); s })
+    val lazyIn = scoredDocs.select(col("doc"), boom(col("s")).as("s"))
+    val lazyOut = graft.llmops.Corpus.curriculumPhases(lazyIn, "doc", "s", phases = 3)
+    intercept[Exception](lazyOut.collect()) // evaluation DOES reach the score
+
     // packedLossMask: same prefix-sum spine as tokenShards — the only
     // unpartitioned window is the coarse-group offsets table.
     val plm = graft.llmops.Corpus.packedLossMask(docs, "doc_id", "text",

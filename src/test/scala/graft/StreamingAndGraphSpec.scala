@@ -1210,7 +1210,37 @@ class StreamingAndGraphSpec extends SparkTestBase {
           "url", mBits = 1L << 16, k = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(state === oneShot)
-    } finally spark.sql("DROP TABLE IF EXISTS bloom_stream_test_seen_bloom")
+      // the state is SELF-DESCRIBING: (mBits, k) stamped in the meta table
+      spark.catalog.refreshTable("bloom_stream_test_seen_bloom_meta")
+      val meta = spark.table("bloom_stream_test_seen_bloom_meta").head()
+      assert(meta.getAs[Long]("m_bits") === (1L << 16) && meta.getAs[Int]("k") === 4)
+      // a reader-side probe takes its parameters FROM the stamp — no way
+      // to mismatch — and routes exactly like mightContain with them
+      val viaProbe = EventStream.bloomSeenProbe(spark, "bloom_stream_test",
+          Seq("https://a.example/2", "https://new.example/9").toDF("url"), "url")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(viaProbe === Map("https://a.example/2" -> true,
+        "https://new.example/9" -> false))
+      // a restart with DIFFERENT parameters must throw, not silently
+      // produce false negatives from mismatched bit positions
+      val ckpt2 = java.nio.file.Files.createTempDirectory("bloom_ckpt2").toString
+      mem.addData("https://d.example/6")
+      val bad = EventStream.bloomSeenStream(mem.toDF().toDF("url"), "url",
+          tablePrefix = "bloom_stream_test", mBits = 1L << 12, k = 4)
+        .option("checkpointLocation", ckpt2)
+        .start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        bad.processAllAvailable()
+      }
+      bad.stop()
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("bloom parameter mismatch"), chain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bloom_stream_test_seen_bloom")
+      spark.sql("DROP TABLE IF EXISTS bloom_stream_test_seen_bloom_meta")
+    }
   }
 
   test("GraphX pagerank: region hubs outrank leaf nations") {

@@ -95,6 +95,29 @@ class WarcSpec extends SparkTestBase {
       "member-per-record gzip must still compress")
   }
 
+  test("gzip member framing is byte-for-byte GZIPOutputStream output (shared-Deflater writer)") {
+    import spark.implicits._
+    // the per-shard shared-Deflater writer hand-assembles the RFC 1952
+    // member framing; this pins it to the JDK's own output so any future
+    // framing drift (header bytes, trailer endianness, compression level)
+    // fails loudly instead of silently changing shipped shards.
+    val docs = Seq(("https://ex.test/pin", "framing pin 機械 ü " + ("z" * 500)))
+      .toDF("uri", "text")
+    val gzDir = Files.createTempDirectory("warc-gzpin").toString
+    val rawDir = Files.createTempDirectory("warc-rawpin").toString
+    Warc.write(docs, col("uri"), col("text"), gzDir, shards = 1)
+    Warc.write(docs, col("uri"), col("text"), rawDir, shards = 1, gzip = false)
+    def fileBytes(d: String) = Files.readAllBytes(
+      new java.io.File(d).listFiles().head.toPath)
+    val expected = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos, 1 << 16)
+      g.write(fileBytes(rawDir)); g.close()
+      bos.toByteArray.toSeq
+    }
+    assert(fileBytes(gzDir).toSeq === expected)
+  }
+
   test("torn record quarantines at its index; earlier records survive; corrupt gzip is one failed row") {
     val dir = Files.createTempDirectory("warc-torn").toString
     // record 0 fine, record 1 claims more bytes than the file has
