@@ -110,6 +110,47 @@ object Release {
     manifest
   }
 
+  /** Preference-pair (DPO) release — [[Corpus.preferencePairs]]' output
+    * shipped the way [[release]] ships documents. `pairs` must carry
+    * `prompt_id, prompt, chosen, rejected, split` (assign the split with
+    * [[Corpus.leakageSafeSplit]] keyed on the PROMPT/its near-dup
+    * cluster — a pair row must never be split-keyed on itself, or a
+    * chosen/rejected twin of the same prompt could straddle train/eval).
+    * Ships per-split gzip `tf.train.Example` TFRecord shards with
+    * features (prompt, chosen, rejected) — the artifact a DPO trainer's
+    * input pipeline consumes — plus two parquet sidecars: `_pairs` (the
+    * complete pair table with ids/margins/split: the governance record)
+    * and `_manifest` (per-split exact pair counts + an order-invariant
+    * content checksum over prompt‖chosen‖rejected for replica
+    * verification). Returns the manifest.
+    *
+    * Scale: the pairs frame checkpoints once and every consumer (shards,
+    * sidecars, manifest) reads that materialization; shard writing is
+    * the shared distributed [[graft.ingest.TfRecords.writeExamples]]
+    * path (no driver funnel), the manifest is #splits rows.
+    */
+  def releasePairs(pairs: DataFrame, dir: String, shards: Int = 4,
+      gzip: Boolean = true,
+      splitNames: Seq[String] = Seq("train", "valid", "test")): DataFrame = {
+    require(shards >= 1 && splitNames.nonEmpty)
+    val p = pairs.localCheckpoint(true)
+    p.write.mode("overwrite").parquet(s"$dir/_pairs")
+    splitNames.foreach { name =>
+      graft.ingest.TfRecords.writeExamples(
+        p.filter(col("split") === name)
+          .select(col("prompt"), col("chosen"), col("rejected")),
+        s"$dir/$name", shards, gzip)
+    }
+    val manifest = p
+      .select(col("split"), PortableHash.hash52(concat_ws("\u0001",
+        col("prompt"), col("chosen"), col("rejected"))).as("__h"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_pairs"), expr("bit_xor(__h)").as("content_xor"))
+      .localCheckpoint(true)
+    manifest.write.mode("overwrite").parquet(s"$dir/_manifest")
+    manifest
+  }
+
   /** The HUMAN-readable dataset card — the `README.md` a release ships
     * next to the parquet sidecars (the Datasheets-for-Datasets practice:
     * the audience for a data card is a person, not a query engine).

@@ -80,6 +80,14 @@ object LlmOpsQueries extends QueryModule {
     "the quick brown fox jumps over a lazy dog while seven wise cats " +
       "watch four tiny birds sing under warm amber light at dawn"
 
+  /** Planted benchmark-question text for q_x_preference_pairs: prompts of
+    * the contaminated class carry it verbatim AND it is injected into the
+    * bench slice, so 5-gram decontamination provably fires on prompts.
+    */
+  private val PlantedContamText =
+    "which ancient city stood beside the wide green river when the old " +
+      "empire fell and trade routes moved north toward the cold sea"
+
   /** Unrolled K-round BPE training as a DuckDB WITH-chain — replays
     * [[graft.llmops.Bpe.learnMerges]] value-for-value (see Bpe's scaladoc
     * for the island-parity greedy rewrite shared by both engines). Each
@@ -4151,6 +4159,110 @@ object LlmOpsQueries extends QueryModule {
         .join(gateLabels(odd).withColumnRenamed("label", "gate_label"), "doc_id")
         .groupBy("gate_label", "pred").agg(count(lit(1)).as("n"))
         .orderBy("gate_label", "pred")
+    },
+
+    // Preference-pair (DPO/RLHF) assembly, end to end: scored responses
+    // (4 per prompt; every 10th group loses one response so the
+    // rank-crossing guard fires) pair i-th-best vs i-th-worst with a
+    // margin floor and the within-pair Jaccard dedup (prompt groups
+    // % 10 = 2 carry IDENTICAL response texts — their pairs must
+    // vanish); the surviving pairs get a PROMPT-cluster-keyed
+    // leakage-safe split (prompts % 25 = 3 share one planted text →
+    // minhash pairs → connected components → one split for the whole
+    // twin set, audited to zero straddling in the same result), and
+    // prompts are 5-gram-decontaminated against the bench slice
+    // (prompts % 25 = 7 carry a planted benchmark question that is
+    // also injected into bench docs % 70 = 0 → provably dropped).
+    // The oracle replays the ranking, the pair filters, the minhash →
+    // CC → hash-bucket split, the straddle audit and the shingle
+    // membership — every branch value-exact.
+    q("q_x_preference_pairs", {
+      val hSc = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR) || ':sc'")
+      val hKey = graft.llmops.PortableHash.duckHash52("CAST(split_key AS VARCHAR)")
+      val fiveGram = "list_distinct(list_transform(generate_series(1, len(t) - 4), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+      def dtoks(c: String) =
+        s"list_distinct(list_transform(regexp_split_to_array(trim($c), '\\s+'), x -> lower(x)))"
+      "WITH RECURSIVE " +
+        "leaders AS MATERIALIZED (SELECT doc_id // 4 AS prompt_id, " +
+        s"CASE WHEN (doc_id // 4) % 25 = 3 THEN '$PlantedDupText' " +
+        s"WHEN (doc_id // 4) % 25 = 7 THEN '$PlantedContamText' " +
+        "ELSE 'please summarize: ' || array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 12), ' ') END AS prompt " +
+        "FROM documents WHERE doc_id % 4 = 0), " +
+        "resp AS MATERIALIZED (SELECT doc_id AS resp_id, doc_id // 4 AS prompt_id, " +
+        s"CASE WHEN (doc_id // 4) % 10 = 2 THEN '$PlantedDupText' ELSE text END AS resp, " +
+        s"$hSc % 100 AS score FROM documents WHERE doc_id % 40 <> 39), " +
+        "ranked AS MATERIALIZED (SELECT r.*, " +
+        "row_number() OVER (PARTITION BY r.prompt_id ORDER BY score DESC, resp_id ASC) AS rb, " +
+        "row_number() OVER (PARTITION BY r.prompt_id ORDER BY score ASC, resp_id DESC) AS rw FROM resp r), " +
+        "ch AS (SELECT prompt_id, rb AS pair_rank, resp_id AS chosen_id, resp AS chosen, score AS cs, rw AS crw FROM ranked WHERE rb <= 2), " +
+        "rj AS (SELECT prompt_id, rw AS pair_rank, resp_id AS rejected_id, resp AS rejected, score AS rs FROM ranked WHERE rw <= 2), " +
+        s"jac AS (SELECT ch.prompt_id, ch.pair_rank, chosen_id, rejected_id, cs - rs AS margin, crw, cs, rs, " +
+        s"len(list_intersect(${dtoks("chosen")}, ${dtoks("rejected")})) AS i, " +
+        s"len(${dtoks("chosen")}) + len(${dtoks("rejected")}) AS ab " +
+        "FROM ch JOIN rj ON rj.prompt_id = ch.prompt_id AND rj.pair_rank = ch.pair_rank), " +
+        "p0 AS MATERIALIZED (SELECT prompt_id, pair_rank, chosen_id, rejected_id, margin, i * 10000 // (ab - i) AS pair_jac_bps FROM jac " +
+        "WHERE pair_rank < crw AND cs > rs AND margin >= 5 AND i * 10000 < (ab - i) * 9000), " +
+        "pr AS MATERIALIZED (SELECT prompt_id AS doc_id, prompt AS text FROM leaders), " +
+        s"mhp AS MATERIALIZED (SELECT id_a, id_b FROM (${minHashSqlOver("pr")}) zmh), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM mhp UNION ALL SELECT id_b, id_a FROM mhp), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
+        "eff AS (SELECT l.prompt_id, coalesce(c.cluster, l.prompt_id) AS split_key FROM leaders l LEFT JOIN comp c ON c.v = l.prompt_id), " +
+        s"spl AS MATERIALIZED (SELECT prompt_id, CASE WHEN $hKey % 10000 < 8000 THEN 'train' WHEN $hKey % 10000 < 9000 THEN 'valid' ELSE 'test' END AS split FROM eff), " +
+        "aud AS (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS straddle_total " +
+        "FROM mhp p JOIN spl a ON a.prompt_id = p.id_a JOIN spl b ON b.prompt_id = p.id_b), " +
+        s"bench AS MATERIALIZED (SELECT CASE WHEN doc_id % 70 = 0 THEN '$PlantedContamText' ELSE text END AS text FROM documents WHERE doc_id % 7 = 0), " +
+        s"bsh AS MATERIALIZED (SELECT DISTINCT unnest(sh) AS s FROM (SELECT $fiveGram AS sh FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM bench) bt WHERE len(t) >= 5) bs), " +
+        s"psh AS (SELECT prompt_id, unnest(sh) AS s FROM (SELECT prompt_id, $fiveGram AS sh FROM (SELECT prompt_id, regexp_split_to_array(trim(prompt), '\\s+') AS t FROM leaders) pt WHERE len(t) >= 5) ps), " +
+        "contam AS (SELECT DISTINCT prompt_id FROM psh WHERE s IN (SELECT s FROM bsh)) " +
+        "SELECT p0.prompt_id, CAST(p0.pair_rank AS BIGINT) AS pair_rank, p0.chosen_id, p0.rejected_id, " +
+        "CAST(p0.margin AS BIGINT) AS margin, CAST(p0.pair_jac_bps AS BIGINT) AS pair_jac_bps, spl.split, aud.straddle_total " +
+        "FROM p0 JOIN spl ON spl.prompt_id = p0.prompt_id CROSS JOIN aud " +
+        "WHERE p0.prompt_id NOT IN (SELECT prompt_id FROM contam) " +
+        "ORDER BY p0.prompt_id, p0.pair_rank"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val docs = Tables.documents(s, d)
+      def pid = expr("doc_id div 4")
+      val leaders = docs.filter(col("doc_id") % 4 === 0)
+        .select(pid.as("prompt_id"),
+          when(pid % 25 === 3, lit(PlantedDupText))
+            .when(pid % 25 === 7, lit(PlantedContamText))
+            .otherwise(concat(lit("please summarize: "),
+              concat_ws(" ", slice(TextAnalysis.wsTokens(col("text")), 1, 12))))
+            .as("prompt"))
+        .localCheckpoint(true)
+      val responses = docs.filter(col("doc_id") % 40 =!= 39)
+        .select(col("doc_id").as("resp_id"), pid.as("prompt_id"),
+          when(pid % 10 === 2, lit(PlantedDupText)).otherwise(col("text")).as("resp"),
+          (PortableHash.hash52(concat(col("doc_id").cast("string"), lit(":sc"))) % 100)
+            .as("score"))
+        .join(leaders, Seq("prompt_id"))
+      val pairs = Corpus.preferencePairs(responses, "prompt_id", "prompt",
+        "resp_id", "resp", "score", minMargin = 5.0, maxPairsPerPrompt = 2)
+      val mhPairs = Dedup.minHashPairs(leaders, "prompt_id", "prompt")
+        .localCheckpoint(true)
+      val clusters = Dedup.resolveClusters(mhPairs, "id_a", "id_b")
+      val spl = Corpus.leakageSafeSplit(leaders.select("prompt_id"), "prompt_id",
+        clusters, Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+      val audit = Corpus.splitLeakageAudit(spl, "prompt_id", "split", mhPairs)
+        .select(col("n_straddling").as("straddle_total"))
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("prompt_id"),
+          when(col("doc_id") % 70 === 0, lit(PlantedContamText))
+            .otherwise(col("text")).as("prompt"))
+      val decon = Dedup.decontaminate(leaders, bench, "prompt_id", "prompt")
+      pairs
+        .join(spl.select("prompt_id", "split"), Seq("prompt_id"))
+        .join(decon.select(col("doc").as("prompt_id"), col("contaminated")),
+          Seq("prompt_id"))
+        .filter(!col("contaminated"))
+        .crossJoin(broadcast(audit))
+        .select(col("prompt_id"), col("pair_rank"), col("chosen_id"),
+          col("rejected_id"), col("margin").cast("long").as("margin"),
+          col("pair_jac_bps"), col("split"), col("straddle_total"))
+        .orderBy("prompt_id", "pair_rank")
     }
   )
 

@@ -212,7 +212,11 @@ object StressBench {
     // prior->blocklist loop: gate + roll-up + broadcast suffix join.
     "q_x_host_prior_blocklist",
     // interpolated NLL: gram explode + one shuffle bigram join.
-    "q_x_quality_interp_nll")
+    "q_x_quality_interp_nll",
+    // preference pairs: prompt-partitioned rank windows + one (prompt,
+    // rank) equi-join + per-pair codegen'd Jaccard; the composed split /
+    // audit / decon stages ride their own previously-stressed shapes.
+    "q_x_preference_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1523,6 +1523,53 @@ class LlmOpsSpec extends SparkTestBase {
       w >= 0 && w < (1L << 32) })
   }
 
+  test("preferencePairs: best-vs-worst pairing, margin floor, rank-cross stop, within-pair Jaccard dedup — hand-checked") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val resp = Seq(
+      // prompt 1: 4 responses, scores 40/30/20/10 — pair 1 = (101 vs 104,
+      // margin 30), pair 2 = (102 vs 103, margin 10 — dropped by the
+      // minMargin 15 floor)
+      (1L, "ask one", 101L, "the red fox runs far", 40L),
+      (1L, "ask one", 102L, "a blue bird sings loud", 30L),
+      (1L, "ask one", 103L, "green turtles swim slowly home", 20L),
+      (1L, "ask one", 104L, "dogs bark at night often", 10L),
+      // prompt 2: 3 responses — pair 1 = (201 vs 203); pair 2 would pair
+      // the middle response with itself (rank 2 from both ends) — the
+      // crossing guard must stop it
+      (2L, "ask two", 201L, "alpha beta gamma delta", 90L),
+      (2L, "ask two", 202L, "epsilon zeta eta theta", 50L),
+      (2L, "ask two", 203L, "iota kappa lambda mu", 10L),
+      // prompt 3: best and worst are the SAME text (case differs) —
+      // Jaccard 1 over lowercased tokens, pair dropped
+      (3L, "ask three", 301L, "identical words here now", 80L),
+      (3L, "ask three", 302L, "IDENTICAL WORDS HERE NOW", 5L),
+      // prompt 4: tie — no strict preference, no pair
+      (4L, "ask four", 401L, "some text alpha", 7L),
+      (4L, "ask four", 402L, "other text beta", 7L)
+    ).toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    val got = Corpus.preferencePairs(resp, "prompt_id", "prompt", "resp_id",
+        "resp", "score", minMargin = 15.0, maxPairsPerPrompt = 2)
+      .orderBy("prompt_id", "pair_rank").collect()
+      .map(r => (r.getAs[Long]("prompt_id"), r.getAs[Long]("pair_rank"),
+        r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+        r.getAs[Long]("margin")))
+    assert(got.toSeq === Seq((1L, 1L, 101L, 104L, 30L), (2L, 1L, 201L, 203L, 80L)))
+    // disjoint-text pairs carry their Jaccard gauge: 0 shared tokens
+    val bps = Corpus.preferencePairs(resp, "prompt_id", "prompt", "resp_id",
+        "resp", "score", minMargin = 15.0)
+      .filter(col("prompt_id") === 1L).head().getAs[Long]("pair_jac_bps")
+    assert(bps === 0L)
+    // with the margin floor at 0 and ranks widened, prompt 1's second
+    // pair appears and the tie (prompt 4) still never pairs
+    val loose = Corpus.preferencePairs(resp, "prompt_id", "prompt",
+        "resp_id", "resp", "score", minMargin = 0.0, maxPairsPerPrompt = 2)
+      .select("prompt_id", "pair_rank", "chosen_id", "rejected_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(loose === Set((1L, 1L, 101L, 104L), (1L, 2L, 102L, 103L),
+      (2L, 1L, 201L, 203L)))
+  }
+
   test("Bloom: null keys ignored by build, answer false on probe — one row per distinct key kept") {
     import graft.functions.Bloom
     import spark.implicits._

@@ -184,4 +184,52 @@ class ReleaseSpec extends SparkTestBase {
     }.toSet
     assert(shipped === (0L until 20L).toSet, "no spam doc ships")
   }
+
+  test("preference-pair release: DPO pairs ship as TFRecord with _pairs sidecar, manifest re-verified from shards") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    // 4 scored responses per prompt → best-vs-worst pairs; prompt-keyed
+    // split so both members of every pair co-locate by construction.
+    val resp = (0 until 40).map { i =>
+      val p = i / 4
+      (p.toLong, s"prompt $p asks about topic ${p * 7}", i.toLong,
+        s"response $i says unique things ${i * 3} and ${i * 5}", (i % 4) * 10L)
+    }.toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    val pairs = Corpus.preferencePairs(resp, "prompt_id", "prompt",
+      "resp_id", "resp", "score", minMargin = 5.0, maxPairsPerPrompt = 2)
+    val withSplit = Corpus.leakageSafeSplit(pairs, "prompt_id",
+      Seq.empty[(Long, Long)].toDF("v", "cluster"),
+      Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_pairs").toString
+    val manifest = Release.releasePairs(withSplit, dir, shards = 1)
+
+    // sidecar carries the full pair table
+    val sidecar = spark.read.parquet(s"$dir/_pairs")
+    assert(sidecar.count() === pairs.count())
+    assert(sidecar.columns.contains("split") && sidecar.columns.contains("margin"))
+    // both pairs per 4-response prompt survive (margins 30 and 10)
+    assert(pairs.count() === 20L)
+    // every pair of one prompt shares its split (pair-keyed split law)
+    assert(sidecar.groupBy("prompt_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).isEmpty)
+
+    // shards read back as typed Examples; manifest counts and checksum
+    // re-verify from the SHIPPED bytes
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("prompt", StringType),
+      StructField("chosen", StringType), StructField("rejected", StringType)))
+    val m = manifest.collect().map(r =>
+      r.getAs[String]("split") -> (r.getAs[Long]("n_pairs"), r.getAs[Long]("content_xor"))).toMap
+    assert(m.values.map(_._1).sum === 20L)
+    m.foreach { case (s, (n, xor)) =>
+      val f = graft.ingest.TfRecords.readExamples(spark, s"$dir/$s", schema)
+        .localCheckpoint(true)
+      assert(f.where(!col("ok")).isEmpty)
+      assert(f.count() === n, s"split $s count")
+      val got = f.select(graft.llmops.PortableHash.hash52(concat_ws("\u0001",
+          col("prompt"), col("chosen"), col("rejected"))).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      assert(got === xor, s"split $s checksum")
+    }
+  }
 }
