@@ -4263,6 +4263,48 @@ object LlmOpsQueries extends QueryModule {
           col("rejected_id"), col("margin").cast("long").as("margin"),
           col("pair_jac_bps"), col("split"), col("straddle_total"))
         .orderBy("prompt_id", "pair_rank")
+    },
+
+    // Megatron-style .bin/.idx interop round trip (the q_x_jsonl_interop
+    // shape, for the memory-mapped format DuckDB cannot read itself):
+    // deterministic token ids derive from the corpus (hash52(word) %
+    // 50000 — uint16 range), Spark WRITES 4 binary shards, reads them
+    // back through the pointer/length-verifying parser, and aggregates
+    // order-invariant totals; the ORACLE computes the identical counts,
+    // token-value sum and per-sequence content checksum STRAIGHT from
+    // the table — any token the format layer loses, reorders within a
+    // sequence, truncates or widens wrong breaks the hash.
+    q("q_x_token_bin_interop", {
+      val tokH = graft.llmops.PortableHash.duckHash52("w") + " % 50000"
+      val seqH = graft.llmops.PortableHash.duckHash52(
+        "array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')")
+      s"WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> $tokH) AS toks FROM documents) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_seqs, " +
+        "CAST(sum(len(toks)) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(list_sum(toks)) AS BIGINT) AS token_sum, " +
+        s"CAST(bit_xor($seqH) AS BIGINT) AS seq_checksum, " +
+        "CAST(4 AS BIGINT) AS n_shards FROM t"
+    }) { (s, d) =>
+      import graft.ingest.TokenBin
+      import graft.llmops.PortableHash
+      val path = "/tmp/graft_tokenbin_interop"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      val src = Tables.documents(s, d).select(col("doc_id").as("seq"),
+        transform(TextAnalysis.wsTokens(col("text")),
+          w => PortableHash.hash52(w) % 50000).as("tokens"))
+      TokenBin.write(src, "seq", "tokens", path, shards = 4)
+      val back = TokenBin.read(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written token shards must parse cleanly")
+      back.select(col("path"),
+          size(col("tokens")).cast("long").as("__n"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("__ts"),
+          PortableHash.hash52(concat_ws(",",
+            transform(col("tokens"), _.cast("string")))).as("__h"))
+        .agg(count(lit(1)).as("n_seqs"), sum("__n").as("n_tokens"),
+          sum("__ts").as("token_sum"), expr("bit_xor(__h)").as("seq_checksum"),
+          countDistinct("path").as("n_shards"))
     }
   )
 

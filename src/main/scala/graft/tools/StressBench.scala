@@ -216,7 +216,11 @@ object StressBench {
     // preference pairs: prompt-partitioned rank windows + one (prompt,
     // rank) equi-join + per-pair codegen'd Jaccard; the composed split /
     // audit / decon stages ride their own previously-stressed shapes.
-    "q_x_preference_pairs")
+    "q_x_preference_pairs",
+    // token .bin/.idx round trip: a fixed-width encode pass + one
+    // shard-partitioned write and a whole-shard parse per task back —
+    // linear in corpus tokens like the tfrecord/warc lines.
+    "q_x_token_bin_interop")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
