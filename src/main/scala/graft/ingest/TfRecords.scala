@@ -34,18 +34,27 @@ object TfRecords {
     * (round-robin, so shards balance regardless of upstream skew).
     */
   def write(df: DataFrame, payloadCol: Column, dir: String,
-      shards: Int): DataFrame = write(df, payloadCol, dir, shards, gzip = false)
+      shards: Int): DataFrame = write(df, payloadCol, dir, shards, "none")
 
-  /** `gzip = true` compresses each shard as a whole-file gzip stream —
-    * exactly what `tf.data.TFRecordDataset(files,
-    * compression_type="GZIP")` expects (TFRecord compression is
-    * file-level, not per-record), shards named `part-NNNNN.tfrecord.gz`.
-    * At 100 TB the framing-over-text corpus compresses several-fold —
-    * egress and storage cost, not CPU, dominate a release.
+  /** Legacy boolean form — `gzip = true` ≡ `codec = "gzip"`. */
+  def write(df: DataFrame, payloadCol: Column, dir: String,
+      shards: Int, gzip: Boolean): DataFrame =
+    write(df, payloadCol, dir, shards, if (gzip) "gzip" else "none")
+
+  /** `codec` compresses each shard as one whole-file stream — TFRecord
+    * compression is file-level, not per-record. `"gzip"` is exactly what
+    * `tf.data.TFRecordDataset(files, compression_type="GZIP")` expects
+    * (shards `part-NNNNN.tfrecord.gz`); `"zstd"` (`.tfrecord.zst`) is
+    * ~3× faster to decode at comparable ratio for OUR reader and generic
+    * pipeline interchange — tf.data itself cannot read it, see
+    * [[ShardCodec]]'s scope notes. At 100 TB the framing-over-text
+    * corpus compresses several-fold — egress and storage cost, not CPU,
+    * dominate a release.
     */
   def write(df: DataFrame, payloadCol: Column, dir: String,
-      shards: Int, gzip: Boolean): DataFrame = {
+      shards: Int, codec: String): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
+    ShardCodec.check(codec)
     val framed = df
       .select(TfRecordFrame.tfRecordFrame(payloadCol.cast("binary")).as("frame"))
       .where(col("frame").isNotNull) // null payloads have no framable bytes
@@ -53,8 +62,8 @@ object TfRecords {
     // The durability plumbing (attempt-unique tmp + rename, broadcast
     // session conf, no-crc-sidecar FS, eager shards-sized manifest) is
     // the shared [[ShardSink]].
-    ShardSink.write(framed, dir, if (gzip) ".tfrecord.gz" else ".tfrecord",
-      raw => if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw,
+    ShardSink.write(framed, dir, ".tfrecord" + ShardCodec.ext(codec),
+      raw => ShardCodec.wholeFile(codec, raw),
       (os, b) => os.write(b))
   }
 
@@ -69,40 +78,24 @@ object TfRecords {
     */
   def writeExamples(df: DataFrame, dir: String, shards: Int,
       gzip: Boolean = false): DataFrame =
+    writeExamples(df, dir, shards, if (gzip) "gzip" else "none")
+
+  /** Codec form of [[writeExamples]] — see [[write]]'s codec notes. */
+  def writeExamples(df: DataFrame, dir: String, shards: Int,
+      codec: String): DataFrame =
     write(
       df.select(org.apache.spark.sql.graftfn.TfExampleEncode.tfExample(
         struct(df.columns.map(col): _*)).as("example")),
-      col("example"), dir, shards, gzip)
+      col("example"), dir, shards, codec)
 
-  /** Whole-file gunzip when the shard name says so — plain shards pass
-    * through. Corrupt gzip returns None, which the readers surface as ONE
-    * `ok = false` quarantine row for the shard — symmetric with plain
-    * shards, where a torn frame emits an observable failed row; a whole
-    * corrupt shard must never be silently indistinguishable from an
-    * empty one.
-    */
-  private def maybeGunzip(path: String, bytes: Array[Byte]): Option[Array[Byte]] =
-    if (!path.endsWith(".gz")) Some(bytes)
-    else try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      // size hint saturates: bytes.length * 4 overflows Int past 512 MB,
-      // and a negative hint would throw — read as "corrupt" silently.
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(bytes.length.toLong * 4, (Int.MaxValue - 16).toLong).toInt)
-      val buf = new Array[Byte](1 << 16)
-      var k = in.read(buf)
-      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
-      Some(out.toByteArray)
-    } catch { case scala.util.control.NonFatal(_) => None }
-
-  /** One quarantine-aware row iterator per shard: decompress (a corrupt
-    * gzip shard is one failed row at rec_idx 0), then frame-parse (a torn
-    * frame is a failed row at its index).
+  /** One quarantine-aware row iterator per shard: decompress by extension
+    * ([[ShardCodec.decompress]] — a corrupt gzip/zstd shard is one failed
+    * row at rec_idx 0), then frame-parse (a torn frame is a failed row at
+    * its index).
     */
   private def shardRows(path: String, bytes: Array[Byte])
       : Iterator[(String, Long, Array[Byte], Boolean)] =
-    maybeGunzip(path, bytes) match {
+    ShardCodec.decompress(path, bytes) match {
       case Some(raw) => parseFrames(raw).map {
         case (idx, Some(payload)) => (path, idx, payload, true)
         case (idx, None)          => (path, idx, null: Array[Byte], false)

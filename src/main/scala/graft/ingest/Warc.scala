@@ -52,11 +52,12 @@ object Warc {
     * driver funnel).
     */
   def write(df: DataFrame, uri: Column, payload: Column, dir: String,
-      shards: Int, gzip: Boolean = true,
+      shards: Int, codec: String = "gzip",
       warcType: Column = lit("resource"),
       contentType: Column = lit("text/plain"),
       date: Column = lit("2000-01-01T00:00:00Z")): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
+    ShardCodec.check(codec)
     val p = payload.cast("binary")
     val uriLine = when(uri.isNull, lit(""))
       .otherwise(concat(lit("WARC-Target-URI: "), uri, lit("\r\n")))
@@ -72,9 +73,13 @@ object Warc {
     val framed = df.select(rec.as("rec"))
       .where(col("rec").isNotNull)
       .repartition(shards)
-    ShardSink.write(framed, dir, if (gzip) ".warc.gz" else ".warc",
+    ShardSink.write(framed, dir, ".warc" + ShardCodec.ext(codec),
       identity,
-      if (gzip) new GzipMemberWriter else { (os, b) => os.write(b) })
+      codec match {
+        case "gzip" => new GzipMemberWriter
+        case "zstd" => new ZstdMemberWriter
+        case "none" => (os, b) => os.write(b)
+      })
   }
 
   /** Per-record gzip member writer sharing ONE native Deflater per shard
@@ -129,6 +134,29 @@ object Warc {
     // pins whichever this JVM ships).
     val Header: Array[Byte] =
       Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+  }
+
+  /** One zstd FRAME per record (`.warc.zst` — the layout Common Crawl's
+    * zstd experiments use, range-seekable the same way gzip members
+    * are), sharing ONE native compression context per shard task (the
+    * [[GzipMemberWriter]] discipline: lazy init, explicit close at task
+    * completion — zstd contexts hold native window state too). Frames
+    * concatenate; [[ShardCodec.decompress]]'s zstd stream walks them
+    * back in one pass.
+    */
+  private final class ZstdMemberWriter
+      extends ((java.io.OutputStream, Array[Byte]) => Unit) with Serializable {
+    @transient private var ctx: com.github.luben.zstd.ZstdCompressCtx = _
+    def apply(os: java.io.OutputStream, b: Array[Byte]): Unit = {
+      if (ctx == null) {
+        ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        ctx.setLevel(3)
+        val c = ctx
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => c.close()))
+      }
+      os.write(ctx.compress(b))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -190,8 +218,11 @@ object Warc {
       .otherwise(s)
   }
 
+  // whole-stream member decompress by extension (gzip members / zstd
+  // frames concatenate identically); corrupt → one quarantine row (the
+  // TfRecords symmetry), via the shared [[ShardCodec]].
   private def fileRecords(path: String, bytes: Array[Byte]): Iterator[Record] =
-    maybeGunzip(path, bytes) match {
+    ShardCodec.decompress(path, bytes) match {
       case Some(raw) => parseRecords(raw).map {
         case (idx, Some(p)) =>
           Record(path, idx, p.warcType, p.targetUri, p.recordId, p.date,
@@ -202,23 +233,6 @@ object Warc {
       case None =>
         Iterator(Record(path, 0L, null, null, null, null, null, null, ok = false))
     }
-
-  /** Whole-stream gunzip for `.gz` shards — `GZIPInputStream` inflates
-    * concatenated members in one pass. Corrupt gzip → None → one
-    * quarantine row (the [[TfRecords]] symmetry).
-    */
-  private def maybeGunzip(path: String, bytes: Array[Byte]): Option[Array[Byte]] =
-    if (!path.endsWith(".gz")) Some(bytes)
-    else try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(bytes.length.toLong * 4, (Int.MaxValue - 16).toLong).toInt)
-      val buf = new Array[Byte](1 << 16)
-      var k = in.read(buf)
-      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
-      Some(out.toByteArray)
-    } catch { case scala.util.control.NonFatal(_) => None }
 
   private final case class Parsed(warcType: String, targetUri: String,
       recordId: String, date: String, contentType: String,

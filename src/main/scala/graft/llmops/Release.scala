@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *      guards is closed by construction (each cluster has one survivor;
   *      a singleton cannot straddle).
   *   3. Per-split `tf.train.Example` TFRecord shards
-  *      ([[graft.ingest.TfRecords.writeExamples]], gzip) — the artifact
+  *      ([[graft.ingest.TfRecords.writeExamples]], `codec` — gzip default,
+  *      zstd for the faster-decode interchange form) — the artifact
   *      a `tf.data` input pipeline consumes unchanged.
   *   4. The governance sidecars, as parquet: the curation ledger
   *      (`_ledger`), its per-(source, stage) doc/token attrition roll-up
@@ -64,7 +65,7 @@ object Release {
     */
   def release(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, bench: DataFrame, blockedSources: DataFrame,
-      dir: String, quota: Int, shards: Int = 4, gzip: Boolean = true,
+      dir: String, quota: Int, shards: Int = 4, codec: String = "gzip",
       splits: Seq[(String, Int)] =
         Seq("train" -> 9800, "valid" -> 100, "test" -> 100),
       gateThresholds: Option[DataFrame] = None,
@@ -99,7 +100,7 @@ object Release {
         assigned.filter(col("split") === name)
           .select(col("doc").as("id"), col("text").as("t"),
             col("source").as("src")),
-        s"$dir/$name", shards, gzip)
+        s"$dir/$name", shards, codec)
     }
     Corpus.dataCard(kept, "doc", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/_card")
@@ -130,7 +131,7 @@ object Release {
     * path (no driver funnel), the manifest is #splits rows.
     */
   def releasePairs(pairs: DataFrame, dir: String, shards: Int = 4,
-      gzip: Boolean = true,
+      codec: String = "gzip",
       splitNames: Seq[String] = Seq("train", "valid", "test")): DataFrame = {
     require(shards >= 1 && splitNames.nonEmpty)
     val p = pairs.localCheckpoint(true)
@@ -139,7 +140,7 @@ object Release {
       graft.ingest.TfRecords.writeExamples(
         p.filter(col("split") === name)
           .select(col("prompt"), col("chosen"), col("rejected")),
-        s"$dir/$name", shards, gzip)
+        s"$dir/$name", shards, codec)
     }
     val manifest = p
       .select(col("split"), PortableHash.hash52(concat_ws("\u0001",

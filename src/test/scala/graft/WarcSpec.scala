@@ -88,7 +88,7 @@ class WarcSpec extends SparkTestBase {
     assert(one.getAs[String]("warc_date") === "2000-01-01T00:00:00Z")
     // gzip really compresses multi-member shards
     val plainDir = Files.createTempDirectory("warc-plain").toString
-    Warc.write(docs, col("uri"), col("text"), plainDir, shards = 3, gzip = false)
+    Warc.write(docs, col("uri"), col("text"), plainDir, shards = 3, codec = "none")
     def dirBytes(d: String) =
       new java.io.File(d).listFiles().map(_.length()).sum
     assert(dirBytes(dir) < dirBytes(plainDir),
@@ -106,7 +106,7 @@ class WarcSpec extends SparkTestBase {
     val gzDir = Files.createTempDirectory("warc-gzpin").toString
     val rawDir = Files.createTempDirectory("warc-rawpin").toString
     Warc.write(docs, col("uri"), col("text"), gzDir, shards = 1)
-    Warc.write(docs, col("uri"), col("text"), rawDir, shards = 1, gzip = false)
+    Warc.write(docs, col("uri"), col("text"), rawDir, shards = 1, codec = "none")
     def fileBytes(d: String) = Files.readAllBytes(
       new java.io.File(d).listFiles().head.toPath)
     val expected = {
@@ -184,7 +184,7 @@ class WarcSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("warc-fuzz").toString
     Warc.write((0 until 30).map(i => (s"https://ex.test/$i", s"payload body $i"))
         .toDF("uri", "text"),
-      col("uri"), col("text"), dir, shards = 1, gzip = false)
+      col("uri"), col("text"), dir, shards = 1, codec = "none")
     val clean = Files.readAllBytes(Paths.get(dir, "part-00000.warc"))
     val rnd = new scala.util.Random(42) // fixed seed: reproducible fuzz
     (0 until 60).foreach { trial =>
