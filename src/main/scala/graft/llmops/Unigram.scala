@@ -1,0 +1,218 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — the OTHER half
+  * of production tokenizers next to [[Bpe]]: merge-based BPE grows a
+  * vocabulary bottom-up; the unigram LM (Kudo 2018, the Llama/T5
+  * lineage) starts from an over-complete seed and EM-prunes it, scoring
+  * segmentations by piece log-probabilities. This implementation is the
+  * hard-EM (Viterbi) form over the word-frequency table:
+  *
+  *   1. SEED: every substring of length ≤ `maxPieceLen` of every
+  *      (truncated) word, occurrence-weighted; ALL single characters
+  *      enter and STAY in the vocabulary (full coverage by construction
+  *      — no UNK in training data), plus the top
+  *      `vocabSize · seedCapFactor` multi-character pieces by
+  *      (count DESC, piece ASC).
+  *   2. E-STEP: Viterbi-segment each distinct word under the current
+  *      piece costs — a per-row dynamic program folded over character
+  *      positions (`aggregate` over `sequence`, codegen'd; cost(i) =
+  *      min over k ≤ maxPieceLen of cost(i−k) + nll(piece ending at
+  *      i)), then a second fold walks the backpointer-free argmin chain
+  *      back out (ties break to the SHORTEST piece — deterministic and
+  *      engine-portable). Piece counts = Viterbi occurrences weighted
+  *      by word frequency.
+  *   3. M-STEP + PRUNE: keep all single characters (zero-count ones
+  *      included — coverage) plus the top `vocabSize` multi-character
+  *      pieces by (count DESC, piece ASC); re-score with add-1
+  *      smoothing, `nll = round(ln((T + V)/(cnt + 1)) · 1e6)` as a
+  *      BIGINT micro-nll — integer costs make every later DP comparison
+  *      and tie EXACT on both engines (the curriculumPhases
+  *      quantize-then-decide discipline; only the ln itself is float,
+  *      on a 1e-6 grid).
+  *
+  * Deliberate simplifications vs the paper, stated: hard EM instead of
+  * forward-backward expectations (the common reimplementation choice;
+  * counts are Viterbi counts), a fixed per-round prune to `vocabSize`
+  * instead of a gradual shrink schedule, and training words truncate at
+  * `maxWordLen` chars (SentencePiece itself caps piece and sentence
+  * lengths; the DP cost is length × maxPieceLen per word).
+  *
+  * Scale: everything runs on the DISTINCT-WORD table (the [[Bpe]]
+  * discipline — corpus size enters only through the one token-count
+  * aggregation); per round: one vocab equi-join on candidate substrings,
+  * one map-build aggregation, the two codegen'd per-row folds, one
+  * count aggregation, and a vocab-bounded TakeOrdered prune. No
+  * corpus-wide window, no driver state; rounds checkpoint so the plan
+  * stays flat.
+  *
+  * [[Bpe.fertility]] applies unchanged to the resulting segmentation
+  * for quality audits.
+  */
+object Unigram {
+
+  private val Big = 1000000000000L // unreachable-cost sentinel; real paths stay ≤ ~1e9
+
+  /** Train the vocabulary; returns (piece, n_chars, cnt, nll_micro)
+    * ordered by (cnt DESC, piece) — `cnt` is the final round's Viterbi
+    * count (zero-count single chars kept for coverage).
+    */
+  def unigramVocab(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, rounds: Int = 2, maxPieceLen: Int = 3,
+      maxWordLen: Int = 12, seedCapFactor: Int = 2): DataFrame = {
+    require(vocabSize >= 1 && rounds >= 1 && maxPieceLen >= 1 &&
+      maxWordLen >= 1 && seedCapFactor >= 1)
+    val words = df
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .select(substring(col("tok"), 1, maxWordLen).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("n", length(col("w")).cast("long"))
+      .localCheckpoint(eager = true)
+    // every (word, piece) candidate — shared by the seed and every round
+    val allSubs = words
+      .select(col("w"), col("freq"), col("n"),
+        explode(sequence(lit(1L), col("n"))).as("p"))
+      .withColumn("k", explode(sequence(lit(1L),
+        least(lit(maxPieceLen.toLong), col("n") - col("p") + 1L))))
+      .withColumn("piece",
+        col("w").substr(col("p").cast("int"), col("k").cast("int")))
+      .localCheckpoint(eager = true)
+
+    // branch points checkpoint: seed counts feed singles, the multi
+    // TakeOrdered AND the smoothing total — uncheckpointed, the upstream
+    // aggregation would re-run once per consumer (and each EM round's
+    // counts would re-run the whole Viterbi pipeline three times).
+    val seedCounts = allSubs.groupBy("piece").agg(sum("freq").as("cnt"))
+      .localCheckpoint(eager = true)
+    val seed = seedCounts.where(length(col("piece")) === 1)
+      .unionByName(seedCounts.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(vocabSize * seedCapFactor))
+    var vocab = withNll(seed).localCheckpoint(eager = true)
+
+    (1 to rounds).foreach { _ =>
+      val counts = viterbiCounts(words, allSubs, vocab, maxPieceLen)
+        .localCheckpoint(eager = true)
+      val singles = vocab.where(length(col("piece")) === 1).select("piece")
+        .join(counts, Seq("piece"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val multis = counts.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      vocab = withNll(singles.unionByName(multis)).localCheckpoint(eager = true)
+    }
+    vocab.select(col("piece"), length(col("piece")).cast("long").as("n_chars"),
+        col("cnt"), col("nll").as("nll_micro"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Add-1-smoothed micro-nll over the kept set: the corpus total and
+    * vocabulary size ride a broadcast scalar (never a driver action).
+    */
+  private def withNll(v: DataFrame): DataFrame = {
+    val tot = v.agg(sum("cnt").as("__t"), count(lit(1)).as("__v"))
+    v.crossJoin(broadcast(tot))
+      .withColumn("nll", round(log((col("__t") + col("__v")).cast("double") /
+        (col("cnt") + lit(1L))) * 1e6).cast("long"))
+      .drop("__t", "__v")
+  }
+
+  /** One Viterbi E-step: per-word piece-cost map, the shared
+    * forward+backward fold, and frequency-weighted counts.
+    */
+  private def viterbiCounts(words: DataFrame, allSubs: DataFrame,
+      vocab: DataFrame, maxPieceLen: Int): DataFrame = {
+    val cand = allSubs.select("w", "piece").distinct()
+      .join(vocab.select("piece", "nll"), Seq("piece"))
+    val wm = cand.groupBy("w")
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("nll"))))
+        .as("m"))
+    segmentFold(words.join(wm, Seq("w")), maxPieceLen)
+      .join(words.select("w", "freq"), Seq("w"))
+      .select(col("freq"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+  }
+
+  /** Segment arbitrary text with a TRAINED vocabulary (the serving
+    * half): one row per (id, piece) in reading order — feed it to
+    * [[Bpe.fertility]]-style audits or token-id assignment. Same DP as
+    * training, so serving segmentations are exactly the ones the counts
+    * were estimated from.
+    */
+  def segment(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 3,
+      maxWordLen: Int = 12): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.wsTokens(col(textCol)))
+          .as(Seq("word_idx", "tok")))
+      .select(col("id"), col("word_idx").cast("long").as("word_idx"),
+        substring(col("tok"), 1, maxWordLen).as("w"))
+      .where(length(col("w")) >= 1)
+    val words = toks.select("w").distinct()
+      .withColumn("n", length(col("w")).cast("long"))
+    val subs = words
+      .select(col("w"), col("n"), explode(sequence(lit(1L), col("n"))).as("p"))
+      .withColumn("k", explode(sequence(lit(1L),
+        least(lit(maxPieceLen.toLong), col("n") - col("p") + 1L))))
+      .withColumn("piece",
+        col("w").substr(col("p").cast("int"), col("k").cast("int")))
+      .select("w", "piece").distinct()
+      .join(vocab.select(col("piece"),
+        col(if (vocab.columns.contains("nll_micro")) "nll_micro" else "nll")
+          .as("nll")), Seq("piece"))
+    val wm = subs.groupBy("w")
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("nll"))))
+        .as("m"))
+    val seg = segmentFold(words.join(wm, Seq("w")), maxPieceLen)
+    toks.join(seg, Seq("w"))
+      .select(col("id"), col("word_idx"),
+        posexplode(reverse(col("ps"))).as(Seq("piece_idx", "piece")))
+      .withColumn("piece_idx", col("piece_idx").cast("long"))
+  }
+
+  /** The shared forward+backward fold, returning (w, ps) — ps is the
+    * Viterbi piece list END-FIRST (training counts don't care; [[segment]]
+    * reverses it for reading order).
+    */
+  private def segmentFold(withMap: DataFrame, maxPieceLen: Int): DataFrame = {
+    val big = lit(Big)
+    val costs = aggregate(
+      sequence(lit(1L), col("n")), array(lit(0L)),
+      (acc, i) => {
+        val opts = (1 to maxPieceLen).map { k =>
+          when(i - k >= 0L,
+            element_at(acc, (i - k + 1L).cast("int")) +
+              coalesce(element_at(col("m"),
+                col("w").substr((i - k + 1L).cast("int"), lit(k))), big))
+            .otherwise(big)
+        }
+        concat(acc, array(least(opts: _*)))
+      })
+    def chosenK(pos: Column): Column =
+      (1 to maxPieceLen).foldLeft(when(lit(false), lit(1L))) { (c, k) =>
+        c.when(pos - k >= 0L &&
+          element_at(col("costs"), (pos - k + 1L).cast("int")) +
+            coalesce(element_at(col("m"),
+              col("w").substr((pos - k + 1L).cast("int"), lit(k))), big) ===
+            element_at(col("costs"), (pos + 1L).cast("int")), lit(k.toLong))
+      }.otherwise(lit(1L))
+    val walk = aggregate(
+      sequence(lit(1L), col("n")),
+      struct(col("n").as("pos"), lit(Array.empty[String]).as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val k = chosenK(pos)
+        when(pos === 0L, acc).otherwise(struct(
+          (pos - k).as("pos"),
+          concat(acc.getField("ps"), array(
+            col("w").substr((pos - k + 1L).cast("int"), k.cast("int"))))
+            .as("ps")))
+      },
+      acc => acc.getField("ps"))
+    withMap.withColumn("costs", costs).withColumn("ps", walk)
+      .select("w", "ps")
+  }
+}

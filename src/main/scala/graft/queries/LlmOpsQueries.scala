@@ -4305,8 +4305,92 @@ object LlmOpsQueries extends QueryModule {
         .agg(count(lit(1)).as("n_seqs"), sum("__n").as("n_tokens"),
           sum("__ts").as("token_sum"), expr("bit_xor(__h)").as("seq_checksum"),
           countDistinct("path").as("n_shards"))
+    },
+
+    // Unigram-LM (SentencePiece-style) tokenizer training, hard-EM form:
+    // seed = capped substring counts (+ every single char, kept forever
+    // for coverage), then R rounds of Viterbi segmentation over the
+    // distinct-word table → frequency-weighted piece counts → prune to
+    // the top-vocabSize multi-char pieces → add-1 re-score on a BIGINT
+    // micro-nll grid (integer DP costs: every min/tie decision is exact
+    // on both engines; ties break to the shortest piece). The oracle
+    // replays BOTH folds — the forward min-cost DP and the backward
+    // argmin walk — as DuckDB list_reduce lambdas over the identical
+    // quantized costs, then the same prune/rescore chain, round by
+    // round: segmentation decisions, counts and final scores all
+    // hash-exact.
+    q("q_x_unigram_vocab", unigramVocabSql(
+      vocabSize = 120, rounds = 2, maxPieceLen = 3, maxWordLen = 12,
+      seedCap = 240)) { (s, d) =>
+      graft.llmops.Unigram.unigramVocab(Tables.documents(s, d),
+        "doc_id", "text", vocabSize = 120, rounds = 2, maxPieceLen = 3,
+        maxWordLen = 12, seedCapFactor = 2)
     }
   )
+
+  /** DuckDB replay of [[graft.llmops.Unigram.unigramVocab]]: the Viterbi
+    * forward/backward folds become list_reduce lambdas (init rides as
+    * the first list element; positions as single-element lists / dummy
+    * structs), the piece-cost map a per-word MAP, and each EM round one
+    * CTE block. All DP arithmetic is BIGINT micro-nll, so cross-engine
+    * equality is exact; only the ln() that PRODUCES a score sits on the
+    * 1e-6 grid.
+    */
+  private def unigramVocabSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, seedCap: Int): String = {
+    val Big = "1000000000000"
+    def fwdOpt(k: Int) =
+      s"CASE WHEN b[1] - $k >= 0 THEN a[CAST(b[1] - $k + 1 AS INT)] + " +
+        s"coalesce(m[substr(w, CAST(b[1] - $k + 1 AS INT), $k)][1], $Big) ELSE $Big END"
+    val fwd = (1 to maxPieceLen).map(fwdOpt).mkString("least(", ", ", ")")
+    // DuckDB 1.0's lambda STRUCT accumulator mis-evaluates field reads
+    // (aliasing — verified empirically), so the backward walk folds a
+    // POSITIONS LIST instead: append pos − argmin-k each step (0-padded
+    // once the walk lands), then cut the pieces between consecutive
+    // positions outside the lambda. Same chosen-k formula and tie-break
+    // as the Spark fold, so the pieces are identical.
+    def bckCond(k: Int) =
+      s"a[len(a)] - $k >= 0 AND costs[CAST(a[len(a)] - $k + 1 AS INT)] + " +
+        s"coalesce(m[substr(w, CAST(a[len(a)] - $k + 1 AS INT), $k)][1], $Big) = " +
+        "costs[CAST(a[len(a)] + 1 AS INT)]"
+    val chosen = (1 to maxPieceLen)
+      .map(k => s"WHEN ${bckCond(k)} THEN $k").mkString("CASE ", " ", " ELSE 1 END")
+    def rescore(raw: String, out: String) =
+      s"$out AS MATERIALIZED (SELECT piece, cnt, CAST(round(ln(CAST(t + vv AS DOUBLE) / (cnt + 1)) * 1000000) AS BIGINT) AS nll " +
+        s"FROM $raw CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS vv FROM $raw) tt$out)"
+    def round_(r: Int): String = {
+      val p = s"v${r - 1}"
+      s"cand$r AS (SELECT DISTINCT s.w, s.piece, v.nll FROM dsubs s JOIN $p v USING (piece)), " +
+        s"wm$r AS MATERIALIZED (SELECT w, map_from_entries(list(struct_pack(k := piece, v := nll))) AS m FROM cand$r GROUP BY w), " +
+        s"seg$r AS MATERIALIZED (SELECT wo.w, wo.freq, wo.n, wm.m, " +
+        "list_reduce(list_prepend([CAST(0 AS BIGINT)], list_transform(generate_series(1, CAST(wo.n AS INT)), i -> [CAST(i AS BIGINT)])), " +
+        s"(a, b) -> list_append(a, $fwd)) AS costs " +
+        s"FROM words wo JOIN wm$r wm USING (w)), " +
+        s"wp$r AS MATERIALIZED (SELECT w, freq, " +
+        "list_reduce(list_prepend([n], list_transform(generate_series(1, CAST(n AS INT)), i -> [CAST(0 AS BIGINT)])), " +
+        s"(a, b) -> list_append(a, CASE WHEN a[len(a)] = 0 THEN 0 ELSE a[len(a)] - ($chosen) END)) AS wp " +
+        s"FROM seg$r), " +
+        s"walk$r AS (SELECT w, freq, list_filter(list_transform(generate_series(1, len(wp) - 1), " +
+        "i -> substr(w, CAST(wp[i+1] + 1 AS INT), CAST(wp[i] - wp[i+1] AS INT))), x -> length(x) >= 1) AS ps " +
+        s"FROM wp$r), " +
+        s"cnt$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (SELECT freq, unnest(ps) AS piece FROM walk$r) GROUP BY piece), " +
+        s"v${r}raw AS MATERIALIZED (SELECT v.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt FROM $p v LEFT JOIN cnt$r c USING (piece) WHERE length(v.piece) = 1 " +
+        s"UNION ALL (SELECT piece, cnt FROM cnt$r WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $vocabSize)), " +
+        rescore(s"v${r}raw", s"v$r")
+    }
+    s"WITH wtok AS (SELECT substr(tok, 1, $maxWordLen) AS w FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)), " +
+      "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(length(w) AS BIGINT) AS n FROM wtok WHERE length(w) >= 1 GROUP BY w), " +
+      s"subs1 AS (SELECT w, freq, n, unnest(generate_series(1, CAST(n AS INT))) AS p FROM words), " +
+      s"subsall AS MATERIALIZED (SELECT w, freq, substr(w, CAST(p AS INT), CAST(k AS INT)) AS piece FROM " +
+      s"(SELECT w, freq, p, unnest(generate_series(1, CAST(least($maxPieceLen, n - p + 1) AS INT))) AS k FROM subs1)), " +
+      "dsubs AS MATERIALIZED (SELECT DISTINCT w, piece FROM subsall), " +
+      "sc0 AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM subsall GROUP BY piece), " +
+      s"v0raw AS MATERIALIZED (SELECT piece, cnt FROM sc0 WHERE length(piece) = 1 " +
+      s"UNION ALL (SELECT piece, cnt FROM sc0 WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $seedCap)), " +
+      rescore("v0raw", "v0") + ", " +
+      (1 to rounds).map(round_).mkString(", ") + " " +
+      s"SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars, cnt, nll AS nll_micro FROM v$rounds ORDER BY cnt DESC, piece"
+  }
 
   // Planted-fixture vocabulary (defs, not vals — see CjkPara note).
   // Markers repeat 3×: a single occurrence loses to the shared-

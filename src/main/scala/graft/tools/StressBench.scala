@@ -220,7 +220,11 @@ object StressBench {
     // token .bin/.idx round trip: a fixed-width encode pass + one
     // shard-partitioned write and a whole-shard parse per task back —
     // linear in corpus tokens like the tfrecord/warc lines.
-    "q_x_token_bin_interop")
+    "q_x_token_bin_interop",
+    // unigram trainer: everything runs on the DISTINCT-WORD table (the
+    // bpe_tokens precedent) — corpus size enters through one token
+    // count; should be near-flat at 10x replicated text.
+    "q_x_unigram_vocab")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

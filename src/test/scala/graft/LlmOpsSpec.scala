@@ -1523,6 +1523,41 @@ class LlmOpsSpec extends SparkTestBase {
       w >= 0 && w < (1L << 32) })
   }
 
+  test("unigram vocab: multi-char pieces beat per-char paths, alphabet always kept, segment() replays training — hand-checked") {
+    import graft.llmops.Unigram
+    import spark.implicits._
+    // 'banana' repeated: 'an'/'na'/'ana'-style pieces must out-score
+    // all-singles paths; 'xz' appears once — its chars survive only as
+    // coverage singles.
+    val docs = Seq((1L, "banana banana banana band"), (2L, "banana xz"))
+      .toDF("doc_id", "text")
+    val v = Unigram.unigramVocab(docs, "doc_id", "text", vocabSize = 6,
+      rounds = 2, maxPieceLen = 3, maxWordLen = 12)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every character of the corpus is present (coverage law)
+    "banndxz".foreach(c => assert(v.contains(c.toString), s"missing single '$c'"))
+    // a multi-char banana piece won the budget and carries Viterbi mass
+    val multis = v.filter(_._2._1 > 1)
+    assert(multis.nonEmpty, s"expected multi-char pieces in $v")
+    assert(multis.keys.exists(p => "banana".contains(p)),
+      s"expected a banana substring piece, got ${multis.keys}")
+    // Viterbi counts: no multi piece can out-count total word mass (5 words)
+    multis.values.foreach { case (_, cnt) => assert(cnt >= 1L && cnt <= 10L) }
+
+    // segment() with the trained vocab: every word reassembles exactly,
+    // pieces come out in reading order
+    val seg = Unigram.segment(docs, "doc_id", "text",
+      Unigram.unigramVocab(docs, "doc_id", "text", 6, 2, 3, 12))
+    val joined = seg.groupBy("id", "word_idx")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("piece_idx"), col("piece")))),
+        x => x("piece"))).as("word"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(joined((1L, 0L)) === "banana")
+    assert(joined((1L, 3L)) === "band")
+    assert(joined((2L, 1L)) === "xz")
+  }
+
   test("preferencePairs: best-vs-worst pairing, margin floor, rank-cross stop, within-pair Jaccard dedup — hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
