@@ -52,6 +52,44 @@ object GraphAnalytics {
     g.staticPageRank(iters).vertices.toDF("id", "rank")
   }
 
+  /** PageRank over a STRING-keyed edge frame — the host-authority form
+    * the crawl loop needs ([[graft.llmops.TextAnalysis.extractLinks]]'
+    * (src_host, dst_host) pairs feed straight in): vertex ids derive
+    * from [[graft.llmops.PortableHash.hash52]] of the key (oracle-
+    * replayable, collision odds ~|V|²/2⁵³), parallel links COLLAPSE to
+    * one edge before the run — authority follows WHO links, not how
+    * often, else one page farms rank with repeated anchors. Returns
+    * (key, rank) with GraphX `staticPageRank` semantics (resetProb
+    * 0.15, ranks normalized to sum |V|).
+    *
+    * Scale: two projections + one distinct build the graph once; the
+    * iteration is GraphX's own (EdgePartition2D-bounded replication).
+    */
+  def pageRankKeys(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10): DataFrame = {
+    import graft.llmops.PortableHash
+    val spark = edges.sparkSession
+    val verts = edges.select(col(srcCol).as("key"))
+      .unionAll(edges.select(col(dstCol).as("key")))
+      .where(col("key").isNotNull).distinct()
+      .withColumn("vid", PortableHash.hash52(col("key")))
+    val vRdd: RDD[(VertexId, String)] =
+      verts.select("vid", "key").rdd.map(r => (r.getLong(0), r.getString(1)))
+    val eRdd: RDD[GxEdge[String]] = edges
+      .select(PortableHash.hash52(col(srcCol)).as("s"),
+        PortableHash.hash52(col(dstCol)).as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull).distinct()
+      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), ""))
+    val g = GxGraph(vRdd, eRdd, defaultVertexAttr = "",
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    import spark.implicits._
+    g.staticPageRank(iters).vertices.toDF("vid", "rank")
+      .join(verts, Seq("vid"))
+      .select(col("key"), col("rank"))
+  }
+
   /** Per-vertex triangle count. GraphX's implementation requires canonical
     * edge orientation (srcId < dstId) and deduped edges — enforced here.
     */

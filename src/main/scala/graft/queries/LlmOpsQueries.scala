@@ -4325,6 +4325,101 @@ object LlmOpsQueries extends QueryModule {
       graft.llmops.Unigram.unigramVocab(Tables.documents(s, d),
         "doc_id", "text", vocabSize = 120, rounds = 2, maxPieceLen = 3,
         maxWordLen = 12, seedCapFactor = 2)
+    },
+
+    // Host-authority crawl prioritization — the crawl loop's detect-to-
+    // act composition closed end to end: extractLinks over the crawled
+    // pages → host link graph → PageRank authority (string-keyed, the
+    // q_g_pagerank recursive-CTE replay) → the extracted outbound URLs
+    // form the FRONTIER, probed against the Bloom seen-set of already-
+    // crawled URLs (planted re-crawl links — docs % 8 = 5 link back to a
+    // base index page — probe true and drop), survivors ranked by their
+    // host's authority. Every stage value-exact in the oracle: the link
+    // extraction regexp chain, distinct-pair PageRank with 0-weight
+    // self-loop retention, the PortableHash bloom words, and the final
+    // rank join.
+    q("q_x_host_authority", {
+      import graft.llmops.PortableHash
+      val (kh, m, p) = (4, 2048, PortableHash.P)
+      val perms = (0 until kh)
+        .map(j => s"($j, ${PortableHash.MinHashA(j)}, ${PortableHash.MinHashB(j)})")
+        .mkString(", ")
+      val ha = PortableHash.duckHash52("url")
+      val html = "'<html><body><p>' || text || '</p>' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"https://ext' || (doc_id % 5) || '.example/p' || (doc_id % 11) || '\">x</a>' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 1 THEN '<A HREF=''/local/page'' class=y>z</A>' ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 2 THEN '<a href=\"//cdn' || (doc_id % 3) || '.example/asset\">c</a>' ELSE '' END || " +
+        "CASE WHEN doc_id % 8 = 5 THEN '<a href=\"https://src' || (doc_id % 7) || '.example/index.html\">r</a>' ELSE '' END || " +
+        "'</body></html>'"
+      "WITH RECURSIVE h AS (SELECT doc_id, " + html + " AS html, " +
+        "'https://src' || (doc_id % 7) || '.example/index.html' AS base FROM documents), " +
+        "l AS (SELECT doc_id, lower(regexp_extract(base, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS src_host, " +
+        "regexp_extract(base, '^([a-zA-Z]+)://', 1) AS sch, " +
+        "unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)) AS lnk FROM h), " +
+        "r AS (SELECT doc_id, src_host, CASE " +
+        "WHEN regexp_matches(lnk, '^[a-zA-Z]+://') THEN lnk " +
+        "WHEN lnk LIKE '//%' THEN sch || ':' || lnk " +
+        "WHEN lnk LIKE '/%' THEN sch || '://' || src_host || lnk " +
+        "ELSE NULL END AS url FROM l), " +
+        "e AS (SELECT doc_id, src_host, url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS dst_host FROM r WHERE url IS NOT NULL), " +
+        "hp AS (SELECT DISTINCT src_host AS s, dst_host AS dst FROM e), " +
+        "verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM hp UNION ALL SELECT dst FROM hp)), " +
+        "od AS (SELECT s, count(*) AS deg FROM hp GROUP BY 1), " +
+        "e2 AS (SELECT hp.s AS src, hp.dst, 1.0 / od.deg AS w FROM hp JOIN od USING (s) UNION ALL SELECT v, v, 0.0 FROM verts), " +
+        "ranks AS (SELECT 0 AS iter, v AS vid, CAST(1.0 AS DOUBLE) AS rank FROM verts " +
+        "UNION ALL SELECT r.iter + 1, e2.dst, 0.15 + 0.85 * sum(r.rank * e2.w) FROM ranks r JOIN e2 ON e2.src = r.vid WHERE r.iter < 10 GROUP BY 1, 2), " +
+        "fin AS (SELECT vid AS host, rank FROM ranks WHERE iter = 10), " +
+        "norm AS (SELECT sum(rank) AS sm, count(*) AS nv FROM fin), " +
+        "rk AS (SELECT host, rank * norm.nv / norm.sm AS rank FROM fin, norm), " +
+        "crawled AS (SELECT DISTINCT base AS url FROM h), " +
+        s"perm(j, pa, pb) AS (SELECT * FROM (VALUES $perms)), " +
+        s"ch AS (SELECT $ha AS hh FROM crawled), " +
+        s"cbits AS (SELECT DISTINCT ((pa * (hh % $p) + pb) % $p % $m) AS pos FROM ch CROSS JOIN perm), " +
+        "words AS (SELECT pos // 32 AS wi, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word FROM cbits GROUP BY 1), " +
+        "fr AS (SELECT url, dst_host AS host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_refs FROM e GROUP BY 1, 2), " +
+        s"fh AS (SELECT url, host, n_refs, $ha AS hh FROM fr), " +
+        s"probe AS (SELECT url, host, n_refs, ((pa * (hh % $p) + pb) % $p % $m) AS pos FROM fh CROSS JOIN perm), " +
+        "seen AS (SELECT url, host, n_refs, min(CASE WHEN (coalesce(w.word, 0) & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0 THEN 1 ELSE 0 END) AS mc " +
+        "FROM probe LEFT JOIN words w ON w.wi = pos // 32 GROUP BY 1, 2, 3) " +
+        "SELECT s.url, s.host, s.n_refs, round(rk.rank, 6) AS rank " +
+        "FROM seen s JOIN rk ON rk.host = s.host WHERE s.mc = 0 ORDER BY rank DESC, s.url"
+    }) { (s, d) =>
+      import graft.analytics.GraphAnalytics
+      import graft.functions.Bloom
+      val did = col("doc_id")
+      val html = concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+        when(did % 3 === 0, concat(lit("<a href=\"https://ext"),
+          (did % 5).cast("string"), lit(".example/p"),
+          (did % 11).cast("string"), lit("\">x</a>"))).otherwise(lit("")),
+        when(did % 4 === 1, lit("<A HREF='/local/page' class=y>z</A>"))
+          .otherwise(lit("")),
+        when(did % 6 === 2, concat(lit("<a href=\"//cdn"),
+          (did % 3).cast("string"), lit(".example/asset\">c</a>")))
+          .otherwise(lit("")),
+        when(did % 8 === 5, concat(lit("<a href=\"https://src"),
+          (did % 7).cast("string"), lit(".example/index.html\">r</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val base = concat(lit("https://src"), (did % 7).cast("string"),
+        lit(".example/index.html"))
+      val docs = Tables.documents(s, d)
+      val links = TextAnalysis.extractLinks(
+          docs.select(did, html.as("html"), base.as("base")),
+          "doc_id", "html", "base")
+        .localCheckpoint(true) // feeds the graph, the frontier AND the probe
+      val ranks = GraphAnalytics.pageRankKeys(links, "src_host", "dst_host",
+        iters = 10)
+      val bloom = Bloom.build(docs.select(base.as("url")).distinct(), "url",
+        mBits = 2048L, k = 4)
+      val frontier = links.groupBy(col("url"), col("dst_host").as("host"))
+        .agg(countDistinct("doc").as("n_refs"))
+      val seen = Bloom.mightContain(bloom, frontier.select("url"), "url",
+        mBits = 2048L, k = 4)
+      frontier.join(seen, Seq("url")).filter(!col("might_contain"))
+        .join(ranks.withColumnRenamed("key", "host"), Seq("host"))
+        .select(col("url"), col("host"), col("n_refs"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("url"))
     }
   )
 

@@ -224,7 +224,11 @@ object StressBench {
     // unigram trainer: everything runs on the DISTINCT-WORD table (the
     // bpe_tokens precedent) — corpus size enters through one token
     // count; should be near-flat at 10x replicated text.
-    "q_x_unigram_vocab")
+    "q_x_unigram_vocab",
+    // host authority: link explode is output-sized, the graph/pagerank
+    // runs on the HOST-cardinality distinct pairs (bounded), the bloom
+    // probe broadcasts — should scale with extracted links only.
+    "q_x_host_authority")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

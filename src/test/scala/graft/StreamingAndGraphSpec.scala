@@ -1243,6 +1243,21 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRankKeys: string-keyed authority — hub outranks leaves, parallel links collapse, deterministic") {
+    import spark.implicits._
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"),
+      ("hub", "leaf"), ("a", "leaf")).toDF("s", "d")
+    val r = GraphAnalytics.pageRankKeys(edges, "s", "d", iters = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.size === 5)
+    assert(r("hub") > r("a") && r("hub") > r("b"), s"hub must lead: $r")
+    // parallel links collapse: a page repeating its anchor farms no rank
+    val spammed = edges.unionAll(Seq.fill(50)(("a", "hub")).toDF("s", "d"))
+    val r2 = GraphAnalytics.pageRankKeys(spammed, "s", "d", iters = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r2 === r, "repeated anchors must not change authority")
+  }
+
   test("GraphX pagerank: region hubs outrank leaf nations") {
     val store = Refresh.refresh(
       SyntheticWorkbook.seededStore(spark), SyntheticWorkbook.golden(spark))
