@@ -4420,6 +4420,39 @@ object LlmOpsQueries extends QueryModule {
         .select(col("url"), col("host"), col("n_refs"),
           round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("url"))
+    },
+
+    // PDF interop round trip (the q_x_warc_interop shape, for the format
+    // DuckDB cannot read): the corpus Latin-1-sanitizes, Spark WRITES
+    // 4 multi-page Flate PDFs (catalog/page-tree/xref — viewer-valid),
+    // reads them back through the quarantining extractor, and
+    // aggregates; the oracle computes the identical page count, char
+    // sum and order-invariant text checksum STRAIGHT from the table
+    // with the same sanitize regexp — any page the PDF layer loses,
+    // mangles an escape in, or mis-inflates breaks the hash.
+    q("q_x_pdf_interop", {
+      val h = graft.llmops.PortableHash.duckHash52(
+        "regexp_replace(text, '[^\\x00-\\xff]', '?', 'g')")
+      "SELECT CAST(count(*) AS BIGINT) AS n_pages, " +
+        "CAST(sum(length(regexp_replace(text, '[^\\x00-\\xff]', '?', 'g'))) AS BIGINT) AS n_chars, " +
+        s"CAST(bit_xor($h) AS BIGINT) AS checksum, " +
+        "CAST(4 AS BIGINT) AS n_files FROM documents"
+    }) { (s, d) =>
+      import graft.ingest.Pdf
+      import graft.llmops.PortableHash
+      val path = "/tmp/graft_pdf_interop"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      Pdf.write(Tables.documents(s, d)
+        .select(Pdf.latin1Sanitize(col("text")).as("t")), "t", path, shards = 4)
+      val back = Pdf.read(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written PDFs must extract cleanly")
+      back.select(col("path"), length(col("text")).cast("long").as("__n"),
+          PortableHash.hash52(col("text")).as("__h"))
+        .agg(count(lit(1)).as("n_pages"), sum("__n").as("n_chars"),
+          expr("bit_xor(__h)").as("checksum"),
+          countDistinct("path").as("n_files"))
     }
   )
 

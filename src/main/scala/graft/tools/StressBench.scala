@@ -228,7 +228,10 @@ object StressBench {
     // host authority: link explode is output-sized, the graph/pagerank
     // runs on the HOST-cardinality distinct pairs (bounded), the bloom
     // probe broadcasts — should scale with extracted links only.
-    "q_x_host_authority")
+    "q_x_host_authority",
+    // pdf round trip: per-partition build out, one whole-file scan per
+    // task back — linear in corpus bytes like the warc/tfrecord lines.
+    "q_x_pdf_interop")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
