@@ -1437,4 +1437,99 @@ object TextAnalysis {
         aggregate(col("cards"), col("text"),
           (acc, c) => replace(acc, c, lit("[CARD]"))).as("redacted"))
   }
+
+  /** robots.txt crawl-policy rules (RFC 9309) for the DEFAULT (`*`)
+    * user-agent — the compliance gate a crawl frontier legally needs
+    * before [[graft.analytics.GraphAnalytics.pageRankKeys]] priority
+    * ever orders a fetch. Parses one robots.txt body per host:
+    * comments strip, consecutive `User-agent:` lines form one GROUP
+    * (RFC: a group's rules bind to every agent line stacked above
+    * them), only groups whose agent set contains `*` contribute, and
+    * `Allow:`/`Disallow:` lines with a non-empty path become one rule
+    * row each. Rules before any User-agent line are ignored (they bind
+    * to no group, per spec). Returns (host, rule ∈ allow|disallow,
+    * path) — path kept VERBATIM (wildcards intact; [[robotsFilter]]
+    * compiles them).
+    *
+    * Scale: line explode is robots-sized (a few KB per host); the
+    * grouping windows partition by host. Everything codegen'd except
+    * the two bounded windows.
+    */
+  def robotsRules(df: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("host").orderBy("idx")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val lines = df
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "raw")))
+      .withColumn("clean", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("directive",
+        regexp_extract(lower(col("clean")), "^(user-agent|allow|disallow):", 1))
+      .withColumn("value",
+        trim(regexp_replace(col("clean"), "^[A-Za-z-]+:", "")))
+    val grouped = lines
+      .withColumn("__ua", (col("directive") === "user-agent").cast("long"))
+      .withColumn("__start",
+        (col("__ua") === 1L &&
+          coalesce(lag(col("__ua"), 1).over(w), lit(0L)) === 0L).cast("long"))
+      .withColumn("grp", sum(col("__start")).over(cum))
+    val starGroups = grouped
+      .filter(col("__ua") === 1L && col("value") === "*")
+      .select(col("host"), col("grp")).distinct()
+    grouped
+      .filter(col("__ua") === 0L && col("grp") >= 1L &&
+        (col("directive") === "allow" || col("directive") === "disallow") &&
+        col("value") =!= "")
+      .join(starGroups, Seq("host", "grp"))
+      .select(col("host"), col("directive").as("rule"), col("value").as("path"))
+  }
+
+  /** Apply [[robotsRules]] to a frontier: RFC 9309 longest-match
+    * decision per URL — among the host's rules whose pattern matches
+    * the URL path, the LONGEST rule path wins, `allow` beating
+    * `disallow` on equal length; no matching rule (or no robots at
+    * all) defaults to allowed. Rule paths compile to anchored regexes:
+    * metacharacters escape, `*` becomes `.*`, one TRAILING `$` is the
+    * end anchor (elsewhere literal) — the chain is shared verbatim
+    * with the oracle. Returns one row per DISTINCT url: (url, host,
+    * path, allowed, matched_rule, matched_path — null when nothing
+    * matched). Ties beyond (length, type) break to the MAX rule path —
+    * any deterministic order works, this one is a single max-struct.
+    *
+    * Scale: the rule table is hosts × a-few-rules and BROADCASTS; the
+    * winner is one max-struct aggregation keyed by url — no window, no
+    * shuffle beyond the final groupBy.
+    */
+  def robotsFilter(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val path0 = regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]*(/[^#]*)?", 1)
+    val withPath = urls
+      .select(col(urlCol).as("url"))
+      .withColumn("host", urlHost(col("url")))
+      .withColumn("path", when(path0 === "", lit("/")).otherwise(path0))
+    val anchored = col("rpath").endsWith("$")
+    val body = when(anchored,
+      expr("substr(rpath, 1, length(rpath) - 1)")).otherwise(col("rpath"))
+    val escaped = regexp_replace(body,
+      "([\\.\\+\\?\\(\\)\\[\\]\\{\\}\\^\\|\\$\\\\])", "\\\\$1")
+    val pattern = concat(lit("^"),
+      regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+    val compiled = broadcast(rules
+      .select(col("host"), col("rule"), col("path").as("rpath"))
+      .withColumn("pat", pattern))
+    val cand = withPath.join(compiled, Seq("host"), "left")
+      .withColumn("__m", col("pat").isNotNull && expr("path RLIKE pat"))
+    cand
+      .groupBy("url", "host", "path")
+      .agg(
+        max(when(col("__m"), struct(length(col("rpath")).as("l"),
+          // allow sorts ABOVE disallow at equal length: invert the type
+          // for the max (allow > disallow lexically is false — flip).
+          when(col("rule") === "allow", 1L).otherwise(0L).as("a"),
+          col("rpath").as("p"), col("rule").as("r"))))
+          .as("__win"))
+      .select(col("url"), col("host"), col("path"),
+        coalesce(col("__win")("r") === "allow", lit(true)).as("allowed"),
+        col("__win")("r").as("matched_rule"),
+        col("__win")("p").as("matched_path"))
+  }
 }

@@ -4453,6 +4453,88 @@ object LlmOpsQueries extends QueryModule {
         .agg(count(lit(1)).as("n_pages"), sum("__n").as("n_chars"),
           expr("bit_xor(__h)").as("checksum"),
           countDistinct("path").as("n_files"))
+    },
+
+    // robots.txt crawl-policy filtering (RFC 9309): per-host robots
+    // bodies exercise comment stripping, a NON-star group that must not
+    // bind (fancybot's Disallow /), stacked User-agent lines forming one
+    // star group, prefix rules, an Allow override that outranks its
+    // Disallow by length, a '*' wildcard rule, a trailing-'$' anchored
+    // rule (and its near-miss), and a host-parity-dependent rule; the
+    // frontier hits every class. The oracle replays the line grouping
+    // (gaps-and-islands), the regex compilation chain and the
+    // longest-match/allow-wins max-struct decision value-exact.
+    q("q_x_robots_filter", {
+      val nl = " || chr(10) || "
+      val robots =
+        "'# crawl policy'" + nl + "'User-agent: fancybot'" + nl +
+          "'Disallow: /'" + nl + "''" + nl +
+          "'User-agent: *'" + nl + "'User-agent: otherbot'" + nl +
+          "'Disallow: /private'" + nl + "'Allow: /private/ok'" + nl +
+          "'Disallow: /tmp*'" + nl + "'Disallow: /*.bin$'" + nl +
+          "CASE WHEN k % 2 = 0 THEN 'Disallow: /even' || chr(10) ELSE '' END"
+      val pathCase = "CASE (doc_id % 8) WHEN 0 THEN '/public/page' " +
+        "WHEN 1 THEN '/private/x' WHEN 2 THEN '/private/okzone' " +
+        "WHEN 3 THEN '/tmpfiles/z' WHEN 4 THEN '/data/f.bin' " +
+        "WHEN 5 THEN '/data/f.binx' WHEN 6 THEN '/even/x' ELSE '' END"
+      val pathRe = "'^[a-zA-Z]+://[^/?#]*(/[^#]*)?'"
+      "WITH hosts AS (SELECT DISTINCT doc_id % 7 AS k FROM documents), " +
+        s"rb AS (SELECT 'src' || k || '.example' AS host, $robots AS txt FROM hosts), " +
+        "la AS (SELECT host, string_split(txt, chr(10)) AS ls FROM rb), " +
+        "lp AS (SELECT host, ls, unnest(generate_series(1, len(ls))) AS i FROM la), " +
+        "d AS (SELECT host, i, regexp_extract(lower(cl), '^(user-agent|allow|disallow):', 1) AS directive, " +
+        "trim(regexp_replace(cl, '^[A-Za-z-]+:', '')) AS value FROM " +
+        "(SELECT host, i, trim(regexp_replace(ls[i], '#.*$', '')) AS cl FROM lp) x), " +
+        "g AS (SELECT *, CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS ua FROM d), " +
+        "g2 AS (SELECT *, CASE WHEN ua = 1 AND coalesce(lag(ua) OVER (PARTITION BY host ORDER BY i), 0) = 0 THEN 1 ELSE 0 END AS st FROM g), " +
+        "g3 AS (SELECT *, sum(st) OVER (PARTITION BY host ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp FROM g2), " +
+        "star AS (SELECT DISTINCT host, grp FROM g3 WHERE ua = 1 AND value = '*'), " +
+        "rules AS (SELECT g3.host, directive AS rule, value AS rpath FROM g3 JOIN star USING (host, grp) " +
+        "WHERE ua = 0 AND grp >= 1 AND directive IN ('allow', 'disallow') AND value <> ''), " +
+        s"comp AS (SELECT host, rule, rpath, '^' || regexp_replace(regexp_replace(" +
+        "CASE WHEN rpath LIKE '%$' THEN substr(rpath, 1, length(rpath) - 1) ELSE rpath END, " +
+        "'([.+?()\\[\\]{}^|$\\\\])', '\\\\\\0', 'g'), '\\*', '.*', 'g') || " +
+        "CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END AS pat FROM rules), " +
+        s"fr AS (SELECT DISTINCT 'https://src' || (doc_id % 7) || '.example' || $pathCase AS url FROM documents), " +
+        "fp AS (SELECT url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host, " +
+        s"CASE WHEN regexp_extract(url, $pathRe, 1) = '' THEN '/' ELSE regexp_extract(url, $pathRe, 1) END AS path FROM fr), " +
+        "cand AS (SELECT fp.url, fp.host, fp.path, c.rule, c.rpath, " +
+        "c.pat IS NOT NULL AND regexp_matches(fp.path, c.pat) AS m " +
+        "FROM fp LEFT JOIN comp c USING (host)), " +
+        "win AS (SELECT url, host, path, max(CASE WHEN m THEN struct_pack(" +
+        "l := CAST(length(rpath) AS BIGINT), a := CASE WHEN rule = 'allow' THEN 1 ELSE 0 END, " +
+        "p := rpath, r := rule) END) AS w FROM cand GROUP BY 1, 2, 3) " +
+        "SELECT url, host, path, coalesce(w.r = 'allow', true) AS allowed, " +
+        "w.r AS matched_rule, w.p AS matched_path FROM win ORDER BY url"
+    }) { (s, d) =>
+      val did = col("doc_id")
+      val k = did % 7
+      val docs = Tables.documents(s, d)
+      val nl = "\n"
+      val robots = concat(
+        lit("# crawl policy" + nl + "User-agent: fancybot" + nl +
+          "Disallow: /" + nl + nl + "User-agent: *" + nl +
+          "User-agent: otherbot" + nl + "Disallow: /private" + nl +
+          "Allow: /private/ok" + nl + "Disallow: /tmp*" + nl +
+          "Disallow: /*.bin$" + nl),
+        when(col("k") % 2 === 0, lit("Disallow: /even" + nl)).otherwise(lit("")))
+      val hosts = docs.select(k.as("k")).distinct()
+        .select(concat(lit("src"), col("k").cast("string"), lit(".example"))
+          .as("host"), robots.as("txt"))
+      val rules = TextAnalysis.robotsRules(hosts, "host", "txt")
+      val pathClass = (did % 8)
+      val frontier = docs.select(concat(
+          lit("https://src"), k.cast("string"), lit(".example"),
+          when(pathClass === 0, "/public/page")
+            .when(pathClass === 1, "/private/x")
+            .when(pathClass === 2, "/private/okzone")
+            .when(pathClass === 3, "/tmpfiles/z")
+            .when(pathClass === 4, "/data/f.bin")
+            .when(pathClass === 5, "/data/f.binx")
+            .when(pathClass === 6, "/even/x")
+            .otherwise("")).as("url"))
+        .distinct()
+      TextAnalysis.robotsFilter(frontier, "url", rules).orderBy("url")
     }
   )
 

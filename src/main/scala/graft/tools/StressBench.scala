@@ -231,7 +231,10 @@ object StressBench {
     "q_x_host_authority",
     // pdf round trip: per-partition build out, one whole-file scan per
     // task back — linear in corpus bytes like the warc/tfrecord lines.
-    "q_x_pdf_interop")
+    "q_x_pdf_interop",
+    // robots: rule table is hosts x a-few-rules (broadcast), decision is
+    // one max-struct agg keyed by url — linear in frontier size.
+    "q_x_robots_filter")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1523,6 +1523,46 @@ class LlmOpsSpec extends SparkTestBase {
       w >= 0 && w < (1L << 32) })
   }
 
+  test("robots.txt: group binding, longest-match/allow-wins, wildcards, anchors, defaults — hand-checked") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val robots =
+      "Disallow: /orphan\n" +            // before any group: binds nothing
+        "User-agent: evilbot\nDisallow: /\n\n" + // non-star group: ignored
+        "User-agent: *\nUser-agent: nice-bot\n" + // stacked UA lines, one group
+        "# a comment line\n" +
+        "Disallow: /a\nAllow: /a/ok\nDisallow: /w*z\nDisallow: /end$\n" +
+        "Allow:\n"                        // empty path: not a rule
+    val hosts = Seq(("h.example", robots)).toDF("host", "txt")
+    val rules = TextAnalysis.robotsRules(hosts, "host", "txt")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rules === Set(("disallow", "/a"), ("allow", "/a/ok"),
+      ("disallow", "/w*z"), ("disallow", "/end$")),
+      s"got $rules")
+
+    val urls = Seq(
+      "https://h.example/a/page",     // disallow /a
+      "https://h.example/a/okstuff",  // allow /a/ok outranks /a by length
+      "https://h.example/warez",      // wildcard /w*z
+      "https://h.example/end",        // anchored
+      "https://h.example/endless",    // anchor near-miss: allowed
+      "https://h.example/orphan",     // groupless rule binds nothing
+      "https://h.example/free",       // no rule matches
+      "https://other.example/a/page"  // host without robots: default allow
+    ).toDF("url")
+    val got = TextAnalysis.robotsFilter(urls,
+        "url", TextAnalysis.robotsRules(hosts, "host", "txt"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got("https://h.example/a/page") === false)
+    assert(got("https://h.example/a/okstuff") === true)
+    assert(got("https://h.example/warez") === false)
+    assert(got("https://h.example/end") === false)
+    assert(got("https://h.example/endless") === true)
+    assert(got("https://h.example/orphan") === true)
+    assert(got("https://h.example/free") === true)
+    assert(got("https://other.example/a/page") === true)
+  }
+
   test("unigram vocab: multi-char pieces beat per-char paths, alphabet always kept, segment() replays training — hand-checked") {
     import graft.llmops.Unigram
     import spark.implicits._
