@@ -1041,4 +1041,40 @@ object Corpus {
         (col("chosen_score") - col("rejected_score")).as("margin"),
         expr("__i * 10000 div __u").as("pair_jac_bps"))
   }
+
+  /** Rejection sampling / best-of-n SFT assembly — the OTHER
+    * post-training artifact next to [[preferencePairs]] (RAFT /
+    * rejection-tuned SFT: sample n responses, keep the reward argmax,
+    * train on it as a plain SFT example): from the same scored-response
+    * table, per prompt take the FIRST `n` responses in response-id
+    * order (the deterministic "sampled n" — a real pipeline samples;
+    * a replayable one slices), pick the best by (score DESC, id ASC),
+    * and keep it only when its score clears `minScore` (the rejection
+    * half: a prompt whose best attempt is still bad ships nothing —
+    * training on the least-bad of n bad answers teaches bad). Emits
+    * (prompt_id, prompt, resp_id, response, score, n_candidates);
+    * feed [[chatSftTokens]]/[[packTokens]] downstream.
+    *
+    * Scale: two prompt-partitioned row_number windows and one filter —
+    * bounded by responses-per-prompt, no global state.
+    */
+  def bestOfN(responses: DataFrame, promptIdCol: String, promptCol: String,
+      respIdCol: String, respCol: String, scoreCol: String,
+      n: Int, minScore: Double): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val sampled = responses
+      .select(col(promptIdCol).as("prompt_id"), col(promptCol).as("prompt"),
+        col(respIdCol).as("resp_id"), col(respCol).as("response"),
+        col(scoreCol).as("score"))
+      .withColumn("__s", row_number().over(
+        Window.partitionBy("prompt_id").orderBy(col("resp_id").asc)))
+      .filter(col("__s") <= n)
+    sampled
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("prompt_id").orderBy(col("score").desc, col("resp_id").asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("prompt_id")))
+      .filter(col("__r") === 1 && col("score") >= minScore)
+      .select(col("prompt_id"), col("prompt"), col("resp_id"),
+        col("response"), col("score"), col("__n").cast("long").as("n_candidates"))
+  }
 }

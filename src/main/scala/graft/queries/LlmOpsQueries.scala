@@ -4535,6 +4535,39 @@ object LlmOpsQueries extends QueryModule {
             .otherwise("")).as("url"))
         .distinct()
       TextAnalysis.robotsFilter(frontier, "url", rules).orderBy("url")
+    },
+
+    // Rejection sampling (best-of-n): per prompt, slice the first 4
+    // responses (deterministic "sampled n" — n exceeds some groups, so
+    // n_candidates proves the slice), keep the reward argmax iff
+    // it clears the floor — prompts whose best attempt is still bad
+    // ship nothing. The %40 filter leaves some prompts with only three
+    // candidates, and the hash scores
+    // make the floor drop a verifiable subset.
+    q("q_x_best_of_n", {
+      val hSc = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR) || ':sc'")
+      "WITH resp AS (SELECT doc_id AS resp_id, doc_id // 4 AS prompt_id, " +
+        s"$hSc % 100 AS score FROM documents WHERE doc_id % 40 <> 39), " +
+        "s1 AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY resp_id) AS s FROM resp), " +
+        "sam AS (SELECT * FROM s1 WHERE s <= 4), " +
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id ASC) AS r, " +
+        "count(*) OVER (PARTITION BY prompt_id) AS nc FROM sam) " +
+        "SELECT prompt_id, resp_id, score, CAST(nc AS BIGINT) AS n_candidates " +
+        "FROM r1 WHERE r = 1 AND score >= 20 ORDER BY prompt_id"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val did = col("doc_id")
+      val responses = Tables.documents(s, d).filter(did % 40 =!= 39)
+        .select(did.as("resp_id"), expr("doc_id div 4").as("prompt_id"),
+          concat(lit("p"), expr("doc_id div 4").cast("string")).as("prompt"),
+          col("text").as("response"),
+          (PortableHash.hash52(concat(did.cast("string"), lit(":sc"))) % 100)
+            .as("score"))
+      Corpus.bestOfN(responses, "prompt_id", "prompt", "resp_id",
+          "response", "score", n = 4, minScore = 20.0)
+        .select(col("prompt_id"), col("resp_id"), col("score"),
+          col("n_candidates"))
+        .orderBy("prompt_id")
     }
   )
 

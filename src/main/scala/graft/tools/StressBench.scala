@@ -234,7 +234,9 @@ object StressBench {
     "q_x_pdf_interop",
     // robots: rule table is hosts x a-few-rules (broadcast), decision is
     // one max-struct agg keyed by url — linear in frontier size.
-    "q_x_robots_filter")
+    "q_x_robots_filter",
+    // best-of-n: two prompt-partitioned windows + a filter — linear.
+    "q_x_best_of_n")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1645,6 +1645,23 @@ class LlmOpsSpec extends SparkTestBase {
       (2L, 1L, 201L, 203L)))
   }
 
+  test("bestOfN: deterministic n-slice, argmax with id tie-break, rejection floor — hand-checked") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val resp = Seq(
+      (1L, "p1", 10L, "r10", 50L), (1L, "p1", 11L, "r11", 80L),
+      (1L, "p1", 12L, "r12", 80L), (1L, "p1", 13L, "r13", 99L), // outside n=3
+      (2L, "p2", 20L, "r20", 5L), (2L, "p2", 21L, "r21", 9L)    // best < floor
+    ).toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    val got = Corpus.bestOfN(resp, "prompt_id", "prompt", "resp_id",
+        "resp", "score", n = 3, minScore = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    // prompt 1: 99-scoring resp 13 is OUTSIDE the first-3 slice; the
+    // 80-tie breaks to the smaller id. prompt 2: rejected whole.
+    assert(got.toSeq === Seq((1L, 11L, 80L, 3L)))
+  }
+
   test("Bloom: null keys ignored by build, answer false on probe — one row per distinct key kept") {
     import graft.functions.Bloom
     import spark.implicits._
