@@ -87,16 +87,22 @@ object Pdf {
         .map(_.taskAttemptId()).getOrElse(0L)
       val tmpPath = new Path(dir, f".part-$pid%05d.pdf.tmp-a$attempt")
       val pages = it.map(r => Option(r.getString(0)).getOrElse("")).toArray
-      val bytes = buildPdf(pages, flate)
-      val pfs = org.apache.hadoop.fs.FileSystem.newInstance(finalPath.toUri, conf)
-      try {
-        pfs.setWriteChecksum(false); pfs.setVerifyChecksum(false)
-        val os = pfs.create(tmpPath, true)
-        try os.write(bytes) finally os.close()
-        pfs.delete(finalPath, false)
-        require(pfs.rename(tmpPath, finalPath), s"rename failed: $finalPath")
-        Iterator(Row(finalPath.toString, pages.length.toLong, bytes.length.toLong))
-      } finally pfs.close()
+      // an empty partition writes NO file: a zero-page PDF has no
+      // content stream and would read back as one quarantine row —
+      // an absent shard is the honest representation of no pages.
+      if (pages.isEmpty) Iterator.empty
+      else {
+        val bytes = buildPdf(pages, flate)
+        val pfs = org.apache.hadoop.fs.FileSystem.newInstance(finalPath.toUri, conf)
+        try {
+          pfs.setWriteChecksum(false); pfs.setVerifyChecksum(false)
+          val os = pfs.create(tmpPath, true)
+          try os.write(bytes) finally os.close()
+          pfs.delete(finalPath, false)
+          require(pfs.rename(tmpPath, finalPath), s"rename failed: $finalPath")
+          Iterator(Row(finalPath.toString, pages.length.toLong, bytes.length.toLong))
+        } finally pfs.close()
+      }
     }.collect()
     import org.apache.spark.sql.types._
     spark.createDataFrame(

@@ -184,9 +184,16 @@ object TokenBin {
         it.foreach { case (p, b) =>
           if (p.endsWith(".idx")) idx = b else bin = b
         }
-        if (idx == null || bin == null)
+        if (idx == null)
           Iterator(TokenSeq(stem, 0L, null, ok = false))
-        else parseShard(stem, idx, bin)
+        else
+          // binaryFile skips ZERO-BYTE files, so a valid empty shard
+          // (0 sequences, 0-byte .bin) arrives idx-only — hand the
+          // parser an empty payload instead of quarantining it; a
+          // non-empty index with a genuinely missing .bin still fails
+          // the total-bytes check inside.
+          parseShard(stem, idx,
+            if (bin == null) Array.emptyByteArray else bin)
       }
       .toDF()
   }

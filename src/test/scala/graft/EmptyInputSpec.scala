@@ -222,4 +222,45 @@ class EmptyInputSpec extends SparkTestBase {
       Seq((5L, Array(1f, 0f))).toDF("vec_id", "embedding"),
       threshold = 0.5, centroids = cent).count() == 0)
   }
+
+  test("r11 operators tolerate empty and degenerate inputs") {
+    // preference pairs / best-of-n over zero responses
+    val noResp = Seq.empty[(Long, String, Long, String, Long)]
+      .toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    assert(Corpus.preferencePairs(noResp, "prompt_id", "prompt", "resp_id",
+      "resp", "score").count() == 0)
+    assert(Corpus.bestOfN(noResp, "prompt_id", "prompt", "resp_id",
+      "resp", "score", n = 3, minScore = 0.0).count() == 0)
+    // a single response pairs with nothing (rank crossing)
+    val one = Seq((1L, "p", 10L, "only answer", 5L))
+      .toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    assert(Corpus.preferencePairs(one, "prompt_id", "prompt", "resp_id",
+      "resp", "score").count() == 0)
+    // unigram trainer over an empty corpus: empty vocab, no throw
+    assert(graft.llmops.Unigram.unigramVocab(noDocs, "doc_id", "text",
+      vocabSize = 8, rounds = 1).count() == 0)
+    // robots: empty rules default-allow everything; empty frontier empty
+    val noRules = Seq.empty[(String, String, String)]
+      .toDF("host", "rule", "path")
+    val f = TextAnalysis.robotsFilter(
+      Seq("https://x.example/a").toDF("url"), "url", noRules).collect()
+    assert(f.length == 1 && f.head.getAs[Boolean]("allowed"))
+    assert(TextAnalysis.robotsFilter(Seq.empty[String].toDF("url"),
+      "url", noRules).count() == 0)
+    assert(TextAnalysis.robotsRules(
+      Seq.empty[(String, String)].toDF("host", "txt"), "host", "txt")
+      .count() == 0)
+    // token shards / pdf over empty frames: no files, empty manifests,
+    // readers see nothing (no quarantine rows fabricated)
+    val tb = java.nio.file.Files.createTempDirectory("empty_tb").toString
+    val tbm = graft.ingest.TokenBin.write(
+      Seq.empty[(Long, Seq[Long])].toDF("seq", "tokens"),
+      "seq", "tokens", tb, shards = 2).collect()
+    assert(tbm.length == 2 && tbm.forall(_.getAs[Long]("n_sequences") == 0L))
+    assert(graft.ingest.TokenBin.read(spark, tb).count() == 0)
+    val pd = java.nio.file.Files.createTempDirectory("empty_pdf").toString
+    assert(graft.ingest.Pdf.write(
+      Seq.empty[Tuple1[String]].toDF("t"), "t", pd, shards = 2).count() == 0)
+    assert(graft.ingest.Pdf.read(spark, pd).count() == 0)
+  }
 }
