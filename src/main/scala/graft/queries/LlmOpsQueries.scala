@@ -4568,8 +4568,101 @@ object LlmOpsQueries extends QueryModule {
         .select(col("prompt_id"), col("resp_id"), col("score"),
           col("n_candidates"))
         .orderBy("prompt_id")
+    },
+
+    // THE trainer hand-off, composed end to end: train the unigram-LM
+    // tokenizer on the corpus, assign token ids by (count DESC, piece)
+    // rank, Viterbi-segment EVERY document with the trained vocabulary,
+    // write the id sequences as Megatron .bin/.idx shards, read them
+    // back through the verifying parser, and checksum. The oracle
+    // replays the whole chain — seed → 2 EM rounds → prune → id rank →
+    // one more segmentation pass over per-document words → per-doc
+    // ordered id lists — and computes the identical order-invariant
+    // aggregates; a single mis-segmented word, wrong id, lost fragment
+    // or byte-level shard defect breaks the hash.
+    q("q_x_tokenize_export", tokenizeExportSql(
+      vocabSize = 120, rounds = 2, maxPieceLen = 3, maxWordLen = 12,
+      seedCap = 240)) { (s, d) =>
+      import graft.ingest.TokenBin
+      import graft.llmops.{PortableHash, Unigram}
+      val docs = Tables.documents(s, d)
+      val vocab = Unigram.unigramVocab(docs, "doc_id", "text",
+          vocabSize = 120, rounds = 2, maxPieceLen = 3, maxWordLen = 12)
+        .localCheckpoint(true) // feeds the id rank AND the segmenter
+      val ids = vocab.withColumn("tid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("piece"))) - 1)
+      val seg = Unigram.segment(docs, "doc_id", "text", vocab,
+        maxPieceLen = 3, maxWordLen = 12)
+      val perDoc = seg
+        .join(ids.select(col("piece"), col("tid").cast("long").as("tid")),
+          Seq("piece"))
+        .groupBy(col("id").as("seq"))
+        .agg(transform(array_sort(collect_list(struct(
+          col("word_idx"), col("piece_idx"), col("tid")))),
+          x => x("tid")).as("tokens"))
+      val path = "/tmp/graft_tokenize_export"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      TokenBin.write(perDoc, "seq", "tokens", path, shards = 4)
+      val back = TokenBin.read(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written token shards must parse cleanly")
+      back.select(size(col("tokens")).cast("long").as("__n"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("__ts"),
+          PortableHash.hash52(concat_ws(",",
+            transform(col("tokens"), _.cast("string")))).as("__h"))
+        .agg(count(lit(1)).as("n_seqs"), sum("__n").as("n_tokens"),
+          sum("__ts").as("id_sum"), expr("bit_xor(__h)").as("seq_checksum"))
     }
   )
+
+  /** [[unigramVocabSql]] extended through the full hand-off: token-id
+    * rank over the trained vocab, one more Viterbi pass (same folds, no
+    * count/prune) over per-document words, per-doc ordered id lists,
+    * order-invariant aggregates.
+    */
+  private def tokenizeExportSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, seedCap: Int): String = {
+    val base = unigramVocabSql(vocabSize, rounds, maxPieceLen, maxWordLen, seedCap)
+    val chain = base.substring(0, base.lastIndexOf(" SELECT piece,"))
+    val Big = "1000000000000"
+    def fwdOpt(k: Int) =
+      s"CASE WHEN b[1] - $k >= 0 THEN a[CAST(b[1] - $k + 1 AS INT)] + " +
+        s"coalesce(m[substr(w, CAST(b[1] - $k + 1 AS INT), $k)][1], $Big) ELSE $Big END"
+    val fwd = (1 to maxPieceLen).map(fwdOpt).mkString("least(", ", ", ")")
+    def bckCond(k: Int) =
+      s"a[len(a)] - $k >= 0 AND costs[CAST(a[len(a)] - $k + 1 AS INT)] + " +
+        s"coalesce(m[substr(w, CAST(a[len(a)] - $k + 1 AS INT), $k)][1], $Big) = " +
+        "costs[CAST(a[len(a)] + 1 AS INT)]"
+    val chosen = (1 to maxPieceLen)
+      .map(k => s"WHEN ${bckCond(k)} THEN $k").mkString("CASE ", " ", " ELSE 1 END")
+    val segHash = graft.llmops.PortableHash.duckHash52(
+      "array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',')")
+    chain +
+      s", candF AS (SELECT DISTINCT s.w, s.piece, v.nll FROM dsubs s JOIN v$rounds v USING (piece)), " +
+      "wmF AS MATERIALIZED (SELECT w, map_from_entries(list(struct_pack(k := piece, v := nll))) AS m FROM candF GROUP BY w), " +
+      "segF AS MATERIALIZED (SELECT wo.w, wo.n, wm.m, " +
+      "list_reduce(list_prepend([CAST(0 AS BIGINT)], list_transform(generate_series(1, CAST(wo.n AS INT)), i -> [CAST(i AS BIGINT)])), " +
+      s"(a, b) -> list_append(a, $fwd)) AS costs " +
+      "FROM words wo JOIN wmF wm USING (w)), " +
+      "wpF AS MATERIALIZED (SELECT w, " +
+      "list_reduce(list_prepend([n], list_transform(generate_series(1, CAST(n AS INT)), i -> [CAST(0 AS BIGINT)])), " +
+      s"(a, b) -> list_append(a, CASE WHEN a[len(a)] = 0 THEN 0 ELSE a[len(a)] - ($chosen) END)) AS wp " +
+      "FROM segF), " +
+      "walkF AS MATERIALIZED (SELECT w, list_reverse(list_filter(list_transform(generate_series(1, len(wp) - 1), " +
+      "i -> substr(w, CAST(wp[i+1] + 1 AS INT), CAST(wp[i] - wp[i+1] AS INT))), x -> length(x) >= 1)) AS rp " +
+      "FROM wpF), " +
+      s"ti AS MATERIALIZED (SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS BIGINT) AS tid FROM v$rounds), " +
+      s"dwp AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) dx), " +
+      s"dw AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, substr(t[i], 1, $maxWordLen) AS w FROM dwp WHERE length(substr(t[i], 1, $maxWordLen)) >= 1), " +
+      "dp AS (SELECT doc_id, wi, rp, unnest(generate_series(1, len(rp))) AS pj FROM (SELECT dw.doc_id, dw.wi, walkF.rp FROM dw JOIN walkF USING (w)) dj), " +
+      "dt AS (SELECT doc_id, wi, CAST(pj - 1 AS BIGINT) AS pj0, rp[pj] AS piece FROM dp), " +
+      "dk AS (SELECT doc_id, list(tid ORDER BY wi, pj0) AS ids FROM dt JOIN ti USING (piece) GROUP BY doc_id) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_seqs, CAST(sum(len(ids)) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(list_sum(ids)) AS BIGINT) AS id_sum, " +
+      s"CAST(bit_xor($segHash) AS BIGINT) AS seq_checksum FROM dk"
+  }
 
   /** DuckDB replay of [[graft.llmops.Unigram.unigramVocab]]: the Viterbi
     * forward/backward folds become list_reduce lambdas (init rides as

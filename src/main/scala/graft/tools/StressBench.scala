@@ -236,7 +236,11 @@ object StressBench {
     // one max-struct agg keyed by url — linear in frontier size.
     "q_x_robots_filter",
     // best-of-n: two prompt-partitioned windows + a filter — linear.
-    "q_x_best_of_n")
+    "q_x_best_of_n",
+    // tokenize+export: training is distinct-word-bounded (the
+    // unigram_vocab lane); corpus-linear parts are the segment join and
+    // the binary round trip — should track token volume.
+    "q_x_tokenize_export")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
