@@ -523,6 +523,37 @@ class PlanSpec extends SparkTestBase {
     assert(cpIn.nonEmpty && cpIn.forall(_ <= nBins),
       s"curriculum window input exceeded $nBins bins: $cpIn")
 
+    // preferencePairs / bestOfN: every window PARTITIONS by prompt —
+    // the unpartitioned set must be empty at any corpus size.
+    val resp = docs.select(expr("doc_id div 4").as("prompt_id"),
+      lit("p").as("prompt"), col("doc_id").as("resp_id"),
+      col("text").as("resp"), (col("doc_id") % 97).as("score"))
+    assert(unpartitionedWindowInputs(graft.llmops.Corpus.preferencePairs(
+      resp, "prompt_id", "prompt", "resp_id", "resp", "score")).isEmpty,
+      "preferencePairs must carry no unpartitioned window")
+    assert(unpartitionedWindowInputs(graft.llmops.Corpus.bestOfN(
+      resp, "prompt_id", "prompt", "resp_id", "resp", "score",
+      n = 2, minScore = 0.0)).isEmpty,
+      "bestOfN must carry no unpartitioned window")
+
+    // unigram trainer: its only windowless global state is the broadcast
+    // smoothing scalar; the prune is a TakeOrdered, never a window.
+    assert(unpartitionedWindowInputs(graft.llmops.Unigram.unigramVocab(
+      docs, "doc_id", "text", vocabSize = 16, rounds = 1)).isEmpty,
+      "unigramVocab must carry no unpartitioned window")
+
+    // robotsFilter: the decision is a max-struct aggregation — no window
+    // at all (robotsRules' grouping windows partition by host).
+    val rulesDf = graft.llmops.TextAnalysis.robotsRules(
+      docs.select(concat(lit("h"), (col("doc_id") % 5).cast("string"))
+          .as("host"),
+        lit("User-agent: *\nDisallow: /a\nAllow: /a/b").as("txt")).distinct(),
+      "host", "txt")
+    assert(unpartitionedWindowInputs(graft.llmops.TextAnalysis.robotsFilter(
+      docs.select(concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".x/a/page")).as("url")), "url", rulesDf)).isEmpty,
+      "robotsFilter must carry no unpartitioned window")
+
     // curriculumPhases triggers ZERO jobs at construction: the corpus
     // total rides a broadcast scalar, not a driver-side .first(). A
     // score column that THROWS on evaluation proves laziness — the old
