@@ -1058,6 +1058,41 @@ object Corpus {
     * Scale: two prompt-partitioned row_number windows and one filter —
     * bounded by responses-per-prompt, no global state.
     */
+  /** KTO-style UNPAIRED preference labeling — the third post-training
+    * assembly next to [[preferencePairs]] (needs pairs) and [[bestOfN]]
+    * (keeps one): KTO consumes (prompt, completion, desirable?) rows,
+    * and the honest reference point for "desirable" on a scored table
+    * is the PROMPT'S OWN mean — a response can only be good or bad
+    * relative to what the sampler produced for that prompt (an absolute
+    * threshold conflates easy and hard prompts). Label +1 when
+    * `score > prompt mean`, −1 when below, DROPPED on exact ties (a
+    * response at its own prompt's mean teaches nothing). The comparison
+    * is the integer cross-multiply `score·n vs Σscores` — no float
+    * mean, engine-exact. Emits (prompt_id, prompt, resp_id, response,
+    * score, n_responses, label); KTO's global desirable/undesirable
+    * balance weights are one `groupBy(label).count()` away.
+    *
+    * Scale: one map-side-combinable per-prompt aggregation broadcast
+    * back — no window at all.
+    */
+  def unpairedPreferences(responses: DataFrame, promptIdCol: String,
+      promptCol: String, respIdCol: String, respCol: String,
+      scoreCol: String): DataFrame = {
+    val base = responses.select(col(promptIdCol).as("prompt_id"),
+      col(promptCol).as("prompt"), col(respIdCol).as("resp_id"),
+      col(respCol).as("response"), col(scoreCol).cast("long").as("score"))
+    val stats = base.groupBy("prompt_id")
+      .agg(sum("score").as("__sum"), count(lit(1)).as("__n"))
+    base.join(stats, Seq("prompt_id"))
+      .withColumn("label",
+        when(col("score") * col("__n") > col("__sum"), 1L)
+          .when(col("score") * col("__n") < col("__sum"), -1L))
+      .filter(col("label").isNotNull)
+      .select(col("prompt_id"), col("prompt"), col("resp_id"),
+        col("response"), col("score"), col("__n").as("n_responses"),
+        col("label"))
+  }
+
   def bestOfN(responses: DataFrame, promptIdCol: String, promptCol: String,
       respIdCol: String, respCol: String, scoreCol: String,
       n: Int, minScore: Double): DataFrame = {

@@ -1522,8 +1522,6 @@ object TextAnalysis {
       .groupBy("url", "host", "path")
       .agg(
         max(when(col("__m"), struct(length(col("rpath")).as("l"),
-          // allow sorts ABOVE disallow at equal length: invert the type
-          // for the max (allow > disallow lexically is false — flip).
           when(col("rule") === "allow", 1L).otherwise(0L).as("a"),
           col("rpath").as("p"), col("rule").as("r"))))
           .as("__win"))
@@ -1531,5 +1529,31 @@ object TextAnalysis {
         coalesce(col("__win")("r") === "allow", lit(true)).as("allowed"),
         col("__win")("r").as("matched_rule"),
         col("__win")("p").as("matched_path"))
+  }
+
+  /** Politeness-wave scheduling — the fetch-queue shape a crawl actually
+    * dispatches: a wave is one dispatch round, and no wave may contain
+    * more than `perHostPerWave` URLs of one host (the per-host
+    * concurrency/rate budget). Within a host, higher `priorityCol`
+    * (e.g. [[graft.analytics.GraphAnalytics.pageRankKeys]] authority)
+    * fetches in earlier waves; ties break on the URL for determinism.
+    * Emits (url, host, wave, slot) — dispatch = everything with
+    * `wave = t` at tick t.
+    *
+    * Scale: one window PARTITIONED BY HOST (bounded by that host's
+    * frontier share, never global) and codegen'd arithmetic.
+    */
+  def crawlWaves(frontier: DataFrame, urlCol: String, hostCol: String,
+      priorityCol: String, perHostPerWave: Int): DataFrame = {
+    require(perHostPerWave >= 1, "perHostPerWave must be >= 1")
+    frontier
+      .select(col(urlCol).as("url"), col(hostCol).as("host"),
+        col(priorityCol).as("priority"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("host").orderBy(col("priority").desc, col("url").asc))
+        .cast("long") - 1L)
+      .select(col("url"), col("host"),
+        expr(s"__r div ${perHostPerWave}L").as("wave"),
+        (col("__r") % perHostPerWave).as("slot"))
   }
 }

@@ -4614,6 +4614,54 @@ object LlmOpsQueries extends QueryModule {
             transform(col("tokens"), _.cast("string")))).as("__h"))
         .agg(count(lit(1)).as("n_seqs"), sum("__n").as("n_tokens"),
           sum("__ts").as("id_sum"), expr("bit_xor(__h)").as("seq_checksum"))
+    },
+
+    // KTO-style unpaired preference labeling: desirable/undesirable
+    // relative to the PROMPT'S OWN mean (integer cross-multiply — no
+    // float mean), exact-mean responses dropped.
+    q("q_x_unpaired_prefs", {
+      val hSc = graft.llmops.PortableHash.duckHash52("CAST(doc_id AS VARCHAR) || ':sc'")
+      "WITH resp AS (SELECT doc_id AS resp_id, doc_id // 4 AS prompt_id, " +
+        s"$hSc % 100 AS score FROM documents WHERE doc_id % 40 <> 39), " +
+        "st AS (SELECT prompt_id, sum(score) AS s, count(*) AS n FROM resp GROUP BY 1) " +
+        "SELECT r.prompt_id, r.resp_id, r.score, CAST(st.n AS BIGINT) AS n_responses, " +
+        "CAST(CASE WHEN r.score * st.n > st.s THEN 1 ELSE -1 END AS BIGINT) AS label " +
+        "FROM resp r JOIN st USING (prompt_id) WHERE r.score * st.n <> st.s ORDER BY r.resp_id"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val did = col("doc_id")
+      val responses = Tables.documents(s, d).filter(did % 40 =!= 39)
+        .select(did.as("resp_id"), expr("doc_id div 4").as("prompt_id"),
+          concat(lit("p"), expr("doc_id div 4").cast("string")).as("prompt"),
+          col("text").as("response"),
+          (PortableHash.hash52(concat(did.cast("string"), lit(":sc"))) % 100)
+            .as("score"))
+      Corpus.unpairedPreferences(responses, "prompt_id", "prompt",
+          "resp_id", "response", "score")
+        .select(col("prompt_id"), col("resp_id"), col("score"),
+          col("n_responses"), col("label"))
+        .orderBy("resp_id")
+    },
+
+    // Politeness waves: per-host fetch budget per dispatch round, higher
+    // authority fetches earlier, deterministic ties.
+    q("q_x_crawl_waves", {
+      val hPr = graft.llmops.PortableHash.duckHash52("url")
+      "WITH fr AS (SELECT DISTINCT 'https://h' || (doc_id % 5) || '.example/p' || doc_id AS url FROM documents), " +
+        s"fp AS (SELECT url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host, $hPr % 1000 AS pr FROM fr), " +
+        "rn AS (SELECT url, host, row_number() OVER (PARTITION BY host ORDER BY pr DESC, url ASC) - 1 AS r FROM fp) " +
+        "SELECT url, host, CAST(r // 7 AS BIGINT) AS wave, CAST(r % 7 AS BIGINT) AS slot FROM rn ORDER BY url"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val frontier = Tables.documents(s, d)
+        .select(concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string")).as("url"))
+        .distinct()
+        .withColumn("host", TextAnalysis.urlHost(col("url")))
+        .withColumn("pr", PortableHash.hash52(col("url")) % 1000)
+      TextAnalysis.crawlWaves(frontier, "url", "host", "pr",
+          perHostPerWave = 7)
+        .orderBy("url")
     }
   )
 

@@ -240,7 +240,11 @@ object StressBench {
     // tokenize+export: training is distinct-word-bounded (the
     // unigram_vocab lane); corpus-linear parts are the segment join and
     // the binary round trip — should track token volume.
-    "q_x_tokenize_export")
+    "q_x_tokenize_export",
+    // unpaired prefs: one keyed agg + broadcast-back join — linear.
+    "q_x_unpaired_prefs",
+    // crawl waves: one host-partitioned window — linear in frontier.
+    "q_x_crawl_waves")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

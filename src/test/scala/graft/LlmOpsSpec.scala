@@ -1645,6 +1645,35 @@ class LlmOpsSpec extends SparkTestBase {
       (2L, 1L, 201L, 203L)))
   }
 
+  test("unpairedPreferences: prompt-relative labels, exact-mean drops, all-tied prompts vanish — hand-checked") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val resp = Seq(
+      (1L, "p1", 10L, "bad", 10L), (1L, "p1", 11L, "mid", 20L),
+      (1L, "p1", 12L, "good", 30L),          // mean 20: -1 / drop / +1
+      (2L, "p2", 20L, "same", 7L), (2L, "p2", 21L, "same2", 7L) // all tied
+    ).toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    val got = Corpus.unpairedPreferences(resp, "prompt_id", "prompt",
+        "resp_id", "resp", "score")
+      .collect().map(r => r.getLong(2) -> r.getLong(6)).toMap
+    assert(got === Map(10L -> -1L, 12L -> 1L))
+  }
+
+  test("crawlWaves: per-host budget per wave, authority-first, hosts independent — hand-checked") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val fr = Seq(
+      ("u1", "a", 90L), ("u2", "a", 80L), ("u3", "a", 70L),
+      ("u4", "a", 60L), ("u5", "a", 50L),
+      ("v1", "b", 10L)
+    ).toDF("url", "host", "pr")
+    val got = TextAnalysis.crawlWaves(fr, "url", "host", "pr", perHostPerWave = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "u1" -> ((0L, 0L)), "u2" -> ((0L, 1L)), "u3" -> ((1L, 0L)),
+      "u4" -> ((1L, 1L)), "u5" -> ((2L, 0L)), "v1" -> ((0L, 0L))))
+  }
+
   test("bestOfN: deterministic n-slice, argmax with id tie-break, rejection floor — hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._
