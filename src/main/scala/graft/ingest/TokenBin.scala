@@ -77,7 +77,10 @@ object TokenBin {
         spark.sparkContext.hadoopConfiguration))
     val keyed = df
       .select(col(seqCol).cast("long").as("seq"), col(tokensCol).as("toks"))
-      .where(col("toks").isNotNull && size(col("toks")) >= 1)
+      // a null order key belongs to no shard; empty/null token arrays
+      // have no trainable content (several consumers reject 0 sizes)
+      .where(col("seq").isNotNull && col("toks").isNotNull &&
+        size(col("toks")) >= 1)
       .rdd.map { r =>
         ((java.lang.Math.floorMod(r.getLong(0), shards.toLong), r.getLong(0)),
           r.getSeq[Long](1))
