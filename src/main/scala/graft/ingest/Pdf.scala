@@ -217,18 +217,25 @@ object Pdf {
           idx += 1
           from = s.length
         } else {
-          // the dict is the last "<<" run before "stream" — a bounded
-          // backward window is enough for filter detection (tolerant:
-          // no full object parse).
-          val dict = s.substring(math.max(0, at - 1024), at)
-          // data extent: trust a consistent /Length first; otherwise
-          // strip AT MOST ONE EOL before "endstream" (the spec's one
-          // separator) — stripping greedily would truncate compressed
-          // data that legitimately ENDS in 0x0A/0x0D bytes (~1/128 of
-          // Flate streams — found the hard way).
-          // the LAST /Length in the window is this stream's — the window
-          // can reach back into the previous object's dict.
-          val lenRe = java.util.regex.Pattern.compile("/Length\\s+(\\d+)")
+          // THIS stream's dict: the LAST "<<" run in a bounded backward
+          // window — without the cut, a previous object's "/Filter
+          // /FlateDecode" within 1024 chars would reclassify a raw
+          // stream (and vice versa).
+          val window = s.substring(math.max(0, at - 1024), at)
+          val dictAt = window.lastIndexOf("<<")
+          val dict = if (dictAt >= 0) window.substring(dictAt) else window
+          // data extent: trust a consistent DIRECT /Length first;
+          // "/Length 8 0 R" (the indirect form most generators emit)
+          // must NOT parse as length 8 — the digits may not be followed
+          // by a generation number + R. Otherwise strip AT MOST ONE EOL
+          // before "endstream" (the spec's one separator) — stripping
+          // greedily would truncate compressed data that legitimately
+          // ENDS in 0x0A/0x0D bytes (~1/128 of Flate streams — found
+          // the hard way).
+          // (?!\d|…) also stops backtracking from shaving digits off an
+          // indirect ref ("/Length 1230 0 R" must not parse as 123).
+          val lenRe = java.util.regex.Pattern.compile(
+            "/Length\\s+(\\d+)(?!\\d|\\s+\\d+\\s+R)")
           val lm = lenRe.matcher(dict)
           var lenStr: String = null
           while (lm.find()) lenStr = lm.group(1)
@@ -315,7 +322,10 @@ object Pdf {
           pending.append(str); pendingAny = true
           if (!inArray) flush()
           i = next
-        case '<' if i + 1 < block.length && block.charAt(i + 1) != '<' =>
+        case '<' if i + 1 < block.length && block.charAt(i + 1) == '<' =>
+          i += 2 // inline dict (marked-content props, "/P << /MCID 0 >>")
+          // — its second '<' must not open a hex string
+        case '<' =>
           val (str, next) = hexString(block, i + 1)
           pending.append(str); pendingAny = true
           if (!inArray) flush()

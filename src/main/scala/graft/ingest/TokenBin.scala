@@ -65,6 +65,13 @@ object TokenBin {
   def write(df: DataFrame, seqCol: String, tokensCol: String, dir: String,
       shards: Int, dtype: String = "uint16"): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
+    // a string seq column would cast to null and the null filter below
+    // would silently drop EVERY row — an empty "successful" write (the
+    // Corpus.requireNumericKey failure class).
+    require(df.schema(seqCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"TokenBin.write: column '$seqCol' must be numeric " +
+        s"(got ${df.schema(seqCol).dataType.simpleString})")
     val width = widthOf(dtype)
     val code = codeOf(dtype)
     val maxTok = if (dtype == "uint16") 65535L else Int.MaxValue.toLong
@@ -104,10 +111,19 @@ object TokenBin {
         pfs.setVerifyChecksum(false)
         val sizes = new scala.collection.mutable.ArrayBuffer[Int]()
         var nTokens = 0L
+        var prevSeq = Long.MinValue
+        var firstRow = true
         val bin = new java.io.BufferedOutputStream(pfs.create(binTmp, true), 1 << 16)
         try {
           val b = new Array[Byte](4)
           it.foreach { case ((_, seq), toks) =>
+            // duplicate seq values would sort arrival-order-dependently
+            // and break the byte-determinism contract silently — the
+            // in-shard sort makes the check one comparison.
+            require(firstRow || seq > prevSeq,
+              s"duplicate sequence id $seq — the order key must be unique " +
+                "for byte-deterministic shards")
+            prevSeq = seq; firstRow = false
             toks.foreach { t =>
               require(t >= 0L && t <= maxTok,
                 s"token id $t in sequence $seq outside $dtype range [0, $maxTok]")

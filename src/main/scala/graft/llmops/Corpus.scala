@@ -1078,9 +1078,17 @@ object Corpus {
   def unpairedPreferences(responses: DataFrame, promptIdCol: String,
       promptCol: String, respIdCol: String, respCol: String,
       scoreCol: String): DataFrame = {
+    // the score keeps ITS OWN numeric type: casting reward-model floats
+    // in (0,1) to long would truncate everything to 0 — every response
+    // would tie its prompt mean and the operator would return an empty
+    // frame with no error. The cross-multiply works unchanged on
+    // doubles (it exists to avoid a DIVIDED mean, not floats).
+    require(responses.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"unpairedPreferences: '$scoreCol' must be numeric")
     val base = responses.select(col(promptIdCol).as("prompt_id"),
       col(promptCol).as("prompt"), col(respIdCol).as("resp_id"),
-      col(respCol).as("response"), col(scoreCol).cast("long").as("score"))
+      col(respCol).as("response"), col(scoreCol).as("score"))
     val stats = base.groupBy("prompt_id")
       .agg(sum("score").as("__sum"), count(lit(1)).as("__n"))
     base.join(stats, Seq("prompt_id"))

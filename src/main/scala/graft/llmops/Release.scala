@@ -135,6 +135,15 @@ object Release {
       splitNames: Seq[String] = Seq("train", "valid", "test")): DataFrame = {
     require(shards >= 1 && splitNames.nonEmpty)
     val p = pairs.localCheckpoint(true)
+    // every split value must have a shard directory: a pair row whose
+    // split is not in `splitNames` would appear in the manifest with no
+    // shipped artifact behind it — silent manifest/shard divergence.
+    val unknown = p.select("split").distinct()
+      .filter(!col("split").isin(splitNames: _*))
+      .collect().map(_.getString(0))
+    require(unknown.isEmpty,
+      s"pairs carry split value(s) ${unknown.mkString(", ")} not in " +
+        s"splitNames ${splitNames.mkString(", ")} — they would ship no shards")
     p.write.mode("overwrite").parquet(s"$dir/_pairs")
     splitNames.foreach { name =>
       graft.ingest.TfRecords.writeExamples(

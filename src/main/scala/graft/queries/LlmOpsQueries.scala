@@ -4672,19 +4672,8 @@ object LlmOpsQueries extends QueryModule {
     */
   private def tokenizeExportSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
       maxWordLen: Int, seedCap: Int): String = {
-    val base = unigramVocabSql(vocabSize, rounds, maxPieceLen, maxWordLen, seedCap)
-    val chain = base.substring(0, base.lastIndexOf(" SELECT piece,"))
-    val Big = "1000000000000"
-    def fwdOpt(k: Int) =
-      s"CASE WHEN b[1] - $k >= 0 THEN a[CAST(b[1] - $k + 1 AS INT)] + " +
-        s"coalesce(m[substr(w, CAST(b[1] - $k + 1 AS INT), $k)][1], $Big) ELSE $Big END"
-    val fwd = (1 to maxPieceLen).map(fwdOpt).mkString("least(", ", ", ")")
-    def bckCond(k: Int) =
-      s"a[len(a)] - $k >= 0 AND costs[CAST(a[len(a)] - $k + 1 AS INT)] + " +
-        s"coalesce(m[substr(w, CAST(a[len(a)] - $k + 1 AS INT), $k)][1], $Big) = " +
-        "costs[CAST(a[len(a)] + 1 AS INT)]"
-    val chosen = (1 to maxPieceLen)
-      .map(k => s"WHEN ${bckCond(k)} THEN $k").mkString("CASE ", " ", " ELSE 1 END")
+    val chain = unigramChainSql(vocabSize, rounds, maxPieceLen, maxWordLen, seedCap)
+    val (fwd, chosen) = unigramDpSql(maxPieceLen)
     val segHash = graft.llmops.PortableHash.duckHash52(
       "array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',')")
     chain +
@@ -4720,25 +4709,39 @@ object LlmOpsQueries extends QueryModule {
     * equality is exact; only the ln() that PRODUCES a score sits on the
     * 1e-6 grid.
     */
-  private def unigramVocabSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
-      maxWordLen: Int, seedCap: Int): String = {
+  /** The shared Viterbi DP lambda fragments — ONE source for the
+    * unigram-vocab oracle and the tokenize-export oracle, so a tie-break
+    * or cost change can never desynchronize them. Returns (forward
+    * min-cost option list, backward chosen-k CASE).
+    *
+    * DuckDB 1.0's lambda STRUCT accumulator mis-evaluates field reads
+    * (aliasing — verified empirically), so the backward walk folds a
+    * POSITIONS LIST instead: append pos − argmin-k each step (0-padded
+    * once the walk lands), then cut the pieces between consecutive
+    * positions outside the lambda. Same chosen-k formula and tie-break
+    * as the Spark fold, so the pieces are identical.
+    */
+  private def unigramDpSql(maxPieceLen: Int): (String, String) = {
     val Big = "1000000000000"
     def fwdOpt(k: Int) =
       s"CASE WHEN b[1] - $k >= 0 THEN a[CAST(b[1] - $k + 1 AS INT)] + " +
         s"coalesce(m[substr(w, CAST(b[1] - $k + 1 AS INT), $k)][1], $Big) ELSE $Big END"
     val fwd = (1 to maxPieceLen).map(fwdOpt).mkString("least(", ", ", ")")
-    // DuckDB 1.0's lambda STRUCT accumulator mis-evaluates field reads
-    // (aliasing — verified empirically), so the backward walk folds a
-    // POSITIONS LIST instead: append pos − argmin-k each step (0-padded
-    // once the walk lands), then cut the pieces between consecutive
-    // positions outside the lambda. Same chosen-k formula and tie-break
-    // as the Spark fold, so the pieces are identical.
     def bckCond(k: Int) =
       s"a[len(a)] - $k >= 0 AND costs[CAST(a[len(a)] - $k + 1 AS INT)] + " +
         s"coalesce(m[substr(w, CAST(a[len(a)] - $k + 1 AS INT), $k)][1], $Big) = " +
         "costs[CAST(a[len(a)] + 1 AS INT)]"
     val chosen = (1 to maxPieceLen)
       .map(k => s"WHEN ${bckCond(k)} THEN $k").mkString("CASE ", " ", " ELSE 1 END")
+    (fwd, chosen)
+  }
+
+  /** The training WITH-chain (ends at CTE `v$rounds`, no final SELECT) —
+    * shared by [[unigramVocabSql]] and [[tokenizeExportSql]].
+    */
+  private def unigramChainSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, seedCap: Int): String = {
+    val (fwd, chosen) = unigramDpSql(maxPieceLen)
     def rescore(raw: String, out: String) =
       s"$out AS MATERIALIZED (SELECT piece, cnt, CAST(round(ln(CAST(t + vv AS DOUBLE) / (cnt + 1)) * 1000000) AS BIGINT) AS nll " +
         s"FROM $raw CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS vv FROM $raw) tt$out)"
@@ -4772,9 +4775,13 @@ object LlmOpsQueries extends QueryModule {
       s"v0raw AS MATERIALIZED (SELECT piece, cnt FROM sc0 WHERE length(piece) = 1 " +
       s"UNION ALL (SELECT piece, cnt FROM sc0 WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $seedCap)), " +
       rescore("v0raw", "v0") + ", " +
-      (1 to rounds).map(round_).mkString(", ") + " " +
-      s"SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars, cnt, nll AS nll_micro FROM v$rounds ORDER BY cnt DESC, piece"
+      (1 to rounds).map(round_).mkString(", ")
   }
+
+  private def unigramVocabSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
+      maxWordLen: Int, seedCap: Int): String =
+    unigramChainSql(vocabSize, rounds, maxPieceLen, maxWordLen, seedCap) + " " +
+      s"SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars, cnt, nll AS nll_micro FROM v$rounds ORDER BY cnt DESC, piece"
 
   // Planted-fixture vocabulary (defs, not vals — see CjkPara note).
   // Markers repeat 3×: a single occurrence loses to the shared-

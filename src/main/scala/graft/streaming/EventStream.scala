@@ -490,7 +490,12 @@ object EventStream {
         // the filter's one law with no detection. The state stamps its
         // parameters in `{prefix}_seen_bloom_meta` (the quantizer_meta
         // precedent); every later batch and every probe verifies first.
-        verifyBloomMeta(sess, tablePrefix, mBits, k, seedIfAbsent = true)
+        // Seeding is legal only while the STATE table doesn't exist
+        // either — stamping the caller's parameters over a pre-existing
+        // unstamped (legacy) state would bless exactly the mismatch the
+        // stamp prevents; a legacy state must be migrated explicitly.
+        verifyBloomMeta(sess, tablePrefix, mBits, k,
+          seedIfAbsent = !sess.catalog.tableExists(table))
         val delta = Bloom.build(batch, urlCol, mBits, k)
         val state =
           if (sess.catalog.tableExists(table)) sess.table(table)
@@ -543,6 +548,14 @@ object EventStream {
       Seq((mBits, k)).toDF("m_bits", "k")
         .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(metaT)
       sess.catalog.refreshTable(metaT)
+    } else {
+      // state exists but carries no stamp: stamping the CALLER'S
+      // parameters over it would bless exactly the mismatch the stamp
+      // prevents — migration must be explicit.
+      throw new IllegalStateException(
+        s"${tablePrefix}_seen_bloom exists without a meta stamp (legacy " +
+          "state) — write the (m_bits, k) it was built with into " +
+          s"$metaT before streaming into it")
     }
   }
 

@@ -1657,6 +1657,14 @@ class LlmOpsSpec extends SparkTestBase {
         "resp_id", "resp", "score")
       .collect().map(r => r.getLong(2) -> r.getLong(6)).toMap
     assert(got === Map(10L -> -1L, 12L -> 1L))
+    // reward-model FLOAT scores in (0,1) must not truncate to all-ties
+    val floats = Seq(
+      (1L, "p", 10L, "bad", 0.2), (1L, "p", 11L, "good", 0.8)
+    ).toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    val gotF = Corpus.unpairedPreferences(floats, "prompt_id", "prompt",
+        "resp_id", "resp", "score")
+      .collect().map(r => r.getLong(2) -> r.getLong(6)).toMap
+    assert(gotF === Map(10L -> -1L, 11L -> 1L))
   }
 
   test("crawlWaves: per-host budget per wave, authority-first, hosts independent — hand-checked") {

@@ -69,6 +69,39 @@ class PdfSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("n_text_ops") === 5L)
   }
 
+  test("foreign realism: indirect /Length, inline dicts in BT, filter detection isolated per object") {
+    // indirect length ("/Length 8 0 R") must NOT parse as length 8 —
+    // the endstream-scan fallback reads the whole stream; an inline
+    // marked-content dict inside BT must not open a hex string; and a
+    // raw stream within 1024 chars of a Flate object must not inherit
+    // its /Filter.
+    val flateBody = {
+      val d = new java.util.zip.Deflater()
+      d.setInput("BT (compressed text here) Tj ET".getBytes("ISO-8859-1"))
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+      d.end(); out.toByteArray
+    }
+    val rawContent = "BT /P << /MCID 0 >> BDC (visible words) Tj EMC ET"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n1 0 obj\n<< /Length 8 0 R /Filter /FlateDecode >>\nstream\n")
+    bos.write(flateBody)
+    w("\nendstream\nendobj\n")
+    w(s"2 0 obj\n<< /Length ${rawContent.length} >>\nstream\n")
+    w(rawContent)
+    w("\nendstream\nendobj\n8 0 obj\n" + flateBody.length + "\nendobj\n%%EOF\n")
+    val dir = Files.createTempDirectory("pdf_realism").toString
+    Files.write(Paths.get(dir, "real.pdf"), bos.toByteArray)
+    val rows = Pdf.read(spark, dir).orderBy("stream_idx").collect()
+    assert(rows.length === 2, rows.mkString("; "))
+    assert(rows.forall(_.getAs[Boolean]("ok")))
+    assert(rows(0).getAs[String]("text") === "compressed text here")
+    assert(rows(1).getAs[String]("text") === "visible words")
+  }
+
   test("quarantine matrix: corrupt flate, unsupported filter, non-PDF, torn stream — one ok=false row each") {
     import spark.implicits._
     def freshWrite(tag: String): String = {

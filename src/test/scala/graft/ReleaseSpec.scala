@@ -231,5 +231,16 @@ class ReleaseSpec extends SparkTestBase {
         .agg(expr("bit_xor(h)")).head().getLong(0)
       assert(got === xor, s"split $s checksum")
     }
+
+    // a split value outside splitNames must FAIL the release — it would
+    // appear in the manifest with no shipped shards behind it
+    val rogue = withSplit.withColumn("split",
+      when(col("prompt_id") === 0L, lit("eval")).otherwise(col("split")))
+    val ex = intercept[IllegalArgumentException] {
+      Release.releasePairs(rogue,
+        java.nio.file.Files.createTempDirectory("pairs_rogue").toString,
+        shards = 1)
+    }
+    assert(ex.getMessage.contains("eval"))
   }
 }

@@ -1243,6 +1243,34 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("bloom seen-set: an unstamped LEGACY state refuses to stream (no silent parameter blessing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      // a pre-self-description state table with NO meta stamp
+      Seq((0L, 5L)).toDF("word_idx", "word")
+        .write.format("parquet").saveAsTable("bloom_legacy_seen_bloom")
+      val mem = MemoryStream[String]
+      mem.addData("https://x.example/1")
+      val ckpt = java.nio.file.Files.createTempDirectory("bloom_legacy").toString
+      val q = EventStream.bloomSeenStream(mem.toDF().toDF("url"), "url",
+          tablePrefix = "bloom_legacy", mBits = 1L << 12, k = 4)
+        .option("checkpointLocation", ckpt)
+        .start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("legacy"), chain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bloom_legacy_seen_bloom")
+      spark.sql("DROP TABLE IF EXISTS bloom_legacy_seen_bloom_meta")
+    }
+  }
+
   test("pageRankKeys: string-keyed authority — hub outranks leaves, parallel links collapse, deterministic") {
     import spark.implicits._
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"),

@@ -81,6 +81,25 @@ class TokenBinSpec extends SparkTestBase {
     assert(b3.head.getSeq[Long](2) === Seq(70000L, 2147483647L, 0L))
   }
 
+  test("non-numeric seq and duplicate seq FAIL the write loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tokbin_guard").toString
+    // a string key would cast to null and silently drop every row
+    val stringKey = Seq(("doc-1", Seq(1L))).toDF("seq", "tokens")
+    val e1 = intercept[IllegalArgumentException] {
+      TokenBin.write(stringKey, "seq", "tokens", dir, shards = 1)
+    }
+    assert(e1.getMessage.contains("must be numeric"))
+    // duplicate order keys would sort arrival-dependently — the
+    // byte-determinism contract requires uniqueness
+    val dup = Seq((7L, Seq(1L)), (7L, Seq(2L))).toDF("seq", "tokens")
+    val e2 = intercept[Exception] {
+      TokenBin.write(dup, "seq", "tokens", dir, shards = 1)
+    }
+    assert(e2.toString.contains("duplicate sequence id") ||
+      Option(e2.getCause).exists(_.toString.contains("duplicate sequence id")))
+  }
+
   test("out-of-range token FAILS the write loudly; empty token arrays drop") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tokbin_range").toString
