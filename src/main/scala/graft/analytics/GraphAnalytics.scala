@@ -56,11 +56,14 @@ object GraphAnalytics {
     * the crawl loop needs ([[graft.llmops.TextAnalysis.extractLinks]]'
     * (src_host, dst_host) pairs feed straight in): vertex ids derive
     * from [[graft.llmops.PortableHash.hash52]] of the key (oracle-
-    * replayable, collision odds ~|V|²/2⁵³), parallel links COLLAPSE to
-    * one edge before the run — authority follows WHO links, not how
-    * often, else one page farms rank with repeated anchors. Returns
-    * (key, rank) with GraphX `staticPageRank` semantics (resetProb
-    * 0.15, ranks normalized to sum |V|).
+    * replayable, collision odds ~|V|²/2⁵³ — at 10⁸ hosts expect ~1
+    * collision, which silently MERGES two hosts' in-links: negligible
+    * for crawl prioritization, but do NOT reuse this function where key
+    * identity must be exact — use a rank-assigned id there), parallel
+    * links COLLAPSE to one edge before the run — authority follows WHO
+    * links, not how often, else one page farms rank with repeated
+    * anchors. Returns (key, rank) with GraphX `staticPageRank`
+    * semantics (resetProb 0.15, ranks normalized to sum |V|).
     *
     * Scale: two projections + one distinct build the graph once; the
     * iteration is GraphX's own (EdgePartition2D-bounded replication).

@@ -182,6 +182,14 @@ object Pdf {
     * streams and unparseable files quarantine as `ok = false` rows.
     * Streams with no `BT` block (fonts, images, metadata) are skipped
     * silently — they carry no text to lose.
+    *
+    * Recall limit, stated: when `/Length` is absent/indirect/
+    * inconsistent, the stream extent comes from an `endstream` scan.
+    * Flate streams validate candidates by inflating (a stream whose
+    * compressed bytes contain the literal marker still parses whole);
+    * an UNCOMPRESSED stream has no validity test, so raw data that
+    * itself contains `endstream` truncates at the first marker — the
+    * remainder may surface as a bogus extra row or quarantine.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -243,17 +251,43 @@ object Pdf {
             .flatMap(l => try Some(l.toInt) catch {
               case _: NumberFormatException => None })
             .filter(l => dataStart + l <= end)
-          val dataEnd = byLength.map(dataStart + _).getOrElse {
-            var de = end
+          def eolTrim(marker: Int): Int = {
+            var de = marker
             if (de > dataStart && s.charAt(de - 1) == '\n') {
               de -= 1
               if (de > dataStart && s.charAt(de - 1) == '\r') de -= 1
             } else if (de > dataStart && s.charAt(de - 1) == '\r') de -= 1
             de
           }
-          val raw = bytes.slice(dataStart, dataEnd)
+          val isFlate = dict.contains("/FlateDecode")
+          // Without a usable /Length the extent falls back to an
+          // "endstream" scan — but Flate data can legitimately CONTAIN
+          // those nine bytes, so a first-match cut would truncate the
+          // stream AND resume parsing inside its remaining data
+          // (fabricating a bogus extra stream row). Flate gives us a
+          // validity test: walk forward across candidate markers until
+          // one inflates (bounded tries — a genuinely corrupt stream
+          // must not scan to EOF). Raw streams have no such test; their
+          // first-match recall limit stands, documented in [[read]].
+          var endPos = end
+          var raw = bytes.slice(dataStart, byLength.map(dataStart + _)
+            .getOrElse(eolTrim(endPos)))
+          var inflated: Option[Array[Byte]] = if (isFlate) inflate(raw) else None
+          if (isFlate && byLength.isEmpty) {
+            var tries = 0
+            while (inflated.isEmpty && tries < 8) {
+              val nxt = s.indexOf("endstream", endPos + 9)
+              if (nxt < 0) tries = 8
+              else {
+                endPos = nxt
+                raw = bytes.slice(dataStart, eolTrim(endPos))
+                inflated = inflate(raw)
+                tries += 1
+              }
+            }
+          }
           val content: Option[String] =
-            if (dict.contains("/FlateDecode")) inflate(raw).map(new String(_, latin1))
+            if (isFlate) inflated.map(new String(_, latin1))
             else if (dict.contains("/Filter")) None // unsupported codec
             else Some(new String(raw, latin1))
           content match {
@@ -266,7 +300,7 @@ object Pdf {
               idx += 1
             case Some(_) => () // no text in this stream — nothing to lose
           }
-          from = end + 9
+          from = endPos + 9
         }
       } else from = at + 6
     }

@@ -90,8 +90,11 @@ object Warc {
     * allocates the Deflater lazily on first record, `reset()`s it between
     * members, writes the RFC 1952 member framing itself (header with
     * MTIME=0 — deterministic shards, data never the wall clock — then the
-    * raw-deflate body and the CRC32 + ISIZE trailer: byte-for-byte what
-    * `GZIPOutputStream` emits for the same input), and `end()`s the
+    * raw-deflate body and the CRC32 + ISIZE trailer: identical to what
+    * `GZIPOutputStream` emits for the same input EXCEPT the header OS
+    * byte, which the project pins to 0xFF itself — the JDK's own value
+    * changed 0x00 → 0xFF at JDK 16, see [[GzipMemberWriter.Header]]),
+    * and `end()`s the
     * native state deterministically at task completion. Closures
     * deserialize per task, so each shard task owns exactly one Deflater.
     */
@@ -128,10 +131,13 @@ object Warc {
   }
 
   private object GzipMemberWriter {
-    // magic, CM=8 (deflate), FLG=0, MTIME=0, XFL=0, OS=0xFF (unknown) —
-    // the exact header the JDK's GZIPOutputStream writes (OS moved from
-    // 0 to the spec-correct 255 in modern JDKs; the byte-identity spec
-    // pins whichever this JVM ships).
+    // magic, CM=8 (deflate), FLG=0, MTIME=0, XFL=0, OS=0xFF (unknown).
+    // This is the PROJECT'S canonical header, pinned as constants — NOT
+    // a claim of GZIPOutputStream byte-identity: the JDK's OS byte moved
+    // 0x00 → 0xFF in JDK 16 (JDK-8244706), so "what GZIPOutputStream
+    // emits" is JDK-version-dependent while this header is not. Every
+    // decoder ignores the OS byte; byte-pinned fixtures and replica
+    // checksums are stable across JDKs because the constant is ours.
     val Header: Array[Byte] =
       Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
   }

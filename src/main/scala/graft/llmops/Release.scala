@@ -129,12 +129,42 @@ object Release {
     * sidecars, manifest) reads that materialization; shard writing is
     * the shared distributed [[graft.ingest.TfRecords.writeExamples]]
     * path (no driver funnel), the manifest is #splits rows.
+    *
+    * `bench`: when given, the release DECONTAMINATES by construction —
+    * [[release]] runs the full ledger (incl. benchmark decon) before
+    * shipping documents, and a preference release must give its prompts
+    * the same guarantee or a contaminated prompt ships with both its
+    * responses. Every distinct (prompt_id, prompt) runs
+    * [[Dedup.decontaminate]]'s n-gram collision rule against the
+    * benchmark suite (`deconN`-grams, broadcast bench — the same rule
+    * the ledger applies); pairs whose PROMPT is contaminated are dropped
+    * from shards, `_pairs` and the manifest alike, and the per-prompt
+    * verdicts land in a `_decon` parquet sidecar (prompt_id → n_hit,
+    * contaminated) — the governance record of what was withheld and why.
+    * Scale: the decon input is the DISTINCT prompt table (pairs-bounded,
+    * usually far smaller), one broadcast-semi-join pass.
     */
   def releasePairs(pairs: DataFrame, dir: String, shards: Int = 4,
       codec: String = "gzip",
-      splitNames: Seq[String] = Seq("train", "valid", "test")): DataFrame = {
+      splitNames: Seq[String] = Seq("train", "valid", "test"),
+      bench: Option[DataFrame] = None,
+      benchIdCol: String = "doc_id", benchTextCol: String = "text",
+      deconN: Int = 5): DataFrame = {
     require(shards >= 1 && splitNames.nonEmpty)
-    val p = pairs.localCheckpoint(true)
+    val p0 = pairs.localCheckpoint(true)
+    val p = bench.fold(p0) { b =>
+      val verdicts = Dedup.decontaminate(
+          p0.select(col("prompt_id"), col("prompt")).distinct(),
+          b.select(col(benchIdCol).as("prompt_id"),
+            col(benchTextCol).as("prompt")),
+          "prompt_id", "prompt", n = deconN)
+        .withColumnRenamed("doc", "prompt_id")
+        .localCheckpoint(true)
+      verdicts.write.mode("overwrite").parquet(s"$dir/_decon")
+      p0.join(verdicts.filter(!col("contaminated")).select("prompt_id"),
+          Seq("prompt_id"))
+        .localCheckpoint(true)
+    }
     // every split value must have a shard directory: a pair row whose
     // split is not in `splitNames` would appear in the manifest with no
     // shipped artifact behind it — silent manifest/shard divergence.

@@ -1456,6 +1456,43 @@ object TextAnalysis {
     * the two bounded windows.
     */
   def robotsRules(df: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val grouped = robotsStarGroupLines(df, hostCol, textCol,
+      "^(user-agent|allow|disallow):")
+    grouped
+      .filter((col("directive") === "allow" || col("directive") === "disallow") &&
+        col("value") =!= "")
+      .select(col("host"), col("directive").as("rule"), col("value").as("path"))
+  }
+
+  /** `Crawl-delay` seconds per host from the robots bodies — the de-facto
+    * rate directive RFC 9309 deliberately omits but real crawlers (Bing,
+    * Yandex) honor; Google ignores it, so treat it as a politeness FLOOR,
+    * not law. Same `*`-group binding as [[robotsRules]] (the grouping
+    * spine is shared code); non-numeric values drop, multiple bound
+    * values take the MAX (the conservative read — the slowest requested
+    * rate wins). Returns (host, crawl_delay_secs); hosts with no bound
+    * directive are absent — feed the table to [[crawlWavesBudget]] with
+    * a default. Scale: robots-sized, like [[robotsRules]].
+    */
+  def robotsCrawlDelay(df: DataFrame, hostCol: String, textCol: String): DataFrame =
+    robotsStarGroupLines(df, hostCol, textCol, "^(user-agent|crawl-delay):")
+      .filter(col("directive") === "crawl-delay")
+      // try_cast, not cast: ANSI mode would THROW on a malformed value
+      // ("Crawl-delay: soon") — foreign robots bodies drop it instead
+      .withColumn("__d", expr("try_cast(value AS BIGINT)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0L)
+      .groupBy("host").agg(max("__d").as("crawl_delay_secs"))
+
+  /** Shared robots.txt line spine: comment strip → directive/value split
+    * (only directives matching `directiveRe` are recognized; everything
+    * else is a non-directive line) → RFC 9309 group formation (stacked
+    * `User-agent:` lines open one group) → keep NON-agent lines of
+    * groups whose agent set contains `*`. The grouping depends only on
+    * the user-agent lines, so callers with different directive sets see
+    * identical group boundaries.
+    */
+  private def robotsStarGroupLines(df: DataFrame, hostCol: String,
+      textCol: String, directiveRe: String): DataFrame = {
     val w = Window.partitionBy("host").orderBy("idx")
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
     val lines = df
@@ -1463,7 +1500,7 @@ object TextAnalysis {
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "raw")))
       .withColumn("clean", trim(regexp_replace(col("raw"), "#.*$", "")))
       .withColumn("directive",
-        regexp_extract(lower(col("clean")), "^(user-agent|allow|disallow):", 1))
+        regexp_extract(lower(col("clean")), directiveRe, 1))
       .withColumn("value",
         trim(regexp_replace(col("clean"), "^[A-Za-z-]+:", "")))
     val grouped = lines
@@ -1476,11 +1513,8 @@ object TextAnalysis {
       .filter(col("__ua") === 1L && col("value") === "*")
       .select(col("host"), col("grp")).distinct()
     grouped
-      .filter(col("__ua") === 0L && col("grp") >= 1L &&
-        (col("directive") === "allow" || col("directive") === "disallow") &&
-        col("value") =!= "")
+      .filter(col("__ua") === 0L && col("grp") >= 1L)
       .join(starGroups, Seq("host", "grp"))
-      .select(col("host"), col("directive").as("rule"), col("value").as("path"))
   }
 
   /** Apply [[robotsRules]] to a frontier: RFC 9309 longest-match
@@ -1540,20 +1574,83 @@ object TextAnalysis {
     * Emits (url, host, wave, slot) — dispatch = everything with
     * `wave = t` at tick t.
     *
-    * Scale: one window PARTITIONED BY HOST (bounded by that host's
-    * frontier share, never global) and codegen'd arithmetic.
+    * Scale — the hot-host problem, solved the [[Corpus.trainingOrder]]
+    * way: a naive `row_number() over (partition by host …)` funnels a
+    * hot host's ENTIRE frontier (any major domain can contribute
+    * 10⁷–10⁸ URLs) through one window partition. Instead the frontier
+    * range-partitions on the full order key (host, priority DESC, url),
+    * so each task holds a CONTIGUOUS slice of every host's queue: the
+    * per-host rank is the within-slice rank plus a broadcast offset.
+    * Only hosts that SPAN a slice boundary need an offset row — at most
+    * `buckets − 1` rows total, broadcast-trivial at any host
+    * cardinality. Ranks are identical to the plain window's (the order
+    * key is total), verified by the oracle; the checkpoint pins the
+    * sampled range boundaries so both consumers of the partitioning
+    * agree.
     */
   def crawlWaves(frontier: DataFrame, urlCol: String, hostCol: String,
-      priorityCol: String, perHostPerWave: Int): DataFrame = {
+      priorityCol: String, perHostPerWave: Int,
+      buckets: Int = 0): DataFrame = {
     require(perHostPerWave >= 1, "perHostPerWave must be >= 1")
-    frontier
-      .select(col(urlCol).as("url"), col(hostCol).as("host"),
-        col(priorityCol).as("priority"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("host").orderBy(col("priority").desc, col("url").asc))
-        .cast("long") - 1L)
+    rankPerHost(frontier, urlCol, hostCol, priorityCol, buckets)
       .select(col("url"), col("host"),
         expr(s"__r div ${perHostPerWave}L").as("wave"),
         (col("__r") % perHostPerWave).as("slot"))
+  }
+
+  /** [[crawlWaves]] with PER-HOST wave budgets — the Crawl-delay-aware
+    * form: `budgets` is a tiny (host, per_wave) table (derive it from
+    * [[robotsCrawlDelay]], e.g. `per_wave = greatest(1, wave_secs div
+    * delay)`), broadcast; hosts absent from it use `defaultPerWave`.
+    * A non-positive budget row clamps to 1 (a crawl that may fetch at
+    * all fetches at least one URL per wave).
+    */
+  def crawlWavesBudget(frontier: DataFrame, urlCol: String, hostCol: String,
+      priorityCol: String, budgets: DataFrame, defaultPerWave: Int,
+      buckets: Int = 0): DataFrame = {
+    require(defaultPerWave >= 1, "defaultPerWave must be >= 1")
+    rankPerHost(frontier, urlCol, hostCol, priorityCol, buckets)
+      .join(broadcast(budgets.select(col("host"),
+        col("per_wave").cast("long").as("__bud"))), Seq("host"), "left")
+      .withColumn("__b",
+        greatest(lit(1L), coalesce(col("__bud"), lit(defaultPerWave.toLong))))
+      .select(col("url"), col("host"),
+        expr("__r div __b").as("wave"), (col("__r") % col("__b")).as("slot"))
+  }
+
+  /** The shared bucketed per-host rank spine: 0-based rank of each URL
+    * within its host by (priority DESC, url ASC), computed without ever
+    * putting one host's whole frontier in one partition. Returns
+    * (url, host, __r).
+    */
+  private def rankPerHost(frontier: DataFrame, urlCol: String,
+      hostCol: String, priorityCol: String, buckets: Int): DataFrame = {
+    val spark = frontier.sparkSession
+    val n = if (buckets >= 1) buckets else spark.sparkContext.defaultParallelism
+    // checkpoint pins the SAMPLED range boundaries: the offsets branch
+    // and the rank branch must see the same partitioning (the
+    // repartitionByRange two-consumer rule)
+    val parted = frontier
+      .select(col(urlCol).as("url"), col(hostCol).as("host"),
+        col(priorityCol).as("priority"))
+      .repartitionByRange(n, col("host"), col("priority").desc, col("url").asc)
+      .withColumn("__bkt", spark_partition_id().cast("long"))
+      .localCheckpoint(eager = true)
+    val inSlice = Window.partitionBy("host", "__bkt")
+      .orderBy(col("priority").desc, col("url").asc)
+    // per-(host, slice) counts → per-host running offset; only boundary-
+    // spanning continuation slices have a non-zero offset (≤ n − 1 rows)
+    val offsets = parted.groupBy("host", "__bkt")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        Window.partitionBy("host").orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__off") > 0L)
+      .select("host", "__bkt", "__off")
+    parted
+      .withColumn("__rn", row_number().over(inSlice).cast("long"))
+      .join(broadcast(offsets), Seq("host", "__bkt"), "left")
+      .withColumn("__r", coalesce(col("__off"), lit(0L)) + col("__rn") - 1L)
+      .select(col("url"), col("host"), col("__r"))
   }
 }

@@ -58,14 +58,22 @@ object Unigram {
   /** Train the vocabulary; returns (piece, n_chars, cnt, nll_micro)
     * ordered by (cnt DESC, piece) — `cnt` is the final round's Viterbi
     * count (zero-count single chars kept for coverage).
+    *
+    * `tokens` is the pre-tokenizer (the r10 threading rule every text
+    * operator follows — [[Bpe.tokenCounts]], [[TextAnalysis.withQuality]],
+    * …): the default whitespace split is bit-identical to the historical
+    * behavior; pass [[TextAnalysis.scriptTokens]] for CJK/no-space-script
+    * corpora, where a whitespace split would see one 12-char-truncated
+    * sentence-"word" per line and train a degenerate vocabulary.
     */
   def unigramVocab(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int, rounds: Int = 2, maxPieceLen: Int = 3,
-      maxWordLen: Int = 12, seedCapFactor: Int = 2): DataFrame = {
+      maxWordLen: Int = 12, seedCapFactor: Int = 2,
+      tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
     require(vocabSize >= 1 && rounds >= 1 && maxPieceLen >= 1 &&
       maxWordLen >= 1 && seedCapFactor >= 1)
     val words = df
-      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .select(explode(tokens(col(textCol))).as("tok"))
       .select(substring(col("tok"), 1, maxWordLen).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -139,20 +147,46 @@ object Unigram {
     * half): one row per (id, piece) in reading order — feed it to
     * [[Bpe.fertility]]-style audits or token-id assignment. Same DP as
     * training, so serving segmentations are exactly the ones the counts
-    * were estimated from.
+    * were estimated from. `tokens` must be the pre-tokenizer the vocab
+    * was TRAINED with, or the word stream and the piece statistics
+    * disagree.
+    *
+    * A vocabulary trained by [[unigramVocab]] keeps every single
+    * character, so the DP always has a path; a FOREIGN vocabulary (e.g.
+    * one imported via [[VocabArtifact]]) may lack some single chars, and
+    * the walk's k=1 fallback would then silently emit pieces that are
+    * not in the vocab. `checkCoverage = true` turns that into a loud
+    * driver-side error (the TokenBin loud-failure discipline): one extra
+    * distinct-char aggregation over the distinct-word table, bounded
+    * collect. Default off — bit-identical plans for trained vocabs.
     */
   def segment(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 3,
-      maxWordLen: Int = 12): DataFrame = {
+      maxWordLen: Int = 12,
+      tokens: Column => Column = TextAnalysis.wsTokens,
+      checkCoverage: Boolean = false): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"),
-        posexplode(TextAnalysis.wsTokens(col(textCol)))
+        posexplode(tokens(col(textCol)))
           .as(Seq("word_idx", "tok")))
       .select(col("id"), col("word_idx").cast("long").as("word_idx"),
         substring(col("tok"), 1, maxWordLen).as("w"))
       .where(length(col("w")) >= 1)
     val words = toks.select("w").distinct()
       .withColumn("n", length(col("w")).cast("long"))
+    if (checkCoverage) {
+      val missing = words
+        .select(explode(transform(sequence(lit(1), col("n").cast("int")),
+          i => col("w").substr(i, lit(1)))).as("piece"))
+        .distinct()
+        .join(vocab.select("piece"), Seq("piece"), "left_anti")
+        .orderBy("piece").limit(20).collect().map(_.getString(0))
+      require(missing.isEmpty,
+        s"segment: vocabulary lacks single-character coverage of the input " +
+          s"(first missing: ${missing.mkString("'", "', '", "'")}) — the DP " +
+          "would emit out-of-vocab fallback pieces; fix the vocabulary or " +
+          "pre-filter the corpus")
+    }
     val subs = words
       .select(col("w"), col("n"), explode(sequence(lit(1L), col("n"))).as("p"))
       .withColumn("k", explode(sequence(lit(1L),

@@ -1682,6 +1682,78 @@ class LlmOpsSpec extends SparkTestBase {
       "u4" -> ((1L, 1L)), "u5" -> ((2L, 0L)), "v1" -> ((0L, 0L))))
   }
 
+  test("crawlWaves: planted HOT HOST spreads across range slices yet ranks exactly like the plain window") {
+    import graft.llmops.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // one hot host with 2000 frontier URLs (ties AND distinct priorities
+    // mixed — both rank paths), three cold hosts with a handful each
+    val rows =
+      (0 until 2000).map(i => (f"https://hot.example/p$i%04d", "hot.example",
+        (i % 7).toLong)) ++
+      (0 until 5).map(i => (s"https://cold$i.example/x", s"cold$i.example", 3L))
+    val fr = rows.toDF("url", "host", "pr").repartition(13)
+    val got = TextAnalysis.crawlWaves(fr, "url", "host", "pr",
+      perHostPerWave = 9, buckets = 8)
+    // reference: the plain single-window rank (correct by construction,
+    // skewed by construction — exactly what the bucketed spine replaces)
+    val ref = fr.withColumn("__r", row_number().over(
+        Window.partitionBy("host").orderBy(col("pr").desc, col("url").asc))
+        .cast("long") - 1L)
+      .select(col("url"), expr("__r div 9L").as("wave"), (col("__r") % 9).as("slot"))
+    val gotM = got.collect().map(r => r.getString(0) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    val refM = ref.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotM === refM)
+    // the premise: range partitioning actually SPREADS the hot host —
+    // no slice holds more than a fraction of its frontier
+    val sliceSizes = fr.select(col("url"), col("host"), col("pr"))
+      .repartitionByRange(8, col("host"), col("pr").desc, col("url").asc)
+      .rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sliceSizes.max < 800,
+      s"hot host not spread: slice sizes ${sliceSizes.mkString(",")}")
+  }
+
+  test("robotsCrawlDelay + crawlWavesBudget: star-group binding, max-wins, per-host budgets — hand-checked") {
+    import graft.llmops.TextAnalysis
+    import spark.implicits._
+    val robots = Seq(
+      // star group with crawl-delay 5; evilbot group's delay binds nothing
+      ("slow.example", "User-agent: evilbot\nCrawl-delay: 99\n\n" +
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 5\n"),
+      // two star groups: max wins (3 vs 10)
+      ("slower.example", "User-agent: *\nCrawl-delay: 3\n\n" +
+        "User-agent: *\nCrawl-delay: 10\n"),
+      // malformed value drops; no usable directive -> host absent
+      ("bad.example", "User-agent: *\nCrawl-delay: soon\n"),
+      ("plain.example", "User-agent: *\nDisallow: /y\n")
+    ).toDF("host", "txt")
+    val delays = TextAnalysis.robotsCrawlDelay(robots, "host", "txt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delays === Map("slow.example" -> 5L, "slower.example" -> 10L))
+
+    // budgets: wave length 10s -> slow gets 2/wave, slower 1/wave,
+    // everything else the default 4
+    val budgets = TextAnalysis.robotsCrawlDelay(robots, "host", "txt")
+      .select(col("host"),
+        greatest(lit(1L), expr("10 div crawl_delay_secs")).as("per_wave"))
+    val fr = (
+      (0 until 5).map(i => (s"https://slow.example/p$i", "slow.example", (9 - i).toLong)) ++
+      (0 until 3).map(i => (s"https://slower.example/p$i", "slower.example", (9 - i).toLong)) ++
+      (0 until 3).map(i => (s"https://plain.example/p$i", "plain.example", (9 - i).toLong))
+    ).toDF("url", "host", "pr")
+    val got = TextAnalysis.crawlWavesBudget(fr, "url", "host", "pr",
+        budgets, defaultPerWave = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("https://slow.example/p0") === ((0L, 0L)))
+    assert(got("https://slow.example/p1") === ((0L, 1L)))
+    assert(got("https://slow.example/p2") === ((1L, 0L)))   // budget 2
+    assert(got("https://slower.example/p0") === ((0L, 0L)))
+    assert(got("https://slower.example/p1") === ((1L, 0L))) // budget 1
+    assert(got("https://plain.example/p2") === ((0L, 2L)))  // default 4
+  }
+
   test("bestOfN: deterministic n-slice, argmax with id tie-break, rejection floor — hand-checked") {
     import graft.llmops.Corpus
     import spark.implicits._

@@ -102,6 +102,42 @@ class PdfSpec extends SparkTestBase {
     assert(rows(1).getAs[String]("text") === "visible words")
   }
 
+  test("Flate data CONTAINING the literal 'endstream' bytes survives the no-/Length fallback scan") {
+    // stored (level-0) deflate blocks carry the payload verbatim, so a
+    // payload containing "endstream" plants those nine bytes inside the
+    // compressed stream; with only an indirect /Length the extent falls
+    // back to scanning — a first-match cut would truncate the stream
+    // (quarantine) AND resume inside its tail (a bogus extra row). The
+    // inflate-validated forward walk must recover the full stream and
+    // the following object must still parse as exactly one row.
+    val payload = "BT (before endstream after) Tj ET"
+    val flateBody = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.NO_COMPRESSION)
+      d.setInput(payload.getBytes("ISO-8859-1"))
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+      d.end(); out.toByteArray
+    }
+    assert(new String(flateBody, "ISO-8859-1").contains("endstream"),
+      "fixture premise: stored deflate block carries the marker verbatim")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n1 0 obj\n<< /Length 9 0 R /Filter /FlateDecode >>\nstream\n")
+    bos.write(flateBody)
+    w("\nendstream\nendobj\n")
+    w("2 0 obj\n<< /Length 24 >>\nstream\nBT (second object) Tj ET\nendstream\nendobj\n")
+    w("9 0 obj\n" + flateBody.length + "\nendobj\n%%EOF\n")
+    val dir = Files.createTempDirectory("pdf_embedded_marker").toString
+    Files.write(Paths.get(dir, "emb.pdf"), bos.toByteArray)
+    val rows = Pdf.read(spark, dir).orderBy("stream_idx").collect()
+    assert(rows.length === 2, rows.mkString("; "))
+    assert(rows.forall(_.getAs[Boolean]("ok")))
+    assert(rows(0).getAs[String]("text") === "before endstream after")
+    assert(rows(1).getAs[String]("text") === "second object")
+  }
+
   test("quarantine matrix: corrupt flate, unsupported filter, non-PDF, torn stream — one ok=false row each") {
     import spark.implicits._
     def freshWrite(tag: String): String = {

@@ -554,6 +554,17 @@ class PlanSpec extends SparkTestBase {
         lit(".x/a/page")).as("url")), "url", rulesDf)).isEmpty,
       "robotsFilter must carry no unpartitioned window")
 
+    // crawlWaves: the per-host rank runs bucketed — EVERY window is
+    // partitioned (the rank by (host, slice), the offsets by host over
+    // slice-count rows), so a hot host can never funnel its frontier
+    // through one window partition.
+    val frontier = docs.select(
+      concat(lit("https://hot.x/p"), col("doc_id").cast("string")).as("url"),
+      lit("hot.x").as("host"), (col("doc_id") % 7).as("pr"))
+    assert(unpartitionedWindowInputs(graft.llmops.TextAnalysis.crawlWaves(
+      frontier, "url", "host", "pr", perHostPerWave = 5, buckets = 8)).isEmpty,
+      "crawlWaves must carry no unpartitioned window")
+
     // curriculumPhases triggers ZERO jobs at construction: the corpus
     // total rides a broadcast scalar, not a driver-side .first(). A
     // score column that THROWS on evaluation proves laziness — the old

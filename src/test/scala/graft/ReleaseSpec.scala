@@ -243,4 +243,52 @@ class ReleaseSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("eval"))
   }
+
+  test("preference-pair release with bench: a planted bench-overlapping prompt does NOT ship, _decon records why") {
+    import graft.llmops.Corpus
+    import spark.implicits._
+    val resp = (0 until 24).map { i =>
+      val p = i / 4
+      // prompt 2 is the PLANT: it shares a verbatim 5-gram with the
+      // benchmark suite below; every other prompt is benchmark-clean
+      val prompt =
+        if (p == 2) "please solve the famous benchmark question about rivers"
+        else s"prompt $p asks about topic ${p * 7} in its own words"
+      (p.toLong, prompt, i.toLong,
+        s"response $i says unique things ${i * 3} and ${i * 5}", (i % 4) * 10L)
+    }.toDF("prompt_id", "prompt", "resp_id", "resp", "score")
+    val pairs = Corpus.preferencePairs(resp, "prompt_id", "prompt",
+      "resp_id", "resp", "score", minMargin = 5.0, maxPairsPerPrompt = 2)
+    val withSplit = Corpus.leakageSafeSplit(pairs, "prompt_id",
+      Seq.empty[(Long, Long)].toDF("v", "cluster"),
+      Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+    val bench = Seq(
+      (900L, "the famous benchmark question about rivers and their deltas"),
+      (901L, "an unrelated eval item mentioning nothing shared")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_decon").toString
+    val manifest = Release.releasePairs(withSplit, dir, shards = 1,
+      bench = Some(bench))
+
+    // prompt 2's pairs are withheld everywhere: manifest, sidecar, shards
+    assert(manifest.collect().map(_.getAs[Long]("n_pairs")).sum === 10L) // 12 - 2
+    val sidecar = spark.read.parquet(s"$dir/_pairs")
+    assert(sidecar.filter(col("prompt_id") === 2L).isEmpty)
+    assert(sidecar.count() === 10L)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("prompt", StringType),
+      StructField("chosen", StringType), StructField("rejected", StringType)))
+    Seq("train", "valid", "test").foreach { s =>
+      val f = graft.ingest.TfRecords.readExamples(spark, s"$dir/$s", schema)
+      assert(f.filter(col("prompt").contains("famous benchmark")).isEmpty,
+        s"contaminated prompt shipped in $s")
+    }
+    // the governance sidecar names the withheld prompt and the reason
+    val decon = spark.read.parquet(s"$dir/_decon")
+      .collect().map(r => r.getAs[Long]("prompt_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    assert(decon(2L) === true)
+    assert(decon.count(_._2) === 1, "only the plant is contaminated")
+    assert(decon.size === 6, "every distinct prompt has a verdict row")
+  }
 }

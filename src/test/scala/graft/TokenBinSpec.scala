@@ -81,6 +81,85 @@ class TokenBinSpec extends SparkTestBase {
     assert(b3.head.getSeq[Long](2) === Seq(70000L, 2147483647L, 0L))
   }
 
+  test("fragment geometry: .idx doc index pins byte-for-byte, doc column round-trips, bad geometry fails loudly") {
+    import spark.implicits._
+    // two packed sequences: seq 0 = fragments [2, 1] over tokens
+    // [3, 1, 65535]; seq 1 = one fragment [7] — four entries never
+    // appear: entries are FRAGMENTS (3 total), docs group them (2).
+    val dir = Files.createTempDirectory("tokbin_frag").toString
+    val df = Seq(
+      (0L, Seq(3L, 1L, 65535L), Seq(2L, 1L)),
+      (1L, Seq(7L), Seq(1L)))
+      .toDF("seq", "tokens", "frags")
+    val m = TokenBin.write(df, "seq", "tokens", dir, shards = 1,
+      fragsCol = "frags").collect()
+    assert(m.head.getAs[Long]("n_sequences") === 3L) // entries = fragments
+    assert(m.head.getAs[Long]("n_tokens") === 4L)
+
+    val bin = Files.readAllBytes(Paths.get(dir, "part-00000.bin"))
+    assert(bin.toSeq === Seq[Byte](3, 0, 1, 0, -1, -1, 7, 0)) // payload unchanged
+    val idx = Files.readAllBytes(Paths.get(dir, "part-00000.idx"))
+    def u64(v: Long) = (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def i32(v: Int) = (0 until 4).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    val expected =
+      "MMIDIDX".getBytes("US-ASCII").toSeq ++ Seq[Byte](0, 0) ++
+        u64(1) ++ Seq[Byte](8) ++            // version, dtype uint16
+        u64(3) ++ u64(3) ++                  // 3 entries, doc_idx length 3
+        i32(2) ++ i32(1) ++ i32(1) ++        // fragment sizes
+        u64(0) ++ u64(4) ++ u64(6) ++        // byte pointers
+        u64(0) ++ u64(2) ++ u64(3)           // doc starts: seq0@0, seq1@2, end
+    assert(idx.toSeq === expected)
+
+    // read back: one row per fragment, doc groups fragments by sequence
+    val back = TokenBin.read(spark, dir).orderBy("seq_idx").collect()
+    assert(back.forall(_.getAs[Boolean]("ok")))
+    assert(back.map(r => (r.getAs[Long]("seq_idx"), r.getAs[Long]("doc"),
+      r.getAs[Seq[Long]]("tokens"))).toSeq === Seq(
+      (0L, 0L, Seq(3L, 1L)), (1L, 0L, Seq(65535L)), (2L, 1L, Seq(7L))))
+
+    // geometry that does not tile the tokens fails loudly
+    val bad = Seq((0L, Seq(1L, 2L, 3L), Seq(2L, 2L))).toDF("seq", "tokens", "frags")
+    val dirB = Files.createTempDirectory("tokbin_fragbad").toString
+    val ex = intercept[Exception] {
+      TokenBin.write(bad, "seq", "tokens", dirB, shards = 1, fragsCol = "frags")
+    }
+    assert(ex.toString.contains("does not tile") ||
+      Option(ex.getCause).exists(_.toString.contains("does not tile")))
+
+    // null/empty frags mean "one fragment" — byte-identical to no-frags
+    val dirC = Files.createTempDirectory("tokbin_fragnull").toString
+    val dirD = Files.createTempDirectory("tokbin_fragless").toString
+    val withNull = Seq((0L, Seq(3L, 1L, 65535L), null: Seq[Long]),
+      (1L, Seq(7L), Seq.empty[Long])).toDF("seq", "tokens", "frags")
+    TokenBin.write(withNull, "seq", "tokens", dirC, shards = 1, fragsCol = "frags")
+    TokenBin.write(withNull.drop("frags"), "seq", "tokens", dirD, shards = 1)
+    Seq("bin", "idx").foreach { ext =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(dirC, s"part-00000.$ext")),
+        Files.readAllBytes(Paths.get(dirD, s"part-00000.$ext"))), ext)
+    }
+
+    // a corrupt doc index (decreasing / wrong endpoint) quarantines
+    val idxC = Files.readAllBytes(Paths.get(dir, "part-00000.idx"))
+    idxC(idxC.length - 8) = 9.toByte // last doc_idx value 3 -> 9 (> n)
+    Files.write(Paths.get(dir, "part-00000.idx"), idxC)
+    assert(TokenBin.read(spark, dir).where(!col("ok")).count() === 1L)
+  }
+
+  test("int-typed token column casts losslessly; float/string token columns fail loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tokbin_int").toString
+    val intToks = Seq((0L, Seq(3, 1, 70))).toDF("seq", "tokens")
+    TokenBin.write(intToks, "seq", "tokens", dir, shards = 1)
+    val back = TokenBin.read(spark, dir).collect()
+    assert(back.head.getAs[Seq[Long]]("tokens") === Seq(3L, 1L, 70L))
+    val bad = Seq((0L, Seq(1.5, 2.0))).toDF("seq", "tokens")
+    val ex = intercept[IllegalArgumentException] {
+      TokenBin.write(bad, "seq", "tokens", dir, shards = 1)
+    }
+    assert(ex.getMessage.contains("array of integral"))
+  }
+
   test("non-numeric seq and duplicate seq FAIL the write loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tokbin_guard").toString
