@@ -109,6 +109,19 @@ object Bpe {
     (merges.result(), syms)
   }
 
+  /** Replay an IMPORTED merge list over a (word, freq) vocabulary — the
+    * serving half of the [[VocabArtifact]] BPE round trip: a foreign
+    * `merges.txt` (or our own re-read) reproduces the exact post-merge
+    * position table [[learnMerges]] would have produced, without
+    * retraining. One [[mergeRound]] + checkpoint per merge, rank order;
+    * K is the merge count (bounded by the artifact), each round one
+    * windowed rewrite over the vocabulary table.
+    */
+  def applyMerges(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(initialSyms(vocab).localCheckpoint(true)) {
+      case (syms, (l, r)) => mergeRound(syms, l, r).localCheckpoint(true)
+    }
+
   /** The learned merge table as a frame: (mrank, lhs, rhs, pair_freq) —
     * `mrank`/`lhs`/`rhs`, not rank/left/right, which are SQL keywords in
     * the oracle.

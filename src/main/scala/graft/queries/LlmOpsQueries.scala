@@ -4662,6 +4662,278 @@ object LlmOpsQueries extends QueryModule {
       TextAnalysis.crawlWaves(frontier, "url", "host", "pr",
           perHostPerWave = 7)
         .orderBy("url")
+    },
+
+    // Unigram-LM training over a MIXED-SCRIPT corpus with the
+    // script-aware pre-tokenizer: two CJK paragraphs ride the corpus
+    // (the sentence_chunks_cjk plants), scriptTokens hands the trainer
+    // per-character units for the no-space scripts and whitespace words
+    // for everything else — under wsTokens the CJK text would collapse
+    // to one truncated sentence-"word" per line and train a degenerate
+    // vocabulary. Same unrolled 2-round EM chain as q_x_unigram_vocab,
+    // tokenization swapped; CJK singles AND multi-char pieces must
+    // train hash-exact.
+    q("q_x_unigram_vocab_cjk", {
+      val ns = TextAnalysis.NoSpaceScriptRanges
+      unigramChainSql(vocabSize = 100, rounds = 2, maxPieceLen = 3,
+        maxWordLen = 12, seedCap = 200,
+        prefixCtes = "cjkd AS (SELECT doc_id, CASE WHEN doc_id % 28 = 0 THEN '" +
+          CjkPara0 + "' WHEN doc_id % 28 = 1 THEN '" + CjkPara1 +
+          "' ELSE text END AS t FROM documents), ",
+        wtokSrc = s"SELECT unnest(regexp_extract_all(t, '[$ns]|[^\\s$ns]+')) AS tok FROM cjkd") +
+        " SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars, cnt, nll AS nll_micro " +
+        "FROM v2 ORDER BY cnt DESC, piece"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 28 === 0, lit(CjkPara0))
+          .when(col("doc_id") % 28 === 1, lit(CjkPara1))
+          .otherwise(col("text")).as("text"))
+      graft.llmops.Unigram.unigramVocab(docs, "doc_id", "text",
+        vocabSize = 100, rounds = 2, maxPieceLen = 3, maxWordLen = 12,
+        seedCapFactor = 2, tokens = TextAnalysis.scriptTokens)
+    },
+
+    // Crawl-delay-aware politeness waves: per-host robots bodies carry
+    // the de-facto Crawl-delay directive (a non-star group that must
+    // not bind, two star groups where the MAX delay wins, a malformed
+    // value that must drop, a host with no directive at all); budgets
+    // derive as greatest(1, 8 div delay) and hosts without a delay ride
+    // the default. The oracle replays the planted parse results and the
+    // per-host variable-budget rank arithmetic value-exact.
+    q("q_x_crawl_waves_delay", {
+      val hPr = graft.llmops.PortableHash.duckHash52("url")
+      "WITH fr AS (SELECT DISTINCT 'https://h' || (doc_id % 5) || '.example/p' || doc_id AS url FROM documents), " +
+        s"fp AS (SELECT url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host, $hPr % 1000 AS pr FROM fr), " +
+        // planted parse truth: h0 star-group delay 2 -> 8 div 2 = 4;
+        // h1 max(3, 1) = 3 -> 2; h4 delay 10 -> clamp 1; h2 malformed
+        // and h3 absent -> default 3
+        "bud AS (SELECT host, CASE host WHEN 'h0.example' THEN 4 WHEN 'h1.example' THEN 2 " +
+        "WHEN 'h4.example' THEN 1 ELSE 3 END AS b FROM (SELECT DISTINCT host FROM fp)), " +
+        "rn AS (SELECT url, fp.host, b, row_number() OVER (PARTITION BY fp.host ORDER BY pr DESC, url ASC) - 1 AS r FROM fp JOIN bud USING (host)) " +
+        "SELECT url, host, CAST(r // b AS BIGINT) AS wave, CAST(r % b AS BIGINT) AS slot FROM rn ORDER BY url"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val frontier = Tables.documents(s, d)
+        .select(concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string")).as("url"))
+        .distinct()
+        .withColumn("host", TextAnalysis.urlHost(col("url")))
+        .withColumn("pr", PortableHash.hash52(col("url")) % 1000)
+      val robots = frontier.select("host").distinct()
+        .withColumn("txt",
+          when(col("host") === "h0.example",
+            lit("User-agent: evilbot\nCrawl-delay: 99\n\nUser-agent: *\nCrawl-delay: 2\n"))
+          .when(col("host") === "h1.example",
+            lit("User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 1\n"))
+          .when(col("host") === "h2.example",
+            lit("User-agent: *\nCrawl-delay: soon\n"))
+          .when(col("host") === "h3.example",
+            lit("User-agent: *\nDisallow: /x\n"))
+          .otherwise(lit("User-agent: *\nCrawl-delay: 10\n")))
+      val budgets = TextAnalysis.robotsCrawlDelay(robots, "host", "txt")
+        .select(col("host"),
+          greatest(lit(1L), expr("8 div crawl_delay_secs")).as("per_wave"))
+      TextAnalysis.crawlWavesBudget(frontier, "url", "host", "pr",
+          budgets, defaultPerWave = 3)
+        .orderBy("url")
+    },
+
+    // Megatron shards WITH intra-sequence document boundaries: four
+    // documents pack into each training sequence (seq = doc_id div 4,
+    // fragments in doc order), the writer emits one .bin entry per
+    // FRAGMENT with the document index grouping them, and the reader
+    // hands back (entry, doc group). The oracle recomputes every
+    // fragment's (sequence, position-in-sequence, tokens) straight from
+    // the table — a lost, merged or re-ordered boundary breaks the
+    // position-sensitive checksum.
+    q("q_x_token_bin_docs", {
+      val tokH = graft.llmops.PortableHash.duckHash52("w") + " % 50000"
+      val fragH = graft.llmops.PortableHash.duckHash52(
+        "CAST(seq AS VARCHAR) || ':' || CAST(fragpos AS VARCHAR) || ':' || " +
+          "array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ',')")
+      s"WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> $tokH) AS toks FROM documents), " +
+        "f AS (SELECT doc_id, doc_id // 4 AS seq, toks FROM t), " +
+        "fi AS (SELECT seq, row_number() OVER (PARTITION BY seq ORDER BY doc_id) - 1 AS fragpos, toks FROM f) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_entries, " +
+        "CAST(count(DISTINCT seq) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(toks)) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(list_sum(toks)) AS BIGINT) AS token_sum, " +
+        s"CAST(bit_xor($fragH) AS BIGINT) AS frag_checksum FROM fi"
+    }) { (s, d) =>
+      import graft.ingest.TokenBin
+      import graft.llmops.PortableHash
+      val path = "/tmp/graft_tokenbin_docs"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      val perDoc = Tables.documents(s, d).select(col("doc_id"),
+        transform(TextAnalysis.wsTokens(col("text")),
+          w => PortableHash.hash52(w) % 50000).as("toks"))
+      val packed = perDoc.groupBy(expr("doc_id div 4").as("seq"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("toks"))))
+          .as("frs"))
+        .select(col("seq"),
+          flatten(transform(col("frs"), x => x("toks"))).as("tokens"),
+          transform(col("frs"), x => size(x("toks")).cast("long")).as("frags"))
+      TokenBin.write(packed, "seq", "tokens", path, shards = 4,
+        fragsCol = "frags")
+      val back = TokenBin.read(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written fragment shards must parse cleanly")
+      // shard s holds the seqs ≡ s (mod 4) ascending, so group g of
+      // shard s is global sequence s + 4g (the interop recovery trick)
+      val withSeq = back
+        .withColumn("__shard",
+          regexp_extract(col("path"), "part-(\\d{5})$", 1).cast("long"))
+        .withColumn("__seq", col("__shard") + col("doc") * 4)
+        .withColumn("__fragpos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("path", "doc").orderBy("seq_idx")).cast("long") - 1L)
+      withSeq.select(
+          size(col("tokens")).cast("long").as("__n"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("__ts"),
+          PortableHash.hash52(concat(col("__seq").cast("string"), lit(":"),
+            col("__fragpos").cast("string"), lit(":"),
+            concat_ws(",", transform(col("tokens"), _.cast("string")))))
+            .as("__h"),
+          col("__seq"))
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct("__seq").as("n_docs"),
+          sum("__n").as("n_tokens"), sum("__ts").as("token_sum"),
+          expr("bit_xor(__h)").as("frag_checksum"))
+    },
+
+    // The tokenizer ARTIFACT table — exactly what ships in the exported
+    // HF tokenizer.json: <unk> pinned at id 0, every trained piece at
+    // its (cnt DESC, piece) rank, scores as the fixed 6-dp micro-grid
+    // decimal string that lands verbatim in the file. The oracle replays
+    // the full 2-round training chain and then the id assignment AND the
+    // decimal formatting — a drifted rank, score or format character
+    // breaks the hash, so the byte-pinned export spec and this oracle
+    // together pin the file end to end.
+    q("q_x_vocab_artifact", {
+      unigramChainSql(vocabSize = 120, rounds = 2, maxPieceLen = 3,
+        maxWordLen = 12, seedCap = 240) + " " +
+        "SELECT * FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS id, '<unk>' AS piece, CAST(0 AS BIGINT) AS score_micro, '0.0' AS score_str " +
+        "UNION ALL " +
+        "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS id, piece, " +
+        "CAST(-nll AS BIGINT) AS score_micro, " +
+        "CASE WHEN nll = 0 THEN '0.0' ELSE '-' || CAST(nll // 1000000 AS VARCHAR) || '.' || lpad(CAST(nll % 1000000 AS VARCHAR), 6, '0') END AS score_str " +
+        "FROM v2) ORDER BY id"
+    }) { (s, d) =>
+      import graft.llmops.{Unigram, VocabArtifact}
+      VocabArtifact.unigramArtifactTable(
+          Unigram.unigramVocab(Tables.documents(s, d), "doc_id", "text",
+            vocabSize = 120, rounds = 2, maxPieceLen = 3, maxWordLen = 12))
+        .orderBy("id")
+    },
+
+    // Reversible whitespace, proven as a LAW: train with the ▁-marked
+    // Metaspace pre-tokenizer, Viterbi-segment every document, then
+    // detokenize (concat pieces, ▁ → space, trim) — the reconstruction
+    // must equal the whitespace-normalized original text, word for word.
+    // The oracle computes the expected text STRAIGHT from the table
+    // (independent of the tokenizer entirely): words truncate at
+    // maxWordLen − 1 = 23 chars (the marker takes one slot — the
+    // documented training cap), joined by single spaces. Any
+    // segmentation or detokenization defect anywhere breaks a per-doc
+    // md5.
+    q("q_x_detokenize", {
+      "SELECT doc_id AS doc, md5(array_to_string(list_transform(" +
+        "regexp_split_to_array(trim(text), '\\s+'), w -> substr(w, 1, 23)), ' ')) AS restored_md5 " +
+        "FROM documents ORDER BY doc_id"
+    }) { (s, d) =>
+      import graft.llmops.{Unigram, VocabArtifact}
+      val docs = Tables.documents(s, d)
+      val toks = VocabArtifact.metaspace()
+      val vocab = Unigram.unigramVocab(docs, "doc_id", "text",
+          vocabSize = 60, rounds = 1, maxPieceLen = 3, maxWordLen = 24,
+          tokens = toks)
+        .localCheckpoint(true)
+      val seg = Unigram.segment(docs, "doc_id", "text", vocab,
+        maxPieceLen = 3, maxWordLen = 24, tokens = toks)
+      VocabArtifact.detokenize(seg)
+        .select(col("id").as("doc"), md5(col("text")).as("restored_md5"))
+        .orderBy("doc")
+    },
+
+    // THE packed export, composed end to end: packSequences cuts the
+    // global token stream into 128-token training sequences (documents
+    // SPAN boundaries), each document's token array slices into its
+    // fragments, and TokenBin writes the sequences with the REAL
+    // Megatron document index — fragment entries grouped per sequence,
+    // so attention-reset points survive into the shipped binary. The
+    // oracle replays the prefix-sum packing, the per-fragment slices
+    // and the read-back grouping into one position-sensitive checksum —
+    // a fragment cut one token off, a boundary lost in the index, or a
+    // shard byte defect all break it.
+    q("q_x_packed_export", {
+      val tokH = graft.llmops.PortableHash.duckHash52("w") + " % 50000"
+      val fragH = graft.llmops.PortableHash.duckHash52(
+        "CAST(seq AS VARCHAR) || ':' || CAST(fragpos AS VARCHAR) || ':' || " +
+          "array_to_string(list_transform(ftoks, x -> CAST(x AS VARCHAR)), ',')")
+      s"WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> $tokH) AS toks FROM documents), " +
+        "d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), " +
+        "c AS (SELECT doc_id, toks, n, CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM d), " +
+        "f AS (SELECT doc_id, toks, n, off, unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq FROM c WHERE n >= 1), " +
+        "g AS (SELECT seq, greatest(off, seq * 128) - seq * 128 AS sis, " +
+        "list_slice(toks, CAST(greatest(off, seq * 128) - off + 1 AS INT), CAST(least(off + n, (seq + 1) * 128) - off AS INT)) AS ftoks FROM f), " +
+        "fi AS (SELECT seq, row_number() OVER (PARTITION BY seq ORDER BY sis) - 1 AS fragpos, ftoks FROM g) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_entries, " +
+        "CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs, " +
+        "CAST(sum(len(ftoks)) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(list_sum(ftoks)) AS BIGINT) AS token_sum, " +
+        s"CAST(bit_xor($fragH) AS BIGINT) AS frag_checksum FROM fi"
+    }) { (s, d) =>
+      import graft.ingest.TokenBin
+      import graft.llmops.{Corpus, PortableHash}
+      val path = "/tmp/graft_packed_export"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      val perDoc = Tables.documents(s, d).select(col("doc_id"),
+          transform(TextAnalysis.wsTokens(col("text")),
+            w => PortableHash.hash52(w) % 50000).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val frags = Corpus.packSequences(perDoc, col("doc_id"),
+        col("n_tokens"), seqLen = 128L, groupSize = 100L)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("seq")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val packed = frags
+        .withColumn("__doc_off",
+          coalesce(sum("n_seq_tokens").over(wDoc), lit(0L)))
+        .withColumn("frag_toks", slice(col("toks"),
+          (col("__doc_off") + 1).cast("int"), col("n_seq_tokens").cast("int")))
+        .groupBy("seq")
+        .agg(array_sort(collect_list(struct(col("start_in_seq"),
+          col("frag_toks")))).as("frs"))
+        .select(col("seq"),
+          flatten(transform(col("frs"), x => x("frag_toks"))).as("tokens"),
+          transform(col("frs"), x => size(x("frag_toks")).cast("long")).as("frags"))
+      TokenBin.write(packed, "seq", "tokens", path, shards = 4,
+        fragsCol = "frags")
+      val back = TokenBin.read(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written packed shards must parse cleanly")
+      val withSeq = back
+        .withColumn("__shard",
+          regexp_extract(col("path"), "part-(\\d{5})$", 1).cast("long"))
+        .withColumn("__seq", col("__shard") + col("doc") * 4)
+        .withColumn("__fragpos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("path", "doc").orderBy("seq_idx")).cast("long") - 1L)
+      withSeq.select(
+          size(col("tokens")).cast("long").as("__n"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("__ts"),
+          PortableHash.hash52(concat(col("__seq").cast("string"), lit(":"),
+            col("__fragpos").cast("string"), lit(":"),
+            concat_ws(",", transform(col("tokens"), _.cast("string")))))
+            .as("__h"),
+          col("__seq"))
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct("__seq").as("n_seqs"),
+          sum("__n").as("n_tokens"), sum("__ts").as("token_sum"),
+          expr("bit_xor(__h)").as("frag_checksum"))
     }
   )
 
@@ -4738,9 +5010,16 @@ object LlmOpsQueries extends QueryModule {
 
   /** The training WITH-chain (ends at CTE `v$rounds`, no final SELECT) —
     * shared by [[unigramVocabSql]] and [[tokenizeExportSql]].
+    * `prefixCtes` (planted-fixture CTEs, comma-terminated) inject ahead
+    * of the chain; `wtokSrc` is the raw token stream SELECT (must yield
+    * one `tok` column) — the CJK variant swaps in the scriptTokens
+    * regexp over the planted relation.
     */
   private def unigramChainSql(vocabSize: Int, rounds: Int, maxPieceLen: Int,
-      maxWordLen: Int, seedCap: Int): String = {
+      maxWordLen: Int, seedCap: Int,
+      prefixCtes: String = "",
+      wtokSrc: String =
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents"): String = {
     val (fwd, chosen) = unigramDpSql(maxPieceLen)
     def rescore(raw: String, out: String) =
       s"$out AS MATERIALIZED (SELECT piece, cnt, CAST(round(ln(CAST(t + vv AS DOUBLE) / (cnt + 1)) * 1000000) AS BIGINT) AS nll " +
@@ -4765,7 +5044,7 @@ object LlmOpsQueries extends QueryModule {
         s"UNION ALL (SELECT piece, cnt FROM cnt$r WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $vocabSize)), " +
         rescore(s"v${r}raw", s"v$r")
     }
-    s"WITH wtok AS (SELECT substr(tok, 1, $maxWordLen) AS w FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)), " +
+    s"WITH ${prefixCtes}wtok AS (SELECT substr(tok, 1, $maxWordLen) AS w FROM ($wtokSrc)), " +
       "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(length(w) AS BIGINT) AS n FROM wtok WHERE length(w) >= 1 GROUP BY w), " +
       s"subs1 AS (SELECT w, freq, n, unnest(generate_series(1, CAST(n AS INT))) AS p FROM words), " +
       s"subsall AS MATERIALIZED (SELECT w, freq, substr(w, CAST(p AS INT), CAST(k AS INT)) AS piece FROM " +

@@ -243,8 +243,28 @@ object StressBench {
     "q_x_tokenize_export",
     // unpaired prefs: one keyed agg + broadcast-back join — linear.
     "q_x_unpaired_prefs",
-    // crawl waves: one host-partitioned window — linear in frontier.
-    "q_x_crawl_waves")
+    // crawl waves: range-bucketed per-host rank + broadcast slice
+    // offsets — linear in frontier, hot-host-proof by construction.
+    "q_x_crawl_waves",
+    // CJK unigram trainer: same distinct-word-bounded lanes as
+    // unigram_vocab with the scriptTokens pre-tokenizer (per-char CJK
+    // explode is corpus-linear, training is vocab-bounded).
+    "q_x_unigram_vocab_cjk",
+    // crawl-delay budgets: robots parse is hosts-sized, budgets
+    // broadcast, the rank is the bucketed crawl_waves spine.
+    "q_x_crawl_waves_delay",
+    // fragment-geometry shards: one extra per-fragment explode over the
+    // token_bin_interop lanes — still linear in corpus tokens.
+    "q_x_token_bin_docs",
+    // artifact table: training is the unigram_vocab lane; the rank +
+    // format projection is vocab-bounded.
+    "q_x_vocab_artifact",
+    // detokenize: segment join (corpus-linear) + one keyed reassembly
+    // agg — tracks token volume.
+    "q_x_detokenize",
+    // packed export: the two-pass prefix-sum spine + per-doc bounded
+    // windows + the token_bin lanes — linear in corpus tokens.
+    "q_x_packed_export")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1,0 +1,180 @@
+package graft
+
+import graft.llmops.{Bpe, Unigram, VocabArtifact}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer artifact export/import: byte-pinned file forms (the
+  * TfRecordFrame/TokenBin byte-pin precedent), export→import→serve round
+  * trips that must reproduce native segmentation decision-for-decision,
+  * hand-assembled FOREIGN files (the Xlsx/PDF discipline), and the
+  * reversible-whitespace detokenize law.
+  */
+class VocabArtifactSpec extends SparkTestBase {
+
+  test("unigram tokenizer.json bytes are pinned: unk at 0, rank ids, micro-grid scores, Metaspace declared") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("a", 1L, 5L, 200000L),
+      ("ab", 2L, 3L, 1500000L),
+      ("b", 1L, 0L, 2000000L)
+    ).toDF("piece", "n_chars", "cnt", "nll_micro")
+    val dir = java.nio.file.Files.createTempDirectory("vocab_pin").toString
+    val m = VocabArtifact.writeUnigramJson(vocab, s"$dir/tokenizer.json").collect()
+    assert(m.length === 1 && m.head.getAs[Long]("n_pieces") === 4L)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tokenizer.json"))
+    val expected =
+      "{\"version\":\"1.0\",\"truncation\":null,\"padding\":null," +
+        "\"added_tokens\":[],\"normalizer\":null," +
+        "\"pre_tokenizer\":{\"type\":\"Metaspace\",\"replacement\":\"▁\",\"prepend_scheme\":\"always\",\"split\":true}," +
+        "\"post_processor\":null," +
+        "\"decoder\":{\"type\":\"Metaspace\",\"replacement\":\"▁\",\"prepend_scheme\":\"always\",\"split\":true}," +
+        "\"model\":{\"type\":\"Unigram\",\"unk_id\":0,\"vocab\":[" +
+        "[\"<unk>\",0.0],[\"a\",-0.200000],[\"ab\",-1.500000],[\"b\",-2.000000]]}}"
+    assert(new String(bytes, "UTF-8") === expected)
+    // manifest md5 is the md5 of the shipped bytes
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    assert(m.head.getAs[String]("content_md5") === md5)
+  }
+
+  test("export → import → segment reproduces native segmentation decision-for-decision (metaspace)") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana banana band bandana"),
+      (2L, "nab nab banana xz")).toDF("doc_id", "text")
+    val toks = VocabArtifact.metaspace()
+    val vocab = Unigram.unigramVocab(docs, "doc_id", "text", vocabSize = 8,
+      rounds = 2, maxPieceLen = 3, maxWordLen = 12, tokens = toks)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("vocab_rt").toString
+    VocabArtifact.writeUnigramJson(vocab, s"$dir/tokenizer.json")
+    val imported = VocabArtifact.readUnigramJson(spark, s"$dir/tokenizer.json")
+      .localCheckpoint(true)
+    // ids are dense, unk is row 0, every trained piece came back
+    assert(imported.filter(col("unk")).select("id").head().getLong(0) === 0L)
+    assert(imported.count() === vocab.count() + 1)
+    def segSet(v: org.apache.spark.sql.DataFrame) =
+      Unigram.segment(docs, "doc_id", "text", v, maxPieceLen = 3,
+        maxWordLen = 12, tokens = toks, checkCoverage = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    assert(segSet(imported.filter(!col("unk")).select("piece", "nll_micro"))
+      === segSet(vocab))
+  }
+
+  test("FOREIGN tokenizer.json parses: whitespace, escapes, \\uXXXX, field order; missing singles fail segment loudly") {
+    import spark.implicits._
+    val foreign =
+      """
+      {
+        "model": {
+          "vocab": [ ["<unk>", 0.0],
+                     ["▁", -0.5],
+                     ["x", -1.25],
+                     ["quote\"slash\\", -2.0],
+                     ["tab\there", -3.5e0] ],
+          "unk_id": 0,
+          "type": "Unigram"
+        },
+        "version": "1.0"
+      }
+      """
+    val dir = java.nio.file.Files.createTempDirectory("vocab_foreign").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "tokenizer.json"),
+      foreign.getBytes("UTF-8"))
+    val got = VocabArtifact.readUnigramJson(spark, s"$dir/tokenizer.json")
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(("<unk>", 0L, true), ("▁", 500000L, false),
+      ("x", 1250000L, false), ("quote\"slash\\", 2000000L, false),
+      ("tab\there", 3500000L, false)))
+    // serving with a vocab that lacks singles for the corpus must fail
+    // LOUDLY under checkCoverage (the k=1 fallback would otherwise emit
+    // out-of-vocab pieces silently)
+    val docs = Seq((1L, "xy")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.segment(docs, "doc_id", "text",
+        VocabArtifact.readUnigramJson(spark, s"$dir/tokenizer.json")
+          .filter(!col("unk")).select("piece", "nll_micro"),
+        tokens = VocabArtifact.metaspace(), checkCoverage = true)
+    }
+    assert(ex.getMessage.contains("coverage"))
+    // malformed JSON names the offset
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.json"),
+      "{\"model\": oops}".getBytes("UTF-8"))
+    val ex2 = intercept[IllegalArgumentException] {
+      VocabArtifact.readUnigramJson(spark, s"$dir/bad.json")
+    }
+    assert(ex2.getMessage.contains("offset"))
+  }
+
+  test("detokenize inverts metaspace segmentation: whitespace normalizes, words reassemble, truncation is the documented limit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  the   quick\tbrown\nfox  "),
+      (2L, "supercalifragilisticexpialidocious word"), // 34 chars: truncates
+      (3L, "plain text")
+    ).toDF("doc_id", "text")
+    val toks = VocabArtifact.metaspace()
+    val vocab = Unigram.unigramVocab(docs, "doc_id", "text", vocabSize = 16,
+      rounds = 1, maxPieceLen = 3, maxWordLen = 24, tokens = toks)
+    val seg = Unigram.segment(docs, "doc_id", "text", vocab,
+      maxPieceLen = 3, maxWordLen = 24, tokens = toks)
+    val back = VocabArtifact.detokenize(seg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) === "the quick brown fox")
+    // maxWordLen 24 minus the marker = 23 chars of the original word
+    assert(back(2L) === "supercalifragilisticexp word")
+    assert(back(3L) === "plain text")
+  }
+
+  test("BPE artifact: vocab.json + merges.txt byte-pin, import replays to the exact post-merge table") {
+    import spark.implicits._
+    val corpus = Seq((1L, "low low low lower lowest newer newest new"))
+      .toDF("doc_id", "text")
+    val wv = Bpe.wordVocab(corpus, "text").localCheckpoint(true)
+    val (merges, finalSyms) = Bpe.learnMerges(wv, k = 4)
+    assert(merges.length === 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    val manifest = VocabArtifact.writeBpeFiles(wv, merges, dir).collect()
+    assert(manifest.length === 2)
+
+    // merges.txt byte-pin: header + one "lhs rhs" line per rank
+    val mt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "merges.txt")), "UTF-8")
+    val expectedMt = "#version: 0.2\n" +
+      merges.map(m => s"${m.left} ${m.right}\n").mkString
+    assert(mt === expectedMt)
+
+    // vocab.json: alphabet ids 0.. sorted, then merge products in rank order
+    val vocabIds = VocabArtifact.readBpeVocab(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val alphabet = "lowerstn".toSeq.map(_.toString).distinct.sorted
+    alphabet.zipWithIndex.foreach { case (a, i) =>
+      assert(vocabIds(a) === i.toLong, s"alphabet '$a'")
+    }
+    merges.zipWithIndex.foreach { case (m, i) =>
+      assert(vocabIds(m.left + m.right) === (alphabet.length + i).toLong)
+    }
+
+    // import + replay reproduces the trained post-merge position table
+    val back = VocabArtifact.readBpeMerges(spark, dir)
+      .orderBy("mrank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(back.toSeq === merges.map(m => (m.left, m.right)))
+    val replayed = Bpe.applyMerges(wv, back.toSeq)
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "freq", "i", "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    assert(tbl(replayed) === tbl(finalSyms))
+
+    // a mangled merges line fails loudly, naming the line
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "merges.txt"),
+      "#version: 0.2\nlo w\nbroken_line_without_space\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      VocabArtifact.readBpeMerges(spark, dir)
+    }
+    assert(ex.getMessage.contains("line 2"))
+  }
+}
