@@ -183,12 +183,7 @@ object VocabArtifact {
   def writeBpeFiles(trainVocab: DataFrame, merges: Seq[Bpe.Merge],
       dir: String): DataFrame = {
     val spark = trainVocab.sparkSession
-    val alphabet = Bpe.initialSyms(trainVocab).select("s").distinct()
-      .orderBy("s").collect().map(_.getString(0))
-    val pieces = new scala.collection.mutable.LinkedHashMap[String, Int]()
-    alphabet.foreach(a => pieces.getOrElseUpdate(a, pieces.size))
-    merges.sortBy(_.rank).foreach(m =>
-      pieces.getOrElseUpdate(m.left + m.right, pieces.size))
+    val pieces = bpePieces(trainVocab, merges)
     val vj = new StringBuilder
     vj += '{'
     var first = true
@@ -205,6 +200,34 @@ object VocabArtifact {
       vj.toString.getBytes("UTF-8"), pieces.size.toLong)
       .unionByName(writeFileAtomic(spark, s"$dir/merges.txt",
         mt.toString.getBytes("UTF-8"), merges.length.toLong))
+  }
+
+  /** The BPE artifact TABLE — exactly the (piece, id) mapping
+    * `vocab.json` serializes, kept relational so the export is
+    * oracle-checkable: the training alphabet (distinct single-char
+    * symbols, sorted) at ids 0.., then each merge product in rank order
+    * (first occurrence wins when two merges produce the same string).
+    */
+  def bpeArtifactTable(trainVocab: DataFrame, merges: Seq[Bpe.Merge]): DataFrame = {
+    val spark = trainVocab.sparkSession
+    import spark.implicits._
+    bpePieces(trainVocab, merges).toSeq.map { case (p, id) => (p, id.toLong) }
+      .toDF("piece", "id")
+  }
+
+  /** Shared alphabet + merge-product id assignment (insertion-ordered).
+    * The alphabet collect is alphabet-sized — bounded by the script
+    * repertoire of the corpus, the smallest bounded-collect class here.
+    */
+  private def bpePieces(trainVocab: DataFrame,
+      merges: Seq[Bpe.Merge]): scala.collection.mutable.LinkedHashMap[String, Int] = {
+    val alphabet = Bpe.initialSyms(trainVocab).select("s").distinct()
+      .orderBy("s").collect().map(_.getString(0))
+    val pieces = new scala.collection.mutable.LinkedHashMap[String, Int]()
+    alphabet.foreach(a => pieces.getOrElseUpdate(a, pieces.size))
+    merges.sortBy(_.rank).foreach(m =>
+      pieces.getOrElseUpdate(m.left + m.right, pieces.size))
+    pieces
   }
 
   /** Import `merges.txt` back to the [[Bpe.mergeTable]] row shape

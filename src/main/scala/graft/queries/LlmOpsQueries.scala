@@ -680,6 +680,29 @@ object LlmOpsQueries extends QueryModule {
       val (merges, _) = Bpe.learnMerges(vocab, BpeK)
       Bpe.mergeTable(s, merges).orderBy("mrank")
     },
+    // the BPE artifact table — exactly the (piece, id) mapping
+    // vocab.json serializes: training alphabet (distinct singles,
+    // sorted) at ids 0.., then merge products in rank order with
+    // first-occurrence dedup. The oracle replays the K training rounds
+    // AND the id assignment — a drifted alphabet sort, rank order or
+    // dedup rule breaks the hash, so the byte-pinned file spec and this
+    // oracle together pin vocab.json end to end.
+    q("q_x_bpe_artifact", {
+      val k = BpeK
+      bpeRoundsSql(k) + ", " +
+        "alpha AS (SELECT s AS piece, CAST(row_number() OVER (ORDER BY s) - 1 AS BIGINT) AS id FROM (SELECT DISTINCT s FROM s0)), " +
+        "mrg AS (" + (0 until k).map(j =>
+          s"SELECT $j AS r, lhs || rhs AS piece FROM b$j").mkString(" UNION ALL ") + "), " +
+        "mrg2 AS (SELECT piece, min(r) AS r FROM mrg GROUP BY piece), " +
+        "mids AS (SELECT piece, (SELECT count(*) FROM alpha) + CAST(row_number() OVER (ORDER BY r) - 1 AS BIGINT) AS id FROM mrg2) " +
+        "SELECT piece, CAST(id AS BIGINT) AS id FROM (SELECT piece, id FROM alpha UNION ALL SELECT piece, id FROM mids) ORDER BY id"
+    }) { (s, d) =>
+      import graft.llmops.VocabArtifact
+      val vocab = Bpe.wordVocab(Tables.documents(s, d), "text")
+        .localCheckpoint(true) // feeds training AND the alphabet scan
+      val (merges, _) = Bpe.learnMerges(vocab, BpeK)
+      VocabArtifact.bpeArtifactTable(vocab, merges).orderBy("id")
+    },
     // the learned segmentation itself, word by word — subwords in order.
     q("q_x_bpe_subwords", {
       val k = BpeK

@@ -264,7 +264,10 @@ object StressBench {
     "q_x_detokenize",
     // packed export: the two-pass prefix-sum spine + per-doc bounded
     // windows + the token_bin lanes — linear in corpus tokens.
-    "q_x_packed_export")
+    "q_x_packed_export",
+    // bpe artifact: the K-round training lanes (driver round per merge,
+    // each a word-vocab-bounded window) + an alphabet-sized projection.
+    "q_x_bpe_artifact")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
