@@ -1483,6 +1483,26 @@ object TextAnalysis {
       .filter(col("__d").isNotNull && col("__d") >= 0L)
       .groupBy("host").agg(max("__d").as("crawl_delay_secs"))
 
+  /** `Sitemap:` discovery URLs from the robots bodies — the crawl
+    * loop's seed-expansion input (sitemaps.org protocol via RFC 9309
+    * §2.3 "other records"): unlike allow/disallow/crawl-delay, Sitemap
+    * lines are INDEPENDENT of user-agent groups (they bind globally, so
+    * a sitemap declared inside some bot's group still counts — per
+    * spec), case-insensitive directive, comments strip, duplicates
+    * collapse. Returns (host, sitemap_url). Scale: robots-sized.
+    */
+  def robotsSitemaps(df: DataFrame, hostCol: String, textCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .withColumn("clean", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(lower(col("clean")).rlike("^sitemap:"))
+      // the anchored prefix strip removes ONLY the directive — the URL's
+      // own "https:" survives (the robotsRules value idiom)
+      .select(col("host"),
+        trim(regexp_replace(col("clean"), "^[A-Za-z-]+:", "")).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
   /** Shared robots.txt line spine: comment strip → directive/value split
     * (only directives matching `directiveRe` are recognized; everything
     * else is a non-directive line) → RFC 9309 group formation (stacked

@@ -202,6 +202,51 @@ object VocabArtifact {
         mt.toString.getBytes("UTF-8"), merges.length.toLong))
   }
 
+  /** Export the unigram artifact as a SentencePiece-convention `.vocab`
+    * TSV — one `piece<TAB>score` line per id in id order (`<unk>` first,
+    * the SP layout) — the inspection/diff-friendly sibling of the JSON
+    * model file (SP itself ships both; the TSV is what humans and shell
+    * pipelines read). Same micro-grid score strings as the JSON, so the
+    * two artifacts can never disagree. Returns the one-row manifest.
+    */
+  def writeUnigramTsv(vocab: DataFrame, path: String): DataFrame = {
+    val rows = unigramArtifactTable(vocab)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    val sb = new StringBuilder
+    rows.zipWithIndex.foreach { case ((id, piece, score), i) =>
+      require(id == i.toLong, s"artifact ids must be dense 0..n (got $id at $i)")
+      require(!piece.contains('\t') && !piece.contains('\n'),
+        s"piece at id $id contains a TAB/newline — unrepresentable in the TSV form")
+      sb ++= piece + "\t" + score + "\n"
+    }
+    writeFileAtomic(vocab.sparkSession, path,
+      sb.toString.getBytes("UTF-8"), rows.length.toLong)
+  }
+
+  /** Import a `.vocab` TSV (ours or a real SentencePiece export) back to
+    * (id, piece, nll_micro, unk) — id is the line number, unk is the
+    * literal `<unk>` piece (the SP convention). Scores quantize onto the
+    * micro-nll grid like [[readUnigramJson]].
+    */
+  def readUnigramTsv(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = new String(readFileWhole(spark, path), "UTF-8")
+      .split("\n", -1).iterator.map(_.stripSuffix("\r")).toVector
+      .reverse.dropWhile(_.isEmpty).reverse // trailing newlines are format, not data
+    val rows = lines.zipWithIndex.map { case (l, i) =>
+      val tab = l.indexOf('\t')
+      require(tab > 0, s".vocab line ${i + 1}: expected 'piece<TAB>score', got '$l'")
+      val piece = l.substring(0, tab)
+      val score = try l.substring(tab + 1).trim.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s".vocab line ${i + 1}: score '${l.substring(tab + 1).trim}' is not a number")
+      }
+      (i.toLong, piece, math.round(-score * 1e6), piece == "<unk>")
+    }
+    rows.toDF("id", "piece", "nll_micro", "unk")
+  }
+
   /** The BPE artifact TABLE — exactly the (piece, id) mapping
     * `vocab.json` serializes, kept relational so the export is
     * oracle-checkable: the training alphabet (distinct single-char

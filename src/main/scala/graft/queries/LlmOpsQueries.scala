@@ -4880,6 +4880,46 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc")
     },
 
+    // Sitemap discovery from robots bodies: Sitemap lines bind GLOBALLY
+    // (per spec — one declared inside some bot's group still counts,
+    // unlike allow/disallow), case varies, comments strip, duplicates
+    // collapse, the URL's own "https:" survives the directive strip.
+    // The oracle replays the line/regexp chain value-exact over the same
+    // planted bodies.
+    q("q_x_robots_sitemaps", {
+      val nl = " || chr(10) || "
+      "WITH rb AS (SELECT 'h' || (doc_id % 4) || '.example' AS host, " +
+        "CASE doc_id % 4 " +
+        "WHEN 0 THEN 'User-agent: *'" + nl + "'Disallow: /x'" + nl + "'Sitemap: https://h0.example/sm.xml'" + nl + "'SITEMAP: https://h0.example/sm2.xml  # trailing comment' " +
+        "WHEN 1 THEN 'Sitemap: https://h1.example/a.xml'" + nl + "'User-agent: bot'" + nl + "'Sitemap: https://h1.example/b.xml'" + nl + "'sitemap: https://h1.example/a.xml' " +
+        "WHEN 2 THEN '# only comments'" + nl + "'User-agent: *'" + nl + "'Allow: /' " +
+        "ELSE 'Sitemap:'" + nl + "'Sitemap: https://h3.example/only.xml' END AS txt " +
+        "FROM documents WHERE doc_id < 4), " +
+        "ln AS (SELECT host, unnest(str_split(txt, chr(10))) AS raw FROM rb), " +
+        "cl AS (SELECT host, trim(regexp_replace(raw, '#.*$', '')) AS clean FROM ln), " +
+        "sm AS (SELECT host, trim(regexp_replace(clean, '^[A-Za-z-]+:', '')) AS sitemap_url FROM cl WHERE regexp_matches(lower(clean), '^sitemap:')) " +
+        "SELECT DISTINCT host, sitemap_url FROM sm WHERE sitemap_url <> '' ORDER BY host, sitemap_url"
+    }) { (s, d) =>
+      val nl = "\n"
+      val robots = Tables.documents(s, d).filter(col("doc_id") < 4)
+        .select(concat(lit("h"), (col("doc_id") % 4).cast("string"),
+          lit(".example")).as("host"),
+          when(col("doc_id") % 4 === 0,
+            lit("User-agent: *" + nl + "Disallow: /x" + nl +
+              "Sitemap: https://h0.example/sm.xml" + nl +
+              "SITEMAP: https://h0.example/sm2.xml  # trailing comment"))
+          .when(col("doc_id") % 4 === 1,
+            lit("Sitemap: https://h1.example/a.xml" + nl + "User-agent: bot" +
+              nl + "Sitemap: https://h1.example/b.xml" + nl +
+              "sitemap: https://h1.example/a.xml"))
+          .when(col("doc_id") % 4 === 2,
+            lit("# only comments" + nl + "User-agent: *" + nl + "Allow: /"))
+          .otherwise(lit("Sitemap:" + nl +
+            "Sitemap: https://h3.example/only.xml")).as("txt"))
+      TextAnalysis.robotsSitemaps(robots, "host", "txt")
+        .orderBy("host", "sitemap_url")
+    },
+
     // THE packed export, composed end to end: packSequences cuts the
     // global token stream into 128-token training sequences (documents
     // SPAN boundaries), each document's token array slices into its

@@ -267,7 +267,9 @@ object StressBench {
     "q_x_packed_export",
     // bpe artifact: the K-round training lanes (driver round per merge,
     // each a word-vocab-bounded window) + an alphabet-sized projection.
-    "q_x_bpe_artifact")
+    "q_x_bpe_artifact",
+    // sitemap discovery: robots-sized line explode + regexp projection.
+    "q_x_robots_sitemaps")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -129,6 +129,49 @@ class VocabArtifactSpec extends SparkTestBase {
     assert(back(3L) === "plain text")
   }
 
+  test(".vocab TSV: byte-pin, round trip, foreign SentencePiece-style file, malformed lines loud") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("a", 1L, 5L, 200000L),
+      ("ab", 2L, 3L, 1500000L)
+    ).toDF("piece", "n_chars", "cnt", "nll_micro")
+    val dir = java.nio.file.Files.createTempDirectory("vocab_tsv").toString
+    val m = VocabArtifact.writeUnigramTsv(vocab, s"$dir/sp.vocab").collect()
+    assert(m.head.getAs[Long]("n_pieces") === 3L)
+    val bytes = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "sp.vocab")), "UTF-8")
+    assert(bytes === "<unk>\t0.0\na\t-0.200000\nab\t-1.500000\n")
+    // round trip: id order, unk flag, micro grid exact
+    val back = VocabArtifact.readUnigramTsv(spark, s"$dir/sp.vocab")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(back.toSeq === Seq((0L, "<unk>", 0L, true),
+      (1L, "a", 200000L, false), (2L, "ab", 1500000L, false)))
+    // a real SP-style foreign file: %g-ish scores, CRLF, trailing blank
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "foreign.vocab"),
+      "<unk>\t0\r\n▁the\t-2.5\r\nx\t-3\r\n\r\n".getBytes("UTF-8"))
+    val f = VocabArtifact.readUnigramTsv(spark, s"$dir/foreign.vocab")
+      .orderBy("id").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(f.toSeq === Seq(("<unk>", 0L), ("▁the", 2500000L), ("x", 3000000L)))
+    // malformed: no tab / non-numeric score — loud, line-numbered
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.vocab"),
+      "<unk>\t0\nnotab\n".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      VocabArtifact.readUnigramTsv(spark, s"$dir/bad.vocab") }
+    assert(e1.getMessage.contains("line 2"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad2.vocab"),
+      "<unk>\tzero\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      VocabArtifact.readUnigramTsv(spark, s"$dir/bad2.vocab") }
+    assert(e2.getMessage.contains("not a number"))
+    // a piece containing a TAB is unrepresentable — the writer refuses
+    val tabby = Seq(("a\tb", 3L, 1L, 100000L))
+      .toDF("piece", "n_chars", "cnt", "nll_micro")
+    val e3 = intercept[IllegalArgumentException] {
+      VocabArtifact.writeUnigramTsv(tabby, s"$dir/tabby.vocab") }
+    assert(e3.getMessage.contains("TAB"))
+  }
+
   test("BPE artifact: vocab.json + merges.txt byte-pin, import replays to the exact post-merge table") {
     import spark.implicits._
     val corpus = Seq((1L, "low low low lower lowest newer newest new"))
