@@ -1673,4 +1673,67 @@ object TextAnalysis {
       .withColumn("__r", coalesce(col("__off"), lit(0L)) + col("__rn") - 1L)
       .select(col("url"), col("host"), col("__r"))
   }
+
+  /** Parse fetched sitemap XML bodies (sitemaps.org protocol — the files
+    * [[robotsSitemaps]] discovers) into entry rows: one row per
+    * `<url>` entry of a `<urlset>` (kind = "url" — frontier seed URLs)
+    * and per `<sitemap>` entry of a `<sitemapindex>` (kind = "sitemap" —
+    * nested sitemap files to fetch next; the protocol allows ONE level
+    * of nesting, so a single re-feed of the kind="sitemap" rows closes
+    * the expansion). Returns (sitemap_url, kind, loc, lastmod).
+    *
+    * Parsing is the protocol's OWN grammar, not general XML — the
+    * Xlsx/PDF dependency-free discipline applied to the simplest format
+    * of the three: entry blocks and their `<loc>`/`<lastmod>` children
+    * lift with anchored lazy regexes ((?s) — entries span lines),
+    * `<loc>` values unwrap one CDATA section, the five XML entities
+    * decode (`&amp;` LAST, so `&amp;lt;` correctly yields the literal
+    * `&lt;`), values trim. Scope (stated): default-namespace
+    * (unprefixed) element names, as the protocol's own examples and
+    * real-world generators emit; a prefixed `<sm:url>` feed parses to
+    * zero rows rather than wrong ones. Entries without a `<loc>` are
+    * protocol-invalid and drop; `lastmod` is kept VERBATIM (W3C
+    * datetime — filter recrawl sets with try_cast downstream, the
+    * robotsCrawlDelay malformed-value stance). A body with no
+    * recognizable entries (HTML error page, truncated fetch) yields
+    * zero rows — sitemap discovery is best-effort by nature, the
+    * degrade-never-throw contract.
+    *
+    * Scale: one regexp pass per body, codegen'd, corpus-linear; the
+    * explode emits exactly the entry count. No shuffle.
+    */
+  def parseSitemaps(df: DataFrame, urlCol: String, bodyCol: String): DataFrame = {
+    def blocks(tag: String) = regexp_extract_all(col(bodyCol),
+      lit(s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"), lit(1))
+    def child(block: Column, tag: String) = regexp_extract(block,
+      s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>", 1)
+    def unwrapCdata(c: Column): Column = {
+      val t = trim(c)
+      when(t.startsWith("<![CDATA[") && t.endsWith("]]>") && length(t) >= 12,
+        trim(t.substr(lit(10), length(t) - 12)))
+        .otherwise(t)
+    }
+    def decodeEntities(c: Column): Column = {
+      // &amp; decodes LAST: "&amp;lt;" must yield the literal "&lt;"
+      val step1 = regexp_replace(c, "&lt;", "<")
+      val step2 = regexp_replace(step1, "&gt;", ">")
+      val step3 = regexp_replace(step2, "&quot;", "\"")
+      val step4 = regexp_replace(step3, "&apos;", "'")
+      regexp_replace(step4, "&amp;", "&")
+    }
+    val entries = concat(
+      transform(blocks("url"), b => struct(lit("url").as("kind"), b.as("block"))),
+      transform(blocks("sitemap"),
+        b => struct(lit("sitemap").as("kind"), b.as("block"))))
+    val lastmodRaw = trim(child(col("block"), "lastmod"))
+    df.select(col(urlCol).as("sitemap_url"), explode(entries).as("e"))
+      .select(col("sitemap_url"), col("e")("kind").as("kind"),
+        col("e")("block").as("block"))
+      .withColumn("loc",
+        decodeEntities(unwrapCdata(child(col("block"), "loc"))))
+      .filter(col("loc") =!= "")
+      .select(col("sitemap_url"), col("kind"), col("loc"),
+        when(lastmodRaw === "", lit(null).cast("string"))
+          .otherwise(lastmodRaw).as("lastmod"))
+  }
 }

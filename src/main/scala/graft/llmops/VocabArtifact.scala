@@ -83,14 +83,18 @@ object VocabArtifact {
     * trainer pruned to `vocabSize`), the `q_x_tokenize_export`-
     * adjudicated shape.
     */
-  def unigramArtifactTable(vocab: DataFrame): DataFrame = {
+  def unigramArtifactTable(vocab: DataFrame,
+      controls: Seq[String] = Nil): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
+    require(controls.distinct.size == controls.size && !controls.contains("<unk>"),
+      s"controls must be distinct and must not repeat <unk>: $controls")
     val nllCol = if (vocab.columns.contains("nll_micro")) "nll_micro" else "nll"
     val ranked = vocab
       .select(col("piece"), col("cnt"), col(nllCol).as("__nll"))
       .withColumn("id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("piece"))).cast("long"))
+        Window.orderBy(col("cnt").desc, col("piece"))).cast("long") +
+        lit(controls.size.toLong))
       .select(col("id"), col("piece"),
         (-col("__nll")).as("score_micro"),
         when(col("__nll") === 0L, lit("0.0"))
@@ -98,7 +102,8 @@ object VocabArtifact {
             expr("__nll div 1000000L").cast("string"), lit("."),
             lpad((col("__nll") % 1000000L).cast("string"), 6, "0")))
           .as("score_str"))
-    Seq((0L, "<unk>", 0L, "0.0"))
+    (Seq((0L, "<unk>", 0L, "0.0")) ++
+      controls.zipWithIndex.map { case (c, i) => (1L + i, c, 0L, "0.0") })
       .toDF("id", "piece", "score_micro", "score_str")
       .unionByName(ranked)
   }
@@ -108,16 +113,34 @@ object VocabArtifact {
     * manifest (file, n_pieces, content_md5) — the replica-verification
     * receipt. The vocab collect is `vocabSize`-bounded.
     */
-  def writeUnigramJson(vocab: DataFrame, path: String): DataFrame = {
+  def writeUnigramJson(vocab: DataFrame, path: String,
+      controls: Seq[String] = Nil): DataFrame = {
     val spark = vocab.sparkSession
-    val rows = unigramArtifactTable(vocab)
+    val rows = unigramArtifactTable(vocab, controls)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
     require(rows.nonEmpty && rows.head._2 == "<unk>",
       "artifact table must lead with the <unk> row")
+    require(rows.map(_._2).distinct.length == rows.length,
+      "artifact pieces must be unique — a TRAINED piece collides with a " +
+        "control token (pre-filter the corpus or rename the control): " +
+        rows.map(_._2).diff(rows.map(_._2).distinct).take(5).mkString(", "))
+    // controls declared → unk + controls ship in added_tokens with
+    // special:true (the SP-converted-tokenizer convention — ids 0..k sit
+    // in the model vocab AND the added_tokens list, so a foreign loader
+    // knows never to split them out of raw text, and [[servableVocab]]
+    // knows to withhold them from segmentation). controls = Nil keeps
+    // the r12 byte-pin: added_tokens stays [].
+    val added =
+      if (controls.isEmpty) "[]"
+      else rows.take(1 + controls.size).map { case (id, piece, _) =>
+        "{\"id\":" + id + ",\"content\":\"" + jsonEscape(piece) +
+          "\",\"single_word\":false,\"lstrip\":false,\"rstrip\":false," +
+          "\"normalized\":false,\"special\":true}"
+      }.mkString("[", ",", "]")
     val sb = new StringBuilder
     sb ++= "{\"version\":\"1.0\",\"truncation\":null,\"padding\":null,"
-    sb ++= "\"added_tokens\":[],\"normalizer\":null,"
+    sb ++= "\"added_tokens\":" + added + ",\"normalizer\":null,"
     sb ++= "\"pre_tokenizer\":{\"type\":\"Metaspace\",\"replacement\":\"" +
       Marker + "\",\"prepend_scheme\":\"always\",\"split\":true},"
     sb ++= "\"post_processor\":null,"
@@ -162,13 +185,43 @@ object VocabArtifact {
       case Some(v: Vector[Any @unchecked]) => v
       case _ => throw new IllegalArgumentException("tokenizer.json: missing model.vocab array")
     }
+    // added_tokens with special:true mark control ids (the unk id keeps
+    // its own flag); absent/empty added_tokens → no controls (back-compat
+    // with r12 exports and plain SP conversions).
+    val specialIds: Set[Long] = root.get("added_tokens") match {
+      case Some(v: Vector[Any @unchecked]) => v.flatMap {
+        case m: Map[String @unchecked, Any @unchecked]
+          if m.get("special").contains(true) => m.get("id") match {
+            case Some(d: Double) => Some(d.toLong)
+            case _ => None
+          }
+        case _ => None
+      }.toSet
+      case _ => Set.empty
+    }
     val rows = vocab.zipWithIndex.map {
       case (Vector(piece: String, score: Double), i) =>
-        (i.toLong, piece, math.round(-score * 1e6), i.toLong == unkId)
+        (i.toLong, piece, math.round(-score * 1e6), i.toLong == unkId,
+          specialIds.contains(i.toLong) && i.toLong != unkId)
       case (other, i) => throw new IllegalArgumentException(
         s"tokenizer.json: vocab[$i] must be [piece, score], got $other")
     }
-    rows.toDF("id", "piece", "nll_micro", "unk")
+    rows.toDF("id", "piece", "nll_micro", "unk", "control")
+  }
+
+  /** The serving projection of an imported artifact: every piece
+    * [[Unigram.segment]] may emit — unk and control tokens withheld
+    * (controls are STRUCTURAL ids appended by the pipeline, e.g. the
+    * `</s>` document terminator; letting the DP match their literal
+    * text inside a document would corrupt every downstream attention
+    * boundary). Works on both reader shapes (the TSV form has no
+    * control flag — its controls are score-0 rows the caller names).
+    */
+  def servableVocab(imported: DataFrame): DataFrame = {
+    val noUnk = imported.filter(!col("unk"))
+    val noCtl = if (imported.columns.contains("control"))
+      noUnk.filter(!col("control")) else noUnk
+    noCtl.select("piece", "nll_micro")
   }
 
   /** Export learned BPE as GPT-2-convention `vocab.json` + `merges.txt`
@@ -209,10 +262,14 @@ object VocabArtifact {
     * pipelines read). Same micro-grid score strings as the JSON, so the
     * two artifacts can never disagree. Returns the one-row manifest.
     */
-  def writeUnigramTsv(vocab: DataFrame, path: String): DataFrame = {
-    val rows = unigramArtifactTable(vocab)
+  def writeUnigramTsv(vocab: DataFrame, path: String,
+      controls: Seq[String] = Nil): DataFrame = {
+    val rows = unigramArtifactTable(vocab, controls)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    require(rows.map(_._2).distinct.length == rows.length,
+      "artifact pieces must be unique — a TRAINED piece collides with a " +
+        "control token (pre-filter the corpus or rename the control)")
     val sb = new StringBuilder
     rows.zipWithIndex.foreach { case ((id, piece, score), i) =>
       require(id == i.toLong, s"artifact ids must be dense 0..n (got $id at $i)")

@@ -4997,6 +4997,224 @@ object LlmOpsQueries extends QueryModule {
           countDistinct("__seq").as("n_seqs"),
           sum("__n").as("n_tokens"), sum("__ts").as("token_sum"),
           expr("bit_xor(__h)").as("frag_checksum"))
+    },
+
+    // Sitemap XML parsing — the fetch step after q_x_robots_sitemaps'
+    // discovery: planted bodies exercise urlset entries (entities incl.
+    // the &amp;-last decode-order law, lastmod, whitespace), a
+    // sitemapindex with a CDATA loc, an HTML error page (zero rows, the
+    // degrade contract), loc-less/empty-loc invalid entries (drop), and
+    // a space-attributed <url > tag. The oracle replays the block/child
+    // regex chain, CDATA unwrap, entity decode and null-ing value-exact.
+    q("q_x_sitemap_parse", {
+      val nl = " || chr(10) || "
+      "WITH sb AS (SELECT 'https://h' || (doc_id % 5) || '.example/sitemap.xml' AS sitemap_url, " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN '<?xml version=\"1.0\" encoding=\"UTF-8\"?>'" + nl +
+        "'<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">'" + nl +
+        "'<url><loc>https://h0.example/a?x=1&amp;y=2</loc><lastmod>2026-01-15</lastmod></url>'" + nl +
+        "'<url>'" + nl + "'  <loc> https://h0.example/b </loc>'" + nl +
+        "'  <changefreq>daily</changefreq>'" + nl + "'</url>'" + nl + "'</urlset>' " +
+        "WHEN 1 THEN '<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">'" + nl +
+        "'<sitemap><loc><![CDATA[https://h1.example/sm1.xml]]></loc><lastmod>2026-02-01T08:00:00Z</lastmod></sitemap>'" + nl +
+        "'<sitemap><loc>https://h1.example/sm2.xml</loc></sitemap>'" + nl + "'</sitemapindex>' " +
+        "WHEN 2 THEN '<html><body>404 not found</body></html>' " +
+        "WHEN 3 THEN '<urlset><url><lastmod>2026-01-01</lastmod></url><url><loc></loc></url>" +
+        "<url><loc>https://h3.example/it&apos;s</loc></url></urlset>' " +
+        "ELSE '<urlset>'" + nl +
+        "'<url ><loc>https://h4.example/p?q=&amp;lt;tag&amp;gt;</loc><lastmod>  </lastmod></url>'" + nl +
+        "'</urlset>' END AS body FROM documents WHERE doc_id < 5), " +
+        "e AS (SELECT sitemap_url, 'url' AS kind, unnest(regexp_extract_all(body, '(?s)<url(?:\\s[^>]*)?>(.*?)</url>', 1)) AS block FROM sb " +
+        "UNION ALL SELECT sitemap_url, 'sitemap' AS kind, unnest(regexp_extract_all(body, '(?s)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap>', 1)) AS block FROM sb), " +
+        "l AS (SELECT sitemap_url, kind, trim(regexp_extract(block, '(?s)<loc(?:\\s[^>]*)?>(.*?)</loc>', 1)) AS rawloc, " +
+        "trim(regexp_extract(block, '(?s)<lastmod(?:\\s[^>]*)?>(.*?)</lastmod>', 1)) AS lm FROM e), " +
+        "c AS (SELECT sitemap_url, kind, CASE WHEN rawloc LIKE '<![CDATA[%' AND rawloc LIKE '%]]>' AND length(rawloc) >= 12 " +
+        "THEN trim(substr(rawloc, 10, length(rawloc) - 12)) ELSE rawloc END AS l1, lm FROM l), " +
+        "d AS (SELECT sitemap_url, kind, replace(replace(replace(replace(replace(l1, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', chr(39)), '&amp;', '&') AS loc, " +
+        "CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod FROM c) " +
+        "SELECT sitemap_url, kind, loc, lastmod FROM d WHERE loc <> '' " +
+        "ORDER BY sitemap_url, kind, loc"
+    }) { (s, d) =>
+      val nl = "\n"
+      val bodies = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select(concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".example/sitemap.xml")).as("sitemap_url"),
+          when(col("doc_id") % 5 === 0, lit(
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" + nl +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" + nl +
+            "<url><loc>https://h0.example/a?x=1&amp;y=2</loc><lastmod>2026-01-15</lastmod></url>" + nl +
+            "<url>" + nl + "  <loc> https://h0.example/b </loc>" + nl +
+            "  <changefreq>daily</changefreq>" + nl + "</url>" + nl + "</urlset>"))
+          .when(col("doc_id") % 5 === 1, lit(
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" + nl +
+            "<sitemap><loc><![CDATA[https://h1.example/sm1.xml]]></loc><lastmod>2026-02-01T08:00:00Z</lastmod></sitemap>" + nl +
+            "<sitemap><loc>https://h1.example/sm2.xml</loc></sitemap>" + nl +
+            "</sitemapindex>"))
+          .when(col("doc_id") % 5 === 2,
+            lit("<html><body>404 not found</body></html>"))
+          .when(col("doc_id") % 5 === 3, lit(
+            "<urlset><url><lastmod>2026-01-01</lastmod></url><url><loc></loc></url>" +
+            "<url><loc>https://h3.example/it&apos;s</loc></url></urlset>"))
+          .otherwise(lit("<urlset>" + nl +
+            "<url ><loc>https://h4.example/p?q=&amp;lt;tag&amp;gt;</loc><lastmod>  </lastmod></url>" + nl +
+            "</urlset>")).as("body"))
+      TextAnalysis.parseSitemaps(bodies, "sitemap_url", "body")
+        .orderBy("sitemap_url", "kind", "loc")
+    },
+
+    // Control tokens in the tokenizer artifact: <s>/</s> reserve ids 1/2
+    // (the SP-converted-tokenizer convention), every trained piece's id
+    // SHIFTS by the control count, scores still on the exact micro-grid.
+    // The oracle replays the full 1-round training chain plus the shifted
+    // rank and the three reserved rows — a control misplaced or a rank
+    // off by one breaks the hash.
+    q("q_x_vocab_controls", {
+      unigramChainSql(vocabSize = 60, rounds = 1, maxPieceLen = 3,
+        maxWordLen = 12, seedCap = 120) + " " +
+        "SELECT * FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS id, '<unk>' AS piece, CAST(0 AS BIGINT) AS score_micro, '0.0' AS score_str " +
+        "UNION ALL SELECT CAST(1 AS BIGINT) AS id, '<s>' AS piece, CAST(0 AS BIGINT) AS score_micro, '0.0' AS score_str " +
+        "UNION ALL SELECT CAST(2 AS BIGINT) AS id, '</s>' AS piece, CAST(0 AS BIGINT) AS score_micro, '0.0' AS score_str " +
+        "UNION ALL " +
+        "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) + 2 AS BIGINT) AS id, piece, " +
+        "CAST(-nll AS BIGINT) AS score_micro, " +
+        "CASE WHEN nll = 0 THEN '0.0' ELSE '-' || CAST(nll // 1000000 AS VARCHAR) || '.' || lpad(CAST(nll % 1000000 AS VARCHAR), 6, '0') END AS score_str " +
+        "FROM v1) ORDER BY id"
+    }) { (s, d) =>
+      import graft.llmops.{Unigram, VocabArtifact}
+      VocabArtifact.unigramArtifactTable(
+          Unigram.unigramVocab(Tables.documents(s, d), "doc_id", "text",
+            vocabSize = 60, rounds = 1, maxPieceLen = 3, maxWordLen = 12),
+          controls = Seq("<s>", "</s>"))
+        .orderBy("id")
+    },
+
+    // EOD-terminated Megatron export — the control convention applied to
+    // the binary hand-off: content ids start at 3 (unk 0, <s> 1, </s> 2),
+    // every document's stream terminates with the </s> id BEFORE packing,
+    // so the eod marker rides the packed sequences and the fragment
+    // document index agrees with it. The oracle recomputes the whole
+    // chain from the table — append, prefix-sum pack, fragment slices,
+    // position-sensitive checksum, and the eod COUNT (= exactly one per
+    // document, n_eod = n_docs by construction).
+    q("q_x_eod_export", {
+      val tokH = "(" + graft.llmops.PortableHash.duckHash52("w") + " % 50000) + 3"
+      val fragH = graft.llmops.PortableHash.duckHash52(
+        "CAST(seq AS VARCHAR) || ':' || CAST(fragpos AS VARCHAR) || ':' || " +
+          "array_to_string(list_transform(ftoks, x -> CAST(x AS VARCHAR)), ',')")
+      s"WITH t AS (SELECT doc_id, list_append(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> $tokH), CAST(2 AS BIGINT)) AS toks FROM documents), " +
+        "d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t), " +
+        "c AS (SELECT doc_id, toks, n, CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM d), " +
+        "f AS (SELECT doc_id, toks, n, off, unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq FROM c WHERE n >= 1), " +
+        "g AS (SELECT seq, greatest(off, seq * 128) - seq * 128 AS sis, " +
+        "list_slice(toks, CAST(greatest(off, seq * 128) - off + 1 AS INT), CAST(least(off + n, (seq + 1) * 128) - off AS INT)) AS ftoks FROM f), " +
+        "fi AS (SELECT seq, row_number() OVER (PARTITION BY seq ORDER BY sis) - 1 AS fragpos, ftoks FROM g) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_entries, " +
+        "CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs, " +
+        "CAST(sum(len(ftoks)) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(list_sum(ftoks)) AS BIGINT) AS token_sum, " +
+        "CAST(sum(len(list_filter(ftoks, x -> x = 2))) AS BIGINT) AS n_eod, " +
+        s"CAST(bit_xor($fragH) AS BIGINT) AS frag_checksum FROM fi"
+    }) { (s, d) =>
+      import graft.ingest.TokenBin
+      import graft.llmops.{Corpus, PortableHash}
+      val path = "/tmp/graft_eod_export"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      // content ids start at 3: unk=0, <s>=1, </s>=2 — the
+      // q_x_vocab_controls id convention; </s> terminates every doc
+      val perDoc = Tables.documents(s, d).select(col("doc_id"),
+          concat(transform(TextAnalysis.wsTokens(col("text")),
+            w => PortableHash.hash52(w) % 50000 + 3L),
+            array(lit(2L))).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val frags = Corpus.packSequences(perDoc, col("doc_id"),
+        col("n_tokens"), seqLen = 128L, groupSize = 100L)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("seq")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val packed = frags
+        .withColumn("__doc_off",
+          coalesce(sum("n_seq_tokens").over(wDoc), lit(0L)))
+        .withColumn("frag_toks", slice(col("toks"),
+          (col("__doc_off") + 1).cast("int"), col("n_seq_tokens").cast("int")))
+        .groupBy("seq")
+        .agg(array_sort(collect_list(struct(col("start_in_seq"),
+          col("frag_toks")))).as("frs"))
+        .select(col("seq"),
+          flatten(transform(col("frs"), x => x("frag_toks"))).as("tokens"),
+          transform(col("frs"), x => size(x("frag_toks")).cast("long")).as("frags"))
+      TokenBin.write(packed, "seq", "tokens", path, shards = 4,
+        fragsCol = "frags")
+      val back = TokenBin.read(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written eod shards must parse cleanly")
+      val withSeq = back
+        .withColumn("__shard",
+          regexp_extract(col("path"), "part-(\\d{5})$", 1).cast("long"))
+        .withColumn("__seq", col("__shard") + col("doc") * 4)
+        .withColumn("__fragpos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("path", "doc").orderBy("seq_idx")).cast("long") - 1L)
+      withSeq.select(
+          size(col("tokens")).cast("long").as("__n"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("__ts"),
+          size(filter(col("tokens"), x => x === 2L)).cast("long").as("__ne"),
+          PortableHash.hash52(concat(col("__seq").cast("string"), lit(":"),
+            col("__fragpos").cast("string"), lit(":"),
+            concat_ws(",", transform(col("tokens"), _.cast("string")))))
+            .as("__h"),
+          col("__seq"))
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct("__seq").as("n_seqs"),
+          sum("__n").as("n_tokens"), sum("__ts").as("token_sum"),
+          sum("__ne").as("n_eod"),
+          expr("bit_xor(__h)").as("frag_checksum"))
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): target = every 7th
+    // document, raw = the rest; hashed uni+bigram bag models on 4096
+    // buckets, add-1-smoothed micro-grid log-probs, per-doc log
+    // importance weights, Gumbel-top-40 selection with seeded-hash
+    // uniforms. The oracle replays EVERY stage — gram hash, dense
+    // smoothing, integer weight sum, the double-ln Gumbel on the grid,
+    // and the (key, id) order — value-exact.
+    q("q_x_dsir", {
+      val B = 4096
+      val gH = "(" + graft.llmops.PortableHash.duckHash52("gram") + s") % $B"
+      val uH = "(" + graft.llmops.PortableHash.duckHash52(
+        "'dsir:' || CAST(id AS VARCHAR)") + ") % 16777216"
+      val grams = "list_concat(toks, list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))"
+      s"WITH tt AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents WHERE doc_id % 7 = 0), " +
+        s"rr AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents WHERE doc_id % 7 <> 0), " +
+        s"tg AS (SELECT id, unnest($grams) AS gram FROM tt), " +
+        s"rg AS (SELECT id, unnest($grams) AS gram FROM rr), " +
+        s"tc AS (SELECT $gH AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM tg GROUP BY 1), " +
+        s"rcb AS (SELECT id, $gH AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM rg GROUP BY 1, 2), " +
+        "rc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM rcb GROUP BY 1), " +
+        s"bk AS (SELECT unnest(generate_series(0, $B - 1)) AS bucket), " +
+        s"tp AS (SELECT bk.bucket, CAST(round(ln(CAST(coalesce(tc.cnt, 0) + 1 AS DOUBLE) / CAST(t2.t + $B AS DOUBLE)) * 1000000) AS BIGINT) AS lt " +
+        "FROM bk LEFT JOIN tc USING (bucket) CROSS JOIN (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS t FROM tc) t2), " +
+        s"rp AS (SELECT bk.bucket, CAST(round(ln(CAST(coalesce(rc.cnt, 0) + 1 AS DOUBLE) / CAST(r2.t + $B AS DOUBLE)) * 1000000) AS BIGINT) AS lr " +
+        "FROM bk LEFT JOIN rc USING (bucket) CROSS JOIN (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS t FROM rc) r2), " +
+        "dl AS (SELECT bucket, lt - lr AS delta FROM tp JOIN rp USING (bucket)), " +
+        "w AS (SELECT id, CAST(sum(cnt * delta) AS BIGINT) AS logw_micro FROM rcb JOIN dl USING (bucket) GROUP BY id), " +
+        s"g AS (SELECT id, logw_micro, logw_micro + CAST(round(-ln(-ln(($uH + 0.5) / 16777216.0)) * 1000000) AS BIGINT) AS key_micro FROM w) " +
+        "SELECT id, logw_micro, key_micro FROM g ORDER BY key_micro DESC, id LIMIT 40"
+    }) { (s, d) =>
+      import graft.llmops.Dsir
+      val docs = Tables.documents(s, d)
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      val raw = docs.filter(col("doc_id") % 7 =!= 0)
+      // rCounts feeds BOTH the raw bag model and the weight sum — one
+      // materialization (the packSequences two-consumer rule)
+      val rCounts = Dsir.hashedNgramCounts(raw, "doc_id", "text", 4096)
+        .localCheckpoint(true)
+      val w = Dsir.dsirLogWeights(rCounts,
+        Dsir.bucketLogProbs(Dsir.hashedNgramCounts(target, "doc_id", "text", 4096), 4096),
+        Dsir.bucketLogProbs(rCounts, 4096))
+      Dsir.dsirSample(w, 40, "dsir")
+        .orderBy(col("key_micro").desc, col("id"))
     }
   )
 

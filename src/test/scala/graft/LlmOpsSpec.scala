@@ -2686,4 +2686,83 @@ class LlmOpsSpec extends SparkTestBase {
         i => i))).count()
     assert(nSfx === 8L)
   }
+
+  test("DSIR: on-target raw docs outweigh off-target, dense smoothed model, deterministic Gumbel-top-k, 1-token guard") {
+    import graft.llmops.Dsir
+    import spark.implicits._
+    val B = 256
+    // target speaks the alpha-vocab; the raw pool mixes alpha-docs with
+    // disjoint-vocab noise docs — DSIR must rank every alpha doc above
+    // every noise doc by a wide margin
+    val target = (0L until 8L).map(i =>
+      (i, "alpha beta gamma delta alpha beta gamma")).toDF("doc_id", "text")
+    val raw = ((100L until 106L).map(i => (i, "alpha beta gamma delta")) ++
+      (200L until 212L).map(i => (i, s"zeta$i eta theta iota kappa"))
+      ).toDF("doc_id", "text")
+    val rCounts = Dsir.hashedNgramCounts(raw, "doc_id", "text", B)
+      .localCheckpoint(true)
+    val tP = Dsir.bucketLogProbs(
+      Dsir.hashedNgramCounts(target, "doc_id", "text", B), B)
+    val rP = Dsir.bucketLogProbs(rCounts, B)
+    // the fitted model is DENSE: exactly B rows, absent cells at the
+    // smoothing floor, present cells strictly above it
+    assert(tP.count() === B.toLong)
+    val floor = math.round(math.log(1.0 / (8 * 13 + B)) * 1e6) // T = 8 docs x 13 grams
+    val probs = tP.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probs.values.min === floor)
+    assert(probs.values.max > floor)
+    val w = Dsir.dsirLogWeights(rCounts, tP, rP)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alphaMin = (100L until 106L).map(w).min
+    val noiseMax = (200L until 212L).map(w).max
+    assert(alphaMin > noiseMax,
+      s"on-target weight floor $alphaMin must beat noise ceiling $noiseMax")
+    // Gumbel-top-k: deterministic (same seed => same set), and with the
+    // planted margin the selected half is exactly the alpha docs
+    val s1 = Dsir.dsirSample(Dsir.dsirLogWeights(rCounts, tP, rP), 6, "s")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Dsir.dsirSample(Dsir.dsirLogWeights(rCounts, tP, rP), 6, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1 === (100L until 106L).toSet,
+      s"with a wide margin the top-6 must be the on-target docs: $s1")
+    // a 1-token doc contributes its unigram only — no bigram crash
+    val one = Dsir.hashedNgramCounts(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", B)
+    assert(one.agg(sum("cnt")).head().getLong(0) === 1L)
+  }
+
+  test("parseSitemaps: urlset/sitemapindex, CDATA, entity decode order, invalid entries, scope") {
+    import spark.implicits._
+    val bodies = Seq(
+      // urlset: entity in loc, lastmod, whitespace-padded loc
+      ("https://a.example/sm.xml",
+        "<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<url><loc>https://a.example/p?x=1&amp;y=2</loc><lastmod>2026-03-01</lastmod></url>\n" +
+        "<url>\n <loc> https://a.example/q </loc>\n <priority>0.5</priority>\n</url>\n</urlset>"),
+      // sitemapindex: CDATA loc (with inner spaces trimmed), one lastmod
+      ("https://b.example/smi.xml",
+        "<sitemapindex>\n<sitemap><loc><![CDATA[ https://b.example/child1.xml ]]></loc>" +
+        "<lastmod>2026-01-02T03:04:05Z</lastmod></sitemap>\n" +
+        "<sitemap><loc>https://b.example/child2.xml</loc></sitemap>\n</sitemapindex>"),
+      // decode-order law: &amp;lt; is the LITERAL text "&lt;", not "<"
+      ("https://c.example/sm.xml",
+        "<urlset><url><loc>https://c.example/esc?a=&amp;lt;b&amp;gt;&quot;&apos;</loc></url></urlset>"),
+      // invalid entries drop; error page and prefixed namespace parse to zero
+      ("https://d.example/sm.xml",
+        "<urlset><url></url><url><loc></loc></url><url><lastmod>2026-01-01</lastmod></url></urlset>"),
+      ("https://e.example/sm.xml", "<html><body>500</body></html>"),
+      ("https://f.example/sm.xml",
+        "<sm:urlset xmlns:sm=\"x\"><sm:url><sm:loc>https://f.example/p</sm:loc></sm:url></sm:urlset>")
+    ).toDF("u", "body")
+    val got = TextAnalysis.parseSitemaps(bodies, "u", "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got === Set(
+      ("https://a.example/sm.xml", "url", "https://a.example/p?x=1&y=2", Some("2026-03-01")),
+      ("https://a.example/sm.xml", "url", "https://a.example/q", None),
+      ("https://b.example/smi.xml", "sitemap", "https://b.example/child1.xml", Some("2026-01-02T03:04:05Z")),
+      ("https://b.example/smi.xml", "sitemap", "https://b.example/child2.xml", None),
+      ("https://c.example/sm.xml", "url", "https://c.example/esc?a=&lt;b&gt;\"'", None)))
+  }
 }

@@ -220,4 +220,50 @@ class VocabArtifactSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("line 2"))
   }
+
+  test("control tokens: reserved ids, added_tokens declared, import flags them, serving withholds them, collisions loud") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("a", 1L, 5L, 200000L),
+      ("b", 1L, 3L, 1500000L)
+    ).toDF("piece", "n_chars", "cnt", "nll_micro")
+    val dir = java.nio.file.Files.createTempDirectory("vocab_ctl").toString
+    VocabArtifact.writeUnigramJson(vocab, s"$dir/tokenizer.json",
+      controls = Seq("<s>", "</s>"))
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tokenizer.json")), "UTF-8")
+    // unk + both controls declared special; vocab order unk,<s>,</s>,a,b
+    assert(txt.contains("\"added_tokens\":[" +
+      "{\"id\":0,\"content\":\"<unk>\",\"single_word\":false,\"lstrip\":false,\"rstrip\":false,\"normalized\":false,\"special\":true}," +
+      "{\"id\":1,\"content\":\"<s>\",\"single_word\":false,\"lstrip\":false,\"rstrip\":false,\"normalized\":false,\"special\":true}," +
+      "{\"id\":2,\"content\":\"</s>\",\"single_word\":false,\"lstrip\":false,\"rstrip\":false,\"normalized\":false,\"special\":true}]"))
+    assert(txt.contains(
+      "\"vocab\":[[\"<unk>\",0.0],[\"<s>\",0.0],[\"</s>\",0.0],[\"a\",-0.200000],[\"b\",-1.500000]]"))
+    val imported = VocabArtifact.readUnigramJson(spark, s"$dir/tokenizer.json")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3), r.getBoolean(4)))
+    assert(imported.toSeq === Seq(
+      (0L, "<unk>", true, false), (1L, "<s>", false, true),
+      (2L, "</s>", false, true), (3L, "a", false, false),
+      (4L, "b", false, false)))
+    // serving withholds unk AND controls — only trained pieces remain
+    val servable = VocabArtifact.servableVocab(
+        VocabArtifact.readUnigramJson(spark, s"$dir/tokenizer.json"))
+      .collect().map(_.getString(0)).toSet
+    assert(servable === Set("a", "b"))
+    // a trained piece colliding with a control fails the export loudly
+    val colliding = Seq(("<s>", 3L, 9L, 100000L), ("a", 1L, 5L, 200000L))
+      .toDF("piece", "n_chars", "cnt", "nll_micro")
+    val ex2 = intercept[IllegalArgumentException] {
+      VocabArtifact.writeUnigramJson(colliding, s"$dir/t2.json",
+        controls = Seq("<s>"))
+    }
+    assert(ex2.getMessage.contains("control"))
+    // TSV sibling carries the same reserved rows
+    VocabArtifact.writeUnigramTsv(vocab, s"$dir/sp.vocab",
+      controls = Seq("<s>", "</s>"))
+    val tsv = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "sp.vocab")), "UTF-8")
+    assert(tsv === "<unk>\t0.0\n<s>\t0.0\n</s>\t0.0\na\t-0.200000\nb\t-1.500000\n")
+  }
 }
