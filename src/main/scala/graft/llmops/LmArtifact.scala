@@ -1,0 +1,383 @@
+package graft.llmops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standard-format n-gram language-model artifact — the THIRD interop
+  * envelope next to the tokenizer files ([[VocabArtifact]]) and the
+  * Megatron token shards ([[graft.ingest.TokenBin]]): the engine's
+  * quality-gate LM ladder ([[TextAnalysis.unigramLogProb]] /
+  * [[TextAnalysis.bigramLogProb]] / [[TextAnalysis.interpolatedLogProb]])
+  * scores documents, but until now the model behind the score existed
+  * only as transient DataFrames inside one query — no external stack
+  * (KenLM, SRILM, a CCNet-style curation pipeline on another engine)
+  * could reproduce or audit the gate. This object trains a bigram
+  * backoff LM and ships it as a standard `.arpa` file (the SRILM/KenLM
+  * wire format every n-gram toolchain reads), imports foreign `.arpa`
+  * files, and scores corpora under an imported model.
+  *
+  * Model (chosen because STRICT BACKOFF is what ARPA can represent —
+  * Jelinek–Mercer interpolation has an additive unseen-pair term no
+  * `bow(w1)·P(w2)` factorization can express, so the engine's JM rung
+  * stays a score while THIS model is the artifact):
+  *
+  *  - unigrams: add-1 smoothing over `V + 1` outcomes (the +1 is
+  *    `<unk>`): `P(w) = (c(w) + 1) / (T + V + 1)`,
+  *    `P(<unk>) = 1 / (T + V + 1)` — total mass exactly 1.
+  *  - bigrams: absolute discounting (Ney et al. 1994) with `D = 0.75`
+  *    (an exactly representable double): seen pairs carry
+  *    `P(w2 | w1) = (c(w1 w2) − D) / c1(w1)` where `c1(w1) = Σ_w2
+  *    c(w1 w2)` is the CONTEXT count (bigram starts — not the unigram
+  *    count, whose document-final occurrences start no bigram); the
+  *    reserved mass routes through the backoff weight
+  *    `bow(w1) = (D · N1+(w1) / c1(w1)) / (1 − Σ_{seen w2} P_uni(w2))`
+  *    where `N1+(w1)` counts distinct seen continuations — so
+  *    `Σ_w2 P(w2 | w1) = 1` exactly (spec-asserted). A context with no
+  *    observed continuation (a word seen only document-finally, and
+  *    `<unk>` itself) has no discounted mass to route: `bow = 1`.
+  *  - no `<s>`/`</s>` sentence markers: the engine scores document
+  *    streams, not sentence-segmented text (scope stated; a foreign
+  *    model that ships them imports fine — they are just vocabulary).
+  *
+  * Numeric discipline: every stored value is `log10` (the ARPA
+  * convention) on the BIGINT micro grid — `floor(log10(x)·1e6 + 0.5)`,
+  * the [[Unigram]] quantize-then-decide rule — carried as positive
+  * `nll10_micro` for probabilities and signed `bow10_micro` for backoff
+  * weights. The FILE prints each value from its micro integer by string
+  * arithmetic (never a double format), so table and file can never
+  * disagree; scoring sums the stored micro integers, making per-doc
+  * totals engine-exact BIGINTs.
+  *
+  * A literal `<unk>` token in the reference corpus would collide with
+  * the sentinel and silently absorb real mass — the trainer REFUSES it
+  * loudly (the TokenBin out-of-range discipline).
+  *
+  * Scale: the unigram/context tables are vocab-bounded and broadcast;
+  * the bigram table GROWS with the reference corpus (the tfidf lesson —
+  * see [[TextAnalysis.bigramLogProb]]) so every bigram join is a plain
+  * shuffle equi-join, never a forced broadcast. The `.arpa` file itself
+  * is a single sequential text stream by definition of the format;
+  * [[writeArpa]] therefore STREAMS the sorted table through the driver
+  * with `toLocalIterator` (one partition resident at a time, never a
+  * whole-model collect) — the TABLE is the scale-path handle, the file
+  * is the interop envelope (the tokenizer.json stance).
+  */
+object LmArtifact {
+
+  val Unk = "<unk>"
+  private val Micro = 1000000L
+
+  /** floor(log10(num/den)·1e6 + 0.5) as a signed BIGINT column —
+    * the shared quantizer for probabilities and backoff weights.
+    */
+  private def log10Micro(x: Column): Column =
+    floor(log10(x) * Micro + lit(0.5)).cast("long")
+
+  /** Train the bigram backoff LM over a reference corpus; returns the
+    * canonical artifact table, one row per ARPA entry:
+    * `(n, gram, nll10_micro, bow10_micro)` —
+    *  - `n = 1`: `gram` is the word (`<unk>` included), `nll10_micro`
+    *    the positive micro `−log10 P(w)`, `bow10_micro` the signed
+    *    micro `log10 bow(w)` (0 where `bow = 1`).
+    *  - `n = 2`: `gram` is `"w1 w2"`, `bow10_micro` null.
+    * Ordering (also the file order): unigrams `<unk>`-first then by
+    * word; bigrams by gram.
+    */
+  def arpaTable(reference: DataFrame, refTextCol: String = "text",
+      tokens: Column => Column = TextAnalysis.wsTokens,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val toks = reference
+      .select(explode(tokens(lower(col(refTextCol)))).as("w"))
+    // the sentinel must not collide with a real token — refuse loudly,
+    // on the data path (assert_true weaves into the kept value so the
+    // check can't be pruned and costs no extra corpus scan).
+    val cu0 = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val cu = cu0.select(coalesce(
+      assert_true(col("w") =!= lit(Unk), lit(
+        s"reference corpus contains a literal '$Unk' token — it would " +
+          "collide with the OOV sentinel; pre-filter or re-tokenize"))
+        .cast("string"),
+      col("w")).as("w"), col("cu"))
+    val totals = broadcast(cu.agg(
+      sum("cu").as("tt"), count(lit(1)).as("vd")))
+    // P_uni on the micro grid, <unk> carried as a real row.
+    val uniProb = cu.select(col("w"), col("cu"))
+      .unionAll(cu.sparkSession.range(1)
+        .select(lit(Unk).as("w"), lit(0L).as("cu")))
+      .crossJoin(totals)
+      .withColumn("nll10_micro",
+        -log10Micro((col("cu") + 1) / (col("tt") + col("vd") + 1)))
+      .select("w", "cu", "nll10_micro")
+    // adjacent-pair counts (the bigramLogProb gram shape).
+    val grams = reference
+      .select(tokens(lower(col(refTextCol))).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> struct(__toks[i] as w1, __toks[i + 1] as w2))"))
+        .as(Seq("__p", "__g")))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+    val cb = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // per-context discount bookkeeping: distinct continuations and the
+    // unigram mass they already own (the bow denominator).
+    val uniOfW2 = uniProb.select(col("w").as("w2"),
+      col("nll10_micro").as("__u2"), col("cu").as("cu2"))
+    // per-context bookkeeping keyed on the CONTEXT COUNT c1 = Σ_w2
+    // c(w1 w2) — the bigram-start total, NOT the unigram count (a word's
+    // document-final occurrences start no bigram; using cu(w1) would
+    // leak their mass and break Σ_w2 P(w2|w1) = 1, which the spec
+    // asserts exactly).
+    val ctx = cb
+      .crossJoin(totals)
+      .join(broadcast(uniOfW2.drop("__u2")), Seq("w2"))
+      .groupBy("w1")
+      .agg(count(lit(1)).as("n1p"), sum("cb").as("c1"),
+        // Σ_{seen w2} P_uni(w2) as an exact rational: Σ(cu2+1) / (T+V+1)
+        sum(col("cu2") + 1).as("seen_num"),
+        first("tt").as("tt"), first("vd").as("vd"))
+    val bows = ctx
+      .withColumn("bow10_micro", log10Micro(
+        (lit(discount) * col("n1p") / col("c1")) /
+          (lit(1.0) - col("seen_num") / (col("tt") + col("vd") + 1))))
+      .select("w1", "bow10_micro")
+    val uniRows = uniProb
+      .join(broadcast(bows.withColumnRenamed("w1", "w")), Seq("w"), "left")
+      .select(lit(1).as("n"), col("w").as("gram"), col("nll10_micro"),
+        coalesce(col("bow10_micro"), lit(0L)).as("bow10_micro"))
+    val biRows = cb.join(broadcast(ctx.select("w1", "c1")), Seq("w1"))
+      .withColumn("nll10_micro",
+        -log10Micro((col("cb") - lit(discount)) / col("c1")))
+      .select(lit(2).as("n"),
+        concat(col("w1"), lit(" "), col("w2")).as("gram"),
+        col("nll10_micro"), lit(null).cast("long").as("bow10_micro"))
+    uniRows.unionAll(biRows)
+      .orderBy(col("n"),
+        when(col("gram") === Unk && col("n") === 1, lit(0)).otherwise(lit(1)),
+        col("gram"))
+  }
+
+  /** Exact fixed-6dp decimal of a signed micro integer — string
+    * arithmetic, no double ever formatted, so the printed value IS the
+    * micro grid value.
+    */
+  private[graft] def microToDecimal(micro: Long): String = {
+    val sign = if (micro < 0) "-" else ""
+    val a = math.abs(micro)
+    s"$sign${a / Micro}.${"%06d".format(a % Micro)}"
+  }
+
+  /** Write the artifact table as a standard `.arpa` text file (LF line
+    * ends, TAB-separated fields, fixed 6-dp decimals printed from the
+    * micro integers). Unigram lines carry the backoff column only when
+    * `bow ≠ 1` (`bow10_micro ≠ 0`) — the SRILM convention that an
+    * absent third field means log10 bow 0. Streams via
+    * `toLocalIterator` (see object scaladoc); atomic tmp+rename, no
+    * checksum sidecars. Returns a 1-row manifest
+    * (file, n_unigrams, n_bigrams, content_md5).
+    */
+  def writeArpa(spark: SparkSession, table: DataFrame, path: String): DataFrame = {
+    import spark.implicits._
+    val sorted = table.select("n", "gram", "nll10_micro", "bow10_micro")
+      .orderBy(col("n"),
+        when(col("gram") === Unk && col("n") === 1, lit(0)).otherwise(lit(1)),
+        col("gram"))
+    val counts = table.groupBy("n").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n1 = counts.getOrElse(1, 0L)
+    val n2 = counts.getOrElse(2, 0L)
+    require(n1 > 0, "artifact table has no unigram rows")
+    val p = new Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    try {
+      fs.setWriteChecksum(false)
+      fs.setVerifyChecksum(false)
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+      val raw = fs.create(tmp, true)
+      val out = new java.io.BufferedOutputStream(raw, 1 << 16)
+      def emit(s: String): Unit = {
+        val b = s.getBytes("UTF-8")
+        md5.update(b)
+        out.write(b)
+      }
+      try {
+        emit(s"\\data\\\nngram 1=$n1\nngram 2=$n2\n\n\\1-grams:\n")
+        var section = 1
+        val it = sorted.toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val n = r.getInt(0)
+          if (n == 2 && section == 1) { emit("\n\\2-grams:\n"); section = 2 }
+          val logp = microToDecimal(-r.getLong(2))
+          if (n == 1) {
+            val bow = r.getLong(3)
+            if (bow == 0L) emit(s"$logp\t${r.getString(1)}\n")
+            else emit(s"$logp\t${r.getString(1)}\t${microToDecimal(bow)}\n")
+          } else emit(s"$logp\t${r.getString(1)}\n")
+        }
+        if (section == 1 && n2 == 0) emit("\n\\2-grams:\n")
+        emit("\n\\end\\\n")
+      } finally out.close()
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"rename failed: $path")
+    } finally fs.close()
+    Seq((path, n1, n2, md5.digest().map("%02x".format(_)).mkString))
+      .toDF("file", "n_unigrams", "n_bigrams", "content_md5")
+  }
+
+  /** Import a foreign `.arpa` file into the canonical artifact table.
+    * Tolerant of what real SRILM/KenLM output varies: CRLF line ends,
+    * spaces OR tabs between fields, `%g`-style floats (scientific
+    * notation, bare integers) — foreign doubles land on the micro grid
+    * via the same `floor(x·1e6 + 0.5)`. Loud with line numbers on:
+    * missing `\data\` / `\end\`, a section count that disagrees with
+    * the rows actually present, an n-gram line whose word count is not
+    * `n` (+ optional bow on unigrams), a non-numeric logp, and 3-gram
+    * or higher sections (scope: this engine's LM ladder is ≤ 2-gram).
+    * Driver-streamed (interop path; the table is the scale handle).
+    */
+  def readArpa(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Option[Long])]
+    val declared = scala.collection.mutable.Map.empty[Int, Long]
+    try {
+      fs.setVerifyChecksum(false)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      try {
+        var ln = 0
+        var state = "preamble" // preamble | data | grams | done
+        var section = 0
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"$path:$ln: $msg")
+        def parseMicro(s: String): Long = {
+          val d = try s.toDouble catch {
+            case _: NumberFormatException => fail(s"non-numeric value '$s'")
+          }
+          math.floor(d * Micro + 0.5).toLong
+        }
+        var line = in.readLine()
+        while (line != null) {
+          ln += 1
+          val t = line.stripSuffix("\r").trim
+          if (t.nonEmpty) state match {
+            case "preamble" =>
+              if (t == "\\data\\") state = "data"
+              else fail(s"expected \\data\\ header, got '$t'")
+            case "data" =>
+              if (t.startsWith("ngram ")) {
+                val kv = t.drop(6).split("=", 2)
+                if (kv.length != 2) fail(s"malformed ngram count '$t'")
+                val n = kv(0).trim.toIntOption.getOrElse(
+                  fail(s"malformed ngram order '${kv(0)}'"))
+                val c = kv(1).trim.toLongOption.getOrElse(
+                  fail(s"malformed ngram count '${kv(1)}'"))
+                if (n > 2) fail(s"$n-gram section declared — this " +
+                  "reader covers the engine's <= 2-gram ladder")
+                declared(n) = c
+              } else if (t == "\\1-grams:") { state = "grams"; section = 1 }
+              else fail(s"expected ngram counts or \\1-grams:, got '$t'")
+            case "grams" =>
+              if (t == "\\2-grams:") section = 2
+              else if (t == "\\1-grams:") section = 1
+              else if (t == "\\end\\") state = "done"
+              else if (t.startsWith("\\")) fail(s"unexpected section '$t'")
+              else {
+                val f = t.split("[ \t]+")
+                if (section == 1) {
+                  if (f.length < 2 || f.length > 3)
+                    fail(s"unigram line needs 2-3 fields, got ${f.length}")
+                  val bow = if (f.length == 3) parseMicro(f(2)) else 0L
+                  rows += ((1, f(1), -parseMicro(f(0)), Some(bow)))
+                } else {
+                  if (f.length != 3)
+                    fail(s"bigram line needs 3 fields, got ${f.length}")
+                  rows += ((2, s"${f(1)} ${f(2)}", -parseMicro(f(0)), None))
+                }
+              }
+            case "done" => fail(s"content after \\end\\: '$t'")
+          }
+          line = in.readLine()
+        }
+        if (state != "done") fail("missing \\end\\ terminator")
+        val actual = rows.groupBy(_._1).map { case (n, rs) => n -> rs.size.toLong }
+        Seq(1, 2).foreach { n =>
+          val d = declared.getOrElse(n, 0L)
+          val a = actual.getOrElse(n, 0L)
+          require(d == a,
+            s"$path: \\data\\ declares $d ${n}-grams but file has $a")
+        }
+      } finally in.close()
+    } finally fs.close()
+    rows.toSeq
+      .toDF("n", "gram", "nll10_micro", "bow10_micro")
+      .select(col("n"), col("gram"), col("nll10_micro"),
+        when(col("n") === 1, coalesce(col("bow10_micro"), lit(0L)))
+          .otherwise(lit(null).cast("long")).as("bow10_micro"))
+  }
+
+  /** Score a corpus under an artifact-table LM (trained here or imported
+    * via [[readArpa]]) with standard backoff decoding: tokens map to
+    * `<unk>` when out of vocabulary; each adjacent pair scores the
+    * stored bigram micro-nll when the pair is in the model, else
+    * `nll_uni(w2) − log10 bow(w1)` (all micro integers — the per-doc
+    * total is an exact BIGINT sum of stored values, no float
+    * accumulation). A model without an `<unk>` row refuses loudly
+    * (scoring open-vocabulary text under a closed-vocabulary model is a
+    * modeling decision the caller must make, not a silent floor).
+    * Returns (doc, n_pairs, n_oov, n_backoff, sum_nll10_micro) —
+    * `n_oov` counts pairs whose TARGET token mapped to `<unk>`,
+    * `n_backoff` pairs that took the backoff path.
+    *
+    * Scale: vocab-bounded unigram/bow tables broadcast; the pair stream
+    * joins the bigram table on the gram — plain shuffle equi-join (the
+    * model's bigram table grows with ITS training corpus); one keyed
+    * aggregation. Docs with fewer than two tokens carry no pairs and
+    * drop out (the bigramLogProb convention).
+    */
+  def arpaScore(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame,
+      tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
+    val uni = lm.filter(col("n") === 1)
+      .select(col("gram").as("w"), col("nll10_micro").as("u_nll"),
+        col("bow10_micro").as("bow"))
+    require(!uni.filter(col("w") === Unk).isEmpty,
+      s"model has no '$Unk' unigram — cannot score open-vocabulary text")
+    val bi = lm.filter(col("n") === 2)
+      .select(col("gram"), col("nll10_micro").as("b_nll"))
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "raw")))
+      .join(broadcast(uni.select(col("w"), lit(1).as("__in"))),
+        col("raw") === col("w"), "left")
+      .select(col("doc"), col("pos"),
+        when(col("__in").isNotNull, col("raw")).otherwise(lit(Unk)).as("tok"),
+        col("__in").isNull.as("oov"))
+    // adjacent pairs via a self-join on (doc, pos+1): the explode is
+    // already materialized, and the equi-join keeps the whole pair
+    // stream codegen'd without a corpus-global window.
+    val pairs = toks.select(col("doc"), col("pos"), col("tok").as("w1"))
+      .join(toks.select(col("doc"), (col("pos") - 1).as("pos"),
+        col("tok").as("w2"), col("oov").as("oov2")), Seq("doc", "pos"))
+    pairs
+      .join(bi, concat(col("w1"), lit(" "), col("w2")) === col("gram"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"),
+        col("u_nll").as("u2_nll"))), Seq("w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("bow"))), Seq("w1"))
+      .withColumn("__nll", coalesce(col("b_nll"),
+        col("u2_nll") - col("bow")))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("oov2").cast("long")).as("n_oov"),
+        sum(col("b_nll").isNull.cast("long")).as("n_backoff"),
+        sum("__nll").as("sum_nll10_micro"))
+  }
+}

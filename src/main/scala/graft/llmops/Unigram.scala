@@ -54,6 +54,10 @@ import org.apache.spark.sql.functions._
 object Unigram {
 
   private val Big = 1000000000000L // unreachable-cost sentinel; real paths stay ≤ ~1e9
+  // per-char cost of an uncovered single char under byte fallback: far
+  // above any learned piece (≤ ~1e9), far below Big — so the DP crosses an
+  // OOV char one char at a time and never absorbs covered neighbors.
+  private[llmops] val UnkCharCost = 1000000000L * 10
 
   /** Train the vocabulary; returns (piece, n_chars, cnt, nll_micro)
     * ordered by (cnt DESC, piece) — `cnt` is the final round's Viterbi
@@ -159,12 +163,28 @@ object Unigram {
     * driver-side error (the TokenBin loud-failure discipline): one extra
     * distinct-char aggregation over the distinct-word table, bounded
     * collect. Default off — bit-identical plans for trained vocabs.
+    *
+    * `byteFallback = true` is the PRODUCTION answer to missing coverage
+    * (the SentencePiece `byte_fallback` convention, the Llama lineage):
+    * a character no vocab piece covers emits its UTF-8 bytes as
+    * `<0xXX>` pieces (uppercase hex), making segmentation TOTAL over
+    * any input. Two parts: (1) the DP prices each uncovered single
+    * char at a finite per-char cost (10⁹ micro-nll — far above any real
+    * piece, far below the Big sentinel), so an OOV char is always
+    * spanned ALONE and never absorbs covered neighbors into a jump
+    * (an in-vocab char next to an OOV char still emits its own learned
+    * piece — spec-pinned); (2) post-walk, pieces the vocab lacks expand
+    * in place to their byte pieces, positions renumbering inside the
+    * word's own array (no window). Pair with
+    * [[VocabArtifact.unigramArtifactTable]]'s `byteFallback` so the
+    * byte pieces hold real ids in the shipped artifact.
     */
   def segment(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 3,
       maxWordLen: Int = 12,
       tokens: Column => Column = TextAnalysis.wsTokens,
-      checkCoverage: Boolean = false): DataFrame = {
+      checkCoverage: Boolean = false,
+      byteFallback: Boolean = false): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"),
         posexplode(tokens(col(textCol)))
@@ -200,19 +220,48 @@ object Unigram {
     val wm = subs.groupBy("w")
       .agg(map_from_entries(collect_list(struct(col("piece"), col("nll"))))
         .as("m"))
-    val seg = segmentFold(words.join(wm, Seq("w")), maxPieceLen)
+    // byte fallback LEFT-joins: a word NO vocab piece touches still
+    // segments (null map → every lookup misses → per-char unk costs →
+    // all-byte expansion). The historical inner join stays for the
+    // default path (an all-OOV word dropping silently is the behavior
+    // checkCoverage exists to flag — bit-identical plans preserved).
+    val seg = segmentFold(
+      words.join(wm, Seq("w"), if (byteFallback) "left" else "inner"),
+      maxPieceLen,
+      unkCharCost = if (byteFallback) UnkCharCost else Big)
+    val pieces =
+      if (!byteFallback) reverse(col("ps"))
+      else flatten(transform(reverse(col("ps")), p =>
+        when(element_at(col("m"), p).isNotNull, array(p))
+          .otherwise(bytePieces(p))))
     toks.join(seg, Seq("w"))
       .select(col("id"), col("word_idx"),
-        posexplode(reverse(col("ps"))).as(Seq("piece_idx", "piece")))
+        posexplode(pieces).as(Seq("piece_idx", "piece")))
       .withColumn("piece_idx", col("piece_idx").cast("long"))
   }
 
-  /** The shared forward+backward fold, returning (w, ps) — ps is the
-    * Viterbi piece list END-FIRST (training counts don't care; [[segment]]
-    * reverses it for reading order).
+  /** The UTF-8 byte pieces of a string, SentencePiece convention:
+    * `<0xXX>`, uppercase hex, one piece per byte.
     */
-  private def segmentFold(withMap: DataFrame, maxPieceLen: Int): DataFrame = {
+  private[llmops] def bytePieces(p: Column): Column = {
+    val hx = hex(encode(p, "UTF-8"))
+    transform(sequence(lit(1), length(hx) - 1, lit(2)),
+      i => concat(lit("<0x"), hx.substr(i, lit(2)), lit(">")))
+  }
+
+  /** The shared forward+backward fold, returning (w, ps, m) — ps is the
+    * Viterbi piece list END-FIRST (training counts don't care; [[segment]]
+    * reverses it for reading order), m rides along for the byte-fallback
+    * expansion (Catalyst prunes it everywhere it goes unused).
+    * `unkCharCost` prices a single char with no vocab piece: the Big
+    * sentinel by default (bit-identical historical behavior — trained
+    * vocabs never hit it), a finite 10⁹ under byte fallback so OOV chars
+    * span alone (see [[segment]]).
+    */
+  private def segmentFold(withMap: DataFrame, maxPieceLen: Int,
+      unkCharCost: Long = Big): DataFrame = {
     val big = lit(Big)
+    def miss(k: Int): Column = if (k == 1) lit(unkCharCost) else big
     val costs = aggregate(
       sequence(lit(1L), col("n")), array(lit(0L)),
       (acc, i) => {
@@ -220,7 +269,7 @@ object Unigram {
           when(i - k >= 0L,
             element_at(acc, (i - k + 1L).cast("int")) +
               coalesce(element_at(col("m"),
-                col("w").substr((i - k + 1L).cast("int"), lit(k))), big))
+                col("w").substr((i - k + 1L).cast("int"), lit(k))), miss(k)))
             .otherwise(big)
         }
         concat(acc, array(least(opts: _*)))
@@ -230,7 +279,7 @@ object Unigram {
         c.when(pos - k >= 0L &&
           element_at(col("costs"), (pos - k + 1L).cast("int")) +
             coalesce(element_at(col("m"),
-              col("w").substr((pos - k + 1L).cast("int"), lit(k))), big) ===
+              col("w").substr((pos - k + 1L).cast("int"), lit(k))), miss(k)) ===
             element_at(col("costs"), (pos + 1L).cast("int")), lit(k.toLong))
       }.otherwise(lit(1L))
     val walk = aggregate(
@@ -247,6 +296,6 @@ object Unigram {
       },
       acc => acc.getField("ps"))
     withMap.withColumn("costs", costs).withColumn("ps", walk)
-      .select("w", "ps")
+      .select("w", "ps", "m")
   }
 }

@@ -65,14 +65,29 @@ object VocabArtifact {
     * Scale: one keyed aggregation; each doc's piece list is
     * doc-length-bounded.
     */
-  def detokenize(segmented: DataFrame, marker: String = Marker): DataFrame =
-    segmented.groupBy("id")
+  def detokenize(segmented: DataFrame, marker: String = Marker,
+      byteFallback: Boolean = false): DataFrame = {
+    val joined = segmented.groupBy("id")
       .agg(concat_ws("", transform(
         array_sort(collect_list(struct(col("word_idx"), col("piece_idx"),
           col("piece")))),
         x => x("piece"))).as("__joined"))
-      .select(col("id"),
-        trim(regexp_replace(col("__joined"), marker, " ")).as("text"))
+    // byte pieces decode BEFORE the marker replacement (an OOV `▁` byte-
+    // expands to <0xE2><0x96><0x81> and must reassemble first): literal
+    // `%`/`+` escape out of url_decode's way, `<0xXX>` becomes `%XX`,
+    // one UTF-8 percent-decode reassembles multi-byte runs. Stated
+    // losses (the corpus-contains-U+2581 caveat's siblings): literal
+    // `<0xAB>`-shaped text in a document false-decodes, and byte runs a
+    // FOREIGN tokenizer emitted as invalid UTF-8 decode to U+FFFD.
+    val decoded =
+      if (!byteFallback) col("__joined")
+      else url_decode(regexp_replace(
+        regexp_replace(regexp_replace(col("__joined"), "%", "%25"),
+          "\\+", "%2B"),
+        "<0x([0-9A-F]{2})>", "%$1"))
+    joined.select(col("id"),
+      trim(regexp_replace(decoded, marker, " ")).as("text"))
+  }
 
   /** The unigram artifact TABLE — exactly what [[writeUnigramJson]]
     * serializes, kept relational so the export is oracle-checkable:
@@ -83,18 +98,28 @@ object VocabArtifact {
     * trainer pruned to `vocabSize`), the `q_x_tokenize_export`-
     * adjudicated shape.
     */
+  /** The 256 SentencePiece-convention byte pieces, `<0x00>`..`<0xFF>`. */
+  private[llmops] val BytePieceSeq: Seq[String] =
+    (0 to 255).map(b => f"<0x$b%02X>")
+
   def unigramArtifactTable(vocab: DataFrame,
-      controls: Seq[String] = Nil): DataFrame = {
+      controls: Seq[String] = Nil,
+      byteFallback: Boolean = false): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
     require(controls.distinct.size == controls.size && !controls.contains("<unk>"),
       s"controls must be distinct and must not repeat <unk>: $controls")
-    val nllCol = if (vocab.columns.contains("nll_micro")) "nll_micro" else "nll"
+    // byte_fallback reserves <0x00>..<0xFF> right after the controls
+    // (the Llama id layout: unk, controls, bytes, then learned pieces)
+    // at score 0 — they never segment by score (Unigram.segment emits
+    // them POST-DP; servableVocab withholds them from matching).
+    val reserved =
+      if (byteFallback) BytePieceSeq else Seq.empty[String]
     val ranked = vocab
-      .select(col("piece"), col("cnt"), col(nllCol).as("__nll"))
+      .select(col("piece"), col("cnt"), col(nllColOf(vocab)).as("__nll"))
       .withColumn("id", row_number().over(
         Window.orderBy(col("cnt").desc, col("piece"))).cast("long") +
-        lit(controls.size.toLong))
+        lit((controls.size + reserved.size).toLong))
       .select(col("id"), col("piece"),
         (-col("__nll")).as("score_micro"),
         when(col("__nll") === 0L, lit("0.0"))
@@ -103,10 +128,14 @@ object VocabArtifact {
             lpad((col("__nll") % 1000000L).cast("string"), 6, "0")))
           .as("score_str"))
     (Seq((0L, "<unk>", 0L, "0.0")) ++
-      controls.zipWithIndex.map { case (c, i) => (1L + i, c, 0L, "0.0") })
+      (controls ++ reserved).zipWithIndex
+        .map { case (c, i) => (1L + i, c, 0L, "0.0") })
       .toDF("id", "piece", "score_micro", "score_str")
       .unionByName(ranked)
   }
+
+  private def nllColOf(vocab: DataFrame): String =
+    if (vocab.columns.contains("nll_micro")) "nll_micro" else "nll"
 
   /** Export a trained [[Unigram.unigramVocab]] as a HuggingFace-schema
     * `tokenizer.json` at `path` (atomic tmp+rename). Returns a one-row
@@ -114,9 +143,10 @@ object VocabArtifact {
     * receipt. The vocab collect is `vocabSize`-bounded.
     */
   def writeUnigramJson(vocab: DataFrame, path: String,
-      controls: Seq[String] = Nil): DataFrame = {
+      controls: Seq[String] = Nil,
+      byteFallback: Boolean = false): DataFrame = {
     val spark = vocab.sparkSession
-    val rows = unigramArtifactTable(vocab, controls)
+    val rows = unigramArtifactTable(vocab, controls, byteFallback)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
     require(rows.nonEmpty && rows.head._2 == "<unk>",
@@ -146,7 +176,10 @@ object VocabArtifact {
     sb ++= "\"post_processor\":null,"
     sb ++= "\"decoder\":{\"type\":\"Metaspace\",\"replacement\":\"" +
       Marker + "\",\"prepend_scheme\":\"always\",\"split\":true},"
-    sb ++= "\"model\":{\"type\":\"Unigram\",\"unk_id\":0,\"vocab\":["
+    // byte_fallback serializes only when true — keeps the r12 byte-pin
+    // for plain exports; HF loaders treat the absent field as false.
+    sb ++= "\"model\":{\"type\":\"Unigram\",\"unk_id\":0," +
+      (if (byteFallback) "\"byte_fallback\":true," else "") + "\"vocab\":["
     rows.zipWithIndex.foreach { case ((id, piece, score), i) =>
       require(id == i.toLong, s"artifact ids must be dense 0..n (got $id at $i)")
       if (i > 0) sb += ','
@@ -199,14 +232,21 @@ object VocabArtifact {
       }.toSet
       case _ => Set.empty
     }
+    // model.byte_fallback (absent = false, the HF default) marks the
+    // <0xXX> rows as byte pieces: real ids for the export hand-off, but
+    // NEVER servable — their literal text inside a document must not
+    // match (the control-token rule; Unigram.segment emits them post-DP).
+    val byteFallback = model.get("byte_fallback").contains(true)
+    val bytePat = "^<0x[0-9A-F]{2}>$".r
     val rows = vocab.zipWithIndex.map {
       case (Vector(piece: String, score: Double), i) =>
         (i.toLong, piece, math.round(-score * 1e6), i.toLong == unkId,
-          specialIds.contains(i.toLong) && i.toLong != unkId)
+          specialIds.contains(i.toLong) && i.toLong != unkId,
+          byteFallback && bytePat.matches(piece))
       case (other, i) => throw new IllegalArgumentException(
         s"tokenizer.json: vocab[$i] must be [piece, score], got $other")
     }
-    rows.toDF("id", "piece", "nll_micro", "unk", "control")
+    rows.toDF("id", "piece", "nll_micro", "unk", "control", "byte")
   }
 
   /** The serving projection of an imported artifact: every piece
@@ -221,7 +261,9 @@ object VocabArtifact {
     val noUnk = imported.filter(!col("unk"))
     val noCtl = if (imported.columns.contains("control"))
       noUnk.filter(!col("control")) else noUnk
-    noCtl.select("piece", "nll_micro")
+    val noByte = if (imported.columns.contains("byte"))
+      noCtl.filter(!col("byte")) else noCtl
+    noByte.select("piece", "nll_micro")
   }
 
   /** Export learned BPE as GPT-2-convention `vocab.json` + `merges.txt`

@@ -5215,8 +5215,153 @@ object LlmOpsQueries extends QueryModule {
         Dsir.bucketLogProbs(rCounts, 4096))
       Dsir.dsirSample(w, 40, "dsir")
         .orderBy(col("key_micro").desc, col("id"))
+    },
+
+    // ARPA bigram backoff LM artifact (absolute discounting D=0.75,
+    // add-1 unigrams over V+1 outcomes incl. <unk>): counts, the
+    // context-count denominators, discount + backoff-weight arithmetic
+    // and the micro-grid log10 quantization all replayed value-exact.
+    q("q_x_arpa_lm",
+      arpaChainSql("") +
+        " SELECT * FROM (" +
+        "SELECT 1 AS n, up.w AS gram, up.nll AS nll10_micro, coalesce(b.bow, CAST(0 AS BIGINT)) AS bow10_micro FROM up LEFT JOIN bows b ON up.w = b.w1 " +
+        "UNION ALL SELECT 2 AS n, w1 || ' ' || w2 AS gram, nll AS nll10_micro, CAST(NULL AS BIGINT) AS bow10_micro FROM bm) " +
+        "ORDER BY n, CASE WHEN n = 1 AND gram = '<unk>' THEN 0 ELSE 1 END, gram") { (s, d) =>
+      graft.llmops.LmArtifact.arpaTable(Tables.documents(s, d), "text")
+    },
+
+    // Backoff scoring under the artifact: model trained on even doc_ids,
+    // odd docs scored — real OOV targets (mapped to <unk>) and unseen
+    // pairs (the bow(w1) + P_uni(w2) path) guaranteed; per-doc totals
+    // are exact BIGINT sums of the stored micro values.
+    q("q_x_arpa_score",
+      arpaChainSql("WHERE doc_id % 2 = 0") +
+        ", t2 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents WHERE doc_id % 2 = 1), " +
+        "pr AS (SELECT doc_id AS doc, toks[i] AS r1, toks[i+1] AS r2 FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 2), " +
+        "mp AS (SELECT doc, CASE WHEN c1.w IS NULL THEN '<unk>' ELSE r1 END AS w1, " +
+        "CASE WHEN c2.w IS NULL THEN '<unk>' ELSE r2 END AS w2, " +
+        "CASE WHEN c2.w IS NULL THEN 1 ELSE 0 END AS oov FROM pr " +
+        "LEFT JOIN cu c1 ON pr.r1 = c1.w LEFT JOIN cu c2 ON pr.r2 = c2.w), " +
+        "sc AS (SELECT doc, oov, bm.nll AS b_nll, up2.nll AS u2, coalesce(bw.bow, CAST(0 AS BIGINT)) AS bow FROM mp " +
+        "LEFT JOIN bm ON mp.w1 = bm.w1 AND mp.w2 = bm.w2 " +
+        "JOIN up up2 ON mp.w2 = up2.w LEFT JOIN bows bw ON mp.w1 = bw.w1) " +
+        "SELECT doc, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "CAST(sum(CASE WHEN b_nll IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
+        "CAST(sum(coalesce(b_nll, u2 - bow)) AS BIGINT) AS sum_nll10_micro " +
+        "FROM sc GROUP BY doc ORDER BY doc") { (s, d) =>
+      import graft.llmops.LmArtifact
+      val docs = Tables.documents(s, d)
+      // the lm table feeds three scoring joins — one materialization
+      // (the packSequences two-consumer rule).
+      val lm = LmArtifact.arpaTable(docs.filter(col("doc_id") % 2 === 0), "text")
+        .localCheckpoint(true)
+      LmArtifact.arpaScore(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", lm)
+        .orderBy("doc")
+    },
+
+    // Byte-fallback segmentation (the SentencePiece byte_fallback /
+    // Llama convention): a planted FOREIGN vocab missing every accented
+    // and CJK single char serves planted multi-script text — uncovered
+    // chars emit their UTF-8 bytes as <0xXX> pieces, covered neighbors
+    // keep their own learned pieces (the per-char unk-cost law), and an
+    // all-OOV word still segments (the left-join law). The oracle
+    // replays the serving DP with the byte-fallback cost model (k=1
+    // miss = 1e10, k>1 miss = 1e12) and the hex expansion value-exact.
+    q("q_x_byte_fallback", {
+      val vocabVals = ByteFallbackVocab
+        .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+      def fwdOpt(k: Int) = {
+        val miss = if (k == 1) "10000000000" else "1000000000000"
+        s"CASE WHEN b[1] - $k >= 0 THEN a[CAST(b[1] - $k + 1 AS INT)] + " +
+          s"coalesce(m[substr(w, CAST(b[1] - $k + 1 AS INT), $k)][1], $miss) ELSE 1000000000000 END"
+      }
+      val fwd = (1 to 3).map(fwdOpt).mkString("least(", ", ", ")")
+      def bckCond(k: Int) = {
+        val miss = if (k == 1) "10000000000" else "1000000000000"
+        s"a[len(a)] - $k >= 0 AND costs[CAST(a[len(a)] - $k + 1 AS INT)] + " +
+          s"coalesce(m[substr(w, CAST(a[len(a)] - $k + 1 AS INT), $k)][1], $miss) = " +
+          "costs[CAST(a[len(a)] + 1 AS INT)]"
+      }
+      val chosen = (1 to 3)
+        .map(k => s"WHEN ${bckCond(k)} THEN $k").mkString("CASE ", " ", " ELSE 1 END")
+      val bytes = "list_transform(generate_series(1, length(hex(encode(p))) - 1, 2), " +
+        "j -> '<0x' || substr(hex(encode(p)), CAST(j AS INT), 2) || '>')"
+      "WITH src AS (SELECT doc_id AS id, CASE doc_id % 4 " +
+        "WHEN 0 THEN 'hello world' WHEN 1 THEN 'héllo wörld' " +
+        "WHEN 2 THEN '你好 世界' ELSE 'mix café ok x你x' END AS text " +
+        "FROM documents WHERE doc_id < 4), " +
+        s"v AS (SELECT * FROM (VALUES $vocabVals) t(piece, nll)), " +
+        "tt AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM src), " +
+        "tok AS (SELECT id, CAST(i - 1 AS BIGINT) AS word_idx, substr(toks[i], 1, 12) AS w " +
+        "FROM tt, unnest(generate_series(1, len(toks))) AS u(i) WHERE length(substr(toks[i], 1, 12)) >= 1), " +
+        "words AS (SELECT DISTINCT w, CAST(length(w) AS BIGINT) AS n FROM tok), " +
+        "subs1 AS (SELECT w, n, unnest(generate_series(1, CAST(n AS INT))) AS p FROM words), " +
+        "dsubs AS (SELECT DISTINCT w, substr(w, CAST(p AS INT), CAST(k AS INT)) AS piece FROM " +
+        "(SELECT w, p, unnest(generate_series(1, CAST(least(3, n - p + 1) AS INT))) AS k FROM subs1)), " +
+        "cand AS (SELECT dsubs.w, dsubs.piece, v.nll FROM dsubs JOIN v USING (piece)), " +
+        "wm AS MATERIALIZED (SELECT w, map_from_entries(list(struct_pack(k := piece, v := CAST(nll AS BIGINT)))) AS m FROM cand GROUP BY w), " +
+        "seg AS MATERIALIZED (SELECT wo.w, wo.n, wm.m, " +
+        "list_reduce(list_prepend([CAST(0 AS BIGINT)], list_transform(generate_series(1, CAST(wo.n AS INT)), i -> [CAST(i AS BIGINT)])), " +
+        s"(a, b) -> list_append(a, $fwd)) AS costs " +
+        "FROM words wo LEFT JOIN wm USING (w)), " +
+        "wp AS MATERIALIZED (SELECT w, m, " +
+        "list_reduce(list_prepend([n], list_transform(generate_series(1, CAST(n AS INT)), i -> [CAST(0 AS BIGINT)])), " +
+        s"(a, b) -> list_append(a, CASE WHEN a[len(a)] = 0 THEN 0 ELSE a[len(a)] - ($chosen) END)) AS wp " +
+        "FROM seg), " +
+        "walk AS (SELECT w, m, list_filter(list_transform(generate_series(1, len(wp) - 1), " +
+        "i -> substr(w, CAST(wp[i+1] + 1 AS INT), CAST(wp[i] - wp[i+1] AS INT))), x -> length(x) >= 1) AS ps " +
+        "FROM wp), " +
+        "exp AS (SELECT w, flatten(list_transform(list_reverse(ps), " +
+        s"p -> CASE WHEN m[p][1] IS NOT NULL THEN [p] ELSE $bytes END)) AS pieces FROM walk) " +
+        "SELECT t.id, t.word_idx, CAST(j - 1 AS BIGINT) AS piece_idx, e.pieces[j] AS piece " +
+        "FROM tok t JOIN exp e USING (w), unnest(generate_series(1, len(e.pieces))) AS u(j) " +
+        "ORDER BY id, word_idx, piece_idx"
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.llmops.Unigram
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 4)
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") % 4 === 0, lit("hello world"))
+            .when(col("doc_id") % 4 === 1, lit("héllo wörld"))
+            .when(col("doc_id") % 4 === 2, lit("你好 世界"))
+            .otherwise(lit("mix café ok x你x")).as("text"))
+      val vocab = ByteFallbackVocab.toSeq.toDF("piece", "nll")
+      Unigram.segment(docs, "id", "text", vocab, maxPieceLen = 3,
+          byteFallback = true)
+        .orderBy("id", "word_idx", "piece_idx")
     }
   )
+
+  // Planted FOREIGN vocabulary for q_x_byte_fallback: Latin singles plus
+  // two multis, NO accented/CJK chars (they must byte-expand); 'l' costs
+  // more than its peers so 'll' wins without ties.
+  private def ByteFallbackVocab: Seq[(String, Long)] = Seq(
+    ("hel", 700000L), ("ll", 900000L), ("h", 3000000L), ("e", 3000000L),
+    ("l", 3100000L), ("o", 3000000L), ("w", 3000000L), ("r", 3000000L),
+    ("d", 3000000L), ("m", 3000000L), ("i", 3000000L), ("x", 3000000L),
+    ("c", 3000000L), ("a", 3000000L), ("f", 3000000L), ("k", 3000000L))
+
+  /** Shared DuckDB replay of [[graft.llmops.LmArtifact.arpaTable]]:
+    * unigram counts → add-1 probs over V+1 outcomes (incl. `<unk>`),
+    * bigram counts → context totals → absolute-discount probs and
+    * backoff weights, every value quantized with the same
+    * `floor(log10(x)·1e6 + 0.5)`. `srcFilter` picks the reference slice.
+    */
+  private def arpaChainSql(srcFilter: String): String =
+    s"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents $srcFilter), " +
+      "cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cu) AS BIGINT) AS tt, count(*) AS vd FROM cu), " +
+      "up AS (SELECT u.w, u.cu, CAST(-floor(log((u.cu + 1) / CAST(tot.tt + tot.vd + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
+      "FROM (SELECT w, cu FROM cu UNION ALL SELECT '<unk>', CAST(0 AS BIGINT)) u CROSS JOIN tot), " +
+      "gr AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 2), " +
+      "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM gr GROUP BY 1, 2), " +
+      "ctx AS (SELECT cb.w1, CAST(count(*) AS BIGINT) AS n1p, CAST(sum(cb.cb) AS BIGINT) AS c1, CAST(sum(cu2.cu + 1) AS BIGINT) AS seen_num " +
+      "FROM cb JOIN cu cu2 ON cb.w2 = cu2.w GROUP BY 1), " +
+      "bows AS (SELECT ctx.w1, CAST(floor(log((CAST(0.75 AS DOUBLE) * ctx.n1p / CAST(ctx.c1 AS DOUBLE)) / " +
+      "(1 - ctx.seen_num / CAST(tot.tt + tot.vd + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS bow FROM ctx CROSS JOIN tot), " +
+      "bm AS (SELECT cb.w1, cb.w2, CAST(-floor(log((cb.cb - CAST(0.75 AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
+      "FROM cb JOIN ctx ON cb.w1 = ctx.w1)"
 
   /** [[unigramVocabSql]] extended through the full hand-off: token-id
     * rank over the trained vocab, one more Viterbi pass (same folds, no

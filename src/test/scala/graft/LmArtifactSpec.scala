@@ -1,0 +1,220 @@
+package graft
+
+import graft.llmops.LmArtifact
+import org.apache.spark.sql.functions._
+
+/** ARPA bigram-backoff LM artifact: hand-checked model arithmetic, the
+  * exact-normalization law the context-count denominator exists for,
+  * byte-pinned file form, export→import round trip, hand-assembled
+  * FOREIGN files (the Xlsx/PDF/VocabArtifact discipline), backoff
+  * scoring, and the loud-failure matrix.
+  *
+  * Hand model over ["a b a c", "a b"]: cu a=3 b=2 c=1, T=6 V=3;
+  * P_uni = (c+1)/10 → a .4 b .3 c .2 unk .1. cb: "a b"=2 "b a"=1
+  * "a c"=1; contexts a (c1=3, N1+=2, seen 5/10) b (c1=1, N1+=1,
+  * seen 4/10). bow(a) = (.75·2/3)/(.5) = 1 → 0; bow(b) =
+  * (.75·1/1)/(.6) = 1.25 → 96910 micro. P(b|a) = 1.25/3,
+  * P(c|a) = .25/3, P(a|b) = .25.
+  */
+class LmArtifactSpec extends SparkTestBase {
+
+  private def tinyCorpus = {
+    import spark.implicits._
+    Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+  }
+
+  private val expectedTable = Set(
+    (1, "<unk>", 1000000L, Some(0L)),
+    (1, "a", 397940L, Some(0L)),
+    (1, "b", 522879L, Some(96910L)),
+    (1, "c", 698970L, Some(0L)),
+    (2, "a b", 380211L, None),
+    (2, "a c", 1079181L, None),
+    (2, "b a", 602060L, None))
+
+  private def tableSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+
+  test("arpaTable matches the hand-computed model exactly") {
+    assert(tableSet(LmArtifact.arpaTable(tinyCorpus)) === expectedTable)
+  }
+
+  test("normalization law: per context, seen mass + bow * unseen unigram mass = 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick red fox sleeps"),
+      (3L, "a lazy dog jumps"),
+      (4L, "over the red dog")).toDF("doc_id", "text")
+    val t = LmArtifact.arpaTable(docs).collect()
+    val uni = t.filter(_.getInt(0) == 1)
+      .map(r => r.getString(1) -> math.pow(10, -r.getLong(2) / 1e6)).toMap
+    val bows = t.filter(_.getInt(0) == 1)
+      .map(r => r.getString(1) -> math.pow(10, r.getLong(3) / 1e6)).toMap
+    val bi = t.filter(_.getInt(0) == 2).map { r =>
+      val Array(w1, w2) = r.getString(1).split(" ")
+      (w1, w2, math.pow(10, -r.getLong(2) / 1e6))
+    }
+    bi.groupBy(_._1).foreach { case (w1, rows) =>
+      val seenP = rows.map(_._3).sum
+      val seenUniMass = rows.map(r => uni(r._2)).sum
+      val total = seenP + bows(w1) * (1.0 - seenUniMass)
+      // quantization to the micro grid perturbs each term by <= 1e-6
+      // relative; the c1-vs-cu bug class this law exists to catch is
+      // off by whole percents.
+      assert(math.abs(total - 1.0) < 1e-3, s"context '$w1' sums to $total")
+    }
+    // every unigram with no continuations backs off with weight 1
+    val ctxWords = bi.map(_._1).toSet
+    t.filter(r => r.getInt(0) == 1 && !ctxWords.contains(r.getString(1)))
+      .foreach(r => assert(r.getLong(3) === 0L))
+  }
+
+  test("writeArpa bytes are pinned: sections, counts, tab fields, bow only when != 1") {
+    val dir = java.nio.file.Files.createTempDirectory("arpa_pin").toString
+    val m = LmArtifact.writeArpa(spark,
+      LmArtifact.arpaTable(tinyCorpus), s"$dir/model.arpa").collect()
+    assert(m.length === 1)
+    assert(m.head.getAs[Long]("n_unigrams") === 4L)
+    assert(m.head.getAs[Long]("n_bigrams") === 3L)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "model.arpa"))
+    val expected =
+      "\\data\\\nngram 1=4\nngram 2=3\n\n" +
+        "\\1-grams:\n" +
+        "-1.000000\t<unk>\n" +
+        "-0.397940\ta\n" +
+        "-0.522879\tb\t0.096910\n" +
+        "-0.698970\tc\n\n" +
+        "\\2-grams:\n" +
+        "-0.380211\ta b\n" +
+        "-1.079181\ta c\n" +
+        "-0.602060\tb a\n\n" +
+        "\\end\\\n"
+    assert(new String(bytes, "UTF-8") === expected)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    assert(m.head.getAs[String]("content_md5") === md5)
+  }
+
+  test("export -> import round trip reproduces the table exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("arpa_rt").toString
+    val table = LmArtifact.arpaTable(tinyCorpus)
+    LmArtifact.writeArpa(spark, table, s"$dir/model.arpa").collect()
+    assert(tableSet(LmArtifact.readArpa(spark, s"$dir/model.arpa")) ===
+      expectedTable)
+  }
+
+  test("foreign file imports: CRLF, space separators, %g floats, absent bow") {
+    val dir = java.nio.file.Files.createTempDirectory("arpa_foreign")
+    val foreign =
+      "\\data\\\r\nngram 1=3\r\nngram 2=1\r\n\r\n" +
+        "\\1-grams:\r\n" +
+        "-1 <unk>\r\n" +
+        "-1.5e-1 hello -2.5e-2\r\n" +
+        "-0.30103 world\r\n\r\n" +
+        "\\2-grams:\r\n" +
+        "-0.5 hello world\r\n\r\n" +
+        "\\end\\\r\n"
+    val p = dir.resolve("foreign.arpa")
+    java.nio.file.Files.write(p, foreign.getBytes("UTF-8"))
+    val got = tableSet(LmArtifact.readArpa(spark, p.toString))
+    assert(got === Set(
+      (1, "<unk>", 1000000L, Some(0L)),
+      (1, "hello", 150000L, Some(-25000L)),
+      (1, "world", 301030L, Some(0L)),
+      (2, "hello world", 500000L, None)))
+  }
+
+  test("import failures are loud with line numbers") {
+    val dir = java.nio.file.Files.createTempDirectory("arpa_bad")
+    def write(name: String, s: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+      p.toString
+    }
+    val noData = write("a.arpa", "\\1-grams:\n-1\t<unk>\n\\end\\\n")
+    val e1 = intercept[IllegalArgumentException](
+      LmArtifact.readArpa(spark, noData))
+    assert(e1.getMessage.contains(":1:") &&
+      e1.getMessage.contains("\\data\\"))
+    val badCount = write("b.arpa",
+      "\\data\\\nngram 1=2\n\\1-grams:\n-1\t<unk>\n\\end\\\n")
+    val e2 = intercept[IllegalArgumentException](
+      LmArtifact.readArpa(spark, badCount))
+    assert(e2.getMessage.contains("declares 2"))
+    val tri = write("c.arpa", "\\data\\\nngram 3=1\n\\1-grams:\n\\end\\\n")
+    val e3 = intercept[IllegalArgumentException](
+      LmArtifact.readArpa(spark, tri))
+    assert(e3.getMessage.contains("3-gram"))
+    val nonNum = write("d.arpa",
+      "\\data\\\nngram 1=1\n\\1-grams:\nxyz\t<unk>\n\\end\\\n")
+    val e4 = intercept[IllegalArgumentException](
+      LmArtifact.readArpa(spark, nonNum))
+    assert(e4.getMessage.contains("non-numeric") &&
+      e4.getMessage.contains(":4:"))
+    val trailing = write("e.arpa",
+      "\\data\\\nngram 1=1\n\\1-grams:\n-1\t<unk>\n\\end\\\nmore\n")
+    val e5 = intercept[IllegalArgumentException](
+      LmArtifact.readArpa(spark, trailing))
+    assert(e5.getMessage.contains("after \\end\\"))
+    val noEnd = write("f.arpa", "\\data\\\nngram 1=1\n\\1-grams:\n-1\t<unk>\n")
+    val e6 = intercept[IllegalArgumentException](
+      LmArtifact.readArpa(spark, noEnd))
+    assert(e6.getMessage.contains("missing \\end\\"))
+  }
+
+  test("backoff scoring: seen pair uses bigram, unseen pair pays uni(w2) - bow(w1), OOV maps to <unk>") {
+    import spark.implicits._
+    val lm = LmArtifact.arpaTable(tinyCorpus).localCheckpoint(true)
+    val doc = Seq((7L, "a b z")).toDF("doc_id", "text")
+    val r = LmArtifact.arpaScore(doc, "doc_id", "text", lm).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_pairs") === 2L)
+    assert(row.getAs[Long]("n_oov") === 1L)      // target z -> <unk>
+    assert(row.getAs[Long]("n_backoff") === 1L)  // pair (b, <unk>) unseen
+    // (a,b) seen: 380211; (b,<unk>): uni(<unk>) 1000000 - bow(b) 96910
+    assert(row.getAs[Long]("sum_nll10_micro") === 380211L + 903090L)
+  }
+
+  test("scoring refuses a model without <unk>") {
+    import spark.implicits._
+    val lm = LmArtifact.arpaTable(tinyCorpus)
+      .filter(col("gram") =!= LmArtifact.Unk).localCheckpoint(true)
+    val doc = Seq((7L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      LmArtifact.arpaScore(doc, "doc_id", "text", lm))
+    assert(e.getMessage.contains("<unk>"))
+  }
+
+  test("a literal <unk> token in the reference corpus refuses loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "real text with <unk> inside")).toDF("doc_id", "text")
+    val e = intercept[Exception](LmArtifact.arpaTable(docs).collect())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("<unk>"), msgs)
+  }
+
+  test("bigram-free corpus still writes and re-imports (empty 2-gram section)") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo"), (2L, "word")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("arpa_uni").toString
+    val t = LmArtifact.arpaTable(docs)
+    val m = LmArtifact.writeArpa(spark, t, s"$dir/u.arpa").collect()
+    assert(m.head.getAs[Long]("n_bigrams") === 0L)
+    assert(tableSet(LmArtifact.readArpa(spark, s"$dir/u.arpa")) === tableSet(t))
+  }
+
+  test("microToDecimal prints the exact grid value") {
+    assert(LmArtifact.microToDecimal(0L) === "0.000000")
+    assert(LmArtifact.microToDecimal(-1L) === "-0.000001")
+    assert(LmArtifact.microToDecimal(1234567L) === "1.234567")
+    assert(LmArtifact.microToDecimal(-96910L) === "-0.096910")
+  }
+}

@@ -266,4 +266,99 @@ class VocabArtifactSpec extends SparkTestBase {
       java.nio.file.Paths.get(dir, "sp.vocab")), "UTF-8")
     assert(tsv === "<unk>\t0.0\n<s>\t0.0\n</s>\t0.0\na\t-0.200000\nb\t-1.500000\n")
   }
+
+  test("byte fallback: OOV chars emit UTF-8 byte pieces, covered neighbors keep their pieces, all-OOV words survive") {
+    import spark.implicits._
+    val vocab = Seq(("ll", 900000L), ("h", 3000000L), ("e", 3000000L),
+      ("l", 3100000L), ("o", 3000000L), ("x", 3000000L))
+      .toDF("piece", "nll")
+    val docs = Seq((1L, "héllo"), (2L, "x你x"), (3L, "你好"))
+      .toDF("id", "text")
+    val got = Unigram.segment(docs, "id", "text", vocab, maxPieceLen = 3,
+        byteFallback = true)
+      .orderBy("id", "word_idx", "piece_idx")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    // é = C3 A9; 你 = E4 BD A0; 好 = E5 A5 BD
+    assert(got.toSeq === Seq(
+      (1L, "h"), (1L, "<0xC3>"), (1L, "<0xA9>"), (1L, "ll"), (1L, "o"),
+      // the in-vocab neighbor law: x emits its OWN piece, never absorbed
+      (2L, "x"), (2L, "<0xE4>"), (2L, "<0xBD>"), (2L, "<0xA0>"), (2L, "x"),
+      // the left-join law: a word NO vocab piece touches still segments
+      (3L, "<0xE4>"), (3L, "<0xBD>"), (3L, "<0xA0>"),
+      (3L, "<0xE5>"), (3L, "<0xA5>"), (3L, "<0xBD>")))
+    // piece_idx renumbers densely inside each word
+    val idx = Unigram.segment(docs, "id", "text", vocab, maxPieceLen = 3,
+        byteFallback = true)
+      .filter(col("id") === 1L).orderBy("piece_idx")
+      .collect().map(_.getLong(2))
+    assert(idx.toSeq === (0L until 5L))
+  }
+
+  test("byte fallback on a full-coverage vocab equals the plain path (behavior-neutral when coverage is total)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abba cab"), (2L, "bac")).toDF("id", "text")
+    val vocab = Unigram.unigramVocab(docs, "id", "text", vocabSize = 4)
+    def run(bf: Boolean) =
+      Unigram.segment(docs, "id", "text", vocab, byteFallback = bf)
+        .orderBy("id", "word_idx", "piece_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    assert(run(bf = true) === run(bf = false))
+  }
+
+  test("byte fallback round trip: metaspace segment -> detokenize(byteFallback) recovers the original text") {
+    import spark.implicits._
+    // vocab covers ascii letters + the metaspace marker, NOT é/ö/CJK
+    val letters = ("abcdefghijklmnopqrstuvwxyz" + VocabArtifact.Marker)
+      .map(c => (c.toString, 3000000L))
+    val vocab = letters.toDF("piece", "nll")
+    val docs = Seq((1L, "héllo wörld"), (2L, "café 你好 ok")).toDF("id", "text")
+    val seg = Unigram.segment(docs, "id", "text", vocab, maxPieceLen = 3,
+      tokens = VocabArtifact.metaspace(), byteFallback = true)
+    val back = VocabArtifact.detokenize(seg, byteFallback = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === Seq((1L, "héllo wörld"), (2L, "café 你好 ok")))
+    // an OOV metaspace marker itself byte-expands and still decodes:
+    // drop ▁ from the vocab, same round trip
+    val noMarker = letters.filterNot(_._1 == VocabArtifact.Marker)
+      .toDF("piece", "nll")
+    val seg2 = Unigram.segment(docs, "id", "text", noMarker, maxPieceLen = 3,
+      tokens = VocabArtifact.metaspace(), byteFallback = true)
+    val back2 = VocabArtifact.detokenize(seg2, byteFallback = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back2.toSeq === Seq((1L, "héllo wörld"), (2L, "café 你好 ok")))
+  }
+
+  test("byte-fallback artifact: ids unk,controls,bytes,learned; byte_fallback declared; import flags; serving withholds") {
+    import spark.implicits._
+    val vocab = Seq(("a", 1L, 5L, 200000L), ("b", 1L, 3L, 1500000L))
+      .toDF("piece", "n_chars", "cnt", "nll_micro")
+    val table = VocabArtifact.unigramArtifactTable(vocab,
+      controls = Seq("<s>", "</s>"), byteFallback = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(table.length === 1 + 2 + 256 + 2)
+    assert(table(0) === (0L, "<unk>"))
+    assert(table(1) === (1L, "<s>") && table(2) === (2L, "</s>"))
+    assert(table(3) === (3L, "<0x00>") && table(258) === (258L, "<0xFF>"))
+    assert(table(259) === (259L, "a") && table(260) === (260L, "b"))
+    val dir = java.nio.file.Files.createTempDirectory("vocab_bf").toString
+    VocabArtifact.writeUnigramJson(vocab, s"$dir/tokenizer.json",
+      controls = Seq("<s>", "</s>"), byteFallback = true)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tokenizer.json")), "UTF-8")
+    assert(txt.contains("\"byte_fallback\":true"))
+    assert(txt.contains("[\"<0x00>\",0.0]") && txt.contains("[\"<0xFF>\",0.0]"))
+    // byte rows are vocab rows, NOT added_tokens
+    assert(!txt.contains("\"content\":\"<0x00>\""))
+    val imported = VocabArtifact.readUnigramJson(spark, s"$dir/tokenizer.json")
+    val byteRows = imported.filter(col("byte")).count()
+    assert(byteRows === 256L)
+    val servable = VocabArtifact.servableVocab(imported)
+      .collect().map(_.getString(0)).toSet
+    assert(servable === Set("a", "b"))
+    // without the byte_fallback flag, <0xXX>-shaped pieces stay ordinary
+    VocabArtifact.writeUnigramJson(vocab, s"$dir/plain.json")
+    val plain = VocabArtifact.readUnigramJson(spark, s"$dir/plain.json")
+    assert(plain.filter(col("byte")).count() === 0L)
+  }
 }
