@@ -1120,4 +1120,60 @@ object Corpus {
       .select(col("prompt_id"), col("prompt"), col("resp_id"),
         col("response"), col("score"), col("__n").cast("long").as("n_candidates"))
   }
+
+  /** GRPO group-relative advantages (Shao et al. 2024, the DeepSeekMath
+    * recipe) — the third post-training labeling next to the pairwise
+    * ([[preferencePairs]]) and unpaired ([[unpairedPreferences]]) forms:
+    * each response's reward normalizes against its OWN prompt group,
+    * `adv = (r − mean) / std` (population std — the group IS the
+    * population GRPO averages over), replacing a learned value baseline
+    * with the group statistic.
+    *
+    * Numeric discipline: rewards enter as INTEGER micros (`rewardCol`
+    * must be integral — a float reward pre-scales upstream, the
+    * curriculumPhases quantize-then-decide rule), and both moments stay
+    * exact integers: `d_i = n·r_i − Σr` (the cross-multiplied deviation,
+    * the [[unpairedPreferences]] trick) and `n·Σr² − (Σr)²  (= n²·σ²)`
+    * accumulated in DECIMAL(38,0) (the importance-weight precedent —
+    * micro rewards square past BIGINT). Only the final
+    * `adv = d_i / sqrt(n·Σr² − (Σr)²)` — algebraically `(r−μ)/σ` with
+    * every cancellation done on integers — touches floating point,
+    * rounded 6. An all-equal group (σ = 0, zero signal,
+    * GRPO's degenerate batch) emits adv 0 for every member rather than
+    * NaN; singleton groups are the n=1 case of the same rule.
+    *
+    * Returns (prompt_id, resp_id, reward_micro, n_group, d_micro, adv).
+    * Scale: one map-side-combinable groupBy(prompt) + one shuffle
+    * equi-join back on the prompt — no window, no global state.
+    */
+  def groupAdvantages(responses: DataFrame, promptIdCol: String,
+      respIdCol: String, rewardCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = responses.schema(rewardCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"groupAdvantages: '$rewardCol' must be an integral micro reward " +
+        s"(got ${dt.simpleString}) — scale float rewards to the micro grid " +
+        "upstream so the group moments stay exact")
+    val base = responses.select(col(promptIdCol).as("prompt_id"),
+      col(respIdCol).as("resp_id"),
+      col(rewardCol).cast("long").as("reward_micro"))
+    val stats = base.groupBy("prompt_id")
+      .agg(count(lit(1)).as("__n"),
+        sum("reward_micro").as("__s"),
+        sum(col("reward_micro").cast("decimal(38,0)") *
+          col("reward_micro").cast("decimal(38,0)")).as("__q"))
+    base.join(stats, Seq("prompt_id"))
+      .withColumn("d_micro", col("__n") * col("reward_micro") - col("__s"))
+      // n²σ² = n·Σr² − (Σr)² — exact in DECIMAL(38,0); adv = d / √(n²σ²) · √n
+      .withColumn("__var_nn",
+        (col("__n").cast("decimal(38,0)") * col("__q") -
+          col("__s").cast("decimal(38,0)") * col("__s").cast("decimal(38,0)"))
+          .cast("double"))
+      // adv = (d/n) / (√(n²σ²)/n) = d / √(n·Σr² − (Σr)²)
+      .withColumn("adv",
+        when(col("__var_nn") === 0.0, lit(0.0))
+          .otherwise(round(col("d_micro") / sqrt(col("__var_nn")), 6)))
+      .select(col("prompt_id"), col("resp_id"), col("reward_micro"),
+        col("__n").as("n_group"), col("d_micro"), col("adv"))
+  }
 }

@@ -692,6 +692,53 @@ object Dedup {
         explode(sequence(col("b_start"), col("b_start") + col("span_tokens") - 1))
           .as("pos"))
       .dropDuplicates("doc", "pos")
+    exciseCovered(df, idCol, textCol, covered)
+  }
+
+  /** Span-level benchmark DECONTAMINATION — the surgical alternative to
+    * [[decontaminate]]'s whole-document drop (the Lee et al. removal
+    * machinery pointed at leakage instead of duplication): verbatim
+    * token spans a training document shares with the benchmark suite are
+    * EXCISED and the rest of the document ships. Dropping a whole
+    * 50k-token page because one quiz question leaked into its footer
+    * wastes the other 49k tokens; dropping only the leaked span removes
+    * exactly the memorization hazard. The flag rule ([[decontaminate]])
+    * stays the right tool when ANY overlap disqualifies (eval-adjacent
+    * corpora); this is the yield-preserving rule for bulk pretraining
+    * data — both are governance decisions, so the output keeps the
+    * counts that audit them.
+    *
+    * Span definition and caps are [[sharedSpansAcross]]'s (width-window
+    * positional fingerprints, diagonal merge, ubiquity cap counted over
+    * BOTH sides; ids disjoint across sides — same caller contract);
+    * excision always falls on the TRAIN side. Every training document
+    * returns: (doc, n_kept, n_removed, clean_text) — `n_removed > 0` is
+    * the contamination record.
+    *
+    * Scale: the bench fingerprint table is eval-suite-sized probing the
+    * train fingerprints (one equi-join on the fp — the corpus is never
+    * self-paired); excision is the bounded covered-position anti-join +
+    * one keyed reassembly, linear end to end.
+    */
+  def decontaminateSpans(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      width: Int = 8, minTokens: Int = 12, maxFpFreq: Int = 128): DataFrame = {
+    val spans = sharedSpansAcross(train, bench, idCol, textCol,
+      width, minTokens, maxFpFreq)
+    val covered = spans
+      .select(col("batch_id").as("doc"),
+        explode(sequence(col("batch_start"),
+          col("batch_start") + col("span_tokens") - 1)).as("pos"))
+      .dropDuplicates("doc", "pos")
+    exciseCovered(train, idCol, textCol, covered)
+  }
+
+  /** Shared excision + reassembly: drop `covered` (doc, pos) tokens from
+    * every document of `df`, rebuild the text in position order. One
+    * anti-join + one keyed aggregation bounded by document length.
+    */
+  private def exciseCovered(df: DataFrame, idCol: String, textCol: String,
+      covered: DataFrame): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
       .withColumn("pos", col("pos").cast("long"))

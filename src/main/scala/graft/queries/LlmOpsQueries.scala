@@ -5330,6 +5330,60 @@ object LlmOpsQueries extends QueryModule {
       Unigram.segment(docs, "id", "text", vocab, maxPieceLen = 3,
           byteFallback = true)
         .orderBy("id", "word_idx", "piece_idx")
+    },
+
+    // Span-level benchmark decontamination — the yield-preserving rule:
+    // verbatim spans the train side (even doc_ids) shares with the bench
+    // suite (odd) are EXCISED, the document ships; replay = the cross-
+    // side span chain (joint ubiquity cap) + covered-position scrub +
+    // position-ordered reassembly, value-exact per document.
+    q("q_x_decon_spans",
+      "WITH " + substringCoolSql + ", " +
+        "seeds2 AS (SELECT b.doc_id AS ba, c.doc_id AS ca, b.p AS pa, c.p AS pb FROM cool b JOIN cool c ON b.fp = c.fp AND b.doc_id % 2 = 0 AND c.doc_id % 2 = 1), " +
+        "runs2 AS (SELECT ba, ca, pa - pb AS diag, pa, pb, pa - row_number() OVER (PARTITION BY ba, ca, pa - pb ORDER BY pa) AS isl FROM seeds2), " +
+        "spans2 AS (SELECT ba, min(pa) - 1 AS b_start, max(pa) - min(pa) + 8 AS span_tokens FROM runs2 GROUP BY ba, ca, diag, isl HAVING max(pa) - min(pa) + 8 >= 12), " +
+        "cov AS (SELECT DISTINCT doc, pos FROM (SELECT ba AS doc, b_start + unnest(generate_series(0, span_tokens - 1)) AS pos FROM spans2)), " +
+        "pos2 AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i FROM t WHERE doc_id % 2 = 0), " +
+        "tk AS (SELECT p.doc_id AS doc, CAST(p.i - 1 AS BIGINT) AS pos, t.toks[p.i] AS tok FROM pos2 p JOIN t ON t.doc_id = p.doc_id), " +
+        "kp AS (SELECT tk.doc, tk.pos, tk.tok FROM tk WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc = tk.doc AND cov.pos = tk.pos)), " +
+        "rb AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(tok, ' ' ORDER BY pos)) AS cmd5 FROM kp GROUP BY 1) " +
+        "SELECT t.doc_id AS doc, coalesce(rb.n_kept, 0) AS n_kept, " +
+        "CAST(len(t.toks) AS BIGINT) - coalesce(rb.n_kept, 0) AS n_removed, " +
+        "coalesce(rb.cmd5, md5('')) AS clean_md5 " +
+        "FROM t LEFT JOIN rb ON rb.doc = t.doc_id WHERE t.doc_id % 2 = 0 ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateSpans(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", width = 8, minTokens = 12, maxFpFreq = 128)
+        .select(col("doc"), col("n_kept"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc")
+    },
+
+    // GRPO group-relative advantages: per-prompt reward normalization
+    // with exact integer moments (d = n*r - S; n^2*sigma^2 = n*Q - S^2 in
+    // DECIMAL) — only the final divide-by-sqrt is float, rounded 6. The
+    // planted micro rewards make every group non-degenerate except
+    // prompt 0 (all-equal -> adv 0, the stated rule).
+    q("q_x_group_advantages",
+      "WITH r AS (SELECT doc_id % 40 AS prompt_id, doc_id AS resp_id, " +
+        "CASE WHEN doc_id % 40 = 0 THEN 250000 ELSE (doc_id * 7919) % 1000000 END AS reward_micro " +
+        "FROM documents), " +
+        "g AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(reward_micro) AS BIGINT) AS s, " +
+        "sum(CAST(reward_micro AS HUGEINT) * CAST(reward_micro AS HUGEINT)) AS q FROM r GROUP BY 1) " +
+        "SELECT r.prompt_id, r.resp_id, CAST(r.reward_micro AS BIGINT) AS reward_micro, g.n AS n_group, " +
+        "CAST(g.n * r.reward_micro - g.s AS BIGINT) AS d_micro, " +
+        "CASE WHEN g.n * g.q - CAST(g.s AS HUGEINT) * g.s = 0 THEN 0.0 " +
+        "ELSE round((g.n * r.reward_micro - g.s) / sqrt(CAST(g.n * g.q - CAST(g.s AS HUGEINT) * g.s AS DOUBLE)), 6) END AS adv " +
+        "FROM r JOIN g USING (prompt_id) ORDER BY prompt_id, resp_id") { (s, d) =>
+      val resp = Tables.documents(s, d).select(
+        (col("doc_id") % 40).as("prompt_id"),
+        col("doc_id").as("resp_id"),
+        when(col("doc_id") % 40 === 0, lit(250000L))
+          .otherwise((col("doc_id") * 7919) % 1000000).as("reward_micro"))
+      Corpus.groupAdvantages(resp, "prompt_id", "resp_id", "reward_micro")
+        .orderBy("prompt_id", "resp_id")
     }
   )
 

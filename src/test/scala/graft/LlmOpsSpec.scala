@@ -1,6 +1,6 @@
 package graft
 
-import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-ops operators: approximate paths validated against their exact
@@ -2764,5 +2764,59 @@ class LlmOpsSpec extends SparkTestBase {
       ("https://b.example/smi.xml", "sitemap", "https://b.example/child1.xml", Some("2026-01-02T03:04:05Z")),
       ("https://b.example/smi.xml", "sitemap", "https://b.example/child2.xml", None),
       ("https://c.example/sm.xml", "url", "https://c.example/esc?a=&lt;b&gt;\"'", None)))
+  }
+
+  test("decontaminateSpans: the leaked span is excised, the rest of the doc ships; short overlaps survive") {
+    import spark.implicits._
+    val leak = "which ancient city stood beside the wide green river when the old empire fell"
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (2L, s"$filler $leak more prose after the leak"),  // leaked mid-doc
+      (4L, "a perfectly clean training document with nothing shared at all"),
+      (6L, s"short overlap the wide green river only"))  // < minTokens, survives
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, s"quiz question: $leak ?")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, bench, "doc_id", "text",
+        width = 8, minTokens = 12, maxFpFreq = 128)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val leakLen = leak.split(" ").length
+    // doc 2: exactly the leaked span is gone, prefix and suffix intact
+    val (_, kept2, removed2, clean2) = out(0)
+    assert(removed2 === leakLen.toLong)
+    assert(kept2 === 30L + 5L)
+    assert(clean2 === s"$filler more prose after the leak")
+    // doc 4 and 6 untouched (clean / below minTokens)
+    assert(out(1)._3 === 0L && out(1)._4.nonEmpty)
+    assert(out(2)._3 === 0L)
+    // every train doc returns, bench docs never do
+    assert(out.map(_._1).toSeq === Seq(2L, 4L, 6L))
+  }
+
+  test("groupAdvantages: hand-checked whitening, all-equal group zeroes, singleton zeroes, float reward loud") {
+    import spark.implicits._
+    // group 10: rewards 1,2,3 (micro) -> mean 2, pop std sqrt(2/3);
+    // adv = (r-2)/sqrt(2/3) -> -1.224745, 0, 1.224745
+    val resp = Seq(
+      (10L, 1L, 1L), (10L, 2L, 2L), (10L, 3L, 3L),
+      (20L, 4L, 7L), (20L, 5L, 7L),   // all-equal -> adv 0
+      (30L, 6L, 42L))                  // singleton -> adv 0
+      .toDF("prompt_id", "resp_id", "reward_micro")
+    val got = Corpus.groupAdvantages(resp, "prompt_id", "resp_id", "reward_micro")
+      .orderBy("prompt_id", "resp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (10L, 1L, -3L, -1.224745), (10L, 2L, 0L, 0.0), (10L, 3L, 3L, 1.224745),
+      (20L, 4L, 0L, 0.0), (20L, 5L, 0L, 0.0),
+      (30L, 6L, 0L, 0.0)))
+    // whitening law on a real group: sum(adv) ~ 0, sum(adv^2) ~ n
+    val g = got.filter(_._1 == 10L).map(_._4)
+    assert(math.abs(g.sum) < 1e-5)
+    assert(math.abs(g.map(a => a * a).sum - 3.0) < 1e-4)
+    // float rewards refuse loudly (scale to micros upstream)
+    val fl = Seq((1L, 1L, 0.5)).toDF("prompt_id", "resp_id", "reward")
+    val e = intercept[IllegalArgumentException](
+      Corpus.groupAdvantages(fl, "prompt_id", "resp_id", "reward"))
+    assert(e.getMessage.contains("integral"))
   }
 }
