@@ -101,8 +101,11 @@ object LmArtifact {
           "collide with the OOV sentinel; pre-filter or re-tokenize"))
         .cast("string"),
       col("w")).as("w"), col("cu"))
+    // coalesce the empty-corpus sum: zero observed tokens leave a
+    // 1-outcome model (<unk> at P = 1, log 0) — degenerate but exactly
+    // normalized, never a null-score row.
     val totals = broadcast(cu.agg(
-      sum("cu").as("tt"), count(lit(1)).as("vd")))
+      coalesce(sum("cu"), lit(0L)).as("tt"), count(lit(1)).as("vd")))
     // P_uni on the micro grid, <unk> carried as a real row.
     val uniProb = cu.select(col("w"), col("cu"))
       .unionAll(cu.sparkSession.range(1)

@@ -269,7 +269,31 @@ object StressBench {
     // each a word-vocab-bounded window) + an alphabet-sized projection.
     "q_x_bpe_artifact",
     // sitemap discovery: robots-sized line explode + regexp projection.
-    "q_x_robots_sitemaps")
+    "q_x_robots_sitemaps",
+    // sitemap XML parse: one codegen'd regexp pass per body, no shuffle.
+    "q_x_sitemap_parse",
+    // control-token artifact: the unigram training lane + a shifted
+    // vocab-bounded rank projection.
+    "q_x_vocab_controls",
+    // eod export: append + the packed-export spine + binary round trip.
+    "q_x_eod_export",
+    // DSIR: two hashed-ngram explode+count passes (corpus-linear, dense
+    // bucket tables broadcast) + one keyed weight sum + Gumbel TakeOrdered.
+    "q_x_dsir",
+    // ARPA table: unigram/context aggs vocab-bounded; the bigram count
+    // is one shuffle agg over adjacent pairs — corpus-linear.
+    "q_x_arpa_lm",
+    // ARPA scoring: pair explode + one shuffle bigram join + broadcast
+    // unigram/bow joins + keyed sum — the bigram_nll lane shape.
+    "q_x_arpa_score",
+    // byte fallback: fixed planted input — expect flat; the lane guards
+    // the DP/expansion plan shape, not volume scaling.
+    "q_x_byte_fallback",
+    // span decon: cross-side fp probe (bench-sized) + covered-position
+    // anti-join + keyed reassembly — the substring_across lane shape.
+    "q_x_decon_spans",
+    // group advantages: one map-side groupBy + one equi-join back.
+    "q_x_group_advantages")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -263,4 +263,46 @@ class EmptyInputSpec extends SparkTestBase {
       Seq.empty[Tuple1[String]].toDF("t"), "t", pd, shards = 2).count() == 0)
     assert(graft.ingest.Pdf.read(spark, pd).count() == 0)
   }
+
+  test("r12 operators tolerate empty and degenerate inputs") {
+    import graft.llmops.{Dedup, LmArtifact, TextAnalysis, Unigram}
+    // ARPA: an empty reference trains the 1-outcome model (<unk> at
+    // P = 1, log 0) — degenerate but exactly normalized, never null
+    val t = LmArtifact.arpaTable(noDocs).collect()
+    assert(t.length == 1 && t.head.getString(1) == LmArtifact.Unk &&
+      t.head.getLong(2) == 0L)
+    // ...and it writes + re-imports
+    val dir = java.nio.file.Files.createTempDirectory("empty_arpa").toString
+    LmArtifact.writeArpa(spark, LmArtifact.arpaTable(noDocs),
+      s"$dir/e.arpa").collect()
+    assert(LmArtifact.readArpa(spark, s"$dir/e.arpa").count() == 1)
+    // scoring an empty corpus under a real model: empty, no throw
+    val lm = LmArtifact.arpaTable(
+      Seq((1L, "a b")).toDF("doc_id", "text")).localCheckpoint(true)
+    assert(LmArtifact.arpaScore(noDocs, "doc_id", "text", lm).count() == 0)
+    // span decon: empty train / empty bench both degrade to no-ops
+    assert(Dedup.decontaminateSpans(noDocs,
+      Seq((1L, "some benchmark text here")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    val train1 = Seq((2L, "plain training text")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateSpans(train1, noDocs, "doc_id", "text")
+      .collect()
+    assert(kept.length == 1 && kept.head.getAs[Long]("n_removed") == 0L)
+    // group advantages: empty in, empty out
+    assert(graft.llmops.Corpus.groupAdvantages(
+      Seq.empty[(Long, Long, Long)].toDF("prompt_id", "resp_id", "r"),
+      "prompt_id", "resp_id", "r").count() == 0)
+    // byte fallback: empty docs; and an EMPTY vocab still segments
+    // (left-join law -> all-byte expansion), nothing throws
+    val noVocab = Seq.empty[(String, Long)].toDF("piece", "nll")
+    assert(Unigram.segment(noDocs, "doc_id", "text", noVocab,
+      byteFallback = true).count() == 0)
+    val allBytes = Unigram.segment(Seq((1L, "ab")).toDF("doc_id", "text"),
+        "doc_id", "text", noVocab, byteFallback = true)
+      .orderBy("piece_idx").collect().map(_.getString(3))
+    assert(allBytes.toSeq == Seq("<0x61>", "<0x62>"))
+    // sitemap parse of empty bodies / dsir over empty raw side
+    assert(TextAnalysis.parseSitemaps(
+      Seq.empty[(String, String)].toDF("u", "b"), "u", "b").count() == 0)
+  }
 }

@@ -636,4 +636,46 @@ class PlanSpec extends SparkTestBase {
     assert(wbIn.nonEmpty && wbIn.forall(_ <= 3L),
       s"workbook offset window input exceeded 3 files: $wbIn")
   }
+
+  test("arpaScore: unigram/bow tables broadcast, the bigram join shuffles (never forced broadcast), per-doc sums partial") {
+    import graft.llmops.LmArtifact
+    val docs = Tables.documents(spark, dir)
+    val lm = LmArtifact.arpaTable(docs.filter(col("doc_id") % 2 === 0), "text")
+      .localCheckpoint(true)
+    val p = plan(LmArtifact.arpaScore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-bounded unigram/bow joins must broadcast:\n$p")
+    // the gram join must be a shuffle join: the bigram table grows with
+    // the model's training corpus (the tfidf lesson)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"bigram join must shuffle, not force-broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc score must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in score plan:\n$p")
+  }
+
+  test("groupAdvantages: no window anywhere — one keyed agg + one equi-join back") {
+    import spark.implicits._
+    val resp = Tables.documents(spark, dir).select(
+      (col("doc_id") % 11).as("prompt_id"), col("doc_id").as("resp_id"),
+      (col("doc_id") % 97).as("r"))
+    val p = plan(graft.llmops.Corpus.groupAdvantages(
+      resp, "prompt_id", "resp_id", "r"))
+    assert(!p.contains("Window"), s"groupAdvantages must not window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"group moments must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("decontaminateSpans: fp probe is an equi-join, no cartesian, reassembly partial-aggregates") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(graft.llmops.Dedup.decontaminateSpans(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span decon must never pair-explode:\n$p")
+    assert(p.contains("partial_count"),
+      s"reassembly must partial-aggregate:\n$p")
+  }
 }
