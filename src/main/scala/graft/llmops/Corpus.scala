@@ -479,6 +479,62 @@ object Corpus {
       .drop("__h", "__g", "__rn", "__off")
   }
 
+  /** Similarity-coherent global training order — in-context pretraining
+    * (Shi et al. 2023, arXiv:2310.10638): packing RELATED documents into
+    * the same training sequence teaches cross-document reasoning where
+    * random packing wastes the context window on unrelated neighbors.
+    * The paper chains kNN neighbors into paths; at corpus scale that is
+    * an all-pairs graph build, so this operator ships the SCALABLE
+    * approximation (deviation stated): coherence comes from IVF-cell
+    * grouping (same-topic docs land in the same cell) plus a 1-D
+    * locality key WITHIN the cell (a deterministic [[PortableHash]]
+    * hyperplane projection — cell-mates that are also near each other
+    * get near keys), and the global order is (cell, proj, id). The
+    * within-cell chain is approximate; the cell-level grouping — where
+    * the bulk of the adjacency gain lives (spec-measured: mean adjacent
+    * cosine ≫ the hash-shuffled [[trainingOrder]] baseline) — is exact.
+    *
+    * Feed `ord` to [[packSequences]]/[[tokenShards]] exactly like
+    * [[trainingOrder]]'s output (use THAT one when you want the
+    * de-correlated shuffle; this one when you want coherence — they are
+    * the two ends of the same knob).
+    *
+    * Scale: centroids broadcast (assignCells); the rank is the
+    * range-bucketed spine (repartitionByRange on the full order key +
+    * within-slice rank + an offsets table bounded by the bucket count —
+    * the crawlWaves/trainingOrder discipline, never a single-partition
+    * global window). Returns (id, cell, proj, ord) — ord dense 0-based.
+    */
+  def coherentOrder(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, buckets: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = if (buckets >= 1) buckets else spark.sparkContext.defaultParallelism
+    val cells = graft.llmops.Similarity.assignCells(
+      embeddings, centroids, idCol, vecCol)
+    val plane = typedLit((0 until dim).map(d =>
+      PortableHash.unitUniformJvm(s"icp:$d")))
+    val keyed = cells.select(col("cell"), col("cid").as("id"),
+      round(graft.llmops.Similarity.dot(col("cvec"), plane), 6).as("proj"))
+    // the two-consumer checkpoint pins the SAMPLED range boundaries
+    // (the rankPerHost rule): offsets and rank must see one partitioning
+    val parted = keyed
+      .repartitionByRange(n, col("cell"), col("proj"), col("id"))
+      .withColumn("__bkt", spark_partition_id().cast("long"))
+      .localCheckpoint(eager = true)
+    val inSlice = Window.partitionBy("__bkt")
+      .orderBy(col("cell"), col("proj"), col("id"))
+    val offsets = parted.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__bkt", "__off")
+    parted.withColumn("__rn", row_number().over(inSlice).cast("long"))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("ord", col("__off") + col("__rn") - 1L)
+      .select("id", "cell", "proj", "ord")
+  }
+
   /** Apply a [[temperatureMixPlan]] WITH REPLACEMENT (upsampling): where
     * [[mixSample]] can only keep or drop (targets above a stratum's count
     * are clamped by `keep_bps ≤ 10000`), this emits each row

@@ -493,6 +493,64 @@ object TextAnalysis {
       .withColumn("blocked", col("blocked_by").isNotNull)
   }
 
+  /** Banned-term/phrase content filter — the C4 "bad words" step (Raffel
+    * et al. 2020 drop any page containing a term from a curated
+    * blocklist), the CONTENT-granular sibling of [[hostBlocklist]]
+    * (domains) and `Corpus.withoutSources` (source labels): documents are
+    * matched against a curated term table where a term may be a single
+    * word OR a multi-word phrase. Matching is token-exact on the
+    * lowercased token stream (never substring — "class" must not match
+    * "classic"; the tokenizer defines word boundaries, `tokens` param per
+    * the r10 rule), phrases match as n-token sliding windows (overlapping
+    * occurrences each count — "batch batch batch" contains "batch batch"
+    * twice). Returns every document: (doc, n_hits — total occurrences,
+    * n_terms — distinct terms matched, blocked = n_hits > 0); the counts
+    * are the governance record, the C4 policy is `filter(!blocked)`.
+    *
+    * Scale: the term list is curated (10²–10⁴ rows) — it broadcasts, and
+    * its distinct token-LENGTHS (a handful) drive one shingle pass per
+    * length over the corpus: work is Σ_n |corpus tokens| per distinct
+    * phrase length, corpus-linear with a small constant, no window, no
+    * corpus-side blow-up (the shingle stream is matched, never
+    * materialized past its join). The distinct-length collect is
+    * blocklist-bounded (the mergeTable bounded-collect class).
+    */
+  def termBlocklist(df: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, termCol: String = "term",
+      tokens: Column => Column = wsTokens): DataFrame = {
+    val t = terms
+      .select(lower(trim(col(termCol).cast("string"))).as("term"))
+      .filter(length(col("term")) >= 1).distinct()
+      .withColumn("n", size(wsTokens(col("term"))))
+      .localCheckpoint(eager = true) // feeds the length collect + every join
+    val lens = t.select("n").distinct().collect().map(_.getInt(0)).sorted
+    val toks = df.select(col(idCol).as("doc"),
+      tokens(lower(col(textCol))).as("__toks"))
+    val hitFrames = lens.map { n =>
+      val grams = toks.select(col("doc"),
+        explode(when(size(col("__toks")) >= n,
+          expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(__toks, i, $n)))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      grams.join(broadcast(t.filter(col("n") === n)
+        .select(col("term").as("g"))), Seq("g"))
+        .select("doc", "g")
+    }
+    val perDoc = hitFrames
+      .reduceOption(_ unionAll _)
+      .map(_.groupBy("doc").agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("g")).as("n_terms")))
+    val base = df.select(col(idCol).as("doc"))
+    perDoc.fold(base.select(col("doc"), lit(0L).as("n_hits"),
+        lit(0L).as("n_terms"), lit(false).as("blocked"))) { h =>
+      base.join(h, Seq("doc"), "left")
+        .select(col("doc"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("blocked"))
+    }
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * local fingerprinting scheme): hash every token k-gram, slide a
     * w-gram window, and select each window's minimum hash (ties → the

@@ -5384,8 +5384,64 @@ object LlmOpsQueries extends QueryModule {
           .otherwise((col("doc_id") * 7919) % 1000000).as("reward_micro"))
       Corpus.groupAdvantages(resp, "prompt_id", "resp_id", "reward_micro")
         .orderBy("prompt_id", "resp_id")
+    },
+
+    // C4 banned-term content filter: token-exact word AND multi-word
+    // phrase matching (overlapping occurrences each count), counts as
+    // the governance record. The blocklist mixes lengths 1/2/3 plus a
+    // never-matching phrase; the oracle replays the per-length shingle
+    // join value-exact.
+    q("q_x_term_blocklist", {
+      val terms = TermBlocklistFixture.map(s => s"('$s')").mkString(", ")
+      s"WITH bl AS (SELECT * FROM (VALUES $terms) v(term)), " +
+        "tn AS (SELECT lower(trim(term)) AS term, len(regexp_split_to_array(lower(trim(term)), '\\s+')) AS n FROM bl WHERE length(trim(term)) >= 1), " +
+        "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "ns AS (SELECT DISTINCT n FROM tn), " +
+        "sh AS (SELECT t.doc_id, ns.n, array_to_string(list_slice(t.toks, i, i + ns.n - 1), ' ') AS g " +
+        "FROM t CROSS JOIN ns, unnest(generate_series(1, len(t.toks) - ns.n + 1)) AS u(i) WHERE len(t.toks) >= ns.n), " +
+        "h AS (SELECT sh.doc_id, sh.g FROM sh JOIN tn ON sh.g = tn.term AND sh.n = tn.n), " +
+        "p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(count(DISTINCT g) AS BIGINT) AS n_terms FROM h GROUP BY 1) " +
+        "SELECT t.doc_id AS doc, coalesce(p.n_hits, 0) AS n_hits, " +
+        "coalesce(p.n_terms, 0) AS n_terms, coalesce(p.n_hits, 0) > 0 AS blocked " +
+        "FROM t LEFT JOIN p USING (doc_id) ORDER BY doc"
+    }) { (s, d) =>
+      import s.implicits._
+      TextAnalysis.termBlocklist(Tables.documents(s, d), "doc_id", "text",
+          TermBlocklistFixture.toDF("term"))
+        .orderBy("doc")
+    },
+
+    // Similarity-coherent training order (in-context pretraining): IVF
+    // cell assignment (argmax cosine, the ivf oracle replay) + the
+    // portable 1-D hyperplane key + a global dense rank over (cell,
+    // proj, id) — the engine's range-bucketed spine must equal the
+    // oracle's plain ORDER BY row_number exactly (total order key).
+    q("q_x_coherent_order", {
+      val r = graft.llmops.PortableHash.duckUnitUniform("'icp:' || k.k")
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "cdots AS (SELECT e.vec_id, c.vec_id AS cent_id, sum(e.v * c.v) AS dot FROM e JOIN e c ON c.i = e.i AND c.vec_id < 16 GROUP BY 1, 2), " +
+        "cscore AS (SELECT d.vec_id, d.cent_id, d.dot / (a.n * b.n) AS ccos FROM cdots d JOIN en a ON a.vec_id = d.vec_id JOIN en b ON b.vec_id = d.cent_id), " +
+        "ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cscore), " +
+        "assign AS (SELECT vec_id AS id, cent_id AS cell FROM ranked WHERE rn = 1), " +
+        s"plane AS (SELECT k.k AS k, $r AS r FROM (SELECT unnest(generate_series(0, 63)) AS k) k), " +
+        "pj AS (SELECT e.vec_id AS id, round(sum(e.v * p.r), 6) AS proj FROM e JOIN plane p ON p.k = e.i - 1 GROUP BY 1) " +
+        "SELECT a.id, a.cell, pj.proj, CAST(row_number() OVER (ORDER BY a.cell, pj.proj, a.id) - 1 AS BIGINT) AS ord " +
+        "FROM assign a JOIN pj USING (id) ORDER BY ord"
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+      Corpus.coherentOrder(emb, cent).orderBy("ord")
     }
   )
+
+  // Blocklist fixture for q_x_term_blocklist: real corpus words ("hash",
+  // "table scan", "batch batch" — overlapping in the planted triple),
+  // one 3-token phrase, one never-matching entry.
+  private def TermBlocklistFixture: Seq[String] = Seq(
+    "hash", "table scan", "sort merge part", "batch batch",
+    "never matches anything")
 
   // Planted FOREIGN vocabulary for q_x_byte_fallback: Latin singles plus
   // two multis, NO accented/CJK chars (they must byte-expand); 'l' costs

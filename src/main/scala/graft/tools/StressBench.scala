@@ -293,7 +293,13 @@ object StressBench {
     // anti-join + keyed reassembly — the substring_across lane shape.
     "q_x_decon_spans",
     // group advantages: one map-side groupBy + one equi-join back.
-    "q_x_group_advantages")
+    "q_x_group_advantages",
+    // term blocklist: one shingle pass per distinct phrase length,
+    // broadcast terms — corpus-linear with a small constant.
+    "q_x_term_blocklist",
+    // coherent order: broadcast centroid assignment + range-bucketed
+    // rank — linear in vector count, offsets table bucket-bounded.
+    "q_x_coherent_order")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -304,5 +304,13 @@ class EmptyInputSpec extends SparkTestBase {
     // sitemap parse of empty bodies / dsir over empty raw side
     assert(TextAnalysis.parseSitemaps(
       Seq.empty[(String, String)].toDF("u", "b"), "u", "b").count() == 0)
+    // term blocklist: empty corpus; empty terms covered in LlmOpsSpec
+    assert(TextAnalysis.termBlocklist(noDocs, "doc_id", "text",
+      Seq("bad").toDF("term")).count() == 0)
+    // coherent order over zero vectors: empty, no throw
+    val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val oneCent = Seq((0L, Seq.fill(64)(0.1f)))
+      .toDF("cent_id", "centvec")
+    assert(graft.llmops.Corpus.coherentOrder(noEmb, oneCent).count() == 0)
   }
 }

@@ -2793,6 +2793,65 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.map(_._1).toSeq === Seq(2L, 4L, 6L))
   }
 
+  test("coherentOrder: dense total order, equals the plain-window rank, and MEASURABLY beats the shuffle baseline on adjacent cosine") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    val co = Corpus.coherentOrder(emb, cent).localCheckpoint(true)
+    val n = emb.count()
+    // dense 0-based total order
+    assert(co.count() === n)
+    assert(co.agg(min("ord"), max("ord"), countDistinct("ord")).collect()
+      .head.toSeq === Seq(0L, n - 1, n))
+    // the bucketed spine equals the plain global window exactly
+    val plain = co.select(col("id"), col("ord"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cell"), col("proj"), col("id"))) - 1).cast("long")
+        .as("ord2"))
+    assert(plain.filter(col("ord") =!= col("ord2")).count() === 0)
+    // the point of the operator: mean adjacent cosine under coherent
+    // order must clearly beat the de-correlating hash shuffle
+    def meanAdjCos(ordered: org.apache.spark.sql.DataFrame): Double = {
+      val v = ordered.join(emb, ordered("id") === emb("vec_id"))
+        .select(col("ord"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ord")
+      v.select(Similarity.cosine(col("embedding"),
+          lead(col("embedding"), 1).over(w)).as("c"))
+        .agg(avg("c")).collect().head.getDouble(0)
+    }
+    val coherent = meanAdjCos(co.select("id", "ord"))
+    val shuffled = meanAdjCos(Corpus.trainingOrder(
+      emb.select(col("vec_id").as("id")), col("id")).select("id", "ord"))
+    assert(coherent > shuffled + 0.05,
+      s"coherent order must beat shuffle on adjacency: $coherent vs $shuffled")
+  }
+
+  test("termBlocklist: token-exact words + phrases, overlaps count, case-folded, never substring") {
+    import spark.implicits._
+    val terms = Seq("class", "table scan", "batch batch").toDF("term")
+    val docs = Seq(
+      (1L, "the batch batch batch job"),      // phrase overlaps: 2 hits
+      (2L, "a Table SCAN appears here"),      // case-folded phrase
+      (3L, "classic classes classify"),       // substring must NOT match
+      (4L, "one class and a table scan too"), // two distinct terms
+      (5L, "nothing banned at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termBlocklist(docs, "doc_id", "text", terms)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, true),
+      (2L, 1L, 1L, true),
+      (3L, 0L, 0L, false),
+      (4L, 2L, 2L, true),
+      (5L, 0L, 0L, false)))
+    // empty blocklist: every doc returns unblocked, nothing throws
+    val none = TextAnalysis.termBlocklist(docs, "doc_id", "text",
+      Seq.empty[String].toDF("term")).collect()
+    assert(none.length === 5 && none.forall(!_.getBoolean(3)))
+  }
+
   test("groupAdvantages: hand-checked whitening, all-equal group zeroes, singleton zeroes, float reward loud") {
     import spark.implicits._
     // group 10: rewards 1,2,3 (micro) -> mean 2, pop std sqrt(2/3);

@@ -668,6 +668,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("termBlocklist: terms broadcast, shingles never materialize past their join, no cartesian") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val p = plan(graft.llmops.TextAnalysis.termBlocklist(docs, "doc_id",
+      "text", Seq("hash", "table scan").toDF("term")))
+    assert(p.contains("BroadcastHashJoin"), s"terms must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("partial_count"), s"hit counts must partial-agg:\n$p")
+  }
+
+  test("coherentOrder: centroids broadcast, rank windows are slice-partitioned, offsets bounded by bucket count") {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centvec"))
+    val co = graft.llmops.Corpus.coherentOrder(emb, cent, buckets = 7)
+    val p = plan(co)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"centroid assignment must broadcast:\n$p")
+    // the only unpartitioned window is the offsets cumulative sum,
+    // bounded by the bucket count — measured, not narrated
+    val ins = unpartitionedWindowInputs(co)
+    assert(ins.forall(_ <= 7L),
+      s"offsets window input exceeded bucket count: $ins")
+  }
+
   test("decontaminateSpans: fp probe is an equi-join, no cartesian, reassembly partial-aggregates") {
     val docs = Tables.documents(spark, dir)
     val p = plan(graft.llmops.Dedup.decontaminateSpans(
