@@ -374,6 +374,102 @@ object VocabArtifact {
     pieces
   }
 
+  /** Export learned BPE as a SINGLE-FILE HuggingFace `tokenizer.json`
+    * (`model.type = BPE`) — the modern one-file envelope next to the
+    * GPT-2-convention two-file form ([[writeBpeFiles]]): same
+    * [[bpeArtifactTable]] payload (the `q_x_bpe_artifact`-oracled
+    * mapping), same merge list, serialized the way `tokenizers` loads it
+    * — `model.vocab` as a piece→id object, `model.merges` as
+    * `"lhs rhs"` strings in rank order, the pre-tokenizer DECLARED as
+    * `WhitespaceSplit` (exactly our training tokenization — NOT
+    * `Whitespace`, whose word/punct regex differs). Returns the one-row
+    * manifest; the collect is alphabet+merges-bounded.
+    */
+  def writeBpeJson(trainVocab: DataFrame, merges: Seq[Bpe.Merge],
+      path: String): DataFrame = {
+    val spark = trainVocab.sparkSession
+    val pieces = bpePieces(trainVocab, merges)
+    val sb = new StringBuilder
+    sb ++= "{\"version\":\"1.0\",\"truncation\":null,\"padding\":null,"
+    sb ++= "\"added_tokens\":[],\"normalizer\":null,"
+    sb ++= "\"pre_tokenizer\":{\"type\":\"WhitespaceSplit\"},"
+    sb ++= "\"post_processor\":null,\"decoder\":null,"
+    sb ++= "\"model\":{\"type\":\"BPE\",\"dropout\":null,\"unk_token\":null,"
+    sb ++= "\"continuing_subword_prefix\":null,\"end_of_word_suffix\":null,"
+    sb ++= "\"fuse_unk\":false,\"byte_fallback\":false,\"vocab\":{"
+    var first = true
+    pieces.foreach { case (p, id) =>
+      if (!first) sb += ','
+      first = false
+      sb ++= "\"" + jsonEscape(p) + "\":" + id
+    }
+    sb ++= "},\"merges\":["
+    merges.sortBy(_.rank).zipWithIndex.foreach { case (m, i) =>
+      if (i > 0) sb += ','
+      sb ++= "\"" + jsonEscape(m.left + " " + m.right) + "\""
+    }
+    sb ++= "]}}"
+    writeFileAtomic(spark, path, sb.toString.getBytes("UTF-8"),
+      pieces.size.toLong)
+  }
+
+  /** Import a BPE `tokenizer.json` (ours or FOREIGN): returns
+    * (vocab: (piece, id), merges: (mrank, lhs, rhs)) — feed merges to
+    * [[Bpe.applyMerges]] to replay segmentation. Tolerant of what real
+    * files vary: field order, whitespace, and BOTH merge serializations
+    * (`"lhs rhs"` strings and the newer `["lhs","rhs"]` pairs). Loud on:
+    * a non-BPE model type, a merge entry in neither form, a merge whose
+    * sides are not both in the vocab, non-integer ids.
+    */
+  def readBpeJson(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val root = MiniJson.parse(
+      new String(readFileWhole(spark, path), "UTF-8")) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: top level must be an object, got ${other.getClass.getSimpleName}")
+    }
+    val model = root.get("model") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case _ => throw new IllegalArgumentException("tokenizer.json: missing model object")
+    }
+    require(model.get("type").contains("BPE"),
+      s"tokenizer.json: model.type must be BPE (got ${model.get("type")})")
+    val vocab = model.get("vocab") match {
+      case Some(v: Map[String @unchecked, Any @unchecked]) => v.toVector.map {
+        case (p, id: Double) =>
+          require(id.isWhole && id >= 0,
+            s"tokenizer.json: vocab id for '$p' is not a non-negative integer: $id")
+          (p, id.toLong)
+        case (p, other) => throw new IllegalArgumentException(
+          s"tokenizer.json: vocab id for '$p' must be a number, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model.vocab object")
+    }
+    val inVocab = vocab.map(_._1).toSet
+    val merges = model.get("merges") match {
+      case Some(v: Vector[Any @unchecked]) => v.zipWithIndex.map {
+        case (s: String, i) =>
+          val parts = s.split(" ", -1)
+          require(parts.length == 2 && parts.forall(_.nonEmpty),
+            s"tokenizer.json: merges[$i] must be 'lhs rhs', got '$s'")
+          ((i + 1).toLong, parts(0), parts(1))
+        case (Vector(l: String, r: String), i) => ((i + 1).toLong, l, r)
+        case (other, i) => throw new IllegalArgumentException(
+          s"tokenizer.json: merges[$i] must be 'lhs rhs' or [lhs, rhs], got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model.merges array")
+    }
+    merges.foreach { case (i, l, r) =>
+      require(inVocab(l) && inVocab(r) && inVocab(l + r),
+        s"tokenizer.json: merge $i ('$l' + '$r') or its product is " +
+          "missing from model.vocab — the file is internally inconsistent")
+    }
+    (vocab.toDF("piece", "id"), merges.toDF("mrank", "lhs", "rhs"))
+  }
+
   /** Import `merges.txt` back to the [[Bpe.mergeTable]] row shape
     * (mrank, lhs, rhs) — replay it on any corpus with
     * [[Bpe.applyMerges]]. Blank lines and `#` comment lines skip; a

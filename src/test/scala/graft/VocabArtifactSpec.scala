@@ -221,6 +221,63 @@ class VocabArtifactSpec extends SparkTestBase {
     assert(ex.getMessage.contains("line 2"))
   }
 
+  test("BPE tokenizer.json: byte-pin, round trip to the exact tables, foreign pair-form merges, inconsistency loud") {
+    import spark.implicits._
+    val corpus = Seq((1L, "ab ab ab ac")).toDF("doc_id", "text")
+    val wv = Bpe.wordVocab(corpus, "text").localCheckpoint(true)
+    val (merges, _) = Bpe.learnMerges(wv, k = 1)
+    assert(merges.length === 1 && merges.head.left == "a" &&
+      merges.head.right == "b")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_json").toString
+    val m = VocabArtifact.writeBpeJson(wv, merges, s"$dir/tokenizer.json")
+      .collect()
+    assert(m.length === 1 && m.head.getAs[Long]("n_pieces") === 4L)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tokenizer.json")), "UTF-8")
+    val expected =
+      "{\"version\":\"1.0\",\"truncation\":null,\"padding\":null," +
+        "\"added_tokens\":[],\"normalizer\":null," +
+        "\"pre_tokenizer\":{\"type\":\"WhitespaceSplit\"}," +
+        "\"post_processor\":null,\"decoder\":null," +
+        "\"model\":{\"type\":\"BPE\",\"dropout\":null,\"unk_token\":null," +
+        "\"continuing_subword_prefix\":null,\"end_of_word_suffix\":null," +
+        "\"fuse_unk\":false,\"byte_fallback\":false," +
+        "\"vocab\":{\"a\":0,\"b\":1,\"c\":2,\"ab\":3},\"merges\":[\"a b\"]}}"
+    assert(txt === expected)
+    // round trip: tables identical to the artifact table + merge list
+    val (v, mg) = VocabArtifact.readBpeJson(spark, s"$dir/tokenizer.json")
+    assert(v.orderBy("id").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq ===
+      VocabArtifact.bpeArtifactTable(wv, merges).orderBy("id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(mg.collect().map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("a", "b")))
+    // foreign file: pair-form merges, reordered fields, whitespace
+    val foreign =
+      """{ "model": { "merges": [["x", "y"]], "type": "BPE",
+        |  "vocab": {"x": 0, "y": 1, "xy": 2} } }""".stripMargin
+    val fp = java.nio.file.Paths.get(dir, "foreign.json")
+    java.nio.file.Files.write(fp, foreign.getBytes("UTF-8"))
+    val (fv, fm) = VocabArtifact.readBpeJson(spark, fp.toString)
+    assert(fv.count() === 3 &&
+      fm.collect().map(r => (r.getString(1), r.getString(2))).toSeq ===
+        Seq(("x", "y")))
+    // a merge referencing a missing piece fails loudly
+    val bad = """{"model":{"type":"BPE","vocab":{"x":0,"y":1},"merges":["x y"]}}"""
+    val bp = java.nio.file.Paths.get(dir, "bad.json")
+    java.nio.file.Files.write(bp, bad.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      VocabArtifact.readBpeJson(spark, bp.toString))
+    assert(e.getMessage.contains("missing from model.vocab"))
+    // a Unigram file refuses through the BPE reader
+    VocabArtifact.writeUnigramJson(
+      Seq(("a", 1L, 5L, 200000L)).toDF("piece", "n_chars", "cnt", "nll_micro"),
+      s"$dir/uni.json")
+    val e2 = intercept[IllegalArgumentException](
+      VocabArtifact.readBpeJson(spark, s"$dir/uni.json"))
+    assert(e2.getMessage.contains("must be BPE"))
+  }
+
   test("control tokens: reserved ids, added_tokens declared, import flags them, serving withholds them, collisions loud") {
     import spark.implicits._
     val vocab = Seq(
