@@ -559,6 +559,134 @@ object EventStream {
     }
   }
 
+  /** Continuous crawl FRONTIER — the SEVENTH maintained state, closing
+    * the crawl loop as ingest the way [[curationStream]] closed the
+    * curation cascade: micro-batches of DISCOVERED LINKS (from
+    * [[graft.llmops.TextAnalysis.extractLinks]] /
+    * [[graft.llmops.TextAnalysis.parseSitemaps]]) flow through
+    * canonicalize → within-batch collapse → robots policy → seen-set
+    * probe, and the survivors enqueue. Per batch:
+    *
+    *   1. URLs canonicalize ([[graft.llmops.TextAnalysis.canonicalUrl]])
+    *      and collapse per canonical form (max priority wins — two
+    *      spellings of one page are one frontier entry);
+    *   2. [[graft.llmops.TextAnalysis.robotsFilter]] adjudicates against
+    *      the caller's compiled `rules` (broadcast, hosts × a-few-rows);
+    *   3. the shared Bloom seen-set (the [[bloomSeenStream]] state —
+    *      same tables, same self-describing meta stamp, same
+    *      mismatch-throws) drops every URL adjudicated by ANY prior
+    *      batch;
+    *   4. allowed, definitely-new URLs append to `{prefix}_frontier`
+    *      (url, host, priority); ALL canonical batch URLs — allowed or
+    *      not — merge into the Bloom. Adjudicated-once semantics,
+    *      stated: a robots-denied URL is never reconsidered even if the
+    *      policy later changes (policy changes want a fresh crawl cycle
+    *      under a new prefix, not silent re-adjudication).
+    *
+    * Serve the fetch plan with [[frontierWaves]]; retire fetched URLs
+    * with [[frontierDequeue]]. Restarts resume create-if-absent; the
+    * frontier table self-heals fragmentation like every appending state.
+    *
+    * Scale: rules broadcast; the Bloom state is ≤ mBits/32 rows whatever
+    * arrives; the batch pipeline is batch-sized (canonicalize is a
+    * codegen'd projection, the collapse one keyed agg); the frontier
+    * append is survivor-sized. Nothing corpus-global shuffles.
+    */
+  def frontierStream(links: DataFrame, urlCol: String, priorityCol: String,
+      tablePrefix: String, rules: DataFrame,
+      mBits: Long = 1L << 20, k: Int = 4,
+      maxStateFiles: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.Bloom
+    import graft.llmops.TextAnalysis
+    val frontierT = s"${tablePrefix}_frontier"
+    val bloomT = s"${tablePrefix}_seen_bloom"
+    links.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        verifyBloomMeta(sess, tablePrefix, mBits, k,
+          seedIfAbsent = !sess.catalog.tableExists(bloomT))
+        val state =
+          if (sess.catalog.tableExists(bloomT)) sess.table(bloomT)
+          else Bloom.build(batch.limit(0)
+            .select(lit("").as("url")), "url", mBits, k).limit(0)
+        val (enqueue, merged) = frontierStep(batch, urlCol, priorityCol,
+          rules, state, mBits, k)
+        enqueue.write.mode("append").format("parquet").saveAsTable(frontierT)
+        merged.localCheckpoint(eager = true)
+          .coalesce(1).write.mode("overwrite").format("parquet")
+          .saveAsTable(bloomT)
+        sess.catalog.refreshTable(bloomT)
+        sess.catalog.refreshTable(frontierT)
+        selfHeal(sess, maxStateFiles, 8, Nil, Seq(frontierT))
+      }
+  }
+
+  /** One frontier adjudication pass — extracted so the stream's
+    * foreachBatch and the batch-mode oracle replay share it VERBATIM
+    * (the [[curationStream]]/curationStep rule): canonical collapse
+    * (max priority), robots policy, seen-set probe. Returns (enqueue
+    * rows (url, host, priority), merged bloom state).
+    */
+  def frontierStep(batch: DataFrame, urlCol: String, priorityCol: String,
+      rules: DataFrame, state: DataFrame,
+      mBits: Long, k: Int): (DataFrame, DataFrame) = {
+    import graft.functions.Bloom
+    import graft.llmops.TextAnalysis
+    // the canonical collapse feeds the robots join, the probe AND the
+    // bloom delta — one materialization (the two-consumer rule)
+    val cand = batch
+      .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url"),
+        col(priorityCol).as("priority"))
+      .groupBy("url").agg(max("priority").as("priority"))
+      .withColumn("host", TextAnalysis.urlHost(col("url")))
+      .localCheckpoint(eager = true)
+    val fresh = Bloom.mightContain(state, cand.select("url"), "url",
+      mBits, k).filter(!col("might_contain")).select("url")
+    val allowed = TextAnalysis.robotsFilter(cand, "url", rules)
+      .filter(col("allowed")).select("url")
+    val enqueue = cand.join(fresh, Seq("url"), "left_semi")
+      .join(allowed, Seq("url"), "left_semi")
+      .select("url", "host", "priority")
+    (enqueue, Bloom.merge(state, Bloom.build(cand, "url", mBits, k)))
+  }
+
+  /** The current fetch plan over the live [[frontierStream]] state:
+    * [[graft.llmops.TextAnalysis.crawlWaves]] politeness waves over the
+    * frontier table (authority-or-whatever priority the stream stored),
+    * optionally only the first `maxWave + 1` waves. The hot-host-proof
+    * bucketed rank spine applies unchanged.
+    */
+  def frontierWaves(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, perHostPerWave: Int,
+      maxWave: Long = Long.MaxValue): DataFrame = {
+    val t = s"${tablePrefix}_frontier"
+    spark.catalog.refreshTable(t)
+    graft.llmops.TextAnalysis.crawlWaves(spark.table(t), "url", "host",
+        "priority", perHostPerWave)
+      .filter(col("wave") <= maxWave)
+  }
+
+  /** Retire fetched URLs from the frontier (they stay in the Bloom, so
+    * re-discoveries still skip): one anti-join + whole-table rewrite —
+    * the [[compactStateTable]] checkpoint-then-overwrite shape, O(table)
+    * per call, so dequeue per WAVE, not per URL. Returns rows remaining.
+    */
+  def frontierDequeue(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, fetched: DataFrame, urlCol: String): Long = {
+    val t = s"${tablePrefix}_frontier"
+    spark.catalog.refreshTable(t)
+    val remaining = spark.table(t)
+      .join(fetched.select(col(urlCol).as("url")).distinct(),
+        Seq("url"), "left_anti")
+      .localCheckpoint(eager = true)
+    remaining.coalesce(8).write.mode("overwrite").format("parquet")
+      .saveAsTable(t)
+    spark.catalog.refreshTable(t)
+    remaining.count()
+  }
+
   /** Drift probe over the LIVE [[dataCardStream]] state: PSI of each
     * source's current doc-length histogram against a frozen REFERENCE
     * card snapshot (persist `spark.table("{prefix}_card")` at

@@ -299,7 +299,11 @@ object StressBench {
     "q_x_term_blocklist",
     // coherent order: broadcast centroid assignment + range-bucketed
     // rank — linear in vector count, offsets table bucket-bounded.
-    "q_x_coherent_order")
+    "q_x_coherent_order",
+    // crawl frontier step x2: canonical projection + keyed collapse +
+    // broadcast robots + bloom probe/merge — batch-linear; the bloom
+    // state is mBits-bounded at any arrival volume.
+    "q_x_crawl_frontier")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -312,5 +312,18 @@ class EmptyInputSpec extends SparkTestBase {
     val oneCent = Seq((0L, Seq.fill(64)(0.1f)))
       .toDF("cent_id", "centvec")
     assert(graft.llmops.Corpus.coherentOrder(noEmb, oneCent).count() == 0)
+    // frontier step over an empty link batch: nothing enqueues, the
+    // bloom state passes through unchanged
+    val noLinks = Seq.empty[(String, Long)].toDF("url", "prio")
+    val noRules = Seq.empty[(String, String, String)]
+      .toDF("host", "rule", "path")
+    val state = graft.functions.Bloom.build(
+      Seq("https://x.example/a").toDF("url"), "url", 4096L, 4)
+      .localCheckpoint(true)
+    val (enq, merged) = graft.streaming.EventStream.frontierStep(
+      noLinks, "url", "prio", noRules, state, 4096L, 4)
+    assert(enq.count() == 0)
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      state.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 }

@@ -693,6 +693,26 @@ class PlanSpec extends SparkTestBase {
       s"offsets window input exceeded bucket count: $ins")
   }
 
+  test("frontierStep: rules and bloom state broadcast, collapse partial-aggregates, no cartesian") {
+    import spark.implicits._
+    val links = Tables.documents(spark, dir).select(
+      concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example/p"), col("doc_id").cast("string")).as("url"),
+      (col("doc_id") % 7).as("prio"))
+    val rules = Seq(("h1.example", "disallow", "/p1")).toDF("host", "rule", "path")
+    val state = graft.functions.Bloom.build(
+      Seq("https://seen.example/x").toDF("url"), "url", 4096L, 4)
+      .localCheckpoint(true)
+    val (enq, _) = graft.streaming.EventStream.frontierStep(
+      links, "url", "prio", rules, state, 4096L, 4)
+    val p = plan(enq)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"rules/bloom must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"canonical collapse must partial-aggregate:\n$p")
+  }
+
   test("decontaminateSpans: fp probe is an equi-join, no cartesian, reassembly partial-aggregates") {
     val docs = Tables.documents(spark, dir)
     val p = plan(graft.llmops.Dedup.decontaminateSpans(

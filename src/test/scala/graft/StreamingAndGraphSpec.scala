@@ -1271,6 +1271,72 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("crawl frontier stream: canonical collapse, robots, seen-set skip, waves + dequeue, adjudicated-once") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val rules = Seq(("h1.example", "disallow", "/blocked"))
+        .toDF("host", "rule", "path")
+      val ckpt = java.nio.file.Files.createTempDirectory("frontier_ckpt").toString
+      def runOnce(): Unit = {
+        val q = EventStream.frontierStream(mem.toDF().toDF("url", "prio"),
+            "url", "prio", "frontier_test", rules, mBits = 1L << 16, k = 4)
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      def frontier(): Set[(String, String, Long)] = {
+        spark.catalog.refreshTable("frontier_test_frontier")
+        spark.table("frontier_test_frontier").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      }
+      // batch 1: two spellings of one page collapse (max priority wins),
+      // a robots-denied URL drops, a clean one enqueues
+      mem.addData(
+        ("https://h0.example/a?utm_source=x", 5L),
+        ("HTTPS://H0.example/a#frag", 9L),
+        ("https://h1.example/blocked/p", 7L),
+        ("https://h1.example/ok", 3L))
+      runOnce()
+      assert(frontier() === Set(
+        ("https://h0.example/a", "h0.example", 9L),
+        ("https://h1.example/ok", "h1.example", 3L)))
+      // batch 2 (restart resumes state): re-discoveries skip — INCLUDING
+      // the denied URL (adjudicated-once) — a fresh URL enqueues
+      mem.addData(
+        ("https://h0.example/a", 99L),
+        ("https://h1.example/blocked/p", 99L),
+        ("https://h0.example/b", 1L))
+      runOnce()
+      assert(frontier() === Set(
+        ("https://h0.example/a", "h0.example", 9L),
+        ("https://h1.example/ok", "h1.example", 3L),
+        ("https://h0.example/b", "h0.example", 1L)))
+      // fetch plan: perHostPerWave = 1 — h0's high-priority /a beats /b
+      val waves = EventStream.frontierWaves(spark, "frontier_test", 1)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(waves === Map(
+        "https://h0.example/a" -> 0L, "https://h0.example/b" -> 1L,
+        "https://h1.example/ok" -> 0L))
+      // dequeue wave 0; the fetched URLs stay in the Bloom, so a LATER
+      // re-discovery of a fetched URL still skips
+      val wave0 = EventStream.frontierWaves(spark, "frontier_test", 1,
+        maxWave = 0).select("url")
+      assert(EventStream.frontierDequeue(spark, "frontier_test", wave0,
+        "url") === 1L)
+      assert(frontier() === Set(("https://h0.example/b", "h0.example", 1L)))
+      mem.addData(("https://h0.example/a", 50L))
+      runOnce()
+      assert(frontier() === Set(("https://h0.example/b", "h0.example", 1L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS frontier_test_frontier")
+      spark.sql("DROP TABLE IF EXISTS frontier_test_seen_bloom")
+      spark.sql("DROP TABLE IF EXISTS frontier_test_seen_bloom_meta")
+    }
+  }
+
   test("pageRankKeys: string-keyed authority — hub outranks leaves, parallel links collapse, deterministic") {
     import spark.implicits._
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"),
