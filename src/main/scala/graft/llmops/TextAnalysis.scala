@@ -216,6 +216,66 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Main-content extraction — the jusText/trafilatura-class heuristic
+    * BETWEEN [[stripHtml]] (which keeps everything, nav bars included)
+    * and the corpus-level scrubs ([[graft.llmops.Dedup.dedupLines]],
+    * boilerplate removal, which need many documents to vote): boilerplate
+    * blocks are overwhelmingly LINKS (nav menus, footers, related-article
+    * farms), so the page splits at block-level tags and each block keeps
+    * only if its visible text is long enough (`minBlockChars`) and its
+    * anchor-text share is low enough (`link density =
+    * anchor_chars / text_chars ≤ maxLinkDensity`). Kept blocks rejoin
+    * with newlines (the line structure feeds [[gopherRules]]). Returns
+    * (doc, main_text, n_blocks_kept, n_blocks_dropped) — blocks with no
+    * visible text at all are structural and count as neither.
+    *
+    * Scope (stated): anchors are inline elements — an `<a>` spanning a
+    * block boundary contributes to neither side (malformed nesting);
+    * script/style/comment payloads die first (the stripHtml contract);
+    * entity decoding matches stripHtml's six so text and anchor lengths
+    * are measured on the same alphabet.
+    *
+    * Scale: one pure codegen'd projection — split, per-block regexp
+    * arithmetic inside array lambdas, one array_join. Zero shuffles,
+    * corpus-linear, the stripHtml lane shape.
+    */
+  def extractMainContent(df: DataFrame, idCol: String, htmlCol: String,
+      maxLinkDensity: Double = 0.5, minBlockChars: Int = 20): DataFrame = {
+    require(maxLinkDensity >= 0.0 && minBlockChars >= 1)
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val cleaned = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blockSplit = "(?i)</?(?:p|div|section|article|li|ul|ol|h[1-6]|table" +
+      "|thead|tbody|tr|td|th|blockquote|header|footer|nav|aside|main)" +
+      "(?:\\s[^>]*)?>|<br\\s*/?>"
+    def visible(c: Column): Column = {
+      val noTags = regexp_replace(c, "<[^>]+>", " ")
+      val decoded = Seq(
+        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+      ).foldLeft(noTags) { case (x, (ent, ch)) => regexp_replace(x, ent, ch) }
+      trim(regexp_replace(decoded, "\\s+", " "))
+    }
+    val stats = transform(split(cleaned, blockSplit), b => {
+      val txt = visible(b)
+      val aChars = aggregate(
+        transform(regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+          a => length(visible(a)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      struct(txt.as("txt"), length(txt).cast("long").as("n"), aChars.as("a"))
+    })
+    val considered = filter(stats, s => s.getField("n") > 0L)
+    val kept = filter(considered, s =>
+      s.getField("n") >= minBlockChars.toLong &&
+        s.getField("a").cast("double") <=
+          lit(maxLinkDensity) * s.getField("n").cast("double"))
+    df.select(col(idCol).as("doc"),
+      array_join(transform(kept, s => s.getField("txt")), "\n").as("main_text"),
+      size(kept).cast("long").as("n_blocks_kept"),
+      (size(considered) - size(kept)).cast("long").as("n_blocks_dropped"))
+  }
+
   /** Markdown → text extraction — the [[stripHtml]] sibling for the
     * other ubiquitous crawl format (GitHub/docs corpora are markdown):
     * fenced code blocks are REMOVED with their content (code is not

@@ -5503,6 +5503,58 @@ object LlmOpsQueries extends QueryModule {
       val (e2, _) = EventStream.frontierStep(linksFor(1), "url", "prio",
         rules, b1.localCheckpoint(true), mBits, k)
       e1.unionAll(e2).orderBy("url")
+    },
+
+    // Main-content extraction (the jusText/trafilatura link-density
+    // heuristic): planted pages wrap each document's text in content
+    // markup with a nav menu (all links -> dropped), a footer link farm
+    // (dropped), a short promo block (< minBlockChars -> dropped), and
+    // an in-content anchor (low density -> kept). The oracle replays the
+    // block split, per-block visible-text/anchor arithmetic and the
+    // density rule value-exact.
+    q("q_x_main_content", {
+      val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      def vis(e: String) = {
+        val noTags = s"regexp_replace($e, '<[^>]+>', ' ', 'g')"
+        val dec = ent.foldLeft(noTags) { case (x, (p, r)) =>
+          s"regexp_replace($x, '$p', '${if (r == "'") "''" else r}', 'g')"
+        }
+        s"trim(regexp_replace($dec, '\\s+', ' ', 'g'))"
+      }
+      val blockSplit = "(?i)</?(?:p|div|section|article|li|ul|ol|h[1-6]|table" +
+        "|thead|tbody|tr|td|th|blockquote|header|footer|nav|aside|main)" +
+        "(?:\\s[^>]*)?>|<br\\s*/?>"
+      val html = "'<html><body><nav><a href=\"/a\">Home</a> <a href=\"/b\">About us</a> <a href=\"/c\">Contact page</a></nav>' || " +
+        "'<p>' || text || CASE WHEN doc_id % 3 = 0 THEN ' see <a href=\"/ref\">the reference</a> for details' ELSE '' END || '</p>' || " +
+        "'<p>Promo!</p>' || " +
+        "'<footer><a href=\"/x\">Terms of service</a> <a href=\"/y\">Privacy policy notice</a></footer></body></html>'"
+      s"WITH h AS (SELECT doc_id, $html AS html FROM documents), " +
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g') AS ch FROM h), " +
+        s"b AS (SELECT doc_id, i, blk FROM (SELECT doc_id, regexp_split_to_array(ch, '$blockSplit') AS blks FROM c), unnest(generate_series(1, len(blks))) AS u(i), LATERAL (SELECT blks[i] AS blk) z), " +
+        s"st AS (SELECT doc_id, i, ${vis("blk")} AS txt, " +
+        s"CAST(coalesce(list_sum(list_transform(regexp_extract_all(blk, '(?is)<a\\b[^>]*>(.*?)</a>', 1), a -> length(${vis("a")}))), 0) AS BIGINT) AS a FROM b), " +
+        "co AS (SELECT doc_id, i, txt, length(txt) AS n, a FROM st WHERE length(txt) > 0), " +
+        "kp AS (SELECT doc_id, i, txt FROM co WHERE n >= 20 AND CAST(a AS DOUBLE) <= 0.5 * n), " +
+        "agg AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS main_text, CAST(count(*) AS BIGINT) AS n_blocks_kept FROM kp GROUP BY 1), " +
+        "cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_considered FROM co GROUP BY 1) " +
+        "SELECT h.doc_id AS doc, coalesce(agg.main_text, '') AS main_text, " +
+        "coalesce(agg.n_blocks_kept, 0) AS n_blocks_kept, " +
+        "coalesce(cc.n_considered, 0) - coalesce(agg.n_blocks_kept, 0) AS n_blocks_dropped " +
+        "FROM h LEFT JOIN agg USING (doc_id) LEFT JOIN cc USING (doc_id) ORDER BY doc"
+    }) { (s, d) =>
+      val html = concat(
+        lit("<html><body><nav><a href=\"/a\">Home</a> <a href=\"/b\">About us</a> <a href=\"/c\">Contact page</a></nav>"),
+        lit("<p>"), col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" see <a href=\"/ref\">the reference</a> for details"))
+          .otherwise(lit("")),
+        lit("</p><p>Promo!</p>"),
+        lit("<footer><a href=\"/x\">Terms of service</a> <a href=\"/y\">Privacy policy notice</a></footer></body></html>"))
+      TextAnalysis.extractMainContent(
+          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .orderBy("doc")
     }
   )
 

@@ -303,7 +303,10 @@ object StressBench {
     // crawl frontier step x2: canonical projection + keyed collapse +
     // broadcast robots + bloom probe/merge — batch-linear; the bloom
     // state is mBits-bounded at any arrival volume.
-    "q_x_crawl_frontier")
+    "q_x_crawl_frontier",
+    // main-content extraction: one codegen'd projection (block split +
+    // per-block array lambdas), zero shuffles — the stripHtml lane.
+    "q_x_main_content")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -323,6 +323,13 @@ class EmptyInputSpec extends SparkTestBase {
     val (enq, merged) = graft.streaming.EventStream.frontierStep(
       noLinks, "url", "prio", noRules, state, 4096L, 4)
     assert(enq.count() == 0)
+    // main-content over empty corpus / empty html
+    assert(TextAnalysis.extractMainContent(noDocs, "doc_id", "text")
+      .count() == 0)
+    val blank = TextAnalysis.extractMainContent(
+      Seq((1L, "")).toDF("doc_id", "html"), "doc_id", "html").collect().head
+    assert(blank.getAs[String]("main_text") == "" &&
+      blank.getAs[Long]("n_blocks_kept") == 0L)
     assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       state.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }

@@ -2827,6 +2827,46 @@ class LlmOpsSpec extends SparkTestBase {
       s"coherent order must beat shuffle on adjacency: $coherent vs $shuffled")
   }
 
+  test("extractMainContent: link-farm blocks drop, content keeps its in-text anchors, short blocks drop, density boundary exact") {
+    import spark.implicits._
+    val page =
+      "<html><body>" +
+        "<nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a> <a href=\"/c\">Contact us now</a></nav>" +
+        "<p>This is the real article content explaining something useful, " +
+        "with <a href=\"/ref\">one reference link</a> inside the prose.</p>" +
+        "<p>Promo!</p>" +
+        "<script>var x = 'this never counts as text';</script>" +
+        "<footer><a href=\"/t\">Terms of service page</a> <a href=\"/p\">Privacy policy notice</a></footer>" +
+        "</body></html>"
+    val out = TextAnalysis.extractMainContent(
+      Seq((1L, page)).toDF("doc_id", "html"), "doc_id", "html").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("main_text") ===
+      "This is the real article content explaining something useful, " +
+        "with one reference link inside the prose.")
+    assert(r.getAs[Long]("n_blocks_kept") === 1L)
+    // nav, Promo! and footer considered-and-dropped; script text died
+    assert(r.getAs[Long]("n_blocks_dropped") === 3L)
+    // density boundary: anchor exactly half the text keeps (<=), a
+    // character more drops
+    val half =
+      "<p><a href=\"/x\">aaaaaaaaaaaaaaaaaaaa</a> bbbbbbbbbbbbbbbbbbb</p>"
+    val over =
+      "<p><a href=\"/x\">aaaaaaaaaaaaaaaaaaaaa</a> bbbbbbbbbbbbbbbbbb</p>"
+    val d2 = TextAnalysis.extractMainContent(
+      Seq((1L, half), (2L, over)).toDF("doc_id", "html"), "doc_id", "html")
+      .orderBy("doc").collect()
+    assert(d2(0).getAs[Long]("n_blocks_kept") === 1L)   // 20/40 = 0.5 keeps
+    assert(d2(1).getAs[Long]("n_blocks_kept") === 0L)   // 21/40 > 0.5 drops
+    // no markup at all: the whole text is one kept block
+    val bare = TextAnalysis.extractMainContent(
+      Seq((1L, "just some plain text long enough to keep around"))
+        .toDF("doc_id", "html"), "doc_id", "html").collect().head
+    assert(bare.getAs[Long]("n_blocks_kept") === 1L &&
+      bare.getAs[Long]("n_blocks_dropped") === 0L)
+  }
+
   test("termBlocklist: token-exact words + phrases, overlaps count, case-folded, never substring") {
     import spark.implicits._
     val terms = Seq("class", "table scan", "batch batch").toDF("term")

@@ -693,6 +693,15 @@ class PlanSpec extends SparkTestBase {
       s"offsets window input exceeded bucket count: $ins")
   }
 
+  test("extractMainContent is ONE codegen stage off the scan: no shuffle, no UDF") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(graft.llmops.TextAnalysis.extractMainContent(
+      docs.selectExpr("doc_id", "text as html"), "doc_id", "html"))
+    assert(!p.contains("Exchange"), s"main-content must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"must stay codegen'd:\n$p")
+  }
+
   test("frontierStep: rules and bloom state broadcast, collapse partial-aggregates, no cartesian") {
     import spark.implicits._
     val links = Tables.documents(spark, dir).select(
