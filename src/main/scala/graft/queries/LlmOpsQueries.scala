@@ -5512,51 +5512,123 @@ object LlmOpsQueries extends QueryModule {
     // an in-content anchor (low density -> kept). The oracle replays the
     // block split, per-block visible-text/anchor arithmetic and the
     // density rule value-exact.
-    q("q_x_main_content", {
-      val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      def vis(e: String) = {
-        val noTags = s"regexp_replace($e, '<[^>]+>', ' ', 'g')"
-        val dec = ent.foldLeft(noTags) { case (x, (p, r)) =>
-          s"regexp_replace($x, '$p', '${if (r == "'") "''" else r}', 'g')"
-        }
-        s"trim(regexp_replace($dec, '\\s+', ' ', 'g'))"
-      }
-      val blockSplit = "(?i)</?(?:p|div|section|article|li|ul|ol|h[1-6]|table" +
-        "|thead|tbody|tr|td|th|blockquote|header|footer|nav|aside|main)" +
-        "(?:\\s[^>]*)?>|<br\\s*/?>"
-      val html = "'<html><body><nav><a href=\"/a\">Home</a> <a href=\"/b\">About us</a> <a href=\"/c\">Contact page</a></nav>' || " +
-        "'<p>' || text || CASE WHEN doc_id % 3 = 0 THEN ' see <a href=\"/ref\">the reference</a> for details' ELSE '' END || '</p>' || " +
-        "'<p>Promo!</p>' || " +
-        "'<footer><a href=\"/x\">Terms of service</a> <a href=\"/y\">Privacy policy notice</a></footer></body></html>'"
-      s"WITH h AS (SELECT doc_id, $html AS html FROM documents), " +
-        "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g') AS ch FROM h), " +
-        s"b AS (SELECT doc_id, i, blk FROM (SELECT doc_id, regexp_split_to_array(ch, '$blockSplit') AS blks FROM c), unnest(generate_series(1, len(blks))) AS u(i), LATERAL (SELECT blks[i] AS blk) z), " +
-        s"st AS (SELECT doc_id, i, ${vis("blk")} AS txt, " +
-        s"CAST(coalesce(list_sum(list_transform(regexp_extract_all(blk, '(?is)<a\\b[^>]*>(.*?)</a>', 1), a -> length(${vis("a")}))), 0) AS BIGINT) AS a FROM b), " +
-        "co AS (SELECT doc_id, i, txt, length(txt) AS n, a FROM st WHERE length(txt) > 0), " +
-        "kp AS (SELECT doc_id, i, txt FROM co WHERE n >= 20 AND CAST(a AS DOUBLE) <= 0.5 * n), " +
-        "agg AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS main_text, CAST(count(*) AS BIGINT) AS n_blocks_kept FROM kp GROUP BY 1), " +
-        "cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_considered FROM co GROUP BY 1) " +
-        "SELECT h.doc_id AS doc, coalesce(agg.main_text, '') AS main_text, " +
-        "coalesce(agg.n_blocks_kept, 0) AS n_blocks_kept, " +
-        "coalesce(cc.n_considered, 0) - coalesce(agg.n_blocks_kept, 0) AS n_blocks_dropped " +
-        "FROM h LEFT JOIN agg USING (doc_id) LEFT JOIN cc USING (doc_id) ORDER BY doc"
-    }) { (s, d) =>
-      val html = concat(
-        lit("<html><body><nav><a href=\"/a\">Home</a> <a href=\"/b\">About us</a> <a href=\"/c\">Contact page</a></nav>"),
-        lit("<p>"), col("text"),
-        when(col("doc_id") % 3 === 0,
-          lit(" see <a href=\"/ref\">the reference</a> for details"))
-          .otherwise(lit("")),
-        lit("</p><p>Promo!</p>"),
-        lit("<footer><a href=\"/x\">Terms of service</a> <a href=\"/y\">Privacy policy notice</a></footer></body></html>"))
+    q("q_x_main_content",
+      mainContentSqlOver(s"(SELECT doc_id, $PlantedPageHtmlSql AS html FROM documents)") +
+        " ORDER BY doc") { (s, d) =>
       TextAnalysis.extractMainContent(
-          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          Tables.documents(s, d).select(col("doc_id"),
+            plantedPageHtml.as("html")),
           "doc_id", "html")
+        .orderBy("doc")
+    },
+
+    // The composed crawl->corpus pipeline: planted pages flow domain
+    // blocklist -> main-content extraction -> quality gate, one verdict
+    // row per page with the final clean-text md5 for survivors — the
+    // end-to-end proof the single-page curation stages COMPOSE (the
+    // tokenize_export discipline, pointed at the web front door).
+    q("q_x_web_pipeline", {
+      val host = "lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1))"
+      "WITH pages AS (SELECT doc_id, 'https://h' || (doc_id % 5) || '.example/p' || doc_id AS url, " +
+        s"$PlantedPageHtmlSql AS html FROM documents), " +
+        s"ub AS (SELECT doc_id, $host = 'h3.example' AS blocked FROM pages), " +
+        "mc AS (SELECT * FROM (" +
+        mainContentSqlOver(
+          "(SELECT doc_id, html FROM pages JOIN ub USING (doc_id) WHERE NOT blocked)") +
+        ") m0), " +
+        "qg AS (SELECT doc, reason, keep FROM (" +
+        qualityGateSqlOver("(SELECT doc AS doc_id, main_text AS text FROM mc)") +
+        ") q0) " +
+        "SELECT p.doc_id AS doc, ub.blocked, " +
+        "coalesce(mc.n_blocks_kept, 0) AS n_blocks_kept, " +
+        "qg.reason AS gate_reason, coalesce(qg.keep, false) AS kept, " +
+        "CASE WHEN coalesce(qg.keep, false) THEN md5(mc.main_text) END AS clean_md5 " +
+        "FROM pages p JOIN ub USING (doc_id) " +
+        "LEFT JOIN mc ON mc.doc = p.doc_id LEFT JOIN qg ON qg.doc = p.doc_id " +
+        "ORDER BY doc"
+    }) { (s, d) =>
+      import s.implicits._
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string")).as("url"),
+        plantedPageHtml.as("html"))
+      val hb = TextAnalysis.hostBlocklist(pages, "doc_id", "url",
+        Seq("h3.example").toDF("domain"))
+      val mc = TextAnalysis.extractMainContent(
+        hb.filter(!col("blocked")), "doc_id", "html")
+      val qg = TextAnalysis.qualityGate(
+        mc.select(col("doc").as("doc_id"), col("main_text").as("text")),
+        "doc_id", "text", minTokens = 20, maxTokens = 100000,
+        minAvgTokenLen = 2.0, maxAvgTokenLen = 5.0,
+        minTypeToken = 0.35, maxDupGramFrac = 0.2)
+      hb.select(col("doc_id").as("doc"), col("blocked"))
+        .join(mc.select(col("doc"), col("main_text"), col("n_blocks_kept")),
+          Seq("doc"), "left")
+        .join(qg.select(col("doc"), col("reason").as("gate_reason"),
+          col("keep")), Seq("doc"), "left")
+        .select(col("doc"), col("blocked"),
+          coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"),
+          col("gate_reason"),
+          coalesce(col("keep"), lit(false)).as("kept"),
+          when(coalesce(col("keep"), lit(false)), md5(col("main_text")))
+            .as("clean_md5"))
         .orderBy("doc")
     }
   )
+
+  /** Planted page markup shared by q_x_main_content and q_x_web_pipeline:
+    * a nav link menu (drops), the document's text as the content block
+    * (an in-prose anchor on every third page — low density, keeps), a
+    * short promo (drops), a footer link farm (drops).
+    */
+  private def PlantedPageHtmlSql: String =
+    "'<html><body><nav><a href=\"/a\">Home</a> <a href=\"/b\">About us</a> <a href=\"/c\">Contact page</a></nav>' || " +
+      "'<p>' || text || CASE WHEN doc_id % 3 = 0 THEN ' see <a href=\"/ref\">the reference</a> for details' ELSE '' END || '</p>' || " +
+      "'<p>Promo!</p>' || " +
+      "'<footer><a href=\"/x\">Terms of service</a> <a href=\"/y\">Privacy policy notice</a></footer></body></html>'"
+
+  private def plantedPageHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><body><nav><a href=\"/a\">Home</a> <a href=\"/b\">About us</a> <a href=\"/c\">Contact page</a></nav>"),
+    lit("<p>"), col("text"),
+    when(col("doc_id") % 3 === 0,
+      lit(" see <a href=\"/ref\">the reference</a> for details"))
+      .otherwise(lit("")),
+    lit("</p><p>Promo!</p>"),
+    lit("<footer><a href=\"/x\">Terms of service</a> <a href=\"/y\">Privacy policy notice</a></footer></body></html>"))
+
+  /** DuckDB replay of [[graft.llmops.TextAnalysis.extractMainContent]]
+    * (thresholds minBlockChars 20, maxLinkDensity 0.5) over any relation
+    * providing (doc_id, html) — emits (doc, main_text, n_blocks_kept,
+    * n_blocks_dropped). Nest in a parenthesized subquery to compose
+    * (the qualityGateSqlOver convention).
+    */
+  private def mainContentSqlOver(rel: String): String = {
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    def vis(e: String) = {
+      val noTags = s"regexp_replace($e, '<[^>]+>', ' ', 'g')"
+      val dec = ent.foldLeft(noTags) { case (x, (p, r)) =>
+        s"regexp_replace($x, '$p', '${if (r == "'") "''" else r}', 'g')"
+      }
+      s"trim(regexp_replace($dec, '\\s+', ' ', 'g'))"
+    }
+    val blockSplit = "(?i)</?(?:p|div|section|article|li|ul|ol|h[1-6]|table" +
+      "|thead|tbody|tr|td|th|blockquote|header|footer|nav|aside|main)" +
+      "(?:\\s[^>]*)?>|<br\\s*/?>"
+    s"WITH h AS (SELECT doc_id, html FROM $rel), " +
+      "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g') AS ch FROM h), " +
+      s"b AS (SELECT doc_id, i, blk FROM (SELECT doc_id, regexp_split_to_array(ch, '$blockSplit') AS blks FROM c), unnest(generate_series(1, len(blks))) AS u(i), LATERAL (SELECT blks[i] AS blk) z), " +
+      s"st AS (SELECT doc_id, i, ${vis("blk")} AS txt, " +
+      s"CAST(coalesce(list_sum(list_transform(regexp_extract_all(blk, '(?is)<a\\b[^>]*>(.*?)</a>', 1), a -> length(${vis("a")}))), 0) AS BIGINT) AS a FROM b), " +
+      "co AS (SELECT doc_id, i, txt, length(txt) AS n, a FROM st WHERE length(txt) > 0), " +
+      "kp AS (SELECT doc_id, i, txt FROM co WHERE n >= 20 AND CAST(a AS DOUBLE) <= 0.5 * n), " +
+      "agg AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS main_text, CAST(count(*) AS BIGINT) AS n_blocks_kept FROM kp GROUP BY 1), " +
+      "cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_considered FROM co GROUP BY 1) " +
+      "SELECT h.doc_id AS doc, coalesce(agg.main_text, '') AS main_text, " +
+      "coalesce(agg.n_blocks_kept, 0) AS n_blocks_kept, " +
+      "coalesce(cc.n_considered, 0) - coalesce(agg.n_blocks_kept, 0) AS n_blocks_dropped " +
+      "FROM h LEFT JOIN agg USING (doc_id) LEFT JOIN cc USING (doc_id)"
+  }
 
   // Blocklist fixture for q_x_term_blocklist: real corpus words ("hash",
   // "table scan", "batch batch" — overlapping in the planted triple),

@@ -306,7 +306,11 @@ object StressBench {
     "q_x_crawl_frontier",
     // main-content extraction: one codegen'd projection (block split +
     // per-block array lambdas), zero shuffles — the stripHtml lane.
-    "q_x_main_content")
+    "q_x_main_content",
+    // composed web pipeline: blocklist suffix join (broadcast) + the
+    // main-content projection + the gate's two keyed shuffles — the sum
+    // of three previously-stressed shapes.
+    "q_x_web_pipeline")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
