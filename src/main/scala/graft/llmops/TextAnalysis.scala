@@ -276,6 +276,39 @@ object TextAnalysis {
       (size(considered) - size(kept)).cast("long").as("n_blocks_dropped"))
   }
 
+  /** Content opt-out detection — the in-page consent signals a
+    * training-data crawl is expected to honor, surfaced as governance
+    * columns (the [[robotsFilter]] story at PAGE granularity):
+    * `<meta name="robots">` directives `noindex`/`nofollow`/`noai`
+    * (the emerging AI-training opt-out token) and the TDM Reservation
+    * Protocol meta (`name="tdm-reservation" content="1"`, the EU
+    * text-and-data-mining opt-out). Matching is attribute-order- and
+    * quote-style-tolerant, case-insensitive, and token-exact inside the
+    * content list (`"noindex, nofollow"` parses; a page saying
+    * `noindexing` does not trip `noindex`). Returns every document:
+    * (doc, noindex, nofollow, noai, tdm_reserved) — the DECISION (drop,
+    * keep-but-flag, honor-some) is the caller's policy; this operator
+    * is the detector, the [[termBlocklist]] counts-are-the-record
+    * stance.
+    *
+    * Scale: one codegen'd projection (meta-tag extract + per-tag array
+    * lambdas), zero shuffles — the stripHtml lane.
+    */
+  def contentOptOuts(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val tags = regexp_extract_all(col(htmlCol), lit("(?is)<meta\\s[^>]*>"), lit(0))
+    def attr(t: Column, a: String): Column =
+      lower(regexp_extract(t, "(?i)" + a + "\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+    def robotsHas(tok: String): Column = exists(tags, t =>
+      attr(t, "name") === "robots" &&
+        array_contains(split(attr(t, "content"), "[,\\s]+"), tok))
+    df.select(col(idCol).as("doc"),
+      robotsHas("noindex").as("noindex"),
+      robotsHas("nofollow").as("nofollow"),
+      robotsHas("noai").as("noai"),
+      exists(tags, t => attr(t, "name") === "tdm-reservation" &&
+        attr(t, "content") === "1").as("tdm_reserved"))
+  }
+
   /** Markdown → text extraction — the [[stripHtml]] sibling for the
     * other ubiquitous crawl format (GitHub/docs corpora are markdown):
     * fenced code blocks are REMOVED with their content (code is not

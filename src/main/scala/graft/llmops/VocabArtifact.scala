@@ -59,6 +59,73 @@ object VocabArtifact {
   def metaspace(base: Column => Column = TextAnalysis.wsTokens): Column => Column =
     c => transform(base(c), w => concat(lit(Marker), w))
 
+  /** The GPT-2 `bytes_to_unicode` table (Radford et al. 2019, encoder.py
+    * — public): printable bytes (33–126, 161–172, 174–255) map to their
+    * own character; every other byte maps to 256+n in ascending byte
+    * order, so all 256 bytes land on visible, whitespace-free BMP chars
+    * and BPE can train/serve over arbitrary bytes with plain string
+    * machinery. Index = byte value. Byte 0x20 maps to `Ġ` (U+0120) — the
+    * leading-space marker every GPT-2-lineage vocab shows.
+    */
+  val ByteLevelTable: IndexedSeq[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { val c = (256 + n).toChar.toString; n += 1; c }
+    }
+  }
+
+  private val ByteLevelHexMap: Map[String, String] =
+    ByteLevelTable.zipWithIndex.map { case (ch, b) =>
+      f"$b%02X" -> ch
+    }.toMap
+  private val ByteLevelInvMap: Map[String, String] =
+    ByteLevelHexMap.map(_.swap)
+
+  /** GPT-2 byte-level pre-tokenizer: `base`'s tokens, each with a
+    * leading space (prepend_scheme always — the [[metaspace]] stance),
+    * then every UTF-8 byte mapped through [[ByteLevelTable]] — a word
+    * becomes e.g. `Ġcafé` → `ĠcafÃ©`. Feed to [[Bpe.wordVocab]]-shaped
+    * training (explode + count the encoded tokens) or the tokens param
+    * of the serving entry points; segmentation becomes TOTAL over any
+    * input byte sequence (the BPE twin of Unigram's byte fallback).
+    */
+  def byteLevel(base: Column => Column = TextAnalysis.wsTokens): Column => Column =
+    c => transform(base(c), w => byteLevelEncode(concat(lit(" "), w)))
+
+  /** Map a string's UTF-8 bytes through [[ByteLevelTable]]. */
+  def byteLevelEncode(c: Column): Column = {
+    val m = typedLit(ByteLevelHexMap)
+    val hx = hex(encode(c, "UTF-8"))
+    array_join(transform(sequence(lit(1), length(hx) - 1, lit(2)),
+      i => element_at(m, hx.substr(i, lit(2)))), "")
+  }
+
+  /** Invert [[byteLevelEncode]]: mapped chars → bytes → UTF-8 text.
+    * Foreign byte-level tokens carrying invalid UTF-8 decode to U+FFFD
+    * (the detokenize byte-fallback stance); a char outside the 256-entry
+    * table yields a null byte-pair and the decode fails loudly rather
+    * than silently dropping bytes.
+    */
+  def byteLevelDecode(c: Column): Column =
+    decode(unhex(array_join(transform(
+      sequence(lit(1), length(c)),
+      i => element_at(typedLit(ByteLevelInvMap), c.substr(i, lit(1)))), "")),
+      "UTF-8")
+
+  /** Invert a byte-level segmentation back to text: pieces concatenate
+    * in (word_idx, piece_idx) order, the whole stream byte-decodes
+    * (leading-space `Ġ` markers become real spaces), edges trim.
+    */
+  def detokenizeByteLevel(segmented: DataFrame): DataFrame =
+    segmented.groupBy("id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("word_idx"), col("piece_idx"),
+          col("piece")))),
+        x => x("piece"))).as("__joined"))
+      .select(col("id"), trim(byteLevelDecode(col("__joined"))).as("text"))
+
   /** Invert a [[metaspace]]-tokenized [[Unigram.segment]] output back to
     * text: pieces concatenate in (word_idx, piece_idx) order, `▁`
     * becomes a space, the leading space trims. Returns (id, text).

@@ -5573,8 +5573,80 @@ object LlmOpsQueries extends QueryModule {
           when(coalesce(col("keep"), lit(false)), md5(col("main_text")))
             .as("clean_md5"))
         .orderBy("doc")
+    },
+
+    byteLevelQuery,
+
+    // Content opt-outs: meta robots noindex/nofollow/noai + the TDM
+    // reservation meta, planted across attribute orders, quote styles,
+    // case variants and a token-boundary trap ('noindexing' must not
+    // trip noindex) — the per-tag extract + token matching replayed.
+    q("q_x_content_optouts", {
+      val metas = "CASE doc_id % 6 " +
+        "WHEN 0 THEN '<head><meta name=\"robots\" content=\"noindex, nofollow\"></head>' " +
+        "WHEN 1 THEN '<head><META CONTENT=''NOAI'' NAME=''ROBOTS''><meta name=\"generator\" content=\"x\"></head>' " +
+        "WHEN 2 THEN '<head><meta name=\"tdm-reservation\" content=\"1\"></head>' " +
+        "WHEN 3 THEN '<head><meta name=\"robots\" content=\"noindexing nofollower\"></head>' " +
+        "WHEN 4 THEN '<head><meta name=\"tdm-reservation\" content=\"0\"></head>' " +
+        "ELSE '<head><title>clean</title></head>' END || '<body>' || text || '</body>'"
+      def attr(a: String) =
+        s"lower(regexp_extract(t, '(?i)$a\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1))"
+      def robotsHas(tok: String) =
+        s"len(list_filter(tags, t -> ${attr("name")} = 'robots' AND " +
+          s"list_contains(regexp_split_to_array(${attr("content")}, '[,\\s]+'), '$tok'))) > 0"
+      s"WITH h AS (SELECT doc_id, $metas AS html FROM documents), " +
+        "g AS (SELECT doc_id, regexp_extract_all(html, '(?is)<meta\\s[^>]*>', 0) AS tags FROM h) " +
+        s"SELECT doc_id AS doc, ${robotsHas("noindex")} AS noindex, " +
+        s"${robotsHas("nofollow")} AS nofollow, ${robotsHas("noai")} AS noai, " +
+        s"len(list_filter(tags, t -> ${attr("name")} = 'tdm-reservation' AND ${attr("content")} = '1')) > 0 AS tdm_reserved " +
+        "FROM g ORDER BY doc"
+    }) { (s, d) =>
+      val metas = when(col("doc_id") % 6 === 0,
+          lit("<head><meta name=\"robots\" content=\"noindex, nofollow\"></head>"))
+        .when(col("doc_id") % 6 === 1,
+          lit("<head><META CONTENT='NOAI' NAME='ROBOTS'><meta name=\"generator\" content=\"x\"></head>"))
+        .when(col("doc_id") % 6 === 2,
+          lit("<head><meta name=\"tdm-reservation\" content=\"1\"></head>"))
+        .when(col("doc_id") % 6 === 3,
+          lit("<head><meta name=\"robots\" content=\"noindexing nofollower\"></head>"))
+        .when(col("doc_id") % 6 === 4,
+          lit("<head><meta name=\"tdm-reservation\" content=\"0\"></head>"))
+        .otherwise(lit("<head><title>clean</title></head>"))
+      TextAnalysis.contentOptOuts(
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(metas, lit("<body>"), col("text"), lit("</body>")).as("html")),
+          "doc_id", "html")
+        .orderBy("doc")
     }
   )
+
+  /** GPT-2 byte-level pre-tokenization: every word (leading space
+    * prepended, the Ġ convention) maps its UTF-8 bytes through the
+    * public bytes_to_unicode table — the oracle rebuilds the 256-entry
+    * map and replays the hex walk value-exact over multi-script text.
+    */
+  private def byteLevelQuery = {
+    val mapEntries = graft.llmops.VocabArtifact.ByteLevelTable.zipWithIndex
+      .map { case (ch, b) =>
+        val esc = if (ch == "'") "''" else ch
+        f"struct_pack(k := '$b%02X', v := '$esc')"
+      }.mkString("[", ", ", "]")
+    q("q_x_byte_level",
+      s"WITH bm AS (SELECT map_from_entries($mapEntries) AS m), " +
+        "t AS (SELECT doc_id, regexp_split_to_array(trim(text || ' café 你好 «weird»'), '\\s+') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_idx, ' ' || toks[i] AS w FROM t, unnest(generate_series(1, len(toks))) AS u(i)), " +
+        "e AS (SELECT doc_id, word_idx, array_to_string(list_transform(generate_series(1, length(hex(encode(w))) - 1, 2), " +
+        "j -> m[substr(hex(encode(w)), CAST(j AS INT), 2)][1]), '') AS btok FROM w CROSS JOIN bm) " +
+        "SELECT doc_id AS doc, word_idx, btok FROM e ORDER BY doc, word_idx") { (s, d) =>
+      import graft.llmops.VocabArtifact
+      val aug = concat(col("text"), lit(" café 你好 «weird»"))
+      Tables.documents(s, d).select(col("doc_id").as("doc"),
+          posexplode(VocabArtifact.byteLevel()(aug))
+            .as(Seq("word_idx", "btok")))
+        .withColumn("word_idx", col("word_idx").cast("long"))
+        .orderBy("doc", "word_idx")
+    }
+  }
 
   /** Planted page markup shared by q_x_main_content and q_x_web_pipeline:
     * a nav link menu (drops), the document's text as the content block

@@ -310,7 +310,13 @@ object StressBench {
     // composed web pipeline: blocklist suffix join (broadcast) + the
     // main-content projection + the gate's two keyed shuffles — the sum
     // of three previously-stressed shapes.
-    "q_x_web_pipeline")
+    "q_x_web_pipeline",
+    // byte-level encode: one codegen'd projection (hex walk + map
+    // lookups inside array lambdas), zero shuffles.
+    "q_x_byte_level",
+    // content opt-outs: meta-tag extract + per-tag lambdas — the
+    // stripHtml lane, zero shuffles.
+    "q_x_content_optouts")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

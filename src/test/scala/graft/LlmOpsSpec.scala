@@ -2867,6 +2867,29 @@ class LlmOpsSpec extends SparkTestBase {
       bare.getAs[Long]("n_blocks_dropped") === 0L)
   }
 
+  test("contentOptOuts: attribute order/quote/case tolerant, token-exact, TDM value-exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<meta name=\"robots\" content=\"noindex,nofollow\"><body>x</body>"),
+      (2L, "<META CONTENT='noai' NAME='ROBOTS'>"),          // reversed attrs, caps
+      (3L, "<meta name=\"robots\" content=\"noindexing\">"), // token trap
+      (4L, "<meta name=\"tdm-reservation\" content=\"1\">"),
+      (5L, "<meta name=\"tdm-reservation\" content=\"0\">"), // reserved only at 1
+      (6L, "<p>no meta at all</p>"))
+      .toDF("doc_id", "html")
+    val got = TextAnalysis.contentOptOuts(docs, "doc_id", "html")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, true, true, false, false),
+      (2L, false, false, true, false),
+      (3L, false, false, false, false),
+      (4L, false, false, false, true),
+      (5L, false, false, false, false),
+      (6L, false, false, false, false)))
+  }
+
   test("termBlocklist: token-exact words + phrases, overlaps count, case-folded, never substring") {
     import spark.implicits._
     val terms = Seq("class", "table scan", "batch batch").toDF("term")

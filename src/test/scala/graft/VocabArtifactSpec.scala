@@ -386,6 +386,41 @@ class VocabArtifactSpec extends SparkTestBase {
     assert(back2.toSeq === Seq((1L, "héllo wörld"), (2L, "café 你好 ok")))
   }
 
+  test("byte-level: Ġ pin, table bijective, encode/decode round trip any script, BPE trains over it, detokenize recovers") {
+    import spark.implicits._
+    // the table is the published GPT-2 bytes_to_unicode: 256 distinct
+    // chars, space lands on Ġ, printables map to themselves
+    assert(VocabArtifact.ByteLevelTable.size === 256)
+    assert(VocabArtifact.ByteLevelTable.distinct.size === 256)
+    assert(VocabArtifact.ByteLevelTable(32) === "Ġ")
+    assert(VocabArtifact.ByteLevelTable('a'.toInt) === "a")
+    assert(VocabArtifact.ByteLevelTable(0) === "Ā")   // 256 + 0
+    val docs = Seq((1L, "the café 你好 emoji 😀 end"))
+      .toDF("id", "text")
+    val enc = docs.select(posexplode(VocabArtifact.byteLevel()(col("text")))
+      .as(Seq("i", "btok"))).collect().map(_.getString(1))
+    assert(enc(0) === "Ġthe")
+    assert(enc(1) === "ĠcafÃ©")          // é = C3 A9 -> Ã ©
+    // round trip through decode recovers every script incl. the emoji
+    val rt = docs.select(VocabArtifact.byteLevelDecode(
+      VocabArtifact.byteLevelEncode(col("text"))).as("t")).collect()
+    assert(rt.head.getString(0) === "the café 你好 emoji 😀 end")
+    // BPE trains over byte-level words and its merges decode sanely
+    val bv = docs.select(explode(VocabArtifact.byteLevel()(col("text")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (merges, _) = graft.llmops.Bpe.learnMerges(bv, k = 2)
+    assert(merges.nonEmpty)
+    // detokenizeByteLevel inverts a byte-level segmentation
+    val seg = docs.select(col("id"),
+        posexplode(VocabArtifact.byteLevel()(col("text")))
+          .as(Seq("word_idx", "piece")))
+      .withColumn("word_idx", col("word_idx").cast("long"))
+      .withColumn("piece_idx", lit(0L))
+    val back = VocabArtifact.detokenizeByteLevel(seg).collect()
+    assert(back.head.getString(1) === "the café 你好 emoji 😀 end")
+  }
+
   test("byte-fallback artifact: ids unk,controls,bytes,learned; byte_fallback declared; import flags; serving withholds") {
     import spark.implicits._
     val vocab = Seq(("a", 1L, 5L, 200000L), ("b", 1L, 3L, 1500000L))
