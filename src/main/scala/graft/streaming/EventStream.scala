@@ -687,6 +687,34 @@ object EventStream {
     remaining.count()
   }
 
+  /** Refresh queued-URL priorities from a new authority table — the
+    * [[graft.analytics.GraphAnalytics.pageRankKeys]] detect→act loop
+    * closed for the LIVE frontier (the IVF-rebuild discipline): ranks
+    * recompute periodically as the link graph grows, and the queue's
+    * yet-unfetched URLs should dispatch under the NEW ranks, not the
+    * ones they arrived with. `hostPriorities` is (host, priority),
+    * host-cardinality → broadcast; hosts absent from it keep their
+    * stored priority. One join + whole-table rewrite (the
+    * [[frontierDequeue]] cost shape — run it at rank-refresh cadence,
+    * not per batch). Returns rows updated (= table size).
+    */
+  def frontierReprioritize(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, hostPriorities: DataFrame): Long = {
+    val t = s"${tablePrefix}_frontier"
+    spark.catalog.refreshTable(t)
+    val updated = spark.table(t)
+      .join(broadcast(hostPriorities
+        .select(col("host"), col("priority").as("__np"))), Seq("host"), "left")
+      .withColumn("priority", coalesce(col("__np"), col("priority")))
+      .drop("__np")
+      .select("url", "host", "priority")
+      .localCheckpoint(eager = true)
+    updated.coalesce(8).write.mode("overwrite").format("parquet")
+      .saveAsTable(t)
+    spark.catalog.refreshTable(t)
+    updated.count()
+  }
+
   /** Drift probe over the LIVE [[dataCardStream]] state: PSI of each
     * source's current doc-length histogram against a frozen REFERENCE
     * card snapshot (persist `spark.table("{prefix}_card")` at

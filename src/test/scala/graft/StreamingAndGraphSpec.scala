@@ -1330,6 +1330,16 @@ class StreamingAndGraphSpec extends SparkTestBase {
       mem.addData(("https://h0.example/a", 50L))
       runOnce()
       assert(frontier() === Set(("https://h0.example/b", "h0.example", 1L)))
+      // authority refresh: a new host rank table re-prioritizes queued
+      // urls in place; unlisted hosts keep their stored priority
+      mem.addData(("https://h9.example/z", 2L))
+      runOnce()
+      val n = EventStream.frontierReprioritize(spark, "frontier_test",
+        Seq(("h0.example", 77L)).toDF("host", "priority"))
+      assert(n === 2L)
+      assert(frontier() === Set(
+        ("https://h0.example/b", "h0.example", 77L),
+        ("https://h9.example/z", "h9.example", 2L)))
     } finally {
       spark.sql("DROP TABLE IF EXISTS frontier_test_frontier")
       spark.sql("DROP TABLE IF EXISTS frontier_test_seen_bloom")
