@@ -810,6 +810,40 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** SEMANTIC benchmark decontamination — the paraphrase-leakage class
+    * the n-gram rule ([[graft.llmops.Dedup.decontaminate]]) cannot see:
+    * a benchmark item rephrased into training data shares no 5-gram but
+    * sits next to the original in embedding space (the known hole in
+    * GPT-3-style decontamination). Every training vector scores its MAX
+    * cosine against the whole benchmark suite; `contaminated` fires at
+    * `threshold`, and the best-matching bench item ships for audit.
+    *
+    * EXACT by choice, stated: the bench side is eval-suite-sized and
+    * broadcasts, so the scan is |train| · |bench| scored rows — linear
+    * in the corpus with a suite-sized constant (the [[mineTriplets]]
+    * exact-baseline stance; for integrity screening a missed leak costs
+    * more than the flops, and cell-scoped candidates
+    * ([[semDedupAcross]]) would miss cross-cell paraphrases by
+    * construction). Returns every train doc:
+    * (doc, bench_id, max_cos, contaminated) — ties break to the
+    * smallest bench id.
+    */
+  def decontaminateSemantic(trainVecs: DataFrame, benchVecs: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(benchVecs.select(col(idCol).as("bench_id"),
+      col(vecCol).as("vb"), l2norm(col(vecCol)).as("nb")))
+    trainVecs.select(col(idCol).as("doc"), col(vecCol).as("vt"),
+        l2norm(col(vecCol)).as("nt"))
+      .crossJoin(b)
+      .withColumn("cos", dot(col("vt"), col("vb")) / (col("nt") * col("nb")))
+      .groupBy("doc")
+      .agg(max_by(col("bench_id"), struct(col("cos"), -col("bench_id")))
+          .as("bench_id"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= threshold)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019,
     * arXiv:1811.01136 — the CCMatrix/LASER parallel-corpus recipe): two
     * embedding sides (language A documents, language B documents) pair

@@ -5577,6 +5577,27 @@ object LlmOpsQueries extends QueryModule {
 
     byteLevelQuery,
 
+    // Semantic decontamination: every train vector (even ids) scores its
+    // max cosine against the whole bench suite (odd ids < 40) — exact by
+    // choice; the oracle replays the dot/norm arithmetic and the
+    // smallest-bench-id tie rule.
+    q("q_x_decon_semantic",
+      "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "en AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY 1), " +
+        "d AS (SELECT t.vec_id AS doc, b.vec_id AS bench_id, sum(t.v * b.v) AS dot FROM e t JOIN e b ON b.i = t.i " +
+        "AND t.vec_id % 2 = 0 AND b.vec_id % 2 = 1 AND b.vec_id < 40 GROUP BY 1, 2), " +
+        "sc AS (SELECT d.doc, d.bench_id, d.dot / (a.n * c.n) AS cos FROM d JOIN en a ON a.vec_id = d.doc JOIN en c ON c.vec_id = d.bench_id), " +
+        "rk AS (SELECT doc, bench_id, cos, row_number() OVER (PARTITION BY doc ORDER BY cos DESC, bench_id) AS rn FROM sc) " +
+        "SELECT doc, bench_id, round(cos, 6) AS max_cos, round(cos, 6) >= 0.35 AS contaminated " +
+        "FROM rk WHERE rn = 1 ORDER BY doc") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.decontaminateSemantic(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 40),
+          threshold = 0.35)
+        .orderBy("doc")
+    },
+
     // Content opt-outs: meta robots noindex/nofollow/noai + the TDM
     // reservation meta, planted across attribute orders, quote styles,
     // case variants and a token-boundary trap ('noindexing' must not

@@ -316,7 +316,10 @@ object StressBench {
     "q_x_byte_level",
     // content opt-outs: meta-tag extract + per-tag lambdas — the
     // stripHtml lane, zero shuffles.
-    "q_x_content_optouts")
+    "q_x_content_optouts",
+    // semantic decon: bench broadcast, one pass over train vectors —
+    // linear in train with a suite-sized constant.
+    "q_x_decon_semantic")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

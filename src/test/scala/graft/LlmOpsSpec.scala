@@ -2867,6 +2867,27 @@ class LlmOpsSpec extends SparkTestBase {
       bare.getAs[Long]("n_blocks_dropped") === 0L)
   }
 
+  test("decontaminateSemantic: the near-copy flags, the orthogonal doc clears, ties break to the smallest bench id") {
+    import spark.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val bench = Seq(
+      (1L, v(1, 0, 0, 0)), (3L, v(0, 1, 0, 0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (2L, v(0.99, 0.1, 0, 0)),   // paraphrase-close to bench 1
+      (4L, v(0, 0, 1, 0)),        // orthogonal to the whole suite
+      (6L, v(0.5, 0.5, 0, 0)))    // equal cosine to bench 1 and 3 -> tie
+      .toDF("vec_id", "embedding")
+    val got = Similarity.decontaminateSemantic(train, bench, threshold = 0.9)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got(0)._1 === 2L && got(0)._2 === 1L && got(0)._4 === true)
+    assert(got(0)._3 > 0.99)
+    assert(got(1) === ((4L, 1L, 0.0, false)))
+    // the tie: identical cosine to both bench items -> smallest id wins
+    assert(got(2)._2 === 1L && got(2)._4 === false)
+    assert(math.abs(got(2)._3 - math.sqrt(0.5)) < 1e-5)
+  }
+
   test("contentOptOuts: attribute order/quote/case tolerant, token-exact, TDM value-exact") {
     import spark.implicits._
     val docs = Seq(
