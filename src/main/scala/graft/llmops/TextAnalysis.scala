@@ -1663,7 +1663,20 @@ object TextAnalysis {
     * identical group boundaries.
     */
   private def robotsStarGroupLines(df: DataFrame, hostCol: String,
-      textCol: String, directiveRe: String): DataFrame = {
+      textCol: String, directiveRe: String): DataFrame =
+    robotsGroupLines(df, hostCol, textCol, directiveRe, agent = None)
+
+  /** The group spine with OPTIONAL agent-specific selection (RFC 9309
+    * §2.2.1): `agent = None` keeps the `*`-group behavior bit-identical;
+    * `Some(a)` selects the groups whose agent set contains the
+    * crawler's product token (exact match, case-insensitive) — and per
+    * spec, when ANY such group exists on a host, the `*` groups for
+    * that host are IGNORED (the specific match wins wholesale, never a
+    * union with the default).
+    */
+  private def robotsGroupLines(df: DataFrame, hostCol: String,
+      textCol: String, directiveRe: String,
+      agent: Option[String]): DataFrame = {
     val w = Window.partitionBy("host").orderBy("idx")
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
     val lines = df
@@ -1683,9 +1696,38 @@ object TextAnalysis {
     val starGroups = grouped
       .filter(col("__ua") === 1L && col("value") === "*")
       .select(col("host"), col("grp")).distinct()
+    val selected = agent match {
+      case None => starGroups
+      case Some(a) =>
+        val ag = grouped
+          .filter(col("__ua") === 1L &&
+            lower(col("value")) === lit(a.toLowerCase))
+          .select(col("host"), col("grp")).distinct()
+        ag.unionByName(starGroups
+          .join(ag.select("host").distinct(), Seq("host"), "left_anti"))
+    }
     grouped
       .filter(col("__ua") === 0L && col("grp") >= 1L)
-      .join(starGroups, Seq("host", "grp"))
+      .join(selected, Seq("host", "grp"))
+  }
+
+  /** [[robotsRules]] for a SPECIFIC crawler product token — the groups
+    * that bind to `agent` (exact match, case-insensitive; stacked
+    * User-agent lines all bind); hosts with no matching group fall back
+    * to their `*` groups, hosts with one IGNORE `*` entirely (RFC 9309
+    * §2.2.1 — the specific match wins wholesale). Same output shape as
+    * [[robotsRules]]; feed [[robotsFilter]] unchanged. Scope note:
+    * [[robotsCrawlDelay]]/[[robotsSitemaps]] keep their documented
+    * bindings (star-group / global respectively).
+    */
+  def robotsRulesFor(df: DataFrame, hostCol: String, textCol: String,
+      agent: String): DataFrame = {
+    require(agent.trim.nonEmpty, "agent must be a non-empty product token")
+    robotsGroupLines(df, hostCol, textCol,
+        "^(user-agent|allow|disallow):", Some(agent.trim))
+      .filter((col("directive") === "allow" || col("directive") === "disallow") &&
+        col("value") =!= "")
+      .select(col("host"), col("directive").as("rule"), col("value").as("path"))
   }
 
   /** Apply [[robotsRules]] to a frontier: RFC 9309 longest-match

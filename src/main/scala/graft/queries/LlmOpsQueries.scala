@@ -5577,6 +5577,52 @@ object LlmOpsQueries extends QueryModule {
 
     byteLevelQuery,
 
+    // Agent-specific robots groups (RFC 9309 2.2.1): hosts with a
+    // graftbot group IGNORE their * groups wholesale (never a union);
+    // stacked + case-variant agent lines bind; hosts without one fall
+    // back to *. The grouping + selection chain replays value-exact.
+    q("q_x_robots_agent", {
+      val nl = " || chr(10) || "
+      val body = "CASE WHEN k = 4 THEN 'User-agent: *'" + nl + "'Disallow: /everyone' " +
+        "ELSE 'User-agent: graftbot'" + nl + "'Disallow: /bot-only'" + nl + "''" + nl +
+        "'User-agent: *'" + nl + "'Disallow: /everyone'" +
+        " || CASE WHEN k % 2 = 0 THEN chr(10) || 'User-agent: other'" + nl +
+        "'User-agent: GRAFTBOT'" + nl + "'Allow: /stacked' ELSE '' END END"
+      "WITH hosts AS (SELECT DISTINCT doc_id % 5 AS k FROM documents), " +
+        s"rb AS (SELECT 'a' || k || '.example' AS host, $body AS txt FROM hosts), " +
+        "la AS (SELECT host, string_split(txt, chr(10)) AS ls FROM rb), " +
+        "lp AS (SELECT host, ls, unnest(generate_series(1, len(ls))) AS i FROM la), " +
+        "d AS (SELECT host, i, regexp_extract(lower(cl), '^(user-agent|allow|disallow):', 1) AS directive, " +
+        "trim(regexp_replace(cl, '^[A-Za-z-]+:', '')) AS value FROM " +
+        "(SELECT host, i, trim(regexp_replace(ls[i], '#.*$', '')) AS cl FROM lp) x), " +
+        "g AS (SELECT *, CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS ua FROM d), " +
+        "g2 AS (SELECT *, CASE WHEN ua = 1 AND coalesce(lag(ua) OVER (PARTITION BY host ORDER BY i), 0) = 0 THEN 1 ELSE 0 END AS st FROM g), " +
+        "g3 AS (SELECT *, sum(st) OVER (PARTITION BY host ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp FROM g2), " +
+        "star AS (SELECT DISTINCT host, grp FROM g3 WHERE ua = 1 AND value = '*'), " +
+        "ag AS (SELECT DISTINCT host, grp FROM g3 WHERE ua = 1 AND lower(value) = 'graftbot'), " +
+        "sel AS (SELECT host, grp FROM ag UNION SELECT s.host, s.grp FROM star s WHERE s.host NOT IN (SELECT host FROM ag)) " +
+        "SELECT g3.host, directive AS rule, value AS path FROM g3 JOIN sel USING (host, grp) " +
+        "WHERE ua = 0 AND grp >= 1 AND directive IN ('allow', 'disallow') AND value <> '' " +
+        "ORDER BY host, rule, path"
+    }) { (s, d) =>
+      val nl = "\n"
+      val k = col("k")
+      val body = when(k === 4,
+          lit("User-agent: *" + nl + "Disallow: /everyone"))
+        .otherwise(concat(
+          lit("User-agent: graftbot" + nl + "Disallow: /bot-only" + nl + nl +
+            "User-agent: *" + nl + "Disallow: /everyone"),
+          when(k % 2 === 0,
+            lit(nl + "User-agent: other" + nl + "User-agent: GRAFTBOT" + nl +
+              "Allow: /stacked")).otherwise(lit(""))))
+      val hosts = Tables.documents(s, d)
+        .select((col("doc_id") % 5).as("k")).distinct()
+        .select(concat(lit("a"), k.cast("string"), lit(".example")).as("host"),
+          body.as("txt"))
+      TextAnalysis.robotsRulesFor(hosts, "host", "txt", agent = "GraftBot")
+        .orderBy("host", "rule", "path")
+    },
+
     // Semantic decontamination: every train vector (even ids) scores its
     // max cosine against the whole bench suite (odd ids < 40) — exact by
     // choice; the oracle replays the dot/norm arithmetic and the

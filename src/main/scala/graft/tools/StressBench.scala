@@ -319,7 +319,10 @@ object StressBench {
     "q_x_content_optouts",
     // semantic decon: bench broadcast, one pass over train vectors —
     // linear in train with a suite-sized constant.
-    "q_x_decon_semantic")
+    "q_x_decon_semantic",
+    // agent-specific robots groups: robots-sized line explode + the
+    // bounded per-host grouping windows + one selection join.
+    "q_x_robots_agent")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

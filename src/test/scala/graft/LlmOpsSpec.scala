@@ -2867,6 +2867,37 @@ class LlmOpsSpec extends SparkTestBase {
       bare.getAs[Long]("n_blocks_dropped") === 0L)
   }
 
+  test("robotsRulesFor: specific group wins wholesale, star fallback, stacked + case-insensitive agents, star-agent equals robotsRules") {
+    import spark.implicits._
+    val bodies = Seq(
+      // specific group present: * must be IGNORED, not unioned
+      ("h1", "User-agent: graftbot\nDisallow: /bot\n\nUser-agent: *\nDisallow: /all"),
+      // no specific group: fall back to *
+      ("h2", "User-agent: *\nDisallow: /all"),
+      // stacked agents + case variant bind the group
+      ("h3", "User-agent: other\nUser-Agent: GRAFTBOT\nAllow: /ok\nDisallow: /no"))
+      .toDF("host", "txt")
+    val got = TextAnalysis.robotsRulesFor(bodies, "host", "txt", "GraftBot")
+      .orderBy("host", "rule", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      ("h1", "disallow", "/bot"),
+      ("h2", "disallow", "/all"),
+      ("h3", "allow", "/ok"), ("h3", "disallow", "/no")))
+    // agent "*" reduces to the default-group rules
+    val star = TextAnalysis.robotsRulesFor(bodies, "host", "txt", "*")
+      .orderBy("host", "rule", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val plain = TextAnalysis.robotsRules(bodies, "host", "txt")
+      .orderBy("host", "rule", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(star.toSeq === plain.toSeq)
+    // empty agent refuses
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.robotsRulesFor(bodies, "host", "txt", "  "))
+    assert(e.getMessage.contains("product token"))
+  }
+
   test("decontaminateSemantic: the near-copy flags, the orthogonal doc clears, ties break to the smallest bench id") {
     import spark.implicits._
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
