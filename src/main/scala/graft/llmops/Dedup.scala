@@ -319,6 +319,63 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Contamination report per BENCHMARK item — [[decontaminate]]
+    * transposed: the training-side verdict says which TRAIN docs to
+    * drop; this says which EVAL items are already BURNED (their content
+    * leaked into the corpus widely enough that a clean-looking score on
+    * them is memorization, not capability — the eval-integrity view a
+    * release review reads). One row per bench doc:
+    * (bench_id, n_train_docs — distinct training documents sharing at
+    * least one n-gram, n_shingles_hit — distinct leaked shingles,
+    * n_shingles — the item's total, burned = n_train_docs > 0).
+    *
+    * Hot-shingle cap, observable (the no-silent-caps rule): a shingle
+    * occurring in more than `maxShingleDf` DISTINCT training documents
+    * is boilerplate, not leakage — counting its full pair fan-out would
+    * explode the join output for zero signal. Capped shingles are
+    * EXCLUDED from the pair counts and REPORTED per item
+    * (`n_shingles_hot`), so a reviewer sees exactly what was not
+    * counted.
+    *
+    * Scale: the bench shingle set broadcasts; pairs exist only for
+    * actual hits and each shingle's fan-out is ≤ maxShingleDf by the
+    * cap; two keyed aggregations. The train side is scanned once.
+    */
+  def contaminationReport(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, maxShingleDf: Int = 1000): DataFrame = {
+    require(maxShingleDf >= 1)
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
+      .dropDuplicates("doc", "s")
+    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+      .dropDuplicates("doc", "s")
+      .select(col("doc").as("bench_id"), col("s"))
+    val perShingle = trainSh
+      .join(broadcast(benchSh.select("s").distinct()), Seq("s"), "left_semi")
+      .groupBy("s").agg(countDistinct("doc").as("__df"))
+    val hot = perShingle.filter(col("__df") > maxShingleDf).select("s")
+    val hits = benchSh
+      .join(trainSh.join(broadcast(hot), Seq("s"), "left_anti")
+        .select(col("doc").as("train_id"), col("s")), Seq("s"))
+      .groupBy("bench_id")
+      .agg(countDistinct("train_id").as("n_train_docs"),
+        countDistinct("s").as("n_shingles_hit"))
+    val hotPerItem = benchSh.join(broadcast(hot), Seq("s"), "left_semi")
+      .groupBy("bench_id").agg(count(lit(1)).as("n_shingles_hot"))
+    val totals = benchSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    bench.select(col(idCol).as("bench_id"))
+      .join(totals, Seq("bench_id"), "left")
+      .join(hits, Seq("bench_id"), "left")
+      .join(hotPerItem, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shingles_hit"), lit(0L)).as("n_shingles_hit"),
+        coalesce(col("n_shingles_hot"), lit(0L)).as("n_shingles_hot"),
+        (coalesce(col("n_train_docs"), lit(0L)) > 0).as("burned"))
+  }
+
   /** Fractional decontamination (the graded FLAN/PaLM-style rule): a
     * training document is contaminated iff MORE THAN `maxOverlap` of its
     * distinct n-gram shingles appear anywhere in the benchmark suite —

@@ -5623,6 +5623,38 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("host", "rule", "path")
     },
 
+    // Contamination report per benchmark item (decontaminate transposed
+    // + the observable hot-shingle cap at df > 3): per bench doc, how
+    // many distinct train docs share its 5-grams, how many shingles
+    // leaked, and how many were excluded as boilerplate — replayed
+    // value-exact.
+    q("q_x_contamination_report", {
+      val g5 = "list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])"
+      "WITH tt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), " +
+        s"tr AS (SELECT DISTINCT doc_id AS train_id, g FROM (SELECT doc_id, unnest($g5) AS g FROM tt WHERE doc_id % 2 = 0 AND len(t) >= 5)), " +
+        s"be AS (SELECT DISTINCT doc_id AS bench_id, g FROM (SELECT doc_id, unnest($g5) AS g FROM tt WHERE doc_id % 2 = 1 AND doc_id < 60 AND len(t) >= 5)), " +
+        "ps AS (SELECT g, count(DISTINCT train_id) AS df FROM tr WHERE g IN (SELECT g FROM be) GROUP BY 1), " +
+        "hot AS (SELECT g FROM ps WHERE df > 3), " +
+        "hits AS (SELECT bench_id, CAST(count(DISTINCT trn.train_id) AS BIGINT) AS n_train_docs, CAST(count(DISTINCT be.g) AS BIGINT) AS n_shingles_hit " +
+        "FROM be JOIN (SELECT train_id, g FROM tr WHERE g NOT IN (SELECT g FROM hot)) trn USING (g) GROUP BY 1), " +
+        "hp AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shingles_hot FROM be WHERE g IN (SELECT g FROM hot) GROUP BY 1), " +
+        "tot AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shingles FROM be GROUP BY 1), " +
+        "base AS (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 2 = 1 AND doc_id < 60) " +
+        "SELECT b.bench_id, coalesce(tot.n_shingles, 0) AS n_shingles, " +
+        "coalesce(hits.n_train_docs, 0) AS n_train_docs, " +
+        "coalesce(hits.n_shingles_hit, 0) AS n_shingles_hit, " +
+        "coalesce(hp.n_shingles_hot, 0) AS n_shingles_hot, " +
+        "coalesce(hits.n_train_docs, 0) > 0 AS burned " +
+        "FROM base b LEFT JOIN tot USING (bench_id) LEFT JOIN hits USING (bench_id) LEFT JOIN hp USING (bench_id) ORDER BY bench_id"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 60),
+          "doc_id", "text", n = 5, maxShingleDf = 3)
+        .orderBy("bench_id")
+    },
+
     // Semantic decontamination: every train vector (even ids) scores its
     // max cosine against the whole bench suite (odd ids < 40) — exact by
     // choice; the oracle replays the dot/norm arithmetic and the

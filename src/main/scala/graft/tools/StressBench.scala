@@ -322,7 +322,10 @@ object StressBench {
     "q_x_decon_semantic",
     // agent-specific robots groups: robots-sized line explode + the
     // bounded per-host grouping windows + one selection join.
-    "q_x_robots_agent")
+    "q_x_robots_agent",
+    // contamination report: bench shingles broadcast, pair fan-out
+    // bounded by the observable df cap, two keyed aggs.
+    "q_x_contamination_report")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -2867,6 +2867,33 @@ class LlmOpsSpec extends SparkTestBase {
       bare.getAs[Long]("n_blocks_dropped") === 0L)
   }
 
+  test("contaminationReport: leaked items burn, boilerplate shingles cap observably, clean items read zero") {
+    import spark.implicits._
+    val leak = "which ancient city stood beside the wide green river"
+    val boiler = "all rights reserved contact us for more information"
+    val train = (1 to 5).map(i => (i * 2L, s"train doc $i padding words $boiler")) :+
+      (100L, s"a real leak here $leak end of doc")
+    val bench = Seq(
+      (1L, s"quiz: $leak ?"),                 // genuinely leaked: 1 train doc
+      (3L, s"footer text $boiler exactly"),   // boilerplate: df 5 > cap 3
+      (5L, "completely novel benchmark question nobody ever wrote"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train.toDF("doc_id", "text"), bench,
+        "doc_id", "text", n = 5, maxShingleDf = 3)
+      .orderBy("bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    // item 1: burned by exactly one train doc, no hot shingles
+    assert(got(0)._1 === 1L && got(0)._2 === 1L && got(0)._3 > 0L &&
+      got(0)._4 === 0L && got(0)._5 === true)
+    // item 3: its shared shingles are boilerplate (df 5 > 3) — excluded
+    // from the counts but REPORTED, so the item is NOT burned
+    assert(got(1)._1 === 3L && got(1)._2 === 0L && got(1)._3 === 0L &&
+      got(1)._4 > 0L && got(1)._5 === false)
+    // item 5: clean
+    assert(got(2) === ((5L, 0L, 0L, 0L, false)))
+  }
+
   test("robotsRulesFor: specific group wins wholesale, star fallback, stacked + case-insensitive agents, star-agent equals robotsRules") {
     import spark.implicits._
     val bodies = Seq(
