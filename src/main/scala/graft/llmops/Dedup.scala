@@ -350,13 +350,19 @@ object Dedup {
     val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
       .dropDuplicates("doc", "s")
       .select(col("doc").as("bench_id"), col("s"))
-    val perShingle = trainSh
+      .localCheckpoint(eager = true) // bench-sized; feeds 3 consumers
+    // ONE train scan: the bench-matching rows materialize (hit-bounded —
+    // tiny unless the corpus is massively contaminated), and both the
+    // df cap and the pair counts derive from them.
+    val matched = trainSh
       .join(broadcast(benchSh.select("s").distinct()), Seq("s"), "left_semi")
-      .groupBy("s").agg(countDistinct("doc").as("__df"))
-    val hot = perShingle.filter(col("__df") > maxShingleDf).select("s")
+      .select(col("doc").as("train_id"), col("s"))
+      .localCheckpoint(eager = true)
+    val hot = matched.groupBy("s")
+      .agg(countDistinct("train_id").as("__df"))
+      .filter(col("__df") > maxShingleDf).select("s")
     val hits = benchSh
-      .join(trainSh.join(broadcast(hot), Seq("s"), "left_anti")
-        .select(col("doc").as("train_id"), col("s")), Seq("s"))
+      .join(matched.join(broadcast(hot), Seq("s"), "left_anti"), Seq("s"))
       .groupBy("bench_id")
       .agg(countDistinct("train_id").as("n_train_docs"),
         countDistinct("s").as("n_shingles_hit"))

@@ -357,6 +357,9 @@ object LmArtifact {
       s"model has no '$Unk' unigram — cannot score open-vocabulary text")
     val bi = lm.filter(col("n") === 2)
       .select(col("gram"), col("nll10_micro").as("b_nll"))
+    // both sides of the adjacency self-join read this — one
+    // materialization (the two-consumer rule), or the explode + vocab
+    // join would run twice over the corpus
     val toks = df.select(col(idCol).as("doc"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "raw")))
       .join(broadcast(uni.select(col("w"), lit(1).as("__in"))),
@@ -364,6 +367,7 @@ object LmArtifact {
       .select(col("doc"), col("pos"),
         when(col("__in").isNotNull, col("raw")).otherwise(lit(Unk)).as("tok"),
         col("__in").isNull.as("oov"))
+      .localCheckpoint(eager = true)
     // adjacent pairs via a self-join on (doc, pos+1): the explode is
     // already materialized, and the equi-join keeps the whole pair
     // stream codegen'd without a corpus-global window.

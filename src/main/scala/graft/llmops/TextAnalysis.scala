@@ -619,20 +619,24 @@ object TextAnalysis {
     val lens = t.select("n").distinct().collect().map(_.getInt(0)).sorted
     val toks = df.select(col(idCol).as("doc"),
       tokens(lower(col(textCol))).as("__toks"))
-    val hitFrames = lens.map { n =>
-      val grams = toks.select(col("doc"),
-        explode(when(size(col("__toks")) >= n,
-          expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(__toks, i, $n)))"))
-          .otherwise(array().cast("array<string>"))).as("g"))
-      grams.join(broadcast(t.filter(col("n") === n)
-        .select(col("term").as("g"))), Seq("g"))
-        .select("doc", "g")
+    // ONE corpus pass whatever the length mix: every needed shingle
+    // length generates inside one concatenated array expression and one
+    // explode (n per-length passes would re-scan the corpus per length)
+    val gramArrays = lens.map { n =>
+      when(size(col("__toks")) >= n,
+        expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> named_struct('n', ${n}L, 'g', concat_ws(' ', slice(__toks, i, $n))))"))
+        .otherwise(array().cast("array<struct<n:bigint,g:string>>"))
     }
-    val perDoc = hitFrames
-      .reduceOption(_ unionAll _)
-      .map(_.groupBy("doc").agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("g")).as("n_terms")))
+    val perDoc =
+      if (lens.isEmpty) None
+      else Some(toks
+        .select(col("doc"), explode(concat(gramArrays: _*)).as("x"))
+        .select(col("doc"), col("x.n").as("n"), col("x.g").as("g"))
+        .join(broadcast(t.select(col("n").cast("long").as("n"),
+          col("term").as("g"))), Seq("n", "g"))
+        .groupBy("doc").agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("g")).as("n_terms")))
     val base = df.select(col(idCol).as("doc"))
     perDoc.fold(base.select(col("doc"), lit(0L).as("n_hits"),
         lit(0L).as("n_terms"), lit(false).as("blocked"))) { h =>
