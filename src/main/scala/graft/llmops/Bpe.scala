@@ -122,6 +122,42 @@ object Bpe {
       case (syms, (l, r)) => mergeRound(syms, l, r).localCheckpoint(true)
     }
 
+  /** Serve a corpus with a learned (or IMPORTED —
+    * [[graft.llmops.VocabArtifact.readBpeMerges]]/`readBpeJson`) merge
+    * list — the [[graft.llmops.Unigram.segment]]-shaped other half of
+    * BPE, one row per (id, word_idx, piece_idx, piece) in reading
+    * order: merges apply to the SERVING corpus's own distinct words
+    * (the BPE serving rule — a word never seen in training still
+    * segments through the rules; merge application is
+    * frequency-independent, so trained words reproduce their training
+    * segmentation exactly, spec-pinned). Compose with
+    * [[graft.llmops.VocabArtifact.byteLevel]] for the full GPT-2
+    * serving stack. Feeds token-id assignment / TokenBin exactly like
+    * the unigram server.
+    *
+    * Scale: the K merge rounds run on the DISTINCT-WORD table of the
+    * serving corpus (the training discipline — corpus size enters
+    * through one distinct + the final join back); each round is the
+    * checkpointed [[mergeRound]] window over word positions.
+    */
+  def segment(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("word_idx", "word")))
+      .withColumn("word_idx", col("word_idx").cast("long"))
+    val words = toks.select("word").distinct()
+      .where(length(col("word")) >= 1)
+      .withColumn("freq", lit(1L))
+    val perWord = applyMerges(words, merges).groupBy("word")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        x => x("s")).as("pieces"))
+    toks.join(perWord, Seq("word"))
+      .select(col("id"), col("word_idx"),
+        posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
+      .withColumn("piece_idx", col("piece_idx").cast("long"))
+  }
+
   /** The learned merge table as a frame: (mrank, lhs, rhs, pair_freq) —
     * `mrank`/`lhs`/`rhs`, not rank/left/right, which are SQL keywords in
     * the oracle.

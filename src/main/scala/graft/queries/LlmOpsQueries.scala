@@ -5623,6 +5623,27 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("host", "rule", "path")
     },
 
+    // BPE corpus serving (the Unigram.segment-shaped other half): the
+    // K-round-trained merges apply to the serving slice's words, one
+    // row per (id, word_idx, piece_idx, piece) — the training chain +
+    // per-word piece assembly + the per-doc join replayed value-exact.
+    q("q_x_bpe_segment",
+      bpeRoundsSql(BpeK) + ", " +
+        s"pw AS (SELECT word, list_transform(list_sort(list(struct_pack(i := i, s := s))), x -> x.s) AS pieces FROM s$BpeK GROUP BY word), " +
+        "td AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS widx, toks[i] AS word FROM " +
+        "(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 40), " +
+        "unnest(generate_series(1, len(toks))) u(i)) " +
+        "SELECT td.doc_id AS id, td.widx AS word_idx, CAST(j - 1 AS BIGINT) AS piece_idx, pw.pieces[j] AS piece " +
+        "FROM td JOIN pw USING (word), unnest(generate_series(1, len(pw.pieces))) v(j) " +
+        "ORDER BY id, word_idx, piece_idx") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wv = Bpe.wordVocab(docs, "text").localCheckpoint(true)
+      val (merges, _) = Bpe.learnMerges(wv, k = BpeK)
+      Bpe.segment(docs.filter(col("doc_id") < 40), "doc_id", "text",
+          merges.map(m => (m.left, m.right)))
+        .orderBy("id", "word_idx", "piece_idx")
+    },
+
     // Contamination report per benchmark item (decontaminate transposed
     // + the observable hot-shingle cap at df > 3): per bench doc, how
     // many distinct train docs share its 5-grams, how many shingles

@@ -325,7 +325,10 @@ object StressBench {
     "q_x_robots_agent",
     // contamination report: bench shingles broadcast, pair fan-out
     // bounded by the observable df cap, two keyed aggs.
-    "q_x_contamination_report")
+    "q_x_contamination_report",
+    // BPE serving: K merge rounds over the serving corpus's DISTINCT
+    // words + one join back — the training lane's shape at serve time.
+    "q_x_bpe_segment")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

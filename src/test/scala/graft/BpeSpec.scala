@@ -61,4 +61,32 @@ class BpeSpec extends SparkTestBase {
     // every word collapsed to one symbol → n_bpe_tokens = n_words
     assert(counts == Seq((1L, 3L, 3L), (2L, 1L, 1L)))
   }
+
+  test("segment: trained words reproduce training segmentation, novel words segment through the rules, byte-level composes") {
+    import spark.implicits._
+    val corpus = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val wv = Bpe.wordVocab(corpus, "text").localCheckpoint(true)
+    val (merges, finalSyms) = Bpe.learnMerges(wv, k = 3)
+    val pairList = merges.map(m => (m.left, m.right))
+    // trained words: serving piece counts == the training position table's
+    val served = Bpe.segment(corpus, "doc_id", "text", pairList)
+      .groupBy("word_idx").agg(count(lit(1)).as("n"))
+      .orderBy("word_idx").collect().map(_.getLong(1))
+    val trained = finalSyms.groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = Seq("low", "low", "low", "lower", "lowest")
+    assert(served.toSeq === words.map(trained))
+    // a NOVEL word (never trained) still segments through the rules
+    val novel = Seq((9L, "lowly")).toDF("doc_id", "text")
+    val nv = Bpe.segment(novel, "doc_id", "text", pairList)
+      .orderBy("piece_idx").collect().map(_.getString(3))
+    assert(nv.mkString("") === "lowly")
+    assert(nv.length < 5, s"the trained merges must apply: ${nv.toSeq}")
+    // GPT-2 stack: byte-level pre-tokenizer composes and round-trips
+    val docs = Seq((1L, "café low")).toDF("doc_id", "text")
+    val seg = Bpe.segment(docs, "doc_id", "text", pairList,
+      tokens = graft.llmops.VocabArtifact.byteLevel())
+    val back = graft.llmops.VocabArtifact.detokenizeByteLevel(seg).collect()
+    assert(back.head.getString(1) === "café low")
+  }
 }
