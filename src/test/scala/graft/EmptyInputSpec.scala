@@ -323,6 +323,20 @@ class EmptyInputSpec extends SparkTestBase {
     val (enq, merged) = graft.streaming.EventStream.frontierStep(
       noLinks, "url", "prio", noRules, state, 4096L, 4)
     assert(enq.count() == 0)
+    // contamination report: empty train -> nothing burned; empty bench -> empty
+    val oneDoc = Seq((1L, "some training text here")).toDF("doc_id", "text")
+    val cr = Dedup.contaminationReport(noDocs,
+      Seq((1L, "a benchmark question with enough words here")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(cr.length == 1 && !cr.head.getAs[Boolean]("burned"))
+    assert(Dedup.contaminationReport(oneDoc, noDocs, "doc_id", "text")
+      .count() == 0)
+    // BPE serving over an empty corpus / empty merge list
+    assert(graft.llmops.Bpe.segment(noDocs, "doc_id", "text",
+      Seq(("a", "b"))).count() == 0)
+    val chars = graft.llmops.Bpe.segment(oneDoc, "doc_id", "text", Nil)
+      .count()
+    assert(chars == "some training text here".count(_ != ' ').toLong)
     // main-content over empty corpus / empty html
     assert(TextAnalysis.extractMainContent(noDocs, "doc_id", "text")
       .count() == 0)
