@@ -19,6 +19,7 @@ object SparkEntry {
     StreamingQueries,
     AdvancedQueries,
     LlmOpsQueries,
+    ModelPrepQueries,
     GraphQueries,
     TemporalQueries)
 

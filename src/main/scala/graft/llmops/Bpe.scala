@@ -69,7 +69,16 @@ object Bpe {
   /** One greedy merge pass of (l, r) over the position table — the
     * island-parity rewrite described in the object scaladoc.
     */
-  def mergeRound(syms: DataFrame, l: String, r: String): DataFrame = {
+  def mergeRound(syms: DataFrame, l: String, r: String): DataFrame =
+    mergeRound(syms, l, r, l + r)
+
+  /** [[mergeRound]] with an explicit merged-symbol spelling — the reuse
+    * hook for [[WordPiece]], whose merge product strips the `##`
+    * continuation marker off the right symbol (`ab + ##cd → ab cd`→
+    * `abcd`, not `ab##cd`). The candidate/island/keep mechanics are
+    * identical; only the emitted symbol differs.
+    */
+  def mergeRound(syms: DataFrame, l: String, r: String, merged: String): DataFrame = {
     val w = Window.partitionBy("word").orderBy("i")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wIsl = Window.partitionBy("word", "isl")
@@ -84,7 +93,7 @@ object Bpe {
       .filter(!col("dropped"))
       .select(col("word"), col("freq"),
         row_number().over(w).cast("long").as("i"),
-        when(col("keep"), lit(l + r)).otherwise(col("s")).as("s"))
+        when(col("keep"), lit(merged)).otherwise(col("s")).as("s"))
   }
 
   /** Learn `k` merges from a (word, freq) vocabulary. Returns the merge

@@ -413,6 +413,53 @@ object VocabArtifact {
     rows.toDF("id", "piece", "nll_micro", "unk")
   }
 
+  /** Export a WordPiece vocabulary as the BERT-convention `vocab.txt` —
+    * one piece per line, the LINE NUMBER is the id (the format every
+    * BERT-family loader reads): the `specials` prelude
+    * (`[PAD] [UNK] [CLS] [SEP] [MASK]` by default, ids 0..) then the
+    * trained pieces in [[WordPiece.vocabTable]] order re-based after it.
+    * Pieces come from whitespace-split words so they never contain
+    * newlines; the loud check guards imported/foreign trainVocabs.
+    * Returns the one-row (file, n_pieces, content_md5) manifest; the
+    * write is atomic (tmp + rename).
+    */
+  def writeWordPieceVocabTxt(trainVocab: DataFrame,
+      merges: Seq[WordPiece.Merge], path: String,
+      specials: Seq[String] =
+        Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")): DataFrame = {
+    val pieces = WordPiece.wordPiecePieces(trainVocab, merges).keysIterator.toSeq
+    require(specials.distinct.length == specials.length,
+      "duplicate special tokens")
+    val clash = pieces.toSet.intersect(specials.toSet)
+    require(clash.isEmpty,
+      s"trained piece collides with a special token: ${clash.mkString(", ")} " +
+        "— pre-filter the corpus or rename the special")
+    val all = specials ++ pieces
+    all.foreach(p => require(!p.contains('\n') && !p.contains('\r'),
+      s"piece '$p' contains a newline — unrepresentable in vocab.txt"))
+    writeFileAtomic(trainVocab.sparkSession, path,
+      all.mkString("", "\n", "\n").getBytes("UTF-8"), all.size.toLong)
+  }
+
+  /** Import a `vocab.txt` (ours or a real BERT export) back to
+    * (id, piece) — id is the line number. The result serves
+    * [[WordPiece.segment]] directly (it reads only `piece`); specials
+    * ride along as ordinary vocabulary entries, exactly as real
+    * WordPiece serving treats them.
+    */
+  def readWordPieceVocabTxt(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = new String(readFileWhole(spark, path), "UTF-8")
+      .split("\n", -1).iterator.map(_.stripSuffix("\r")).toVector
+      .reverse.dropWhile(_.isEmpty).reverse // trailing newlines are format, not data
+    lines.zipWithIndex.foreach { case (l, i) =>
+      require(l.nonEmpty, s"vocab.txt line ${i + 1} is empty — a blank " +
+        "piece cannot match anything and signals a torn/foreign file")
+    }
+    lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "piece")
+  }
+
   /** The BPE artifact TABLE — exactly the (piece, id) mapping
     * `vocab.json` serializes, kept relational so the export is
     * oracle-checkable: the training alphabet (distinct single-char
@@ -641,7 +688,7 @@ object VocabArtifact {
     * whitespace/field order; anything outside JSON fails loudly with
     * the offset.
     */
-  private[llmops] object MiniJson {
+  private[graft] object MiniJson {
     def parse(s: String): Any = {
       val p = new P(s)
       p.ws()

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{OracleQuery, QueryModule, Tables}
+import graft.llmops.WordPiece
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-prep operators added after the round-12 core: the WordPiece
+  * tokenizer family (trainer + greedy longest-match serving — the BERT
+  * lineage next to [[graft.llmops.Bpe]] and [[graft.llmops.Unigram]]),
+  * and downstream model-prep surfaces that build on the corpus tables.
+  * Every query carries a full DuckDB value-replay oracle: the WordPiece
+  * training rounds unroll to a CTE chain (the `bpeRoundsSql` discipline,
+  * with the likelihood-score argmax replayed in exact scaled-integer
+  * arithmetic), and the greedy serving loop replays as a list_reduce
+  * fold over the same position-classed candidate maps the Spark fold
+  * reads.
+  */
+object ModelPrepQueries extends QueryModule {
+
+  private def q(name: String, sql: String)(run: (SparkSession, String) => DataFrame) =
+    OracleQuery(name, run, Some(sql))
+
+  /** Merge count for the WordPiece queries — same tractability/remerge
+    * balance as the BPE oracles' BpeK.
+    */
+  private val WpK = 8
+
+  /** Serving word-length cap — [[WordPiece.segment]]'s default
+    * maxWordLen (the BERT max_input_chars_per_word rule); the oracle's
+    * greedy lambda unrolls its match attempts to this bound.
+    */
+  private val WpMaxWordLen = 32
+
+  /** DuckDB replay of [[WordPiece.learnMerges]]: `##`-marked
+    * symbolization, per-round likelihood argmax
+    * (`pf · 10^15 // (freq(l) · freq(r))` in hugeint — exactly Spark's
+    * DECIMAL(38,0) `div`; ties pf DESC, lhs, rhs), then the shared
+    * island-parity greedy rewrite with the marker-stripped merge product.
+    * Returns the CTE chain WITHOUT the leading WITH so callers can
+    * prefix `WITH` or `WITH RECURSIVE`.
+    */
+  private def wpRoundsSql(k: Int): String = {
+    // s$j and sf$j are each referenced twice per round (and b$j up to
+    // three times by the callers) — MATERIALIZED stops DuckDB's CTE
+    // inlining from doubling the scan tree per round (4^k scans of the
+    // base table otherwise: an fd-exhaustion, not just a slowdown).
+    val base =
+      "v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) GROUP BY 1), " +
+        "s0p AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM v), " +
+        "s0 AS MATERIALIZED (SELECT word, freq, CAST(i AS BIGINT) AS i, CASE WHEN i = 1 THEN substr(word, i, 1) ELSE '##' || substr(word, i, 1) END AS s FROM s0p), "
+    val rounds = (0 until k).map { j =>
+      s"p$j AS MATERIALIZED (SELECT word, freq, i, s, lead(s) OVER (PARTITION BY word ORDER BY i) AS s2 FROM s$j), " +
+        s"sf$j AS MATERIALIZED (SELECT s, CAST(sum(freq) AS BIGINT) AS f FROM s$j GROUP BY 1), " +
+        s"pc$j AS (SELECT s AS lhs, s2 AS rhs, CAST(sum(freq) AS BIGINT) AS pf FROM p$j WHERE s2 IS NOT NULL GROUP BY 1, 2), " +
+        s"b$j AS MATERIALIZED (SELECT pc.lhs, pc.rhs, pc.pf, fl.f AS fl, fr.f AS fr, " +
+        "CAST(CAST(pc.pf AS HUGEINT) * 1000000000000000 // (CAST(fl.f AS HUGEINT) * fr.f) AS BIGINT) AS score, " +
+        "pc.lhs || CASE WHEN pc.rhs LIKE '##%' THEN substr(pc.rhs, 3) ELSE pc.rhs END AS ms " +
+        s"FROM pc$j pc JOIN sf$j fl ON fl.s = pc.lhs JOIN sf$j fr ON fr.s = pc.rhs " +
+        "ORDER BY score DESC, pf DESC, lhs, rhs LIMIT 1), " +
+        s"c$j AS (SELECT p.word, p.freq, p.i, p.s, (p.s2 IS NOT NULL AND p.s = b.lhs AND p.s2 = b.rhs) AS cand, b.ms FROM p$j p CROSS JOIN b$j b), " +
+        s"d$j AS (SELECT *, CASE WHEN cand THEN i - sum(CASE WHEN cand THEN 1 ELSE 0 END) OVER (PARTITION BY word ORDER BY i ROWS UNBOUNDED PRECEDING) END AS isl FROM c$j), " +
+        s"e$j AS (SELECT *, cand AND ((i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0) AS keep FROM d$j), " +
+        s"f$j AS (SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY i), false) AS dropped FROM e$j), " +
+        s"s${j + 1} AS MATERIALIZED (SELECT word, freq, CAST(row_number() OVER (PARTITION BY word ORDER BY i) AS BIGINT) AS i, CASE WHEN keep THEN ms ELSE s END AS s FROM f$j WHERE NOT dropped)"
+    }.mkString(", ")
+    base + rounds
+  }
+
+  /** The trained piece set as SQL: training alphabet ∪ merge products
+    * (dedup'd) with position-class decomposition — `strip` is the piece
+    * without its `##` marker, `cont` whether it carries one.
+    */
+  private def wpVocabSql(k: Int): String =
+    "alpha AS (SELECT DISTINCT s AS piece FROM s0), " +
+      "mrgp AS (" + (0 until k).map(j => s"SELECT ms AS piece FROM b$j").mkString(" UNION ALL ") + "), " +
+      "vp AS (SELECT DISTINCT piece FROM (SELECT piece FROM alpha UNION ALL SELECT piece FROM mrgp)), " +
+      "vt AS MATERIALIZED (SELECT piece, CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS strip, (piece LIKE '##%') AS cont FROM vp)"
+
+  /** The greedy longest-match step as a DuckDB lambda (the unigram
+    * oracle's list_reduce idiom — a correlated longest-match subquery
+    * inside a recursive CTE silently decorrelates to NULL in DuckDB 1.0,
+    * so the walk folds instead). Accumulator is a VARCHAR list
+    * `[pos, unkFlag, piece...]`; each step tries k = maxK..1 against the
+    * per-word candidate map `m` (keys `"0:"/"1:" + substring` — initial /
+    * continuation position class, exactly the Spark fold's vkeys) and
+    * either advances the cursor, or collapses the word to [UNK].
+    */
+  private def wpGreedyLambda(maxK: Int): String = {
+    val pos = "CAST(a[1] AS BIGINT)"
+    def sub(k: Int) = s"substr(w, CAST($pos AS INT), $k)"
+    def key(k: Int) = s"((CASE WHEN $pos = 1 THEN '0:' ELSE '1:' END) || ${sub(k)})"
+    def piece(k: Int) = s"(CASE WHEN $pos = 1 THEN ${sub(k)} ELSE '##' || ${sub(k)} END)"
+    val branches = (maxK to 1 by -1).map { k =>
+      s"WHEN $pos + ${k - 1} <= n AND m[${key(k)}][1] IS NOT NULL THEN " +
+        s"list_concat([CAST($pos + $k AS VARCHAR), '0'], list_append(a[3:], ${piece(k)}))"
+    }.mkString(" ")
+    s"CASE WHEN a[2] = '1' OR $pos > n THEN a ELSE CASE $branches " +
+      "ELSE [CAST(n + 1 AS VARCHAR), '1', '[UNK]'] END END"
+  }
+
+  val queries: Seq[OracleQuery] = Seq(
+
+    // WordPiece trainer: the K-round likelihood-argmax loop replayed in
+    // DuckDB — pair freq, both symbol freqs AND the scaled-integer
+    // selection key all value-exact, so the oracle pins the DECISION
+    // arithmetic, not just the winning pair.
+    q("q_x_wordpiece_merges", {
+      "WITH " + wpRoundsSql(WpK) + " " +
+        (0 until WpK).map(j =>
+          s"SELECT CAST(${j + 1} AS BIGINT) AS mrank, lhs, rhs, pf AS pair_freq, " +
+            s"fl AS left_freq, fr AS right_freq, score FROM b$j")
+          .mkString(" UNION ALL ") +
+        " ORDER BY mrank"
+    }) { (s, d) =>
+      val vocab = WordPiece.wordVocab(Tables.documents(s, d), "text")
+      val (merges, _) = WordPiece.learnMerges(vocab, WpK)
+      WordPiece.mergeTable(s, merges).orderBy("mrank")
+    },
+
+    // WordPiece serving: greedy longest-match-first segmentation with the
+    // trained vocabulary, replayed in DuckDB as a per-word list_reduce
+    // fold over the same "0:/1:"-keyed candidate map the Spark fold
+    // reads — the oracle walks the exact same greedy chain, value-exact.
+    // A cursor with no match (or a word over maxWordLen) collapses the
+    // word to [UNK]; the synthetic corpus' words are short and fully
+    // covered by the trained alphabet, so the UNK and length paths are
+    // pinned by WordPieceSpec on planted data instead.
+    q("q_x_wordpiece_segment", {
+      "WITH " + wpRoundsSql(WpK) + ", " + wpVocabSql(WpK) + ", " +
+        "vk AS MATERIALIZED (SELECT DISTINCT (CASE WHEN cont THEN '1:' ELSE '0:' END) || strip AS vkey FROM vt), " +
+        "dw AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS BIGINT) AS widx, toks[i] AS word FROM " +
+        "(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents WHERE doc_id < 40), " +
+        "unnest(generate_series(1, len(toks))) u(i)), " +
+        "wds AS MATERIALIZED (SELECT DISTINCT word AS w, CAST(length(word) AS BIGINT) AS n FROM dw WHERE length(word) >= 1), " +
+        "subs1 AS (SELECT w, n, unnest(generate_series(1, CAST(n AS INT))) AS p FROM wds), " +
+        "dsubs AS (SELECT DISTINCT w, (CASE WHEN p = 1 THEN '0:' ELSE '1:' END) || substr(w, CAST(p AS INT), CAST(k AS INT)) AS vkey FROM " +
+        s"(SELECT w, p, unnest(generate_series(1, CAST(least($WpMaxWordLen, n - p + 1) AS INT))) AS k FROM subs1)), " +
+        "cand AS (SELECT dsubs.w, dsubs.vkey FROM dsubs JOIN vk USING (vkey)), " +
+        "wm AS MATERIALIZED (SELECT w, map_from_entries(list(struct_pack(k := vkey, v := true))) AS m FROM cand GROUP BY w), " +
+        s"seg AS MATERIALIZED (SELECT w, CASE WHEN n > $WpMaxWordLen THEN ['[UNK]'] ELSE " +
+        s"list_reduce(list_prepend(['1', '0'], list_transform(generate_series(1, CAST(least(n, $WpMaxWordLen) AS INT)), i -> [CAST(i AS VARCHAR)])), " +
+        s"(a, b) -> ${wpGreedyLambda(WpMaxWordLen)})[3:] END AS ps " +
+        "FROM (SELECT wo.w, wo.n, wm.m FROM wds wo LEFT JOIN wm ON wm.w = wo.w) qq) " +
+        "SELECT dw.doc_id AS id, dw.widx AS word_idx, CAST(j - 1 AS BIGINT) AS piece_idx, seg.ps[j] AS piece " +
+        "FROM dw JOIN seg ON seg.w = dw.word, unnest(generate_series(1, len(seg.ps))) v2(j) " +
+        "ORDER BY id, word_idx, piece_idx"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val vocab = WordPiece.wordVocab(docs, "text").localCheckpoint(true)
+      val (merges, _) = WordPiece.learnMerges(vocab, WpK)
+      WordPiece.segment(docs.filter(col("doc_id") < 40), "doc_id", "text",
+          WordPiece.vocabTable(vocab, merges))
+        .orderBy("id", "word_idx", "piece_idx")
+    },
+
+    // the WordPiece artifact table — the (piece, id) mapping vocab.txt
+    // serializes: training alphabet (distinct marked symbols, sorted) at
+    // ids 0.., then merge products in rank order with first-occurrence
+    // dedup. The oracle replays training AND the id assignment.
+    q("q_x_wordpiece_artifact", {
+      "WITH " + wpRoundsSql(WpK) + ", " +
+        "alpha AS (SELECT s AS piece, CAST(row_number() OVER (ORDER BY s) - 1 AS BIGINT) AS id FROM (SELECT DISTINCT s FROM s0)), " +
+        "mrg AS (" + (0 until WpK).map(j => s"SELECT $j AS r, ms AS piece FROM b$j").mkString(" UNION ALL ") + "), " +
+        "mrg2 AS (SELECT piece, min(r) AS r FROM mrg WHERE piece NOT IN (SELECT piece FROM alpha) GROUP BY piece), " +
+        "mids AS (SELECT piece, (SELECT count(*) FROM alpha) + CAST(row_number() OVER (ORDER BY r) - 1 AS BIGINT) AS id FROM mrg2) " +
+        "SELECT piece, CAST(id AS BIGINT) AS id FROM (SELECT piece, id FROM alpha UNION ALL SELECT piece, id FROM mids) ORDER BY id"
+    }) { (s, d) =>
+      val vocab = WordPiece.wordVocab(Tables.documents(s, d), "text")
+        .localCheckpoint(true)
+      val (merges, _) = WordPiece.learnMerges(vocab, WpK)
+      WordPiece.vocabTable(vocab, merges).orderBy("id")
+    })
+}

@@ -453,4 +453,52 @@ class VocabArtifactSpec extends SparkTestBase {
     val plain = VocabArtifact.readUnigramJson(spark, s"$dir/plain.json")
     assert(plain.filter(col("byte")).count() === 0L)
   }
+
+  test("vocab.txt: byte-pin with specials prelude, round trip serves identically, foreign BERT file, blank line loud") {
+    import spark.implicits._
+    import graft.llmops.WordPiece
+    val docs = Seq((1L, "ab ab ab ba")).toDF("doc_id", "text")
+    val wv = WordPiece.wordVocab(docs, "text").localCheckpoint(true)
+    val (merges, _) = WordPiece.learnMerges(wv, 1)
+    val dir = java.nio.file.Files.createTempDirectory("wp_vocab").toString
+    val m = VocabArtifact.writeWordPieceVocabTxt(wv, merges, s"$dir/vocab.txt")
+      .collect().head
+    // alphabet {##a, ##b, a, b} sorted + 1 merge product after 5 specials
+    assert(m.getAs[Long]("n_pieces") === 10L)
+    val bytes = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "vocab.txt")), "UTF-8")
+    assert(bytes ===
+      "[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\n##a\n##b\na\nb\n" +
+        WordPiece.mergedSym(merges.head.left, merges.head.right) + "\n")
+    // round trip: line number = id; serving with the imported vocab ≡
+    // serving with the native table (specials riding along are inert here)
+    val imported = VocabArtifact.readWordPieceVocabTxt(spark, s"$dir/vocab.txt")
+    assert(imported.orderBy("id").collect().map(_.getString(1)).take(6).toSeq ===
+      Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "##a"))
+    val serveDocs = Seq((1L, "ab ba abba xa")).toDF("doc_id", "text")
+    def segAll(v: org.apache.spark.sql.DataFrame) =
+      WordPiece.segment(serveDocs, "doc_id", "text", v)
+        .orderBy("id", "word_idx", "piece_idx")
+        .collect().map(_.getAs[String]("piece")).toSeq
+    assert(segAll(imported) === segAll(WordPiece.vocabTable(wv, merges)))
+    // hand-assembled FOREIGN file (CRLF, no specials — a bare BERT vocab)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "foreign.txt"),
+      "he\r\n##llo\r\n##l\r\n##o\r\n".getBytes("UTF-8"))
+    val f = VocabArtifact.readWordPieceVocabTxt(spark, s"$dir/foreign.txt")
+    val fseg = WordPiece.segment(Seq((1L, "hello")).toDF("doc_id", "text"),
+        "doc_id", "text", f)
+      .orderBy("piece_idx").collect().map(_.getAs[String]("piece")).toSeq
+    assert(fseg === Seq("he", "##llo"))
+    // torn/foreign file with an interior blank line — loud
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "torn.txt"),
+      "a\n\nb\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      VocabArtifact.readWordPieceVocabTxt(spark, s"$dir/torn.txt") }
+    assert(e.getMessage.contains("line 2"))
+    // a trained piece colliding with a special — the writer refuses
+    val e2 = intercept[IllegalArgumentException] {
+      VocabArtifact.writeWordPieceVocabTxt(wv, merges, s"$dir/clash.txt",
+        specials = Seq("a")) }
+    assert(e2.getMessage.contains("special"))
+  }
 }
