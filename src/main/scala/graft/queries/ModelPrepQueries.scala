@@ -170,5 +170,40 @@ object ModelPrepQueries extends QueryModule {
         .localCheckpoint(true)
       val (merges, _) = WordPiece.learnMerges(vocab, WpK)
       WordPiece.vocabTable(vocab, merges).orderBy("id")
+    },
+
+    // safetensors embedding hand-off, end to end: write the embeddings
+    // table to deterministic safetensors shards, read every vector back
+    // through the structural verifier, and aggregate a position-weighted
+    // micro-integer checksum the oracle recomputes from the SOURCE table
+    // — ids, dimensions, every float32 value (on the exact 1e-6 grid;
+    // double-exact for |e| < ~4000) and the shard count all pin the
+    // round trip (the q_x_token_bin_interop discipline).
+    q("q_x_safetensors_interop",
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(max(len(embedding)) AS BIGINT) AS dim, " +
+        "CAST(sum(vec_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(chk) AS BIGINT) AS vec_checksum, " +
+        "CAST(4 AS BIGINT) AS n_shards FROM " +
+        "(SELECT vec_id, embedding, list_sum(list_transform(generate_series(1, len(embedding)), " +
+        "j -> CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT) * j)) AS chk " +
+        "FROM embeddings)") { (s, d) =>
+      import graft.ingest.SafeTensors
+      val path = "/tmp/graft_safetensors_interop"
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      SafeTensors.writeVectors(Tables.embeddings(s, d), "vec_id", "embedding",
+        path, shards = 4)
+      val back = SafeTensors.readVectors(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written safetensors shards must parse cleanly")
+      back.select(col("path"), col("vec_id"),
+          size(col("embedding")).cast("long").as("__d"),
+          aggregate(sequence(lit(1), size(col("embedding"))), lit(0L),
+            (a, j) => a + round(element_at(col("embedding"), j)
+              .cast("double") * 1e6).cast("long") * j.cast("long")).as("__chk"))
+        .agg(count(lit(1)).as("n_rows"), max("__d").as("dim"),
+          sum("vec_id").as("id_sum"), sum("__chk").as("vec_checksum"),
+          countDistinct("path").as("n_shards"))
     })
 }
