@@ -309,7 +309,7 @@ object Corpus {
     * that take the key by NAME check it here; Column-typed entry points
     * ([[tokenShards]]/[[packSequences]]) document the contract instead.
     */
-  private def requireNumericKey(df: DataFrame, colName: String, op: String): Unit = {
+  private[llmops] def requireNumericKey(df: DataFrame, colName: String, op: String): Unit = {
     val dt = df.schema(colName).dataType
     require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"$op: column '$colName' must be numeric (got ${dt.simpleString}) — " +

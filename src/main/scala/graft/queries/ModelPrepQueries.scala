@@ -32,6 +32,11 @@ object ModelPrepQueries extends QueryModule {
     */
   private val WpMaxWordLen = 32
 
+  /** MM rounds for the Bradley–Terry oracle — 3 is where the planted
+    * tournament's strengths settle on the micro grid (spec-pinned).
+    */
+  private val BtIters = 3
+
   /** DuckDB replay of [[WordPiece.learnMerges]]: `##`-marked
     * symbolization, per-round likelihood argmax
     * (`pf · 10^15 // (freq(l) · freq(r))` in hugeint — exactly Spark's
@@ -205,5 +210,45 @@ object ModelPrepQueries extends QueryModule {
         .agg(count(lit(1)).as("n_rows"), max("__d").as("dim"),
           sum("vec_id").as("id_sum"), sum("__chk").as("vec_checksum"),
           countDistinct("path").as("n_shards"))
+    },
+
+    // Bradley-Terry reward fit: a deterministic 20-item tournament
+    // synthesized from doc_id arithmetic (both engines derive the same
+    // pair stream), then 3 Hunter-MM rounds on the 1e-6 strength grid.
+    // The oracle unrolls every round — each per-opponent term is one
+    // hugeint // (Spark DECIMAL div), each denominator an integer sum —
+    // so all three updates are replayed value-for-value, not just the
+    // final ranking.
+    q("q_x_reward_fit", {
+      val rounds = (0 until BtIters).map { r =>
+        s"d$r AS (SELECT adj.x AS item, sum(CAST(n AS HUGEINT) * 1000000000000 // (wx.w + wy.w)) AS denom " +
+          s"FROM adj JOIN w$r wx ON wx.item = adj.x JOIN w$r wy ON wy.item = adj.y GROUP BY 1), " +
+          s"w${r + 1} AS MATERIALIZED (SELECT it.item, CASE WHEN it.wins = 0 THEN CAST(0 AS HUGEINT) " +
+          s"ELSE greatest(CAST(it.wins AS HUGEINT) * 1000000000000 // d.denom, 1) END AS w " +
+          s"FROM items it JOIN d$r d ON d.item = it.item)"
+      }.mkString(", ")
+      "WITH g AS (SELECT doc_id % 20 AS a, (doc_id // 20) % 20 AS b, doc_id % 3 AS r " +
+        "FROM documents WHERE doc_id % 20 != (doc_id // 20) % 20), " +
+        "pr AS (SELECT CASE WHEN r = 0 THEN b ELSE a END AS win, CASE WHEN r = 0 THEN a ELSE b END AS lose FROM g), " +
+        "wn AS MATERIALIZED (SELECT win AS item, CAST(count(*) AS BIGINT) AS n_wins FROM pr GROUP BY 1), " +
+        "games AS (SELECT least(win, lose) AS i, greatest(win, lose) AS j, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2), " +
+        "adj AS MATERIALIZED (SELECT i AS x, j AS y, n FROM games UNION ALL SELECT j AS x, i AS y, n FROM games), " +
+        "items AS MATERIALIZED (SELECT item, coalesce(n_wins, 0) AS wins FROM (SELECT DISTINCT x AS item FROM adj) ii LEFT JOIN wn USING (item)), " +
+        "ng AS (SELECT x AS item, CAST(sum(n) AS BIGINT) AS n_games FROM adj GROUP BY 1), " +
+        "w0 AS MATERIALIZED (SELECT item, CAST(1000000 AS HUGEINT) AS w FROM items), " +
+        rounds + " " +
+        "SELECT it.item, it.wins, ng.n_games, CAST(wf.w AS BIGINT) AS strength_micro " +
+        s"FROM items it JOIN ng ON ng.item = it.item JOIN w$BtIters wf ON wf.item = it.item ORDER BY it.item"
+    }) { (s, d) =>
+      import graft.llmops.RewardFit
+      val pairs = Tables.documents(s, d)
+        .select((col("doc_id") % 20).as("a"),
+          expr("(doc_id div 20) % 20").as("b"),
+          (col("doc_id") % 3).as("r"))
+        .where(col("a") =!= col("b"))
+        .select(when(col("r") === 0, col("b")).otherwise(col("a")).as("winner"),
+          when(col("r") === 0, col("a")).otherwise(col("b")).as("loser"))
+      RewardFit.bradleyTerry(pairs, "winner", "loser", iterations = BtIters)
+        .orderBy("item")
     })
 }
