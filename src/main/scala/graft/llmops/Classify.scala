@@ -121,4 +121,92 @@ object Classify {
       .select(col(idCol), coalesce(col("m0"), lit(0L)).as("margin"))
       .withColumn("pred", when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)))
   }
+
+  /** Trained multinomial Naive Bayes model over hashed features: the
+    * `classes` table is one row per label (doc/token counts, micro-log
+    * prior, micro-log unseen-feature probability), `features` one row
+    * per (label, feat) with the Laplace-smoothed micro-log likelihood —
+    * both ≤ classes × dim rows, broadcastable by construction.
+    */
+  final case class NbModel(classes: DataFrame, features: DataFrame)
+
+  /** Multinomial Naive Bayes training — the GENERATIVE counterpart to
+    * [[trainPerceptron]], and natively MULTICLASS (the shape language-ID
+    * and topic gates want, where the perceptron is binary): per class c,
+    *
+    *   log P(c)    = ln(N_c / N)
+    *   log P(f|c)  = ln((cnt(c,f) + 1) / (T_c + dim))   (Laplace)
+    *
+    * quantized to a 1e-6 micro-log grid ([[Unigram]]'s nll recipe — the
+    * single `ln` is the only float, computed from exact integer counts
+    * with the SAME expression shape on both engines, so the DuckDB
+    * oracle reproduces every grid value; all later scoring arithmetic is
+    * integer sums). Training is ONE pass: join labels, one (label, feat)
+    * groupBy, one per-class total — no rounds at all, NB's classic
+    * operational advantage over every iterative fit here.
+    *
+    * `labels` is one row per labeled doc: (idCol, labelCol) — labels of
+    * any orderable type; `dim` must be the featurizer's dim (it is the
+    * smoothing denominator's vocabulary size).
+    */
+  def trainNaiveBayes(features: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String, dim: Int = 1024): NbModel = {
+    require(dim >= 2)
+    val lab = labels.select(col(idCol), col(labelCol).as("label"))
+    val byClass = lab.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val tot = lab.agg(count(lit(1)).as("__n"))
+    val fc = features.join(lab, Seq(idCol))
+      .groupBy("label", "feat").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true)
+    val tc = fc.groupBy("label").agg(sum("cnt").as("n_tokens"))
+    val classes = byClass.join(tc, Seq("label"), "left")
+      .na.fill(0L, Seq("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("n_docs"), col("n_tokens"),
+        round(log(col("n_docs").cast("double") / col("__n")) * 1e6)
+          .cast("long").as("logprior_micro"),
+        round(log(lit(1.0) / (col("n_tokens") + dim.toLong)) * 1e6)
+          .cast("long").as("unseen_micro"))
+      .localCheckpoint(true)
+    val feats = fc.join(classes.select("label", "n_tokens"), Seq("label"))
+      .select(col("label"), col("feat"), col("cnt"),
+        round(log((col("cnt") + 1L).cast("double") /
+          (col("n_tokens") + dim.toLong)) * 1e6)
+          .cast("long").as("logp_micro"))
+      .localCheckpoint(true)
+    NbModel(classes, feats)
+  }
+
+  /** Corpus-wide Naive Bayes scoring: per doc and class,
+    * `score = logprior + Σ_f cnt_f · logp(f|c)` (features the class
+    * never saw take the class's unseen cost), prediction = the highest
+    * score with ties to the SMALLEST label — deterministic on any
+    * engine. One broadcast of each model table, one corpus-feature ×
+    * classes expansion (classes are few; the standard multiclass cost),
+    * one keyed sum, one per-doc ≤-classes-row window. Docs with no
+    * features score on priors alone. Returns (idCol, pred,
+    * score_micro).
+    */
+  def scoreNaiveBayes(docs: DataFrame, features: DataFrame,
+      model: NbModel, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perFeat = features
+      .crossJoin(broadcast(model.classes.select("label", "unseen_micro")))
+      .join(broadcast(model.features.select("label", "feat", "logp_micro")),
+        Seq("label", "feat"), "left")
+      .select(col(idCol), col("label"),
+        (col("cnt") * coalesce(col("logp_micro"), col("unseen_micro"))).as("t"))
+      .groupBy(col(idCol), col("label")).agg(sum("t").as("t"))
+    val scored = docs.select(col(idCol))
+      .crossJoin(broadcast(model.classes.select("label", "logprior_micro")))
+      .join(perFeat, Seq(idCol, "label"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col(idCol), col("label"),
+        (col("logprior_micro") + col("t")).as("score_micro"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score_micro").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score_micro"))
+  }
 }

@@ -37,6 +37,11 @@ object ModelPrepQueries extends QueryModule {
     */
   private val BtIters = 3
 
+  /** Hashed feature dim for the Naive Bayes query — the featurizer
+    * default, and the Laplace smoothing vocabulary size.
+    */
+  private val NbDim = 1024
+
   /** DuckDB replay of [[WordPiece.learnMerges]]: `##`-marked
     * symbolization, per-round likelihood argmax
     * (`pf · 10^15 // (freq(l) · freq(r))` in hugeint — exactly Spark's
@@ -250,5 +255,54 @@ object ModelPrepQueries extends QueryModule {
           when(col("r") === 0, col("a")).otherwise(col("b")).as("loser"))
       RewardFit.bradleyTerry(pairs, "winner", "loser", iterations = BtIters)
         .orderBy("item")
+    },
+
+    // Multinomial Naive Bayes language-ID: train on the even half's
+    // (lang, hashed-feature) counts, score the odd half, report the
+    // confusion matrix. The oracle replays the one-pass fit — Laplace
+    // micro-log likelihoods, priors, per-class unseen costs (the same
+    // round(ln(·)·1e6) grid recipe as the unigram trainer, from exact
+    // integer counts) — and the argmax with its smallest-label ties,
+    // value-exact.
+    q("q_x_naive_bayes_langid", {
+      val h = graft.llmops.PortableHash.duckHash52("tok")
+      val dim = NbDim
+      "WITH nf AS MATERIALIZED (SELECT doc_id, " + h + s" % $dim AS feat, CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) tnf " +
+        "WHERE tok <> '' GROUP BY 1, 2), " +
+        "l AS MATERIALIZED (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 2 = 0), " +
+        "fc AS MATERIALIZED (SELECT l.label, nf.feat, CAST(sum(nf.cnt) AS BIGINT) AS cnt FROM nf JOIN l USING (doc_id) GROUP BY 1, 2), " +
+        "bc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs FROM l GROUP BY 1), " +
+        "tcc AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM fc GROUP BY 1), " +
+        "cls AS MATERIALIZED (SELECT bc.label, bc.n_docs, coalesce(tcc.n_tokens, 0) AS n_tokens, " +
+        "CAST(round(ln(CAST(bc.n_docs AS DOUBLE) / (SELECT count(*) FROM l)) * 1000000) AS BIGINT) AS logprior, " +
+        s"CAST(round(ln(1.0 / (coalesce(tcc.n_tokens, 0) + $dim)) * 1000000) AS BIGINT) AS unseen " +
+        "FROM bc LEFT JOIN tcc USING (label)), " +
+        s"fm AS MATERIALIZED (SELECT fc.label, fc.feat, CAST(round(ln(CAST(fc.cnt + 1 AS DOUBLE) / (cls.n_tokens + $dim)) * 1000000) AS BIGINT) AS logp " +
+        "FROM fc JOIN cls USING (label)), " +
+        "fh AS (SELECT * FROM nf WHERE doc_id % 2 = 1), " +
+        "pf AS (SELECT fh.doc_id, cls.label, sum(fh.cnt * coalesce(fm.logp, cls.unseen)) AS t " +
+        "FROM fh CROSS JOIN cls LEFT JOIN fm ON fm.label = cls.label AND fm.feat = fh.feat GROUP BY 1, 2), " +
+        "sc AS (SELECT d.doc_id, cls.label, cls.logprior + coalesce(pf.t, 0) AS score " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d CROSS JOIN cls " +
+        "LEFT JOIN pf ON pf.doc_id = d.doc_id AND pf.label = cls.label), " +
+        "prd AS (SELECT doc_id, label AS pred FROM (SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) rr WHERE rn = 1) " +
+        "SELECT dd.lang AS actual, p.pred, CAST(count(*) AS BIGINT) AS n " +
+        "FROM prd p JOIN documents dd ON dd.doc_id = p.doc_id GROUP BY 1, 2 ORDER BY 1, 2"
+    }) { (s, d) =>
+      import graft.llmops.Classify
+      val docs = Tables.documents(s, d)
+      val feats = Classify.hashedFeatures(docs, "doc_id", "text", dim = NbDim)
+        .localCheckpoint(true)
+      val labels = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+      val model = Classify.trainNaiveBayes(feats, labels, "doc_id", "lang",
+        dim = NbDim)
+      val held = docs.filter(col("doc_id") % 2 === 1)
+      Classify.scoreNaiveBayes(held,
+          feats.join(held.select("doc_id"), Seq("doc_id")), model, "doc_id")
+        .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+        .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("actual", "pred")
     })
 }
