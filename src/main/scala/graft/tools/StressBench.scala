@@ -328,7 +328,27 @@ object StressBench {
     "q_x_contamination_report",
     // BPE serving: K merge rounds over the serving corpus's DISTINCT
     // words + one join back — the training lane's shape at serve time.
-    "q_x_bpe_segment")
+    "q_x_bpe_segment",
+    // WordPiece trainer: the BPE training lanes (pair groupBy + symbol
+    // groupBy + two vocab-bounded joins per round) on the distinct-word
+    // table — near-flat at replicated text, like unigram_vocab.
+    "q_x_wordpiece_merges",
+    // WordPiece serving: training lanes + the greedy fold over distinct
+    // words + one corpus join back — tracks token volume.
+    "q_x_wordpiece_segment",
+    // WordPiece artifact: training lanes + an alphabet-bounded collect.
+    "q_x_wordpiece_artifact",
+    // safetensors round trip: fixed-width encode + shard-partitioned
+    // write, whole-shard parse back — linear in vector bytes (the
+    // token_bin lane for embeddings).
+    "q_x_safetensors_interop",
+    // Bradley-Terry: pair-stream groupBys + 3 rounds of two keyed
+    // adjacency joins + a keyed sum — linear in judgments (items fixed).
+    "q_x_reward_fit",
+    // Naive Bayes: feature explode+count (corpus-linear), the fit one
+    // groupBy with a dim x classes-bounded model, scoring one
+    // classes-expansion keyed sum + per-doc bounded window.
+    "q_x_naive_bayes_langid")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
