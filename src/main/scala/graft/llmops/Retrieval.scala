@@ -394,4 +394,96 @@ object Retrieval {
         concat_ws(" ", slice(col("__ot"), (col("pos") + 1).cast("int"),
           lit(window))).as("snippet"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversification step between a top-N candidate stage
+    * ([[bm25TopK]] / [[Similarity.bruteForceTopK]] / ANN) and what a RAG
+    * context window actually receives: greedily pick the candidate
+    * maximizing `λ·rel − (1−λ)·max_{s∈selected} sim(cand, s)`, so the
+    * 2nd..k-th picks trade relevance against redundancy with what is
+    * already chosen (k near-identical top hits waste the window — the
+    * dedup argument applied to retrieval).
+    *
+    * `candidates` is (qid, doc, rel_micro) — the caller's top-N with an
+    * INTEGER relevance on a scale comparable to cosine-micro (cosine
+    * candidates are naturally aligned; normalize other scores to ~1e6).
+    * `vectors` supplies each candidate's embedding; a candidate with no
+    * vector fails LOUDLY (silently dropping a relevant hit would change
+    * rankings invisibly). Pairwise similarity is cosine on the 1e-6
+    * grid, computed in double with one fixed fold order — value-exact
+    * across engines; zero-norm vectors read sim 0.
+    *
+    * Implementation is one codegen'd per-QUERY fold (the [[graft.llmops
+    * .Unigram]] DP discipline — no driver loop, no window): candidates
+    * collect to a doc-sorted array (bounded by the caller's top-N, the
+    * contract that makes per-query state safe), then k greedy steps each
+    * argmax over the un-selected entries, ties to the smallest doc (the
+    * ascending scan with strict `>` makes that free). First pick has an
+    * empty selected set — max-sim term 0 — so it is pure relevance, the
+    * classic MMR boundary case. Returns (qid, mmr_rank, doc, rel_micro).
+    */
+  /** Fold sentinel: any real MMR score beats it, and the same literal
+    * appears in the DuckDB replay — one constant, never two "minimums".
+    */
+  private val NegInf = -1000000000000000000L
+
+  def mmrTopK(candidates: DataFrame, vectors: DataFrame,
+      vidCol: String, vecCol: String, k: Int,
+      lambdaBps: Int = 7000): DataFrame = {
+    require(k >= 1 && lambdaBps >= 0 && lambdaBps <= 10000)
+    val vecs = vectors.select(col(vidCol).cast("long").as("doc"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val cand = candidates.select(col("qid"),
+      col("doc").cast("long").as("doc"), col("rel_micro").cast("long").as("rel"))
+    val missing = cand.join(vecs, Seq("doc"), "left_anti").limit(1).collect()
+    require(missing.isEmpty,
+      s"mmrTopK: candidate doc ${missing.headOption.map(_.get(1)).orNull} has " +
+        "no vector — every candidate needs an embedding for the diversity term")
+    val grouped = cand.join(vecs, Seq("doc"))
+      .groupBy("qid")
+      .agg(array_sort(collect_list(struct(col("doc"), col("rel"), col("vec"))))
+        .as("cs"))
+      .withColumn("ns", transform(col("cs"), c =>
+        sqrt(aggregate(c.getField("vec"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")))))
+    def entry(i: Column) = element_at(col("cs"), (i + 1L).cast("int"))
+    def normAt(i: Column) = element_at(col("ns"), (i + 1L).cast("int"))
+    def simM(i: Column, j: Column): Column = {
+      val dot = aggregate(
+        zip_with(entry(i).getField("vec"), entry(j).getField("vec"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (a, x) => a + x)
+      val den = normAt(i) * normAt(j)
+      when(den === 0.0, lit(0L))
+        .otherwise(round(dot / den * 1e6).cast("long"))
+    }
+    def maxSim(i: Column, sel: Column): Column =
+      when(size(sel) === 0, lit(0L))
+        .otherwise(aggregate(sel, lit(NegInf),
+          (m, j) => greatest(m, simM(i, j))))
+    def mmr(i: Column, sel: Column): Column =
+      lit(lambdaBps.toLong) * entry(i).getField("rel") -
+        lit((10000 - lambdaBps).toLong) * maxSim(i, sel)
+    val sel = aggregate(
+      sequence(lit(1L), least(lit(k.toLong), size(col("cs")).cast("long"))),
+      lit(Array.empty[Long]),
+      (acc, _) => {
+        val best = aggregate(
+          sequence(lit(0L), size(col("cs")).cast("long") - 1L),
+          struct(lit(-1L).as("bi"), lit(NegInf).as("bs")),
+          (b, i) => when(array_contains(acc, i), b)
+            .otherwise {
+              val s = mmr(i, acc)
+              when(s > b.getField("bs"),
+                struct(i.as("bi"), s.as("bs"))).otherwise(b)
+            })
+        when(best.getField("bi") < 0L, acc)
+          .otherwise(concat(acc, array(best.getField("bi"))))
+      })
+    grouped.withColumn("sel", sel)
+      .select(col("qid"), col("cs"), posexplode(col("sel")).as(Seq("r0", "i")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("mmr_rank"),
+        element_at(col("cs"), (col("i") + 1L).cast("int")).getField("doc").as("doc"),
+        element_at(col("cs"), (col("i") + 1L).cast("int")).getField("rel").as("rel_micro"))
+  }
 }

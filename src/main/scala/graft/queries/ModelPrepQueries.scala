@@ -42,6 +42,14 @@ object ModelPrepQueries extends QueryModule {
     */
   private val NbDim = 1024
 
+  /** MMR query constants: candidate depth, picks, λ in basis points,
+    * and the shared fold sentinel (Retrieval.NegInf's literal).
+    */
+  private val MmrN = 20
+  private val MmrK = 5
+  private val MmrLam = 7000
+  private val MmrNegInf = -1000000000000000000L
+
   /** DuckDB replay of [[WordPiece.learnMerges]]: `##`-marked
     * symbolization, per-round likelihood argmax
     * (`pf · 10^15 // (freq(l) · freq(r))` in hugeint — exactly Spark's
@@ -255,6 +263,68 @@ object ModelPrepQueries extends QueryModule {
           when(col("r") === 0, col("a")).otherwise(col("b")).as("loser"))
       RewardFit.bradleyTerry(pairs, "winner", "loser", iterations = BtIters)
         .orderBy("item")
+    },
+
+    // MMR diversified re-ranking: exact-cosine top-20 candidates per
+    // query (the double-fold scoring both engines share), then 5 greedy
+    // MMR steps at λ=0.7. The oracle replays the WHOLE greedy walk —
+    // per-query candidate arrays, pairwise cosine on the 1e-6 grid, the
+    // max-sim-over-selected inner fold and the strict-> argmax with its
+    // ascending-scan smallest-doc ties — as nested DuckDB list lambdas,
+    // value-exact (the wordpiece/unigram fold-replay discipline).
+    q("q_x_mmr_rerank", {
+      val nrmSql = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+      val dotQD = "list_reduce(list_transform(generate_series(1, len(q.embedding)), p -> CAST(q.embedding[p] AS DOUBLE) * CAST(d.embedding[p] AS DOUBLE)), (a, b) -> a + b)"
+      def at(i: String, f: String) = s"cs[CAST($i + 1 AS INT)].$f"
+      def nsAt(i: String) = s"ns[CAST($i + 1 AS INT)]"
+      def sim(i: String, j: String) =
+        s"(CASE WHEN ${nsAt(i)} * ${nsAt(j)} = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST(round(list_reduce(list_transform(generate_series(1, len(${at(i, "vec")})), p -> CAST(${at(i, "vec")}[p] AS DOUBLE) * CAST(${at(j, "vec")}[p] AS DOUBLE)), (a2, b2) -> a2 + b2) / (${nsAt(i)} * ${nsAt(j)}) * 1000000) AS BIGINT) END)"
+      def maxSim(i: String) =
+        s"(CASE WHEN len(acc) = 0 THEN CAST(0 AS BIGINT) ELSE list_reduce(list_prepend(CAST($MmrNegInf AS BIGINT), list_transform(acc, jj -> ${sim(i, "jj")})), (m, v) -> greatest(m, v)) END)"
+      def score(i: String) =
+        s"($MmrLam * ${at(i, "rel")} - ${10000 - MmrLam} * ${maxSim(i)})"
+      val best =
+        s"(list_reduce(list_prepend(struct_pack(bi := CAST(-1 AS BIGINT), bs := CAST($MmrNegInf AS BIGINT)), " +
+          "list_transform(generate_series(0, len(cs) - 1), ii -> struct_pack(bi := CAST(ii AS BIGINT), bs := CAST(0 AS BIGINT)))), " +
+          s"(b, x) -> CASE WHEN list_contains(acc, x.bi) THEN b WHEN ${score("x.bi")} > b.bs THEN struct_pack(bi := x.bi, bs := ${score("x.bi")}) ELSE b END))"
+      val selExpr =
+        s"list_reduce(list_prepend(CAST([] AS BIGINT[]), list_transform(generate_series(1, least($MmrK, len(cs))), st -> [CAST(st AS BIGINT)])), " +
+          s"(acc, stp) -> CASE WHEN $best.bi < 0 THEN acc ELSE list_append(acc, $best.bi) END)"
+      s"WITH en AS MATERIALIZED (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings), " +
+        "sc AS (SELECT q.vec_id AS qid, d.vec_id AS doc, " +
+        s"CASE WHEN q.nrm * d.nrm = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round($dotQD / (q.nrm * d.nrm) * 1000000) AS BIGINT) END AS rel " +
+        "FROM en q JOIN en d ON d.vec_id <> q.vec_id WHERE q.vec_id % 50 = 0), " +
+        s"cand AS MATERIALIZED (SELECT qid, doc, rel FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS rn FROM sc) rr WHERE rn <= $MmrN), " +
+        "g AS MATERIALIZED (SELECT qid, list(struct_pack(doc := cand.doc, rel := cand.rel, vec := en.embedding) ORDER BY cand.doc) AS cs FROM cand JOIN en ON en.vec_id = cand.doc GROUP BY qid), " +
+        "g2 AS MATERIALIZED (SELECT qid, cs, list_transform(cs, c -> sqrt(list_reduce(list_transform(c.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS ns FROM g), " +
+        s"selr AS MATERIALIZED (SELECT qid, cs, $selExpr AS sel FROM g2) " +
+        "SELECT qid, CAST(r AS BIGINT) AS mmr_rank, cs[CAST(sel[r] + 1 AS INT)].doc AS doc, cs[CAST(sel[r] + 1 AS INT)].rel AS rel_micro " +
+        "FROM selr, unnest(generate_series(1, len(sel))) u(r) ORDER BY qid, mmr_rank"
+    }) { (s, d) =>
+      import graft.llmops.Retrieval
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def nrm(c: org.apache.spark.sql.Column) =
+        sqrt(aggregate(c, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      val en = emb.select(col("vec_id"), col("embedding"),
+        nrm(col("embedding")).as("nrm")).localCheckpoint(true)
+      val q0 = en.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn")).filter(col("qid") % 50 === 0)
+      val dot = aggregate(zip_with(col("qv"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+      val scored = en.join(broadcast(q0), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc"),
+          when(col("qn") * col("nrm") === 0.0, lit(0L))
+            .otherwise(round(dot / (col("qn") * col("nrm")) * 1e6).cast("long"))
+            .as("rel_micro"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("rel_micro").desc, col("doc").asc)
+      val cand = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= MmrN).drop("rn")
+      Retrieval.mmrTopK(cand, emb, "vec_id", "embedding",
+          k = MmrK, lambdaBps = MmrLam)
+        .orderBy("qid", "mmr_rank")
     },
 
     // Multinomial Naive Bayes language-ID: train on the even half's
