@@ -162,6 +162,96 @@ object LmArtifact {
         col("gram"))
   }
 
+  /** Train the TRIGRAM absolute-discount backoff LM — [[arpaTable]]'s
+    * model extended one order (the same Ney discounting at n = 3;
+    * deliberately NOT Kneser–Ney's continuation-count lower orders —
+    * stated, so the artifact's semantics are exactly what the file
+    * declares): seen trigrams carry `P(w3 | w1 w2) = (c(w1w2w3) − D) /
+    * c(w1w2·)` with `c(w1w2·)` the TRIGRAM-START count (the same
+    * document-final subtlety as `c1` — a pair ending a document starts
+    * no trigram); the reserved mass routes through the bigram-row
+    * backoff weight
+    *
+    *   bow(w1 w2) = (D · N1+(w1w2·) / c(w1w2·))
+    *              / (1 − Σ_{seen w3} P(w3 | w2))
+    *
+    * whose denominator is EXACT single-denominator arithmetic: every
+    * trigram continuation's bigram (w2 w3) is itself seen (c(w2w3) ≥
+    * c(w1w2w3)), so `Σ_{seen} P(w3|w2) = (Σ c(w2w3) − D·N1+(w1w2·)) /
+    * c1(w2)` — one rational per context, and `Σ_w3 P(w3 | w1 w2) = 1`
+    * exactly (spec-asserted by enumeration). Bigram rows therefore now
+    * carry a bow (0 — i.e. 1 — for pairs that never start a trigram);
+    * unigram rows keep the [[arpaTable]] bow; trigram rows carry none.
+    * [[arpaTable]] itself stays bit-identical — this is a second
+    * trainer, not a change.
+    *
+    * Scale: unigram/context tables vocab-bounded; the bigram AND trigram
+    * tables grow with the reference corpus — every join on them is a
+    * plain shuffle equi-join; bow2 needs one (w2-keyed) broadcast of the
+    * bigram context table.
+    */
+  def arpaTable3(reference: DataFrame, refTextCol: String = "text",
+      tokens: Column => Column = TextAnalysis.wsTokens,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val base = arpaTable(reference, refTextCol, tokens, discount)
+      .localCheckpoint(true)
+    val toksArr = reference
+      .select(tokens(lower(col(refTextCol))).as("__toks"))
+    // adjacent triples — the gram shape one order up.
+    val tg = toksArr.filter(size(col("__toks")) >= 3)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(__toks) - 3), " +
+          "i -> struct(__toks[i] as w1, __toks[i + 1] as w2, __toks[i + 2] as w3))"))
+        .as(Seq("__p", "__g")))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+    val ct = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
+    // rebuild the bigram counts/context totals the bow2 arithmetic needs
+    // (the base table stores probabilities, not counts)
+    val grams = toksArr.filter(size(col("__toks")) >= 2)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> struct(__toks[i] as w1, __toks[i + 1] as w2))"))
+        .as(Seq("__p", "__g")))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+    val cb = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
+    val ctx2 = ct
+      .join(cb.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cb23")), Seq("w2", "w3"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n1p3"), sum("ct").as("c12"),
+        sum("cb23").as("sum_cb23"))
+      .join(broadcast(c1.select(col("w1").as("w2"), col("c1").as("c1w2"))),
+        Seq("w2"))
+      .localCheckpoint(true)
+    val bow2 = ctx2.select(col("w1"), col("w2"),
+      log10Micro((lit(discount) * col("n1p3") / col("c12")) /
+        (lit(1.0) - (col("sum_cb23") - lit(discount) * col("n1p3")) /
+          col("c1w2").cast("double"))).as("bow2"))
+    val triRows = ct.join(ctx2.select("w1", "w2", "c12"), Seq("w1", "w2"))
+      .select(lit(3).as("n"),
+        concat(col("w1"), lit(" "), col("w2"), lit(" "), col("w3")).as("gram"),
+        (-log10Micro((col("ct") - lit(discount)) / col("c12"))).as("nll10_micro"),
+        lit(null).cast("long").as("bow10_micro"))
+    val uniRows = base.filter(col("n") === 1)
+    val biWithBow = base.filter(col("n") === 2)
+      .withColumn("__w1", split(col("gram"), " ").getItem(0))
+      .withColumn("__w2", split(col("gram"), " ").getItem(1))
+      .join(bow2.select(col("w1").as("__w1"), col("w2").as("__w2"),
+        col("bow2")), Seq("__w1", "__w2"), "left")
+      .select(col("n"), col("gram"), col("nll10_micro"),
+        coalesce(col("bow2"), lit(0L)).as("bow10_micro"))
+    uniRows.unionByName(biWithBow).unionByName(triRows)
+      .orderBy(col("n"),
+        when(col("gram") === Unk && col("n") === 1, lit(0)).otherwise(lit(1)),
+        col("gram"))
+  }
+
   /** Exact fixed-6dp decimal of a signed micro integer — string
     * arithmetic, no double ever formatted, so the printed value IS the
     * micro grid value.
@@ -191,6 +281,7 @@ object LmArtifact {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n1 = counts.getOrElse(1, 0L)
     val n2 = counts.getOrElse(2, 0L)
+    val n3 = counts.getOrElse(3, 0L)
     require(n1 > 0, "artifact table has no unigram rows")
     val p = new Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri,
@@ -209,19 +300,24 @@ object LmArtifact {
         out.write(b)
       }
       try {
-        emit(s"\\data\\\nngram 1=$n1\nngram 2=$n2\n\n\\1-grams:\n")
+        emit(s"\\data\\\nngram 1=$n1\nngram 2=$n2\n" +
+          (if (n3 > 0) s"ngram 3=$n3\n" else "") + "\n\\1-grams:\n")
         var section = 1
         val it = sorted.toLocalIterator()
         while (it.hasNext) {
           val r = it.next()
           val n = r.getInt(0)
-          if (n == 2 && section == 1) { emit("\n\\2-grams:\n"); section = 2 }
+          while (section < n) {
+            section += 1; emit(s"\n\\$section-grams:\n")
+          }
           val logp = microToDecimal(-r.getLong(2))
-          if (n == 1) {
-            val bow = r.getLong(3)
-            if (bow == 0L) emit(s"$logp\t${r.getString(1)}\n")
-            else emit(s"$logp\t${r.getString(1)}\t${microToDecimal(bow)}\n")
-          } else emit(s"$logp\t${r.getString(1)}\n")
+          // a row of order < the model's top order carries its context's
+          // backoff — omitted when log10 bow = 0 (the SRILM convention;
+          // bigram-only tables have NULL there, so their bytes are
+          // unchanged)
+          val bow = if (r.isNullAt(3)) 0L else r.getLong(3)
+          if (bow == 0L) emit(s"$logp\t${r.getString(1)}\n")
+          else emit(s"$logp\t${r.getString(1)}\t${microToDecimal(bow)}\n")
         }
         if (section == 1 && n2 == 0) emit("\n\\2-grams:\n")
         emit("\n\\end\\\n")
@@ -229,8 +325,8 @@ object LmArtifact {
       fs.delete(p, false)
       require(fs.rename(tmp, p), s"rename failed: $path")
     } finally fs.close()
-    Seq((path, n1, n2, md5.digest().map("%02x".format(_)).mkString))
-      .toDF("file", "n_unigrams", "n_bigrams", "content_md5")
+    Seq((path, n1, n2, n3, md5.digest().map("%02x".format(_)).mkString))
+      .toDF("file", "n_unigrams", "n_bigrams", "n_trigrams", "content_md5")
   }
 
   /** Import a foreign `.arpa` file into the canonical artifact table.
@@ -284,13 +380,14 @@ object LmArtifact {
                   fail(s"malformed ngram order '${kv(0)}'"))
                 val c = kv(1).trim.toLongOption.getOrElse(
                   fail(s"malformed ngram count '${kv(1)}'"))
-                if (n > 2) fail(s"$n-gram section declared — this " +
-                  "reader covers the engine's <= 2-gram ladder")
+                if (n > 3) fail(s"$n-gram section declared — this " +
+                  "reader covers the engine's <= 3-gram ladder")
                 declared(n) = c
               } else if (t == "\\1-grams:") { state = "grams"; section = 1 }
               else fail(s"expected ngram counts or \\1-grams:, got '$t'")
             case "grams" =>
               if (t == "\\2-grams:") section = 2
+              else if (t == "\\3-grams:") section = 3
               else if (t == "\\1-grams:") section = 1
               else if (t == "\\end\\") state = "done"
               else if (t.startsWith("\\")) fail(s"unexpected section '$t'")
@@ -301,10 +398,15 @@ object LmArtifact {
                     fail(s"unigram line needs 2-3 fields, got ${f.length}")
                   val bow = if (f.length == 3) parseMicro(f(2)) else 0L
                   rows += ((1, f(1), -parseMicro(f(0)), Some(bow)))
+                } else if (section == 2) {
+                  if (f.length < 3 || f.length > 4)
+                    fail(s"bigram line needs 3-4 fields, got ${f.length}")
+                  val bow = if (f.length == 4) Some(parseMicro(f(3))) else None
+                  rows += ((2, s"${f(1)} ${f(2)}", -parseMicro(f(0)), bow))
                 } else {
-                  if (f.length != 3)
-                    fail(s"bigram line needs 3 fields, got ${f.length}")
-                  rows += ((2, s"${f(1)} ${f(2)}", -parseMicro(f(0)), None))
+                  if (f.length != 4)
+                    fail(s"trigram line needs 4 fields, got ${f.length}")
+                  rows += ((3, s"${f(1)} ${f(2)} ${f(3)}", -parseMicro(f(0)), None))
                 }
               }
             case "done" => fail(s"content after \\end\\: '$t'")
@@ -313,7 +415,7 @@ object LmArtifact {
         }
         if (state != "done") fail("missing \\end\\ terminator")
         val actual = rows.groupBy(_._1).map { case (n, rs) => n -> rs.size.toLong }
-        Seq(1, 2).foreach { n =>
+        Seq(1, 2, 3).foreach { n =>
           val d = declared.getOrElse(n, 0L)
           val a = actual.getOrElse(n, 0L)
           require(d == a,
@@ -321,10 +423,17 @@ object LmArtifact {
         }
       } finally in.close()
     } finally fs.close()
+    // bow semantics follow the MODEL ORDER: in a trigram file a bigram
+    // line without a bow field means log10 bow 0; in a bigram-only file
+    // bigram rows carry no bow concept at all (NULL — the historical
+    // table shape, byte-compatible round trips)
+    val hasTri = rows.exists(_._1 == 3)
     rows.toSeq
       .toDF("n", "gram", "nll10_micro", "bow10_micro")
       .select(col("n"), col("gram"), col("nll10_micro"),
         when(col("n") === 1, coalesce(col("bow10_micro"), lit(0L)))
+          .when(col("n") === 2 && lit(hasTri),
+            coalesce(col("bow10_micro"), lit(0L)))
           .otherwise(lit(null).cast("long")).as("bow10_micro"))
   }
 
@@ -385,6 +494,71 @@ object LmArtifact {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("oov2").cast("long")).as("n_oov"),
         sum(col("b_nll").isNull.cast("long")).as("n_backoff"),
+        sum("__nll").as("sum_nll10_micro"))
+  }
+
+  /** Score a corpus under a TRIGRAM artifact (trained by [[arpaTable3]]
+    * or imported) with standard two-level backoff decoding: each
+    * adjacent triple scores the stored trigram micro-nll when present;
+    * else `nll_bi(w2 w3) − log10 bow(w1 w2)` (an absent (w1 w2) context
+    * backs off at bow 1 — the Katz convention); else
+    * `nll_uni(w3) − log10 bow(w2) − log10 bow(w1 w2)`. All sums are
+    * exact BIGINTs of stored micro values. Returns (doc, n_triples,
+    * n_oov, n_backoff_bi, n_backoff_uni, sum_nll10_micro) — `n_oov`
+    * counts triples whose TARGET w3 mapped to `<unk>`; docs with fewer
+    * than three tokens carry no triples and drop out.
+    *
+    * Scale: the unigram table broadcasts; bigram and trigram joins are
+    * plain shuffle equi-joins on the gram (both tables grow with the
+    * model's training corpus); one keyed aggregation.
+    */
+  def arpaScore3(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame,
+      tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
+    val uni = lm.filter(col("n") === 1)
+      .select(col("gram").as("w"), col("nll10_micro").as("u_nll"),
+        col("bow10_micro").as("bow1"))
+    require(!uni.filter(col("w") === Unk).isEmpty,
+      s"model has no '$Unk' unigram — cannot score open-vocabulary text")
+    val bi = lm.filter(col("n") === 2)
+      .select(col("gram"), col("nll10_micro").as("b_nll"),
+        coalesce(col("bow10_micro"), lit(0L)).as("bow2"))
+    val tri = lm.filter(col("n") === 3)
+      .select(col("gram").as("__tg"), col("nll10_micro").as("t_nll"))
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "raw")))
+      .join(broadcast(uni.select(col("w"), lit(1).as("__in"))),
+        col("raw") === col("w"), "left")
+      .select(col("doc"), col("pos"),
+        when(col("__in").isNotNull, col("raw")).otherwise(lit(Unk)).as("tok"),
+        col("__in").isNull.as("oov"))
+      .localCheckpoint(eager = true)
+    val triples = toks.select(col("doc"), col("pos"), col("tok").as("w1"))
+      .join(toks.select(col("doc"), (col("pos") - 1).as("pos"),
+        col("tok").as("w2")), Seq("doc", "pos"))
+      .join(toks.select(col("doc"), (col("pos") - 2).as("pos"),
+        col("tok").as("w3"), col("oov").as("oov3")), Seq("doc", "pos"))
+    triples
+      .join(tri, concat(col("w1"), lit(" "), col("w2"), lit(" "),
+        col("w3")) === col("__tg"), "left")
+      .join(bi.select(col("gram"), col("b_nll")),
+        concat(col("w2"), lit(" "), col("w3")) === col("gram"), "left")
+      .join(bi.select(col("gram").as("__g12"), col("bow2")),
+        concat(col("w1"), lit(" "), col("w2")) === col("__g12"), "left")
+      .join(broadcast(uni.select(col("w").as("w3"),
+        col("u_nll").as("u3_nll"))), Seq("w3"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("bow1"))), Seq("w2"))
+      .withColumn("__bow12", coalesce(col("bow2"), lit(0L)))
+      .withColumn("__nll", coalesce(col("t_nll"),
+        coalesce(col("b_nll") - col("__bow12"),
+          col("u3_nll") - col("bow1") - col("__bow12"))))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_triples"),
+        sum(col("oov3").cast("long")).as("n_oov"),
+        sum((col("t_nll").isNull && col("b_nll").isNotNull).cast("long"))
+          .as("n_backoff_bi"),
+        sum((col("t_nll").isNull && col("b_nll").isNull).cast("long"))
+          .as("n_backoff_uni"),
         sum("__nll").as("sum_nll10_micro"))
   }
 }

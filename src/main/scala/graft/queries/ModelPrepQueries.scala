@@ -50,6 +50,37 @@ object ModelPrepQueries extends QueryModule {
   private val MmrLam = 7000
   private val MmrNegInf = -1000000000000000000L
 
+  /** DuckDB replay of LmArtifact.arpaTable3: the bigram chain (verbatim
+    * the q_x_arpa_lm fragments — counts, context totals, D = 0.75
+    * discounting, micro-grid log10; DuckDB `log` IS log10) extended one
+    * order: trigram counts, per-(w1,w2) context bookkeeping with the
+    * single-denominator Σ_seen P(w3|w2) rational, and the bigram-row
+    * backoff weights.
+    */
+  private def arpa3ChainSql(srcFilter: String): String =
+    s"WITH t AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents $srcFilter), " +
+      "cu AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cu) AS BIGINT) AS tt, count(*) AS vd FROM cu), " +
+      "up AS MATERIALIZED (SELECT u.w, u.cu, CAST(-floor(log((u.cu + 1) / CAST(tot.tt + tot.vd + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
+      "FROM (SELECT w, cu FROM cu UNION ALL SELECT '<unk>', CAST(0 AS BIGINT)) u CROSS JOIN tot), " +
+      "gr AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 2), " +
+      "cb AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM gr GROUP BY 1, 2), " +
+      "ctx AS MATERIALIZED (SELECT cb.w1, CAST(count(*) AS BIGINT) AS n1p, CAST(sum(cb.cb) AS BIGINT) AS c1, CAST(sum(cu2.cu + 1) AS BIGINT) AS seen_num " +
+      "FROM cb JOIN cu cu2 ON cb.w2 = cu2.w GROUP BY 1), " +
+      "bows AS (SELECT ctx.w1, CAST(floor(log((CAST(0.75 AS DOUBLE) * ctx.n1p / CAST(ctx.c1 AS DOUBLE)) / " +
+      "(1 - ctx.seen_num / CAST(tot.tt + tot.vd + 1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS bow FROM ctx CROSS JOIN tot), " +
+      "bm AS MATERIALIZED (SELECT cb.w1, cb.w2, CAST(-floor(log((cb.cb - CAST(0.75 AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
+      "FROM cb JOIN ctx ON cb.w1 = ctx.w1), " +
+      "tg AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i) WHERE len(toks) >= 3), " +
+      "ct AS MATERIALIZED (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS ct FROM tg GROUP BY 1, 2, 3), " +
+      "ctx2 AS MATERIALIZED (SELECT ct.w1, ct.w2, CAST(count(*) AS BIGINT) AS n1p3, CAST(sum(ct.ct) AS BIGINT) AS c12, CAST(sum(cb23.cb) AS BIGINT) AS sum_cb23 " +
+      "FROM ct JOIN cb cb23 ON cb23.w1 = ct.w2 AND cb23.w2 = ct.w3 GROUP BY 1, 2), " +
+      "bow2 AS MATERIALIZED (SELECT c2.w1, c2.w2, CAST(floor(log((CAST(0.75 AS DOUBLE) * c2.n1p3 / CAST(c2.c12 AS DOUBLE)) / " +
+      "(1 - (c2.sum_cb23 - CAST(0.75 AS DOUBLE) * c2.n1p3) / CAST(cx.c1 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS bow2 " +
+      "FROM ctx2 c2 JOIN ctx cx ON cx.w1 = c2.w2), " +
+      "tm AS MATERIALIZED (SELECT ct.w1, ct.w2, ct.w3, CAST(-floor(log((ct.ct - CAST(0.75 AS DOUBLE)) / CAST(c2.c12 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
+      "FROM ct JOIN ctx2 c2 ON c2.w1 = ct.w1 AND c2.w2 = ct.w2)"
+
   /** DuckDB replay of [[WordPiece.learnMerges]]: `##`-marked
     * symbolization, per-round likelihood argmax
     * (`pf · 10^15 // (freq(l) · freq(r))` in hugeint — exactly Spark's
@@ -374,5 +405,53 @@ object ModelPrepQueries extends QueryModule {
         .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
         .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
         .orderBy("actual", "pred")
+    },
+
+    // Trigram absolute-discount backoff LM: the full artifact table —
+    // unigram rows with their bows, bigram rows NOW carrying the
+    // (w1,w2)-context bows the trigram order backs off through, and the
+    // trigram rows — replayed value-exact (counts → context totals →
+    // the single-denominator seen-mass rational → micro-grid log10).
+    q("q_x_arpa3_lm",
+      arpa3ChainSql("") +
+        " SELECT * FROM (" +
+        "SELECT 1 AS n, up.w AS gram, up.nll AS nll10_micro, coalesce(b.bow, CAST(0 AS BIGINT)) AS bow10_micro FROM up LEFT JOIN bows b ON up.w = b.w1 " +
+        "UNION ALL SELECT 2 AS n, bm.w1 || ' ' || bm.w2 AS gram, bm.nll AS nll10_micro, coalesce(b2.bow2, CAST(0 AS BIGINT)) AS bow10_micro FROM bm LEFT JOIN bow2 b2 ON b2.w1 = bm.w1 AND b2.w2 = bm.w2 " +
+        "UNION ALL SELECT 3 AS n, w1 || ' ' || w2 || ' ' || w3 AS gram, nll AS nll10_micro, CAST(NULL AS BIGINT) AS bow10_micro FROM tm) " +
+        "ORDER BY n, CASE WHEN n = 1 AND gram = '<unk>' THEN 0 ELSE 1 END, gram") { (s, d) =>
+      graft.llmops.LmArtifact.arpaTable3(Tables.documents(s, d), "text")
+    },
+
+    // Trigram backoff scoring: model trained on even doc_ids, odd docs
+    // scored triple by triple — trigram hits, bigram backoff through the
+    // context bow, and the double-backoff unigram path (OOV targets map
+    // to <unk>) all replayed; per-doc totals exact BIGINT sums.
+    q("q_x_arpa3_score",
+      arpa3ChainSql("WHERE doc_id % 2 = 0") +
+        ", t2 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents WHERE doc_id % 2 = 1), " +
+        "tr AS (SELECT doc_id AS doc, toks[i] AS r1, toks[i+1] AS r2, toks[i+2] AS r3 FROM t2, unnest(generate_series(1, len(toks) - 2)) AS u(i) WHERE len(toks) >= 3), " +
+        "mp AS (SELECT doc, CASE WHEN c1m.w IS NULL THEN '<unk>' ELSE r1 END AS w1, " +
+        "CASE WHEN c2m.w IS NULL THEN '<unk>' ELSE r2 END AS w2, " +
+        "CASE WHEN c3m.w IS NULL THEN '<unk>' ELSE r3 END AS w3, " +
+        "CASE WHEN c3m.w IS NULL THEN 1 ELSE 0 END AS oov FROM tr " +
+        "LEFT JOIN cu c1m ON tr.r1 = c1m.w LEFT JOIN cu c2m ON tr.r2 = c2m.w LEFT JOIN cu c3m ON tr.r3 = c3m.w), " +
+        "sc AS (SELECT mp.doc, mp.oov, tm.nll AS t_nll, bm23.nll AS b_nll, " +
+        "coalesce(b2.bow2, CAST(0 AS BIGINT)) AS bow12, up3.nll AS u3, coalesce(bw.bow, CAST(0 AS BIGINT)) AS bow1 FROM mp " +
+        "LEFT JOIN tm ON mp.w1 = tm.w1 AND mp.w2 = tm.w2 AND mp.w3 = tm.w3 " +
+        "LEFT JOIN bm bm23 ON mp.w2 = bm23.w1 AND mp.w3 = bm23.w2 " +
+        "LEFT JOIN bow2 b2 ON mp.w1 = b2.w1 AND mp.w2 = b2.w2 " +
+        "JOIN up up3 ON mp.w3 = up3.w LEFT JOIN bows bw ON mp.w2 = bw.w1) " +
+        "SELECT doc, CAST(count(*) AS BIGINT) AS n_triples, CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "CAST(sum(CASE WHEN t_nll IS NULL AND b_nll IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_bi, " +
+        "CAST(sum(CASE WHEN t_nll IS NULL AND b_nll IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_uni, " +
+        "CAST(sum(coalesce(t_nll, coalesce(b_nll - bow12, u3 - bow1 - bow12))) AS BIGINT) AS sum_nll10_micro " +
+        "FROM sc GROUP BY doc ORDER BY doc") { (s, d) =>
+      import graft.llmops.LmArtifact
+      val docs = Tables.documents(s, d)
+      val lm = LmArtifact.arpaTable3(docs.filter(col("doc_id") % 2 === 0), "text")
+        .localCheckpoint(true)
+      LmArtifact.arpaScore3(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", lm)
+        .orderBy("doc")
     })
 }

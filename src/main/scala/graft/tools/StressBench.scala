@@ -348,7 +348,17 @@ object StressBench {
     // Naive Bayes: feature explode+count (corpus-linear), the fit one
     // groupBy with a dim x classes-bounded model, scoring one
     // classes-expansion keyed sum + per-doc bounded window.
-    "q_x_naive_bayes_langid")
+    "q_x_naive_bayes_langid",
+    // MMR: candidate stage is queries x corpus (fixed query set), the
+    // greedy fold per-query bounded by top-N — tracks the brute-force
+    // candidate cost, never the fold.
+    "q_x_mmr_rerank",
+    // trigram ARPA: the bigram lanes + one more gram-explode groupBy and
+    // the (w1,w2)-keyed context aggs — corpus-linear like arpa_lm.
+    "q_x_arpa3_lm",
+    // trigram scoring: triple explode + two shuffle gram joins +
+    // broadcast uni/bow joins — the arpa_score lane one order up.
+    "q_x_arpa3_score")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -146,10 +146,10 @@ class LmArtifactSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException](
       LmArtifact.readArpa(spark, badCount))
     assert(e2.getMessage.contains("declares 2"))
-    val tri = write("c.arpa", "\\data\\\nngram 3=1\n\\1-grams:\n\\end\\\n")
+    val quad = write("c.arpa", "\\data\\\nngram 4=1\n\\1-grams:\n\\end\\\n")
     val e3 = intercept[IllegalArgumentException](
-      LmArtifact.readArpa(spark, tri))
-    assert(e3.getMessage.contains("3-gram"))
+      LmArtifact.readArpa(spark, quad))
+    assert(e3.getMessage.contains("4-gram"))
     val nonNum = write("d.arpa",
       "\\data\\\nngram 1=1\n\\1-grams:\nxyz\t<unk>\n\\end\\\n")
     val e4 = intercept[IllegalArgumentException](
@@ -216,5 +216,102 @@ class LmArtifactSpec extends SparkTestBase {
     assert(LmArtifact.microToDecimal(-1L) === "-0.000001")
     assert(LmArtifact.microToDecimal(1234567L) === "1.234567")
     assert(LmArtifact.microToDecimal(-96910L) === "-0.096910")
+  }
+
+  // --- trigram order -------------------------------------------------
+  // Hand model over ["a b a b c"]: cu a=2 b=2 c=1, T=5 V=3, denom 9.
+  // Bigrams: ab=2 ba=1 bc=1; c1(a)=2, c1(b)=2. Trigrams: aba=1 abc=1
+  // bab=1; c12(a b)=2 (N1+=2), c12(b a)=1 (N1+=1).
+  // P(a|ab) = P(c|ab) = .25/2 = .125 → nll 903090;
+  // P(b|ba) = .25/1 = .25 → nll 602060.
+  // bow2(a b) = (.75·2/2) / (1 − (cb(ba)+cb(bc) − .75·2)/c1(b))
+  //           = .75 / (1 − .5/2) = 1.0 → 0 micro (field omitted);
+  // bow2(b a) = (.75·1/1) / (1 − (cb(ab) − .75)/c1(a))
+  //           = .75 / (1 − 1.25/2) = 2.0 → 301030 micro.
+
+  private def triCorpus = {
+    import spark.implicits._
+    Seq((1L, "a b a b c")).toDF("doc_id", "text")
+  }
+
+  private def micro(x: Double): Long =
+    math.floor(math.log10(x) * 1e6 + 0.5).toLong
+
+  test("arpaTable3: hand-computed trigram probs and bigram-context bows") {
+    val t = LmArtifact.arpaTable3(triCorpus).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(t.contains((3, "a b a", -micro(0.125), None)))
+    assert(t.contains((3, "a b c", -micro(0.125), None)))
+    assert(t.contains((3, "b a b", -micro(0.25), None)))
+    assert(t.contains((2, "a b", -micro(0.625), Some(0L))))
+    assert(t.contains((2, "b a", -micro(0.125), Some(301030L))))
+    assert(t.contains((2, "b c", -micro(0.125), Some(0L))))
+    // unigram rows identical to the bigram trainer's
+    val base = LmArtifact.arpaTable(triCorpus).collect()
+      .filter(_.getInt(0) == 1)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val uni3 = t.filter(_._1 == 1).map(r => (r._2, r._3, r._4.get))
+    assert(uni3 === base)
+  }
+
+  test("trigram normalization law: sum over w3 of P(w3 | w1 w2) = 1 by enumeration") {
+    val rows = LmArtifact.arpaTable3(triCorpus).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+    def p(micro: Long): Double = math.pow(10.0, -micro / 1e6)
+    def bowOf(n: Int, g: String): Double =
+      rows.find(r => r._1 == n && r._2 == g)
+        .map(r => math.pow(10.0, r._4 / 1e6)).getOrElse(1.0)
+    val vocab = rows.filter(_._1 == 1).map(_._2)
+    val tri = rows.filter(_._1 == 3).map(r => r._2 -> p(r._3)).toMap
+    val bi = rows.filter(_._1 == 2).map(r => r._2 -> p(r._3)).toMap
+    val uni = rows.filter(_._1 == 1).map(r => r._2 -> p(r._3)).toMap
+    for (ctx <- Seq(("a", "b"), ("b", "a"))) {
+      val total = vocab.map { w3 =>
+        tri.getOrElse(s"${ctx._1} ${ctx._2} $w3",
+          bowOf(2, s"${ctx._1} ${ctx._2}") *
+            bi.getOrElse(s"${ctx._2} $w3", bowOf(1, ctx._2) * uni(w3)))
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-3, s"context $ctx sums to $total")
+    }
+  }
+
+  test("trigram .arpa: 3-gram section + bigram bow fields pinned; round trip; scoring paths") {
+    val dir = java.nio.file.Files.createTempDirectory("arpa3").toString
+    val t = LmArtifact.arpaTable3(triCorpus).localCheckpoint(true)
+    val m = LmArtifact.writeArpa(spark, t, s"$dir/m3.arpa").collect()
+    assert(m.head.getAs[Long]("n_trigrams") === 3L)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "m3.arpa")), "UTF-8")
+    assert(text.contains("ngram 3=3\n"))
+    assert(text.contains("\n\\3-grams:\n"))
+    assert(text.contains("-0.903090\tb a\t0.301030\n")) // bow field present
+    assert(text.contains("-0.204120\ta b\n"))           // bow 1 omitted
+    assert(text.contains("-0.903090\ta b a\n"))
+    // round trip: n=2 bow coalesces to 0 where omitted (trigram file)
+    assert(tableSet(LmArtifact.readArpa(spark, s"$dir/m3.arpa")) === tableSet(t))
+    // scoring: tri hit / double backoff to unigram
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "c c c")).toDF("doc_id", "text")
+    val sc = LmArtifact.arpaScore3(docs, "doc_id", "text", t)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // doc 1: one triple "a b a", a trigram hit
+    assert(sc(0) === ((1L, 1L, 0L, 0L, 0L, -micro(0.125))))
+    // doc 2: "c c c" — no trigram, no bigram (c c), bow(c) = bow2 = 1:
+    // nll = nll_uni(c) = -log10(2/9)
+    assert(sc(1) === ((2L, 1L, 0L, 0L, 1L, -micro(2.0 / 9.0))))
+    // a FOREIGN trigram file: CRLF, spaces, 4-field bigram lines
+    val foreign = dir + "/f.arpa"
+    java.nio.file.Files.write(java.nio.file.Paths.get(foreign),
+      ("\\data\\\r\nngram 1=2\r\nngram 2=1\r\nngram 3=1\r\n\r\n" +
+        "\\1-grams:\r\n-1 <unk> -0.5\r\n-0.3 x -0.2\r\n" +
+        "\\2-grams:\r\n-0.4 x x 0.1\r\n" +
+        "\\3-grams:\r\n-0.6 x x x\r\n\\end\\\r\n").getBytes("UTF-8"))
+    val f = tableSet(LmArtifact.readArpa(spark, foreign))
+    assert(f.contains((2, "x x", 400000L, Some(100000L))))
+    assert(f.contains((3, "x x x", 600000L, None)))
   }
 }
