@@ -121,6 +121,71 @@ object Dedup {
     out
   }
 
+  /** CONTAINMENT near-dup pairs — the ASYMMETRIC axis symmetric Jaccard
+    * is blind to: a short document quoted whole inside a long one scores
+    * `C(A→B) = |A∩B| / |A|` near 1 while its Jaccard is tiny (the
+    * wrapper-page / full-quote / boilerplate-envelope class; the LSH
+    * Ensemble motivation). Emits ORDERED pairs — `(id_a, id_b)` means
+    * "id_a's shingles are contained in id_b's" — so both directions of
+    * an asymmetric pair report with their own denominators.
+    *
+    * Candidates use the containment PREFIX FILTER, which prunes ONE side
+    * only: `C ≥ t` forces `|A∩B| ≥ ceil(t·|A|)`, so the intersection
+    * must touch one of A's `|A| − ceil(t·|A|) + 1` globally-rarest
+    * shingles — A's prefix joins the FULL inverted index (B is never
+    * pruned; that is what makes the filter lossless for containment).
+    * `maxShingleDf` (default on, the banded family's observable-cap
+    * discipline) drops shingles hotter than the cap from CANDIDATE
+    * GENERATION only — verification still counts every shingle — so
+    * recall loss is confined to pairs whose every prefix-intersection
+    * shingle is ubiquitous, and the exact verify keeps reported values
+    * exact. Returns (id_a, id_b, containment, n_a, n_b), containment
+    * rounded 6dp.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = DefaultMaxBandFreq): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // containment is a SET measure — distinct shingles per doc
+    val ex = hashedShingleRows(df, idCol, textCol, n, xxhash64(_))
+      .distinct().cache()
+    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh")).cache()
+    val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("_df"))
+    val joinable = maxShingleDf match {
+      case Some(cap) => dfCounts.filter(col("_df") <= cap)
+      case None => dfCounts
+    }
+    val w = Window.partitionBy("doc").orderBy(col("_df").asc, col("s").asc)
+    val prefix = ex.join(joinable, Seq("s"))
+      .withColumn("_rk", row_number().over(w))
+      .join(sizes, Seq("doc"))
+      .filter(col("_rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc", "s")
+    val full = ex.join(joinable.select("s"), Seq("s"), "left_semi")
+    val cands = prefix.alias("x")
+      .join(full.alias("y"), col("x.s") === col("y.s") &&
+        col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .distinct()
+    val shared = cands
+      .join(ex.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
+      .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    val result = shared
+      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("containment", col("shared") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"),
+        col("n_a"), col("n_b"))
+    val out = result.localCheckpoint(true)
+    sizes.unpersist(); ex.unpersist()
+    out
+  }
+
   /** MinHash-LSH near-dup pairs — pure codegen'd DataFrame ops, no ML
     * vector UDTs in the hot path. Shingles are hashed with the portable
     * 52-bit hash, each of `numHashTables` fixed modular permutations takes

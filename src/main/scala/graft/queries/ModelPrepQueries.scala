@@ -407,6 +407,28 @@ object ModelPrepQueries extends QueryModule {
         .orderBy("actual", "pred")
     },
 
+    // Containment near-dup pairs (the asymmetric axis): ordered pairs
+    // where >= 80% of id_a's distinct 3-gram shingles appear in id_b —
+    // the quote/wrapper-page class symmetric Jaccard is blind to. The
+    // prefix filter is lossless for containment (one-sided pruning) and
+    // the df cap is inactive at oracle scale, so the oracle computes
+    // the EXACT containment join directly (raw shingle strings — hash
+    // collisions in the Spark side's xxhash64 would break the compare,
+    // which is the point).
+    q("q_x_dedup_containment",
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id AS doc, list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t WHERE len(toks) >= 3), " +
+        "ex AS MATERIALIZED (SELECT doc, unnest(shingles) AS s FROM sh), " +
+        "sz AS MATERIALIZED (SELECT doc, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1), " +
+        "shr AS (SELECT a.doc AS id_a, b.doc AS id_b, CAST(count(*) AS BIGINT) AS sh FROM ex a JOIN ex b ON a.s = b.s AND a.doc <> b.doc GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(CAST(sh AS DOUBLE) / sa.n_sh, 6) AS containment, sa.n_sh AS n_a, sb.n_sh AS n_b " +
+        "FROM shr JOIN sz sa ON sa.doc = id_a JOIN sz sb ON sb.doc = id_b " +
+        "WHERE CAST(sh AS DOUBLE) / sa.n_sh >= 0.8 ORDER BY id_a, id_b") { (s, d) =>
+      graft.llmops.Dedup.containmentPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // Trigram absolute-discount backoff LM: the full artifact table —
     // unigram rows with their bows, bigram rows NOW carrying the
     // (w1,w2)-context bows the trigram order backs off through, and the

@@ -358,7 +358,12 @@ object StressBench {
     "q_x_arpa3_lm",
     // trigram scoring: triple explode + two shuffle gram joins +
     // broadcast uni/bow joins — the arpa_score lane one order up.
-    "q_x_arpa3_score")
+    "q_x_arpa3_score",
+    // containment: prefix x inverted-index candidates + exact shared
+    // counts — replicas are exact dups (every doc pairs with its
+    // replicas, the dedup_minhash worst case), output grows with true
+    // pairs; the df cap bounds the hot-shingle fan-out.
+    "q_x_dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
