@@ -50,6 +50,33 @@ object ModelPrepQueries extends QueryModule {
   private val MmrLam = 7000
   private val MmrNegInf = -1000000000000000000L
 
+  /** The Bradley–Terry MM-round CTE chain, shared by the standalone fit
+    * and the composed preference pipeline: assumes a CTE `pr(win, lose)`
+    * exists; emits wins/games/adjacency/items, w0 = 1e6, and the
+    * unrolled rounds through w{BtIters}.
+    */
+  private def btChainSql: String = {
+    val rounds = (0 until BtIters).map { r =>
+      s"d$r AS (SELECT adj.x AS item, sum(CAST(n AS HUGEINT) * 1000000000000 // (wx.w + wy.w)) AS denom " +
+        s"FROM adj JOIN w$r wx ON wx.item = adj.x JOIN w$r wy ON wy.item = adj.y GROUP BY 1), " +
+        s"w${r + 1} AS MATERIALIZED (SELECT it.item, CASE WHEN it.wins = 0 THEN CAST(0 AS HUGEINT) " +
+        s"ELSE greatest(CAST(it.wins AS HUGEINT) * 1000000000000 // d.denom, 1) END AS w " +
+        s"FROM items it JOIN d$r d ON d.item = it.item)"
+    }.mkString(", ")
+    "wn AS MATERIALIZED (SELECT win AS item, CAST(count(*) AS BIGINT) AS n_wins FROM pr GROUP BY 1), " +
+      "games AS (SELECT least(win, lose) AS i, greatest(win, lose) AS j, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2), " +
+      "adj AS MATERIALIZED (SELECT i AS x, j AS y, n FROM games UNION ALL SELECT j AS x, i AS y, n FROM games), " +
+      "items AS MATERIALIZED (SELECT item, coalesce(n_wins, 0) AS wins FROM (SELECT DISTINCT x AS item FROM adj) ii LEFT JOIN wn USING (item)), " +
+      "ng AS (SELECT x AS item, CAST(sum(n) AS BIGINT) AS n_games FROM adj GROUP BY 1), " +
+      "w0 AS MATERIALIZED (SELECT item, CAST(1000000 AS HUGEINT) AS w FROM items), " +
+      rounds
+
+  }
+
+  private def btFinalSql: String =
+    "SELECT it.item, it.wins, ng.n_games, CAST(wf.w AS BIGINT) AS strength_micro " +
+      s"FROM items it JOIN ng ON ng.item = it.item JOIN w$BtIters wf ON wf.item = it.item ORDER BY it.item"
+
   /** DuckDB replay of LmArtifact.arpaTable3: the bigram chain (verbatim
     * the q_x_arpa_lm fragments — counts, context totals, D = 0.75
     * discounting, micro-grid log10; DuckDB `log` IS log10) extended one
@@ -264,25 +291,10 @@ object ModelPrepQueries extends QueryModule {
     // so all three updates are replayed value-for-value, not just the
     // final ranking.
     q("q_x_reward_fit", {
-      val rounds = (0 until BtIters).map { r =>
-        s"d$r AS (SELECT adj.x AS item, sum(CAST(n AS HUGEINT) * 1000000000000 // (wx.w + wy.w)) AS denom " +
-          s"FROM adj JOIN w$r wx ON wx.item = adj.x JOIN w$r wy ON wy.item = adj.y GROUP BY 1), " +
-          s"w${r + 1} AS MATERIALIZED (SELECT it.item, CASE WHEN it.wins = 0 THEN CAST(0 AS HUGEINT) " +
-          s"ELSE greatest(CAST(it.wins AS HUGEINT) * 1000000000000 // d.denom, 1) END AS w " +
-          s"FROM items it JOIN d$r d ON d.item = it.item)"
-      }.mkString(", ")
       "WITH g AS (SELECT doc_id % 20 AS a, (doc_id // 20) % 20 AS b, doc_id % 3 AS r " +
         "FROM documents WHERE doc_id % 20 != (doc_id // 20) % 20), " +
         "pr AS (SELECT CASE WHEN r = 0 THEN b ELSE a END AS win, CASE WHEN r = 0 THEN a ELSE b END AS lose FROM g), " +
-        "wn AS MATERIALIZED (SELECT win AS item, CAST(count(*) AS BIGINT) AS n_wins FROM pr GROUP BY 1), " +
-        "games AS (SELECT least(win, lose) AS i, greatest(win, lose) AS j, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2), " +
-        "adj AS MATERIALIZED (SELECT i AS x, j AS y, n FROM games UNION ALL SELECT j AS x, i AS y, n FROM games), " +
-        "items AS MATERIALIZED (SELECT item, coalesce(n_wins, 0) AS wins FROM (SELECT DISTINCT x AS item FROM adj) ii LEFT JOIN wn USING (item)), " +
-        "ng AS (SELECT x AS item, CAST(sum(n) AS BIGINT) AS n_games FROM adj GROUP BY 1), " +
-        "w0 AS MATERIALIZED (SELECT item, CAST(1000000 AS HUGEINT) AS w FROM items), " +
-        rounds + " " +
-        "SELECT it.item, it.wins, ng.n_games, CAST(wf.w AS BIGINT) AS strength_micro " +
-        s"FROM items it JOIN ng ON ng.item = it.item JOIN w$BtIters wf ON wf.item = it.item ORDER BY it.item"
+        btChainSql + " " + btFinalSql
     }) { (s, d) =>
       import graft.llmops.RewardFit
       val pairs = Tables.documents(s, d)
@@ -405,6 +417,48 @@ object ModelPrepQueries extends QueryModule {
         .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
         .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
         .orderBy("actual", "pred")
+    },
+
+    // The composed preference pipeline (the tokenize_export discipline
+    // pointed at post-training): a scored response table flows through
+    // preferencePairs' full rule set (rank pairing, strict margin >= 5,
+    // rank-cross stop, within-pair Jaccard dedup) and the surviving
+    // judgments fit Bradley-Terry response strengths — the new reward
+    // fit proven to COMPOSE with the pair assembler it exists for. The
+    // oracle replays the entire chain: both rank windows, the
+    // integer-bps Jaccard rule, then all 3 MM rounds.
+    q("q_x_reward_pipeline", {
+      val hSc = graft.llmops.PortableHash.duckHash52(
+        "CAST(doc_id AS VARCHAR) || ':sc'")
+      def dtoks(c: String) =
+        s"list_distinct(list_transform(regexp_split_to_array(trim($c), '\\s+'), x -> lower(x)))"
+      s"WITH resp AS MATERIALIZED (SELECT doc_id AS resp_id, doc_id // 4 AS prompt_id, text AS resp, $hSc % 100 AS score FROM documents), " +
+        "ranked AS MATERIALIZED (SELECT r.*, " +
+        "row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id ASC) AS rb, " +
+        "row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, resp_id DESC) AS rw FROM resp r), " +
+        "ch AS (SELECT prompt_id, rb AS pair_rank, resp_id AS chosen_id, resp AS chosen, score AS cs, rw AS crw FROM ranked WHERE rb <= 2), " +
+        "rj AS (SELECT prompt_id, rw AS pair_rank, resp_id AS rejected_id, resp AS rejected, score AS rs FROM ranked WHERE rw <= 2), " +
+        s"jac AS (SELECT ch.prompt_id, ch.pair_rank, chosen_id, rejected_id, cs - rs AS margin, crw, cs, rs, " +
+        s"len(list_intersect(${dtoks("chosen")}, ${dtoks("rejected")})) AS i, " +
+        s"len(${dtoks("chosen")}) + len(${dtoks("rejected")}) AS ab " +
+        "FROM ch JOIN rj ON rj.prompt_id = ch.prompt_id AND rj.pair_rank = ch.pair_rank), " +
+        "pr AS MATERIALIZED (SELECT chosen_id AS win, rejected_id AS lose FROM jac " +
+        "WHERE pair_rank < crw AND cs > rs AND margin >= 5 AND i * 10000 < (ab - i) * 9000), " +
+        btChainSql + " " + btFinalSql
+    }) { (s, d) =>
+      import graft.llmops.{Corpus, PortableHash, RewardFit}
+      val responses = Tables.documents(s, d)
+        .select(col("doc_id").as("resp_id"),
+          expr("doc_id div 4").as("prompt_id"), col("text").as("resp"),
+          (PortableHash.hash52(concat(col("doc_id").cast("string"),
+            lit(":sc"))) % 100).as("score"))
+        .withColumn("prompt", concat(lit("p"), col("prompt_id")))
+      val pairs = Corpus.preferencePairs(responses, "prompt_id", "prompt",
+        "resp_id", "resp", "score", minMargin = 5.0, maxPairsPerPrompt = 2)
+      RewardFit.bradleyTerry(
+          pairs.select(col("chosen_id"), col("rejected_id")),
+          "chosen_id", "rejected_id", iterations = BtIters)
+        .orderBy("item")
     },
 
     // Containment near-dup pairs (the asymmetric axis): ordered pairs

@@ -363,7 +363,11 @@ object StressBench {
     // counts — replicas are exact dups (every doc pairs with its
     // replicas, the dedup_minhash worst case), output grows with true
     // pairs; the df cap bounds the hot-shingle fan-out.
-    "q_x_dedup_containment")
+    "q_x_dedup_containment",
+    // composed preference pipeline: the preference_pairs lanes (two
+    // prompt-partitioned windows + pair Jaccard) + the BT rounds over
+    // the judgment-collapsed items x items adjacency.
+    "q_x_reward_pipeline")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
