@@ -162,4 +162,82 @@ object FuzzyMatch {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         (col("__rb") - col("__ra")).as("rank_gap"), col("dist"))
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969) — the DECISION layer over this object's candidate generators:
+    * blocking/trigram/neighborhood produce candidate pairs with
+    * per-field agreement flags; this weighs each field by how much its
+    * agreement actually discriminates, instead of treating every field
+    * equally. From LABELED pairs (`labelCol` boolean is-match), each
+    * field f gets add-1-smoothed conditional agreement rates
+    *
+    *   m_f = P(agree_f | match) = (a_m + 1) / (n_m + 2)
+    *   u_f = P(agree_f | non-match) = (a_u + 1) / (n_u + 2)
+    *
+    * and the classic log-likelihood-ratio weights `w_agree = ln(m/u)`,
+    * `w_disagree = ln((1−m)/(1−u))` — both on the 1e-6 micro-log grid
+    * (the Naive Bayes recipe: the single `ln` computed from exact
+    * integer counts, every later decision an integer sum). A field that
+    * agrees as often on non-matches as matches weighs ~0; a
+    * discriminating field's disagreement actively argues against the
+    * link. Returns one row per field: (field, n_match, n_unmatch,
+    * agree_match, agree_unmatch, w_agree_micro, w_disagree_micro). ONE
+    * aggregation pass over the labeled pairs; the result is
+    * fields-bounded.
+    */
+  def fellegiSunterWeights(labeled: DataFrame, labelCol: String,
+      agreeCols: Seq[String]): DataFrame = {
+    require(agreeCols.nonEmpty, "at least one agreement column")
+    val isM = col(labelCol).cast("boolean")
+    val aggs = Seq(
+      sum(when(isM, 1L).otherwise(0L)).as("n_match"),
+      sum(when(!isM, 1L).otherwise(0L)).as("n_unmatch")) ++
+      agreeCols.flatMap { f =>
+        Seq(sum(when(isM && col(f).cast("boolean"), 1L).otherwise(0L))
+          .as(s"__am_$f"),
+          sum(when(!isM && col(f).cast("boolean"), 1L).otherwise(0L))
+            .as(s"__au_$f"))
+      }
+    val t = labeled.agg(aggs.head, aggs.tail: _*)
+    val spark = labeled.sparkSession
+    agreeCols.map { f =>
+      t.select(lit(f).as("field"), col("n_match"), col("n_unmatch"),
+        col(s"__am_$f").as("agree_match"), col(s"__au_$f").as("agree_unmatch"),
+        round(log(((col(s"__am_$f") + 1L).cast("double") / (col("n_match") + 2L)) /
+          ((col(s"__au_$f") + 1L).cast("double") / (col("n_unmatch") + 2L))) * 1e6)
+          .cast("long").as("w_agree_micro"),
+        round(log((lit(1.0) - (col(s"__am_$f") + 1L).cast("double") / (col("n_match") + 2L)) /
+          (lit(1.0) - (col(s"__au_$f") + 1L).cast("double") / (col("n_unmatch") + 2L))) * 1e6)
+          .cast("long").as("w_disagree_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Score candidate pairs under trained [[fellegiSunterWeights]] and
+    * decide: `score = Σ_f (agree_f ? w_agree_f : w_disagree_f)`,
+    * `decision = link` at `score ≥ upperMicro`, `nonlink` at
+    * `≤ lowerMicro`, `possible` between (the FS three-way rule — the
+    * clerical-review band is the method's point). The weight table is
+    * fields-bounded and collects to DRIVER LITERALS, so scoring is one
+    * pure codegen'd projection over the pair stream — zero joins, zero
+    * shuffles.
+    */
+  def fellegiSunterScore(pairs: DataFrame, weights: DataFrame,
+      agreeCols: Seq[String], upperMicro: Long, lowerMicro: Long): DataFrame = {
+    require(upperMicro >= lowerMicro, "upper threshold below lower")
+    val w = weights
+      .select("field", "w_agree_micro", "w_disagree_micro").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val missing = agreeCols.filterNot(w.contains)
+    require(missing.isEmpty,
+      s"no trained weights for field(s): ${missing.mkString(", ")}")
+    val score = agreeCols.map { f =>
+      val (wa, wd) = w(f)
+      when(col(f).cast("boolean"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    pairs.withColumn("score_micro", score)
+      .withColumn("decision",
+        when(col("score_micro") >= upperMicro, lit("link"))
+          .when(col("score_micro") <= lowerMicro, lit("nonlink"))
+          .otherwise(lit("possible")))
+  }
 }

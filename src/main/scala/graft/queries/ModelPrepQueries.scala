@@ -419,6 +419,65 @@ object ModelPrepQueries extends QueryModule {
         .orderBy("actual", "pred")
     },
 
+    // Fellegi-Sunter record linkage: adjacent-doc candidate pairs with
+    // three agreement fields (lang / source / length bucket), weights
+    // trained on the labeled quarter (planted lang-correlation with 1/17
+    // XOR noise), all pairs scored and three-way decided. The oracle
+    // replays the m/u estimation (add-1 from exact counts, micro-log
+    // grid - the NB ln recipe), both weight forms and the threshold
+    // decisions, value-exact.
+    q("q_x_record_linkage", {
+      val pairsSql =
+        "pairs AS MATERIALIZED (SELECT d1.doc_id AS a, d2.doc_id AS b, " +
+          "(d1.lang = d2.lang) AS ag_lang, (d1.source = d2.source) AS ag_source, " +
+          "(length(d1.text) // 100 = length(d2.text) // 100) AS ag_len " +
+          "FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1 " +
+          "WHERE d1.doc_id % 2 = 0), " +
+          "lab AS MATERIALIZED (SELECT *, (ag_lang != (a % 17 = 0)) AS is_match FROM pairs WHERE a % 4 = 0), "
+      def wSql(f: String) =
+        s"SELECT '$f' AS field, n_match, n_unmatch, am_$f AS agree_match, au_$f AS agree_unmatch, " +
+          s"CAST(round(ln(((am_$f + 1) / CAST(n_match + 2 AS DOUBLE)) / ((au_$f + 1) / CAST(n_unmatch + 2 AS DOUBLE))) * 1000000) AS BIGINT) AS wa, " +
+          s"CAST(round(ln((1 - (am_$f + 1) / CAST(n_match + 2 AS DOUBLE)) / (1 - (au_$f + 1) / CAST(n_unmatch + 2 AS DOUBLE))) * 1000000) AS BIGINT) AS wd FROM t0"
+      "WITH " + pairsSql +
+        "t0 AS MATERIALIZED (SELECT CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match, " +
+        "CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS n_unmatch, " +
+        Seq("ag_lang", "ag_source", "ag_len").map(f =>
+          s"CAST(sum(CASE WHEN is_match AND $f THEN 1 ELSE 0 END) AS BIGINT) AS am_$f, " +
+            s"CAST(sum(CASE WHEN NOT is_match AND $f THEN 1 ELSE 0 END) AS BIGINT) AS au_$f").mkString(", ") +
+        " FROM lab), " +
+        "wt AS MATERIALIZED (" +
+        Seq("ag_lang", "ag_source", "ag_len").map(wSql).mkString(" UNION ALL ") + "), " +
+        "sc AS (SELECT p.a, p.b, " +
+        Seq("ag_lang", "ag_source", "ag_len").map(f =>
+          s"(CASE WHEN p.$f THEN (SELECT wa FROM wt WHERE field = '$f') ELSE (SELECT wd FROM wt WHERE field = '$f') END)")
+          .mkString(" + ") + " AS score_micro FROM pairs p) " +
+        "SELECT a, b, score_micro, CASE WHEN score_micro >= 500000 THEN 'link' " +
+        "WHEN score_micro <= -500000 THEN 'nonlink' ELSE 'possible' END AS decision " +
+        "FROM sc ORDER BY a"
+    }) { (s, d) =>
+      import graft.llmops.FuzzyMatch
+      val docs = Tables.documents(s, d)
+      val d1 = docs.select(col("doc_id").as("a"), col("lang").as("l1"),
+        col("source").as("s1"), length(col("text")).as("n1"))
+      val d2 = docs.select((col("doc_id") - 1).as("a"), col("lang").as("l2"),
+        col("source").as("s2"), length(col("text")).as("n2"))
+      val pairs = d1.filter(col("a") % 2 === 0).join(d2, Seq("a"))
+        .select(col("a"), (col("a") + 1).as("b"),
+          (col("l1") === col("l2")).as("ag_lang"),
+          (col("s1") === col("s2")).as("ag_source"),
+          (expr("n1 div 100") === expr("n2 div 100")).as("ag_len"))
+        .localCheckpoint(true)
+      val labeled = pairs.filter(col("a") % 4 === 0)
+        .withColumn("is_match", col("ag_lang") =!= (col("a") % 17 === 0))
+      val w = FuzzyMatch.fellegiSunterWeights(labeled, "is_match",
+        Seq("ag_lang", "ag_source", "ag_len"))
+      FuzzyMatch.fellegiSunterScore(pairs, w,
+          Seq("ag_lang", "ag_source", "ag_len"),
+          upperMicro = 500000L, lowerMicro = -500000L)
+        .select("a", "b", "score_micro", "decision")
+        .orderBy("a")
+    },
+
     // The composed preference pipeline (the tokenize_export discipline
     // pointed at post-training): a scored response table flows through
     // preferencePairs' full rule set (rank pairing, strict margin >= 5,
