@@ -84,6 +84,22 @@ object TokenizerBench {
           Seq("id"))
         .select("word", "n_syms")
       report("unigram", b, uniS, perWord)
+
+      // WordPiece: base marked chars + b likelihood-scored merges,
+      // greedy longest-match serving (per distinct word, like unigram's
+      // lane; [UNK] words count their single [UNK] piece).
+      val t2 = System.nanoTime()
+      val wv = graft.llmops.WordPiece.wordVocab(docs, "text")
+        .localCheckpoint(true)
+      val (wpMerges, _) = graft.llmops.WordPiece.learnMerges(wv, b)
+      val wpS = (System.nanoTime() - t2) / 1e9
+      val segW = graft.llmops.WordPiece.segment(wordsById, "doc_id", "text",
+        graft.llmops.WordPiece.vocabTable(wv, wpMerges))
+      val perWordW = segW.groupBy("id").agg(count(lit(1)).as("n_syms"))
+        .join(wordsById.select(col("doc_id").as("id"), col("text").as("word")),
+          Seq("id"))
+        .select("word", "n_syms")
+      report("wordpiece", b, wpS, perWordW)
     }
     spark.stop()
   }
