@@ -347,4 +347,44 @@ class EmptyInputSpec extends SparkTestBase {
     assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       state.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("model-prep batch tolerates empty inputs: WordPiece, BT, NB, MMR, containment, FS, arpa3") {
+    import graft.llmops.{Classify, FuzzyMatch, RewardFit, WordPiece}
+    // WordPiece: empty corpus trains nothing and serves nothing
+    val (m, _) = WordPiece.learnMerges(WordPiece.wordVocab(noDocs, "text"), 2)
+    assert(m.isEmpty)
+    assert(WordPiece.segment(noDocs, "doc_id", "text",
+      Seq("a").toDF("piece")).count() == 0)
+    // Bradley–Terry over zero judgments: empty, never a div-by-zero
+    assert(RewardFit.bradleyTerry(
+      Seq.empty[(Long, Long)].toDF("w", "l"), "w", "l").count() == 0)
+    // Naive Bayes: empty labeled set → empty model; scoring with an
+    // empty model yields no predictions (no classes to argmax over)
+    val feats = Classify.hashedFeatures(someDocs, "doc_id", "text")
+    val nbm = Classify.trainNaiveBayes(feats,
+      Seq.empty[(Long, String)].toDF("doc_id", "lang"), "doc_id", "lang")
+    assert(nbm.classes.count() == 0)
+    assert(Classify.scoreNaiveBayes(someDocs, feats, nbm, "doc_id").count() == 0)
+    // MMR over zero candidates: empty
+    assert(graft.llmops.Retrieval.mmrTopK(
+      Seq.empty[(Long, Long, Long)].toDF("qid", "doc", "rel_micro"),
+      Seq((1L, Seq(1.0f))).toDF("vid", "vec"), "vid", "vec", k = 3)
+      .count() == 0)
+    // containment over an empty corpus: empty
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() == 0)
+    // FS weights from zero labeled pairs: smoothing keeps every ratio
+    // defined (m = u = 1/2 → both weights exactly 0)
+    val w0 = FuzzyMatch.fellegiSunterWeights(
+      Seq.empty[(Boolean, Boolean)].toDF("is_match", "ag"), "is_match",
+      Seq("ag")).collect().head
+    assert(w0.getAs[Long]("w_agree_micro") == 0L &&
+      w0.getAs[Long]("w_disagree_micro") == 0L)
+    // trigram LM on a corpus with no 3-token doc: unigram+bigram rows
+    // only, and trigram scoring emits no triples
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    val lm3 = graft.llmops.LmArtifact.arpaTable3(short)
+    assert(lm3.filter(col("n") === 3).count() == 0)
+    assert(graft.llmops.LmArtifact.arpaScore3(short, "doc_id", "text", lm3)
+      .count() == 0)
+  }
 }

