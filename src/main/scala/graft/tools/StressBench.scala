@@ -367,7 +367,10 @@ object StressBench {
     // composed preference pipeline: the preference_pairs lanes (two
     // prompt-partitioned windows + pair Jaccard) + the BT rounds over
     // the judgment-collapsed items x items adjacency.
-    "q_x_reward_pipeline")
+    "q_x_reward_pipeline",
+    // FS linkage: one adjacency self-join (pair build), one labeled
+    // agg, then the PURE-projection scoring — linear in pairs.
+    "q_x_record_linkage")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
