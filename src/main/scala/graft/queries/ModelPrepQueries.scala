@@ -316,34 +316,39 @@ object ModelPrepQueries extends QueryModule {
     // ascending-scan smallest-doc ties — as nested DuckDB list lambdas,
     // value-exact (the wordpiece/unigram fold-replay discipline).
     q("q_x_mmr_rerank", {
+      // set-based replay, NOT nested lambdas: DuckDB 1.0's list_reduce
+      // corrupts accumulators when reduces nest (struct accumulators
+      // return nondeterministic results — 4 distinct outputs in 4 runs —
+      // and list accumulators misread inside a 3-deep nest), so the k
+      // greedy steps unroll as join+window CTEs (the perceptron-rounds
+      // discipline); only SINGLE-LEVEL folds (norms, dots) remain as
+      // lambdas, the class every other float-fold oracle already uses.
       val nrmSql = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
       val dotQD = "list_reduce(list_transform(generate_series(1, len(q.embedding)), p -> CAST(q.embedding[p] AS DOUBLE) * CAST(d.embedding[p] AS DOUBLE)), (a, b) -> a + b)"
-      def at(i: String, f: String) = s"cs[CAST($i + 1 AS INT)].$f"
-      def nsAt(i: String) = s"ns[CAST($i + 1 AS INT)]"
-      def sim(i: String, j: String) =
-        s"(CASE WHEN ${nsAt(i)} * ${nsAt(j)} = 0 THEN CAST(0 AS BIGINT) " +
-          s"ELSE CAST(round(list_reduce(list_transform(generate_series(1, len(${at(i, "vec")})), p -> CAST(${at(i, "vec")}[p] AS DOUBLE) * CAST(${at(j, "vec")}[p] AS DOUBLE)), (a2, b2) -> a2 + b2) / (${nsAt(i)} * ${nsAt(j)}) * 1000000) AS BIGINT) END)"
-      def maxSim(i: String) =
-        s"(CASE WHEN len(acc) = 0 THEN CAST(0 AS BIGINT) ELSE list_reduce(list_prepend(CAST($MmrNegInf AS BIGINT), list_transform(acc, jj -> ${sim(i, "jj")})), (m, v) -> greatest(m, v)) END)"
-      def score(i: String) =
-        s"($MmrLam * ${at(i, "rel")} - ${10000 - MmrLam} * ${maxSim(i)})"
-      val best =
-        s"(list_reduce(list_prepend(struct_pack(bi := CAST(-1 AS BIGINT), bs := CAST($MmrNegInf AS BIGINT)), " +
-          "list_transform(generate_series(0, len(cs) - 1), ii -> struct_pack(bi := CAST(ii AS BIGINT), bs := CAST(0 AS BIGINT)))), " +
-          s"(b, x) -> CASE WHEN list_contains(acc, x.bi) THEN b WHEN ${score("x.bi")} > b.bs THEN struct_pack(bi := x.bi, bs := ${score("x.bi")}) ELSE b END))"
-      val selExpr =
-        s"list_reduce(list_prepend(CAST([] AS BIGINT[]), list_transform(generate_series(1, least($MmrK, len(cs))), st -> [CAST(st AS BIGINT)])), " +
-          s"(acc, stp) -> CASE WHEN $best.bi < 0 THEN acc ELSE list_append(acc, $best.bi) END)"
+      val dotAB = "list_reduce(list_transform(generate_series(1, len(a.vec)), p -> CAST(a.vec[p] AS DOUBLE) * CAST(b.vec[p] AS DOUBLE)), (aa, bb) -> aa + bb)"
+      val steps = (1 to MmrK).map { r =>
+        s"st$r AS (SELECT c.qid, c.doc, c.rel, coalesce(mx.m, 0) AS maxsim FROM cv c " +
+          s"LEFT JOIN (SELECT s.qid AS mq, sims.da AS md, max(sims.sim) AS m FROM sel${r - 1} s " +
+          "JOIN sims ON sims.qid = s.qid AND sims.db = s.doc GROUP BY 1, 2) mx " +
+          "ON mx.mq = c.qid AND mx.md = c.doc " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2 WHERE s2.qid = c.qid AND s2.doc = c.doc)), " +
+          s"pk$r AS (SELECT qid, doc FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY $MmrLam * rel - ${10000 - MmrLam} * maxsim DESC, doc) AS rn FROM st$r) z$r WHERE rn = 1), " +
+          s"sel$r AS MATERIALIZED (SELECT qid, doc, rnk FROM sel${r - 1} UNION ALL SELECT qid, doc, $r AS rnk FROM pk$r)"
+      }.mkString(", ")
       s"WITH en AS MATERIALIZED (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings), " +
         "sc AS (SELECT q.vec_id AS qid, d.vec_id AS doc, " +
         s"CASE WHEN q.nrm * d.nrm = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round($dotQD / (q.nrm * d.nrm) * 1000000) AS BIGINT) END AS rel " +
         "FROM en q JOIN en d ON d.vec_id <> q.vec_id WHERE q.vec_id % 50 = 0), " +
         s"cand AS MATERIALIZED (SELECT qid, doc, rel FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS rn FROM sc) rr WHERE rn <= $MmrN), " +
-        "g AS MATERIALIZED (SELECT qid, list(struct_pack(doc := cand.doc, rel := cand.rel, vec := en.embedding) ORDER BY cand.doc) AS cs FROM cand JOIN en ON en.vec_id = cand.doc GROUP BY qid), " +
-        "g2 AS MATERIALIZED (SELECT qid, cs, list_transform(cs, c -> sqrt(list_reduce(list_transform(c.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS ns FROM g), " +
-        s"selr AS MATERIALIZED (SELECT qid, cs, $selExpr AS sel FROM g2) " +
-        "SELECT qid, CAST(r AS BIGINT) AS mmr_rank, cs[CAST(sel[r] + 1 AS INT)].doc AS doc, cs[CAST(sel[r] + 1 AS INT)].rel AS rel_micro " +
-        "FROM selr, unnest(generate_series(1, len(sel))) u(r) ORDER BY qid, mmr_rank"
+        "cv AS MATERIALIZED (SELECT cand.qid, cand.doc, cand.rel, en.embedding AS vec, en.nrm FROM cand JOIN en ON en.vec_id = cand.doc), " +
+        "sims AS MATERIALIZED (SELECT a.qid, a.doc AS da, b.doc AS db, " +
+        s"CASE WHEN a.nrm * b.nrm = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round($dotAB / (a.nrm * b.nrm) * 1000000) AS BIGINT) END AS sim " +
+        "FROM cv a JOIN cv b ON a.qid = b.qid AND a.doc <> b.doc), " +
+        "sel0 AS (SELECT qid, doc, 0 AS rnk FROM cv WHERE false), " +
+        steps + " " +
+        s"SELECT s.qid, CAST(s.rnk AS BIGINT) AS mmr_rank, s.doc, cv.rel AS rel_micro " +
+        s"FROM sel$MmrK s JOIN cv ON cv.qid = s.qid AND cv.doc = s.doc " +
+        "ORDER BY s.qid, mmr_rank"
     }) { (s, d) =>
       import graft.llmops.Retrieval
       import org.apache.spark.sql.expressions.Window
