@@ -1100,6 +1100,34 @@ object Dedup {
         (coalesce(col("_winner"), col("doc")) === col("doc")).as("is_survivor"))
   }
 
+  /** Soft dedup: instead of DROPPING a near-dup cluster's non-survivors
+    * (the [[dedupSurvivors]] policy — which wastes whatever small signal
+    * the copies' variation carries and hard-binarizes a soft judgment),
+    * DOWNWEIGHT every member so the CLUSTER contributes one document's
+    * worth of loss: `weight = 10^6 / cluster_size` on the micro grid
+    * (floor — integer division, engine-exact), singletons at exactly
+    * 10^6. This is the sampled-or-reweighted middle ground recent data
+    * work prefers over hard dedup for mild duplication (train-time loss
+    * scaling or sampling ∝ weight); the hard policy remains the right
+    * call for egregious copy counts — both now exist, the caller picks.
+    * Composes downstream of [[resolveClusters]] exactly like the
+    * survivor tables: one cluster-size aggregation (cluster cardinality
+    * ≪ corpus) + one broadcastable join back. Returns
+    * (doc, cluster, cluster_size, weight_micro).
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    docs.select(col(idCol).as("doc"))
+      .join(clusters.select(col("v").as("doc"), col("cluster")), Seq("doc"), "left")
+      .join(sizes, Seq("cluster"), "left")
+      .select(col("doc"),
+        coalesce(col("cluster"), col("doc")).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (lit(1000000L) / coalesce(col("cluster_size"), lit(1L)))
+          .cast("long").as("weight_micro"))
+  }
+
   /** SimHash signature bit width — 52 (not 64) so the per-token hash and
     * every bit of the signature are exactly reproducible in the DuckDB
     * oracle (PortableHash).

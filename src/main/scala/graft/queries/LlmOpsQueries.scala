@@ -1647,6 +1647,27 @@ object LlmOpsQueries extends QueryModule {
       val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
       Dedup.dedupSurvivors(docs, "doc_id", clusters).orderBy("doc")
     },
+    // Soft dedup: downweight a near-dup cluster's members so the CLUSTER
+    // contributes one document's loss (weight = 1e6 // size, integer
+    // floor — singletons exactly 1e6), instead of hard-dropping the
+    // copies — the reweight-not-drop policy over the same cluster
+    // machinery.
+    q("q_x_soft_dedup",
+      s"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($minHashOracleSql) mh), " +
+        "und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (SELECT u AS v, u AS r FROM und UNION SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.v), " +
+        "comp AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v), " +
+        "sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1) " +
+        "SELECT d.doc_id AS doc, coalesce(c.cluster, d.doc_id) AS cluster, " +
+        "coalesce(sz.cluster_size, 1) AS cluster_size, " +
+        "1000000 // coalesce(sz.cluster_size, 1) AS weight_micro " +
+        "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id " +
+        "LEFT JOIN sz ON sz.cluster = c.cluster ORDER BY doc") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      Dedup.softDedupWeights(docs, "doc_id", clusters).orderBy("doc")
+    },
     // Same component labeling through the adversarial-shape algorithm
     // (large-star/small-star, O(log n) rounds on any graph shape) — the
     // oracle is identical because connected components are

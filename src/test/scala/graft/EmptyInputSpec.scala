@@ -39,6 +39,19 @@ class EmptyInputSpec extends SparkTestBase {
     val surv = Dedup.dedupSurvivors(someDocs, "doc_id", clusters)
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
     assert(surv == Set((1L, true), (2L, true)))
+    // soft weights: no clusters → every doc a singleton at exactly 1e6
+    val soft = Dedup.softDedupWeights(someDocs, "doc_id", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(soft == Set((1L, 1L, 1000000L), (2L, 1L, 1000000L)))
+  }
+
+  test("softDedupWeights: a cluster of 3 weighs 333333 each, the cluster sums to ~one doc") {
+    val docs = Seq((1L, ""), (2L, ""), (3L, ""), (9L, "")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("v", "cluster")
+    val w = Dedup.softDedupWeights(docs, "doc_id", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(w == Set((1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L), (9L, 9L, 1L, 1000000L)))
   }
 
   test("quantiles and int8 ANN tolerate empty inputs") {
