@@ -370,7 +370,10 @@ object StressBench {
     "q_x_reward_pipeline",
     // FS linkage: one adjacency self-join (pair build), one labeled
     // agg, then the PURE-projection scoring — linear in pairs.
-    "q_x_record_linkage")
+    "q_x_record_linkage",
+    // soft dedup: the dedup_clusters lanes + one cluster-size agg and
+    // a join back — tracks the clusters line.
+    "q_x_soft_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
