@@ -460,6 +460,113 @@ object VocabArtifact {
       .toDF("id", "piece")
   }
 
+  /** Export a WordPiece vocabulary as the SINGLE-FILE HuggingFace
+    * `tokenizer.json` (`model.type = WordPiece`) — the modern envelope
+    * next to the BERT-convention [[writeWordPieceVocabTxt]], completing
+    * the one-file JSON form for all three tokenizer families: the same
+    * specials-then-trained id assignment, `unk_token = [UNK]`,
+    * `continuing_subword_prefix = "##"` and `max_input_chars_per_word`
+    * DECLARED in the model object (so a foreign loader reproduces the
+    * greedy serving exactly), specials shipped in `added_tokens` with
+    * `special:true`, pre-tokenizer `WhitespaceSplit` (our training
+    * split). Returns the one-row manifest; collects are vocab-bounded.
+    */
+  def writeWordPieceJson(trainVocab: DataFrame,
+      merges: Seq[WordPiece.Merge], path: String,
+      specials: Seq[String] =
+        Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"),
+      maxInputChars: Int = 32): DataFrame = {
+    require(specials.contains(WordPiece.Unk),
+      s"specials must include the unk token '${WordPiece.Unk}' — the " +
+        "model object declares it and serving maps uncovered words to it")
+    require(maxInputChars >= 1)
+    val pieces = WordPiece.wordPiecePieces(trainVocab, merges).keysIterator.toSeq
+    require(specials.distinct.length == specials.length, "duplicate specials")
+    val clash = pieces.toSet.intersect(specials.toSet)
+    require(clash.isEmpty,
+      s"trained piece collides with a special token: ${clash.mkString(", ")}")
+    val all = specials ++ pieces
+    val added = specials.zipWithIndex.map { case (s, i) =>
+      "{\"id\":" + i + ",\"content\":\"" + jsonEscape(s) +
+        "\",\"single_word\":false,\"lstrip\":false,\"rstrip\":false," +
+        "\"normalized\":false,\"special\":true}"
+    }.mkString("[", ",", "]")
+    val sb = new StringBuilder
+    sb ++= "{\"version\":\"1.0\",\"truncation\":null,\"padding\":null,"
+    sb ++= "\"added_tokens\":" + added + ",\"normalizer\":null,"
+    sb ++= "\"pre_tokenizer\":{\"type\":\"WhitespaceSplit\"},"
+    sb ++= "\"post_processor\":null,\"decoder\":null,"
+    sb ++= "\"model\":{\"type\":\"WordPiece\",\"unk_token\":\"" +
+      jsonEscape(WordPiece.Unk) + "\","
+    sb ++= "\"continuing_subword_prefix\":\"##\","
+    sb ++= "\"max_input_chars_per_word\":" + maxInputChars + ",\"vocab\":{"
+    all.zipWithIndex.foreach { case (p, id) =>
+      if (id > 0) sb += ','
+      sb ++= "\"" + jsonEscape(p) + "\":" + id
+    }
+    sb ++= "}}}"
+    writeFileAtomic(trainVocab.sparkSession, path,
+      sb.toString.getBytes("UTF-8"), all.size.toLong)
+  }
+
+  /** Import a WordPiece `tokenizer.json` (ours or a real BERT-family
+    * export): returns the (id, piece) vocab — servable by
+    * [[WordPiece.segment]] directly — plus the declared unk token and
+    * `max_input_chars_per_word` (pass it as segment's maxWordLen so the
+    * over-length rule matches the exporter's). Loud on: a non-WordPiece
+    * model type, a `continuing_subword_prefix` other than `##` (the
+    * serving fold's position-class keys are built on it — a silent
+    * mismatch would mis-segment everything; stated scope), non-integer
+    * ids, and an unk token missing from the vocab.
+    */
+  def readWordPieceJson(spark: SparkSession,
+      path: String): (DataFrame, String, Int) = {
+    import spark.implicits._
+    val root = MiniJson.parse(
+      new String(readFileWhole(spark, path), "UTF-8")) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: top level must be an object, got ${other.getClass.getSimpleName}")
+    }
+    val model = root.get("model") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model object")
+    }
+    require(model.get("type").contains("WordPiece"),
+      s"tokenizer.json: model.type must be WordPiece (got ${model.get("type")})")
+    val prefix = model.get("continuing_subword_prefix")
+    require(prefix.contains("##"),
+      s"tokenizer.json: continuing_subword_prefix must be '##' (got " +
+        s"$prefix) — the serving fold's position classes are built on it")
+    val unk = model.get("unk_token") match {
+      case Some(s: String) => s
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model.unk_token")
+    }
+    val maxChars = model.get("max_input_chars_per_word") match {
+      case Some(d: Double) if d.isWhole && d >= 1 => d.toInt
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: max_input_chars_per_word must be a positive " +
+          s"integer (got $other)")
+    }
+    val vocab = model.get("vocab") match {
+      case Some(v: Map[String @unchecked, Any @unchecked]) => v.toVector.map {
+        case (p, id: Double) =>
+          require(id.isWhole && id >= 0,
+            s"tokenizer.json: vocab id for '$p' is not a non-negative integer: $id")
+          (id.toLong, p)
+        case (p, other) => throw new IllegalArgumentException(
+          s"tokenizer.json: vocab id for '$p' must be a number, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model.vocab object")
+    }
+    require(vocab.exists(_._2 == unk),
+      s"tokenizer.json: unk token '$unk' is not in model.vocab")
+    (vocab.sortBy(_._1).toDF("id", "piece"), unk, maxChars)
+  }
+
   /** The BPE artifact TABLE — exactly the (piece, id) mapping
     * `vocab.json` serializes, kept relational so the export is
     * oracle-checkable: the training alphabet (distinct single-char

@@ -501,4 +501,65 @@ class VocabArtifactSpec extends SparkTestBase {
         specials = Seq("a")) }
     assert(e2.getMessage.contains("special"))
   }
+
+  test("WordPiece tokenizer.json: byte-pin, round trip serves identically, foreign file + loud matrix") {
+    import spark.implicits._
+    import graft.llmops.WordPiece
+    val docs = Seq((1L, "ab ab ab ba")).toDF("doc_id", "text")
+    val wv = WordPiece.wordVocab(docs, "text").localCheckpoint(true)
+    val (merges, _) = WordPiece.learnMerges(wv, 1)
+    val dir = java.nio.file.Files.createTempDirectory("wp_json").toString
+    val m = VocabArtifact.writeWordPieceJson(wv, merges, s"$dir/t.json")
+      .collect().head
+    assert(m.getAs[Long]("n_pieces") === 10L)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t.json")), "UTF-8")
+    assert(text.contains("\"model\":{\"type\":\"WordPiece\",\"unk_token\":\"[UNK]\""))
+    assert(text.contains("\"continuing_subword_prefix\":\"##\""))
+    assert(text.contains("\"max_input_chars_per_word\":32"))
+    assert(text.contains("\"vocab\":{\"[PAD]\":0,\"[UNK]\":1,\"[CLS]\":2," +
+      "\"[SEP]\":3,\"[MASK]\":4,\"##a\":5,\"##b\":6,\"a\":7,\"b\":8,\"ba\":9}"))
+    assert(text.contains("\"content\":\"[MASK]\"") &&
+      text.contains("\"special\":true"))
+    // round trip: imported vocab serves segment identically to native
+    val (imported, unk, maxChars) =
+      VocabArtifact.readWordPieceJson(spark, s"$dir/t.json")
+    assert(unk === "[UNK]" && maxChars === 32)
+    val serveDocs = Seq((1L, "ab ba abba xa")).toDF("doc_id", "text")
+    def segAll(v: org.apache.spark.sql.DataFrame) =
+      WordPiece.segment(serveDocs, "doc_id", "text", v, maxWordLen = maxChars)
+        .orderBy("id", "word_idx", "piece_idx")
+        .collect().map(_.getAs[String]("piece")).toSeq
+    assert(segAll(imported) === segAll(WordPiece.vocabTable(wv, merges)))
+    // a FOREIGN hand-written file (field order shuffled, whitespace)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.json"),
+      """{ "model": { "vocab": {"he": 0, "##llo": 1},
+        "max_input_chars_per_word": 100,
+        "continuing_subword_prefix": "##",
+        "unk_token": "he", "type": "WordPiece" } }""".getBytes("UTF-8"))
+    val (fv, funk, fmax) = VocabArtifact.readWordPieceJson(spark, s"$dir/f.json")
+    assert(funk === "he" && fmax === 100 && fv.count() === 2L)
+    // loud matrix: wrong type, foreign prefix, missing unk
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b1.json"),
+      """{"model":{"type":"BPE","vocab":{}}}""".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException](
+      VocabArtifact.readWordPieceJson(spark, s"$dir/b1.json"))
+      .getMessage.contains("WordPiece"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b2.json"),
+      ("""{"model":{"type":"WordPiece","unk_token":"[UNK]","continuing_subword_prefix":"++",""" +
+        """"max_input_chars_per_word":5,"vocab":{"[UNK]":0}}}""").getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException](
+      VocabArtifact.readWordPieceJson(spark, s"$dir/b2.json"))
+      .getMessage.contains("##"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b3.json"),
+      ("""{"model":{"type":"WordPiece","unk_token":"[UNK]","continuing_subword_prefix":"##",""" +
+        """"max_input_chars_per_word":5,"vocab":{"x":0}}}""").getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException](
+      VocabArtifact.readWordPieceJson(spark, s"$dir/b3.json"))
+      .getMessage.contains("not in model.vocab"))
+    // writer refuses specials without the unk token
+    assert(intercept[IllegalArgumentException](
+      VocabArtifact.writeWordPieceJson(wv, merges, s"$dir/nounk.json",
+        specials = Seq("[PAD]"))).getMessage.contains("unk"))
+  }
 }
