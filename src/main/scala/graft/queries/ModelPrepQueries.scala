@@ -50,6 +50,11 @@ object ModelPrepQueries extends QueryModule {
   private val MmrLam = 7000
   private val MmrNegInf = -1000000000000000000L
 
+  /** IVF probe width for the production-lane MMR query (nlist = 16 via
+    * the deterministic vec_id < 16 centroid rule the ANN oracles share).
+    */
+  private val MmrProbe = 4
+
   /** The Bradley–Terry MM-round CTE chain, shared by the standalone fit
     * and the composed preference pipeline: assumes a CTE `pr(win, lose)`
     * exists; emits wins/games/adjacency/items, w0 = 1e6, and the
@@ -76,6 +81,40 @@ object ModelPrepQueries extends QueryModule {
   private def btFinalSql: String =
     "SELECT it.item, it.wins, ng.n_games, CAST(wf.w AS BIGINT) AS strength_micro " +
       s"FROM items it JOIN ng ON ng.item = it.item JOIN w$BtIters wf ON wf.item = it.item ORDER BY it.item"
+
+  /** Shared MMR-oracle fragments: the per-vector norm fold, and the
+    * greedy selection chain over an upstream `cand(qid, doc, rel)` CTE +
+    * `en(vec_id, embedding, nrm)` — set-based unrolled steps, NOT nested
+    * lambdas (DuckDB 1.0 corrupts accumulators when list_reduce nests:
+    * struct accumulators return nondeterministic results — reproduced, 4
+    * distinct outputs in 4 runs — and list accumulators misread inside a
+    * 3-deep nest); only SINGLE-LEVEL folds (norms, dots) stay lambdas,
+    * the class every float-fold oracle already uses.
+    */
+  private val mmrNrmSql =
+    "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+
+  private def mmrGreedySql: String = {
+    val dotAB = "list_reduce(list_transform(generate_series(1, len(a.vec)), p -> CAST(a.vec[p] AS DOUBLE) * CAST(b.vec[p] AS DOUBLE)), (aa, bb) -> aa + bb)"
+    val steps = (1 to MmrK).map { r =>
+      s"st$r AS (SELECT c.qid, c.doc, c.rel, coalesce(mx.m, 0) AS maxsim FROM cv c " +
+        s"LEFT JOIN (SELECT s.qid AS mq, sims.da AS md, max(sims.sim) AS m FROM sel${r - 1} s " +
+        "JOIN sims ON sims.qid = s.qid AND sims.db = s.doc GROUP BY 1, 2) mx " +
+        "ON mx.mq = c.qid AND mx.md = c.doc " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2 WHERE s2.qid = c.qid AND s2.doc = c.doc)), " +
+        s"pk$r AS (SELECT qid, doc FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY $MmrLam * rel - ${10000 - MmrLam} * maxsim DESC, doc) AS rn FROM st$r) z$r WHERE rn = 1), " +
+        s"sel$r AS MATERIALIZED (SELECT qid, doc, rnk FROM sel${r - 1} UNION ALL SELECT qid, doc, $r AS rnk FROM pk$r)"
+    }.mkString(", ")
+    "cv AS MATERIALIZED (SELECT cand.qid, cand.doc, cand.rel, en.embedding AS vec, en.nrm FROM cand JOIN en ON en.vec_id = cand.doc), " +
+      "sims AS MATERIALIZED (SELECT a.qid, a.doc AS da, b.doc AS db, " +
+      s"CASE WHEN a.nrm * b.nrm = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round($dotAB / (a.nrm * b.nrm) * 1000000) AS BIGINT) END AS sim " +
+      "FROM cv a JOIN cv b ON a.qid = b.qid AND a.doc <> b.doc), " +
+      "sel0 AS (SELECT qid, doc, 0 AS rnk FROM cv WHERE false), " +
+      steps + " " +
+      s"SELECT s.qid, CAST(s.rnk AS BIGINT) AS mmr_rank, s.doc, cv.rel AS rel_micro " +
+      s"FROM sel$MmrK s JOIN cv ON cv.qid = s.qid AND cv.doc = s.doc " +
+      "ORDER BY s.qid, mmr_rank"
+  }
 
   /** DuckDB replay of LmArtifact.arpaTable3: the bigram chain (verbatim
     * the q_x_arpa_lm fragments — counts, context totals, D = 0.75
@@ -316,39 +355,13 @@ object ModelPrepQueries extends QueryModule {
     // ascending-scan smallest-doc ties — as nested DuckDB list lambdas,
     // value-exact (the wordpiece/unigram fold-replay discipline).
     q("q_x_mmr_rerank", {
-      // set-based replay, NOT nested lambdas: DuckDB 1.0's list_reduce
-      // corrupts accumulators when reduces nest (struct accumulators
-      // return nondeterministic results — 4 distinct outputs in 4 runs —
-      // and list accumulators misread inside a 3-deep nest), so the k
-      // greedy steps unroll as join+window CTEs (the perceptron-rounds
-      // discipline); only SINGLE-LEVEL folds (norms, dots) remain as
-      // lambdas, the class every other float-fold oracle already uses.
-      val nrmSql = "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
       val dotQD = "list_reduce(list_transform(generate_series(1, len(q.embedding)), p -> CAST(q.embedding[p] AS DOUBLE) * CAST(d.embedding[p] AS DOUBLE)), (a, b) -> a + b)"
-      val dotAB = "list_reduce(list_transform(generate_series(1, len(a.vec)), p -> CAST(a.vec[p] AS DOUBLE) * CAST(b.vec[p] AS DOUBLE)), (aa, bb) -> aa + bb)"
-      val steps = (1 to MmrK).map { r =>
-        s"st$r AS (SELECT c.qid, c.doc, c.rel, coalesce(mx.m, 0) AS maxsim FROM cv c " +
-          s"LEFT JOIN (SELECT s.qid AS mq, sims.da AS md, max(sims.sim) AS m FROM sel${r - 1} s " +
-          "JOIN sims ON sims.qid = s.qid AND sims.db = s.doc GROUP BY 1, 2) mx " +
-          "ON mx.mq = c.qid AND mx.md = c.doc " +
-          s"WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2 WHERE s2.qid = c.qid AND s2.doc = c.doc)), " +
-          s"pk$r AS (SELECT qid, doc FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY $MmrLam * rel - ${10000 - MmrLam} * maxsim DESC, doc) AS rn FROM st$r) z$r WHERE rn = 1), " +
-          s"sel$r AS MATERIALIZED (SELECT qid, doc, rnk FROM sel${r - 1} UNION ALL SELECT qid, doc, $r AS rnk FROM pk$r)"
-      }.mkString(", ")
-      s"WITH en AS MATERIALIZED (SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings), " +
+      s"WITH en AS MATERIALIZED (SELECT vec_id, embedding, $mmrNrmSql AS nrm FROM embeddings), " +
         "sc AS (SELECT q.vec_id AS qid, d.vec_id AS doc, " +
         s"CASE WHEN q.nrm * d.nrm = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round($dotQD / (q.nrm * d.nrm) * 1000000) AS BIGINT) END AS rel " +
         "FROM en q JOIN en d ON d.vec_id <> q.vec_id WHERE q.vec_id % 50 = 0), " +
         s"cand AS MATERIALIZED (SELECT qid, doc, rel FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS rn FROM sc) rr WHERE rn <= $MmrN), " +
-        "cv AS MATERIALIZED (SELECT cand.qid, cand.doc, cand.rel, en.embedding AS vec, en.nrm FROM cand JOIN en ON en.vec_id = cand.doc), " +
-        "sims AS MATERIALIZED (SELECT a.qid, a.doc AS da, b.doc AS db, " +
-        s"CASE WHEN a.nrm * b.nrm = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round($dotAB / (a.nrm * b.nrm) * 1000000) AS BIGINT) END AS sim " +
-        "FROM cv a JOIN cv b ON a.qid = b.qid AND a.doc <> b.doc), " +
-        "sel0 AS (SELECT qid, doc, 0 AS rnk FROM cv WHERE false), " +
-        steps + " " +
-        s"SELECT s.qid, CAST(s.rnk AS BIGINT) AS mmr_rank, s.doc, cv.rel AS rel_micro " +
-        s"FROM sel$MmrK s JOIN cv ON cv.qid = s.qid AND cv.doc = s.doc " +
-        "ORDER BY s.qid, mmr_rank"
+        mmrGreedySql
     }) { (s, d) =>
       import graft.llmops.Retrieval
       import org.apache.spark.sql.expressions.Window
@@ -369,6 +382,77 @@ object ModelPrepQueries extends QueryModule {
       val w = Window.partitionBy("qid")
         .orderBy(col("rel_micro").desc, col("doc").asc)
       val cand = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= MmrN).drop("rn")
+      Retrieval.mmrTopK(cand, emb, "vec_id", "embedding",
+          k = MmrK, lambdaBps = MmrLam)
+        .orderBy("qid", "mmr_rank")
+    },
+
+    // MMR over IVF candidates — the PRODUCTION lane of q_x_mmr_rerank
+    // (whose exact-cosine candidate stage is the oracle-baseline class
+    // that pays queries x corpus): candidates come only from the
+    // query's nprobe=4 nearest cells (centroids = vec_id < 16, the
+    // deterministic rule the ANN oracles share), then the same greedy
+    // MMR chain re-ranks. Cell comparisons are RAW double cosines from
+    // the shared sequential folds — identical on both engines, so cell
+    // assignment, probes, candidate set and the whole walk replay
+    // value-exact.
+    q("q_x_mmr_ivf", {
+      val dotVC = "list_reduce(list_transform(generate_series(1, len(v.embedding)), p -> CAST(v.embedding[p] AS DOUBLE) * CAST(c.embedding[p] AS DOUBLE)), (a, b) -> a + b)"
+      val dotQD = "list_reduce(list_transform(generate_series(1, len(q.embedding)), p -> CAST(q.embedding[p] AS DOUBLE) * CAST(d.embedding[p] AS DOUBLE)), (a, b) -> a + b)"
+      s"WITH en AS MATERIALIZED (SELECT vec_id, embedding, $mmrNrmSql AS nrm FROM embeddings), " +
+        "cs AS (SELECT v.vec_id, c.vec_id AS cent_id, " +
+        s"CASE WHEN v.nrm * c.nrm = 0 THEN -2.0 ELSE $dotVC / (v.nrm * c.nrm) END AS ccos " +
+        "FROM en v JOIN en c ON c.vec_id < 16), " +
+        "rkd AS MATERIALIZED (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM cs), " +
+        "assign AS MATERIALIZED (SELECT vec_id AS cid, cent_id AS cell FROM rkd WHERE rn = 1), " +
+        s"probes AS (SELECT vec_id AS qid, cent_id AS cell FROM rkd WHERE rn <= $MmrProbe AND vec_id % 50 = 0), " +
+        "cd AS (SELECT p.qid, a.cid AS doc FROM probes p JOIN assign a USING (cell) WHERE a.cid <> p.qid), " +
+        "sc AS (SELECT cd.qid, cd.doc, " +
+        s"CASE WHEN q.nrm * d.nrm = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round($dotQD / (q.nrm * d.nrm) * 1000000) AS BIGINT) END AS rel " +
+        "FROM cd JOIN en q ON q.vec_id = cd.qid JOIN en d ON d.vec_id = cd.doc), " +
+        s"cand AS MATERIALIZED (SELECT qid, doc, rel FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS rn FROM sc) rr WHERE rn <= $MmrN), " +
+        mmrGreedySql
+    }) { (s, d) =>
+      import graft.llmops.Retrieval
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def nrmOf(c: org.apache.spark.sql.Column) =
+        sqrt(aggregate(c, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      val en = emb.select(col("vec_id"), col("embedding"),
+        nrmOf(col("embedding")).as("nrm")).localCheckpoint(true)
+      val cents = en.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+          col("nrm").as("cn"))
+      val dotVC = aggregate(zip_with(col("embedding"), col("cv"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+      val cs = en.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          when(col("nrm") * col("cn") === 0.0, lit(-2.0))
+            .otherwise(dotVC / (col("nrm") * col("cn"))).as("ccos"))
+      val wC = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val rkd = cs.withColumn("rn", row_number().over(wC)).localCheckpoint(true)
+      val assign = rkd.filter(col("rn") === 1)
+        .select(col("vec_id").as("doc"), col("cent_id").as("cell"))
+      val probes = rkd.filter(col("rn") <= MmrProbe && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+      val cd = probes.join(assign, Seq("cell"))
+        .filter(col("doc") =!= col("qid")).select("qid", "doc")
+      val dotQD = aggregate(zip_with(col("qv"), col("dv"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+      val sc0 = cd
+        .join(en.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn")), Seq("qid"))
+        .join(en.select(col("vec_id").as("doc"), col("embedding").as("dv"),
+          col("nrm").as("dn")), Seq("doc"))
+        .select(col("qid"), col("doc"),
+          when(col("qn") * col("dn") === 0.0, lit(0L))
+            .otherwise(round(dotQD / (col("qn") * col("dn")) * 1e6).cast("long"))
+            .as("rel_micro"))
+      val wR = Window.partitionBy("qid")
+        .orderBy(col("rel_micro").desc, col("doc").asc)
+      val cand = sc0.withColumn("rn", row_number().over(wR))
         .filter(col("rn") <= MmrN).drop("rn")
       Retrieval.mmrTopK(cand, emb, "vec_id", "embedding",
           k = MmrK, lambdaBps = MmrLam)

@@ -373,7 +373,11 @@ object StressBench {
     "q_x_record_linkage",
     // soft dedup: the dedup_clusters lanes + one cluster-size agg and
     // a join back — tracks the clusters line.
-    "q_x_soft_dedup")
+    "q_x_soft_dedup",
+    // MMR over IVF candidates: the production lane — cell assignment is
+    // vectors x 16 centroids (linear), candidates cell-bounded; must
+    // hold far under the exact q_x_mmr_rerank lane's slope-1 cost.
+    "q_x_mmr_ivf")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
