@@ -42,13 +42,10 @@ object ModelPrepQueries extends QueryModule {
     */
   private val NbDim = 1024
 
-  /** MMR query constants: candidate depth, picks, λ in basis points,
-    * and the shared fold sentinel (Retrieval.NegInf's literal).
-    */
+  /** MMR query constants: candidate depth, picks, λ in basis points. */
   private val MmrN = 20
   private val MmrK = 5
   private val MmrLam = 7000
-  private val MmrNegInf = -1000000000000000000L
 
   /** IVF probe width for the production-lane MMR query (nlist = 16 via
     * the deterministic vec_id < 16 centroid rule the ANN oracles share).
