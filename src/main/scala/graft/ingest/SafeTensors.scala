@@ -56,11 +56,29 @@ object SafeTensors {
 
   private val HeaderCap = 100L << 20 // the spec's 100 MB header bound
 
+  /** The engine's two-tensor header for an `[n, dim]` export — one
+    * template for the write tasks AND the driver's empty-shard rewrite
+    * (two renderings would drift byte-wise).
+    */
+  private def vectorHeaderBytes(n: Int, dim: Int): Array[Byte] = {
+    val idsEnd = 8L * n
+    val vecEnd = idsEnd + 4L * n * dim
+    (s"""{"__metadata__":{"format":"graft.vectors.v1"},""" +
+      s""""ids":{"dtype":"I64","shape":[$n],"data_offsets":[0,$idsEnd]},""" +
+      s""""vectors":{"dtype":"F32","shape":[$n,$dim],"data_offsets":[$idsEnd,$vecEnd]}}""")
+      .getBytes("UTF-8")
+  }
+
   /** Write embedding shards: two tensors per shard (`ids` I64 `[n]`,
     * `vectors` F32 `[n, dim]`). All vectors must share one dimension ≥ 1
-    * (checked loudly up front — a ragged export would corrupt the
-    * `[n, dim]` geometry silently). Returns the per-shard manifest
-    * (file, n_rows, dim, n_bytes, content_md5).
+    * — a ragged export would corrupt the `[n, dim]` geometry silently,
+    * so raggedness refuses loudly: within a shard during the write pass
+    * itself, across shards on the shards-sized manifest (the written
+    * part files are deleted before throwing). The dim check rides the
+    * single write pass — no separate validation scan over the data.
+    * Returns the per-shard manifest (file, n_rows, dim, n_bytes,
+    * content_md5); empty shards declare `[0]`/`[0, dim]` with the
+    * export's agreed dimension.
     */
   def writeVectors(df: DataFrame, idCol: String, vecCol: String,
       dir: String, shards: Int): DataFrame = {
@@ -78,15 +96,6 @@ object SafeTensors {
     require(vecOk, s"SafeTensors.writeVectors: column '$vecCol' must be " +
       s"array<float|double> (got ${df.schema(vecCol).dataType.simpleString})")
     val spark = df.sparkSession
-    // one dimension for the whole export — loud, bounded (2-row agg)
-    val dims = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d"))
-      .distinct().orderBy("d").limit(2).collect()
-    require(dims.nonEmpty, "SafeTensors.writeVectors: no rows to write")
-    require(dims.length == 1 && dims.head.getInt(0) >= 1,
-      s"SafeTensors.writeVectors: vectors must share ONE dimension >= 1 " +
-        s"(got ${dims.map(_.getInt(0)).mkString(", ")}${if (dims.length > 1) ", …" else ""})")
-    val dim = dims.head.getInt(0)
     val out = new Path(dir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(out)
@@ -118,13 +127,24 @@ object SafeTensors {
         val vecBytes = new java.io.ByteArrayOutputStream()
         var prev = Long.MinValue
         var first = true
+        // one dimension per shard, derived from the shard's first row —
+        // the write pass IS the dim check (no separate full-scan job);
+        // cross-shard agreement is enforced on the manifest below.
+        var dim = 0
         it.foreach { case ((_, id), vec) =>
           require(first || id > prev,
             s"duplicate id $id — the id column must be unique for " +
               "byte-deterministic shards")
+          if (first) {
+            dim = vec.length
+            require(dim >= 1,
+              s"vector for id $id has 0 elements — vectors must share " +
+                "ONE dimension >= 1")
+          }
           prev = id; first = false
           require(vec.length == dim,
-            s"vector for id $id has ${vec.length} elements, expected $dim")
+            s"vector for id $id has ${vec.length} elements, expected " +
+              s"$dim — vectors must share ONE dimension >= 1")
           ids += id
           val b = new Array[Byte](4)
           vec.foreach { f =>
@@ -137,12 +157,8 @@ object SafeTensors {
           }
         }
         val n = ids.length
-        val idsEnd = 8L * n
-        val vecEnd = idsEnd + 4L * n * dim
-        val header = (s"""{"__metadata__":{"format":"graft.vectors.v1"},""" +
-          s""""ids":{"dtype":"I64","shape":[$n],"data_offsets":[0,$idsEnd]},""" +
-          s""""vectors":{"dtype":"F32","shape":[$n,$dim],"data_offsets":[$idsEnd,$vecEnd]}}""")
-          .getBytes("UTF-8")
+        val vecEnd = 8L * n + 4L * n * dim
+        val header = vectorHeaderBytes(n, dim)
         val md = java.security.MessageDigest.getInstance("MD5")
         val outS = new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16)
         try {
@@ -168,9 +184,57 @@ object SafeTensors {
           8L + header.length + vecEnd, md5))
       } finally pfs.close()
     }.collect()
+    // cross-shard geometry on the SHARDS-SIZED manifest (no data job):
+    // non-empty shards must agree on one dim; a ragged export deletes
+    // everything it wrote before refusing, an all-empty input likewise.
+    val fsOut = org.apache.hadoop.fs.FileSystem.newInstance(out.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fsOut.setWriteChecksum(false)
+    fsOut.setVerifyChecksum(false)
+    val finalRows = try {
+    def cleanup(): Unit = manifestRows.foreach { r =>
+      fsOut.delete(new Path(r.getString(0)), false) }
+    val shardDims = manifestRows.filter(_.getLong(1) > 0L)
+      .map(_.getLong(2)).distinct.sorted
+    if (shardDims.isEmpty) {
+      cleanup()
+      throw new IllegalArgumentException(
+        "SafeTensors.writeVectors: no rows to write")
+    }
+    if (shardDims.length > 1) {
+      cleanup()
+      throw new IllegalArgumentException(
+        s"SafeTensors.writeVectors: vectors must share ONE dimension >= 1 " +
+          s"(got ${shardDims.mkString(", ")})")
+    }
+    val dim = shardDims.head
+    // empty shards declared [0, 0] in the task (their dim is unknowable
+    // there); rewrite them header-only with the agreed dim so every
+    // shard of the export carries one geometry — driver-side FS writes,
+    // shards-bounded, never a Spark job.
+    manifestRows.map { r =>
+      if (r.getLong(1) == 0L && r.getLong(2) != dim) {
+        val header = vectorHeaderBytes(0, dim.toInt)
+        val bytes = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < 8) {
+          bytes.write(((header.length.toLong >> (8 * i)) & 0xff).toInt)
+          i += 1
+        }
+        bytes.write(header)
+        val all = bytes.toByteArray
+        val p = new Path(r.getString(0))
+        val o = fsOut.create(p, true)
+        try o.write(all) finally o.close()
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(all).map("%02x".format(_)).mkString
+        Row(r.getString(0), 0L, dim, all.length.toLong, md5)
+      } else r
+    }
+    } finally fsOut.close()
     import org.apache.spark.sql.types._
     spark.createDataFrame(
-      spark.sparkContext.parallelize(manifestRows.toIndexedSeq, 1),
+      spark.sparkContext.parallelize(finalRows.toIndexedSeq, 1),
       StructType(Seq(StructField("file", StringType, nullable = false),
         StructField("n_rows", LongType, nullable = false),
         StructField("dim", LongType, nullable = false),

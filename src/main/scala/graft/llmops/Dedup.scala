@@ -85,6 +85,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // integer prefix bound — same quantize-then-decide rationale as
+    // containmentPairs (floor to basis points so the prefix is never
+    // shorter than the true ⌈t·|S|⌉ bound under float representation)
+    val tBps = math.floor(threshold * 10000).toLong
     // ex and prefix are each consumed by a self-join / multiple stages —
     // cache them or the whole chain recomputes per consumer.
     val ex = hashedShingleRows(df, idCol, textCol, n, xxhash64(_)).cache()
@@ -94,7 +98,8 @@ object Dedup {
     val prefix = ex.join(dfCounts, Seq("s"))
       .withColumn("_rk", row_number().over(w))
       .join(sizes, Seq("doc"))
-      .filter(col("_rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .filter(col("_rk") <=
+        col("n_sh") - expr(s"(n_sh * ${tBps}L + 9999L) div 10000L") + 1)
       .select("doc", "s")
       .cache()
     val cands = prefix.alias("x")
@@ -147,6 +152,13 @@ object Dedup {
       maxShingleDf: Option[Int] = DefaultMaxBandFreq): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // Quantize the threshold to basis points ROUNDING DOWN, and compute
+    // the prefix bound in pure integer arithmetic: tBps/10000 <= t, so
+    // ceil(n_sh*tBps/10000) <= ceil(t*n_sh) — the quantized prefix is
+    // never SHORTER than the true one (float representation error in
+    // ceil(t * n_sh) could round past the true ceiling and drop an
+    // exactly-at-threshold pair; the quantize-then-decide bound cannot).
+    val tBps = math.floor(threshold * 10000).toLong
     // containment is a SET measure — distinct shingles per doc
     val ex = hashedShingleRows(df, idCol, textCol, n, xxhash64(_))
       .distinct().cache()
@@ -160,7 +172,8 @@ object Dedup {
     val prefix = ex.join(joinable, Seq("s"))
       .withColumn("_rk", row_number().over(w))
       .join(sizes, Seq("doc"))
-      .filter(col("_rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .filter(col("_rk") <=
+        col("n_sh") - expr(s"(n_sh * ${tBps}L + 9999L) div 10000L") + 1)
       .select("doc", "s")
     val full = ex.join(joinable.select("s"), Seq("s"), "left_semi")
     val cands = prefix.alias("x")

@@ -469,9 +469,15 @@ object LmArtifact {
     // both sides of the adjacency self-join read this — one
     // materialization (the two-consumer rule), or the explode + vocab
     // join would run twice over the corpus
+    // vocabulary membership EXCLUDES the '<unk>' model row: the sentinel
+    // is the OOV mass, not a token of the training corpus (arpaTable
+    // refuses corpora containing it), so a scored document carrying the
+    // literal string '<unk>' counts as OOV — matching a replay that maps
+    // through training counts rather than the model's unigram table.
     val toks = df.select(col(idCol).as("doc"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "raw")))
-      .join(broadcast(uni.select(col("w"), lit(1).as("__in"))),
+      .join(broadcast(uni.filter(col("w") =!= lit(Unk))
+          .select(col("w"), lit(1).as("__in"))),
         col("raw") === col("w"), "left")
       .select(col("doc"), col("pos"),
         when(col("__in").isNotNull, col("raw")).otherwise(lit(Unk)).as("tok"),
@@ -525,9 +531,11 @@ object LmArtifact {
         coalesce(col("bow10_micro"), lit(0L)).as("bow2"))
     val tri = lm.filter(col("n") === 3)
       .select(col("gram").as("__tg"), col("nll10_micro").as("t_nll"))
+    // membership excludes '<unk>' — see arpaScore's rationale.
     val toks = df.select(col(idCol).as("doc"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "raw")))
-      .join(broadcast(uni.select(col("w"), lit(1).as("__in"))),
+      .join(broadcast(uni.filter(col("w") =!= lit(Unk))
+          .select(col("w"), lit(1).as("__in"))),
         col("raw") === col("w"), "left")
       .select(col("doc"), col("pos"),
         when(col("__in").isNotNull, col("raw")).otherwise(lit(Unk)).as("tok"),

@@ -435,11 +435,19 @@ object Retrieval {
       col(vecCol).cast("array<float>").as("vec"))
     val cand = candidates.select(col("qid"),
       col("doc").cast("long").as("doc"), col("rel_micro").cast("long").as("rel"))
-    val missing = cand.join(vecs, Seq("doc"), "left_anti").limit(1).collect()
-    require(missing.isEmpty,
-      s"mmrTopK: candidate doc ${missing.headOption.map(_.get(1)).orNull} has " +
-        "no vector — every candidate needs an embedding for the diversity term")
-    val grouped = cand.join(vecs, Seq("doc"))
+    // the missing-vector refusal rides the data path (the arpaTable
+    // assert_true weave): a left join + an assertion folded into the
+    // kept doc id, so CONSTRUCTING this frame costs zero Spark jobs and
+    // the check can't be pruned — it fires on first action instead.
+    val joined = cand.join(vecs, Seq("doc"), "left")
+      .select(col("qid"), coalesce(
+          assert_true(col("vec").isNotNull, concat(
+            lit("mmrTopK: candidate doc "), col("doc"),
+            lit(" has no vector — every candidate needs an embedding " +
+              "for the diversity term"))).cast("long"),
+          col("doc")).as("doc"),
+        col("rel"), col("vec"))
+    val grouped = joined
       .groupBy("qid")
       .agg(array_sort(collect_list(struct(col("doc"), col("rel"), col("vec"))))
         .as("cs"))

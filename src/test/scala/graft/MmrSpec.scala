@@ -48,12 +48,21 @@ class MmrSpec extends SparkTestBase {
     assert(out === Seq(1L))
   }
 
-  test("a candidate without a vector fails loudly") {
+  test("a candidate without a vector fails loudly — on action, and " +
+      "construction costs zero Spark jobs") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1.0f))).toDF("vid", "vec")
     val cand = Seq((7L, 1L, 10L), (7L, 9L, 5L)).toDF("qid", "doc", "rel_micro")
-    val e = intercept[IllegalArgumentException] {
-      Retrieval.mmrTopK(cand, vecs, "vid", "vec", k = 2) }
-    assert(e.getMessage.contains("no vector"))
+    // the refusal is woven into the data path (assert_true), so building
+    // the frame is free and the guard fires when the frame is acted on
+    val (out, jobs) = countJobs {
+      Retrieval.mmrTopK(cand, vecs, "vid", "vec", k = 2)
+    }
+    assert(jobs === 0, "mmrTopK construction must trigger zero actions")
+    val e = intercept[Exception] { out.collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("no vector"))
   }
 }

@@ -67,11 +67,29 @@ class SafeTensorsSpec extends SparkTestBase {
 
   test("write guards: ragged dims, duplicate ids, no rows — all loud") {
     import spark.implicits._
+    // intra-shard raggedness fails inside the write pass itself (no
+    // separate validation job scans the data)
     val ragged = Seq((0L, Seq(1.0f)), (1L, Seq(1.0f, 2.0f)))
       .toDF("vec_id", "embedding")
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = intercept[org.apache.spark.SparkException] {
       SafeTensors.writeVectors(ragged, "vec_id", "embedding", tmp("st_rag"), 1) }
-    assert(e1.getMessage.contains("ONE dimension"))
+    val e1msgs = Iterator.iterate(e1: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(e1msgs.contains("ONE dimension"))
+    // cross-shard raggedness (clean within each shard: floorMod routing
+    // puts dim-1 ids in shard 0, dim-2 ids in shard 1) fails on the
+    // shards-sized manifest — and deletes everything it wrote
+    val crossDir = tmp("st_rag2")
+    val cross = Seq((0L, Seq(1.0f)), (2L, Seq(2.0f)),
+        (1L, Seq(1.0f, 2.0f)), (3L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e1b = intercept[IllegalArgumentException] {
+      SafeTensors.writeVectors(cross, "vec_id", "embedding", crossDir, 2) }
+    assert(e1b.getMessage.contains("ONE dimension"))
+    val leftover = Option(new java.io.File(crossDir).listFiles())
+      .map(_.count(_.getName.endsWith(".safetensors"))).getOrElse(0)
+    assert(leftover === 0, "a ragged export must not leave part files")
     val dup = Seq((5L, Seq(1.0f)), (5L, Seq(2.0f))).toDF("vec_id", "embedding")
     val e2 = intercept[org.apache.spark.SparkException] {
       SafeTensors.writeVectors(dup, "vec_id", "embedding", tmp("st_dup"), 1) }
@@ -81,6 +99,37 @@ class SafeTensorsSpec extends SparkTestBase {
     val e3 = intercept[IllegalArgumentException] {
       SafeTensors.writeVectors(empty, "vec_id", "embedding", tmp("st_emp"), 1) }
     assert(e3.getMessage.contains("no rows"))
+  }
+
+  test("one job: the dim check rides the write pass; dropped null rows " +
+      "never vote; empty shards carry the agreed dim") {
+    import spark.implicits._
+    // a null-id row with a DEVIANT dim is dropped by the write filter —
+    // it must not abort an export that never writes it
+    val df = Seq((Option(0L), Seq(1.0f, 2.0f)), (Option(5L), Seq(3.0f, 4.0f)),
+        (Option.empty[Long], Seq(9.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("st_onejob")
+    val (man, jobs) = countJobs {
+      SafeTensors.writeVectors(df, "vec_id", "embedding", dir, shards = 4)
+        .collect()
+    }
+    // ids 0 and 5 land in shards 0 and 1 — shards 2 and 3 are empty,
+    // and the write + manifest is ONE Spark job (manifest collect); the
+    // manifest materialization itself adds one more local job at most
+    assert(jobs <= 2, s"writeVectors must not add a validation scan (got $jobs jobs)")
+    assert(man.length === 4)
+    assert(man.map(_.getAs[Long]("dim")).toSet === Set(2L))
+    assert(man.map(_.getAs[Long]("n_rows")).sorted.toSeq === Seq(0L, 0L, 1L, 1L))
+    // every shard — including the empty ones — parses with the export's
+    // one geometry
+    val back = SafeTensors.readVectors(spark, dir)
+    assert(back.where(!col("ok")).count() === 0L)
+    assert(back.orderBy("vec_id").collect().map(_.getAs[Long]("vec_id")).toSeq
+      === Seq(0L, 5L))
+    val man2 = SafeTensors.read(spark, dir)
+    assert(man2.where(!col("ok")).count() === 0L)
+    assert(man2.count() === 8L) // 2 tensors × 4 shards, empties included
   }
 
   test("FOREIGN file: a hand-assembled single-tensor file manifests; readVectors quarantines it") {
