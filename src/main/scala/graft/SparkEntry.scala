@@ -20,6 +20,7 @@ object SparkEntry {
     AdvancedQueries,
     LlmOpsQueries,
     ModelPrepQueries,
+    MediaPrepQueries,
     GraphQueries,
     TemporalQueries)
 

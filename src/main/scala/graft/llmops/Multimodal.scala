@@ -1,18 +1,21 @@
 package graft.llmops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata alongside (SURVEY §2.11). All three modalities
-  * decode FOR REAL with in-JDK code only: images via javax.imageio
-  * ([[decodeImage]] — PNG/BMP/GIF/JPEG), audio via the RIFF/WAVE PCM
-  * parse ([[decodeWav]]), video via the uncompressed-AVI/MJPEG RIFF walk
-  * ([[decodeAvi]]); only codecs with no in-JDK decoder (compressed
-  * audio, non-MJPEG video codecs) fall to the deterministic
-  * [[decodeStub]], which any real decoder (JNI, ONNX runtime,
-  * subprocess) can replace without touching the plan.
+  * decode FOR REAL with dependency-free code only: images via
+  * javax.imageio ([[decodeImage]] — PNG/BMP/GIF/JPEG) plus the
+  * hand-rolled [[Webp]] VP8L decoder (lossless WebP), audio via the
+  * RIFF/WAVE PCM parse ([[decodeWav]]), video via the uncompressed-
+  * AVI/MJPEG RIFF walk ([[decodeAvi]]); only codecs with no such
+  * decoder (compressed audio, lossy VP8, non-MJPEG video codecs) fall
+  * to the deterministic [[decodeStub]], which any real decoder (JNI,
+  * ONNX runtime, subprocess) can replace without touching the plan —
+  * and [[decodeCoverage]] reports the stubbed fraction per kind so the
+  * degrade is observable, never silent.
   *
   * Scale notes: payload bytes never reach a wide shuffle — metadata is
   * computed scan-side; feature extraction is mapPartitions (one codec
@@ -37,6 +40,67 @@ object Multimodal {
   def withMetadata(media: DataFrame): DataFrame =
     media.withColumn("byte_len", length(col("payload")).cast("long"))
       .withColumn("sha256", sha2(col("payload"), 256))
+
+  /** Magic-byte signature table — ONE ordered rule list drives both the
+    * JVM classifier ([[detectKind]]) and the codegen column
+    * ([[detectKindCol]]), so the two can't drift. Prefix rules only
+    * (the standard file(1) treatment); RIFF containers disambiguate on
+    * the format tag at offset 8 (WEBP/WAVE/AVI ), any other tag reports
+    * the bare container. Detection trusts the BYTES, not a
+    * caller-supplied kind column — a mislabeled crawl payload routes to
+    * the decoder its magic says, or honestly to `unknown`.
+    */
+  private val MagicRules: Seq[(String, Array[Byte])] = Seq(
+    "png" -> Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+    "jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+    "gif" -> "GIF8".getBytes("ISO-8859-1"),
+    "pdf" -> "%PDF-".getBytes("ISO-8859-1"),
+    "gzip" -> Array(0x1F, 0x8B).map(_.toByte),
+    "zstd" -> Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte),
+    "zip" -> Array(0x50, 0x4B, 0x03, 0x04).map(_.toByte),
+    "tiff-le" -> Array(0x49, 0x49, 0x2A, 0x00).map(_.toByte),
+    "tiff-be" -> Array(0x4D, 0x4D, 0x00, 0x2A).map(_.toByte),
+    "warc" -> "WARC/".getBytes("ISO-8859-1"),
+    "bmp" -> "BM".getBytes("ISO-8859-1"))
+
+  private val RiffTags: Seq[(String, String)] =
+    Seq("WEBP" -> "webp", "WAVE" -> "wav", "AVI " -> "avi")
+
+  /** Classify a payload by magic bytes (see [[MagicRules]]). Returns
+    * "tiff" for either byte order; "riff" for a RIFF container with an
+    * unrecognized format tag; "unknown" when nothing matches.
+    */
+  def detectKind(payload: Array[Byte]): String = {
+    def startsWith(m: Array[Byte], off: Int): Boolean =
+      payload.length >= off + m.length &&
+        java.util.Arrays.equals(
+          payload, off, off + m.length, m, 0, m.length)
+    if (startsWith("RIFF".getBytes("ISO-8859-1"), 0)) {
+      RiffTags.collectFirst {
+        case (tag, kind) if startsWith(tag.getBytes("ISO-8859-1"), 8) => kind
+      }.getOrElse("riff")
+    } else MagicRules.collectFirst {
+      case (kind, m) if startsWith(m, 0) =>
+        if (kind.startsWith("tiff")) "tiff" else kind
+    }.getOrElse("unknown")
+  }
+
+  /** The same classification as a codegen'd CASE over binary prefixes —
+    * no UDF, so kind detection rides the scan (and a DuckDB replay can
+    * walk the identical hex prefixes).
+    */
+  def detectKindCol(payload: Column): Column = {
+    def pre(off: Int, m: Array[Byte]): Column =
+      substring(payload, off + 1, m.length) === lit(m)
+    val riff = RiffTags.foldRight(lit("riff")) { case ((tag, kind), e) =>
+      when(pre(8, tag.getBytes("ISO-8859-1")), lit(kind)).otherwise(e)
+    }
+    val rest = MagicRules.foldRight(lit("unknown")) { case ((kind, m), e) =>
+      when(pre(0, m),
+        lit(if (kind.startsWith("tiff")) "tiff" else kind)).otherwise(e)
+    }
+    when(pre(0, "RIFF".getBytes("ISO-8859-1")), riff).otherwise(rest)
+  }
 
   /** STUB decoder — deterministic fake "features" derived from payload
     * bytes, used for kinds with no in-JVM codec (compressed audio/video
@@ -73,10 +137,27 @@ object Multimodal {
     * per-payload CPU inside mapPartitions — embarrassingly parallel, no
     * effect on plan shape or shuffle volume.
     */
-  def decodeImage(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] = {
-    val img =
+  /** One image loader for every pixel consumer (features, aHash, pHash,
+    * thumbnails): javax.imageio first (PNG/BMP/GIF/JPEG), then the
+    * dependency-free [[Webp]] VP8L decode — so lossless WebP feeds the
+    * SAME feature/hash paths as the in-JDK formats and a webp near-dup
+    * hashes identically to its PNG twin. None on everything else.
+    */
+  private[llmops] def loadImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val viaJdk =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }
+    viaJdk.orElse(Webp.decodeArgb(payload).map { im =>
+      val out = new java.awt.image.BufferedImage(im.width, im.height,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      out.setRGB(0, 0, im.width, im.height, im.argb, 0, im.width)
+      out
+    })
+  }
+
+  def decodeImage(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] = {
+    val img = loadImage(payload)
     img.map { im =>
       val w = im.getWidth
       val h = im.getHeight
@@ -662,9 +743,7 @@ object Multimodal {
     */
   def resizeImage(payload: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int)] = {
     require(maxDim >= 1)
-    val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case scala.util.control.NonFatal(_) => None }
+    val img = loadImage(payload)
     img.map { im =>
       val scale = maxDim.toDouble / math.max(im.getWidth, im.getHeight)
       val tw = math.max(1, math.round(im.getWidth * scale).toInt)
@@ -721,9 +800,7 @@ object Multimodal {
     * [[decodeImage]] degrade contract.
     */
   def imageAHash(payload: Array[Byte]): Option[Long] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case scala.util.control.NonFatal(_) => None }
+    val img = loadImage(payload)
     img.map(aHashOfImage)
   }
 
@@ -804,9 +881,7 @@ object Multimodal {
     * mean-threshold separates them at Hamming 14).
     */
   def imagePHash(payload: Array[Byte]): Option[Long] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case scala.util.control.NonFatal(_) => None }
+    val img = loadImage(payload)
     img.map(pHashOfImage)
   }
 
@@ -993,5 +1068,92 @@ object Multimodal {
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, feats)
         }
       }
+  }
+
+  final case class MediaDecoded(media_id: Long, kind: String, byte_len: Long,
+      features: Array[Float], decoded: Boolean)
+
+  /** [[extractFeatures]] with the magic-byte front door: every payload
+    * routes by [[detectKind]] of its BYTES — a mislabeled or absent
+    * caller kind can't send a JPEG to the WAV parser or silently stub a
+    * decodable image. `decoded` records whether a REAL decoder produced
+    * the features (vs the stub fallback) — the per-row observability
+    * that [[decodeCoverage]] aggregates into the data-card gauge.
+    */
+  def routedFeatures(media: DataFrame, dims: Int = 8): Dataset[MediaDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), lit("").as("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val kind = detectKind(r.payload)
+          val real = kind match {
+            case "png" | "jpeg" | "gif" | "bmp" => decodeImage(r.payload, dims)
+            case "webp" => decodeWebpFeatures(r.payload, dims)
+            case "wav" => decodeWav(r.payload, dims)
+            case "avi" => decodeAviFeatures(r.payload, dims)
+            case _ => None
+          }
+          MediaDecoded(r.media_id, kind, r.payload.length.toLong,
+            real.getOrElse(decodeStub(r.payload, dims)), real.isDefined)
+        }
+      }
+  }
+
+  /** The stubbed-format mix gauge (a data-card column): per DETECTED
+    * kind, how many payloads produced real features vs degraded to the
+    * stub — `stub_ppm` on the integer micro grid. This is what makes a
+    * silently under-covered corpus observable: a crawl that is 60%
+    * WebP-lossy shows `webp | stub_ppm ~ 600000`, not a quietly thin
+    * visual-dedup result. Kinds-bounded output; one aggregation.
+    */
+  def decodeCoverage(media: DataFrame, dims: Int = 8): DataFrame =
+    routedFeatures(media, dims).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(col("decoded").cast("long")).as("n_decoded"))
+      .withColumn("n_stubbed", col("n") - col("n_decoded"))
+      .withColumn("stub_ppm", expr("(n_stubbed * 1000000L) div n"))
+
+  /** WebP feature decode: VP8L (lossless) payloads decode FOR REAL via
+    * [[Webp.decodeVp8l]] and emit the exact [[decodeImage]] pixel-stat
+    * feature contract; lossy VP8 and animated/extended payloads whose
+    * image chunk is not VP8L return None — the caller degrades to the
+    * stub and [[decodeCoverage]] reports the gap (the honest-stub
+    * discipline, scope stated like the PDF CID bound).
+    */
+  def decodeWebpFeatures(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
+    Webp.decodeArgb(payload).map { im =>
+      featuresOfArgb(im.width, im.height, im.argb, dims)
+    }
+
+  /** The [[decodeImage]] pixel-stat feature vector computed from a raw
+    * ARGB array — one implementation of the stat loop for decoders that
+    * produce pixels without a BufferedImage.
+    */
+  private[llmops] def featuresOfArgb(w: Int, h: Int, argb: Array[Int],
+      dims: Int): Array[Float] = {
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+    var i = 0
+    while (i < argb.length) {
+      val rgb = argb(i)
+      val r = (rgb >> 16) & 0xFF
+      val g = (rgb >> 8) & 0xFF
+      val b = rgb & 0xFF
+      val lum = 0.299 * r + 0.587 * g + 0.114 * b
+      sr += r; sg += g; sb += b; sl += lum; sl2 += lum * lum
+      i += 1
+    }
+    val n = w.toDouble * h
+    val meanL = sl / n
+    val varL = math.max(0.0, sl2 / n - meanL * meanL)
+    val feats = Array(w.toFloat, h.toFloat,
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+      w.toFloat / h)
+    val out = new Array[Float](dims)
+    feats.take(dims).copyToArray(out)
+    out
   }
 }

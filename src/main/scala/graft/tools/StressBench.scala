@@ -377,7 +377,13 @@ object StressBench {
     // MMR over IVF candidates: the production lane — cell assignment is
     // vectors x 16 centroids (linear), candidates cell-bounded; must
     // hold far under the exact q_x_mmr_rerank lane's slope-1 cost.
-    "q_x_mmr_ivf")
+    "q_x_mmr_ivf",
+    // r13: magic-byte kind detection — a pure codegen CASE over binary
+    // prefixes riding the scan; must be strictly linear.
+    "q_x_detect_kind",
+    // r13: the decode-coverage gauge — per-payload real decodes
+    // (PNG/VP8L/WAV) inside mapPartitions + one kinds-bounded agg.
+    "q_x_decode_coverage")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
