@@ -738,7 +738,7 @@ object VocabArtifact {
   // edit to a shipped file must not trip a stale local checksum) —
   // setWriteChecksum on the SHARED cached FileSystem would mutate global
   // state, so each call owns and closes its own instance.
-  private def writeFileAtomic(spark: SparkSession, path: String,
+  private[llmops] def writeFileAtomic(spark: SparkSession, path: String,
       bytes: Array[Byte], nPieces: Long): DataFrame = {
     import spark.implicits._
     val p = new Path(path)
@@ -759,7 +759,7 @@ object VocabArtifact {
     Seq((path, nPieces, md5)).toDF("file", "n_pieces", "content_md5")
   }
 
-  private def readFileWhole(spark: SparkSession, path: String): Array[Byte] = {
+  private[llmops] def readFileWhole(spark: SparkSession, path: String): Array[Byte] = {
     val p = new Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri,
       spark.sparkContext.hadoopConfiguration)

@@ -4872,6 +4872,36 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("id")
     },
 
+    // SentencePiece ModelProto export→import (the Llama-lineage
+    // envelope): train the unigram vocab, write the .model protobuf
+    // (unk + 2 controls + 256 byte pieces + ranked pieces, float32
+    // scores on the wire), read it back through the hand-rolled proto
+    // walk. The oracle replays the trained chain AND the float32 score
+    // quantization itself — both engines cast the micro score through
+    // REAL — so the wire precision is part of the checked value, not an
+    // excuse (exact for |score| < 16, the stated ulp bound).
+    q("q_x_sp_model", {
+      unigramChainSql(vocabSize = 120, rounds = 2, maxPieceLen = 3,
+        maxWordLen = 12, seedCap = 240) + " " +
+        "SELECT * FROM (" +
+        "SELECT CAST(0 AS BIGINT) AS id, '<unk>' AS piece, CAST(0 AS BIGINT) AS nll_micro, true AS unk, false AS control, false AS byte " +
+        "UNION ALL SELECT CAST(1 AS BIGINT), '<s>', CAST(0 AS BIGINT), false, true, false " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), '</s>', CAST(0 AS BIGINT), false, true, false " +
+        "UNION ALL SELECT CAST(3 + i AS BIGINT), printf('<0x%02X>', CAST(i AS INT)), CAST(0 AS BIGINT), false, false, true " +
+        "FROM (SELECT unnest(generate_series(0, 255)) AS i) " +
+        "UNION ALL SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) + 258 AS BIGINT), piece, " +
+        "CAST(round(-CAST(CAST(CAST(-nll AS DOUBLE) / 1000000 AS REAL) AS DOUBLE) * 1000000) AS BIGINT), " +
+        "false, false, false FROM v2) ORDER BY id"
+    }) { (s, d) =>
+      import graft.llmops.{SpModel, Unigram}
+      val vocab = Unigram.unigramVocab(Tables.documents(s, d), "doc_id",
+        "text", vocabSize = 120, rounds = 2, maxPieceLen = 3, maxWordLen = 12)
+      val path = "/tmp/graft_sp_model/sp.model"
+      SpModel.writeSpModel(vocab, path, controls = Seq("<s>", "</s>"),
+        byteFallback = true)
+      SpModel.readSpModel(s, path).orderBy("id")
+    },
+
     // Reversible whitespace, proven as a LAW: train with the ▁-marked
     // Metaspace pre-tokenizer, Viterbi-segment every document, then
     // detokenize (concat pieces, ▁ → space, trim) — the reconstruction

@@ -381,6 +381,9 @@ object StressBench {
     // r13: magic-byte kind detection — a pure codegen CASE over binary
     // prefixes riding the scan; must be strictly linear.
     "q_x_detect_kind",
+    // r13: SentencePiece .model export→import — the unigram training
+    // lanes (distinct-word-bounded) + a vocab-bounded proto write/read.
+    "q_x_sp_model",
     // r13: the decode-coverage gauge — per-payload real decodes
     // (PNG/VP8L/WAV) inside mapPartitions + one kinds-bounded agg.
     "q_x_decode_coverage")
