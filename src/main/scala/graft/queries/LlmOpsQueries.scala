@@ -5556,6 +5556,90 @@ object LlmOpsQueries extends QueryModule {
       e1.unionAll(e2).orderBy("url")
     },
 
+    // Frontier RE-CRAWL generations (the freshness mechanism over the
+    // adjudicated-once law): generation 1 enqueues day-0 links; the
+    // h0.example rows are fetched (dequeued); rotation REBUILDS the
+    // seen-set from the still-queued urls (frontierNewGeneration's
+    // reseed, replayed verbatim via Bloom.build); generation 2 then
+    // probes day-1 links against the reseeded bloom — fetched urls
+    // RE-ENQUEUE (they are no longer "seen"), still-queued urls skip
+    // (no queue duplicates), denied urls re-adjudicate under the rules
+    // and stay out. The oracle replays both adjudication passes, the
+    // dequeue, the reseed's exact Bloom words and the probe value-exact.
+    q("q_x_crawl_regen", {
+      import graft.llmops.PortableHash
+      val (kh, m, p) = (4, 4096, PortableHash.P)
+      val perms = (0 until kh)
+        .map(j => s"($j, ${PortableHash.MinHashA(j)}, ${PortableHash.MinHashB(j)})")
+        .mkString(", ")
+      val ha = PortableHash.duckHash52("url")
+      val steps = Seq(
+        "'#.*$'" -> "''",
+        "'[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*'" -> "''",
+        "'^([^?&]*)&'" -> "'\\1?'",
+        "'[?&]+$'" -> "''")
+      val cleaned = steps.foldLeft("url") { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, $pat, $rep, 'g')"
+      }
+      val lowered = s"lower(regexp_extract($cleaned, '^([^/?#]*://[^/?#]*)', 1)) || " +
+        s"regexp_replace($cleaned, '^[^/?#]*://[^/?#]*', '')"
+      val ports = s"regexp_replace(regexp_replace($lowered, '^(http://[^/:?#]*):80(/|$$)', '\\1\\2'), '^(https://[^/:?#]*):443(/|$$)', '\\1\\2')"
+      val canon = s"regexp_replace($ports, '/$$', '')"
+      "WITH l AS (SELECT doc_id % 2 AS day, " +
+        "'https://h' || ((doc_id // 2) % 4) || '.example/p' || ((doc_id // 2) % 23) || " +
+        "CASE doc_id % 3 WHEN 0 THEN '?utm_source=x' WHEN 1 THEN '#f' ELSE '' END AS url, " +
+        "doc_id % 7 AS prio FROM documents), " +
+        s"c0 AS (SELECT day, $canon AS curl, prio FROM l), " +
+        "g AS (SELECT day, curl AS url, CAST(max(prio) AS BIGINT) AS priority FROM c0 GROUP BY 1, 2), " +
+        "h AS (SELECT day, url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host, " +
+        "coalesce(nullif(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^#]*)?', 1), ''), '/') AS path, priority FROM g), " +
+        "a AS (SELECT day, url, host, priority, NOT (host = 'h1.example' AND path LIKE '/p1%') AS allowed FROM h), " +
+        "d1 AS (SELECT url, host, priority FROM a WHERE day = 0 AND allowed), " +
+        "q1 AS (SELECT * FROM d1 WHERE host <> 'h0.example'), " +
+        s"perm(j, pa, pb) AS (SELECT * FROM (VALUES $perms)), " +
+        s"b1 AS (SELECT DISTINCT ((pa * (hh % $p) + pb) % $p % $m) AS pos FROM (SELECT $ha AS hh FROM (SELECT url FROM q1)) CROSS JOIN perm), " +
+        "w1 AS (SELECT pos // 32 AS wi, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word FROM b1 GROUP BY 1), " +
+        "p2 AS (SELECT url, host, priority, allowed FROM a WHERE day = 1), " +
+        s"pr AS (SELECT url, ((pa * (hh % $p) + pb) % $p % $m) AS pos FROM (SELECT url, $ha AS hh FROM p2) CROSS JOIN perm), " +
+        "mc AS (SELECT url, min(CASE WHEN (coalesce(w.word, 0) & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0 THEN 1 ELSE 0 END) AS mc " +
+        "FROM pr LEFT JOIN w1 w ON w.wi = pos // 32 GROUP BY 1), " +
+        "d2 AS (SELECT p2.url, p2.host, p2.priority FROM p2 JOIN mc USING (url) WHERE mc.mc = 0 AND p2.allowed) " +
+        "SELECT * FROM (SELECT 'queued_g1' AS stage, * FROM q1 " +
+        "UNION ALL SELECT 'enqueued_g2' AS stage, * FROM d2) ORDER BY stage, url"
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Bloom
+      import graft.streaming.EventStream
+      val (mBits, k) = (4096L, 4)
+      val docs = Tables.documents(s, d)
+      def linksFor(day: Int) = docs.filter(col("doc_id") % 2 === day)
+        .select(concat(lit("https://h"),
+            (expr("doc_id div 2") % 4).cast("string"), lit(".example/p"),
+            (expr("doc_id div 2") % 23).cast("string"),
+            when(col("doc_id") % 3 === 0, lit("?utm_source=x"))
+              .when(col("doc_id") % 3 === 1, lit("#f"))
+              .otherwise(lit(""))).as("url"),
+          (col("doc_id") % 7).as("prio"))
+      val rules = Seq(("h1.example", "disallow", "/p1"))
+        .toDF("host", "rule", "path")
+      val empty = Bloom.build(linksFor(0).limit(0), "url", mBits, k)
+      val (e1, _) = EventStream.frontierStep(linksFor(0), "url", "prio",
+        rules, empty, mBits, k)
+      val e1c = e1.localCheckpoint(true)
+      // fetch the h0.example wave, dequeue it, rotate: the reseed is
+      // frontierNewGeneration's Bloom.build over the remaining queue
+      val q1 = e1c.filter(col("host") =!= "h0.example")
+        .localCheckpoint(true)
+      val b2 = Bloom.build(q1.select("url"), "url", mBits, k)
+      val (e2, _) = EventStream.frontierStep(linksFor(1), "url", "prio",
+        rules, b2.localCheckpoint(true), mBits, k)
+      q1.select(lit("queued_g1").as("stage"), col("url"), col("host"),
+          col("priority"))
+        .unionAll(e2.select(lit("enqueued_g2").as("stage"), col("url"),
+          col("host"), col("priority")))
+        .orderBy("stage", "url")
+    },
+
     // Main-content extraction (the jusText/trafilatura link-density
     // heuristic): planted pages wrap each document's text in content
     // markup with a nav menu (all links -> dropped), a footer link farm

@@ -545,7 +545,9 @@ object EventStream {
           s"caller passed (mBits=$mBits, k=$k) — probing/merging across parameters " +
           "produces silent false negatives")
     } else if (seedIfAbsent) {
-      Seq((mBits, k)).toDF("m_bits", "k")
+      // generation 0 — rotated forward by [[frontierNewGeneration]];
+      // pre-generation metas (no column) read as 0 via bloomGeneration.
+      Seq((mBits, k, 0L)).toDF("m_bits", "k", "generation")
         .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(metaT)
       sess.catalog.refreshTable(metaT)
     } else {
@@ -557,6 +559,66 @@ object EventStream {
           "state) — write the (m_bits, k) it was built with into " +
           s"$metaT before streaming into it")
     }
+  }
+
+  /** The seen-set's generation: 0 until the first rotation;
+    * pre-generation meta stamps (r12 state) read as 0.
+    */
+  def bloomGeneration(sess: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Long = {
+    val metaT = s"${tablePrefix}_seen_bloom_meta"
+    require(sess.catalog.tableExists(metaT), s"no meta stamp at $metaT")
+    sess.catalog.refreshTable(metaT)
+    val m = sess.table(metaT).head()
+    if (m.schema.fieldNames.contains("generation"))
+      m.getAs[Long]("generation") else 0L
+  }
+
+  /** Rotate the frontier's seen-set to a NEW CRAWL GENERATION — the
+    * freshness mechanism the adjudicated-once law needs to coexist
+    * with a standing crawl: within a generation every canonical URL is
+    * adjudicated exactly once (fetched or denied, it never re-enters);
+    * rotating starts the next cycle, and URLs fetched in PRIOR
+    * generations become eligible for re-discovery and re-fetch.
+    *
+    * Mechanics: the Bloom seen-set REBUILDS from the still-QUEUED
+    * frontier urls (they are pending work — without the reseed a
+    * re-discovery would duplicate them in the queue), the meta stamp's
+    * `generation` increments, and everything else (queue contents,
+    * bloom parameters) carries over. One queue-sized Bloom build +
+    * two bounded writes — run at re-crawl cadence (days), never per
+    * batch. Returns the new generation number.
+    *
+    * The adjudicated-once stance for DENIED urls is preserved per
+    * generation and only per generation — a robots-denied URL is
+    * reconsidered after rotation under the CURRENT rules, which is the
+    * correct freshness semantic (policies change between cycles; the
+    * r12 answer "a new prefix = a new cycle" forced a full re-crawl to
+    * get it).
+    */
+  def frontierNewGeneration(sess: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, mBits: Long = 1L << 20, k: Int = 4): Long = {
+    import sess.implicits._
+    import graft.functions.Bloom
+    verifyBloomMeta(sess, tablePrefix, mBits, k, seedIfAbsent = false)
+    val metaT = s"${tablePrefix}_seen_bloom_meta"
+    val bloomT = s"${tablePrefix}_seen_bloom"
+    val frontierT = s"${tablePrefix}_frontier"
+    val queued =
+      if (sess.catalog.tableExists(frontierT)) {
+        sess.catalog.refreshTable(frontierT)
+        sess.table(frontierT).select("url")
+      } else sess.emptyDataset[String].toDF("url")
+    val reseeded = Bloom.build(queued, "url", mBits, k)
+      .localCheckpoint(eager = true)
+    reseeded.coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(bloomT)
+    val gen = bloomGeneration(sess, tablePrefix) + 1L
+    Seq((mBits, k, gen)).toDF("m_bits", "k", "generation")
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(metaT)
+    sess.catalog.refreshTable(bloomT)
+    sess.catalog.refreshTable(metaT)
+    gen
   }
 
   /** Continuous crawl FRONTIER — the SEVENTH maintained state, closing
@@ -579,9 +641,13 @@ object EventStream {
     *   4. allowed, definitely-new URLs append to `{prefix}_frontier`
     *      (url, host, priority); ALL canonical batch URLs — allowed or
     *      not — merge into the Bloom. Adjudicated-once semantics,
-    *      stated: a robots-denied URL is never reconsidered even if the
-    *      policy later changes (policy changes want a fresh crawl cycle
-    *      under a new prefix, not silent re-adjudication).
+    *      stated: WITHIN A GENERATION a robots-denied URL is never
+    *      reconsidered even if the policy later changes. Freshness
+    *      lives one level up: [[frontierNewGeneration]] rotates the
+    *      seen-set for the next crawl cycle — fetched and denied URLs
+    *      become re-discoverable under the then-current rules, while
+    *      still-queued URLs stay deduplicated (the Bloom reseeds from
+    *      the queue).
     *
     * Serve the fetch plan with [[frontierWaves]]; retire fetched URLs
     * with [[frontierDequeue]]. Restarts resume create-if-absent; the

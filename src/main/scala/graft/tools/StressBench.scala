@@ -384,6 +384,9 @@ object StressBench {
     // r13: SentencePiece .model export→import — the unigram training
     // lanes (distinct-word-bounded) + a vocab-bounded proto write/read.
     "q_x_sp_model",
+    // r13: two-generation frontier replay — two adjudication passes +
+    // a queue-sized bloom reseed; batch-linear like q_x_crawl_frontier.
+    "q_x_crawl_regen",
     // r13: the decode-coverage gauge — per-payload real decodes
     // (PNG/VP8L/WAV) inside mapPartitions + one kinds-bounded agg.
     "q_x_decode_coverage")

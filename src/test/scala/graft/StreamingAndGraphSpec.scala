@@ -1347,6 +1347,73 @@ class StreamingAndGraphSpec extends SparkTestBase {
     }
   }
 
+  test("frontier generations: rotation re-opens fetched and denied urls, " +
+      "keeps the queue deduplicated, survives restart") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val rules = Seq(("h1.example", "disallow", "/blocked"))
+        .toDF("host", "rule", "path")
+      val ckpt = java.nio.file.Files.createTempDirectory("fgen_ckpt").toString
+      def runOnce(): Unit = {
+        val q = EventStream.frontierStream(mem.toDF().toDF("url", "prio"),
+            "url", "prio", "frontier_gen", rules, mBits = 1L << 16, k = 4)
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      def frontier(): Set[(String, Long)] = {
+        spark.catalog.refreshTable("frontier_gen_frontier")
+        spark.table("frontier_gen_frontier").collect()
+          .map(r => (r.getString(0), r.getLong(2))).toSet
+      }
+      // generation 0: two clean urls enqueue, one is denied
+      mem.addData(("https://h0.example/a", 9L), ("https://h0.example/b", 1L),
+        ("https://h1.example/blocked/p", 7L))
+      runOnce()
+      assert(EventStream.bloomGeneration(spark, "frontier_gen") === 0L)
+      assert(frontier() === Set(("https://h0.example/a", 9L),
+        ("https://h0.example/b", 1L)))
+      // fetch /a (wave 0 of h0 under perHostPerWave=1), dequeue it
+      val wave0 = EventStream.frontierWaves(spark, "frontier_gen", 1,
+        maxWave = 0).select("url").filter(col("url").endsWith("/a"))
+      EventStream.frontierDequeue(spark, "frontier_gen", wave0, "url")
+      assert(frontier() === Set(("https://h0.example/b", 1L)))
+      // rotate: generation 1; the seen-set reseeds from the queue {b}
+      assert(EventStream.frontierNewGeneration(spark, "frontier_gen",
+        mBits = 1L << 16, k = 4) === 1L)
+      assert(EventStream.bloomGeneration(spark, "frontier_gen") === 1L)
+      // generation 1: the FETCHED /a re-enqueues (no longer seen), the
+      // QUEUED /b skips (reseeded), the denied url re-adjudicates under
+      // the rules and stays out, a fresh /c enqueues
+      mem.addData(("https://h0.example/a", 42L), ("https://h0.example/b", 99L),
+        ("https://h1.example/blocked/p", 99L), ("https://h0.example/c", 2L))
+      runOnce()
+      assert(frontier() === Set(("https://h0.example/b", 1L),
+        ("https://h0.example/a", 42L), ("https://h0.example/c", 2L)))
+      // restart-resume across the rotation: another batch under the SAME
+      // generation still dedups within-generation discoveries
+      mem.addData(("https://h0.example/a", 77L), ("https://h0.example/d", 3L))
+      runOnce()
+      assert(EventStream.bloomGeneration(spark, "frontier_gen") === 1L)
+      assert(frontier() === Set(("https://h0.example/b", 1L),
+        ("https://h0.example/a", 42L), ("https://h0.example/c", 2L),
+        ("https://h0.example/d", 3L)))
+      // parameter law survives rotation: a mismatched caller still throws
+      val e = intercept[IllegalArgumentException] {
+        EventStream.frontierNewGeneration(spark, "frontier_gen",
+          mBits = 1L << 10, k = 4)
+      }
+      assert(e.getMessage.contains("bloom parameter mismatch"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS frontier_gen_frontier")
+      spark.sql("DROP TABLE IF EXISTS frontier_gen_seen_bloom")
+      spark.sql("DROP TABLE IF EXISTS frontier_gen_seen_bloom_meta")
+    }
+  }
+
   test("pageRankKeys: string-keyed authority — hub outranks leaves, parallel links collapse, deterministic") {
     import spark.implicits._
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"),
