@@ -252,6 +252,159 @@ object LmArtifact {
         col("gram"))
   }
 
+  /** Train the trigram **Kneser–Ney** backoff LM — [[arpaTable3]]'s
+    * sibling with the CONTINUATION-COUNT lower orders (Kneser & Ney
+    * 1995; the fixed-D backoff form, not SRILM's count-estimated
+    * discounts — stated): the highest order keeps raw counts with
+    * absolute discounting, but the bigram level models "how many
+    * distinct contexts does this continuation complete":
+    *
+    *   - trigram rows: `P(w3 | w1 w2) = (c(w1w2w3) − D) / c(w1w2·)` —
+    *     unchanged from [[arpaTable3]];
+    *   - bigram rows (the KN core): `ckn(a b) = |{w : c(w a b) > 0}|`
+    *     (distinct left contexts), `P_KN(b | a) = (ckn(a b) − D) /
+    *     ckn(a ·)` — "francisco" scores low however frequent, because
+    *     it completes one context;
+    *   - unigram rows: `P_cont(w) = (|{a : c(a w) > 0}| + 1) /
+    *     (|bigram types| + V + 1)` — continuation counts with the
+    *     house add-1-over-V+1 `<unk>` treatment (Σ = 1 exactly);
+    *   - backoff weights: the same single-denominator discount-mass
+    *     rationals as [[arpaTable3]], computed over the KN
+    *     distributions (every trigram continuation (w2 w3) is a KN
+    *     bigram BY DEFINITION — the structure that keeps the Σ_seen
+    *     mass one exact rational per context).
+    *
+    * Trigram-context pairs (w1 w2) that are NOT themselves KN
+    * continuations (no `(w0 w1 w2)` trigram — document-initial pairs)
+    * still need their bow carried by a bigram row, so they ship with
+    * the BACKOFF-CONSISTENT probability `nll = nll_uni(w2) − bow(w1)`
+    * (exact integer micro arithmetic — the value the decoder's backoff
+    * path would compute anyway; SRILM prints the same entries). The
+    * enumeration law `Σ_w3 P(w3 | w1 w2) = 1` holds exactly and is
+    * spec-asserted. Output schema and ordering are [[arpaTable3]]'s —
+    * [[writeArpa]]/[[readArpa]]/[[arpaScore3]] consume it unchanged.
+    *
+    * Scale: the ckn/ucont tables are distinct-pair-bounded aggregations
+    * of the trigram/bigram tables (plain shuffles); everything keyed on
+    * single words broadcasts (vocab-bounded).
+    */
+  def arpaTable3Kn(reference: DataFrame, refTextCol: String = "text",
+      tokens: Column => Column = TextAnalysis.wsTokens,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val toks = reference
+      .select(explode(tokens(lower(col(refTextCol)))).as("w"))
+    val cu0 = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    // the <unk> sentinel guard — same weave as arpaTable
+    val cu = cu0.select(coalesce(
+      assert_true(col("w") =!= lit(Unk), lit(
+        s"reference corpus contains a literal '$Unk' token — it would " +
+          "collide with the OOV sentinel; pre-filter or re-tokenize"))
+        .cast("string"),
+      col("w")).as("w"), col("cu")).localCheckpoint(eager = true)
+    val toksArr = reference
+      .select(tokens(lower(col(refTextCol))).as("__toks"))
+    val grams = toksArr.filter(size(col("__toks")) >= 2)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> struct(__toks[i] as w1, __toks[i + 1] as w2))"))
+        .as(Seq("__p", "__g")))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+    val cb = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = true)
+    // unigram continuation counts + the (|bigram types|, V) totals
+    val ucont = cb.groupBy(col("w2").as("w")).agg(count(lit(1)).as("nc"))
+    val totals = broadcast(cb.agg(count(lit(1)).as("nb"))
+      .crossJoin(cu.agg(count(lit(1)).as("vd"))))
+    val uniProb = cu.select("w")
+      .unionAll(cu.sparkSession.range(1).select(lit(Unk).as("w")))
+      .join(broadcast(ucont), Seq("w"), "left")
+      .na.fill(0L, Seq("nc"))
+      .crossJoin(totals)
+      .withColumn("nll10_micro",
+        -log10Micro((col("nc") + 1) / (col("nb") + col("vd") + 1)))
+      .select("w", "nc", "nll10_micro")
+      .localCheckpoint(eager = true)
+    val tg = toksArr.filter(size(col("__toks")) >= 3)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(__toks) - 3), " +
+          "i -> struct(__toks[i] as w1, __toks[i + 1] as w2, __toks[i + 2] as w3))"))
+        .as(Seq("__p", "__g")))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+    val ct = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(eager = true)
+    // KN bigram continuation counts: rows of ct are distinct (w1,w2,w3),
+    // so count(*) per (w2,w3) IS |distinct w1|
+    val ckn = ct.groupBy(col("w2").as("a"), col("w3").as("b"))
+      .agg(count(lit(1)).as("cknb"))
+      .localCheckpoint(eager = true)
+    val ckn2 = ckn.groupBy("a")
+      .agg(count(lit(1)).as("n1pk"), sum("cknb").as("ckntot"))
+      .localCheckpoint(eager = true)
+    // unigram-row bows: discount mass of the KN bigram distribution per
+    // context a, over the continuation-unigram seen mass (one rational)
+    val bows = ckn
+      .join(broadcast(ucont.select(col("w").as("b"), col("nc"))),
+        Seq("b"), "left")
+      .na.fill(0L, Seq("nc"))
+      .groupBy("a")
+      .agg(count(lit(1)).as("n1pk"), sum("cknb").as("ckntot"),
+        sum(col("nc") + 1).as("seen_num"))
+      .crossJoin(totals)
+      .withColumn("bow10_micro", log10Micro(
+        (lit(discount) * col("n1pk") / col("ckntot")) /
+          (lit(1.0) - col("seen_num") / (col("nb") + col("vd") + 1))))
+      .select(col("a").as("w"), col("bow10_micro"))
+      .localCheckpoint(eager = true)
+    // trigram-context bookkeeping over the KN bigram seen mass
+    val ctx3 = ct
+      .join(ckn.select(col("a").as("w2"), col("b").as("w3"), col("cknb")),
+        Seq("w2", "w3"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n1p3"), sum("ct").as("c12"),
+        sum("cknb").as("sum_ckn"))
+      .join(broadcast(ckn2.select(col("a").as("w2"), col("ckntot"))),
+        Seq("w2"))
+      .localCheckpoint(eager = true)
+    val bow2 = ctx3.select(col("w1").as("a"), col("w2").as("b"),
+      log10Micro((lit(discount) * col("n1p3") / col("c12")) /
+        (lit(1.0) - (col("sum_ckn") - lit(discount) * col("n1p3")) /
+          col("ckntot").cast("double"))).as("bow2"))
+    // bigram rows: KN continuations ∪ trigram-context-only pairs (the
+    // latter at the backoff-consistent integer value so their bow has a
+    // row to ride)
+    val knP = ckn
+      .join(broadcast(ckn2.select(col("a"), col("ckntot"))), Seq("a"))
+      .select(col("a"), col("b"),
+        (-log10Micro((col("cknb") - lit(discount)) / col("ckntot")))
+          .as("kn_nll"))
+    val biAll = knP.join(bow2, Seq("a", "b"), "full_outer")
+      .join(broadcast(uniProb.select(col("w").as("b"),
+        col("nll10_micro").as("u_b"))), Seq("b"))
+      .join(broadcast(bows.select(col("w").as("a"),
+        col("bow10_micro").as("bow_a"))), Seq("a"), "left")
+      .select(lit(2).as("n"),
+        concat(col("a"), lit(" "), col("b")).as("gram"),
+        coalesce(col("kn_nll"),
+          col("u_b") - coalesce(col("bow_a"), lit(0L))).as("nll10_micro"),
+        coalesce(col("bow2"), lit(0L)).as("bow10_micro"))
+    val triRows = ct.join(ctx3.select("w1", "w2", "c12"), Seq("w1", "w2"))
+      .select(lit(3).as("n"),
+        concat(col("w1"), lit(" "), col("w2"), lit(" "), col("w3")).as("gram"),
+        (-log10Micro((col("ct") - lit(discount)) / col("c12"))).as("nll10_micro"),
+        lit(null).cast("long").as("bow10_micro"))
+    val uniRows = uniProb
+      .join(broadcast(bows), Seq("w"), "left")
+      .select(lit(1).as("n"), col("w").as("gram"), col("nll10_micro"),
+        coalesce(col("bow10_micro"), lit(0L)).as("bow10_micro"))
+    uniRows.unionByName(biAll).unionByName(triRows)
+      .orderBy(col("n"),
+        when(col("gram") === Unk && col("n") === 1, lit(0)).otherwise(lit(1)),
+        col("gram"))
+  }
+
   /** Exact fixed-6dp decimal of a signed micro integer — string
     * arithmetic, no double ever formatted, so the printed value IS the
     * micro grid value.

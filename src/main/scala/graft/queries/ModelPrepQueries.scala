@@ -144,6 +144,46 @@ object ModelPrepQueries extends QueryModule {
       "tm AS MATERIALIZED (SELECT ct.w1, ct.w2, ct.w3, CAST(-floor(log((ct.ct - CAST(0.75 AS DOUBLE)) / CAST(c2.c12 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
       "FROM ct JOIN ctx2 c2 ON c2.w1 = ct.w1 AND c2.w2 = ct.w2)"
 
+  /** DuckDB replay of LmArtifact.arpaTable3Kn: the Kneser–Ney chain —
+    * bigram-type/continuation counts, the continuation-smoothed
+    * unigrams, KN bigram probabilities over distinct-left-context
+    * counts, the two discount-mass bow rationals, and the
+    * backoff-consistent context-only bigram rows (integer micro
+    * subtraction, exactly the Spark side's arithmetic).
+    */
+  private def arpa3KnChainSql(srcFilter: String): String =
+    s"WITH t AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents $srcFilter), " +
+      "cu AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1), " +
+      "gr AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 2), " +
+      "cb AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM gr GROUP BY 1, 2), " +
+      "nbv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cb) AS nb, (SELECT CAST(count(*) AS BIGINT) FROM cu) AS vd), " +
+      "uc AS MATERIALIZED (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS nc FROM cb GROUP BY 1), " +
+      "up AS MATERIALIZED (SELECT u.w, coalesce(uc.nc, 0) AS nc, " +
+      "CAST(-floor(log((coalesce(uc.nc, 0) + 1) / CAST(nbv.nb + nbv.vd + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
+      "FROM (SELECT w FROM cu UNION ALL SELECT '<unk>') u LEFT JOIN uc ON u.w = uc.w CROSS JOIN nbv), " +
+      "tg AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i) WHERE len(toks) >= 3), " +
+      "ct AS MATERIALIZED (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS ct FROM tg GROUP BY 1, 2, 3), " +
+      "ckn AS MATERIALIZED (SELECT w2 AS a, w3 AS b, CAST(count(*) AS BIGINT) AS cknb FROM ct GROUP BY 1, 2), " +
+      "ckn2 AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS n1pk, CAST(sum(cknb) AS BIGINT) AS ckntot FROM ckn GROUP BY 1), " +
+      "bows AS MATERIALIZED (SELECT ckn.a AS w, CAST(floor(log((CAST(0.75 AS DOUBLE) * c2.n1pk / CAST(c2.ckntot AS DOUBLE)) / " +
+      "(1 - CAST(sum(coalesce(uc.nc, 0) + 1) AS DOUBLE) / (nbv.nb + nbv.vd + 1))) * 1000000 + 0.5) AS BIGINT) AS bow " +
+      "FROM ckn JOIN ckn2 c2 USING (a) LEFT JOIN uc ON ckn.b = uc.w CROSS JOIN nbv " +
+      "GROUP BY ckn.a, c2.n1pk, c2.ckntot, nbv.nb, nbv.vd), " +
+      "ctx3 AS MATERIALIZED (SELECT ct.w1, ct.w2, CAST(count(*) AS BIGINT) AS n1p3, CAST(sum(ct.ct) AS BIGINT) AS c12, CAST(sum(k.cknb) AS BIGINT) AS sum_ckn " +
+      "FROM ct JOIN ckn k ON k.a = ct.w2 AND k.b = ct.w3 GROUP BY 1, 2), " +
+      "bow2 AS MATERIALIZED (SELECT c3.w1 AS a, c3.w2 AS b, CAST(floor(log((CAST(0.75 AS DOUBLE) * c3.n1p3 / CAST(c3.c12 AS DOUBLE)) / " +
+      "(1 - (c3.sum_ckn - CAST(0.75 AS DOUBLE) * c3.n1p3) / CAST(c2.ckntot AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS bow2 " +
+      "FROM ctx3 c3 JOIN ckn2 c2 ON c2.a = c3.w2), " +
+      "knp AS MATERIALIZED (SELECT ckn.a, ckn.b, CAST(-floor(log((ckn.cknb - CAST(0.75 AS DOUBLE)) / CAST(c2.ckntot AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS kn_nll " +
+      "FROM ckn JOIN ckn2 c2 USING (a)), " +
+      "bi AS MATERIALIZED (SELECT coalesce(knp.a, bow2.a) AS a, coalesce(knp.b, bow2.b) AS b, " +
+      "coalesce(knp.kn_nll, upb.nll - coalesce(bwa.bow, 0)) AS nll, coalesce(bow2.bow2, 0) AS bow " +
+      "FROM knp FULL JOIN bow2 ON knp.a = bow2.a AND knp.b = bow2.b " +
+      "JOIN up upb ON upb.w = coalesce(knp.b, bow2.b) " +
+      "LEFT JOIN bows bwa ON bwa.w = coalesce(knp.a, bow2.a)), " +
+      "tm AS MATERIALIZED (SELECT ct.w1, ct.w2, ct.w3, CAST(-floor(log((ct.ct - CAST(0.75 AS DOUBLE)) / CAST(c3.c12 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll " +
+      "FROM ct JOIN ctx3 c3 ON c3.w1 = ct.w1 AND c3.w2 = ct.w2)"
+
   /** DuckDB replay of [[WordPiece.learnMerges]]: `##`-marked
     * symbolization, per-round likelihood argmax
     * (`pf · 10^15 // (freq(l) · freq(r))` in hugeint — exactly Spark's
@@ -641,6 +681,22 @@ object ModelPrepQueries extends QueryModule {
         "UNION ALL SELECT 3 AS n, w1 || ' ' || w2 || ' ' || w3 AS gram, nll AS nll10_micro, CAST(NULL AS BIGINT) AS bow10_micro FROM tm) " +
         "ORDER BY n, CASE WHEN n = 1 AND gram = '<unk>' THEN 0 ELSE 1 END, gram") { (s, d) =>
       graft.llmops.LmArtifact.arpaTable3(Tables.documents(s, d), "text")
+    },
+
+    // Kneser-Ney trigram artifact: continuation-count lower orders
+    // (distinct-left-context bigram probabilities, continuation-smoothed
+    // unigrams), the two discount-mass bow rationals over the KN
+    // distributions, and the backoff-consistent context-only bigram rows
+    // (exact integer micro subtraction) — the whole chain replayed
+    // value-exact.
+    q("q_x_arpa3_kn",
+      arpa3KnChainSql("") +
+        " SELECT * FROM (" +
+        "SELECT 1 AS n, up.w AS gram, up.nll AS nll10_micro, coalesce(b.bow, CAST(0 AS BIGINT)) AS bow10_micro FROM up LEFT JOIN bows b ON up.w = b.w " +
+        "UNION ALL SELECT 2 AS n, a || ' ' || b AS gram, nll AS nll10_micro, bow AS bow10_micro FROM bi " +
+        "UNION ALL SELECT 3 AS n, w1 || ' ' || w2 || ' ' || w3 AS gram, nll AS nll10_micro, CAST(NULL AS BIGINT) AS bow10_micro FROM tm) " +
+        "ORDER BY n, CASE WHEN n = 1 AND gram = '<unk>' THEN 0 ELSE 1 END, gram") { (s, d) =>
+      graft.llmops.LmArtifact.arpaTable3Kn(Tables.documents(s, d), "text")
     },
 
     // Trigram backoff scoring: model trained on even doc_ids, odd docs

@@ -387,6 +387,9 @@ object StressBench {
     // r13: two-generation frontier replay — two adjudication passes +
     // a queue-sized bloom reseed; batch-linear like q_x_crawl_frontier.
     "q_x_crawl_regen",
+    // r13: the KN trigram trainer — the arpa3 lanes plus two
+    // distinct-pair aggregations (ckn/ucont); corpus-linear.
+    "q_x_arpa3_kn",
     // r13: the decode-coverage gauge — per-payload real decodes
     // (PNG/VP8L/WAV) inside mapPartitions + one kinds-bounded agg.
     "q_x_decode_coverage")

@@ -314,4 +314,87 @@ class LmArtifactSpec extends SparkTestBase {
     assert(f.contains((2, "x x", 400000L, Some(100000L))))
     assert(f.contains((3, "x x x", 600000L, None)))
   }
+
+  /** KN hand model over ["a b c", "a b d", "x a b"]: cb (a,b)=3
+    * (b,c)=(b,d)=(x,a)=1 → |bigram types| nb=4, V=5, denom 10;
+    * continuation nc: a=b=c=d=1, x=0 → P_cont a..d = .2, x = unk = .1.
+    * Trigrams (a,b,c)/(a,b,d)/(x,a,b) once each → ckn (b,c)=(b,d)=
+    * (a,b)=1; ckn contexts: b (n1pk=2, tot=2), a (1, 1).
+    * P_KN(c|b)=P_KN(d|b)=.25/2=.125; P_KN(b|a)=.25.
+    * bow(b) = (.75·2/2)/(1−4/10) = 1.25 → 96910;
+    * bow(a) = (.75)/(1−2/10) = .9375 → log10 = −28029 (floor+.5 grid).
+    * Trigram contexts: (a,b): n1p3=2 c12=2 sum_ckn=2 tot(b)=2 →
+    * bow2 = .75/(1−.25) = 1 → 0; (x,a): .75/(1−.25) = 1 → 0.
+    * P(c|ab)=P(d|ab)=.25/2=.125; P(b|xa)=.25.
+    * Context-only bigram (x,a): nll = u(a) − bow(x) = 698970 − 0.
+    */
+  private def knCorpus = {
+    import spark.implicits._
+    Seq((1L, "a b c"), (2L, "a b d"), (3L, "x a b")).toDF("doc_id", "text")
+  }
+
+  test("arpaTable3Kn: continuation-count lower orders, hand-computed") {
+    val t = tableSet(LmArtifact.arpaTable3Kn(knCorpus))
+    val expected = Set(
+      (1, "<unk>", 1000000L, Some(0L)),
+      (1, "a", 698970L, Some(-28029L)),
+      (1, "b", 698970L, Some(96910L)),
+      (1, "c", 698970L, Some(0L)),
+      (1, "d", 698970L, Some(0L)),
+      (1, "x", 1000000L, Some(0L)),
+      (2, "a b", 602060L, Some(0L)),
+      (2, "b c", 903090L, Some(0L)),
+      (2, "b d", 903090L, Some(0L)),
+      (2, "x a", 698970L, Some(0L)), // context-only: u(a) − bow(x)
+      (3, "a b c", 903090L, None),
+      (3, "a b d", 903090L, None),
+      (3, "x a b", 602060L, None))
+    assert(t === expected)
+  }
+
+  test("KN normalization law: every trigram context sums to 1 by enumeration") {
+    val rows = LmArtifact.arpaTable3Kn(knCorpus).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+    def p(micro: Long): Double = math.pow(10.0, -micro / 1e6)
+    def bowOf(n: Int, g: String): Double =
+      rows.find(r => r._1 == n && r._2 == g)
+        .map(r => math.pow(10.0, r._4 / 1e6)).getOrElse(1.0)
+    val vocab = rows.filter(_._1 == 1).map(_._2)
+    val tri = rows.filter(_._1 == 3).map(r => r._2 -> p(r._3)).toMap
+    val bi = rows.filter(_._1 == 2).map(r => r._2 -> p(r._3)).toMap
+    val uni = rows.filter(_._1 == 1).map(r => r._2 -> p(r._3)).toMap
+    for (ctx <- Seq(("a", "b"), ("x", "a"))) {
+      val total = vocab.map { w3 =>
+        tri.getOrElse(s"${ctx._1} ${ctx._2} $w3",
+          bowOf(2, s"${ctx._1} ${ctx._2}") *
+            bi.getOrElse(s"${ctx._2} $w3", bowOf(1, ctx._2) * uni(w3)))
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-3, s"KN context $ctx sums to $total")
+    }
+    // and the bigram level: Σ_w3 P(w3 | b) = 1 over the KN distribution
+    val totalB = vocab.map { w3 =>
+      bi.getOrElse(s"b $w3", bowOf(1, "b") * uni(w3))
+    }.sum
+    assert(math.abs(totalB - 1.0) < 1e-3, s"KN bigram context b sums to $totalB")
+  }
+
+  test("KN table writes and scores through the unchanged envelope/decoder") {
+    val dir = java.nio.file.Files.createTempDirectory("arpakn").toString
+    val t = LmArtifact.arpaTable3Kn(knCorpus).localCheckpoint(true)
+    val m = LmArtifact.writeArpa(spark, t, s"$dir/kn.arpa").collect()
+    assert(m.head.getAs[Long]("n_trigrams") === 3L)
+    assert(tableSet(LmArtifact.readArpa(spark, s"$dir/kn.arpa")) === tableSet(t))
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "q q q")).toDF("doc_id", "text")
+    val sc = LmArtifact.arpaScore3(docs, "doc_id", "text", t)
+      .orderBy("doc").collect()
+    // doc 1: the (a,b,c) triple is a tri hit at 903090
+    assert(sc(0).getAs[Long]("n_triples") === 1L &&
+      sc(0).getAs[Long]("n_oov") === 0L &&
+      sc(0).getAs[Long]("sum_nll10_micro") === 903090L)
+    // doc 2: all OOV → <unk> path, double backoff
+    assert(sc(1).getAs[Long]("n_oov") === 1L &&
+      sc(1).getAs[Long]("n_backoff_uni") === 1L)
+  }
 }
