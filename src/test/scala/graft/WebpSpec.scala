@@ -296,6 +296,61 @@ class WebpSpec extends SparkTestBase {
     assert(im.argb.toSeq === Seq.fill(4)(0xff808080))
   }
 
+  test("cross-channel color transform: signed 3.5 fixed-point deltas") {
+    def build(greenToRed: Int): Webp.Argb = {
+      val bw = new BitWriter
+      bw.bits(0x2f, 8)
+      header(bw, 2, 1)
+      bw.bits(1, 1).bits(1, 2) // COLOR_TRANSFORM
+      bw.bits(1, 3) // size_bits = 3 → one 8x8 tile
+      // cte tile pixel: red = red_to_blue, green = green_to_blue,
+      // blue = green_to_red
+      bw.bits(0, 1) // tile subimage: no cache
+      simple1(bw, 0x00) // green_to_blue = 0
+      simple1(bw, 0x00) // red_to_blue = 0
+      simple1(bw, greenToRed)
+      simple1(bw, 0xff)
+      simple1Small(bw, 0)
+      bw.bits(0, 1) // no more transforms
+      bw.bits(0, 1).bits(0, 1)
+      simple1(bw, 64) // green
+      simple1(bw, 10) // stored red residual
+      simple1(bw, 20) // stored blue
+      simple1(bw, 0xff)
+      simple1Small(bw, 0)
+      decode(bw.toBytes)
+    }
+    // delta(16, 64) = (16·64) >> 5 = 32 → r = (10+32) & 0xff = 42
+    assert(build(16).argb.toSeq === Seq.fill(2)(0xff2a4014))
+    // 0xF0 is −16 in int8: delta = −32 → r = (10−32) & 0xff = 234
+    assert(build(0xf0).argb.toSeq === Seq.fill(2)(0xffea4014))
+  }
+
+  test("meta prefix codes: an entropy image selects per-tile code groups") {
+    val bw = new BitWriter
+    bw.bits(0x2f, 8)
+    header(bw, 8, 1)
+    bw.bits(0, 1) // no transforms
+    bw.bits(0, 1) // no color cache
+    bw.bits(1, 1) // meta prefix codes
+    bw.bits(0, 3) // huffman_bits = 2 → 4-px tiles → entropy image 2x1
+    // entropy image (not top level): green channel = meta index 0 / 1
+    bw.bits(0, 1) // no cache in the entropy image
+    simple2(bw, 0x00, 0x01) // green: canonical 0→bit0, 1→bit1
+    simple1(bw, 0x00); simple1(bw, 0x00); simple1(bw, 0x00)
+    simple1Small(bw, 0)
+    bw.bits(0, 1).bits(1, 1) // entropy pixels: green 0, then green 1
+    // group 0: literal (a=255, r=1, g=10, b=2)
+    simple1(bw, 10); simple1(bw, 1); simple1(bw, 2); simple1(bw, 0xff)
+    simple1Small(bw, 0)
+    // group 1: literal (a=255, r=3, g=200, b=4)
+    simple1(bw, 200); simple1(bw, 3); simple1(bw, 4); simple1(bw, 0xff)
+    simple1Small(bw, 0)
+    val im = decode(bw.toBytes)
+    assert(im.argb.toSeq ===
+      Seq.fill(4)(0xff010a02) ++ Seq.fill(4)(0xff03c804))
+  }
+
   test("container: lossy VP8, truncation, non-RIFF all degrade to None") {
     // lossy: a VP8 chunk
     val bos = new java.io.ByteArrayOutputStream()
