@@ -31,10 +31,9 @@ object LmBench {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val train = docs.filter(col("doc_id") % 2 === 0)
-    val held = docs.filter(col("doc_id") % 2 === 1)
 
-    def run(name: String, table: DataFrame): (String, Map[String, Double]) = {
+    def run(name: String, held: DataFrame,
+        table: DataFrame): (String, Map[String, Double]) = {
       val t0 = System.nanoTime()
       val lm = table.localCheckpoint(true)
       val trainSecs = (System.nanoTime() - t0) / 1e9
@@ -56,11 +55,21 @@ object LmBench {
       (name, stats)
     }
 
-    val rows = Seq(
-      run("abs-discount (arpaTable3)",
-        LmArtifact.arpaTable3(train, "text")),
-      run("Kneser-Ney (arpaTable3Kn)",
-        LmArtifact.arpaTable3Kn(train, "text")))
+    // DENSE lane: train on half the corpus — backoff rarely fires, the
+    // smoothing choice is near-immaterial BY MEASUREMENT. SPARSE lane:
+    // train on 2%, where held-out text lives on the backoff paths KN
+    // exists for.
+    val rows = Seq(("dense (50% train)", col("doc_id") % 2 === 0),
+        ("sparse (2% train)", col("doc_id") % 50 === 0))
+      .flatMap { case (lane, trainPred) =>
+        val train = docs.filter(trainPred)
+        val held = docs.filter(col("doc_id") % 2 === 1 && !trainPred)
+        Seq(
+          run(s"$lane abs-discount",
+            held, LmArtifact.arpaTable3(train, "text")),
+          run(s"$lane Kneser-Ney",
+            held, LmArtifact.arpaTable3Kn(train, "text")))
+      }
     System.err.println(
       "| trainer | held-out mean nll (micro) | perplexity (base 10^nll) | " +
         "oov % | bi-backoff % | uni-backoff % | train s |")
