@@ -768,6 +768,16 @@ class PlanSpec extends SparkTestBase {
     assert(nClasses >= 2L) // the fixture exercises a real multiclass argmax
   }
 
+  test("detectKindCol rides the scan: pure codegen CASE, no UDF, " +
+      "partial agg before the one exchange") {
+    val q = SparkEntry.queries("q_x_detect_kind")
+    val p = plan(q(spark, dir))
+    assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
+      s"kind detection must not leave codegen:\n$p")
+    assert(!p.contains("Window"), s"no window in kind detection:\n$p")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation:\n$p")
+  }
+
   test("mmrTopK: one shuffle to group candidates, the greedy fold adds none") {
     import spark.implicits._
     val cand = Tables.documents(spark, dir)
