@@ -102,6 +102,106 @@ object Multimodal {
     when(pre(0, "RIFF".getBytes("ISO-8859-1")), riff).otherwise(rest)
   }
 
+  /** Image dimensions WITHOUT decode — the scan-side size gate: at
+    * 100 TB you filter thumbnails/banners/oversized images out BEFORE
+    * paying a decode, so dims must come from the fixed-offset header
+    * fields alone. JVM twin of [[imageDimsCol]] plus the formats whose
+    * headers need a walk (JPEG SOF scan, WebP VP8L bit-packed /
+    * VP8 start-code / VP8X canvas fields). TIFF needs a full IFD walk
+    * and returns None — stated, not silent (it lands in the gauge's
+    * stub column like any undecodable payload). Returns (width,
+    * height); None when the magic or the header fields don't parse.
+    */
+  def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Long = (be16(i).toLong << 16) | be16(i + 2)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    try {
+      detectKind(payload) match {
+        case "png" if payload.length >= 24 &&
+            new String(payload, 12, 4, "ISO-8859-1") == "IHDR" =>
+          Some((be32(16).toInt, be32(20).toInt))
+        case "gif" if payload.length >= 10 =>
+          Some((le16(6), le16(8)))
+        case "bmp" if payload.length >= 26 && le32(14) >= 40 =>
+          // BITMAPINFOHEADER: signed LE32; negative height = top-down
+          Some((le32(18).toInt, math.abs(le32(22).toInt)))
+        case "jpeg" =>
+          // marker walk to the first SOFn (C0-C3, C5-C7, C9-CB, CD-CF)
+          var i = 2
+          var out: Option[(Int, Int)] = None
+          while (out.isEmpty && i + 4 <= payload.length) {
+            if (u8(i) != 0xff) return None
+            val m = u8(i + 1)
+            if (m == 0xff) i += 1 // fill byte
+            else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+            else {
+              val len = be16(i + 2)
+              if (len < 2 || i + 2 + len > payload.length) return None
+              val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 &&
+                m != 0xc8 && m != 0xcc
+              if (isSof) {
+                if (len < 7) return None
+                out = Some((be16(i + 7), be16(i + 5)))
+              }
+              i += 2 + len
+            }
+          }
+          out
+        case "webp" if payload.length >= 30 =>
+          val tag = new String(payload, 12, 4, "ISO-8859-1")
+          tag match {
+            case "VP8L" if u8(20) == 0x2f =>
+              // 14-bit fields, LSB-first from byte 21
+              val b = le32(21)
+              Some((((b & 0x3fff) + 1).toInt, (((b >> 14) & 0x3fff) + 1).toInt))
+            case "VP8 " if payload.length >= 30 &&
+                u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a =>
+              Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+            case "VP8X" if payload.length >= 31 =>
+              // 24-bit LE canvas-minus-one fields at payload offsets 4/7
+              def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+              Some((le24(24) + 1, le24(27) + 1))
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The fixed-offset half of [[imageDims]] as a pure codegen column —
+    * PNG (BE32 IHDR fields), GIF (LE16 logical-screen fields) and BMP
+    * (LE32 BITMAPINFOHEADER fields) have their dimensions at constant
+    * offsets, so the size gate can ride the parquet scan with no UDF
+    * (hex + conv arithmetic — the same walk a DuckDB replay does).
+    * Returns struct(w, h); null for every other kind (route those
+    * through [[imageDims]] inside the decode stage, where the payload
+    * is already in hand).
+    */
+  def imageDimsCol(payload: Column): Column = {
+    def byteHex(i: Int): Column = hex(substring(payload, i + 1, 1))
+    def leAt(i: Int, n: Int): Column =
+      conv(concat(((i + n - 1) to i by -1).map(byteHex(_)): _*), 16, 10)
+        .cast("long")
+    def beAt(i: Int, n: Int): Column =
+      conv(hex(substring(payload, i + 1, n)), 16, 10).cast("long")
+    // BMP height is SIGNED LE32 (negative = top-down rows): two's
+    // complement on the unsigned read
+    val bmpH = leAt(22, 4)
+    val bmpHAbs = when(bmpH >= (1L << 31), lit(1L << 32) - bmpH).otherwise(bmpH)
+    val k = detectKindCol(payload)
+    when(k === "png" && length(payload) >= 24 &&
+        substring(payload, 13, 4) === lit("IHDR".getBytes("ISO-8859-1")),
+      struct(beAt(16, 4).as("w"), beAt(20, 4).as("h")))
+      .when(k === "gif" && length(payload) >= 10,
+        struct(leAt(6, 2).as("w"), leAt(8, 2).as("h")))
+      .when(k === "bmp" && length(payload) >= 26 && leAt(14, 4) >= 40,
+        struct(leAt(18, 4).as("w"), bmpHAbs.as("h")))
+      .otherwise(lit(null).cast("struct<w:bigint,h:bigint>"))
+  }
+
   /** STUB decoder — deterministic fake "features" derived from payload
     * bytes, used for kinds with no in-JVM codec (compressed audio/video
     * codecs). A real implementation would decode the media and run a

@@ -392,7 +392,10 @@ object StressBench {
     "q_x_arpa3_kn",
     // r13: the decode-coverage gauge — per-payload real decodes
     // (PNG/VP8L/WAV) inside mapPartitions + one kinds-bounded agg.
-    "q_x_decode_coverage")
+    "q_x_decode_coverage",
+    // r13: scan-side header dims — pure hex/conv codegen, strictly
+    // linear like q_x_detect_kind.
+    "q_x_image_dims")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

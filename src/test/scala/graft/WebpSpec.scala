@@ -1,6 +1,7 @@
 package graft
 
 import graft.llmops.{Multimodal, Webp}
+import org.apache.spark.sql.functions.col
 
 /** VP8L decode over hand-assembled lossless-WebP bytes (the
   * Xlsx/PDF/safetensors FOREIGN-fixture discipline): every stream below
@@ -469,6 +470,48 @@ class WebpSpec extends SparkTestBase {
     assert(Multimodal.detectKind(b(0x89, 0x50)) === "unknown")
     assert(Multimodal.detectKind("hello world".getBytes("UTF-8")) === "unknown")
     assert(Multimodal.detectKind(Array.empty[Byte]) === "unknown")
+  }
+
+  test("imageDims: header-sniffed dimensions match the real decode for " +
+      "every format; the codegen column agrees with the JVM walk") {
+    import spark.implicits._
+    def enc(w: Int, h: Int, format: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => im.setRGB(x, y, 0x446688)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    val png = enc(37, 19, "png")
+    val gif = enc(12, 45, "gif")
+    val bmp = enc(7, 3, "bmp")
+    val jpg = enc(23, 61, "jpg")
+    assert(Multimodal.imageDims(png) === Some((37, 19)))
+    assert(Multimodal.imageDims(gif) === Some((12, 45)))
+    assert(Multimodal.imageDims(bmp) === Some((7, 3)))
+    assert(Multimodal.imageDims(jpg) === Some((23, 61)))
+    // webp: VP8L fixture (3x2), a 1x1 via the single-color builder
+    assert(Multimodal.imageDims(singleColorWebp(3, 2, 0xff000000)) === Some((3, 2)))
+    assert(Multimodal.imageDims(singleColorWebp(200, 131, 0xff102030)) ===
+      Some((200, 131)))
+    // non-images and truncated headers: None, never a throw
+    assert(Multimodal.imageDims("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.imageDims(png.take(15)).isEmpty)
+    assert(Multimodal.imageDims(Array.empty[Byte]).isEmpty)
+    // the codegen column agrees with the JVM walk on its three formats
+    val rows = Seq(("png", png), ("gif", gif), ("bmp", bmp),
+        ("jpg", jpg), ("txt", "nope".getBytes("UTF-8")))
+      .toDF("name", "payload")
+      .select(col("name"), Multimodal.imageDimsCol(col("payload")).as("d"))
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.getStruct(1)).map(s => (s.getLong(0), s.getLong(1)))).toMap
+    assert(rows("png") === Some((37L, 19L)))
+    assert(rows("gif") === Some((12L, 45L)))
+    assert(rows("bmp") === Some((7L, 3L)))
+    assert(rows("jpg") === None) // SOF walk is JVM-side by design
+    assert(rows("txt") === None)
   }
 
   test("routedFeatures routes by BYTES (mislabeled kinds can't stub a " +
