@@ -400,4 +400,36 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.llmops.LmArtifact.arpaScore3(short, "doc_id", "text", lm3)
       .count() == 0)
   }
+
+  test("r13 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    import graft.llmops.{LmArtifact, Multimodal, SpModel}
+    // KN trainer on a trigram-free corpus: unigram rows only (no KN
+    // bigrams exist without trigrams), scoring emits no triples
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    val kn = LmArtifact.arpaTable3Kn(short)
+    assert(kn.filter(col("n") === 3).count() == 0)
+    assert(kn.filter(col("n") === 2).count() == 0)
+    assert(kn.filter(col("n") === 1).count() == 3) // a, b, <unk>
+    assert(LmArtifact.arpaScore3(short, "doc_id", "text", kn).count() == 0)
+    // sp .model of an empty trained vocab: the <unk> row alone ships
+    val emptyVocab = Seq.empty[(String, Long, Long)]
+      .toDF("piece", "cnt", "nll_micro")
+    val dir = java.nio.file.Files.createTempDirectory("sp_empty").toString
+    val m = SpModel.writeSpModel(emptyVocab, s"$dir/e.model").collect().head
+    assert(m.getAs[Long]("n_pieces") === 1L)
+    val back = SpModel.readSpModel(spark, s"$dir/e.model").collect()
+    assert(back.length === 1 && back.head.getAs[String]("piece") === "<unk>")
+    // detection / dims / coverage over an empty media frame: empty out
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    assert(Multimodal.decodeCoverage(noMedia).count() == 0)
+    assert(noMedia.select(Multimodal.detectKindCol(col("payload")),
+      Multimodal.imageDimsCol(col("payload"))).count() == 0)
+    // generation rotation without a seeded frontier: loud, not silent
+    val e = intercept[IllegalStateException] {
+      graft.streaming.EventStream.frontierNewGeneration(spark,
+        "no_such_frontier_prefix")
+    }
+    assert(e.getMessage.contains("meta stamp"))
+  }
 }
