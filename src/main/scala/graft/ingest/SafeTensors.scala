@@ -224,8 +224,13 @@ object SafeTensors {
         bytes.write(header)
         val all = bytes.toByteArray
         val p = new Path(r.getString(0))
-        val o = fsOut.create(p, true)
+        // tmp + rename (the task-side write discipline): a crash
+        // mid-rewrite must never leave a truncated final shard in place
+        val tmp = new Path(p.getParent, s".${p.getName}.rewrite-tmp")
+        val o = fsOut.create(tmp, true)
         try o.write(all) finally o.close()
+        fsOut.delete(p, false)
+        require(fsOut.rename(tmp, p), s"rename failed: $p")
         val md5 = java.security.MessageDigest.getInstance("MD5")
           .digest(all).map("%02x".format(_)).mkString
         Row(r.getString(0), 0L, dim, all.length.toLong, md5)

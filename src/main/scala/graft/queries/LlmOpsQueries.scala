@@ -4896,7 +4896,10 @@ object LlmOpsQueries extends QueryModule {
       import graft.llmops.{SpModel, Unigram}
       val vocab = Unigram.unigramVocab(Tables.documents(s, d), "doc_id",
         "text", vocabSize = 120, rounds = 2, maxPieceLen = 3, maxWordLen = 12)
-      val path = "/tmp/graft_sp_model/sp.model"
+      // per-invocation tempdir — a fixed path races concurrent harness
+      // runs on one box (one run reading the other's half-written file)
+      val path = java.nio.file.Files.createTempDirectory("graft_sp_model")
+        .resolve("sp.model").toString
       SpModel.writeSpModel(vocab, path, controls = Seq("<s>", "</s>"),
         byteFallback = true)
       SpModel.readSpModel(s, path).orderBy("id")
