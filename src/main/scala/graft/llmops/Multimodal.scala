@@ -61,56 +61,97 @@ object Multimodal {
     "tiff-le" -> Array(0x49, 0x49, 0x2A, 0x00).map(_.toByte),
     "tiff-be" -> Array(0x4D, 0x4D, 0x00, 0x2A).map(_.toByte),
     "warc" -> "WARC/".getBytes("ISO-8859-1"),
-    "bmp" -> "BM".getBytes("ISO-8859-1"))
+    "bmp" -> "BM".getBytes("ISO-8859-1"),
+    "flac" -> "fLaC".getBytes("ISO-8859-1"),
+    "mp3" -> "ID3".getBytes("ISO-8859-1"))
 
   private val RiffTags: Seq[(String, String)] =
     Seq("WEBP" -> "webp", "WAVE" -> "wav", "AVI " -> "avi")
 
+  /** ISO-BMFF brand table — the offset-4 rule: bytes 4-7 spell "ftyp"
+    * and the MAJOR brand at offset 8 disambiguates the family (the RIFF
+    * tag rule transplanted to the MP4 container world): mp4/mov/m4a
+    * audio-video containers, avif/heic the image formats riding the
+    * same box grammar. Unlisted brands report the bare container
+    * ("isobmff" — the `riff` stance). Major brand only, stated: a file
+    * whose major brand is generic but whose compatible-brands list
+    * names avif classifies by its major brand.
+    */
+  private val FtypBrands: Seq[(String, String)] = Seq(
+    "avif" -> "avif", "avis" -> "avif",
+    "heic" -> "heic", "heix" -> "heic", "mif1" -> "heic", "msf1" -> "heic",
+    "isom" -> "mp4", "iso2" -> "mp4", "iso4" -> "mp4", "iso5" -> "mp4",
+    "iso6" -> "mp4", "mp41" -> "mp4", "mp42" -> "mp4", "dash" -> "mp4",
+    "qt  " -> "mov", "M4A " -> "m4a")
+
   /** Classify a payload by magic bytes (see [[MagicRules]]). Returns
     * "tiff" for either byte order; "riff" for a RIFF container with an
-    * unrecognized format tag; "unknown" when nothing matches.
+    * unrecognized format tag; "isobmff" for an `ftyp` box with an
+    * unlisted major brand; "mp3" for an ID3v2 tag OR a bare MPEG audio
+    * frame sync (0xFF + three set bits — the one masked rule the exact-
+    * prefix table can't spell, checked LAST so jpeg's FF D8 FF wins);
+    * "unknown" when nothing matches.
     */
   def detectKind(payload: Array[Byte]): String = {
     def startsWith(m: Array[Byte], off: Int): Boolean =
       payload.length >= off + m.length &&
         java.util.Arrays.equals(
           payload, off, off + m.length, m, 0, m.length)
-    if (startsWith("RIFF".getBytes("ISO-8859-1"), 0)) {
+    def at(s: String, off: Int): Boolean =
+      startsWith(s.getBytes("ISO-8859-1"), off)
+    if (at("RIFF", 0)) {
       RiffTags.collectFirst {
-        case (tag, kind) if startsWith(tag.getBytes("ISO-8859-1"), 8) => kind
+        case (tag, kind) if at(tag, 8) => kind
       }.getOrElse("riff")
+    } else if (at("ftyp", 4)) {
+      FtypBrands.collectFirst {
+        case (brand, kind) if at(brand, 8) => kind
+      }.getOrElse("isobmff")
     } else MagicRules.collectFirst {
       case (kind, m) if startsWith(m, 0) =>
         if (kind.startsWith("tiff")) "tiff" else kind
-    }.getOrElse("unknown")
+    }.getOrElse(
+      if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+          (payload(1) & 0xE0) == 0xE0) "mp3"
+      else "unknown")
   }
 
   /** The same classification as a codegen'd CASE over binary prefixes —
     * no UDF, so kind detection rides the scan (and a DuckDB replay can
-    * walk the identical hex prefixes).
+    * walk the identical hex prefixes). Rule order mirrors [[detectKind]]
+    * exactly: RIFF tag, ftyp brand, the prefix table, the MPEG-audio
+    * frame sync (a hex-nibble check — FF then E/F), unknown.
     */
   def detectKindCol(payload: Column): Column = {
     def pre(off: Int, m: Array[Byte]): Column =
       substring(payload, off + 1, m.length) === lit(m)
+    def preS(off: Int, s: String): Column = pre(off, s.getBytes("ISO-8859-1"))
     val riff = RiffTags.foldRight(lit("riff")) { case ((tag, kind), e) =>
-      when(pre(8, tag.getBytes("ISO-8859-1")), lit(kind)).otherwise(e)
+      when(preS(8, tag), lit(kind)).otherwise(e)
     }
-    val rest = MagicRules.foldRight(lit("unknown")) { case ((kind, m), e) =>
+    val ftyp = FtypBrands.foldRight(lit("isobmff")) { case ((brand, kind), e) =>
+      when(preS(8, brand), lit(kind)).otherwise(e)
+    }
+    val mp3Sync = when(hex(substring(payload, 1, 1)) === "FF" &&
+        substring(hex(substring(payload, 2, 1)), 1, 1).isin("E", "F"),
+      lit("mp3")).otherwise(lit("unknown"))
+    val rest = MagicRules.foldRight(mp3Sync) { case ((kind, m), e) =>
       when(pre(0, m),
         lit(if (kind.startsWith("tiff")) "tiff" else kind)).otherwise(e)
     }
-    when(pre(0, "RIFF".getBytes("ISO-8859-1")), riff).otherwise(rest)
+    when(preS(0, "RIFF"), riff)
+      .when(preS(4, "ftyp"), ftyp)
+      .otherwise(rest)
   }
 
   /** Image dimensions WITHOUT decode — the scan-side size gate: at
     * 100 TB you filter thumbnails/banners/oversized images out BEFORE
-    * paying a decode, so dims must come from the fixed-offset header
-    * fields alone. JVM twin of [[imageDimsCol]] plus the formats whose
-    * headers need a walk (JPEG SOF scan, WebP VP8L bit-packed /
-    * VP8 start-code / VP8X canvas fields). TIFF needs a full IFD walk
-    * and returns None — stated, not silent (it lands in the gauge's
-    * stub column like any undecodable payload). Returns (width,
-    * height); None when the magic or the header fields don't parse.
+    * paying a decode, so dims must come from the header fields alone.
+    * JVM twin of [[imageDimsCol]] plus the formats whose headers need a
+    * walk (JPEG SOF scan, WebP VP8L bit-packed / VP8 start-code / VP8X
+    * canvas fields, the TIFF first-IFD walk in both byte orders, the
+    * ISO-BMFF `ispe` box walk for avif/heic). Returns (width, height);
+    * None when the magic or the header fields don't parse.
     */
   def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int): Int = payload(i) & 0xff
@@ -166,20 +207,115 @@ object Multimodal {
               Some((le24(24) + 1, le24(27) + 1))
             case _ => None
           }
+        case "tiff" => tiffDims(payload)
+        case "avif" | "heic" | "isobmff" => ispeDims(payload)
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** The fixed-offset half of [[imageDims]] as a pure codegen column —
+  /** TIFF dimensions via the first-IFD walk, both byte orders: tags 256
+    * (ImageWidth) and 257 (ImageLength) of SHORT or LONG type, count 1 —
+    * the baseline layout every mainstream writer emits. Values are
+    * LEFT-justified in the entry's 4-byte value field per spec, so a
+    * SHORT reads from the field's first two bytes in either byte order.
+    * Torn header/IFD or a missing tag → None.
+    */
+  private def tiffDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val n = payload.length
+    if (n < 8) return None
+    val le = payload(0) == 'I'.toByte
+    def u8(i: Int): Int = payload(i) & 0xff
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) u16(i).toLong | (u16(i + 2).toLong << 16)
+      else (u16(i).toLong << 16) | u16(i + 2)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > n) return None
+    val cnt = u16(ifd.toInt)
+    if (ifd + 2 + 12L * cnt > n) return None
+    var w = 0L; var h = 0L
+    var i = 0
+    while (i < cnt) {
+      val base = ifd.toInt + 2 + 12 * i
+      val tpe = u16(base + 2)
+      if (u32(base + 4) == 1L && (tpe == 3 || tpe == 4)) {
+        val v = if (tpe == 3) u16(base + 8).toLong else u32(base + 8)
+        u16(base) match {
+          case 256 => w = v
+          case 257 => h = v
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    if (w >= 1 && h >= 1 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some((w.toInt, h.toInt))
+    else None
+  }
+
+  /** ISO-BMFF `ispe` walk for avif/heic dimensions: scan the box tree
+    * (32-bit sizes, the 64-bit `largesize` form, size-0 to-end boxes)
+    * into `meta` (a FullBox — 4 version/flag bytes after the header) →
+    * `iprp` → `ipco`, returning the FIRST ispe's width/height — the
+    * primary item's property in the files mainstream encoders emit
+    * (resolving the pitm→ipma association to pick among multiple ispe
+    * boxes is out of stated scope: a thumbnail-first property container
+    * reads the thumb). Torn boxes end that level's walk; depth-capped
+    * like the AVI LIST recursion.
+    */
+  private def ispeDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Long = payload(i) & 0xffL
+    def be32(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def walk(start: Long, end: Long, depth: Int): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz0 = be32(off.toInt)
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1L) {
+          if (off + 16 > end) return None
+          sz = be64(off.toInt + 8); hdr = 16L
+        } else if (sz0 == 0L) sz = end - off
+        if (sz < hdr || off + sz > end || sz > Int.MaxValue) return None
+        val t = new String(payload, off.toInt + 4, 4, "ISO-8859-1")
+        if (t == "ispe" && sz >= hdr + 12)
+          return Some((be32((off + hdr + 4).toInt).toInt,
+            be32((off + hdr + 8).toInt).toInt))
+        val inner =
+          if (depth < 8 && t == "meta" && sz >= hdr + 4)
+            walk(off + hdr + 4, off + sz, depth + 1)
+          else if (depth < 8 && (t == "iprp" || t == "ipco"))
+            walk(off + hdr, off + sz, depth + 1)
+          else None
+        if (inner.isDefined) return inner
+        off += sz
+      }
+      None
+    }
+    walk(0L, payload.length.toLong, 0)
+  }
+
+  /** The arithmetic half of [[imageDims]] as a pure codegen column —
     * PNG (BE32 IHDR fields), GIF (LE16 logical-screen fields) and BMP
     * (LE32 BITMAPINFOHEADER fields) have their dimensions at constant
-    * offsets, so the size gate can ride the parquet scan with no UDF
-    * (hex + conv arithmetic — the same walk a DuckDB replay does).
-    * Returns struct(w, h); null for every other kind (route those
+    * offsets, and TIFF's first IFD is a bounded dynamic-offset walk
+    * (entry positions computed from the header's IFD pointer — still
+    * hex + conv + substring arithmetic, the same walk a DuckDB replay
+    * does), so the size gate rides the parquet scan with no UDF. The
+    * TIFF half reads at most the first [[TiffColMaxEntries]] IFD
+    * entries (tags are spec-ordered ascending, so 256/257 lead every
+    * real file; a fatter IFD reads null here and the JVM walk handles
+    * it). Returns struct(w, h); null for every other kind (route those
     * through [[imageDims]] inside the decode stage, where the payload
     * is already in hand).
     */
+  private val TiffColMaxEntries = 16
+
   def imageDimsCol(payload: Column): Column = {
     def byteHex(i: Int): Column = hex(substring(payload, i + 1, 1))
     def leAt(i: Int, n: Int): Column =
@@ -191,6 +327,58 @@ object Multimodal {
     // complement on the unsigned read
     val bmpH = leAt(22, 4)
     val bmpHAbs = when(bmpH >= (1L << 31), lit(1L << 32) - bmpH).otherwise(bmpH)
+    // --- TIFF: dynamic-position reads off the header's IFD pointer.
+    // Expression-tree economy matters here (the IFD pointer subtree
+    // would otherwise be duplicated into every byte read and blow up
+    // the plan): each 12-byte IFD entry is pulled with ONE dynamic
+    // substring, hexed, and sliced as string arithmetic.
+    val isLe = substring(payload, 1, 2) === lit("II".getBytes("ISO-8859-1"))
+    def fixed(off: Int, n: Int): Column = {
+      val hx = hex(substring(payload, off + 1, n))
+      val le = conv(concat(((n - 1) to 0 by -1).map(k =>
+        substring(hx, 2 * k + 1, 2)): _*), 16, 10).cast("long")
+      when(isLe, le).otherwise(conv(hx, 16, 10).cast("long"))
+    }
+    val ifd = fixed(4, 4)
+    // the first-IFD entry region in one dynamic read: count (2 bytes) +
+    // up to TiffColMaxEntries 12-byte entries. The region hex is BOUND
+    // ONCE as a higher-order-function lambda variable — every slice
+    // below references that leaf instead of re-inlining the
+    // dynamic-substring subtree, which keeps the plan tree (and the
+    // generated code) small; the entry walk itself evaluates as an
+    // interpreted lambda, once per row, over ≤ 194 bytes.
+    val ifdHex = hex(call_function("substring", payload,
+      (ifd + 1L).cast("int"), lit(2 + 12 * TiffColMaxEntries)))
+    val tiffDim = element_at(
+      transform(array(ifdHex), hx => {
+        def slice(charOff: Int, nBytes: Int): Column = {
+          val le = conv(concat(((nBytes - 1) to 0 by -1).map(k =>
+            substring(hx, charOff + 2 * k + 1, 2)): _*), 16, 10).cast("long")
+          val be = conv(substring(hx, charOff + 1, 2 * nBytes), 16, 10)
+            .cast("long")
+          when(isLe, le).otherwise(be)
+        }
+        val nEnt = slice(0, 2)
+        def entryDim(tag: Long): Column = {
+          val hits = (0 until TiffColMaxEntries).map { i =>
+            val c = 4 + 24 * i // hex-char offset of entry i, after the count
+            val tpe = slice(c + 4, 2)
+            when(lit(i.toLong) < nEnt && slice(c, 2) === tag &&
+                slice(c + 8, 4) === 1L && (tpe === 3L || tpe === 4L),
+              when(tpe === 3L, slice(c + 16, 2)).otherwise(slice(c + 16, 4)))
+          }
+          coalesce(hits :+ lit(null).cast("long"): _*)
+        }
+        val w = entryDim(256L)
+        val h = entryDim(257L)
+        when(nEnt <= TiffColMaxEntries &&
+            ifd + 2L + nEnt * 12L <= length(payload) &&
+            w >= 1L && h >= 1L,
+          struct(w.as("w"), h.as("h")))
+          .otherwise(lit(null).cast("struct<w:bigint,h:bigint>"))
+      }), 1)
+    val tiffOk = length(payload) >= 8 && fixed(2, 2) === 42L &&
+      ifd >= 8L && ifd + 2L <= length(payload)
     val k = detectKindCol(payload)
     when(k === "png" && length(payload) >= 24 &&
         substring(payload, 13, 4) === lit("IHDR".getBytes("ISO-8859-1")),
@@ -199,7 +387,172 @@ object Multimodal {
         struct(leAt(6, 2).as("w"), leAt(8, 2).as("h")))
       .when(k === "bmp" && length(payload) >= 26 && leAt(14, 4) >= 40,
         struct(leAt(18, 4).as("w"), bmpHAbs.as("h")))
+      .when(k === "tiff" && tiffOk, tiffDim)
       .otherwise(lit(null).cast("struct<w:bigint,h:bigint>"))
+  }
+
+  final case class AudioMeta(sample_rate: Long, channels: Long,
+      n_samples: Long, duration_micros: Long)
+
+  /** Audio stream parameters WITHOUT decode — the [[imageDims]] sibling
+    * for sound: at 100 TB the audio size gate (too short / too long /
+    * wrong rate) must read header fields, not pay a PCM decode for the
+    * reject decision. Routes by [[detectKind]] of the bytes:
+    *
+    *   - wav: the [[wavPcm]] chunk walk's fmt/data headers only (frames
+    *     from the data chunk LENGTH — no sample is read);
+    *   - flac: STREAMINFO (spec-mandated first metadata block): 20-bit
+    *     sample rate, 3-bit channels, 36-bit total samples;
+    *   - mp3: MPEG audio frame-header hop (Layer III, all three MPEG
+    *     versions; ID3v2 tags skipped via the syncsafe size) — each
+    *     header gives the frame's byte length and sample count, so the
+    *     walk visits ~one 4-byte read per frame and sums an EXACT
+    *     duration for CBR and VBR alike; free-format bitrate (index 0)
+    *     and a desynced byte end the walk with whatever parsed
+    *     (truncated tail = the parsed prefix's duration, the degrade
+    *     contract).
+    *
+    * `n_samples` counts per-channel PCM frames in every branch;
+    * `duration_micros = n_samples · 10⁶ div rate` (integer). None when
+    * the magic or the headers don't parse.
+    */
+  def audioDims(payload: Array[Byte]): Option[AudioMeta] =
+    try {
+      detectKind(payload) match {
+        case "wav" => wavPcm(payload).map { case (ch, rate, bits, _, dLen) =>
+          val frames = dLen.toLong / (bits / 8) / ch
+          AudioMeta(rate.toLong, ch.toLong, frames, frames * 1000000L / rate)
+        }
+        case "flac" => flacStreamInfo(payload)
+        case "mp3" => mp3Meta(payload)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** FLAC STREAMINFO parse (the spec requires it as the FIRST metadata
+    * block, 34 bytes): sample rate / channels / total samples from the
+    * bit-packed 8 bytes at offset 18. Zero rate (spec-reserved) → None.
+    */
+  private def flacStreamInfo(payload: Array[Byte]): Option[AudioMeta] = {
+    if (payload.length < 42) return None
+    def u8(i: Int): Long = payload(i) & 0xffL
+    if ((u8(4) & 0x7f) != 0L ||
+        ((u8(5) << 16) | (u8(6) << 8) | u8(7)) != 34L) return None
+    val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+    val ch = ((u8(20) >> 1) & 0x7) + 1
+    val nSamples = ((u8(21) & 0xf) << 32) | (u8(22) << 24) |
+      (u8(23) << 16) | (u8(24) << 8) | u8(25)
+    if (rate == 0L) None
+    else Some(AudioMeta(rate, ch, nSamples, nSamples * 1000000L / rate))
+  }
+
+  /** MPEG audio (Layer III) header walk — see [[audioDims]]. Public
+    * bitrate/samplerate tables from the MPEG-1/2 audio spec. */
+  private def mp3Meta(payload: Array[Byte]): Option[AudioMeta] = {
+    val n = payload.length
+    def u8(i: Int): Int = payload(i) & 0xff
+    var off = 0
+    if (n >= 10 && payload(0) == 'I'.toByte && payload(1) == 'D'.toByte &&
+        payload(2) == '3'.toByte) {
+      // ID3v2: 4-byte syncsafe size (7 bits per byte) + optional footer
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      off = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
+    }
+    val mpeg1Br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    val mpeg2Br = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 144, 160)
+    val baseRates = Array(44100, 48000, 32000)
+    var rate = 0L; var ch = 0L; var samples = 0L; var frames = 0L
+    var ok = off >= 0
+    while (ok && off + 4 <= n) {
+      val h = (u8(off) << 24) | (u8(off + 1) << 16) | (u8(off + 2) << 8) |
+        u8(off + 3)
+      val verBits = (h >>> 19) & 3 // 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+      val layerBits = (h >>> 17) & 3 // 1 = Layer III
+      val brIdx = (h >>> 12) & 15
+      val srIdx = (h >>> 10) & 3
+      if ((h >>> 21) != 0x7ff || verBits == 1 || layerBits != 1 ||
+          brIdx == 0 || brIdx == 15 || srIdx == 3) ok = false
+      else {
+        val mpeg1 = verBits == 3
+        val sr = baseRates(srIdx) / (if (mpeg1) 1 else if (verBits == 2) 2 else 4)
+        val br = (if (mpeg1) mpeg1Br(brIdx) else mpeg2Br(brIdx)) * 1000
+        val spf = if (mpeg1) 1152 else 576
+        val flen = spf / 8 * br / sr + ((h >>> 9) & 1)
+        if (flen < 4 || off + flen > n) ok = false
+        else {
+          if (frames == 0L) {
+            rate = sr.toLong
+            ch = if (((h >>> 6) & 3) == 3) 1L else 2L
+          }
+          samples += spf; frames += 1; off += flen
+        }
+      }
+    }
+    if (frames == 0L || rate == 0L) None
+    else Some(AudioMeta(rate, ch, samples, samples * 1000000L / rate))
+  }
+
+  /** The fixed-offset half of [[audioDims]] as a pure codegen column —
+    * FLAC (STREAMINFO is spec-pinned to the first metadata block, so
+    * every field sits at a constant offset) and CANONICAL-layout WAV
+    * (fmt chunk at 12, data chunk at 36 — the layout every mainstream
+    * encoder writes; exotic chunk orders read null here and the JVM
+    * walk handles them, stated). All hex/conv/shift arithmetic riding
+    * the scan; the duration division goes through DECIMAL minus its
+    * pmod so the integer quotient is exact on any rate. Returns
+    * struct(sample_rate, channels, n_samples, duration_micros); null
+    * for everything else (mp3's variable frame walk is JVM-side by
+    * design, the JPEG-SOF stance).
+    */
+  def audioDimsCol(payload: Column): Column = {
+    def byteAt(i: Int): Column =
+      conv(hex(substring(payload, i + 1, 1)), 16, 10).cast("long")
+    def beAt(i: Int, n: Int): Column =
+      conv(hex(substring(payload, i + 1, n)), 16, 10).cast("long")
+    def leAt(i: Int, n: Int): Column =
+      conv(concat(((i + n - 1) to i by -1).map(j =>
+        hex(substring(payload, j + 1, 1))): _*), 16, 10).cast("long")
+    def divExact(num: Column, den: Column): Column = {
+      val d38 = num.cast("decimal(38,0)")
+      val den38 = den.cast("decimal(38,0)")
+      ((d38 - pmod(d38, den38)) / den38).cast("long")
+    }
+    val k = detectKindCol(payload)
+    // FLAC STREAMINFO
+    val fRate = shiftleft(byteAt(18), 12) + shiftleft(byteAt(19), 4) +
+      shiftright(byteAt(20), 4)
+    val fCh = shiftright(byteAt(20), 1).bitwiseAND(lit(7L)) + 1L
+    val fNs = shiftleft(byteAt(21).bitwiseAND(lit(15L)), 32) + beAt(22, 4)
+    val flacOk = length(payload) >= 42 &&
+      byteAt(4).bitwiseAND(lit(0x7fL)) === 0L && beAt(5, 3) === 34L &&
+      fRate >= 1L
+    // canonical WAV: RIFF/WAVE + "fmt " (16-byte PCM) at 12, "data" at 36
+    val wCh = leAt(22, 2)
+    val wRate = leAt(24, 4)
+    val wBits = leAt(34, 2)
+    val wDataLen = leAt(40, 4)
+    val wBytesPerFrame = wCh * shiftright(wBits, 3)
+    val wavOk = length(payload) >= 44 &&
+      substring(payload, 13, 4) === lit("fmt ".getBytes("ISO-8859-1")) &&
+      leAt(16, 4) === 16L && leAt(20, 2) === 1L &&
+      (wBits === 8L || wBits === 16L) && wCh >= 1L && wRate >= 1L &&
+      substring(payload, 37, 4) === lit("data".getBytes("ISO-8859-1")) &&
+      length(payload) >= lit(44L) + wDataLen
+    val wFrames = divExact(wDataLen, wBytesPerFrame)
+    val nul = lit(null).cast(
+      "struct<sample_rate:bigint,channels:bigint,n_samples:bigint," +
+        "duration_micros:bigint>")
+    when(k === "flac" && flacOk,
+      struct(fRate.as("sample_rate"), fCh.as("channels"),
+        fNs.as("n_samples"),
+        divExact(fNs * 1000000L, fRate).as("duration_micros")))
+      .when(k === "wav" && wavOk,
+        struct(wRate.as("sample_rate"), wCh.as("channels"),
+          wFrames.as("n_samples"),
+          divExact(wFrames * 1000000L, wRate).as("duration_micros")))
+      .otherwise(nul)
   }
 
   /** STUB decoder — deterministic fake "features" derived from payload

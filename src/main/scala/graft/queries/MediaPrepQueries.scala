@@ -21,6 +21,9 @@ object MediaPrepQueries extends QueryModule {
 
   /** (kind, magic) in detection order — mirrors
     * [[Multimodal.detectKindCol]]'s rule table for the oracle CASE.
+    * r14 adds the ISO-BMFF `ftyp` plants (real brands + a bogus brand
+    * for the bare-container fallback), flac, and both mp3 front doors
+    * (ID3v2 tag and a bare MPEG frame sync).
     */
   private val Magics: Seq[(String, Array[Byte])] = Seq(
     "png" -> Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
@@ -36,7 +39,33 @@ object MediaPrepQueries extends QueryModule {
     "wav" -> riffMagic("WAVE"),
     "avi" -> riffMagic("AVI "),
     "riff" -> riffMagic("JUNK"),
+    "mp4" -> ftypMagic("isom"),
+    "avif" -> ftypMagic("avif"),
+    "heic" -> ftypMagic("mif1"),
+    "mov" -> ftypMagic("qt  "),
+    "m4a" -> ftypMagic("M4A "),
+    "isobmff" -> ftypMagic("zzzz"),
+    "flac" -> "fLaC".getBytes("ISO-8859-1"),
+    "mp3" -> ("ID3".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0)),
+    "mp3sync" -> Array(0xFF, 0xFB).map(_.toByte),
     "unknown" -> Array.empty[Byte])
+
+  /** The [[Multimodal]] ftyp brand table, mirrored for the oracle CASE
+    * (rule-for-rule, order included — the TRUE-replay requirement).
+    */
+  private val FtypBrands: Seq[(String, String)] = Seq(
+    "avif" -> "avif", "avis" -> "avif",
+    "heic" -> "heic", "heix" -> "heic", "mif1" -> "heic", "msf1" -> "heic",
+    "isom" -> "mp4", "iso2" -> "mp4", "iso4" -> "mp4", "iso5" -> "mp4",
+    "iso6" -> "mp4", "mp41" -> "mp4", "mp42" -> "mp4", "dash" -> "mp4",
+    "qt  " -> "mov", "M4A " -> "m4a")
+
+  /** A minimal ftyp box prefix: BE32 size 16, "ftyp", the major brand,
+    * zero minor version.
+    */
+  private def ftypMagic(brand: String): Array[Byte] =
+    Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("ISO-8859-1") ++
+      brand.getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0)
 
   /** RIFF container prefix with a zeroed size field — spelled as explicit
     * zero BYTES (not embedded NUL literals) so this source file stays
@@ -85,41 +114,54 @@ object MediaPrepQueries extends QueryModule {
   def queries: Seq[OracleQuery] = Seq(
 
     // Magic-byte kind detection as a TRUE byte-walk replay: each doc
-    // carries one of 14 planted prefixes (12 real magics + a bogus-tag
-    // RIFF + no prefix at all) ahead of its text bytes; BOTH engines
-    // run the same ordered prefix CASE over the same constructed bytes
-    // — so a text that happens to start with "BM" classifies bmp in
-    // both, the adversarial case a planted-expectation oracle would
-    // miss. Counts and id-sums per kind pin the result.
+    // carries one of the planted prefixes (real magics incl. the r14
+    // ftyp/flac/mp3 family, a bogus-tag RIFF, a bogus-brand ftyp, and no
+    // prefix at all) ahead of its text bytes; BOTH engines run the same
+    // ordered rule CASE over the same constructed bytes — so a text that
+    // happens to start with "BM" (or carry "ftyp" at offset 4)
+    // classifies identically in both, the adversarial case a
+    // planted-expectation oracle would miss. Counts and id-sums per
+    // kind pin the result.
     q("q_x_detect_kind", {
+      val nPlants = Magics.length
       val riffHex = hexOf("RIFF".getBytes("ISO-8859-1"))
+      val ftypHex = hexOf("ftyp".getBytes("ISO-8859-1"))
       def tagCase(tag: String, kind: String): String =
         s"WHEN substr(hx, 17, 8) = '${hexOf(tag.getBytes("ISO-8859-1"))}' THEN '$kind'"
+      val brandCases = FtypBrands.map { case (brand, kind) =>
+        tagCase(brand, kind)
+      }.mkString(" ")
       val ruleCases = Seq(
         "png" -> "89504E470D0A1A0A", "jpeg" -> "FFD8FF", "gif" -> "47494638",
         "pdf" -> "255044462D", "gzip" -> "1F8B", "zstd" -> "28B52FFD",
         "zip" -> "504B0304", "tiff" -> "49492A00", "tiff2" -> "4D4D002A",
-        "warc" -> "574152432F", "bmp" -> "424D")
+        "warc" -> "574152432F", "bmp" -> "424D",
+        "flac" -> "664C6143", "mp3" -> "494433")
         .map { case (k, h) =>
           val kind = if (k == "tiff2") "tiff" else k
           s"WHEN substr(hx, 1, ${h.length}) = '$h' THEN '$kind'"
         }.mkString(" ")
       val plantCases = Magics.zipWithIndex.map { case ((_, m), i) =>
-        s"WHEN doc_id % 14 = $i THEN '${hexOf(m)}'"
+        s"WHEN doc_id % $nPlants = $i THEN '${hexOf(m)}'"
       }.mkString(" ")
       s"WITH src AS (SELECT doc_id, (CASE $plantCases END) || hex(encode(text)) AS hx FROM documents), " +
         "k AS (SELECT doc_id, CASE " +
         s"WHEN substr(hx, 1, 8) = '$riffHex' THEN (CASE " +
         s"${tagCase("WEBP", "webp")} ${tagCase("WAVE", "wav")} ${tagCase("AVI ", "avi")} " +
         "ELSE 'riff' END) " +
-        s"$ruleCases ELSE 'unknown' END AS kind FROM src) " +
+        s"WHEN substr(hx, 9, 8) = '$ftypHex' THEN (CASE " +
+        s"$brandCases ELSE 'isobmff' END) " +
+        s"$ruleCases " +
+        "WHEN substr(hx, 1, 2) = 'FF' AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3' " +
+        "ELSE 'unknown' END AS kind FROM src) " +
         "SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
         "FROM k GROUP BY kind ORDER BY kind"
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
+      val nPlants = Magics.length
       val plant = Magics.zipWithIndex.foldRight(lit(Array.empty[Byte])) {
         case (((_, m), i), e) =>
-          when(col("doc_id") % 14 === i, lit(m)).otherwise(e)
+          when(col("doc_id") % nPlants === i, lit(m)).otherwise(e)
       }
       docs.select(col("doc_id"),
           Multimodal.detectKindCol(
@@ -132,14 +174,17 @@ object MediaPrepQueries extends QueryModule {
     // Decode-coverage gauge over a planted mix whose decodability is
     // known by construction: real PNG bytes (ImageIO), the pinned VP8L
     // webp (the engine's own dependency-free decoder), a lossy-VP8
-    // header (detected webp, honestly stubbed), a real PCM WAV, and
-    // plain text. The engine must actually DECODE to hit the expected
-    // per-kind (n, n_decoded, stub_ppm) rows the oracle derives from
-    // the planting arithmetic.
+    // header (detected webp, honestly stubbed), a real PCM WAV, an AVIF
+    // and an MP4 ftyp header (the r14 ISO-BMFF kinds — detected under
+    // their own names, honestly stubbed), and plain text. The engine
+    // must actually DECODE to hit the expected per-kind
+    // (n, n_decoded, stub_ppm) rows the oracle derives from the
+    // planting arithmetic.
     q("q_x_decode_coverage",
-      "WITH src AS (SELECT CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
-        "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' ELSE 'unknown' END AS kind, " +
-        "CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS dec " +
+      "WITH src AS (SELECT CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
+        "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'avif' " +
+        "WHEN 5 THEN 'mp4' ELSE 'unknown' END AS kind, " +
+        "CASE doc_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS dec " +
         "FROM documents) " +
         "SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(dec) AS BIGINT) AS n_decoded, " +
         "CAST(count(*) - sum(dec) AS BIGINT) AS n_stubbed, " +
@@ -151,10 +196,12 @@ object MediaPrepQueries extends QueryModule {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(im, "png", bos)
       val png = bos.toByteArray
-      val payload = when(col("doc_id") % 5 === 0, lit(png))
-        .when(col("doc_id") % 5 === 1, lit(TinyWebp))
-        .when(col("doc_id") % 5 === 2, lit(LossyWebp))
-        .when(col("doc_id") % 5 === 3, lit(TinyWav))
+      val payload = when(col("doc_id") % 7 === 0, lit(png))
+        .when(col("doc_id") % 7 === 1, lit(TinyWebp))
+        .when(col("doc_id") % 7 === 2, lit(LossyWebp))
+        .when(col("doc_id") % 7 === 3, lit(TinyWav))
+        .when(col("doc_id") % 7 === 4, lit(ftypMagic("avif")))
+        .when(col("doc_id") % 7 === 5, lit(ftypMagic("mp42")))
         // 0x00 prefix (the q_x_image_dims guard): a text that happens to
         // start with a magic must not re-route the planted-unknown lane
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
@@ -163,18 +210,21 @@ object MediaPrepQueries extends QueryModule {
       Multimodal.decodeCoverage(media).orderBy("kind")
     },
 
-    // Scan-side image dimensions without decode: PNG/GIF/BMP headers
-    // CONSTRUCTED from doc_id arithmetic (BE IHDR fields, LE
+    // Scan-side image dimensions without decode: PNG/GIF/BMP/TIFF
+    // headers CONSTRUCTED from doc_id arithmetic (BE IHDR fields, LE
     // logical-screen fields, LE BITMAPINFOHEADER fields incl. the
-    // signed top-down height), parsed back by the pure-codegen
-    // imageDimsCol — construction is lpad/hex/unhex arithmetic, the
-    // parse is substring/conv arithmetic, so a parse-offset bug breaks
-    // the identity the oracle states (and the spec separately pins the
-    // parse against real ImageIO-encoded files). Text rows read null.
+    // signed top-down height, and r14's first-IFD TIFF in BOTH byte
+    // orders — a SHORT-typed width entry and a LONG-typed height
+    // entry, exercising the type-dependent value read), parsed back by
+    // the pure-codegen imageDimsCol — construction is lpad/hex/unhex
+    // arithmetic, the parse is substring/conv arithmetic, so a
+    // parse-offset bug breaks the identity the oracle states (and the
+    // spec separately pins the parse against real ImageIO-encoded
+    // files). Text rows read null.
     q("q_x_image_dims",
       "SELECT doc_id, " +
-        "CASE WHEN doc_id % 4 = 3 THEN NULL ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS w, " +
-        "CASE WHEN doc_id % 4 = 3 THEN NULL ELSE CAST(doc_id % 333 + 1 AS BIGINT) END AS h " +
+        "CASE WHEN doc_id % 6 = 5 THEN NULL ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS w, " +
+        "CASE WHEN doc_id % 6 = 5 THEN NULL ELSE CAST(doc_id % 333 + 1 AS BIGINT) END AS h " +
         "FROM documents ORDER BY doc_id") { (s, d) =>
       val w = col("doc_id") % 500 + 1
       val h = col("doc_id") % 333 + 1
@@ -197,16 +247,103 @@ object MediaPrepQueries extends QueryModule {
       val bmpHex = concat(strHex("BM"), lit("00000000"), lit("00000000"),
         lit("36000000"), leHex(lit(40L), 4), leHex(w, 4),
         leHex(bmpStoredH, 4), lit("0100"))
+      // TIFF first IFD at offset 8, two entries: ImageWidth (256) as a
+      // SHORT (value left-justified in the 4-byte field), ImageLength
+      // (257) as a LONG — both byte orders
+      val tiffLeHex = concat(lit("49492A00"), leHex(lit(8L), 4),
+        leHex(lit(2L), 2),
+        leHex(lit(256L), 2), leHex(lit(3L), 2), leHex(lit(1L), 4),
+        leHex(w, 2), lit("0000"),
+        leHex(lit(257L), 2), leHex(lit(4L), 2), leHex(lit(1L), 4),
+        leHex(h, 4),
+        lit("00000000"))
+      val tiffBeHex = concat(lit("4D4D002A"), beHex(lit(8L), 4),
+        beHex(lit(2L), 2),
+        beHex(lit(256L), 2), beHex(lit(3L), 2), beHex(lit(1L), 4),
+        beHex(w, 2), lit("0000"),
+        beHex(lit(257L), 2), beHex(lit(4L), 2), beHex(lit(1L), 4),
+        beHex(h, 4),
+        lit("00000000"))
       // text rows get a 0x00 prefix so a text that happens to start
       // with a magic can't turn the planted-null row into a parse
-      val payload = when(col("doc_id") % 4 === 0, unhex(pngHex))
-        .when(col("doc_id") % 4 === 1, unhex(gifHex))
-        .when(col("doc_id") % 4 === 2, unhex(bmpHex))
+      val payload = when(col("doc_id") % 6 === 0, unhex(pngHex))
+        .when(col("doc_id") % 6 === 1, unhex(gifHex))
+        .when(col("doc_id") % 6 === 2, unhex(bmpHex))
+        .when(col("doc_id") % 6 === 3, unhex(tiffLeHex))
+        .when(col("doc_id") % 6 === 4, unhex(tiffBeHex))
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
       Tables.documents(s, d)
         .select(col("doc_id"),
           Multimodal.imageDimsCol(payload).as("d"))
         .select(col("doc_id"), col("d.w").as("w"), col("d.h").as("h"))
+        .orderBy("doc_id")
+    },
+
+    // Scan-side AUDIO stream parameters without decode (the r14
+    // imageDims sibling): FLAC STREAMINFO and canonical-WAV headers
+    // constructed from doc_id arithmetic (the FLAC rate/channels/
+    // samples bit-packing built as one BIGINT and hex-serialized; the
+    // WAV fmt/data chunks as LE fields plus a real zero-filled data
+    // section sized by the header), parsed back by the pure-codegen
+    // audioDimsCol. Truncated-FLAC and 0x00-guarded text rows read
+    // null. The identity the oracle states covers rate, channels,
+    // per-channel sample count and the exact integer duration division.
+    q("q_x_audio_dims",
+      "WITH p AS (SELECT doc_id, doc_id % 4 AS lane, " +
+        "8000 + doc_id % 40000 AS frate, doc_id % 8 + 1 AS fch, " +
+        "doc_id % 100000 + 1 AS fns, " +
+        "8000 + doc_id % 8000 AS wrate, doc_id % 2 + 1 AS wch, " +
+        "doc_id % 50 + 1 AS wnf FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE lane WHEN 0 THEN frate WHEN 1 THEN wrate END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE lane WHEN 0 THEN fch WHEN 1 THEN wch END AS BIGINT) AS channels, " +
+        "CAST(CASE lane WHEN 0 THEN fns WHEN 1 THEN wnf END AS BIGINT) AS n_samples, " +
+        "CAST(CASE lane WHEN 0 THEN (fns * 1000000) // frate " +
+        "WHEN 1 THEN (wnf * 1000000) // wrate END AS BIGINT) AS duration_micros " +
+        "FROM p ORDER BY doc_id") { (s, d) =>
+      def beHex(v: org.apache.spark.sql.Column, bytes: Int) =
+        lpad(hex(v), 2 * bytes, "0")
+      def leHex(v: org.apache.spark.sql.Column, bytes: Int) = {
+        val be = beHex(v, bytes)
+        concat((0 until bytes).map(i =>
+          substring(be, 2 * bytes - 2 * i - 1, 2)): _*)
+      }
+      def strHex(t: String) =
+        lit(t.getBytes("ISO-8859-1").map("%02X".format(_)).mkString)
+      val lane = col("doc_id") % 4
+      // FLAC: rate<<44 | (ch-1)<<41 | (bps-1=15)<<36 | n_samples, as
+      // one positive BIGINT (rate < 2^19 keeps the top bit clear)
+      val fRate = col("doc_id") % 40000 + 8000
+      val fCh = col("doc_id") % 8 + 1
+      val fNs = col("doc_id") % 100000 + 1
+      val packed = fRate * lit(17592186044416L) +
+        (fCh - 1) * lit(2199023255552L) + lit(15L * 68719476736L) + fNs
+      val flacHex = concat(strHex("fLaC"), lit("00000022"),
+        lit("10001000"), lit("000000000000"),
+        beHex(packed, 8), lit("0" * 32))
+      // canonical WAV: PCM 16-bit, data chunk sized by the header and
+      // filled with zero samples so the chunk-fit guard holds
+      val wRate = col("doc_id") % 8000 + 8000
+      val wCh = col("doc_id") % 2 + 1
+      val wNf = col("doc_id") % 50 + 1
+      val wDataLen = wNf * 2 * wCh
+      val wavHex = concat(strHex("RIFF"), leHex(wDataLen + 36, 4),
+        strHex("WAVE"), strHex("fmt "), lit("10000000"), lit("0100"),
+        leHex(wCh, 2), leHex(wRate, 4), leHex(wRate * wCh * 2, 4),
+        leHex(wCh * 2, 2), lit("1000"),
+        strHex("data"), leHex(wDataLen, 4),
+        call_function("repeat", lit("00"), wDataLen.cast("int")))
+      val payload = when(lane === 0, unhex(flacHex))
+        .when(lane === 1, unhex(wavHex))
+        .when(lane === 2,
+          concat(unhex(lit("00")), col("text").cast("binary")))
+        .otherwise(call_function("substring", unhex(flacHex), lit(1), lit(30)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.audioDimsCol(payload).as("a"))
+        .select(col("doc_id"), col("a.sample_rate").as("sample_rate"),
+          col("a.channels").as("channels"),
+          col("a.n_samples").as("n_samples"),
+          col("a.duration_micros").as("duration_micros"))
         .orderBy("doc_id")
     })
 }

@@ -394,8 +394,13 @@ object StressBench {
     // (PNG/VP8L/WAV) inside mapPartitions + one kinds-bounded agg.
     "q_x_decode_coverage",
     // r13: scan-side header dims — pure hex/conv codegen, strictly
-    // linear like q_x_detect_kind.
-    "q_x_image_dims")
+    // linear like q_x_detect_kind (r14 adds the TIFF IFD lanes: one
+    // dynamic substring + an interpreted lambda walk per row — still
+    // per-row-constant work).
+    "q_x_image_dims",
+    // r14: scan-side audio headers — FLAC/WAV fixed-offset arithmetic,
+    // strictly linear like q_x_image_dims.
+    "q_x_audio_dims")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -424,7 +424,9 @@ class EmptyInputSpec extends SparkTestBase {
     val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
     assert(Multimodal.decodeCoverage(noMedia).count() == 0)
     assert(noMedia.select(Multimodal.detectKindCol(col("payload")),
-      Multimodal.imageDimsCol(col("payload"))).count() == 0)
+      Multimodal.imageDimsCol(col("payload")),
+      Multimodal.audioDimsCol(col("payload"))).count() == 0)
+    assert(Multimodal.audioDims(Array.empty[Byte]).isEmpty)
     // generation rotation without a seeded frontier: loud, not silent
     val e = intercept[IllegalStateException] {
       graft.streaming.EventStream.frontierNewGeneration(spark,

@@ -1,0 +1,254 @@
+package graft
+
+import graft.llmops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Round-14 media front door: ISO-BMFF (`ftyp`) detection with
+  * MP4/AVIF/HEIC/MOV/M4A brand routing, avif/heic dimensions via the
+  * `ispe` box walk, TIFF dimensions via the first-IFD walk (JVM and the
+  * codegen column), and the scan-side audio headers (WAV/FLAC/MP3
+  * sample rate + duration without decode). Fixtures are hand-assembled
+  * per the public specs (the WebpSpec discipline) plus real
+  * ImageIO-encoded TIFFs for cross-checking the IFD walk.
+  */
+class MediaFrontDoorSpec extends SparkTestBase {
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def be32(v: Long): Array[Byte] =
+    b(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+      ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+
+  private def s(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
+
+  /** A minimal ISO-BMFF file: ftyp box with the given major brand, then
+    * any extra boxes appended verbatim.
+    */
+  private def ftypFile(brand: String, extra: Array[Byte] = Array.empty) = {
+    require(brand.length == 4)
+    be32(16) ++ s("ftyp") ++ s(brand) ++ be32(0) ++ extra
+  }
+
+  /** An ISO-BMFF box: 32-bit size header + type + payload. */
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ s(typ) ++ payload
+
+  /** ispe property box: FullBox (version/flags 0) + BE32 w/h. */
+  private def ispe(w: Long, h: Long): Array[Byte] =
+    box("ispe", be32(0) ++ be32(w) ++ be32(h))
+
+  test("detectKind + detectKindCol: ftyp brands, flac, mp3 (ID3 and " +
+      "bare sync), and the unlisted-brand fallback") {
+    import spark.implicits._
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "mp4" -> ftypFile("isom"),
+      "mp4" -> ftypFile("mp42"),
+      "avif" -> ftypFile("avif"),
+      "heic" -> ftypFile("heic"),
+      "heic" -> ftypFile("mif1"),
+      "mov" -> ftypFile("qt  "),
+      "m4a" -> ftypFile("M4A "),
+      "isobmff" -> ftypFile("zzzz"),
+      "flac" -> (s("fLaC") ++ b(0, 0, 0, 34)),
+      "mp3" -> (s("ID3") ++ b(4, 0, 0, 0, 0, 0, 0)),
+      "mp3" -> b(0xFF, 0xFB, 0x90, 0x00),
+      "mp3" -> b(0xFF, 0xE2, 0x10, 0x00),
+      // jpeg's FF D8 FF wins over the sync fallback (prefix rules first)
+      "jpeg" -> b(0xFF, 0xD8, 0xFF, 0xE0),
+      // 0xFF with a clear high bit in byte 2 is NOT a sync
+      "unknown" -> b(0xFF, 0x7F, 0x00),
+      // a short ftyp (no brand bytes) falls to the bare container
+      "isobmff" -> (be32(8) ++ s("ftyp")))
+    cases.zipWithIndex.foreach { case ((want, payload), i) =>
+      assert(Multimodal.detectKind(payload) === want, s"case $i (jvm)")
+    }
+    val rows = cases.zipWithIndex
+      .map { case ((want, payload), i) => (i, want, payload) }
+      .toDF("i", "want", "payload")
+      .select(col("i"), col("want"),
+        Multimodal.detectKindCol(col("payload")).as("got"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getString(2) === r.getString(1), s"case ${r.getInt(0)} (col)"))
+  }
+
+  test("ispeDims: avif/heic dims via meta/iprp/ipco, first-ispe rule, " +
+      "largesize form, torn boxes reject") {
+    val prop = box("iprp", box("ipco", ispe(420, 310)))
+    val meta = box("meta", be32(0) ++ prop)
+    val avif = ftypFile("avif", meta)
+    assert(Multimodal.imageDims(avif) === Some((420, 310)))
+    val heic = ftypFile("heic", meta)
+    assert(Multimodal.imageDims(heic) === Some((420, 310)))
+    // first ispe wins when several are present
+    val twoProps = box("iprp", box("ipco", ispe(99, 66) ++ ispe(7, 5)))
+    assert(Multimodal.imageDims(
+      ftypFile("avif", box("meta", be32(0) ++ twoProps))) === Some((99, 66)))
+    // 64-bit largesize header on the meta box
+    val inner = be32(0) ++ prop
+    val metaLarge = be32(1) ++ s("meta") ++
+      (0 until 8).map(i => (((16L + inner.length) >> (8 * (7 - i))) & 0xff).toByte)
+        .toArray ++ inner
+    assert(Multimodal.imageDims(ftypFile("avif", metaLarge)) === Some((420, 310)))
+    // torn: a box whose size overruns the payload ends the walk
+    val torn = ftypFile("avif", be32(4096) ++ s("meta") ++ be32(0))
+    assert(Multimodal.imageDims(torn) === None)
+    // mp4 files without an ispe (no image item) read None
+    assert(Multimodal.imageDims(ftypFile("isom", box("moov", Array.empty))) === None)
+    assert(Multimodal.imageDims(ftypFile("avif")) === None)
+  }
+
+  test("tiffDims: real ImageIO TIFFs in the JVM walk AND the codegen " +
+      "column; hand-built BE; truncation rejects") {
+    import spark.implicits._
+    def encTiff(w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => im.setRGB(x, y, 0x446688)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "tiff", bos),
+        "JDK tiff writer missing")
+      bos.toByteArray
+    }
+    val t1 = encTiff(37, 19)
+    val t2 = encTiff(301, 5)
+    assert(Multimodal.detectKind(t1) === "tiff")
+    assert(Multimodal.imageDims(t1) === Some((37, 19)))
+    assert(Multimodal.imageDims(t2) === Some((301, 5)))
+    // hand-built big-endian: IFD at 8, two entries (256 SHORT, 257 LONG)
+    val beTiff = b(0x4D, 0x4D, 0x00, 0x2A) ++ be32(8) ++
+      b(0, 2) ++
+      b(1, 0, 0, 3, 0, 0, 0, 1, 0, 123, 0, 0) ++ // tag 256 SHORT 123
+      b(1, 1, 0, 4, 0, 0, 0, 1) ++ be32(45) ++   // tag 257 LONG 45
+      be32(0)
+    assert(Multimodal.imageDims(beTiff) === Some((123, 45)))
+    // truncation: torn IFD / short header reject, never throw
+    assert(Multimodal.imageDims(t1.take(9)) === None)
+    assert(Multimodal.imageDims(beTiff.take(20)) === None)
+    // the codegen column agrees with the JVM walk (incl. the BE file)
+    val rows = Seq(("t1", t1), ("t2", t2), ("be", beTiff),
+        ("torn", beTiff.take(20)))
+      .toDF("name", "payload")
+      .select(col("name"), Multimodal.imageDimsCol(col("payload")).as("d"))
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.getStruct(1)).map(st => (st.getLong(0), st.getLong(1)))).toMap
+    assert(rows("t1") === Some((37L, 19L)))
+    assert(rows("t2") === Some((301L, 5L)))
+    assert(rows("be") === Some((123L, 45L)))
+    assert(rows("torn") === None)
+  }
+
+  /** One MPEG1 Layer III frame header + zero body: 44100 Hz, 128 kbps,
+    * stereo → frame length 144·128000/44100 + pad = 417 (+1) bytes.
+    */
+  private def mp3Frame(pad: Int, mono: Boolean = false): Array[Byte] = {
+    val h2 = 0xFB // MPEG1, Layer III, no CRC
+    val h3 = (9 << 4) | (0 << 2) | (pad << 1) // bitrate idx 9=128k, 44100
+    val h4 = if (mono) 0xC0 else 0x00
+    val len = 144 * 128000 / 44100 + pad
+    b(0xFF, h2, h3, h4) ++ new Array[Byte](len - 4)
+  }
+
+  test("audioDims: mp3 frame-header walk — exact duration over CBR " +
+      "frames, ID3v2 skip, truncated tail keeps the parsed prefix") {
+    val three = mp3Frame(0) ++ mp3Frame(1) ++ mp3Frame(0)
+    val got = Multimodal.audioDims(three).get
+    assert(got.sample_rate === 44100L)
+    assert(got.channels === 2L)
+    assert(got.n_samples === 3 * 1152L)
+    assert(got.duration_micros === 3 * 1152L * 1000000L / 44100L)
+    // mono mode bits
+    assert(Multimodal.audioDims(mp3Frame(0, mono = true)).get.channels === 1L)
+    // ID3v2 tag (syncsafe size 130 = 0x01 0x02) skips to the frames
+    val id3 = s("ID3") ++ b(4, 0, 0, 0, 0, 1, 2) ++ new Array[Byte](130) ++
+      mp3Frame(0) ++ mp3Frame(0)
+    assert(Multimodal.audioDims(id3).get.n_samples === 2 * 1152L)
+    // truncated tail: the torn last frame drops, the prefix counts
+    val torn = three.dropRight(10)
+    assert(Multimodal.audioDims(torn).get.n_samples === 2 * 1152L)
+    // desync after one frame stops the walk
+    val desync = mp3Frame(0) ++ b(0x00, 0x11, 0x22, 0x33)
+    assert(Multimodal.audioDims(desync).get.n_samples === 1152L)
+    // an ID3 tag over garbage (no frame follows) is None, not a lie
+    assert(Multimodal.audioDims(
+      s("ID3") ++ b(4, 0, 0, 0, 0, 0, 1) ++ b(0x42)).isEmpty)
+    // MPEG2 (22050 Hz): 576 samples/frame, the /2 rate table
+    val m2h3 = (4 << 4) | (0 << 2) // bitrate idx 4 = 32k, sr idx 0
+    val m2len = 72 * 32000 / 22050
+    val m2 = b(0xFF, 0xF3, m2h3, 0) ++ new Array[Byte](m2len - 4)
+    val g2 = Multimodal.audioDims(m2).get
+    assert(g2.sample_rate === 22050L)
+    assert(g2.n_samples === 576L)
+  }
+
+  /** Hand-assembled FLAC: fLaC + STREAMINFO(34) with the bit-packed
+    * rate/channels/bps/samples field, zero md5.
+    */
+  private def flacBytes(rate: Long, ch: Long, ns: Long): Array[Byte] = {
+    val packed = (rate << 44) | ((ch - 1) << 41) | (15L << 36) | ns
+    s("fLaC") ++ b(0, 0, 0, 34) ++
+      b(0x10, 0x00, 0x10, 0x00) ++ new Array[Byte](6) ++
+      (0 until 8).map(i => ((packed >> (8 * (7 - i))) & 0xff).toByte).toArray ++
+      new Array[Byte](16)
+  }
+
+  test("audioDims: flac STREAMINFO and wav headers; audioDimsCol agrees " +
+      "with the JVM walk and stays null for mp3/text") {
+    import spark.implicits._
+    val fl = flacBytes(44100L, 2L, 123456L)
+    val got = Multimodal.audioDims(fl).get
+    assert(got === Multimodal.AudioMeta(44100L, 2L, 123456L,
+      123456L * 1000000L / 44100L))
+    // 36-bit sample count exercises the >32-bit path
+    val big = Multimodal.audioDims(flacBytes(8000L, 1L, (1L << 35) + 7L)).get
+    assert(big.n_samples === (1L << 35) + 7L)
+    // canonical WAV (PCM 16-bit mono 8 kHz, 4 frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32w(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def le16w(v: Int): Unit = (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    bos.write(s("RIFF")); le32w(4 + 24 + 16); bos.write(s("WAVE"))
+    bos.write(s("fmt ")); le32w(16)
+    le16w(1); le16w(1); le32w(8000); le32w(16000); le16w(2); le16w(16)
+    bos.write(s("data")); le32w(8)
+    Seq(1000, -1000, 2000, -2000).foreach(le16w)
+    val wav = bos.toByteArray
+    assert(Multimodal.audioDims(wav) ===
+      Some(Multimodal.AudioMeta(8000L, 1L, 4L, 4L * 1000000L / 8000L)))
+    // truncated flac rejects
+    assert(Multimodal.audioDims(fl.take(30)).isEmpty)
+    val rows = Seq(("flac", fl), ("wav", wav), ("mp3", mp3Frame(0)),
+        ("txt", s("hello there")), ("tornflac", fl.take(30)))
+      .toDF("name", "payload")
+      .select(col("name"), Multimodal.audioDimsCol(col("payload")).as("d"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getStruct(1)).map(st =>
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)))).toMap
+    assert(rows("flac") === Some((44100L, 2L, 123456L,
+      123456L * 1000000L / 44100L)))
+    assert(rows("wav") === Some((8000L, 1L, 4L, 500L)))
+    assert(rows("mp3") === None) // frame walk is JVM-side by design
+    assert(rows("txt") === None)
+    assert(rows("tornflac") === None)
+  }
+
+  test("routedFeatures + decodeCoverage report the new ISO-BMFF kinds " +
+      "under their own names (observably stubbed, never unknown)") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, ftypFile("avif")), (2L, ftypFile("isom")), (3L, ftypFile("heic")),
+      (4L, flacBytes(8000L, 1L, 80L)), (5L, mp3Frame(0)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.routedFeatures(media).collect()
+      .map(r => r.media_id -> ((r.kind, r.decoded))).toMap
+    assert(out(1L) === (("avif", false)))
+    assert(out(2L) === (("mp4", false)))
+    assert(out(3L) === (("heic", false)))
+    assert(out(4L) === (("flac", false)))
+    assert(out(5L) === (("mp3", false)))
+    val cov = Multimodal.decodeCoverage(media).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("stub_ppm")).toMap
+    assert(cov === Map("avif" -> 1000000L, "mp4" -> 1000000L,
+      "heic" -> 1000000L, "flac" -> 1000000L, "mp3" -> 1000000L))
+  }
+}

@@ -524,7 +524,7 @@ class WebpSpec extends SparkTestBase {
     javax.imageio.ImageIO.write(im, "png", bos)
     val png = bos.toByteArray
     val webp = singleColorWebp(3, 2, 0xff123456)
-    val lossy = ("RIFF" + "    " + "WEBPVP8 junk")
+    val lossy = ("RIFF" + "\u0000\u0000\u0000\u0000" + "WEBPVP8 junk")
       .getBytes("ISO-8859-1")
     val rows = Seq(
       (1L, png), // decodable image, no kind label needed
