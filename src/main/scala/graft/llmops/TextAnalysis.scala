@@ -1933,4 +1933,144 @@ object TextAnalysis {
         when(lastmodRaw === "", lit(null).cast("string"))
           .otherwise(lastmodRaw).as("lastmod"))
   }
+
+  /** Exact integer division for POSITIVE column operands, codegen-safe
+    * at any magnitude: subtract the pmod, then divide the now-divisible
+    * values (the DECIMAL-lift recipe without the decimal — operands
+    * here stay far under 2^53 so the double division is exact).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Sortable EPOCH-SECONDS key from a verbatim W3C-datetime `lastmod`
+    * string ([[parseSitemaps]] keeps it verbatim; this is the stated
+    * downstream consumer): `YYYY-MM-DD` with optional `Thh:mm[:ss]`.
+    * The civil-date → epoch-day conversion is the public era/yoe/doy
+    * integer formula (no engine date parser — pure regexp + integer
+    * arithmetic, so a DuckDB replay computes the identical key).
+    * Fractional seconds and numeric timezone offsets are IGNORED,
+    * stated: one host's sitemap uses one convention, and a ±14 h offset
+    * error is noise at revisit-TTL granularity (the robotsCrawlDelay
+    * malformed-value stance). Unparseable or out-of-range fields → null.
+    */
+  def lastmodKey(lastmod: Column): Column = {
+    def g(pat: String, i: Int): Column = {
+      val v = regexp_extract(lastmod, pat, i)
+      when(v === "", lit(null).cast("long")).otherwise(v.cast("long"))
+    }
+    val datePat = "^(\\d{4})-(\\d{2})-(\\d{2})"
+    val timePat = "^\\d{4}-\\d{2}-\\d{2}[Tt ](\\d{2}):(\\d{2})(?::(\\d{2}))?"
+    val y = g(datePat, 1)
+    val m = g(datePat, 2)
+    val d = g(datePat, 3)
+    val hh = coalesce(g(timePat, 1), lit(0L))
+    val mi = coalesce(g(timePat, 2), lit(0L))
+    val ss = coalesce(g(timePat, 3), lit(0L))
+    val valid = y.isNotNull && y >= 1000L && m >= 1L && m <= 12L &&
+      d >= 1L && d <= 31L && hh <= 23L && mi <= 59L && ss <= 60L
+    // days_from_civil (era/yoe/doy), all operands positive for y >= 1000
+    val yAdj = y - when(m <= 2L, 1L).otherwise(0L)
+    val era = idiv(yAdj, lit(400L))
+    val yoe = yAdj - era * 400L
+    val mp = when(m > 2L, m - 3L).otherwise(m + 9L)
+    val doy = idiv(mp * 153L + 2L, lit(5L)) + d - 1L
+    val doe = yoe * 365L + idiv(yoe, lit(4L)) - idiv(yoe, lit(100L)) + doy
+    val days = era * 146097L + doe - 719468L
+    when(valid, days * 86400L + hh * 3600L + mi * 60L + ss)
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** The empty per-URL fetch-history frame [[recordFetches]] folds into
+    * — (url, last_fetch, ttl_secs, n_fetches, n_changes).
+    */
+  def emptyFetchHistory(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("url", StringType),
+        StructField("last_fetch", LongType), StructField("ttl_secs", LongType),
+        StructField("n_fetches", LongType), StructField("n_changes", LongType))))
+  }
+
+  /** Fold one crawl wave's fetch results into the per-URL history state
+    * — the learning half of per-URL revisit scheduling: `prior` is the
+    * history ([[emptyFetchHistory]] on first contact), `fetched` has one
+    * row per fetched URL with its epoch-seconds fetch time and whether
+    * the CONTENT changed vs the stored copy (compare content hashes —
+    * md5/sha from [[graft.llmops.Multimodal.withMetadata]] or the dedup
+    * index). Adaptive TTL (the classic crawler freshness policy): a
+    * changed fetch HALVES the revisit TTL (the page moves faster than
+    * the poll), an unchanged fetch DOUBLES it, clamped to
+    * [minTtl, maxTtl]; first contact starts at initTtl (no baseline to
+    * compare — the changed flag is ignored). URLs absent from this wave
+    * carry over unchanged. One full-outer join on the bounded history —
+    * run per wave, state is URL-count-sized.
+    */
+  def recordFetches(prior: DataFrame, fetched: DataFrame, urlCol: String,
+      fetchedAtCol: String, changedCol: String, initTtl: Long = 86400L,
+      minTtl: Long = 3600L, maxTtl: Long = 30L * 86400L): DataFrame = {
+    require(initTtl >= 1 && minTtl >= 1 && maxTtl >= minTtl,
+      "ttl bounds must satisfy 1 <= minTtl <= maxTtl, initTtl >= 1")
+    val f = fetched.select(col(urlCol).as("url"),
+        col(fetchedAtCol).cast("long").as("__at"),
+        col(changedCol).cast("boolean").as("__chg"))
+      .groupBy("url").agg(max("__at").as("__at"), max("__chg").as("__chg"))
+    prior.select(col("url"), col("last_fetch").cast("long").as("last_fetch"),
+        col("ttl_secs").cast("long").as("ttl_secs"),
+        col("n_fetches").cast("long").as("n_fetches"),
+        col("n_changes").cast("long").as("n_changes"))
+      .join(f, Seq("url"), "full_outer")
+      .select(col("url"),
+        coalesce(col("__at"), col("last_fetch")).as("last_fetch"),
+        when(col("__at").isNull, col("ttl_secs"))
+          .when(col("ttl_secs").isNull, lit(initTtl))
+          .when(col("__chg"), greatest(lit(minTtl), expr("ttl_secs div 2")))
+          .otherwise(least(lit(maxTtl), col("ttl_secs") * 2L)).as("ttl_secs"),
+        (coalesce(col("n_fetches"), lit(0L)) +
+          when(col("__at").isNotNull, 1L).otherwise(0L)).as("n_fetches"),
+        // first contact has no stored copy to compare against — the
+        // changed flag is ignored by BOTH the TTL and the counter
+        (coalesce(col("n_changes"), lit(0L)) +
+          when(col("__chg") && col("ttl_secs").isNotNull, 1L).otherwise(0L))
+          .as("n_changes"))
+  }
+
+  /** The per-URL REVISIT plan — the freshness operator between
+    * "adjudicated once" (the [[graft.streaming.EventStream
+    * .frontierStream]] bloom drops every re-discovery) and "rotate
+    * everything" ([[graft.streaming.EventStream.frontierNewGeneration]]):
+    * a fetched URL re-enters the fetch plan when
+    *
+    *   - its newest sitemap `lastmod` is NEWER than its last fetch (the
+    *     authoritative change signal — [[lastmodKey]] over
+    *     [[parseSitemaps]]' verbatim strings), or
+    *   - its adaptive TTL has elapsed ([[recordFetches]] state — the
+    *     poll-based signal for URLs no sitemap covers).
+    *
+    * Priority = overdue ratio in integer basis points
+    * (`(now − last_fetch)·10⁴ div ttl`) plus `lastmodBoost` for
+    * lastmod-due rows, so authoritative changes outrank mere staleness
+    * in [[crawlWaves]]. Returns (url, host, priority) — feed it to
+    * [[graft.streaming.EventStream.frontierReenqueue]]. One bounded
+    * join (history × per-URL newest lastmod); nothing corpus-global.
+    */
+  def revisitPlan(history: DataFrame, sitemaps: DataFrame, nowEpoch: Long,
+      lastmodBoost: Long = 1000000L): DataFrame = {
+    val sm = sitemaps.filter(col("kind") === "url")
+      .select(canonicalUrl(col("loc")).as("url"),
+        lastmodKey(col("lastmod")).as("__lm"))
+      .groupBy("url").agg(max("__lm").as("__lm"))
+    history.select(col("url"), col("last_fetch").cast("long").as("last_fetch"),
+        col("ttl_secs").cast("long").as("ttl_secs"))
+      .join(sm, Seq("url"), "left")
+      .withColumn("__due_lm",
+        col("__lm").isNotNull && col("__lm") > col("last_fetch"))
+      .withColumn("__due_ttl",
+        lit(nowEpoch) >= col("last_fetch") + col("ttl_secs"))
+      .filter(col("__due_lm") || col("__due_ttl"))
+      .select(col("url"), urlHost(col("url")).as("host"),
+        (when(col("__due_lm"), lastmodBoost).otherwise(0L) +
+          expr(s"(($nowEpoch - last_fetch) * 10000) div ttl_secs"))
+          .as("priority"))
+  }
 }

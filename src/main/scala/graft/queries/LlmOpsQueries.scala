@@ -1555,7 +1555,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.Jsonl
       import graft.llmops.PortableHash
-      val path = "/tmp/graft_jsonl_interop"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_interop").toString
       Jsonl.write(Tables.documents(s, d)
         .select("doc_id", "text", "source").coalesce(4), path)
       val (good, quarantine) = Jsonl.read(s, path)
@@ -3322,7 +3323,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.Warc
       import graft.llmops.PortableHash
-      val path = "/tmp/graft_warc_interop"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_warc_interop").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       val docs = Tables.documents(s, d).select(
@@ -3367,7 +3369,8 @@ object LlmOpsQueries extends QueryModule {
         s"$chain AS clean_text FROM a ORDER BY doc"
     }) { (s, d) =>
       import graft.ingest.Warc
-      val path = "/tmp/graft_warc_front"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_warc_front").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       val docs = Tables.documents(s, d).select(
@@ -4331,7 +4334,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.TokenBin
       import graft.llmops.PortableHash
-      val path = "/tmp/graft_tokenbin_interop"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tokenbin_interop").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       val src = Tables.documents(s, d).select(col("doc_id").as("seq"),
@@ -4484,7 +4488,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.Pdf
       import graft.llmops.PortableHash
-      val path = "/tmp/graft_pdf_interop"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pdf_interop").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       Pdf.write(Tables.documents(s, d)
@@ -4645,7 +4650,8 @@ object LlmOpsQueries extends QueryModule {
         .agg(transform(array_sort(collect_list(struct(
           col("word_idx"), col("piece_idx"), col("tid")))),
           x => x("tid")).as("tokens"))
-      val path = "/tmp/graft_tokenize_export"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tokenize_export").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       TokenBin.write(perDoc, "seq", "tokens", path, shards = 4)
@@ -4806,7 +4812,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.TokenBin
       import graft.llmops.PortableHash
-      val path = "/tmp/graft_tokenbin_docs"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tokenbin_docs").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       val perDoc = Tables.documents(s, d).select(col("doc_id"),
@@ -5004,7 +5011,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.TokenBin
       import graft.llmops.{Corpus, PortableHash}
-      val path = "/tmp/graft_packed_export"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_packed_export").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       val perDoc = Tables.documents(s, d).select(col("doc_id"),
@@ -5172,7 +5180,8 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.TokenBin
       import graft.llmops.{Corpus, PortableHash}
-      val path = "/tmp/graft_eod_export"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_eod_export").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       // content ids start at 3: unk=0, <s>=1, </s>=2 — the

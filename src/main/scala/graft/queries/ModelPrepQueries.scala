@@ -341,7 +341,8 @@ object ModelPrepQueries extends QueryModule {
         "j -> CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT) * j)) AS chk " +
         "FROM embeddings)") { (s, d) =>
       import graft.ingest.SafeTensors
-      val path = "/tmp/graft_safetensors_interop"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_safetensors_interop").toString
       val out = new org.apache.hadoop.fs.Path(path)
       out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
       SafeTensors.writeVectors(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -730,5 +731,78 @@ object ModelPrepQueries extends QueryModule {
       LmArtifact.arpaScore3(docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", lm)
         .orderBy("doc")
+    },
+
+    // Per-URL revisit scheduling (lastmod + adaptive TTL) — a TWO-CYCLE
+    // replay: cycle 1 fetches every url (first contact -> initTtl),
+    // cycle 2 re-fetches the doc_id%5 lane (changed on %10 -> TTL
+    // halves; unchanged -> doubles), sitemaps carry CONSTRUCTED W3C
+    // lastmod strings (month<=2 exercising the civil-arithmetic year
+    // adjust, date-only and full datetime forms), and the plan keeps
+    // exactly the lastmod-newer and TTL-elapsed rows with the
+    // boost+overdue-bps priority. The oracle replays recordFetches'
+    // TTL fold, lastmodKey's era/yoe/doy epoch arithmetic and the due
+    // rules value-exact; joining the plan back to the history pins the
+    // n_fetches/n_changes fold too.
+    q("q_x_crawl_revisit", {
+      val t0 = 1704067200L
+      val (t2, now) = (t0 + 172800L, t0 + 250000L)
+      "WITH b AS (SELECT doc_id, 'https://h' || (doc_id % 7) || '.example/p' || doc_id AS url FROM documents), " +
+        "h AS (SELECT doc_id, url, " +
+        s"CASE WHEN doc_id % 5 = 0 THEN $t2 ELSE $t0 + (doc_id % 1000) * 37 END AS last_fetch, " +
+        "CASE WHEN doc_id % 10 = 0 THEN 43200 WHEN doc_id % 5 = 0 THEN 172800 ELSE 86400 END AS ttl_secs, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS n_fetches, " +
+        "CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS n_changes FROM b), " +
+        "lc AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2024 ELSE 2023 END AS y, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 2 ELSE doc_id % 12 + 1 END AS m, doc_id % 28 + 1 AS d, " +
+        "CASE WHEN doc_id % 3 = 0 THEN doc_id % 24 ELSE 0 END AS hh, " +
+        "CASE WHEN doc_id % 3 = 0 THEN doc_id % 60 ELSE 0 END AS mi, " +
+        "CASE WHEN doc_id % 3 = 0 THEN doc_id % 59 ELSE 0 END AS ss " +
+        "FROM documents WHERE doc_id % 3 < 2), " +
+        "l1 AS (SELECT doc_id, y - CASE WHEN m <= 2 THEN 1 ELSE 0 END AS ya, m, d, hh, mi, ss FROM lc), " +
+        "l2 AS (SELECT doc_id, ya // 400 AS era, ya - (ya // 400) * 400 AS yoe, " +
+        "CASE WHEN m > 2 THEN m - 3 ELSE m + 9 END AS mp2, d, hh, mi, ss FROM l1), " +
+        "l3 AS (SELECT doc_id, era, yoe, (153 * mp2 + 2) // 5 + d - 1 AS doy, hh, mi, ss FROM l2), " +
+        "lmk AS (SELECT doc_id, (era * 146097 + yoe * 365 + yoe // 4 - yoe // 100 + doy - 719468) * 86400 " +
+        "+ hh * 3600 + mi * 60 + ss AS lm FROM l3), " +
+        "p AS (SELECT h.*, lmk.lm FROM h LEFT JOIN lmk ON h.doc_id = lmk.doc_id), " +
+        s"q AS (SELECT *, (lm IS NOT NULL AND lm > last_fetch) AS due_lm, " +
+        s"$now >= last_fetch + ttl_secs AS due_ttl FROM p) " +
+        "SELECT url, 'h' || (doc_id % 7) || '.example' AS host, " +
+        s"CAST(CASE WHEN due_lm THEN 1000000 ELSE 0 END + (($now - last_fetch) * 10000) // ttl_secs AS BIGINT) AS priority, " +
+        "CAST(last_fetch AS BIGINT) AS last_fetch, CAST(ttl_secs AS BIGINT) AS ttl_secs, " +
+        "CAST(n_fetches AS BIGINT) AS n_fetches, CAST(n_changes AS BIGINT) AS n_changes " +
+        "FROM q WHERE due_lm OR due_ttl ORDER BY url"
+    }) { (s, d) =>
+      import graft.llmops.TextAnalysis
+      val t0 = 1704067200L
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string")).as("url"))
+      val f1 = base.select(col("url"),
+        (lit(t0) + (col("doc_id") % 1000) * 37).as("at"),
+        lit(false).as("chg"))
+      val h1 = TextAnalysis.recordFetches(
+        TextAnalysis.emptyFetchHistory(s), f1, "url", "at", "chg")
+      val f2 = base.filter(col("doc_id") % 5 === 0)
+        .select(col("url"), lit(t0 + 172800L).as("at"),
+          (col("doc_id") % 10 === 0).as("chg"))
+      val h2 = TextAnalysis.recordFetches(h1, f2, "url", "at", "chg")
+        .localCheckpoint(true)
+      val sm = base.filter(col("doc_id") % 3 < 2).select(
+        lit("https://sm.example/sitemap.xml").as("sitemap_url"),
+        lit("url").as("kind"), col("url").as("loc"),
+        when(col("doc_id") % 3 === 0,
+          format_string("2024-02-%02dT%02d:%02d:%02d",
+            col("doc_id") % 28 + 1, col("doc_id") % 24,
+            col("doc_id") % 60, col("doc_id") % 59))
+          .otherwise(format_string("2023-%02d-%02d",
+            col("doc_id") % 12 + 1, col("doc_id") % 28 + 1)).as("lastmod"))
+      val plan = TextAnalysis.revisitPlan(h2, sm, nowEpoch = t0 + 250000L)
+      plan.join(h2, Seq("url"))
+        .select("url", "host", "priority", "last_fetch", "ttl_secs",
+          "n_fetches", "n_changes")
+        .orderBy("url")
     })
 }

@@ -586,8 +586,11 @@ object EventStream {
     * re-discovery would duplicate them in the queue), the meta stamp's
     * `generation` increments, and everything else (queue contents,
     * bloom parameters) carries over. One queue-sized Bloom build +
-    * two bounded writes — run at re-crawl cadence (days), never per
-    * batch. Returns the new generation number.
+    * two bounded writes — STAGED as `__rebuild` tables and swapped
+    * with metadata ops (the rebuildQuantizer discipline), so a crash
+    * during the builds leaves the live bloom and its generation stamp
+    * untouched and mutually consistent. Run at re-crawl cadence
+    * (days), never per batch. Returns the new generation number.
     *
     * The adjudicated-once stance for DENIED urls is preserved per
     * generation and only per generation — a robots-denied URL is
@@ -604,6 +607,17 @@ object EventStream {
     val metaT = s"${tablePrefix}_seen_bloom_meta"
     val bloomT = s"${tablePrefix}_seen_bloom"
     val frontierT = s"${tablePrefix}_frontier"
+    // Crash staging (the rebuildQuantizer discipline): BOTH rotated
+    // states land fully written in `__rebuild` tables while the live
+    // pair still serves — a crash anywhere in the expensive, failable
+    // work leaves the live bloom AND its generation stamp untouched
+    // and mutually consistent (the r13 ordering wrote the reseeded
+    // bloom under the OLD generation number for the whole build).
+    // Stale leftovers from a crashed run are reclaimed here; the swap
+    // itself is four metadata ops.
+    val (bloomS, metaS) = (s"${bloomT}__rebuild", s"${metaT}__rebuild")
+    sess.sql(s"DROP TABLE IF EXISTS $bloomS")
+    sess.sql(s"DROP TABLE IF EXISTS $metaS")
     val queued =
       if (sess.catalog.tableExists(frontierT)) {
         sess.catalog.refreshTable(frontierT)
@@ -611,11 +625,14 @@ object EventStream {
       } else sess.emptyDataset[String].toDF("url")
     val reseeded = Bloom.build(queued, "url", mBits, k)
       .localCheckpoint(eager = true)
-    reseeded.coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(bloomT)
+    reseeded.coalesce(1).write.format("parquet").saveAsTable(bloomS)
     val gen = bloomGeneration(sess, tablePrefix) + 1L
     Seq((mBits, k, gen)).toDF("m_bits", "k", "generation")
-      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(metaT)
+      .coalesce(1).write.format("parquet").saveAsTable(metaS)
+    sess.sql(s"DROP TABLE $bloomT")
+    sess.sql(s"ALTER TABLE $bloomS RENAME TO $bloomT")
+    sess.sql(s"DROP TABLE $metaT")
+    sess.sql(s"ALTER TABLE $metaS RENAME TO $metaT")
     sess.catalog.refreshTable(bloomT)
     sess.catalog.refreshTable(metaT)
     gen
@@ -751,6 +768,31 @@ object EventStream {
       .saveAsTable(t)
     spark.catalog.refreshTable(t)
     remaining.count()
+  }
+
+  /** Deliberately RE-ENQUEUE adjudicated URLs into the live frontier
+    * WITHOUT touching the seen-set — the per-URL freshness path
+    * ([[graft.llmops.TextAnalysis.revisitPlan]] output) between
+    * "adjudicated once" (the stream's bloom probe drops every organic
+    * re-discovery) and "rotate everything" ([[frontierNewGeneration]]).
+    * The bloom stays intact, so organic re-discoveries of these URLs
+    * still skip; only the scheduler's explicit plan re-queues them, and
+    * URLs already in the queue dedupe (one anti-join). Run at revisit
+    * cadence, plan-sized append. Returns rows appended.
+    */
+  def frontierReenqueue(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, plan: DataFrame): Long = {
+    val t = s"${tablePrefix}_frontier"
+    spark.catalog.refreshTable(t)
+    val fresh = plan
+      .groupBy("url")
+      .agg(max("host").as("host"), max("priority").as("priority"))
+      .join(spark.table(t), Seq("url"), "left_anti")
+      .select("url", "host", "priority")
+      .localCheckpoint(eager = true)
+    fresh.write.mode("append").format("parquet").saveAsTable(t)
+    spark.catalog.refreshTable(t)
+    fresh.count()
   }
 
   /** Refresh queued-URL priorities from a new authority table — the

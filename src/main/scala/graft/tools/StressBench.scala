@@ -400,7 +400,11 @@ object StressBench {
     "q_x_image_dims",
     // r14: scan-side audio headers — FLAC/WAV fixed-offset arithmetic,
     // strictly linear like q_x_image_dims.
-    "q_x_audio_dims")
+    "q_x_audio_dims",
+    // r14: per-URL revisit scheduling — two history folds (full-outer
+    // joins on the URL-count-bounded state) + one lastmod join;
+    // corpus-linear like q_x_crawl_frontier.
+    "q_x_crawl_revisit")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

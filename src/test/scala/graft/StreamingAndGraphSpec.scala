@@ -1407,10 +1407,144 @@ class StreamingAndGraphSpec extends SparkTestBase {
           mBits = 1L << 10, k = 4)
       }
       assert(e.getMessage.contains("bloom parameter mismatch"))
+      // CRASH STAGING: a rotation that dies during the expensive work
+      // leaves only __rebuild leftovers — the live bloom and its
+      // generation stamp stay untouched and mutually consistent, and
+      // the next rotation reclaims the leftovers and completes.
+      val liveBloom = spark.table("frontier_gen_seen_bloom").collect().toSet
+      // simulate the crashed run: both staged tables fully written
+      // (the widest crash window), live pair untouched
+      spark.table("frontier_gen_seen_bloom").limit(0)
+        .write.format("parquet").saveAsTable("frontier_gen_seen_bloom__rebuild")
+      Seq((1L << 16, 4, 99L)).toDF("m_bits", "k", "generation")
+        .write.format("parquet")
+        .saveAsTable("frontier_gen_seen_bloom_meta__rebuild")
+      assert(EventStream.bloomGeneration(spark, "frontier_gen") === 1L,
+        "a crashed rotation must not move the live generation")
+      assert(spark.table("frontier_gen_seen_bloom").collect().toSet ===
+        liveBloom, "a crashed rotation must not touch the live bloom")
+      // the next rotation reclaims the stale staging and lands gen 2
+      // (NOT the crashed run's 99 — staging never leaks forward)
+      assert(EventStream.frontierNewGeneration(spark, "frontier_gen",
+        mBits = 1L << 16, k = 4) === 2L)
+      assert(!spark.catalog.tableExists("frontier_gen_seen_bloom__rebuild"))
+      assert(!spark.catalog.tableExists("frontier_gen_seen_bloom_meta__rebuild"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS frontier_gen_frontier")
       spark.sql("DROP TABLE IF EXISTS frontier_gen_seen_bloom")
       spark.sql("DROP TABLE IF EXISTS frontier_gen_seen_bloom_meta")
+      spark.sql("DROP TABLE IF EXISTS frontier_gen_seen_bloom__rebuild")
+      spark.sql("DROP TABLE IF EXISTS frontier_gen_seen_bloom_meta__rebuild")
+    }
+  }
+
+  test("revisit scheduling: lastmodKey laws, adaptive-TTL fold, and the " +
+      "changed-vs-unchanged re-enqueue through the live frontier") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    import graft.streaming.EventStream
+    // lastmodKey: date-only, T-form with/without seconds, space form,
+    // leap day, ignored offsets/fractions, unparseable -> null
+    def key(s: String): Option[Long] =
+      Seq(s).toDF("lm").select(TextAnalysis.lastmodKey(col("lm")))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        .head
+    assert(key("1970-01-01") === Some(0L))
+    assert(key("1970-01-02T00:00:01") === Some(86401L))
+    assert(key("2024-01-01T00:00:00Z") === Some(1704067200L))
+    assert(key("2024-02-29T12:00") === Some(1709208000L)) // leap day
+    assert(key("2026-08-16 07:30:00") === Some(1786865400L))
+    // fractional seconds and numeric offsets ignored by stated scope
+    assert(key("2024-01-01T00:00:00.500+05:30") === Some(1704067200L))
+    assert(key("not a date") === None)
+    assert(key("2024-13-01") === None) // month out of range
+    // recordFetches: first contact -> initTtl; changed halves (clamped
+    // to minTtl), unchanged doubles (clamped to maxTtl); absent rows
+    // carry over; counters fold
+    val h0 = TextAnalysis.emptyFetchHistory(spark)
+    val h1 = TextAnalysis.recordFetches(h0,
+      Seq(("a", 1000L, false), ("b", 1000L, true), ("c", 1000L, false))
+        .toDF("url", "at", "chg"),
+      "url", "at", "chg", initTtl = 8000L, minTtl = 3000L, maxTtl = 20000L)
+    val m1 = h1.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // first contact ignores the changed flag entirely (no baseline):
+    // both start at initTtl with zero observed changes
+    assert(m1("a") === ((1000L, 8000L, 1L, 0L)))
+    assert(m1("b") === ((1000L, 8000L, 1L, 0L)))
+    val h2 = TextAnalysis.recordFetches(h1,
+      Seq(("a", 2000L, true), ("b", 2000L, false)).toDF("url", "at", "chg"),
+      "url", "at", "chg", initTtl = 8000L, minTtl = 3000L, maxTtl = 20000L)
+    val m2 = h2.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m2("a") === ((2000L, 4000L, 2L, 1L))) // changed: 8000/2
+    assert(m2("b") === ((2000L, 16000L, 2L, 0L))) // unchanged: 8000*2
+    assert(m2("c") === ((1000L, 8000L, 1L, 0L))) // absent: carried
+    val h3 = TextAnalysis.recordFetches(h2,
+      Seq(("a", 3000L, true), ("b", 3000L, false)).toDF("url", "at", "chg"),
+      "url", "at", "chg", initTtl = 8000L, minTtl = 3000L, maxTtl = 20000L)
+    val m3 = h3.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m3("a") === ((3000L, 3000L))) // 4000/2 clamps to minTtl
+    assert(m3("b") === ((3000L, 20000L))) // 16000*2 clamps to maxTtl
+    // revisitPlan + frontierReenqueue: a changed-lastmod URL re-enqueues
+    // while an unchanged one stays retired; the bloom stays intact so
+    // ORGANIC re-discoveries still skip
+    try {
+      val hist = Seq(
+        ("https://h0.example/changed", 1704067200L, 86400L, 1L, 0L),
+        ("https://h0.example/stale", 1704067200L, 86400L, 1L, 0L),
+        ("https://h0.example/fresh", 1704326400L, 864000L, 1L, 0L))
+        .toDF("url", "last_fetch", "ttl_secs", "n_fetches", "n_changes")
+      val sm = Seq(
+        ("https://h0.example/changed", "2024-01-05T00:00:00Z"),
+        ("https://h0.example/fresh", "2023-12-01"))
+        .toDF("loc", "lastmod")
+        .select(lit("https://h0.example/sm.xml").as("sitemap_url"),
+          lit("url").as("kind"), col("loc"), col("lastmod"))
+      // now = 2024-01-04: /changed is lastmod-due (Jan 5 > Jan 1 fetch);
+      // /stale is TTL-due (fetched Jan 1, ttl 1 day); /fresh is neither
+      // (fetched Jan 4, ttl 10 days, lastmod older than the fetch)
+      val plan = TextAnalysis.revisitPlan(hist, sm, nowEpoch = 1704326400L)
+        .localCheckpoint(true)
+      val got = plan.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.map(_._1) === Set("https://h0.example/changed",
+        "https://h0.example/stale"))
+      assert(got.forall(_._2 == "h0.example"))
+      // lastmod-due carries the boost over the overdue bps
+      val pri = got.map(t => t._1 -> t._3).toMap
+      assert(pri("https://h0.example/changed") === 1000000L + 30000L)
+      assert(pri("https://h0.example/stale") === 30000L)
+      // live frontier: /queued is already in the queue; the plan rows
+      // append, the queued row dedupes, the bloom is untouched
+      Seq(("https://h0.example/queued", "h0.example", 5L))
+        .toDF("url", "host", "priority")
+        .write.format("parquet").saveAsTable("revisit_t_frontier")
+      import graft.functions.Bloom
+      Bloom.build(hist.select("url"), "url", 1L << 16, 4)
+        .write.format("parquet").saveAsTable("revisit_t_seen_bloom")
+      val bloomBefore =
+        spark.table("revisit_t_seen_bloom").collect().toSet
+      val planPlusQueued = plan.unionByName(
+        Seq(("https://h0.example/queued", "h0.example", 9L))
+          .toDF("url", "host", "priority"))
+      assert(EventStream.frontierReenqueue(spark, "revisit_t",
+        planPlusQueued) === 2L)
+      val q = spark.table("revisit_t_frontier").collect()
+        .map(_.getString(0)).toSet
+      assert(q === Set("https://h0.example/queued",
+        "https://h0.example/changed", "https://h0.example/stale"))
+      assert(spark.table("revisit_t_seen_bloom").collect().toSet ===
+        bloomBefore, "re-enqueue must not touch the seen-set")
+      // the organic path still skips: every historical url is still
+      // "seen" by the bloom
+      val probe = Bloom.mightContain(spark.table("revisit_t_seen_bloom"),
+        hist.select("url"), "url", 1L << 16, 4)
+      assert(probe.filter(!col("might_contain")).count() === 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS revisit_t_frontier")
+      spark.sql("DROP TABLE IF EXISTS revisit_t_seen_bloom")
     }
   }
 
