@@ -15,9 +15,16 @@ package graft.llmops
   * SCOPE, stated like the PDF CID bound: **lossy VP8 and animated
   * streams do not decode here** — [[decodeArgb]] returns None for them
   * (the chunk walk recognizes the container, the payload needs a DCT
-  * codec that has no dependency-free one-file implementation). The
-  * honest-stub degrade applies, and [[Multimodal.decodeCoverage]]
-  * makes the stubbed fraction observable per kind — no silent caps.
+  * codec that has no dependency-free one-file implementation, and
+  * RFC 6386's default probability tables are not reproducible offline
+  * without risking silent mis-decodes). The honest-stub degrade
+  * applies, [[Multimodal.decodeCoverage]] makes the stubbed fraction
+  * observable per kind, and the stance is MEASURED, not narrated:
+  * [[graft.tools.MediaMixBench]] quantifies the near-dup recall the
+  * stub costs at a realistic format mix (BASELINE.md r14 — the loss is
+  * exactly the undecodable-twin share; every decodable lane holds
+  * 100%). A real decoder (JNI libwebp, subprocess) replaces the stub
+  * behind the same routedFeatures seam with no plan change.
   *
   * Trust nothing: every read is bounds-checked; any structural problem
   * (truncated stream, over-long code, bad transform tiling, palette

@@ -804,5 +804,51 @@ object ModelPrepQueries extends QueryModule {
         .select("url", "host", "priority", "last_fetch", "ttl_secs",
           "n_fetches", "n_changes")
         .orderBy("url")
+    },
+
+    // WebDataset .tar interop round trip (the q_x_warc_interop shape,
+    // for the shard envelope multimodal trainers consume): Spark WRITES
+    // the corpus as key-grouped USTAR members (a txt part for every
+    // sample, a meta part skipped on the %7 lane — the optional-field
+    // rule), reads the tars back through the checksum-verifying
+    // quarantine parser, and aggregates per extension; the ORACLE
+    // computes the identical counts, key sums and order-invariant
+    // key:md5(payload) checksums STRAIGHT from the table — any member
+    // the tar layer loses, tears, mis-names or mutates breaks the hash.
+    q("q_x_webdataset_interop", {
+      import graft.llmops.PortableHash
+      val hTxt = PortableHash.duckHash52(
+        "CAST(doc_id AS VARCHAR) || ':' || md5(text)")
+      val hMeta = PortableHash.duckHash52(
+        "CAST(doc_id AS VARCHAR) || ':' || md5('{\"id\":' || doc_id || '}')")
+      "SELECT * FROM (" +
+        "SELECT 'txt' AS ext, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(doc_id) AS BIGINT) AS key_sum, " +
+        s"CAST(bit_xor($hTxt) AS BIGINT) AS checksum FROM documents " +
+        "UNION ALL " +
+        "SELECT 'meta' AS ext, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(doc_id) AS BIGINT) AS key_sum, " +
+        s"CAST(bit_xor($hMeta) AS BIGINT) AS checksum FROM documents " +
+        "WHERE doc_id % 7 <> 0) ORDER BY ext"
+    }) { (s, d) =>
+      import graft.ingest.WebDataset
+      import graft.llmops.PortableHash
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_webdataset_interop").toString
+      val docs = Tables.documents(s, d)
+      val meta = when(col("doc_id") % 7 =!= 0,
+        concat(lit("{\"id\":"), col("doc_id").cast("string"), lit("}")))
+      WebDataset.write(docs, col("doc_id"),
+        Seq("txt" -> col("text"), "meta" -> meta), path, shards = 4)
+      val back = WebDataset.read(s, path)
+      require(back.where(!col("ok")).isEmpty,
+        "self-written WebDataset must parse cleanly")
+      back.select(col("ext"), col("key").cast("long").as("__k"),
+          PortableHash.hash52(concat(col("key"), lit(":"),
+            md5(col("payload")))).as("__h"))
+        .groupBy("ext")
+        .agg(count(lit(1)).as("n"), sum("__k").as("key_sum"),
+          expr("bit_xor(__h)").as("checksum"))
+        .orderBy("ext")
     })
 }

@@ -404,7 +404,11 @@ object StressBench {
     // r14: per-URL revisit scheduling — two history folds (full-outer
     // joins on the URL-count-bounded state) + one lastmod join;
     // corpus-linear like q_x_crawl_frontier.
-    "q_x_crawl_revisit")
+    "q_x_crawl_revisit",
+    // r14: WebDataset tar write+read round trip — per-row member
+    // assembly out, one whole-shard parse per task back; linear in
+    // corpus bytes like the warc/tfrecord lanes.
+    "q_x_webdataset_interop")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
