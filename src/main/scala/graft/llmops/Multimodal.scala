@@ -555,6 +555,159 @@ object Multimodal {
       .otherwise(nul)
   }
 
+  final case class VideoMeta(width: Long, height: Long, n_frames: Long,
+      duration_micros: Long)
+
+  /** Video stream parameters WITHOUT decode — the last cell of the
+    * size-gate matrix ([[imageDims]] / [[audioDims]] siblings): at
+    * 100 TB the video gate (resolution/duration) must read container
+    * headers, not demux frames. Routes by [[detectKind]]:
+    *
+    *   - avi: the AVIMAINHEADER (`avih`) fields — width/height, frame
+    *     count, and duration = µs-per-frame × total frames (headers
+    *     only; [[decodeAvi]] is the frame path);
+    *   - mp4/mov/isobmff: `moov`→`mvhd` (timescale + duration → exact
+    *     integer micros) and the first `trak`→`tkhd` with NONZERO
+    *     16.16-fixed width/height (video tracks carry dims, audio
+    *     tracks are 0×0 — the disambiguation rule, stated); `n_frames`
+    *     reads 0 (the sample-table walk is out of stated scope — the
+    *     gate needs dims + duration).
+    *
+    * Field-sanity guards (µs-per-frame/frames ≤ 10⁹, duration fits the
+    * micros multiply) reject attacker-controlled overflow the same way
+    * [[decodeAvi]] caps dims. None when the magic or headers don't
+    * parse.
+    */
+  def videoDims(payload: Array[Byte]): Option[VideoMeta] =
+    try {
+      detectKind(payload) match {
+        case "avi" => aviMeta(payload)
+        case "mp4" | "mov" | "isobmff" => mp4Meta(payload)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Headers-only AVI walk: find `avih` (recursing into LISTs, the
+    * [[decodeAvi]] shape) and read the public AVIMAINHEADER fields.
+    */
+  private def aviMeta(payload: Array[Byte]): Option[VideoMeta] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 24 || str4(0) != "RIFF" || str4(8) != "AVI ")
+      return None
+    var found: Option[VideoMeta] = None
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      var torn = false
+      while (!torn && found.isEmpty && off + 8 <= end) {
+        val id = str4(off)
+        val sz = bb.getInt(off + 4)
+        if (sz < 0 || off + 8 + sz > end) torn = true
+        else {
+          if (id == "LIST" && sz >= 4) {
+            if (depth < 32) walk(off + 12, off + 8 + sz, depth + 1)
+          } else if (id == "avih" && sz >= 40) {
+            val us = bb.getInt(off + 8).toLong & 0xffffffffL
+            val fr = bb.getInt(off + 8 + 16).toLong & 0xffffffffL
+            val w = bb.getInt(off + 8 + 32).toLong & 0xffffffffL
+            val h = bb.getInt(off + 8 + 36).toLong & 0xffffffffL
+            if (w >= 1 && h >= 1 && us <= 1000000000L && fr <= 1000000000L)
+              found = Some(VideoMeta(w, h, fr, us * fr))
+          }
+          off += 8 + sz + (sz & 1)
+        }
+      }
+    }
+    walk(12, payload.length, 0)
+    found
+  }
+
+  /** ISO-BMFF `moov` walk: mvhd timescale/duration (both FullBox
+    * versions) + the first tkhd with nonzero dims.
+    */
+  private def mp4Meta(payload: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int): Long = payload(i) & 0xffL
+    def be32(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    var timescale = 0L
+    var duration = -1L
+    var w = 0L
+    var h = 0L
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz0 = be32(off.toInt)
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1L) {
+          if (off + 16 > end) return
+          sz = be64(off.toInt + 8); hdr = 16L
+        } else if (sz0 == 0L) sz = end - off
+        if (sz < hdr || off + sz > end || sz > Int.MaxValue) return
+        val t = new String(payload, off.toInt + 4, 4, "ISO-8859-1")
+        val p = (off + hdr).toInt
+        t match {
+          case "moov" | "trak" if depth < 8 => walk(off + hdr, off + sz, depth + 1)
+          case "mvhd" if sz >= hdr + 4 =>
+            val v = u8(p)
+            if (v == 0L && sz >= hdr + 24) {
+              timescale = be32(p + 12); duration = be32(p + 16)
+            } else if (v == 1L && sz >= hdr + 36) {
+              timescale = be32(p + 20); duration = be64(p + 24)
+            }
+          case "tkhd" if w == 0L || h == 0L =>
+            val v = u8(p)
+            val (wo, ho) =
+              if (v == 1L) (p + 88, p + 92) else (p + 76, p + 80)
+            if (ho + 4 <= off + sz) {
+              val tw = be32(wo) >> 16 // 16.16 fixed point
+              val th = be32(ho) >> 16
+              if (tw >= 1 && th >= 1) { w = tw; h = th }
+            }
+          case _ =>
+        }
+        off += sz
+      }
+    }
+    walk(0L, payload.length.toLong, 0)
+    if (w >= 1 && h >= 1 && timescale >= 1 && duration >= 0 &&
+        duration <= Long.MaxValue / 1000000L)
+      Some(VideoMeta(w, h, 0L, duration * 1000000L / timescale))
+    else None
+  }
+
+  /** The fixed-offset half of [[videoDims]] as a pure codegen column —
+    * CANONICAL-layout AVI only (the `LIST hdrl` at offset 12 with
+    * `avih` first, the layout every mainstream muxer writes; exotic
+    * layouts read null here and the JVM walk handles them; ISO-BMFF's
+    * moov can sit anywhere, so mp4 stays JVM-side — the JPEG-SOF
+    * stance). Same field-sanity guards as the JVM walk, replayed by
+    * the oracle. Returns struct(width, height, n_frames,
+    * duration_micros); null otherwise.
+    */
+  def videoDimsCol(payload: Column): Column = {
+    def leAt(i: Int, n: Int): Column =
+      conv(concat(((i + n - 1) to i by -1).map(j =>
+        hex(substring(payload, j + 1, 1))): _*), 16, 10).cast("long")
+    val us = leAt(32, 4)
+    val fr = leAt(48, 4)
+    val w = leAt(64, 4)
+    val h = leAt(68, 4)
+    val ok = detectKindCol(payload) === "avi" && length(payload) >= 88 &&
+      substring(payload, 13, 4) === lit("LIST".getBytes("ISO-8859-1")) &&
+      substring(payload, 25, 4) === lit("avih".getBytes("ISO-8859-1")) &&
+      leAt(28, 4) >= 40L && w >= 1L && h >= 1L &&
+      us <= 1000000000L && fr <= 1000000000L
+    when(ok, struct(w.as("width"), h.as("height"), fr.as("n_frames"),
+      (us * fr).as("duration_micros")))
+      .otherwise(lit(null).cast(
+        "struct<width:bigint,height:bigint,n_frames:bigint," +
+          "duration_micros:bigint>"))
+  }
+
   /** STUB decoder — deterministic fake "features" derived from payload
     * bytes, used for kinds with no in-JVM codec (compressed audio/video
     * codecs). A real implementation would decode the media and run a

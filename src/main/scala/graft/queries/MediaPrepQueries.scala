@@ -345,5 +345,58 @@ object MediaPrepQueries extends QueryModule {
           col("a.n_samples").as("n_samples"),
           col("a.duration_micros").as("duration_micros"))
         .orderBy("doc_id")
+    },
+
+    // Scan-side VIDEO stream parameters without demux (the r14
+    // audio/image siblings, completing the size-gate matrix):
+    // canonical-layout AVI headers constructed from doc_id arithmetic
+    // (LIST hdrl + AVIMAINHEADER LE fields), parsed back by the
+    // pure-codegen videoDimsCol incl. the µs×frames exact duration
+    // product and the overflow sanity guards. Torn-AVI and
+    // 0x00-guarded text rows read null; the guard lane (µs > 10⁹)
+    // must ALSO read null in both engines.
+    q("q_x_video_dims",
+      "WITH p AS (SELECT doc_id, doc_id % 4 AS lane, " +
+        "doc_id % 100000 + 1 AS us, doc_id % 10000 + 1 AS fr, " +
+        "doc_id % 1920 + 1 AS w, doc_id % 1080 + 1 AS h FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE lane WHEN 0 THEN w END AS BIGINT) AS width, " +
+        "CAST(CASE lane WHEN 0 THEN h END AS BIGINT) AS height, " +
+        "CAST(CASE lane WHEN 0 THEN fr END AS BIGINT) AS n_frames, " +
+        "CAST(CASE lane WHEN 0 THEN us * fr END AS BIGINT) AS duration_micros " +
+        "FROM p ORDER BY doc_id") { (s, d) =>
+      def beHex(v: org.apache.spark.sql.Column, bytes: Int) =
+        lpad(hex(v), 2 * bytes, "0")
+      def leHex(v: org.apache.spark.sql.Column, bytes: Int) = {
+        val be = beHex(v, bytes)
+        concat((0 until bytes).map(i =>
+          substring(be, 2 * bytes - 2 * i - 1, 2)): _*)
+      }
+      def strHex(t: String) =
+        lit(t.getBytes("ISO-8859-1").map("%02X".format(_)).mkString)
+      val lane = col("doc_id") % 4
+      val us = col("doc_id") % 100000 + 1
+      val fr = col("doc_id") % 10000 + 1
+      val w = col("doc_id") % 1920 + 1
+      val h = col("doc_id") % 1080 + 1
+      def aviHex(usC: org.apache.spark.sql.Column) = concat(strHex("RIFF"),
+        leHex(lit(80L), 4), strHex("AVI "), strHex("LIST"),
+        leHex(lit(68L), 4), strHex("hdrl"), strHex("avih"),
+        leHex(lit(56L), 4),
+        leHex(usC, 4), lit("0" * 24), leHex(fr, 4), lit("0" * 24),
+        leHex(w, 4), leHex(h, 4), lit("0" * 32))
+      val payload = when(lane === 0, unhex(aviHex(us)))
+        // the overflow guard lane: µs-per-frame 2·10⁹ > the 10⁹ cap
+        .when(lane === 1, unhex(aviHex(lit(2000000000L))))
+        .when(lane === 2,
+          concat(unhex(lit("00")), col("text").cast("binary")))
+        .otherwise(call_function("substring", unhex(aviHex(us)),
+          lit(1), lit(40)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.videoDimsCol(payload).as("v"))
+        .select(col("doc_id"), col("v.width").as("width"),
+          col("v.height").as("height"), col("v.n_frames").as("n_frames"),
+          col("v.duration_micros").as("duration_micros"))
+        .orderBy("doc_id")
     })
 }

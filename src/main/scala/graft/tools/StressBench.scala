@@ -408,7 +408,10 @@ object StressBench {
     // r14: WebDataset tar write+read round trip — per-row member
     // assembly out, one whole-shard parse per task back; linear in
     // corpus bytes like the warc/tfrecord lanes.
-    "q_x_webdataset_interop")
+    "q_x_webdataset_interop",
+    // r14: scan-side video headers — canonical-AVI fixed-offset
+    // arithmetic, strictly linear like the image/audio dims lanes.
+    "q_x_video_dims")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

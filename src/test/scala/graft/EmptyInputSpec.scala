@@ -425,8 +425,18 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Multimodal.decodeCoverage(noMedia).count() == 0)
     assert(noMedia.select(Multimodal.detectKindCol(col("payload")),
       Multimodal.imageDimsCol(col("payload")),
-      Multimodal.audioDimsCol(col("payload"))).count() == 0)
+      Multimodal.audioDimsCol(col("payload")),
+      Multimodal.videoDimsCol(col("payload"))).count() == 0)
     assert(Multimodal.audioDims(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.videoDims(Array.empty[Byte]).isEmpty)
+    // WebDataset: an empty frame still writes valid (terminator-only)
+    // tars; reading them back is zero rows, zero quarantine
+    val wdsDir = java.nio.file.Files.createTempDirectory("wds_empty").toString
+    val wdsManifest = graft.ingest.WebDataset.write(
+      noMedia.select(col("media_id"), col("payload")),
+      col("media_id"), Seq("bin" -> col("payload")), wdsDir, shards = 2)
+    assert(wdsManifest.collect().map(_.getLong(1)).sum === 0L)
+    assert(graft.ingest.WebDataset.read(spark, wdsDir).count() === 0L)
     // generation rotation without a seeded frontier: loud, not silent
     val e = intercept[IllegalStateException] {
       graft.streaming.EventStream.frontierNewGeneration(spark,

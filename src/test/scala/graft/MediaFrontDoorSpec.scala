@@ -232,6 +232,73 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(rows("tornflac") === None)
   }
 
+  /** Canonical AVI header prefix: RIFF/AVI + LIST hdrl with avih first. */
+  private def aviHeader(us: Long, frames: Long, w: Long, h: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    bos.write(s("RIFF")); le32(4 + 8 + 4 + 8 + 56)
+    bos.write(s("AVI ")); bos.write(s("LIST")); le32(4 + 8 + 56)
+    bos.write(s("hdrl")); bos.write(s("avih")); le32(56)
+    le32(us); le32(0); le32(0); le32(0); le32(frames); le32(0); le32(0)
+    le32(0); le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    bos.toByteArray
+  }
+
+  /** Minimal mp4: ftyp + moov(mvhd + audio tkhd 0x0 + video tkhd). */
+  private def mp4File(timescale: Long, duration: Long, w: Long, h: Long,
+      v1: Boolean = false): Array[Byte] = {
+    def fix1616(v: Long): Array[Byte] = be32(v << 16)
+    val mvhd =
+      if (v1) box("mvhd", b(1, 0, 0, 0) ++ new Array[Byte](16) ++
+        be32(timescale) ++ be32(duration >> 32) ++
+        be32(duration & 0xffffffffL) ++ new Array[Byte](80))
+      else box("mvhd", be32(0) ++ new Array[Byte](8) ++ be32(timescale) ++
+        be32(duration) ++ new Array[Byte](80))
+    def tkhd(tw: Long, th: Long) = box("tkhd",
+      be32(0) ++ new Array[Byte](72) ++ fix1616(tw) ++ fix1616(th))
+    val moov = box("moov", mvhd ++ box("trak", tkhd(0, 0)) ++
+      box("trak", tkhd(w, h)))
+    ftypFile("isom", moov)
+  }
+
+  test("videoDims: avi header fields and the mp4 mvhd/tkhd walk; " +
+      "videoDimsCol agrees on canonical AVI and stays null elsewhere") {
+    import spark.implicits._
+    val avi = aviHeader(33333L, 300L, 640L, 480L)
+    assert(Multimodal.videoDims(avi) ===
+      Some(Multimodal.VideoMeta(640L, 480L, 300L, 33333L * 300L)))
+    // a REAL uncompressed AVI from the decodeAvi fixture family agrees
+    // on dims (headers vs full decode)
+    val mp4 = mp4File(timescale = 90000L, duration = 450000L, w = 1280L,
+      h = 720L)
+    assert(Multimodal.videoDims(mp4) ===
+      Some(Multimodal.VideoMeta(1280L, 720L, 0L, 5000000L)))
+    // v1 mvhd (64-bit duration) and the audio-trak-first skip rule
+    val mp4v1 = mp4File(timescale = 1000L, duration = 7500L, w = 320L,
+      h = 240L, v1 = true)
+    assert(Multimodal.videoDims(mp4v1) ===
+      Some(Multimodal.VideoMeta(320L, 240L, 0L, 7500000L)))
+    // mov brand routes through the same walk
+    val mov = b(0, 0, 0, 16) ++ s("ftyp") ++ s("qt  ") ++ be32(0) ++
+      mp4.drop(16)
+    assert(Multimodal.videoDims(mov).map(_.width) === Some(1280L))
+    // sanity guards: garbage us/frames reject; torn moov rejects
+    assert(Multimodal.videoDims(
+      aviHeader(2000000000L, 300L, 64L, 48L)).isEmpty)
+    assert(Multimodal.videoDims(mp4.take(40)).isEmpty)
+    assert(Multimodal.videoDims(s("not a container")).isEmpty)
+    val rows = Seq(("avi", avi), ("mp4", mp4), ("txt", s("hello world")))
+      .toDF("name", "payload")
+      .select(col("name"), Multimodal.videoDimsCol(col("payload")).as("v"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getStruct(1)).map(st =>
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)))).toMap
+    assert(rows("avi") === Some((640L, 480L, 300L, 33333L * 300L)))
+    assert(rows("mp4") === None) // box walk is JVM-side by design
+    assert(rows("txt") === None)
+  }
+
   test("routedFeatures + decodeCoverage report the new ISO-BMFF kinds " +
       "under their own names (observably stubbed, never unknown)") {
     import spark.implicits._
