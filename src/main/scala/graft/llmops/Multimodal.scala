@@ -63,7 +63,13 @@ object Multimodal {
     "warc" -> "WARC/".getBytes("ISO-8859-1"),
     "bmp" -> "BM".getBytes("ISO-8859-1"),
     "flac" -> "fLaC".getBytes("ISO-8859-1"),
-    "mp3" -> "ID3".getBytes("ISO-8859-1"))
+    "mp3" -> "ID3".getBytes("ISO-8859-1"),
+    // ICONDIR: reserved 0, type 1 — the favicon format every crawl hits
+    "ico" -> Array(0x00, 0x00, 0x01, 0x00).map(_.toByte),
+    // prefix-only text sniffs, stated scope: an XML-prologued svg reads
+    // "xml" (content sniffing past the first bytes is not a prefix rule)
+    "xml" -> "<?xml".getBytes("ISO-8859-1"),
+    "svg" -> "<svg".getBytes("ISO-8859-1"))
 
   private val RiffTags: Seq[(String, String)] =
     Seq("WEBP" -> "webp", "WAVE" -> "wav", "AVI " -> "avi")
@@ -209,6 +215,10 @@ object Multimodal {
           }
         case "tiff" => tiffDims(payload)
         case "avif" | "heic" | "isobmff" => ispeDims(payload)
+        case "ico" if payload.length >= 8 && le16(4) >= 1 =>
+          // first ICONDIRENTRY: single dimension bytes, 0 means 256
+          def dim(i: Int): Int = if (u8(i) == 0) 256 else u8(i)
+          Some((dim(6), dim(7)))
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -301,20 +311,26 @@ object Multimodal {
   }
 
   /** The arithmetic half of [[imageDims]] as a pure codegen column —
-    * PNG (BE32 IHDR fields), GIF (LE16 logical-screen fields) and BMP
-    * (LE32 BITMAPINFOHEADER fields) have their dimensions at constant
-    * offsets, and TIFF's first IFD is a bounded dynamic-offset walk
-    * (entry positions computed from the header's IFD pointer — still
-    * hex + conv + substring arithmetic, the same walk a DuckDB replay
-    * does), so the size gate rides the parquet scan with no UDF. The
-    * TIFF half reads at most the first [[TiffColMaxEntries]] IFD
-    * entries (tags are spec-ordered ascending, so 256/257 lead every
-    * real file; a fatter IFD reads null here and the JVM walk handles
-    * it). Returns struct(w, h); null for every other kind (route those
-    * through [[imageDims]] inside the decode stage, where the payload
-    * is already in hand).
+    * PNG (BE32 IHDR fields), GIF (LE16 logical-screen fields), BMP
+    * (LE32 BITMAPINFOHEADER fields) and ICO (ICONDIR entry bytes, 0
+    * means 256) have their dimensions at constant offsets, and TIFF
+    * parses in its CANONICAL layout (first IFD at offset 8 — what the
+    * JDK writer and every header-first writer emits), so every read is
+    * a literal-offset hex + conv + substring and the size gate rides
+    * the parquet scan with no UDF inside one whole-stage-codegen span.
+    * The TIFF half scans the first [[TiffColMaxEntries]] IFD entries
+    * for tags 256/257, both byte orders — entries are spec-ordered
+    * ASCENDING by tag and only 254/255 can precede 256, so the dims sit
+    * within the first four entries of every conformant file (the cap
+    * also bounds the unrolled codegen: a 16-entry unroll measurably
+    * cost ~70 s of Janino compilation per plan — SCALE.md records the
+    * ladder). Exotic prefixes or an IFD placed after the image data
+    * read null here and the unbounded JVM walk handles them. Returns
+    * struct(w, h); null for every other kind (route those through
+    * [[imageDims]] inside the decode stage, where the payload is
+    * already in hand).
     */
-  private val TiffColMaxEntries = 16
+  private val TiffColMaxEntries = 6
 
   def imageDimsCol(payload: Column): Column = {
     def byteHex(i: Int): Column = hex(substring(payload, i + 1, 1))
@@ -327,58 +343,47 @@ object Multimodal {
     // complement on the unsigned read
     val bmpH = leAt(22, 4)
     val bmpHAbs = when(bmpH >= (1L << 31), lit(1L << 32) - bmpH).otherwise(bmpH)
-    // --- TIFF: dynamic-position reads off the header's IFD pointer.
-    // Expression-tree economy matters here (the IFD pointer subtree
-    // would otherwise be duplicated into every byte read and blow up
-    // the plan): each 12-byte IFD entry is pulled with ONE dynamic
-    // substring, hexed, and sliced as string arithmetic.
+    // --- TIFF: the CANONICAL first-IFD-at-offset-8 layout (what
+    // ImageIO and every header-first writer emits — verified: the JDK
+    // writer pins ifdOffset=8), so every field offset is a LITERAL and
+    // the whole parse stays inside whole-stage codegen. Files whose
+    // first IFD sits elsewhere (libtiff-style IFD-after-data) read null
+    // here and the JVM walk handles them — the canonical-WAV stance.
+    // (Two earlier forms are recorded in SCALE.md: dynamic-position
+    // reads duplicated the IFD-pointer subtree into every byte read and
+    // blew the generated code past the driver heap; a transform-lambda
+    // binding fixed the size but its non-codegen ArrayTransform dragged
+    // the ENTIRE CASE to interpreted eval for every row — 10× on the
+    // oracle lane.)
     val isLe = substring(payload, 1, 2) === lit("II".getBytes("ISO-8859-1"))
-    def fixed(off: Int, n: Int): Column = {
+    def tiffAt(off: Int, n: Int): Column = {
       val hx = hex(substring(payload, off + 1, n))
       val le = conv(concat(((n - 1) to 0 by -1).map(k =>
         substring(hx, 2 * k + 1, 2)): _*), 16, 10).cast("long")
       when(isLe, le).otherwise(conv(hx, 16, 10).cast("long"))
     }
-    val ifd = fixed(4, 4)
-    // the first-IFD entry region in one dynamic read: count (2 bytes) +
-    // up to TiffColMaxEntries 12-byte entries. The region hex is BOUND
-    // ONCE as a higher-order-function lambda variable — every slice
-    // below references that leaf instead of re-inlining the
-    // dynamic-substring subtree, which keeps the plan tree (and the
-    // generated code) small; the entry walk itself evaluates as an
-    // interpreted lambda, once per row, over ≤ 194 bytes.
-    val ifdHex = hex(call_function("substring", payload,
-      (ifd + 1L).cast("int"), lit(2 + 12 * TiffColMaxEntries)))
-    val tiffDim = element_at(
-      transform(array(ifdHex), hx => {
-        def slice(charOff: Int, nBytes: Int): Column = {
-          val le = conv(concat(((nBytes - 1) to 0 by -1).map(k =>
-            substring(hx, charOff + 2 * k + 1, 2)): _*), 16, 10).cast("long")
-          val be = conv(substring(hx, charOff + 1, 2 * nBytes), 16, 10)
-            .cast("long")
-          when(isLe, le).otherwise(be)
-        }
-        val nEnt = slice(0, 2)
-        def entryDim(tag: Long): Column = {
-          val hits = (0 until TiffColMaxEntries).map { i =>
-            val c = 4 + 24 * i // hex-char offset of entry i, after the count
-            val tpe = slice(c + 4, 2)
-            when(lit(i.toLong) < nEnt && slice(c, 2) === tag &&
-                slice(c + 8, 4) === 1L && (tpe === 3L || tpe === 4L),
-              when(tpe === 3L, slice(c + 16, 2)).otherwise(slice(c + 16, 4)))
-          }
-          coalesce(hits :+ lit(null).cast("long"): _*)
-        }
-        val w = entryDim(256L)
-        val h = entryDim(257L)
-        when(nEnt <= TiffColMaxEntries &&
-            ifd + 2L + nEnt * 12L <= length(payload) &&
-            w >= 1L && h >= 1L,
-          struct(w.as("w"), h.as("h")))
-          .otherwise(lit(null).cast("struct<w:bigint,h:bigint>"))
-      }), 1)
-    val tiffOk = length(payload) >= 8 && fixed(2, 2) === 42L &&
-      ifd >= 8L && ifd + 2L <= length(payload)
+    val ifd = tiffAt(4, 4)
+    val nEnt = tiffAt(8, 2)
+    def entryDim(tag: Long): Column = {
+      val hits = (0 until TiffColMaxEntries).map { i =>
+        val base = 10 + 12 * i // literal byte offset of entry i
+        val tpe = tiffAt(base + 2, 2)
+        when(lit(i.toLong) < nEnt && tiffAt(base, 2) === tag &&
+            tiffAt(base + 4, 4) === 1L && (tpe === 3L || tpe === 4L),
+          when(tpe === 3L, tiffAt(base + 8, 2)).otherwise(tiffAt(base + 8, 4)))
+      }
+      coalesce(hits :+ lit(null).cast("long"): _*)
+    }
+    val tiffW = entryDim(256L)
+    val tiffH = entryDim(257L)
+    val tiffDim = when(tiffW >= 1L && tiffH >= 1L,
+      struct(tiffW.as("w"), tiffH.as("h")))
+      .otherwise(lit(null).cast("struct<w:bigint,h:bigint>"))
+    // no nEnt cap in the guard: the cap bounds the SCAN, not the file —
+    // a 15-entry ImageIO IFD still parses because its 256/257 lead;
+    // reads past a short payload conv to null and the hit skips
+    val tiffOk = length(payload) >= 10 && tiffAt(2, 2) === 42L &&
+      ifd === 8L
     val k = detectKindCol(payload)
     when(k === "png" && length(payload) >= 24 &&
         substring(payload, 13, 4) === lit("IHDR".getBytes("ISO-8859-1")),
@@ -388,6 +393,10 @@ object Multimodal {
       .when(k === "bmp" && length(payload) >= 26 && leAt(14, 4) >= 40,
         struct(leAt(18, 4).as("w"), bmpHAbs.as("h")))
       .when(k === "tiff" && tiffOk, tiffDim)
+      .when(k === "ico" && length(payload) >= 8 && leAt(4, 2) >= 1L,
+        struct(
+          when(leAt(6, 1) === 0L, 256L).otherwise(leAt(6, 1)).as("w"),
+          when(leAt(7, 1) === 0L, 256L).otherwise(leAt(7, 1)).as("h")))
       .otherwise(lit(null).cast("struct<w:bigint,h:bigint>"))
   }
 

@@ -48,6 +48,9 @@ object MediaPrepQueries extends QueryModule {
     "flac" -> "fLaC".getBytes("ISO-8859-1"),
     "mp3" -> ("ID3".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0)),
     "mp3sync" -> Array(0xFF, 0xFB).map(_.toByte),
+    "ico" -> Array(0x00, 0x00, 0x01, 0x00).map(_.toByte),
+    "xml" -> "<?xml version=\"1.0\"?>".getBytes("ISO-8859-1"),
+    "svg" -> "<svg xmlns=".getBytes("ISO-8859-1"),
     "unknown" -> Array.empty[Byte])
 
   /** The [[Multimodal]] ftyp brand table, mirrored for the oracle CASE
@@ -136,7 +139,8 @@ object MediaPrepQueries extends QueryModule {
         "pdf" -> "255044462D", "gzip" -> "1F8B", "zstd" -> "28B52FFD",
         "zip" -> "504B0304", "tiff" -> "49492A00", "tiff2" -> "4D4D002A",
         "warc" -> "574152432F", "bmp" -> "424D",
-        "flac" -> "664C6143", "mp3" -> "494433")
+        "flac" -> "664C6143", "mp3" -> "494433",
+        "ico" -> "00000100", "xml" -> "3C3F786D6C", "svg" -> "3C737667")
         .map { case (k, h) =>
           val kind = if (k == "tiff2") "tiff" else k
           s"WHEN substr(hx, 1, ${h.length}) = '$h' THEN '$kind'"
@@ -164,8 +168,9 @@ object MediaPrepQueries extends QueryModule {
           when(col("doc_id") % nPlants === i, lit(m)).otherwise(e)
       }
       docs.select(col("doc_id"),
-          Multimodal.detectKindCol(
-            concat(plant, col("text").cast("binary"))).as("kind"))
+          concat(plant, col("text").cast("binary")).as("payload"))
+        .select(col("doc_id"),
+          Multimodal.detectKindCol(col("payload")).as("kind"))
         .groupBy("kind")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
         .orderBy("kind")
@@ -223,8 +228,12 @@ object MediaPrepQueries extends QueryModule {
     // files). Text rows read null.
     q("q_x_image_dims",
       "SELECT doc_id, " +
-        "CASE WHEN doc_id % 6 = 5 THEN NULL ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS w, " +
-        "CASE WHEN doc_id % 6 = 5 THEN NULL ELSE CAST(doc_id % 333 + 1 AS BIGINT) END AS h " +
+        "CAST(CASE WHEN doc_id % 7 = 6 THEN NULL " +
+        "WHEN doc_id % 7 = 5 THEN (CASE WHEN doc_id % 256 = 0 THEN 256 ELSE doc_id % 256 END) " +
+        "ELSE doc_id % 500 + 1 END AS BIGINT) AS w, " +
+        "CAST(CASE WHEN doc_id % 7 = 6 THEN NULL " +
+        "WHEN doc_id % 7 = 5 THEN (CASE WHEN doc_id % 251 = 0 THEN 256 ELSE doc_id % 251 END) " +
+        "ELSE doc_id % 333 + 1 END AS BIGINT) AS h " +
         "FROM documents ORDER BY doc_id") { (s, d) =>
       val w = col("doc_id") % 500 + 1
       val h = col("doc_id") % 333 + 1
@@ -264,17 +273,28 @@ object MediaPrepQueries extends QueryModule {
         beHex(lit(257L), 2), beHex(lit(4L), 2), beHex(lit(1L), 4),
         beHex(h, 4),
         lit("00000000"))
+      // ICO: single dimension BYTES with the 0-means-256 rule — planted
+      // as raw mod-256/mod-251 bytes so the zero edge is exercised
+      val icoHex = concat(lit("00000100"), lit("0100"),
+        lpad(hex(col("doc_id") % 256), 2, "0"),
+        lpad(hex(col("doc_id") % 251), 2, "0"), lit("0" * 12))
       // text rows get a 0x00 prefix so a text that happens to start
       // with a magic can't turn the planted-null row into a parse
-      val payload = when(col("doc_id") % 6 === 0, unhex(pngHex))
-        .when(col("doc_id") % 6 === 1, unhex(gifHex))
-        .when(col("doc_id") % 6 === 2, unhex(bmpHex))
-        .when(col("doc_id") % 6 === 3, unhex(tiffLeHex))
-        .when(col("doc_id") % 6 === 4, unhex(tiffBeHex))
+      val payload = when(col("doc_id") % 7 === 0, unhex(pngHex))
+        .when(col("doc_id") % 7 === 1, unhex(gifHex))
+        .when(col("doc_id") % 7 === 2, unhex(bmpHex))
+        .when(col("doc_id") % 7 === 3, unhex(tiffLeHex))
+        .when(col("doc_id") % 7 === 4, unhex(tiffBeHex))
+        .when(col("doc_id") % 7 === 5, unhex(icoHex))
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
+      // payload materializes as its OWN projection before the parse:
+      // feeding the construction tree straight into imageDimsCol would
+      // substitute it into every one of the parser's ~150 byte reads
+      // (CollapseProject keeps a multiply-referenced non-cheap alias)
       Tables.documents(s, d)
+        .select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"),
-          Multimodal.imageDimsCol(payload).as("d"))
+          Multimodal.imageDimsCol(col("payload")).as("d"))
         .select(col("doc_id"), col("d.w").as("w"), col("d.h").as("h"))
         .orderBy("doc_id")
     },
@@ -339,7 +359,9 @@ object MediaPrepQueries extends QueryModule {
           concat(unhex(lit("00")), col("text").cast("binary")))
         .otherwise(call_function("substring", unhex(flacHex), lit(1), lit(30)))
       Tables.documents(s, d)
-        .select(col("doc_id"), Multimodal.audioDimsCol(payload).as("a"))
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          Multimodal.audioDimsCol(col("payload")).as("a"))
         .select(col("doc_id"), col("a.sample_rate").as("sample_rate"),
           col("a.channels").as("channels"),
           col("a.n_samples").as("n_samples"),
@@ -393,7 +415,9 @@ object MediaPrepQueries extends QueryModule {
         .otherwise(call_function("substring", unhex(aviHex(us)),
           lit(1), lit(40)))
       Tables.documents(s, d)
-        .select(col("doc_id"), Multimodal.videoDimsCol(payload).as("v"))
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          Multimodal.videoDimsCol(col("payload")).as("v"))
         .select(col("doc_id"), col("v.width").as("width"),
           col("v.height").as("height"), col("v.n_frames").as("n_frames"),
           col("v.duration_micros").as("duration_micros"))

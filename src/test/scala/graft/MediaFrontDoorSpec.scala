@@ -58,7 +58,12 @@ class MediaFrontDoorSpec extends SparkTestBase {
       // 0xFF with a clear high bit in byte 2 is NOT a sync
       "unknown" -> b(0xFF, 0x7F, 0x00),
       // a short ftyp (no brand bytes) falls to the bare container
-      "isobmff" -> (be32(8) ++ s("ftyp")))
+      "isobmff" -> (be32(8) ++ s("ftyp")),
+      "ico" -> b(0x00, 0x00, 0x01, 0x00, 0x01, 0x00),
+      "xml" -> s("<?xml version=\"1.0\"?><root/>"),
+      "svg" -> s("<svg xmlns=\"http://www.w3.org/2000/svg\"/>"),
+      // an XML-prologued svg reads xml — the stated prefix-rule scope
+      "xml" -> s("<?xml version=\"1.0\"?><svg/>"))
     cases.zipWithIndex.foreach { case ((want, payload), i) =>
       assert(Multimodal.detectKind(payload) === want, s"case $i (jvm)")
     }
@@ -125,9 +130,16 @@ class MediaFrontDoorSpec extends SparkTestBase {
     // truncation: torn IFD / short header reject, never throw
     assert(Multimodal.imageDims(t1.take(9)) === None)
     assert(Multimodal.imageDims(beTiff.take(20)) === None)
-    // the codegen column agrees with the JVM walk (incl. the BE file)
+    // ICO: ICONDIR entry bytes, 0 means 256; zero-count rejects
+    val ico = b(0, 0, 1, 0, 2, 0, 48, 32) ++ new Array[Byte](12)
+    val ico256 = b(0, 0, 1, 0, 1, 0, 0, 0) ++ new Array[Byte](12)
+    assert(Multimodal.imageDims(ico) === Some((48, 32)))
+    assert(Multimodal.imageDims(ico256) === Some((256, 256)))
+    assert(Multimodal.imageDims(b(0, 0, 1, 0, 0, 0, 9, 9)) === None)
+    // the codegen column agrees with the JVM walk (incl. the BE file
+    // and both ICO edges)
     val rows = Seq(("t1", t1), ("t2", t2), ("be", beTiff),
-        ("torn", beTiff.take(20)))
+        ("torn", beTiff.take(20)), ("ico", ico), ("ico256", ico256))
       .toDF("name", "payload")
       .select(col("name"), Multimodal.imageDimsCol(col("payload")).as("d"))
       .collect()
@@ -137,6 +149,8 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(rows("t2") === Some((301L, 5L)))
     assert(rows("be") === Some((123L, 45L)))
     assert(rows("torn") === None)
+    assert(rows("ico") === Some((48L, 32L)))
+    assert(rows("ico256") === Some((256L, 256L)))
   }
 
   /** One MPEG1 Layer III frame header + zero body: 44100 Hz, 128 kbps,
