@@ -717,6 +717,53 @@ object Multimodal {
           "duration_micros:bigint>"))
   }
 
+  /** The scan-side media SIZE GATE the dims family exists for: drop
+    * payloads whose HEADERS prove them out of range BEFORE any decode
+    * is paid — at 100 TB the thumbnail/banner/hour-long-podcast cut
+    * must cost a header read, not a codec. Pure codegen end to end
+    * ([[detectKindCol]] + the three dims columns), so the gate rides
+    * the parquet scan inside one WholeStageCodegen span.
+    *
+    * Policy, stated: only a PARSED header can drop a row. Unknown kinds
+    * and unparseable headers pass as `keep = true, reason = 'no_header'`
+    * — the decode stage and [[decodeCoverage]] own that class (a gate
+    * that dropped unknowns would silently erase every format the
+    * header walks don't cover, the opposite of the no-silent-caps
+    * rule). Images/videos gate on PIXELS (an axis claiming ≥ 2²⁰
+    * is definitionally too large — keeps the product in range without
+    * overflow); audio/video gate on DURATION. In-range parsed rows
+    * read `reason = 'ok'`. Emits the input columns + (kind, keep,
+    * reason).
+    */
+  def sizeGate(media: DataFrame,
+      minPixels: Long = 1024L, maxPixels: Long = 1L << 24,
+      minDurationMicros: Long = 100000L,
+      maxDurationMicros: Long = 4L * 3600L * 1000000L): DataFrame = {
+    require(minPixels >= 0 && maxPixels >= minPixels)
+    require(minDurationMicros >= 0 && maxDurationMicros >= minDurationMicros)
+    val p = col("payload")
+    val axisCap = 1L << 20
+    val img = imageDimsCol(p)
+    val aud = audioDimsCol(p)
+    val vid = videoDimsCol(p)
+    val w = coalesce(img("w"), vid("width"))
+    val h = coalesce(img("h"), vid("height"))
+    val dur = coalesce(aud("duration_micros"), vid("duration_micros"))
+    val reason =
+      when(w.isNull && dur.isNull, lit("no_header"))
+        .when(w.isNotNull && (w >= axisCap || h >= axisCap),
+          lit("too_many_pixels"))
+        .when(w.isNotNull && w * h > maxPixels, lit("too_many_pixels"))
+        .when(w.isNotNull && w * h < minPixels, lit("too_few_pixels"))
+        .when(dur.isNotNull && dur < minDurationMicros, lit("too_short"))
+        .when(dur.isNotNull && dur > maxDurationMicros, lit("too_long"))
+        .otherwise(lit("ok"))
+    media
+      .withColumn("kind", detectKindCol(p))
+      .withColumn("reason", reason)
+      .withColumn("keep", col("reason").isin("ok", "no_header"))
+  }
+
   /** STUB decoder — deterministic fake "features" derived from payload
     * bytes, used for kinds with no in-JVM codec (compressed audio/video
     * codecs). A real implementation would decode the media and run a

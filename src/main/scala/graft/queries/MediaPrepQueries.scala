@@ -422,5 +422,78 @@ object MediaPrepQueries extends QueryModule {
           col("v.height").as("height"), col("v.n_frames").as("n_frames"),
           col("v.duration_micros").as("duration_micros"))
         .orderBy("doc_id")
+    },
+
+    // The scan-side media SIZE GATE composed end to end: payloads whose
+    // constructed headers prove them out of range (pixels for images
+    // and video, duration for audio and video) drop BEFORE any decode;
+    // unknown kinds and torn headers pass through as 'no_header' (the
+    // stated only-a-parsed-header-can-drop policy). Both engines replay
+    // the dims arithmetic AND the rule ORDER (axis cap, too many, too
+    // few, too short, too long) value-exact across six planted lanes.
+    q("q_x_media_size_gate",
+      "WITH p AS (SELECT doc_id, doc_id % 6 AS lane, " +
+        "(doc_id % 2000 + 1) * (doc_id % 1500 + 1) AS ipix, " +
+        "((doc_id % 400000) * 1000000) // (8000 + doc_id % 8000) AS fdur, " +
+        "(doc_id % 300 + 1) * (doc_id % 200 + 1) AS vpix, " +
+        "(doc_id % 50000 + 1) * (doc_id % 2000 + 1) AS vdur FROM documents), " +
+        "r AS (SELECT doc_id, " +
+        "CASE lane WHEN 0 THEN 'png' WHEN 1 THEN 'flac' WHEN 2 THEN 'avi' " +
+        "WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' ELSE 'flac' END AS kind, " +
+        "CASE lane " +
+        "WHEN 0 THEN (CASE WHEN ipix > 1000000 THEN 'too_many_pixels' " +
+        "WHEN ipix < 10000 THEN 'too_few_pixels' ELSE 'ok' END) " +
+        "WHEN 1 THEN (CASE WHEN fdur < 1000000 THEN 'too_short' " +
+        "WHEN fdur > 30000000 THEN 'too_long' ELSE 'ok' END) " +
+        "WHEN 2 THEN (CASE WHEN vpix > 1000000 THEN 'too_many_pixels' " +
+        "WHEN vpix < 10000 THEN 'too_few_pixels' " +
+        "WHEN vdur < 1000000 THEN 'too_short' " +
+        "WHEN vdur > 30000000 THEN 'too_long' ELSE 'ok' END) " +
+        "WHEN 3 THEN 'too_many_pixels' " +
+        "ELSE 'no_header' END AS reason FROM p) " +
+        "SELECT doc_id, kind, reason, reason IN ('ok', 'no_header') AS keep " +
+        "FROM r ORDER BY doc_id") { (s, d) =>
+      def beHex(v: org.apache.spark.sql.Column, bytes: Int) =
+        lpad(hex(v), 2 * bytes, "0")
+      def leHex(v: org.apache.spark.sql.Column, bytes: Int) = {
+        val be = beHex(v, bytes)
+        concat((0 until bytes).map(i =>
+          substring(be, 2 * bytes - 2 * i - 1, 2)): _*)
+      }
+      def strHex(t: String) =
+        lit(t.getBytes("ISO-8859-1").map("%02X".format(_)).mkString)
+      val lane = col("doc_id") % 6
+      def pngHex(w: org.apache.spark.sql.Column,
+          h: org.apache.spark.sql.Column) =
+        concat(lit("89504E470D0A1A0A"), lit("0000000D"), strHex("IHDR"),
+          beHex(w, 4), beHex(h, 4), lit("08060000"))
+      val fRate = col("doc_id") % 8000 + 8000
+      val fNs = col("doc_id") % 400000
+      val packed = fRate * lit(17592186044416L) + lit(15L * 68719476736L) + fNs
+      val flacHex = concat(strHex("fLaC"), lit("00000022"), lit("10001000"),
+        lit("000000000000"), beHex(packed, 8), lit("0" * 32))
+      val aviHex = concat(strHex("RIFF"), leHex(lit(80L), 4), strHex("AVI "),
+        strHex("LIST"), leHex(lit(68L), 4), strHex("hdrl"), strHex("avih"),
+        leHex(lit(56L), 4), leHex(col("doc_id") % 50000 + 1, 4),
+        lit("0" * 24), leHex(col("doc_id") % 2000 + 1, 4), lit("0" * 24),
+        leHex(col("doc_id") % 300 + 1, 4), leHex(col("doc_id") % 200 + 1, 4),
+        lit("0" * 32))
+      val payload = when(lane === 0,
+        unhex(pngHex(col("doc_id") % 2000 + 1, col("doc_id") % 1500 + 1)))
+        .when(lane === 1, unhex(flacHex))
+        .when(lane === 2, unhex(aviHex))
+        // an axis >= 2^20 is definitionally too large — the cap lane
+        .when(lane === 3,
+          unhex(pngHex(lit(1048576L) + col("doc_id") % 100, lit(10L))))
+        .when(lane === 4,
+          concat(unhex(lit("00")), col("text").cast("binary")))
+        .otherwise(call_function("substring", unhex(flacHex), lit(1), lit(30)))
+      Multimodal.sizeGate(
+          Tables.documents(s, d)
+            .select(col("doc_id"), payload.as("payload")),
+          minPixels = 10000L, maxPixels = 1000000L,
+          minDurationMicros = 1000000L, maxDurationMicros = 30000000L)
+        .select(col("doc_id"), col("kind"), col("reason"), col("keep"))
+        .orderBy("doc_id")
     })
 }

@@ -411,7 +411,10 @@ object StressBench {
     "q_x_webdataset_interop",
     // r14: scan-side video headers — canonical-AVI fixed-offset
     // arithmetic, strictly linear like the image/audio dims lanes.
-    "q_x_video_dims")
+    "q_x_video_dims",
+    // r14: the composed size gate — all three dims columns + the rule
+    // CASE in one codegen span; must track the dims lanes.
+    "q_x_media_size_gate")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -313,6 +313,42 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(rows("txt") === None)
   }
 
+  test("sizeGate: only a PARSED header can drop a row; pixel and " +
+      "duration rules fire in the stated order; unknowns keep") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(100, 100)), // 10k pixels: in range
+      (2L, png(2, 2)), // too few
+      (3L, png(2000, 2000)), // too many (4M > 1M)
+      (4L, flacBytes(8000L, 1L, 4000L)), // 0.5 s: too short
+      (5L, flacBytes(8000L, 1L, 80000L)), // 10 s: ok
+      (6L, aviHeader(33333L, 3000L, 64L, 64L)), // 100 s: too long
+      (7L, aviHeader(33333L, 300L, 4L, 4L)), // 16 px: too few (before dur)
+      (8L, s("just text")), // unknown: keep
+      (9L, flacBytes(8000L, 1L, 80000L).take(30))) // torn: keep
+    val out = Multimodal.sizeGate(rows.toDF("media_id", "payload"),
+        minPixels = 100L, maxPixels = 1000000L,
+        minDurationMicros = 1000000L, maxDurationMicros = 30000000L)
+      .select("media_id", "keep", "reason").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) === ((true, "ok")))
+    assert(out(2L) === ((false, "too_few_pixels")))
+    assert(out(3L) === ((false, "too_many_pixels")))
+    assert(out(4L) === ((false, "too_short")))
+    assert(out(5L) === ((true, "ok")))
+    assert(out(6L) === ((false, "too_long")))
+    assert(out(7L) === ((false, "too_few_pixels")))
+    assert(out(8L) === ((true, "no_header")))
+    assert(out(9L) === ((true, "no_header")))
+  }
+
   test("routedFeatures + decodeCoverage report the new ISO-BMFF kinds " +
       "under their own names (observably stubbed, never unknown)") {
     import spark.implicits._
