@@ -225,8 +225,19 @@ object SafeTensors {
         val all = bytes.toByteArray
         val p = new Path(r.getString(0))
         // tmp + rename (the task-side write discipline): a crash
-        // mid-rewrite must never leave a truncated final shard in place
-        val tmp = new Path(p.getParent, s".${p.getName}.rewrite-tmp")
+        // mid-rewrite must never leave a truncated final shard in
+        // place. The tmp name is run-unique (the ShardSink
+        // attempt-discriminator rule — this is driver code, so a UUID
+        // stands in for taskAttemptId): two concurrent writeVectors
+        // calls on one dir can never race on a shared tmp path and
+        // fail each other's rename.
+        val tmp = new Path(p.getParent,
+          s".${p.getName}.rewrite-tmp-${java.util.UUID.randomUUID}")
+        // unique names mean a crashed run's tmp is no longer overwritten
+        // by the next one — reclaim stale leftovers explicitly
+        val stale = fsOut.globStatus(
+          new Path(p.getParent, s".${p.getName}.rewrite-tmp-*"))
+        if (stale != null) stale.foreach(f => fsOut.delete(f.getPath, false))
         val o = fsOut.create(tmp, true)
         try o.write(all) finally o.close()
         fsOut.delete(p, false)

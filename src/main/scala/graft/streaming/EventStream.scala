@@ -532,9 +532,48 @@ object EventStream {
     * on first contact when asked. A mismatch THROWS — wrong parameters
     * must never reach a probe or merge.
     */
+  /** Repair a rotation that crashed INSIDE the table swap (see
+    * [[frontierNewGeneration]]): the swap is four non-atomic metadata
+    * ops, so a crash can leave (a) NO live bloom at all (between its
+    * DROP and RENAME) or (b) the new bloom serving under the OLD
+    * generation stamp (between the bloom pair and the meta pair). Both
+    * states are detectable — the staged meta writes strictly BEFORE the
+    * swap begins, so a missing live table alongside a staged twin can
+    * only mean the swap was in flight — and both repair by COMPLETING
+    * the swap (adopting the staged pair), never by re-running the
+    * build. A crash during the build itself (live pair intact, staged
+    * leftovers present) is NOT adopted — the next rotation reclaims and
+    * rebuilds, as before. No-op when no crash state is present; runs
+    * from [[verifyBloomMeta]] so every state consumer self-heals before
+    * touching the pair.
+    */
+  private def adoptStagedSwap(sess: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Unit = {
+    val bloomT = s"${tablePrefix}_seen_bloom"
+    val metaT = s"${tablePrefix}_seen_bloom_meta"
+    val (bloomS, metaS) = (s"${bloomT}__rebuild", s"${metaT}__rebuild")
+    def has(t: String) = sess.catalog.tableExists(t)
+    if (!has(bloomT) && has(bloomS)) {
+      // crash between DROP bloomT and its RENAME — the widest hazard:
+      // nothing is serving. The staged pair is complete by ordering.
+      sess.sql(s"ALTER TABLE $bloomS RENAME TO $bloomT")
+      if (has(metaS)) {
+        sess.sql(s"DROP TABLE IF EXISTS $metaT")
+        sess.sql(s"ALTER TABLE $metaS RENAME TO $metaT")
+      }
+    } else if (has(bloomT) && !has(bloomS) && has(metaS)) {
+      // bloom pair swapped, meta pair not (covers the crash after DROP
+      // metaT too): the live bloom is the NEW one under the OLD stamp —
+      // finish the meta swap so the pair is consistent again
+      sess.sql(s"DROP TABLE IF EXISTS $metaT")
+      sess.sql(s"ALTER TABLE $metaS RENAME TO $metaT")
+    }
+  }
+
   private def verifyBloomMeta(sess: org.apache.spark.sql.SparkSession,
       tablePrefix: String, mBits: Long, k: Int, seedIfAbsent: Boolean): Unit = {
     import sess.implicits._
+    adoptStagedSwap(sess, tablePrefix)
     val metaT = s"${tablePrefix}_seen_bloom_meta"
     if (sess.catalog.tableExists(metaT)) {
       sess.catalog.refreshTable(metaT)
@@ -589,8 +628,16 @@ object EventStream {
     * two bounded writes — STAGED as `__rebuild` tables and swapped
     * with metadata ops (the rebuildQuantizer discipline), so a crash
     * during the builds leaves the live bloom and its generation stamp
-    * untouched and mutually consistent. Run at re-crawl cadence
-    * (days), never per batch. Returns the new generation number.
+    * untouched and mutually consistent. The swap itself is four
+    * NON-ATOMIC metadata ops (DROP+RENAME per table — the catalog has
+    * no atomic replace), so a residual window remains where a crash
+    * leaves no live bloom or a new bloom under the old stamp; both
+    * states are repaired by adopting the completed staged pair on the
+    * next contact with the state (verifyBloomMeta → adoptStagedSwap),
+    * so the guarantee is crash-CONSISTENT, not crash-proof: either the
+    * old pair serves, or the new pair does after one self-heal — never
+    * a half-rotated mix that persists. Run at re-crawl cadence (days),
+    * never per batch. Returns the new generation number.
     *
     * The adjudicated-once stance for DENIED urls is preserved per
     * generation and only per generation — a robots-denied URL is

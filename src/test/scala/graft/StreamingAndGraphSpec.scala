@@ -1429,6 +1429,30 @@ class StreamingAndGraphSpec extends SparkTestBase {
         mBits = 1L << 16, k = 4) === 2L)
       assert(!spark.catalog.tableExists("frontier_gen_seen_bloom__rebuild"))
       assert(!spark.catalog.tableExists("frontier_gen_seen_bloom_meta__rebuild"))
+      // MID-SWAP crash window (a): live bloom already DROPPED, staged
+      // pair complete — the next contact must ADOPT the staged pair
+      // (completing the swap), never rebuild from a live pair that no
+      // longer exists. Adopting lands generation 7; the rotation on top
+      // returns 8 (a rebuild from the live stamp would have said 3).
+      spark.table("frontier_gen_seen_bloom")
+        .write.format("parquet").saveAsTable("frontier_gen_seen_bloom__rebuild")
+      Seq((1L << 16, 4, 7L)).toDF("m_bits", "k", "generation")
+        .write.format("parquet")
+        .saveAsTable("frontier_gen_seen_bloom_meta__rebuild")
+      spark.sql("DROP TABLE frontier_gen_seen_bloom")
+      assert(EventStream.frontierNewGeneration(spark, "frontier_gen",
+        mBits = 1L << 16, k = 4) === 8L)
+      assert(EventStream.bloomGeneration(spark, "frontier_gen") === 8L)
+      // MID-SWAP crash window (b): bloom pair swapped, meta pair not —
+      // the live bloom is the new one under the old stamp; the staged
+      // meta (gen 41) adopts, then the rotation lands 42.
+      Seq((1L << 16, 4, 41L)).toDF("m_bits", "k", "generation")
+        .write.format("parquet")
+        .saveAsTable("frontier_gen_seen_bloom_meta__rebuild")
+      assert(EventStream.frontierNewGeneration(spark, "frontier_gen",
+        mBits = 1L << 16, k = 4) === 42L)
+      assert(!spark.catalog.tableExists("frontier_gen_seen_bloom__rebuild"))
+      assert(!spark.catalog.tableExists("frontier_gen_seen_bloom_meta__rebuild"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS frontier_gen_frontier")
       spark.sql("DROP TABLE IF EXISTS frontier_gen_seen_bloom")
