@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   *
   *   QUARANTINED, loudly — one `ok = false` row, never a throw, never
   *   silent: corrupt Flate data, any OTHER `/Filter` (DCT/CCITT/LZW…),
-  *   files without a `%PDF-` header or any parseable stream. CID/Type0
-  *   2-byte text (CJK PDFs) decodes WRONG under the simple-font rule by
-  *   nature; consumers gate on [[graft.llmops.TextAnalysis]] langid /
-  *   quality gauges downstream — the same degrade-then-gauge contract
-  *   the image decoders use.
+  *   files without a `%PDF-` header or any parseable stream.
+  *
+  *   CID/Type0 text (r15): hex-string text ops decode through the
+  *   file's `/ToUnicode` CMap (bfchar + both bfrange forms, UTF-16BE
+  *   destinations, code width from the codespacerange) — the path
+  *   modern academic PDFs take. Stated scope: CMaps merge per FILE
+  *   with first-mapping-wins (per-font Tf/resource resolution is out
+  *   of scope — one CMap per file is the dominant shape); unmapped
+  *   codes read U+FFFD; literal-string ops keep the Latin-1
+  *   simple-font reading. Consumers still gate on
+  *   [[graft.llmops.TextAnalysis]] langid / quality gauges downstream
+  *   — the same degrade-then-gauge contract the image decoders use.
   *
   * The WRITER builds complete, viewer-valid multi-page PDFs (catalog →
   * page tree → per-page Flate content streams, correct xref offsets),
@@ -202,13 +209,23 @@ object Pdf {
       .toDF()
   }
 
+  /** Parse one in-memory PDF payload — the route for PDFs that never
+    * touch a filesystem (crawl payloads inside WARC records, media
+    * tables with `kind = pdf`); [[read]] is this over binaryFile.
+    */
+  def parseBytes(path: String, bytes: Array[Byte]): Iterator[PdfText] =
+    fileRows(path, bytes)
+
   private def fileRows(path: String, bytes: Array[Byte]): Iterator[PdfText] = {
     val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
     val s = new String(bytes, latin1)
     if (!s.startsWith("%PDF-"))
       return Iterator(PdfText(path, 0L, null, 0L, ok = false))
-    val rows = new scala.collection.mutable.ArrayBuffer[PdfText]()
-    var idx = 0L
+    // TWO passes (r15): pass 1 scans stream extents and decodes them
+    // (None = quarantine); pass 2 emits rows — so a /ToUnicode CMap
+    // stream ANYWHERE in the file (they typically follow the content
+    // streams) is in hand before any text op decodes.
+    val collected = new scala.collection.mutable.ArrayBuffer[Option[String]]()
     var from = 0
     var sawStream = false
     while (from < s.length) {
@@ -221,8 +238,7 @@ object Pdf {
           if (s.startsWith("\r\n", at + 6)) at + 8 else at + 7
         val end = s.indexOf("endstream", dataStart)
         if (end < 0) {
-          rows += PdfText(path, idx, null, 0L, ok = false)
-          idx += 1
+          collected += None
           from = s.length
         } else {
           // THIS stream's dict: the LAST "<<" run in a bounded backward
@@ -290,23 +306,133 @@ object Pdf {
             if (isFlate) inflated.map(new String(_, latin1))
             else if (dict.contains("/Filter")) None // unsupported codec
             else Some(new String(raw, latin1))
-          content match {
-            case None =>
-              rows += PdfText(path, idx, null, 0L, ok = false)
-              idx += 1
-            case Some(c) if c.contains("BT") =>
-              val (text, nOps) = extractText(c)
-              rows += PdfText(path, idx, text, nOps, ok = true)
-              idx += 1
-            case Some(_) => () // no text in this stream — nothing to lose
-          }
+          collected += content
           from = endPos + 9
         }
       } else from = at + 6
     }
+    // pass 2: CMaps first (they carry no text themselves), then rows.
+    // Multiple fonts' CMaps MERGE with first-mapping-wins and the first
+    // CMap's code width — per-font resolution through Tf/resource
+    // chains is out of stated scope (one CMap per file is the dominant
+    // CID-PDF shape; a conflicting multi-font file degrades to the
+    // first font's view, observable through the downstream gauges).
+    val cmaps = collected.flatMap {
+      case Some(c) if isCMap(c) => Some(parseCMap(c))
+      case _ => None
+    }
+    val cmap: Option[(Int, Map[Int, String])] =
+      cmaps.headOption.map { case (w0, _) =>
+        val merged = scala.collection.mutable.LinkedHashMap[Int, String]()
+        cmaps.foreach { case (_, m) =>
+          m.foreach { case (k, v) =>
+            if (!merged.contains(k)) merged(k) = v
+          }
+        }
+        (w0, merged.toMap)
+      }
+    val rows = new scala.collection.mutable.ArrayBuffer[PdfText]()
+    var idx = 0L
+    collected.foreach {
+      case None =>
+        rows += PdfText(path, idx, null, 0L, ok = false)
+        idx += 1
+      case Some(c) if isCMap(c) => () // consumed above, carries no text
+      case Some(c) if c.contains("BT") =>
+        val (text, nOps) = extractText(c, cmap)
+        rows += PdfText(path, idx, text, nOps, ok = true)
+        idx += 1
+      case Some(_) => () // no text in this stream — nothing to lose
+    }
     if (rows.isEmpty && !sawStream)
       rows += PdfText(path, 0L, null, 0L, ok = false)
     rows.iterator
+  }
+
+  private def isCMap(c: String): Boolean =
+    c.contains("beginbfchar") || c.contains("beginbfrange")
+
+  /** Parse a /ToUnicode CMap: (code byte-width from the first
+    * codespacerange — 2 when absent, the Identity-H norm) plus the
+    * code → Unicode map from every bfchar pair and bfrange (both the
+    * incrementing `<lo> <hi> <dstStart>` form and the explicit
+    * `<lo> <hi> [<d0> <d1> …]` array form). Destinations are UTF-16BE
+    * per spec, so a single code can map to a multi-char string
+    * (ligatures, surrogate pairs). Torn/odd tokens end that section's
+    * parse — the degrade contract.
+    */
+  private[ingest] def parseCMap(c: String): (Int, Map[Int, String]) = {
+    val hexTok = "<([0-9A-Fa-f]+)>".r
+    var width = 2
+    val cs = "(?s)begincodespacerange(.*?)endcodespacerange".r
+    cs.findFirstMatchIn(c).foreach { m =>
+      hexTok.findFirstMatchIn(m.group(1)).foreach(t =>
+        width = math.max(1, math.min(2, t.group(1).length / 2)))
+    }
+    def utf16(hex: String): String = {
+      val even = if (hex.length % 2 == 0) hex else hex + "0"
+      val bs = even.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val map = scala.collection.mutable.LinkedHashMap[Int, String]()
+    val bfchar = "(?s)beginbfchar(.*?)endbfchar".r
+    bfchar.findAllMatchIn(c).foreach { m =>
+      hexTok.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) =>
+          val k = java.lang.Long.parseLong(src, 16).toInt
+          if (!map.contains(k)) map(k) = utf16(dst)
+        case _ => // odd trailing token: torn section, ignore
+      }
+    }
+    // bfrange needs a real token walk — the array form interleaves
+    // brackets with the hex tokens
+    val bfrange = "(?s)beginbfrange(.*?)endbfrange".r
+    bfrange.findAllMatchIn(c).foreach { m =>
+      val body = m.group(1)
+      val tok = "<([0-9A-Fa-f]+)>|\\[|\\]".r
+      val toks = tok.findAllMatchIn(body).toVector
+      var i = 0
+      while (i + 1 < toks.length) {
+        (toks(i).group(1), toks(i + 1).group(1)) match {
+          case (lo, hi) if lo != null && hi != null =>
+            val loV = java.lang.Long.parseLong(lo, 16).toInt
+            val hiV = java.lang.Long.parseLong(hi, 16).toInt
+            if (i + 2 < toks.length && toks(i + 2).matched == "[") {
+              // explicit array: one destination per code
+              var j = i + 3
+              var k = loV
+              while (j < toks.length && toks(j).matched != "]") {
+                if (toks(j).group(1) != null && k <= hiV) {
+                  if (!map.contains(k)) map(k) = utf16(toks(j).group(1))
+                  k += 1
+                }
+                j += 1
+              }
+              i = j + 1
+            } else if (i + 2 < toks.length && toks(i + 2).group(1) != null) {
+              // incrementing form: dst, dst+1, … (increment on the LAST
+              // UTF-16 code unit per spec)
+              val dst = toks(i + 2).group(1)
+              val base = utf16(dst)
+              var k = loV
+              while (k <= hiV && hiV - loV <= 0xffff) {
+                if (!map.contains(k)) {
+                  val off = k - loV
+                  val v =
+                    if (base.isEmpty) ""
+                    else base.dropRight(1) +
+                      (base.last + off).toChar
+                  map(k) = v
+                }
+                k += 1
+              }
+              i += 3
+            } else i = toks.length
+          case _ => i = toks.length // torn: stop this section
+        }
+      }
+    }
+    (width, map.toMap)
   }
 
   private def inflate(b: Array[Byte]): Option[Array[Byte]] =
@@ -327,22 +453,50 @@ object Pdf {
 
   /** Text ops from every BT…ET block of one content stream: strings in
     * a TJ array concatenate into one op, each op joins with '\n'.
+    * With a file-level /ToUnicode CMap (r15), HEX strings decode as
+    * CID codes through it — the Type0/CID path modern academic PDFs
+    * use (their text ops are virtually always hex; a literal-string op
+    * keeps the Latin-1 simple-font reading, stated). Codes the CMap
+    * doesn't cover read U+FFFD — observable, never silently dropped.
     */
-  private[ingest] def extractText(content: String): (String, Long) = {
+  private[ingest] def extractText(content: String,
+      cmap: Option[(Int, Map[Int, String])] = None): (String, Long) = {
     val ops = new scala.collection.mutable.ArrayBuffer[String]()
     var bt = content.indexOf("BT")
     while (bt >= 0) {
       val et = content.indexOf("ET", bt + 2)
       val block = if (et < 0) content.substring(bt + 2)
         else content.substring(bt + 2, et)
-      scanBlock(block, ops)
+      scanBlock(block, ops, cmap)
       bt = if (et < 0) -1 else content.indexOf("BT", et + 2)
     }
     (ops.mkString("\n"), ops.length.toLong)
   }
 
+  /** Map a hex-string's raw bytes (as Latin-1 chars) through the CMap:
+    * width-byte big-endian codes, the trailing partial code
+    * zero-padded per spec.
+    */
+  private def mapCodes(raw: String, width: Int,
+      map: Map[Int, String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      var code = 0
+      var j = 0
+      while (j < width) {
+        code = (code << 8) | (if (i + j < raw.length) raw.charAt(i + j) & 0xff else 0)
+        j += 1
+      }
+      sb.append(map.getOrElse(code, "�"))
+      i += width
+    }
+    sb.toString
+  }
+
   private def scanBlock(block: String,
-      ops: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      ops: scala.collection.mutable.ArrayBuffer[String],
+      cmap: Option[(Int, Map[Int, String])] = None): Unit = {
     var i = 0
     var inArray = false
     val pending = new StringBuilder
@@ -360,7 +514,11 @@ object Pdf {
           i += 2 // inline dict (marked-content props, "/P << /MCID 0 >>")
           // — its second '<' must not open a hex string
         case '<' =>
-          val (str, next) = hexString(block, i + 1)
+          val (raw, next) = hexString(block, i + 1)
+          val str = cmap match {
+            case Some((w, m)) => mapCodes(raw, w, m)
+            case None => raw
+          }
           pending.append(str); pendingAny = true
           if (!inArray) flush()
           i = next

@@ -64,6 +64,10 @@ object Multimodal {
     "bmp" -> "BM".getBytes("ISO-8859-1"),
     "flac" -> "fLaC".getBytes("ISO-8859-1"),
     "mp3" -> "ID3".getBytes("ISO-8859-1"),
+    // the Ogg page capture pattern — the container for Opus/Vorbis
+    // audio on the open web; the bare container name, the riff stance
+    // (codec disambiguation needs the first packet, not the prefix)
+    "ogg" -> "OggS".getBytes("ISO-8859-1"),
     // ICONDIR: reserved 0, type 1 — the favicon format every crawl hits
     "ico" -> Array(0x00, 0x00, 0x01, 0x00).map(_.toByte),
     // prefix-only text sniffs, stated scope: an XML-prologued svg reads
@@ -90,13 +94,39 @@ object Multimodal {
     "iso6" -> "mp4", "mp41" -> "mp4", "mp42" -> "mp4", "dash" -> "mp4",
     "qt  " -> "mov", "M4A " -> "m4a")
 
+  /** The EBML element magic (`1A 45 DF A3`) — the Matroska-family
+    * container (WebM is Matroska restricted to VP8/VP9/AV1 + Opus/
+    * Vorbis, a top-3 video container on the open web). The family
+    * disambiguates on the DocType element (`42 82`), which sits at a
+    * VARIABLE offset inside the EBML header — not a prefix rule — so
+    * the shared rule both classifiers (and the DuckDB replay) can spell
+    * is: a byte-aligned occurrence of the full DocType element
+    * (id + one-byte size + the doctype string) within the FIRST
+    * [[EbmlDocTypeWindow]] bytes → that kind; otherwise the bare
+    * container ("ebml" — the riff/isobmff stance). Real muxers put
+    * DocType within the first ~30 bytes; the marker bytes (0x82/0x88)
+    * cannot occur in ASCII text, so the bounded search is as precise as
+    * a walk for everything but a crafted payload — which classifies
+    * identically (and harmlessly) in every engine, the true-replay
+    * requirement.
+    */
+  private val EbmlMagic: Array[Byte] =
+    Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)
+  private[llmops] val EbmlDocTypeWindow = 64
+  private val EbmlDocTypes: Seq[(String, Array[Byte])] = Seq(
+    "webm" -> (Array[Byte](0x42.toByte, 0x82.toByte, 0x84.toByte) ++
+      "webm".getBytes("ISO-8859-1")),
+    "mkv" -> (Array[Byte](0x42.toByte, 0x82.toByte, 0x88.toByte) ++
+      "matroska".getBytes("ISO-8859-1")))
+
   /** Classify a payload by magic bytes (see [[MagicRules]]). Returns
     * "tiff" for either byte order; "riff" for a RIFF container with an
     * unrecognized format tag; "isobmff" for an `ftyp` box with an
-    * unlisted major brand; "mp3" for an ID3v2 tag OR a bare MPEG audio
-    * frame sync (0xFF + three set bits — the one masked rule the exact-
-    * prefix table can't spell, checked LAST so jpeg's FF D8 FF wins);
-    * "unknown" when nothing matches.
+    * unlisted major brand; "webm"/"mkv"/"ebml" for the EBML magic by
+    * the bounded DocType rule ([[EbmlDocTypes]]); "mp3" for an ID3v2
+    * tag OR a bare MPEG audio frame sync (0xFF + three set bits — the
+    * one masked rule the exact-prefix table can't spell, checked LAST
+    * so jpeg's FF D8 FF wins); "unknown" when nothing matches.
     */
   def detectKind(payload: Array[Byte]): String = {
     def startsWith(m: Array[Byte], off: Int): Boolean =
@@ -113,6 +143,13 @@ object Multimodal {
       FtypBrands.collectFirst {
         case (brand, kind) if at(brand, 8) => kind
       }.getOrElse("isobmff")
+    } else if (startsWith(EbmlMagic, 0)) {
+      val lim = math.min(payload.length, EbmlDocTypeWindow)
+      def found(m: Array[Byte]): Boolean =
+        (0 to lim - m.length).exists(startsWith(m, _))
+      EbmlDocTypes.collectFirst {
+        case (kind, m) if found(m) => kind
+      }.getOrElse("ebml")
     } else MagicRules.collectFirst {
       case (kind, m) if startsWith(m, 0) =>
         if (kind.startsWith("tiff")) "tiff" else kind
@@ -125,8 +162,9 @@ object Multimodal {
   /** The same classification as a codegen'd CASE over binary prefixes —
     * no UDF, so kind detection rides the scan (and a DuckDB replay can
     * walk the identical hex prefixes). Rule order mirrors [[detectKind]]
-    * exactly: RIFF tag, ftyp brand, the prefix table, the MPEG-audio
-    * frame sync (a hex-nibble check — FF then E/F), unknown.
+    * exactly: RIFF tag, ftyp brand, the EBML DocType rule, the prefix
+    * table, the MPEG-audio frame sync (a hex-nibble check — FF then
+    * E/F), unknown.
     */
   def detectKindCol(payload: Column): Column = {
     def pre(off: Int, m: Array[Byte]): Column =
@@ -145,8 +183,17 @@ object Multimodal {
       when(pre(0, m),
         lit(if (kind.startsWith("tiff")) "tiff" else kind)).otherwise(e)
     }
+    // the same bounded DocType search as the JVM side: a byte-aligned
+    // contains over the first EbmlDocTypeWindow bytes (binary contains
+    // is inherently byte-aligned; the DuckDB replay anchors hex pairs
+    // with a `^(?:..)*` regexp)
+    val ebmlWin = substring(payload, 1, EbmlDocTypeWindow)
+    val ebml = EbmlDocTypes.foldRight(lit("ebml")) { case ((kind, m), e) =>
+      when(contains(ebmlWin, lit(m)), lit(kind)).otherwise(e)
+    }
     when(preS(0, "RIFF"), riff)
       .when(preS(4, "ftyp"), ftyp)
+      .when(pre(0, EbmlMagic), ebml)
       .otherwise(rest)
   }
 
@@ -293,9 +340,15 @@ object Multimodal {
         } else if (sz0 == 0L) sz = end - off
         if (sz < hdr || off + sz > end || sz > Int.MaxValue) return None
         val t = new String(payload, off.toInt + 4, 4, "ISO-8859-1")
-        if (t == "ispe" && sz >= hdr + 12)
-          return Some((be32((off + hdr + 4).toInt).toInt,
-            be32((off + hdr + 8).toInt).toInt))
+        if (t == "ispe" && sz >= hdr + 12) {
+          // same sanity bound as tiffDims: a crafted ispe can carry a
+          // zero or >Int.MaxValue axis — downstream pixel math must
+          // never see a nonpositive dimension, so out-of-range rejects
+          val iw = be32((off + hdr + 4).toInt)
+          val ih = be32((off + hdr + 8).toInt)
+          return if (iw >= 1 && ih >= 1 && iw <= Int.MaxValue &&
+            ih <= Int.MaxValue) Some((iw.toInt, ih.toInt)) else None
+        }
         val inner =
           if (depth < 8 && t == "meta" && sz >= hdr + 4)
             walk(off + hdr + 4, off + sz, depth + 1)
@@ -310,25 +363,37 @@ object Multimodal {
     walk(0L, payload.length.toLong, 0)
   }
 
-  /** The arithmetic half of [[imageDims]] as a pure codegen column —
-    * PNG (BE32 IHDR fields), GIF (LE16 logical-screen fields), BMP
-    * (LE32 BITMAPINFOHEADER fields) and ICO (ICONDIR entry bytes, 0
-    * means 256) have their dimensions at constant offsets, and TIFF
-    * parses in its CANONICAL layout (first IFD at offset 8 — what the
-    * JDK writer and every header-first writer emits), so every read is
-    * a literal-offset hex + conv + substring and the size gate rides
-    * the parquet scan with no UDF inside one whole-stage-codegen span.
-    * The TIFF half scans the first [[TiffColMaxEntries]] IFD entries
-    * for tags 256/257, both byte orders — entries are spec-ordered
-    * ASCENDING by tag and only 254/255 can precede 256, so the dims sit
-    * within the first four entries of every conformant file (the cap
-    * also bounds the unrolled codegen: a 16-entry unroll measurably
-    * cost ~70 s of Janino compilation per plan — SCALE.md records the
-    * ladder). Exotic prefixes or an IFD placed after the image data
-    * read null here and the unbounded JVM walk handles them. Returns
+  /** The arithmetic half of [[imageDims]] as a codegen column — PNG
+    * (BE32 IHDR fields), GIF (LE16 logical-screen fields), BMP (LE32
+    * BITMAPINFOHEADER fields) and ICO (ICONDIR entry bytes, 0 means
+    * 256) have their dimensions at constant offsets, and TIFF parses in
+    * its CANONICAL layout (first IFD at offset 8 — what the JDK writer
+    * and every header-first writer emits), so every read is a
+    * literal-offset hex + conv + substring with no UDF. The TIFF half
+    * scans the first [[TiffColMaxEntries]] IFD entries for tags 256/257,
+    * both byte orders — entries are spec-ordered ASCENDING by tag and
+    * only 254/255 can precede 256, so the dims sit within the first
+    * four entries of every conformant file (the cap also bounds the
+    * unrolled codegen: a 16-entry unroll measurably cost ~70 s of
+    * Janino compilation per plan — SCALE.md records the ladder).
+    * Exotic prefixes or an IFD placed after the image data read null
+    * here and the unbounded JVM walk handles them. Returns
     * struct(w, h); null for every other kind (route those through
     * [[imageDims]] inside the decode stage, where the payload is
     * already in hand).
+    *
+    * Codegen stance, measured r15: this one CASE generates more than
+    * the JVM's 64 KB single-method budget (CaseWhen branches past the
+    * first are conditionally evaluated, so whole-stage codegen can
+    * neither split them into helper methods nor share the repeated
+    * subtrees), so a plan containing it runs with WHOLE-STAGE fusion
+    * disabled — each operator still executes a COMPILED, method-split
+    * UnsafeProjection (verified: no second compile failure; the oracle
+    * lane holds 0.36 s at sf0.1), it just isn't fused with its
+    * neighbors. This column is the DuckDB-replayable byte-walk surface;
+    * compositions that want one fused scan use the native
+    * [[org.apache.spark.sql.graftfn.MediaHeaderMeta]] expression (the
+    * sizeGate path), whose generated code is one static call.
     */
   private val TiffColMaxEntries = 6
 
@@ -339,6 +404,25 @@ object Multimodal {
         .cast("long")
     def beAt(i: Int, n: Int): Column =
       conv(hex(substring(payload, i + 1, n)), 16, 10).cast("long")
+    // per-format PREFIX predicates instead of embedding the full
+    // detectKindCol router once per branch: CaseWhen branches past the
+    // first are conditionally evaluated, so codegen CANNOT extract the
+    // repeated router as a common subexpression — it inlines five
+    // times, and with the r15 EBML rules the fused unit crossed the
+    // JVM 64 KB method limit. `detectKind(x) == "gif"` is exactly
+    // `GIF8-prefix AND NOT ftyp-at-4` (no earlier rule's magic
+    // prefixes these, RIFF/EBML magics don't overlap them, and only
+    // the offset-4 ftyp rule can shadow a short prefix — PNG's 8-byte
+    // magic pins bytes 4-7 so it needs no guard).
+    val notFtyp = !(substring(payload, 5, 4) ===
+      lit("ftyp".getBytes("ISO-8859-1")))
+    def pre(m: Array[Byte]): Column = substring(payload, 1, m.length) === lit(m)
+    val isPng = pre(MagicRules.collectFirst { case ("png", m) => m }.get)
+    val isGif = pre("GIF8".getBytes("ISO-8859-1")) && notFtyp
+    val isBmp = pre("BM".getBytes("ISO-8859-1")) && notFtyp
+    val isTiff = (pre(Array(0x49, 0x49, 0x2A, 0x00).map(_.toByte)) ||
+      pre(Array(0x4D, 0x4D, 0x00, 0x2A).map(_.toByte))) && notFtyp
+    val isIco = pre(Array(0x00, 0x00, 0x01, 0x00).map(_.toByte)) && notFtyp
     // BMP height is SIGNED LE32 (negative = top-down rows): two's
     // complement on the unsigned read
     val bmpH = leAt(22, 4)
@@ -357,10 +441,10 @@ object Multimodal {
     // oracle lane.)
     val isLe = substring(payload, 1, 2) === lit("II".getBytes("ISO-8859-1"))
     def tiffAt(off: Int, n: Int): Column = {
-      val hx = hex(substring(payload, off + 1, n))
-      val le = conv(concat(((n - 1) to 0 by -1).map(k =>
-        substring(hx, 2 * k + 1, 2)): _*), 16, 10).cast("long")
-      when(isLe, le).otherwise(conv(hx, 16, 10).cast("long"))
+      val h = hex(substring(payload, off + 1, n))
+      val le = conv(concat(((n - 1) to 0 by -1).map(j =>
+        substring(h, 2 * j + 1, 2)): _*), 16, 10).cast("long")
+      when(isLe, le).otherwise(conv(h, 16, 10).cast("long"))
     }
     val ifd = tiffAt(4, 4)
     val nEnt = tiffAt(8, 2)
@@ -368,9 +452,20 @@ object Multimodal {
       val hits = (0 until TiffColMaxEntries).map { i =>
         val base = 10 + 12 * i // literal byte offset of entry i
         val tpe = tiffAt(base + 2, 2)
-        when(lit(i.toLong) < nEnt && tiffAt(base, 2) === tag &&
-            tiffAt(base + 4, 4) === 1L && (tpe === 3L || tpe === 4L),
-          when(tpe === 3L, tiffAt(base + 8, 2)).otherwise(tiffAt(base + 8, 4)))
+        // per-entry truncation bound: hex() of a PARTLY-present field
+        // yields a short string and conv() happily parses it as a
+        // smaller number — without the literal length gate a TIFF torn
+        // mid-IFD would read garbage dims here while the bounds-checked
+        // JVM walk rejects it (the col/JVM parity law). A fully-absent
+        // entry already read null; this makes partial ones match it.
+        // The SHORT/LONG dispatch lives in the VALUE (a bad type reads
+        // null and the hit skips) so the tpe read is inlined twice per
+        // entry, not three times — codegen size is the budget here.
+        when(length(payload) >= lit(base + 12) &&
+            lit(i.toLong) < nEnt && tiffAt(base, 2) === tag &&
+            tiffAt(base + 4, 4) === 1L,
+          when(tpe === 3L, tiffAt(base + 8, 2))
+            .when(tpe === 4L, tiffAt(base + 8, 4)))
       }
       coalesce(hits :+ lit(null).cast("long"): _*)
     }
@@ -384,16 +479,15 @@ object Multimodal {
     // reads past a short payload conv to null and the hit skips
     val tiffOk = length(payload) >= 10 && tiffAt(2, 2) === 42L &&
       ifd === 8L
-    val k = detectKindCol(payload)
-    when(k === "png" && length(payload) >= 24 &&
+    when(isPng && length(payload) >= 24 &&
         substring(payload, 13, 4) === lit("IHDR".getBytes("ISO-8859-1")),
       struct(beAt(16, 4).as("w"), beAt(20, 4).as("h")))
-      .when(k === "gif" && length(payload) >= 10,
+      .when(isGif && length(payload) >= 10,
         struct(leAt(6, 2).as("w"), leAt(8, 2).as("h")))
-      .when(k === "bmp" && length(payload) >= 26 && leAt(14, 4) >= 40,
+      .when(isBmp && length(payload) >= 26 && leAt(14, 4) >= 40,
         struct(leAt(18, 4).as("w"), bmpHAbs.as("h")))
-      .when(k === "tiff" && tiffOk, tiffDim)
-      .when(k === "ico" && length(payload) >= 8 && leAt(4, 2) >= 1L,
+      .when(isTiff && tiffOk, tiffDim)
+      .when(isIco && length(payload) >= 8 && leAt(4, 2) >= 1L,
         struct(
           when(leAt(6, 1) === 0L, 256L).otherwise(leAt(6, 1)).as("w"),
           when(leAt(7, 1) === 0L, 256L).otherwise(leAt(7, 1)).as("h")))
@@ -523,12 +617,18 @@ object Multimodal {
     def leAt(i: Int, n: Int): Column =
       conv(concat(((i + n - 1) to i by -1).map(j =>
         hex(substring(payload, j + 1, 1))): _*), 16, 10).cast("long")
+    // direct per-format predicates — the imageDimsCol equivalence note
+    val isFlac = substring(payload, 1, 4) ===
+      lit("fLaC".getBytes("ISO-8859-1")) &&
+      !(substring(payload, 5, 4) === lit("ftyp".getBytes("ISO-8859-1")))
+    val isWav = substring(payload, 1, 4) ===
+      lit("RIFF".getBytes("ISO-8859-1")) &&
+      substring(payload, 9, 4) === lit("WAVE".getBytes("ISO-8859-1"))
     def divExact(num: Column, den: Column): Column = {
       val d38 = num.cast("decimal(38,0)")
       val den38 = den.cast("decimal(38,0)")
       ((d38 - pmod(d38, den38)) / den38).cast("long")
     }
-    val k = detectKindCol(payload)
     // FLAC STREAMINFO
     val fRate = shiftleft(byteAt(18), 12) + shiftleft(byteAt(19), 4) +
       shiftright(byteAt(20), 4)
@@ -553,19 +653,26 @@ object Multimodal {
     val nul = lit(null).cast(
       "struct<sample_rate:bigint,channels:bigint,n_samples:bigint," +
         "duration_micros:bigint>")
-    when(k === "flac" && flacOk,
+    when(isFlac && flacOk,
       struct(fRate.as("sample_rate"), fCh.as("channels"),
         fNs.as("n_samples"),
         divExact(fNs * 1000000L, fRate).as("duration_micros")))
-      .when(k === "wav" && wavOk,
+      .when(isWav && wavOk,
         struct(wRate.as("sample_rate"), wCh.as("channels"),
           wFrames.as("n_samples"),
           divExact(wFrames * 1000000L, wRate).as("duration_micros")))
       .otherwise(nul)
   }
 
-  final case class VideoMeta(width: Long, height: Long, n_frames: Long,
-      duration_micros: Long)
+  /** `n_frames`/`duration_micros` are None when the HEADERS don't carry
+    * them — fragmented/DASH mp4s stamp mvhd duration 0 (or the all-ones
+    * unknown sentinel) while their tkhd dims are real, and an AVI may
+    * omit the frame interval: reporting 0 micros would make the size
+    * gate drop a common web format as 'too_short', against the
+    * only-a-parsed-header-can-drop policy. Unknown is absent, not zero.
+    */
+  final case class VideoMeta(width: Long, height: Long,
+      n_frames: Option[Long], duration_micros: Option[Long])
 
   /** Video stream parameters WITHOUT decode — the last cell of the
     * size-gate matrix ([[imageDims]] / [[audioDims]] siblings): at
@@ -576,11 +683,17 @@ object Multimodal {
     *     count, and duration = µs-per-frame × total frames (headers
     *     only; [[decodeAvi]] is the frame path);
     *   - mp4/mov/isobmff: `moov`→`mvhd` (timescale + duration → exact
-    *     integer micros) and the first `trak`→`tkhd` with NONZERO
-    *     16.16-fixed width/height (video tracks carry dims, audio
-    *     tracks are 0×0 — the disambiguation rule, stated); `n_frames`
-    *     reads 0 (the sample-table walk is out of stated scope — the
-    *     gate needs dims + duration).
+    *     integer micros; duration 0 and the all-ones sentinel read
+    *     UNKNOWN — the fragmented/DASH convention) and the first
+    *     `trak`→`tkhd` with NONZERO 16.16-fixed width/height (video
+    *     tracks carry dims, audio tracks are 0×0 — the disambiguation
+    *     rule, stated); `n_frames` is that trak's sample-table count
+    *     (`stsz` sample_count, `stts` sum fallback) — exact, headers
+    *     only;
+    *   - webm/mkv (and bare ebml): the [[webmMeta]] EBML walk —
+    *     Info's TimecodeScale×Duration and the first Video track's
+    *     PixelWidth/PixelHeight; `n_frames` stays absent (Matroska
+    *     headers carry no count, stated).
     *
     * Field-sanity guards (µs-per-frame/frames ≤ 10⁹, duration fits the
     * micros multiply) reject attacker-controlled overflow the same way
@@ -592,6 +705,7 @@ object Multimodal {
       detectKind(payload) match {
         case "avi" => aviMeta(payload)
         case "mp4" | "mov" | "isobmff" => mp4Meta(payload)
+        case "webm" | "mkv" | "ebml" => webmMeta(payload)
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -623,7 +737,10 @@ object Multimodal {
             val w = bb.getInt(off + 8 + 32).toLong & 0xffffffffL
             val h = bb.getInt(off + 8 + 36).toLong & 0xffffffffL
             if (w >= 1 && h >= 1 && us <= 1000000000L && fr <= 1000000000L)
-              found = Some(VideoMeta(w, h, fr, us * fr))
+              // a zero frame interval means the header omits it —
+              // duration is UNKNOWN, not zero (the mvhd-0 rule)
+              found = Some(VideoMeta(w, h, Some(fr),
+                if (us >= 1 && fr >= 1) Some(us * fr) else None))
           }
           off += 8 + sz + (sz & 1)
         }
@@ -634,18 +751,19 @@ object Multimodal {
   }
 
   /** ISO-BMFF `moov` walk: mvhd timescale/duration (both FullBox
-    * versions) + the first tkhd with nonzero dims.
+    * versions), the first trak with nonzero tkhd dims, and THAT trak's
+    * sample-table frame count (`stbl` → `stsz` sample_count, falling to
+    * the `stts` entry sum when stsz is absent) — exact `n_frames` from
+    * headers only, closing the r14 `n_frames = 0` scope bound.
     */
   private def mp4Meta(payload: Array[Byte]): Option[VideoMeta] = {
     def u8(i: Int): Long = payload(i) & 0xffL
     def be32(i: Int): Long =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
-    var timescale = 0L
-    var duration = -1L
-    var w = 0L
-    var h = 0L
-    def walk(start: Long, end: Long, depth: Int): Unit = {
+    // iterate the sibling boxes of one level; f(type, payloadStart,
+    // boxEnd); a torn box ends the level (the walk's degrade contract)
+    def boxes(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
       var off = start
       while (off + 8 <= end) {
         val sz0 = be32(off.toInt)
@@ -656,35 +774,187 @@ object Multimodal {
           sz = be64(off.toInt + 8); hdr = 16L
         } else if (sz0 == 0L) sz = end - off
         if (sz < hdr || off + sz > end || sz > Int.MaxValue) return
-        val t = new String(payload, off.toInt + 4, 4, "ISO-8859-1")
-        val p = (off + hdr).toInt
-        t match {
-          case "moov" | "trak" if depth < 8 => walk(off + hdr, off + sz, depth + 1)
-          case "mvhd" if sz >= hdr + 4 =>
-            val v = u8(p)
-            if (v == 0L && sz >= hdr + 24) {
-              timescale = be32(p + 12); duration = be32(p + 16)
-            } else if (v == 1L && sz >= hdr + 36) {
-              timescale = be32(p + 20); duration = be64(p + 24)
-            }
-          case "tkhd" if w == 0L || h == 0L =>
-            val v = u8(p)
-            val (wo, ho) =
-              if (v == 1L) (p + 88, p + 92) else (p + 76, p + 80)
-            if (ho + 4 <= off + sz) {
-              val tw = be32(wo) >> 16 // 16.16 fixed point
-              val th = be32(ho) >> 16
-              if (tw >= 1 && th >= 1) { w = tw; h = th }
-            }
-          case _ =>
-        }
+        f(new String(payload, off.toInt + 4, 4, "ISO-8859-1"),
+          off + hdr, off + sz)
         off += sz
       }
     }
-    walk(0L, payload.length.toLong, 0)
-    if (w >= 1 && h >= 1 && timescale >= 1 && duration >= 0 &&
+    def into(start: Long, end: Long, name: String): Option[(Long, Long)] = {
+      var out: Option[(Long, Long)] = None
+      boxes(start, end)((t, p, e) => if (out.isEmpty && t == name) out = Some((p, e)))
+      out
+    }
+    // stsz sample_count (u32 at payload+8, after version/flags +
+    // sample_size) is the direct count; stts sums its (count, delta)
+    // run-length entries — same number by spec, kept as the fallback
+    def stblFrames(start: Long, end: Long): Option[Long] = {
+      var stsz: Option[Long] = None
+      var stts: Option[Long] = None
+      boxes(start, end) { (t, p, e) =>
+        if (t == "stsz" && e >= p + 12) stsz = Some(be32(p.toInt + 8))
+        else if (t == "stts" && e >= p + 8) {
+          val n = be32(p.toInt + 4)
+          if (p + 8 + 8L * n <= e) {
+            var s = 0L
+            var i = 0L
+            while (i < n) { s += be32((p + 8 + 8L * i).toInt); i += 1 }
+            stts = Some(s)
+          }
+        }
+      }
+      stsz.orElse(stts)
+    }
+    var timescale = 0L
+    var duration = -1L
+    var w = 0L
+    var h = 0L
+    var frames: Option[Long] = None
+    def trak(start: Long, end: Long): Unit = {
+      var tw = 0L
+      var th = 0L
+      var cnt: Option[Long] = None
+      boxes(start, end) { (t, p, e) =>
+        if (t == "tkhd") {
+          val v = u8(p.toInt)
+          val (wo, ho) =
+            if (v == 1L) (p.toInt + 88, p.toInt + 92) else (p.toInt + 76, p.toInt + 80)
+          if (ho + 4 <= e) {
+            val cw = be32(wo) >> 16 // 16.16 fixed point
+            val ch = be32(ho) >> 16
+            if (cw >= 1 && ch >= 1) { tw = cw; th = ch }
+          }
+        } else if (t == "mdia")
+          for {
+            (mp, me) <- into(p, e, "minf")
+            (sp, se) <- into(mp, me, "stbl")
+          } cnt = stblFrames(sp, se)
+      }
+      // first trak with dims wins — audio tracks are 0x0 by convention
+      if (tw >= 1 && th >= 1 && (w < 1 || h < 1)) { w = tw; h = th; frames = cnt }
+    }
+    boxes(0L, payload.length.toLong) { (t, p, e) =>
+      if (t == "moov") boxes(p, e) { (t2, p2, e2) =>
+        if (t2 == "trak") trak(p2, e2)
+        else if (t2 == "mvhd" && e2 >= p2 + 4) {
+          val v = u8(p2.toInt)
+          if (v == 0L && e2 >= p2 + 24) {
+            timescale = be32(p2.toInt + 12); duration = be32(p2.toInt + 16)
+          } else if (v == 1L && e2 >= p2 + 36) {
+            timescale = be32(p2.toInt + 20); duration = be64(p2.toInt + 24)
+          }
+        }
+      }
+    }
+    // mvhd duration 0 and the all-ones unknown sentinel (0xFFFFFFFF in
+    // v0; v1's 64-bit sentinel reads negative) mean UNKNOWN — the
+    // fragmented/DASH convention: real dims, duration declared later in
+    // moof fragments. Report the dims with an absent duration so the
+    // size gate's duration rules don't fire on a parsed-fine header.
+    val durMicros =
+      if (timescale >= 1 && duration > 0 && duration != 0xffffffffL &&
         duration <= Long.MaxValue / 1000000L)
-      Some(VideoMeta(w, h, 0L, duration * 1000000L / timescale))
+        Some(duration * 1000000L / timescale)
+      else None
+    if (w >= 1 && h >= 1) Some(VideoMeta(w, h, frames, durMicros))
+    else None
+  }
+
+  /** Headers-only WebM/Matroska walk — the EBML twin of [[mp4Meta]]:
+    * Segment → Info (TimecodeScale + Duration) and Segment → Tracks →
+    * TrackEntry → Video (PixelWidth/PixelHeight). EBML elements are
+    * (vint id, vint size, payload); an unknown size (all value bits
+    * set — how live-muxed Segments are stamped) extends to the parent's
+    * end; torn elements end that level's walk; depth-capped like the
+    * box walks. Duration is a FLOAT element (4 or 8 bytes) in timecode
+    * units; `duration_micros = duration · timecodeScale(ns) / 1000`
+    * (TimecodeScale defaults to 10⁶ ns per the spec). `n_frames` stays
+    * None — Matroska headers carry no frame count (counting
+    * SimpleBlocks is a demux, out of the headers-only contract, stated).
+    */
+  private def webmMeta(payload: Array[Byte]): Option[VideoMeta] = {
+    val n = payload.length
+    def u8(i: Int): Long = payload(i) & 0xffL
+    // vint: leading-zero count of the first byte gives the width; ids
+    // KEEP the marker bit (matching the spec's id notation), sizes
+    // CLEAR it. Returns (value, nextOffset); None on torn/invalid.
+    def vint(off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= n || payload(off) == 0) return None
+      val len = java.lang.Integer.numberOfLeadingZeros(u8(off).toInt) - 23
+      if (len > 8 || off + len > n) return None
+      var v = if (keepMarker) u8(off) else u8(off) & (0xffL >>> len)
+      var i = 1
+      while (i < len) { v = (v << 8) | u8(off + i); i += 1 }
+      Some((v, off + len))
+    }
+    // unknown-size sentinel: all size bits set for the vint's width
+    def unknownSize(off: Int): Boolean = {
+      val len = java.lang.Integer.numberOfLeadingZeros(u8(off).toInt) - 23
+      val all = (1L << (7 * len)) - 1
+      vint(off, keepMarker = false).exists(_._1 == all)
+    }
+    def beUint(off: Int, len: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | u8(off + i); i += 1 }
+      v
+    }
+    def beFloat(off: Int, len: Int): Option[Double] = len match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(beUint(off, 4).toInt).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(beUint(off, 8)))
+      case _ => None
+    }
+    var timecodeScale = 1000000L // spec default: 1 ms per timecode unit
+    var durationUnits: Option[Double] = None
+    var w = 0L
+    var h = 0L
+    // walk one level, descending by element id through the declared
+    // path only (the mp4 moov/trak discipline)
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      var torn = false
+      while (!torn && off < end) {
+        val parsed = for {
+          (id, o1) <- vint(off, keepMarker = true)
+          (sz, o2) <- vint(o1, keepMarker = false)
+        } yield (id, sz, o1, o2)
+        parsed match {
+          case None => torn = true
+          case Some((id, sz0, o1, o2)) =>
+            val sz = if (unknownSize(o1)) (end - o2).toLong else sz0
+            if (sz < 0 || o2 + sz > end) torn = true
+            else {
+              val p = o2
+              val e = o2 + sz.toInt
+              id match {
+                // Segment / Info / Tracks / TrackEntry / Video
+                case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xAEL |
+                    0xE0L if depth < 8 => walk(p, e, depth + 1)
+                case 0x2AD7B1L if sz >= 1 && sz <= 8 => // TimecodeScale ns
+                  val v = beUint(p, sz.toInt)
+                  if (v >= 1) timecodeScale = v
+                case 0x4489L => // Duration (float, timecode units)
+                  durationUnits = beFloat(p, sz.toInt).filter(d =>
+                    !d.isNaN && d > 0 && d <= 1e15)
+                case 0xB0L if sz >= 1 && sz <= 8 && w < 1 => // PixelWidth
+                  w = beUint(p, sz.toInt)
+                case 0xBAL if sz >= 1 && sz <= 8 && h < 1 => // PixelHeight
+                  h = beUint(p, sz.toInt)
+                case _ =>
+              }
+              off = e
+            }
+        }
+      }
+    }
+    // top level: the EBML header element (skipped whole), then Segment
+    walk(0, n, 0)
+    val durMicros = durationUnits.map { d =>
+      // exact for header-realistic values: d·scale < 2^53 enforced by
+      // the 1e15 cap above and the integer-nanosecond grid
+      (d * timecodeScale / 1000.0).toLong
+    }.filter(m => m >= 0 && m <= Long.MaxValue / 2)
+    if (w >= 1 && h >= 1 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some(VideoMeta(w, h, None, durMicros))
     else None
   }
 
@@ -705,13 +975,20 @@ object Multimodal {
     val fr = leAt(48, 4)
     val w = leAt(64, 4)
     val h = leAt(68, 4)
-    val ok = detectKindCol(payload) === "avi" && length(payload) >= 88 &&
+    // direct per-format predicate — the imageDimsCol equivalence note
+    val isAvi = substring(payload, 1, 4) ===
+      lit("RIFF".getBytes("ISO-8859-1")) &&
+      substring(payload, 9, 4) === lit("AVI ".getBytes("ISO-8859-1"))
+    val ok = isAvi && length(payload) >= 88 &&
       substring(payload, 13, 4) === lit("LIST".getBytes("ISO-8859-1")) &&
       substring(payload, 25, 4) === lit("avih".getBytes("ISO-8859-1")) &&
       leAt(28, 4) >= 40L && w >= 1L && h >= 1L &&
       us <= 1000000000L && fr <= 1000000000L
+    // the JVM walk's unknown-duration rule, mirrored: a zero frame
+    // interval reads a NULL duration, never 0 micros
     when(ok, struct(w.as("width"), h.as("height"), fr.as("n_frames"),
-      (us * fr).as("duration_micros")))
+      when(us >= 1L && fr >= 1L, us * fr).otherwise(lit(null).cast("long"))
+        .as("duration_micros")))
       .otherwise(lit(null).cast(
         "struct<width:bigint,height:bigint,n_frames:bigint," +
           "duration_micros:bigint>"))
@@ -720,9 +997,17 @@ object Multimodal {
   /** The scan-side media SIZE GATE the dims family exists for: drop
     * payloads whose HEADERS prove them out of range BEFORE any decode
     * is paid — at 100 TB the thumbnail/banner/hour-long-podcast cut
-    * must cost a header read, not a codec. Pure codegen end to end
-    * ([[detectKindCol]] + the three dims columns), so the gate rides
-    * the parquet scan inside one WholeStageCodegen span.
+    * must cost a header read, not a codec. Since r15 the per-row work
+    * is ONE native codegen expression
+    * ([[org.apache.spark.sql.graftfn.MediaHeaderMeta]] — a static call
+    * into the bounds-checked JVM header walks), so the gate rides the
+    * parquet scan inside one WholeStageCodegen span for real: the
+    * previous composition of detectKindCol + three hex-CASE parsers
+    * generated a method past the JVM's 64 KB limit and the whole scan
+    * silently fell back (see the expression's scaladoc). The JVM walks
+    * also gate MORE formats than the fixed-offset columns could —
+    * mp3/mp4/WebM durations, JPEG/ispe/exotic-TIFF dims now reject
+    * oversized/overlong media at the scan too.
     *
     * Policy, stated: only a PARSED header can drop a row. Unknown kinds
     * and unparseable headers pass as `keep = true, reason = 'no_header'`
@@ -743,12 +1028,15 @@ object Multimodal {
     require(minDurationMicros >= 0 && maxDurationMicros >= minDurationMicros)
     val p = col("payload")
     val axisCap = 1L << 20
-    val img = imageDimsCol(p)
-    val aud = audioDimsCol(p)
-    val vid = videoDimsCol(p)
-    val w = coalesce(img("w"), vid("width"))
-    val h = coalesce(img("h"), vid("height"))
-    val dur = coalesce(aud("duration_micros"), vid("duration_micros"))
+    // ONE expression call per row, bound as a named projection (it is
+    // referenced by kind + every rule) — the rule CASE then reads
+    // named struct fields; the whole pipeline is a few hundred bytes
+    // of generated code.
+    val staged = media.withColumn("__m",
+      org.apache.spark.sql.graftfn.MediaHeaderMeta.mediaHeaderMeta(p))
+    val w = col("__m.w")
+    val h = col("__m.h")
+    val dur = col("__m.duration_micros")
     val reason =
       when(w.isNull && dur.isNull, lit("no_header"))
         .when(w.isNotNull && (w >= axisCap || h >= axisCap),
@@ -758,10 +1046,11 @@ object Multimodal {
         .when(dur.isNotNull && dur < minDurationMicros, lit("too_short"))
         .when(dur.isNotNull && dur > maxDurationMicros, lit("too_long"))
         .otherwise(lit("ok"))
-    media
-      .withColumn("kind", detectKindCol(p))
+    staged
+      .withColumn("kind", col("__m.kind"))
       .withColumn("reason", reason)
       .withColumn("keep", col("reason").isin("ok", "no_header"))
+      .drop("__m")
   }
 
   /** STUB decoder — deterministic fake "features" derived from payload
@@ -933,6 +1222,76 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL compressed-audio decode features — the [[decodeWav]] stat
+    * contract ([n_channels, sample_rate, n_frames, mean amplitude, RMS,
+    * min, max, duration seconds]) computed from [[Flac.decode]]'s PCM
+    * (all channels pooled, amplitudes normalized by 2^(bits−1) — the
+    * same grid a WAV twin normalizes on). None on undecodable bytes or
+    * a frame-less stream — the degrade contract.
+    */
+  def decodeFlacFeatures(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
+    Flac.decode(payload).map { au =>
+      val norm = (1L << (au.bits - 1)).toDouble
+      var sum = 0.0; var sum2 = 0.0
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var n = 0L
+      var c = 0
+      while (c < au.channels) {
+        val ch = au.samples(c)
+        var i = 0
+        while (i < ch.length) {
+          val v = ch(i) / norm
+          sum += v; sum2 += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          n += 1; i += 1
+        }
+        c += 1
+      }
+      val frames = au.samples(0).length
+      val feats = Array(au.channels.toFloat, au.sampleRate.toFloat,
+        frames.toFloat, (sum / n).toFloat, math.sqrt(sum2 / n).toFloat,
+        mn.toFloat, mx.toFloat, frames.toFloat / au.sampleRate)
+      val out = new Array[Float](dims)
+      feats.take(dims).copyToArray(out)
+      out
+    }
+
+  /** Channel-averaged PCM samples in [-1, 1] from a decodable FLAC —
+    * the [[wavMonoSamples]] twin over the [[Flac.decode]] frame path
+    * (r15: compressed audio becomes perceptually visible): per-frame
+    * channel average, normalized by 2^(bits−1). A FLAC re-encode of a
+    * WAV yields the IDENTICAL sample stream (lossless), so the envelope
+    * signature matches bit-for-bit — the PNG≡BMP precedent for sound.
+    */
+  def flacMonoSamples(payload: Array[Byte]): Option[Array[Float]] =
+    Flac.decode(payload).map { au =>
+      val frames = au.samples(0).length
+      val norm = (1L << (au.bits - 1)).toDouble
+      val out = new Array[Float](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0.0
+        var c = 0
+        while (c < au.channels) { acc += au.samples(c)(f) / norm; c += 1 }
+        out(f) = (acc / au.channels).toFloat
+        f += 1
+      }
+      out
+    }
+
+  /** The shared mono-PCM front door of [[audioEnvelopeHash]]: routes by
+    * the BYTES (the routedFeatures trust-the-magic rule) to whichever
+    * real decoder covers the format — WAV PCM or FLAC. None elsewhere
+    * (mp3 entropy decode is out of stated scope).
+    */
+  def monoSamples(payload: Array[Byte]): Option[Array[Float]] =
+    detectKind(payload) match {
+      case "wav" => wavMonoSamples(payload)
+      case "flac" => flacMonoSamples(payload)
+      case _ => None
+    }
+
   /** Channel-averaged PCM samples in [-1, 1] from a decodable WAV — the
     * raw material of [[audioEnvelopeHash]]. Interleaved channels average
     * per frame (gain-preserving mono downmix); None on undecodable bytes.
@@ -979,10 +1338,12 @@ object Multimodal {
     * same recording therefore lands within a few Hamming bits while its
     * BYTES share nothing — the case [[cdcChunks]]/[[sampleFrames]] can
     * never pair. None on undecodable or sample-less audio; silence (a
-    * flat envelope) hashes to 0.
+    * flat envelope) hashes to 0. r15: routes through [[monoSamples]],
+    * so a FLAC re-encode of a WAV hashes IDENTICALLY (lossless ⇒ the
+    * same sample stream ⇒ the same envelope — spec-pinned parity law).
     */
   def audioEnvelopeHash(payload: Array[Byte]): Option[Long] =
-    wavMonoSamples(payload).filter(_.nonEmpty).map { s =>
+    monoSamples(payload).filter(_.nonEmpty).map { s =>
       val n = s.length
       val e = new Array[Double](64)
       var seg = 0
@@ -1742,6 +2103,21 @@ object Multimodal {
     * the features (vs the stub fallback) — the per-row observability
     * that [[decodeCoverage]] aggregates into the data-card gauge.
     */
+  /** The REAL-decoder dispatch by detected kind — the one routing table
+    * [[routedFeatures]], [[decodeCoverage]] and [[mediaDataCard]]
+    * share; None = no in-JVM codec for this kind (the caller stubs,
+    * observably).
+    */
+  private def decodeReal(kind: String, payload: Array[Byte],
+      dims: Int): Option[Array[Float]] = kind match {
+    case "png" | "jpeg" | "gif" | "bmp" => decodeImage(payload, dims)
+    case "webp" => decodeWebpFeatures(payload, dims)
+    case "wav" => decodeWav(payload, dims)
+    case "flac" => decodeFlacFeatures(payload, dims)
+    case "avi" => decodeAviFeatures(payload, dims)
+    case _ => None
+  }
+
   def routedFeatures(media: DataFrame, dims: Int = 8): Dataset[MediaDecoded] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -1750,17 +2126,50 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val kind = detectKind(r.payload)
-          val real = kind match {
-            case "png" | "jpeg" | "gif" | "bmp" => decodeImage(r.payload, dims)
-            case "webp" => decodeWebpFeatures(r.payload, dims)
-            case "wav" => decodeWav(r.payload, dims)
-            case "avi" => decodeAviFeatures(r.payload, dims)
-            case _ => None
-          }
+          val real = decodeReal(kind, r.payload, dims)
           MediaDecoded(r.media_id, kind, r.payload.length.toLong,
             real.getOrElse(decodeStub(r.payload, dims)), real.isDefined)
         }
       }
+  }
+
+  /** The MEDIA data card — the [[Corpus.dataCard]] sibling a multimodal
+    * release ships, closing the loop the MediaMixBench evidence opened:
+    * per (source, detected kind): payload count and bytes, real-decode
+    * vs stub split (`stub_ppm`), and `pair_recall_projection_bps` — the
+    * projected visual/acoustic near-dup pair recall under the
+    * MediaMixBench-MEASURED law (r14: planted-pair recall loss equals
+    * exactly the undecodable-twin share — a pair is findable iff its
+    * encoded side decodes, so the projection is the decodable share,
+    * in basis points). A crawl mix drifting toward AVIF/lossy-WebP
+    * shows up as a falling projection in the card — the continuously-
+    * justified stance the one-off bench table couldn't give.
+    *
+    * Scale: one mapPartitions decode pass (the codec boundary), one
+    * (sources × kinds)-bounded aggregation. Integer arithmetic
+    * throughout — the card is value-exact under the oracle.
+    */
+  def mediaDataCard(media: DataFrame, sourceCol: String,
+      dims: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(sourceCol).cast("string").as("source"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (src, p) =>
+          val kind = detectKind(p)
+          (src, kind, p.length.toLong,
+            decodeReal(kind, p, dims).isDefined)
+        }
+      }
+      .toDF("source", "kind", "byte_len", "decoded")
+      .groupBy("source", "kind")
+      .agg(count(lit(1)).as("n"), sum("byte_len").as("n_bytes"),
+        sum(col("decoded").cast("long")).as("n_decoded"))
+      .withColumn("n_stubbed", col("n") - col("n_decoded"))
+      .withColumn("stub_ppm", expr("(n_stubbed * 1000000L) div n"))
+      .withColumn("pair_recall_projection_bps",
+        expr("(n_decoded * 10000L) div n"))
   }
 
   /** The stubbed-format mix gauge (a data-card column): per DETECTED

@@ -1885,10 +1885,9 @@ object TextAnalysis {
     * lift with anchored lazy regexes ((?s) — entries span lines),
     * `<loc>` values unwrap one CDATA section, the five XML entities
     * decode (`&amp;` LAST, so `&amp;lt;` correctly yields the literal
-    * `&lt;`), values trim. Scope (stated): default-namespace
-    * (unprefixed) element names, as the protocol's own examples and
-    * real-world generators emit; a prefixed `<sm:url>` feed parses to
-    * zero rows rather than wrong ones. Entries without a `<loc>` are
+    * `&lt;`), values trim. Element names accept an optional namespace
+    * prefix (`<sm:url>` — r15; the r14 scope parsed default-namespace
+    * names only). Entries without a `<loc>` are
     * protocol-invalid and drop; `lastmod` is kept VERBATIM (W3C
     * datetime — filter recrawl sets with try_cast downstream, the
     * robotsCrawlDelay malformed-value stance). A body with no
@@ -1900,10 +1899,15 @@ object TextAnalysis {
     * explode emits exactly the entry count. No shuffle.
     */
   def parseSitemaps(df: DataFrame, urlCol: String, bodyCol: String): DataFrame = {
+    // r15: element names accept an optional namespace PREFIX
+    // (`<sm:url>` — feeds from namespace-aware generators), the one
+    // regexp generalization the r14 stated scope deferred; open and
+    // close prefixes match independently (real feeds are consistent)
+    val p = "(?:[A-Za-z0-9_.-]+:)?"
     def blocks(tag: String) = regexp_extract_all(col(bodyCol),
-      lit(s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"), lit(1))
+      lit(s"(?s)<$p$tag(?:\\s[^>]*)?>(.*?)</$p$tag>"), lit(1))
     def child(block: Column, tag: String) = regexp_extract(block,
-      s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>", 1)
+      s"(?s)<$p$tag(?:\\s[^>]*)?>(.*?)</$p$tag>", 1)
     def unwrapCdata(c: Column): Column = {
       val t = trim(c)
       when(t.startsWith("<![CDATA[") && t.endsWith("]]>") && length(t) >= 12,

@@ -4504,6 +4504,55 @@ object LlmOpsQueries extends QueryModule {
           countDistinct("path").as("n_files"))
     },
 
+    // CID/Type0 PDF text via the /ToUnicode CMap (r15 — the dominant
+    // academic-PDF class the simple-font rule degraded by nature): one
+    // hand-assembled FOREIGN single-page PDF per doc, whose hex-string
+    // text op encodes 2-byte CID codes for an em-dash (bfchar), the
+    // doc_id's digits (the incrementing bfrange form, mapped onto
+    // Greek — outside Latin-1, exactly what byte-decoding mangles) and
+    // on even docs two array-form bfrange codes; the CMap stream sits
+    // AFTER the content stream, so the two-pass reader must collect it
+    // first. The oracle derives the expected Unicode text from doc_id
+    // arithmetic (translate over the digit string) — a wrong code
+    // width, a missed bfrange form, or one-pass parsing breaks it.
+    q("q_x_pdf_cid",
+      "SELECT doc_id, chr(8212) || " +
+        "translate(CAST(doc_id AS VARCHAR), '0123456789', " +
+        "chr(916)||chr(917)||chr(918)||chr(919)||chr(920)||chr(921)||chr(922)||chr(923)||chr(924)||chr(925)) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN chr(196)||chr(214) ELSE '' END AS text, " +
+        "CAST(1 AS BIGINT) AS n_text_ops, true AS ok " +
+        "FROM documents ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      import graft.ingest.Pdf
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+          ids.map { id =>
+            val codes = new StringBuilder("002D") // bfchar: em dash
+            id.toString.foreach(dg => codes.append("003").append(dg))
+            if (id % 2 == 0) codes.append("0041").append("0042")
+            val content = s"BT /F1 12 Tf 72 720 Td <${codes.toString}> Tj ET"
+            val cmapBody =
+              "/CIDInit /ProcSet findresource begin\n" +
+                "begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+                "1 beginbfchar <002D> <2014> endbfchar\n" +
+                "2 beginbfrange\n<0030> <0039> <0394>\n" +
+                "<0041> <0042> [<00C4> <00D6>]\nendbfrange\nend"
+            val pdf = "%PDF-1.4\n" +
+              "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+              "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+              "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+              s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+              s"5 0 obj << /Length ${cmapBody.length} >>\nstream\n$cmapBody\nendstream\nendobj\n" +
+              "trailer << /Root 1 0 R >>\n%%EOF\n"
+            val rows = Pdf.parseBytes(s"doc-$id", pdf.getBytes(latin1)).toList
+            val r = rows.head
+            (id, r.text, r.n_text_ops, rows.forall(_.ok) && rows.length == 1)
+          }
+        }.toDF("doc_id", "text", "n_text_ops", "ok")
+        .orderBy("doc_id")
+    },
+
     // robots.txt crawl-policy filtering (RFC 9309): per-host robots
     // bodies exercise comment stripping, a NON-star group that must not
     // bind (fancybot's Disallow /), stacked User-agent lines forming one
@@ -5065,13 +5114,16 @@ object LlmOpsQueries extends QueryModule {
     // discovery: planted bodies exercise urlset entries (entities incl.
     // the &amp;-last decode-order law, lastmod, whitespace), a
     // sitemapindex with a CDATA loc, an HTML error page (zero rows, the
-    // degrade contract), loc-less/empty-loc invalid entries (drop), and
-    // a space-attributed <url > tag. The oracle replays the block/child
-    // regex chain, CDATA unwrap, entity decode and null-ing value-exact.
+    // degrade contract), loc-less/empty-loc invalid entries (drop), a
+    // space-attributed <url > tag, and (r15) a namespace-PREFIXED feed
+    // (<sm:url>/<sm:loc>) that must parse identically to the default-
+    // namespace form. The oracle replays the block/child regex chain
+    // (incl. the optional-prefix groups), CDATA unwrap, entity decode
+    // and null-ing value-exact.
     q("q_x_sitemap_parse", {
       val nl = " || chr(10) || "
-      "WITH sb AS (SELECT 'https://h' || (doc_id % 5) || '.example/sitemap.xml' AS sitemap_url, " +
-        "CASE doc_id % 5 " +
+      "WITH sb AS (SELECT 'https://h' || (doc_id % 6) || '.example/sitemap.xml' AS sitemap_url, " +
+        "CASE doc_id % 6 " +
         "WHEN 0 THEN '<?xml version=\"1.0\" encoding=\"UTF-8\"?>'" + nl +
         "'<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">'" + nl +
         "'<url><loc>https://h0.example/a?x=1&amp;y=2</loc><lastmod>2026-01-15</lastmod></url>'" + nl +
@@ -5083,13 +5135,17 @@ object LlmOpsQueries extends QueryModule {
         "WHEN 2 THEN '<html><body>404 not found</body></html>' " +
         "WHEN 3 THEN '<urlset><url><lastmod>2026-01-01</lastmod></url><url><loc></loc></url>" +
         "<url><loc>https://h3.example/it&apos;s</loc></url></urlset>' " +
-        "ELSE '<urlset>'" + nl +
+        "WHEN 4 THEN '<urlset>'" + nl +
         "'<url ><loc>https://h4.example/p?q=&amp;lt;tag&amp;gt;</loc><lastmod>  </lastmod></url>'" + nl +
-        "'</urlset>' END AS body FROM documents WHERE doc_id < 5), " +
-        "e AS (SELECT sitemap_url, 'url' AS kind, unnest(regexp_extract_all(body, '(?s)<url(?:\\s[^>]*)?>(.*?)</url>', 1)) AS block FROM sb " +
-        "UNION ALL SELECT sitemap_url, 'sitemap' AS kind, unnest(regexp_extract_all(body, '(?s)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap>', 1)) AS block FROM sb), " +
-        "l AS (SELECT sitemap_url, kind, trim(regexp_extract(block, '(?s)<loc(?:\\s[^>]*)?>(.*?)</loc>', 1)) AS rawloc, " +
-        "trim(regexp_extract(block, '(?s)<lastmod(?:\\s[^>]*)?>(.*?)</lastmod>', 1)) AS lm FROM e), " +
+        "'</urlset>' " +
+        "ELSE '<sm:urlset xmlns:sm=\"http://www.sitemaps.org/schemas/sitemap/0.9\">'" + nl +
+        "'<sm:url><sm:loc>https://h5.example/ns1</sm:loc><sm:lastmod>2026-03-01</sm:lastmod></sm:url>'" + nl +
+        "'<sm:url><sm:loc> https://h5.example/ns2 </sm:loc></sm:url>'" + nl +
+        "'</sm:urlset>' END AS body FROM documents WHERE doc_id < 6), " +
+        "e AS (SELECT sitemap_url, 'url' AS kind, unnest(regexp_extract_all(body, '(?s)<(?:[A-Za-z0-9_.-]+:)?url(?:\\s[^>]*)?>(.*?)</(?:[A-Za-z0-9_.-]+:)?url>', 1)) AS block FROM sb " +
+        "UNION ALL SELECT sitemap_url, 'sitemap' AS kind, unnest(regexp_extract_all(body, '(?s)<(?:[A-Za-z0-9_.-]+:)?sitemap(?:\\s[^>]*)?>(.*?)</(?:[A-Za-z0-9_.-]+:)?sitemap>', 1)) AS block FROM sb), " +
+        "l AS (SELECT sitemap_url, kind, trim(regexp_extract(block, '(?s)<(?:[A-Za-z0-9_.-]+:)?loc(?:\\s[^>]*)?>(.*?)</(?:[A-Za-z0-9_.-]+:)?loc>', 1)) AS rawloc, " +
+        "trim(regexp_extract(block, '(?s)<(?:[A-Za-z0-9_.-]+:)?lastmod(?:\\s[^>]*)?>(.*?)</(?:[A-Za-z0-9_.-]+:)?lastmod>', 1)) AS lm FROM e), " +
         "c AS (SELECT sitemap_url, kind, CASE WHEN rawloc LIKE '<![CDATA[%' AND rawloc LIKE '%]]>' AND length(rawloc) >= 12 " +
         "THEN trim(substr(rawloc, 10, length(rawloc) - 12)) ELSE rawloc END AS l1, lm FROM l), " +
         "d AS (SELECT sitemap_url, kind, replace(replace(replace(replace(replace(l1, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', chr(39)), '&amp;', '&') AS loc, " +
@@ -5098,28 +5154,33 @@ object LlmOpsQueries extends QueryModule {
         "ORDER BY sitemap_url, kind, loc"
     }) { (s, d) =>
       val nl = "\n"
-      val bodies = Tables.documents(s, d).filter(col("doc_id") < 5)
-        .select(concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+      val bodies = Tables.documents(s, d).filter(col("doc_id") < 6)
+        .select(concat(lit("https://h"), (col("doc_id") % 6).cast("string"),
           lit(".example/sitemap.xml")).as("sitemap_url"),
-          when(col("doc_id") % 5 === 0, lit(
+          when(col("doc_id") % 6 === 0, lit(
             "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" + nl +
             "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" + nl +
             "<url><loc>https://h0.example/a?x=1&amp;y=2</loc><lastmod>2026-01-15</lastmod></url>" + nl +
             "<url>" + nl + "  <loc> https://h0.example/b </loc>" + nl +
             "  <changefreq>daily</changefreq>" + nl + "</url>" + nl + "</urlset>"))
-          .when(col("doc_id") % 5 === 1, lit(
+          .when(col("doc_id") % 6 === 1, lit(
             "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" + nl +
             "<sitemap><loc><![CDATA[https://h1.example/sm1.xml]]></loc><lastmod>2026-02-01T08:00:00Z</lastmod></sitemap>" + nl +
             "<sitemap><loc>https://h1.example/sm2.xml</loc></sitemap>" + nl +
             "</sitemapindex>"))
-          .when(col("doc_id") % 5 === 2,
+          .when(col("doc_id") % 6 === 2,
             lit("<html><body>404 not found</body></html>"))
-          .when(col("doc_id") % 5 === 3, lit(
+          .when(col("doc_id") % 6 === 3, lit(
             "<urlset><url><lastmod>2026-01-01</lastmod></url><url><loc></loc></url>" +
             "<url><loc>https://h3.example/it&apos;s</loc></url></urlset>"))
-          .otherwise(lit("<urlset>" + nl +
+          .when(col("doc_id") % 6 === 4, lit("<urlset>" + nl +
             "<url ><loc>https://h4.example/p?q=&amp;lt;tag&amp;gt;</loc><lastmod>  </lastmod></url>" + nl +
-            "</urlset>")).as("body"))
+            "</urlset>"))
+          .otherwise(lit(
+            "<sm:urlset xmlns:sm=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" + nl +
+            "<sm:url><sm:loc>https://h5.example/ns1</sm:loc><sm:lastmod>2026-03-01</sm:lastmod></sm:url>" + nl +
+            "<sm:url><sm:loc> https://h5.example/ns2 </sm:loc></sm:url>" + nl +
+            "</sm:urlset>")).as("body"))
       TextAnalysis.parseSitemaps(bodies, "sitemap_url", "body")
         .orderBy("sitemap_url", "kind", "loc")
     },

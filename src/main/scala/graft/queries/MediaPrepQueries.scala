@@ -51,6 +51,15 @@ object MediaPrepQueries extends QueryModule {
     "ico" -> Array(0x00, 0x00, 0x01, 0x00).map(_.toByte),
     "xml" -> "<?xml version=\"1.0\"?>".getBytes("ISO-8859-1"),
     "svg" -> "<svg xmlns=".getBytes("ISO-8859-1"),
+    // r15: the EBML family — DocType in the bounded window routes
+    // webm/mkv, a DocType-less header reads the bare container
+    "webm" -> (Array(0x1A, 0x45, 0xDF, 0xA3, 0x9F, 0x42, 0x82, 0x84)
+      .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")),
+    "mkv" -> (Array(0x1A, 0x45, 0xDF, 0xA3, 0xA3, 0x42, 0x82, 0x88)
+      .map(_.toByte) ++ "matroska".getBytes("ISO-8859-1")),
+    "ebml" -> Array(0x1A, 0x45, 0xDF, 0xA3, 0x84, 0x42, 0x86, 0x81, 0x01)
+      .map(_.toByte),
+    "ogg" -> ("OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2)),
     "unknown" -> Array.empty[Byte])
 
   /** The [[Multimodal]] ftyp brand table, mirrored for the oracle CASE
@@ -80,6 +89,65 @@ object MediaPrepQueries extends QueryModule {
 
   private def hexOf(b: Array[Byte]): String =
     b.map("%02X".format(_)).mkString
+
+  private def be(v: Long, len: Int): Array[Byte] =
+    (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+
+  /** An EBML element: raw id bytes (marker kept) + 1-byte size + body. */
+  private def ebmlEl(id: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    require(body.length < 127)
+    id ++ Array((0x80 | body.length).toByte) ++ body
+  }
+
+  /** A minimal WebM: EBML header (DocType webm) + Segment(Info(
+    * TimecodeScale 10⁶ ns + float64 Duration) + Tracks(Video w×h)).
+    */
+  private def webmBytes(durUnits: Double, w: Long, h: Long): Array[Byte] = {
+    val header = ebmlEl(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte),
+      ebmlEl(Array(0x42, 0x82).map(_.toByte), "webm".getBytes("ISO-8859-1")))
+    val info = ebmlEl(Array(0x15, 0x49, 0xA9, 0x66).map(_.toByte),
+      ebmlEl(Array(0x2A, 0xD7, 0xB1).map(_.toByte), be(1000000L, 4)) ++
+        ebmlEl(Array(0x44, 0x89).map(_.toByte),
+          be(java.lang.Double.doubleToLongBits(durUnits), 8)))
+    val video = ebmlEl(Array(0xE0.toByte),
+      ebmlEl(Array(0xB0.toByte), be(w, 2)) ++
+        ebmlEl(Array(0xBA.toByte), be(h, 2)))
+    val tracks = ebmlEl(Array(0x16, 0x54, 0xAE, 0x6B).map(_.toByte),
+      ebmlEl(Array(0xAE.toByte), video))
+    header ++ ebmlEl(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte),
+      info ++ tracks)
+  }
+
+  /** Canonical 16-bit mono PCM WAV (the TinyWav shape, parameterized). */
+  private def wavBytes(samples: Array[Int], rate: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int): Unit =
+      (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    bos.write("RIFF".getBytes("ISO-8859-1")); le32(36 + 2 * samples.length)
+    bos.write("WAVE".getBytes("ISO-8859-1"))
+    bos.write("fmt ".getBytes("ISO-8859-1")); le32(16)
+    le16(1); le16(1); le32(rate); le32(rate * 2); le16(2); le16(16)
+    bos.write("data".getBytes("ISO-8859-1")); le32(2 * samples.length)
+    samples.foreach(le16)
+    bos.toByteArray
+  }
+
+  private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] =
+    be(8L + body.length, 4) ++ typ.getBytes("ISO-8859-1") ++ body
+
+  /** A minimal mp4: ftyp + moov(mvhd v0 + trak(tkhd + mdia/minf/stbl)). */
+  private def mp4Bytes(timescale: Long, duration: Long, w: Long, h: Long,
+      stbl: Array[Byte]): Array[Byte] = {
+    val mvhd = mp4Box("mvhd", be(0L, 4) ++ new Array[Byte](8) ++
+      be(timescale, 4) ++ be(duration, 4) ++ new Array[Byte](80))
+    val tkhd = mp4Box("tkhd", be(0L, 4) ++ new Array[Byte](72) ++
+      be(w << 16, 4) ++ be(h << 16, 4))
+    val mdia = mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stbl)))
+    ftypMagic("isom") ++
+      mp4Box("moov", mvhd ++ mp4Box("trak", tkhd ++ mdia))
+  }
 
   /** A pinned 3x2 single-color (ARGB 0xff123456) lossless WebP — the
     * [[graft.llmops.Webp]] simple-prefix-code fixture as one constant,
@@ -139,12 +207,22 @@ object MediaPrepQueries extends QueryModule {
         "pdf" -> "255044462D", "gzip" -> "1F8B", "zstd" -> "28B52FFD",
         "zip" -> "504B0304", "tiff" -> "49492A00", "tiff2" -> "4D4D002A",
         "warc" -> "574152432F", "bmp" -> "424D",
-        "flac" -> "664C6143", "mp3" -> "494433",
+        "flac" -> "664C6143", "mp3" -> "494433", "ogg" -> "4F676753",
         "ico" -> "00000100", "xml" -> "3C3F786D6C", "svg" -> "3C737667")
         .map { case (k, h) =>
           val kind = if (k == "tiff2") "tiff" else k
           s"WHEN substr(hx, 1, ${h.length}) = '$h' THEN '$kind'"
         }.mkString(" ")
+      // the EBML DocType rule: a byte-ALIGNED occurrence of the full
+      // DocType element within the first 64 bytes — the `(?:..)*`
+      // anchor forces even hex offsets, replaying Spark's binary
+      // `contains` exactly (the marker byte 0x82/0x88 cannot occur in
+      // the ASCII text tail, so both engines agree on every row)
+      val ebmlCase =
+        "WHEN substr(hx, 1, 8) = '1A45DFA3' THEN (CASE " +
+          "WHEN regexp_matches(substr(hx, 1, 128), '^(?:..)*4282847765626D') THEN 'webm' " +
+          "WHEN regexp_matches(substr(hx, 1, 128), '^(?:..)*4282886D6174726F736B61') THEN 'mkv' " +
+          "ELSE 'ebml' END) "
       val plantCases = Magics.zipWithIndex.map { case ((_, m), i) =>
         s"WHEN doc_id % $nPlants = $i THEN '${hexOf(m)}'"
       }.mkString(" ")
@@ -155,6 +233,7 @@ object MediaPrepQueries extends QueryModule {
         "ELSE 'riff' END) " +
         s"WHEN substr(hx, 9, 8) = '$ftypHex' THEN (CASE " +
         s"$brandCases ELSE 'isobmff' END) " +
+        ebmlCase +
         s"$ruleCases " +
         "WHEN substr(hx, 1, 2) = 'FF' AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3' " +
         "ELSE 'unknown' END AS kind FROM src) " +
@@ -186,10 +265,11 @@ object MediaPrepQueries extends QueryModule {
     // (n, n_decoded, stub_ppm) rows the oracle derives from the
     // planting arithmetic.
     q("q_x_decode_coverage",
-      "WITH src AS (SELECT CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
+      "WITH src AS (SELECT CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
         "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'avif' " +
-        "WHEN 5 THEN 'mp4' ELSE 'unknown' END AS kind, " +
-        "CASE doc_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS dec " +
+        "WHEN 5 THEN 'mp4' WHEN 7 THEN 'webm' WHEN 8 THEN 'ogg' " +
+        "ELSE 'unknown' END AS kind, " +
+        "CASE doc_id % 9 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS dec " +
         "FROM documents) " +
         "SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(dec) AS BIGINT) AS n_decoded, " +
         "CAST(count(*) - sum(dec) AS BIGINT) AS n_stubbed, " +
@@ -201,18 +281,87 @@ object MediaPrepQueries extends QueryModule {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(im, "png", bos)
       val png = bos.toByteArray
-      val payload = when(col("doc_id") % 7 === 0, lit(png))
-        .when(col("doc_id") % 7 === 1, lit(TinyWebp))
-        .when(col("doc_id") % 7 === 2, lit(LossyWebp))
-        .when(col("doc_id") % 7 === 3, lit(TinyWav))
-        .when(col("doc_id") % 7 === 4, lit(ftypMagic("avif")))
-        .when(col("doc_id") % 7 === 5, lit(ftypMagic("mp42")))
+      // r15: the EBML/Ogg front door — the gauge must NAME webm/ogg
+      // (observably stubbed), not bury them in unknown
+      val tinyWebm = Array(0x1A, 0x45, 0xDF, 0xA3, 0x9F, 0x42, 0x82, 0x84)
+        .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")
+      val tinyOgg = "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2, 0, 0)
+      val payload = when(col("doc_id") % 9 === 0, lit(png))
+        .when(col("doc_id") % 9 === 1, lit(TinyWebp))
+        .when(col("doc_id") % 9 === 2, lit(LossyWebp))
+        .when(col("doc_id") % 9 === 3, lit(TinyWav))
+        .when(col("doc_id") % 9 === 4, lit(ftypMagic("avif")))
+        .when(col("doc_id") % 9 === 5, lit(ftypMagic("mp42")))
+        .when(col("doc_id") % 9 === 7, lit(tinyWebm))
+        .when(col("doc_id") % 9 === 8, lit(tinyOgg))
         // 0x00 prefix (the q_x_image_dims guard): a text that happens to
         // start with a magic must not re-route the planted-unknown lane
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
       val media = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), payload.as("payload"))
       Multimodal.decodeCoverage(media).orderBy("kind")
+    },
+
+    // The media data card (r15): per (source, detected kind), payload
+    // counts/bytes, the real-decode-vs-stub split, and the
+    // MediaMixBench-law near-dup recall projection (decodable share in
+    // bps) — the same 9-lane planted mix as the coverage gauge, crossed
+    // with a source column coprime to the lane modulus so every source
+    // holds every kind. The oracle derives every column incl. the byte
+    // sums from the planting arithmetic.
+    q("q_x_media_data_card", {
+      val pngLen = {
+        val im = new java.awt.image.BufferedImage(2, 2,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 2).foreach(x => (0 until 2).foreach(y =>
+          im.setRGB(x, y, 0x123456)))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        bos.size()
+      }
+      val lens = Map(0 -> pngLen, 1 -> 32, 2 -> 24, 3 -> 52,
+        4 -> 16, 5 -> 16, 7 -> 12, 8 -> 8)
+      val lenCase = lens.map { case (l, n) => s"WHEN $l THEN $n" }
+        .mkString(" ")
+      "WITH src AS (SELECT 's' || (doc_id % 2) AS source, " +
+        "CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
+        "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'avif' " +
+        "WHEN 5 THEN 'mp4' WHEN 7 THEN 'webm' WHEN 8 THEN 'ogg' " +
+        "ELSE 'unknown' END AS kind, " +
+        s"CASE doc_id % 9 $lenCase " +
+        "ELSE 1 + octet_length(encode(text)) END AS len, " +
+        "CASE doc_id % 9 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS dec " +
+        "FROM documents) " +
+        "SELECT source, kind, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(len) AS BIGINT) AS n_bytes, " +
+        "CAST(sum(dec) AS BIGINT) AS n_decoded, " +
+        "CAST(count(*) - sum(dec) AS BIGINT) AS n_stubbed, " +
+        "CAST(((count(*) - sum(dec)) * 1000000) // count(*) AS BIGINT) AS stub_ppm, " +
+        "CAST((sum(dec) * 10000) // count(*) AS BIGINT) AS pair_recall_projection_bps " +
+        "FROM src GROUP BY source, kind ORDER BY source, kind"
+    }) { (s, d) =>
+      val im = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 2).foreach(x => (0 until 2).foreach(y => im.setRGB(x, y, 0x123456)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      val png = bos.toByteArray
+      val tinyWebm = Array(0x1A, 0x45, 0xDF, 0xA3, 0x9F, 0x42, 0x82, 0x84)
+        .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")
+      val tinyOgg = "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2, 0, 0)
+      val payload = when(col("doc_id") % 9 === 0, lit(png))
+        .when(col("doc_id") % 9 === 1, lit(TinyWebp))
+        .when(col("doc_id") % 9 === 2, lit(LossyWebp))
+        .when(col("doc_id") % 9 === 3, lit(TinyWav))
+        .when(col("doc_id") % 9 === 4, lit(ftypMagic("avif")))
+        .when(col("doc_id") % 9 === 5, lit(ftypMagic("mp42")))
+        .when(col("doc_id") % 9 === 7, lit(tinyWebm))
+        .when(col("doc_id") % 9 === 8, lit(tinyOgg))
+        .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
+      val media = Tables.documents(s, d)
+        .select(concat(lit("s"), (col("doc_id") % 2).cast("string"))
+          .as("source"), payload.as("payload"))
+      Multimodal.mediaDataCard(media, "source").orderBy("source", "kind")
     },
 
     // Scan-side image dimensions without decode: PNG/GIF/BMP/TIFF
@@ -422,6 +571,87 @@ object MediaPrepQueries extends QueryModule {
           col("v.height").as("height"), col("v.n_frames").as("n_frames"),
           col("v.duration_micros").as("duration_micros"))
         .orderBy("doc_id")
+    },
+
+    // The JVM-walk half of the video front door (the r15 EBML/WebM +
+    // mp4-sample-table additions): payloads CONSTRUCTED from doc_id
+    // arithmetic inside mapPartitions (WebM with a float64 Duration in
+    // default-TimecodeScale units; mp4 with an stsz count; a
+    // fragmented-style mp4 whose mvhd carries the 0xFFFFFFFF unknown
+    // sentinel and whose frames come from the stts sum; junk; ogg),
+    // walked back by videoDims. The oracle derives every field from
+    // the same planting arithmetic — incl. the duration-UNKNOWN rule
+    // (mvhd 0/all-ones must read NULL, never a 0 the gate would drop).
+    q("q_x_video_meta",
+      "WITH p AS (SELECT doc_id, doc_id % 5 AS lane, " +
+        "doc_id % 100000 + 1 AS wdur, doc_id % 1920 + 1 AS w, " +
+        "doc_id % 1080 + 1 AS h, doc_id % 90000 + 1 AS ts, " +
+        "doc_id % 1000000 AS mdur, doc_id % 5000 + 1 AS f1, " +
+        "doc_id % 100 + 1 AS fa, doc_id % 50 + 1 AS fb FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN lane <= 2 THEN w END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN lane <= 2 THEN h END AS BIGINT) AS height, " +
+        "CAST(CASE WHEN lane = 1 THEN f1 WHEN lane = 2 THEN fa + fb END AS BIGINT) AS n_frames, " +
+        "CAST(CASE WHEN lane = 0 THEN wdur * 1000 " +
+        "WHEN lane = 1 AND mdur > 0 THEN (mdur * 1000000) // ts END AS BIGINT) AS duration_micros " +
+        "FROM p ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val payload: Array[Byte] = (id % 5) match {
+              case 0 => webmBytes((id % 100000 + 1).toDouble,
+                id % 1920 + 1, id % 1080 + 1)
+              case 1 => mp4Bytes(id % 90000 + 1, id % 1000000,
+                id % 1920 + 1, id % 1080 + 1,
+                mp4Box("stsz", be(0L, 4) ++ be(0L, 4) ++ be(id % 5000 + 1, 4)))
+              case 2 => mp4Bytes(id % 90000 + 1, 0xffffffffL,
+                id % 1920 + 1, id % 1080 + 1,
+                mp4Box("stts", be(0L, 4) ++ be(2L, 4) ++
+                  be(id % 100 + 1, 4) ++ be(100L, 4) ++
+                  be(id % 50 + 1, 4) ++ be(200L, 4)))
+              case 3 => "no container here".getBytes("ISO-8859-1")
+              case _ => "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2)
+            }
+            val m = Multimodal.videoDims(payload)
+            (id, m.map(_.width), m.map(_.height), m.flatMap(_.n_frames),
+              m.flatMap(_.duration_micros))
+          }
+        }.toDF("doc_id", "width", "height", "n_frames", "duration_micros")
+        .orderBy("doc_id")
+    },
+
+    // The r15 FLAC decode's parity law as an oracle: per doc_id, the
+    // SAME square-wave samples are written as a canonical WAV and as a
+    // real FLAC (verbatim frames), and the engine must (a) decode the
+    // FLAC to exactly the planted sample count and (b) produce the
+    // IDENTICAL 64-bit envelope signature from both containers —
+    // lossless re-encoding is perceptually invisible. The oracle
+    // derives the count from the planting arithmetic and pins parity
+    // true on every row; a decoder bug (wrong samples, wrong
+    // normalization, torn-frame misparse) breaks one or both.
+    q("q_x_flac_envelope",
+      "SELECT doc_id, CAST(2048 + doc_id % 512 AS BIGINT) AS n_samples, " +
+        "true AS parity FROM documents ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val n = (2048 + id % 512).toInt
+            val flip = (64 + id % 32).toInt
+            val a = (id % 8000 + 1000).toInt
+            val samples = Array.tabulate(n)(i =>
+              if ((i / flip) % 2 == 0) a else -(a / 3))
+            val wav = wavBytes(samples, 8000)
+            val flac = graft.llmops.Flac.encodeVerbatim(samples,
+              channels = 1, rate = 8000, bits = 16)
+            val hw = Multimodal.audioEnvelopeHash(wav)
+            val hf = Multimodal.audioEnvelopeHash(flac)
+            val nSamp = Multimodal.flacMonoSamples(flac)
+              .map(_.length.toLong).getOrElse(-1L)
+            (id, nSamp, hw.isDefined && hw == hf)
+          }
+        }.toDF("doc_id", "n_samples", "parity").orderBy("doc_id")
     },
 
     // The scan-side media SIZE GATE composed end to end: payloads whose

@@ -414,7 +414,20 @@ object StressBench {
     "q_x_video_dims",
     // r14: the composed size gate — all three dims columns + the rule
     // CASE in one codegen span; must track the dims lanes.
-    "q_x_media_size_gate")
+    "q_x_media_size_gate",
+    // r15: the JVM-walk video front door (WebM EBML + mp4 sample
+    // tables) — per-payload header walks inside mapPartitions, strictly
+    // linear like q_x_decode_coverage.
+    "q_x_video_meta",
+    // r15: FLAC encode+decode+envelope per payload inside
+    // mapPartitions — pure per-row CPU, linear like the decode lanes.
+    "q_x_flac_envelope",
+    // r15: the media data card — one decode pass + one
+    // (sources x kinds)-bounded agg; linear like q_x_decode_coverage.
+    "q_x_media_data_card",
+    // r15: CID-PDF parse per payload inside mapPartitions — per-row
+    // byte work, linear like the interop lanes.
+    "q_x_pdf_cid")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

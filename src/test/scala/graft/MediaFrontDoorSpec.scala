@@ -63,7 +63,18 @@ class MediaFrontDoorSpec extends SparkTestBase {
       "xml" -> s("<?xml version=\"1.0\"?><root/>"),
       "svg" -> s("<svg xmlns=\"http://www.w3.org/2000/svg\"/>"),
       // an XML-prologued svg reads xml — the stated prefix-rule scope
-      "xml" -> s("<?xml version=\"1.0\"?><svg/>"))
+      "xml" -> s("<?xml version=\"1.0\"?><svg/>"),
+      // r15: EBML family — DocType within the bounded window routes
+      // webm/mkv; absent (or out of window) falls to the bare container
+      "webm" -> (b(0x1A, 0x45, 0xDF, 0xA3, 0x9F) ++
+        b(0x42, 0x82, 0x84) ++ s("webm")),
+      "mkv" -> (b(0x1A, 0x45, 0xDF, 0xA3, 0xA3) ++
+        b(0x42, 0x82, 0x88) ++ s("matroska")),
+      "ebml" -> b(0x1A, 0x45, 0xDF, 0xA3, 0x84, 0x42, 0x86, 0x81, 0x01),
+      "ebml" -> (b(0x1A, 0x45, 0xDF, 0xA3, 0xFF) ++
+        new Array[Byte](70) ++ b(0x42, 0x82, 0x84) ++ s("webm")),
+      // r15: the Ogg page capture pattern — the bare container stance
+      "ogg" -> (s("OggS") ++ b(0, 2, 0, 0)))
     cases.zipWithIndex.foreach { case ((want, payload), i) =>
       assert(Multimodal.detectKind(payload) === want, s"case $i (jvm)")
     }
@@ -259,9 +270,12 @@ class MediaFrontDoorSpec extends SparkTestBase {
     bos.toByteArray
   }
 
-  /** Minimal mp4: ftyp + moov(mvhd + audio tkhd 0x0 + video tkhd). */
+  /** Minimal mp4: ftyp + moov(mvhd + audio tkhd 0x0 + video tkhd),
+    * optionally with a sample table (`stbl` content) under the VIDEO
+    * trak's mdia/minf.
+    */
   private def mp4File(timescale: Long, duration: Long, w: Long, h: Long,
-      v1: Boolean = false): Array[Byte] = {
+      v1: Boolean = false, stbl: Array[Byte] = Array.empty): Array[Byte] = {
     def fix1616(v: Long): Array[Byte] = be32(v << 16)
     val mvhd =
       if (v1) box("mvhd", b(1, 0, 0, 0) ++ new Array[Byte](16) ++
@@ -271,9 +285,106 @@ class MediaFrontDoorSpec extends SparkTestBase {
         be32(duration) ++ new Array[Byte](80))
     def tkhd(tw: Long, th: Long) = box("tkhd",
       be32(0) ++ new Array[Byte](72) ++ fix1616(tw) ++ fix1616(th))
+    val mdia =
+      if (stbl.isEmpty) Array.emptyByteArray
+      else box("mdia", box("minf", box("stbl", stbl)))
     val moov = box("moov", mvhd ++ box("trak", tkhd(0, 0)) ++
-      box("trak", tkhd(w, h)))
+      box("trak", tkhd(w, h) ++ mdia))
     ftypFile("isom", moov)
+  }
+
+  /** stsz with a declared sample_count (sample_size 0 = per-sample
+    * table, entries omitted — the count field is all the walk reads).
+    */
+  private def stsz(count: Long): Array[Byte] =
+    box("stsz", be32(0) ++ be32(0) ++ be32(count))
+
+  /** stts run-length entries (count, delta). */
+  private def stts(entries: (Long, Long)*): Array[Byte] =
+    box("stts", be32(0) ++ be32(entries.length) ++
+      entries.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
+
+  // ---- EBML builders (the WebpSpec hand-assembly discipline) ----
+
+  /** An EBML element: raw id bytes (marker kept) + 1-byte size + body. */
+  private def el(idBytes: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    require(body.length < 127)
+    idBytes ++ b(0x80 | body.length) ++ body
+  }
+
+  private def beBytes(v: Long, len: Int): Array[Byte] =
+    (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+
+  /** A WebM file: EBML header (DocType webm) + Segment(Info + Tracks). */
+  private def webmFile(timecodeScaleNs: Option[Long],
+      durationUnits: Option[Double], w: Long, h: Long,
+      f32: Boolean = false, unknownSegSize: Boolean = false): Array[Byte] = {
+    val header = el(b(0x1A, 0x45, 0xDF, 0xA3),
+      el(b(0x42, 0x82), s("webm")))
+    val tcs = timecodeScaleNs.map(v =>
+      el(b(0x2A, 0xD7, 0xB1), beBytes(v, 4))).getOrElse(Array.emptyByteArray)
+    val dur = durationUnits.map { d =>
+      if (f32) el(b(0x44, 0x89),
+        beBytes(java.lang.Float.floatToIntBits(d.toFloat).toLong & 0xffffffffL, 4))
+      else el(b(0x44, 0x89), beBytes(java.lang.Double.doubleToLongBits(d), 8))
+    }.getOrElse(Array.emptyByteArray)
+    val info = el(b(0x15, 0x49, 0xA9, 0x66), tcs ++ dur)
+    val video = el(b(0xE0), el(b(0xB0), beBytes(w, 2)) ++
+      el(b(0xBA), beBytes(h, 2)))
+    val tracks = el(b(0x16, 0x54, 0xAE, 0x6B), el(b(0xAE), video))
+    val segBody = info ++ tracks
+    val seg =
+      if (unknownSegSize) b(0x18, 0x53, 0x80, 0x67, 0xFF) ++ segBody
+      else el(b(0x18, 0x53, 0x80, 0x67), segBody)
+    header ++ seg
+  }
+
+  test("videoDims: WebM EBML walk — TimecodeScale x Duration, Video " +
+      "track dims, unknown-size Segment, float32, defaults, torn") {
+    val full = webmFile(Some(1000000L), Some(90000.0), 1920L, 1080L)
+    assert(Multimodal.detectKind(full) === "webm")
+    assert(Multimodal.videoDims(full) ===
+      Some(Multimodal.VideoMeta(1920L, 1080L, None, Some(90000000L))))
+    // unknown-size Segment (live-muxed stamping) parses identically
+    assert(Multimodal.videoDims(webmFile(Some(1000000L), Some(90000.0),
+      1920L, 1080L, unknownSegSize = true)) ===
+      Some(Multimodal.VideoMeta(1920L, 1080L, None, Some(90000000L))))
+    // float32 duration
+    assert(Multimodal.videoDims(webmFile(Some(1000000L), Some(512.0),
+      640L, 360L, f32 = true)) ===
+      Some(Multimodal.VideoMeta(640L, 360L, None, Some(512000L))))
+    // TimecodeScale omitted: the spec default (1 ms / unit) applies
+    assert(Multimodal.videoDims(webmFile(None, Some(500.0), 320L, 240L)) ===
+      Some(Multimodal.VideoMeta(320L, 240L, None, Some(500000L))))
+    // Duration omitted: dims report with an ABSENT duration
+    assert(Multimodal.videoDims(webmFile(Some(1000000L), None, 320L,
+      240L)) === Some(Multimodal.VideoMeta(320L, 240L, None, None)))
+    // torn: the cut breaks the Segment's declared size -> the walk
+    // never reaches dims -> None (never a partial lie)
+    assert(Multimodal.videoDims(full.take(full.length - 12)).isEmpty)
+    assert(Multimodal.videoDims(full.take(20)).isEmpty)
+    // an mkv DocType routes through the same walk
+    val mkv = el(b(0x1A, 0x45, 0xDF, 0xA3),
+      el(b(0x42, 0x82), s("matroska"))) ++ full.drop(
+      el(b(0x1A, 0x45, 0xDF, 0xA3), el(b(0x42, 0x82), s("webm"))).length)
+    assert(Multimodal.detectKind(mkv) === "mkv")
+    assert(Multimodal.videoDims(mkv).map(_.width) === Some(1920L))
+  }
+
+  test("videoDims: mp4 sample-table frame counts — stsz count, stts " +
+      "sum fallback, absent table stays absent") {
+    val withStsz = mp4File(90000L, 450000L, 1280L, 720L,
+      stbl = stsz(300L))
+    assert(Multimodal.videoDims(withStsz) ===
+      Some(Multimodal.VideoMeta(1280L, 720L, Some(300L), Some(5000000L))))
+    val withStts = mp4File(90000L, 450000L, 1280L, 720L,
+      stbl = stts((250L, 100L), (50L, 200L)))
+    assert(Multimodal.videoDims(withStts) ===
+      Some(Multimodal.VideoMeta(1280L, 720L, Some(300L), Some(5000000L))))
+    // stsz wins when both are present (the direct count)
+    val both = mp4File(90000L, 450000L, 1280L, 720L,
+      stbl = stts((7L, 1L)) ++ stsz(42L))
+    assert(Multimodal.videoDims(both).flatMap(_.n_frames) === Some(42L))
   }
 
   test("videoDims: avi header fields and the mp4 mvhd/tkhd walk; " +
@@ -281,18 +392,32 @@ class MediaFrontDoorSpec extends SparkTestBase {
     import spark.implicits._
     val avi = aviHeader(33333L, 300L, 640L, 480L)
     assert(Multimodal.videoDims(avi) ===
-      Some(Multimodal.VideoMeta(640L, 480L, 300L, 33333L * 300L)))
+      Some(Multimodal.VideoMeta(640L, 480L, Some(300L),
+        Some(33333L * 300L))))
     // a REAL uncompressed AVI from the decodeAvi fixture family agrees
     // on dims (headers vs full decode)
     val mp4 = mp4File(timescale = 90000L, duration = 450000L, w = 1280L,
       h = 720L)
     assert(Multimodal.videoDims(mp4) ===
-      Some(Multimodal.VideoMeta(1280L, 720L, 0L, 5000000L)))
+      Some(Multimodal.VideoMeta(1280L, 720L, None, Some(5000000L))))
     // v1 mvhd (64-bit duration) and the audio-trak-first skip rule
     val mp4v1 = mp4File(timescale = 1000L, duration = 7500L, w = 320L,
       h = 240L, v1 = true)
     assert(Multimodal.videoDims(mp4v1) ===
-      Some(Multimodal.VideoMeta(320L, 240L, 0L, 7500000L)))
+      Some(Multimodal.VideoMeta(320L, 240L, None, Some(7500000L))))
+    // fragmented/DASH convention: mvhd duration 0 or the all-ones
+    // sentinel = UNKNOWN — dims report, duration stays absent (never a
+    // 0 that the size gate would drop as too_short)
+    assert(Multimodal.videoDims(
+      mp4File(timescale = 90000L, duration = 0L, w = 1280L, h = 720L)) ===
+      Some(Multimodal.VideoMeta(1280L, 720L, None, None)))
+    assert(Multimodal.videoDims(
+      mp4File(timescale = 90000L, duration = 0xffffffffL, w = 64L,
+        h = 48L)) === Some(Multimodal.VideoMeta(64L, 48L, None, None)))
+    // AVI with a zero frame interval: the header omits the rate —
+    // duration unknown, frame count still real
+    assert(Multimodal.videoDims(aviHeader(0L, 300L, 640L, 480L)) ===
+      Some(Multimodal.VideoMeta(640L, 480L, Some(300L), None)))
     // mov brand routes through the same walk
     val mov = b(0, 0, 0, 16) ++ s("ftyp") ++ s("qt  ") ++ be32(0) ++
       mp4.drop(16)
@@ -311,6 +436,52 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(rows("avi") === Some((640L, 480L, 300L, 33333L * 300L)))
     assert(rows("mp4") === None) // box walk is JVM-side by design
     assert(rows("txt") === None)
+    // zero-frame-interval AVI in the COLUMN: null duration, real frames
+    val zeroUs = Seq(Tuple1(aviHeader(0L, 300L, 640L, 480L)))
+      .toDF("payload")
+      .select(Multimodal.videoDimsCol(col("payload")).as("v"))
+      .head().getStruct(0)
+    assert(zeroUs.getLong(2) === 300L)
+    assert(zeroUs.isNullAt(3), "us=0 must read an ABSENT duration")
+  }
+
+  test("imageDimsCol: a TIFF truncated mid-IFD reads null like the " +
+      "bounds-checked JVM walk (partially-present entries never parse)") {
+    import spark.implicits._
+    // canonical LE layout, TWO declared entries, cut ONE byte into the
+    // second entry's value field: tag/type/count are fully present, so
+    // without the per-entry length bound the torn 257 entry's value
+    // hex-parses its single byte (0xBC → 188) and conv() fabricates a
+    // bogus non-null height where the JVM walk rejects the whole IFD
+    def le16a(v: Int) = b(v & 0xff, (v >> 8) & 0xff)
+    def le32a(v: Long) = b((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    val full = b(0x49, 0x49, 0x2A, 0x00) ++ le32a(8) ++ le16a(2) ++
+      (le16a(256) ++ le16a(3) ++ le32a(1) ++ le16a(555) ++ le16a(0)) ++
+      (le16a(257) ++ le16a(4) ++ le32a(1) ++ le32a(444)) ++ le32a(0)
+    val torn = full.take(10 + 12 + 9)
+    assert(Multimodal.imageDims(torn) === None, "JVM walk must reject")
+    val rows = Seq(("full", full), ("torn", torn)).toDF("name", "payload")
+      .select(col("name"), Multimodal.imageDimsCol(col("payload")).as("d"))
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.getStruct(1)).map(st => (st.getLong(0), st.getLong(1))))
+      .toMap
+    assert(rows("full") === Some((555L, 444L)))
+    assert(rows("torn") === None,
+      "col walk must match the JVM walk on truncated payloads")
+  }
+
+  test("ispeDims: crafted zero/oversized axes reject (the tiffDims " +
+      "sanity bound)") {
+    val zeroW = box("iprp", box("ipco",
+      box("ispe", be32(0) ++ be32(0) ++ be32(310))))
+    assert(Multimodal.imageDims(
+      ftypFile("avif", box("meta", be32(0) ++ zeroW))) === None)
+    val hugeH = box("iprp", box("ipco",
+      box("ispe", be32(0) ++ be32(420) ++ be32(0x80000001L))))
+    assert(Multimodal.imageDims(
+      ftypFile("avif", box("meta", be32(0) ++ hugeH))) === None)
   }
 
   test("sizeGate: only a PARSED header can drop a row; pixel and " +
@@ -332,7 +503,14 @@ class MediaFrontDoorSpec extends SparkTestBase {
       (6L, aviHeader(33333L, 3000L, 64L, 64L)), // 100 s: too long
       (7L, aviHeader(33333L, 300L, 4L, 4L)), // 16 px: too few (before dur)
       (8L, s("just text")), // unknown: keep
-      (9L, flacBytes(8000L, 1L, 80000L).take(30))) // torn: keep
+      (9L, flacBytes(8000L, 1L, 80000L).take(30)), // torn: keep
+      // r15: the native-expression gate covers the JVM-walk formats
+      // the fixed-offset hex columns never could
+      (10L, mp4File(90000L, 450000L, 1280L, 720L)), // 5 s, 0.9 Mpx: ok
+      // fragmented mp4 (duration unknown): pixel rules still fire
+      (11L, mp4File(90000L, 0L, 2000L, 2000L)), // 4 Mpx: too many
+      (12L, webmFile(Some(1000000L), Some(90000.0), 100L, 100L)), // 90 s
+      (13L, mp3Frame(0))) // one 26 ms frame: too short
     val out = Multimodal.sizeGate(rows.toDF("media_id", "payload"),
         minPixels = 100L, maxPixels = 1000000L,
         minDurationMicros = 1000000L, maxDurationMicros = 30000000L)
@@ -347,6 +525,11 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(out(7L) === ((false, "too_few_pixels")))
     assert(out(8L) === ((true, "no_header")))
     assert(out(9L) === ((true, "no_header")))
+    assert(out(10L) === ((true, "ok")))
+    assert(out(11L) === ((false, "too_many_pixels")),
+      "a fragmented mp4's parsed dims must still gate")
+    assert(out(12L) === ((false, "too_long")), "WebM duration gates")
+    assert(out(13L) === ((false, "too_short")), "mp3 duration gates")
   }
 
   test("routedFeatures + decodeCoverage report the new ISO-BMFF kinds " +

@@ -185,4 +185,59 @@ class PdfSpec extends SparkTestBase {
     assert(r5.where(!col("ok")).count() === 1L)
     assert(r5.where(col("ok")).count() === 1L)
   }
+
+  private def cidPdf(content: String, cmaps: String*): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n")
+    sb.append(s"4 0 obj << /Length ${content.length} >>\nstream\n")
+      .append(content).append("\nendstream\nendobj\n")
+    cmaps.zipWithIndex.foreach { case (c, i) =>
+      sb.append(s"${5 + i} 0 obj << /Length ${c.length} >>\nstream\n")
+        .append(c).append("\nendstream\nendobj\n")
+    }
+    sb.append("%%EOF\n").toString
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  test("CID/Type0 text via /ToUnicode: bfchar, both bfrange forms, " +
+      "CMap-after-content (two-pass), unmapped -> U+FFFD, merge rule") {
+    // codes: 002D (bfchar em dash), 0030..0032 (incrementing bfrange ->
+    // Greek), 0041/0042 (array bfrange), 0FFF (unmapped)
+    val content = "BT /F1 12 Tf <002D003000310032004100420FFF> Tj ET"
+    val cmap =
+      "/CIDInit /ProcSet findresource begin\n" +
+        "begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+        "1 beginbfchar <002D> <2014> endbfchar\n" +
+        "2 beginbfrange\n<0030> <0039> <0394>\n" +
+        "<0041> <0042> [<00C4> <00D6>]\nendbfrange\nend"
+    val rows = Pdf.parseBytes("cid.pdf", cidPdf(content, cmap)).toList
+    assert(rows.length === 1 && rows.head.ok)
+    assert(rows.head.text === "—ΔΕΖÄÖ�")
+    // a second CMap mapping 002D differently must NOT win (first wins);
+    // its new code 0050 merges in
+    val cmap2 = "1 beginbfchar <002D> <0021> endbfchar\n" +
+      "1 beginbfrange <0050> <0050> <0416> endbfrange"
+    val rows2 = Pdf.parseBytes("cid2.pdf",
+      cidPdf("BT <002D0050> Tj ET", cmap, cmap2)).toList
+    assert(rows2.head.text === "—Ж")
+    // 1-byte codespacerange: codes are single bytes
+    val cmap1b =
+      "begincodespacerange <00> <FF> endcodespacerange\n" +
+        "1 beginbfchar <41> <0042> endbfchar"
+    val rows3 = Pdf.parseBytes("cid3.pdf",
+      cidPdf("BT <4141> Tj ET", cmap1b)).toList
+    assert(rows3.head.text === "BB")
+    // multi-char destination (ligature expansion)
+    val cmapLig = "1 beginbfchar <0001> <00660066006C> endbfchar"
+    val rows4 = Pdf.parseBytes("cid4.pdf",
+      cidPdf("BT <0001> Tj ET", cmapLig)).toList
+    assert(rows4.head.text === "ffl")
+    // literal strings keep the Latin-1 simple-font reading (stated)
+    val rows5 = Pdf.parseBytes("cid5.pdf",
+      cidPdf("BT (abc) Tj ET", cmap)).toList
+    assert(rows5.head.text === "abc")
+    // a file with NO CMap keeps the old hex-as-bytes reading
+    val rows6 = Pdf.parseBytes("plain.pdf",
+      cidPdf("BT <48657821> Tj ET")).toList
+    assert(rows6.head.text === "Hex!")
+  }
 }
