@@ -513,7 +513,10 @@ object Multimodal {
     *     duration for CBR and VBR alike; free-format bitrate (index 0)
     *     and a desynced byte end the walk with whatever parsed
     *     (truncated tail = the parsed prefix's duration, the degrade
-    *     contract).
+    *     contract);
+    *   - ogg: the [[oggMeta]] container walk — Opus/Vorbis
+    *     identification headers + the last page's granule position
+    *     (r15).
     *
     * `n_samples` counts per-channel PCM frames in every branch;
     * `duration_micros = n_samples · 10⁶ div rate` (integer). None when
@@ -528,9 +531,84 @@ object Multimodal {
         }
         case "flac" => flacStreamInfo(payload)
         case "mp3" => mp3Meta(payload)
+        case "ogg" => oggMeta(payload)
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Ogg container walk (r15 — the Ogg front door's meta half): the
+    * FIRST page's identification packet names the codec —
+    *
+    *   - Opus ("OpusHead"): channels + 16-bit pre-skip; granule
+    *     positions count 48 kHz samples by spec, so `sample_rate`
+    *     reports 48000 (the decode rate — the informational
+    *     input-sample-rate field is not the stream clock, stated) and
+    *     `n_samples = last granule − pre-skip`;
+    *   - Vorbis (0x01 "vorbis"): channels + the LE32 rate; granule
+    *     positions count PCM frames at that rate.
+    *
+    * The stream LENGTH comes from the LAST page's granule position —
+    * found by scanning BACKWARD for the final valid "OggS" capture
+    * (version 0, non-negative granule; pages whose granule is the
+    * -1 no-packet-ends sentinel skip further back). A torn tail
+    * degrades to the last intact page's granule — the parsed-prefix
+    * contract; a header-only fragment reads 0 samples (nothing
+    * decodable is an honest zero). None when the magic or the
+    * identification packet don't parse.
+    */
+  private def oggMeta(payload: Array[Byte]): Option[AudioMeta] = {
+    val n = payload.length
+    if (n < 28) return None
+    def u8(i: Int): Long = payload(i) & 0xffL
+    def le16(i: Int): Long = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = le16(i) | (le16(i + 2) << 16)
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    def isPage(i: Int): Boolean =
+      i + 27 <= n && payload(i) == 'O'.toByte && payload(i + 1) == 'g'.toByte &&
+        payload(i + 2) == 'g'.toByte && payload(i + 3) == 'S'.toByte &&
+        payload(i + 4) == 0
+    if (!isPage(0)) return None
+    // first page payload = the identification packet
+    val nSegs = u8(26).toInt
+    if (27 + nSegs > n) return None
+    var segSum = 0
+    var s = 0
+    while (s < nSegs) { segSum += u8(27 + s).toInt; s += 1 }
+    val p0 = 27 + nSegs
+    val pEnd = math.min(n, p0 + segSum)
+    def at(off: Int, m: String): Boolean =
+      p0 + off + m.length <= pEnd &&
+        m.indices.forall(k => payload(p0 + off + k) == m.charAt(k).toByte)
+    val head: Option[(Long, Long, Long)] = // (rate, channels, preSkip)
+      if (at(0, "OpusHead") && p0 + 12 <= pEnd)
+        Some((48000L, u8(p0 + 9), le16(p0 + 10)))
+      else if (p0 < pEnd && u8(p0) == 1L && at(1, "vorbis") &&
+        p0 + 16 <= pEnd) {
+        val rate = le32(p0 + 12)
+        if (rate >= 1) Some((rate, u8(p0 + 11), 0L)) else None
+      } else None
+    head.flatMap { case (rate, ch, preSkip) =>
+      if (ch < 1) None
+      else {
+        // last valid page's granule, scanning backward; the -1
+        // sentinel (no packet ends on this page) skips further back
+        var g = -1L
+        var i = n - 27
+        while (g < 0 && i >= 0) {
+          if (isPage(i)) {
+            val gp = le64(i + 6)
+            if (gp >= 0) g = gp
+          }
+          i -= 1
+        }
+        if (g < 0) None
+        else {
+          val samples = math.max(0L, g - preSkip)
+          Some(AudioMeta(rate, ch, samples, samples * 1000000L / rate))
+        }
+      }
+    }
+  }
 
   /** FLAC STREAMINFO parse (the spec requires it as the FIRST metadata
     * block, 34 bytes): sample rate / channels / total samples from the

@@ -134,6 +134,48 @@ object MediaPrepQueries extends QueryModule {
     bos.toByteArray
   }
 
+  /** One Ogg page: OggS capture, version 0, the given header type and
+    * granule position, zero CRC (the walk doesn't verify — transport
+    * integrity is the reader quarantine's job), 255-chunked lacing.
+    */
+  private def oggPage(granule: Long, seq: Long, packet: Array[Byte],
+      headerType: Int): Array[Byte] = {
+    def le(v: Long, len: Int): Array[Byte] =
+      (0 until len).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val full = packet.length / 255
+    val segs = (Seq.fill(full)(255) :+ packet.length % 255)
+      .map(_.toByte).toArray
+    "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, headerType.toByte) ++
+      le(granule, 8) ++ le(1L, 4) ++ le(seq, 4) ++ le(0L, 4) ++
+      Array(segs.length.toByte) ++ segs ++ packet
+  }
+
+  /** Minimal Ogg/Opus: BOS page with an OpusHead identification packet,
+    * then an EOS data page whose granule = preSkip + nSamples (the
+    * 48 kHz grid).
+    */
+  private def opusOgg(ch: Long, preSkip: Long, nSamples: Long): Array[Byte] = {
+    def le(v: Long, len: Int): Array[Byte] =
+      (0 until len).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val head = "OpusHead".getBytes("ISO-8859-1") ++ Array[Byte](1, ch.toByte) ++
+      le(preSkip, 2) ++ le(48000L, 4) ++ le(0L, 2) ++ Array[Byte](0)
+    oggPage(0L, 0L, head, 2) ++
+      oggPage(preSkip + nSamples, 1L, Array[Byte](0x42, 0x42), 4)
+  }
+
+  /** Minimal Ogg/Vorbis: BOS page with the type-1 identification
+    * header, then an EOS page whose granule = nSamples at `rate`.
+    */
+  private def vorbisOgg(rate: Long, ch: Long, nSamples: Long): Array[Byte] = {
+    def le(v: Long, len: Int): Array[Byte] =
+      (0 until len).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val head = Array[Byte](1) ++ "vorbis".getBytes("ISO-8859-1") ++
+      le(0L, 4) ++ Array(ch.toByte) ++ le(rate, 4) ++
+      le(0L, 4) ++ le(0L, 4) ++ le(0L, 4) ++ Array[Byte](0x66.toByte, 1)
+    oggPage(0L, 0L, head, 2) ++
+      oggPage(nSamples, 1L, Array[Byte](0x17), 4)
+  }
+
   private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] =
     be(8L + body.length, 4) ++ typ.getBytes("ISO-8859-1") ++ body
 
@@ -652,6 +694,54 @@ object MediaPrepQueries extends QueryModule {
             (id, nSamp, hw.isDefined && hw == hf)
           }
         }.toDF("doc_id", "n_samples", "parity").orderBy("doc_id")
+    },
+
+    // The JVM-walk half of the AUDIO front door (r15 — the Ogg meta
+    // walk plus the first oracle over the mp3 frame hop): Opus (48 kHz
+    // granule grid minus pre-skip), Vorbis (granule at the declared
+    // rate), CBR mp3 (k frames x 1152 samples at 44100), and junk —
+    // payloads constructed from doc_id arithmetic inside mapPartitions,
+    // walked back by audioDims; the oracle derives every field incl.
+    // the exact integer duration divisions from the same arithmetic.
+    q("q_x_audio_meta",
+      "WITH p AS (SELECT doc_id, doc_id % 4 AS lane, " +
+        "doc_id % 8 + 1 AS och, doc_id % 1000 AS opre, " +
+        "doc_id % 500000 + 1 AS ons, " +
+        "8000 + doc_id % 40000 AS vrate, doc_id % 2 + 1 AS vch, " +
+        "doc_id % 500000 + 1 AS vns, " +
+        "(doc_id % 20 + 1) * 1152 AS mns FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE lane WHEN 0 THEN 48000 WHEN 1 THEN vrate WHEN 2 THEN 44100 END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE lane WHEN 0 THEN och WHEN 1 THEN vch WHEN 2 THEN 2 END AS BIGINT) AS channels, " +
+        "CAST(CASE lane WHEN 0 THEN ons WHEN 1 THEN vns WHEN 2 THEN mns END AS BIGINT) AS n_samples, " +
+        "CAST(CASE lane WHEN 0 THEN (ons * 1000000) // 48000 " +
+        "WHEN 1 THEN (vns * 1000000) // vrate " +
+        "WHEN 2 THEN (mns * 1000000) // 44100 END AS BIGINT) AS duration_micros " +
+        "FROM p ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val payload: Array[Byte] = (id % 4) match {
+              case 0 => opusOgg(id % 8 + 1, id % 1000, id % 500000 + 1)
+              case 1 => vorbisOgg(8000 + id % 40000, id % 2 + 1,
+                id % 500000 + 1)
+              case 2 =>
+                // CBR MPEG1 Layer III: 44100 Hz, 128 kbps, stereo ->
+                // 417-byte frames of 1152 samples each
+                val k = (id % 20 + 1).toInt
+                val frame = Array[Byte](0xFF.toByte, 0xFB.toByte,
+                  0x90.toByte, 0x00) ++ new Array[Byte](413)
+                Array.fill(k)(frame).flatten
+              case _ => "no audio here".getBytes("ISO-8859-1")
+            }
+            val m = Multimodal.audioDims(payload)
+            (id, m.map(_.sample_rate), m.map(_.channels),
+              m.map(_.n_samples), m.map(_.duration_micros))
+          }
+        }.toDF("doc_id", "sample_rate", "channels", "n_samples",
+          "duration_micros")
+        .orderBy("doc_id")
     },
 
     // The scan-side media SIZE GATE composed end to end: payloads whose

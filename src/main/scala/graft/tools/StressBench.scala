@@ -427,7 +427,10 @@ object StressBench {
     "q_x_media_data_card",
     // r15: CID-PDF parse per payload inside mapPartitions — per-row
     // byte work, linear like the interop lanes.
-    "q_x_pdf_cid")
+    "q_x_pdf_cid",
+    // r15: the JVM audio walks (ogg/opus, vorbis, the mp3 frame hop) —
+    // per-payload header reads, linear like q_x_video_meta.
+    "q_x_audio_meta")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -257,6 +257,53 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(rows("tornflac") === None)
   }
 
+  /** One Ogg page: zero CRC, 255-chunked lacing. */
+  private def oggPage(granule: Long, packet: Array[Byte],
+      headerType: Int): Array[Byte] = {
+    def le(v: Long, len: Int): Array[Byte] =
+      (0 until len).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val segs = (Seq.fill(packet.length / 255)(255) :+ packet.length % 255)
+      .map(_.toByte).toArray
+    s("OggS") ++ b(0, headerType) ++ le(granule, 8) ++ le(1L, 4) ++
+      le(0L, 4) ++ le(0L, 4) ++ Array(segs.length.toByte) ++ segs ++ packet
+  }
+
+  private def opusHead(ch: Int, preSkip: Int): Array[Byte] =
+    s("OpusHead") ++ b(1, ch, preSkip & 0xff, (preSkip >> 8) & 0xff) ++
+      b(0x80, 0xBB, 0, 0) ++ b(0, 0, 0) // 48000 LE input rate, gain, map
+
+  private def vorbisHead(rate: Long, ch: Int): Array[Byte] =
+    b(1) ++ s("vorbis") ++ b(0, 0, 0, 0, ch) ++
+      (0 until 4).map(i => ((rate >> (8 * i)) & 0xff).toByte).toArray ++
+      new Array[Byte](12) ++ b(0x66, 1)
+
+  test("audioDims: ogg walk — OpusHead 48kHz grid minus pre-skip, " +
+      "Vorbis rate, -1 sentinel pages skip back, torn tail degrades") {
+    val opus = oggPage(0L, opusHead(2, 312), 2) ++
+      oggPage(312L + 96000L, b(0x42), 4)
+    assert(Multimodal.detectKind(opus) === "ogg")
+    assert(Multimodal.audioDims(opus) ===
+      Some(Multimodal.AudioMeta(48000L, 2L, 96000L, 2000000L)))
+    // a trailing page with the -1 no-packet-ends sentinel must skip
+    // back to the last REAL granule
+    val sentinel = opus ++ oggPage(-1L, b(0x00), 0)
+    assert(Multimodal.audioDims(sentinel).get.n_samples === 96000L)
+    // torn tail: the cut page header disappears; the intact prefix
+    // page's granule stands (here: the BOS page -> 0 samples)
+    val torn = opus.take(opus.length - 10)
+    assert(Multimodal.audioDims(torn).get.n_samples === 0L)
+    // vorbis: granule counts at the declared rate
+    val vorb = oggPage(0L, vorbisHead(22050L, 1), 2) ++
+      oggPage(44100L, b(0x17), 4)
+    assert(Multimodal.audioDims(vorb) ===
+      Some(Multimodal.AudioMeta(22050L, 1L, 44100L, 2000000L)))
+    // header-only fragment: nothing decodable is an honest zero
+    assert(Multimodal.audioDims(
+      oggPage(0L, opusHead(1, 0), 2)).get.n_samples === 0L)
+    // an Ogg page whose first packet is neither codec reads None
+    assert(Multimodal.audioDims(oggPage(0L, s("FLAC junk"), 2)).isEmpty)
+  }
+
   /** Canonical AVI header prefix: RIFF/AVI + LIST hdrl with avih first. */
   private def aviHeader(us: Long, frames: Long, w: Long, h: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -510,7 +557,9 @@ class MediaFrontDoorSpec extends SparkTestBase {
       // fragmented mp4 (duration unknown): pixel rules still fire
       (11L, mp4File(90000L, 0L, 2000L, 2000L)), // 4 Mpx: too many
       (12L, webmFile(Some(1000000L), Some(90000.0), 100L, 100L)), // 90 s
-      (13L, mp3Frame(0))) // one 26 ms frame: too short
+      (13L, mp3Frame(0)), // one 26 ms frame: too short
+      (14L, oggPage(0L, opusHead(2, 0), 2) ++
+        oggPage(480000L, b(1), 4))) // 10 s of opus: ok
     val out = Multimodal.sizeGate(rows.toDF("media_id", "payload"),
         minPixels = 100L, maxPixels = 1000000L,
         minDurationMicros = 1000000L, maxDurationMicros = 30000000L)
@@ -530,6 +579,7 @@ class MediaFrontDoorSpec extends SparkTestBase {
       "a fragmented mp4's parsed dims must still gate")
     assert(out(12L) === ((false, "too_long")), "WebM duration gates")
     assert(out(13L) === ((false, "too_short")), "mp3 duration gates")
+    assert(out(14L) === ((true, "ok")), "ogg/opus duration gates")
   }
 
   test("routedFeatures + decodeCoverage report the new ISO-BMFF kinds " +
