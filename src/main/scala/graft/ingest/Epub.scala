@@ -1,0 +1,142 @@
+package graft.ingest
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+/** Dependency-free `.epub` TEXT extractor — the BOOK class of a
+  * training corpus (long-form, high-quality prose crawls and publishes
+  * as EPUB far more uniformly than as PDF). An EPUB is a zip (the
+  * [[Docx]]/[[Xlsx]] container) of XHTML chapters plus two small XML
+  * manifests; the reading order is NOT the zip entry order but the OPF
+  * SPINE, so extraction resolves `META-INF/container.xml` → the OPF
+  * rootfile → manifest id→href → spine idref order, hrefs relative to
+  * the OPF directory.
+  *
+  * Chapter text contract, stated:
+  *   - XHTML text nodes concatenate in document order; `head`,
+  *     `script` and `style` subtrees are excluded (metadata and code,
+  *     not content);
+  *   - a newline is appended after each closed block element
+  *     (`p`, `h1`–`h6`, `li`, `div`, `tr`, `blockquote`) and at each
+  *     `br` — the flat-prose reading;
+  *   - XML entities resolve (`&amp;` …); HTML-only entities
+  *     (`&nbsp;`) are undeclared XML with DTDs hardened off, so a
+  *     chapter using them degrades (parsed prefix) — EPUB 3 content
+  *     is UTF-8 and does not need them, stated;
+  *   - degrade contract: not a zip / missing container / missing OPF
+  *     / a spine idref with no manifest entry or no zip entry → that
+  *     chapter is skipped; a torn chapter yields its parsed prefix;
+  *     never a crash.
+  *
+  * Scale position: one book parses in one bounded executor-side pass
+  * ([[Pdf.parseBytes]] route); the entry map is bounded by the book
+  * size itself.
+  */
+object Epub {
+
+  private def newFactory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      java.lang.Boolean.FALSE)
+    f
+  }
+
+  private def entries(payload: Array[Byte]): Map[String, Array[Byte]] = {
+    val out = mutable.Map.empty[String, Array[Byte]]
+    val zin = new ZipInputStream(new ByteArrayInputStream(payload))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  /** First attribute value named `local` on each `elem` element. */
+  private def xmlAttrs(bytes: Array[Byte], elem: String,
+      attrs: Seq[String]): Seq[Map[String, String]] = {
+    val out = mutable.ArrayBuffer.empty[Map[String, String]]
+    val r = newFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == elem) {
+          val m = (0 until r.getAttributeCount).map(i =>
+            r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+          out += attrs.flatMap(a => m.get(a).map(a -> _)).toMap
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    finally r.close()
+    out.toSeq
+  }
+
+  private val BlockEnds = Set("p", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "div", "tr", "blockquote")
+
+  /** One XHTML chapter's flat text by the stated contract. */
+  private[ingest] def xhtmlText(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var skipDepth = 0
+    val r = newFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "script" | "style" | "head" => skipDepth += 1
+          case "br" if skipDepth == 0 => sb.append('\n')
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
+            if skipDepth == 0 =>
+          sb.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "script" | "style" | "head" =>
+            skipDepth = math.max(0, skipDepth - 1)
+          case n if BlockEnds(n) && skipDepth == 0 => sb.append('\n')
+          case _ =>
+        }
+        case _ =>
+      }
+    } catch { case scala.util.control.NonFatal(_) => } // parsed prefix
+    finally r.close()
+    sb.toString
+  }
+
+  /** Spine-ordered (href, chapter text) pairs. */
+  def chapters(payload: Array[Byte]): Seq[(String, String)] = {
+    try {
+      val es = entries(payload)
+      val opfPath = es.get("META-INF/container.xml").toSeq
+        .flatMap(xmlAttrs(_, "rootfile", Seq("full-path")))
+        .flatMap(_.get("full-path")).headOption
+      opfPath.toSeq.flatMap { opf =>
+        val dir = opf.lastIndexOf('/') match {
+          case -1 => ""
+          case i => opf.substring(0, i + 1)
+        }
+        es.get(opf).toSeq.flatMap { opfBytes =>
+          val manifest = xmlAttrs(opfBytes, "item", Seq("id", "href"))
+            .flatMap(m => for (i <- m.get("id"); h <- m.get("href")) yield i -> h)
+            .toMap
+          val spine = xmlAttrs(opfBytes, "itemref", Seq("idref"))
+            .flatMap(_.get("idref"))
+          spine.flatMap { idref =>
+            for {
+              href <- manifest.get(idref)
+              bytes <- es.get(dir + href)
+            } yield href -> xhtmlText(bytes)
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  /** The whole book's flat text: spine-ordered chapter texts joined. */
+  def text(payload: Array[Byte]): String =
+    chapters(payload).map(_._2).mkString
+}

@@ -121,12 +121,20 @@ object Multimodal {
 
   /** Classify a payload by magic bytes (see [[MagicRules]]). Returns
     * "tiff" for either byte order; "riff" for a RIFF container with an
-    * unrecognized format tag; "isobmff" for an `ftyp` box with an
+    * unrecognized format tag; "aiff" for a FORM (IFF) container whose
+    * form type is AIFF/AIFC and "iff" for any other FORM type (the
+    * riff stance); "isobmff" for an `ftyp` box with an
     * unlisted major brand; "webm"/"mkv"/"ebml" for the EBML magic by
-    * the bounded DocType rule ([[EbmlDocTypes]]); "mp3" for an ID3v2
-    * tag OR a bare MPEG audio frame sync (0xFF + three set bits — the
-    * one masked rule the exact-prefix table can't spell, checked LAST
-    * so jpeg's FF D8 FF wins); "unknown" when nothing matches.
+    * the bounded DocType rule ([[EbmlDocTypes]]); "aac" for a bare
+    * ADTS frame sync (0xFFF with LAYER BITS 00 — the field that
+    * separates an ADTS AAC stream from MPEG audio, whose Layer III
+    * spells 01 there); "mp3" for an ID3v2 tag OR a bare MPEG audio
+    * frame sync (0xFF + three set bits) — the masked rules the
+    * exact-prefix table can't spell, checked LAST so jpeg's FF D8 FF
+    * wins, aac's tighter mask before mp3's (an ID3v2-tagged ADTS
+    * stream reads "mp3" by the prefix rule, stated — the Layer III
+    * walk then degrades to None, the honest no_header class);
+    * "unknown" when nothing matches.
     */
   def detectKind(payload: Array[Byte]): String = {
     def startsWith(m: Array[Byte], off: Int): Boolean =
@@ -139,6 +147,10 @@ object Multimodal {
       RiffTags.collectFirst {
         case (tag, kind) if at(tag, 8) => kind
       }.getOrElse("riff")
+    } else if (at("FORM", 0)) {
+      // the IFF container (RIFF's big-endian ancestor): AIFF/AIFC
+      // audio disambiguates on the form type at 8, the RIFF tag rule
+      if (at("AIFF", 8) || at("AIFC", 8)) "aiff" else "iff"
     } else if (at("ftyp", 4)) {
       FtypBrands.collectFirst {
         case (brand, kind) if at(brand, 8) => kind
@@ -155,6 +167,8 @@ object Multimodal {
         if (kind.startsWith("tiff")) "tiff" else kind
     }.getOrElse(
       if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+          (payload(1) & 0xF6) == 0xF0) "aac"
+      else if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
           (payload(1) & 0xE0) == 0xE0) "mp3"
       else "unknown")
   }
@@ -176,7 +190,12 @@ object Multimodal {
     val ftyp = FtypBrands.foldRight(lit("isobmff")) { case ((brand, kind), e) =>
       when(preS(8, brand), lit(kind)).otherwise(e)
     }
+    // the masked frame-sync pair, aac's tighter mask first: ADTS spells
+    // layer 00 in the second byte (F0/F1/F8/F9), Layer III spells 01
     val mp3Sync = when(hex(substring(payload, 1, 1)) === "FF" &&
+        hex(substring(payload, 2, 1)).isin("F0", "F1", "F8", "F9"),
+      lit("aac"))
+      .when(hex(substring(payload, 1, 1)) === "FF" &&
         substring(hex(substring(payload, 2, 1)), 1, 1).isin("E", "F"),
       lit("mp3")).otherwise(lit("unknown"))
     val rest = MagicRules.foldRight(mp3Sync) { case ((kind, m), e) =>
@@ -192,6 +211,9 @@ object Multimodal {
       when(contains(ebmlWin, lit(m)), lit(kind)).otherwise(e)
     }
     when(preS(0, "RIFF"), riff)
+      .when(preS(0, "FORM"),
+        when(preS(8, "AIFF") || preS(8, "AIFC"), lit("aiff"))
+          .otherwise(lit("iff")))
       .when(preS(4, "ftyp"), ftyp)
       .when(pre(0, EbmlMagic), ebml)
       .otherwise(rest)
@@ -516,7 +538,14 @@ object Multimodal {
     *     contract);
     *   - ogg: the [[oggMeta]] container walk — Opus/Vorbis
     *     identification headers + the last page's granule position
-    *     (r15).
+    *     (r15);
+    *   - m4a: the [[m4aMeta]] moov walk — the audio trak's mdhd
+    *     timescale (= sample rate) and duration (= samples) (r15);
+    *   - aac: the [[aacMeta]] ADTS frame-header hop — the mp3 walk's
+    *     MPEG-4 sibling, 1024 samples per raw data block (r15);
+    *   - aiff: the [[aiffMeta]] COMM-chunk walk — channels, per-channel
+    *     frame count, and the 80-bit extended-float sample rate read
+    *     exactly by integer shift arithmetic (r15).
     *
     * `n_samples` counts per-channel PCM frames in every branch;
     * `duration_micros = n_samples · 10⁶ div rate` (integer). None when
@@ -532,9 +561,96 @@ object Multimodal {
         case "flac" => flacStreamInfo(payload)
         case "mp3" => mp3Meta(payload)
         case "ogg" => oggMeta(payload)
+        case "m4a" => m4aMeta(payload)
+        case "aac" => aacMeta(payload)
+        case "aiff" => aiffMeta(payload)
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ISO-BMFF AUDIO meta (r15 — the m4a podcast gate: an hour-long
+    * m4a previously read no_header because only the VIDEO walk knew the
+    * container): moov → the first trak whose `hdlr` handler type is
+    * `soun` → its `mdhd` — for an audio track the mdhd TIMESCALE is the
+    * sample rate and the mdhd DURATION counts samples at it, both
+    * FullBox versions; channels from the fixed-layout channelcount
+    * field of the first audio SampleEntry inside `stbl`→`stsd` (what
+    * every AAC writer emits; a torn/absent stsd degrades to channel
+    * count 1, the mono-safe floor — stated). Duration sentinel rules
+    * follow [[mp4Meta]]: mdhd duration 0 / all-ones means UNKNOWN —
+    * and since [[AudioMeta]] carries no absent-duration form, such
+    * files return None (audio with unknown length has nothing to gate
+    * on — the honest no_header class).
+    */
+  private def m4aMeta(payload: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Long = payload(i) & 0xffL
+    def be32(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def boxes(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz0 = be32(off.toInt)
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1L) {
+          if (off + 16 > end) return
+          sz = be64(off.toInt + 8); hdr = 16L
+        } else if (sz0 == 0L) sz = end - off
+        if (sz < hdr || off + sz > end || sz > Int.MaxValue) return
+        f(new String(payload, off.toInt + 4, 4, "ISO-8859-1"),
+          off + hdr, off + sz)
+        off += sz
+      }
+    }
+    def into(start: Long, end: Long, name: String): Option[(Long, Long)] = {
+      var out: Option[(Long, Long)] = None
+      boxes(start, end)((t, p, e) => if (out.isEmpty && t == name) out = Some((p, e)))
+      out
+    }
+    var rate = 0L
+    var nSamples = -1L
+    var channels = 1L
+    var found = false
+    def trak(start: Long, end: Long): Unit = {
+      if (found) return
+      into(start, end, "mdia").foreach { case (mp, me) =>
+        val isSoun = into(mp, me, "hdlr").exists { case (hp, he) =>
+          hp + 16 <= he &&
+            new String(payload, hp.toInt + 8, 4, "ISO-8859-1") == "soun"
+        }
+        if (isSoun) into(mp, me, "mdhd").foreach { case (dp, de) =>
+          val v = u8(dp.toInt)
+          if (v == 0L && de >= dp + 20) {
+            rate = be32(dp.toInt + 12)
+            nSamples = be32(dp.toInt + 16)
+            if (nSamples == 0xffffffffL) nSamples = -1L
+          } else if (v == 1L && de >= dp + 32) {
+            rate = be32(dp.toInt + 20)
+            nSamples = be64(dp.toInt + 24)
+          }
+          // channels from the first audio SampleEntry's fixed layout
+          for {
+            (ip, ie) <- into(mp, me, "minf")
+            (sp, se) <- into(ip, ie, "stbl")
+            (tp, te) <- into(sp, se, "stsd")
+          } if (tp + 8 + 8 + 16 + 2 <= te) {
+            val ch = (u8(tp.toInt + 32) << 8) | u8(tp.toInt + 33)
+            if (ch >= 1 && ch <= 64) channels = ch
+          }
+          if (rate >= 1 && nSamples > 0) found = true
+        }
+      }
+    }
+    boxes(0L, payload.length.toLong) { (t, p, e) =>
+      if (t == "moov") boxes(p, e) { (t2, p2, e2) =>
+        if (t2 == "trak") trak(p2, e2)
+      }
+    }
+    if (found && nSamples <= Long.MaxValue / 1000000L)
+      Some(AudioMeta(rate, channels, nSamples, nSamples * 1000000L / rate))
+    else None
+  }
 
   /** Ogg container walk (r15 — the Ogg front door's meta half): the
     * FIRST page's identification packet names the codec —
@@ -673,6 +789,93 @@ object Multimodal {
     }
     if (frames == 0L || rate == 0L) None
     else Some(AudioMeta(rate, ch, samples, samples * 1000000L / rate))
+  }
+
+  /** ADTS AAC frame-header hop (r15 — the mp3 walk's MPEG-4 sibling; a
+    * bare `FFF` AAC stream previously matched the looser mp3 mask and
+    * read None): each 7/9-byte ADTS header carries the 13-bit frame
+    * length, the 4-bit sampling-frequency index, the 3-bit channel
+    * configuration and the 2-bit raw-data-block count, so the hop reads
+    * one header per frame and sums EXACT samples (1024 per raw data
+    * block) for CBR and VBR alike. Rate/channels pin from the FIRST
+    * frame: frequency by the public MPEG-4 index table; configuration 7
+    * is 8 channels (7.1) by the same table, configuration 0 means
+    * "defined in a PCE" and degrades to the mono-safe floor of 1
+    * (stated — the m4a absent-stsd precedent). Reserved frequency
+    * indices (13–15), an impossible frame length (< the 7-byte header)
+    * and a desynced byte end the walk with the parsed prefix — the mp3
+    * degrade contract; CRC frames (protection bit 0) hop identically
+    * because the frame length field covers the 2 CRC bytes.
+    */
+  private def aacMeta(payload: Array[Byte]): Option[AudioMeta] = {
+    val n = payload.length
+    def u8(i: Int): Int = payload(i) & 0xff
+    val rates = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
+      22050, 16000, 12000, 11025, 8000, 7350)
+    var rate = 0L; var ch = 0L; var samples = 0L; var frames = 0L
+    var off = 0
+    var ok = true
+    while (ok && off + 7 <= n) {
+      if (u8(off) != 0xff || (u8(off + 1) & 0xf6) != 0xf0) ok = false
+      else {
+        val sfi = (u8(off + 2) >> 2) & 0xf
+        val cfg = ((u8(off + 2) & 1) << 2) | (u8(off + 3) >> 6)
+        val flen = ((u8(off + 3) & 3) << 11) | (u8(off + 4) << 3) |
+          (u8(off + 5) >> 5)
+        val rdb = u8(off + 6) & 3
+        if (sfi >= 13 || flen < 7 || off + flen > n) ok = false
+        else {
+          if (frames == 0L) {
+            rate = rates(sfi).toLong
+            ch = if (cfg == 0) 1L else if (cfg == 7) 8L else cfg.toLong
+          }
+          samples += 1024L * (rdb + 1); frames += 1; off += flen
+        }
+      }
+    }
+    if (frames == 0L) None
+    else Some(AudioMeta(rate, ch, samples, samples * 1000000L / rate))
+  }
+
+  /** AIFF/AIFC COMM-chunk walk (r15 — the big-endian WAV sibling; the
+    * archival/export format of audio tooling): FORM header, then even-
+    * padded chunks; `COMM` carries channels (BE16), per-channel frame
+    * count (BE32) and the sample rate as an 80-bit IEEE extended
+    * float, which this walk reads EXACTLY by integer shift arithmetic
+    * (15-bit exponent + 64-bit mantissa; every integer rate is
+    * representable, so no floating point touches the value — the
+    * DuckDB-replay discipline). Zero/denormal/oversized rates and a
+    * truncated COMM read None; unknown chunks skip by their declared
+    * size (the wavPcm contract).
+    */
+  private def aiffMeta(payload: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = (be16(i).toLong << 16) | be16(i + 2)
+    val n = payload.length
+    var off = 12L
+    while (off + 8 <= n) {
+      val id = new String(payload, off.toInt, 4, "ISO-8859-1")
+      val sz = be32(off.toInt + 4)
+      if (id == "COMM") {
+        if (sz < 18L || off + 8 + 18 > n) return None
+        val p = off.toInt + 8
+        val ch = be16(p).toLong
+        val frames = be32(p + 2)
+        val exp = be16(p + 8) & 0x7fff
+        val mant = (be32(p + 10) << 32) | be32(p + 14)
+        val shift = exp - 16383 - 63
+        val rate =
+          if (exp == 0 || mant == 0L) 0L
+          else if (shift > 0 || shift <= -64) 0L // over/underflow
+          else mant >>> -shift
+        return if (rate >= 1L && ch >= 1L && frames >= 0L)
+          Some(AudioMeta(rate, ch, frames, frames * 1000000L / rate))
+        else None
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    None
   }
 
   /** The fixed-offset half of [[audioDims]] as a pure codegen column —

@@ -4504,6 +4504,34 @@ object LlmOpsQueries extends QueryModule {
           countDistinct("path").as("n_files"))
     },
 
+    // ORC interop round trip (r15 — the Hive/Trino-ecosystem columnar
+    // format, built into Spark): the documents table is WRITTEN as a
+    // 4-shard ORC dataset and read back; the oracle computes the
+    // identical aggregates (row count, id sum, byte sum, order-
+    // invariant text checksum) straight from the parquet table — any
+    // row or value the ORC layer loses or mangles breaks the checksum.
+    // Byte counts via octet_length on BOTH sides (UTF-8 exact).
+    q("q_x_orc_interop", {
+      val h = graft.llmops.PortableHash.duckHash52("text")
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes, " +
+        s"CAST(bit_xor($h) AS BIGINT) AS checksum FROM documents"
+    }) { (s, d) =>
+      import graft.llmops.PortableHash
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_orc_interop").toString
+      val out = new org.apache.hadoop.fs.Path(path)
+      out.getFileSystem(s.sparkContext.hadoopConfiguration).delete(out, true)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("doc_id"), octet_length(col("text")).cast("long")
+          .as("__n"), PortableHash.hash52(col("text")).as("__h"))
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"),
+          sum("__n").as("n_bytes"), expr("bit_xor(__h)").as("checksum"))
+    },
+
     // CID/Type0 PDF text via the /ToUnicode CMap (r15 — the dominant
     // academic-PDF class the simple-font rule degraded by nature): one
     // hand-assembled FOREIGN single-page PDF per doc, whose hex-string
@@ -4550,6 +4578,127 @@ object LlmOpsQueries extends QueryModule {
             (id, r.text, r.n_text_ops, rows.forall(_.ok) && rows.length == 1)
           }
         }.toDF("doc_id", "text", "n_text_ops", "ok")
+        .orderBy("doc_id")
+    },
+
+    // .docx text extraction (r15 — the Xlsx container, the document
+    // payload): per doc a REAL zip (ZipOutputStream: [Content_Types]
+    // + word/document.xml) is assembled in mapPartitions with
+    // doc_id%4+1 paragraphs — multi-run paragraphs, a w:tab in
+    // paragraph 2, a w:br in paragraph 3, an excluded w:instrText
+    // field code, and a table-wrapped paragraph 4 — and extracted back
+    // through Docx.text; the oracle derives the exact flat text
+    // (TAB/newline placement included) from the same arithmetic, so a
+    // run-concatenation, break-mapping or entry-walk bug breaks the
+    // identity.
+    q("q_x_docx_text", {
+      val p1 = "'para 1 of doc ' || doc_id"
+      val p2 = "'para 2' || chr(9) || 'of doc ' || doc_id"
+      val p3 = "'para 3' || chr(10) || 'of doc ' || doc_id"
+      val p4 = "'para 4 of doc ' || doc_id"
+      "SELECT doc_id, " +
+        s"$p1 || " +
+        s"CASE WHEN doc_id % 4 + 1 >= 2 THEN chr(10) || $p2 ELSE '' END || " +
+        s"CASE WHEN doc_id % 4 + 1 >= 3 THEN chr(10) || $p3 ELSE '' END || " +
+        s"CASE WHEN doc_id % 4 + 1 >= 4 THEN chr(10) || $p4 ELSE '' END AS text, " +
+        "CAST(doc_id % 4 + 1 AS BIGINT) AS n_paragraphs " +
+        "FROM documents ORDER BY doc_id"
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.ingest.Docx
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val k = (id % 4 + 1).toInt
+            def runs(i: Int): String = i match {
+              case 2 => s"<w:r><w:t>para 2</w:t><w:tab/></w:r>" +
+                s"<w:r><w:t>of doc $id</w:t></w:r>"
+              case 3 => s"<w:r><w:t>para 3</w:t><w:br/>" +
+                s"<w:t>of doc $id</w:t></w:r>"
+              case i => s"<w:r><w:t>para $i </w:t></w:r>" +
+                s"<w:r><w:instrText>PAGEREF _x$id</w:instrText></w:r>" +
+                s"<w:r><w:t>of doc $id</w:t></w:r>"
+            }
+            val paras = (1 to k).map { i =>
+              val p = s"<w:p>${runs(i)}</w:p>"
+              // paragraph 4 arrives inside a table cell — the flat
+              // reading must surface it as an ordinary paragraph
+              if (i == 4) s"<w:tbl><w:tr><w:tc>$p</w:tc></w:tr></w:tbl>"
+              else p
+            }.mkString
+            val xml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">" +
+              s"<w:body>$paras</w:body></w:document>"
+            val bos = new java.io.ByteArrayOutputStream()
+            val zos = new java.util.zip.ZipOutputStream(bos)
+            zos.putNextEntry(new java.util.zip.ZipEntry("[Content_Types].xml"))
+            zos.write("<Types/>".getBytes("UTF-8")); zos.closeEntry()
+            zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+            zos.write(xml.getBytes("UTF-8")); zos.closeEntry()
+            zos.close()
+            val paragraphs = Docx.paragraphs(bos.toByteArray)
+            (id, paragraphs.mkString("\n"), paragraphs.length.toLong)
+          }
+        }.toDF("doc_id", "text", "n_paragraphs")
+        .orderBy("doc_id")
+    },
+
+    // .epub text extraction (r15 — the BOOK class): per doc a REAL
+    // epub zip (mimetype + container.xml + OPF + doc_id%3+1 XHTML
+    // chapters under OEBPS/) is assembled in mapPartitions with the
+    // SPINE deliberately reversed from the zip entry order — the
+    // reader must resolve container→OPF→manifest→spine and emit
+    // chapters in spine order, excluding head/title metadata and
+    // resolving &amp;. The oracle derives the exact concatenated text
+    // from the same arithmetic, reversed-order included.
+    q("q_x_epub_text", {
+      def chap(i: Int) =
+        s"'chap $i para 1 of doc ' || doc_id || chr(10) || " +
+          s"'chap $i para 2 & more of doc ' || doc_id || chr(10)"
+      "SELECT doc_id, " +
+        s"CASE doc_id % 3 + 1 WHEN 1 THEN ${chap(1)} " +
+        s"WHEN 2 THEN ${chap(2)} || ${chap(1)} " +
+        s"ELSE ${chap(3)} || ${chap(2)} || ${chap(1)} END AS text, " +
+        "CAST(doc_id % 3 + 1 AS BIGINT) AS n_chapters " +
+        "FROM documents ORDER BY doc_id"
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.ingest.Epub
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val k = (id % 3 + 1).toInt
+            def xhtml(i: Int): String =
+              "<?xml version=\"1.0\"?><html xmlns=\"http://www.w3.org/1999/xhtml\">" +
+                s"<head><title>chapter $i</title></head><body>" +
+                s"<p>chap $i para 1 of doc $id</p>" +
+                s"<p>chap $i para 2 &amp; more of doc $id</p>" +
+                "</body></html>"
+            val manifest = (1 to k).map(i =>
+              s"""<item id="c$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""").mkString
+            // spine REVERSED from entry order — the order the oracle states
+            val spine = (k to 1 by -1).map(i =>
+              s"""<itemref idref="c$i"/>""").mkString
+            val opf = "<?xml version=\"1.0\"?><package xmlns=\"http://www.idpf.org/2007/opf\">" +
+              s"<manifest>$manifest</manifest><spine>$spine</spine></package>"
+            val containerXml =
+              "<?xml version=\"1.0\"?><container xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">" +
+                "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" media-type=\"application/oebps-package+xml\"/></rootfiles></container>"
+            val bos = new java.io.ByteArrayOutputStream()
+            val zos = new java.util.zip.ZipOutputStream(bos)
+            def entry(name: String, content: String): Unit = {
+              zos.putNextEntry(new java.util.zip.ZipEntry(name))
+              zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+            }
+            entry("mimetype", "application/epub+zip")
+            entry("META-INF/container.xml", containerXml)
+            entry("OEBPS/content.opf", opf)
+            (1 to k).foreach(i => entry(s"OEBPS/ch$i.xhtml", xhtml(i)))
+            zos.close()
+            val chapters = Epub.chapters(bos.toByteArray)
+            (id, chapters.map(_._2).mkString, chapters.length.toLong)
+          }
+        }.toDF("doc_id", "text", "n_chapters")
         .orderBy("doc_id")
     },
 

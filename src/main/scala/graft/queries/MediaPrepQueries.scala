@@ -39,6 +39,11 @@ object MediaPrepQueries extends QueryModule {
     "wav" -> riffMagic("WAVE"),
     "avi" -> riffMagic("AVI "),
     "riff" -> riffMagic("JUNK"),
+    // r15: the IFF (FORM) container — AIFF/AIFC audio and the bare form
+    "aiff" -> ("FORM".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "AIFF".getBytes("ISO-8859-1")),
+    "iff" -> ("FORM".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "BLAH".getBytes("ISO-8859-1")),
     "mp4" -> ftypMagic("isom"),
     "avif" -> ftypMagic("avif"),
     "heic" -> ftypMagic("mif1"),
@@ -48,6 +53,8 @@ object MediaPrepQueries extends QueryModule {
     "flac" -> "fLaC".getBytes("ISO-8859-1"),
     "mp3" -> ("ID3".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0)),
     "mp3sync" -> Array(0xFF, 0xFB).map(_.toByte),
+    // r15: ADTS AAC — layer bits 00 where Layer III spells 01
+    "aac" -> Array(0xFF, 0xF1).map(_.toByte),
     "ico" -> Array(0x00, 0x00, 0x01, 0x00).map(_.toByte),
     "xml" -> "<?xml version=\"1.0\"?>".getBytes("ISO-8859-1"),
     "svg" -> "<svg xmlns=".getBytes("ISO-8859-1"),
@@ -179,6 +186,53 @@ object MediaPrepQueries extends QueryModule {
   private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] =
     be(8L + body.length, 4) ++ typ.getBytes("ISO-8859-1") ++ body
 
+  /** Minimal m4a: ftyp M4A + moov(trak(mdia(hdlr soun + mdhd v0 +
+    * minf/stbl/stsd mp4a entry with the channelcount field))).
+    */
+  private def m4aBytes(rate: Long, nSamples: Long, ch: Long): Array[Byte] = {
+    val hdlr = mp4Box("hdlr", be(0L, 4) ++ be(0L, 4) ++
+      "soun".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val mdhd = mp4Box("mdhd", be(0L, 4) ++ new Array[Byte](8) ++
+      be(rate, 4) ++ be(nSamples, 4) ++ be(0L, 4))
+    val entry = be(36L, 4) ++ "mp4a".getBytes("ISO-8859-1") ++
+      new Array[Byte](16) ++ be(ch, 2) ++ be(16L, 2) ++ new Array[Byte](8)
+    val stsd = mp4Box("stsd", be(0L, 4) ++ be(1L, 4) ++ entry)
+    ftypMagic("M4A ") ++ mp4Box("moov", mp4Box("trak",
+      mp4Box("mdia", hdlr ++ mdhd ++ mp4Box("minf", mp4Box("stbl", stsd)))))
+  }
+
+  /** A CBR-shaped ADTS AAC stream: `frames` frames of `7 + pad` bytes
+    * each — MPEG-4 ID, no CRC, the given frequency index / channel
+    * configuration / raw-data-block count, buffer-fullness bits all
+    * ones (the VBR sentinel real encoders stamp).
+    */
+  private def aacBytes(sfi: Int, cfg: Int, rdb: Int, frames: Int,
+      pad: Int): Array[Byte] = {
+    val flen = 7 + pad
+    val frame = Array[Byte](
+      0xFF.toByte, 0xF1.toByte,
+      ((1 << 6) | (sfi << 2) | (cfg >> 2)).toByte,
+      (((cfg & 3) << 6) | (flen >> 11)).toByte,
+      ((flen >> 3) & 0xff).toByte,
+      (((flen & 7) << 5) | 0x1f).toByte,
+      (0xfc | rdb).toByte) ++ new Array[Byte](pad)
+    Array.fill(frames)(frame).flatten
+  }
+
+  /** A minimal AIFF: FORM/AIFF + COMM with the sample rate as a
+    * NORMALIZED 80-bit extended float built by integer shifts.
+    */
+  private def aiffBytes(rate: Long, frames: Long, ch: Long): Array[Byte] = {
+    val nlz = java.lang.Long.numberOfLeadingZeros(rate)
+    val mant = rate << nlz
+    val exp = (16383 + 63 - nlz).toLong
+    val comm = be(ch, 2) ++ be(frames, 4) ++ be(16L, 2) ++
+      be(exp, 2) ++ be(mant >>> 32, 4) ++ be(mant & 0xffffffffL, 4)
+    val body = "AIFF".getBytes("ISO-8859-1") ++
+      "COMM".getBytes("ISO-8859-1") ++ be(comm.length.toLong, 4) ++ comm
+    "FORM".getBytes("ISO-8859-1") ++ be(body.length.toLong, 4) ++ body
+  }
+
   /** A minimal mp4: ftyp + moov(mvhd v0 + trak(tkhd + mdia/minf/stbl)). */
   private def mp4Bytes(timescale: Long, duration: Long, w: Long, h: Long,
       stbl: Array[Byte]): Array[Byte] = {
@@ -273,10 +327,14 @@ object MediaPrepQueries extends QueryModule {
         s"WHEN substr(hx, 1, 8) = '$riffHex' THEN (CASE " +
         s"${tagCase("WEBP", "webp")} ${tagCase("WAVE", "wav")} ${tagCase("AVI ", "avi")} " +
         "ELSE 'riff' END) " +
+        s"WHEN substr(hx, 1, 8) = '${hexOf("FORM".getBytes("ISO-8859-1"))}' THEN (CASE " +
+        s"${tagCase("AIFF", "aiff")} ${tagCase("AIFC", "aiff")} " +
+        "ELSE 'iff' END) " +
         s"WHEN substr(hx, 9, 8) = '$ftypHex' THEN (CASE " +
         s"$brandCases ELSE 'isobmff' END) " +
         ebmlCase +
         s"$ruleCases " +
+        "WHEN substr(hx, 1, 2) = 'FF' AND substr(hx, 3, 2) IN ('F0', 'F1', 'F8', 'F9') THEN 'aac' " +
         "WHEN substr(hx, 1, 2) = 'FF' AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3' " +
         "ELSE 'unknown' END AS kind FROM src) " +
         "SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
@@ -699,30 +757,44 @@ object MediaPrepQueries extends QueryModule {
     // The JVM-walk half of the AUDIO front door (r15 — the Ogg meta
     // walk plus the first oracle over the mp3 frame hop): Opus (48 kHz
     // granule grid minus pre-skip), Vorbis (granule at the declared
-    // rate), CBR mp3 (k frames x 1152 samples at 44100), and junk —
-    // payloads constructed from doc_id arithmetic inside mapPartitions,
+    // rate), CBR mp3 (k frames x 1152 samples at 44100), m4a (mdhd
+    // timescale/duration), ADTS AAC (k frames x 1024x(rdb+1) samples
+    // across four table rates), AIFF (COMM with the 80-bit extended
+    // rate built by integer shifts), and junk — payloads constructed
+    // from doc_id arithmetic inside mapPartitions,
     // walked back by audioDims; the oracle derives every field incl.
     // the exact integer duration divisions from the same arithmetic.
     q("q_x_audio_meta",
-      "WITH p AS (SELECT doc_id, doc_id % 4 AS lane, " +
+      "WITH p AS (SELECT doc_id, doc_id % 7 AS lane, " +
         "doc_id % 8 + 1 AS och, doc_id % 1000 AS opre, " +
         "doc_id % 500000 + 1 AS ons, " +
         "8000 + doc_id % 40000 AS vrate, doc_id % 2 + 1 AS vch, " +
         "doc_id % 500000 + 1 AS vns, " +
-        "(doc_id % 20 + 1) * 1152 AS mns FROM documents) " +
+        "(doc_id % 20 + 1) * 1152 AS mns, " +
+        "8000 + doc_id % 40000 AS arate, doc_id % 2 + 1 AS ach, " +
+        "doc_id % 900000 + 1 AS ans, " +
+        "CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100 WHEN 2 THEN 16000 ELSE 8000 END AS crate, " +
+        "CASE WHEN doc_id % 7 + 1 = 7 THEN 8 ELSE doc_id % 7 + 1 END AS cch, " +
+        "(doc_id % 25 + 1) * 1024 * (doc_id % 3 + 1) AS cns, " +
+        "4000 + doc_id % 60000 AS irate, doc_id % 6 + 1 AS ich, " +
+        "doc_id % 700000 + 1 AS ifr " +
+        "FROM documents) " +
         "SELECT doc_id, " +
-        "CAST(CASE lane WHEN 0 THEN 48000 WHEN 1 THEN vrate WHEN 2 THEN 44100 END AS BIGINT) AS sample_rate, " +
-        "CAST(CASE lane WHEN 0 THEN och WHEN 1 THEN vch WHEN 2 THEN 2 END AS BIGINT) AS channels, " +
-        "CAST(CASE lane WHEN 0 THEN ons WHEN 1 THEN vns WHEN 2 THEN mns END AS BIGINT) AS n_samples, " +
+        "CAST(CASE lane WHEN 0 THEN 48000 WHEN 1 THEN vrate WHEN 2 THEN 44100 WHEN 3 THEN arate WHEN 4 THEN crate WHEN 5 THEN irate END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE lane WHEN 0 THEN och WHEN 1 THEN vch WHEN 2 THEN 2 WHEN 3 THEN ach WHEN 4 THEN cch WHEN 5 THEN ich END AS BIGINT) AS channels, " +
+        "CAST(CASE lane WHEN 0 THEN ons WHEN 1 THEN vns WHEN 2 THEN mns WHEN 3 THEN ans WHEN 4 THEN cns WHEN 5 THEN ifr END AS BIGINT) AS n_samples, " +
         "CAST(CASE lane WHEN 0 THEN (ons * 1000000) // 48000 " +
         "WHEN 1 THEN (vns * 1000000) // vrate " +
-        "WHEN 2 THEN (mns * 1000000) // 44100 END AS BIGINT) AS duration_micros " +
+        "WHEN 2 THEN (mns * 1000000) // 44100 " +
+        "WHEN 3 THEN (ans * 1000000) // arate " +
+        "WHEN 4 THEN (cns * 1000000) // crate " +
+        "WHEN 5 THEN (ifr * 1000000) // irate END AS BIGINT) AS duration_micros " +
         "FROM p ORDER BY doc_id") { (s, d) =>
       import s.implicits._
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
-            val payload: Array[Byte] = (id % 4) match {
+            val payload: Array[Byte] = (id % 7) match {
               case 0 => opusOgg(id % 8 + 1, id % 1000, id % 500000 + 1)
               case 1 => vorbisOgg(8000 + id % 40000, id % 2 + 1,
                 id % 500000 + 1)
@@ -733,6 +805,16 @@ object MediaPrepQueries extends QueryModule {
                 val frame = Array[Byte](0xFF.toByte, 0xFB.toByte,
                   0x90.toByte, 0x00) ++ new Array[Byte](413)
                 Array.fill(k)(frame).flatten
+              case 3 => m4aBytes(8000 + id % 40000, id % 900000 + 1,
+                id % 2 + 1)
+              case 4 =>
+                val sfi = (id % 4) match {
+                  case 0 => 3; case 1 => 4; case 2 => 8; case _ => 11
+                }
+                aacBytes(sfi, (id % 7 + 1).toInt, (id % 3).toInt,
+                  (id % 25 + 1).toInt, (id % 9).toInt)
+              case 5 => aiffBytes(4000 + id % 60000, id % 700000 + 1,
+                id % 6 + 1)
               case _ => "no audio here".getBytes("ISO-8859-1")
             }
             val m = Multimodal.audioDims(payload)
@@ -815,5 +897,72 @@ object MediaPrepQueries extends QueryModule {
           minDurationMicros = 1000000L, maxDurationMicros = 30000000L)
         .select(col("doc_id"), col("kind"), col("reason"), col("keep"))
         .orderBy("doc_id")
+    },
+
+    // SRT/WebVTT subtitle cues (r15): per doc a subtitle file is
+    // CONSTRUCTED from doc_id arithmetic — SRT with renumbered counter
+    // lines on even docs, WebVTT (BOM + NOTE block + cue-id lines +
+    // settings + hours-optional timestamps) on odd — and parsed back
+    // executor-side into (ordinal, start/end micros, text) rows; one
+    // planted broken timing line per doc_id%10==7 doc must SKIP its
+    // whole block and shift the ordinals. The oracle derives every
+    // field (incl. the skip and the ordinal shift) from the same
+    // arithmetic, so a timestamp-parse or block-walk bug breaks the
+    // identity.
+    q("q_x_subtitle_cues",
+      "WITH p AS (SELECT doc_id, doc_id % 5 + 1 AS k, " +
+        "doc_id % 10 = 7 AS broken, doc_id % 3600000 AS base " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, broken, base, " +
+        "unnest(generate_series(1, k)) AS i FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(i - CASE WHEN broken AND i > 2 THEN 1 ELSE 0 END AS BIGINT) AS cue_index, " +
+        "CAST((base + (i-1)*2000) * 1000 AS BIGINT) AS start_micros, " +
+        "CAST((base + (i-1)*2000 + 1500) * 1000 AS BIGINT) AS end_micros, " +
+        "'cue ' || i || ' of doc ' || doc_id || chr(10) || 'line two ' || i AS text " +
+        "FROM c WHERE NOT (broken AND i = 2) " +
+        "ORDER BY doc_id, cue_index") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val k = (id % 5 + 1).toInt
+            val broken = id % 10 == 7
+            val base = id % 3600000
+            def ts(ms: Long, sep: Char, forceH: Boolean): String = {
+              val h = ms / 3600000; val m = ms / 60000 % 60
+              val sec = ms / 1000 % 60; val f = ms % 1000
+              if (h > 0 || forceH) f"$h%02d:$m%02d:$sec%02d$sep$f%03d"
+              else f"$m%02d:$sec%02d$sep$f%03d"
+            }
+            val doc = if (id % 2 == 0) {
+              (1 to k).map { i =>
+                val st = base + (i - 1) * 2000L; val en = st + 1500L
+                val timing =
+                  if (broken && i == 2) "not a timing line"
+                  else s"${ts(st, ',', forceH = true)} --> " +
+                    ts(en, ',', forceH = true)
+                // counter lines deliberately renumbered: the ordinal
+                // contract must ignore them
+                s"${i + 10}\n$timing\ncue $i of doc $id\nline two $i"
+              }.mkString("\n\n")
+            } else {
+              val cues = (1 to k).map { i =>
+                val st = base + (i - 1) * 2000L; val en = st + 1500L
+                val timing =
+                  if (broken && i == 2) "not a timing line"
+                  else s"${ts(st, '.', forceH = st >= 3600000L)} --> " +
+                    ts(en, '.', forceH = en >= 3600000L) + " align:start"
+                (if (i % 2 == 0) s"cue-id-$i\n" else "") +
+                  s"$timing\ncue $i of doc $id\nline two $i"
+              }.mkString("\n\n")
+              "\uFEFF" + "WEBVTT\n\nNOTE a comment block\nstill the note\n\n" +
+                cues
+            }
+            graft.ingest.Subtitles.parse(doc).map(c =>
+              (id, c.cue_index, c.start_micros, c.end_micros, c.text))
+          }
+        }.toDF("doc_id", "cue_index", "start_micros", "end_micros", "text")
+        .orderBy("doc_id", "cue_index")
     })
 }

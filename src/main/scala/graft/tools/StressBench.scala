@@ -428,9 +428,14 @@ object StressBench {
     // r15: CID-PDF parse per payload inside mapPartitions — per-row
     // byte work, linear like the interop lanes.
     "q_x_pdf_cid",
-    // r15: the JVM audio walks (ogg/opus, vorbis, the mp3 frame hop) —
+    // r15: the JVM audio walks (ogg/opus, vorbis, the mp3 frame hop,
+    // the m4a moov walk, the ADTS hop, the AIFF COMM walk) —
     // per-payload header reads, linear like q_x_video_meta.
-    "q_x_audio_meta")
+    "q_x_audio_meta",
+    // r15: document-format extraction — zip+StAX (docx/epub) and the
+    // line-walk cue parser per payload inside mapPartitions; per-row
+    // byte work, linear like q_x_pdf_cid.
+    "q_x_docx_text", "q_x_epub_text", "q_x_subtitle_cues")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -2748,7 +2748,8 @@ class LlmOpsSpec extends SparkTestBase {
       // decode-order law: &amp;lt; is the LITERAL text "&lt;", not "<"
       ("https://c.example/sm.xml",
         "<urlset><url><loc>https://c.example/esc?a=&amp;lt;b&amp;gt;&quot;&apos;</loc></url></urlset>"),
-      // invalid entries drop; error page and prefixed namespace parse to zero
+      // invalid entries drop; error page parses to zero; a prefixed
+      // namespace parses like the default one (the r15 prefix support)
       ("https://d.example/sm.xml",
         "<urlset><url></url><url><loc></loc></url><url><lastmod>2026-01-01</lastmod></url></urlset>"),
       ("https://e.example/sm.xml", "<html><body>500</body></html>"),
@@ -2763,7 +2764,8 @@ class LlmOpsSpec extends SparkTestBase {
       ("https://a.example/sm.xml", "url", "https://a.example/q", None),
       ("https://b.example/smi.xml", "sitemap", "https://b.example/child1.xml", Some("2026-01-02T03:04:05Z")),
       ("https://b.example/smi.xml", "sitemap", "https://b.example/child2.xml", None),
-      ("https://c.example/sm.xml", "url", "https://c.example/esc?a=&lt;b&gt;\"'", None)))
+      ("https://c.example/sm.xml", "url", "https://c.example/esc?a=&lt;b&gt;\"'", None),
+      ("https://f.example/sm.xml", "url", "https://f.example/p", None)))
   }
 
   test("decontaminateSpans: the leaked span is excised, the rest of the doc ships; short overlaps survive") {

@@ -277,6 +277,166 @@ class MediaFrontDoorSpec extends SparkTestBase {
       (0 until 4).map(i => ((rate >> (8 * i)) & 0xff).toByte).toArray ++
       new Array[Byte](12) ++ b(0x66, 1)
 
+  /** Minimal m4a: ftyp M4A + moov(trak(mdia(hdlr soun + mdhd +
+    * minf/stbl/stsd with an mp4a sample entry))).
+    */
+  private def m4aFile(rate: Long, nSamples: Long, ch: Int,
+      v1: Boolean = false, withStsd: Boolean = true): Array[Byte] = {
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ s("soun") ++
+      new Array[Byte](12))
+    val mdhd =
+      if (v1) box("mdhd", b(1, 0, 0, 0) ++ new Array[Byte](16) ++
+        be32(rate) ++ be32(nSamples >> 32) ++ be32(nSamples & 0xffffffffL) ++
+        be32(0))
+      else box("mdhd", be32(0) ++ new Array[Byte](8) ++ be32(rate) ++
+        be32(nSamples) ++ be32(0))
+    val entry = be32(36L) ++ s("mp4a") ++ new Array[Byte](8) ++
+      new Array[Byte](8) ++ b(0, ch) ++ b(0, 16) ++ new Array[Byte](8)
+    val stsd =
+      if (withStsd) box("stsd", be32(0) ++ be32(1) ++ entry)
+      else Array.emptyByteArray
+    val mdia = box("mdia", hdlr ++ mdhd ++
+      box("minf", box("stbl", stsd)))
+    be32(16) ++ s("ftyp") ++ s("M4A ") ++ be32(0) ++
+      box("moov", box("trak", mdia))
+  }
+
+  test("audioDims: m4a moov walk — mdhd timescale/duration, soun " +
+      "handler required, stsd channels, v1 form, sentinel -> None") {
+    val m4a = m4aFile(44100L, 441000L, 2)
+    assert(Multimodal.detectKind(m4a) === "m4a")
+    assert(Multimodal.audioDims(m4a) ===
+      Some(Multimodal.AudioMeta(44100L, 2L, 441000L, 10000000L)))
+    // v1 mdhd (64-bit duration)
+    assert(Multimodal.audioDims(m4aFile(48000L, 1L << 33, 1, v1 = true)) ===
+      Some(Multimodal.AudioMeta(48000L, 1L, 1L << 33,
+        (1L << 33) * 1000000L / 48000L)))
+    // absent stsd: the mono-safe floor
+    assert(Multimodal.audioDims(
+      m4aFile(8000L, 800L, 2, withStsd = false)).get.channels === 1L)
+    // duration 0 (fragmented) and the all-ones sentinel read None
+    assert(Multimodal.audioDims(m4aFile(44100L, 0L, 2)).isEmpty)
+    assert(Multimodal.audioDims(m4aFile(44100L, 0xffffffffL, 2)).isEmpty)
+    // a video-handler trak must not bind (soun required)
+    val vid = m4aFile(44100L, 441000L, 2)
+    val patched = vid.clone()
+    val at = new String(patched, "ISO-8859-1").indexOf("soun")
+    System.arraycopy("vide".getBytes("ISO-8859-1"), 0, patched, at, 4)
+    assert(Multimodal.audioDims(patched).isEmpty)
+  }
+
+  /** One ADTS frame: MPEG-4 or MPEG-2 ID, optional CRC header form,
+    * `pad` payload bytes, buffer-fullness bits all ones.
+    */
+  private def aacFrame(sfi: Int, cfg: Int, rdb: Int, pad: Int,
+      id2: Boolean = false, crc: Boolean = false): Array[Byte] = {
+    val flen = 7 + (if (crc) 2 else 0) + pad
+    val b1 = 0xF0 | (if (id2) 8 else 0) | (if (crc) 0 else 1)
+    Array[Byte](0xFF.toByte, b1.toByte,
+      ((1 << 6) | (sfi << 2) | (cfg >> 2)).toByte,
+      (((cfg & 3) << 6) | (flen >> 11)).toByte,
+      ((flen >> 3) & 0xff).toByte,
+      (((flen & 7) << 5) | 0x1f).toByte,
+      (0xfc | rdb).toByte) ++ new Array[Byte]((if (crc) 2 else 0) + pad)
+  }
+
+  test("detectKind: ADTS sync (layer 00) routes aac, Layer III sync " +
+      "stays mp3 — both classifiers") {
+    val cases = Seq(
+      Array(0xFF, 0xF1, 0x50).map(_.toByte) -> "aac", // MPEG-4, no CRC
+      Array(0xFF, 0xF9, 0x50).map(_.toByte) -> "aac", // MPEG-2, no CRC
+      Array(0xFF, 0xF0, 0x50).map(_.toByte) -> "aac", // MPEG-4, CRC
+      Array(0xFF, 0xF8, 0x50).map(_.toByte) -> "aac", // MPEG-2, CRC
+      Array(0xFF, 0xFB, 0x90).map(_.toByte) -> "mp3", // Layer III
+      Array(0xFF, 0xE2, 0x00).map(_.toByte) -> "mp3", // MPEG-2.5 L-III
+      Array(0xFF, 0xD8, 0xFF).map(_.toByte) -> "jpeg") // prefix wins
+    cases.foreach { case (bytes, want) =>
+      assert(Multimodal.detectKind(bytes) === want, bytes.toSeq)
+      val got = spark.range(1)
+        .select(Multimodal.detectKindCol(lit(bytes)).as("k"))
+        .select(col("k")).head.getString(0)
+      assert(got === want, s"col: ${bytes.toSeq}")
+    }
+  }
+
+  test("audioDims: ADTS frame hop — table rate, rdb samples, config " +
+      "7 -> 8ch, config 0 floor, CRC/MPEG-2 forms, degrade laws") {
+    // one LC frame at 44100, stereo: 1024 samples
+    assert(Multimodal.audioDims(aacFrame(4, 2, 0, 5)) ===
+      Some(Multimodal.AudioMeta(44100L, 2L, 1024L,
+        1024L * 1000000L / 44100L)))
+    // three frames, rdb=2 (3 raw data blocks each) at 48 kHz
+    val three = (1 to 3).map(i => aacFrame(3, 1, 2, i)).reduce(_ ++ _)
+    assert(Multimodal.audioDims(three) ===
+      Some(Multimodal.AudioMeta(48000L, 1L, 9216L, 192000L)))
+    // channel-config table edges: 7 means 8 channels, 0 means "in a
+    // PCE" and degrades to the mono-safe floor
+    assert(Multimodal.audioDims(aacFrame(11, 7, 0, 0)).get.channels === 8L)
+    assert(Multimodal.audioDims(aacFrame(11, 0, 0, 0)).get.channels === 1L)
+    // CRC header form and the MPEG-2 ID hop identically (flen covers
+    // the 2 CRC bytes)
+    assert(Multimodal.audioDims(aacFrame(8, 2, 0, 4, crc = true)) ===
+      Some(Multimodal.AudioMeta(16000L, 2L, 1024L, 64000L)))
+    assert(Multimodal.audioDims(aacFrame(8, 2, 0, 4, id2 = true)) ===
+      Some(Multimodal.AudioMeta(16000L, 2L, 1024L, 64000L)))
+    // torn tail: the second frame's length runs past EOF -> the parsed
+    // prefix; a desynced byte after the first frame ends the walk too
+    val torn = aacFrame(4, 2, 0, 0) ++ aacFrame(4, 2, 0, 200).take(30)
+    assert(Multimodal.audioDims(torn).get.n_samples === 1024L)
+    val desync = aacFrame(4, 2, 0, 0) ++ Array[Byte](0x00, 0x11)
+    assert(Multimodal.audioDims(desync).get.n_samples === 1024L)
+    // reserved frequency index on the FIRST frame: nothing parsed
+    assert(Multimodal.audioDims(aacFrame(13, 2, 0, 0)).isEmpty)
+    // a bare sync pair shorter than one header: no frame
+    assert(Multimodal.audioDims(Array(0xFF, 0xF1).map(_.toByte)).isEmpty)
+  }
+
+  /** FORM/AIFF with raw COMM fields (extended-float bytes passed in). */
+  private def aiffFile(ch: Int, frames: Long, ext: Array[Byte],
+      pre: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val comm = b(0, ch) ++ be32(frames) ++ b(0, 16) ++ ext
+    s("FORM") ++ be32(4L + pre.length + 8 + comm.length) ++ s("AIFF") ++
+      pre ++ s("COMM") ++ be32(comm.length.toLong) ++ comm
+  }
+
+  test("detectKind: FORM routes aiff/iff by form type — both " +
+      "classifiers") {
+    val aiff = s("FORM") ++ be32(4L) ++ s("AIFF")
+    val aifc = s("FORM") ++ be32(4L) ++ s("AIFC")
+    val bare = s("FORM") ++ be32(4L) ++ s("8SVX")
+    assert(Multimodal.detectKind(aiff) === "aiff")
+    assert(Multimodal.detectKind(aifc) === "aiff")
+    assert(Multimodal.detectKind(bare) === "iff")
+    Seq(aiff -> "aiff", aifc -> "aiff", bare -> "iff").foreach {
+      case (bytes, want) =>
+        val got = spark.range(1)
+          .select(Multimodal.detectKindCol(lit(bytes)).as("k"))
+          .head.getString(0)
+        assert(got === want, bytes.toSeq)
+    }
+  }
+
+  test("audioDims: AIFF COMM walk — the hand-pinned 44100 extended " +
+      "float, unknown-chunk skip with odd padding, degrade laws") {
+    // 44100 = 0x400E AC44... (exp 16398, mantissa 0xAC44 << 48)
+    val ext44100 = Array(0x40, 0x0E, 0xAC, 0x44, 0, 0, 0, 0, 0, 0)
+      .map(_.toByte)
+    assert(Multimodal.audioDims(aiffFile(2, 441000L, ext44100)) ===
+      Some(Multimodal.AudioMeta(44100L, 2L, 441000L, 10000000L)))
+    // an unknown odd-sized chunk before COMM must skip with padding
+    val pre = s("NAME") ++ be32(3L) ++ "abc ".getBytes("ISO-8859-1")
+    assert(Multimodal.audioDims(aiffFile(1, 8000L, ext44100, pre))
+      .get.sample_rate === 44100L)
+    // zero rate, truncated COMM, and an extended overflow read None
+    val extZero = new Array[Byte](10)
+    assert(Multimodal.audioDims(aiffFile(1, 1L, extZero)).isEmpty)
+    val truncated = aiffFile(2, 441000L, ext44100).dropRight(6)
+    assert(Multimodal.audioDims(truncated).isEmpty)
+    val extHuge = Array(0x7F, 0xFE, 0x80, 0, 0, 0, 0, 0, 0, 0)
+      .map(_.toByte)
+    assert(Multimodal.audioDims(aiffFile(1, 1L, extHuge)).isEmpty)
+  }
+
   test("audioDims: ogg walk — OpusHead 48kHz grid minus pre-skip, " +
       "Vorbis rate, -1 sentinel pages skip back, torn tail degrades") {
     val opus = oggPage(0L, opusHead(2, 312), 2) ++
