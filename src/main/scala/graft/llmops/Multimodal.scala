@@ -132,8 +132,9 @@ object Multimodal {
     * frame sync (0xFF + three set bits) — the masked rules the
     * exact-prefix table can't spell, checked LAST so jpeg's FF D8 FF
     * wins, aac's tighter mask before mp3's (an ID3v2-tagged ADTS
-    * stream reads "mp3" by the prefix rule, stated — the Layer III
-    * walk then degrades to None, the honest no_header class);
+    * stream reads "mp3" by the prefix rule, stated — the audio walk
+    * then sniffs the layer bits after the tag skip and hands the
+    * stream to the ADTS hop, so its duration still parses);
     * "unknown" when nothing matches.
     */
   def detectKind(payload: Array[Byte]): String = {
@@ -755,6 +756,12 @@ object Multimodal {
       val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
       off = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
     }
+    // ID3 can tag an ADTS AAC stream just as it tags MPEG audio — the
+    // prefix rule reads "mp3", so THIS walk sniffs the layer bits after
+    // the tag skip and hands an ADTS stream to its own hop (r15; was a
+    // stated None)
+    if (off + 2 <= n && u8(off) == 0xff && (u8(off + 1) & 0xf6) == 0xf0)
+      return aacMeta(payload, off)
     val mpeg1Br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
       192, 224, 256, 320)
     val mpeg2Br = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
@@ -807,13 +814,13 @@ object Multimodal {
     * degrade contract; CRC frames (protection bit 0) hop identically
     * because the frame length field covers the 2 CRC bytes.
     */
-  private def aacMeta(payload: Array[Byte]): Option[AudioMeta] = {
+  private def aacMeta(payload: Array[Byte], from: Int = 0): Option[AudioMeta] = {
     val n = payload.length
     def u8(i: Int): Int = payload(i) & 0xff
     val rates = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
       22050, 16000, 12000, 11025, 8000, 7350)
     var rate = 0L; var ch = 0L; var samples = 0L; var frames = 0L
-    var off = 0
+    var off = from
     var ok = true
     while (ok && off + 7 <= n) {
       if (u8(off) != 0xff || (u8(off + 1) & 0xf6) != 0xf0) ok = false
@@ -877,6 +884,104 @@ object Multimodal {
     }
     None
   }
+
+  /** The [[wavPcm]] twin for AIFF: locates COMM + SSND, admits integer
+    * PCM at 8 or 16 bits — AIFF samples are BIG-endian and 8-bit AIFF
+    * is SIGNED (both opposite to WAV, the classic interop trap).
+    * Returns (channels, rate, bits, dataOffset, dataLen) where the
+    * offset already accounts for SSND's offset field; None elsewhere.
+    */
+  private def aiffPcm(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    try {
+      if (detectKind(payload) != "aiff") return None
+      def u8(i: Int): Int = payload(i) & 0xff
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Long = (be16(i).toLong << 16) | be16(i + 2)
+      val n = payload.length
+      var off = 12L
+      var comm: Option[(Int, Int, Int)] = None // (ch, rate, bits)
+      var data: Option[(Int, Int)] = None      // (offset, len)
+      while (off + 8 <= n && (comm.isEmpty || data.isEmpty)) {
+        val id = new String(payload, off.toInt, 4, "ISO-8859-1")
+        val sz = be32(off.toInt + 4)
+        if (off + 8 + sz > n) return None
+        val p = off.toInt + 8
+        if (id == "COMM" && sz >= 18L) {
+          val meta = aiffMeta(payload)
+          comm = meta.map(m =>
+            (m.channels.toInt, m.sample_rate.toInt, be16(p + 6)))
+          if (meta.isEmpty) return None
+        } else if (id == "SSND" && sz >= 8L) {
+          val skip = be32(p)
+          if (8L + skip > sz || skip > Int.MaxValue) return None
+          data = Some((p + 8 + skip.toInt, (sz - 8L - skip).toInt))
+        }
+        off += 8L + sz + (sz & 1L)
+      }
+      for {
+        (ch, rate, bits) <- comm
+        (dOff, dLen) <- data
+        if (bits == 8 || bits == 16) && ch >= 1 && rate > 0
+      } yield (ch, rate, bits, dOff, dLen)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL AIFF decode features — the [[decodeWav]] stat contract over
+    * big-endian signed PCM (all samples pooled, amplitudes normalized
+    * by 2^(bits−1)); None on undecodable bytes.
+    */
+  def decodeAiffFeatures(payload: Array[Byte], dims: Int = 8): Option[Array[Float]] =
+    aiffPcm(payload).map { case (ch, rate, bits, dOff, dLen) =>
+      def sample(i: Int): Double =
+        if (bits == 8) payload(dOff + i) / 128.0
+        else ((payload(dOff + i * 2) << 8) |
+          (payload(dOff + i * 2 + 1) & 0xff)) / 32768.0
+      val n = dLen / (bits / 8)
+      var sum = 0.0; var sum2 = 0.0
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var i = 0
+      while (i < n) {
+        val v = sample(i)
+        sum += v; sum2 += v * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      val frames = n / ch
+      val feats =
+        if (n == 0) Array(ch.toFloat, rate.toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+        else Array(ch.toFloat, rate.toFloat, frames.toFloat,
+          (sum / n).toFloat, math.sqrt(sum2 / n).toFloat,
+          mn.toFloat, mx.toFloat, frames.toFloat / rate)
+      val out = new Array[Float](dims)
+      feats.take(dims).copyToArray(out)
+      out
+    }
+
+  /** Channel-averaged PCM in [-1, 1] from a decodable AIFF — the
+    * [[wavMonoSamples]] twin over big-endian signed samples. The SAME
+    * recording written as WAV and as AIFF yields the IDENTICAL sample
+    * stream, so the envelope signature matches bit-for-bit — the
+    * FLAC≡WAV parity law extended to the big-endian container.
+    */
+  def aiffMonoSamples(payload: Array[Byte]): Option[Array[Float]] =
+    aiffPcm(payload).map { case (ch, _, bits, dOff, dLen) =>
+      def sample(i: Int): Double =
+        if (bits == 8) payload(dOff + i) / 128.0
+        else ((payload(dOff + i * 2) << 8) |
+          (payload(dOff + i * 2 + 1) & 0xff)) / 32768.0
+      val n = dLen / (bits / 8)
+      val frames = n / ch
+      val out = new Array[Float](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) { acc += sample(f * ch + c); c += 1 }
+        out(f) = (acc / ch).toFloat
+        f += 1
+      }
+      out
+    }
 
   /** The fixed-offset half of [[audioDims]] as a pure codegen column —
     * FLAC (STREAMINFO is spec-pinned to the first metadata block, so
@@ -1563,13 +1668,14 @@ object Multimodal {
 
   /** The shared mono-PCM front door of [[audioEnvelopeHash]]: routes by
     * the BYTES (the routedFeatures trust-the-magic rule) to whichever
-    * real decoder covers the format — WAV PCM or FLAC. None elsewhere
-    * (mp3 entropy decode is out of stated scope).
+    * real decoder covers the format — WAV PCM, FLAC, or AIFF (r15).
+    * None elsewhere (mp3/aac entropy decode is out of stated scope).
     */
   def monoSamples(payload: Array[Byte]): Option[Array[Float]] =
     detectKind(payload) match {
       case "wav" => wavMonoSamples(payload)
       case "flac" => flacMonoSamples(payload)
+      case "aiff" => aiffMonoSamples(payload)
       case _ => None
     }
 
@@ -2395,6 +2501,7 @@ object Multimodal {
     case "webp" => decodeWebpFeatures(payload, dims)
     case "wav" => decodeWav(payload, dims)
     case "flac" => decodeFlacFeatures(payload, dims)
+    case "aiff" => decodeAiffFeatures(payload, dims)
     case "avi" => decodeAviFeatures(payload, dims)
     case _ => None
   }

@@ -4702,6 +4702,74 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // The DOCUMENT front door composed (r15): a seven-lane mixed crawl
+    // — pdf, docx, epub, srt, vtt, plain text, invalid-UTF-8 binary —
+    // routed by DocRouter.extract from the BYTES alone; the oracle
+    // derives kind and the exact extracted text (epub's trailing block
+    // newline and the binary lane's NULL included) from the planting
+    // arithmetic. A mislabeled or misrouted payload breaks the lane.
+    q("q_x_doc_router",
+      "SELECT doc_id, " +
+        "CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' " +
+        "WHEN 2 THEN 'epub' WHEN 3 THEN 'subtitles' WHEN 4 THEN 'subtitles' " +
+        "WHEN 5 THEN 'text' ELSE 'none' END AS kind, " +
+        "CASE doc_id % 7 WHEN 0 THEN 'pdf text of doc ' || doc_id " +
+        "WHEN 1 THEN 'docx text of doc ' || doc_id " +
+        "WHEN 2 THEN 'epub text of doc ' || doc_id || chr(10) " +
+        "WHEN 3 THEN 'sub text of doc ' || doc_id " +
+        "WHEN 4 THEN 'vtt text of doc ' || doc_id " +
+        "WHEN 5 THEN 'plain text of doc ' || doc_id " +
+        "ELSE NULL END AS text " +
+        "FROM documents ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      import graft.ingest.DocRouter
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            def zipBytes(entries: (String, String)*): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val zos = new java.util.zip.ZipOutputStream(bos)
+              entries.foreach { case (n, c) =>
+                zos.putNextEntry(new java.util.zip.ZipEntry(n))
+                zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+              }
+              zos.close(); bos.toByteArray
+            }
+            val payload: Array[Byte] = (id % 7) match {
+              case 0 =>
+                val content = s"BT /F1 12 Tf 72 720 Td (pdf text of doc $id) Tj ET"
+                ("%PDF-1.4\n" +
+                  "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+                  "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+                  "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+                  s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+                  "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+              case 1 => zipBytes("word/document.xml" ->
+                ("<?xml version=\"1.0\"?><w:document xmlns:w=\"x\"><w:body>" +
+                  s"<w:p><w:r><w:t>docx text of doc $id</w:t></w:r></w:p>" +
+                  "</w:body></w:document>"))
+              case 2 => zipBytes(
+                "META-INF/container.xml" ->
+                  "<container><rootfiles><rootfile full-path=\"c.opf\"/></rootfiles></container>",
+                "c.opf" ->
+                  "<package><manifest><item id=\"c\" href=\"x.xhtml\"/></manifest><spine><itemref idref=\"c\"/></spine></package>",
+                "x.xhtml" -> s"<html><body><p>epub text of doc $id</p></body></html>")
+              case 3 =>
+                s"1\n00:00:01,000 --> 00:00:02,500\nsub text of doc $id\n"
+                  .getBytes("UTF-8")
+              case 4 =>
+                s"WEBVTT\n\n00:01.000 --> 00:02.000\nvtt text of doc $id\n"
+                  .getBytes("UTF-8")
+              case 5 => s"plain text of doc $id".getBytes("UTF-8")
+              case _ => Array(0x89.toByte, 0xFF.toByte, 0xFE.toByte, id.toByte)
+            }
+            val e = DocRouter.extract(payload)
+            (id, e.kind, e.text.orNull)
+          }
+        }.toDF("doc_id", "kind", "text")
+        .orderBy("doc_id")
+    },
+
     // robots.txt crawl-policy filtering (RFC 9309): per-host robots
     // bodies exercise comment stripping, a NON-star group that must not
     // bind (fancybot's Disallow /), stacked User-agent lines forming one

@@ -278,6 +278,25 @@ object MediaPrepQueries extends QueryModule {
     bos.toByteArray
   }
 
+  /** The [[TinyWav]] recording re-containered as AIFF (mono, 8 kHz,
+    * 16-bit BE, the same four samples) — decodes for real through
+    * `decodeAiffFeatures`, and its envelope must equal TinyWav's.
+    */
+  private val TinyAiff: Array[Byte] = {
+    val samples = Array(1000, -1000, 2000, -2000)
+    val nlz = java.lang.Long.numberOfLeadingZeros(8000L)
+    val mant = 8000L << nlz
+    val comm = be(1L, 2) ++ be(samples.length.toLong, 4) ++ be(16L, 2) ++
+      be((16383 + 63 - nlz).toLong, 2) ++ be(mant >>> 32, 4) ++
+      be(mant & 0xffffffffL, 4)
+    val ssnd = be(0L, 4) ++ be(0L, 4) ++
+      samples.flatMap(v => be(v.toLong & 0xffffL, 2))
+    val body = "AIFF".getBytes("ISO-8859-1") ++
+      "COMM".getBytes("ISO-8859-1") ++ be(comm.length.toLong, 4) ++ comm ++
+      "SSND".getBytes("ISO-8859-1") ++ be(ssnd.length.toLong, 4) ++ ssnd
+    "FORM".getBytes("ISO-8859-1") ++ be(body.length.toLong, 4) ++ body
+  }
+
   def queries: Seq[OracleQuery] = Seq(
 
     // Magic-byte kind detection as a TRUE byte-walk replay: each doc
@@ -365,11 +384,12 @@ object MediaPrepQueries extends QueryModule {
     // (n, n_decoded, stub_ppm) rows the oracle derives from the
     // planting arithmetic.
     q("q_x_decode_coverage",
-      "WITH src AS (SELECT CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
+      "WITH src AS (SELECT CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
         "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'avif' " +
         "WHEN 5 THEN 'mp4' WHEN 7 THEN 'webm' WHEN 8 THEN 'ogg' " +
+        "WHEN 9 THEN 'aiff' WHEN 10 THEN 'aac' WHEN 11 THEN 'm4a' " +
         "ELSE 'unknown' END AS kind, " +
-        "CASE doc_id % 9 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS dec " +
+        "CASE doc_id % 12 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 WHEN 9 THEN 1 ELSE 0 END AS dec " +
         "FROM documents) " +
         "SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(dec) AS BIGINT) AS n_decoded, " +
         "CAST(count(*) - sum(dec) AS BIGINT) AS n_stubbed, " +
@@ -382,18 +402,22 @@ object MediaPrepQueries extends QueryModule {
       javax.imageio.ImageIO.write(im, "png", bos)
       val png = bos.toByteArray
       // r15: the EBML/Ogg front door — the gauge must NAME webm/ogg
-      // (observably stubbed), not bury them in unknown
+      // (observably stubbed), not bury them in unknown; likewise the
+      // aiff (REAL decode) / aac / m4a lanes added with the audio walks
       val tinyWebm = Array(0x1A, 0x45, 0xDF, 0xA3, 0x9F, 0x42, 0x82, 0x84)
         .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")
       val tinyOgg = "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2, 0, 0)
-      val payload = when(col("doc_id") % 9 === 0, lit(png))
-        .when(col("doc_id") % 9 === 1, lit(TinyWebp))
-        .when(col("doc_id") % 9 === 2, lit(LossyWebp))
-        .when(col("doc_id") % 9 === 3, lit(TinyWav))
-        .when(col("doc_id") % 9 === 4, lit(ftypMagic("avif")))
-        .when(col("doc_id") % 9 === 5, lit(ftypMagic("mp42")))
-        .when(col("doc_id") % 9 === 7, lit(tinyWebm))
-        .when(col("doc_id") % 9 === 8, lit(tinyOgg))
+      val payload = when(col("doc_id") % 12 === 0, lit(png))
+        .when(col("doc_id") % 12 === 1, lit(TinyWebp))
+        .when(col("doc_id") % 12 === 2, lit(LossyWebp))
+        .when(col("doc_id") % 12 === 3, lit(TinyWav))
+        .when(col("doc_id") % 12 === 4, lit(ftypMagic("avif")))
+        .when(col("doc_id") % 12 === 5, lit(ftypMagic("mp42")))
+        .when(col("doc_id") % 12 === 7, lit(tinyWebm))
+        .when(col("doc_id") % 12 === 8, lit(tinyOgg))
+        .when(col("doc_id") % 12 === 9, lit(TinyAiff))
+        .when(col("doc_id") % 12 === 10, lit(aacBytes(4, 2, 0, 1, 1)))
+        .when(col("doc_id") % 12 === 11, lit(ftypMagic("M4A ")))
         // 0x00 prefix (the q_x_image_dims guard): a text that happens to
         // start with a magic must not re-route the planted-unknown lane
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
@@ -405,7 +429,7 @@ object MediaPrepQueries extends QueryModule {
     // The media data card (r15): per (source, detected kind), payload
     // counts/bytes, the real-decode-vs-stub split, and the
     // MediaMixBench-law near-dup recall projection (decodable share in
-    // bps) — the same 9-lane planted mix as the coverage gauge, crossed
+    // bps) — the same 12-lane planted mix as the coverage gauge, crossed
     // with a source column coprime to the lane modulus so every source
     // holds every kind. The oracle derives every column incl. the byte
     // sums from the planting arithmetic.
@@ -420,17 +444,19 @@ object MediaPrepQueries extends QueryModule {
         bos.size()
       }
       val lens = Map(0 -> pngLen, 1 -> 32, 2 -> 24, 3 -> 52,
-        4 -> 16, 5 -> 16, 7 -> 12, 8 -> 8)
+        4 -> 16, 5 -> 16, 7 -> 12, 8 -> 8,
+        9 -> TinyAiff.length, 10 -> 8, 11 -> 16)
       val lenCase = lens.map { case (l, n) => s"WHEN $l THEN $n" }
         .mkString(" ")
       "WITH src AS (SELECT 's' || (doc_id % 2) AS source, " +
-        "CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
+        "CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
         "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'avif' " +
         "WHEN 5 THEN 'mp4' WHEN 7 THEN 'webm' WHEN 8 THEN 'ogg' " +
+        "WHEN 9 THEN 'aiff' WHEN 10 THEN 'aac' WHEN 11 THEN 'm4a' " +
         "ELSE 'unknown' END AS kind, " +
-        s"CASE doc_id % 9 $lenCase " +
+        s"CASE doc_id % 12 $lenCase " +
         "ELSE 1 + octet_length(encode(text)) END AS len, " +
-        "CASE doc_id % 9 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS dec " +
+        "CASE doc_id % 12 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 WHEN 9 THEN 1 ELSE 0 END AS dec " +
         "FROM documents) " +
         "SELECT source, kind, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(len) AS BIGINT) AS n_bytes, " +
@@ -449,14 +475,17 @@ object MediaPrepQueries extends QueryModule {
       val tinyWebm = Array(0x1A, 0x45, 0xDF, 0xA3, 0x9F, 0x42, 0x82, 0x84)
         .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")
       val tinyOgg = "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2, 0, 0)
-      val payload = when(col("doc_id") % 9 === 0, lit(png))
-        .when(col("doc_id") % 9 === 1, lit(TinyWebp))
-        .when(col("doc_id") % 9 === 2, lit(LossyWebp))
-        .when(col("doc_id") % 9 === 3, lit(TinyWav))
-        .when(col("doc_id") % 9 === 4, lit(ftypMagic("avif")))
-        .when(col("doc_id") % 9 === 5, lit(ftypMagic("mp42")))
-        .when(col("doc_id") % 9 === 7, lit(tinyWebm))
-        .when(col("doc_id") % 9 === 8, lit(tinyOgg))
+      val payload = when(col("doc_id") % 12 === 0, lit(png))
+        .when(col("doc_id") % 12 === 1, lit(TinyWebp))
+        .when(col("doc_id") % 12 === 2, lit(LossyWebp))
+        .when(col("doc_id") % 12 === 3, lit(TinyWav))
+        .when(col("doc_id") % 12 === 4, lit(ftypMagic("avif")))
+        .when(col("doc_id") % 12 === 5, lit(ftypMagic("mp42")))
+        .when(col("doc_id") % 12 === 7, lit(tinyWebm))
+        .when(col("doc_id") % 12 === 8, lit(tinyOgg))
+        .when(col("doc_id") % 12 === 9, lit(TinyAiff))
+        .when(col("doc_id") % 12 === 10, lit(aacBytes(4, 2, 0, 1, 1)))
+        .when(col("doc_id") % 12 === 11, lit(ftypMagic("M4A ")))
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
       val media = Tables.documents(s, d)
         .select(concat(lit("s"), (col("doc_id") % 2).cast("string"))

@@ -435,7 +435,10 @@ object StressBench {
     // r15: document-format extraction — zip+StAX (docx/epub) and the
     // line-walk cue parser per payload inside mapPartitions; per-row
     // byte work, linear like q_x_pdf_cid.
-    "q_x_docx_text", "q_x_epub_text", "q_x_subtitle_cues")
+    "q_x_docx_text", "q_x_epub_text", "q_x_subtitle_cues",
+    // r15: the composed document router — one dispatch + the routed
+    // extractor per payload; must track the max of its member lanes.
+    "q_x_doc_router")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -437,6 +437,76 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(Multimodal.audioDims(aiffFile(1, 1L, extHuge)).isEmpty)
   }
 
+  test("audioDims: an ID3v2-tagged ADTS stream routes to the aac hop " +
+      "after the tag skip (the prefix rule says mp3, the bytes say aac)") {
+    val id3 = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0, 0, 0, 0, 0) // v2.4, no flags, size 0
+    val tagged = id3 ++ aacFrame(4, 2, 0, 3)
+    assert(Multimodal.detectKind(tagged) === "mp3") // the stated prefix rule
+    assert(Multimodal.audioDims(tagged) ===
+      Some(Multimodal.AudioMeta(44100L, 2L, 1024L,
+        1024L * 1000000L / 44100L)))
+  }
+
+  /** A playable AIFF: COMM (16-bit, normalized extended rate) + SSND
+    * with the given BE samples after `skip` offset bytes.
+    */
+  private def aiffPcmFile(rate: Long, ch: Int, samples: Seq[Int],
+      skip: Int = 0, bits: Int = 16): Array[Byte] = {
+    val nlz = java.lang.Long.numberOfLeadingZeros(rate)
+    val ext = b(((16383 + 63 - nlz) >> 8) & 0xff, (16383 + 63 - nlz) & 0xff) ++
+      (0 until 8).map(i => (((rate << nlz) >>> (8 * (7 - i))) & 0xff).toByte)
+        .toArray
+    val comm = b(0, ch) ++ be32((samples.length / ch).toLong) ++
+      b(0, bits) ++ ext
+    val pcm: Array[Byte] =
+      if (bits == 8) samples.map(_.toByte).toArray
+      else samples.flatMap(v => Seq(((v >> 8) & 0xff).toByte,
+        (v & 0xff).toByte)).toArray
+    val ssnd = be32(skip.toLong) ++ be32(0L) ++
+      new Array[Byte](skip) ++ pcm
+    s("FORM") ++ be32(4L + 8 + comm.length + 8 + ssnd.length) ++ s("AIFF") ++
+      s("COMM") ++ be32(comm.length.toLong) ++ comm ++
+      s("SSND") ++ be32(ssnd.length.toLong) ++ ssnd
+  }
+
+  /** Canonical 16-bit mono PCM WAV — the LE twin of [[aiffPcmFile]]. */
+  private def wavFile(samples: Seq[Int], rate: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int): Unit =
+      (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    bos.write(s("RIFF")); le32(36 + 2 * samples.length)
+    bos.write(s("WAVE")); bos.write(s("fmt ")); le32(16)
+    le16(1); le16(1); le32(rate); le32(rate * 2); le16(2); le16(16)
+    bos.write(s("data")); le32(2 * samples.length)
+    samples.foreach(le16)
+    bos.toByteArray
+  }
+
+  test("AIFF PCM decode: WAV≡AIFF envelope parity, SSND offset skip, " +
+      "signed 8-bit samples, coverage flip") {
+    val samples = Seq(1000, -1000, 2000, -2000, 300, -300, 80, -80)
+    val aiff = aiffPcmFile(8000L, 1, samples)
+    val wav = wavFile(samples, 8000) // the LE twin
+    val am = Multimodal.aiffMonoSamples(aiff).get
+    val wm = Multimodal.wavMonoSamples(wav).get
+    assert(am.toSeq === wm.toSeq,
+      "the same recording must read identically from both containers")
+    assert(Multimodal.audioEnvelopeHash(aiff) ===
+      Multimodal.audioEnvelopeHash(wav))
+    // SSND offset field skips leading pad bytes
+    val padded = aiffPcmFile(8000L, 1, samples, skip = 6)
+    assert(Multimodal.aiffMonoSamples(padded).get.toSeq === am.toSeq)
+    // 8-bit AIFF is SIGNED (WAV's is unsigned): -64 reads -0.5
+    val eight = aiffPcmFile(8000L, 1, Seq(-64, 64), bits = 8)
+    assert(Multimodal.aiffMonoSamples(eight).get.toSeq ===
+      Seq(-0.5f, 0.5f))
+    // the real decoder flips `decoded` for aiff in routedFeatures
+    assert(Multimodal.decodeAiffFeatures(aiff).isDefined)
+  }
+
   test("audioDims: ogg walk — OpusHead 48kHz grid minus pre-skip, " +
       "Vorbis rate, -1 sentinel pages skip back, torn tail degrades") {
     val opus = oggPage(0L, opusHead(2, 312), 2) ++
