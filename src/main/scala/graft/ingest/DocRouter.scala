@@ -24,6 +24,12 @@ import java.util.zip.ZipInputStream
   *     cues → kind `subtitles`, cue texts joined by newline (callers
   *     who need the time coordinates use Subtitles directly); zero
   *     cues → kind `text`, the payload verbatim;
+  *   - `1F 8B` (gzip, the crawl transport wrapper) → inflate ONE
+  *     member level under a decompression-bomb cap
+  *     ([[MaxInflateBytes]]) and re-route the inflated bytes — the
+  *     transport encoding is invisible, the inner kind reports (a
+  *     `.txt.gz` reads `text`); an over-cap, torn, or doubly-wrapped
+  *     member reads kind `gzip` with NO text, stated;
   *   - anything else → kind `none`, NO text — the honest no-extractor
   *     class (media and unknown binaries must stay distinguishable
   *     from genuinely empty documents, the only-a-parsed-header
@@ -32,6 +38,28 @@ import java.util.zip.ZipInputStream
 object DocRouter {
 
   final case class Extracted(kind: String, text: Option[String])
+
+  /** One inflated member may expand to at most this many bytes — the
+    * decompression-bomb bound (gzip's 1032:1 max ratio makes a 64 KiB
+    * payload inflatable to ~64 MiB; past the cap the router reports
+    * the wrapper honestly instead of buffering an attacker's zeros).
+    */
+  val MaxInflateBytes: Int = 64 << 20
+
+  private def gunzip(payload: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0 && out.size <= MaxInflateBytes) {
+          out.write(buf, 0, n); n = in.read(buf)
+        }
+        if (out.size > MaxInflateBytes) None else Some(out.toByteArray)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def utf8(payload: Array[Byte]): Option[String] =
     try {
@@ -52,12 +80,20 @@ object DocRouter {
     out.toSet
   }
 
-  def extract(payload: Array[Byte]): Extracted = {
+  def extract(payload: Array[Byte]): Extracted = extract(payload, 0)
+
+  private def extract(payload: Array[Byte], depth: Int): Extracted = {
     def starts(m: Array[Byte]): Boolean =
       payload.length >= m.length &&
         java.util.Arrays.equals(payload, 0, m.length, m, 0, m.length)
     try {
-      if (starts("%PDF-".getBytes("ISO-8859-1"))) {
+      if (starts(Array[Byte](0x1F, 0x8B.toByte))) {
+        if (depth > 0) Extracted("gzip", None) // one wrapper level only
+        else gunzip(payload) match {
+          case Some(inner) => extract(inner, depth + 1)
+          case None => Extracted("gzip", None)
+        }
+      } else if (starts("%PDF-".getBytes("ISO-8859-1"))) {
         val text = Pdf.parseBytes("payload", payload)
           .filter(_.ok).map(_.text).mkString("\n")
         Extracted("pdf", Some(text))

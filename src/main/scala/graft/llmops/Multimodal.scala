@@ -134,8 +134,10 @@ object Multimodal {
     * wins, aac's tighter mask before mp3's (an ID3v2-tagged ADTS
     * stream reads "mp3" by the prefix rule, stated — the audio walk
     * then sniffs the layer bits after the tag skip and hands the
-    * stream to the ADTS hop, so its duration still parses);
-    * "unknown" when nothing matches.
+    * stream to the ADTS hop, so its duration still parses); "mpegts"
+    * for three aligned sync bytes on the 188-byte packet grid (0x47 is
+    * ASCII 'G', so one match is meaningless — the structural rule, and
+    * GIF's prefix rule wins above it); "unknown" when nothing matches.
     */
   def detectKind(payload: Array[Byte]): String = {
     def startsWith(m: Array[Byte], off: Int): Boolean =
@@ -167,7 +169,13 @@ object Multimodal {
       case (kind, m) if startsWith(m, 0) =>
         if (kind.startsWith("tiff")) "tiff" else kind
     }.getOrElse(
-      if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+      // MPEG-TS: the sync byte 0x47 is ASCII 'G', so one match is
+      // meaningless — the structural rule is three aligned sync bytes
+      // at the 188-byte packet grid (GIF's prefix rule wins above)
+      if (payload.length >= 377 && (payload(0) & 0xFF) == 0x47 &&
+          (payload(188) & 0xFF) == 0x47 &&
+          (payload(376) & 0xFF) == 0x47) "mpegts"
+      else if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
           (payload(1) & 0xF6) == 0xF0) "aac"
       else if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
           (payload(1) & 0xE0) == 0xE0) "mp3"
@@ -191,9 +199,16 @@ object Multimodal {
     val ftyp = FtypBrands.foldRight(lit("isobmff")) { case ((brand, kind), e) =>
       when(preS(8, brand), lit(kind)).otherwise(e)
     }
-    // the masked frame-sync pair, aac's tighter mask first: ADTS spells
-    // layer 00 in the second byte (F0/F1/F8/F9), Layer III spells 01
-    val mp3Sync = when(hex(substring(payload, 1, 1)) === "FF" &&
+    // the structural/masked tail, mirrored from the JVM rule order:
+    // three 188-grid sync bytes route mpegts, then the frame-sync pair
+    // with aac's tighter mask first (ADTS spells layer 00 in the second
+    // byte — F0/F1/F8/F9 — where Layer III spells 01)
+    val mp3Sync = when(length(payload) >= 377 &&
+        hex(substring(payload, 1, 1)) === "47" &&
+        hex(substring(payload, 189, 1)) === "47" &&
+        hex(substring(payload, 377, 1)) === "47",
+      lit("mpegts"))
+      .when(hex(substring(payload, 1, 1)) === "FF" &&
         hex(substring(payload, 2, 1)).isin("F0", "F1", "F8", "F9"),
       lit("aac"))
       .when(hex(substring(payload, 1, 1)) === "FF" &&
@@ -883,6 +898,50 @@ object Multimodal {
       off += 8L + sz + (sz & 1L)
     }
     None
+  }
+
+  final case class TsMeta(n_packets: Long, duration_micros: Option[Long])
+
+  /** MPEG transport stream probe (r15 — the HLS SEGMENT half of the
+    * playlist story: `.ts` media segments carry their wall-clock span
+    * only in PCR timestamps): walk the 188-byte packet grid while the
+    * sync byte holds (a desynced packet ends the walk with the parsed
+    * prefix — the frame-hop degrade contract), counting packets and
+    * reading the Program Clock Reference wherever an adaptation field
+    * flags one (33-bit base × 300 + 9-bit extension, the 27 MHz grid);
+    * `duration_micros = (lastPCR − firstPCR) / 27` — EXACT integer
+    * division, headers-only, no PES/codec parse. Fewer than two PCRs
+    * (or a non-increasing pair — a PCR wrap, out of stated scope for
+    * seconds-long segments) reports None duration with the packet
+    * count intact.
+    */
+  def tsMeta(payload: Array[Byte]): Option[TsMeta] = {
+    if (detectKind(payload) != "mpegts") return None
+    def u8(i: Int): Int = payload(i) & 0xff
+    var off = 0
+    var n = 0L
+    var firstPcr = -1L
+    var lastPcr = -1L
+    while (off + 188 <= payload.length && u8(off) == 0x47) {
+      val afc = (u8(off + 3) >> 4) & 3
+      if (afc >= 2) {
+        val afLen = u8(off + 4)
+        if (afLen >= 7 && (u8(off + 5) & 0x10) != 0) {
+          val base = (u8(off + 6).toLong << 25) | (u8(off + 7).toLong << 17) |
+            (u8(off + 8).toLong << 9) | (u8(off + 9).toLong << 1) |
+            (u8(off + 10) >> 7)
+          val pcr = base * 300L + (((u8(off + 10) & 1) << 8) | u8(off + 11))
+          if (firstPcr < 0L) firstPcr = pcr
+          lastPcr = pcr
+        }
+      }
+      n += 1L; off += 188
+    }
+    if (n == 0L) None
+    else Some(TsMeta(n,
+      if (firstPcr >= 0L && lastPcr > firstPcr)
+        Some((lastPcr - firstPcr) / 27L)
+      else None))
   }
 
   /** The [[wavPcm]] twin for AIFF: locates COMM + SSND, admits integer

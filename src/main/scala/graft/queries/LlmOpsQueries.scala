@@ -4702,23 +4702,26 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // The DOCUMENT front door composed (r15): a seven-lane mixed crawl
-    // — pdf, docx, epub, srt, vtt, plain text, invalid-UTF-8 binary —
-    // routed by DocRouter.extract from the BYTES alone; the oracle
-    // derives kind and the exact extracted text (epub's trailing block
-    // newline and the binary lane's NULL included) from the planting
-    // arithmetic. A mislabeled or misrouted payload breaks the lane.
+    // The DOCUMENT front door composed (r15): an eight-lane mixed
+    // crawl — pdf, docx, epub, srt, vtt, plain text, invalid-UTF-8
+    // binary, gzipped text (the transport wrapper inflates and the
+    // INNER kind reports) — routed by DocRouter.extract from the BYTES
+    // alone; the oracle derives kind and the exact extracted text
+    // (epub's trailing block newline and the binary lane's NULL
+    // included) from the planting arithmetic. A mislabeled or
+    // misrouted payload breaks the lane.
     q("q_x_doc_router",
       "SELECT doc_id, " +
-        "CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' " +
+        "CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' " +
         "WHEN 2 THEN 'epub' WHEN 3 THEN 'subtitles' WHEN 4 THEN 'subtitles' " +
-        "WHEN 5 THEN 'text' ELSE 'none' END AS kind, " +
-        "CASE doc_id % 7 WHEN 0 THEN 'pdf text of doc ' || doc_id " +
+        "WHEN 5 THEN 'text' WHEN 7 THEN 'text' ELSE 'none' END AS kind, " +
+        "CASE doc_id % 8 WHEN 0 THEN 'pdf text of doc ' || doc_id " +
         "WHEN 1 THEN 'docx text of doc ' || doc_id " +
         "WHEN 2 THEN 'epub text of doc ' || doc_id || chr(10) " +
         "WHEN 3 THEN 'sub text of doc ' || doc_id " +
         "WHEN 4 THEN 'vtt text of doc ' || doc_id " +
         "WHEN 5 THEN 'plain text of doc ' || doc_id " +
+        "WHEN 7 THEN 'gzipped text of doc ' || doc_id " +
         "ELSE NULL END AS text " +
         "FROM documents ORDER BY doc_id") { (s, d) =>
       import s.implicits._
@@ -4735,7 +4738,7 @@ object LlmOpsQueries extends QueryModule {
               }
               zos.close(); bos.toByteArray
             }
-            val payload: Array[Byte] = (id % 7) match {
+            val payload: Array[Byte] = (id % 8) match {
               case 0 =>
                 val content = s"BT /F1 12 Tf 72 720 Td (pdf text of doc $id) Tj ET"
                 ("%PDF-1.4\n" +
@@ -4761,6 +4764,11 @@ object LlmOpsQueries extends QueryModule {
                 s"WEBVTT\n\n00:01.000 --> 00:02.000\nvtt text of doc $id\n"
                   .getBytes("UTF-8")
               case 5 => s"plain text of doc $id".getBytes("UTF-8")
+              case 7 =>
+                val bos = new java.io.ByteArrayOutputStream()
+                val gz = new java.util.zip.GZIPOutputStream(bos)
+                gz.write(s"gzipped text of doc $id".getBytes("UTF-8"))
+                gz.close(); bos.toByteArray
               case _ => Array(0x89.toByte, 0xFF.toByte, 0xFE.toByte, id.toByte)
             }
             val e = DocRouter.extract(payload)

@@ -67,6 +67,9 @@ object MediaPrepQueries extends QueryModule {
     "ebml" -> Array(0x1A, 0x45, 0xDF, 0xA3, 0x84, 0x42, 0x86, 0x81, 0x01)
       .map(_.toByte),
     "ogg" -> ("OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2)),
+    // r15: MPEG-TS — three aligned sync bytes on the 188-byte grid
+    "mpegts" -> Array.tabulate(377)(i =>
+      if (i % 188 == 0) 0x47.toByte else 0x11.toByte),
     "unknown" -> Array.empty[Byte])
 
   /** The [[Multimodal]] ftyp brand table, mirrored for the oracle CASE
@@ -353,6 +356,8 @@ object MediaPrepQueries extends QueryModule {
         s"$brandCases ELSE 'isobmff' END) " +
         ebmlCase +
         s"$ruleCases " +
+        "WHEN length(hx) >= 754 AND substr(hx, 1, 2) = '47' " +
+        "AND substr(hx, 377, 2) = '47' AND substr(hx, 753, 2) = '47' THEN 'mpegts' " +
         "WHEN substr(hx, 1, 2) = 'FF' AND substr(hx, 3, 2) IN ('F0', 'F1', 'F8', 'F9') THEN 'aac' " +
         "WHEN substr(hx, 1, 2) = 'FF' AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3' " +
         "ELSE 'unknown' END AS kind FROM src) " +
@@ -993,5 +998,214 @@ object MediaPrepQueries extends QueryModule {
           }
         }.toDF("doc_id", "cue_index", "start_micros", "end_micros", "text")
         .orderBy("doc_id", "cue_index")
+    },
+
+    // DASH MPD manifests (r15 — the XML sibling of the HLS queries):
+    // per doc an MPD with an ISO-8601 presentation duration built from
+    // doc_id arithmetic (hours/minutes/seconds + a millisecond
+    // fraction, read back LEXICALLY on the micro grid) and a
+    // doc_id%3+1-deep video ladder plus one audio representation (no
+    // width/height) — exploded to rows the oracle derives exactly.
+    q("q_x_dash_mpd",
+      "WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS v, " +
+        "(doc_id % 7200) * 1000000 + (doc_id % 1000) * 1000 AS dur " +
+        "FROM documents), " +
+        "vid AS (SELECT doc_id, dur, unnest(generate_series(1, v)) AS i FROM p), " +
+        "rows_ AS (" +
+        "SELECT doc_id, dur, CAST((doc_id % 5000 + i) * 1000 AS BIGINT) AS bandwidth_bps, " +
+        "CAST(i * 640 AS BIGINT) AS width, CAST(i * 360 AS BIGINT) AS height, " +
+        "'avc1.' || i AS codecs FROM vid " +
+        "UNION ALL " +
+        "SELECT doc_id, dur, CAST(128000 + doc_id % 100 AS BIGINT), " +
+        "NULL, NULL, 'mp4a.40.2' FROM p) " +
+        "SELECT doc_id, bandwidth_bps, width, height, codecs, " +
+        "CAST(dur AS BIGINT) AS duration_micros " +
+        "FROM rows_ ORDER BY doc_id, bandwidth_bps") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val v = (id % 3 + 1).toInt
+            val t = id % 7200
+            val iso = s"PT${t / 3600}H${t / 60 % 60}M${t % 60}." +
+              "%03d".format(id % 1000) + "S"
+            val reps = (1 to v).map { i =>
+              s"""<Representation id="v$i" bandwidth="${(id % 5000 + i) * 1000}" width="${i * 640}" height="${i * 360}" codecs="avc1.$i"/>"""
+            }.mkString
+            val mpd =
+              s"""<?xml version="1.0"?><MPD xmlns="urn:mpeg:dash:schema:mpd:2011" mediaPresentationDuration="$iso">""" +
+                s"""<Period><AdaptationSet mimeType="video/mp4">$reps</AdaptationSet>""" +
+                """<AdaptationSet mimeType="audio/mp4">""" +
+                s"""<Representation id="a1" bandwidth="${128000 + id % 100}" codecs="mp4a.40.2"/>""" +
+                "</AdaptationSet></Period></MPD>"
+            val m = graft.ingest.Dash.parse(mpd.getBytes("UTF-8"))
+            m.representations.map(x => (id, x.bandwidth_bps, x.width,
+              x.height, x.codecs, m.duration_micros))
+          }
+        }.toDF("doc_id", "bandwidth_bps", "width", "height", "codecs",
+          "duration_micros")
+        .orderBy("doc_id", "bandwidth_bps")
+    },
+
+    // RSS podcast enclosures (r15 — the audio crawl's discovery feed):
+    // per doc a feed of doc_id%4 items (zero-item article feeds yield
+    // zero rows), each with an enclosure and its itunes:duration in a
+    // ROTATING wire form (bare seconds / MM:SS / HH:MM:SS) that must
+    // all read back to the same micro arithmetic; a lying non-numeric
+    // length reads absent on every third item.
+    q("q_x_rss_enclosures",
+      "WITH p AS (SELECT doc_id, doc_id % 4 AS k FROM documents), " +
+        "c AS (SELECT doc_id, unnest(generate_series(1, k)) AS i FROM p WHERE k >= 1) " +
+        "SELECT doc_id, 'ep ' || i || ' of doc ' || doc_id AS item_title, " +
+        "'https://pod.example/d' || doc_id || '/e' || i || '.mp3' AS url, " +
+        "'audio/mpeg' AS mime, " +
+        "CAST(CASE WHEN i % 3 = 0 THEN NULL ELSE doc_id % 1000000 + i END AS BIGINT) AS length_bytes, " +
+        "CAST((doc_id % 5400 + i) * 1000000 AS BIGINT) AS duration_micros " +
+        "FROM c ORDER BY doc_id, url") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val k = (id % 4).toInt
+            val items = (1 to k).map { i =>
+              val secs = id % 5400 + i
+              val durStr = (i % 3) match {
+                case 0 => s"$secs"
+                case 1 => s"${secs / 60}:" + "%02d".format(secs % 60)
+                case _ => s"${secs / 3600}:" + "%02d".format(secs / 60 % 60) +
+                  ":" + "%02d".format(secs % 60)
+              }
+              val len = if (i % 3 == 0) "three quarters of a show"
+                else (id % 1000000 + i).toString
+              s"<item><title>ep $i of doc $id</title>" +
+                s"""<enclosure url="https://pod.example/d$id/e$i.mp3" type="audio/mpeg" length="$len"/>""" +
+                s"<itunes:duration>$durStr</itunes:duration></item>"
+            }.mkString
+            val feed =
+              """<?xml version="1.0"?><rss version="2.0" xmlns:itunes="http://www.itunes.com/dtds/podcast-1.0.dtd">""" +
+                s"<channel><title>feed $id</title>$items</channel></rss>"
+            graft.ingest.Rss.enclosures(feed.getBytes("UTF-8")).map(e =>
+              (id, e.item_title.orNull, e.url, e.mime.orNull,
+                e.length_bytes, e.duration_micros))
+          }
+        }.toDF("doc_id", "item_title", "url", "mime", "length_bytes",
+          "duration_micros")
+        .orderBy("doc_id", "url")
+    },
+
+    // MPEG-TS segment probe (r15 — the HLS segment half): per doc a
+    // .ts file of doc_id%30+3 packets whose FIRST and LAST carry PCR
+    // timestamps planted so their 27 MHz delta divides back to exactly
+    // (doc_id%5000+1)*1000 micros; every fourth doc omits PCRs (live
+    // grab) and must read a NULL duration with the packet count
+    // intact. The oracle derives both fields from the arithmetic.
+    q("q_x_ts_probe",
+      "SELECT doc_id, CAST(doc_id % 30 + 3 AS BIGINT) AS n_packets, " +
+        "CAST(CASE WHEN doc_id % 4 = 3 THEN NULL " +
+        "ELSE (doc_id % 5000 + 1) * 1000 END AS BIGINT) AS duration_micros " +
+        "FROM documents ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            def packet(pcr: Option[Long]): Array[Byte] = {
+              val p = new Array[Byte](188)
+              p(0) = 0x47; p(2) = 0x21
+              pcr match {
+                case Some(v) =>
+                  p(3) = 0x30 // adaptation field + payload
+                  p(4) = 7; p(5) = 0x10 // PCR flag
+                  val base = v / 300L; val ext = v % 300L
+                  p(6) = (base >> 25).toByte
+                  p(7) = (base >> 17).toByte
+                  p(8) = (base >> 9).toByte
+                  p(9) = (base >> 1).toByte
+                  p(10) = (((base & 1L) << 7) | 0x7eL | (ext >> 8)).toByte
+                  p(11) = (ext & 0xffL).toByte
+                case None => p(3) = 0x10
+              }
+              p
+            }
+            val k = (id % 30 + 3).toInt
+            val withPcr = id % 4 != 3
+            val pcr1 = (id % 100000) * 300L
+            val pcr2 = pcr1 + (id % 5000 + 1) * 27000L
+            val bytes = (0 until k).flatMap { i =>
+              if (withPcr && i == 0) packet(Some(pcr1))
+              else if (withPcr && i == k - 1) packet(Some(pcr2))
+              else packet(None)
+            }.toArray
+            val m = Multimodal.tsMeta(bytes).get
+            (id, m.n_packets, m.duration_micros)
+          }
+        }.toDF("doc_id", "n_packets", "duration_micros")
+        .orderBy("doc_id")
+    },
+
+    // HLS media playlists (r15): per doc an m3u8 with doc_id%20+1
+    // EXTINF segments of (doc_id%9000+500) ms each (written as decimal
+    // seconds, summed back LEXICALLY on the micro grid), a
+    // TARGETDURATION, and ENDLIST on every third doc — the oracle
+    // derives the exact micro sums; a float anywhere in the parse
+    // breaks the identity.
+    q("q_x_hls_media",
+      "WITH p AS (SELECT doc_id, doc_id % 20 + 1 AS k, " +
+        "doc_id % 9000 + 500 AS dms FROM documents) " +
+        "SELECT doc_id, CAST(k AS BIGINT) AS n_segments, " +
+        "CAST(k * dms * 1000 AS BIGINT) AS duration_micros, " +
+        "CAST((dms // 1000 + 1) * 1000000 AS BIGINT) AS target_duration_micros, " +
+        "doc_id % 3 = 0 AS ended " +
+        "FROM p ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val k = (id % 20 + 1).toInt
+            val dms = id % 9000 + 500
+            val inf = s"${dms / 1000}.${"%03d".format(dms % 1000)}"
+            val segs = (0 until k).map(i =>
+              s"#EXTINF:$inf,\nseg$i.ts").mkString("\n")
+            val doc = s"#EXTM3U\n#EXT-X-VERSION:3\n" +
+              s"#EXT-X-TARGETDURATION:${dms / 1000 + 1}\n$segs\n" +
+              (if (id % 3 == 0) "#EXT-X-ENDLIST\n" else "")
+            val m = graft.ingest.Hls.parseMediaPlaylist(doc).get
+            (id, m.n_segments, m.duration_micros,
+              m.target_duration_micros.getOrElse(-1L), m.ended)
+          }
+        }.toDF("doc_id", "n_segments", "duration_micros",
+          "target_duration_micros", "ended")
+        .orderBy("doc_id")
+    },
+
+    // HLS master playlists (r15): per doc a variant ladder of
+    // doc_id%4+1 STREAM-INF entries — each with a quoted CODECS list
+    // whose embedded comma must NOT confuse the attribute read, a
+    // comment line between tag and URI on even docs — exploded back to
+    // (bandwidth, width, height, uri) rows the oracle derives.
+    q("q_x_hls_master",
+      "WITH p AS (SELECT doc_id, doc_id % 4 + 1 AS v FROM documents), " +
+        "c AS (SELECT doc_id, unnest(generate_series(1, v)) AS i FROM p) " +
+        "SELECT doc_id, " +
+        "CAST((doc_id % 5000 + i) * 1000 AS BIGINT) AS bandwidth_bps, " +
+        "CAST(i * 320 AS BIGINT) AS width, CAST(i * 180 AS BIGINT) AS height, " +
+        "'var' || i || '/index.m3u8' AS uri " +
+        "FROM c ORDER BY doc_id, bandwidth_bps") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val v = (id % 4 + 1).toInt
+            val body = (1 to v).map { i =>
+              val gap = if (id % 2 == 0) "\n# ladder comment" else ""
+              s"#EXT-X-STREAM-INF:BANDWIDTH=${(id % 5000 + i) * 1000}," +
+                s"""RESOLUTION=${i * 320}x${i * 180},CODECS="avc1.64001f,mp4a.40.2"""" +
+                s"$gap\nvar$i/index.m3u8"
+            }.mkString("\n")
+            graft.ingest.Hls.parseMasterVariants(s"#EXTM3U\n$body\n")
+              .map(x => (id, x.bandwidth_bps, x.width.getOrElse(-1L),
+                x.height.getOrElse(-1L), x.uri))
+          }
+        }.toDF("doc_id", "bandwidth_bps", "width", "height", "uri")
+        .orderBy("doc_id", "bandwidth_bps")
     })
 }

@@ -438,7 +438,13 @@ object StressBench {
     "q_x_docx_text", "q_x_epub_text", "q_x_subtitle_cues",
     // r15: the composed document router — one dispatch + the routed
     // extractor per payload; must track the max of its member lanes.
-    "q_x_doc_router")
+    "q_x_doc_router",
+    // r15: HLS playlist parses — line walks per payload, scan-linear.
+    "q_x_hls_media", "q_x_hls_master",
+    // r15: the TS packet-grid walk — per-payload byte hop, scan-linear.
+    "q_x_ts_probe",
+    // r15: manifest/feed XML parses — per-payload StAX walks, linear.
+    "q_x_dash_mpd", "q_x_rss_enclosures")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

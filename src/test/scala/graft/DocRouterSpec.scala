@@ -63,6 +63,30 @@ class DocRouterSpec extends AnyFunSuite {
       DocRouter.Extracted("text", Some("")))
   }
 
+  private def gz(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    out.write(payload); out.close()
+    bos.toByteArray
+  }
+
+  test("gzip transport wrapper: inner kind reports, one level only, " +
+      "torn members degrade to the wrapper kind") {
+    assert(DocRouter.extract(gz("wrapped prose".getBytes("UTF-8"))) ===
+      DocRouter.Extracted("text", Some("wrapped prose")))
+    val docx = zip("word/document.xml" ->
+      "<w:document xmlns:w=\"x\"><w:body><w:p><w:r><w:t>gz docx</w:t></w:r></w:p></w:body></w:document>")
+    assert(DocRouter.extract(gz(docx)) ===
+      DocRouter.Extracted("docx", Some("gz docx")))
+    // a doubly-wrapped member stops at one level — the wrapper reports
+    assert(DocRouter.extract(gz(gz("deep".getBytes("UTF-8")))) ===
+      DocRouter.Extracted("gzip", None))
+    // gzip magic with a torn deflate stream: the wrapper, no text
+    val torn = gz("some content that is long enough".getBytes("UTF-8"))
+      .take(8)
+    assert(DocRouter.extract(torn) === DocRouter.Extracted("gzip", None))
+  }
+
   test("a docx that is ALSO nearly an epub routes by the document part " +
       "first; utf-8 text containing a timing-looking line but no block " +
       "structure still parses as subtitles only when a cue exists") {

@@ -507,6 +507,57 @@ class MediaFrontDoorSpec extends SparkTestBase {
     assert(Multimodal.decodeAiffFeatures(aiff).isDefined)
   }
 
+  private def tsPacket(pcr: Option[Long]): Array[Byte] = {
+    val p = new Array[Byte](188)
+    p(0) = 0x47; p(2) = 0x21
+    pcr match {
+      case Some(v) =>
+        p(3) = 0x30; p(4) = 7; p(5) = 0x10
+        val base = v / 300L; val ext = v % 300L
+        p(6) = (base >> 25).toByte; p(7) = (base >> 17).toByte
+        p(8) = (base >> 9).toByte; p(9) = (base >> 1).toByte
+        p(10) = (((base & 1L) << 7) | 0x7eL | (ext >> 8)).toByte
+        p(11) = (ext & 0xffL).toByte
+      case None => p(3) = 0x10
+    }
+    p
+  }
+
+  test("mpegts: the 188-grid structural rule in both classifiers; " +
+      "GIF prefix and short 'G' text never misroute") {
+    val ts = tsPacket(None) ++ tsPacket(None) ++ tsPacket(None)
+    assert(Multimodal.detectKind(ts) === "mpegts")
+    val got = spark.range(1)
+      .select(Multimodal.detectKindCol(lit(ts)).as("k")).head.getString(0)
+    assert(got === "mpegts")
+    assert(Multimodal.detectKind("G is a letter".getBytes("ISO-8859-1"))
+      === "unknown")
+    assert(Multimodal.detectKind(
+      "GIF89a".getBytes("ISO-8859-1") ++ new Array[Byte](400)) === "gif")
+  }
+
+  test("tsMeta: PCR-delta duration on the 27 MHz grid, PCR-less " +
+      "segments keep the packet count, desync ends the walk") {
+    // 27000 ticks at 27 MHz = exactly 1000 micros
+    val withPcr = tsPacket(Some(900000L)) ++ tsPacket(None) ++
+      tsPacket(Some(900000L + 27000L))
+    assert(Multimodal.tsMeta(withPcr) ===
+      Some(Multimodal.TsMeta(3L, Some(1000L))))
+    // a PCR with a non-zero 9-bit extension keeps exactness
+    val ext = tsPacket(Some(1000L * 300L + 123L)) ++ tsPacket(None) ++
+      tsPacket(Some(1000L * 300L + 123L + 54321L))
+    assert(Multimodal.tsMeta(ext).get.duration_micros ===
+      Some(54321L / 27L))
+    // no PCR anywhere: count parses, duration honestly absent
+    val bare = tsPacket(None) ++ tsPacket(None) ++ tsPacket(None)
+    assert(Multimodal.tsMeta(bare) === Some(Multimodal.TsMeta(3L, None)))
+    // a desynced fourth packet ends the walk with the parsed prefix
+    val torn = bare ++ Array.fill(188)(0x55.toByte)
+    assert(Multimodal.tsMeta(torn).get.n_packets === 3L)
+    // not a transport stream at all
+    assert(Multimodal.tsMeta("plain text".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("audioDims: ogg walk — OpusHead 48kHz grid minus pre-skip, " +
       "Vorbis rate, -1 sentinel pages skip back, torn tail degrades") {
     val opus = oggPage(0L, opusHead(2, 312), 2) ++
