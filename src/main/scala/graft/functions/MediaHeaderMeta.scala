@@ -86,12 +86,14 @@ object MediaHeaderMeta {
       v.n_frames.foreach(f => frames = f)
       v.duration_micros.foreach(d => dur = d)
     }
-    // r15: HLS .ts segments — PCR-delta duration (no dims and no frame
-    // count without a PES/codec parse, stated); an hour-long transport
-    // stream now gates on duration at the scan like every other walk
+    // r15: streaming media segments — the .ts PCR-delta and the fMP4
+    // sidx duration (no dims without a PES/codec parse, stated); long
+    // segments now gate on duration at the scan like every other walk
     if (kind == "mpegts") Multimodal.tsMeta(payload).foreach { t =>
       t.duration_micros.foreach(d => dur = d)
     }
+    if (kind == "mp4seg")
+      Multimodal.mp4SegDuration(payload).foreach(d => dur = d)
     new GenericInternalRow(Array[Any](UTF8String.fromString(kind),
       w, h, frames, dur))
   }

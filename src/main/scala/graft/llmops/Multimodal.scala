@@ -124,7 +124,9 @@ object Multimodal {
     * unrecognized format tag; "aiff" for a FORM (IFF) container whose
     * form type is AIFF/AIFC and "iff" for any other FORM type (the
     * riff stance); "isobmff" for an `ftyp` box with an
-    * unlisted major brand; "webm"/"mkv"/"ebml" for the EBML magic by
+    * unlisted major brand; "mp4seg" for a CMAF/fMP4 MEDIA segment
+    * (first box `styp`/`sidx`/`moof` — DASH/HLS segments carry no
+    * ftyp); "webm"/"mkv"/"ebml" for the EBML magic by
     * the bounded DocType rule ([[EbmlDocTypes]]); "aac" for a bare
     * ADTS frame sync (0xFFF with LAYER BITS 00 — the field that
     * separates an ADTS AAC stream from MPEG audio, whose Layer III
@@ -158,6 +160,10 @@ object Multimodal {
       FtypBrands.collectFirst {
         case (brand, kind) if at(brand, 8) => kind
       }.getOrElse("isobmff")
+    } else if (at("styp", 4) || at("sidx", 4) || at("moof", 4)) {
+      // a CMAF/fMP4 MEDIA segment (DASH/HLS): no ftyp — the first box
+      // is the segment type, a segment index, or a movie fragment
+      "mp4seg"
     } else if (startsWith(EbmlMagic, 0)) {
       val lim = math.min(payload.length, EbmlDocTypeWindow)
       def found(m: Array[Byte]): Boolean =
@@ -231,6 +237,8 @@ object Multimodal {
         when(preS(8, "AIFF") || preS(8, "AIFC"), lit("aiff"))
           .otherwise(lit("iff")))
       .when(preS(4, "ftyp"), ftyp)
+      .when(preS(4, "styp") || preS(4, "sidx") || preS(4, "moof"),
+        lit("mp4seg"))
       .when(pre(0, EbmlMagic), ebml)
       .otherwise(rest)
   }
@@ -530,6 +538,69 @@ object Multimodal {
           when(leAt(6, 1) === 0L, 256L).otherwise(leAt(6, 1)).as("w"),
           when(leAt(7, 1) === 0L, 256L).otherwise(leAt(7, 1)).as("h")))
       .otherwise(lit(null).cast("struct<w:bigint,h:bigint>"))
+  }
+
+  /** JPEG EXIF orientation (r15 — the image-prep correctness bit every
+    * thumbnail/perceptual-hash pipeline needs: cameras store rotated
+    * pixels plus the 1–8 orientation tag, and ignoring it makes
+    * visually-identical photos invisible to aHash across devices): the
+    * [[imageDims]] marker walk to APP1, the `Exif\0\0` preamble, then
+    * a TIFF IFD0 walk in EITHER byte order for tag 0x0112 (SHORT).
+    * None when the tag/segment is absent or torn — the spec default is
+    * 1 (top-left), the caller's to apply; values outside 1–8 reject.
+    * The walk stops at SOS: APP segments precede entropy data by spec.
+    */
+  def exifOrientation(payload: Array[Byte]): Option[Int] = {
+    if (detectKind(payload) != "jpeg") return None
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    try {
+      var i = 2
+      while (i + 4 <= payload.length) {
+        if (u8(i) != 0xff) return None
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+        else {
+          val len = be16(i + 2)
+          if (len < 2 || i + 2 + len > payload.length) return None
+          if (m == 0xe1 && len >= 16 &&
+              new String(payload, i + 4, 4, "ISO-8859-1") == "Exif" &&
+              u8(i + 8) == 0 && u8(i + 9) == 0) {
+            val t = i + 10
+            if (t + 8 > payload.length) return None
+            val le = u8(t) == 0x49 && u8(t + 1) == 0x49
+            val be = u8(t) == 0x4d && u8(t + 1) == 0x4d
+            if (!le && !be) return None
+            def r16(j: Int): Int =
+              if (le) u8(j) | (u8(j + 1) << 8) else be16(j)
+            def r32(j: Int): Long =
+              if (le) r16(j).toLong | (r16(j + 2).toLong << 16)
+              else (r16(j).toLong << 16) | r16(j + 2)
+            if (r16(t + 2) != 42) return None
+            val ifdOff = r32(t + 4)
+            if (ifdOff < 8L || ifdOff > Int.MaxValue - 16L) return None
+            val ifd = t + ifdOff.toInt
+            if (ifd + 2 > payload.length) return None
+            val cnt = r16(ifd)
+            var e = 0
+            while (e < cnt) {
+              val p = ifd + 2 + e * 12
+              if (p + 12 > payload.length) return None
+              if (r16(p) == 0x0112) {
+                val v = r16(p + 8)
+                return if (v >= 1 && v <= 8) Some(v) else None
+              }
+              e += 1
+            }
+            return None
+          }
+          if (m == 0xda) return None
+          i += 2 + len
+        }
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   final case class AudioMeta(sample_rate: Long, channels: Long,
@@ -900,6 +971,60 @@ object Multimodal {
     None
   }
 
+  /** CMAF/fMP4 segment duration from the `sidx` box (r15 — the fMP4
+    * half of the streaming-segment story, the [[tsMeta]] sibling): a
+    * top-level box walk (the m4a idiom) to the FIRST `sidx`, whose
+    * reference list sums subsegment durations in the declared
+    * timescale; `duration_micros = sum · 10⁶ div timescale` — exact
+    * integer division, headers-only (`moof`/`mdat` never read). Both
+    * FullBox versions; a zero timescale, a torn reference list, or a
+    * segment with no sidx (moof-only low-latency form) reads None —
+    * the degrade contract.
+    */
+  def mp4SegDuration(payload: Array[Byte]): Option[Long] = {
+    if (detectKind(payload) != "mp4seg") return None
+    def u8(i: Int): Long = payload(i) & 0xffL
+    def be32(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    val n = payload.length.toLong
+    var off = 0L
+    try {
+      while (off + 8 <= n) {
+        val sz0 = be32(off.toInt)
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1L) {
+          if (off + 16 > n) return None
+          sz = be64(off.toInt + 8); hdr = 16L
+        } else if (sz0 == 0L) sz = n - off
+        if (sz < hdr || off + sz > n) return None
+        if (new String(payload, off.toInt + 4, 4, "ISO-8859-1") == "sidx") {
+          val p = (off + hdr).toInt
+          val v = u8(p)
+          val timescale = be32(p + 8)
+          // v0: EPT(4)+offset(4); v1: 8+8 — the ref list follows
+          val refsAt = p + 12 + (if (v == 0L) 8 else 16) + 2
+          if (refsAt + 2 > n) return None
+          val count = ((u8(refsAt) << 8) | u8(refsAt + 1)).toInt
+          var total = 0L
+          var i = 0
+          while (i < count) {
+            val r = refsAt + 2 + i * 12
+            if (r + 12 > n) return None
+            total += be32(r + 4)
+            i += 1
+          }
+          return if (timescale >= 1L && total <= Long.MaxValue / 1000000L)
+            Some(total * 1000000L / timescale)
+          else None
+        }
+        off += sz
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   final case class TsMeta(n_packets: Long, duration_micros: Option[Long])
 
   /** MPEG transport stream probe (r15 — the HLS SEGMENT half of the
@@ -945,8 +1070,8 @@ object Multimodal {
   }
 
   /** The [[wavPcm]] twin for AIFF: locates COMM + SSND, admits integer
-    * PCM at 8 or 16 bits — AIFF samples are BIG-endian and 8-bit AIFF
-    * is SIGNED (both opposite to WAV, the classic interop trap).
+    * PCM at 8, 16 or 24 bits — AIFF samples are BIG-endian and 8-bit
+    * AIFF is SIGNED (both opposite to WAV, the classic interop trap).
     * Returns (channels, rate, bits, dataOffset, dataLen) where the
     * offset already accounts for SSND's offset field; None elsewhere.
     */
@@ -980,7 +1105,7 @@ object Multimodal {
       for {
         (ch, rate, bits) <- comm
         (dOff, dLen) <- data
-        if (bits == 8 || bits == 16) && ch >= 1 && rate > 0
+        if (bits == 8 || bits == 16 || bits == 24) && ch >= 1 && rate > 0
       } yield (ch, rate, bits, dOff, dLen)
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -992,6 +1117,10 @@ object Multimodal {
     aiffPcm(payload).map { case (ch, rate, bits, dOff, dLen) =>
       def sample(i: Int): Double =
         if (bits == 8) payload(dOff + i) / 128.0
+        else if (bits == 24)
+          ((payload(dOff + i * 3) << 16) |
+            ((payload(dOff + i * 3 + 1) & 0xff) << 8) |
+            (payload(dOff + i * 3 + 2) & 0xff)) / 8388608.0
         else ((payload(dOff + i * 2) << 8) |
           (payload(dOff + i * 2 + 1) & 0xff)) / 32768.0
       val n = dLen / (bits / 8)
@@ -1026,6 +1155,10 @@ object Multimodal {
     aiffPcm(payload).map { case (ch, _, bits, dOff, dLen) =>
       def sample(i: Int): Double =
         if (bits == 8) payload(dOff + i) / 128.0
+        else if (bits == 24)
+          ((payload(dOff + i * 3) << 16) |
+            ((payload(dOff + i * 3 + 1) & 0xff) << 8) |
+            (payload(dOff + i * 3 + 2) & 0xff)) / 8388608.0
         else ((payload(dOff + i * 2) << 8) |
           (payload(dOff + i * 2 + 1) & 0xff)) / 32768.0
       val n = dLen / (bits / 8)
@@ -1601,9 +1734,12 @@ object Multimodal {
     * mapPartitions — no effect on plan shape or shuffle volume.
     */
   /** The RIFF/WAVE chunk walk shared by [[decodeWav]], [[wavMonoSamples]]
-    * and [[audioEnvelopeHash]]: locates fmt/data, admits only integer PCM
-    * (format code 1) at 8 or 16 bits. Returns (channels, rate, bits,
-    * dataOffset, dataLen); None on anything else — the degrade contract.
+    * and [[audioEnvelopeHash]]: locates fmt/data, admits integer PCM —
+    * format code 1, or WAVE_FORMAT_EXTENSIBLE (0xFFFE, what every DAW
+    * writes past 2 channels or 16 bits) whose SubFormat GUID's leading
+    * code is PCM — at 8, 16 or 24 bits (r15: 24-bit studio exports
+    * previously read None). Returns (channels, rate, bits, dataOffset,
+    * dataLen); None on anything else — the degrade contract.
     */
   private def wavPcm(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
     try {
@@ -1620,16 +1756,21 @@ object Multimodal {
           val id = str4(off)
           val sz = bb.getInt(off + 4)
           if (sz < 0 || off + 8 + sz > payload.length) return None
-          if (id == "fmt " && sz >= 16)
-            fmt = Some((bb.getShort(off + 8) & 0xFFFF, bb.getShort(off + 10) & 0xFFFF,
+          if (id == "fmt " && sz >= 16) {
+            var code = bb.getShort(off + 8) & 0xFFFF
+            // extensible: the REAL code leads the SubFormat GUID
+            if (code == 0xFFFE && sz >= 40)
+              code = bb.getShort(off + 8 + 24) & 0xFFFF
+            fmt = Some((code, bb.getShort(off + 10) & 0xFFFF,
               bb.getInt(off + 12), bb.getShort(off + 22) & 0xFFFF))
-          else if (id == "data") data = Some((off + 8, sz))
+          } else if (id == "data") data = Some((off + 8, sz))
           off += 8 + sz + (sz & 1) // chunks are word-aligned
         }
         for {
           (code, ch, rate, bits) <- fmt
           (dOff, dLen) <- data
-          if code == 1 && (bits == 8 || bits == 16) && ch >= 1 && rate > 0
+          if code == 1 && (bits == 8 || bits == 16 || bits == 24) &&
+            ch >= 1 && rate > 0
         } yield (ch, rate, bits, dOff, dLen)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1648,6 +1789,10 @@ object Multimodal {
           while (i < n) {
             val v =
               if (bits == 8) ((payload(dOff + i) & 0xFF) - 128) / 128.0
+              else if (bits == 24)
+                (((payload(dOff + i * 3) & 0xFF) |
+                  ((payload(dOff + i * 3 + 1) & 0xFF) << 8) |
+                  (payload(dOff + i * 3 + 2) << 16)): Int) / 8388608.0
               else bb.getShort(dOff + i * 2) / 32768.0
             sum += v; sum2 += v * v
             if (v < mn) mn = v
@@ -1758,6 +1903,10 @@ object Multimodal {
             val i = f * ch + c
             acc +=
               (if (bits == 8) ((payload(dOff + i) & 0xFF) - 128) / 128.0
+               else if (bits == 24)
+                 (((payload(dOff + i * 3) & 0xFF) |
+                   ((payload(dOff + i * 3 + 1) & 0xFF) << 8) |
+                   (payload(dOff + i * 3 + 2) << 16)): Int) / 8388608.0
                else bb.getShort(dOff + i * 2) / 32768.0)
             c += 1
           }

@@ -50,6 +50,9 @@ object MediaPrepQueries extends QueryModule {
     "mov" -> ftypMagic("qt  "),
     "m4a" -> ftypMagic("M4A "),
     "isobmff" -> ftypMagic("zzzz"),
+    // r15: a CMAF/fMP4 media segment — first box styp (no ftyp)
+    "mp4seg" -> (Array[Byte](0, 0, 0, 16) ++
+      "stypmsdh".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0)),
     "flac" -> "fLaC".getBytes("ISO-8859-1"),
     "mp3" -> ("ID3".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0)),
     "mp3sync" -> Array(0xFF, 0xFB).map(_.toByte),
@@ -354,6 +357,7 @@ object MediaPrepQueries extends QueryModule {
         "ELSE 'iff' END) " +
         s"WHEN substr(hx, 9, 8) = '$ftypHex' THEN (CASE " +
         s"$brandCases ELSE 'isobmff' END) " +
+        "WHEN substr(hx, 9, 8) IN ('73747970', '73696478', '6D6F6F66') THEN 'mp4seg' " +
         ebmlCase +
         s"$ruleCases " +
         "WHEN length(hx) >= 754 AND substr(hx, 1, 2) = '47' " +
@@ -389,12 +393,13 @@ object MediaPrepQueries extends QueryModule {
     // (n, n_decoded, stub_ppm) rows the oracle derives from the
     // planting arithmetic.
     q("q_x_decode_coverage",
-      "WITH src AS (SELECT CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
+      "WITH src AS (SELECT CASE doc_id % 14 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
         "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'avif' " +
         "WHEN 5 THEN 'mp4' WHEN 7 THEN 'webm' WHEN 8 THEN 'ogg' " +
         "WHEN 9 THEN 'aiff' WHEN 10 THEN 'aac' WHEN 11 THEN 'm4a' " +
+        "WHEN 12 THEN 'mpegts' WHEN 13 THEN 'mp4seg' " +
         "ELSE 'unknown' END AS kind, " +
-        "CASE doc_id % 12 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 WHEN 9 THEN 1 ELSE 0 END AS dec " +
+        "CASE doc_id % 14 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 WHEN 9 THEN 1 ELSE 0 END AS dec " +
         "FROM documents) " +
         "SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(dec) AS BIGINT) AS n_decoded, " +
         "CAST(count(*) - sum(dec) AS BIGINT) AS n_stubbed, " +
@@ -412,17 +417,19 @@ object MediaPrepQueries extends QueryModule {
       val tinyWebm = Array(0x1A, 0x45, 0xDF, 0xA3, 0x9F, 0x42, 0x82, 0x84)
         .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")
       val tinyOgg = "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2, 0, 0)
-      val payload = when(col("doc_id") % 12 === 0, lit(png))
-        .when(col("doc_id") % 12 === 1, lit(TinyWebp))
-        .when(col("doc_id") % 12 === 2, lit(LossyWebp))
-        .when(col("doc_id") % 12 === 3, lit(TinyWav))
-        .when(col("doc_id") % 12 === 4, lit(ftypMagic("avif")))
-        .when(col("doc_id") % 12 === 5, lit(ftypMagic("mp42")))
-        .when(col("doc_id") % 12 === 7, lit(tinyWebm))
-        .when(col("doc_id") % 12 === 8, lit(tinyOgg))
-        .when(col("doc_id") % 12 === 9, lit(TinyAiff))
-        .when(col("doc_id") % 12 === 10, lit(aacBytes(4, 2, 0, 1, 1)))
-        .when(col("doc_id") % 12 === 11, lit(ftypMagic("M4A ")))
+      val payload = when(col("doc_id") % 14 === 0, lit(png))
+        .when(col("doc_id") % 14 === 1, lit(TinyWebp))
+        .when(col("doc_id") % 14 === 2, lit(LossyWebp))
+        .when(col("doc_id") % 14 === 3, lit(TinyWav))
+        .when(col("doc_id") % 14 === 4, lit(ftypMagic("avif")))
+        .when(col("doc_id") % 14 === 5, lit(ftypMagic("mp42")))
+        .when(col("doc_id") % 14 === 7, lit(tinyWebm))
+        .when(col("doc_id") % 14 === 8, lit(tinyOgg))
+        .when(col("doc_id") % 14 === 9, lit(TinyAiff))
+        .when(col("doc_id") % 14 === 10, lit(aacBytes(4, 2, 0, 1, 1)))
+        .when(col("doc_id") % 14 === 11, lit(ftypMagic("M4A ")))
+        .when(col("doc_id") % 14 === 12, lit(Magics.toMap.apply("mpegts")))
+        .when(col("doc_id") % 14 === 13, lit(Magics.toMap.apply("mp4seg")))
         // 0x00 prefix (the q_x_image_dims guard): a text that happens to
         // start with a magic must not re-route the planted-unknown lane
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
@@ -434,7 +441,7 @@ object MediaPrepQueries extends QueryModule {
     // The media data card (r15): per (source, detected kind), payload
     // counts/bytes, the real-decode-vs-stub split, and the
     // MediaMixBench-law near-dup recall projection (decodable share in
-    // bps) — the same 12-lane planted mix as the coverage gauge, crossed
+    // bps) — the same 14-lane planted mix as the coverage gauge, crossed
     // with a source column coprime to the lane modulus so every source
     // holds every kind. The oracle derives every column incl. the byte
     // sums from the planting arithmetic.
@@ -450,18 +457,20 @@ object MediaPrepQueries extends QueryModule {
       }
       val lens = Map(0 -> pngLen, 1 -> 32, 2 -> 24, 3 -> 52,
         4 -> 16, 5 -> 16, 7 -> 12, 8 -> 8,
-        9 -> TinyAiff.length, 10 -> 8, 11 -> 16)
+        9 -> TinyAiff.length, 10 -> 8, 11 -> 16,
+        12 -> 377, 13 -> 16)
       val lenCase = lens.map { case (l, n) => s"WHEN $l THEN $n" }
         .mkString(" ")
       "WITH src AS (SELECT 's' || (doc_id % 2) AS source, " +
-        "CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
+        "CASE doc_id % 14 WHEN 0 THEN 'png' WHEN 1 THEN 'webp' " +
         "WHEN 2 THEN 'webp' WHEN 3 THEN 'wav' WHEN 4 THEN 'avif' " +
         "WHEN 5 THEN 'mp4' WHEN 7 THEN 'webm' WHEN 8 THEN 'ogg' " +
         "WHEN 9 THEN 'aiff' WHEN 10 THEN 'aac' WHEN 11 THEN 'm4a' " +
+        "WHEN 12 THEN 'mpegts' WHEN 13 THEN 'mp4seg' " +
         "ELSE 'unknown' END AS kind, " +
-        s"CASE doc_id % 12 $lenCase " +
+        s"CASE doc_id % 14 $lenCase " +
         "ELSE 1 + octet_length(encode(text)) END AS len, " +
-        "CASE doc_id % 12 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 WHEN 9 THEN 1 ELSE 0 END AS dec " +
+        "CASE doc_id % 14 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1 WHEN 9 THEN 1 ELSE 0 END AS dec " +
         "FROM documents) " +
         "SELECT source, kind, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(len) AS BIGINT) AS n_bytes, " +
@@ -480,17 +489,19 @@ object MediaPrepQueries extends QueryModule {
       val tinyWebm = Array(0x1A, 0x45, 0xDF, 0xA3, 0x9F, 0x42, 0x82, 0x84)
         .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")
       val tinyOgg = "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, 2, 0, 0)
-      val payload = when(col("doc_id") % 12 === 0, lit(png))
-        .when(col("doc_id") % 12 === 1, lit(TinyWebp))
-        .when(col("doc_id") % 12 === 2, lit(LossyWebp))
-        .when(col("doc_id") % 12 === 3, lit(TinyWav))
-        .when(col("doc_id") % 12 === 4, lit(ftypMagic("avif")))
-        .when(col("doc_id") % 12 === 5, lit(ftypMagic("mp42")))
-        .when(col("doc_id") % 12 === 7, lit(tinyWebm))
-        .when(col("doc_id") % 12 === 8, lit(tinyOgg))
-        .when(col("doc_id") % 12 === 9, lit(TinyAiff))
-        .when(col("doc_id") % 12 === 10, lit(aacBytes(4, 2, 0, 1, 1)))
-        .when(col("doc_id") % 12 === 11, lit(ftypMagic("M4A ")))
+      val payload = when(col("doc_id") % 14 === 0, lit(png))
+        .when(col("doc_id") % 14 === 1, lit(TinyWebp))
+        .when(col("doc_id") % 14 === 2, lit(LossyWebp))
+        .when(col("doc_id") % 14 === 3, lit(TinyWav))
+        .when(col("doc_id") % 14 === 4, lit(ftypMagic("avif")))
+        .when(col("doc_id") % 14 === 5, lit(ftypMagic("mp42")))
+        .when(col("doc_id") % 14 === 7, lit(tinyWebm))
+        .when(col("doc_id") % 14 === 8, lit(tinyOgg))
+        .when(col("doc_id") % 14 === 9, lit(TinyAiff))
+        .when(col("doc_id") % 14 === 10, lit(aacBytes(4, 2, 0, 1, 1)))
+        .when(col("doc_id") % 14 === 11, lit(ftypMagic("M4A ")))
+        .when(col("doc_id") % 14 === 12, lit(Magics.toMap.apply("mpegts")))
+        .when(col("doc_id") % 14 === 13, lit(Magics.toMap.apply("mp4seg")))
         .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
       val media = Tables.documents(s, d)
         .select(concat(lit("s"), (col("doc_id") % 2).cast("string"))
@@ -998,6 +1009,95 @@ object MediaPrepQueries extends QueryModule {
           }
         }.toDF("doc_id", "cue_index", "start_micros", "end_micros", "text")
         .orderBy("doc_id", "cue_index")
+    },
+
+    // CMAF/fMP4 segment durations (r15 — the tsMeta sibling): per doc
+    // a styp+sidx(+moof) segment whose reference list sums
+    // doc_id%8+1 subsegments of doc_id%50000+1 units each at a
+    // doc_id-derived timescale — the oracle replays the exact
+    // sum*1e6//timescale division; every fifth doc is moof-only
+    // (low-latency form, no sidx) and must read NULL.
+    q("q_x_mp4seg_duration",
+      "WITH p AS (SELECT doc_id, doc_id % 8 + 1 AS k, " +
+        "doc_id % 50000 + 1 AS u, 1000 + doc_id % 90000 AS ts " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "ELSE (k * u * 1000000) // ts END AS BIGINT) AS duration_micros " +
+        "FROM p ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val k = (id % 8 + 1).toInt
+            val u = id % 50000 + 1
+            val ts = 1000 + id % 90000
+            val v = (id % 2).toInt
+            val styp = be(16L, 4) ++ "stypmsdh".getBytes("ISO-8859-1") ++
+              be(0L, 4)
+            val moof = mp4Box("moof", mp4Box("mfhd", be(0L, 4) ++ be(1L, 4)))
+            val payload: Array[Byte] =
+              if (id % 5 == 4) styp ++ moof
+              else {
+                val refs = Array.fill(k)(
+                  be(0L, 4) ++ be(u, 4) ++ be(0x90000000L, 4)).flatten
+                val body = be(v.toLong << 24, 4) ++ be(1L, 4) ++ be(ts, 4) ++
+                  (if (v == 0) be(0L, 4) ++ be(0L, 4)
+                   else be(0L, 8) ++ be(0L, 8)) ++
+                  be(0L, 2) ++ be(k.toLong, 2) ++ refs
+                styp ++ mp4Box("sidx", body) ++ moof
+              }
+            (id, Multimodal.mp4SegDuration(payload))
+          }
+        }.toDF("doc_id", "duration_micros")
+        .orderBy("doc_id")
+    },
+
+    // JPEG EXIF orientation (r15): per doc a JPEG whose APP1/TIFF
+    // carries the 1-8 orientation tag behind a padding entry, in a
+    // byte order alternating LE/BE by doc_id — the oracle derives the
+    // tag value from the arithmetic; every fifth doc carries no APP1
+    // and reads NULL (the spec-default-1 class, the caller's to
+    // apply).
+    q("q_x_exif_orientation",
+      "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "ELSE doc_id % 8 + 1 END AS BIGINT) AS orientation " +
+        "FROM documents ORDER BY doc_id") { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val o = (id % 8 + 1).toInt
+            val le = id % 2 == 0
+            def w16(v: Int): Array[Byte] =
+              if (le) Array((v & 0xff).toByte, (v >> 8).toByte)
+              else Array((v >> 8).toByte, (v & 0xff).toByte)
+            def w32(v: Long): Array[Byte] =
+              if (le) w16((v & 0xffff).toInt) ++ w16((v >> 16).toInt)
+              else w16((v >> 16).toInt) ++ w16((v & 0xffff).toInt)
+            val order = (if (le) "II" else "MM").getBytes("ISO-8859-1")
+            // IFD0: a padding Make entry, then orientation (SHORT,
+            // count 1, value in the tag's byte order)
+            val e1 = w16(0x010f) ++ w16(2) ++ w32(4L) ++
+              "puma".getBytes("ISO-8859-1")
+            val e2 = w16(0x0112) ++ w16(3) ++ w32(1L) ++ w16(o) ++ w16(0)
+            val tiff = order ++ w16(42) ++ w32(8L) ++ w16(2) ++
+              e1 ++ e2 ++ w32(0L)
+            val app1body = "Exif".getBytes("ISO-8859-1") ++
+              Array[Byte](0, 0) ++ tiff
+            val app1 = Array(0xFF.toByte, 0xE1.toByte) ++
+              Array((((app1body.length + 2) >> 8) & 0xff).toByte,
+                ((app1body.length + 2) & 0xff).toByte) ++ app1body
+            val payload: Array[Byte] =
+              if (id % 5 == 4)
+                Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
+              else Array(0xFF.toByte, 0xD8.toByte) ++ app1 ++
+                Array(0xFF.toByte, 0xD9.toByte)
+            (id, Multimodal.exifOrientation(payload).map(_.toLong))
+          }
+        }.toDF("doc_id", "orientation")
+        .orderBy("doc_id")
     },
 
     // DASH MPD manifests (r15 — the XML sibling of the HLS queries):

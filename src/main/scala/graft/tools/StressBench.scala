@@ -444,7 +444,9 @@ object StressBench {
     // r15: the TS packet-grid walk — per-payload byte hop, scan-linear.
     "q_x_ts_probe",
     // r15: manifest/feed XML parses — per-payload StAX walks, linear.
-    "q_x_dash_mpd", "q_x_rss_enclosures")
+    "q_x_dash_mpd", "q_x_rss_enclosures",
+    // r15: sidx/EXIF walks — per-payload bounded byte reads, linear.
+    "q_x_mp4seg_duration", "q_x_exif_orientation")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -523,6 +523,123 @@ class MediaFrontDoorSpec extends SparkTestBase {
     p
   }
 
+  test("24-bit PCM (r15): an extensible-format WAV and a 24-bit AIFF " +
+      "of the same samples read identically — the studio-export class") {
+    // one full-scale-ish and one small sample, mono
+    val samples = Seq(0x400000 - 1, -0x400000, 2048, -2048)
+    def wav24(ext: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int): Unit =
+        (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      val fmtSz = if (ext) 40 else 16
+      bos.write(s("RIFF")); le32(4 + 8 + fmtSz + 8 + 3 * samples.length)
+      bos.write(s("WAVE")); bos.write(s("fmt ")); le32(fmtSz)
+      le16(if (ext) 0xFFFE else 1); le16(1); le32(8000); le32(24000)
+      le16(3); le16(24)
+      if (ext) {
+        le16(22); le16(24); le32(4) // cbSize, validBits, channelMask
+        le16(1) // SubFormat leading code: PCM
+        bos.write(new Array[Byte](14)) // rest of the GUID
+      }
+      bos.write(s("data")); le32(3 * samples.length)
+      samples.foreach(v => (0 until 3).foreach(i =>
+        bos.write((v >> (8 * i)) & 0xff)))
+      bos.toByteArray
+    }
+    def aiff24: Array[Byte] = {
+      val nlz = java.lang.Long.numberOfLeadingZeros(8000L)
+      val ext = b(((16383 + 63 - nlz) >> 8) & 0xff,
+        (16383 + 63 - nlz) & 0xff) ++
+        (0 until 8).map(i =>
+          (((8000L << nlz) >>> (8 * (7 - i))) & 0xff).toByte).toArray
+      val comm = b(0, 1) ++ be32(samples.length.toLong) ++ b(0, 24) ++ ext
+      val pcm = samples.flatMap(v => Seq(((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+      val ssnd = be32(0L) ++ be32(0L) ++ pcm
+      s("FORM") ++ be32(4L + 8 + comm.length + 8 + ssnd.length) ++
+        s("AIFF") ++ s("COMM") ++ be32(comm.length.toLong) ++ comm ++
+        s("SSND") ++ be32(ssnd.length.toLong) ++ ssnd
+    }
+    val wm = Multimodal.wavMonoSamples(wav24(ext = false)).get
+    val wmx = Multimodal.wavMonoSamples(wav24(ext = true)).get
+    val am = Multimodal.aiffMonoSamples(aiff24).get
+    assert(wm.toSeq === wmx.toSeq, "plain vs extensible fmt")
+    assert(wm.toSeq === am.toSeq, "WAV vs AIFF 24-bit parity")
+    assert(math.abs(wm(0) - (0x3fffff / 8388608.0f)) < 1e-7)
+    assert(Multimodal.audioEnvelopeHash(wav24(ext = true)) ===
+      Multimodal.audioEnvelopeHash(aiff24))
+    // a non-PCM extensible SubFormat (IEEE float = 3) still rejects
+    val f = wav24(ext = true)
+    f(44) = 3 // SubFormat leading code byte: fmt data starts at 20
+    assert(Multimodal.wavMonoSamples(f).isEmpty)
+  }
+
+  test("mp4seg: styp/sidx/moof-led segments detect in both " +
+      "classifiers; sidx reference sums divide exactly; moof-only " +
+      "and torn lists degrade") {
+    def seg(first: String): Array[Byte] =
+      be32(16L) ++ s(first) ++ s("msdh") ++ be32(0L)
+    Seq("styp", "sidx", "moof").foreach { b =>
+      assert(Multimodal.detectKind(seg(b)) === "mp4seg", b)
+      val got = spark.range(1)
+        .select(Multimodal.detectKindCol(lit(seg(b))).as("k"))
+        .head.getString(0)
+      assert(got === "mp4seg", s"col: $b")
+    }
+    // styp + sidx(v0, timescale 1000, refs 3s + 2s) -> 5 s exactly
+    def sidx(ts: Long, durs: Seq[Long]): Array[Byte] = {
+      val refs = durs.flatMap(u => be32(0L) ++ be32(u) ++ be32(0L)).toArray
+      val body = be32(0L) ++ be32(1L) ++ be32(ts) ++ be32(0L) ++ be32(0L) ++
+        b(0, 0) ++ b((durs.length >> 8) & 0xff, durs.length & 0xff) ++ refs
+      be32((8L + body.length)) ++ s("sidx") ++ body
+    }
+    val segment = be32(16L) ++ s("styp") ++ s("msdh") ++ be32(0L)
+    assert(Multimodal.mp4SegDuration(
+      segment ++ sidx(1000L, Seq(3000L, 2000L))) === Some(5000000L))
+    // an odd timescale keeps integer-exactness (floor division)
+    assert(Multimodal.mp4SegDuration(
+      segment ++ sidx(3L, Seq(1L))) === Some(333333L))
+    // moof-only (no sidx) and zero timescale read None
+    assert(Multimodal.mp4SegDuration(
+      be32(16L) ++ s("moof") ++ s("mfhd") ++ be32(0L)).isEmpty)
+    assert(Multimodal.mp4SegDuration(
+      segment ++ sidx(0L, Seq(100L))).isEmpty)
+    // a torn reference list reads None, never garbage
+    val torn = (segment ++ sidx(1000L, Seq(3000L, 2000L))).dropRight(10)
+    assert(Multimodal.mp4SegDuration(torn).isEmpty)
+  }
+
+  test("exifOrientation: both byte orders behind a padding entry, " +
+      "APP1-less and torn files read None, out-of-range rejects") {
+    def jpeg(le: Boolean, o: Int): Array[Byte] = {
+      def w16(v: Int): Array[Byte] =
+        if (le) Array((v & 0xff).toByte, (v >> 8).toByte)
+        else Array((v >> 8).toByte, (v & 0xff).toByte)
+      def w32(v: Long): Array[Byte] =
+        if (le) w16((v & 0xffff).toInt) ++ w16((v >> 16).toInt)
+        else w16((v >> 16).toInt) ++ w16((v & 0xffff).toInt)
+      val e1 = w16(0x010f) ++ w16(2) ++ w32(4L) ++ s("puma")
+      val e2 = w16(0x0112) ++ w16(3) ++ w32(1L) ++ w16(o) ++ w16(0)
+      val tiff = (if (le) s("II") else s("MM")) ++ w16(42) ++ w32(8L) ++
+        w16(2) ++ e1 ++ e2 ++ w32(0L)
+      val body = s("Exif") ++ Array[Byte](0, 0) ++ tiff
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte) ++
+        Array((((body.length + 2) >> 8) & 0xff).toByte,
+          ((body.length + 2) & 0xff).toByte) ++ body ++
+        Array(0xFF.toByte, 0xD9.toByte)
+    }
+    assert(Multimodal.exifOrientation(jpeg(le = true, 6)) === Some(6))
+    assert(Multimodal.exifOrientation(jpeg(le = false, 8)) === Some(8))
+    assert(Multimodal.exifOrientation(jpeg(le = true, 9)).isEmpty)
+    assert(Multimodal.exifOrientation(
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)).isEmpty)
+    assert(Multimodal.exifOrientation(
+      jpeg(le = true, 3).dropRight(20)).isEmpty)
+    assert(Multimodal.exifOrientation("not a jpeg".getBytes).isEmpty)
+  }
+
   test("mpegts: the 188-grid structural rule in both classifiers; " +
       "GIF prefix and short 'G' text never misroute") {
     val ts = tsPacket(None) ++ tsPacket(None) ++ tsPacket(None)
