@@ -20,10 +20,16 @@ import java.util.zip.ZipInputStream
   *     `META-INF/container.xml` → [[Epub]] (kind `epub`), any other
   *     zip reads kind `zip` with NO text — an archive is not a
   *     document;
-  *   - strictly-valid UTF-8 → [[Subtitles.parse]] first: one or more
-  *     cues → kind `subtitles`, cue texts joined by newline (callers
-  *     who need the time coordinates use Subtitles directly); zero
-  *     cues → kind `text`, the payload verbatim;
+  *   - strictly-valid UTF-8: an HTML document (a leading
+  *     `<!doctype html`/`<html` after optional BOM/whitespace,
+  *     case-insensitive) reads kind `html` with the RAW markup as its
+  *     text — extraction is the html stage's job
+  *     (`TextAnalysis.extractMainContent`), and naming the kind is
+  *     what routes it there instead of letting markup masquerade as
+  *     prose; otherwise [[Subtitles.parse]] first: one or more cues →
+  *     kind `subtitles`, cue texts joined by newline (callers who
+  *     need the time coordinates use Subtitles directly); zero cues →
+  *     kind `text`, the payload verbatim;
   *   - `1F 8B` (gzip, the crawl transport wrapper) → inflate ONE
   *     member level under a decompression-bomb cap
   *     ([[MaxInflateBytes]]) and re-route the inflated bytes — the
@@ -106,10 +112,16 @@ object DocRouter {
         else Extracted("zip", None)
       } else utf8(payload) match {
         case Some(s) =>
-          val cues = Subtitles.parse(s)
-          if (cues.nonEmpty)
-            Extracted("subtitles", Some(cues.map(_.text).mkString("\n")))
-          else Extracted("text", Some(s))
+          val head = s.dropWhile(c => c == '\uFEFF' || c.isWhitespace)
+            .take(14).toLowerCase
+          if (head.startsWith("<!doctype html") || head.startsWith("<html"))
+            Extracted("html", Some(s))
+          else {
+            val cues = Subtitles.parse(s)
+            if (cues.nonEmpty)
+              Extracted("subtitles", Some(cues.map(_.text).mkString("\n")))
+            else Extracted("text", Some(s))
+          }
         case None => Extracted("none", None)
       }
     } catch {

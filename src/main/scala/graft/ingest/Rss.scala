@@ -18,6 +18,11 @@ import scala.collection.mutable
   *     (namespace-prefix-agnostic, the sitemap r15 lesson) in any of
   *     its three wire forms — `HH:MM:SS`, `MM:SS`, or bare seconds —
   *     to the integer micro grid, lexically;
+  *   - Atom feeds parse through the SAME walk: an `<entry>` is an
+  *     item, and a `<link rel="enclosure" href=… type=… length=…>`
+  *     is an enclosure (any other `rel` — alternate, self — never
+  *     binds); podcast Atom feeds carry `itunes:duration` too and it
+  *     reads identically;
   *   - items without enclosures yield nothing (article feeds);
   *     enclosures without a url are dropped;
   *   - XXE hardened off; a torn document yields the rows parsed so
@@ -57,24 +62,32 @@ object Rss {
         var capture: String = null
         val sb = new StringBuilder
         while (r.hasNext) r.next() match {
-          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-            case "item" =>
-              inItem = true; title = None; dur = None
-              pending = mutable.ArrayBuffer.empty
-            case "enclosure" if inItem =>
-              def attr(name: String): Option[String] =
-                (0 until r.getAttributeCount)
-                  .find(i => r.getAttributeLocalName(i) == name)
-                  .map(r.getAttributeValue)
-              attr("url").foreach { u =>
-                pending += ((u, attr("type"),
-                  attr("length").filter(v => v.nonEmpty &&
-                    v.forall(_.isDigit)).map(_.toLong)))
-              }
-            case "title" | "duration" if inItem =>
-              capture = r.getLocalName; sb.clear()
-            case _ =>
-          }
+          case XMLStreamConstants.START_ELEMENT =>
+            def attr(name: String): Option[String] =
+              (0 until r.getAttributeCount)
+                .find(i => r.getAttributeLocalName(i) == name)
+                .map(r.getAttributeValue)
+            r.getLocalName match {
+              case "item" | "entry" =>
+                inItem = true; title = None; dur = None
+                pending = mutable.ArrayBuffer.empty
+              case "enclosure" if inItem =>
+                attr("url").foreach { u =>
+                  pending += ((u, attr("type"),
+                    attr("length").filter(v => v.nonEmpty &&
+                      v.forall(_.isDigit)).map(_.toLong)))
+                }
+              case "link" if inItem &&
+                  attr("rel").contains("enclosure") =>
+                attr("href").foreach { u =>
+                  pending += ((u, attr("type"),
+                    attr("length").filter(v => v.nonEmpty &&
+                      v.forall(_.isDigit)).map(_.toLong)))
+                }
+              case "title" | "duration" if inItem =>
+                capture = r.getLocalName; sb.clear()
+              case _ =>
+            }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
               if capture != null =>
             sb.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
@@ -84,7 +97,7 @@ object Rss {
               capture = null
             case "duration" if capture == "duration" =>
               dur = durationMicros(sb.toString); capture = null
-            case "item" =>
+            case "item" | "entry" =>
               pending.foreach { case (u, t, len) =>
                 out += Enclosure(title, u, t, len, dur)
               }

@@ -4702,26 +4702,30 @@ object LlmOpsQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // The DOCUMENT front door composed (r15): an eight-lane mixed
+    // The DOCUMENT front door composed (r15): a nine-lane mixed
     // crawl — pdf, docx, epub, srt, vtt, plain text, invalid-UTF-8
     // binary, gzipped text (the transport wrapper inflates and the
-    // INNER kind reports) — routed by DocRouter.extract from the BYTES
+    // INNER kind reports), and raw HTML (NAMED html with the markup
+    // kept — extraction is the html stage's job) — routed by
+    // DocRouter.extract from the BYTES
     // alone; the oracle derives kind and the exact extracted text
     // (epub's trailing block newline and the binary lane's NULL
     // included) from the planting arithmetic. A mislabeled or
     // misrouted payload breaks the lane.
     q("q_x_doc_router",
       "SELECT doc_id, " +
-        "CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' " +
+        "CASE doc_id % 9 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' " +
         "WHEN 2 THEN 'epub' WHEN 3 THEN 'subtitles' WHEN 4 THEN 'subtitles' " +
-        "WHEN 5 THEN 'text' WHEN 7 THEN 'text' ELSE 'none' END AS kind, " +
-        "CASE doc_id % 8 WHEN 0 THEN 'pdf text of doc ' || doc_id " +
+        "WHEN 5 THEN 'text' WHEN 7 THEN 'text' WHEN 8 THEN 'html' " +
+        "ELSE 'none' END AS kind, " +
+        "CASE doc_id % 9 WHEN 0 THEN 'pdf text of doc ' || doc_id " +
         "WHEN 1 THEN 'docx text of doc ' || doc_id " +
         "WHEN 2 THEN 'epub text of doc ' || doc_id || chr(10) " +
         "WHEN 3 THEN 'sub text of doc ' || doc_id " +
         "WHEN 4 THEN 'vtt text of doc ' || doc_id " +
         "WHEN 5 THEN 'plain text of doc ' || doc_id " +
         "WHEN 7 THEN 'gzipped text of doc ' || doc_id " +
+        "WHEN 8 THEN '<html><body>page text of doc ' || doc_id || '</body></html>' " +
         "ELSE NULL END AS text " +
         "FROM documents ORDER BY doc_id") { (s, d) =>
       import s.implicits._
@@ -4738,7 +4742,7 @@ object LlmOpsQueries extends QueryModule {
               }
               zos.close(); bos.toByteArray
             }
-            val payload: Array[Byte] = (id % 8) match {
+            val payload: Array[Byte] = (id % 9) match {
               case 0 =>
                 val content = s"BT /F1 12 Tf 72 720 Td (pdf text of doc $id) Tj ET"
                 ("%PDF-1.4\n" +
@@ -4769,6 +4773,9 @@ object LlmOpsQueries extends QueryModule {
                 val gz = new java.util.zip.GZIPOutputStream(bos)
                 gz.write(s"gzipped text of doc $id".getBytes("UTF-8"))
                 gz.close(); bos.toByteArray
+              case 8 =>
+                s"<html><body>page text of doc $id</body></html>"
+                  .getBytes("UTF-8")
               case _ => Array(0x89.toByte, 0xFF.toByte, 0xFE.toByte, id.toByte)
             }
             val e = DocRouter.extract(payload)

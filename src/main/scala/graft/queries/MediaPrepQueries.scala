@@ -1147,12 +1147,15 @@ object MediaPrepQueries extends QueryModule {
         .orderBy("doc_id", "bandwidth_bps")
     },
 
-    // RSS podcast enclosures (r15 — the audio crawl's discovery feed):
-    // per doc a feed of doc_id%4 items (zero-item article feeds yield
-    // zero rows), each with an enclosure and its itunes:duration in a
-    // ROTATING wire form (bare seconds / MM:SS / HH:MM:SS) that must
-    // all read back to the same micro arithmetic; a lying non-numeric
-    // length reads absent on every third item.
+    // RSS/Atom podcast enclosures (r15 — the audio crawl's discovery
+    // feed): per doc a feed of doc_id%4 items (zero-item article
+    // feeds yield zero rows), each with an enclosure and its
+    // itunes:duration in a ROTATING wire form (bare seconds / MM:SS /
+    // HH:MM:SS) that must all read back to the same micro arithmetic;
+    // a lying non-numeric length reads absent on every third item.
+    // ODD docs write the SAME data as an Atom feed (entry +
+    // rel="enclosure" link, with a decoy rel="alternate" link that
+    // must never bind) — both dialects converge to identical rows.
     q("q_x_rss_enclosures",
       "WITH p AS (SELECT doc_id, doc_id % 4 AS k FROM documents), " +
         "c AS (SELECT doc_id, unnest(generate_series(1, k)) AS i FROM p WHERE k >= 1) " +
@@ -1177,13 +1180,23 @@ object MediaPrepQueries extends QueryModule {
               }
               val len = if (i % 3 == 0) "three quarters of a show"
                 else (id % 1000000 + i).toString
-              s"<item><title>ep $i of doc $id</title>" +
-                s"""<enclosure url="https://pod.example/d$id/e$i.mp3" type="audio/mpeg" length="$len"/>""" +
-                s"<itunes:duration>$durStr</itunes:duration></item>"
+              if (id % 2 == 0)
+                s"<item><title>ep $i of doc $id</title>" +
+                  s"""<enclosure url="https://pod.example/d$id/e$i.mp3" type="audio/mpeg" length="$len"/>""" +
+                  s"<itunes:duration>$durStr</itunes:duration></item>"
+              else
+                s"<entry><title>ep $i of doc $id</title>" +
+                  s"""<link rel="alternate" href="https://pod.example/page$i"/>""" +
+                  s"""<link rel="enclosure" href="https://pod.example/d$id/e$i.mp3" type="audio/mpeg" length="$len"/>""" +
+                  s"<itunes:duration>$durStr</itunes:duration></entry>"
             }.mkString
             val feed =
-              """<?xml version="1.0"?><rss version="2.0" xmlns:itunes="http://www.itunes.com/dtds/podcast-1.0.dtd">""" +
-                s"<channel><title>feed $id</title>$items</channel></rss>"
+              if (id % 2 == 0)
+                """<?xml version="1.0"?><rss version="2.0" xmlns:itunes="http://www.itunes.com/dtds/podcast-1.0.dtd">""" +
+                  s"<channel><title>feed $id</title>$items</channel></rss>"
+              else
+                """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom" xmlns:itunes="http://www.itunes.com/dtds/podcast-1.0.dtd">""" +
+                  s"<title>feed $id</title>$items</feed>"
             graft.ingest.Rss.enclosures(feed.getBytes("UTF-8")).map(e =>
               (id, e.item_title.orNull, e.url, e.mime.orNull,
                 e.length_bytes, e.duration_micros))

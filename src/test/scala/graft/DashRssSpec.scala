@@ -69,6 +69,25 @@ class DashRssSpec extends AnyFunSuite {
     assert(Rss.enclosures("junk".getBytes("UTF-8")) === Seq.empty)
   }
 
+  test("Atom dialect: entry + rel=enclosure link rows identically; " +
+      "alternate/self links never bind") {
+    val atom =
+      """<?xml version="1.0"?>
+        |<feed xmlns="http://www.w3.org/2005/Atom" xmlns:itunes="http://www.itunes.com/dtds/podcast-1.0.dtd">
+        |<title>feed title stays out</title>
+        |<entry><title>Atom Ep</title>
+        |<link rel="alternate" href="https://p.example/page"/>
+        |<link rel="enclosure" href="https://p.example/a1.mp3" type="audio/mpeg" length="777"/>
+        |<link rel="self" href="https://p.example/self"/>
+        |<itunes:duration>2:05</itunes:duration></entry>
+        |<entry><title>No media entry</title>
+        |<link rel="alternate" href="https://p.example/other"/></entry>
+        |</feed>""".stripMargin.getBytes("UTF-8")
+    assert(Rss.enclosures(atom) === Seq(
+      Rss.Enclosure(Some("Atom Ep"), "https://p.example/a1.mp3",
+        Some("audio/mpeg"), Some(777L), Some(125000000L))))
+  }
+
   test("rss durationMicros wire forms and rejects") {
     assert(Rss.durationMicros("45") === Some(45000000L))
     assert(Rss.durationMicros("12:34") === Some(754000000L))

@@ -56,6 +56,19 @@ class DocRouterSpec extends AnyFunSuite {
     assert(DocRouter.extract("just prose".getBytes("UTF-8")) ===
       DocRouter.Extracted("text", Some("just prose")))
 
+    // HTML is NAMED html with the raw markup kept (extraction is the
+    // html stage's job) — doctype form, bare <html>, leading space/BOM
+    val page = "<html><body>hi</body></html>"
+    assert(DocRouter.extract(page.getBytes("UTF-8")) ===
+      DocRouter.Extracted("html", Some(page)))
+    val doctype = "\n  <!DOCTYPE HTML><html></html>"
+    assert(DocRouter.extract(doctype.getBytes("UTF-8")).kind === "html")
+    assert(DocRouter.extract(("\uFEFF" + page).getBytes("UTF-8")).kind
+      === "html")
+    // a prose mention of html mid-text stays text
+    assert(DocRouter.extract("see <html> tags".getBytes("UTF-8")).kind
+      === "text")
+
     // invalid UTF-8 (a PNG magic byte) routes none, never empty text
     assert(DocRouter.extract(Array(0x89.toByte, 0x50, 0x4E)) ===
       DocRouter.Extracted("none", None))
