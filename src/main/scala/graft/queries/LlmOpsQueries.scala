@@ -1555,8 +1555,11 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import graft.ingest.Jsonl
       import graft.llmops.PortableHash
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_interop").toString
+      // FIXED path, not a per-run tempdir: the DuckDB oracle reads these
+      // very files back (read_json_auto over the literal path above), so
+      // both engines must agree on where they live. Jsonl.write is
+      // mode("overwrite") — reruns replace, never accumulate.
+      val path = "/tmp/graft_jsonl_interop"
       Jsonl.write(Tables.documents(s, d)
         .select("doc_id", "text", "source").coalesce(4), path)
       val (good, quarantine) = Jsonl.read(s, path)
