@@ -86,7 +86,16 @@ object LmArtifact {
     */
   def arpaTable(reference: DataFrame, refTextCol: String = "text",
       tokens: Column => Column = TextAnalysis.wsTokens,
-      discount: Double = 0.75): DataFrame = {
+      discount: Double = 0.75): DataFrame =
+    arpaParts(reference, refTextCol, tokens, discount)._2
+
+  /** [[arpaTable]] plus its materialized bigram-count table — shared so
+    * [[arpaTable3]] reuses the counts instead of re-exploding the corpus
+    * (the chain's tables hang off `cb` several times over).
+    */
+  private def arpaParts(reference: DataFrame, refTextCol: String,
+      tokens: Column => Column,
+      discount: Double): (DataFrame, DataFrame) = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
     val toks = reference
@@ -95,12 +104,19 @@ object LmArtifact {
     // on the data path (assert_true weaves into the kept value so the
     // check can't be pruned and costs no extra corpus scan).
     val cu0 = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    // EAGER checkpoints on the vocab/bigram count tables (the
+    // arpaTable3Kn discipline, r15): ~5 downstream consumers reference
+    // cu — two broadcast totals, the unigram rows, the per-context
+    // bookkeeping — and each broadcast subquery re-executes its whole
+    // subtree, so without the barrier the corpus was re-tokenized and
+    // re-aggregated once per consumer (measured: q_x_arpa_score ran 31
+    // jobs, five of them full tokenize passes, 13.6 s standalone).
     val cu = cu0.select(coalesce(
       assert_true(col("w") =!= lit(Unk), lit(
         s"reference corpus contains a literal '$Unk' token — it would " +
           "collide with the OOV sentinel; pre-filter or re-tokenize"))
         .cast("string"),
-      col("w")).as("w"), col("cu"))
+      col("w")).as("w"), col("cu")).localCheckpoint(eager = true)
     // coalesce the empty-corpus sum: zero observed tokens leave a
     // 1-outcome model (<unk> at P = 1, log 0) — degenerate but exactly
     // normalized, never a null-score row.
@@ -124,6 +140,7 @@ object LmArtifact {
         .as(Seq("__p", "__g")))
       .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
     val cb = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = true)
     // per-context discount bookkeeping: distinct continuations and the
     // unigram mass they already own (the bow denominator).
     val uniOfW2 = uniProb.select(col("w").as("w2"),
@@ -156,10 +173,10 @@ object LmArtifact {
       .select(lit(2).as("n"),
         concat(col("w1"), lit(" "), col("w2")).as("gram"),
         col("nll10_micro"), lit(null).cast("long").as("bow10_micro"))
-    uniRows.unionAll(biRows)
+    (cb, uniRows.unionAll(biRows)
       .orderBy(col("n"),
         when(col("gram") === Unk && col("n") === 1, lit(0)).otherwise(lit(1)),
-        col("gram"))
+        col("gram")))
   }
 
   /** Train the TRIGRAM absolute-discount backoff LM — [[arpaTable]]'s
@@ -195,8 +212,8 @@ object LmArtifact {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val base = arpaTable(reference, refTextCol, tokens, discount)
-      .localCheckpoint(true)
+    val (cb, base0) = arpaParts(reference, refTextCol, tokens, discount)
+    val base = base0.localCheckpoint(true)
     val toksArr = reference
       .select(tokens(lower(col(refTextCol))).as("__toks"))
     // adjacent triples — the gram shape one order up.
@@ -209,16 +226,9 @@ object LmArtifact {
         col("__g.w3").as("w3"))
     val ct = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
       .localCheckpoint(true)
-    // rebuild the bigram counts/context totals the bow2 arithmetic needs
-    // (the base table stores probabilities, not counts)
-    val grams = toksArr.filter(size(col("__toks")) >= 2)
-      .select(posexplode(expr(
-        "transform(sequence(0, size(__toks) - 2), " +
-          "i -> struct(__toks[i] as w1, __toks[i + 1] as w2))"))
-        .as(Seq("__p", "__g")))
-      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
-    val cb = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true)
+    // bigram counts/context totals for the bow2 arithmetic come straight
+    // from arpaParts' materialized count table (r15 — previously rebuilt
+    // here with a second corpus explode).
     val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
     val ctx2 = ct
       .join(cb.select(col("w1").as("w2"), col("w2").as("w3"),
@@ -610,8 +620,14 @@ object LmArtifact {
     * drop out (the bigramLogProb convention).
     */
   def arpaScore(df: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame,
+      lm0: DataFrame,
       tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
+    // Materialize the artifact ONCE: six consumers hang off it (the
+    // <unk> require, three broadcast unigram projections, the vocab
+    // membership probe, the bigram join) and each broadcast subquery
+    // re-executes its subtree — scoring under a freshly-TRAINED model
+    // re-ran the whole trainer per consumer before the barrier (r15).
+    val lm = lm0.localCheckpoint(eager = true)
     val uni = lm.filter(col("n") === 1)
       .select(col("gram").as("w"), col("nll10_micro").as("u_nll"),
         col("bow10_micro").as("bow"))
@@ -636,12 +652,17 @@ object LmArtifact {
         when(col("__in").isNotNull, col("raw")).otherwise(lit(Unk)).as("tok"),
         col("__in").isNull.as("oov"))
       .localCheckpoint(eager = true)
-    // adjacent pairs via a self-join on (doc, pos+1): the explode is
-    // already materialized, and the equi-join keeps the whole pair
-    // stream codegen'd without a corpus-global window.
-    val pairs = toks.select(col("doc"), col("pos"), col("tok").as("w1"))
-      .join(toks.select(col("doc"), (col("pos") - 1).as("pos"),
-        col("tok").as("w2"), col("oov").as("oov2")), Seq("doc", "pos"))
+    // adjacent pairs via lead() over the per-doc window — ONE exchange
+    // of the token stream (hash by doc) instead of the former self-join
+    // on (doc, pos+1), which shuffled the stream once per join side
+    // (r15; per-doc windows are key-partitioned, never corpus-global).
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+    val pairs = toks
+      .select(col("doc"), col("tok").as("w1"),
+        lead(col("tok"), 1).over(wDoc).as("w2"),
+        lead(col("oov"), 1).over(wDoc).as("oov2"))
+      .filter(col("w2").isNotNull)
     pairs
       .join(bi, concat(col("w1"), lit(" "), col("w2")) === col("gram"), "left")
       .join(broadcast(uni.select(col("w").as("w2"),
@@ -672,8 +693,10 @@ object LmArtifact {
     * model's training corpus); one keyed aggregation.
     */
   def arpaScore3(df: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame,
+      lm0: DataFrame,
       tokens: Column => Column = TextAnalysis.wsTokens): DataFrame = {
+    // one artifact materialization, many consumers — see arpaScore.
+    val lm = lm0.localCheckpoint(eager = true)
     val uni = lm.filter(col("n") === 1)
       .select(col("gram").as("w"), col("nll10_micro").as("u_nll"),
         col("bow10_micro").as("bow1"))
@@ -694,11 +717,16 @@ object LmArtifact {
         when(col("__in").isNotNull, col("raw")).otherwise(lit(Unk)).as("tok"),
         col("__in").isNull.as("oov"))
       .localCheckpoint(eager = true)
-    val triples = toks.select(col("doc"), col("pos"), col("tok").as("w1"))
-      .join(toks.select(col("doc"), (col("pos") - 1).as("pos"),
-        col("tok").as("w2")), Seq("doc", "pos"))
-      .join(toks.select(col("doc"), (col("pos") - 2).as("pos"),
-        col("tok").as("w3"), col("oov").as("oov3")), Seq("doc", "pos"))
+    // adjacent triples via lead() — one exchange of the token stream
+    // instead of the former double self-join's three (see arpaScore).
+    val wDoc3 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+    val triples = toks
+      .select(col("doc"), col("tok").as("w1"),
+        lead(col("tok"), 1).over(wDoc3).as("w2"),
+        lead(col("tok"), 2).over(wDoc3).as("w3"),
+        lead(col("oov"), 2).over(wDoc3).as("oov3"))
+      .filter(col("w3").isNotNull)
     triples
       .join(tri, concat(col("w1"), lit(" "), col("w2"), lit(" "),
         col("w3")) === col("__tg"), "left")
