@@ -22,6 +22,22 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+  /** Shuffle/block-manager scratch directory (r15): every map task of a
+    * small shuffle creates numPartitions temp files, and task thread
+    * dumps showed the hot multi-job pipelines spending most of their
+    * task time inside DiskBlockManager.createTempShuffleBlock — on this
+    * box /tmp file creation costs ~0.5 ms/file vs ~0.009 ms on tmpfs
+    * (57×). Pointing spark.local.dir at fast scratch is the local
+    * equivalent of a cluster's fast-local-disk spark.local.dir (guide
+    * §9); shuffle volumes here are MBs, far under the tmpfs bound.
+    * Override with SPARK_GRAFT_LOCAL_DIR; absent tmpfs → Spark default.
+    */
+  private[graft] def fastLocalDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
+      .orElse(Option("/dev/shm")
+        .filter(p => new java.io.File(p).isDirectory)
+        .map(_ + "/graft_spark_local"))
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,15 +57,34 @@ object Bench {
     // as a -1 entry. A cold failure records its message on stderr and
     // skips the warm run (double-reporting one broken query as two -1s
     // would mask the root cause).
+    // Inter-query hygiene (r15, OUTSIDE the timed region): queries
+    // materialize intermediates with eager localCheckpoint, whose blocks
+    // stay pinned in the block manager until the referencing DataFrames
+    // are GC'd — across 320 sequential queries that accumulates GBs of
+    // dead blocks in the shared local-mode JVM, and the resulting memory
+    // pressure/evictions slowed LATER queries 2–3× versus standalone
+    // runs of the same query (q_x_multimodal_dedup 12.0 s in-bench vs
+    // 4.3 s standalone at the same commit). Dropping finished queries'
+    // persisted RDDs between timings removes that cross-query
+    // interference; each query still computes from the parquet inputs
+    // (nothing is reused — this releases state, it never carries any).
+    // SPARK_GRAFT_BENCH_CLEAN=0 restores the accumulate-everything
+    // behaviour for comparison.
+    val clean = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN", "1") != "0"
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          if (clean) spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (clean) spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
     // sorted run order: per-query timings stay comparable across rounds
     // (map iteration order would shuffle which query pays the first-run

@@ -761,39 +761,30 @@ object TextAnalysis {
     * boilerplate / template spam that exact and near-dup passes miss
     * because the repetition is *within* one document.
     *
-    * Shape: explode n-grams → groupBy (doc, gram) → groupBy doc — two
-    * shuffles, both keyed by doc(+gram), linear in corpus size (never the
-    * per-doc quadratic array-compare). Tie-break for the top gram is
-    * (count, gram) struct-max — deterministic and SQL-reproducible.
-    * Documents shorter than n tokens keep a row (zero fractions, null top
-    * gram) via the left join back to the base.
+    * Shape (r15): ONE narrow pass — the per-doc gram counts, top gram
+    * and duplicated-char totals are computed inside the codegen'd
+    * [[org.apache.spark.sql.graftfn.NgramRepStats]] expression (every
+    * gram of a document lives in its own row; the former explode →
+    * groupBy(doc, gram) → groupBy(doc) → join chain shuffled the whole
+    * gram stream twice to compute row-local statistics, guide §2.4).
+    * Tie-break for the top gram is unchanged: (count, gram) max with
+    * binary string order. Documents shorter than n tokens keep a row
+    * (zero fractions, null top gram) — the expression returns null and
+    * the coalesces below reproduce the old left-join-miss outputs.
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, tokens: Column => Column = wsTokens): DataFrame = {
-    val base = df.select(col(idCol).as("doc"),
-      length(trim(col(textCol))).cast("long").as("n_chars"),
-      tokens(col(textCol)).as("toks"))
-    val grams = base.select(col("doc"), col("n_chars"),
-      explode(when(size(col("toks")) >= n,
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-        .otherwise(array())).as("gram"))
-    val perGram = grams.groupBy("doc", "gram")
-      .agg(count(lit(1)).as("cnt"), max("n_chars").as("n_chars"))
-    val perDoc = perGram.groupBy("doc").agg(
-      max(struct(col("cnt"), col("gram"))).as("top"),
-      sum(col("cnt")).as("n_grams"),
-      sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))).as("dup_chars"),
-      max("n_chars").as("nc"))
-    base.select("doc", "n_chars").distinct()
-      .join(perDoc.drop("nc"), Seq("doc"), "left")
+    import org.apache.spark.sql.graftfn.NgramRepStats
+    df.select(col(idCol).as("doc"),
+        length(trim(col(textCol))).cast("long").as("n_chars"),
+        NgramRepStats.stats(tokens(col(textCol)), n).as("__rep"))
       .select(col("doc"), col("n_chars"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        col("top")("gram").as("top_gram"),
-        col("top")("cnt").as("top_count"),
-        coalesce(round(col("top")("cnt") * length(col("top")("gram"))
+        coalesce(col("__rep")("n_grams"), lit(0L)).as("n_grams"),
+        col("__rep")("top_gram").as("top_gram"),
+        col("__rep")("top_count").as("top_count"),
+        coalesce(round(col("__rep")("top_count") * length(col("__rep")("top_gram"))
           / col("n_chars"), 6), lit(0.0)).as("top_gram_char_frac"),
-        coalesce(round(col("dup_chars") / col("n_chars"), 6), lit(0.0))
+        coalesce(round(col("__rep")("dup_chars") / col("n_chars"), 6), lit(0.0))
           .as("dup_gram_char_frac"))
   }
 
@@ -820,12 +811,12 @@ object TextAnalysis {
     // tokens threads through every sub-gauge; with [[scriptTokens]] on a
     // CJK corpus, retune the length thresholds (per-char tokens have
     // avg_token_len 1) — the gate's units are the tokenizer's units.
-    val rep = ngramRepetition(df, idCol, textCol, n = 2, tokens = tokens)
-      .select(col("doc"), col("dup_gram_char_frac"))
+    // All four gauges are narrow columns (r15): the gate is ONE
+    // shuffle-free pass over the corpus.
     val q = withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text")),
         tokens = tokens)
       .withColumn("type_token_ratio", typeTokenRatio(col("text"), tokens))
-      .join(rep, Seq("doc"))
+      .withColumn("dup_gram_char_frac", dupGramCharFrac(col("text"), tokens))
     q.select(col("doc"), col("n_tokens"), col("avg_token_len"),
         col("type_token_ratio"), col("dup_gram_char_frac"),
         when(col("n_tokens") < minTokens, "too_short")
@@ -853,12 +844,10 @@ object TextAnalysis {
   def qualityGateFitted(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, thresholds: DataFrame,
       tokens: Column => Column = wsTokens): DataFrame = {
-    val rep = ngramRepetition(df, idCol, textCol, n = 2, tokens = tokens)
-      .select(col("doc"), col("dup_gram_char_frac"))
     val thr = broadcast(thresholds.select(col(sourceCol).as("source"),
       col("min_tokens"), col("max_tokens"), col("max_avg_token_len"),
       col("min_type_token"), col("max_dup_gram_frac")))
-    qualityGateMetricJoin(df, idCol, textCol, sourceCol, rep, tokens)
+    qualityGateMetricJoin(df, idCol, textCol, sourceCol, tokens)
       .join(thr, Seq("source"), "left")
       .select(col("doc"), col("source"), col("n_tokens"), col("avg_token_len"),
         col("type_token_ratio"), col("dup_gram_char_frac"),
@@ -871,13 +860,26 @@ object TextAnalysis {
       .withColumn("keep", col("reason") === "keep")
   }
 
+  /** `dup_gram_char_frac` as a NARROW column (value-identical to
+    * [[ngramRepetition]]'s output column of the same name) — lets the
+    * gates compute it inline instead of joining a second derivation of
+    * the corpus back onto itself (r15; the join was a shuffle of both
+    * sides keyed by doc).
+    */
+  private def dupGramCharFrac(text: Column,
+      tokens: Column => Column, n: Int = 2): Column = {
+    import org.apache.spark.sql.graftfn.NgramRepStats
+    coalesce(round(NgramRepStats.stats(tokens(text), n)("dup_chars") /
+      length(trim(text)).cast("long"), 6), lit(0.0))
+  }
+
   private def qualityGateMetricJoin(df: DataFrame, idCol: String,
-      textCol: String, sourceCol: String, rep: DataFrame,
+      textCol: String, sourceCol: String,
       tokens: Column => Column): DataFrame =
     withQuality(df.select(col(idCol).as("doc"), col(textCol).as("text"),
         col(sourceCol).as("source")), "text", tokens)
       .withColumn("type_token_ratio", typeTokenRatio(col("text"), tokens))
-      .join(rep, Seq("doc"))
+      .withColumn("dup_gram_char_frac", dupGramCharFrac(col("text"), tokens))
 
   /** Stopword-profile language ID. Scores each candidate language by the
     * fraction of tokens found in its function-word profile; argmax wins,
@@ -1415,13 +1417,11 @@ object TextAnalysis {
       tokenGranularity: Long): DataFrame = {
     import graft.functions.LongHistogram
     def scaled(c: Column): Column = floor(c * 1000000L + lit(0.5)).cast("long")
-    val rep = ngramRepetition(df, idCol, textCol, n = 2)
-      .select(col("doc"), col("dup_gram_char_frac"))
     val m = withQuality(df.select(
         col(idCol).as("doc") +: col(textCol).as("text") +:
           sourceCol.map(col).toSeq: _*))
       .withColumn("type_token_ratio", typeTokenRatio(col("text")))
-      .join(rep, Seq("doc"))
+      .withColumn("dup_gram_char_frac", dupGramCharFrac(col("text"), wsTokens))
       .select(sourceCol.map(col).toSeq ++ Seq(col("n_tokens"),
         scaled(col("avg_token_len")).as("atl"),
         scaled(col("type_token_ratio")).as("ttr"),

@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   private case class StageRow(id: Int, name: String, ms: Long,
-      taskMs: Long, shRead: Long, shWrite: Long, records: Long)
+      taskMs: Long, cpuMs: Long, gcMs: Long, shRead: Long, shWrite: Long,
+      records: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,8 +44,11 @@ object Profile {
           s <- si.submissionTime; c <- si.completionTime
         } yield c - s).getOrElse(0L)
         val m = si.taskMetrics
-        stages.add(StageRow(si.stageId, si.name.takeWhile(_ != '\n'), ms,
-          m.executorRunTime,
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("graft.tools"))
+          .getOrElse(si.name.takeWhile(_ != '\n')).trim
+        stages.add(StageRow(si.stageId, graftFrame, ms,
+          m.executorRunTime, m.executorCpuTime / 1000000, m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
           m.inputMetrics.recordsRead))
       }
@@ -63,7 +67,7 @@ object Profile {
       val rows = stages.asScala.toSeq.sortBy(-_.ms)
       println(f"%n========== $n%s  wall=$wall%.2fs jobs=${jobs.get}%d stages=${rows.size}%d stageMsSum=${rows.map(_.ms).sum}%d")
       rows.take(14).foreach { r =>
-        println(f"  stage ${r.id}%4d ${r.ms}%6dms task=${r.taskMs}%6dms shR=${r.shRead}%9d shW=${r.shWrite}%9d rec=${r.records}%9d  ${r.name.take(90)}%s")
+        println(f"  stage ${r.id}%4d ${r.ms}%6dms task=${r.taskMs}%6dms cpu=${r.cpuMs}%6dms gc=${r.gcMs}%5dms shR=${r.shRead}%9d shW=${r.shWrite}%9d rec=${r.records}%9d  ${r.name.take(80)}%s")
       }
     }
     spark.stop()

@@ -2,42 +2,37 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway profiling scratch main — currently: time the primitive
-  * tokenize/explode/aggregate passes that the arpa family's broadcast
-  * subqueries re-derive, to size the per-pass cost at sf0.1.
+/** Throwaway profiling scratch main — currently: A/B the shuffle scratch
+  * directory and the bypass-merge writer threshold on a shuffle-heavy
+  * query (q_x_curation_stream), isolating the shuffle-file-creation cost
+  * found in the task thread dumps.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val which = if (args.nonEmpty) args(0) else "base"
+    val b = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b2 = which match {
+      case "shm" => b.config("spark.local.dir", "/dev/shm/graft_scratch")
+      case "sort" => b.config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      case "both" => b.config("spark.local.dir", "/dev/shm/graft_scratch")
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      case _ => b
+    }
+    val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
-    import graft.Tables
-    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
-    def time(tag: String)(f: => Long): Unit = {
+    val names = Seq("q_x_curation_stream", "q_x_dedup_stream", "q_x_mmr_rerank")
+    names.foreach { n =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        val n = f
-        println(f"[scratch] $tag run$i n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val c = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").count()
+        println(f"[scratch] $which $n run$i n=$c ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
-    }
-    time("tokenize+count") {
-      docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-        .groupBy("w").agg(count(lit(1))).count()
-    }
-    time("bigrams posexplode transform") {
-      docs.select(split(trim(lower(col("text"))), "\\s+").as("__toks"))
-        .filter(size(col("__toks")) >= 2)
-        .select(posexplode(expr(
-          "transform(sequence(0, size(__toks) - 2), " +
-            "i -> struct(__toks[i] as w1, __toks[i + 1] as w2))"))
-          .as(Seq("__p", "__g")))
-        .groupBy("__g.w1", "__g.w2").agg(count(lit(1))).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }
