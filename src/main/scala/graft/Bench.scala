@@ -22,22 +22,6 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-  /** Shuffle/block-manager scratch directory (r15): every map task of a
-    * small shuffle creates numPartitions temp files, and task thread
-    * dumps showed the hot multi-job pipelines spending most of their
-    * task time inside DiskBlockManager.createTempShuffleBlock — on this
-    * box /tmp file creation costs ~0.5 ms/file vs ~0.009 ms on tmpfs
-    * (57×). Pointing spark.local.dir at fast scratch is the local
-    * equivalent of a cluster's fast-local-disk spark.local.dir (guide
-    * §9); shuffle volumes here are MBs, far under the tmpfs bound.
-    * Override with SPARK_GRAFT_LOCAL_DIR; absent tmpfs → Spark default.
-    */
-  private[graft] def fastLocalDir: Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
-      .orElse(Option("/dev/shm")
-        .filter(p => new java.io.File(p).isDirectory)
-        .map(_ + "/graft_spark_local"))
-
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,9 +87,32 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
     val cold = results.map(_._2._1).sum
     val warm = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$cold,"unit":"sec","queries":${fmt(_._1)},""" +
+    val loadEnd = loadAvg()
+    val full = s"""{"metric":"total","value":$cold,"unit":"sec","queries":${fmt(_._1)},""" +
       s""""warm_total":$warm,"queries_warm":${fmt(_._2)},"sf":"$sfDir",""" +
-      s""""load_start":$loadStart,"load_end":${loadAvg()}}""")
+      s""""load_start":$loadStart,"load_end":$loadEnd}"""
+    println(full)
+    // r16 measurement-contract fix: the driver captures only a bounded tail
+    // of this process's output, and the full line above (~15 KB for 320
+    // queries) gets truncated from the left and never parses — PERF has had
+    // per_query empty since round 12. Two additions-only remedies:
+    //  1. the full per-query JSON is ALSO written to a file
+    //     (SPARK_GRAFT_BENCH_OUT, default ./bench_out.json) so any capture
+    //     size can recover per-query numbers;
+    //  2. a SHORT final line (same schema minus the two per-query maps,
+    //     ~200 chars) is printed LAST so a bounded tail always contains at
+    //     least one complete parseable JSON line.
+    // The original full line is kept and unchanged; nothing is removed.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$cold,"unit":"sec","n":${results.size},""" +
+      s""""warm_total":$warm,"sf":"$sfDir","bench_out":"$outPath",""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd}""")
     spark.stop()
   }
 }
