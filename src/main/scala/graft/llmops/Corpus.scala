@@ -24,6 +24,23 @@ object Corpus {
     PortableHash.hash52(keyCol.cast("string")) % 100 < pct
   }
 
+  /** Guard against an under-parallel scan feeding per-document heavy
+    * work (tokenize/explode/hash): when the input's partition count is
+    * below the cluster's default parallelism — the unsplittable-input
+    * case: one gzip file, or a parquet file written as a single row
+    * group, which byte-range splitting cannot parallelize — repartition
+    * to default parallelism right after the read (guide §2.5). On a
+    * well-laid-out input (≥ one split per core, the 100 TB case) this is
+    * a NO-OP: no extra exchange enters the plan. The round-robin
+    * repartition is deterministic under retries (sortBeforeRepartition
+    * stays on) and every downstream consumer here is a keyed aggregation
+    * or join, so results are partition-layout-invariant.
+    */
+  private[llmops] def spreadScan(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Per-stratum deterministic sampling — rebalance a corpus by keeping a
     * different fraction of each stratum (the "downsample web crawl,
     * upweight books, keep all code" move every pretraining mix needs).

@@ -61,8 +61,20 @@ object Curation {
       quotaSalts: Int = 16,
       fittedThresholds: Option[DataFrame] = None): DataFrame = {
     require(quota > 0)
-    val d0 = docs.select(col(idCol).as("doc"), col(textCol).as("text"),
-      col(sourceCol).as("source"))
+    // r16 one-frame cascade: stages 1–3 are per-document decisions
+    // (blocklist flag, the narrow gate verdict, the content-hash window)
+    // — they ride ONE frame as columns instead of alive_i frames
+    // re-joined back per marker. Per-stage decision sets are unchanged:
+    // the gate verdict is per-doc (same answer whether computed on the
+    // full corpus or on blocklist survivors), and the exact-dedup min
+    // only ranges over stage-2 survivors via min(when(pass2, doc)).
+    // This replaces 4 eager checkpoints and 10 doc-keyed joins with one
+    // checkpoint, one content-hash window exchange and 3 small marker
+    // joins (the two genuinely set-shaped stages, near-dup and
+    // decontamination, still compute on the filtered survivor set and
+    // join back doc-sized markers) — guide §2.4.
+    val d0 = Corpus.spreadScan(docs.select(col(idCol).as("doc"),
+      col(textCol).as("text"), col(sourceCol).as("source")))
 
     // 1. blocklist — broadcast; NULL source blocked (NOT IN semantics).
     val b = broadcast(blockedSources
@@ -70,68 +82,63 @@ object Curation {
     val flagged = d0.join(b, col("source") === col("__bsrc"), "left")
       .withColumn("__blocked", col("__bsrc").isNotNull || col("source").isNull)
       .drop("__bsrc")
-    val alive1 = flagged.filter(!col("__blocked")).select("doc", "text", "source")
-      .localCheckpoint(true)
 
-    // 2. quality gate over blocklist survivors — scalar constants, or
-    // the per-source fitted thresholds when the caller re-fit after drift.
-    val qreasons = fittedThresholds.fold(
-        TextAnalysis.qualityGate(alive1, "doc", "text",
+    // 2. quality gate as a narrow column — scalar constants, or the
+    // per-source fitted thresholds when the caller re-fit after drift.
+    val gated = fittedThresholds.fold(
+        flagged.withColumn("__qr", TextAnalysis.qualityReasonExpr(col("text"),
           minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
-          minTypeToken, maxDupGramFrac))(thr =>
-        TextAnalysis.qualityGateFitted(alive1, "doc", "text", "source", thr))
-      .select(col("doc"), col("reason").as("quality_reason"))
-      .localCheckpoint(true)
-    val alive2 = alive1.join(
-      qreasons.filter(col("quality_reason") === "keep").select("doc"),
-      Seq("doc"), "left_semi")
+          minTypeToken, maxDupGramFrac)))(thr =>
+        TextAnalysis.withQualityReasonFitted(flagged, "text", "source", thr, "__qr"))
+    val pass2 = !col("__blocked") && col("__qr") === "keep"
 
-    // 3. exact dedup — min-id survivor per content hash.
-    val exFail = alive2.select(col("doc"), md5(col("text")).as("__h"))
-      .withColumn("__keep", min("doc").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
-      .filter(col("doc") =!= col("__keep")).select("doc")
-    val alive3 = alive2.join(exFail, Seq("doc"), "left_anti")
+    // 3. exact dedup — min-id survivor per content hash, among stage-2
+    // survivors only (failed rows are excluded from the min via when()).
+    val base = gated
+      .withColumn("__keep3", min(when(pass2, col("doc"))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .withColumn("__ex", pass2 && col("doc") =!= col("__keep3"))
+      .withColumn("__pass3", pass2 && col("doc") === col("__keep3"))
+      .drop("__keep3")
       .localCheckpoint(true)
 
     // 4. near-dup dedup among exact survivors.
+    val alive3 = base.filter(col("__pass3")).select("doc", "text", "source")
     val pairs = Dedup.minHashPairs(alive3, "doc", "text", maxJaccardDist)
     val ndFail = Dedup.resolveClusters(pairs, "id_a", "id_b")
       .filter(col("cluster") =!= col("v")).select(col("v").as("doc"))
-    val alive4 = alive3.join(ndFail, Seq("doc"), "left_anti")
-      .localCheckpoint(true)
+    val base4 = base.join(ndFail.withColumn("__nd", lit(true)), Seq("doc"), "left")
+      .withColumn("__pass4", col("__pass3") && col("__nd").isNull)
 
     // 5. benchmark decontamination among dedup survivors.
-    val contamFail = Dedup.decontaminate(alive4,
+    val contamFail = Dedup.decontaminate(
+        base4.filter(col("__pass4")).select("doc", "text"),
         bench.select(col(idCol).as("doc"), col(textCol).as("text")),
         "doc", "text", contamN)
       .filter(col("contaminated")).select("doc")
       .localCheckpoint(true)
-    val alive5 = alive4.join(contamFail, Seq("doc"), "left_anti")
+    val base5 = base4.join(contamFail.withColumn("__ct", lit(true)), Seq("doc"), "left")
+      .withColumn("__pass5", col("__pass4") && col("__ct").isNull)
 
     // 6. per-source quota among everything that survived.
-    val quotaKeep = Corpus.sourceQuota(alive5.select("doc", "source"),
+    val quotaKeep = Corpus.sourceQuota(
+        base5.filter(col("__pass5")).select("doc", "source"),
         col("doc"), col("source"), quota, quotaSalts)
       .select(col("doc"), lit(true).as("__qk"))
 
-    // Ledger assembly: doc-id-sized markers join back onto the corpus;
-    // CASE order = stage order, so each doc reports its FIRST failure.
-    flagged.select("doc", "source", "__blocked")
-      .join(qreasons, Seq("doc"), "left")
-      .join(exFail.withColumn("__ex", lit(true)), Seq("doc"), "left")
-      .join(ndFail.withColumn("__nd", lit(true)), Seq("doc"), "left")
-      .join(contamFail.withColumn("__ct", lit(true)), Seq("doc"), "left")
-      .join(quotaKeep, Seq("doc"), "left")
+    // Ledger verdict: CASE order = stage order, each doc reports its
+    // FIRST failure; all markers are already columns on the one frame.
+    base5.join(quotaKeep, Seq("doc"), "left")
       .select(col("doc"), col("source"),
         when(col("__blocked"), "blocked_source")
-          .when(col("quality_reason") =!= "keep", "quality")
+          .when(col("__qr") =!= "keep", "quality")
           .when(col("__ex"), "exact_dup")
           .when(col("__nd"), "near_dup")
           .when(col("__ct"), "contaminated")
           .when(col("__qk").isNull, "quota")
           .otherwise("kept").as("stage"),
-        when(!col("__blocked") && col("quality_reason") =!= "keep",
-          col("quality_reason")).as("quality_reason"))
+        when(!col("__blocked") && col("__qr") =!= "keep",
+          col("__qr")).as("quality_reason"))
       .withColumn("kept", col("stage") === "kept")
   }
 
@@ -173,65 +180,75 @@ object Curation {
       contamN: Int = 5, mBits: Int = 1 << 20,
       kProbes: Int = 4): (DataFrame, DataFrame) = {
     require(quota > 0)
+    // r16 one-frame cascade — same restructure as [[ledger]]: stages
+    // 1–3 and 6 ride the batch frame as columns (blocklist and the gate
+    // are per-document predicates, exact dedup is one content-hash
+    // window over stage-2 survivors, the arrival-order quota is one
+    // per-source running count over stage-5 survivors); only the two
+    // set-shaped stages (the near-dup probe and the bloom
+    // decontamination) compute on the filtered survivor set and join
+    // a doc-sized marker back. One eager checkpoint after the window
+    // and one after the quota rank replace the previous six (the batch
+    // ledger and the accepted set are narrow filters of the second).
+    val w = org.apache.spark.sql.expressions.Window
     // 1. blocklist (literal set — blocklists are driver-sized).
-    val blockedSet = b0.filter(col("source").isNull ||
-      col("source").isin(blockedSources.map(x => x: Any): _*)).select("doc")
-    val alive1 = b0.join(blockedSet, Seq("doc"), "left_anti").localCheckpoint(true)
-    // 2. quality gate.
-    val qreasons = TextAnalysis.qualityGate(alive1, "doc", "text",
+    val flagged = b0.withColumn("__blocked", col("source").isNull ||
+      col("source").isin(blockedSources.map(x => x: Any): _*))
+    // 2. quality gate as a narrow column.
+    val gated = flagged.withColumn("__qr",
+      TextAnalysis.qualityReasonExpr(col("text"),
         minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
-        minTypeToken, maxDupGramFrac)
-      .select(col("doc"), col("reason")).localCheckpoint(true)
-    val alive2 = alive1.join(
-      qreasons.filter(col("reason") === "keep").select("doc"), Seq("doc"), "left_semi")
-    // 3. within-batch exact dedup (min-id survivor).
-    val exFail = alive2.select(col("doc"), md5(col("text")).as("__h"))
-      .withColumn("__keep", min("doc").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
-      .filter(col("doc") =!= col("__keep")).select("doc")
-    val alive3 = alive2.join(exFail, Seq("doc"), "left_anti").localCheckpoint(true)
+        minTypeToken, maxDupGramFrac))
+    val pass2 = !col("__blocked") && col("__qr") === "keep"
+    // 3. within-batch exact dedup (min-id survivor among stage-2
+    // survivors; failed rows never enter the min).
+    val base = gated
+      .withColumn("__keep3", min(when(pass2, col("doc"))).over(
+        w.partitionBy(md5(col("text")))))
+      .withColumn("__ex", pass2 && col("doc") =!= col("__keep3"))
+      .withColumn("__pass3", pass2 && col("doc") === col("__keep3"))
+      .drop("__keep3")
+      .localCheckpoint(true)
     // 4. near-dup: within batch + against the accepted-corpus index.
-    val ndSurvive = Dedup.incrementalDedupStep(alive3, "doc", "text",
-      corpusShingles, corpusBands, maxJaccardDist, numHashTables, n)
-      .select("doc")
-    val ndFail = alive3.select("doc").join(ndSurvive, Seq("doc"), "left_anti")
-    val alive4 = alive3.join(ndSurvive, Seq("doc"), "left_semi").localCheckpoint(true)
+    val ndSurvive = Dedup.incrementalDedupStep(
+        base.filter(col("__pass3")).select("doc", "text"), "doc", "text",
+        corpusShingles, corpusBands, maxJaccardDist, numHashTables, n)
+      .select(col("doc"), lit(true).as("__ndok"))
+    val base4 = base.join(ndSurvive, Seq("doc"), "left")
+      .withColumn("__pass4", col("__pass3") && col("__ndok").isNotNull)
     // 5. decontamination against the streamed bench state.
-    val ctFail = Dedup.decontaminateBloomWith(alive4, "doc", "text",
+    val ctFail = Dedup.decontaminateBloomWith(
+        base4.filter(col("__pass4")).select("doc", "text"), "doc", "text",
         benchShingles, bloomWords, contamN, mBits, kProbes)
-      .filter(col("contaminated")).select("doc").localCheckpoint(true)
-    val alive5 = alive4.join(ctFail, Seq("doc"), "left_anti")
+      .filter(col("contaminated")).select(col("doc"), lit(true).as("__ct"))
+    val base5 = base4.join(ctFail, Seq("doc"), "left")
+      .withColumn("__pass5", col("__pass4") && col("__ct").isNull)
     // 6. incremental per-source quota: lifetime-accepted counts +
-    // arrival rank (doc-id order within the batch).
-    val ranked = alive5.withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy("doc")).cast("long"))
+    // arrival rank (doc-id order within the batch; the running count
+    // over stage-5 survivors equals their row_number in doc order).
+    val base6 = base5
       .join(sourceCounts.withColumnRenamed("n", "__sofar"), Seq("source"), "left")
       .withColumn("__sofar", coalesce(col("__sofar"), lit(0L)))
-    val accepted = ranked.filter(col("__sofar") + col("__rn") <= quota)
-      .select("doc", "text", "source").localCheckpoint(true)
-    val quotaFail = alive5.select("doc")
-      .join(accepted.select("doc"), Seq("doc"), "left_anti")
+      .withColumn("__rn", count(when(col("__pass5"), lit(1))).over(
+        w.partitionBy("source").orderBy("doc")
+          .rowsBetween(w.unboundedPreceding, w.currentRow)).cast("long"))
+      .withColumn("__acc",
+        col("__pass5") && col("__sofar") + col("__rn") <= quota)
+      .localCheckpoint(true)
+    val accepted = base6.filter(col("__acc")).select("doc", "text", "source")
     // ledger rows for EVERY input doc, first failing stage wins.
-    val ledger = b0.select("doc", "source")
-      .join(blockedSet.withColumn("__b", lit(true)), Seq("doc"), "left")
-      .join(qreasons.withColumnRenamed("reason", "__q"), Seq("doc"), "left")
-      .join(exFail.withColumn("__ex", lit(true)), Seq("doc"), "left")
-      .join(ndFail.withColumn("__nd", lit(true)), Seq("doc"), "left")
-      .join(ctFail.withColumn("__ct", lit(true)), Seq("doc"), "left")
-      .join(quotaFail.withColumn("__qt", lit(true)), Seq("doc"), "left")
+    val ledger = base6
       .select(col("doc"), col("source"),
-        when(col("__b"), "blocked_source")
-          .when(col("__q") =!= "keep", "quality")
+        when(col("__blocked"), "blocked_source")
+          .when(col("__qr") =!= "keep", "quality")
           .when(col("__ex"), "exact_dup")
-          .when(col("__nd"), "near_dup")
+          .when(col("__pass3") && col("__ndok").isNull, "near_dup")
           .when(col("__ct"), "contaminated")
-          .when(col("__qt"), "quota")
+          .when(col("__pass5") && !col("__acc"), "quota")
           .otherwise("kept").as("stage"),
-        when(col("__b").isNull && col("__q") =!= "keep", col("__q"))
+        when(!col("__blocked") && col("__qr") =!= "keep", col("__qr"))
           .as("quality_reason"))
       .withColumn("kept", col("stage") === "kept")
-      .localCheckpoint(true)
     (accepted, ledger)
   }
 

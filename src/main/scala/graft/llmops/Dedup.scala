@@ -61,26 +61,27 @@ object Dedup {
     * shingles (the quadratic blowup and the skewed keys) never enter the
     * index.
     */
-  /** Distinct hashed word n-gram shingles per doc as rows (doc, s) —
-    * posexplode + lead() windows so shingling stays inside
-    * WholeStageCodegen (higher-order transform() lambdas evaluate
-    * interpreted — measured 7× slower cold on the same data).
+  /** Distinct hashed word n-gram shingles per doc as rows (doc, s) — ONE
+    * narrow compiled pass ([[org.apache.spark.sql.graftfn.ShingleMinHash]],
+    * r16). The previous shape (posexplode + per-doc lead() windows +
+    * dropDuplicates) paid one exchange of the whole token stream to line
+    * adjacent tokens up and a second to deduplicate (doc, s); shingling
+    * needs nothing outside the document's own row, so both exchanges are
+    * gone and the hash runs inside WholeStageCodegen. Hash values, the
+    * distinct-set semantics and null/short-doc behavior are identical
+    * (tested against both hash paths).
     */
   private def hashedShingleRows(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      hashFn: Column => Column): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-    val wTok = Window.partitionBy("doc").orderBy("pos")
-    val leads = (1 until n).map(k => lead(col("tok"), k).over(wTok))
-    val withLeads = toks.select(col("doc") +: col("tok") +: leads.zipWithIndex
-      .map { case (c, i) => c.as(s"_t$i") }: _*)
-    withLeads
-      .filter(col(s"_t${n - 2}").isNotNull)
-      .select(col("doc"), hashFn(concat_ws(" ",
-        col("tok") +: (0 until n - 1).map(i => col(s"_t$i")): _*)).as("s"))
-      .dropDuplicates("doc", "s")
-  }
+      md5_52: Boolean): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(shingleStruct(col(textCol), n, 0, md5_52)("hashes")).as("s"))
+
+  /** The compiled per-doc shingle/signature struct over a text column. */
+  private def shingleStruct(text: Column, n: Int, numHashTables: Int,
+      md5_52: Boolean): Column =
+    org.apache.spark.sql.graftfn.ShingleMinHash.of(
+      split(trim(text), "\\s+"), n, numHashTables, md5_52)
 
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -91,7 +92,7 @@ object Dedup {
     val tBps = math.floor(threshold * 10000).toLong
     // ex and prefix are each consumed by a self-join / multiple stages —
     // cache them or the whole chain recomputes per consumer.
-    val ex = hashedShingleRows(df, idCol, textCol, n, xxhash64(_)).cache()
+    val ex = hashedShingleRows(df, idCol, textCol, n, md5_52 = false).cache()
     val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh")).cache()
     val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("_df"))
     val w = Window.partitionBy("doc").orderBy(col("_df").asc, col("s").asc)
@@ -160,7 +161,7 @@ object Dedup {
     // exactly-at-threshold pair; the quantize-then-decide bound cannot).
     val tBps = math.floor(threshold * 10000).toLong
     // containment is a SET measure — distinct shingles per doc
-    val ex = hashedShingleRows(df, idCol, textCol, n, xxhash64(_))
+    val ex = hashedShingleRows(df, idCol, textCol, n, md5_52 = false)
       .distinct().cache()
     val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh")).cache()
     val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("_df"))
@@ -282,9 +283,21 @@ object Dedup {
       maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
     require(numHashTables <= PortableHash.MinHashA.length,
       s"at most ${PortableHash.MinHashA.length} hash tables supported")
-    val ex = hashedShingleRows(df, idCol, textCol, n, PortableHash.hash52).cache()
-    val out = pairsFromElementRows(ex, maxJaccardDist, numHashTables, maxBandFreq)
-    ex.unpersist()
+    // r16: shingle hashes, set sizes AND signature minima all come out of
+    // the one compiled per-doc pass — no groupBy exchange to build
+    // signatures, no groupBy to count set sizes (guide §2.4); only the
+    // banding join and the exact verify shuffle anything.
+    val arr = df.select(col(idCol).as("doc"),
+      shingleStruct(col(textCol), n, numHashTables, md5_52 = true).as("__sh"))
+      .cache()
+    val ex = arr.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val sizes = arr.select(col("doc"),
+      size(col("__sh")("hashes")).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
+    val allBanded = arr.select(col("doc"),
+      posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
+    val out = pairsFromParts(ex, sizes, allBanded, maxJaccardDist, maxBandFreq)
+    arr.unpersist()
     out
   }
 
@@ -304,6 +317,20 @@ object Dedup {
     val allBanded = sigs.select(col("doc"),
       posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
         .as(Seq("band", "sig")))
+    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    pairsFromParts(ex, sizes, allBanded, maxJaccardDist, maxBandFreq)
+  }
+
+  /** Banding + band-skew guard + exact set-Jaccard verify over
+    * already-built parts: element rows (doc, s), per-doc set sizes
+    * (doc, n_sh) and banded signature rows (doc, band, sig). The element
+    * path ([[pairsFromElementRows]]) derives sizes/bands with two
+    * groupBys; [[minHashPairs]] gets all three narrow out of the
+    * compiled shingle struct.
+    */
+  private def pairsFromParts(ex: DataFrame, sizes: DataFrame,
+      allBanded: DataFrame, maxJaccardDist: Double,
+      maxBandFreq: Option[Int]): DataFrame = {
     val banded = maxBandFreq.fold(allBanded)(
       pruneFrequentBandKeys(allBanded, Seq("band", "sig"), _))
     val cands = banded.alias("x")
@@ -312,7 +339,6 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
-    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val shared = cands
       .join(ex.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
       .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
@@ -385,8 +411,8 @@ object Dedup {
   def decontaminate(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 5, broadcastBench: Boolean = true): DataFrame = {
-    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
-    val benchSh0 = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, md5_52 = false)
+    val benchSh0 = hashedShingleRows(bench, idCol, textCol, n, md5_52 = false)
       .select("s").distinct()
     val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
     val hits = trainSh.join(benchSh, Seq("s"), "left_semi")
@@ -423,9 +449,9 @@ object Dedup {
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 5, maxShingleDf: Int = 1000): DataFrame = {
     require(maxShingleDf >= 1)
-    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, md5_52 = false)
       .dropDuplicates("doc", "s")
-    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+    val benchSh = hashedShingleRows(bench, idCol, textCol, n, md5_52 = false)
       .dropDuplicates("doc", "s")
       .select(col("doc").as("bench_id"), col("s"))
       .localCheckpoint(eager = true) // bench-sized; feeds 3 consumers
@@ -478,8 +504,8 @@ object Dedup {
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 5, maxOverlap: Double = 0.1,
       broadcastBench: Boolean = true): DataFrame = {
-    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
-    val benchSh0 = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, md5_52 = false)
+    val benchSh0 = hashedShingleRows(bench, idCol, textCol, n, md5_52 = false)
       .select("s").distinct().withColumn("__hit", lit(1))
     val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
     val perDoc = trainSh.join(benchSh, Seq("s"), "left")
@@ -512,19 +538,29 @@ object Dedup {
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5, n: Int = 3,
       maxBandFreq: Option[Int] = DefaultMaxBandFreq): DataFrame = {
     require(numHashTables <= PortableHash.MinHashA.length)
-    val exC = hashedShingleRows(corpus, idCol, textCol, n, PortableHash.hash52).cache()
-    val exB = hashedShingleRows(batch, idCol, textCol, n, PortableHash.hash52).cache()
-    val bandedC = maxBandFreq.fold(bandRows(exC, numHashTables))(
-      pruneFrequentBandKeys(bandRows(exC, numHashTables), Seq("band", "sig"), _))
-    val bandedB = maxBandFreq.fold(bandRows(exB, numHashTables))(
-      pruneFrequentBandKeys(bandRows(exB, numHashTables), Seq("band", "sig"), _))
+    // r16: hashes and signature minima from the compiled per-doc pass —
+    // bands no longer pay a groupBy exchange on either side.
+    val arrC = corpus.select(col(idCol).as("doc"),
+      shingleStruct(col(textCol), n, numHashTables, md5_52 = true).as("__sh"))
+      .cache()
+    val arrB = batch.select(col(idCol).as("doc"),
+      shingleStruct(col(textCol), n, numHashTables, md5_52 = true).as("__sh"))
+      .cache()
+    val exC = arrC.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val exB = arrB.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    def bands(arr: DataFrame) = arr.select(col("doc"),
+      posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
+    val bandedC = maxBandFreq.fold(bands(arrC))(
+      pruneFrequentBandKeys(bands(arrC), Seq("band", "sig"), _))
+    val bandedB = maxBandFreq.fold(bands(arrB))(
+      pruneFrequentBandKeys(bands(arrB), Seq("band", "sig"), _))
     val cands = bandedB.select(col("doc").as("batch_id"), col("band"), col("sig"))
       .join(bandedC.select(col("doc").as("corpus_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("batch_id", "corpus_id").distinct()
     val result = verifyCrossPairs(cands, exB, exC, maxJaccardDist)
     val out = result.localCheckpoint(true)
-    exC.unpersist(); exB.unpersist()
+    arrC.unpersist(); arrB.unpersist()
     out
   }
 
@@ -533,7 +569,7 @@ object Dedup {
     */
   private[graft] def portableShingleRows(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
-    hashedShingleRows(df, idCol, textCol, n, PortableHash.hash52)
+    hashedShingleRows(df, idCol, textCol, n, md5_52 = true)
 
   /** Banded minhash signature rows (doc, band, sig) from shingle rows —
     * one groupBy with the N min-aggs, then a narrow posexplode.
@@ -598,13 +634,29 @@ object Dedup {
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5,
       n: Int = 3): DataFrame = {
     val b0 = batch.select(col(idCol).as("doc"), col(textCol).as("text"))
-    val inPairs = minHashPairs(b0, "doc", "text", maxJaccardDist, numHashTables, n)
+    // r16: ONE compiled shingle pass for the whole batch, shared by the
+    // within-batch pair generation AND the cross-corpus probe (the
+    // survivors were previously re-shingled after the in-batch dedup —
+    // one full tokenize+hash pass and one checkpoint saved per step).
+    val arr0 = b0.select(col("doc"),
+      shingleStruct(col("text"), n, numHashTables, md5_52 = true).as("__sh"))
+      .localCheckpoint(true)
+    val ex0 = arr0.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val sizes0 = arr0.select(col("doc"),
+      size(col("__sh")("hashes")).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
+    val banded0 = arr0.select(col("doc"),
+      posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
+    val inPairs = pairsFromParts(ex0, sizes0, banded0, maxJaccardDist,
+      DefaultMaxBandFreq)
     val inFail = resolveClusters(inPairs, "id_a", "id_b")
       .filter(col("cluster") =!= col("v")).select(col("v").as("doc"))
     val b1 = b0.join(inFail, Seq("doc"), "left_anti")
-    val exB = portableShingleRows(b1, "doc", "text", n).localCheckpoint(true)
-    val cands = bandRows(exB, numHashTables)
-      .select(col("doc").as("batch_id"), col("band"), col("sig"))
+    val arrB = arr0.join(inFail, Seq("doc"), "left_anti")
+    val exB = arrB.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val cands = arrB
+      .select(col("doc").as("batch_id"),
+        posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
       .join(corpusBands.select(col("doc").as("corpus_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("batch_id", "corpus_id").distinct()
@@ -661,7 +713,7 @@ object Dedup {
       n: Int, mBits: Int, kProbes: Int): DataFrame = {
     require(kProbes >= 1 && kProbes <= PortableHash.MinHashA.length)
     require(mBits >= 64)
-    val trainSh = hashedShingleRows(train, idCol, textCol, n, xxhash64(_))
+    val trainSh = hashedShingleRows(train, idCol, textCol, n, md5_52 = false)
     val probed = trainSh.select(col("s")).distinct()
       .select(col("s"),
         posexplode(array((0 until kProbes).map(j => bloomPos(col("s"), j, mBits)): _*)).as(Seq("j", "p")))
@@ -684,7 +736,7 @@ object Dedup {
   def decontaminateBloom(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 5, mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
-    val benchSh = hashedShingleRows(bench, idCol, textCol, n, xxhash64(_))
+    val benchSh = hashedShingleRows(bench, idCol, textCol, n, md5_52 = false)
       .select("s").distinct()
     decontaminateBloomWith(train, idCol, textCol, benchSh,
       bloomWordTable(benchSh, mBits, kProbes), n, mBits, kProbes)
@@ -696,7 +748,7 @@ object Dedup {
     */
   private[graft] def xxShingleRows(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
-    hashedShingleRows(df, idCol, textCol, n, xxhash64(_))
+    hashedShingleRows(df, idCol, textCol, n, md5_52 = false)
 
   /** Exact-substring dedup (duplicated-span removal, the Lee et al.
     * "Deduplicating Training Data Makes Language Models Better" modality):

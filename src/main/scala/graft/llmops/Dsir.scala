@@ -49,7 +49,11 @@ object Dsir {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), explode(concat(toks, bi)).as("gram"))
+    // spreadScan: the tokenize+explode+hash below is the expensive part
+    // and runs in the SCAN stage — a single-row-group input would pin it
+    // to one core (measured: 4.2 s single-task at sf0.1; guide §2.5).
+    Corpus.spreadScan(df)
+      .select(col(idCol).as("id"), explode(concat(toks, bi)).as("gram"))
       .select(col("id"),
         (PortableHash.hash52(col("gram")) % buckets).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))

@@ -451,44 +451,64 @@ object Retrieval {
       .groupBy("qid")
       .agg(array_sort(collect_list(struct(col("doc"), col("rel"), col("vec"))))
         .as("cs"))
-      .withColumn("ns", transform(col("cs"), c =>
-        sqrt(aggregate(c.getField("vec"), lit(0.0),
-          (a, x) => a + x.cast("double") * x.cast("double")))))
-    def entry(i: Column) = element_at(col("cs"), (i + 1L).cast("int"))
-    def normAt(i: Column) = element_at(col("ns"), (i + 1L).cast("int"))
-    def simM(i: Column, j: Column): Column = {
-      val dot = aggregate(
-        zip_with(entry(i).getField("vec"), entry(j).getField("vec"),
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (a, x) => a + x)
-      val den = normAt(i) * normAt(j)
-      when(den === 0.0, lit(0L))
-        .otherwise(round(dot / den * 1e6).cast("long"))
-    }
-    def maxSim(i: Column, sel: Column): Column =
-      when(size(sel) === 0, lit(0L))
-        .otherwise(aggregate(sel, lit(NegInf),
-          (m, j) => greatest(m, simM(i, j))))
-    def mmr(i: Column, sel: Column): Column =
-      lit(lambdaBps.toLong) * entry(i).getField("rel") -
-        lit((10000 - lambdaBps).toLong) * maxSim(i, sel)
-    val sel = aggregate(
-      sequence(lit(1L), least(lit(k.toLong), size(col("cs")).cast("long"))),
-      lit(Array.empty[Long]),
-      (acc, _) => {
-        val best = aggregate(
-          sequence(lit(0L), size(col("cs")).cast("long") - 1L),
-          struct(lit(-1L).as("bi"), lit(NegInf).as("bs")),
-          (b, i) => when(array_contains(acc, i), b)
-            .otherwise {
-              val s = mmr(i, acc)
-              when(s > b.getField("bs"),
-                struct(i.as("bi"), s.as("bs"))).otherwise(b)
-            })
-        when(best.getField("bi") < 0L, acc)
-          .otherwise(concat(acc, array(best.getField("bi"))))
-      })
-    grouped.withColumn("sel", sel)
+    // The greedy walk itself runs as ONE compiled per-group kernel. The
+    // previous shape unrolled it as nested higher-order-function
+    // expressions (aggregate/transform/zip_with) — those are
+    // CodegenFallback, so every one of the O(k·n²·d) inner node visits
+    // paid interpreted-expression dispatch, and a 40-query group batch
+    // took seconds of single-task CPU (guide §1.2 "per-task work",
+    // measured: the one stage evaluating it was 6.0 s wall = 6.0 s cpu
+    // at sf0.1). The kernel reproduces the expression semantics bit for
+    // bit: same candidate order (cs is doc-sorted), same fold order for
+    // norms and dots (sequential left fold in double), the same
+    // round-HALF_UP-to-micro grid (java.math.BigDecimal, which is what
+    // Spark's Round does for doubles), Long-only score arithmetic, ties
+    // to the lowest index via strict `>`, and the same NegInf sentinel.
+    val sel = udf((rels: Seq[Long], vecs: Seq[Seq[Float]], lam: Long, kk: Int) => {
+      val n = rels.length
+      val nrm = Array.tabulate(n) { i =>
+        val v = vecs(i); var a = 0.0; var p = 0
+        while (p < v.length) { val x = v(p).toDouble; a += x * x; p += 1 }
+        math.sqrt(a)
+      }
+      def sim(i: Int, j: Int): Long = {
+        val den = nrm(i) * nrm(j)
+        if (den == 0.0) 0L
+        else {
+          val vi = vecs(i); val vj = vecs(j); var a = 0.0; var p = 0
+          while (p < vi.length) { a += vi(p).toDouble * vj(p).toDouble; p += 1 }
+          java.math.BigDecimal.valueOf(a / den * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }
+      }
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val steps = math.min(kk.toLong, n.toLong)
+      var step = 0L
+      var stopped = false
+      while (step < steps && !stopped) {
+        var bi = -1; var bs = NegInf
+        var i = 0
+        while (i < n) {
+          if (!acc.contains(i.toLong)) {
+            var ms = 0L
+            if (acc.nonEmpty) {
+              ms = NegInf
+              acc.foreach { j => val s = sim(i, j.toInt); if (s > ms) ms = s }
+            }
+            val s = lam * rels(i) - (10000L - lam) * ms
+            if (s > bs) { bi = i; bs = s }
+          }
+          i += 1
+        }
+        if (bi < 0) stopped = true else acc += bi.toLong
+        step += 1L
+      }
+      acc.toSeq
+    })
+    grouped.withColumn("sel",
+      sel(transform(col("cs"), c => c.getField("rel")),
+        transform(col("cs"), c => c.getField("vec")),
+        lit(lambdaBps.toLong), lit(k)))
       .select(col("qid"), col("cs"), posexplode(col("sel")).as(Seq("r0", "i")))
       .select(col("qid"), (col("r0") + 1).cast("long").as("mmr_rank"),
         element_at(col("cs"), (col("i") + 1L).cast("int")).getField("doc").as("doc"),

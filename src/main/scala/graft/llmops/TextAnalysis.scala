@@ -70,8 +70,11 @@ object TextAnalysis {
       .withColumn("punct_ratio", round(col("n_punct") / col("n_chars"), 6))
       .withColumn("stopword_ratio", round(col("n_stopwords") / col("n_tokens"), 6))
       .withColumn("avg_token_len",
-        round(aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x)
-          / col("n_tokens"), 6))
+        // Σ length(tok) computed as length(concat_ws("", toks)) — the
+        // codegen replacement for the interpreted aggregate(transform())
+        // fold (r16); integer-identical (tokenizers never emit null
+        // tokens, the one case where concat_ws's null-skip would differ).
+        round(length(concat_ws("", toks)) / col("n_tokens"), 6))
   }
 
   /** Gopher-style structural quality rules (Rae et al. 2021, table A1 —
@@ -871,6 +874,62 @@ object TextAnalysis {
     import org.apache.spark.sql.graftfn.NgramRepStats
     coalesce(round(NgramRepStats.stats(tokens(text), n)("dup_chars") /
       length(trim(text)).cast("long"), 6), lit(0.0))
+  }
+
+  /** The [[qualityGate]] verdict as ONE narrow Column — gauge
+    * expressions, thresholds and precedence copied verbatim from
+    * [[qualityGate]] (value-identical per doc; the gate is per-document,
+    * so where it is evaluated does not change its answer). Lets
+    * [[Curation]] carry the verdict as a column on its one cascade frame
+    * instead of computing a separate gate frame and joining it back
+    * (r16: the join-back was one checkpoint + one shuffle per ledger).
+    */
+  private[llmops] def qualityReasonExpr(text: Column,
+      minTokens: Long, maxTokens: Long, minAvgTokenLen: Double,
+      maxAvgTokenLen: Double, minTypeToken: Double, maxDupGramFrac: Double,
+      tokens: Column => Column = wsTokens): Column = {
+    val toks = tokens(text)
+    val nTokens = size(toks).cast("long")
+    val avgTokenLen = round(length(concat_ws("", toks)) / nTokens, 6)
+    when(nTokens < minTokens, "too_short")
+      .when(nTokens > maxTokens, "too_long")
+      .when(avgTokenLen < minAvgTokenLen, "short_tokens")
+      .when(avgTokenLen > maxAvgTokenLen, "long_tokens")
+      .when(typeTokenRatio(text, tokens) < minTypeToken, "low_diversity")
+      .when(dupGramCharFrac(text, tokens) > maxDupGramFrac, "repetitive")
+      .otherwise("keep")
+  }
+
+  /** [[qualityGateFitted]]'s verdict as a column added to `df` (name
+    * `as`): broadcast-joins the per-source thresholds and applies the
+    * SAME fitted rule chain — no short_tokens rule, missing thresholds
+    * row keeps (null comparisons are never true). Gauges verbatim from
+    * [[qualityGateFitted]].
+    */
+  private[llmops] def withQualityReasonFitted(df: DataFrame,
+      textCol: String, sourceCol: String, thresholds: DataFrame,
+      as: String, tokens: Column => Column = wsTokens): DataFrame = {
+    val thr = broadcast(thresholds.select(col(sourceCol).as("__thr_src"),
+      col("min_tokens").as("__min_tokens"), col("max_tokens").as("__max_tokens"),
+      col("max_avg_token_len").as("__max_avg_token_len"),
+      col("min_type_token").as("__min_type_token"),
+      col("max_dup_gram_frac").as("__max_dup_gram_frac")))
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTokens = size(toks).cast("long")
+    val avgTokenLen = round(length(concat_ws("", toks)) / nTokens, 6)
+    df.join(thr, col(sourceCol) === col("__thr_src"), "left")
+      .withColumn(as,
+        when(nTokens < col("__min_tokens"), "too_short")
+          .when(nTokens > col("__max_tokens"), "too_long")
+          .when(avgTokenLen > col("__max_avg_token_len"), "long_tokens")
+          .when(typeTokenRatio(text, tokens) < col("__min_type_token"),
+            "low_diversity")
+          .when(dupGramCharFrac(text, tokens) > col("__max_dup_gram_frac"),
+            "repetitive")
+          .otherwise("keep"))
+      .drop("__thr_src", "__min_tokens", "__max_tokens",
+        "__max_avg_token_len", "__min_type_token", "__max_dup_gram_frac")
   }
 
   private def qualityGateMetricJoin(df: DataFrame, idCol: String,

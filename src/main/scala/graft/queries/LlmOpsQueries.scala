@@ -5569,8 +5569,13 @@ object LlmOpsQueries extends QueryModule {
       // materialization (the packSequences two-consumer rule)
       val rCounts = Dsir.hashedNgramCounts(raw, "doc_id", "text", 4096)
         .localCheckpoint(true)
+      // tCounts has two consumers inside bucketLogProbs (per-bucket counts
+      // AND the broadcast total) — without the barrier the target corpus
+      // was tokenized twice (profiled: two ~0.85 s map stages).
+      val tCounts = Dsir.hashedNgramCounts(target, "doc_id", "text", 4096)
+        .localCheckpoint(true)
       val w = Dsir.dsirLogWeights(rCounts,
-        Dsir.bucketLogProbs(Dsir.hashedNgramCounts(target, "doc_id", "text", 4096), 4096),
+        Dsir.bucketLogProbs(tCounts, 4096),
         Dsir.bucketLogProbs(rCounts, 4096))
       Dsir.dsirSample(w, 40, "dsir")
         .orderBy(col("key_micro").desc, col("id"))

@@ -342,7 +342,7 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("row_number"), s"expected the per-qid rank window:\n$p")
   }
 
-  test("curation ledger assembly: blocklist broadcast, no cartesian anywhere") {
+  test("curation ledger assembly: equi-joins only, no cartesian anywhere") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val df = graft.llmops.Curation.ledger(
@@ -350,8 +350,14 @@ class PlanSpec extends SparkTestBase {
       docs.limit(3).select("doc_id", "text"),
       Seq("srcX").toDF("source"), quota = 50)
     val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"), s"marker joins not broadcast:\n$p")
+    // r16: the blocklist broadcast join runs inside the cascade's
+    // checkpointed stage, so the FINAL plan holds only the three
+    // doc-keyed marker joins — equi-joins (AQE turns the small marker
+    // sides into broadcasts at runtime), never a nested loop/cartesian.
     assert(!p.contains("CartesianProduct"), s"cartesian in ledger plan:\n$p")
+    assert(!p.contains("NestedLoop"), s"nested loop in ledger plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected equi-joins:\n$p")
   }
 
   test("importance scoring: weight table broadcast, corpus aggregates map-side") {
