@@ -35,11 +35,24 @@ import scala.collection.mutable
   */
 object Docx {
 
+  // One configured factory per thread: XMLInputFactory.newInstance()
+  // walks the synchronized ServiceLoader/system-property lookup on every
+  // call — at 32 concurrent tasks that lock serialized the whole parse
+  // stage (measured: 67 s task time vs 12 s cpu on q_x_epub_text at
+  // sf0.1). Factories are not thread-safe to SHARE, so ThreadLocal, not
+  // a global (guide: initialise heavyweight state once per task).
+  private val factories = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+        java.lang.Boolean.FALSE)
+      f
+    }
+  }
+
   private def newFactory: XMLInputFactory = {
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
-      java.lang.Boolean.FALSE)
+    val f = factories.get()
     f
   }
 

@@ -31,13 +31,20 @@ import scala.collection.mutable
   */
 object Xlsx {
 
-  private def newFactory: XMLInputFactory = {
-    val f = XMLInputFactory.newInstance()
-    // untrusted input: no DTDs, no external entities (XXE hardening).
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    f
+  // One configured factory per thread (the Epub/Dash discipline, r16):
+  // XMLInputFactory.newInstance() per call serializes concurrent parse
+  // tasks on the ServiceLoader lock. Not shared across threads.
+  private val factories = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      // untrusted input: no DTDs, no external entities (XXE hardening).
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+      f
+    }
   }
+
+  private def newFactory: XMLInputFactory = factories.get()
 
   private def withStream[T](zip: ZipFile, entry: String)(f: XMLStreamReader => T): Option[T] = {
     Option(zip.getEntry(entry)).map { e =>

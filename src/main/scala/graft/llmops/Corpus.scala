@@ -36,7 +36,7 @@ object Corpus {
     * stays on) and every downstream consumer here is a keyed aggregation
     * or join, so results are partition-layout-invariant.
     */
-  private[llmops] def spreadScan(df: DataFrame): DataFrame = {
+  private[graft] def spreadScan(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }

@@ -90,10 +90,15 @@ object Dedup {
     // containmentPairs (floor to basis points so the prefix is never
     // shorter than the true ⌈t·|S|⌉ bound under float representation)
     val tBps = math.floor(threshold * 10000).toLong
-    // ex and prefix are each consumed by a self-join / multiple stages —
-    // cache them or the whole chain recomputes per consumer.
-    val ex = hashedShingleRows(df, idCol, textCol, n, md5_52 = false).cache()
-    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh")).cache()
+    // arr and prefix are each consumed by a self-join / multiple stages —
+    // cache them or the whole chain recomputes per consumer. Set sizes
+    // come narrow out of the compiled shingle struct (r16) — no groupBy.
+    val arr = df.select(col(idCol).as("doc"),
+      shingleStruct(col(textCol), n, 0, md5_52 = false).as("__sh")).cache()
+    val ex = arr.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val sizes = arr.select(col("doc"),
+      size(col("__sh")("hashes")).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
     val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("_df"))
     val w = Window.partitionBy("doc").orderBy(col("_df").asc, col("s").asc)
     val prefix = ex.join(dfCounts, Seq("s"))
@@ -123,7 +128,7 @@ object Dedup {
     // a long-lived session calling this repeatedly must not accumulate
     // storage memory (near-dup results are tiny vs their inputs).
     val out = result.localCheckpoint(true)
-    prefix.unpersist(); sizes.unpersist(); ex.unpersist()
+    prefix.unpersist(); arr.unpersist()
     out
   }
 
@@ -160,10 +165,15 @@ object Dedup {
     // ceil(t * n_sh) could round past the true ceiling and drop an
     // exactly-at-threshold pair; the quantize-then-decide bound cannot).
     val tBps = math.floor(threshold * 10000).toLong
-    // containment is a SET measure — distinct shingles per doc
-    val ex = hashedShingleRows(df, idCol, textCol, n, md5_52 = false)
-      .distinct().cache()
-    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh")).cache()
+    // containment is a SET measure — the compiled shingle struct is
+    // already distinct per doc, and set sizes come narrow out of it (r16;
+    // previously an extra distinct() exchange + a sizes groupBy).
+    val arr = df.select(col(idCol).as("doc"),
+      shingleStruct(col(textCol), n, 0, md5_52 = false).as("__sh")).cache()
+    val ex = arr.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val sizes = arr.select(col("doc"),
+      size(col("__sh")("hashes")).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
     val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("_df"))
     val joinable = maxShingleDf match {
       case Some(cap) => dfCounts.filter(col("_df") <= cap)
@@ -196,7 +206,7 @@ object Dedup {
         round(col("containment"), 6).as("containment"),
         col("n_a"), col("n_b"))
     val out = result.localCheckpoint(true)
-    sizes.unpersist(); ex.unpersist()
+    arr.unpersist()
     out
   }
 
@@ -1026,23 +1036,40 @@ object Dedup {
     */
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    val undObs = org.apache.spark.sql.Observation()
     val und = pairs.select(col(aCol).as("v"), col(bCol).as("u"))
       .unionAll(pairs.select(col(bCol).as("v"), col(aCol).as("u")))
-      .distinct().localCheckpoint(true)
-    var labels = und.select(col("v")).distinct()
-      .withColumn("cluster", col("v")).localCheckpoint(true)
-    var converged = false
+      .distinct().observe(undObs, count(lit(1)).as("n")).localCheckpoint(true)
+    // Empty pair graph → empty labels: skip the loop (r16; a streaming
+    // caller's day-one batch hits this constantly).
+    if (undObs.get("n").asInstanceOf[Long] == 0L)
+      return und.select(col("v"), col("v").as("cluster"))
+    // r16: iteration 1 is FUSED with label init — labels₀ is the identity,
+    // so round one's neighbor-min is simply min(v, min over neighbors),
+    // one groupBy instead of init-checkpoint + join + groupBy. Same
+    // monotone min fixpoint, one round of budget effectively added.
+    val obs1 = org.apache.spark.sql.Observation()
+    var labels = und.groupBy("v")
+      .agg(least(col("v"), min(col("u"))).as("cluster"))
+      .observe(obs1, count(when(col("cluster") < col("v"), 1)).as("chg"))
+      .localCheckpoint(true)
+    var converged = obs1.get("chg").asInstanceOf[Long] == 0L
     var it = 0
     while (!converged && it < maxIters) {
       it += 1
       val nbrMin = und.join(labels.select(col("v").as("u"), col("cluster")), Seq("u"))
         .groupBy("v").agg(min("cluster").as("_nbr_min"))
+      // The changed-label count rides the checkpoint materialization as
+      // an observed metric (r16) — previously a separate filter.isEmpty
+      // action per round doubled the loop's job count.
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_$it")
       val next = labels.withColumnRenamed("cluster", "_prev")
         .join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("_prev"),
           least(col("_prev"), coalesce(col("_nbr_min"), col("_prev"))).as("cluster"))
+        .observe(obs, count(when(col("cluster") < col("_prev"), 1)).as("chg"))
         .localCheckpoint(true)
-      converged = next.filter(col("cluster") < col("_prev")).isEmpty
+      converged = obs.get("chg").asInstanceOf[Long] == 0L
       labels = next.select("v", "cluster")
     }
     // An unconverged exit would hand back plausible-looking but WRONG
@@ -1091,6 +1118,11 @@ object Dedup {
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // Per round the fingerprint rides the checkpoint materialization as
+    // observed metrics (r16) — previously a separate aggregate action per
+    // round doubled the loop's job count.
+    val fpCols = Seq(count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
     var fp = fingerprint(edges)
     while (!converged && it < maxIters) {
       it += 1
@@ -1106,14 +1138,17 @@ object Dedup {
       // Small-star: on the canonical (u > v) orientation, connect every
       // smaller neighbor (and u itself) to m = min of the small side.
       val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val obs = org.apache.spark.sql.Observation(s"graft_ccs_$it")
       val small = large.join(sMins, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(sMins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
+        .observe(obs, fpCols.head, fpCols.tail: _*)
         .localCheckpoint(true)
       // Unchanged edge set = fixed point of the round = disjoint stars.
-      val nfp = fingerprint(small)
+      val m = obs.get
+      val nfp = (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long])
       converged = nfp == fp
       fp = nfp
       edges = small
@@ -1207,7 +1242,7 @@ object Dedup {
     * (no distinct — repeated tokens vote repeatedly, standard SimHash).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
+    val toks = Corpus.spreadScan(df).select(col(idCol).as("doc"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", PortableHash.hash52(col("tok")))
     val bitSums: Seq[org.apache.spark.sql.Column] = (0 until SimHashBits).map { i =>

@@ -22,7 +22,10 @@ object Retrieval {
     * index build and retrieval start from.
     */
   def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"),
+    // spreadScan: tokenize+explode is the expensive map and runs in the
+    // scan stage — under-parallel (single-row-group) inputs would pin it
+    // to one core (guide §2.5); a no-op on well-split inputs.
+    Corpus.spreadScan(df).select(col(idCol).as("doc"),
         explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
 
@@ -229,7 +232,7 @@ object Retrieval {
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String): DataFrame = {
-    val dt = docs.select(col(idCol).as("doc"),
+    val dt = Corpus.spreadScan(docs).select(col(idCol).as("doc"),
       posexplode(TextAnalysis.wsTokens(lower(col(textCol)))).as(Seq("pos", "term")))
     val qt = queries.select(col(qidCol).as("qid"),
         posexplode(TextAnalysis.wsTokens(lower(col(qtextCol)))).as(Seq("i", "term")))

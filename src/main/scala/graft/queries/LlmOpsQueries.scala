@@ -4667,7 +4667,10 @@ object LlmOpsQueries extends QueryModule {
     }) { (s, d) =>
       import s.implicits._
       import graft.ingest.Epub
-      Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // spreadScan: the zip+parse roundtrip runs inside this map — a
+      // single-row-group scan pins it to one core (1.9 s single task at
+      // sf0.1; guide §2.5).
+      Corpus.spreadScan(Tables.documents(s, d).select(col("doc_id"))).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val k = (id % 3 + 1).toInt
@@ -6208,7 +6211,9 @@ object LlmOpsQueries extends QueryModule {
         "SELECT doc_id AS doc, word_idx, btok FROM e ORDER BY doc, word_idx") { (s, d) =>
       import graft.llmops.VocabArtifact
       val aug = concat(col("text"), lit(" café 你好 «weird»"))
-      Tables.documents(s, d).select(col("doc_id").as("doc"),
+      // spreadScan: the byte-level expansion is the whole query and runs
+      // in the scan stage (2.1 s single task at sf0.1; guide §2.5).
+      Corpus.spreadScan(Tables.documents(s, d)).select(col("doc_id").as("doc"),
           posexplode(VocabArtifact.byteLevel()(aug))
             .as(Seq("word_idx", "btok")))
         .withColumn("word_idx", col("word_idx").cast("long"))

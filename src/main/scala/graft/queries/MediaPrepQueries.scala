@@ -779,7 +779,11 @@ object MediaPrepQueries extends QueryModule {
       "SELECT doc_id, CAST(2048 + doc_id % 512 AS BIGINT) AS n_samples, " +
         "true AS parity FROM documents ORDER BY doc_id") { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // spreadScan: the whole FLAC encode+parse runs inside this map —
+      // a single-row-group scan would pin it to one core (3.1 s single
+      // task at sf0.1; guide §2.5).
+      graft.llmops.Corpus.spreadScan(
+          Tables.documents(s, d).select(col("doc_id"))).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val n = (2048 + id % 512).toInt

@@ -57,7 +57,16 @@ object Profile {
 
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      if (warm) fn(spark, sfDir).count()
+      // same inter-query hygiene as Bench: drop finished queries'
+      // persisted RDDs so a multi-query profile batch doesn't charge
+      // later queries for earlier queries' dead checkpoint blocks.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (warm) {
+        fn(spark, sfDir).count()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       stages.clear(); jobs.set(0)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
