@@ -191,13 +191,19 @@ object GraphAnalytics {
     var grew = true
     while (hop < maxHops && grew) {
       hop += 1
+      // The frontier-growth count rides the hop's checkpoint as an
+      // observed metric, and `reached` stays a plain union of the hops'
+      // checkpointed leaves (r16) — previously each hop paid two extra
+      // actions (a count and a re-checkpoint of the whole reached set).
+      val obs = org.apache.spark.sql.Observation()
       val next = frontier.join(und, frontier("id") === und("a"))
         .select(col("b").as("id")).distinct()
         .join(reached.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      grew = next.count() > 0
-      reached = reached.unionByName(next).localCheckpoint(true)
+      grew = obs.get("n").asInstanceOf[Long] > 0L
+      reached = reached.unionByName(next)
       frontier = next
     }
     reached.join(store.nodes, Seq("id"))
@@ -248,21 +254,30 @@ object GraphAnalytics {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 30): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
+    val obs0 = org.apache.spark.sql.Observation()
     var und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().observe(obs0, count(lit(1)).as("n")).localCheckpoint(true)
+    // Edge counts ride the checkpoints as observed metrics and the
+    // previous round's count carries over (r16) — the stability check
+    // previously re-counted BOTH frames every round (two extra actions).
+    var nEdges = obs0.get("n").asInstanceOf[Long]
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
       round += 1
       val keep = und.groupBy("u").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select("u").localCheckpoint(true)
+      val obs = org.apache.spark.sql.Observation()
       val pruned = und
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      stable = pruned.count() == und.count()
+      val nPruned = obs.get("n").asInstanceOf[Long]
+      stable = nPruned == nEdges
+      nEdges = nPruned
       und = pruned
     }
     require(stable, s"k-core did not converge within $maxRounds rounds")

@@ -87,31 +87,19 @@ object LmArtifact {
   def arpaTable(reference: DataFrame, refTextCol: String = "text",
       tokens: Column => Column = TextAnalysis.wsTokens,
       discount: Double = 0.75): DataFrame =
-    arpaParts(reference, refTextCol, tokens, discount)._3
+    arpaParts(reference, refTextCol, tokens, discount)._2
 
   /** [[arpaTable]] plus its materialized bigram-count table — shared so
     * [[arpaTable3]] reuses the counts instead of re-exploding the corpus
     * (the chain's tables hang off `cb` several times over).
     */
-  /** ONE materialized tokenize pass over the reference corpus — the
-    * unigram, bigram and (in the trigram trainers) trigram counts all
-    * derive from it, where each previously re-ran the regexp tokenizer
-    * over the corpus (r16; two full passes saved per bigram model, and
-    * the spreadScan keeps the pass parallel on single-row-group inputs).
-    */
-  private def tokArrays(reference: DataFrame, refTextCol: String,
-      tokens: Column => Column): DataFrame =
-    Corpus.spreadScan(reference)
-      .select(tokens(lower(col(refTextCol))).as("__toks"))
-      .localCheckpoint(eager = true)
-
   private def arpaParts(reference: DataFrame, refTextCol: String,
       tokens: Column => Column,
-      discount: Double): (DataFrame, DataFrame, DataFrame) = {
+      discount: Double): (DataFrame, DataFrame) = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val toksArr = tokArrays(reference, refTextCol, tokens)
-    val toks = toksArr.select(explode(col("__toks")).as("w"))
+    val toks = reference
+      .select(explode(tokens(lower(col(refTextCol)))).as("w"))
     // the sentinel must not collide with a real token — refuse loudly,
     // on the data path (assert_true weaves into the kept value so the
     // check can't be pruned and costs no extra corpus scan).
@@ -143,7 +131,8 @@ object LmArtifact {
         -log10Micro((col("cu") + 1) / (col("tt") + col("vd") + 1)))
       .select("w", "cu", "nll10_micro")
     // adjacent-pair counts (the bigramLogProb gram shape).
-    val grams = toksArr
+    val grams = reference
+      .select(tokens(lower(col(refTextCol))).as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(posexplode(expr(
         "transform(sequence(0, size(__toks) - 2), " +
@@ -184,7 +173,7 @@ object LmArtifact {
       .select(lit(2).as("n"),
         concat(col("w1"), lit(" "), col("w2")).as("gram"),
         col("nll10_micro"), lit(null).cast("long").as("bow10_micro"))
-    (toksArr, cb, uniRows.unionAll(biRows)
+    (cb, uniRows.unionAll(biRows)
       .orderBy(col("n"),
         when(col("gram") === Unk && col("n") === 1, lit(0)).otherwise(lit(1)),
         col("gram")))
@@ -223,10 +212,11 @@ object LmArtifact {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val (toksArr, cb, base0) = arpaParts(reference, refTextCol, tokens, discount)
+    val (cb, base0) = arpaParts(reference, refTextCol, tokens, discount)
     val base = base0.localCheckpoint(true)
-    // adjacent triples — the gram shape one order up, from the SAME
-    // materialized tokenize pass as the unigram/bigram counts (r16).
+    val toksArr = reference
+      .select(tokens(lower(col(refTextCol))).as("__toks"))
+    // adjacent triples — the gram shape one order up.
     val tg = toksArr.filter(size(col("__toks")) >= 3)
       .select(posexplode(expr(
         "transform(sequence(0, size(__toks) - 3), " +
@@ -313,8 +303,8 @@ object LmArtifact {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val toksArr = tokArrays(reference, refTextCol, tokens)
-    val toks = toksArr.select(explode(col("__toks")).as("w"))
+    val toks = reference
+      .select(explode(tokens(lower(col(refTextCol)))).as("w"))
     val cu0 = toks.groupBy("w").agg(count(lit(1)).as("cu"))
     // the <unk> sentinel guard — same weave as arpaTable
     val cu = cu0.select(coalesce(
@@ -323,6 +313,8 @@ object LmArtifact {
           "collide with the OOV sentinel; pre-filter or re-tokenize"))
         .cast("string"),
       col("w")).as("w"), col("cu")).localCheckpoint(eager = true)
+    val toksArr = reference
+      .select(tokens(lower(col(refTextCol))).as("__toks"))
     val grams = toksArr.filter(size(col("__toks")) >= 2)
       .select(posexplode(expr(
         "transform(sequence(0, size(__toks) - 2), " +
@@ -651,7 +643,7 @@ object LmArtifact {
     // refuses corpora containing it), so a scored document carrying the
     // literal string '<unk>' counts as OOV — matching a replay that maps
     // through training counts rather than the model's unigram table.
-    val toks = Corpus.spreadScan(df).select(col(idCol).as("doc"),
+    val toks = df.select(col(idCol).as("doc"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "raw")))
       .join(broadcast(uni.filter(col("w") =!= lit(Unk))
           .select(col("w"), lit(1).as("__in"))),
@@ -716,7 +708,7 @@ object LmArtifact {
     val tri = lm.filter(col("n") === 3)
       .select(col("gram").as("__tg"), col("nll10_micro").as("t_nll"))
     // membership excludes '<unk>' — see arpaScore's rationale.
-    val toks = Corpus.spreadScan(df).select(col(idCol).as("doc"),
+    val toks = df.select(col(idCol).as("doc"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "raw")))
       .join(broadcast(uni.filter(col("w") =!= lit(Unk))
           .select(col("w"), lit(1).as("__in"))),

@@ -22,10 +22,11 @@ object Retrieval {
     * index build and retrieval start from.
     */
   def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // spreadScan: tokenize+explode is the expensive map and runs in the
-    // scan stage — under-parallel (single-row-group) inputs would pin it
-    // to one core (guide §2.5); a no-op on well-split inputs.
-    Corpus.spreadScan(df).select(col(idCol).as("doc"),
+    // NOT spread: measured at sf0.1, the term explode feeding the
+    // map-side-combined groupBy is cheaper than the repartition exchange
+    // it would take to parallelize it (A/B: inverted_index 0.41 s
+    // unspread vs 0.66 s spread; search_hybrid 1.77 vs 2.59).
+    df.select(col(idCol).as("doc"),
         explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
 
