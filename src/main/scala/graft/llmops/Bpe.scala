@@ -131,6 +131,54 @@ object Bpe {
       case (syms, (l, r)) => mergeRound(syms, l, r).localCheckpoint(true)
     }
 
+  /** Compiled per-word replay of a KNOWN merge list (r16 phase 2): the
+    * word's code-point symbols rewritten by each merge in rank order,
+    * one leftmost-greedy non-overlapping pass per merge — provably
+    * [[mergeRound]]'s island-parity rewrite (within a run of consecutive
+    * candidate positions the kept set is every other one starting from
+    * the first, which is exactly what a left-to-right scan that consumes
+    * both merged symbols produces; disjoint runs don't interact).
+    * Symbols split by Unicode CODE POINT, matching Spark's
+    * `substr`/`length` semantics in [[initialSyms]].
+    *
+    * Serving-time merge application is per-word work with no cross-row
+    * dependency, so the K windowed rewrites + K eager checkpoints of
+    * [[applyMerges]] (an exchange-free but 2-job round per merge, paid
+    * by EVERY serving call) collapse into one narrow projection.
+    * Training ([[learnMerges]]) is untouched — its per-round argmax
+    * genuinely depends on the previous round's table.
+    */
+  private[llmops] def mergeReplay(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ms = merges.toArray
+    udf((word: String) => {
+      if (word == null) null
+      else {
+        var syms = {
+          val it = word.codePoints().iterator()
+          val b = Array.newBuilder[String]
+          while (it.hasNext) b += new String(Character.toChars(it.nextInt()))
+          b.result()
+        }
+        var mi = 0
+        while (mi < ms.length && syms.length > 1) {
+          val (l, r) = ms(mi)
+          val merged = l + r
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += merged; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          syms = b.result()
+          mi += 1
+        }
+        syms.toSeq
+      }
+    })
+  }
+
   /** Serve a corpus with a learned (or IMPORTED —
     * [[graft.llmops.VocabArtifact.readBpeMerges]]/`readBpeJson`) merge
     * list — the [[graft.llmops.Unigram.segment]]-shaped other half of
@@ -155,12 +203,12 @@ object Bpe {
     val toks = df.select(col(idCol).as("id"),
         posexplode(tokens(col(textCol))).as(Seq("word_idx", "word")))
       .withColumn("word_idx", col("word_idx").cast("long"))
-    val words = toks.select("word").distinct()
+    // r16 phase 2: the known merge list replays per distinct word in ONE
+    // compiled projection ([[mergeReplay]]) — no K-round position-table
+    // rewrite, no per-round checkpoints, no collect-and-sort reassembly.
+    val perWord = toks.select("word").distinct()
       .where(length(col("word")) >= 1)
-      .withColumn("freq", lit(1L))
-    val perWord = applyMerges(words, merges).groupBy("word")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-        x => x("s")).as("pieces"))
+      .select(col("word"), mergeReplay(merges)(col("word")).as("pieces"))
     toks.join(perWord, Seq("word"))
       .select(col("id"), col("word_idx"),
         posexplode(col("pieces")).as(Seq("piece_idx", "piece")))

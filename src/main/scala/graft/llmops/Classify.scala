@@ -86,7 +86,14 @@ object Classify {
       .localCheckpoint(true)
     var w = ft.groupBy("feat")
       .agg(sum(col("label") * col("cnt")).as("w")).localCheckpoint(true)
-    var wsum = w
+    // r16: the round-sum is assembled ONCE at the end from the rounds'
+    // already-checkpointed weight frames (every round shares w₁'s feat
+    // set — round 1 aggregates ALL labeled features and later rounds
+    // left-join deltas onto it — so the union-groupBy integer sum equals
+    // the old per-round inner-join accumulation exactly, minus one join
+    // and one eager checkpoint job per round).
+    val roundWs = Seq.newBuilder[DataFrame]
+    roundWs += w
     for (_ <- 2 to rounds) {
       val mis = ft.join(broadcast(w), Seq("feat"))
         .groupBy(col(idCol), col("label"))
@@ -98,12 +105,12 @@ object Classify {
       w = w.join(delta, Seq("feat"), "left")
         .select(col("feat"), (col("w") + coalesce(col("d"), lit(0L))).as("w"))
         .localCheckpoint(true)
-      if (averaged)
-        wsum = wsum.join(w.withColumnRenamed("w", "w2"), Seq("feat"))
-          .select(col("feat"), (col("w") + col("w2")).as("w"))
-          .localCheckpoint(true)
+      roundWs += w
     }
-    if (averaged) wsum else w
+    if (averaged)
+      roundWs.result().reduce(_.unionByName(_))
+        .groupBy("feat").agg(sum(col("w")).as("w"))
+    else w
   }
 
   /** Corpus-wide linear scoring against a trained weight table: margin

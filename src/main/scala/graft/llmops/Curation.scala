@@ -149,8 +149,9 @@ object Curation {
     * code path the continuous pipeline runs.
     *
     * Inputs: `b0` is the micro-batch as (doc, text, source); the state
-    * frames are the accepted corpus' near-dup index (`corpusShingles`
-    * (doc, s) / `corpusBands` (doc, band, sig)), the lifetime per-source
+    * frames are the accepted corpus' near-dup index (`corpusIndex`, the
+    * [[Dedup.shingleIndexRows]] (doc, hs, …) shape /
+    * `corpusBands` (doc, band, sig)), the lifetime per-source
     * accepted counts (`sourceCounts` (source, n)), and the
     * decontamination state (`benchShingles` (s) + `bloomWords`
     * (w, bits)); empty frames degrade each stage to a no-op (batch one
@@ -169,7 +170,7 @@ object Curation {
     *     smallest-hash sample would).
     */
   def curationStep(b0: DataFrame,
-      corpusShingles: DataFrame, corpusBands: DataFrame,
+      corpusIndex: DataFrame, corpusBands: DataFrame,
       sourceCounts: DataFrame,
       benchShingles: DataFrame, bloomWords: DataFrame,
       blockedSources: Seq[String], quota: Int,
@@ -212,7 +213,7 @@ object Curation {
     // 4. near-dup: within batch + against the accepted-corpus index.
     val ndSurvive = Dedup.incrementalDedupStep(
         base.filter(col("__pass3")).select("doc", "text"), "doc", "text",
-        corpusShingles, corpusBands, maxJaccardDist, numHashTables, n)
+        corpusIndex, corpusBands, maxJaccardDist, numHashTables, n)
       .select(col("doc"), lit(true).as("__ndok"))
     val base4 = base.join(ndSurvive, Seq("doc"), "left")
       .withColumn("__pass4", col("__pass3") && col("__ndok").isNotNull)

@@ -112,16 +112,23 @@ object Dedup {
       .join(prefix.alias("y"), col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
-    // exact intersection sizes, restricted to the candidate pairs
-    val shared = cands
-      .join(ex.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
-      .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-    val result = shared
-      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
-      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+    // exact intersection sizes: each candidate pair intersects its two
+    // docs' distinct-hash ARRAYS in one codegen'd array_intersect (r16
+    // phase 2) — previously the pair fanned out to one row per id_a
+    // shingle through two equi-joins and a count aggregate (the measured
+    // hot stage of the pair generators; guide §2.3/§2.4). shared > 0 is
+    // implied by candidacy (the pair shares its prefix shingle) and kept
+    // as an explicit filter to mirror the old inner-join semantics.
+    val hs = arr.select(col("doc"), col("__sh")("hashes").as("__hs"))
+    val result = cands
+      .join(hs.select(col("doc").as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
+      .join(hs.select(col("doc").as("id_b"), col("__hs").as("__hb")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .filter(col("shared") > 0)
+      .withColumn("jaccard", col("shared") /
+        (size(col("__ha")).cast("long") + size(col("__hb")).cast("long")
+          - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     // Materialize eagerly so the caches can be released before returning —
@@ -192,14 +199,22 @@ object Dedup {
         col("x.doc") =!= col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
-    val shared = cands
-      .join(ex.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
-      .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-    val result = shared
-      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    // verification still counts EVERY shingle (the cap only prunes
+    // candidate generation): the pair intersects its two docs' full
+    // distinct-hash arrays in one codegen'd array_intersect (r16 phase 2;
+    // replaces the candidate×|A| row fan-out through two equi-joins and a
+    // count aggregate — the measured 6 s-cpu hot stage of this operator).
+    // shared > 0 is implied by candidacy (the prefix shingle is in both
+    // docs); the filter mirrors the old inner-join semantics exactly.
+    val hs = arr.select(col("doc"), col("__sh")("hashes").as("__hs"))
+    val result = cands
+      .join(hs.select(col("doc").as("id_a"), col("__hs").as("__ha")), Seq("id_a"))
+      .join(hs.select(col("doc").as("id_b"), col("__hs").as("__hb")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .filter(col("shared") > 0)
+      .withColumn("n_a", size(col("__ha")).cast("long"))
+      .withColumn("n_b", size(col("__hb")).cast("long"))
       .withColumn("containment", col("shared") / col("n_a"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -296,17 +311,15 @@ object Dedup {
     // r16: shingle hashes, set sizes AND signature minima all come out of
     // the one compiled per-doc pass — no groupBy exchange to build
     // signatures, no groupBy to count set sizes (guide §2.4); only the
-    // banding join and the exact verify shuffle anything.
+    // banding join shuffles anything, and the exact verify intersects the
+    // candidates' hash arrays directly (r16 phase 2).
     val arr = df.select(col(idCol).as("doc"),
       shingleStruct(col(textCol), n, numHashTables, md5_52 = true).as("__sh"))
       .cache()
-    val ex = arr.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
-    val sizes = arr.select(col("doc"),
-      size(col("__sh")("hashes")).cast("long").as("n_sh"))
-      .filter(col("n_sh") > 0)
+    val hs = arr.select(col("doc"), col("__sh")("hashes").as("hs"))
     val allBanded = arr.select(col("doc"),
       posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
-    val out = pairsFromParts(ex, sizes, allBanded, maxJaccardDist, maxBandFreq)
+    val out = pairsFromParts(hs, allBanded, maxJaccardDist, maxBandFreq)
     arr.unpersist()
     out
   }
@@ -321,24 +334,35 @@ object Dedup {
     */
   private def pairsFromElementRows(ex: DataFrame, maxJaccardDist: Double,
       numHashTables: Int, maxBandFreq: Option[Int]): DataFrame = {
+    // ONE groupBy builds the per-doc element array AND the signature
+    // minima together (r16 phase 2; previously two groupBys — sigs and
+    // set sizes — plus the element-row verify joins). Element rows are
+    // distinct per doc by construction (the weighted expansion emits one
+    // row per (gram, copy-index)), so the collected array is a set and
+    // the array_intersect verify counts exactly what the equi-join
+    // count(*) did.
     val sigAggs = (0 until numHashTables).map(i =>
       min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
-    val sigs = ex.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
-    val allBanded = sigs.select(col("doc"),
+    val grouped = ex.groupBy("doc")
+      .agg(collect_list(col("s")).as("hs"), sigAggs: _*)
+    val allBanded = grouped.select(col("doc"),
       posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
         .as(Seq("band", "sig")))
-    val sizes = ex.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    pairsFromParts(ex, sizes, allBanded, maxJaccardDist, maxBandFreq)
+    pairsFromParts(grouped.select("doc", "hs"), allBanded,
+      maxJaccardDist, maxBandFreq)
   }
 
   /** Banding + band-skew guard + exact set-Jaccard verify over
-    * already-built parts: element rows (doc, s), per-doc set sizes
-    * (doc, n_sh) and banded signature rows (doc, band, sig). The element
-    * path ([[pairsFromElementRows]]) derives sizes/bands with two
-    * groupBys; [[minHashPairs]] gets all three narrow out of the
-    * compiled shingle struct.
+    * already-built parts: per-doc distinct-hash arrays (doc, hs) and
+    * banded signature rows (doc, band, sig). The verify joins each
+    * candidate pair to its two hash arrays and computes the intersection
+    * size with one codegen'd array_intersect per pair (r16 phase 2) —
+    * replacing the candidate×shingles row fan-out through two equi-joins
+    * and a count aggregate, the measured hot stage of every minhash
+    * caller. `shared > 0` mirrors the old inner-join semantics (a pair
+    * sharing no element never produced a count row).
     */
-  private def pairsFromParts(ex: DataFrame, sizes: DataFrame,
+  private def pairsFromParts(hs: DataFrame,
       allBanded: DataFrame, maxJaccardDist: Double,
       maxBandFreq: Option[Int]): DataFrame = {
     val banded = maxBandFreq.fold(allBanded)(
@@ -349,16 +373,16 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
-    val shared = cands
-      .join(ex.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
-      .join(ex.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+    cands
+      .join(hs.select(col("doc").as("id_a"), col("hs").as("__ha")), Seq("id_a"))
+      .join(hs.select(col("doc").as("id_b"), col("hs").as("__hb")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .filter(col("shared") > 0)
       .withColumn("jaccard_dist",
-        lit(1.0) - col("shared") / (col("na") + col("nb") - col("shared")))
+        lit(1.0) - col("shared") /
+          (size(col("__ha")).cast("long") + size(col("__hb")).cast("long")
+            - col("shared")))
       .filter(col("jaccard_dist") <= maxJaccardDist)
       .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
       .localCheckpoint(true)
@@ -556,8 +580,8 @@ object Dedup {
     val arrB = batch.select(col(idCol).as("doc"),
       shingleStruct(col(textCol), n, numHashTables, md5_52 = true).as("__sh"))
       .cache()
-    val exC = arrC.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
-    val exB = arrB.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val hsC = arrC.select(col("doc"), col("__sh")("hashes").as("hs"))
+    val hsB = arrB.select(col("doc"), col("__sh")("hashes").as("hs"))
     def bands(arr: DataFrame) = arr.select(col("doc"),
       posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
     val bandedC = maxBandFreq.fold(bands(arrC))(
@@ -568,61 +592,74 @@ object Dedup {
       .join(bandedC.select(col("doc").as("corpus_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("batch_id", "corpus_id").distinct()
-    val result = verifyCrossPairs(cands, exB, exC, maxJaccardDist)
+    val result = verifyCrossPairs(cands, hsB, hsC, maxJaccardDist)
     val out = result.localCheckpoint(true)
     arrC.unpersist(); arrB.unpersist()
     out
   }
 
-  /** Distinct portable-hash shingle rows (doc, s) — the index unit shared
-    * by the minhash family and the incremental/streaming dedup state.
+  /** Distinct portable-hash shingle rows (doc, s) — the element-row view
+    * used by the selection/decontamination operators.
     */
   private[graft] def portableShingleRows(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
     hashedShingleRows(df, idCol, textCol, n, md5_52 = true)
 
-  /** Banded minhash signature rows (doc, band, sig) from shingle rows —
-    * one groupBy with the N min-aggs, then a narrow posexplode.
+  /** Compiled shingle INDEX rows (doc, hs, sigs) — the r16 phase-2 shape
+    * of the incremental/streaming dedup state: per-doc distinct-hash
+    * array + banded signature minima out of the one compiled pass. The
+    * cross-probe verify intersects the two docs' arrays directly, so a
+    * probe no longer pays a groupBy over the WHOLE standing index to
+    * rebuild set sizes, nor the candidate×shingles row fan-out through
+    * the verify equi-joins (guide §2.3 — shuffle a per-doc array once,
+    * not one row per shingle per candidate).
     */
-  private[graft] def bandRows(ex: DataFrame, numHashTables: Int): DataFrame = {
-    val aggs = (0 until numHashTables).map(i =>
-      min(PortableHash.minhashPerm(col("s"), i)).as(s"_m$i"))
-    ex.groupBy("doc").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc"),
-        posexplode(array((0 until numHashTables).map(i => col(s"_m$i")): _*))
-          .as(Seq("band", "sig")))
-  }
+  private[graft] def shingleIndexRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashTables: Int = 5): DataFrame =
+    df.select(col(idCol).as("doc"),
+      shingleStruct(col(textCol), n, numHashTables, md5_52 = true).as("__sh"))
+      .select(col("doc"), col("__sh")("hashes").as("hs"),
+        col("__sh")("sigs").as("sigs"))
+
+  /** Banded signature rows (doc, band, sig) of a [[shingleIndexRows]]
+    * frame — a narrow posexplode, no aggregation.
+    */
+  private[graft] def indexBandRows(idx: DataFrame): DataFrame =
+    idx.select(col("doc"), posexplode(col("sigs")).as(Seq("band", "sig")))
 
   /** Exact-Jaccard verification of cross-side candidate pairs given both
-    * sides' shingle rows; returns (batch_id, corpus_id, jaccard_dist).
+    * sides' per-doc hash arrays (doc, hs); returns
+    * (batch_id, corpus_id, jaccard_dist). One codegen'd array_intersect
+    * per candidate pair (r16 phase 2) — set sizes ride the arrays, so
+    * nothing aggregates over either side's full index.
     */
-  private[graft] def verifyCrossPairs(cands: DataFrame, exB: DataFrame,
-      exC: DataFrame, maxJaccardDist: Double): DataFrame = {
-    val sizesC = exC.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val sizesB = exB.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val shared = cands
-      .join(exB.select(col("doc").as("batch_id"), col("s")), Seq("batch_id"))
-      .join(exC.select(col("doc").as("corpus_id"), col("s")), Seq("corpus_id", "s"))
-      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizesB.select(col("doc").as("batch_id"), col("n_sh").as("nb")), Seq("batch_id"))
-      .join(sizesC.select(col("doc").as("corpus_id"), col("n_sh").as("nc")), Seq("corpus_id"))
+  private[graft] def verifyCrossPairs(cands: DataFrame, hsB: DataFrame,
+      hsC: DataFrame, maxJaccardDist: Double): DataFrame =
+    cands
+      .join(hsB.select(col("doc").as("batch_id"), col("hs").as("__ha")),
+        Seq("batch_id"))
+      .join(hsC.select(col("doc").as("corpus_id"), col("hs").as("__hb")),
+        Seq("corpus_id"))
+      .withColumn("shared",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .filter(col("shared") > 0)
       .withColumn("jaccard_dist",
-        lit(1.0) - col("shared") / (col("nb") + col("nc") - col("shared")))
+        lit(1.0) - col("shared") /
+          (size(col("__ha")).cast("long") + size(col("__hb")).cast("long")
+            - col("shared")))
       .filter(col("jaccard_dist") <= maxJaccardDist)
       .select(col("batch_id"), col("corpus_id"),
         round(col("jaccard_dist"), 6).as("jaccard_dist"))
-  }
 
   /** One greedy incremental-dedup step — the shared core of the daily
     * batch refresh and [[graft.streaming.EventStream.dedupStream]]:
     * deduplicate `batch` WITHIN itself (minhash pairs → components →
     * min-id survivor), then drop every within-batch survivor that
-    * near-duplicates the standing corpus INDEX (`corpusShingles` /
-    * `corpusBands`, the (doc, s) and (doc, band, sig) frames of all
-    * previously accepted documents). Returns the accepted (doc, text)
-    * rows. Empty index frames degrade to pure within-batch dedup —
-    * batch one of a fresh corpus.
+    * near-duplicates the standing corpus INDEX (`corpusIndex` /
+    * `corpusBands`, the [[shingleIndexRows]] (doc, hs, …) and
+    * (doc, band, sig) frames of all previously accepted documents).
+    * Returns the accepted (doc, text) rows. Empty index frames degrade
+    * to pure within-batch dedup — batch one of a fresh corpus.
     *
     * Greedy semantics (the production arrival-order contract): earlier
     * batches always win; within a batch the min id wins its cluster. A
@@ -640,7 +677,7 @@ object Dedup {
     * corpus never re-pairs with itself.
     */
   def incrementalDedupStep(batch: DataFrame, idCol: String, textCol: String,
-      corpusShingles: DataFrame, corpusBands: DataFrame,
+      corpusIndex: DataFrame, corpusBands: DataFrame,
       maxJaccardDist: Double = 0.3, numHashTables: Int = 5,
       n: Int = 3): DataFrame = {
     val b0 = batch.select(col(idCol).as("doc"), col(textCol).as("text"))
@@ -648,29 +685,30 @@ object Dedup {
     // within-batch pair generation AND the cross-corpus probe (the
     // survivors were previously re-shingled after the in-batch dedup —
     // one full tokenize+hash pass and one checkpoint saved per step).
+    // `corpusIndex` is the [[shingleIndexRows]] (doc, hs, …) shape: the
+    // cross verify intersects hash arrays, so the standing index is never
+    // re-aggregated per batch (phase 2).
     val arr0 = b0.select(col("doc"),
       shingleStruct(col("text"), n, numHashTables, md5_52 = true).as("__sh"))
       .localCheckpoint(true)
-    val ex0 = arr0.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
-    val sizes0 = arr0.select(col("doc"),
-      size(col("__sh")("hashes")).cast("long").as("n_sh"))
-      .filter(col("n_sh") > 0)
+    val hs0 = arr0.select(col("doc"), col("__sh")("hashes").as("hs"))
     val banded0 = arr0.select(col("doc"),
       posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
-    val inPairs = pairsFromParts(ex0, sizes0, banded0, maxJaccardDist,
+    val inPairs = pairsFromParts(hs0, banded0, maxJaccardDist,
       DefaultMaxBandFreq)
     val inFail = resolveClusters(inPairs, "id_a", "id_b")
       .filter(col("cluster") =!= col("v")).select(col("v").as("doc"))
     val b1 = b0.join(inFail, Seq("doc"), "left_anti")
     val arrB = arr0.join(inFail, Seq("doc"), "left_anti")
-    val exB = arrB.select(col("doc"), explode(col("__sh")("hashes")).as("s"))
+    val hsB = arrB.select(col("doc"), col("__sh")("hashes").as("hs"))
     val cands = arrB
       .select(col("doc").as("batch_id"),
         posexplode(col("__sh")("sigs")).as(Seq("band", "sig")))
       .join(corpusBands.select(col("doc").as("corpus_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("batch_id", "corpus_id").distinct()
-    val crossFail = verifyCrossPairs(cands, exB, corpusShingles, maxJaccardDist)
+    val crossFail = verifyCrossPairs(cands, hsB,
+        corpusIndex.select(col("doc"), col("hs")), maxJaccardDist)
       .select(col("batch_id").as("doc")).distinct()
     b1.join(crossFail, Seq("doc"), "left_anti")
   }
@@ -797,16 +835,21 @@ object Dedup {
     */
   private def positionalFps(df: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-    val wTok = Window.partitionBy("doc").orderBy("pos")
-    val leads = (1 until width).map(k => lead(col("tok"), k).over(wTok))
-    val withLeads = toks.select(col("doc") +: col("pos") +: col("tok") +:
-      leads.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }: _*)
-    withLeads
-      .filter(col(s"_t${width - 2}").isNotNull)
-      .select(col("doc"), col("pos"), PortableHash.hash52(concat_ws(" ",
-        col("tok") +: (0 until width - 1).map(i => col(s"_t$i")): _*)).as("fp"))
+    // r16 phase 2: the window fingerprint is a PER-DOCUMENT fact — the
+    // width-token grams come straight off the row's own token array
+    // (posexplode of a transform, the weightedMinHashPairs gram shape),
+    // so the per-doc lead() window — ONE exchange of the whole exploded
+    // token stream per call, two per cross-corpus call — is gone
+    // (guide §2.4). Same grams, same 0-based first-token positions, same
+    // hash (hash52 applies on the exploded rows, inside codegen); docs
+    // shorter than the window emit nothing, as the lead-null filter did.
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc"),
+        posexplode(when(size(toks) >= width,
+          transform(sequence(lit(1), size(toks) - (width - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(width)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+      .select(col("doc"), col("pos"), PortableHash.hash52(col("g")).as("fp"))
   }
 
   /** Merge cross-side seeds into maximal spans (gaps-and-islands along

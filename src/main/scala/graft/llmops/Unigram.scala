@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   *      `vocabSize · seedCapFactor` multi-character pieces by
   *      (count DESC, piece ASC).
   *   2. E-STEP: Viterbi-segment each distinct word under the current
-  *      piece costs — a per-row dynamic program folded over character
-  *      positions (`aggregate` over `sequence`, codegen'd; cost(i) =
+  *      piece costs — a per-row dynamic program over character
+  *      positions (one compiled kernel, r16; cost(i) =
   *      min over k ≤ maxPieceLen of cost(i−k) + nll(piece ending at
-  *      i)), then a second fold walks the backpointer-free argmin chain
-  *      back out (ties break to the SHORTEST piece — deterministic and
+  *      i)), then the backpointer-free argmin walk back out
+  *      (ties break to the SHORTEST piece — deterministic and
   *      engine-portable). Piece counts = Viterbi occurrences weighted
   *      by word frequency.
   *   3. M-STEP + PRUNE: keep all single characters (zero-count ones
@@ -260,42 +260,67 @@ object Unigram {
     */
   private def segmentFold(withMap: DataFrame, maxPieceLen: Int,
       unkCharCost: Long = Big): DataFrame = {
-    val big = lit(Big)
-    def miss(k: Int): Column = if (k == 1) lit(unkCharCost) else big
-    val costs = aggregate(
-      sequence(lit(1L), col("n")), array(lit(0L)),
-      (acc, i) => {
-        val opts = (1 to maxPieceLen).map { k =>
-          when(i - k >= 0L,
-            element_at(acc, (i - k + 1L).cast("int")) +
-              coalesce(element_at(col("m"),
-                col("w").substr((i - k + 1L).cast("int"), lit(k))), miss(k)))
-            .otherwise(big)
+    // The DP as ONE compiled kernel (r16 phase 2; previously two nested
+    // `aggregate` higher-order folds — CodegenFallback, so every inner
+    // cost probe paid interpreted expression dispatch, the q_x_mmr_*
+    // lesson). Semantics bit-identical to the expression form it
+    // replaces: the same integer micro-nll Long arithmetic, the same
+    // Big/unkCharCost sentinels included in the min exactly as `least`
+    // saw them, the same backpointer-free walk that re-derives the
+    // argmin at each position and breaks cost ties to the SHORTEST
+    // piece (the k = 1..maxPieceLen first-match order), the same
+    // end-first piece list, and positions in Unicode CODE POINTS
+    // exactly like the substr-built candidate map keys. A null map
+    // (the byte-fallback left-join miss) prices every lookup at
+    // miss(k), as element_at of a null map did.
+    val kernel = udf((w: String, m: Map[String, Long]) => {
+      if (w == null) null
+      else {
+        val offs = {
+          val b = Array.newBuilder[Int]
+          var i = 0
+          while (i < w.length) { b += i; i += Character.charCount(w.codePointAt(i)) }
+          b += w.length
+          b.result()
         }
-        concat(acc, array(least(opts: _*)))
-      })
-    def chosenK(pos: Column): Column =
-      (1 to maxPieceLen).foldLeft(when(lit(false), lit(1L))) { (c, k) =>
-        c.when(pos - k >= 0L &&
-          element_at(col("costs"), (pos - k + 1L).cast("int")) +
-            coalesce(element_at(col("m"),
-              col("w").substr((pos - k + 1L).cast("int"), lit(k))), miss(k)) ===
-            element_at(col("costs"), (pos + 1L).cast("int")), lit(k.toLong))
-      }.otherwise(lit(1L))
-    val walk = aggregate(
-      sequence(lit(1L), col("n")),
-      struct(col("n").as("pos"), lit(Array.empty[String]).as("ps")),
-      (acc, _) => {
-        val pos = acc.getField("pos")
-        val k = chosenK(pos)
-        when(pos === 0L, acc).otherwise(struct(
-          (pos - k).as("pos"),
-          concat(acc.getField("ps"), array(
-            col("w").substr((pos - k + 1L).cast("int"), k.cast("int"))))
-            .as("ps")))
-      },
-      acc => acc.getField("ps"))
-    withMap.withColumn("costs", costs).withColumn("ps", walk)
+        val n = offs.length - 1
+        def cost(p: Int, k: Int): Long = {
+          val hit = if (m == null) None
+            else m.get(w.substring(offs(p - 1), offs(p - 1 + k)))
+          hit.getOrElse(if (k == 1) unkCharCost else Big)
+        }
+        val costs = new Array[Long](n + 1)
+        var i = 1
+        while (i <= n) {
+          var best = Long.MaxValue
+          var k = 1
+          while (k <= maxPieceLen) {
+            val opt = if (i - k >= 0) costs(i - k) + cost(i - k + 1, k) else Big
+            if (opt < best) best = opt
+            k += 1
+          }
+          costs(i) = best
+          i += 1
+        }
+        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = n
+        while (pos > 0) {
+          var chosen = 1
+          var k = 1
+          var done = false
+          while (k <= maxPieceLen && !done) {
+            if (pos - k >= 0 && costs(pos - k) + cost(pos - k + 1, k) == costs(pos)) {
+              chosen = k; done = true
+            }
+            k += 1
+          }
+          ps += w.substring(offs(pos - chosen), offs(pos))
+          pos -= chosen
+        }
+        ps.toSeq
+      }
+    })
+    withMap.withColumn("ps", kernel(col("w"), col("m")))
       .select("w", "ps", "m")
   }
 }

@@ -225,37 +225,49 @@ object WordPiece {
     val wm = cands.groupBy("w")
       .agg(map_from_entries(collect_list(struct(col("vkey"), lit(true))))
         .as("m"))
-    // the greedy fold: carry (pos, ps, unk); n iterations, each picks the
-    // longest matching piece at the cursor or declares the word [UNK]
-    val seg = shorts.join(wm, Seq("w"), "left").withColumn("ps", {
-      def sub(pos: Column, k: Column): Column =
-        col("w").substr(pos.cast("int"), k.cast("int"))
-      def key(pos: Column, k: Column): Column =
-        concat(when(pos === 1L, "0:").otherwise("1:"), sub(pos, k))
-      aggregate(
-        sequence(lit(1L), col("n")),
-        struct(lit(1L).as("pos"), lit(Array.empty[String]).as("ps"),
-          lit(false).as("unk")),
-        (acc, _) => {
-          val pos = acc.getField("pos")
-          val kBest = (maxK to 1 by -1)
-            .foldLeft(when(lit(false), lit(0L))) { (c, kk) =>
-              c.when(pos + kk - 1L <= col("n") &&
-                element_at(col("m"), key(pos, lit(kk.toLong))).isNotNull,
-                lit(kk.toLong))
-            }.otherwise(lit(0L))
-          when(acc.getField("unk") || pos > col("n"), acc)
-            .otherwise(when(kBest === 0L,
-              struct((col("n") + 1L).as("pos"),
-                array(lit(unkPiece)).as("ps"), lit(true).as("unk")))
-              .otherwise(struct((pos + kBest).as("pos"),
-                concat(acc.getField("ps"), array(
-                  when(pos === 1L, sub(pos, kBest))
-                    .otherwise(concat(lit(Cont), sub(pos, kBest))))).as("ps"),
-                lit(false).as("unk"))))
-        },
-        acc => acc.getField("ps"))
-    }).select("w", "ps")
+    // the greedy longest-match walk as ONE compiled kernel (r16 phase 2;
+    // previously an `aggregate` higher-order fold — CodegenFallback, so
+    // every cursor step paid a maxK-deep interpreted when-chain of map
+    // probes). Semantics bit-identical: same position-class keys, the
+    // longest match at the cursor wins, any miss declares the whole word
+    // [UNK]; positions count Unicode CODE POINTS exactly like the
+    // substr-built candidate keys. A null map (no candidate of this word
+    // is in the vocabulary — the left-join miss) yields [UNK] just as
+    // every element_at of a null map missed.
+    val wpWalk = udf((w: String, m: Map[String, Boolean]) => {
+      if (w == null) null
+      else {
+        val offs = {
+          val b = Array.newBuilder[Int]
+          var i = 0
+          while (i < w.length) { b += i; i += Character.charCount(w.codePointAt(i)) }
+          b += w.length
+          b.result()
+        }
+        val n = offs.length - 1
+        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 1
+        var unk = false
+        while (!unk && pos <= n) {
+          var k = math.min(maxK, n - pos + 1)
+          var found = 0
+          while (k >= 1 && found == 0) {
+            val key = (if (pos == 1) "0:" else "1:") +
+              w.substring(offs(pos - 1), offs(pos - 1 + k))
+            if (m != null && m.contains(key)) found = k else k -= 1
+          }
+          if (found == 0) { ps.clear(); ps += unkPiece; unk = true }
+          else {
+            val sub = w.substring(offs(pos - 1), offs(pos - 1 + found))
+            ps += (if (pos == 1) sub else Cont + sub)
+            pos += found
+          }
+        }
+        ps.toSeq
+      }
+    })
+    val seg = shorts.join(wm, Seq("w"), "left")
+      .select(col("w"), wpWalk(col("w"), col("m")).as("ps"))
     toks.join(seg.unionByName(longs), Seq("w"))
       .select(col("id"), col("word_idx"),
         posexplode(col("ps")).as(Seq("piece_idx", "piece")))

@@ -1620,14 +1620,14 @@ object LlmOpsQueries extends QueryModule {
         "UNION ALL SELECT doc_id, 2, md5(text) FROM s2 ORDER BY doc"
     }) { (s, d) =>
       val docs = docsSpread(s, d)
+      val emptyIdx = Dedup.shingleIndexRows(docs.limit(0), "doc_id", "text", 3)
       val day1 = Dedup.incrementalDedupStep(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        Dedup.portableShingleRows(docs.limit(0), "doc_id", "text", 3),
-        Dedup.bandRows(Dedup.portableShingleRows(docs.limit(0), "doc_id", "text", 3), 5))
-      val ex1 = Dedup.portableShingleRows(day1, "doc", "text", 3).localCheckpoint(true)
+        emptyIdx, Dedup.indexBandRows(emptyIdx))
+      val ex1 = Dedup.shingleIndexRows(day1, "doc", "text", 3).localCheckpoint(true)
       val day2 = Dedup.incrementalDedupStep(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        ex1, Dedup.bandRows(ex1, 5))
+        ex1, Dedup.indexBandRows(ex1))
       day1.select(col("doc"), lit(1L).as("day"), md5(col("text")).as("content_md5"))
         .unionAll(day2.select(col("doc"), lit(2L).as("day"), md5(col("text")).as("content_md5")))
         .orderBy("doc")
@@ -2389,16 +2389,16 @@ object LlmOpsQueries extends QueryModule {
         .select("s").distinct().localCheckpoint(true)
       val words = Dedup.bloomWordTable(benchSh, 1 << 20, 4).localCheckpoint(true)
       def day(batch: org.apache.spark.sql.DataFrame,
-          sh: org.apache.spark.sql.DataFrame,
+          idx: org.apache.spark.sql.DataFrame,
           counts: org.apache.spark.sql.DataFrame) =
-        Curation.curationStep(batch, sh, Dedup.bandRows(sh, 5), counts,
+        Curation.curationStep(batch, idx, Dedup.indexBandRows(idx), counts,
           benchSh, words, Seq("src3", "src7"), quota = 8,
           minTokens = 20, maxAvgTokenLen = 5.0,
           minTypeToken = 0.35, maxDupGramFrac = 0.2)
-      val emptySh = Dedup.portableShingleRows(corpus.limit(0), "doc", "text", 3)
+      val emptySh = Dedup.shingleIndexRows(corpus.limit(0), "doc", "text", 3)
       val (acc1, led1) = day(corpus.filter(col("doc") % 40 < 20),
         emptySh, Seq.empty[(String, Long)].toDF("source", "n"))
-      val ex1 = Dedup.portableShingleRows(acc1, "doc", "text", 3).localCheckpoint(true)
+      val ex1 = Dedup.shingleIndexRows(acc1, "doc", "text", 3).localCheckpoint(true)
       val (_, led2) = day(corpus.filter(col("doc") % 40 >= 20),
         ex1, acc1.groupBy("source").agg(count(lit(1)).as("n")))
       led1.withColumn("day", lit(1L))

@@ -959,7 +959,8 @@ object EventStream {
       StructField("doc", idType), StructField("text", StringType),
       StructField("source", StringType))))
     createIfAbsent(shT, StructType(Seq(
-      StructField("doc", idType), StructField("s", LongType))))
+      StructField("doc", idType),
+      StructField("hs", ArrayType(LongType, containsNull = false)))))
     createIfAbsent(bandT, StructType(Seq(
       StructField("doc", idType), StructField("band", IntegerType),
       StructField("sig", LongType))), Seq("band", "sig"))
@@ -987,10 +988,13 @@ object EventStream {
           numHashTables, n, contamN, mBits, kProbes)
         // state updates: corpus + index append, counts merge, ledger append.
         accepted.write.mode("append").saveAsTable(docsT)
-        val ex = Dedup.portableShingleRows(accepted, "doc", "text", n)
-          .localCheckpoint(true)
-        ex.write.mode("append").saveAsTable(shT)
-        Dedup.bandRows(ex, numHashTables)
+        // index rows in the shingleIndexRows shape: per-doc hash array
+        // (the verify side) + banded sigs (the probe side) out of one
+        // compiled pass — the state is never re-aggregated per batch.
+        val idx = Dedup.shingleIndexRows(accepted, "doc", "text", n,
+          numHashTables).localCheckpoint(true)
+        idx.select("doc", "hs").write.mode("append").saveAsTable(shT)
+        Dedup.indexBandRows(idx)
           .write.mode("append")
           .bucketBy(stateBuckets, "band", "sig").sortBy("band", "sig")
           .saveAsTable(bandT)
@@ -1329,7 +1333,9 @@ object EventStream {
     * cross-corpus dedup, with greedy arrival-order semantics.
     *
     * State = three append-only tables: `{prefix}_docs` (doc, text),
-    * `{prefix}_shingles` (doc, s), `{prefix}_bands` (doc, band, sig) —
+    * `{prefix}_shingles` (doc, hs — the per-doc distinct-hash array,
+    * [[graft.llmops.Dedup.shingleIndexRows]]), `{prefix}_bands`
+    * (doc, band, sig) —
     * created empty when absent, resumed when present (same restart
     * contract as [[incrementalUpsertBucketed]]). Per-batch I/O is
     * O(|batch|) work + one equi-join probe of the batch's bands against
@@ -1370,7 +1376,8 @@ object EventStream {
     createIfAbsent(docsT, StructType(Seq(
       StructField("doc", idType), StructField("text", StringType))))
     createIfAbsent(shT, StructType(Seq(
-      StructField("doc", idType), StructField("s", LongType))))
+      StructField("doc", idType),
+      StructField("hs", ArrayType(LongType, containsNull = false)))))
     createIfAbsent(bandT, StructType(Seq(
       StructField("doc", idType), StructField("band", IntegerType),
       StructField("sig", LongType))), Seq("band", "sig"))
@@ -1383,11 +1390,12 @@ object EventStream {
             batch, idCol, textCol, sess.table(shT), sess.table(bandT),
             maxJaccardDist, numHashTables, n)
           .localCheckpoint(eager = true)
-        val ex = graft.llmops.Dedup.portableShingleRows(
-          survivors, "doc", "text", n).localCheckpoint(eager = true)
+        // index rows in the shingleIndexRows shape — see curationStream.
+        val idx = graft.llmops.Dedup.shingleIndexRows(
+          survivors, "doc", "text", n, numHashTables).localCheckpoint(eager = true)
         survivors.write.mode("append").saveAsTable(docsT)
-        ex.write.mode("append").saveAsTable(shT)
-        graft.llmops.Dedup.bandRows(ex, numHashTables)
+        idx.select("doc", "hs").write.mode("append").saveAsTable(shT)
+        graft.llmops.Dedup.indexBandRows(idx)
           .write.mode("append")
           .bucketBy(stateBuckets, "band", "sig").sortBy("band", "sig")
           .saveAsTable(bandT)

@@ -171,12 +171,12 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Retrieval.searchTopK(noDocs, "doc_id", "text",
       Seq((1L, "a b")).toDF("qid", "qtext"), "qid", "qtext").count() == 0)
     // incremental dedup: empty batch against a real index, and vice versa
-    val ex = Dedup.portableShingleRows(someDocs, "doc_id", "text", 3)
+    val ex = Dedup.shingleIndexRows(someDocs, "doc_id", "text", 3)
     assert(Dedup.incrementalDedupStep(noDocs, "doc_id", "text",
-      ex, Dedup.bandRows(ex, 5)).count() == 0)
-    val emptyEx = Dedup.portableShingleRows(noDocs, "doc_id", "text", 3)
+      ex, Dedup.indexBandRows(ex)).count() == 0)
+    val emptyEx = Dedup.shingleIndexRows(noDocs, "doc_id", "text", 3)
     assert(Dedup.incrementalDedupStep(someDocs, "doc_id", "text",
-      emptyEx, Dedup.bandRows(emptyEx, 5)).count() == 2)
+      emptyEx, Dedup.indexBandRows(emptyEx)).count() == 2)
     // curation: an empty corpus yields an empty ledger
     val noSrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(Curation.ledger(noSrc, "doc_id", "text", "source",
